@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Commit, DataFile, KeyGen, Meta, Timeline}
+
+/** A mutable keyed analytic table maintained over immutable parquet
+  * snapshots — the Spark-native re-expression of what the reference
+  * delegates to Hudi DeltaStreamer (handler.py:139-141):
+  *
+  *  - M4 bulk insert  (handler.py:85-87, BULK_INSERT + PARTITION_SORT)
+  *  - M1 precombine   (handler.py:77,145 --source-ordering-field trx_seq)
+  *  - M2 upsert       (handler.py:89, write.operation=upsert)
+  *  - M3 delete apply (aws-dms-to-hudi.yaml:507-522, _hoodie_is_deleted)
+  *  - M5 key gen      (handler.py:97-110 Simple/Complex key generators)
+  *  - M6 partition path (handler.py:101-104, hive-style partitioning)
+  *
+  * Scale design (100 TB): files are RANGE-PARTITIONED BY RECORD KEY and
+  * sorted within files, so the per-file [minKey, maxKey] intervals in the
+  * commit manifest are tight and nearly disjoint. An upsert broadcast-joins
+  * the incoming batch's keys against those intervals and rewrites ONLY
+  * overlapping files — write amplification is proportional to the batch's
+  * key spread, not the table size. Readers get the file list from the
+  * manifest (no directory listing) and tombstones are physically removed at
+  * write, so the read path is a plain parquet scan with all of Catalyst's
+  * pushdown intact.
+  */
+class GraftTable(
+    spark: SparkSession,
+    val root: String,
+    val keyFields: Seq[String],
+    val partitionFields: Seq[String] = Seq.empty,
+    val orderingField: String = Meta.Ordering,
+    val targetFileCount: Int = 8) {
+
+  private val timeline = new Timeline(root)
+  private def dataDir(seq: Long) = s"data/c$seq"
+
+  // ---------------------------------------------------------------- helpers
+
+  /** Precombine (M1): among rows sharing a record key keep the one with the
+    * max ordering value; on ties the delete tombstone wins (Hudi semantics).
+    * One hash-shuffle on the key; max_by carries the whole row so there is
+    * no second join back.
+    */
+  def precombine(batch: DataFrame): DataFrame = {
+    val cols = batch.columns
+    val tieBreak = struct(
+      col(orderingField),
+      if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0))
+    batch
+      .groupBy(col(Meta.RecordKey))
+      .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieBreak).as("_r"))
+      .select((Meta.RecordKey +: cols.filterNot(_ == Meta.RecordKey))
+        .map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
+  }
+
+  private def prepared(df: DataFrame): DataFrame =
+    if (df.columns.contains(Meta.RecordKey)) df else KeyGen.withRecordKey(df, keyFields)
+
+  /** Write `df` as range-partitioned, key-sorted parquet files under a new
+    * commit's data dir; return the per-file stats for the manifest.
+    * The extra stats pass reads back only the key + partition columns
+    * (column-pruned), so its cost is a tiny fraction of the write.
+    */
+  private def writeFiles(df: DataFrame, seq: Long): Seq[DataFile] = {
+    val stage = Paths.get(root, dataDir(seq)).toString
+    val sortCols = (partitionFields :+ Meta.RecordKey).map(col)
+    val writer0 = df
+      .repartitionByRange(targetFileCount, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .write.mode("overwrite")
+    val writer = if (partitionFields.nonEmpty) writer0.partitionBy(partitionFields: _*) else writer0
+    writer.parquet(stage)
+
+    val rootUri = Paths.get(root).toUri.toString.stripSuffix("/")
+    val statsDf = spark.read.parquet(stage)
+      .select(input_file_name().as("_f"), col(Meta.RecordKey))
+      .groupBy(col("_f"))
+      .agg(min(Meta.RecordKey).as("mn"), max(Meta.RecordKey).as("mx"), count(lit(1)).as("n"))
+    statsDf.collect().toIndexedSeq.map { r =>
+      val abs = r.getString(0)
+      val rel = abs.stripPrefix(rootUri).stripPrefix("/")
+      val partVals = rel.split("/").iterator
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+      DataFile(rel, partVals, r.getString(1), r.getString(2), r.getLong(3))
+    }
+  }
+
+  private def schemaJson(df: DataFrame): String = df.schema.json
+
+  // ------------------------------------------------------------- operations
+
+  /** M4 bulk insert: full-load files → new table, no merge, PARTITION_SORT
+    * layout (range-partition + sort by key). */
+  def bulkInsert(df0: DataFrame, checkpoint: Option[String] = None): Commit = {
+    val df = prepared(df0)
+    val clean =
+      if (df.columns.contains(Meta.Deleted)) df.filter(!coalesce(col(Meta.Deleted), lit(false)))
+      else df
+    val seq = timeline.latestSeq().map(_ + 1).getOrElse(0L)
+    val files = writeFiles(clean, seq)
+    timeline.commit(Commit(seq, "bulk_insert", files, schemaJson(clean),
+      checkpoint, System.currentTimeMillis()))
+  }
+
+  /** M2 upsert: merge a CDC batch into the snapshot.
+    *
+    * 1. precombine the batch (M1);
+    * 2. prune: broadcast the manifest's file intervals, semi-join against
+    *    batch keys → the affected-file set (driver sees only file paths);
+    * 3. read ONLY affected files, unionByName (schema evolution: new
+    *    columns null-padded), latest-wins on (ordering, deleted);
+    * 4. drop tombstones (M3), rewrite affected region, carry forward every
+    *    untouched file in the new manifest.
+    *
+    * A key deleted by a winning tombstone leaves the snapshot; a later
+    * batch carrying a lower-seq version of that key re-inserts it (matches
+    * Hudi once the tombstone is gone — SURVEY §7.4).
+    */
+  def upsert(batch0: DataFrame, checkpoint: Option[String] = None): Commit = {
+    val prev = timeline.latest().getOrElse(
+      return bulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+    val batch = precombine(prepared(batch0))
+
+    // ---- affected-file pruning (the 100 TB lever)
+    // The manifest's intervals are already driver-side; broadcast them
+    // sorted and binary-search per batch key (O(keys·log files)) instead of
+    // a nested-loop interval join (O(keys·files)).
+    // sorted by minKey; prefixMaxEnd[i] = max(maxKey[0..i]) lets the
+    // left-scan stop as soon as no earlier interval can reach k
+    val sortedIvs: Array[(String, String, String)] =
+      prev.files.map(f => (f.minKey, f.maxKey, f.path)).sortBy(_._1).toArray
+    val prefixMaxEnd: Array[String] =
+      sortedIvs.scanLeft("")((acc, iv) => if (acc >= iv._2) acc else iv._2).drop(1)
+    val bcIvs = spark.sparkContext.broadcast((sortedIvs, prefixMaxEnd))
+    val findFiles = udf { (k: String) =>
+      val (ivs, maxEnd) = bcIvs.value
+      var lo = 0; var hi = ivs.length - 1; var pos = -1
+      while (lo <= hi) { // rightmost interval with minKey <= k
+        val mid = (lo + hi) >>> 1
+        if (ivs(mid)._1 <= k) { pos = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      val out = Seq.newBuilder[String]
+      var i = pos
+      while (i >= 0 && maxEnd(i) >= k) {
+        if (ivs(i)._2 >= k) out += ivs(i)._3
+        i -= 1
+      }
+      out.result()
+    }
+    val affectedPaths: Set[String] = batch
+      .select(explode(findFiles(col(Meta.RecordKey))).as("path"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val (affected, untouched) = prev.files.partition(f => affectedPaths(f.path))
+
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val existing =
+      if (affected.isEmpty) None
+      else Some(spark.read.schema(prevSchema).option("basePath", root)
+        .parquet(affected.map(f => s"$root/${f.path}"): _*))
+
+    val tieExpr: DataFrame => Column = df => struct(
+      col(orderingField),
+      if (df.columns.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0))
+
+    val merged = existing match {
+      case None => batch
+      case Some(ex) =>
+        val unioned = ex.unionByName(batch, allowMissingColumns = true)
+        val cols = unioned.columns
+        unioned.groupBy(col(Meta.RecordKey))
+          .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieExpr(unioned)).as("_r"))
+          .select(cols.map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
+    }
+    val live =
+      if (merged.columns.contains(Meta.Deleted))
+        merged.filter(!coalesce(col(Meta.Deleted), lit(false)))
+      else merged
+
+    val seq = prev.seq + 1
+    val newFiles = writeFiles(live, seq)
+    timeline.commit(Commit(seq, "upsert", untouched ++ newFiles,
+      schemaJson(live), checkpoint, System.currentTimeMillis()))
+  }
+
+  /** Snapshot read: plain parquet scan of the manifest's file list — full
+    * Catalyst pushdown/pruning applies. */
+  def read(): DataFrame = {
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (c.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // explicit manifest schema: older files (pre-schema-evolution) null-fill
+    // new columns, and no distributed footer-merge pass is needed
+    else spark.read.schema(schema).option("basePath", root)
+      .parquet(c.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Snapshot read without engine meta columns. */
+  def readUser(): DataFrame = read().drop(Meta.RecordKey)
+
+  def latestCommit(): Option[Commit] = timeline.latest()
+  def latestCheckpoint(): Option[String] = timeline.latest().flatMap(_.checkpoint)
+
+  // --------------------------------------------------------- table services
+
+  /** T1 inline clustering: rewrite the snapshot into `target` key-sorted
+    * files (small-file compaction, reference handler.py:73,81). */
+  def cluster(target: Int = targetFileCount): Commit = {
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val seq = prev.seq + 1
+    val df = read().repartitionByRange(target, col(Meta.RecordKey))
+    val files = writeFiles(df, seq)
+    timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
+      prev.checkpoint, System.currentTimeMillis()))
+  }
+
+  /** T2 cleaning — retain `retainCommits` snapshot versions (handler.py:90-91). */
+  def clean(retainCommits: Int = 5): Int = timeline.clean(retainCommits)
+
+  /** T3 archiving — keep `keepLast` commits on the active timeline (handler.py:74,92-93). */
+  def archive(keepLast: Int = 10): Int = timeline.archive(keepLast)
+
+  // ---------------------------------------------------- concurrency guard
+
+  /** O4 single-writer guard (reference handler.py:201-213 refuses to launch
+    * while an execution is RUNNING). */
+  def withLock[A](f: => A): A = {
+    Files.createDirectories(Paths.get(root, "_graft"))
+    val lock = Paths.get(root, "_graft", "writer.lock")
+    try Files.createFile(lock)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalStateException(s"another writer holds $lock") }
+    try f finally Files.deleteIfExists(lock)
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Meta
+import graft.operators.GraftTable
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-test").toString
+
+  private def mkTable(root: String, keys: Seq[String] = Seq("id")) =
+    new GraftTable(spark, root, keys, targetFileCount = 4)
+
+  test("bulk insert + snapshot read round-trips") {
+    val t = mkTable(tmp())
+    val df = Seq((1L, "a", "001"), (2L, "b", "002"), (3L, "c", "003"))
+      .toDF("id", "v", "trx_seq")
+    t.bulkInsert(df)
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().sorted
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("precombine keeps max trx_seq; delete wins ties") {
+    val t = mkTable(tmp())
+    val df = Seq(
+      (1L, "old", "001", false),
+      (1L, "new", "005", false),
+      (1L, "mid", "003", false),
+      (2L, "x", "004", false),
+      (2L, "x-del", "004", true) // tie on seq: tombstone wins
+    ).toDF("id", "v", "trx_seq", Meta.Deleted)
+    val out = t.precombine(graft.model.KeyGen.withRecordKey(df, Seq("id")))
+      .select("id", "v", Meta.Deleted).as[(Long, String, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "new", false), (2L, "x-del", true)))
+  }
+
+  test("upsert: update, insert, delete, out-of-order late row loses") {
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq(
+      (1L, "a", "010", false), (2L, "b", "010", false), (3L, "c", "010", false)
+    ).toDF("id", "v", "trx_seq", Meta.Deleted))
+
+    // batch 1: update id=1, insert id=4, delete id=2
+    t.upsert(Seq(
+      (1L, "a2", "020", false), (4L, "d", "021", false), (2L, "b", "022", true)
+    ).toDF("id", "v", "trx_seq", Meta.Deleted))
+
+    // batch 2: LATE row for id=1 with lower seq — must lose
+    t.upsert(Seq((1L, "a-stale", "015", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().sorted
+    assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("upsert is idempotent: re-applying the same batch changes nothing") {
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq((1L, "a", "010", false), (2L, "b", "010", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    val batch = Seq((1L, "a2", "020", false), (3L, "c", "020", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted)
+    t.upsert(batch)
+    val snap1 = t.readUser().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    t.upsert(batch)
+    val snap2 = t.readUser().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(snap1 == snap2)
+    assert(snap1 == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+  }
+
+  test("composite keys (ComplexKeyGenerator semantics)") {
+    val t = new GraftTable(spark, tmp(), Seq("w_id", "d_id"), targetFileCount = 2)
+    t.bulkInsert(Seq((1, 1, "x", "01", false), (1, 2, "y", "01", false))
+      .toDF("w_id", "d_id", "v", "trx_seq", Meta.Deleted))
+    t.upsert(Seq((1, 2, "y2", "02", false), (2, 1, "z", "02", false))
+      .toDF("w_id", "d_id", "v", "trx_seq", Meta.Deleted))
+    val got = t.readUser().select("w_id", "d_id", "v")
+      .as[(Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq((1, 1, "x"), (1, 2, "y2"), (2, 1, "z")))
+  }
+
+  test("schema evolution: new column null-padded on upsert") {
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq((1L, "a", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    t.upsert(Seq((2L, "b", "extra", "02", false))
+      .toDF("id", "v", "v2", "trx_seq", Meta.Deleted))
+    val got = t.readUser().select("id", "v", "v2")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "b", Some("extra"))))
+  }
+
+  test("upsert rewrites only affected files (manifest-level pruning)") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileCount = 4)
+    // keys spread over 4 range-partitioned files
+    val base = (1 to 1000).map(i => (i.toLong, s"v$i", "010", false))
+    t.bulkInsert(base.toDF("id", "v", "trx_seq", Meta.Deleted))
+    val before = t.latestCommit().get.files.map(_.path).toSet
+    assert(before.size >= 2)
+    // touch a single key → only the file(s) containing it rewrite
+    t.upsert(Seq((500L, "v500b", "020", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    val after = t.latestCommit().get.files.map(_.path).toSet
+    val carried = before.intersect(after)
+    assert(carried.nonEmpty, s"expected untouched files carried forward; before=$before after=$after")
+    assert(t.read().filter($"id" === 500L).select("v").as[String].head() == "v500b")
+    assert(t.read().count() == 1000)
+  }
+
+  test("cleaning removes data files of expired commits") {
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq((1L, "a", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    (2 to 5).foreach { i =>
+      t.upsert(Seq((1L, s"a$i", f"$i%02d", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    }
+    val deleted = t.clean(retainCommits = 2)
+    assert(deleted > 0)
+    // snapshot still correct
+    assert(t.readUser().select("v").as[String].head() == "a5")
+  }
+
+  test("archiving compacts the timeline") {
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq((1L, "a", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    (2 to 6).foreach { i =>
+      t.upsert(Seq((1L, s"a$i", f"$i%02d", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    }
+    val archived = t.archive(keepLast = 3)
+    assert(archived == 3)
+    assert(t.readUser().select("v").as[String].head() == "a6")
+  }
+
+  test("partitioned table writes hive-style dirs and prunes partitions") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), partitionFields = Seq("dt"))
+    t.bulkInsert(Seq(
+      (1L, "a", "2024-01-01", "01", false),
+      (2L, "b", "2024-01-02", "01", false)
+    ).toDF("id", "v", "dt", "trx_seq", Meta.Deleted))
+    val c = t.latestCommit().get
+    assert(c.files.forall(_.partition.contains("dt")))
+    val got = t.readUser().filter($"dt" === "2024-01-01").select("v").as[String].collect()
+    assert(got.toSeq == Seq("a"))
+  }
+}
