@@ -23,7 +23,7 @@ object ScratchDrive {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .withColumn("trx_seq", lit("00000000000000000001"))
       .withColumn(Meta.Deleted, lit(false))
-    val t = new GraftTable(spark, root, Seq("o_orderkey"), targetFileCount = 6)
+    val t = new GraftTable(spark, root, Seq("o_orderkey"), targetFileBytes = 64 * 1024)
     val c0 = t.bulkInsert(orders)
     println(s"== bulk_insert commit ${c0.seq}: ${c0.files.size} files, ${c0.files.map(_.numRows).sum} rows")
 

@@ -40,16 +40,42 @@ object Meta {
   * codegen (concat_ws), never a driver-side loop.
   */
 object KeyGen {
-  /** Build the `_graft_record_key` column from the configured key fields.
-    * Composite keys are encoded `f1:v1,f2:v2` (field-qualified so that
-    * ("a", "b,c") and ("a,b", "c") cannot collide after concatenation).
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+  /** Encode one key value as an order-friendly string. Integral types are
+    * zero-padded to fixed width so lexicographic order == numeric order for
+    * non-negative keys — this keeps range-partitioned file layouts tight
+    * (a raw cast gives "999" > "1000" and scrambles clustering, inflating
+    * the affected-file set per upsert batch). Negative integral keys sort
+    * before all non-negative ones (sign char < '0') but are scrambled among
+    * themselves — same trade-off Hudi's string keys make.
     */
-  def keyColumn(keyFields: Seq[String]): Column = {
+  private def encoded(df: DataFrame, field: String): Column =
+    df.schema(field).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        format_string("%019d", col(field))
+      case _ => col(field).cast("string")
+    }
+
+  /** Escape separator chars in composite-key components so distinct key
+    * tuples can never encode to the same string: values ("x,f2:y","z") and
+    * ("x","y,f2:z") stay distinct because , : \ inside a value are
+    * backslash-escaped before joining.
+    */
+  private def escaped(c: Column): Column =
+    regexp_replace(c, "([\\\\,:])", "\\\\$1")
+
+  /** Build the `_graft_record_key` column from the configured key fields.
+    * Composite keys are encoded `f1:v1,f2:v2` (field-qualified, separator-
+    * escaped). Evaluated inside codegen — never a driver-side loop.
+    */
+  def keyColumn(df: DataFrame, keyFields: Seq[String]): Column = {
     require(keyFields.nonEmpty, "record key needs at least one field")
-    if (keyFields.size == 1) col(keyFields.head).cast("string")
-    else concat_ws(",", keyFields.map(f => concat(lit(f + ":"), col(f).cast("string"))): _*)
+    if (keyFields.size == 1) encoded(df, keyFields.head)
+    else concat_ws(",",
+      keyFields.map(f => concat(lit(f + ":"), escaped(encoded(df, f)))): _*)
   }
 
   def withRecordKey(df: DataFrame, keyFields: Seq[String]): DataFrame =
-    df.withColumn(Meta.RecordKey, keyColumn(keyFields))
+    df.withColumn(Meta.RecordKey, keyColumn(df, keyFields))
 }

@@ -1,39 +1,46 @@
 package graft.model
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
+import java.util.UUID
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
 
 /** One immutable data file inside a table snapshot, with the statistics the
   * upsert planner needs to prune work (Hudi-style file groups without the
-  * Hudi runtime): key-range + row count. At 100 TB a table has O(100k)
-  * files; the manifest is the only thing the driver reads, and the
+  * Hudi runtime): key-range + row count + size. At 100 TB a table has
+  * O(100k) files; the manifest is the only thing the driver reads, and the
   * min/max key interval lets an upsert touch only the files its batch
-  * keys can possibly live in.
+  * keys can possibly live in. `bytes` sizes the rewrite of the affected
+  * region so output file counts track data volume, not a constant.
   */
 case class DataFile(
     path: String,                       // relative to table root
     partition: Map[String, String],     // hive-style partition values
     minKey: String,
     maxKey: String,
-    numRows: Long)
+    numRows: Long,
+    bytes: Long = 0L)
 
 /** An atomic commit of a table snapshot. `files` is the COMPLETE set of
   * live files at this version (carried-forward + newly written) — readers
   * never list directories, they read the latest manifest. `checkpoint`
   * carries the source watermark (reference: DeltaStreamer stores its source
-  * checkpoint in commit metadata — handler.py:88-93).
+  * checkpoint in commit metadata — handler.py:88-93). `logFiles` is the
+  * MERGE_ON_READ delta-log set: row-level change files not yet compacted
+  * into base files (reference handler.py:112-113 MERGE_ON_READ).
   */
 case class Commit(
     seq: Long,
-    action: String,                     // bulk_insert | upsert | cluster | compact | clean
+    action: String,                     // bulk_insert | upsert | cluster | compact | delta_commit
     files: Seq[DataFile],
     schemaJson: String,
     checkpoint: Option[String],
     commitTimeMs: Long,
-    extra: Map[String, String] = Map.empty)
+    extra: Map[String, String] = Map.empty,
+    logFiles: Seq[DataFile] = Seq.empty)
 
 /** Filesystem commit timeline. Write protocol: data files first, then the
   * manifest via write-temp + atomic-rename — a reader either sees the old
@@ -57,11 +64,13 @@ class Timeline(tableRoot: String) {
 
   def listCommitSeqs(): Seq[Long] =
     if (!Files.exists(commitsDir)) Seq.empty
-    else Files.list(commitsDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".commit.json"))
-      .map(_.stripSuffix(".commit.json").toLong)
-      .toSeq.sorted
+    else Using.resource(Files.list(commitsDir)) { s =>
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".commit.json"))
+        .map(_.stripSuffix(".commit.json").toLong)
+        .toSeq
+    }.sorted
 
   def latestSeq(): Option[Long] = listCommitSeqs().lastOption
 
@@ -72,15 +81,33 @@ class Timeline(tableRoot: String) {
 
   def latest(): Option[Commit] = latestSeq().map(read)
 
-  /** Atomic commit: serialize → temp file → rename into place. */
+  /** Atomic commit: serialize → unique temp file → rename into place.
+    *
+    * Concurrency: the rename does NOT replace an existing target (no
+    * ATOMIC_MOVE/REPLACE), so of two racing writers that computed the same
+    * next seq exactly one wins; the loser gets FileAlreadyExistsException.
+    * Idempotent retry: if the existing commit has the same action and file
+    * set (a re-run after a successful-but-unacknowledged commit), the
+    * collision is absorbed and the existing commit returned; a genuinely
+    * different concurrent commit fails loudly.
+    */
   def commit(c: Commit): Commit = {
     init()
     val target = commitPath(c.seq)
-    require(!Files.exists(target), s"commit ${c.seq} already exists at $target")
-    val tmp = commitsDir.resolve(s".${c.seq}.tmp")
+    val tmp = commitsDir.resolve(s".${c.seq}.${UUID.randomUUID()}.tmp")
     Files.write(tmp, Serialization.write(c).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    c
+    try { Files.move(tmp, target); c }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        val existing = read(c.seq)
+        val same = existing.action == c.action &&
+          existing.files.map(_.path).toSet == c.files.map(_.path).toSet &&
+          existing.logFiles.map(_.path).toSet == c.logFiles.map(_.path).toSet
+        if (same) existing
+        else throw new IllegalStateException(
+          s"concurrent writer already committed seq ${c.seq} at $target with a different file set")
+    }
   }
 
   /** T3 archiving (reference handler.py:74,92-93: keep 10-15 commits on the
@@ -94,24 +121,38 @@ class Timeline(tableRoot: String) {
       .mkString("[", ",", "]")
     val archiveFile = archiveDir.resolve(
       f"${toArchive.head}%012d-${toArchive.last}%012d.archive.json")
-    val tmp = archiveDir.resolve(s".${toArchive.head}.tmp")
+    val tmp = archiveDir.resolve(s".${toArchive.head}.${UUID.randomUUID()}.tmp")
     Files.write(tmp, merged.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, archiveFile, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, archiveFile)
     toArchive.foreach(s => Files.delete(commitPath(s)))
     toArchive.size
   }
 
+  /** Commits preserved in the archive (oldest first). */
+  def readArchived(): Seq[Commit] =
+    if (!Files.exists(archiveDir)) Seq.empty
+    else Using.resource(Files.list(archiveDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".archive.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }.flatMap { p =>
+      JsonMethods.parse(Files.readString(p)).extract[Seq[Commit]]
+    }
+
   /** T2 cleaning (reference handler.py:90-91: retain N commits of history):
     * delete data files referenced ONLY by commits older than the retained
-    * window. Returns deleted file count. */
+    * window. Archived commits are included in the dead-set computation so
+    * archive-then-clean cannot leak storage. Returns deleted file count.
+    */
   def clean(retainCommits: Int): Int = {
     val seqs = listCommitSeqs()
-    if (seqs.size <= retainCommits) return 0
     val retained = seqs.takeRight(retainCommits).toSet
+    val allPaths = (c: Commit) => (c.files ++ c.logFiles).map(_.path)
     val live: Set[String] =
-      seqs.filter(retained).flatMap(s => read(s).files.map(_.path)).toSet
-    val dead: Set[String] =
-      seqs.filterNot(retained).flatMap(s => read(s).files.map(_.path)).toSet -- live
+      seqs.filter(retained).flatMap(s => allPaths(read(s))).toSet
+    val expired = seqs.filterNot(retained).map(read) ++
+      readArchived().filterNot(c => retained(c.seq))
+    val dead: Set[String] = expired.flatMap(allPaths).toSet -- live
     dead.foreach { rel =>
       val p = Paths.get(tableRoot, rel)
       if (Files.exists(p)) Files.delete(p)

@@ -1,6 +1,12 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{Commit, DataFile, KeyGen, Meta, Timeline}
@@ -21,10 +27,13 @@ import graft.model.{Commit, DataFile, KeyGen, Meta, Timeline}
   * commit manifest are tight and nearly disjoint. An upsert broadcast-joins
   * the incoming batch's keys against those intervals and rewrites ONLY
   * overlapping files — write amplification is proportional to the batch's
-  * key spread, not the table size. Readers get the file list from the
-  * manifest (no directory listing) and tombstones are physically removed at
-  * write, so the read path is a plain parquet scan with all of Catalyst's
-  * pushdown intact.
+  * key spread, not the table size. Output file counts are derived from
+  * estimated bytes (target ~128 MB/file), never a constant, so write
+  * parallelism scales with data volume. File statistics come from parquet
+  * footers of the files just written — one scan per write, no read-back
+  * pass. Readers get the file list from the manifest (no directory
+  * listing) and tombstones are physically removed at write, so the read
+  * path is a plain parquet scan with all of Catalyst's pushdown intact.
   */
 class GraftTable(
     spark: SparkSession,
@@ -32,7 +41,8 @@ class GraftTable(
     val keyFields: Seq[String],
     val partitionFields: Seq[String] = Seq.empty,
     val orderingField: String = Meta.Ordering,
-    val targetFileCount: Int = 8) {
+    val targetFileBytes: Long = GraftTable.DefaultTargetFileBytes,
+    val staleLockMs: Long = GraftTable.DefaultStaleLockMs) {
 
   private val timeline = new Timeline(root)
   private def dataDir(seq: Long) = s"data/c$seq"
@@ -59,35 +69,83 @@ class GraftTable(
   private def prepared(df: DataFrame): DataFrame =
     if (df.columns.contains(Meta.RecordKey)) df else KeyGen.withRecordKey(df, keyFields)
 
-  /** Write `df` as range-partitioned, key-sorted parquet files under a new
-    * commit's data dir; return the per-file stats for the manifest.
-    * The extra stats pass reads back only the key + partition columns
-    * (column-pruned), so its cost is a tiny fraction of the write.
+  /** Estimated plan output bytes (Catalyst size-only stats; parquet scans
+    * report actual file bytes). Used only to pick a file count — an
+    * overestimate just yields slightly smaller files.
     */
-  private def writeFiles(df: DataFrame, seq: Long): Seq[DataFile] = {
+  private def planBytes(df: DataFrame): Long = {
+    val s = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (s.isValidLong) s.toLong else Long.MaxValue
+  }
+
+  private def numPartitionsFor(estBytes: Long): Int = {
+    val n = math.ceil(estBytes.toDouble / targetFileBytes.toDouble)
+    math.max(1, math.min(32768, if (n.isFinite) n.toInt else 32768))
+  }
+
+  /** Write `df` as range-partitioned, key-sorted parquet files under a new
+    * commit's data dir and harvest per-file stats (key min/max, row count,
+    * bytes) straight from the parquet footers — metadata-only, no second
+    * scan of the data. Zero-row files are dropped and deleted.
+    */
+  private def writeFiles(df: DataFrame, seq: Long, estBytes: Long): Seq[DataFile] = {
     val stage = Paths.get(root, dataDir(seq)).toString
     val sortCols = (partitionFields :+ Meta.RecordKey).map(col)
     val writer0 = df
-      .repartitionByRange(targetFileCount, sortCols: _*)
+      .repartitionByRange(numPartitionsFor(estBytes), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
     val writer = if (partitionFields.nonEmpty) writer0.partitionBy(partitionFields: _*) else writer0
     writer.parquet(stage)
+    harvestStats(stage)
+  }
 
-    val rootUri = Paths.get(root).toUri.toString.stripSuffix("/")
-    val statsDf = spark.read.parquet(stage)
-      .select(input_file_name().as("_f"), col(Meta.RecordKey))
-      .groupBy(col("_f"))
-      .agg(min(Meta.RecordKey).as("mn"), max(Meta.RecordKey).as("mx"), count(lit(1)).as("n"))
-    statsDf.collect().toIndexedSeq.map { r =>
-      val abs = r.getString(0)
-      val rel = abs.stripPrefix(rootUri).stripPrefix("/")
-      val partVals = rel.split("/").iterator
-        .filter(_.contains("=")).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> v
-        }.toMap
-      DataFile(rel, partVals, r.getString(1), r.getString(2), r.getLong(3))
+  /** Read key-range/row-count/size stats from the footers of every parquet
+    * file under `stage`. Driver-side, O(files) metadata reads.
+    */
+  private def harvestStats(stage: String): Seq[DataFile] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val stagePath = new HPath(stage)
+    val fs = stagePath.getFileSystem(conf)
+    if (!fs.exists(stagePath)) return Seq.empty
+    val rootUri = fs.makeQualified(new HPath(root)).toUri.toString.stripSuffix("/")
+    val out = Seq.newBuilder[DataFile]
+    val it = fs.listFiles(stagePath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
+        var rows = 0L
+        var mn: String = null
+        var mx: String = null
+        Using.resource(ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))) { r =>
+          r.getFooter.getBlocks.asScala.foreach { b =>
+            rows += b.getRowCount
+            b.getColumns.asScala.find(_.getPath.toDotString == Meta.RecordKey).foreach { c =>
+              val s = c.getStatistics
+              if (s != null && !s.isEmpty && s.hasNonNullValue) {
+                val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+                val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+                if (mn == null || lo < mn) mn = lo
+                if (mx == null || hi > mx) mx = hi
+              }
+            }
+          }
+        }
+        if (rows == 0L) fs.delete(st.getPath, false)
+        else {
+          val rel = fs.makeQualified(st.getPath).toUri.toString
+            .stripPrefix(rootUri).stripPrefix("/")
+          val partVals = rel.split("/").iterator
+            .filter(_.contains("=")).map { kv =>
+              val Array(k, v) = kv.split("=", 2); k -> v
+            }.toMap
+          out += DataFile(rel, partVals, Option(mn).getOrElse(""),
+            Option(mx).getOrElse(""), rows, st.getLen)
+        }
+      }
     }
+    out.result()
   }
 
   private def schemaJson(df: DataFrame): String = df.schema.json
@@ -96,13 +154,16 @@ class GraftTable(
 
   /** M4 bulk insert: full-load files → new table, no merge, PARTITION_SORT
     * layout (range-partition + sort by key). */
-  def bulkInsert(df0: DataFrame, checkpoint: Option[String] = None): Commit = {
+  def bulkInsert(df0: DataFrame, checkpoint: Option[String] = None): Commit =
+    withLock(doBulkInsert(df0, checkpoint))
+
+  private def doBulkInsert(df0: DataFrame, checkpoint: Option[String]): Commit = {
     val df = prepared(df0)
     val clean =
       if (df.columns.contains(Meta.Deleted)) df.filter(!coalesce(col(Meta.Deleted), lit(false)))
       else df
     val seq = timeline.latestSeq().map(_ + 1).getOrElse(0L)
-    val files = writeFiles(clean, seq)
+    val files = writeFiles(clean, seq, planBytes(clean))
     timeline.commit(Commit(seq, "bulk_insert", files, schemaJson(clean),
       checkpoint, System.currentTimeMillis()))
   }
@@ -121,9 +182,12 @@ class GraftTable(
     * batch carrying a lower-seq version of that key re-inserts it (matches
     * Hudi once the tombstone is gone — SURVEY §7.4).
     */
-  def upsert(batch0: DataFrame, checkpoint: Option[String] = None): Commit = {
+  def upsert(batch0: DataFrame, checkpoint: Option[String] = None): Commit =
+    withLock(doUpsert(batch0, checkpoint))
+
+  private def doUpsert(batch0: DataFrame, checkpoint: Option[String]): Commit = {
     val prev = timeline.latest().getOrElse(
-      return bulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+      return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
     val batch = precombine(prepared(batch0))
 
     // ---- affected-file pruning (the 100 TB lever)
@@ -183,7 +247,8 @@ class GraftTable(
       else merged
 
     val seq = prev.seq + 1
-    val newFiles = writeFiles(live, seq)
+    val estBytes = affected.map(_.bytes).sum + math.min(planBytes(batch), 1L << 40)
+    val newFiles = writeFiles(live, seq, estBytes)
     timeline.commit(Commit(seq, "upsert", untouched ++ newFiles,
       schemaJson(live), checkpoint, System.currentTimeMillis()))
   }
@@ -211,14 +276,13 @@ class GraftTable(
 
   // --------------------------------------------------------- table services
 
-  /** T1 inline clustering: rewrite the snapshot into `target` key-sorted
+  /** T1 inline clustering: rewrite the snapshot into right-sized key-sorted
     * files (small-file compaction, reference handler.py:73,81). */
-  def cluster(target: Int = targetFileCount): Commit = {
+  def cluster(): Commit = withLock {
     val prev = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val seq = prev.seq + 1
-    val df = read().repartitionByRange(target, col(Meta.RecordKey))
-    val files = writeFiles(df, seq)
+    val files = writeFiles(read(), seq, prev.files.map(_.bytes).sum)
     timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
       prev.checkpoint, System.currentTimeMillis()))
   }
@@ -232,13 +296,38 @@ class GraftTable(
   // ---------------------------------------------------- concurrency guard
 
   /** O4 single-writer guard (reference handler.py:201-213 refuses to launch
-    * while an execution is RUNNING). */
+    * while an execution is RUNNING). Every write operation acquires this
+    * lock. A lockfile older than `staleLockMs` (crashed writer) is broken
+    * and re-acquired once.
+    */
   def withLock[A](f: => A): A = {
     Files.createDirectories(Paths.get(root, "_graft"))
     val lock = Paths.get(root, "_graft", "writer.lock")
-    try Files.createFile(lock)
-    catch { case _: java.nio.file.FileAlreadyExistsException =>
-      throw new IllegalStateException(s"another writer holds $lock") }
+    def acquire(canBreakStale: Boolean): Unit =
+      try {
+        Files.write(lock,
+          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        ()
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          val ageMs =
+            try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+            catch { case _: java.io.IOException => 0L }
+          if (canBreakStale && ageMs > staleLockMs) {
+            Files.deleteIfExists(lock)
+            acquire(canBreakStale = false)
+          } else throw new IllegalStateException(s"another writer holds $lock", e)
+      }
+    acquire(canBreakStale = true)
     try f finally Files.deleteIfExists(lock)
   }
+}
+
+object GraftTable {
+  /** ~128 MB compressed per data file — the standard DFS sweet spot. */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+  /** A writer silent for 30 min is presumed dead; its lock is broken. */
+  val DefaultStaleLockMs: Long = 30L * 60 * 1000
 }

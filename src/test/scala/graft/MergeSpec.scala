@@ -25,7 +25,7 @@ class MergeSpec extends AnyFunSuite {
     Files.createTempDirectory("graft-test").toString
 
   private def mkTable(root: String, keys: Seq[String] = Seq("id")) =
-    new GraftTable(spark, root, keys, targetFileCount = 4)
+    new GraftTable(spark, root, keys, targetFileBytes = 16 * 1024)
 
   test("bulk insert + snapshot read round-trips") {
     val t = mkTable(tmp())
@@ -85,7 +85,7 @@ class MergeSpec extends AnyFunSuite {
   }
 
   test("composite keys (ComplexKeyGenerator semantics)") {
-    val t = new GraftTable(spark, tmp(), Seq("w_id", "d_id"), targetFileCount = 2)
+    val t = new GraftTable(spark, tmp(), Seq("w_id", "d_id"), targetFileBytes = 16 * 1024)
     t.bulkInsert(Seq((1, 1, "x", "01", false), (1, 2, "y", "01", false))
       .toDF("w_id", "d_id", "v", "trx_seq", Meta.Deleted))
     t.upsert(Seq((1, 2, "y2", "02", false), (2, 1, "z", "02", false))
@@ -106,8 +106,8 @@ class MergeSpec extends AnyFunSuite {
   }
 
   test("upsert rewrites only affected files (manifest-level pruning)") {
-    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileCount = 4)
-    // keys spread over 4 range-partitioned files
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 4 * 1024)
+    // keys spread over several range-partitioned files
     val base = (1 to 1000).map(i => (i.toLong, s"v$i", "010", false))
     t.bulkInsert(base.toDF("id", "v", "trx_seq", Meta.Deleted))
     val before = t.latestCommit().get.files.map(_.path).toSet
