@@ -1,0 +1,296 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[RelationalQueries]] — one statement per query
+  * name, runnable by the driver's DuckDB against the same parquet tables.
+  * Column aliases match the Spark side exactly (the driver sorts columns by
+  * name before hashing). Money aggregates cast to DECIMAL(18,2) BEFORE
+  * summing (order-independent, exact) and widen to DECIMAL(38,2) to align
+  * result types; BIGINT sums are cast back from DuckDB's HUGEINT.
+  */
+object RelationalOracles {
+  val oracles: Map[String, String] = Map(
+    "tr0_transform" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "tr1_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)) AS revenue,
+         l_returnflag
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+           AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount BETWEEN 0.02 AND 0.06
+           AND l_quantity < 24
+           AND l_returnflag IN ('A','R')
+           AND l_linestatus LIKE 'F%'""",
+
+    "tr2_join_inner" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name""",
+
+    "tr2_join_left" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust,
+         CAST(SUM(COALESCE(cnt, 0)) AS BIGINT) AS n_orders,
+         COUNT(CASE WHEN cnt IS NULL THEN 1 END) AS n_no_orders
+         FROM customer LEFT JOIN
+           (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) oc
+           ON c_custkey = oc.o_custkey
+         GROUP BY c_mktsegment""",
+
+    "tr2_join_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+         GROUP BY c_mktsegment""",
+
+    "tr2_join_anti" ->
+      """SELECT c_nationkey, COUNT(*) AS n FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_nationkey""",
+
+    "tr2_join_full" ->
+      """SELECT COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS orders_without_items,
+         COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS items_without_orders,
+         COUNT(CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 1 END) AS matched
+         FROM (SELECT o_orderkey FROM orders) o
+         FULL OUTER JOIN
+           (SELECT l_orderkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_orderkey) li
+           ON o.o_orderkey = li.l_orderkey""",
+
+    "tr2_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+
+    "tr2_join_nonequi" ->
+      """SELECT s_nationkey, COUNT(*) AS n_pairs
+         FROM supplier s JOIN customer c
+           ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal
+         GROUP BY s_nationkey""",
+
+    "tr2_join_asof" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         m AS (SELECT p.event_id, p.ts,
+                 (SELECT max(s.ts) FROM events s
+                  WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                    AND s.ts <= p.ts) AS sts
+               FROM p)
+         SELECT COUNT(*) AS n_purchases, COUNT(sts) AS n_matched,
+           CAST(COALESCE(SUM(epoch_us(ts) - epoch_us(sts)), 0) AS BIGINT) AS total_gap_us
+         FROM m""",
+
+    "tr3_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+         ROUND(AVG(l_discount), 4) AS avg_disc,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "tr3_agg_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority""",
+
+    "tr3_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "tr3_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "tr3_agg_stats" ->
+      """SELECT l_returnflag, ROUND(stddev_samp(l_extendedprice), 2) AS sd,
+         ROUND(AVG(l_extendedprice), 2) AS mean,
+         MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "tr3_agg_collect" ->
+      """SELECT l_returnflag, list_sort(array_agg(DISTINCT l_linestatus)) AS statuses,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "tr3_agg_percentile" ->
+      """SELECT l_returnflag,
+         CAST(ROUND(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)) AS BIGINT) AS p50_cents,
+         CAST(ROUND(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)) AS BIGINT) AS p90_cents
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "tr4_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""",
+
+    "tr4_window_analytic" ->
+      """SELECT o_orderkey,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         first_value(o_totalprice) OVER w AS first_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "tr4_window_frame" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS run_total,
+         COUNT(*) OVER w AS run_n
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "tr4_window_dist" ->
+      """SELECT o_orderkey,
+         ROUND(percent_rank() OVER w, 6) AS pr,
+         ROUND(cume_dist() OVER w, 6) AS cd,
+         ntile(4) OVER w AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
+
+    "tr5_topk" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM
+         (SELECT o_orderpriority, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 10""",
+
+    "tr5_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "tr6_setops" ->
+      """SELECT 'intersect' AS op, COUNT(*) AS n FROM
+           (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT 'except' AS op, COUNT(*) AS n FROM
+           (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT 'union_all' AS op, COUNT(*) AS n FROM
+           (SELECT c_custkey AS k FROM customer UNION ALL SELECT o_custkey FROM orders)
+         UNION ALL
+         SELECT 'union_distinct' AS op, COUNT(*) AS n FROM
+           (SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders)""",
+
+    "tr7_string" ->
+      """SELECT p_partkey,
+         UPPER(p_name) AS up_name,
+         substr(p_name, 1, 5) AS head5,
+         CAST(length(p_name) AS INT) AS len,
+         CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+         regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+         lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+         replace(p_type, ' ', '_') AS type_u,
+         CAST(strpos(p_type, 'A') AS INT) AS a_pos,
+         trim('  ' || p_name || '  ') AS trimmed,
+         reverse(p_brand) AS rev_brand
+         FROM part""",
+
+    "tr7_date" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS y,
+         CAST(month(o_orderdate) AS INT) AS m,
+         CAST(day(o_orderdate) AS INT) AS d,
+         CAST(quarter(o_orderdate) AS INT) AS q,
+         strftime(o_orderdate, '%Y-%m-%d') AS d_date,
+         strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS diff_days,
+         strftime(o_orderdate, '%Y-%m') AS ym,
+         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon_start,
+         strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS mon_end,
+         CAST(isodow(o_orderdate) AS INT) AS iso_dow
+         FROM orders""",
+
+    "tr7_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_extendedprice, 1) AS r1,
+         CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+         abs(l_discount - 0.05) AS ab,
+         power(l_linenumber, 2) AS pw,
+         round(ln(l_extendedprice), 6) AS lg,
+         round(sqrt(l_quantity), 6) AS sq,
+         l_orderkey % 7 AS md,
+         CAST(sign(l_discount - 0.05) AS INT) AS sg
+         FROM lineitem WHERE l_orderkey < 500""",
+
+    "tr7_cond" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                     WHEN o_totalprice < 150000 THEN 'mid'
+                     ELSE 'high' END AS band,
+         COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS flag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM orders GROUP BY 1, 2""",
+
+    "tr7_array" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS INT) AS dim,
+         embedding[1] AS e0,
+         CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+         round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 3) AS esum,
+         list_aggregate(embedding, 'max') AS emax
+         FROM embeddings""",
+
+    "tr7_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM events GROUP BY 1""",
+
+    "tr7_map" ->
+      """SELECT user_id, event_type, COUNT(*) AS n
+         FROM events GROUP BY user_id, event_type""",
+
+    "tr7_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+         FROM documents""",
+
+    "tr8_scalar_sub" ->
+      """SELECT COUNT(*) AS n FROM orders
+         WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)""",
+
+    "tr8_exists" ->
+      """SELECT c_mktsegment AS seg, COUNT(*) AS n FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+         GROUP BY c_mktsegment""",
+
+    "tr8_in_sub" ->
+      """SELECT COUNT(*) AS n FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""",
+
+    "tr9_udf" ->
+      """SELECT p_partkey,
+         CAST(length(p_name) - length(regexp_replace(p_name, '[aeiouAEIOU]', '', 'g')) AS INT) AS n_vowels,
+         CAST((length(p_name) - length(regexp_replace(p_name, '[aeiouAEIOU]', '', 'g'))) * p_size AS INT) AS score
+         FROM part""",
+
+    "tr9_udaf" ->
+      """SELECT o_orderpriority, ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geo_mean
+         FROM orders GROUP BY o_orderpriority""",
+
+    "tr9_generator" ->
+      """SELECT lang, COUNT(DISTINCT w) AS n_words, COUNT(*) AS n_tokens FROM
+         (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE length(w) > 0 GROUP BY lang""",
+
+    "st_window_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS epoch_s,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         FROM events GROUP BY 1, 2""",
+
+    "st_session_window" ->
+      """WITH d AS (
+           SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+         SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM d GROUP BY user_id"""
+  )
+}

@@ -1,0 +1,441 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.transform.Transform
+
+/** Shared helpers for the driver-graded query surface. */
+object Q {
+  type Fn = (SparkSession, String) => DataFrame
+
+  /** Load a testdata table. `events.ts` is TIMESTAMP(NANOS) parquet, which
+    * Spark 4 only reads as a raw long (spark.sql.legacy.parquet.nanosAsLong,
+    * set in every session builder here); convert to a microsecond timestamp
+    * (integer floor-div — same truncation DuckDB's epoch_us applies). */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Money-sum: cast 2-decimal doubles to exact decimal BEFORE summing so the
+    * aggregate is order-independent (FP sums are not) and DuckDB-comparable.
+    * Result widened to decimal(38,2) to match DuckDB's SUM(DECIMAL) type. */
+  def money(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("decimal(38,2)")
+
+  /** Register the standard testdata tables as temp views for SQL-front-end
+    * queries (the subquery surface is SQL-only by design). */
+  def views(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** TR1–TR9 — the full relational operator surface the reference admits via
+  * its SqlQueryBasedTransformer hook (SURVEY.md §2.5; reference
+  * handler.py:115-116). Each query is written Spark-first with the
+  * DataFrame/Dataset API (Catalyst plans it) and paired with equivalent
+  * ANSI SQL for the DuckDB oracle in [[RelationalOracles]].
+  */
+object RelationalQueries {
+  import Q._
+
+  // ---- TR9 UDAF: geometric mean via typed Aggregator (partial-aggregating,
+  // merge-associative — distributes like any builtin agg)
+  private object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), a: Double): (Double, Long) = (b._1 + math.log(a), b._2 + 1)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) = (x._1 + y._1, x._2 + y._2)
+    def finish(r: (Double, Long)): Double = if (r._2 == 0) 0.0 else math.exp(r._1 / r._2)
+    def bufferEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder = Encoders.scalaDouble
+  }
+
+  val queries: Map[String, Fn] = Map(
+    // ---------------------------------------------------------------- TR0
+    "tr0_transform" -> ((s, dir) =>
+      Transform.sql(s, t(s, dir, "lineitem"),
+        """SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+           FROM <SRC> GROUP BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- TR1
+    "tr1_filter_project" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1994-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1995-01-01").cast("timestamp") &&
+          $"l_discount".between(0.02, 0.06) &&
+          $"l_quantity" < 24 &&
+          $"l_returnflag".isin("A", "R") &&
+          $"l_linestatus".like("F%"))
+        .select($"l_orderkey", $"l_linenumber",
+          ($"l_extendedprice" * (lit(1) - $"l_discount")).cast("decimal(18,2)").as("revenue"),
+          $"l_returnflag")
+    }),
+
+    // ---------------------------------------------------------------- TR2
+    "tr2_join_inner" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+        .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(count(lit(1)).as("n_orders"), money($"o_totalprice").as("total"))
+    }),
+    "tr2_join_left" -> ((s, dir) => {
+      import s.implicits._
+      val perCust = t(s, dir, "orders").groupBy($"o_custkey")
+        .agg(count(lit(1)).as("cnt"))
+      t(s, dir, "customer")
+        .join(perCust, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(coalesce($"cnt", lit(0L))).as("n_orders"),
+          count(when($"cnt".isNull, 1)).as("n_no_orders"))
+    }),
+    "tr2_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter($"o_totalprice" > 200000),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    }),
+    "tr2_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n"))
+    }),
+    "tr2_join_full" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").groupBy($"l_orderkey").agg(count(lit(1)).as("n_items"))
+      val o = t(s, dir, "orders").select($"o_orderkey")
+      o.join(li, $"o_orderkey" === $"l_orderkey", "full_outer")
+        .agg(count(when($"l_orderkey".isNull, 1)).as("orders_without_items"),
+          count(when($"o_orderkey".isNull, 1)).as("items_without_orders"),
+          count(when($"o_orderkey".isNotNull && $"l_orderkey".isNotNull, 1)).as("matched"))
+    }),
+    "tr2_join_cross" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select($"r_name", $"n_name")
+    }),
+    "tr2_join_nonequi" -> ((s, dir) => {
+      import s.implicits._
+      val sup = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      sup.join(cust, sup("s_nationkey") === cust("c_nationkey") &&
+          sup("s_acctbal") < cust("c_acctbal"))
+        .groupBy($"s_nationkey").agg(count(lit(1)).as("n_pairs"))
+    }),
+    "tr2_join_asof" -> ((s, dir) => {
+      import s.implicits._
+      // As-of join, Spark-first: tag signups, union-order by time, carry the
+      // last signup ts forward with last(ignoreNulls) — one shuffle on
+      // user_id, no self-join (SURVEY §2.5 as-of strategy).
+      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type", $"ts")
+      val w = Window.partitionBy($"user_id")
+        .orderBy($"ts".asc, $"event_type".desc) // signup sorts after purchase desc→first on ties
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("signup_ts", when($"event_type" === "signup", $"ts"))
+        .withColumn("last_signup", last($"signup_ts", ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase")
+        .agg(count(lit(1)).as("n_purchases"),
+          count($"last_signup").as("n_matched"),
+          coalesce(sum(unix_micros($"ts") - unix_micros($"last_signup")), lit(0L)).as("total_gap_us"))
+    }),
+
+    // ---------------------------------------------------------------- TR3
+    "tr3_agg_group" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(money($"l_quantity").as("sum_qty"),
+          money($"l_extendedprice").as("sum_base"),
+          round(avg($"l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+    }),
+    "tr3_agg_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n"))
+    }),
+    "tr3_agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), money($"l_extendedprice").as("total"))
+    }),
+    "tr3_agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+    }),
+    "tr3_agg_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(round(stddev_samp($"l_extendedprice"), 2).as("sd"),
+          round(avg($"l_extendedprice"), 2).as("mean"),
+          min($"l_extendedprice").as("mn"),
+          max($"l_extendedprice").as("mx"))
+    }),
+    "tr3_agg_collect" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(sort_array(collect_set($"l_linestatus")).as("statuses"),
+          count(lit(1)).as("n"))
+    }),
+    "tr3_agg_percentile" -> ((s, dir) => {
+      import s.implicits._
+      // exact interpolated percentile over integer cents: midpoints are
+      // x.5 exactly, which HALF_UP-rounds identically in both engines
+      // (a double-cents interpolation can land on a half-cent and round
+      // differently in the last bit)
+      t(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(round(expr("percentile(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.5)"))
+            .cast("long").as("p50_cents"),
+          round(expr("percentile(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.9)"))
+            .cast("long").as("p90_cents"))
+    }),
+    // HLL sketch — approximate by design: no DuckDB hash-match possible, the
+    // driver records a rows-only check (exact-distinct spec lives in tests).
+    "tr3_agg_hll" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey").as("approx_orders"))
+    }),
+
+    // ---------------------------------------------------------------- TR4
+    "tr4_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+    }),
+    "tr4_window_analytic" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          lag($"o_totalprice", 1).over(w).as("prev_price"),
+          lead($"o_totalprice", 1).over(w).as("next_price"),
+          first($"o_totalprice").over(w).as("first_price"))
+    }),
+    "tr4_window_frame" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("decimal(38,2)").as("run_total"),
+          count(lit(1)).over(w).as("run_n"))
+    }),
+    "tr4_window_dist" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // ---------------------------------------------------------------- TR5
+    "tr5_topk" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 10)
+        .select($"o_orderpriority", $"rn", $"o_orderkey", $"o_totalprice")
+    }),
+    "tr5_order_limit" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100).select($"o_orderkey", $"o_totalprice")
+    }),
+
+    // ---------------------------------------------------------------- TR6
+    "tr6_setops" -> ((s, dir) => {
+      import s.implicits._
+      val custKeys = t(s, dir, "customer").select($"c_custkey".as("k"))
+      val orderCust = t(s, dir, "orders").select($"o_custkey".as("k"))
+      val inter = custKeys.intersect(orderCust).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("intersect"))
+      val exc = custKeys.except(orderCust).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except"))
+      val uni = custKeys.union(orderCust).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("union_all"))
+      val uniD = custKeys.union(orderCust).distinct().agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("union_distinct"))
+      inter.unionByName(exc).unionByName(uni).unionByName(uniD)
+        .select($"op", $"n")
+    }),
+
+    // ---------------------------------------------------------------- TR7
+    "tr7_string" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "part").select(
+        $"p_partkey",
+        upper($"p_name").as("up_name"),
+        substring($"p_name", 1, 5).as("head5"),
+        length($"p_name").as("len"),
+        size(split($"p_name", " ")).as("n_words"),
+        regexp_extract($"p_brand", "#(\\d+)", 1).as("brand_num"),
+        lpad($"p_size".cast("string"), 4, "0").as("size_pad"),
+        regexp_replace($"p_type", " ", "_").as("type_u"),
+        instr($"p_type", "A").as("a_pos"),
+        trim(concat(lit("  "), $"p_name", lit("  "))).as("trimmed"),
+        reverse($"p_brand").as("rev_brand"))
+    }),
+    "tr7_date" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        quarter($"o_orderdate").as("q"),
+        // date-typed results are emitted as ISO strings: python date vs
+        // pandas Timestamp representations would otherwise diverge between
+        // the two engines' parquet/df decoders
+        date_format($"o_orderdate", "yyyy-MM-dd").as("d_date"),
+        date_format(date_add($"o_orderdate".cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date")).as("diff_days"),
+        date_format($"o_orderdate", "yyyy-MM").as("ym"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("mon_start"),
+        date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("mon_end"),
+        (weekday($"o_orderdate") + 1).as("iso_dow"))
+    }),
+    "tr7_math" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").filter($"l_orderkey" < 500).select(
+        $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice", 1).as("r1"),
+        floor($"l_extendedprice").as("fl"),
+        ceil($"l_extendedprice").as("ce"),
+        abs($"l_discount" - 0.05).as("ab"),
+        pow($"l_linenumber", 2).as("pw"),
+        round(log($"l_extendedprice"), 6).as("lg"),
+        round(sqrt($"l_quantity"), 6).as("sq"),
+        ($"l_orderkey" % 7).as("md"),
+        signum($"l_discount" - 0.05).cast("int").as("sg"))
+    }),
+    "tr7_cond" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select(
+          when($"o_totalprice" < 50000, "low")
+            .when($"o_totalprice" < 150000, "mid")
+            .otherwise("high").as("band"),
+          coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("flag"),
+          $"o_totalprice")
+        .groupBy($"band", $"flag")
+        .agg(count(lit(1)).as("n"), money($"o_totalprice").as("total"))
+    }),
+    "tr7_array" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings").select(
+        $"vec_id",
+        size($"embedding").as("dim"),
+        element_at($"embedding", 1).as("e0"),
+        size(filter($"embedding", x => x > 0)).as("n_pos"),
+        round(aggregate($"embedding", lit(0.0), (acc, x) => acc + x), 3).as("esum"),
+        array_max($"embedding").as("emax"))
+    }),
+    "tr7_json" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select((get_json_object($"props", "$.k").cast("int") % 10).as("k_bucket"),
+          $"value")
+        .groupBy($"k_bucket")
+        .agg(count(lit(1)).as("n"), money($"value").as("total"))
+    }),
+    "tr7_map" -> ((s, dir) => {
+      import s.implicits._
+      // build a per-user map event_type → count, then explode it back —
+      // exercises map_from_entries / explode; the oracle is the plain
+      // aggregate the roundtrip must reproduce
+      t(s, dir, "events")
+        .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy($"user_id")
+        .agg(map_from_entries(collect_list(struct($"event_type", $"cnt"))).as("m"))
+        .select($"user_id", explode($"m").as(Seq("event_type", "n")))
+    }),
+    "tr7_hash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(
+        $"doc_id",
+        md5($"text").as("h_md5"),
+        sha2($"text", 256).as("h_sha256"))
+    }),
+
+    // ------------------------------------------------------- TR8 (SQL front
+    // end — correlated subqueries are Catalyst's decorrelation surface)
+    "tr8_scalar_sub" -> ((s, dir) => {
+      Q.views(s, dir, "orders")
+      s.sql("""SELECT count(*) AS n FROM orders
+               WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""")
+    }),
+    "tr8_exists" -> ((s, dir) => {
+      Q.views(s, dir, "orders", "customer")
+      s.sql("""SELECT c_mktsegment AS seg, count(*) AS n FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+               GROUP BY c_mktsegment""")
+    }),
+    "tr8_in_sub" -> ((s, dir) => {
+      Q.views(s, dir, "orders", "customer")
+      s.sql("""SELECT count(*) AS n FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""")
+    }),
+
+    // ---------------------------------------------------------------- TR9
+    "tr9_udf" -> ((s, dir) => {
+      import s.implicits._
+      val vowels = udf((x: String) => x.count(c => "aeiouAEIOU".indexOf(c) >= 0))
+      t(s, dir, "part").select(
+        $"p_partkey",
+        vowels($"p_name").as("n_vowels"),
+        (vowels($"p_name") * $"p_size").as("score"))
+    }),
+    "tr9_udaf" -> ((s, dir) => {
+      import s.implicits._
+      val geo = udaf(GeoMean)
+      t(s, dir, "orders").groupBy($"o_orderpriority")
+        .agg(round(geo($"o_totalprice"), 2).as("geo_mean"))
+    }),
+    "tr9_generator" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"lang", $"text").as[(String, String)]
+        .flatMap { case (l, txt) => txt.split(" ").iterator.filter(_.nonEmpty).map((l, _)) }
+        .toDF("lang", "word")
+        .groupBy($"lang")
+        .agg(countDistinct($"word").as("n_words"), count(lit(1)).as("n_tokens"))
+    }),
+
+    // --------------------------------------------- ST (event-time windows;
+    // same operators Structured Streaming uses on a stream)
+    "st_window_tumbling" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), money($"value").as("total"))
+        .select(unix_timestamp($"w.start").as("epoch_s"), $"event_type", $"n", $"total")
+    }),
+    "st_session_window" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum($"cnt").as("n_events"))
+    })
+  )
+}
