@@ -17,8 +17,8 @@ object SparkEntry {
     RelationalQueries.queries("tr2_join_inner")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ CdcQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalOracles.oracles
+    RelationalOracles.oracles ++ CdcQueries.oracles
 }

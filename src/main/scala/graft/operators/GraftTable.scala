@@ -108,7 +108,9 @@ class GraftTable(
     val stagePath = new HPath(stage)
     val fs = stagePath.getFileSystem(conf)
     if (!fs.exists(stagePath)) return Seq.empty
-    val rootUri = fs.makeQualified(new HPath(root)).toUri.toString.stripSuffix("/")
+    // Path.toString, NOT toUri: URI-encoding would mangle partition dirs
+    // containing spaces/special chars when the path is later re-read
+    val rootUri = fs.makeQualified(new HPath(root)).toString.stripSuffix("/")
     val out = Seq.newBuilder[DataFile]
     val it = fs.listFiles(stagePath, true)
     while (it.hasNext) {
@@ -134,7 +136,7 @@ class GraftTable(
         }
         if (rows == 0L) fs.delete(st.getPath, false)
         else {
-          val rel = fs.makeQualified(st.getPath).toUri.toString
+          val rel = fs.makeQualified(st.getPath).toString
             .stripPrefix(rootUri).stripPrefix("/")
           val partVals = rel.split("/").iterator
             .filter(_.contains("=")).map { kv =>
@@ -273,6 +275,9 @@ class GraftTable(
 
   def latestCommit(): Option[Commit] = timeline.latest()
   def latestCheckpoint(): Option[String] = timeline.latest().flatMap(_.checkpoint)
+
+  /** Active-timeline commits, oldest first (driver-side metadata). */
+  def history(): Seq[Commit] = timeline.listCommitSeqs().map(timeline.read)
 
   // --------------------------------------------------------- table services
 

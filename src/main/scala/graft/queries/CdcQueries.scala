@@ -1,0 +1,206 @@
+package graft.queries
+
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Meta
+import graft.operators.GraftTable
+
+/** Deterministic CDC lifecycle over the `orders` testdata table, graded
+  * against a DuckDB oracle that recomputes the same final state in pure SQL.
+  *
+  * Full load (trx_seq 1), then two CDC batches:
+  *   batch A: stale dup (seq 2, loses), updates %10 (seq 3, 'U', +1000),
+  *            deletes %97 (seq 4), inserts key+10M for %1000==1 (seq 2, 'N')
+  *   batch B: late rows for %10 (seq 2, lose), re-insert even %97
+  *            (seq 5, 'R'), updates %7 (seq 6, 'V', +500)
+  *
+  * Winning-version precedence (highest seq wins; tombstones physically
+  * removed at write, so a later re-insert resurrects the key — Hudi
+  * semantics, SURVEY §7.4):
+  *   %7==0 → 'V'; even %97 → 'R'; odd %97 (not %7) → gone; %10 → 'U'.
+  */
+object CdcScenario {
+  import Q._
+
+  private val cache = TrieMap[String, GraftTable]()
+  private def sq(i: Int): String = f"$i%020d"
+
+  private def meta(df: DataFrame, seq: Int, deleted: Boolean): DataFrame =
+    df.withColumn(Meta.Ordering, lit(sq(seq)))
+      .withColumn(Meta.Deleted, lit(deleted))
+
+  def fullLoad(s: SparkSession, dir: String): DataFrame =
+    meta(t(s, dir, "orders"), 1, deleted = false)
+
+  def batchA(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val stale = meta(o.filter(k % 10 === 0)
+      .withColumn("o_orderstatus", lit("S"))
+      .withColumn("o_totalprice", col("o_totalprice") - 999.0), 2, deleted = false)
+    val upd = meta(o.filter(k % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0), 3, deleted = false)
+    val del = meta(o.filter(k % 97 === 0), 4, deleted = true)
+    val ins = meta(o.filter(k % 1000 === 1)
+      .withColumn("o_orderkey", k + 10000000L)
+      .withColumn("o_orderstatus", lit("N")), 2, deleted = false)
+    stale.union(upd).union(del).union(ins)
+  }
+
+  def batchB(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val k = col("o_orderkey")
+    val late = meta(o.filter(k % 10 === 0)
+      .withColumn("o_orderstatus", lit("L"))
+      .withColumn("o_totalprice", col("o_totalprice") + 77.0), 2, deleted = false)
+    val reins = meta(o.filter(k % 97 === 0 && k % 2 === 0)
+      .withColumn("o_orderstatus", lit("R")), 5, deleted = false)
+    val upd2 = meta(o.filter(k % 7 === 0)
+      .withColumn("o_orderstatus", lit("V"))
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0), 6, deleted = false)
+    late.union(reins).union(upd2)
+  }
+
+  private def build(s: SparkSession, dir: String, key: String,
+      partitionFields: Seq[String] = Seq.empty)(extra: GraftTable => Unit): GraftTable =
+    cache.getOrElseUpdate(s"$key:$dir", {
+      val root = Files.createTempDirectory(s"graft-cdc-$key").toString
+      val t = new GraftTable(s, root, Seq("o_orderkey"), partitionFields,
+        targetFileBytes = 1024 * 1024)
+      t.bulkInsert(fullLoad(s, dir))
+      t.upsert(batchA(s, dir))
+      t.upsert(batchB(s, dir))
+      extra(t)
+      t
+    })
+
+  /** Pristine COW table after the 3-commit scenario. */
+  def main(s: SparkSession, dir: String): GraftTable = build(s, dir, "cow")(_ => ())
+
+  /** Hive-style partitioned variant (M6). */
+  def partitioned(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "part", Seq("o_orderpriority"))(_ => ())
+
+  /** Clustered after ingest (T1). */
+  def clustered(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "clu")(_.cluster())
+
+  /** Cleaned + archived (T2/T3). */
+  def serviced(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "svc") { t => t.clean(retainCommits = 2); t.archive(keepLast = 1) }
+
+  /** Same batch applied twice (ST4 exactly-once/idempotence). */
+  def idempotent(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "idem")(_.upsert(batchB(s, dir)))
+
+  /** Composite-key table over lineitem (M5 ComplexKeyGenerator semantics). */
+  def keyed(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"keys:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-keys").toString
+      val t = new GraftTable(s, root, Seq("l_orderkey", "l_linenumber"),
+        targetFileBytes = 4 * 1024 * 1024)
+      t.bulkInsert(meta(Q.t(s, dir, "lineitem"), 1, deleted = false))
+      t
+    })
+}
+
+object CdcQueries {
+  import Q._
+
+  private def snapshotCols(t: GraftTable): DataFrame =
+    t.readUser().select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("price"), col("o_custkey"))
+
+  private def statusAgg(t: GraftTable): DataFrame =
+    snapshotCols(t).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("decimal(38,2)").as("total"))
+
+  val queries: Map[String, Fn] = Map(
+    // M1+M2+M3+M5+ST3: full merged snapshot after out-of-order multi-batch CDC
+    "cdc_snapshot" -> ((s, dir) => snapshotCols(CdcScenario.main(s, dir))),
+    // read-path aggregation over the merged table (S4 snapshot read)
+    "cdc_agg" -> ((s, dir) => statusAgg(CdcScenario.main(s, dir))),
+    // commit timeline metadata (ST4 atomic commits)
+    "cdc_timeline" -> ((s, dir) => {
+      import s.implicits._
+      CdcScenario.main(s, dir).history()
+        .map(c => (c.seq, c.action, c.files.nonEmpty)).toDF("seq", "action", "has_files")
+    }),
+    // M6: hive-style partitioned layout — same merge result grouped by the
+    // partition column
+    "cdc_partitioned" -> ((s, dir) =>
+      CdcScenario.partitioned(s, dir).readUser()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))),
+    // T1: clustering rewrites files, snapshot must be unchanged
+    "cdc_cluster" -> ((s, dir) => statusAgg(CdcScenario.clustered(s, dir))),
+    // T2+T3: clean + archive leave the latest snapshot intact
+    "cdc_services" -> ((s, dir) => statusAgg(CdcScenario.serviced(s, dir))),
+    // ST4: re-applying a batch is a no-op
+    "cdc_idempotent" -> ((s, dir) => statusAgg(CdcScenario.idempotent(s, dir))),
+    // M5: composite key encoding, uniqueness, and ordering
+    "m5_keygen" -> ((s, dir) => {
+      val t = CdcScenario.keyed(s, dir).read()
+      t.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(Meta.RecordKey)).as("n_keys"),
+        min(col(Meta.RecordKey)).as("min_key"),
+        max(col(Meta.RecordKey)).as("max_key"))
+    })
+  )
+
+  /** Final-state CTE shared by the CDC oracles (mirrors CdcScenario docs). */
+  private val finalState =
+    """WITH final AS (
+         SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN 'V'
+                WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN 'R'
+                WHEN o_orderkey % 10 = 0 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN o_totalprice
+                WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(18,2)) AS price,
+           o_custkey, o_orderpriority
+         FROM orders
+         WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0)
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N', CAST(o_totalprice AS DECIMAL(18,2)),
+           o_custkey, o_orderpriority
+         FROM orders WHERE o_orderkey % 1000 = 1
+       )"""
+
+  private val statusAggSql =
+    s"""$finalState
+       SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(price) AS DECIMAL(38,2)) AS total
+       FROM final GROUP BY o_orderstatus"""
+
+  val oracles: Map[String, String] = Map(
+    "cdc_snapshot" ->
+      s"$finalState SELECT o_orderkey, o_orderstatus, price, o_custkey FROM final",
+    "cdc_agg" -> statusAggSql,
+    "cdc_timeline" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'bulk_insert', true),
+           (CAST(1 AS BIGINT), 'upsert', true),
+           (CAST(2 AS BIGINT), 'upsert', true)) AS t(seq, action, has_files)""",
+    "cdc_partitioned" ->
+      s"""$finalState
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(price) AS DECIMAL(38,2)) AS total
+         FROM final GROUP BY o_orderpriority""",
+    "cdc_cluster" -> statusAggSql,
+    "cdc_services" -> statusAggSql,
+    "cdc_idempotent" -> statusAggSql,
+    "m5_keygen" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT k) AS n_keys,
+           MIN(k) AS min_key, MAX(k) AS max_key FROM
+         (SELECT 'l_orderkey:' || printf('%019d', l_orderkey) ||
+                 ',l_linenumber:' || printf('%019d', l_linenumber) AS k
+          FROM lineitem)"""
+  )
+}
