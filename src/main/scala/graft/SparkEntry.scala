@@ -17,8 +17,8 @@ object SparkEntry {
     RelationalQueries.queries("tr2_join_inner")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ CdcQueries.queries
+    RelationalQueries.queries ++ CdcQueries.queries ++ LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalOracles.oracles ++ CdcQueries.oracles
+    RelationalOracles.oracles ++ CdcQueries.oracles ++ LlmQueries.oracles
 }

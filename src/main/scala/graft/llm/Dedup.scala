@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-level deduplication over document corpora — the operators a
+  * large-scale training-data pipeline runs before anything else. All are
+  * shuffle-on-key patterns that scale linearly: no all-pairs crossJoin
+  * anywhere; candidate pairs always come from an inverted-index-style
+  * equi-join (shingle, band, or hash bucket), which Spark executes as a
+  * hash shuffle join — the 100 TB shape.
+  */
+object Dedup {
+
+  /** Word n-gram shingles, distinct per doc: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    val sh = when(size(w) < n, array().cast("array<string>"))
+      .otherwise(expr(
+        s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+          s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(split($textCol, ' '), i + $j)").mkString(", ")}))"))
+    docs.select(col(idCol), explode(sh).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) > 0)
+      .distinct()
+  }
+
+  /** Exact duplicate groups by content hash (md5). One hash-shuffle. */
+  def exactStats(docs: DataFrame, textCol: String): DataFrame = {
+    val byHash = docs.groupBy(md5(col(textCol)).as("h")).agg(count(lit(1)).as("n"))
+    byHash.agg(
+      sum(col("n")).as("n_docs"),
+      count(lit(1)).as("n_groups"),
+      count(when(col("n") > 1, 1)).as("n_dup_groups"),
+      coalesce(sum(when(col("n") > 1, col("n") - 1)), lit(0L)).as("n_redundant"))
+  }
+
+  /** Exact n-gram Jaccard similar pairs via shingle inverted index:
+    * pairs sharing a shingle → |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|.
+    * Join key is the shingle, so work is proportional to posting-list
+    * sizes, not to the number of document pairs.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol).cache()
+    val cnt = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("ia"), col("s"))
+    val b = sh.select(col(idCol).as("ib"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("id", "ia").withColumnRenamed("n_sh", "na"), Seq("ia"))
+      .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash signature column: array of 64 per-permutation minima.
+    * Permutation i is xxhash64(i, shingle) — deterministic, no stored
+    * hash family. One aggregation over the shingle index.
+    */
+  def minhashSignatures(sh: DataFrame, idCol: String, perms: Int = 64): DataFrame = {
+    val mins: Seq[Column] =
+      (0 until perms).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until perms).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH near-dup pairs: band the signature (bands × rows = perms),
+    * hash each band, equi-join on (band, hash) for candidates, then verify
+    * candidates with exact Jaccard. Candidate generation is a shuffle join
+    * on band hash — never all-pairs.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sh = shingles(docs, idCol, textCol).cache()
+    val sig = minhashSignatures(sh, idCol)
+    val banded = sig.select(col(idCol).as("id"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
+
+    // exact verification of the candidate set
+    val cnt = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("ia"), col("s")), Seq("ia"))
+      .join(sh.select(col(idCol).as("ib"), col("s").as("s2")), Seq("ib"))
+      .filter(col("s") === col("s2"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.withColumnRenamed("id", "ia").withColumnRenamed("n_sh", "na"), Seq("ia"))
+      .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash from token md5 prefixes: per bit, sum ±1 weighted by
+    * token occurrences; bit set if the sum is positive. Near-dups = pairs
+    * with small Hamming distance, bucketed by 16-bit chunks for candidate
+    * generation (a pair within distance d<4 shares ≥1 of 4 chunks).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", xxhash64(col("w")))
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    tok.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
+    * bucketed by 16-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ some chunk
+    * equal). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val chunked = sig.select(col(idCol).as("id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cv"))
+    chunked.as("x").join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("ia"), col("y.id").as("ib"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

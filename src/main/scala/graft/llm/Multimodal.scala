@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media payloads are opaque `binary` columns
+  * with a typed metadata struct travelling alongside. The Spark-side
+  * plumbing (schema, batching, partition-parallel decode) is real; the
+  * actual codec call is stubbed behind [[decodeStub]] because no image/
+  * audio library ships in this environment — swap the stub for the codec
+  * of choice (JNI/ffmpeg/javacv) without touching the pipeline shape.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema fragment: payload + metadata struct. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Wrap a text corpus as a multimodal table: payload = UTF-8 bytes (a
+    * deterministic stand-in for image bytes), metadata derived from size.
+    * In production this is the ingest mapping from (path, bytes) pairs. */
+  def asBinaryTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        (length(col(textCol)) % 640).cast("int").as("width"),
+        (length(col(textCol)) % 480).cast("int").as("height"),
+        length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB — deterministic fake "decode/feature-extract". A real
+    * implementation decodes the payload (image/audio frame) and emits
+    * features; this stand-in derives them from the raw bytes so the
+    * pipeline is testable end-to-end. Signature and batch shape match what
+    * a JNI decoder would need: one call per row, partition-parallel.
+    */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
+    val f0 = if (payload.nonEmpty) payload(0) & 0xFF else -1
+    val fmid = if (payload.nonEmpty) payload(payload.length / 2) & 0xFF else -1
+    (f0, fmid, payload.length.toLong)
+  }
+
+  /** Partition-parallel feature extraction over the binary column via
+    * typed mapPartitions — the decode loop runs once per executor
+    * partition (codec init amortized across the batch), never on the
+    * driver. */
+  def extractFeatures(spark: SparkSession, binTable: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.map { case (id, payload) =>
+          val (f0, fmid, n) = decodeStub(payload)
+          (id, f0, fmid, n)
+        }
+      }
+      .toDF("id", "f0", "fmid", "n_bytes")
+  }
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Graded queries for the LLM-training-data operator families (dedup,
+  * similarity search, text analysis, multimodal) over the provisioned
+  * `documents` / `embeddings` testdata. Exact operators carry DuckDB
+  * oracles; approximate ones (MinHash-LSH, SimHash, IVF) are graded
+  * rows-only here and against their exact counterparts in the test suite.
+  */
+object LlmQueries {
+  import Q._
+
+  val queries: Map[String, Fn] = Map(
+    // ---- dedup family
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactStats(t(s, dir, "documents"), "text")),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 10)),
+
+    // ---- similarity search
+    "sim_topk_brute" -> ((s, dir) =>
+      Similarity.bruteTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5)),
+    "sim_topk_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+        col("vec_id") < 20, k = 5, nprobe = 2)),
+
+    // ---- text analysis
+    "text_stats" -> ((s, dir) =>
+      TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
+    "text_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "lang", "text")),
+    "text_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(t(s, dir, "documents"), "text")).as("n_unique"))),
+
+    // ---- multimodal binary columns
+    "mm_binary" -> ((s, dir) =>
+      Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          sha2(col("payload"), 256).as("b_sha"))),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+        Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id"))
+  )
+
+  private val langScore: String => String = markers =>
+    s"len(list_filter(string_split(text, ' '), x -> x IN ($markers)))"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT CAST(SUM(n) AS BIGINT) AS n_docs, COUNT(*) AS n_groups,
+         COUNT(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups,
+         CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT) AS n_redundant
+         FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)""",
+
+    "dedup_jaccard" -> jaccardSql,
+    // MinHash-LSH with 16 bands x 4 rows has ~100% recall at J>=0.5 on this
+    // corpus (planted near-dups are J~0.8+); candidates are exact-verified,
+    // so the result set equals the exact Jaccard pairs.
+    "dedup_minhash" -> jaccardSql,
+
+    "sim_topk_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         s AS (SELECT qid, e.vec_id AS nid,
+             list_aggregate(list_transform(list_zip(qv, e.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+           FROM q, embeddings e WHERE e.vec_id <> q.qid)
+         SELECT qid, rnk, nid, round(cos, 6) AS cos FROM
+           (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s)
+         WHERE rnk <= 5""",
+
+    "text_stats" ->
+      """SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_types,
+         round(CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS avg_wlen,
+         round(CAST(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS stop_ratio,
+         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 4) AS ttr
+         FROM documents""",
+
+    "text_langid" ->
+      s"""WITH s AS (SELECT doc_id,
+           ${langScore("'der','die','das','und','schnell'")} AS s_de,
+           ${langScore("'the','a','fast','slow','order'")} AS s_en,
+           ${langScore("'el','la','los','rapido','orden'")} AS s_es,
+           ${langScore("'le','la','les','vite','ordre'")} AS s_fr,
+           ${langScore("'de','shi','kuai','man','biao'")} AS s_zh
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN s_de = g THEN 'de' WHEN s_en = g THEN 'en'
+                WHEN s_es = g THEN 'es' WHEN s_fr = g THEN 'fr'
+                ELSE 'zh' END AS lang_pred,
+           CAST(g AS INT) AS best_score
+         FROM (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS g FROM s)""",
+
+    "text_tokens" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+         CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens
+         FROM documents GROUP BY lang""",
+
+    "text_fingerprint" ->
+      """SELECT source, COUNT(*) AS n_docs,
+         COUNT(DISTINCT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))) AS n_unique
+         FROM documents GROUP BY source""",
+
+    "mm_binary" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         CAST(length(text) % 640 AS INT) AS width,
+         CAST(length(text) % 480 AS INT) AS height,
+         sha256(text) AS b_sha
+         FROM documents""",
+
+    "mm_features" ->
+      """SELECT doc_id AS id,
+         CAST(ascii(substr(text, 1, 1)) AS INT) AS f0,
+         CAST(ascii(substr(text, CAST(floor(length(text) / 2) AS INT) + 1, 1)) AS INT) AS fmid,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents"""
+  )
+
+  private lazy val jaccardSql =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+              FROM words),
+       shc AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL AND length(s) > 0),
+       cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
+                 FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT ia, ib, round(j, 4) AS jaccard FROM
+         (SELECT ia, ib, CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS j
+          FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+       WHERE j >= 0.5"""
+}
