@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.Pipeline
+
+/** O8 — CLI entry point for an external scheduler (the reference's
+  * EventBridge → Lambda → Step Function chain collapses to
+  * `Main <configPath> <identifier> <pipelineType>` on a cron/Airflow
+  * trigger; aws-dms-to-hudi.yaml:914-927).
+  *
+  * Exit code 0 iff every enabled table committed (or had no new data);
+  * the run report prints as one JSON line per pipeline in the chain.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: graft.Main <configPath> <identifier> <pipelineType>")
+    val Array(configPath, identifier, pipelineType) = args.take(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val reports = Pipeline.runChain(spark, configPath, identifier, pipelineType)
+      reports.foreach(r => println(r.toJson))
+      if (!reports.forall(_.ok)) sys.exit(1)
+    } finally spark.stop()
+  }
+}

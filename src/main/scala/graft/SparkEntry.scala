@@ -17,8 +17,10 @@ object SparkEntry {
     RelationalQueries.queries("tr2_join_inner")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ CdcQueries.queries ++ LlmQueries.queries
+    RelationalQueries.queries ++ CdcQueries.queries ++ LlmQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalOracles.oracles ++ CdcQueries.oracles ++ LlmQueries.oracles
+    RelationalOracles.oracles ++ CdcQueries.oracles ++ LlmQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -173,6 +173,10 @@ object CdcQueries {
          FROM orders WHERE o_orderkey % 1000 = 1
        )"""
 
+  /** Shared with PipelineQueries: the pipeline-driven ingest must land on
+    * the same final state. */
+  def statusAggOracle: String = statusAggSql
+
   private val statusAggSql =
     s"""$finalState
        SELECT o_orderstatus, COUNT(*) AS n,

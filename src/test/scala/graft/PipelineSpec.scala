@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config.ConfigLoader
+import graft.model.Meta
+import graft.pipeline.{IngestJob, Pipeline}
+import graft.sources.CdcSource
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def writeConfig(dir: String, raw: String, curated: String): String = {
+    val json =
+      s"""[
+         |{"config":"pipeline::bulk_insert","identifier":"demo",
+         | "raw_root":"$raw","curated_root":"$curated","database":"graft",
+         | "step_parallelism":2,"next_pipeline":"delta"},
+         |{"config":"pipeline::delta","identifier":"demo",
+         | "raw_root":"$raw","curated_root":"$curated","database":"graft",
+         | "step_parallelism":2},
+         |{"config":"table::public.orders","identifier":"demo","enabled":true,
+         | "hudi_config":{"record_key":"o_orderkey","source_ordering_field":"trx_seq",
+         |   "is_partitioned":false,
+         |   "transformer_sql":"SELECT * FROM <SRC> WHERE o_totalprice >= 0"}},
+         |{"config":"table::public.nation","identifier":"demo","enabled":true,
+         | "hudi_config":{"record_key":"n_nationkey","source_ordering_field":"trx_seq",
+         |   "is_partitioned":false}},
+         |{"config":"table::public.ghost","identifier":"demo","enabled":false,
+         | "hudi_config":{"record_key":"g_id","source_ordering_field":"trx_seq"}}
+         |]""".stripMargin
+    val p = Paths.get(dir, "configs.json")
+    Files.writeString(p, json)
+    p.toString
+  }
+
+  private def seedRaw(raw: String): Unit = {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("trx_seq", lit("00000000000000000001"))
+      .withColumn(Meta.Deleted, lit(false))
+    orders.write.mode("overwrite").parquet(s"$raw/public/orders")
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+      .withColumn("trx_seq", lit("00000000000000000001"))
+      .withColumn(Meta.Deleted, lit(false))
+    nation.write.mode("overwrite").parquet(s"$raw/public/nation")
+  }
+
+  test("config loader parses reference-shaped items") {
+    val dir = Files.createTempDirectory("graft-cfg").toString
+    val path = writeConfig(dir, "/tmp/raw", "/tmp/cur")
+    val cfg = ConfigLoader.load(path, "demo", "bulk_insert")
+    assert(cfg.tables.size == 3)
+    assert(cfg.enabledTables.map(_.name).toSet == Set("public.orders", "public.nation"))
+    assert(cfg.nextPipeline.contains("delta"))
+    assert(cfg.tables.find(_.name == "public.orders").get.transformerSql.isDefined)
+  }
+
+  test("bulk_insert -> delta chain: full load, incremental no-op, new-file pickup") {
+    val base = Files.createTempDirectory("graft-pipe").toString
+    val raw = s"$base/raw"; val curated = s"$base/curated"
+    seedRaw(raw)
+    val cfgPath = writeConfig(base, raw, curated)
+
+    // chain: bulk_insert then delta (delta sees no new files -> no_new_data)
+    val reports = Pipeline.runChain(spark, cfgPath, "demo", "bulk_insert")
+    assert(reports.size == 2)
+    assert(reports.head.pipelineType == "bulk_insert" && reports.head.ok)
+    assert(reports(1).pipelineType == "delta")
+    val deltaStatuses = reports(1).results.map(r => r.table -> r.status).toMap
+    assert(deltaStatuses("public.orders") == "no_new_data")
+    assert(deltaStatuses("public.ghost") == "skipped")
+
+    // catalog sync (S5): query through the synced name
+    val viaCatalog = spark.sql("SELECT count(*) AS n FROM graft_demo_public_orders")
+      .as[Long].head()
+    val expected = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert(viaCatalog == expected)
+
+    // drop a genuinely new CDC file into the raw zone -> delta picks up ONLY it
+    Thread.sleep(20)
+    val cfg = ConfigLoader.load(cfgPath, "demo", "delta")
+    val table = IngestJob.openTable(spark, cfg, cfg.tables.find(_.name == "public.orders").get)
+    val wmBefore = table.latestCheckpoint()
+    val upd = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(5)
+      .withColumn("o_orderstatus", lit("Z"))
+      .withColumn("trx_seq", lit("00000000000000000009"))
+      .withColumn(Meta.Deleted, lit(false))
+    upd.coalesce(1).write.mode("append").parquet(s"$raw/public/orders")
+
+    val report2 = Pipeline.run(spark, cfg)
+    assert(report2.ok)
+    assert(report2.results.find(_.table == "public.orders").get.status == "ok")
+    assert(report2.results.find(_.table == "public.nation").get.status == "no_new_data")
+    assert(table.latestCheckpoint() != wmBefore)
+    val zCount = table.readUser().filter($"o_orderstatus" === "Z").count()
+    assert(zCount == 5)
+    assert(table.readUser().count() == expected)
+
+    // idempotent re-run: nothing new
+    val report3 = Pipeline.run(spark, cfg)
+    assert(report3.results.find(_.table == "public.orders").get.status == "no_new_data")
+  }
+
+  test("failed table is retried then reported; healthy tables still commit") {
+    val base = Files.createTempDirectory("graft-pipe-fail").toString
+    val raw = s"$base/raw"; val curated = s"$base/curated"
+    seedRaw(raw)
+    val json =
+      s"""[
+         |{"config":"pipeline::bulk_insert","identifier":"demo",
+         | "raw_root":"$raw","curated_root":"$curated","retries":1},
+         |{"config":"table::public.orders","identifier":"demo",
+         | "hudi_config":{"record_key":"o_orderkey","source_ordering_field":"trx_seq"}},
+         |{"config":"table::public.missing","identifier":"demo",
+         | "hudi_config":{"record_key":"x_id","source_ordering_field":"trx_seq"}}
+         |]""".stripMargin
+    val cfgPath = Paths.get(base, "configs.json")
+    Files.writeString(cfgPath, json)
+    val cfg = ConfigLoader.load(cfgPath.toString, "demo", "bulk_insert")
+    val report = Pipeline.run(spark, cfg)
+    assert(!report.ok)
+    val byTable = report.results.map(r => r.table -> r).toMap
+    assert(byTable("public.orders").status == "ok")
+    assert(byTable("public.missing").status == "failed")
+    assert(byTable("public.missing").attempts == 2) // one retry
+  }
+
+  test("incremental watermark totally orders files sharing an mtime") {
+    val dir = Files.createTempDirectory("graft-wm").toString
+    Seq((1L, "a", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((2L, "b", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val all = CdcSource.listDataFiles(spark, dir)
+    assert(all.size == 2)
+    // checkpoint at the first file: exactly the second returned even if the
+    // mtimes collide
+    val ck = CdcSource.encodeWatermark(all.head._1, all.head._2)
+    val Some((df, wm2)) = CdcSource.readIncremental(spark, dir, Some(ck))
+    assert(df.count() == 1)
+    assert(wm2 == CdcSource.encodeWatermark(all(1)._1, all(1)._2))
+    assert(CdcSource.readIncremental(spark, dir, Some(wm2)).isEmpty)
+  }
+}
