@@ -42,7 +42,9 @@ class GraftTable(
     val partitionFields: Seq[String] = Seq.empty,
     val orderingField: String = Meta.Ordering,
     val targetFileBytes: Long = GraftTable.DefaultTargetFileBytes,
-    val staleLockMs: Long = GraftTable.DefaultStaleLockMs) {
+    val staleLockMs: Long = GraftTable.DefaultStaleLockMs,
+    val tableType: String = GraftTable.CopyOnWrite,
+    val compactEvery: Int = 0) {
 
   private val timeline = new Timeline(root)
   private def dataDir(seq: Long) = s"data/c$seq"
@@ -185,7 +187,11 @@ class GraftTable(
     * Hudi once the tombstone is gone — SURVEY §7.4).
     */
   def upsert(batch0: DataFrame, checkpoint: Option[String] = None): Commit =
-    withLock(doUpsert(batch0, checkpoint))
+    withLock {
+      if (tableType == GraftTable.MergeOnRead && timeline.latest().isDefined)
+        doDeltaCommit(batch0, checkpoint)
+      else doUpsert(batch0, checkpoint)
+    }
 
   private def doUpsert(batch0: DataFrame, checkpoint: Option[String]): Commit = {
     val prev = timeline.latest().getOrElse(
@@ -255,14 +261,82 @@ class GraftTable(
       schemaJson(live), checkpoint, System.currentTimeMillis()))
   }
 
-  /** Snapshot read: plain parquet scan of the manifest's file list — full
-    * Catalyst pushdown/pruning applies. */
+  /** T4 — MERGE_ON_READ delta commit: the deduped batch is appended as
+    * row-level log files (one small range-partitioned write, NO base-file
+    * rewrite — the low-write-amplification path for hot tables,
+    * handler.py:112-113). Readers merge base ⋈ logs latest-wins; inline
+    * compaction folds the logs back into base files every `compactEvery`
+    * delta commits.
+    */
+  private def doDeltaCommit(batch0: DataFrame, checkpoint: Option[String]): Commit = {
+    val prev = timeline.latest().get
+    val batch = precombine(prepared(batch0))
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // schema evolution: union of base schema and any new batch columns
+    val unionSchema = org.apache.spark.sql.types.StructType(
+      prevSchema.fields ++ batch.schema.fields.filterNot(f => prevSchema.fieldNames.contains(f.name)))
+    val seq = prev.seq + 1
+    val logs = writeFiles(batch, seq, planBytes(batch))
+    val c = timeline.commit(Commit(seq, "delta_commit", prev.files, unionSchema.json,
+      checkpoint, System.currentTimeMillis(), logFiles = prev.logFiles ++ logs))
+    val deltasSinceBase = history().reverse.takeWhile(_.action == "delta_commit").size
+    if (compactEvery > 0 && deltasSinceBase >= compactEvery) doCompact() else c
+  }
+
+  /** Merge-on-read view of a commit: base files unioned with delta logs,
+    * latest-wins per key, tombstones dropped. One hash shuffle — the same
+    * plan shape as the COW merge, applied at read time.
+    */
+  private def mergedView(c: Commit): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def scan(files: Seq[DataFile]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.schema(schema).option("basePath", root)
+        .parquet(files.map(f => s"$root/${f.path}"): _*))
+    val parts = scan(c.files).toSeq ++ scan(c.logFiles).toSeq
+    if (parts.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (c.logFiles.isEmpty) all
+    else {
+      val cols = all.columns
+      val tie = struct(col(orderingField),
+        if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0))
+      val merged = all.groupBy(col(Meta.RecordKey))
+        .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tie).as("_r"))
+        .select(cols.map(c0 => col("_r." + c0).as(c0)).toIndexedSeq: _*)
+      if (cols.contains(Meta.Deleted))
+        merged.filter(!coalesce(col(Meta.Deleted), lit(false)))
+      else merged
+    }
+  }
+
+  /** T4 — compaction: materialize the merged view into fresh base files and
+    * clear the log set. */
+  def compact(): Commit = withLock(doCompact())
+
+  private def doCompact(): Commit = {
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val seq = prev.seq + 1
+    val est = (prev.files ++ prev.logFiles).map(_.bytes).sum
+    val files = writeFiles(mergedView(prev), seq, est)
+    timeline.commit(Commit(seq, "compact", files, prev.schemaJson,
+      prev.checkpoint, System.currentTimeMillis()))
+  }
+
+  /** Snapshot read. COW (or compacted MOR): plain parquet scan of the
+    * manifest's file list — full Catalyst pushdown/pruning applies. MOR
+    * with outstanding logs: merge-on-read view. */
   def read(): DataFrame = {
     val c = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    if (c.files.isEmpty)
+    if (c.logFiles.nonEmpty) mergedView(c)
+    else if (c.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // explicit manifest schema: older files (pre-schema-evolution) null-fill
     // new columns, and no distributed footer-merge pass is needed
@@ -331,6 +405,8 @@ class GraftTable(
 }
 
 object GraftTable {
+  val CopyOnWrite = "COPY_ON_WRITE"
+  val MergeOnRead = "MERGE_ON_READ"
   /** ~128 MB compressed per data file — the standard DFS sweet spot. */
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
   /** A writer silent for 30 min is presumed dead; its lock is broken. */

@@ -63,7 +63,9 @@ object IngestJob {
     new GraftTable(spark, s"${pipe.curatedRoot}/${tc.curatedName(pipe.identifier)}",
       keyFields = tc.recordKey,
       partitionFields = if (tc.isPartitioned) tc.partitionPath else Seq.empty,
-      orderingField = tc.sourceOrderingField)
+      orderingField = tc.sourceOrderingField,
+      tableType = tc.tableType,
+      compactEvery = if (tc.tableType == GraftTable.MergeOnRead) tc.compactEvery else 0)
 
   def run(spark: SparkSession, pipe: PipelineConfig, tc: TableConfig): TableResult = {
     val t0 = System.currentTimeMillis()
@@ -103,6 +105,16 @@ object IngestJob {
               System.currentTimeMillis() - t0)
           case Some((df, watermark)) => ingest(df, Some(watermark))
         }
+      case "delta_continuous" =>
+        // S3/ST2 — continuous loop; in a scheduled context AvailableNow
+        // drains the zone and returns (handler.py:166-167 --continuous)
+        val ckDir = s"${pipe.curatedRoot}/_checkpoints/${tc.curatedName(pipe.identifier)}"
+        graft.streaming.ContinuousIngest.drain(spark, rawDir, table, ckDir, tc.transformerSql)
+        CatalogSync.sync(spark, pipe.database, tc.curatedName(pipe.identifier), table)
+        val c = table.latestCommit()
+        TableResult(tc.name, "ok", c.map(_.seq),
+          c.map(cc => (cc.files ++ cc.logFiles).map(_.numRows).sum), 1,
+          System.currentTimeMillis() - t0)
       case other =>
         throw new IllegalArgumentException(s"pipeline type $other not supported by IngestJob")
     }

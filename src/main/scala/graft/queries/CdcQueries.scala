@@ -65,11 +65,12 @@ object CdcScenario {
   }
 
   private def build(s: SparkSession, dir: String, key: String,
-      partitionFields: Seq[String] = Seq.empty)(extra: GraftTable => Unit): GraftTable =
+      partitionFields: Seq[String] = Seq.empty,
+      tableType: String = GraftTable.CopyOnWrite)(extra: GraftTable => Unit): GraftTable =
     cache.getOrElseUpdate(s"$key:$dir", {
       val root = Files.createTempDirectory(s"graft-cdc-$key").toString
       val t = new GraftTable(s, root, Seq("o_orderkey"), partitionFields,
-        targetFileBytes = 1024 * 1024)
+        targetFileBytes = 1024 * 1024, tableType = tableType)
       t.bulkInsert(fullLoad(s, dir))
       t.upsert(batchA(s, dir))
       t.upsert(batchB(s, dir))
@@ -95,6 +96,30 @@ object CdcScenario {
   /** Same batch applied twice (ST4 exactly-once/idempotence). */
   def idempotent(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "idem")(_.upsert(batchB(s, dir)))
+
+  /** MERGE_ON_READ variant (T4): batches land as delta logs, snapshot is
+    * the merge-on-read view. */
+  def mor(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "mor", tableType = GraftTable.MergeOnRead)(_ => ())
+
+  /** MOR after compaction: logs folded into base files. */
+  def morCompacted(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "morc", tableType = GraftTable.MergeOnRead)(_.compact())
+
+  /** Streaming-ingested variant (S3/ST2): the same batches arrive as raw
+    * files drained by Structured Streaming foreachBatch upserts. */
+  def streamed(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"stream:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-stream")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val t = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      Seq(fullLoad(s, dir), batchA(s, dir), batchB(s, dir)).foreach { b =>
+        b.coalesce(1).write.mode("append").parquet(raw)
+        graft.streaming.ContinuousIngest.drain(s, raw, t, ck)
+      }
+      t
+    })
 
   /** Composite-key table over lineitem (M5 ComplexKeyGenerator semantics). */
   def keyed(s: SparkSession, dir: String): GraftTable =
@@ -142,6 +167,11 @@ object CdcQueries {
     "cdc_services" -> ((s, dir) => statusAgg(CdcScenario.serviced(s, dir))),
     // ST4: re-applying a batch is a no-op
     "cdc_idempotent" -> ((s, dir) => statusAgg(CdcScenario.idempotent(s, dir))),
+    // T4: MERGE_ON_READ — logs + merge-on-read view, then compacted base
+    "mor_snapshot" -> ((s, dir) => statusAgg(CdcScenario.mor(s, dir))),
+    "mor_compacted" -> ((s, dir) => statusAgg(CdcScenario.morCompacted(s, dir))),
+    // S3/ST2: Structured Streaming ingest of the same batches
+    "st_stream_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamed(s, dir))),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -200,6 +230,9 @@ object CdcQueries {
     "cdc_cluster" -> statusAggSql,
     "cdc_services" -> statusAggSql,
     "cdc_idempotent" -> statusAggSql,
+    "mor_snapshot" -> statusAggSql,
+    "mor_compacted" -> statusAggSql,
+    "st_stream_ingest" -> statusAggSql,
     "m5_keygen" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT k) AS n_keys,
            MIN(k) AS min_key, MAX(k) AS max_key FROM

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.GraftTable
+import graft.transform.Transform
+
+/** S3/ST2 — continuous ingest: the Spark-native `--continuous`
+  * DeltaStreamer loop (handler.py:166-167). A Structured Streaming file
+  * source watches the raw zone; each micro-batch flows through the
+  * transformer hook into the keyed-table upsert inside `foreachBatch`.
+  *
+  * Exactly-once (ST4): the stream's checkpoint pins which files belong to
+  * each micro-batch; a replayed batch re-runs the SAME upsert, and
+  * latest-wins merge on (key, trx_seq) makes that replay a no-op — commit
+  * idempotence at the table layer backstops at-least-once delivery at the
+  * stream layer.
+  *
+  * ST1 micro-batching: `Trigger.AvailableNow` drains everything present
+  * and stops (the scheduled-batch analog); a processing-time trigger keeps
+  * the loop live like `--continuous`.
+  */
+object ContinuousIngest {
+
+  def start(spark: SparkSession, rawDir: String, table: GraftTable,
+      checkpointDir: String, transformerSql: Option[String] = None,
+      availableNow: Boolean = true,
+      processingInterval: String = "10 seconds"): StreamingQuery = {
+    // file streams need an explicit schema: probe the zone once (batch)
+    val schema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(rawDir).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1000)
+      .parquet(rawDir)
+    src.writeStream
+      .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(processingInterval))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = transformerSql.fold(batch)(sql => Transform.sql(spark, batch, sql))
+          table.upsert(b, Some(s"stream-batch-$batchId"))
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Drain everything currently in the raw zone and stop (one scheduled
+    * micro-batch cycle). Returns when the drain completes. */
+  def drain(spark: SparkSession, rawDir: String, table: GraftTable,
+      checkpointDir: String, transformerSql: Option[String] = None): Unit = {
+    val q = start(spark, rawDir, table, checkpointDir, transformerSql, availableNow = true)
+    q.awaitTermination()
+  }
+}

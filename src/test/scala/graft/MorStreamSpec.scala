@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Meta
+import graft.operators.GraftTable
+import graft.streaming.ContinuousIngest
+
+class MorStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("MOR: delta commits append logs, merged read resolves latest-wins + deletes") {
+    val t = new GraftTable(spark, tmp("mor"), Seq("id"),
+      targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead)
+    t.bulkInsert(Seq((1L, "a", "010", false), (2L, "b", "010", false), (3L, "c", "010", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    val c1 = t.upsert(Seq((1L, "a2", "020", false), (4L, "d", "021", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(c1.action == "delta_commit")
+    assert(c1.logFiles.nonEmpty && c1.files.nonEmpty)
+    val c2 = t.upsert(Seq((2L, "b", "030", true), (1L, "a-stale", "015", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(c2.action == "delta_commit")
+    assert(c2.logFiles.size > c1.logFiles.size) // logs accumulate, base untouched
+    assert(c2.files.map(_.path) == c1.files.map(_.path))
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().sorted
+    assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("MOR: compaction folds logs into base; snapshot unchanged; schema evolves via log") {
+    val t = new GraftTable(spark, tmp("mor-c"), Seq("id"),
+      targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead)
+    t.bulkInsert(Seq((1L, "a", "010", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    t.upsert(Seq((2L, "b", "extra", "020", false)).toDF("id", "v", "v2", "trx_seq", Meta.Deleted))
+    val before = t.readUser().select("id", "v", "v2")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(before == Seq((1L, "a", None), (2L, "b", Some("extra"))))
+    val cc = t.compact()
+    assert(cc.action == "compact" && cc.logFiles.isEmpty)
+    val after = t.readUser().select("id", "v", "v2")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1).toSeq
+    assert(after == before)
+  }
+
+  test("MOR: inline compaction triggers every N delta commits") {
+    val t = new GraftTable(spark, tmp("mor-i"), Seq("id"),
+      targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead, compactEvery = 2)
+    t.bulkInsert(Seq((1L, "a", "010", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    t.upsert(Seq((1L, "a2", "020", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    val c = t.upsert(Seq((1L, "a3", "030", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(c.action == "compact") // 2nd delta commit triggered inline compaction
+    assert(c.logFiles.isEmpty)
+    assert(t.readUser().select("v").as[String].head() == "a3")
+  }
+
+  test("streaming: AvailableNow drains new raw files into the table via foreachBatch") {
+    val raw = tmp("stream-raw")
+    val ck = tmp("stream-ck")
+    val t = new GraftTable(spark, tmp("stream-table"), Seq("id"),
+      targetFileBytes = 16 * 1024)
+    Seq((1L, "a", "010", false), (2L, "b", "010", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted)
+      .coalesce(1).write.mode("append").parquet(raw)
+    ContinuousIngest.drain(spark, raw, t, ck)
+    assert(t.readUser().count() == 2)
+    val seqAfterFirst = t.latestCommit().get.seq
+
+    // second drain with nothing new: stream checkpoint yields no batch
+    ContinuousIngest.drain(spark, raw, t, ck)
+    assert(t.latestCommit().get.seq == seqAfterFirst)
+
+    // drop an update + a delete, drain again → merged
+    Seq((1L, "a2", "020", false), (2L, "b", "021", true))
+      .toDF("id", "v", "trx_seq", Meta.Deleted)
+      .coalesce(1).write.mode("append").parquet(raw)
+    ContinuousIngest.drain(spark, raw, t, ck)
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().sorted
+    assert(got.toSeq == Seq((1L, "a2")))
+  }
+}
