@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles, distinct per doc: (id, shingle). */
+  /** Word n-gram shingles, distinct per doc: (id, shingle). The word array
+    * is materialized once per row (splitting inside the transform lambda
+    * would re-tokenize per element — O(words²)). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val w = split(col(textCol), " ")
+    val w = col("_w")
     val sh = when(size(w) < n, array().cast("array<string>"))
       .otherwise(expr(
-        s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-          s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(split($textCol, ' '), i + $j)").mkString(", ")}))"))
-    docs.select(col(idCol), explode(sh).as("s"))
+        s"transform(sequence(1, size(_w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(_w, i + $j)").mkString(", ")}))"))
+    docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), explode(sh).as("s"))
       .filter(col("s").isNotNull && length(col("s")) > 0)
       .distinct()
   }
@@ -56,14 +59,17 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash signature column: array of 64 per-permutation minima.
-    * Permutation i is xxhash64(i, shingle) — deterministic, no stored
-    * hash family. One aggregation over the shingle index.
+  /** MinHash signature column: array of 64 per-permutation minima. The
+    * shingle string is hashed ONCE (xxhash64); permutation i re-hashes
+    * only the resulting long, xxhash64(i, h) — 1 string hash + 64 long
+    * hashes per shingle instead of 64 string hashes. One aggregation over
+    * the shingle index, no stored hash family.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, perms: Int = 64): DataFrame = {
+    val hashed = sh.withColumn("_h", xxhash64(col("s")))
     val mins: Seq[Column] =
-      (0 until perms).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      (0 until perms).map(i => min(xxhash64(lit(i), col("_h"))).as(s"h$i"))
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until perms).map(i => col(s"h$i")): _*).as("sig"))
   }
 

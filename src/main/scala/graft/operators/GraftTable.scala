@@ -256,9 +256,14 @@ class GraftTable(
 
     val seq = prev.seq + 1
     val estBytes = affected.map(_.bytes).sum + math.min(planBytes(batch), 1L << 40)
-    val newFiles = writeFiles(live, seq, estBytes)
-    timeline.commit(Commit(seq, "upsert", untouched ++ newFiles,
-      schemaJson(live), checkpoint, System.currentTimeMillis()))
+    // repartitionByRange samples its child to compute range bounds, which
+    // would re-execute the whole merge; persist so merge runs once
+    val persisted = live.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newFiles = writeFiles(persisted, seq, estBytes)
+      timeline.commit(Commit(seq, "upsert", untouched ++ newFiles,
+        schemaJson(live), checkpoint, System.currentTimeMillis()))
+    } finally persisted.unpersist(blocking = false)
   }
 
   /** T4 — MERGE_ON_READ delta commit: the deduped batch is appended as
@@ -322,9 +327,13 @@ class GraftTable(
       throw new IllegalStateException(s"no commits at $root"))
     val seq = prev.seq + 1
     val est = (prev.files ++ prev.logFiles).map(_.bytes).sum
-    val files = writeFiles(mergedView(prev), seq, est)
-    timeline.commit(Commit(seq, "compact", files, prev.schemaJson,
-      prev.checkpoint, System.currentTimeMillis()))
+    // persist: range-bound sampling must not re-run the base⋈log merge
+    val merged = mergedView(prev).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val files = writeFiles(merged, seq, est)
+      timeline.commit(Commit(seq, "compact", files, prev.schemaJson,
+        prev.checkpoint, System.currentTimeMillis()))
+    } finally merged.unpersist(blocking = false)
   }
 
   /** Snapshot read. COW (or compacted MOR): plain parquet scan of the
