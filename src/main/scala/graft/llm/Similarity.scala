@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Two paths:
@@ -21,22 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+  /** Dot product via the native codegen'd [[graft.functions.FloatVectorDot]]
+    * expression — bit-identical to the zip_with/aggregate composable form
+    * (same left-to-right double accumulation), one fused loop. */
+  private def dot(a: String, b: String) =
+    VectorFunctions.floatDot(col(a), col(b))
 
-  private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
+  private def norm(a: String) = sqrt(dot(a, a))
 
   /** Exact cosine top-k for each query vector (queries = `queryPred` subset
     * of the corpus, excluded from their own result lists). */
   def bruteTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val q = emb.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("qv"))
     val scored = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos",
-        expr(dotExpr("qv", "nv")) / (expr(normExpr("qv")) * expr(normExpr("nv"))))
+      .withColumn("cos", dot("qv", "nv") / (norm("qv") * norm("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
@@ -49,6 +53,7 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, cellCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
     val dims = emb.select(size(col(vecCol))).first().getInt(0)
     val centroids = emb.groupBy(col(cellCol).as("cell"))
       .agg(array((0 until dims).map(i =>
@@ -68,8 +73,7 @@ object Similarity {
         emb.select(col(idCol).as("nid"), col(vecCol).as("nv"), col(cellCol).as("cell")),
         Seq("cell"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos",
-        expr(dotExpr("qv", "nv")) / (expr(normExpr("qv")) * expr(normExpr("nv"))))
+      .withColumn("cos", dot("qv", "nv") / (norm("qv") * norm("nv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("FloatVectorDot matches the zip_with/aggregate composable form bit-for-bit") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("a"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("b")))
+      .filter($"ia" < 20 && $"ib" < 20)
+    val both = pairs.select(
+      VectorFunctions.floatDot($"a", $"b").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+        .as("lambda"))
+    assert(both.filter($"native" =!= $"lambda").count() == 0)
+    // mismatched lengths: dot over the common prefix
+    val short = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f, 5.0f))).toDF("a", "b")
+    assert(short.select(VectorFunctions.floatDot($"a", $"b")).as[Double].head() == 11.0)
+  }
+
+  test("FloatVectorDot survives both codegen and interpreted evaluation") {
+    VectorFunctions.register(spark)
+    val df = Seq((Seq(1.5f, -2.0f), Seq(2.0f, 0.5f))).toDF("a", "b")
+    val expected = 1.5 * 2.0 + -2.0 * 0.5
+    assert(df.select(VectorFunctions.floatDot($"a", $"b")).as[Double].head() == expected)
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(df.select(VectorFunctions.floatDot($"a", $"b")).as[Double].head() == expected)
+    }
+  }
+
+  private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
