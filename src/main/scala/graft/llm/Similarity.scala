@@ -47,6 +47,24 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding-cosine near-dup: the most-similar vector pairs (or all
+    * pairs ≥ a threshold). This is the exact all-pairs baseline — at
+    * corpus scale the candidate set comes from [[ivfTopK]]-style cell
+    * bucketing or hyperplane LSH instead of the quadratic join. */
+  def cosineTopPairs(emb: DataFrame, idCol: String, vecCol: String,
+      topN: Int = 20): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val n = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nm", sqrt(VectorFunctions.floatDot(col("v"), col("v"))))
+    val a = n.select(col("id").as("ia"), col("v").as("va"), col("nm").as("na"))
+    val b = n.select(col("id").as("ib"), col("v").as("vb"), col("nm").as("nb"))
+    a.join(b, col("ia") < col("ib"))
+      .withColumn("cos", VectorFunctions.floatDot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .orderBy(col("cos").desc, col("ia"), col("ib"))
+      .limit(topN)
+      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF-bucketed ANN: centroids from a grouping column (here the coarse
     * quantizer is pre-assigned; at scale it comes from a k-means pass),
     * queries probe the `nprobe` nearest centroids, search only those cells.

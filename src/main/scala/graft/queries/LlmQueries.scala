@@ -30,6 +30,8 @@ object LlmQueries {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
         col("vec_id") < 20, k = 5, nprobe = 2)),
+    "dedup_cosine" -> ((s, dir) =>
+      Similarity.cosineTopPairs(t(s, dir, "embeddings"), "vec_id", "embedding", topN = 20)),
 
     // ---- text analysis
     "text_stats" -> ((s, dir) =>
@@ -83,6 +85,17 @@ object LlmQueries {
            (SELECT qid, nid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s)
          WHERE rnk <= 5""",
+
+    "dedup_cosine" ->
+      """WITH n AS (SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') / (a.nm * b.nm) AS cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT ia, ib, round(cos, 6) AS cos FROM p
+         ORDER BY cos DESC, ia, ib LIMIT 20""",
 
     "text_stats" ->
       """SELECT doc_id,

@@ -145,6 +145,23 @@ class MergeSpec extends AnyFunSuite {
     assert(t.readUser().select("v").as[String].head() == "a6")
   }
 
+  test("stale writer lock is broken; live lock is not") {
+    val root = tmp()
+    val t = new GraftTable(spark, root, Seq("id"), staleLockMs = 200)
+    // live lock blocks a second writer
+    t.withLock {
+      assertThrows[IllegalStateException](t.withLock(()))
+    }
+    // crashed-writer lock (older than staleLockMs) is broken and re-acquired
+    val lock = java.nio.file.Paths.get(root, "_graft", "writer.lock")
+    java.nio.file.Files.createDirectories(lock.getParent)
+    java.nio.file.Files.writeString(lock, "dead 0")
+    Thread.sleep(300)
+    var ran = false
+    t.withLock { ran = true }
+    assert(ran)
+  }
+
   test("partitioned table writes hive-style dirs and prunes partitions") {
     val t = new GraftTable(spark, tmp(), Seq("id"), partitionFields = Seq("dt"))
     t.bulkInsert(Seq(

@@ -127,6 +127,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(byTable("public.missing").attempts == 2) // one retry
   }
 
+  test("raw zone scan recurses into date-partition subdirs (DMS layout)") {
+    val dir = Files.createTempDirectory("graft-datedirs").toString
+    Seq((1L, "a", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
+      .coalesce(1).write.parquet(s"$dir/2024/01/01")
+    Seq((2L, "b", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
+      .coalesce(1).write.parquet(s"$dir/2024/01/02")
+    assert(CdcSource.readRaw(spark, dir).count() == 2)
+    assert(CdcSource.listDataFiles(spark, dir).size == 2)
+    val Some((df, _)) = CdcSource.readIncremental(spark, dir, None)
+    assert(df.count() == 2)
+  }
+
   test("incremental watermark totally orders files sharing an mtime") {
     val dir = Files.createTempDirectory("graft-wm").toString
     Seq((1L, "a", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
