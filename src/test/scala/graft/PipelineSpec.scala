@@ -127,6 +127,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(byTable("public.missing").attempts == 2) // one retry
   }
 
+  test("schema evolution flows through a delta run (new column null-padded)") {
+    val base = Files.createTempDirectory("graft-pipe-evo").toString
+    val raw = s"$base/raw"; val curated = s"$base/curated"
+    seedRaw(raw)
+    val cfgPath = writeConfig(base, raw, curated)
+    Pipeline.run(spark, ConfigLoader.load(cfgPath, "demo", "bulk_insert"))
+    Thread.sleep(20)
+    // CDC batch carries a brand-new column
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(3)
+      .withColumn("o_channel", lit("web"))
+      .withColumn("trx_seq", lit("00000000000000000009"))
+      .withColumn(Meta.Deleted, lit(false))
+      .coalesce(1).write.mode("append").parquet(s"$raw/public/orders")
+    val cfg = ConfigLoader.load(cfgPath, "demo", "delta")
+    assert(Pipeline.run(spark, cfg).ok)
+    val snap = IngestJob.openTable(spark, cfg, cfg.tables.find(_.name == "public.orders").get)
+      .readUser()
+    assert(snap.columns.contains("o_channel"))
+    assert(snap.filter($"o_channel" === "web").count() == 3)
+    assert(snap.filter($"o_channel".isNull).count() == snap.count() - 3)
+  }
+
+  test("MERGE_ON_READ table through the config-driven pipeline, inline compaction") {
+    val base = Files.createTempDirectory("graft-pipe-mor").toString
+    val raw = s"$base/raw"; val curated = s"$base/curated"
+    seedRaw(raw)
+    val json =
+      s"""[
+         |{"config":"pipeline::bulk_insert","identifier":"demo",
+         | "raw_root":"$raw","curated_root":"$curated"},
+         |{"config":"pipeline::delta","identifier":"demo",
+         | "raw_root":"$raw","curated_root":"$curated"},
+         |{"config":"table::public.orders","identifier":"demo",
+         | "hudi_config":{"record_key":"o_orderkey","source_ordering_field":"trx_seq",
+         |   "table_type":"MERGE_ON_READ","compact_every":2}}
+         |]""".stripMargin
+    val cfgPath = Paths.get(base, "configs.json"); Files.writeString(cfgPath, json)
+    Pipeline.run(spark, ConfigLoader.load(cfgPath.toString, "demo", "bulk_insert"))
+    val cfg = ConfigLoader.load(cfgPath.toString, "demo", "delta")
+    val table = IngestJob.openTable(spark, cfg, cfg.tables.head)
+    val expected = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+
+    def dropUpdate(seq: String, status: String): Unit = {
+      Thread.sleep(20)
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet").limit(5)
+        .withColumn("o_orderstatus", lit(status))
+        .withColumn("trx_seq", lit(seq))
+        .withColumn(Meta.Deleted, lit(false))
+        .coalesce(1).write.mode("append").parquet(s"$raw/public/orders")
+      assert(Pipeline.run(spark, cfg).ok)
+    }
+    dropUpdate("00000000000000000005", "M1")
+    assert(table.latestCommit().get.action == "delta_commit")
+    dropUpdate("00000000000000000006", "M2")
+    // second delta commit hit compact_every=2 → inline compaction ran
+    assert(table.latestCommit().get.action == "compact")
+    assert(table.latestCommit().get.logFiles.isEmpty)
+    assert(table.readUser().count() == expected)
+    assert(table.readUser().filter($"o_orderstatus" === "M2").count() == 5)
+  }
+
   test("raw zone scan recurses into date-partition subdirs (DMS layout)") {
     val dir = Files.createTempDirectory("graft-datedirs").toString
     Seq((1L, "a", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
