@@ -71,6 +71,16 @@ object RelationalOracles {
            ON s.s_nationkey = c.c_nationkey AND s.s_acctbal < c.c_acctbal
          GROUP BY s_nationkey""",
 
+    "tr2_join_range" ->
+      """SELECT pid, COUNT(hit) AS n_clicks_30m FROM (
+           SELECT p.pid, CASE WHEN c.cts <= p.pts
+                    AND c.cts >= p.pts - INTERVAL 30 MINUTE THEN 1 END AS hit
+           FROM (SELECT user_id, event_id AS pid, ts AS pts FROM events
+                 WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT user_id, ts AS cts FROM events
+                      WHERE event_type = 'click') c USING (user_id))
+         GROUP BY pid""",
+
     "tr2_join_asof" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
          m AS (SELECT p.event_id, p.ts,
@@ -102,6 +112,11 @@ object RelationalOracles {
     "tr3_agg_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+
+    "tr3_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
 
     "tr3_agg_stats" ->
       """SELECT l_returnflag, ROUND(stddev_samp(l_extendedprice), 2) AS sd,

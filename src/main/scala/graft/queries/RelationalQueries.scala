@@ -132,6 +132,21 @@ object RelationalQueries {
           sup("s_acctbal") < cust("c_acctbal"))
         .groupBy($"s_nationkey").agg(count(lit(1)).as("n_pairs"))
     }),
+    "tr2_join_range" -> ((s, dir) => {
+      import s.implicits._
+      // interval join: for each purchase, clicks by the same user in the
+      // preceding 30 minutes — equi on user_id narrows the pair space,
+      // the range predicate rides on the same shuffle
+      val ev = t(s, dir, "events")
+      val p = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("pid"), $"ts".as("pts"))
+      val c = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("cts"))
+      p.join(c, Seq("user_id"), "left")
+        .withColumn("hit",
+          when($"cts" <= $"pts" && $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES"), 1))
+        .groupBy($"pid").agg(count($"hit").as("n_clicks_30m"))
+    }),
     "tr2_join_asof" -> ((s, dir) => {
       import s.implicits._
       // As-of join, Spark-first: tag signups, union-order by time, carry the
@@ -173,6 +188,12 @@ object RelationalQueries {
       import s.implicits._
       t(s, dir, "orders").cube($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("n"))
+    }),
+    "tr3_agg_gsets" -> ((s, dir) => {
+      Q.views(s, dir, "lineitem")
+      s.sql("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     }),
     "tr3_agg_stats" -> ((s, dir) => {
       import s.implicits._
