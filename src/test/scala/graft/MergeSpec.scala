@@ -145,6 +145,17 @@ class MergeSpec extends AnyFunSuite {
     assert(t.readUser().select("v").as[String].head() == "a6")
   }
 
+  test("empty CDC batch on a partitioned table is a no-op commit (no crash)") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), partitionFields = Seq("dt"))
+    val df = Seq((1L, "a", "2024-01-01", "01", false), (2L, "b", "2024-01-02", "01", false))
+      .toDF("id", "v", "dt", "trx_seq", Meta.Deleted)
+    t.bulkInsert(df)
+    val before = t.latestCommit().get.files.map(_.path).toSet
+    val c = t.upsert(df.limit(0))
+    assert(c.files.map(_.path).toSet == before)
+    assert(t.readUser().count() == 2)
+  }
+
   test("stale writer lock is broken; live lock is not") {
     val root = tmp()
     val t = new GraftTable(spark, root, Seq("id"), staleLockMs = 200)
