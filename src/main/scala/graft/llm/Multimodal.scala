@@ -45,6 +45,33 @@ object Multimodal {
     (f0, fmid, payload.length.toLong)
   }
 
+  /** STUB — "resize": a real implementation decodes + rescales the image;
+    * the stand-in truncates the payload to `maxBytes`, preserving the
+    * pipeline shape (binary in → smaller binary out). */
+  def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] =
+    payload.take(maxBytes)
+
+  /** STUB — "frame sample": a real implementation decodes a video and
+    * keeps every k-th frame; the stand-in keeps every k-th byte. */
+  def frameSampleStub(payload: Array[Byte], k: Int): Array[Byte] =
+    payload.grouped(k).map(_.head).toArray
+
+  /** Decode/resize/frame-sample over the binary column — partition-
+    * parallel, stubbed codecs, real schema and batch shape. */
+  def transform(spark: SparkSession, binTable: DataFrame, idCol: String,
+      resizeTo: Int = 64, sampleEvery: Int = 7): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val resized = resizeStub(payload, resizeTo)
+          val sampled = frameSampleStub(payload, sampleEvery)
+          (id, resized, resized.length, sampled.length)
+        }
+      }
+      .toDF("id", "resized", "n_resized", "n_sampled")
+  }
+
   /** Partition-parallel feature extraction over the binary column via
     * typed mapPartitions — the decode loop runs once per executor
     * partition (codec init amortized across the batch), never on the

@@ -54,7 +54,12 @@ object LlmQueries {
           sha2(col("payload"), 256).as("b_sha"))),
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
-        Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id"))
+        Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+    "mm_transform" -> ((s, dir) =>
+      Multimodal.transform(s,
+          Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id")
+        .select(col("id"), sha2(col("resized"), 256).as("r_sha"),
+          col("n_resized"), col("n_sampled")))
   )
 
   private val langScore: String => String = markers =>
@@ -150,6 +155,15 @@ object LlmQueries {
          CAST(ascii(substr(text, 1, 1)) AS INT) AS f0,
          CAST(ascii(substr(text, CAST(floor(length(text) / 2) AS INT) + 1, 1)) AS INT) AS fmid,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         FROM documents""",
+
+    // ASCII corpus: byte truncation == substr; every-7th-byte count is
+    // ceil(len / 7)
+    "mm_transform" ->
+      """SELECT doc_id AS id,
+         sha256(substr(text, 1, 64)) AS r_sha,
+         CAST(least(length(text), 64) AS INT) AS n_resized,
+         CAST(CAST(ceil(length(text) / 7.0) AS BIGINT) AS INT) AS n_sampled
          FROM documents"""
   )
 

@@ -255,6 +255,12 @@ object RelationalOracles {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
          FROM events GROUP BY 1""",
 
+    "tr7_json_struct" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         CAST(to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INTEGER))) AS VARCHAR) AS j_out
+         FROM events WHERE event_id < 200""",
+
     "tr7_map" ->
       """SELECT user_id, event_type, COUNT(*) AS n
          FROM events GROUP BY user_id, event_type""",

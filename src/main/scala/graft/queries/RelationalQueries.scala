@@ -378,6 +378,15 @@ object RelationalQueries {
         .groupBy($"k_bucket")
         .agg(count(lit(1)).as("n"), money($"value").as("total"))
     }),
+    "tr7_json_struct" -> ((s, dir) => {
+      import s.implicits._
+      // from_json into a typed struct, project through it, re-serialize
+      t(s, dir, "events")
+        .withColumn("j", from_json($"props", lit("k INT")))
+        .select($"event_id", $"j.k".as("k"),
+          to_json(struct($"j.k".as("k"))).as("j_out"))
+        .filter($"event_id" < 200)
+    }),
     "tr7_map" -> ((s, dir) => {
       import s.implicits._
       // build a per-user map event_type → count, then explode it back —
