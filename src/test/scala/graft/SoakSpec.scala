@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Meta
+import graft.operators.GraftTable
+
+/** Long-timeline soak: many CDC cycles with cleaning + archiving running
+  * continuously (the reference's steady state: delta every 2h, retain 5
+  * commits, archive past 10 — handler.py:88-93). The snapshot must stay
+  * equal to the stateful reduction at every step, and storage must not
+  * leak: after clean, no data file on disk is unreferenced by a retained
+  * manifest.
+  */
+class SoakSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  case class Ev(id: Long, v: String, seq: Int, del: Boolean)
+
+  private def applyBatch(state: Map[Long, Ev], batch: Seq[Ev]): Map[Long, Ev] = {
+    val combined = batch.groupBy(_.id).map { case (id, vs) => id -> vs.maxBy(e => (e.seq, e.del)) }
+    combined.foldLeft(state) { case (st, (id, w)) =>
+      val winner = st.get(id) match {
+        case Some(ex) => if (Ordering[(Int, Boolean)].gt((w.seq, w.del), (ex.seq, ex.del))) w else ex
+        case None => w
+      }
+      if (winner.del) st - id else st.updated(id, winner)
+    }
+  }
+
+  test("20 CDC cycles with continuous clean+archive: snapshot correct, no storage leak") {
+    val rnd = new scala.util.Random(11)
+    val root = Files.createTempDirectory("graft-soak").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 8 * 1024)
+    var state = Map.empty[Long, Ev]
+    var seqCounter = 0
+
+    (1 to 20).foreach { cycle =>
+      val batch = (1 to (3 + rnd.nextInt(12))).map { _ =>
+        seqCounter += 1
+        Ev(1L + rnd.nextInt(30), f"v$seqCounter", seqCounter, rnd.nextInt(6) == 0)
+      }
+      t.upsert(batch.map(e => (e.id, e.v, f"${e.seq}%05d", e.del))
+        .toDF("id", "v", "trx_seq", Meta.Deleted))
+      state = applyBatch(state, batch)
+      t.clean(retainCommits = 3)
+      t.archive(keepLast = 5)
+
+      val got = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+      assert(got == state.map { case (k, e) => k -> e.v }, s"cycle $cycle diverged")
+    }
+
+    // timeline bounded by archiving
+    assert(t.history().size <= 5)
+
+    // no leaked data files: everything on disk under data/ is referenced by
+    // a retained commit (clean may legitimately keep files shared with them)
+    val referenced = t.history().flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet
+    val dataDir = Paths.get(root, "data")
+    val onDisk = java.nio.file.Files.walk(dataDir).iterator()
+    var leaked = List.empty[String]
+    while (onDisk.hasNext) {
+      val p = onDisk.next()
+      if (java.nio.file.Files.isRegularFile(p) && p.toString.endsWith(".parquet")) {
+        val rel = Paths.get(root).relativize(p).toString
+        if (!referenced.contains(rel)) leaked ::= rel
+      }
+    }
+    assert(leaked.isEmpty, s"unreferenced files left on disk: $leaked")
+  }
+}
