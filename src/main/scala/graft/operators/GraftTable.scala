@@ -255,12 +255,18 @@ class GraftTable(
       else merged
 
     val seq = prev.seq + 1
-    val estBytes = affected.map(_.bytes).sum + math.min(planBytes(batch), 1L << 40)
     // repartitionByRange samples its child to compute range bounds, which
     // would re-execute the whole merge; persist so merge runs once
     val persisted = live.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val newFiles = writeFiles(persisted, seq, estBytes)
+      // exact output size estimate: materialized row count × the table's
+      // observed compressed row width (plan stats on a multi-branch batch
+      // union wildly overestimate and would overshard the write)
+      val rows = persisted.count()
+      val prevRows = prev.files.map(_.numRows).sum
+      val rowWidth =
+        if (prevRows > 0) math.max(16L, prev.files.map(_.bytes).sum / prevRows) else 128L
+      val newFiles = writeFiles(persisted, seq, rows * rowWidth)
       timeline.commit(Commit(seq, "upsert", untouched ++ newFiles,
         schemaJson(live), checkpoint, System.currentTimeMillis()))
     } finally persisted.unpersist(blocking = false)
