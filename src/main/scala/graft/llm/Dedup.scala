@@ -60,17 +60,17 @@ object Dedup {
   }
 
   /** MinHash signature column: array of 64 per-permutation minima. The
-    * shingle string is hashed ONCE (xxhash64); permutation i re-hashes
-    * only the resulting long, xxhash64(i, h) — 1 string hash + 64 long
-    * hashes per shingle instead of 64 string hashes. One aggregation over
-    * the shingle index, no stored hash family.
+    * shingle string is hashed ONCE (xxhash64); the permutations re-hash
+    * only the resulting long inside [[graft.functions.MinHashSig]] — a
+    * single native TypedImperativeAggregate holding one 64-long buffer
+    * (vs 64 separate min-aggregate states), bit-identical to
+    * `min(xxhash64(lit(i), h))` per permutation.
     */
   def minhashSignatures(sh: DataFrame, idCol: String, perms: Int = 64): DataFrame = {
-    val hashed = sh.withColumn("_h", xxhash64(col("s")))
-    val mins: Seq[Column] =
-      (0 until perms).map(i => min(xxhash64(lit(i), col("_h"))).as(s"h$i"))
-    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until perms).map(i => col(s"h$i")): _*).as("sig"))
+    graft.functions.MinHashFunctions.register(sh.sparkSession)
+    sh.withColumn("_h", xxhash64(col("s")))
+      .groupBy(col(idCol))
+      .agg(graft.functions.MinHashFunctions.minhashSig(col("_h"), perms).as("sig"))
   }
 
   /** MinHash-LSH near-dup pairs: band the signature (bands × rows = perms),

@@ -35,6 +35,22 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashSig aggregate is bit-identical to 64 composable min(xxhash64(i, h)) columns") {
+    graft.functions.MinHashFunctions.register(spark)
+    val sh = graft.llm.Dedup.shingles(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50),
+      "doc_id", "text")
+    val hashed = sh.withColumn("_h", xxhash64($"s"))
+    val native = hashed.groupBy($"doc_id")
+      .agg(graft.functions.MinHashFunctions.minhashSig($"_h", 64).as("sig"))
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    val mins = (0 until 64).map(i => min(xxhash64(lit(i), $"_h")).as(s"h$i"))
+    val composable = hashed.groupBy($"doc_id").agg(mins.head, mins.tail: _*)
+      .select($"doc_id", array((0 until 64).map(i => col(s"h$i")): _*).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == composable)
+  }
+
   private def withSQLConf[A](pairs: (String, String)*)(f: => A): A = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
