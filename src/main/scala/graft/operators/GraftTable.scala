@@ -196,7 +196,10 @@ class GraftTable(
   private def doUpsert(batch0: DataFrame, checkpoint: Option[String]): Commit = {
     val prev = timeline.latest().getOrElse(
       return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+    // persisted: the precombined batch feeds BOTH the pruning pass and the
+    // merge — without caching, the precombine shuffle would run twice
     val batch = precombine(prepared(batch0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- affected-file pruning (the 100 TB lever)
     // The manifest's intervals are already driver-side; broadcast them
@@ -269,7 +272,10 @@ class GraftTable(
       val newFiles = writeFiles(persisted, seq, rows * rowWidth)
       timeline.commit(Commit(seq, "upsert", untouched ++ newFiles,
         schemaJson(live), checkpoint, System.currentTimeMillis()))
-    } finally persisted.unpersist(blocking = false)
+    } finally {
+      persisted.unpersist(blocking = false)
+      batch.unpersist(blocking = false)
+    }
   }
 
   /** T4 — MERGE_ON_READ delta commit: the deduped batch is appended as

@@ -165,6 +165,13 @@ object RelationalOracles {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""",
 
+    "tr4_window_range" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS trail30d
+         FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""",
+
     "tr5_topk" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM
          (SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -229,6 +236,16 @@ object RelationalOracles {
          round(sqrt(l_quantity), 6) AS sq,
          l_orderkey % 7 AS md,
          CAST(sign(l_discount - 0.05) AS INT) AS sg
+         FROM lineitem WHERE l_orderkey < 500""",
+
+    "tr7_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+         l_orderkey & 255 AS b_and,
+         l_orderkey | 16 AS b_or,
+         xor(l_orderkey, l_partkey) AS b_xor,
+         CAST(l_linenumber << 3 AS INT) AS b_shl,
+         l_orderkey >> 2 AS b_shr,
+         CAST(bit_count(l_orderkey) AS INT) AS b_cnt
          FROM lineitem WHERE l_orderkey < 500""",
 
     "tr7_cond" ->

@@ -267,6 +267,19 @@ object RelationalQueries {
           ntile(4).over(w).as("quartile"))
     }),
 
+    "tr4_window_range" -> ((s, dir) => {
+      import s.implicits._
+      // RANGE frame over a numeric ordering key: trailing-30-day revenue
+      // per customer (peers at the same instant share the frame)
+      val w = Window.partitionBy($"o_custkey").orderBy($"epoch_s")
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("epoch_s", unix_timestamp($"o_orderdate"))
+        .select($"o_orderkey",
+          sum($"o_totalprice".cast("decimal(18,2)")).over(w)
+            .cast("decimal(38,2)").as("trail30d"))
+    }),
+
     // ---------------------------------------------------------------- TR5
     "tr5_topk" -> ((s, dir) => {
       import s.implicits._
@@ -347,6 +360,17 @@ object RelationalQueries {
         round(sqrt($"l_quantity"), 6).as("sq"),
         ($"l_orderkey" % 7).as("md"),
         signum($"l_discount" - 0.05).cast("int").as("sg"))
+    }),
+    "tr7_bitwise" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem").filter($"l_orderkey" < 500).select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_orderkey".bitwiseAND(255)).as("b_and"),
+        ($"l_orderkey".bitwiseOR(16)).as("b_or"),
+        ($"l_orderkey".bitwiseXOR($"l_partkey")).as("b_xor"),
+        shiftleft($"l_linenumber", 3).as("b_shl"),
+        shiftright($"l_orderkey", 2).as("b_shr"),
+        bit_count($"l_orderkey").as("b_cnt"))
     }),
     "tr7_cond" -> ((s, dir) => {
       import s.implicits._
