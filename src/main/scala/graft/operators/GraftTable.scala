@@ -368,6 +368,22 @@ class GraftTable(
   /** Snapshot read without engine meta columns. */
   def readUser(): DataFrame = read().drop(Meta.RecordKey)
 
+  /** Time travel: the snapshot as of commit `seq` (must still be on the
+    * active timeline — cleaning bounds how far back this reaches, exactly
+    * like Hudi's retained-commit window, handler.py:90-91). */
+  def readAsOf(seq: Long): DataFrame = {
+    val c = timeline.read(seq)
+    if (c.logFiles.nonEmpty) mergedView(c)
+    else {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (c.files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).option("basePath", root)
+        .parquet(c.files.map(f => s"$root/${f.path}"): _*)
+    }
+  }
+
   def latestCommit(): Option[Commit] = timeline.latest()
   def latestCheckpoint(): Option[String] = timeline.latest().flatMap(_.checkpoint)
 

@@ -172,6 +172,13 @@ object CdcQueries {
     "mor_compacted" -> ((s, dir) => statusAgg(CdcScenario.morCompacted(s, dir))),
     // S3/ST2: Structured Streaming ingest of the same batches
     "st_stream_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamed(s, dir))),
+    // time travel: snapshot as of commit 1 (full load + batch A only)
+    "cdc_timetravel" -> ((s, dir) => {
+      val t = CdcScenario.main(s, dir)
+      t.readAsOf(1).drop(Meta.RecordKey)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+    }),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -230,6 +237,17 @@ object CdcQueries {
     "cdc_cluster" -> statusAggSql,
     "cdc_services" -> statusAggSql,
     "cdc_idempotent" -> statusAggSql,
+    // state after batch A only: %97 keys deleted, %10 updated (+1000),
+    // stale rows lost, inserted keys present
+    "cdc_timetravel" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+         FROM orders WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N', CAST(o_totalprice AS DECIMAL(18,2))
+         FROM orders WHERE o_orderkey % 1000 = 1""",
     "mor_snapshot" -> statusAggSql,
     "mor_compacted" -> statusAggSql,
     "st_stream_ingest" -> statusAggSql,
