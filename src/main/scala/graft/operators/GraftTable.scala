@@ -368,6 +368,26 @@ class GraftTable(
   /** Snapshot read without engine meta columns. */
   def readUser(): DataFrame = read().drop(Meta.RecordKey)
 
+  /** Incremental query: rows from files ADDED by commits after `sinceSeq`
+    * — the downstream-consumer analog of Hudi's incremental pull. COW
+    * granularity is the affected region (rewritten files carry unchanged
+    * neighbors of changed keys); every key changed since `sinceSeq` is
+    * guaranteed present. MOR delta logs are change-exact.
+    */
+  def readChangesSince(sinceSeq: Long): DataFrame = {
+    val latest = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val baseline = timeline.read(sinceSeq)
+    val old = (baseline.files ++ baseline.logFiles).map(_.path).toSet
+    val added = (latest.files ++ latest.logFiles).filterNot(f => old(f.path))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(latest.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).option("basePath", root)
+      .parquet(added.map(f => s"$root/${f.path}"): _*)
+  }
+
   /** Time travel: the snapshot as of commit `seq` (must still be on the
     * active timeline — cleaning bounds how far back this reaches, exactly
     * like Hudi's retained-commit window, handler.py:90-91). */

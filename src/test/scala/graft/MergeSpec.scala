@@ -145,6 +145,22 @@ class MergeSpec extends AnyFunSuite {
     assert(t.readUser().select("v").as[String].head() == "a6")
   }
 
+  test("time travel and incremental changes over the timeline") {
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq((1L, "a", "010", false), (2L, "b", "010", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    t.upsert(Seq((1L, "a2", "020", false), (3L, "c", "020", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    // as-of commit 0: original state
+    val asOf0 = t.readAsOf(0).select("id", "v").as[(Long, String)].collect().sorted
+    assert(asOf0.toSeq == Seq((1L, "a"), (2L, "b")))
+    // changes since commit 0 must contain every changed/new key
+    val changed = t.readChangesSince(0).select("id").as[Long].collect().toSet
+    assert(Set(1L, 3L).subsetOf(changed))
+    // no changes since the latest commit
+    assert(t.readChangesSince(t.latestCommit().get.seq).count() == 0)
+  }
+
   test("empty CDC batch on a partitioned table is a no-op commit (no crash)") {
     val t = new GraftTable(spark, tmp(), Seq("id"), partitionFields = Seq("dt"))
     val df = Seq((1L, "a", "2024-01-01", "01", false), (2L, "b", "2024-01-02", "01", false))
