@@ -139,6 +139,28 @@ class Timeline(tableRoot: String) {
       JsonMethods.parse(Files.readString(p)).extract[Seq[Commit]]
     }
 
+  /** Rollback: discard every commit after `toSeq` and delete the data
+    * files only those commits reference (restore-to-savepoint; the
+    * operational escape hatch for a bad batch). Single-writer context —
+    * callers hold the table lock.
+    */
+  def rollback(toSeq: Long): Int = {
+    val seqs = listCommitSeqs()
+    require(seqs.contains(toSeq), s"commit $toSeq not on the active timeline")
+    val doomed = seqs.filter(_ > toSeq)
+    val keepPaths: Set[String] =
+      (seqs.filterNot(_ > toSeq).map(read) ++ readArchived())
+        .flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet
+    val dead = doomed.map(read)
+      .flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet -- keepPaths
+    dead.foreach { rel =>
+      val p = Paths.get(tableRoot, rel)
+      if (Files.exists(p)) Files.delete(p)
+    }
+    doomed.foreach(s => Files.delete(commitPath(s)))
+    doomed.size
+  }
+
   /** T2 cleaning (reference handler.py:90-91: retain N commits of history):
     * delete data files referenced ONLY by commits older than the retained
     * window. Archived commits are included in the dead-set computation so

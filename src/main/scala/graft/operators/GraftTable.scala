@@ -423,6 +423,10 @@ class GraftTable(
       prev.checkpoint, System.currentTimeMillis()))
   }
 
+  /** Rollback the table to commit `toSeq`, discarding later commits and
+    * their exclusive data files. */
+  def rollback(toSeq: Long): Int = withLock(timeline.rollback(toSeq))
+
   /** T2 cleaning — retain `retainCommits` snapshot versions (handler.py:90-91). */
   def clean(retainCommits: Int = 5): Int = timeline.clean(retainCommits)
 
