@@ -40,6 +40,14 @@ object LlmQueries {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "lang", "text")),
+    // rolling-hash fingerprint — no DuckDB oracle (wrapping 64-bit
+    // arithmetic isn't expressible there); exactness pinned by
+    // StatefulStreamSpec against a JVM reference implementation
+    "text_rolling_hash" -> ((s, dir) => {
+      graft.functions.RollingHashFunctions.register(s)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.RollingHashFunctions.rollingHash(col("text")).as("rh"))
+    }),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("source"))
