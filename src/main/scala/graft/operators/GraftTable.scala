@@ -44,7 +44,8 @@ class GraftTable(
     val targetFileBytes: Long = GraftTable.DefaultTargetFileBytes,
     val staleLockMs: Long = GraftTable.DefaultStaleLockMs,
     val tableType: String = GraftTable.CopyOnWrite,
-    val compactEvery: Int = 0) {
+    val compactEvery: Int = 0,
+    val globalIndex: Boolean = true) {
 
   private val timeline = new Timeline(root)
   private def dataDir(seq: Long) = s"data/c$seq"
@@ -154,6 +155,24 @@ class GraftTable(
 
   private def schemaJson(df: DataFrame): String = df.schema.json
 
+  /** Scan a manifest file list with the pinned schema. Files are grouped
+    * by commit directory before reading: hive-style partition inference
+    * requires identical non-partition path segments across all leaves, so
+    * a mixed list (carried-forward + fresh files from different commits)
+    * must be scanned per commit dir and unioned — each scan keeps full
+    * pushdown, and the union is by name so schema evolution holds.
+    */
+  private def scanFiles(files: Seq[DataFile],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val byCommitDir = files.groupBy(f => f.path.split("/").take(2).mkString("/"))
+    byCommitDir.values.map { fs =>
+      spark.read.schema(schema).option("basePath", root)
+        .parquet(fs.map(f => s"$root/${f.path}"): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   // ------------------------------------------------------------- operations
 
   /** M4 bulk insert: full-load files → new table, no merge, PARTITION_SORT
@@ -204,31 +223,50 @@ class GraftTable(
     // ---- affected-file pruning (the 100 TB lever)
     // The manifest's intervals are already driver-side; broadcast them
     // sorted and binary-search per batch key (O(keys·log files)) instead of
-    // a nested-loop interval join (O(keys·files)).
-    // sorted by minKey; prefixMaxEnd[i] = max(maxKey[0..i]) lets the
-    // left-scan stop as soon as no earlier interval can reach k
-    val sortedIvs: Array[(String, String, String)] =
-      prev.files.map(f => (f.minKey, f.maxKey, f.path)).sortBy(_._1).toArray
-    val prefixMaxEnd: Array[String] =
-      sortedIvs.scanLeft("")((acc, iv) => if (acc >= iv._2) acc else iv._2).drop(1)
-    val bcIvs = spark.sparkContext.broadcast((sortedIvs, prefixMaxEnd))
-    val findFiles = udf { (k: String) =>
-      val (ivs, maxEnd) = bcIvs.value
-      var lo = 0; var hi = ivs.length - 1; var pos = -1
-      while (lo <= hi) { // rightmost interval with minKey <= k
-        val mid = (lo + hi) >>> 1
-        if (ivs(mid)._1 <= k) { pos = mid; lo = mid + 1 } else hi = mid - 1
+    // a nested-loop interval join (O(keys·files)). With a non-global index
+    // on a partitioned table (Hudi's default index scope), intervals are
+    // grouped per partition and a key probes only its own partition's
+    // files — a single-partition batch then rewrites only that partition,
+    // not same-keyed ranges everywhere. (Global index keeps one interval
+    // set: keys are unique table-wide and a row may move partitions.)
+    val partitioned = !globalIndex && partitionFields.nonEmpty
+    def partKey(m: Map[String, String]): String =
+      partitionFields.map(f => m.getOrElse(f, GraftTable.NullPartition)).mkString("/")
+    val grouped: Map[String, Array[DataFile]] =
+      if (partitioned) prev.files.toArray.groupBy(f => partKey(f.partition))
+      else Map("" -> prev.files.toArray)
+    val index: Map[String, (Array[(String, String, String)], Array[String])] =
+      grouped.map { case (p, fs) =>
+        val ivs = fs.map(f => (f.minKey, f.maxKey, f.path)).sortBy(_._1)
+        val maxEnd = ivs.scanLeft("")((acc, iv) => if (acc >= iv._2) acc else iv._2).drop(1)
+        p -> (ivs, maxEnd)
       }
-      val out = Seq.newBuilder[String]
-      var i = pos
-      while (i >= 0 && maxEnd(i) >= k) {
-        if (ivs(i)._2 >= k) out += ivs(i)._3
-        i -= 1
+    val bcIvs = spark.sparkContext.broadcast(index)
+    val findFiles = udf { (part: String, k: String) =>
+      bcIvs.value.get(part) match {
+        case None => Seq.empty[String]
+        case Some((ivs, maxEnd)) =>
+          var lo = 0; var hi = ivs.length - 1; var pos = -1
+          while (lo <= hi) { // rightmost interval with minKey <= k
+            val mid = (lo + hi) >>> 1
+            if (ivs(mid)._1 <= k) { pos = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          val out = Seq.newBuilder[String]
+          var i = pos
+          while (i >= 0 && maxEnd(i) >= k) {
+            if (ivs(i)._2 >= k) out += ivs(i)._3
+            i -= 1
+          }
+          out.result()
       }
-      out.result()
     }
+    val partCol =
+      if (partitioned)
+        concat_ws("/", partitionFields.map(f =>
+          coalesce(col(f).cast("string"), lit(GraftTable.NullPartition))): _*)
+      else lit("")
     val affectedPaths: Set[String] = batch
-      .select(explode(findFiles(col(Meta.RecordKey))).as("path"))
+      .select(explode(findFiles(partCol, col(Meta.RecordKey))).as("path"))
       .distinct().collect().map(_.getString(0)).toSet
     val (affected, untouched) = prev.files.partition(f => affectedPaths(f.path))
 
@@ -236,8 +274,7 @@ class GraftTable(
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val existing =
       if (affected.isEmpty) None
-      else Some(spark.read.schema(prevSchema).option("basePath", root)
-        .parquet(affected.map(f => s"$root/${f.path}"): _*))
+      else Some(scanFiles(affected, prevSchema))
 
     val tieExpr: DataFrame => Column = df => struct(
       col(orderingField),
@@ -310,8 +347,7 @@ class GraftTable(
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     def scan(files: Seq[DataFile]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(spark.read.schema(schema).option("basePath", root)
-        .parquet(files.map(f => s"$root/${f.path}"): _*))
+      else Some(scanFiles(files, schema))
     val parts = scan(c.files).toSeq ++ scan(c.logFiles).toSeq
     if (parts.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -357,12 +393,9 @@ class GraftTable(
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (c.logFiles.nonEmpty) mergedView(c)
-    else if (c.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // explicit manifest schema: older files (pre-schema-evolution) null-fill
     // new columns, and no distributed footer-merge pass is needed
-    else spark.read.schema(schema).option("basePath", root)
-      .parquet(c.files.map(f => s"$root/${f.path}"): _*)
+    else scanFiles(c.files, schema)
   }
 
   /** Snapshot read without engine meta columns. */
@@ -382,10 +415,7 @@ class GraftTable(
     val added = (latest.files ++ latest.logFiles).filterNot(f => old(f.path))
     val schema = org.apache.spark.sql.types.DataType.fromJson(latest.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    if (added.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).option("basePath", root)
-      .parquet(added.map(f => s"$root/${f.path}"): _*)
+    scanFiles(added, schema)
   }
 
   /** Time travel: the snapshot as of commit `seq` (must still be on the
@@ -397,10 +427,7 @@ class GraftTable(
     else {
       val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      if (c.files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).option("basePath", root)
-        .parquet(c.files.map(f => s"$root/${f.path}"): _*)
+      scanFiles(c.files, schema)
     }
   }
 
@@ -468,6 +495,8 @@ class GraftTable(
 object GraftTable {
   val CopyOnWrite = "COPY_ON_WRITE"
   val MergeOnRead = "MERGE_ON_READ"
+  /** Hive's null-partition directory name. */
+  val NullPartition = "__HIVE_DEFAULT_PARTITION__"
   /** ~128 MB compressed per data file — the standard DFS sweet spot. */
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
   /** A writer silent for 30 min is presumed dead; its lock is broken. */

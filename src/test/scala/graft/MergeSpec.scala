@@ -145,6 +145,30 @@ class MergeSpec extends AnyFunSuite {
     assert(t.readUser().select("v").as[String].head() == "a6")
   }
 
+  test("non-global index: single-partition batch rewrites only that partition") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), partitionFields = Seq("dt"),
+      targetFileBytes = 4 * 1024, globalIndex = false)
+    // same key ranges in BOTH partitions — a global interval probe would
+    // mark both partitions' files affected
+    val rows = (1 to 300).flatMap(i => Seq(
+      (i.toLong, s"a$i", "2024-01-01", "010", false),
+      (i.toLong + 10000, s"b$i", "2024-01-02", "010", false)))
+    t.bulkInsert(rows.toDF("id", "v", "dt", "trx_seq", Meta.Deleted))
+    val before = t.latestCommit().get.files
+    assert(before.map(_.partition("dt")).toSet == Set("2024-01-01", "2024-01-02"))
+
+    t.upsert(Seq((5L, "a5x", "2024-01-01", "020", false))
+      .toDF("id", "v", "dt", "trx_seq", Meta.Deleted))
+    val after = t.latestCommit().get.files
+    val carried = before.map(_.path).toSet.intersect(after.map(_.path).toSet)
+    // every 2024-01-02 file survived untouched
+    val p2 = before.filter(_.partition("dt") == "2024-01-02").map(_.path).toSet
+    assert(p2.subsetOf(carried), s"partition 2 files rewritten: ${p2 -- carried}")
+    assert(t.readUser().filter($"id" === 5L && $"dt" === "2024-01-01")
+      .select("v").as[String].head() == "a5x")
+    assert(t.readUser().count() == 600)
+  }
+
   test("time travel and incremental changes over the timeline") {
     val t = mkTable(tmp())
     t.bulkInsert(Seq((1L, "a", "010", false), (2L, "b", "010", false))
