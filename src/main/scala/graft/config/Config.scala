@@ -18,6 +18,7 @@ case class TableConfig(
     partitionPath: Seq[String],            // hive-style partition cols (handler.py:103)
     tableType: String,                     // COPY_ON_WRITE | MERGE_ON_READ (handler.py:112)
     compactEvery: Int,                     // MOR inline compaction cadence (handler.py:112-113)
+    globalIndex: Boolean,                  // index scope (Hudi hoodie.index global/non-global analog)
     transformerSql: Option[String],        // TR0 hook (handler.py:115-116)
     enabled: Boolean,                      // P4 (handler.py:131)
     sparkConf: Map[String, String]) {
@@ -89,6 +90,7 @@ object ConfigLoader {
             .flatMap(_.split(",").map(_.trim)),
           tableType = str(hudi, "table_type").getOrElse("COPY_ON_WRITE"),
           compactEvery = (hudi \ "compact_every").extractOpt[Int].getOrElse(3),
+          globalIndex = (hudi \ "global_index").extractOpt[Boolean].getOrElse(true),
           transformerSql = str(hudi, "transformer_sql"),
           enabled = (o \ "enabled").extractOpt[Boolean].getOrElse(true),
           sparkConf = (o \ "spark_conf").extractOpt[Map[String, String]].getOrElse(Map.empty))

@@ -65,7 +65,8 @@ object IngestJob {
       partitionFields = if (tc.isPartitioned) tc.partitionPath else Seq.empty,
       orderingField = tc.sourceOrderingField,
       tableType = tc.tableType,
-      compactEvery = if (tc.tableType == GraftTable.MergeOnRead) tc.compactEvery else 0)
+      compactEvery = if (tc.tableType == GraftTable.MergeOnRead) tc.compactEvery else 0,
+      globalIndex = tc.globalIndex)
 
   def run(spark: SparkSession, pipe: PipelineConfig, tc: TableConfig): TableResult = {
     val t0 = System.currentTimeMillis()

@@ -66,11 +66,12 @@ object CdcScenario {
 
   private def build(s: SparkSession, dir: String, key: String,
       partitionFields: Seq[String] = Seq.empty,
-      tableType: String = GraftTable.CopyOnWrite)(extra: GraftTable => Unit): GraftTable =
+      tableType: String = GraftTable.CopyOnWrite,
+      globalIndex: Boolean = true)(extra: GraftTable => Unit): GraftTable =
     cache.getOrElseUpdate(s"$key:$dir", {
       val root = Files.createTempDirectory(s"graft-cdc-$key").toString
       val t = new GraftTable(s, root, Seq("o_orderkey"), partitionFields,
-        targetFileBytes = 1024 * 1024, tableType = tableType)
+        targetFileBytes = 1024 * 1024, tableType = tableType, globalIndex = globalIndex)
       t.bulkInsert(fullLoad(s, dir))
       t.upsert(batchA(s, dir))
       t.upsert(batchB(s, dir))
@@ -84,6 +85,11 @@ object CdcScenario {
   /** Hive-style partitioned variant (M6). */
   def partitioned(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "part", Seq("o_orderpriority"))(_ => ())
+
+  /** Partitioned with a partition-scoped (non-global) index: same final
+    * state, partition-local write amplification. */
+  def partitionedNonGlobal(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "partng", Seq("o_orderpriority"), globalIndex = false)(_ => ())
 
   /** Clustered after ingest (T1). */
   def clustered(s: SparkSession, dir: String): GraftTable =
@@ -161,6 +167,12 @@ object CdcQueries {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))),
+    // M6 + non-global index: partition-scoped pruning, same merged result
+    "cdc_partitioned_nonglobal" -> ((s, dir) =>
+      CdcScenario.partitionedNonGlobal(s, dir).readUser()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))),
     // T1: clustering rewrites files, snapshot must be unchanged
     "cdc_cluster" -> ((s, dir) => statusAgg(CdcScenario.clustered(s, dir))),
     // T2+T3: clean + archive leave the latest snapshot intact
@@ -230,6 +242,11 @@ object CdcQueries {
            (CAST(1 AS BIGINT), 'upsert', true),
            (CAST(2 AS BIGINT), 'upsert', true)) AS t(seq, action, has_files)""",
     "cdc_partitioned" ->
+      s"""$finalState
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(price) AS DECIMAL(38,2)) AS total
+         FROM final GROUP BY o_orderpriority""",
+    "cdc_partitioned_nonglobal" ->
       s"""$finalState
          SELECT o_orderpriority, COUNT(*) AS n,
            CAST(SUM(price) AS DECIMAL(38,2)) AS total
