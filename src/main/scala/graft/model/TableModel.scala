@@ -29,8 +29,14 @@ object Meta {
   val Ordering = "trx_seq"
   /** Soft-delete tombstone (reference: _hoodie_is_deleted). */
   val Deleted = "_hoodie_is_deleted"
+  /** Commit sequence the row version was written in — the deterministic
+    * last tie-break for merges: on equal (trx_seq, tombstone) the LATER
+    * commit wins, matching Hudi's incoming-wins-on-equal-ordering payload
+    * semantics. Without it, a zone lacking trx_seq (constant injected
+    * ordering) would resolve cross-batch updates arbitrarily. */
+  val CommitSeq = "_graft_commit_seq"
 
-  def isMeta(col: String): Boolean = col == RecordKey
+  def isMeta(col: String): Boolean = col == RecordKey || col == CommitSeq
 }
 
 /** Key generators — reference handler.py:97-110: SimpleKeyGenerator (1 col),

@@ -81,11 +81,14 @@ class Timeline(tableRoot: String) {
 
   def latest(): Option[Commit] = latestSeq().map(read)
 
-  /** Atomic commit: serialize → unique temp file → rename into place.
+  /** Atomic commit: serialize → unique temp file → PUBLISH as a hard link.
     *
-    * Concurrency: the rename does NOT replace an existing target (no
-    * ATOMIC_MOVE/REPLACE), so of two racing writers that computed the same
-    * next seq exactly one wins; the loser gets FileAlreadyExistsException.
+    * Concurrency: link(2) atomically creates the target with its full
+    * content and fails with EEXIST if it already exists — no
+    * check-then-rename window (Files.move without REPLACE stats the
+    * target first, and two racing writers could both slip through and
+    * silently overwrite). Of two writers that computed the same next seq
+    * exactly one wins; the loser gets FileAlreadyExistsException.
     * Idempotent retry: if the existing commit has the same action and file
     * set (a re-run after a successful-but-unacknowledged commit), the
     * collision is absorbed and the existing commit returned; a genuinely
@@ -96,8 +99,14 @@ class Timeline(tableRoot: String) {
     val target = commitPath(c.seq)
     val tmp = commitsDir.resolve(s".${c.seq}.${UUID.randomUUID()}.tmp")
     Files.write(tmp, Serialization.write(c).getBytes(StandardCharsets.UTF_8))
-    try { Files.move(tmp, target); c }
-    catch {
+    try {
+      try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); c }
+      catch {
+        // filesystems without hard links: atomic rename (object stores use
+        // a conditional PUT here instead)
+        case _: UnsupportedOperationException => Files.move(tmp, target); c
+      }
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         val existing = read(c.seq)

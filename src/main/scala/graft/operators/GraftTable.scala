@@ -121,22 +121,33 @@ class GraftTable(
       val name = st.getPath.getName
       if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".")) {
         var rows = 0L
+        var blocks = 0
+        var statsBlocks = 0
         var mn: String = null
         var mx: String = null
         Using.resource(ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))) { r =>
           r.getFooter.getBlocks.asScala.foreach { b =>
             rows += b.getRowCount
+            blocks += 1
             b.getColumns.asScala.find(_.getPath.toDotString == Meta.RecordKey).foreach { c =>
               val s = c.getStatistics
               if (s != null && !s.isEmpty && s.hasNonNullValue) {
+                statsBlocks += 1
+                // parquet BINARY stats are unsigned-byte-ordered; compare
+                // the same way (Java String '<' is UTF-16 and disagrees on
+                // supplementary characters)
                 val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
                 val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
-                if (mn == null || lo < mn) mn = lo
-                if (mx == null || hi > mx) mx = hi
+                if (mn == null || GraftTable.cmpKey(lo, mn) < 0) mn = lo
+                if (mx == null || GraftTable.cmpKey(hi, mx) > 0) mx = hi
               }
             }
           }
         }
+        // a block without key statistics (dropped oversized stats, or no
+        // key column) makes the interval unreliable: mark the file
+        // always-affected rather than silently unprunable-yet-pruned
+        if (statsBlocks != blocks) { mn = null; mx = null }
         if (rows == 0L) fs.delete(st.getPath, false)
         else {
           val rel = fs.makeQualified(st.getPath).toString
@@ -145,8 +156,9 @@ class GraftTable(
             .filter(_.contains("=")).map { kv =>
               val Array(k, v) = kv.split("=", 2); k -> v
             }.toMap
-          out += DataFile(rel, partVals, Option(mn).getOrElse(""),
-            Option(mx).getOrElse(""), rows, st.getLen)
+          out += DataFile(rel, partVals,
+            Option(mn).getOrElse(""),
+            Option(mx).getOrElse(GraftTable.NoStatsMaxKey), rows, st.getLen)
         }
       }
     }
@@ -186,8 +198,9 @@ class GraftTable(
       if (df.columns.contains(Meta.Deleted)) df.filter(!coalesce(col(Meta.Deleted), lit(false)))
       else df
     val seq = timeline.latestSeq().map(_ + 1).getOrElse(0L)
-    val files = writeFiles(clean, seq, planBytes(clean))
-    timeline.commit(Commit(seq, "bulk_insert", files, schemaJson(clean),
+    val stamped = clean.withColumn(Meta.CommitSeq, lit(seq))
+    val files = writeFiles(stamped, seq, planBytes(clean))
+    timeline.commit(Commit(seq, "bulk_insert", files, schemaJson(stamped),
       checkpoint, System.currentTimeMillis()))
   }
 
@@ -232,13 +245,21 @@ class GraftTable(
     val partitioned = !globalIndex && partitionFields.nonEmpty
     def partKey(m: Map[String, String]): String =
       partitionFields.map(f => m.getOrElse(f, GraftTable.NullPartition)).mkString("/")
+    // files without reliable key statistics can never be pruned safely —
+    // they join the affected set unconditionally
+    val (statless, statful) =
+      prev.files.partition(_.maxKey == GraftTable.NoStatsMaxKey)
     val grouped: Map[String, Array[DataFile]] =
-      if (partitioned) prev.files.toArray.groupBy(f => partKey(f.partition))
-      else Map("" -> prev.files.toArray)
+      if (partitioned) statful.toArray.groupBy(f => partKey(f.partition))
+      else Map("" -> statful.toArray)
+    // all interval comparisons in UNSIGNED UTF-8 byte order — the order
+    // parquet stats and Spark's UTF8String range partitioning both use
     val index: Map[String, (Array[(String, String, String)], Array[String])] =
       grouped.map { case (p, fs) =>
-        val ivs = fs.map(f => (f.minKey, f.maxKey, f.path)).sortBy(_._1)
-        val maxEnd = ivs.scanLeft("")((acc, iv) => if (acc >= iv._2) acc else iv._2).drop(1)
+        val ivs = fs.map(f => (f.minKey, f.maxKey, f.path))
+          .sortWith((a, b) => GraftTable.cmpKey(a._1, b._1) < 0)
+        val maxEnd = ivs.scanLeft("")((acc, iv) =>
+          if (GraftTable.cmpKey(acc, iv._2) >= 0) acc else iv._2).drop(1)
         p -> (ivs, maxEnd)
       }
     val bcIvs = spark.sparkContext.broadcast(index)
@@ -249,12 +270,13 @@ class GraftTable(
           var lo = 0; var hi = ivs.length - 1; var pos = -1
           while (lo <= hi) { // rightmost interval with minKey <= k
             val mid = (lo + hi) >>> 1
-            if (ivs(mid)._1 <= k) { pos = mid; lo = mid + 1 } else hi = mid - 1
+            if (GraftTable.cmpKey(ivs(mid)._1, k) <= 0) { pos = mid; lo = mid + 1 }
+            else hi = mid - 1
           }
           val out = Seq.newBuilder[String]
           var i = pos
-          while (i >= 0 && maxEnd(i) >= k) {
-            if (ivs(i)._2 >= k) out += ivs(i)._3
+          while (i >= 0 && GraftTable.cmpKey(maxEnd(i), k) >= 0) {
+            if (GraftTable.cmpKey(ivs(i)._2, k) >= 0) out += ivs(i)._3
             i -= 1
           }
           out.result()
@@ -267,7 +289,7 @@ class GraftTable(
       else lit("")
     val affectedPaths: Set[String] = batch
       .select(explode(findFiles(partCol, col(Meta.RecordKey))).as("path"))
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().collect().map(_.getString(0)).toSet ++ statless.map(_.path)
     val (affected, untouched) = prev.files.partition(f => affectedPaths(f.path))
 
     val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
@@ -276,9 +298,15 @@ class GraftTable(
       if (affected.isEmpty) None
       else Some(scanFiles(affected, prevSchema))
 
+    val seq = prev.seq + 1
+    // tie-break chain: (ordering, tombstone, commit seq) — on a full tie of
+    // (trx_seq, deleted) the LATER commit wins deterministically (incoming
+    // batch rows have no stamp yet → coalesce to this commit's seq)
     val tieExpr: DataFrame => Column = df => struct(
       col(orderingField),
-      if (df.columns.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0))
+      if (df.columns.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0),
+      if (df.columns.contains(Meta.CommitSeq)) coalesce(col(Meta.CommitSeq), lit(seq))
+      else lit(seq))
 
     val merged = existing match {
       case None => batch
@@ -289,12 +317,15 @@ class GraftTable(
           .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieExpr(unioned)).as("_r"))
           .select(cols.map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
     }
-    val live =
+    val live0 =
       if (merged.columns.contains(Meta.Deleted))
         merged.filter(!coalesce(col(Meta.Deleted), lit(false)))
       else merged
+    val live = live0.withColumn(Meta.CommitSeq,
+      if (live0.columns.contains(Meta.CommitSeq))
+        coalesce(col(Meta.CommitSeq), lit(seq))
+      else lit(seq))
 
-    val seq = prev.seq + 1
     // repartitionByRange samples its child to compute range bounds, which
     // would re-execute the whole merge; persist so merge runs once
     val persisted = live.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -324,13 +355,14 @@ class GraftTable(
     */
   private def doDeltaCommit(batch0: DataFrame, checkpoint: Option[String]): Commit = {
     val prev = timeline.latest().get
+    val seq = prev.seq + 1
     val batch = precombine(prepared(batch0))
+      .withColumn(Meta.CommitSeq, lit(seq))
     val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     // schema evolution: union of base schema and any new batch columns
     val unionSchema = org.apache.spark.sql.types.StructType(
       prevSchema.fields ++ batch.schema.fields.filterNot(f => prevSchema.fieldNames.contains(f.name)))
-    val seq = prev.seq + 1
     val logs = writeFiles(batch, seq, planBytes(batch))
     val c = timeline.commit(Commit(seq, "delta_commit", prev.files, unionSchema.json,
       checkpoint, System.currentTimeMillis(), logFiles = prev.logFiles ++ logs))
@@ -356,7 +388,8 @@ class GraftTable(
     else {
       val cols = all.columns
       val tie = struct(col(orderingField),
-        if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0))
+        if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0),
+        if (cols.contains(Meta.CommitSeq)) coalesce(col(Meta.CommitSeq), lit(0L)) else lit(0L))
       val merged = all.groupBy(col(Meta.RecordKey))
         .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tie).as("_r"))
         .select(cols.map(c0 => col("_r." + c0).as(c0)).toIndexedSeq: _*)
@@ -399,7 +432,7 @@ class GraftTable(
   }
 
   /** Snapshot read without engine meta columns. */
-  def readUser(): DataFrame = read().drop(Meta.RecordKey)
+  def readUser(): DataFrame = read().drop(Meta.RecordKey, Meta.CommitSeq)
 
   /** Incremental query: rows from files ADDED by commits after `sinceSeq`
     * — the downstream-consumer analog of Hudi's incremental pull. COW
@@ -455,17 +488,19 @@ class GraftTable(
   def rollback(toSeq: Long): Int = withLock(timeline.rollback(toSeq))
 
   /** T2 cleaning — retain `retainCommits` snapshot versions (handler.py:90-91). */
-  def clean(retainCommits: Int = 5): Int = timeline.clean(retainCommits)
+  def clean(retainCommits: Int = 5): Int = withLock(timeline.clean(retainCommits))
 
   /** T3 archiving — keep `keepLast` commits on the active timeline (handler.py:74,92-93). */
-  def archive(keepLast: Int = 10): Int = timeline.archive(keepLast)
+  def archive(keepLast: Int = 10): Int = withLock(timeline.archive(keepLast))
 
   // ---------------------------------------------------- concurrency guard
 
   /** O4 single-writer guard (reference handler.py:201-213 refuses to launch
     * while an execution is RUNNING). Every write operation acquires this
-    * lock. A lockfile older than `staleLockMs` (crashed writer) is broken
-    * and re-acquired once.
+    * lock. While held, a daemon heartbeat refreshes the lockfile's mtime,
+    * so only a genuinely dead writer's lock goes stale — a long-running
+    * live write is never broken. A lockfile whose mtime is older than
+    * `staleLockMs` (crashed writer) is broken and re-acquired once.
     */
   def withLock[A](f: => A): A = {
     Files.createDirectories(Paths.get(root, "_graft"))
@@ -488,7 +523,22 @@ class GraftTable(
           } else throw new IllegalStateException(s"another writer holds $lock", e)
       }
     acquire(canBreakStale = true)
-    try f finally Files.deleteIfExists(lock)
+    val heartbeat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(250L, staleLockMs / 4))
+          try Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-$root")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    try f finally {
+      heartbeat.interrupt()
+      Files.deleteIfExists(lock)
+    }
   }
 }
 
@@ -497,6 +547,27 @@ object GraftTable {
   val MergeOnRead = "MERGE_ON_READ"
   /** Hive's null-partition directory name. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+  /** maxKey sentinel for files lacking reliable key statistics (dropped or
+    * oversized parquet stats): such files are always treated as affected. */
+  val NoStatsMaxKey = "\u0000__GRAFT_NO_STATS__"
+
+  /** Unsigned UTF-8 byte comparison — the collation parquet BINARY
+    * statistics and Spark's UTF8String ordering share. Java String
+    * comparison (UTF-16 code units) disagrees for supplementary
+    * characters, which would let interval pruning skip an affected file.
+    */
+  def cmpKey(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
   /** ~128 MB compressed per data file — the standard DFS sweet spot. */
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
   /** A writer silent for 30 min is presumed dead; its lock is broken. */

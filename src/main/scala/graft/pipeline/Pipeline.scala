@@ -31,7 +31,7 @@ case class RunReport(
     results: Seq[TableResult]) {
   def ok: Boolean = results.forall(r => r.status != "failed")
   def toJson: String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val q = graft.util.Json.quote _
     val rs = results.map { r =>
       s"""{"table":${q(r.table)},"status":${q(r.status)},""" +
         s""""commit":${r.commitSeq.getOrElse(-1L)},"rows":${r.rows.getOrElse(-1L)},""" +
@@ -92,10 +92,15 @@ object IngestJob {
 
     pipe.pipelineType match {
       case "bulk_insert" =>
-        ingest(CdcSource.readRaw(spark, rawDir), {
-          val files = CdcSource.listDataFiles(spark, rawDir)
-          files.lastOption.map { case (m, p) => CdcSource.encodeWatermark(m, p) }
-        })
+        // ONE listing feeds both the load and the checkpoint: listing twice
+        // would let a file arriving in between be covered by the watermark
+        // yet missing from the data — skipped forever by delta runs
+        val files = CdcSource.listDataFiles(spark, rawDir)
+        if (files.isEmpty)
+          TableResult(tc.name, "no_new_data", None, None, 1,
+            System.currentTimeMillis() - t0)
+        else ingest(spark.read.parquet(files.map(_._2): _*),
+          Some(CdcSource.advanceWatermark(None, files)))
       case "delta" =>
         // S2 — consume the commit checkpoint: only files after the watermark
         CdcSource.readIncremental(spark, rawDir, table.latestCheckpoint()) match {
@@ -110,10 +115,12 @@ object IngestJob {
         // S3/ST2 — continuous loop; in a scheduled context AvailableNow
         // drains the zone and returns (handler.py:166-167 --continuous)
         val ckDir = s"${pipe.curatedRoot}/_checkpoints/${tc.curatedName(pipe.identifier)}"
-        graft.streaming.ContinuousIngest.drain(spark, rawDir, table, ckDir, tc.transformerSql)
-        CatalogSync.sync(spark, pipe.database, tc.curatedName(pipe.identifier), table)
+        val drained = graft.streaming.ContinuousIngest.drain(
+          spark, rawDir, table, ckDir, tc.transformerSql)
+        if (table.latestCommit().isDefined)
+          CatalogSync.sync(spark, pipe.database, tc.curatedName(pipe.identifier), table)
         val c = table.latestCommit()
-        TableResult(tc.name, "ok", c.map(_.seq),
+        TableResult(tc.name, if (drained) "ok" else "no_new_data", c.map(_.seq),
           c.map(cc => (cc.files ++ cc.logFiles).map(_.numRows).sum), 1,
           System.currentTimeMillis() - t0)
       case other =>

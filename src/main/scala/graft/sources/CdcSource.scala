@@ -21,16 +21,19 @@ object CdcSource {
     schema.fold(r)(r.schema).parquet(root)
   }
 
-  /** Watermark = `<mtimeMillis>/<path>` of the newest file already
-    * ingested; ordering is (mtime, path) so files that share a
-    * modification timestamp are still totally ordered and none is skipped
-    * or double-read.
+  /** Watermark = the max ingested mtime PLUS the set of paths already
+    * processed at exactly that mtime. A later arrival sharing the boundary
+    * timestamp (coarse mtime granularity on many filesystems/object
+    * stores) is therefore still picked up — a plain (mtime, path) cursor
+    * would skip a same-tick file whose path sorts below the cursor.
+    * The set is bounded by files-per-tick, not zone size.
     */
-  def encodeWatermark(mtime: Long, path: String): String = s"$mtime/$path"
+  def encodeWatermark(mtime: Long, pathsAtMtime: Seq[String]): String =
+    (mtime.toString +: pathsAtMtime.sorted).mkString("\n")
 
-  def decodeWatermark(w: String): (Long, String) = {
-    val i = w.indexOf('/')
-    (w.substring(0, i).toLong, w.substring(i + 1))
+  def decodeWatermark(w: String): (Long, Set[String]) = {
+    val lines = w.split("\n", -1)
+    (lines.head.toLong, lines.tail.toSet)
   }
 
   /** Recursive listing of data files under `root`, sorted by (mtime, path). */
@@ -50,10 +53,20 @@ object CdcSource {
     out.result().sorted
   }
 
-  /** S2 — incremental read: files strictly after `checkpoint` in
-    * (mtime, path) order. Returns None when the zone has no new files (a
-    * delta run then commits nothing — the no-op cycle the reference's
-    * 2-hour schedule produces most of the time).
+  /** Next watermark after processing `fresh` files on top of `checkpoint`. */
+  def advanceWatermark(checkpoint: Option[String], fresh: Seq[(Long, String)]): String = {
+    val maxM = fresh.map(_._1).max
+    val carried = checkpoint.map(decodeWatermark) match {
+      case Some((m, done)) if m == maxM => done
+      case _ => Set.empty[String]
+    }
+    encodeWatermark(maxM, (carried ++ fresh.filter(_._1 == maxM).map(_._2)).toSeq)
+  }
+
+  /** S2 — incremental read: files newer than the checkpoint's mtime, plus
+    * unprocessed files AT the boundary mtime. Returns None when the zone
+    * has no new files (a delta run then commits nothing — the no-op cycle
+    * the reference's 2-hour schedule produces most of the time).
     */
   def readIncremental(spark: SparkSession, root: String, checkpoint: Option[String],
       schema: Option[StructType] = None): Option[(DataFrame, String)] = {
@@ -61,16 +74,14 @@ object CdcSource {
     val fresh = checkpoint match {
       case None => all
       case Some(w) =>
-        val wm = decodeWatermark(w)
-        val ord = Ordering.Tuple2[Long, String]
-        all.filter(f => ord.compare(f, wm) > 0)
+        val (wm, done) = decodeWatermark(w)
+        all.filter(f => f._1 > wm || (f._1 == wm && !done(f._2)))
     }
     if (fresh.isEmpty) None
     else {
-      val (mt, pth) = fresh.last
       val r = spark.read
       val df = schema.fold(r)(r.schema).parquet(fresh.map(_._2): _*)
-      Some((df, encodeWatermark(mt, pth)))
+      Some((df, advanceWatermark(checkpoint, fresh)))
     }
   }
 

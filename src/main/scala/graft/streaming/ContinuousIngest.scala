@@ -48,10 +48,16 @@ object ContinuousIngest {
   }
 
   /** Drain everything currently in the raw zone and stop (one scheduled
-    * micro-batch cycle). Returns when the drain completes. */
+    * micro-batch cycle). A quiet/absent zone is the documented no-op
+    * cycle, not an error (the schema probe would otherwise throw on an
+    * empty directory). Returns true if a drain ran. */
   def drain(spark: SparkSession, rawDir: String, table: GraftTable,
-      checkpointDir: String, transformerSql: Option[String] = None): Unit = {
-    val q = start(spark, rawDir, table, checkpointDir, transformerSql, availableNow = true)
-    q.awaitTermination()
+      checkpointDir: String, transformerSql: Option[String] = None): Boolean = {
+    if (graft.sources.CdcSource.listDataFiles(spark, rawDir).isEmpty) false
+    else {
+      val q = start(spark, rawDir, table, checkpointDir, transformerSql, availableNow = true)
+      q.awaitTermination()
+      true
+    }
   }
 }

