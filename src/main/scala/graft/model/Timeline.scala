@@ -102,9 +102,12 @@ class Timeline(tableRoot: String) {
     try {
       try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); c }
       catch {
-        // filesystems without hard links: atomic rename (object stores use
-        // a conditional PUT here instead)
-        case _: UnsupportedOperationException => Files.move(tmp, target); c
+        case e: java.nio.file.FileAlreadyExistsException => throw e
+        // filesystems without hard links (vfat/NFS/SMB report EPERM as
+        // FileSystemException, others UnsupportedOperation): atomic rename
+        // (object stores use a conditional PUT here instead)
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.move(tmp, target); c
       }
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>

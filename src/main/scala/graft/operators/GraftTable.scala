@@ -246,9 +246,11 @@ class GraftTable(
     def partKey(m: Map[String, String]): String =
       partitionFields.map(f => m.getOrElse(f, GraftTable.NullPartition)).mkString("/")
     // files without reliable key statistics can never be pruned safely —
-    // they join the affected set unconditionally
+    // they join the affected set unconditionally (maxKey "" with rows is
+    // the legacy no-stats encoding)
     val (statless, statful) =
-      prev.files.partition(_.maxKey == GraftTable.NoStatsMaxKey)
+      prev.files.partition(f =>
+        f.maxKey == GraftTable.NoStatsMaxKey || (f.maxKey.isEmpty && f.numRows > 0))
     val grouped: Map[String, Array[DataFile]] =
       if (partitioned) statful.toArray.groupBy(f => partKey(f.partition))
       else Map("" -> statful.toArray)
@@ -313,7 +315,13 @@ class GraftTable(
       case Some(ex) =>
         val unioned = ex.unionByName(batch, allowMissingColumns = true)
         val cols = unioned.columns
-        unioned.groupBy(col(Meta.RecordKey))
+        // non-global index: (partition, key) is the row identity — same-
+        // keyed rows in different partitions are distinct and must never
+        // collapse, even when pruning pulled both into the affected read
+        val identity: Seq[Column] =
+          if (partitioned) partitionFields.map(col) :+ col(Meta.RecordKey)
+          else Seq(col(Meta.RecordKey))
+        unioned.groupBy(identity: _*)
           .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieExpr(unioned)).as("_r"))
           .select(cols.map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
     }
@@ -505,10 +513,17 @@ class GraftTable(
   def withLock[A](f: => A): A = {
     Files.createDirectories(Paths.get(root, "_graft"))
     val lock = Paths.get(root, "_graft", "writer.lock")
+    // ownership token: a writer that was suspended past staleLockMs and
+    // had its lock broken must NOT delete (or heartbeat) the new owner's
+    // lock on resume — every touch verifies the token first
+    val token = java.util.UUID.randomUUID().toString
+    def owned: Boolean =
+      try Files.readString(lock).endsWith(token)
+      catch { case _: java.io.IOException => false }
     def acquire(canBreakStale: Boolean): Unit =
       try {
         Files.write(lock,
-          s"${ProcessHandle.current().pid()} ${System.currentTimeMillis()}"
+          s"${ProcessHandle.current().pid()} $token"
             .getBytes(java.nio.charset.StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         ()
@@ -527,7 +542,7 @@ class GraftTable(
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(math.max(250L, staleLockMs / 4))
-          try Files.setLastModifiedTime(lock,
+          try if (owned) Files.setLastModifiedTime(lock,
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
           catch { case _: java.io.IOException => () }
         }
@@ -537,7 +552,7 @@ class GraftTable(
     heartbeat.start()
     try f finally {
       heartbeat.interrupt()
-      Files.deleteIfExists(lock)
+      if (owned) Files.deleteIfExists(lock)
     }
   }
 }

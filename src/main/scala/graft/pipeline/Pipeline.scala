@@ -81,8 +81,13 @@ object IngestJob {
         case "bulk_insert" => table.bulkInsert(batch, checkpoint)
         case _ =>
           val c = table.upsert(batch, checkpoint)
-          table.clean(pipe.cleanerCommitsRetained)   // T2 (handler.py:90-91)
-          table.archive(pipe.keepTimelineCommits)    // T3 (handler.py:74,92-93)
+          // T2/T3 maintenance is best-effort: losing the lock race to a
+          // concurrent run must not mark THIS run's successful commit as
+          // failed — the next cycle cleans/archives instead
+          try {
+            table.clean(pipe.cleanerCommitsRetained)   // T2 (handler.py:90-91)
+            table.archive(pipe.keepTimelineCommits)    // T3 (handler.py:74,92-93)
+          } catch { case _: IllegalStateException => () }
           c
       }
       CatalogSync.sync(spark, pipe.database, tc.curatedName(pipe.identifier), table)
@@ -96,10 +101,12 @@ object IngestJob {
         // would let a file arriving in between be covered by the watermark
         // yet missing from the data — skipped forever by delta runs
         val files = CdcSource.listDataFiles(spark, rawDir)
-        if (files.isEmpty)
-          TableResult(tc.name, "no_new_data", None, None, 1,
+        if (files.isEmpty) {
+          if (table.latestCommit().isDefined)
+            CatalogSync.sync(spark, pipe.database, tc.curatedName(pipe.identifier), table)
+          TableResult(tc.name, "no_new_data", table.latestCommit().map(_.seq), None, 1,
             System.currentTimeMillis() - t0)
-        else ingest(spark.read.parquet(files.map(_._2): _*),
+        } else ingest(spark.read.parquet(files.map(_._2): _*),
           Some(CdcSource.advanceWatermark(None, files)))
       case "delta" =>
         // S2 — consume the commit checkpoint: only files after the watermark
@@ -115,12 +122,16 @@ object IngestJob {
         // S3/ST2 — continuous loop; in a scheduled context AvailableNow
         // drains the zone and returns (handler.py:166-167 --continuous)
         val ckDir = s"${pipe.curatedRoot}/_checkpoints/${tc.curatedName(pipe.identifier)}"
-        val drained = graft.streaming.ContinuousIngest.drain(
+        val seqBefore = table.latestCommit().map(_.seq)
+        graft.streaming.ContinuousIngest.drain(
           spark, rawDir, table, ckDir, tc.transformerSql)
         if (table.latestCommit().isDefined)
           CatalogSync.sync(spark, pipe.database, tc.curatedName(pipe.identifier), table)
         val c = table.latestCommit()
-        TableResult(tc.name, if (drained) "ok" else "no_new_data", c.map(_.seq),
+        // "ok" only if the drain actually committed something: the stream
+        // checkpoint may already cover every file in the zone
+        TableResult(tc.name,
+          if (c.map(_.seq) != seqBefore) "ok" else "no_new_data", c.map(_.seq),
           c.map(cc => (cc.files ++ cc.logFiles).map(_.numRows).sum), 1,
           System.currentTimeMillis() - t0)
       case other =>

@@ -33,7 +33,11 @@ object CdcSource {
 
   def decodeWatermark(w: String): (Long, Set[String]) = {
     val lines = w.split("\n", -1)
-    (lines.head.toLong, lines.tail.toSet)
+    // legacy single-line "<mtime>/<path>" cursor from earlier releases
+    if (lines.length == 1 && lines.head.contains('/')) {
+      val i = lines.head.indexOf('/')
+      (lines.head.substring(0, i).toLong, Set(lines.head.substring(i + 1)))
+    } else (lines.head.toLong, lines.tail.toSet)
   }
 
   /** Recursive listing of data files under `root`, sorted by (mtime, path). */

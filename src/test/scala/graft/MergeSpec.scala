@@ -148,14 +148,17 @@ class MergeSpec extends AnyFunSuite {
   test("non-global index: single-partition batch rewrites only that partition") {
     val t = new GraftTable(spark, tmp(), Seq("id"), partitionFields = Seq("dt"),
       targetFileBytes = 4 * 1024, globalIndex = false)
-    // same key ranges in BOTH partitions — a global interval probe would
-    // mark both partitions' files affected
+    // the SAME keys exist in BOTH partitions — under a non-global index
+    // (partition, key) is the row identity: a global interval probe would
+    // mark both partitions affected and a key-only merge would collapse
+    // the twins
     val rows = (1 to 300).flatMap(i => Seq(
       (i.toLong, s"a$i", "2024-01-01", "010", false),
-      (i.toLong + 10000, s"b$i", "2024-01-02", "010", false)))
+      (i.toLong, s"b$i", "2024-01-02", "010", false)))
     t.bulkInsert(rows.toDF("id", "v", "dt", "trx_seq", Meta.Deleted))
     val before = t.latestCommit().get.files
     assert(before.map(_.partition("dt")).toSet == Set("2024-01-01", "2024-01-02"))
+    assert(t.readUser().count() == 600)
 
     t.upsert(Seq((5L, "a5x", "2024-01-01", "020", false))
       .toDF("id", "v", "dt", "trx_seq", Meta.Deleted))
@@ -164,8 +167,11 @@ class MergeSpec extends AnyFunSuite {
     // every 2024-01-02 file survived untouched
     val p2 = before.filter(_.partition("dt") == "2024-01-02").map(_.path).toSet
     assert(p2.subsetOf(carried), s"partition 2 files rewritten: ${p2 -- carried}")
+    // updated in its partition; the same-keyed row in the OTHER partition intact
     assert(t.readUser().filter($"id" === 5L && $"dt" === "2024-01-01")
       .select("v").as[String].head() == "a5x")
+    assert(t.readUser().filter($"id" === 5L && $"dt" === "2024-01-02")
+      .select("v").as[String].head() == "b5")
     assert(t.readUser().count() == 600)
   }
 

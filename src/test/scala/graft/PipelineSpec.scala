@@ -219,12 +219,11 @@ class PipelineSpec extends AnyFunSuite {
     // even if the mtimes collide
     val ck = CdcSource.encodeWatermark(all.map(_._1).max, Seq(all.head._2))
     val Some((df, wm2)) = CdcSource.readIncremental(spark, dir, Some(ck))
-    assert(df.count() >= 1)
+    assert(df.count() == 1) // exactly the unprocessed file, never a re-read
     assert(CdcSource.readIncremental(spark, dir, Some(wm2)).isEmpty)
 
     // a LATE arrival sharing the boundary mtime (path sorts below the
     // processed one) must still be picked up — the same-tick set watermark
-    val third = java.nio.file.Files.createTempDirectory("wm3").toString
     Seq((3L, "late", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
       .coalesce(1).write.mode("append").parquet(dir)
     val newFile = CdcSource.listDataFiles(spark, dir).map(_._2)
