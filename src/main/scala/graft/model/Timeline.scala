@@ -56,6 +56,10 @@ class Timeline(tableRoot: String) {
   implicit private val fmts: Formats = DefaultFormats
   private val commitsDir: Path = Paths.get(tableRoot, "_graft", "commits")
   private val archiveDir: Path = Paths.get(tableRoot, "_graft", "archive")
+  // committed manifests are immutable: memoize parses (a 100k-file
+  // manifest is ~10 MB of JSON and latest() runs on every operation);
+  // rollback clears the memo because it frees seqs for reuse
+  private val commitCache = scala.collection.concurrent.TrieMap.empty[Long, Commit]
 
   def init(): Unit = Files.createDirectories(commitsDir)
 
@@ -74,10 +78,10 @@ class Timeline(tableRoot: String) {
 
   def latestSeq(): Option[Long] = listCommitSeqs().lastOption
 
-  def read(seq: Long): Commit = {
+  def read(seq: Long): Commit = commitCache.getOrElseUpdate(seq, {
     val js = Files.readString(commitPath(seq))
     JsonMethods.parse(js).extract[Commit]
-  }
+  })
 
   def latest(): Option[Commit] = latestSeq().map(read)
 
@@ -100,14 +104,16 @@ class Timeline(tableRoot: String) {
     val tmp = commitsDir.resolve(s".${c.seq}.${UUID.randomUUID()}.tmp")
     Files.write(tmp, Serialization.write(c).getBytes(StandardCharsets.UTF_8))
     try {
-      try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); c }
-      catch {
+      try {
+        Files.createLink(target, tmp); Files.deleteIfExists(tmp)
+        commitCache.put(c.seq, c); c
+      } catch {
         case e: java.nio.file.FileAlreadyExistsException => throw e
         // filesystems without hard links (vfat/NFS/SMB report EPERM as
         // FileSystemException, others UnsupportedOperation): atomic rename
         // (object stores use a conditional PUT here instead)
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.move(tmp, target); c
+          Files.move(tmp, target); commitCache.put(c.seq, c); c
       }
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -170,6 +176,7 @@ class Timeline(tableRoot: String) {
       if (Files.exists(p)) Files.delete(p)
     }
     doomed.foreach(s => Files.delete(commitPath(s)))
+    commitCache.clear()
     doomed.size
   }
 
