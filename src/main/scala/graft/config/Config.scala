@@ -48,6 +48,7 @@ case class PipelineConfig(
     cleanerCommitsRetained: Int,
     keepTimelineCommits: Int,
     nextPipeline: Option[String],
+    sparkConf: Map[String, String],
     tables: Seq[TableConfig]) {
 
   /** P1/P4: enabled tables only. */
@@ -110,6 +111,7 @@ object ConfigLoader {
       cleanerCommitsRetained = (pipeItem \ "cleaner_commits_retained").extractOpt[Int].getOrElse(5),
       keepTimelineCommits = (pipeItem \ "keep_timeline_commits").extractOpt[Int].getOrElse(10),
       nextPipeline = str(pipeItem, "next_pipeline"),
+      sparkConf = (pipeItem \ "spark_conf").extractOpt[Map[String, String]].getOrElse(Map.empty),
       tables = tables)
   }
 }

@@ -156,11 +156,24 @@ object Pipeline {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = tables.map { tc =>
       Future {
+        // per-table/per-pipeline spark_conf overrides (reference:
+        // example-configs.json:83-100 heavy-table executor shapes;
+        // docs/config_table.md:90-96): an isolated session shares the
+        // SparkContext but carries its own SQL conf, so one table's
+        // shuffle sizing never leaks into a sibling job
+        val confs = pipe.sparkConf ++ tc.sparkConf
+        val session =
+          if (confs.isEmpty) spark
+          else {
+            val s2 = spark.newSession()
+            confs.foreach { case (k, v) => s2.conf.set(k, v) }
+            s2
+          }
         var attempt = 0
         var result: TableResult = null
         while (result == null) {
           attempt += 1
-          Try(IngestJob.run(spark, pipe, tc)) match {
+          Try(IngestJob.run(session, pipe, tc)) match {
             case Success(r) => result = r.copy(attempts = attempt)
             case Failure(e) if attempt <= pipe.retries =>
               Thread.sleep(1000L * attempt) // backoff ~1.5x analog (emr1.json:154)

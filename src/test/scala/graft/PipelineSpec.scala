@@ -195,6 +195,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(table.readUser().filter($"o_orderstatus" === "M2").count() == 5)
   }
 
+  test("per-table spark_conf overrides run in an isolated session") {
+    val base = Files.createTempDirectory("graft-pipe-conf").toString
+    val raw = s"$base/raw"; val curated = s"$base/curated"
+    seedRaw(raw)
+    val json =
+      s"""[
+         |{"config":"pipeline::bulk_insert","identifier":"demo",
+         | "raw_root":"$raw","curated_root":"$curated",
+         | "spark_conf":{"spark.sql.shuffle.partitions":"2"}},
+         |{"config":"table::public.orders","identifier":"demo",
+         | "spark_conf":{"spark.sql.autoBroadcastJoinThreshold":"1234"},
+         | "hudi_config":{"record_key":"o_orderkey","source_ordering_field":"trx_seq"}}
+         |]""".stripMargin
+    val cfgPath = Paths.get(base, "configs.json"); Files.writeString(cfgPath, json)
+    val cfg = ConfigLoader.load(cfgPath.toString, "demo", "bulk_insert")
+    assert(cfg.sparkConf("spark.sql.shuffle.partitions") == "2")
+    assert(cfg.tables.head.sparkConf("spark.sql.autoBroadcastJoinThreshold") == "1234")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val report = Pipeline.run(spark, cfg)
+    assert(report.ok)
+    // parent session untouched; ingest committed through the child session
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+    val t = IngestJob.openTable(spark, cfg, cfg.tables.head)
+    assert(t.readUser().count() ==
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count())
+    // catalog visible across sessions via the global view
+    assert(spark.sql("SELECT count(*) FROM global_temp.graft_demo_public_orders")
+      .head().getLong(0) > 0)
+  }
+
   test("raw zone scan recurses into date-partition subdirs (DMS layout)") {
     val dir = Files.createTempDirectory("graft-datedirs").toString
     Seq((1L, "a", "01", false)).toDF("id", "v", "trx_seq", Meta.Deleted)
