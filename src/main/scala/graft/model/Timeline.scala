@@ -56,10 +56,15 @@ class Timeline(tableRoot: String) {
   implicit private val fmts: Formats = DefaultFormats
   private val commitsDir: Path = Paths.get(tableRoot, "_graft", "commits")
   private val archiveDir: Path = Paths.get(tableRoot, "_graft", "archive")
-  // committed manifests are immutable: memoize parses (a 100k-file
-  // manifest is ~10 MB of JSON and latest() runs on every operation);
-  // rollback clears the memo because it frees seqs for reuse
-  private val commitCache = scala.collection.concurrent.TrieMap.empty[Long, Commit]
+  // Memoize manifest parses (a 100k-file manifest is ~10 MB of JSON and
+  // latest() runs on every operation). Entries are validated against the
+  // file's (mtime, size) on every hit — a rollback+recommit from ANOTHER
+  // process reuses a seq with different content and must not be served
+  // stale, and an archived manifest must fail the same way everywhere.
+  // Bounded to the newest entries so a long-lived timeline cannot leak.
+  private val commitCache =
+    scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Commit)]
+  private val CacheMax = 64
 
   def init(): Unit = Files.createDirectories(commitsDir)
 
@@ -78,10 +83,29 @@ class Timeline(tableRoot: String) {
 
   def latestSeq(): Option[Long] = listCommitSeqs().lastOption
 
-  def read(seq: Long): Commit = commitCache.getOrElseUpdate(seq, {
-    val js = Files.readString(commitPath(seq))
-    JsonMethods.parse(js).extract[Commit]
-  })
+  private def stamp(p: Path): (Long, Long) =
+    (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+
+  private def cachePut(seq: Long, st: (Long, Long), c: Commit): Unit = {
+    commitCache.put(seq, (st._1, st._2, c))
+    if (commitCache.size > CacheMax)
+      commitCache.keys.toSeq.sorted.dropRight(CacheMax)
+        .foreach(commitCache.remove)
+  }
+
+  def read(seq: Long): Commit = {
+    val p = commitPath(seq)
+    val st =
+      try stamp(p)
+      catch { case e: java.io.IOException => commitCache.remove(seq); throw e }
+    commitCache.get(seq) match {
+      case Some((m, sz, c)) if m == st._1 && sz == st._2 => c
+      case _ =>
+        val c = JsonMethods.parse(Files.readString(p)).extract[Commit]
+        cachePut(seq, st, c)
+        c
+    }
+  }
 
   def latest(): Option[Commit] = latestSeq().map(read)
 
@@ -106,14 +130,14 @@ class Timeline(tableRoot: String) {
     try {
       try {
         Files.createLink(target, tmp); Files.deleteIfExists(tmp)
-        commitCache.put(c.seq, c); c
+        cachePut(c.seq, stamp(target), c); c
       } catch {
         case e: java.nio.file.FileAlreadyExistsException => throw e
         // filesystems without hard links (vfat/NFS/SMB report EPERM as
         // FileSystemException, others UnsupportedOperation): atomic rename
         // (object stores use a conditional PUT here instead)
         case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.move(tmp, target); commitCache.put(c.seq, c); c
+          Files.move(tmp, target); cachePut(c.seq, stamp(target), c); c
       }
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>

@@ -73,6 +73,12 @@ object IngestJob {
     val table = openTable(spark, pipe, tc)
     val rawDir = s"${pipe.rawRoot}/${tc.rawSubdir}"
 
+    // graft's custom SQL functions are session-scoped: make them available
+    // to transformer_sql on whichever session this job runs with
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.MinHashFunctions.register(spark)
+    graft.functions.RollingHashFunctions.register(spark)
+
     def ingest(batch0: DataFrame, checkpoint: Option[String]): TableResult = {
       val batch1 = ensureMeta(batch0, tc.sourceOrderingField)
       // TR0 — transformer hook before the merge (handler.py:115-116)
@@ -160,20 +166,30 @@ object Pipeline {
         // example-configs.json:83-100 heavy-table executor shapes;
         // docs/config_table.md:90-96): an isolated session shares the
         // SparkContext but carries its own SQL conf, so one table's
-        // shuffle sizing never leaks into a sibling job
+        // shuffle sizing never leaks into a sibling job. Runtime confs are
+        // inherited from the parent first (newSession starts from the
+        // initial conf); graft's custom SQL functions are re-registered by
+        // IngestJob on whatever session it runs with. A bad conf (static/
+        // core keys are not settable) fails THIS table's result, never the
+        // whole run.
         val confs = pipe.sparkConf ++ tc.sparkConf
-        val session =
-          if (confs.isEmpty) spark
-          else {
-            val s2 = spark.newSession()
-            confs.foreach { case (k, v) => s2.conf.set(k, v) }
-            s2
-          }
         var attempt = 0
         var result: TableResult = null
         while (result == null) {
           attempt += 1
-          Try(IngestJob.run(session, pipe, tc)) match {
+          Try {
+            val session =
+              if (confs.isEmpty) spark
+              else {
+                val s2 = spark.newSession()
+                spark.conf.getAll.foreach { case (k, v) =>
+                  try s2.conf.set(k, v) catch { case _: Exception => () }
+                }
+                confs.foreach { case (k, v) => s2.conf.set(k, v) }
+                s2
+              }
+            IngestJob.run(session, pipe, tc)
+          } match {
             case Success(r) => result = r.copy(attempts = attempt)
             case Failure(e) if attempt <= pipe.retries =>
               Thread.sleep(1000L * attempt) // backoff ~1.5x analog (emr1.json:154)
@@ -182,6 +198,11 @@ object Pipeline {
                 Some(e.toString))
           }
         }
+        // the caller's session must also see the catalog entry (S5 by-name
+        // contract): re-sync on the parent when the job ran isolated
+        if (confs.nonEmpty && result.status == "ok")
+          Try(CatalogSync.sync(spark, pipe.database, tc.curatedName(pipe.identifier),
+            IngestJob.openTable(spark, pipe, tc)))
         result
       }
     }

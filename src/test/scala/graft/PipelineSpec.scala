@@ -220,9 +220,22 @@ class PipelineSpec extends AnyFunSuite {
     val t = IngestJob.openTable(spark, cfg, cfg.tables.head)
     assert(t.readUser().count() ==
       spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count())
-    // catalog visible across sessions via the global view
+    // catalog visible across sessions via the global view AND by plain
+    // name on the caller's session (S5 contract survives isolation)
     assert(spark.sql("SELECT count(*) FROM global_temp.graft_demo_public_orders")
       .head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM graft_demo_public_orders")
+      .head().getLong(0) > 0)
+
+    // a non-settable (static) conf fails ONLY that table, not the run
+    val badJson = json.replace(
+      """"spark_conf":{"spark.sql.autoBroadcastJoinThreshold":"1234"}""",
+      """"spark_conf":{"spark.executor.memory":"2g"}""")
+    Files.writeString(cfgPath, badJson)
+    val badCfg = ConfigLoader.load(cfgPath.toString, "demo", "bulk_insert")
+    val badReport = Pipeline.run(spark, badCfg)
+    val r = badReport.results.find(_.table == "public.orders").get
+    assert(r.status == "failed" && r.error.isDefined)
   }
 
   test("raw zone scan recurses into date-partition subdirs (DMS layout)") {
