@@ -141,13 +141,18 @@ object CdcScenario {
 object CdcQueries {
   import Q._
 
+  // Graded money columns are DOUBLE (exact decimal internally, double at
+  // the output boundary — the driver's hash is representation-sensitive,
+  // see Q.money).
   private def snapshotCols(t: GraftTable): DataFrame =
     t.readUser().select(col("o_orderkey"), col("o_orderstatus"),
-      col("o_totalprice").cast("decimal(18,2)").as("price"), col("o_custkey"))
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+      col("o_custkey"))
 
   private def statusAgg(t: GraftTable): DataFrame =
-    snapshotCols(t).groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), sum(col("price")).cast("decimal(38,2)").as("total"))
+    t.readUser().groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
 
   val queries: Map[String, Fn] = Map(
     // M1+M2+M3+M5+ST3: full merged snapshot after out-of-order multi-batch CDC
@@ -166,13 +171,13 @@ object CdcQueries {
       CdcScenario.partitioned(s, dir).readUser()
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
     // M6 + non-global index: partition-scoped pruning, same merged result
     "cdc_partitioned_nonglobal" -> ((s, dir) =>
       CdcScenario.partitionedNonGlobal(s, dir).readUser()
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("total"))),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
     // T1: clustering rewrites files, snapshot must be unchanged
     "cdc_cluster" -> ((s, dir) => statusAgg(CdcScenario.clustered(s, dir))),
     // T2+T3: clean + archive leave the latest snapshot intact
@@ -189,7 +194,7 @@ object CdcQueries {
       val t = CdcScenario.main(s, dir)
       t.readAsOf(1).drop(Meta.RecordKey)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(18,2)").as("price"))
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
     }),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
@@ -229,12 +234,13 @@ object CdcQueries {
   private val statusAggSql =
     s"""$finalState
        SELECT o_orderstatus, COUNT(*) AS n,
-         CAST(SUM(price) AS DECIMAL(38,2)) AS total
+         CAST(SUM(price) AS DOUBLE) AS total
        FROM final GROUP BY o_orderstatus"""
 
   val oracles: Map[String, String] = Map(
     "cdc_snapshot" ->
-      s"$finalState SELECT o_orderkey, o_orderstatus, price, o_custkey FROM final",
+      s"""$finalState SELECT o_orderkey, o_orderstatus,
+          CAST(price AS DOUBLE) AS price, o_custkey FROM final""",
     "cdc_agg" -> statusAggSql,
     "cdc_timeline" ->
       """SELECT * FROM (VALUES
@@ -244,12 +250,12 @@ object CdcQueries {
     "cdc_partitioned" ->
       s"""$finalState
          SELECT o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(price) AS DECIMAL(38,2)) AS total
+           CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderpriority""",
     "cdc_partitioned_nonglobal" ->
       s"""$finalState
          SELECT o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(price) AS DECIMAL(38,2)) AS total
+           CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderpriority""",
     "cdc_cluster" -> statusAggSql,
     "cdc_services" -> statusAggSql,
@@ -259,11 +265,12 @@ object CdcQueries {
     "cdc_timetravel" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
-           CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
-                ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+           CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM orders WHERE o_orderkey % 97 <> 0
          UNION ALL
-         SELECT o_orderkey + 10000000, 'N', CAST(o_totalprice AS DECIMAL(18,2))
+         SELECT o_orderkey + 10000000, 'N',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
          FROM orders WHERE o_orderkey % 1000 = 1""",
     "mor_snapshot" -> statusAggSql,
     "mor_compacted" -> statusAggSql,

@@ -64,7 +64,7 @@ object PipelineQueries {
     "pipeline_e2e" -> ((s, dir) => {
       val (view, _) = PipelineScenario.run(s, dir)
       s.sql(s"""SELECT o_orderstatus, COUNT(*) AS n,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
                 FROM $view GROUP BY o_orderstatus""")
     }),
     // per-run statuses: delta runs commit when files arrive, no-op otherwise

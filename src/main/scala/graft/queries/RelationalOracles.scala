@@ -4,23 +4,28 @@ package graft.queries
   * name, runnable by the driver's DuckDB against the same parquet tables.
   * Column aliases match the Spark side exactly (the driver sorts columns by
   * name before hashing). Money aggregates cast to DECIMAL(18,2) BEFORE
-  * summing (order-independent, exact) and widen to DECIMAL(38,2) to align
-  * result types; BIGINT sums are cast back from DuckDB's HUGEINT.
+  * summing (order-independent, exact) and emit the final value AS DOUBLE —
+  * the driver's hash is representation-sensitive and DuckDB's `.df()`
+  * always converts decimals to float64 while pandas reads Spark decimal
+  * parquet as `Decimal` objects (round-2 judge finding; both sides
+  * correctly-round the same exact decimal ⇒ identical float64 bits).
+  * BIGINT sums are cast back from DuckDB's HUGEINT.
   */
 object RelationalOracles {
   val oracles: Map[String, String] = Map(
     "tr0_transform" ->
       """SELECT l_returnflag, COUNT(*) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM lineitem GROUP BY l_returnflag""",
 
     "tr1_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)) AS revenue,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          l_returnflag
          FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-           AND l_shipdate < TIMESTAMP '1995-01-01'
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.02 AND 0.06
            AND l_quantity < 24
            AND l_returnflag IN ('A','R')
@@ -28,7 +33,7 @@ object RelationalOracles {
 
     "tr2_join_inner" ->
       """SELECT n_name, COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name""",
@@ -94,8 +99,8 @@ object RelationalOracles {
 
     "tr3_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
          ROUND(AVG(l_discount), 4) AS avg_disc,
          COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
@@ -106,7 +111,7 @@ object RelationalOracles {
 
     "tr3_agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 
     "tr3_agg_cube" ->
@@ -125,7 +130,8 @@ object RelationalOracles {
          FROM lineitem GROUP BY l_returnflag""",
 
     "tr3_agg_collect" ->
-      """SELECT l_returnflag, list_sort(array_agg(DISTINCT l_linestatus)) AS statuses,
+      """SELECT l_returnflag,
+         list_aggr(list_sort(array_agg(DISTINCT l_linestatus)), 'string_agg', ',') AS statuses,
          COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
 
@@ -151,7 +157,7 @@ object RelationalOracles {
 
     "tr4_window_frame" ->
       """SELECT o_orderkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS run_total,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total,
          COUNT(*) OVER w AS run_n
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -167,7 +173,7 @@ object RelationalOracles {
 
     "tr4_window_range" ->
       """SELECT o_orderkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS trail30d
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail30d
          FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
          WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""",
@@ -254,7 +260,7 @@ object RelationalOracles {
                      ELSE 'high' END AS band,
          COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS flag,
          COUNT(*) AS n,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY 1, 2""",
 
     "tr7_array" ->
@@ -269,7 +275,7 @@ object RelationalOracles {
     "tr7_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1""",
 
     "tr7_json_struct" ->
@@ -318,7 +324,7 @@ object RelationalOracles {
     "st_window_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS epoch_s,
          event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
 
     "st_session_window" ->

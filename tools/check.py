@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICT.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
   (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
@@ -7,6 +7,12 @@ Usage: python3 tools/check.py <sfDir> <outDir>
 For each query in <outDir>/oracle_sql.json: run the SQL in DuckDB over the
 same parquet tables, load the Spark result parquet, and compare
 rows / schema (column names) / values (sorted by all columns).
+
+The driver's hash is REPRESENTATION-sensitive (round-2 judge finding: 19
+value-exact queries failed on Decimal-object vs float64). This checker is
+therefore strictly dtype- and representation-exact: values must have the
+same Python type AND the same repr after canonicalization — no float
+tolerance, no cross-dtype coercion. Local green must predict driver green.
 """
 import sys, json, glob, math
 import duckdb
@@ -31,27 +37,29 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
-    if a is b:
-        return True
-    if (a is None or (isinstance(a, float) and math.isnan(a))) and \
-       (b is None or (isinstance(b, float) and math.isnan(b))):
-        return True
-    if pd.isna(a) is True and pd.isna(b) is True:
-        return True
-    try:
-        if pd.isna(a) or pd.isna(b):
-            return False
-    except (ValueError, TypeError):
-        pass
-    if isinstance(a, float) or isinstance(b, float):
+    """Strict: same type, same exact value/representation. None/NaN/NaT of
+    any flavor are mutually equal (engines legitimately differ on null
+    carriers); everything else must match type-name AND repr exactly."""
+    def isnull(v):
+        if v is None:
+            return True
+        if isinstance(v, float) and math.isnan(v):
+            return True
         try:
-            fa, fb = float(a), float(b)
-            if math.isnan(fa) and math.isnan(fb):
-                return True
-            return fa == fb or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
-        except (TypeError, ValueError):
+            r = pd.isna(v)
+            return r is True or r is np.True_
+        except (ValueError, TypeError):
             return False
-    return str(a) == str(b)
+    na, nb = isnull(a), isnull(b)
+    if na or nb:
+        return na and nb
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    if type(a).__name__ != type(b).__name__:
+        return False
+    if isinstance(a, float):
+        return a == b  # bit-exact (modulo +/-0.0); no tolerance
+    return a == b and repr(a) == repr(b)
 
 
 def main():
@@ -81,6 +89,10 @@ def main():
             n_fail += 1; continue
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}"); n_fail += 1; continue
+        sd, dd = s.dtypes.astype(str).to_dict(), d.dtypes.astype(str).to_dict()
+        if sd != dd:
+            diff = {c: (sd[c], dd[c]) for c in sd if sd[c] != dd[c]}
+            print(f"  WARN {name}: dtype mismatch (spark, duck): {diff}")
         bad = None
         for c in s.columns:
             sv, dv = s[c].tolist(), d[c].tolist()
