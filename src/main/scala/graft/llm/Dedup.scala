@@ -41,10 +41,26 @@ object Dedup {
     * pairs sharing a shingle → |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|.
     * Join key is the shingle, so work is proportional to posting-list
     * sizes, not to the number of document pairs.
+    *
+    * `maxDocFreq` caps the posting list: a corpus-common shingle with
+    * document frequency p contributes p² candidate rows to the self-join —
+    * the classic inverted-index blowup at 100 TB. Shingles above the cap
+    * carry no discriminative signal and are dropped from BOTH the index
+    * and the per-doc counts, so the result is the exact Jaccard over the
+    * discriminative-shingle space (consistent, deterministic semantics —
+    * the standard stop-shingle treatment). The hot set is at most
+    * |postings|/cap shingles, hence broadcastable.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol).cache()
+      threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol)
+    val sh = (maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => sh0
+    }).cache()
     val cnt = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("ia"), col("s"))
     val b = sh.select(col(idCol).as("ib"), col("s"))

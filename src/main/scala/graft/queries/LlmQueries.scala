@@ -17,7 +17,8 @@ object LlmQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactStats(t(s, dir, "documents"), "text")),
     "dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5,
+        maxDocFreq = Some(100))),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
     "dedup_simhash" -> ((s, dir) =>
@@ -80,11 +81,13 @@ object LlmQueries {
          CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n - 1 END), 0) AS BIGINT) AS n_redundant
          FROM (SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1)""",
 
-    "dedup_jaccard" -> jaccardSql,
+    // df-capped variant (maxDocFreq=100): shingles above the cap drop from
+    // both the index and the per-doc counts — same semantics as the engine
+    "dedup_jaccard" -> jaccardSql(Some(100)),
     // MinHash-LSH with 16 bands x 4 rows has ~100% recall at J>=0.5 on this
     // corpus (planted near-dups are J~0.8+); candidates are exact-verified,
     // so the result set equals the exact Jaccard pairs.
-    "dedup_minhash" -> jaccardSql,
+    "dedup_minhash" -> jaccardSql(None),
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
@@ -175,13 +178,17 @@ object LlmQueries {
          FROM documents"""
   )
 
-  private lazy val jaccardSql =
-    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private def jaccardSql(maxDocFreq: Option[Int]): String = {
+    val dfFilter = maxDocFreq
+      .map(cap => s"AND s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $cap)")
+      .getOrElse("")
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
               FROM words),
-       shc AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL AND length(s) > 0),
+       sh0 AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL AND length(s) > 0),
+       shc AS (SELECT doc_id, s FROM sh0 WHERE TRUE $dfFilter),
        cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
        pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
                  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -190,4 +197,5 @@ object LlmQueries {
          (SELECT ia, ib, CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS j
           FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
        WHERE j >= 0.5"""
+  }
 }

@@ -61,4 +61,26 @@ class LlmSpec extends AnyFunSuite {
       assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
     }
   }
+
+  test("jaccard hot-shingle cap bounds the candidate set on a planted stop-shingle") {
+    // 40 docs: unique 6-word body + the SAME 5-word boilerplate sentence.
+    // Every boilerplate trigram has df=40, so without a cap the inverted
+    // index emits all 40*39/2 = 780 candidate pairs; with the cap the hot
+    // shingles drop from index AND counts and no pair shares anything.
+    val docs = (0 until 40).map { i =>
+      (i.toLong, s"unique$i word$i token$i alpha$i beta$i gamma$i " +
+        "common boilerplate sentence shared everywhere")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0,
+      maxDocFreq = Some(10))
+    assert(uncapped.count() == 780L)  // the p² blowup the cap exists to stop
+    assert(capped.count() == 0L)
+    // and on a corpus with REAL near-dups the cap must not lose them:
+    // twins share all their shingles, none of which exceed df=2
+    val cappedTwins = Dedup.jaccardPairs(twins, "doc_id", "text",
+      threshold = 0.99, maxDocFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cappedTwins.count { case (a, b) => b == a + 100000L } == 100)
+  }
 }
