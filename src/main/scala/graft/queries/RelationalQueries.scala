@@ -147,15 +147,24 @@ object RelationalQueries {
     }),
     "tr2_join_range" -> ((s, dir) => {
       import s.implicits._
-      // interval join: for each purchase, clicks by the same user in the
-      // preceding 30 minutes — equi on user_id narrows the pair space,
-      // the range predicate rides on the same shuffle
+      // interval join, skew-safe: quantize event time onto a 30-minute grid
+      // and equi-join on (user_id, bucket). A click lives in exactly one
+      // cell; a purchase probes its own cell and the preceding one (explode
+      // to 2 rows), so the window (pts-30m, pts] is fully covered and no
+      // pair is produced twice. A 100× power-user key fans out per-cell,
+      // not quadratically over the user's whole history.
       val ev = t(s, dir, "events")
       val p = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"event_id".as("pid"), $"ts".as("pts"))
+        .withColumn("bucket", explode(array(
+          expr("unix_micros(pts) div 1800000000 - 1"),
+          expr("unix_micros(pts) div 1800000000"))))
       val c = ev.filter($"event_type" === "click")
         .select($"user_id", $"ts".as("cts"))
-      p.join(c, Seq("user_id"), "left")
+        .withColumn("bucket", expr("unix_micros(cts) div 1800000000"))
+      // left join keeps zero-click purchases (both probe rows survive and
+      // collapse in the groupBy); count(hit) ignores out-of-window nulls
+      p.join(c, Seq("user_id", "bucket"), "left")
         .withColumn("hit",
           when($"cts" <= $"pts" && $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES"), 1))
         .groupBy($"pid").agg(count($"hit").as("n_clicks_30m"))
