@@ -123,17 +123,22 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash from token md5 prefixes: per bit, sum ±1 weighted by
-    * token occurrences; bit set if the sum is positive. Near-dups = pairs
-    * with small Hamming distance, bucketed by 16-bit chunks for candidate
+  /** 64-bit SimHash: per bit, sum ±1 over token occurrences; bit set if the
+    * sum is positive. The per-token bit source is the first 16 hex digits
+    * of md5 (bit b = bit b%4 of digit b/4) — chosen over xxhash64 because
+    * md5 digits are portable across engines, which makes the whole SimHash
+    * computation expressible in ANSI-ish SQL and therefore ORACLE-checkable
+    * end to end (the hash quality is equivalent). Near-dups = pairs with
+    * small Hamming distance, bucketed by 16-bit chunks for candidate
     * generation (a pair within distance d<4 shares ≥1 of 4 chunks).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("m", substring(md5(col("w")), 1, 16))
     val bitCols = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+      val digit = conv(substring(col("m"), b / 4 + 1, 1), 16, 10).cast("int")
+      sum(when(shiftright(digit, b % 4).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
     }
     tok.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
       .select(col(idCol),

