@@ -18,9 +18,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ CdcQueries.queries ++ LlmQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ OpsQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalOracles.oracles ++ CdcQueries.oracles ++ LlmQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++ OpsQueries.oracles
 }

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraftTable
+import graft.sync.CatalogSync
+
+/** S5 — persistent metastore sync: the hard-link snapshot + external
+  * table must expose exactly the manifest's live files to a session that
+  * shares only the metastore, and must follow the table across commits.
+  */
+class CatalogSyncSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("persistent sync reads the current snapshot by name from a fresh session") {
+    val root = Files.createTempDirectory("graft-sync-spec").toString
+    val t = new GraftTable(spark, root, Seq("id"), orderingField = "seq")
+    t.bulkInsert(Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "v", "seq"))
+    CatalogSync.syncPersistent(spark, "graft_spec", "kv", t)
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT id, v FROM graft_spec.kv").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+
+    // a commit later the same name must serve the NEW snapshot, not stale
+    // files awaiting cleaning
+    t.upsert(Seq((2L, "b2", 2L), (3L, "c", 2L)).toDF("id", "v", "seq"))
+    CatalogSync.syncPersistent(spark, "graft_spec", "kv", t)
+    assert(spark.newSession().sql("SELECT id, v FROM graft_spec.kv")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("persistent sync preserves hive partition dirs of a partitioned table") {
+    val root = Files.createTempDirectory("graft-sync-part").toString
+    val t = new GraftTable(spark, root, Seq("id"), partitionFields = Seq("p"),
+      orderingField = "seq")
+    t.bulkInsert(Seq((1L, "x", "a", 1L), (2L, "y", "b", 1L), (3L, "z", "b", 1L))
+      .toDF("id", "v", "p", "seq"))
+    CatalogSync.syncPersistent(spark, "graft_spec", "kv_part", t)
+    val got = spark.newSession()
+      .sql("SELECT id, p FROM graft_spec.kv_part WHERE p = 'b'")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b"), (3L, "b")))
+  }
+}
