@@ -141,6 +141,14 @@ object RelationalOracles {
          CAST(ROUND(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9)) AS BIGINT) AS p90_cents
          FROM lineitem GROUP BY l_returnflag""",
 
+    // HLL accuracy contract: exact distinct is recomputed; the sketch-
+    // within-bound flag must be uniformly true (deterministic sketch,
+    // 5-sigma bound at rsd=0.02)
+    "tr3_agg_hll" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+         TRUE AS within_10pct
+         FROM lineitem GROUP BY l_returnflag""",
+
     "tr4_window_rank" ->
       """SELECT o_custkey, o_orderkey,
          row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk

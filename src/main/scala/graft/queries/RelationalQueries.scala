@@ -245,12 +245,19 @@ object RelationalQueries {
           round(expr("percentile(CAST(round(l_extendedprice * 100, 0) AS BIGINT), 0.9)"))
             .cast("long").as("p90_cents"))
     }),
-    // HLL sketch — approximate by design: no DuckDB hash-match possible, the
-    // driver records a rows-only check (exact-distinct spec lives in tests).
+    // HLL sketch, graded via its accuracy contract: the raw estimate is
+    // engine-specific (no cross-engine hash match), but the sketch is
+    // deterministic for fixed data, so the graded row carries the EXACT
+    // distinct count (oracle-checked) plus a flag that the rsd=0.02
+    // estimate landed within 10% (5 sigma — holds at every provisioned SF)
     "tr3_agg_hll" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem").groupBy($"l_returnflag")
-        .agg(approx_count_distinct($"l_orderkey").as("approx_orders"))
+        .agg(countDistinct($"l_orderkey").as("exact_orders"),
+          approx_count_distinct($"l_orderkey", 0.02).as("_approx"))
+        .select($"l_returnflag", $"exact_orders",
+          (abs($"_approx" - $"exact_orders") <=
+            $"exact_orders" * 0.10).as("within_10pct"))
     }),
 
     // ---------------------------------------------------------------- TR4
