@@ -127,6 +127,29 @@ object CdcScenario {
       t
     })
 
+  /** Schema evolution under merge: after the 2-batch scenario, a third
+    * batch arrives with a NEW column (`o_note`) on the %10 keys at a
+    * winning seq — old rows must null-pad, the manifest schema must widen,
+    * and a %970 key (deleted by batch A's tombstone) is re-inserted by the
+    * higher-seq evolved row (tombstones are physically removed — §7.4). */
+  def evolved(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "evo") { t =>
+      val o = t0(s, dir)
+      val k = col("o_orderkey")
+      t.upsert(meta(o.filter(k % 10 === 0)
+        .withColumn("o_orderstatus", lit("E"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_note", concat(lit("n"), k)), 9, deleted = false))
+    }
+
+  private def t0(s: SparkSession, dir: String): DataFrame = Q.t(s, dir, "orders")
+
+  /** Rollback target: a fresh copy of the 3-commit scenario rolled back to
+    * commit 1 — the snapshot must equal the time-travel view of commit 1
+    * (later commits' exclusive files discarded). */
+  def rolledBack(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "rbk")(_.rollback(toSeq = 1))
+
   /** Composite-key table over lineitem (M5 ComplexKeyGenerator semantics). */
   def keyed(s: SparkSession, dir: String): GraftTable =
     cache.getOrElseUpdate(s"keys:$dir", {
@@ -196,6 +219,17 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
     }),
+    // schema evolution: late batch carries a NEW column; old rows null-pad
+    "cdc_schema_evolution" -> ((s, dir) =>
+      CdcScenario.evolved(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_note"))),
+    // rollback: discarding commits 2+ must reproduce the commit-1 snapshot
+    "cdc_rollback" -> ((s, dir) =>
+      CdcScenario.rolledBack(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -275,6 +309,41 @@ object CdcQueries {
     "mor_snapshot" -> statusAggSql,
     "mor_compacted" -> statusAggSql,
     "st_stream_ingest" -> statusAggSql,
+    // standard final state + the seq-9 evolved overlay on %10 keys: status
+    // 'E', price+1, o_note populated; every other row null-pads o_note.
+    // (%10 is even, so the odd-%97 deleted set is unchanged.)
+    "cdc_schema_evolution" ->
+      """WITH final AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'E'
+                  WHEN o_orderkey % 7 = 0 THEN 'V'
+                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN 'R'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0
+                  WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN o_totalprice
+                  ELSE o_totalprice END AS DECIMAL(18,2)) AS price,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'n' || CAST(o_orderkey AS VARCHAR)
+                  END AS o_note
+           FROM orders
+           WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0)
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'N', CAST(o_totalprice AS DECIMAL(18,2)), NULL
+           FROM orders WHERE o_orderkey % 1000 = 1
+         )
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_note
+         FROM final""",
+    // rollback(1) == the commit-1 snapshot == the time-travel oracle
+    "cdc_rollback" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM orders WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+         FROM orders WHERE o_orderkey % 1000 = 1""",
     "m5_keygen" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT k) AS n_keys,
            MIN(k) AS min_key, MAX(k) AS max_key FROM
