@@ -219,6 +219,14 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
     }),
+    // incremental pull (S2 consumer side): on MOR, files added after the
+    // baseline are the delta LOGS — change-exact, so the pulled rows are
+    // exactly the two precombined CDC batches (tombstones included)
+    "cdc_incremental" -> ((s, dir) =>
+      CdcScenario.mor(s, dir).readChangesSince(0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
     // schema evolution: late batch carries a NEW column; old rows null-pad
     "cdc_schema_evolution" -> ((s, dir) =>
       CdcScenario.evolved(s, dir).readUser()
@@ -309,6 +317,37 @@ object CdcQueries {
     "mor_snapshot" -> statusAggSql,
     "mor_compacted" -> statusAggSql,
     "st_stream_ingest" -> statusAggSql,
+    // the two CDC batches after per-batch precombine (batch A: %970 keys
+    // resolve to the seq-4 tombstone over the seq-3 update; batch B: %70
+    // keys resolve to the seq-6 'V' over the seq-2 late row, even %679
+    // keys to 'V' over the seq-5 re-insert, and %970 late rows lose to
+    // the seq-5 re-insert)
+    "cdc_incremental" ->
+      """WITH pulled AS (
+           SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS p,
+                  3 AS q, false AS deleted
+           FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 4, true
+           FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'N', o_totalprice, 2, false
+           FROM orders WHERE o_orderkey % 1000 = 1
+           UNION ALL
+           SELECT o_orderkey, 'L', o_totalprice + 77.0, 2, false
+           FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+             AND o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey, 'R', o_totalprice, 5, false
+           FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderkey, 'V', o_totalprice + 500.0, 6, false
+           FROM orders WHERE o_orderkey % 7 = 0
+         )
+         SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           printf('%020d', q) AS trx_seq, deleted
+         FROM pulled""",
     // standard final state + the seq-9 evolved overlay on %10 keys: status
     // 'E', price+1, o_note populated; every other row null-pads o_note.
     // (%10 is even, so the odd-%97 deleted set is unchanged.)
