@@ -123,6 +123,67 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS into dedup GROUPS (keep one representative per
+    * group). Min-label propagation: every vertex repeatedly adopts the
+    * smallest component id seen among itself and its neighbors until
+    * fixpoint. Each iteration is one shuffle join (edges ⋈ labels) plus a
+    * partial/final min-aggregate — the classic MapReduce-CC shape (cf.
+    * Kiveris et al., "Connected Components in MapReduce and Beyond";
+    * alternating large-star/small-star has the same per-round cost and a
+    * better adversarial bound, but dedup-cluster graphs have tiny label
+    * diameter, so plain propagation converges in a handful of rounds).
+    * `localCheckpoint` truncates lineage each round — without it the
+    * iterated-join plan tree grows exponentially and kills the driver at
+    * scale long before the data does.
+    *
+    * Returns (id, comp) for every vertex that appears in `edges`.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val und = e.union(e.select(col("v"), col("u"))).distinct()
+      .localCheckpoint()
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("comp")).as("nc"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.comp"), coalesce(col("n.nc"), col("l.comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.as("a")
+        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+        .filter(col("comp") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Benchmark decontamination: drop training documents whose exact
+    * content hash appears in a held-out evaluation corpus. One distinct
+    * over the (small) eval side + a hash anti-join — the eval hash set is
+    * broadcastable at any realistic eval-corpus size, so the 100 TB train
+    * side never shuffles. Returns a one-row summary.
+    */
+  def decontaminate(docs: DataFrame, textCol: String, isEval: Column): DataFrame = {
+    val hashed = docs.withColumn("_h", md5(col(textCol)))
+    val evalHashes = hashed.filter(isEval).select(col("_h")).distinct()
+    val train = hashed.filter(!isEval)
+    val kept = train.join(broadcast(evalHashes), Seq("_h"), "left_anti")
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(evalHashes.agg(count(lit(1)).as("n_eval")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      .select(col("n_train"), col("n_eval"),
+        (col("n_train") - col("n_kept")).as("n_removed"), col("n_kept"))
+  }
+
   /** 64-bit SimHash: per bit, sum ±1 over token occurrences; bit set if the
     * sum is positive. The per-token bit source is the first 16 hex digits
     * of md5 (bit b = bit b%4 of digit b/4) — chosen over xxhash64 because

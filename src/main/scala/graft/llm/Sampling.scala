@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic subsampling for training-data mixing: every document is
+  * kept or dropped by a pure function of its id, so the sample is
+  * reproducible across runs, engines, and cluster sizes — no RNG state, no
+  * `sample()` nondeterminism under retries. The bucket is the first 4 hex
+  * digits of md5 over a salted id (uniform in [0, 65536)); a document
+  * survives iff bucket < floor(rate · 65536) for its stratum. Pure
+  * narrow map + one aggregate: zero shuffles beyond the final stats
+  * rollup, so it runs at input-scan speed on 100 TB.
+  */
+object Sampling {
+
+  /** Uniform [0, 65536) bucket from a salted md5 over the id column —
+    * portable (same value in any engine with md5). */
+  def hashBucket(idCol: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), idCol.cast("string"))), 1, 4), 16, 10)
+      .cast("int")
+
+  /** Per-stratum keep decision. `thresholds` maps stratum value →
+    * keep-threshold out of 65536 (floor(rate · 65536)); absent strata are
+    * dropped entirely. */
+  def stratifiedKeep(idCol: Column, stratumCol: Column,
+      thresholds: Map[String, Int], salt: String): Column = {
+    val th = thresholds.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(stratumCol === k, lit(v)).otherwise(acc)
+    }
+    hashBucket(idCol, salt) < th
+  }
+
+  /** Mixing summary: per stratum, total vs sampled doc counts and the
+    * sampled character mass (the quantity a token-budget mixing plan
+    * actually targets). */
+  def stratifiedStats(docs: DataFrame, idCol: String, stratumCol: String,
+      massCol: String, thresholds: Map[String, Int],
+      salt: String = "mix"): DataFrame = {
+    val keep = stratifiedKeep(col(idCol), col(stratumCol), thresholds, salt)
+    docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_sampled"),
+        coalesce(sum(when(keep, col(massCol))), lit(0L)).as("mass_sampled"))
+  }
+}

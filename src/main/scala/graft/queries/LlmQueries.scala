@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Graded queries for the LLM-training-data operator families (dedup,
   * similarity search, text analysis, multimodal) over the provisioned
@@ -29,6 +29,25 @@ object LlmQueries {
     // is the complete Hamming-≤3 pair set, oracle-checked end to end
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
+    // near-dup pairs → dedup groups: connected components by iterative
+    // min-label propagation (shuffle join + min-agg per round)
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5, maxDocFreq = Some(100))
+      Dedup.connectedComponents(pairs, "ia", "ib")
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))
+    }),
+    // eval-set decontamination: exact-hash anti-join against a held-out corpus
+    "dedup_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(t(s, dir, "documents"), "text", col("source") === "src0")),
+    // deterministic per-language mixing sample (hash-bucket thresholds /65536)
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedStats(t(s, dir, "documents"), "doc_id", "lang", "n_chars",
+        Map("en" -> 58982, "de" -> 39321, "es" -> 26214, "fr" -> 26214,
+          "zh" -> 13107))),
 
     // ---- similarity search
     "sim_topk_brute" -> ((s, dir) =>
@@ -123,6 +142,36 @@ object LlmQueries {
                z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END), 'sum') AS INT) AS dist
            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
          SELECT ia, ib, dist FROM pairs WHERE dist <= 3""",
+
+    "dedup_clusters" -> clustersSql,
+
+    "dedup_decontaminate" ->
+      """WITH h AS (SELECT source, md5(text) AS hh FROM documents),
+         ev AS (SELECT DISTINCT hh FROM h WHERE source = 'src0'),
+         tr AS (SELECT hh FROM h WHERE source <> 'src0')
+         SELECT (SELECT COUNT(*) FROM tr) AS n_train,
+                (SELECT COUNT(*) FROM ev) AS n_eval,
+                (SELECT COUNT(*) FROM tr WHERE hh IN (SELECT hh FROM ev)) AS n_removed,
+                (SELECT COUNT(*) FROM tr WHERE hh NOT IN (SELECT hh FROM ev)) AS n_kept""",
+
+    // same salted-md5 bucket, digit-by-digit: bucket = first 4 hex digits
+    // of md5('mix:' || id) as an int in [0, 65536)
+    "sample_stratified" ->
+      """WITH h AS (SELECT lang, n_chars,
+             md5('mix:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         b AS (SELECT lang, n_chars,
+               (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket FROM h),
+         k AS (SELECT lang, n_chars, bucket,
+             CASE lang WHEN 'en' THEN 58982 WHEN 'de' THEN 39321
+                       WHEN 'es' THEN 26214 WHEN 'fr' THEN 26214
+                       WHEN 'zh' THEN 13107 ELSE 0 END AS th FROM b)
+         SELECT lang, COUNT(*) AS n_total,
+           COUNT(CASE WHEN bucket < th THEN 1 END) AS n_sampled,
+           CAST(COALESCE(SUM(CASE WHEN bucket < th THEN n_chars END), 0) AS BIGINT) AS mass_sampled
+         FROM k GROUP BY lang""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
@@ -252,11 +301,13 @@ object LlmQueries {
          FROM documents"""
   )
 
-  private def jaccardSql(maxDocFreq: Option[Int]): String = {
+  /** Shared CTE chain deriving the exact-Jaccard pair scores (pre-threshold)
+    * — the common prefix of the jaccard, minhash and clusters oracles. */
+  private def jaccardCtes(maxDocFreq: Option[Int]): String = {
     val dfFilter = maxDocFreq
       .map(cap => s"AND s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $cap)")
       .getOrElse("")
-    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
@@ -266,10 +317,29 @@ object LlmQueries {
        cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
        pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS inter
                  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2)
-       SELECT ia, ib, round(j, 4) AS jaccard FROM
-         (SELECT ia, ib, CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS j
-          FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
-       WHERE j >= 0.5"""
+                 GROUP BY 1, 2),
+       scored AS (SELECT ia, ib, CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS j
+                  FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)"""
   }
+
+  private def jaccardSql(maxDocFreq: Option[Int]): String =
+    s"""WITH ${jaccardCtes(maxDocFreq)}
+       SELECT ia, ib, round(j, 4) AS jaccard FROM scored WHERE j >= 0.5"""
+
+  /** Connected components of the thresholded Jaccard pair graph via a
+    * recursive CTE: enumerate every (vertex, reachable-vertex) pair, take
+    * the min reachable id as the cluster label. Exponential in nothing on
+    * the tiny planted clusters; the ENGINE side is the scalable path. */
+  private def clustersSql: String =
+    s"""WITH RECURSIVE ${jaccardCtes(Some(100))},
+       jp AS (SELECT ia, ib FROM scored WHERE j >= 0.5),
+       e AS (SELECT ia AS u, ib AS v FROM jp UNION SELECT ib, ia FROM jp),
+       reach(id, r) AS (
+         SELECT u, u FROM e
+         UNION
+         SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+       comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       SELECT cluster_id, COUNT(*) AS n_docs,
+              string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+       FROM comp GROUP BY cluster_id"""
 }

@@ -117,4 +117,46 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cappedTwins.count { case (a, b) => b == a + 100000L } == 100)
   }
+
+  test("connected components labels a long chain, a triangle and singles-pair") {
+    // chain 1..6 forces multiple propagation rounds; triangle 10-11-12;
+    // isolated edge 20-21. Min label wins in every component.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert((10L to 12L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 11)
+  }
+
+  test("decontaminate removes exactly the train docs hash-matching the eval set") {
+    val docs = Seq(
+      ("eval", "alpha"), ("eval", "beta"), ("eval", "beta"),
+      ("train", "alpha"), ("train", "alpha"), ("train", "gamma"),
+      ("train", "delta")).toDF("split", "text")
+    val r = Dedup.decontaminate(docs, "text", $"split" === "eval").collect()(0)
+    assert(r.getAs[Long]("n_train") == 4 && r.getAs[Long]("n_eval") == 2)
+    assert(r.getAs[Long]("n_removed") == 2 && r.getAs[Long]("n_kept") == 2)
+  }
+
+  test("stratified sampling is deterministic and lands near the target rate") {
+    import graft.llm.Sampling
+    val docs = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh", 10))
+      .toDF("doc_id", "lang", "n_chars")
+    // en keep-rate 1/2 (32768/65536), zh dropped (absent stratum)
+    val stats = Sampling.stratifiedStats(docs, "doc_id", "lang", "n_chars",
+      Map("en" -> 32768)).collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (enTotal, enKept, enMass) = stats("en")
+    assert(enTotal == 1000 && stats("zh") == ((1000L, 0L, 0L)))
+    assert(enKept > 400 && enKept < 600)      // binomial(1000, .5) well inside
+    assert(enMass == enKept * 10)
+    // byte-for-byte reproducible: a second evaluation keeps the same docs
+    val keep = Sampling.stratifiedKeep($"doc_id", $"lang", Map("en" -> 32768), "mix")
+    val a = docs.filter(keep).select($"doc_id").as[Long].collect().toSet
+    val b = docs.filter(keep).select($"doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == enKept)
+  }
 }
