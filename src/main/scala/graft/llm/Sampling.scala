@@ -31,6 +31,18 @@ object Sampling {
     hashBucket(idCol, salt) < th
   }
 
+  /** Exact-size uniform sample: the k documents with the smallest salted
+    * hash. Deterministic (md5 is collision-free on distinct ids for any
+    * realistic k) and engine-portable, unlike reservoir sampling whose
+    * result depends on encounter order. Executes as TakeOrdered — a
+    * per-partition k-heap plus a k-row driver merge, so the full corpus is
+    * scanned once and never shuffled. */
+  def uniformSampleK(docs: DataFrame, idCol: String, k: Int,
+      salt: String = "samp"): DataFrame =
+    docs.select(col(idCol),
+        md5(concat(lit(salt + ":"), col(idCol).cast("string"))).as("h"))
+      .orderBy(col("h")).limit(k)
+
   /** Mixing summary: per stratum, total vs sampled doc counts and the
     * sampled character mass (the quantity a token-budget mixing plan
     * actually targets). */

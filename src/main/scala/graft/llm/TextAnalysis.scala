@@ -71,4 +71,64 @@ object TextAnalysis {
     * collapse to one fingerprint). */
   def fingerprint(docs: DataFrame, textCol: String): org.apache.spark.sql.Column =
     md5(lower(regexp_replace(trim(col(textCol)), " +", " ")))
+
+  /** Gopher-style repetition features per document: how much of the text
+    * is the same bigram said again. `top2_ratio` = occurrences of the most
+    * frequent word-bigram / total bigrams; `dup_ratio` = fraction of bigram
+    * occurrences whose bigram appears more than once. Both are standard
+    * junk-document signals (boilerplate, keyword stuffing, decode loops).
+    * Shape: explode bigrams → count per (doc, gram) → per-doc rollup — two
+    * keyed shuffles with map-side partial aggregation; no per-doc state
+    * exceeds the doc's own vocabulary, so skew is bounded by document
+    * length, not corpus size. Docs with fewer than 2 words have no bigrams
+    * and are omitted (same as the SQL oracle). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val bigrams = zip_with(
+      slice(words, lit(1), greatest(size(words) - 1, lit(0))),
+      slice(words, lit(2), greatest(size(words) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col(idCol), explode(bigrams).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        max(col("cnt")).as("top_bigram_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_bigram_occ"))
+      .select(col(idCol), col("n_bigrams"), col("top_bigram_cnt"), col("dup_bigram_occ"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top2_ratio"),
+        (col("dup_bigram_occ").cast("double") / col("n_bigrams")).as("dup_ratio"))
+  }
+
+  /** Corpus vocabulary top-k: global word counts, deterministically ranked
+    * (count desc, word asc). The groupBy partial-aggregates map-side, the
+    * top-k is a TakeOrdered (per-partition heap + driver merge of k rows),
+    * and only the k survivors see the final rank window — nothing global
+    * ever shuffles the full vocabulary to one task. */
+  def vocabulary(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(k)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+  }
+
+  /** Per-document keyword extraction, tf-idf-shaped: score a term by how
+    * often the doc uses it relative to how many docs use it at all
+    * (score = tf / df — a pure integer ratio, so the double is the exact
+    * same IEEE value in any engine; no transcendental idf log that would
+    * differ in the last ulp across libm implementations). Top-k terms per
+    * doc by (score desc, term asc). The df side is an aggregate of the tf
+    * side — one extra keyed shuffle, joined back on term. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
 }

@@ -48,6 +48,20 @@ object LlmQueries {
       Sampling.stratifiedStats(t(s, dir, "documents"), "doc_id", "lang", "n_chars",
         Map("en" -> 58982, "de" -> 39321, "es" -> 26214, "fr" -> 26214,
           "zh" -> 13107))),
+    // exact-size uniform sample: k smallest salted hashes (TakeOrdered)
+    "sample_uniform" -> ((s, dir) =>
+      Sampling.uniformSampleK(t(s, dir, "documents"), "doc_id", k = 100)),
+
+    // ---- text quality / featurization
+    // Gopher-style repetition signals: top-bigram and duplicate-bigram ratios
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus top-20 vocabulary, deterministically ranked
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), "text", k = 20)),
+    // per-doc top-3 keywords by tf/df (integer-ratio tf-idf)
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
 
     // ---- similarity search
     "sim_topk_brute" -> ((s, dir) =>
@@ -172,6 +186,40 @@ object LlmQueries {
            COUNT(CASE WHEN bucket < th THEN 1 END) AS n_sampled,
            CAST(COALESCE(SUM(CASE WHEN bucket < th THEN n_chars END), 0) AS BIGINT) AS mass_sampled
          FROM k GROUP BY lang""",
+
+    "sample_uniform" ->
+      """SELECT doc_id, md5('samp:' || CAST(doc_id AS VARCHAR)) AS h
+         FROM documents ORDER BY h LIMIT 100""",
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i + 1])) AS g FROM w),
+         c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               MAX(cnt) AS top_bigram_cnt,
+               CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS dup_bigram_occ
+               FROM c GROUP BY 1)
+         SELECT doc_id, n_bigrams, top_bigram_cnt, dup_bigram_occ,
+           CAST(top_bigram_cnt AS DOUBLE) / n_bigrams AS top2_ratio,
+           CAST(dup_bigram_occ AS DOUBLE) / n_bigrams AS dup_ratio
+         FROM a""",
+
+    "text_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         c AS (SELECT word, COUNT(*) AS cnt FROM t GROUP BY 1),
+         r AS (SELECT word, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word ASC) AS rank FROM c)
+         SELECT word, cnt, rank FROM r WHERE rank <= 20""",
+
+    "text_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+         dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         s AS (SELECT doc_id, term, tf, df, CAST(tf AS DOUBLE) / df AS score
+               FROM tf JOIN dfq USING (term)),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term ASC) AS rn FROM s)
+         SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3""",
 
     "sim_topk_brute" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),

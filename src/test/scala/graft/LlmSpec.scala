@@ -141,6 +141,54 @@ class LlmSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_removed") == 2 && r.getAs[Long]("n_kept") == 2)
   }
 
+  test("repetition stats flag a stuffed doc and clear a clean one") {
+    import graft.llm.TextAnalysis
+    val docs = Seq(
+      (1L, "spam ham spam ham spam ham"),      // "spam ham" x3, "ham spam" x2
+      (2L, "one two three four five"),          // all bigrams unique
+      (3L, "solo")).toDF("doc_id", "text")      // no bigrams -> omitted
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_bigrams") == 5)
+    assert(got(1L).getAs[Long]("top_bigram_cnt") == 3)
+    assert(got(1L).getAs[Long]("dup_bigram_occ") == 5)
+    assert(got(1L).getAs[Double]("dup_ratio") == 1.0)
+    assert(got(2L).getAs[Long]("top_bigram_cnt") == 1)
+    assert(got(2L).getAs[Double]("dup_ratio") == 0.0)
+    assert(!got.contains(3L))
+  }
+
+  test("vocabulary ranks by count desc then word asc and stops at k") {
+    import graft.llm.TextAnalysis
+    val docs = Seq((1L, "b a b c a b"), (2L, "c a d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+  }
+
+  test("tfidf keywords surface the doc-specific term over corpus-wide ones") {
+    import graft.llm.TextAnalysis
+    // "rare" appears only in doc 1 (df=1); "common" in all three (df=3)
+    val docs = Seq((1L, "common rare common"), (2L, "common x"), (3L, "common y"))
+      .toDF("doc_id", "text")
+    val top1 = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    assert(top1(1L) == (("rare", 1.0)))       // tf=1/df=1 beats tf=2/df=3
+    assert(top1(2L) == (("x", 1.0)))
+    assert(top1(3L) == (("y", 1.0)))
+  }
+
+  test("uniform k-sample is deterministic, sized k, and hash-ordered") {
+    import graft.llm.Sampling
+    val docs = (0 until 500).map(i => (i.toLong, "t")).toDF("doc_id", "text")
+    val a = Sampling.uniformSampleK(docs, "doc_id", 50).collect()
+    val b = Sampling.uniformSampleK(docs, "doc_id", 50).collect()
+    assert(a.length == 50)
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    val hashes = a.map(_.getString(1))
+    assert(hashes.toSeq == hashes.sorted.toSeq)
+  }
+
   test("stratified sampling is deterministic and lands near the target rate") {
     import graft.llm.Sampling
     val docs = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh", 10))
