@@ -335,6 +335,11 @@ object RelationalOracles {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
 
+    "st_stream_dedup" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events)
+         SELECT COUNT(*) AS n_users, CAST(SUM(user_id) AS BIGINT) AS sum_users,
+                MIN(user_id) AS min_user, MAX(user_id) AS max_user FROM u""",
+
     "st_session_window" ->
       """WITH d AS (
            SELECT user_id, ts,

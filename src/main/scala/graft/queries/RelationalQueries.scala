@@ -521,6 +521,17 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"))
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_sessions"), sum($"cnt").as("n_events"))
+    }),
+    // a REAL stream run: dropDuplicates state across AvailableNow
+    // micro-batches; graded on the (deterministic) emitted key set
+    "st_stream_dedup" -> ((s, dir) => {
+      val sink = "st_dedup_users"
+      graft.streaming.StreamDedup
+        .distinctKeys(s, s"$dir/events.parquet", "user_id", sink)
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("user_id")).as("sum_users"),
+          min(col("user_id")).as("min_user"),
+          max(col("user_id")).as("max_user"))
     })
   )
 }

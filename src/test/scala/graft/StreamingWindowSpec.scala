@@ -70,4 +70,18 @@ class StreamingWindowSpec extends AnyFunSuite {
     t.upsert(Seq((3L, "c", "030", false)).toDF("id", "v", "trx_seq", Meta.Deleted))
     assert(t.readUser().count() == 3)
   }
+
+  test("streaming dropDuplicates carries seen-key state across micro-batches") {
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    // three files with overlapping keys; filesPerTrigger=1 forces three
+    // micro-batches, so suppressing the repeats requires cross-batch state
+    Seq(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L), Seq(4L, 5L, 1L)).zipWithIndex
+      .foreach { case (ks, i) =>
+        ks.toDF("k").coalesce(1).write.parquet(s"$dir/part$i")
+      }
+    val got = graft.streaming.StreamDedup
+      .distinctKeys(spark, s"$dir/part*", "k", "dedup_spec_sink", filesPerTrigger = 1)
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
