@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape pins for the round-5 operators: the properties that
+  * make them survive a 100× scale-up, asserted so a regression shows up as
+  * a red test rather than a silent plan change. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("uniform sample and vocab top-k are TakeOrdered, never a global sort") {
+    assert(plan("sample_uniform").contains("TakeOrderedAndProject"))
+    assert(plan("text_vocab").contains("TakeOrderedAndProject"))
+  }
+
+  test("tf-idf joins stay equi (no nested-loop/cartesian) and prune the scan") {
+    val p = plan("text_tfidf")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // only doc_id + text leave the parquet scan
+    assert(!p.contains("n_chars") && !p.contains("source"))
+  }
+
+  test("repetition stats aggregate with map-side partials and no joins at all") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_count") || p.contains("partial"))
+  }
+
+  test("decontamination broadcasts the eval hash set; train side never shuffles for the join") {
+    val p = plan("dedup_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
+  test("cluster assignment is equi-join based (no all-pairs anywhere)") {
+    val p = plan("dedup_clusters")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+}
