@@ -192,6 +192,43 @@ object OpsScenarios {
         .map(tr => (tr.table, tr.status, tr.attempts.toLong, report.ok))
     })
 
+  // ---------------------------------------------------------- O8 CLI exits
+
+  private val cliCache = TrieMap[String, (Long, Long)]()
+
+  /** The scheduler-facing contract (O8): `graft.Main` exits 0 when every
+    * chained run is ok and 1 when any table fails permanently. Runs the
+    * actual CLI body (`Main.run` — chain, report printing, exit-code
+    * decision) in-process on a healthy and a poisoned config. */
+  def cliExits(s: SparkSession, dir: String): (Long, Long) =
+    cliCache.getOrElseUpdate(dir, {
+      val base = Files.createTempDirectory("graft-cli-q").toString
+      def cfg(name: String, tableJson: String): String = {
+        val p = Paths.get(base, s"$name.json")
+        Files.writeString(p,
+          s"""[
+             |{"config":"pipeline::delta","identifier":"pcli",
+             | "raw_root":"$base/raw","curated_root":"$base/curated-$name",
+             | "database":"graft","retries":0},
+             |$tableJson
+             |]""".stripMargin)
+        p.toString
+      }
+      CdcScenario.fullLoad(s, dir).write.mode("overwrite")
+        .parquet(s"$base/raw/public/orders")
+      val good = cfg("good",
+        s"""{"config":"table::public.orders","identifier":"pcli","enabled":true,
+           | "hudi_config":{"record_key":"o_orderkey",
+           |   "source_ordering_field":"trx_seq","is_partitioned":false}}""".stripMargin)
+      val bad = cfg("bad",
+        s"""{"config":"table::public.orders","identifier":"pcli","enabled":true,
+           | "hudi_config":{"record_key":"o_orderkey",
+           |   "source_ordering_field":"trx_seq","is_partitioned":false,
+           |   "transformer_sql":"SELECT no_such_column FROM <SRC>"}}""".stripMargin)
+      (graft.Main.run(s, good, "pcli", "delta").toLong,
+        graft.Main.run(s, bad, "pcli", "delta").toLong)
+    })
+
   // ------------------------------------------------------ S5 persistent sync
 
   private val catalogCache = TrieMap[String, String]()
@@ -236,6 +273,13 @@ object OpsQueries {
       import s.implicits._
       OpsScenarios.retryRuns(s, dir).toDF("table", "status", "attempts", "run_ok")
     }),
+    // O8: the CLI exit-code contract, run in-process on a healthy and a
+    // poisoned config
+    "cli_exit" -> ((s, dir) => {
+      import s.implicits._
+      val (ok, bad) = OpsScenarios.cliExits(s, dir)
+      Seq((ok, bad)).toDF("exit_ok", "exit_failed")
+    }),
     // S5: read the synced table BY NAME from a fresh session (shares the
     // metastore, has none of this session's temp views)
     "catalog_persistent" -> ((s, dir) => {
@@ -264,6 +308,9 @@ object OpsQueries {
            ('public.customer', 'failed', CAST(2 AS BIGINT), false),
            ('public.orders', 'ok', CAST(2 AS BIGINT), false))
          AS t("table", status, attempts, run_ok)""",
+    "cli_exit" ->
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(1 AS BIGINT)))
+         AS t(exit_ok, exit_failed)""",
     "catalog_persistent" -> CdcQueries.statusAggOracle
   )
 }
