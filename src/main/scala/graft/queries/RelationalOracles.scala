@@ -335,6 +335,12 @@ object RelationalOracles {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
 
+    "st_stream_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment""",
+
     "st_stream_dedup" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events)
          SELECT COUNT(*) AS n_users, CAST(SUM(user_id) AS BIGINT) AS sum_users,

@@ -522,6 +522,12 @@ object RelationalQueries {
         .groupBy($"user_id")
         .agg(count(lit(1)).as("n_sessions"), sum($"cnt").as("n_events"))
     }),
+    // a REAL stream run: broadcast stream-static dim join + running aggs
+    // in complete mode; decimal totals make the result batch-boundary-free
+    "st_stream_enrich" -> ((s, dir) =>
+      graft.streaming.StreamEnrich.enrichedStats(s, s"$dir/events.parquet",
+        "user_id", t(s, dir, "customer"), "c_custkey", "c_mktsegment", "value",
+        "st_enrich_sink")),
     // a REAL stream run: dropDuplicates state across AvailableNow
     // micro-batches; graded on the (deterministic) emitted key set
     "st_stream_dedup" -> ((s, dir) => {
