@@ -72,6 +72,23 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, textCol: String): org.apache.spark.sql.Column =
     md5(lower(regexp_replace(trim(col(textCol)), " +", " ")))
 
+  /** C4/Gopher-style rule filter: keep a document iff it clears minimum
+    * length, lexical diversity (type-token ratio) and stopword-density
+    * thresholds. Pure narrow column expressions — the filter runs at scan
+    * speed and composes with any downstream op. Returns the per-stratum
+    * keep summary (the number a curation run reports). */
+  def qualityFilterStats(docs: DataFrame, stratumCol: String, textCol: String,
+      minTokens: Int, minTtr: Double, minStopRatio: Double): DataFrame = {
+    val words = split(col(textCol), " ")
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nTok = size(words)
+    val ttr = size(array_distinct(words)).cast("double") / nTok
+    val stopR = size(filter(words, w => array_contains(stopArr, w))).cast("double") / nTok
+    val keep = nTok >= minTokens && ttr >= minTtr && stopR >= minStopRatio
+    docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"), count(when(keep, 1)).as("n_kept"))
+  }
+
   /** Gopher-style repetition features per document: how much of the text
     * is the same bigram said again. `top2_ratio` = occurrences of the most
     * frequent word-bigram / total bigrams; `dup_ratio` = fraction of bigram

@@ -62,6 +62,24 @@ object LlmQueries {
     // per-doc top-3 keywords by tf/df (integer-ratio tf-idf)
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // C4-style rule filter: min length + lexical diversity + stopword density
+    "text_filter_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFilterStats(t(s, dir, "documents"), "lang", "text",
+        minTokens = 30, minTtr = 0.4, minStopRatio = 0.03)),
+    // the dedup pipeline end-to-end: pairs -> components -> keep one
+    // representative (the min-id label) per cluster
+    "dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxDocFreq = Some(100))
+      val comp = Dedup.connectedComponents(pairs, "ia", "ib")
+      val removed = comp.filter(col("id") =!= col("comp"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(comp.agg(count(lit(1)).as("n_in_clusters")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .select(col("n_docs"), col("n_in_clusters"), col("n_removed"),
+          (col("n_docs") - col("n_removed")).as("n_kept"))
+    }),
 
     // ---- similarity search
     "sim_topk_brute" -> ((s, dir) =>
@@ -158,6 +176,20 @@ object LlmQueries {
          SELECT ia, ib, dist FROM pairs WHERE dist <= 3""",
 
     "dedup_clusters" -> clustersSql,
+
+    "dedup_keep" -> keepSql,
+
+    "text_filter_quality" ->
+      """WITH s AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+         m AS (SELECT lang, len(w) AS n_tok,
+               CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+               CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to',
+                 'in','is','on','for','with'))) AS DOUBLE) / len(w) AS stopr
+               FROM s)
+         SELECT lang, COUNT(*) AS n_docs,
+           COUNT(CASE WHEN n_tok >= 30 AND ttr >= 0.4 AND stopr >= 0.03
+                 THEN 1 END) AS n_kept
+         FROM m GROUP BY lang""",
 
     "dedup_decontaminate" ->
       """WITH h AS (SELECT source, md5(text) AS hh FROM documents),
@@ -378,7 +410,7 @@ object LlmQueries {
     * recursive CTE: enumerate every (vertex, reachable-vertex) pair, take
     * the min reachable id as the cluster label. Exponential in nothing on
     * the tiny planted clusters; the ENGINE side is the scalable path. */
-  private def clustersSql: String =
+  private def clusterCtes: String =
     s"""WITH RECURSIVE ${jaccardCtes(Some(100))},
        jp AS (SELECT ia, ib FROM scored WHERE j >= 0.5),
        e AS (SELECT ia AS u, ib AS v FROM jp UNION SELECT ib, ia FROM jp),
@@ -386,8 +418,19 @@ object LlmQueries {
          SELECT u, u FROM e
          UNION
          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
-       comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
+
+  private def clustersSql: String =
+    s"""$clusterCtes
        SELECT cluster_id, COUNT(*) AS n_docs,
               string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
        FROM comp GROUP BY cluster_id"""
+
+  private def keepSql: String =
+    s"""$clusterCtes
+       SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+              (SELECT COUNT(*) FROM comp) AS n_in_clusters,
+              (SELECT COUNT(*) FROM comp WHERE id <> cluster_id) AS n_removed,
+              (SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM comp WHERE id <> cluster_id) AS n_kept"""
 }

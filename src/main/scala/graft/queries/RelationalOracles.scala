@@ -149,6 +149,10 @@ object RelationalOracles {
          TRUE AS within_10pct
          FROM lineitem GROUP BY l_returnflag""",
 
+    "tr3_agg_quantile_sketch" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS rank_within_1pct
+         FROM lineitem GROUP BY l_returnflag""",
+
     "tr4_window_rank" ->
       """SELECT o_custkey, o_orderkey,
          row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk

@@ -260,6 +260,25 @@ object RelationalQueries {
             $"exact_orders" * 0.10).as("within_10pct"))
     }),
 
+    // quantile sketch graded like the HLL row: the graded columns are the
+    // exact group sizes plus the sketch's accuracy CONTRACT — the rank of
+    // approx_percentile's answer must sit within 1% of the true median
+    // rank (the sketch's eps is 1e-4 at accuracy=10000, so 1% is 5-sigma
+    // slack at every provisioned SF)
+    "tr3_agg_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_returnflag",
+        ($"l_extendedprice" * 100).cast("long").as("cents"))
+      val apx = li.groupBy($"l_returnflag")
+        .agg(expr("approx_percentile(cents, 0.5, 10000)").as("apx"),
+          count(lit(1)).as("n_rows"))
+      li.join(apx, "l_returnflag")
+        .groupBy($"l_returnflag", $"n_rows")
+        .agg(sum(when($"cents" <= $"apx", 1L).otherwise(0L)).as("rk"))
+        .select($"l_returnflag", $"n_rows",
+          (abs($"rk" - $"n_rows" * 0.5) <= $"n_rows" * 0.01 + 1).as("rank_within_1pct"))
+    }),
+
     // ---------------------------------------------------------------- TR4
     "tr4_window_rank" -> ((s, dir) => {
       import s.implicits._

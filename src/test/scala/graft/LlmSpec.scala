@@ -189,6 +189,20 @@ class LlmSpec extends AnyFunSuite {
     assert(hashes.toSeq == hashes.sorted.toSeq)
   }
 
+  test("quality filter keeps the clean doc and drops short/repetitive/stopword-free ones") {
+    import graft.llm.TextAnalysis
+    val clean = "the quick brown fox jumps over a lazy dog with great style " * 3
+    val docs = Seq(
+      ("en", clean.trim),                      // long, diverse, has stopwords
+      ("en", "too short to pass the bar"),     // fails min length
+      ("en", ("spam " * 40).trim),             // ttr collapses
+      ("en", ("alpha beta gamma delta epsilon zeta eta theta " * 5).trim)) // no stopwords
+      .toDF("lang", "text")
+    val r = TextAnalysis.qualityFilterStats(docs, "lang", "text",
+      minTokens = 30, minTtr = 0.25, minStopRatio = 0.03).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_kept") == 1)
+  }
+
   test("stratified sampling is deterministic and lands near the target rate") {
     import graft.llm.Sampling
     val docs = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "zh", 10))
