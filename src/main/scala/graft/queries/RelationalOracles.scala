@@ -339,6 +339,29 @@ object RelationalOracles {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
 
+    "ev_funnel" ->
+      """WITH o AS (
+           SELECT user_id, event_type, ts,
+             last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view
+           FROM events),
+         c AS (SELECT * FROM o WHERE event_type = 'purchase'
+               AND last_view IS NOT NULL AND ts <= last_view + INTERVAL 30 MINUTE)
+         SELECT (SELECT COUNT(DISTINCT user_id) FROM events
+                 WHERE event_type = 'view') AS n_view_users,
+                (SELECT COUNT(DISTINCT user_id) FROM c) AS n_converted_users,
+                (SELECT COUNT(*) FROM c) AS n_conversions""",
+
+    "ev_retention" ->
+      """WITH su AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+         d AS (SELECT e.user_id,
+                 date_diff('day', CAST(su.signup_ts AS DATE), CAST(e.ts AS DATE)) AS days
+               FROM events e JOIN su USING (user_id)),
+         wk AS (SELECT DISTINCT user_id, days // 7 AS week FROM d WHERE days >= 0)
+         SELECT week, COUNT(*) AS n_active FROM wk GROUP BY week""",
+
     "st_stream_enrich" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total

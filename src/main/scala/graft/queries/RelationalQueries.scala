@@ -524,6 +524,42 @@ object RelationalQueries {
         .agg(countDistinct($"word").as("n_words"), count(lit(1)).as("n_tokens"))
     }),
 
+    // ------------------------------------------------- EV (event analytics)
+    // conversion funnel: purchases within 30 min of that user's most
+    // recent view — the as-of carry-forward shape again (one shuffle on
+    // user_id, no self-join, no range-join blowup on hot users)
+    "ev_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type", $"ts")
+      val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val conv = ev
+        .withColumn("last_view",
+          last(when($"event_type" === "view", $"ts"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "purchase" && $"last_view".isNotNull &&
+          $"ts" <= $"last_view" + expr("INTERVAL 30 MINUTES"))
+      conv.agg(count(lit(1)).as("n_conversions"),
+          countDistinct($"user_id").as("n_converted_users"))
+        .crossJoin(ev.filter($"event_type" === "view")
+          .agg(countDistinct($"user_id").as("n_view_users")))
+        .select($"n_view_users", $"n_converted_users", $"n_conversions")
+    }),
+    // signup-anchored weekly retention cohort: distinct active users per
+    // week since each user's first signup (broadcast anchor join)
+    "ev_retention" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val su = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("signup_ts"))
+      ev.join(su, "user_id")
+        .select($"user_id",
+          datediff(to_date($"ts"), to_date($"signup_ts")).as("days"))
+        .filter($"days" >= 0)
+        .select($"user_id", expr("days DIV 7").as("week"))
+        .distinct()
+        .groupBy($"week").agg(count(lit(1)).as("n_active"))
+    }),
+
     // --------------------------------------------- ST (event-time windows;
     // same operators Structured Streaming uses on a stream)
     "st_window_tumbling" -> ((s, dir) => {
