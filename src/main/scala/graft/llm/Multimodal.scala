@@ -72,6 +72,43 @@ object Multimodal {
       .toDF("id", "resized", "n_resized", "n_sampled")
   }
 
+  /** Render each document as a REAL P6 PPM image (pixels = the doc's
+    * UTF-8 bytes cycled over a w×h raster derived from its length) — a
+    * deterministic corpus of genuine images for the codec path. */
+  def asPpmTable(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val w = bytes.length % 64 + 1
+          val h = bytes.length % 48 + 1
+          val rgb = Array.tabulate(w * h * 3)(j => bytes(j % bytes.length))
+          (id, PpmCodec.encode(w, h, rgb))
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL decode + resize over the PPM corpus: parse the header, resize
+    * nearest-neighbor to half dimensions, report both geometries.
+    * Partition-parallel like every codec call. */
+  def ppmStats(spark: SparkSession, binTable: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, rgb) = PpmCodec.decode(payload)
+          val (rw, rh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+          val resized = PpmCodec.resizeNearest(payload, rw, rh)
+          val (dw, dh, drgb) = PpmCodec.decode(resized)
+          (id, w, h, rgb.length, dw, dh, drgb.length)
+        }
+      }
+      .toDF(idCol, "w", "h", "n_rgb", "rw", "rh", "n_rgb_resized")
+  }
+
   /** Partition-parallel feature extraction over the binary column via
     * typed mapPartitions — the decode loop runs once per executor
     * partition (codec init amortized across the batch), never on the

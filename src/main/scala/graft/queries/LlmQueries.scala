@@ -130,6 +130,11 @@ object LlmQueries {
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
         Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+    // REAL codec path: render docs as genuine P6 PPM images, then parse
+    // headers and nearest-neighbor resize with the dependency-free codec
+    "mm_ppm" -> ((s, dir) =>
+      Multimodal.ppmStats(s,
+        Multimodal.asPpmTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
     "mm_transform" -> ((s, dir) =>
       Multimodal.transform(s,
           Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id")
@@ -222,6 +227,19 @@ object LlmQueries {
     "sample_uniform" ->
       """SELECT doc_id, md5('samp:' || CAST(doc_id AS VARCHAR)) AS h
          FROM documents ORDER BY h LIMIT 100""",
+
+    // the engine really encodes + parses + resizes P6 images; the oracle
+    // recomputes the geometry arithmetic the round trip must reproduce
+    "mm_ppm" ->
+      """SELECT doc_id,
+           strlen(text) % 64 + 1 AS w,
+           strlen(text) % 48 + 1 AS h,
+           (strlen(text) % 64 + 1) * (strlen(text) % 48 + 1) * 3 AS n_rgb,
+           greatest((strlen(text) % 64 + 1) // 2, 1) AS rw,
+           greatest((strlen(text) % 48 + 1) // 2, 1) AS rh,
+           greatest((strlen(text) % 64 + 1) // 2, 1)
+             * greatest((strlen(text) % 48 + 1) // 2, 1) * 3 AS n_rgb_resized
+         FROM documents""",
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

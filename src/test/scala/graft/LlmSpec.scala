@@ -189,6 +189,25 @@ class LlmSpec extends AnyFunSuite {
     assert(hashes.toSeq == hashes.sorted.toSeq)
   }
 
+  test("PPM codec round-trips, honors header comments, and resizes for real") {
+    import graft.llm.PpmCodec
+    val rgb = Array.tabulate(4 * 2 * 3)(i => (i * 7 % 256).toByte)
+    val img = PpmCodec.encode(4, 2, rgb)
+    val (w, h, back) = PpmCodec.decode(img)
+    assert(w == 4 && h == 2 && back.toSeq == rgb.toSeq)
+    // netpbm comment between header tokens must be skipped
+    val commented = "P6\n# a comment\n4 2\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(PpmCodec.decode(commented)._1 == 4)
+    // channel means are real pixel math
+    val flat = PpmCodec.encode(2, 2, Array.fill(12)(10.toByte))
+    assert(PpmCodec.meanRgb(flat) == ((10.0, 10.0, 10.0)))
+    // nearest-neighbor 2x downscale of a 2x2 checker keeps the top-left pixel
+    val checker = PpmCodec.encode(2, 2,
+      Array[Byte](0, 0, 0, -1, -1, -1, -1, -1, -1, 0, 0, 0))
+    val (rw, rh, rp) = PpmCodec.decode(PpmCodec.resizeNearest(checker, 1, 1))
+    assert(rw == 1 && rh == 1 && rp.toSeq == Seq[Byte](0, 0, 0))
+  }
+
   test("quality filter keeps the clean doc and drops short/repetitive/stopword-free ones") {
     import graft.llm.TextAnalysis
     val clean = "the quick brown fox jumps over a lazy dog with great style " * 3
