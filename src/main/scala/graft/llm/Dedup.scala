@@ -163,6 +163,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter iterations " +
+          "(component diameter exceeds the cap); raise maxIter")
     labels
   }
 

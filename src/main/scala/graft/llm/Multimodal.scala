@@ -81,10 +81,14 @@ object Multimodal {
     docs.select(col(idCol), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
+          val bytes = Option(text).map(_.getBytes("UTF-8")).getOrElse(Array.empty[Byte])
+          // geometry from the true byte length (an empty doc is a 1×1 image,
+          // matching the strlen-based oracle); pixel fill needs a non-empty
+          // source, so degenerate docs render as black
           val w = bytes.length % 64 + 1
           val h = bytes.length % 48 + 1
-          val rgb = Array.tabulate(w * h * 3)(j => bytes(j % bytes.length))
+          val fill = if (bytes.isEmpty) Array[Byte](0) else bytes
+          val rgb = Array.tabulate(w * h * 3)(j => fill(j % fill.length))
           (id, PpmCodec.encode(w, h, rgb))
         }
       }

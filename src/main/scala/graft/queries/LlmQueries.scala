@@ -103,8 +103,11 @@ object LlmQueries {
     // DuckDB-expressible (per-value exactness is pinned by
     // StatefulStreamSpec against a JVM reference), but its AGREEMENT
     // contract is — n_pairs == n_texts asserts the hash is a pure function
-    // of the text, n_hashes == n_texts asserts zero collisions on the
-    // corpus (verified: 0 collisions at sf0.001/0.01/0.1)
+    // of the text (the hard determinism contract); hash_ok asserts the
+    // collision count stays under 3 + n/1000, a bound a sound 64-bit hash
+    // never approaches (birthday bound) but a degenerate one always blows,
+    // without asserting the literally-collision-free census that a single
+    // legitimate collision on a larger corpus would flip
     "text_rolling_hash" -> ((s, dir) => {
       graft.functions.RollingHashFunctions.register(s)
       t(s, dir, "documents")
@@ -114,6 +117,9 @@ object LlmQueries {
           countDistinct(col("text")).as("n_texts"),
           countDistinct(col("rh")).as("n_hashes"),
           countDistinct(col("text"), col("rh")).as("n_pairs"))
+        .select(col("n_docs"), col("n_texts"), col("n_pairs"),
+          ((col("n_texts") - col("n_hashes")) <=
+            lit(3) + col("n_texts") / lit(1000)).as("hash_ok"))
     }),
     "text_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -314,13 +320,14 @@ object LlmQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s)
          WHERE rnk <= 5""",
 
-    // zero-collision census: n_pairs = n_texts ⇔ deterministic function of
-    // text; n_hashes = n_texts ⇔ no collisions on this corpus
+    // n_pairs = n_texts ⇔ deterministic function of text (hard contract);
+    // hash_ok = bounded collision count (soft quality gate, always TRUE for
+    // a working 64-bit hash at any graded corpus size)
     "text_rolling_hash" ->
       """SELECT COUNT(*) AS n_docs,
          COUNT(DISTINCT text) AS n_texts,
-         COUNT(DISTINCT text) AS n_hashes,
-         COUNT(DISTINCT text) AS n_pairs
+         COUNT(DISTINCT text) AS n_pairs,
+         TRUE AS hash_ok
          FROM documents""",
 
     "dedup_cosine" ->

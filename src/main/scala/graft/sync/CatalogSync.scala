@@ -2,6 +2,7 @@ package graft.sync
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import graft.operators.GraftTable
 
@@ -66,8 +67,16 @@ object CatalogSync {
         Files.createDirectories(target.getParent)
         Files.createLink(target, Paths.get(table.root, f.path))
       }
+      // losing a concurrent publish race surfaces differently by platform:
+      // FileAlreadyExistsException, or (Linux, non-empty target dir)
+      // DirectoryNotEmptyException/FileSystemException — any of them with the
+      // snapshot already published means we lost cleanly; clean our tmp
       try Files.move(tmp, snapDir, StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => deleteTree(tmp) }
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          deleteTree(tmp)
+          if (!Files.exists(snapDir)) throw e
+      }
     }
     // retire snapshots older than the previous commit
     if (Files.exists(syncRoot)) {
@@ -83,27 +92,92 @@ object CatalogSync {
     if (!spark.catalog.databaseExists(database))
       spark.sql(s"CREATE DATABASE IF NOT EXISTS $database " +
         s"LOCATION '${Files.createTempDirectory(s"graft-db-$database")}'")
-    // repoint = drop + recreate: the entry is pure metadata (external), so
-    // recreation is cheap and leaves the files untouched
-    spark.sql(s"DROP TABLE IF EXISTS $qualified")
-    if (table.partitionFields.isEmpty) {
-      spark.catalog.createTable(qualified, "parquet", Map("path" -> snapDir.toString))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(commit.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // Hive-sync semantics: if the entry already exists with the current
+    // schema, repoint it in place (ALTER SET LOCATION + per-partition
+    // add/update/drop) so concurrent readers never see 'table not found';
+    // drop+recreate only on schema evolution (rare, and the reference's
+    // hive-sync re-creates there too).
+    val sameSchema = spark.catalog.tableExists(qualified) &&
+      (try {
+        spark.table(qualified).schema.fields.map(f => (f.name, f.dataType)).toSet ==
+          schema.fields.map(f => (f.name, f.dataType)).toSet
+      } catch { case _: Exception => false })
+    if (sameSchema) {
+      spark.sql(s"ALTER TABLE $qualified SET LOCATION '$snapDir'")
+      if (table.partitionFields.nonEmpty) {
+        val desired = listPartitionDirs(snapDir, table.partitionFields.size)
+        val current = spark.sql(s"SHOW PARTITIONS $qualified")
+          .collect().map(_.getString(0)).toSet
+        desired.foreach { case (spec, loc) =>
+          val sql = specToSql(spec)
+          // ADD covers new partitions; SET LOCATION repoints ones carried
+          // over from the previous snapshot dir
+          spark.sql(s"ALTER TABLE $qualified ADD IF NOT EXISTS PARTITION ($sql) LOCATION '$loc'")
+          spark.sql(s"ALTER TABLE $qualified PARTITION ($sql) SET LOCATION '$loc'")
+        }
+        (current -- desired.keySet).foreach { spec =>
+          spark.sql(s"ALTER TABLE $qualified DROP IF EXISTS PARTITION (${specToSql(spec)})")
+        }
+      }
     } else {
-      // partitioned external table: explicit DDL from the manifest schema
-      // (partition values live in directory names, not in the files), then
-      // recover partitions into the metastore — the MSCK step of a hive sync
-      val schema = org.apache.spark.sql.types.DataType.fromJson(commit.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val ddl = schema.fields
-        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
-      spark.sql(
-        s"""CREATE TABLE $qualified ($ddl) USING parquet
-            PARTITIONED BY (${table.partitionFields.map(p => s"`$p`").mkString(", ")})
-            LOCATION '$snapDir'""")
-      spark.sql(s"ALTER TABLE $qualified RECOVER PARTITIONS")
+      spark.sql(s"DROP TABLE IF EXISTS $qualified")
+      if (table.partitionFields.isEmpty) {
+        spark.catalog.createTable(qualified, "parquet", Map("path" -> snapDir.toString))
+      } else {
+        // partitioned external table: explicit DDL from the manifest schema
+        // (partition values live in directory names, not in the files), then
+        // recover partitions into the metastore — the MSCK step of a hive sync
+        val ddl = schema.fields
+          .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE $qualified ($ddl) USING parquet
+              PARTITIONED BY (${table.partitionFields.map(p => s"`$p`").mkString(", ")})
+              LOCATION '$snapDir'""")
+        spark.sql(s"ALTER TABLE $qualified RECOVER PARTITIONS")
+      }
     }
     spark.catalog.refreshTable(qualified)
     qualified
+  }
+
+  /** Hive-style partition dirs exactly `depth` levels under `root`:
+    * spec string ("p=v/q=w") -> absolute dir. */
+  private def listPartitionDirs(root: Path, depth: Int): Map[String, Path] = {
+    def walk(dir: Path, level: Int): Seq[(String, Path)] =
+      if (level == 0) Seq(root.relativize(dir).toString -> dir)
+      else {
+        val stream = Files.list(dir)
+        try stream.iterator().asScala.toSeq // materialize before closing
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+          .flatMap(walk(_, level - 1))
+        finally stream.close()
+      }
+    walk(root, depth).toMap
+  }
+
+  /** "p=v1/q=v2" (hive-escaped dir names) -> SQL partition spec
+    * `p='v1', q='v2'`. */
+  private def specToSql(spec: String): String =
+    spec.split("/").map { seg =>
+      val i = seg.indexOf('=')
+      val (k, v) = (seg.substring(0, i), unescapePath(seg.substring(i + 1)))
+      s"`$k`='${v.replace("'", "''")}'"
+    }.mkString(", ")
+
+  /** Reverse hive path escaping (%XX sequences). */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length)
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+        } catch { case _: NumberFormatException => sb.append(s.charAt(i)); i += 1 }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
   }
 
   private def deleteTree(p: Path): Unit =

@@ -43,5 +43,20 @@ class CatalogSyncSpec extends AnyFunSuite {
       .sql("SELECT id, p FROM graft_spec.kv_part WHERE p = 'b'")
       .as[(Long, String)].collect().toSet
     assert(got == Set((2L, "b"), (3L, "b")))
+
+    // second commit: new partition value + update inside an existing one.
+    // Same schema ⇒ the in-place repoint path (ALTER SET LOCATION +
+    // partition add/update) must serve the new snapshot — and the entry
+    // stays continuously resolvable (no drop+recreate gap).
+    t.upsert(Seq((2L, "y2", "b", 2L), (4L, "w", "c", 2L))
+      .toDF("id", "v", "p", "seq"))
+    CatalogSync.syncPersistent(spark, "graft_spec", "kv_part", t)
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT id, v, p FROM graft_spec.kv_part")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "x", "a"), (2L, "y2", "b"), (3L, "z", "b"), (4L, "w", "c")))
+    // partition pruning still works against the repointed entry
+    assert(fresh.sql("SELECT id FROM graft_spec.kv_part WHERE p = 'c'")
+      .as[Long].collect().toSet == Set(4L))
   }
 }

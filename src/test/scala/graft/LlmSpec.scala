@@ -208,6 +208,19 @@ class LlmSpec extends AnyFunSuite {
     assert(rw == 1 && rh == 1 && rp.toSeq == Seq[Byte](0, 0, 0))
   }
 
+  test("asPpmTable renders empty and null docs as 1x1 black instead of crashing") {
+    import graft.llm.{Multimodal, PpmCodec}
+    val docs = Seq((1L, "hello"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = Multimodal.asPpmTable(spark, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val (w2, h2, rgb2) = PpmCodec.decode(rows(2L))
+    val (w3, h3, rgb3) = PpmCodec.decode(rows(3L))
+    assert(w2 == 1 && h2 == 1 && rgb2.toSeq == Seq[Byte](0, 0, 0))
+    assert(w3 == 1 && h3 == 1 && rgb3.toSeq == Seq[Byte](0, 0, 0))
+    assert(PpmCodec.decode(rows(1L))._1 == "hello".length % 64 + 1)
+  }
+
   test("quality filter keeps the clean doc and drops short/repetitive/stopword-free ones") {
     import graft.llm.TextAnalysis
     val clean = "the quick brown fox jumps over a lazy dog with great style " * 3
