@@ -1,0 +1,70 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content scrubbing for training-data pipelines: PII redaction and
+  * URL/domain policy filtering. Both are pure narrow maps (codegen'd
+  * `regexp_replace`/`regexp_extract_all` — no UDFs), so they run at
+  * input-scan speed on 100 TB; the only shuffle in the domain path is the
+  * per-domain census aggregate, and the blocklist join is a broadcast
+  * anti-join (a policy list is always tiny next to the corpus).
+  *
+  * Patterns stay in the RE2-compatible subset (no lookaround, no
+  * backreferences) so the same regex means the same thing under Java's
+  * engine here and RE2-based engines elsewhere.
+  */
+object Scrub {
+
+  /** RFC-5322-lite email matcher — the pragmatic form every corpus
+    * scrubber ships, not a full grammar. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (bounded runs; word-bounded so version strings like
+    * 1.2.3.4.5 still match their first quad only, as scrubbers do). */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** NANP-style phone `NNN-NNN-NNNN`. */
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** `scheme://host` URL matcher; group 1 is the host/domain. */
+  val UrlRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Redact emails, then IPv4s, then phones (order matters: an email can
+    * contain digit runs the narrower patterns would otherwise bite). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-document PII census + redacted text — the auditable artifact a
+    * compliance pass wants alongside the scrub itself. */
+  def piiAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      scrubPii(t).as("redacted"))
+  }
+
+  /** All URL hosts mentioned in a document, in order. */
+  def extractDomains(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(1))
+
+  /** Per-domain reference census over a corpus, with blocklisted domains
+    * removed — the shape of a crawl-filtering pass. The corpus is scanned
+    * once; explode is a narrow op; one hash aggregate on domain; the
+    * blocklist is broadcast. */
+  def domainCensus(docs: DataFrame, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val blocked = blocklist.toDF("domain")
+    docs.select(explode(extractDomains(col(textCol))).as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_refs"))
+      .join(broadcast(blocked), Seq("domain"), "left_anti")
+  }
+}
