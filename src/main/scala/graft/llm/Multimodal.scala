@@ -113,6 +113,44 @@ object Multimodal {
       .toDF(idCol, "w", "h", "n_rgb", "rw", "rh", "n_rgb_resized")
   }
 
+  /** Render each document as a REAL 16-bit PCM RIFF/WAVE file (one sample
+    * per ASCII byte, affine-mapped into 16-bit range) — the audio analog of
+    * [[asPpmTable]]: a deterministic corpus of genuine WAV files for the
+    * codec path. */
+  def asWavTable(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, sampleRate: Int = 8000): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).map(_.getBytes("US-ASCII")).getOrElse(Array.empty[Byte])
+          val samples = bytes.map(b => ((b - 100) * 257).toShort)
+          (id, WavCodec.encode(sampleRate, 1, samples))
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL audio decode + signal statistics + decimation round trip: parse
+    * the RIFF chunk list, RMS amplitude (exact integer sum of squares), keep
+    * every k-th frame, re-parse the decimated WAV. Partition-parallel like
+    * every codec call. */
+  def wavStats(spark: SparkSession, binTable: DataFrame, idCol: String,
+      k: Int = 4): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (rate, ch, s) = WavCodec.decode(payload)
+          val dec = WavCodec.decimate(payload, k)
+          val (drate, _, ds) = WavCodec.decode(dec)
+          (id, rate, ch, s.length, WavCodec.rms(payload),
+            drate, ds.length, WavCodec.rms(dec))
+        }
+      }
+      .toDF(idCol, "sr", "ch", "n_samples", "rms", "sr_dec", "n_dec", "rms_dec")
+  }
+
   /** Partition-parallel feature extraction over the binary column via
     * typed mapPartitions — the decode loop runs once per executor
     * partition (codec init amortized across the batch), never on the

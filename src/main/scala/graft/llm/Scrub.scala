@@ -43,10 +43,13 @@ object Scrub {
     * compliance pass wants alongside the scrub itself. */
   def piiAudit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
+    // coalesce: a null document has zero PII hits, not a null census
+    def hits(re: String) =
+      coalesce(size(regexp_extract_all(t, lit(re), lit(0))), lit(0))
     docs.select(col(idCol),
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      hits(EmailRe).as("n_emails"),
+      hits(Ipv4Re).as("n_ips"),
+      hits(PhoneRe).as("n_phones"),
       scrubPii(t).as("redacted"))
   }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** Graded queries for the LLM-training-data operator families (dedup,
   * similarity search, text analysis, multimodal) over the provisioned
@@ -127,6 +127,36 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(TextAnalysis.fingerprint(t(s, dir, "documents"), "text")).as("n_unique"))),
 
+    // ---- content scrubbing (PII redaction + URL-policy filtering)
+    // The corpus carries no natural PII, so BOTH sides append the same
+    // deterministic doc_id-derived contact line (variable email/IP
+    // multiplicity, incl. zero) before scrubbing — the graded artifact is
+    // the per-doc census plus the hash of the actually-redacted text.
+    "text_pii_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enriched = docs.select(col("doc_id"),
+        concat(col("text"),
+          expr("repeat(concat(' reach user', doc_id, '@mail.example.com'), cast(doc_id % 3 as int) + 1)"),
+          expr("repeat(concat(' node 10.', doc_id % 256, '.', (doc_id * 7) % 256, '.', (doc_id * 13) % 256), cast(doc_id % 2 as int))"),
+          concat(lit(" call "), (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).as("text"))
+      Scrub.piiAudit(enriched, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("redacted")).as("red_md5"))
+    }),
+    // per-domain reference census with a broadcast blocklist anti-join
+    "text_domain_census" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enriched = docs.select(
+        concat(col("text"),
+          lit(" see http://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org/p and https://www.ref"),
+          (col("doc_id") % 5).cast("string"), lit(".net/q")).as("text"))
+      Scrub.domainCensus(enriched, "text",
+        Seq("site0.example.org", "www.ref1.net"))
+    }),
+
     // ---- multimodal binary columns
     "mm_binary" -> ((s, dir) =>
       Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text")
@@ -141,6 +171,11 @@ object LlmQueries {
     "mm_ppm" -> ((s, dir) =>
       Multimodal.ppmStats(s,
         Multimodal.asPpmTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+    // REAL audio codec path: render docs as genuine 16-bit PCM WAVs, then
+    // parse the chunk list, compute RMS (exact integer sums) and decimate
+    "mm_wav" -> ((s, dir) =>
+      Multimodal.wavStats(s,
+        Multimodal.asWavTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
     "mm_transform" -> ((s, dir) =>
       Multimodal.transform(s,
           Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id")
@@ -381,6 +416,41 @@ object LlmQueries {
          COUNT(DISTINCT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))) AS n_unique
          FROM documents GROUP BY source""",
 
+    // same deterministic enrichment, then the same RE2-compatible regexes
+    // (DuckDB needs the explicit 'g' flag where Spark replaces all by
+    // default); counts cast to INT to match Spark's size()
+    "text_pii_scrub" ->
+      """WITH e AS (SELECT doc_id,
+           text
+           || repeat(' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com',
+                     CAST(doc_id % 3 AS INT) + 1)
+           || repeat(' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                     || '.' || CAST((doc_id * 13) % 256 AS VARCHAR),
+                     CAST(doc_id % 2 AS INT))
+           || ' call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+           || '-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+           || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
+         FROM e""",
+
+    "text_domain_census" ->
+      """WITH e AS (SELECT text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.org/p and https://www.ref' || CAST(doc_id % 5 AS VARCHAR)
+           || '.net/q' AS t FROM documents),
+         d AS (SELECT unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM e)
+         SELECT domain, COUNT(*) AS n_refs FROM d
+         WHERE domain NOT IN ('site0.example.org', 'www.ref1.net')
+         GROUP BY domain""",
+
     "mm_binary" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -395,6 +465,30 @@ object LlmQueries {
          CAST(ascii(substr(text, CAST(floor(length(text) / 2) AS INT) + 1, 1)) AS INT) AS fmid,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
          FROM documents""",
+
+    // the engine really encodes + chunk-walks + decimates PCM WAVs; the
+    // oracle recomputes the sample math (one 16-bit sample per ASCII byte,
+    // RMS from exact integer sums of squares — bit-identical doubles)
+    "mm_wav" ->
+      """WITH v AS (SELECT doc_id,
+           list_transform(range(1, length(text) + 1),
+             i -> CAST((ascii(substr(text, i, 1)) - 100) * 257 AS BIGINT)) AS s
+         FROM documents),
+         d AS (SELECT doc_id, s,
+           list_transform(range(0, CAST(ceil(len(s) / 4.0) AS BIGINT)),
+             j -> s[j * 4 + 1]) AS sd
+         FROM v)
+         SELECT doc_id, 8000 AS sr, 1 AS ch,
+           CAST(len(s) AS INT) AS n_samples,
+           CASE WHEN len(s) = 0 THEN 0.0 ELSE
+             sqrt(list_aggregate(list_transform(s, x -> x * x), 'sum')
+                  / CAST(len(s) AS DOUBLE)) END AS rms,
+           2000 AS sr_dec,
+           CAST(len(sd) AS INT) AS n_dec,
+           CASE WHEN len(sd) = 0 THEN 0.0 ELSE
+             sqrt(list_aggregate(list_transform(sd, x -> x * x), 'sum')
+                  / CAST(len(sd) AS DOUBLE)) END AS rms_dec
+         FROM d""",
 
     // ASCII corpus: byte truncation == substr; every-7th-byte count is
     // ceil(len / 7)

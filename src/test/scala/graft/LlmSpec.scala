@@ -253,4 +253,55 @@ class LlmSpec extends AnyFunSuite {
     val b = docs.filter(keep).select($"doc_id").as[Long].collect().toSet
     assert(a == b && a.size == enKept)
   }
+
+  test("WavCodec round-trips PCM, tolerates extra chunks, decimates correctly") {
+    import graft.llm.WavCodec
+    val stereo = Array.tabulate(200)(i => ((i % 17) * 1000 - 8000).toShort)
+    val wav = WavCodec.encode(44100, 2, stereo)
+    assert(WavCodec.decode(wav) == ((44100, 2, stereo)) ||
+      WavCodec.decode(wav)._3.sameElements(stereo))
+    // inject a LIST chunk between fmt and data — chunk walk must skip it
+    val (head, tail) = wav.splitAt(36)
+    val listChunk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val (r2, c2, s2) = WavCodec.decode(head ++ listChunk ++ tail)
+    assert(r2 == 44100 && c2 == 2 && s2.sameElements(stereo))
+    // decimate keeps whole frames (both channels) and divides the rate
+    val dec = WavCodec.decimate(wav, 4)
+    val (r3, c3, s3) = WavCodec.decode(dec)
+    assert(r3 == 11025 && c3 == 2 && s3.length == 50)
+    assert(s3(0) == stereo(0) && s3(1) == stereo(1) &&
+      s3(2) == stereo(8) && s3(3) == stereo(9))
+    // RMS: integer-exact sum of squares
+    val mono = WavCodec.encode(8000, 1, Array[Short](3, -4))
+    assert(WavCodec.rms(mono) == math.sqrt(12.5))
+  }
+
+  test("piiAudit redacts emails/IPs/phones and zeroes counts on null text") {
+    import graft.llm.Scrub
+    val docs = Seq(
+      (1L, "mail bob@x.example.com twice bob@x.example.com from 10.0.0.7 call 555-123-4567"),
+      (2L, "clean document, no pii at all"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rows = Scrub.piiAudit(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1).getInt(1) == 2 && rows(1).getInt(2) == 1 && rows(1).getInt(3) == 1)
+    assert(rows(1).getString(4) ==
+      "mail <EMAIL> twice <EMAIL> from <IP> call <PHONE>")
+    assert(rows(2).getInt(1) == 0 && rows(2).getString(4) == "clean document, no pii at all")
+    // null text: counts are 0 (not null), redacted stays null
+    assert(rows(3).getInt(1) == 0 && rows(3).getInt(2) == 0 && rows(3).getInt(3) == 0)
+    assert(rows(3).isNullAt(4))
+  }
+
+  test("domainCensus counts URL hosts and drops blocklisted domains") {
+    import graft.llm.Scrub
+    val docs = Seq(
+      "see http://a.example.org/x and https://b.example.net/y",
+      "again http://a.example.org/z",
+      "blocked https://evil.example.com/p").toDF("text")
+    val rows = Scrub.domainCensus(docs, "text", Seq("evil.example.com"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("a.example.org" -> 2L, "b.example.net" -> 1L))
+  }
 }
