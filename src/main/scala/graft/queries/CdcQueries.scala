@@ -127,6 +127,42 @@ object CdcScenario {
       t
     })
 
+  /** LIVE `--continuous` loop (ST2, reference handler.py:166-167): the
+    * ProcessingTime-trigger stream stays up while CDC batches land in the
+    * raw zone; each poll cycle commits incrementally (awaited via the
+    * table's commit count, with stream failures surfaced). Proves the
+    * non-drain path of [[graft.streaming.ContinuousIngest]] reaches the
+    * same final state as the batch upserts. */
+  def continuousLive(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"live:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-live")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val t = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      // seed the zone first: the schema probe needs at least one file
+      fullLoad(s, dir).coalesce(1).write.mode("append").parquet(raw)
+      val q = graft.streaming.ContinuousIngest.start(s, raw, t, ck,
+        availableNow = false, processingInterval = "1 second")
+      try {
+        def awaitCommits(n: Int): Unit = {
+          val deadline = System.currentTimeMillis() + 120000
+          while (t.history().size < n) {
+            q.exception.foreach(e => throw e)
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(
+                s"continuous loop did not reach $n commits in 120s")
+            Thread.sleep(200)
+          }
+        }
+        awaitCommits(1)
+        batchA(s, dir).coalesce(1).write.mode("append").parquet(raw)
+        awaitCommits(2)
+        batchB(s, dir).coalesce(1).write.mode("append").parquet(raw)
+        awaitCommits(3)
+      } finally q.stop()
+      t
+    })
+
   /** Schema evolution under merge: after the 2-batch scenario, a third
     * batch arrives with a NEW column (`o_note`) on the %10 keys at a
     * winning seq — old rows must null-pad, the manifest schema must widen,
@@ -212,6 +248,8 @@ object CdcQueries {
     "mor_compacted" -> ((s, dir) => statusAgg(CdcScenario.morCompacted(s, dir))),
     // S3/ST2: Structured Streaming ingest of the same batches
     "st_stream_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamed(s, dir))),
+    // ST2 live loop: ProcessingTime trigger, batches dropped while running
+    "st_continuous_live" -> ((s, dir) => statusAgg(CdcScenario.continuousLive(s, dir))),
     // time travel: snapshot as of commit 1 (full load + batch A only)
     "cdc_timetravel" -> ((s, dir) => {
       val t = CdcScenario.main(s, dir)
@@ -317,6 +355,7 @@ object CdcQueries {
     "mor_snapshot" -> statusAggSql,
     "mor_compacted" -> statusAggSql,
     "st_stream_ingest" -> statusAggSql,
+    "st_continuous_live" -> statusAggSql,
     // the two CDC batches after per-batch precombine (batch A: %970 keys
     // resolve to the seq-4 tombstone over the seq-3 update; batch B: %70
     // keys resolve to the seq-6 'V' over the seq-2 late row, even %679

@@ -82,4 +82,16 @@ class MorStreamSpec extends AnyFunSuite {
     val got = t.readUser().select("id", "v").as[(Long, String)].collect().sorted
     assert(got.toSeq == Seq((1L, "a2")))
   }
+
+  test("live ProcessingTime loop commits batches incrementally and matches the batch result") {
+    val t = graft.queries.CdcScenario.continuousLive(spark, "/root/testdata/sf0.001")
+    // three incremental commits: bulk load + two upserts
+    assert(t.history().map(_.action) == Seq("bulk_insert", "upsert", "upsert"))
+    val batch = graft.queries.CdcScenario.main(spark, "/root/testdata/sf0.001")
+    val key = (d: org.apache.spark.sql.DataFrame) =>
+      d.select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast("decimal(18,2)")).as[(Long, String, BigDecimal)]
+        .collect().sortBy(_._1).toSeq
+    assert(key(t.readUser()) == key(batch.readUser()))
+  }
 }
