@@ -45,7 +45,8 @@ class GraftTable(
     val staleLockMs: Long = GraftTable.DefaultStaleLockMs,
     val tableType: String = GraftTable.CopyOnWrite,
     val compactEvery: Int = 0,
-    val globalIndex: Boolean = true) {
+    val globalIndex: Boolean = true,
+    val harvestThreshold: Int = GraftTable.DistributedHarvestThreshold) {
 
   private val timeline = new Timeline(root)
   private def dataDir(seq: Long) = s"data/c$seq"
@@ -104,10 +105,14 @@ class GraftTable(
   }
 
   /** Read key-range/row-count/size stats from the footers of every parquet
-    * file under `stage`. Driver-side metadata reads, fanned out over a
-    * bounded thread pool: footer I/O is independent per file and latency-
-    * bound, so a 100k-file initial bulk insert pays seconds of wall clock
-    * instead of minutes of serial round-trips.
+    * file under `stage`. Footer I/O is independent per file and latency-
+    * bound. Small writes (the common upsert's affected region) fan out over
+    * a bounded driver thread pool; above
+    * [[GraftTable.DistributedHarvestThreshold]] files (a 100 TB initial
+    * bulk insert writes O(100k)) the reads run as a Spark job over the path
+    * list — only the per-file stats tuples come back to the driver, so
+    * driver wall-clock stays flat in table size. Zero-row files are
+    * deleted (driver-side) and dropped from the manifest either way.
     */
   private def harvestStats(stage: String): Seq[DataFile] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -128,58 +133,33 @@ class GraftTable(
     val files = statuses.result()
     if (files.isEmpty) return Seq.empty
 
-    def harvestOne(st: org.apache.hadoop.fs.LocatedFileStatus): Option[DataFile] = {
-      var rows = 0L
-      var blocks = 0
-      var statsBlocks = 0
-      var mn: String = null
-      var mx: String = null
-      Using.resource(ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))) { r =>
-        r.getFooter.getBlocks.asScala.foreach { b =>
-          rows += b.getRowCount
-          blocks += 1
-          b.getColumns.asScala.find(_.getPath.toDotString == Meta.RecordKey).foreach { c =>
-            val s = c.getStatistics
-            if (s != null && !s.isEmpty && s.hasNonNullValue) {
-              statsBlocks += 1
-              // parquet BINARY stats are unsigned-byte-ordered; compare
-              // the same way (Java String '<' is UTF-16 and disagrees on
-              // supplementary characters)
-              val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
-              val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
-              if (mn == null || GraftTable.cmpKey(lo, mn) < 0) mn = lo
-              if (mx == null || GraftTable.cmpKey(hi, mx) > 0) mx = hi
-            }
+    val inputs = files.map(st => (fs.makeQualified(st.getPath).toString, st.getLen))
+    val results: Seq[Option[DataFile]] =
+      if (files.size > harvestThreshold) {
+        // capture ONLY serializable locals (no `this`: the session isn't
+        // serializable); element order is preserved by parallelize+collect
+        val confSer = new graft.util.SerConf(conf)
+        val rootU = rootUri
+        val slices = math.max(1, math.min(inputs.size / 16 + 1, 512))
+        spark.sparkContext.parallelize(inputs, slices)
+          .map { case (p, len) => GraftTable.harvestFooter(p, len, rootU, confSer.value) }
+          .collect().toSeq
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(GraftTable.HarvestParallelism, files.size))
+        try {
+          val futures = inputs.map { case (p, len) =>
+            pool.submit(new java.util.concurrent.Callable[Option[DataFile]] {
+              def call(): Option[DataFile] = GraftTable.harvestFooter(p, len, rootUri, conf)
+            })
           }
-        }
+          futures.map(_.get()) // rethrows any footer failure; order = listing order
+        } finally pool.shutdown()
       }
-      // a block without key statistics (dropped oversized stats, or no
-      // key column) makes the interval unreliable: mark the file
-      // always-affected rather than silently unprunable-yet-pruned
-      if (statsBlocks != blocks) { mn = null; mx = null }
-      if (rows == 0L) { fs.delete(st.getPath, false); None }
-      else {
-        val rel = fs.makeQualified(st.getPath).toString
-          .stripPrefix(rootUri).stripPrefix("/")
-        val partVals = rel.split("/").iterator
-          .filter(_.contains("=")).map { kv =>
-            val Array(k, v) = kv.split("=", 2); k -> v
-          }.toMap
-        Some(DataFile(rel, partVals,
-          Option(mn).getOrElse(""),
-          Option(mx).getOrElse(GraftTable.NoStatsMaxKey), rows, st.getLen))
-      }
+    inputs.zip(results).foreach { case ((p, _), r) =>
+      if (r.isEmpty) fs.delete(new HPath(p), false)
     }
-
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(GraftTable.HarvestParallelism, files.size))
-    try {
-      val futures = files.map(st =>
-        pool.submit(new java.util.concurrent.Callable[Option[DataFile]] {
-          def call(): Option[DataFile] = harvestOne(st)
-        }))
-      futures.flatMap(_.get())  // rethrows any footer failure; order = listing order
-    } finally pool.shutdown()
+    results.flatten
   }
 
   private def schemaJson(df: DataFrame): String = df.schema.json
@@ -600,10 +580,64 @@ object GraftTable {
     }
     x.length - y.length
   }
+  /** Read one parquet footer into a [[DataFile]] (None = zero rows; the
+    * caller deletes the file and drops it from the manifest). Executor-safe:
+    * depends only on (path, length, table-root URI, Hadoop conf) — no
+    * session state — so the same code serves the driver thread pool and the
+    * distributed harvest job.
+    */
+  private[operators] def harvestFooter(pathStr: String, len: Long,
+      rootUri: String, conf: org.apache.hadoop.conf.Configuration): Option[DataFile] = {
+    val p = new HPath(pathStr)
+    var rows = 0L
+    var blocks = 0
+    var statsBlocks = 0
+    var mn: String = null
+    var mx: String = null
+    Using.resource(ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))) { r =>
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        blocks += 1
+        b.getColumns.asScala.find(_.getPath.toDotString == Meta.RecordKey).foreach { c =>
+          val s = c.getStatistics
+          if (s != null && !s.isEmpty && s.hasNonNullValue) {
+            statsBlocks += 1
+            // parquet BINARY stats are unsigned-byte-ordered; compare
+            // the same way (Java String '<' is UTF-16 and disagrees on
+            // supplementary characters)
+            val lo = s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8
+            val hi = s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8
+            if (mn == null || cmpKey(lo, mn) < 0) mn = lo
+            if (mx == null || cmpKey(hi, mx) > 0) mx = hi
+          }
+        }
+      }
+    }
+    // a block without key statistics (dropped oversized stats, or no
+    // key column) makes the interval unreliable: mark the file
+    // always-affected rather than silently unprunable-yet-pruned
+    if (statsBlocks != blocks) { mn = null; mx = null }
+    if (rows == 0L) None
+    else {
+      val rel = pathStr.stripPrefix(rootUri).stripPrefix("/")
+      val partVals = rel.split("/").iterator
+        .filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+      Some(DataFile(rel, partVals,
+        Option(mn).getOrElse(""),
+        Option(mx).getOrElse(NoStatsMaxKey), rows, len))
+    }
+  }
+
   /** ~128 MB compressed per data file — the standard DFS sweet spot. */
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
   /** Driver-side footer-harvest fan-out (bounded: metadata I/O, not CPU). */
   val HarvestParallelism: Int = 24
+  /** Above this many files per write, footer harvest runs as a Spark job
+    * (executor-side) instead of on the driver — the initial-bulk-insert
+    * path at 100 TB. */
+  val DistributedHarvestThreshold: Int = 256
   /** A writer silent for 30 min is presumed dead; its lock is broken. */
   val DefaultStaleLockMs: Long = 30L * 60 * 1000
 }

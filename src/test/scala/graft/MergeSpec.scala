@@ -230,4 +230,22 @@ class MergeSpec extends AnyFunSuite {
     val got = t.readUser().filter($"dt" === "2024-01-01").select("v").as[String].collect()
     assert(got.toSeq == Seq("a"))
   }
+
+  test("distributed footer harvest returns identical DataFile stats to the driver pool") {
+    val df = (0 until 4000).map(i =>
+      (i.toLong, s"v$i", s"p${i % 3}", "001", false))
+      .toDF("id", "v", "pt", "trx_seq", Meta.Deleted)
+    // same data, same layout; only the harvest path differs
+    def stats(threshold: Int) = {
+      val t = new GraftTable(spark, tmp(), Seq("id"), partitionFields = Seq("pt"),
+        targetFileBytes = 8 * 1024, harvestThreshold = threshold)
+      t.bulkInsert(df)
+      t.latestCommit().get.files
+        .map(f => (f.partition, f.minKey, f.maxKey, f.numRows, f.bytes))
+        .sortBy(_.toString())
+    }
+    val driver = stats(Int.MaxValue)
+    val distributed = stats(0)
+    assert(distributed.nonEmpty && distributed == driver)
+  }
 }
