@@ -5,11 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: media payloads are opaque `binary` columns
-  * with a typed metadata struct travelling alongside. The Spark-side
-  * plumbing (schema, batching, partition-parallel decode) is real; the
-  * actual codec call is stubbed behind [[decodeStub]] because no image/
-  * audio library ships in this environment — swap the stub for the codec
-  * of choice (JNI/ffmpeg/javacv) without touching the pipeline shape.
+  * with a typed metadata struct travelling alongside. Images decode through
+  * the real dependency-free [[PpmCodec]] and audio through [[WavCodec]];
+  * only video frame-sampling remains stubbed ([[frameSampleStub]] — no
+  * video decoder ships in this environment; swap in JNI/ffmpeg/javacv
+  * without touching the pipeline shape).
   */
 object Multimodal {
 
@@ -33,43 +33,34 @@ object Multimodal {
         (length(col(textCol)) % 480).cast("int").as("height"),
         length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB — deterministic fake "decode/feature-extract". A real
-    * implementation decodes the payload (image/audio frame) and emits
-    * features; this stand-in derives them from the raw bytes so the
-    * pipeline is testable end-to-end. Signature and batch shape match what
-    * a JNI decoder would need: one call per row, partition-parallel.
-    */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
-    val f0 = if (payload.nonEmpty) payload(0) & 0xFF else -1
-    val fmid = if (payload.nonEmpty) payload(payload.length / 2) & 0xFF else -1
-    (f0, fmid, payload.length.toLong)
-  }
-
-  /** STUB — "resize": a real implementation decodes + rescales the image;
-    * the stand-in truncates the payload to `maxBytes`, preserving the
-    * pipeline shape (binary in → smaller binary out). */
-  def resizeStub(payload: Array[Byte], maxBytes: Int): Array[Byte] =
-    payload.take(maxBytes)
-
   /** STUB — "frame sample": a real implementation decodes a video and
-    * keeps every k-th frame; the stand-in keeps every k-th byte. */
+    * keeps every k-th frame; the stand-in keeps every k-th byte. The only
+    * remaining codec stub (no video decoder ships in this environment);
+    * images run through [[PpmCodec]] and audio through [[WavCodec]]. */
   def frameSampleStub(payload: Array[Byte], k: Int): Array[Byte] =
     payload.grouped(k).map(_.head).toArray
 
-  /** Decode/resize/frame-sample over the binary column — partition-
-    * parallel, stubbed codecs, real schema and batch shape. */
+  /** REAL image transform over the PPM corpus: parse, nearest-neighbor
+    * resize to half dimensions, exact pixel-sum of the resized image
+    * (integer math — the content proof that resampling picked the right
+    * source pixels). The video frame-sample path stays stubbed. */
   def transform(spark: SparkSession, binTable: DataFrame, idCol: String,
-      resizeTo: Int = 64, sampleEvery: Int = 7): DataFrame = {
+      sampleEvery: Int = 7): DataFrame = {
     import spark.implicits._
     binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val resized = resizeStub(payload, resizeTo)
-          val sampled = frameSampleStub(payload, sampleEvery)
-          (id, resized, resized.length, sampled.length)
+          val (w, h, _) = PpmCodec.decode(payload)
+          val (rw, rh) = (math.max(w / 2, 1), math.max(h / 2, 1))
+          val resized = PpmCodec.resizeNearest(payload, rw, rh)
+          val (_, _, rgb) = PpmCodec.decode(resized)
+          var sum = 0L
+          var j = 0
+          while (j < rgb.length) { sum += rgb(j) & 0xFF; j += 1 }
+          (id, rw, rh, sum, frameSampleStub(payload, sampleEvery).length)
         }
       }
-      .toDF("id", "resized", "n_resized", "n_sampled")
+      .toDF("id", "rw", "rh", "px_sum_resized", "n_sampled")
   }
 
   /** Render each document as a REAL P6 PPM image (pixels = the doc's
@@ -151,20 +142,24 @@ object Multimodal {
       .toDF(idCol, "sr", "ch", "n_samples", "rms", "sr_dec", "n_dec", "rms_dec")
   }
 
-  /** Partition-parallel feature extraction over the binary column via
-    * typed mapPartitions — the decode loop runs once per executor
-    * partition (codec init amortized across the batch), never on the
-    * driver. */
+  /** Partition-parallel REAL feature extraction over the PPM corpus via
+    * typed mapPartitions — decode, then pixel features (first / middle
+    * pixel byte, exact integer pixel sum). The decode loop runs once per
+    * executor partition (codec init amortized across the batch), never on
+    * the driver. */
   def extractFeatures(spark: SparkSession, binTable: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here
         it.map { case (id, payload) =>
-          val (f0, fmid, n) = decodeStub(payload)
-          (id, f0, fmid, n)
+          val (w, h, rgb) = PpmCodec.decode(payload)
+          var sum = 0L
+          var j = 0
+          while (j < rgb.length) { sum += rgb(j) & 0xFF; j += 1 }
+          (id, w, h, rgb(0) & 0xFF, rgb(rgb.length / 2) & 0xFF, sum)
         }
       }
-      .toDF("id", "f0", "fmid", "n_bytes")
+      .toDF("id", "w", "h", "f0", "fmid", "px_sum")
   }
 }

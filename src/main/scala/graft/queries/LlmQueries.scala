@@ -163,9 +163,10 @@ object LlmQueries {
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           sha2(col("payload"), 256).as("b_sha"))),
+    // REAL codec path: decode the P6 image and emit pixel features
     "mm_features" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
-        Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+        Multimodal.asPpmTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
     // REAL codec path: render docs as genuine P6 PPM images, then parse
     // headers and nearest-neighbor resize with the dependency-free codec
     "mm_ppm" -> ((s, dir) =>
@@ -176,11 +177,11 @@ object LlmQueries {
     "mm_wav" -> ((s, dir) =>
       Multimodal.wavStats(s,
         Multimodal.asWavTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+    // REAL nearest-neighbor resize (pixel-sum proves source-pixel choice);
+    // only the video frame-sample leg keeps its documented stub
     "mm_transform" -> ((s, dir) =>
       Multimodal.transform(s,
-          Multimodal.asBinaryTable(t(s, dir, "documents"), "doc_id", "text"), "doc_id")
-        .select(col("id"), sha2(col("resized"), 256).as("r_sha"),
-          col("n_resized"), col("n_sampled")))
+        Multimodal.asPpmTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id"))
   )
 
   private val langScore: String => String = markers =>
@@ -459,12 +460,26 @@ object LlmQueries {
          sha256(text) AS b_sha
          FROM documents""",
 
+    // pixel j of the rendered raster is text byte (j % L): the oracle
+    // recomputes first/middle-pixel features and the exact pixel sum via
+    // cycle arithmetic (full cycles x total + prefix remainder)
     "mm_features" ->
-      """SELECT doc_id AS id,
-         CAST(ascii(substr(text, 1, 1)) AS INT) AS f0,
-         CAST(ascii(substr(text, CAST(floor(length(text) / 2) AS INT) + 1, 1)) AS INT) AS fmid,
-         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-         FROM documents""",
+      """WITH m AS (SELECT doc_id, text, length(text) AS L,
+           CAST(length(text) % 64 + 1 AS INT) AS w,
+           CAST(length(text) % 48 + 1 AS INT) AS h
+         FROM documents),
+         s AS (SELECT doc_id, text, L, w, h, CAST(w AS BIGINT) * h * 3 AS n,
+           list_transform(range(1, CAST(L + 1 AS INT)),
+             i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+         FROM m)
+         SELECT doc_id AS id, w, h,
+           ascii(substr(text, 1, 1)) AS f0,
+           ascii(substr(text, CAST((n // 2) % L AS INT) + 1, 1)) AS fmid,
+           CAST((n // L) * list_aggregate(codes, 'sum')
+             + CASE WHEN n % L = 0 THEN 0
+                    ELSE list_aggregate(codes[1:CAST(n % L AS INT)], 'sum') END
+             AS BIGINT) AS px_sum
+         FROM s""",
 
     // the engine really encodes + chunk-walks + decimates PCM WAVs; the
     // oracle recomputes the sample math (one 16-bit sample per ASCII byte,
@@ -490,14 +505,28 @@ object LlmQueries {
                   / CAST(len(sd) AS DOUBLE)) END AS rms_dec
          FROM d""",
 
-    // ASCII corpus: byte truncation == substr; every-7th-byte count is
-    // ceil(len / 7)
+    // full SQL replication of the nearest-neighbor resize: output byte p
+    // maps to source byte ((((y*h//rh)*w + x*w//rw)*3 + channel) % L); the
+    // video frame-sample leg counts every 7th payload byte (PPM header =
+    // 'P6\n{w} {h}\n255\n' = 9 + digits(w) + digits(h) bytes)
     "mm_transform" ->
-      """SELECT doc_id AS id,
-         sha256(substr(text, 1, 64)) AS r_sha,
-         CAST(least(length(text), 64) AS INT) AS n_resized,
-         CAST(CAST(ceil(length(text) / 7.0) AS BIGINT) AS INT) AS n_sampled
-         FROM documents"""
+      """WITH m AS (SELECT doc_id, text, length(text) AS L,
+           CAST(length(text) % 64 + 1 AS BIGINT) AS w,
+           CAST(length(text) % 48 + 1 AS BIGINT) AS h
+         FROM documents),
+         g AS (SELECT doc_id, text, L, w, h,
+           greatest(w // 2, 1) AS rw, greatest(h // 2, 1) AS rh FROM m),
+         px AS (SELECT doc_id, w, h, rw, rh,
+           list_aggregate(list_transform(range(0, rw * rh * 3),
+             p -> CAST(ascii(substr(text,
+               CAST(((((p // 3 // rw) * h // rh) * w + ((p // 3) % rw) * w // rw) * 3 + p % 3) % L AS INT) + 1,
+               1)) AS BIGINT)), 'sum') AS px_sum_resized
+         FROM g)
+         SELECT doc_id AS id, CAST(rw AS INT) AS rw, CAST(rh AS INT) AS rh,
+           CAST(px_sum_resized AS BIGINT) AS px_sum_resized,
+           CAST(ceil((9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+                      + w * h * 3) / 7.0) AS INT) AS n_sampled
+         FROM px"""
   )
 
   /** Shared CTE chain deriving the exact-Jaccard pair scores (pre-threshold)
