@@ -99,10 +99,17 @@ object CatalogSync {
     // add/update/drop) so concurrent readers never see 'table not found';
     // drop+recreate only on schema evolution (rare, and the reference's
     // hive-sync re-creates there too).
+    // "same" must cover the partition LAYOUT too, not just the column set:
+    // an entry partitioned differently than table.partitionFields would
+    // either throw on SHOW PARTITIONS (now unpartitioned) or keep stale
+    // partition metadata pointing at retired snapshot dirs
     val sameSchema = spark.catalog.tableExists(qualified) &&
       (try {
+        val catalogPartCols = spark.catalog.listColumns(qualified).collect()
+          .filter(_.isPartition).map(_.name).toSeq
         spark.table(qualified).schema.fields.map(f => (f.name, f.dataType)).toSet ==
-          schema.fields.map(f => (f.name, f.dataType)).toSet
+          schema.fields.map(f => (f.name, f.dataType)).toSet &&
+          catalogPartCols == table.partitionFields
       } catch { case _: Exception => false })
     if (sameSchema) {
       spark.sql(s"ALTER TABLE $qualified SET LOCATION '$snapDir'")
@@ -158,12 +165,15 @@ object CatalogSync {
   }
 
   /** "p=v1/q=v2" (hive-escaped dir names) -> SQL partition spec
-    * `p='v1', q='v2'`. */
+    * `p='v1', q='v2'`. Backslashes must be escaped BEFORE quote-doubling:
+    * Spark's default string parser treats `\` as an escape char, so a raw
+    * backslash in a partition value (hive-escaped %5C on disk) would
+    * otherwise parse into a different value or a syntax error. */
   private def specToSql(spec: String): String =
     spec.split("/").map { seg =>
       val i = seg.indexOf('=')
       val (k, v) = (seg.substring(0, i), unescapePath(seg.substring(i + 1)))
-      s"`$k`='${v.replace("'", "''")}'"
+      s"`$k`='${v.replace("\\", "\\\\").replace("'", "''")}'"
     }.mkString(", ")
 
   /** Reverse hive path escaping (%XX sequences). */

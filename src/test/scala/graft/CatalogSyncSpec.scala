@@ -59,4 +59,37 @@ class CatalogSyncSpec extends AnyFunSuite {
     assert(fresh.sql("SELECT id FROM graft_spec.kv_part WHERE p = 'c'")
       .as[Long].collect().toSet == Set(4L))
   }
+
+  test("partition values with backslashes and quotes survive the in-place repoint") {
+    val root = Files.createTempDirectory("graft-sync-esc").toString
+    val t = new GraftTable(spark, root, Seq("id"), partitionFields = Seq("p"),
+      orderingField = "seq")
+    t.bulkInsert(Seq((1L, "x", """dir\sub""", 1L), (2L, "y", "it's", 1L))
+      .toDF("id", "v", "p", "seq"))
+    CatalogSync.syncPersistent(spark, "graft_spec", "kv_esc", t)
+    // second sync exercises the ALTER ... PARTITION path on the escaped specs
+    t.upsert(Seq((3L, "z", """dir\sub""", 2L)).toDF("id", "v", "p", "seq"))
+    CatalogSync.syncPersistent(spark, "graft_spec", "kv_esc", t)
+    val fresh = spark.newSession()
+    assert(fresh.sql("""SELECT id FROM graft_spec.kv_esc WHERE p = 'dir\\sub'""")
+      .as[Long].collect().toSet == Set(1L, 3L))
+    assert(fresh.sql("SELECT id FROM graft_spec.kv_esc WHERE p = \"it's\"")
+      .as[Long].collect().toSet == Set(2L))
+  }
+
+  test("partition-layout change falls back to recreate instead of corrupt in-place sync") {
+    val rootA = Files.createTempDirectory("graft-sync-layout-a").toString
+    val tA = new GraftTable(spark, rootA, Seq("id"), partitionFields = Seq("p"),
+      orderingField = "seq")
+    tA.bulkInsert(Seq((1L, "x", "a", 1L), (2L, "y", "b", 1L)).toDF("id", "v", "p", "seq"))
+    CatalogSync.syncPersistent(spark, "graft_spec", "kv_layout", tA)
+    // same columns, but now UNPARTITIONED: the in-place path would either
+    // throw on SHOW PARTITIONS or leave stale partition metadata
+    val rootB = Files.createTempDirectory("graft-sync-layout-b").toString
+    val tB = new GraftTable(spark, rootB, Seq("id"), orderingField = "seq")
+    tB.bulkInsert(Seq((1L, "x", "a", 2L), (3L, "z", "c", 2L)).toDF("id", "v", "p", "seq"))
+    CatalogSync.syncPersistent(spark, "graft_spec", "kv_layout", tB)
+    assert(spark.newSession().sql("SELECT id, p FROM graft_spec.kv_layout")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
+  }
 }
