@@ -107,16 +107,23 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
 
-    // exact verification of the candidate set
+    // exact verification of the candidate set, prefiltered by the exact
+    // size bound J ≤ min(|A|,|B|)/max(|A|,|B|): a candidate whose
+    // shingle-count ratio is under the threshold can never verify, so it
+    // is dropped BEFORE the two posting-list joins (the expensive step —
+    // the count table is one row per doc, orders of magnitude smaller)
     val cnt = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cand
+    val sized = cand
+      .join(cnt.withColumnRenamed("id", "ia").withColumnRenamed("n_sh", "na"), Seq("ia"))
+      .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+    val inter = sized
       .join(sh.select(col(idCol).as("ia"), col("s")), Seq("ia"))
       .join(sh.select(col(idCol).as("ib"), col("s").as("s2")), Seq("ib"))
       .filter(col("s") === col("s2"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+      .groupBy(col("ia"), col("ib"), col("na"), col("nb")).agg(count(lit(1)).as("inter"))
     inter
-      .join(cnt.withColumnRenamed("id", "ia").withColumnRenamed("n_sh", "na"), Seq("ia"))
-      .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
