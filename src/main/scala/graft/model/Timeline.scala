@@ -42,6 +42,35 @@ case class Commit(
     extra: Map[String, String] = Map.empty,
     logFiles: Seq[DataFile] = Seq.empty)
 
+/** On-disk commit record — either shape of a manifest file:
+  *
+  *  - FULL (checkpoint): `files`/`logFiles` inline — the complete live set.
+  *  - DELTA: `baseSeq` + `adds`/`removes` (+ `logAdds`/`logRemoves`) against
+  *    the immediately preceding commit.
+  *
+  * A monolithic manifest rewrites the complete file list on every commit —
+  * ~10 MB of JSON per commit at 100k files, so commit I/O grows linearly
+  * with table size. The delta shape bounds each commit record by the
+  * batch's own churn (the Delta-Lake log-plus-checkpoint design); every
+  * [[Timeline.CheckpointInterval]]-th commit is a full checkpoint, so
+  * reconstruction reads at most that many records. Old full-shape files
+  * parse as records with `baseSeq = None` — forward-compatible.
+  */
+private[model] case class CommitRecord(
+    seq: Long,
+    action: String,
+    schemaJson: String,
+    checkpoint: Option[String],
+    commitTimeMs: Long,
+    extra: Map[String, String] = Map.empty,
+    files: Option[Seq[DataFile]] = None,
+    logFiles: Option[Seq[DataFile]] = None,
+    baseSeq: Option[Long] = None,
+    adds: Option[Seq[DataFile]] = None,
+    removes: Option[Seq[String]] = None,
+    logAdds: Option[Seq[DataFile]] = None,
+    logRemoves: Option[Seq[String]] = None)
+
 /** Filesystem commit timeline. Write protocol: data files first, then the
   * manifest via write-temp + atomic-rename — a reader either sees the old
   * complete snapshot or the new complete snapshot (ST4 exactly-once: re-run
@@ -101,9 +130,60 @@ class Timeline(tableRoot: String) {
     commitCache.get(seq) match {
       case Some((m, sz, c)) if m == st._1 && sz == st._2 => c
       case _ =>
-        val c = JsonMethods.parse(Files.readString(p)).extract[Commit]
+        val c = materialize(
+          JsonMethods.parse(Files.readString(p)).extract[CommitRecord])
         cachePut(seq, st, c)
         c
+    }
+  }
+
+  /** Reconstruct the full commit from a record: a delta applies its
+    * adds/removes to the (memoized) base — at most
+    * [[Timeline.CheckpointInterval]] records deep before a checkpoint.
+    * Removed-then-readded ordering: removals first, adds appended, so a
+    * file rewritten in place keeps its new stats. */
+  private def materialize(r: CommitRecord): Commit = r.baseSeq match {
+    case None =>
+      Commit(r.seq, r.action, r.files.getOrElse(Seq.empty), r.schemaJson,
+        r.checkpoint, r.commitTimeMs, r.extra, r.logFiles.getOrElse(Seq.empty))
+    case Some(bs) =>
+      val base = read(bs)
+      def patch(cur: Seq[DataFile], removes: Option[Seq[String]],
+          adds: Option[Seq[DataFile]]): Seq[DataFile] = {
+        val dead = removes.getOrElse(Seq.empty).toSet
+        cur.filterNot(f => dead(f.path)) ++ adds.getOrElse(Seq.empty)
+      }
+      Commit(r.seq, r.action,
+        patch(base.files, r.removes, r.adds), r.schemaJson,
+        r.checkpoint, r.commitTimeMs, r.extra,
+        patch(base.logFiles, r.logRemoves, r.logAdds))
+  }
+
+  /** Storage shape for a commit: full checkpoint every
+    * [[Timeline.CheckpointInterval]]-th seq (and whenever the predecessor
+    * is unreadable), delta against seq-1 otherwise. */
+  private def toRecord(c: Commit): CommitRecord = {
+    val base =
+      if (c.seq == 0 || c.seq % Timeline.CheckpointInterval == 0) None
+      else try Some(read(c.seq - 1)) catch { case _: Exception => None }
+    base match {
+      case None =>
+        CommitRecord(c.seq, c.action, c.schemaJson, c.checkpoint,
+          c.commitTimeMs, c.extra, files = Some(c.files),
+          logFiles = Some(c.logFiles))
+      case Some(b) =>
+        def diff(prev: Seq[DataFile], next: Seq[DataFile]) = {
+          val prevPaths = prev.map(_.path).toSet
+          val nextPaths = next.map(_.path).toSet
+          (next.filterNot(f => prevPaths(f.path)),
+            prev.map(_.path).filterNot(nextPaths))
+        }
+        val (adds, removes) = diff(b.files, c.files)
+        val (logAdds, logRemoves) = diff(b.logFiles, c.logFiles)
+        CommitRecord(c.seq, c.action, c.schemaJson, c.checkpoint,
+          c.commitTimeMs, c.extra, baseSeq = Some(b.seq),
+          adds = Some(adds), removes = Some(removes),
+          logAdds = Some(logAdds), logRemoves = Some(logRemoves))
     }
   }
 
@@ -126,7 +206,8 @@ class Timeline(tableRoot: String) {
     init()
     val target = commitPath(c.seq)
     val tmp = commitsDir.resolve(s".${c.seq}.${UUID.randomUUID()}.tmp")
-    Files.write(tmp, Serialization.write(c).getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp,
+      Serialization.write(toRecord(c)).getBytes(StandardCharsets.UTF_8))
     try {
       try {
         Files.createLink(target, tmp); Files.deleteIfExists(tmp)
@@ -152,21 +233,43 @@ class Timeline(tableRoot: String) {
     }
   }
 
+  private def fullJson(c: Commit): String =
+    Serialization.write(CommitRecord(c.seq, c.action, c.schemaJson,
+      c.checkpoint, c.commitTimeMs, c.extra,
+      files = Some(c.files), logFiles = Some(c.logFiles)))
+
+  /** Rewrite a commit file as a FULL checkpoint (atomic replace) — used at
+    * the archive boundary so retained deltas never chain into deleted
+    * records. Must run while the commit's base chain is still readable. */
+  private def checkpointInPlace(seq: Long): Unit = {
+    val c = read(seq)
+    val tmp = commitsDir.resolve(s".$seq.${UUID.randomUUID()}.ckpt.tmp")
+    Files.write(tmp, fullJson(c).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, commitPath(seq),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    cachePut(seq, stamp(commitPath(seq)), c)
+  }
+
   /** T3 archiving (reference handler.py:74,92-93: keep 10-15 commits on the
-    * active timeline, merge the rest into archive files). */
+    * active timeline, merge the rest into archive files). Archived records
+    * are materialized FULL commits (a delta's base would be deleted with
+    * the rest of the window), and the oldest retained commit is
+    * checkpointed in place before the window is deleted so every retained
+    * delta still chains to a readable base. */
   def archive(keepLast: Int): Int = {
     val seqs = listCommitSeqs()
     if (seqs.size <= keepLast) return 0
     Files.createDirectories(archiveDir)
     val toArchive = seqs.dropRight(keepLast)
-    val merged = toArchive.map(s => Files.readString(commitPath(s)))
-      .mkString("[", ",", "]")
+    val merged = toArchive.map(s => fullJson(read(s))).mkString("[", ",", "]")
     val archiveFile = archiveDir.resolve(
       f"${toArchive.head}%012d-${toArchive.last}%012d.archive.json")
     val tmp = archiveDir.resolve(s".${toArchive.head}.${UUID.randomUUID()}.tmp")
     Files.write(tmp, merged.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, archiveFile)
+    checkpointInPlace(seqs.takeRight(keepLast).head)
     toArchive.foreach(s => Files.delete(commitPath(s)))
+    toArchive.foreach(commitCache.remove)
     toArchive.size
   }
 
@@ -178,7 +281,10 @@ class Timeline(tableRoot: String) {
         .filter(_.getFileName.toString.endsWith(".archive.json"))
         .toSeq.sortBy(_.getFileName.toString)
     }.flatMap { p =>
-      JsonMethods.parse(Files.readString(p)).extract[Seq[Commit]]
+      // archived records are always full; legacy archives (whole-Commit
+      // JSON) parse identically through the record shape
+      JsonMethods.parse(Files.readString(p)).extract[Seq[CommitRecord]]
+        .map(materialize)
     }
 
   /** Rollback: discard every commit after `toSeq` and delete the data
@@ -224,4 +330,12 @@ class Timeline(tableRoot: String) {
     }
     dead.size
   }
+}
+
+object Timeline {
+  /** Every Nth commit is stored as a full manifest checkpoint; the ones
+    * between are adds/removes deltas. Reconstruction cost is bounded by
+    * this depth; commit-file size between checkpoints is bounded by the
+    * batch churn, not the table's live-file count. */
+  val CheckpointInterval: Int = 10
 }

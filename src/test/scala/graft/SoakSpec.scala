@@ -69,4 +69,60 @@ class SoakSpec extends AnyFunSuite {
     }
     assert(leaked.isEmpty, s"unreferenced files left on disk: $leaked")
   }
+
+  test("50-commit sf0.01 cadence with clean/archive/cluster: correct snapshots, bounded metadata") {
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select($"o_orderkey", $"o_orderstatus").cache()
+    val keys = orders.select($"o_orderkey").as[Long].collect().sorted
+    val root = Files.createTempDirectory("graft-soak50").toString
+    val t = new GraftTable(spark, root, Seq("o_orderkey"),
+      targetFileBytes = 256 * 1024)
+
+    // driver-side expectation: (key -> (seq, status)), deletes drop keys
+    var state: Map[Long, (Int, String)] =
+      keys.map(k => k -> (0, "O")).toMap
+    t.bulkInsert(orders.withColumn("o_orderstatus", org.apache.spark.sql.functions.lit("O"))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit(f"${0}%05d"))
+      .withColumn(Meta.Deleted, org.apache.spark.sql.functions.lit(false)))
+
+    (1 to 50).foreach { i =>
+      val slice = keys.filter(_ % 50 == i % 50)
+      val isDelCycle = i % 7 == 3
+      val batch = slice.map { k =>
+        val del = isDelCycle && k % 3 == 0
+        (k, s"S$i", f"$i%05d", del)
+      }
+      t.upsert(batch.toSeq.toDF("o_orderkey", "o_orderstatus", "trx_seq", Meta.Deleted))
+      batch.foreach { case (k, v, _, del) =>
+        if (del) state -= k else state = state.updated(k, (i, v))
+      }
+      if (i % 5 == 0) t.clean(retainCommits = 5)
+      if (i % 10 == 0) t.archive(keepLast = 10)
+      if (i % 13 == 0) t.cluster()
+
+      if (i % 10 == 0) {
+        val got = t.readUser().select($"o_orderkey", $"o_orderstatus")
+          .as[(Long, String)].collect().toMap
+        val want = state.map { case (k, (_, v)) => k -> v }
+        assert(got.size == want.size, s"cycle $i: ${got.size} vs ${want.size} rows")
+        assert(got == want, s"cycle $i diverged")
+      }
+    }
+
+    // live-file count bounded (clustering keeps files right-sized: the
+    // table is ~0.5 MB compressed, so a handful of 256 KB-target files)
+    val live = t.latestCommit().get.files
+    assert(live.nonEmpty && live.size <= 32, s"live files unbounded: ${live.size}")
+    // active timeline bounded by archiving; commit files bounded by churn
+    assert(t.history().size <= 17)
+    val commitsDir = Paths.get(root, "_graft", "commits")
+    val commitFiles = java.nio.file.Files.list(commitsDir).iterator()
+    var totalMeta = 0L; var nMeta = 0
+    while (commitFiles.hasNext) {
+      val p = commitFiles.next()
+      if (p.toString.endsWith(".commit.json")) { totalMeta += java.nio.file.Files.size(p); nMeta += 1 }
+    }
+    assert(nMeta <= 17 && totalMeta < 2 * 1024 * 1024,
+      s"_graft metadata unbounded: $nMeta files, $totalMeta bytes")
+  }
 }

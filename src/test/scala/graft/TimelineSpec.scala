@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{Commit, DataFile, Timeline}
+
+/** Incremental-manifest contract: commit files between checkpoints are
+  * sized by batch churn (not live-file count), reconstruction is exact at
+  * every seq, and archive/rollback keep every retained commit readable.
+  * Pure metadata — no Spark session involved.
+  */
+class TimelineSpec extends AnyFunSuite {
+
+  private def df(id: Int): DataFile =
+    DataFile(f"data/c0/part-$id%05d.parquet", Map.empty,
+      f"k$id%07d", f"k$id%07d~", 1000L, 4 * 1024 * 1024)
+
+  /** 55-commit timeline over a 1000-file table: each commit rewrites 10
+    * files (the upsert shape: small churn on a big live set). */
+  private def build(root: String): (Timeline, Seq[Seq[DataFile]]) = {
+    val tl = new Timeline(root)
+    var live: Seq[DataFile] = (0 until 1000).map(df)
+    var nextId = 1000
+    val states = Seq.newBuilder[Seq[DataFile]]
+    (0 until 55).foreach { seq =>
+      if (seq > 0) {
+        val removed = live.take(10)
+        val added = (0 until 10).map { _ => nextId += 1; df(nextId) }
+        live = live.drop(10) ++ added
+      }
+      tl.commit(Commit(seq, if (seq == 0) "bulk_insert" else "upsert",
+        live, "{}", Some(s"cp$seq"), 1700000000000L + seq))
+      states += live
+    }
+    (tl, states.result())
+  }
+
+  test("delta commit files are bounded by churn, not live-file count; reads are exact") {
+    val root = Files.createTempDirectory("graft-tl").toString
+    val (tl, states) = build(root)
+    // exact reconstruction at every seq (deltas chain to checkpoints)
+    (0 until 55).foreach { seq =>
+      assert(tl.read(seq).files.map(_.path) == states(seq).map(_.path), s"seq $seq")
+    }
+    // a fresh Timeline instance (cold cache) reconstructs identically
+    val cold = new Timeline(root)
+    assert(cold.read(54).files.map(_.path) == states(54).map(_.path))
+
+    val sizes = (0 until 55).map(s =>
+      s -> Files.size(Paths.get(root, "_graft", "commits", f"$s%012d.commit.json")))
+    val (checkpoints, deltas) = sizes.partition(_._1 % Timeline.CheckpointInterval == 0)
+    val maxDelta = deltas.map(_._2).max
+    val minFull = checkpoints.map(_._2).min
+    // ~10 changed files per commit vs 1000 live: a delta must be a small
+    // fraction of a full manifest (it is ~2% in practice; assert <20%)
+    assert(maxDelta < minFull / 5,
+      s"delta manifests not bounded: maxDelta=$maxDelta minFull=$minFull")
+  }
+
+  test("archive checkpoints the boundary commit; retained deltas stay readable") {
+    val root = Files.createTempDirectory("graft-tl-arch").toString
+    val (tl, states) = build(root)
+    // keepLast=7 puts the boundary (seq 48) mid-delta-chain
+    assert(tl.archive(keepLast = 7) == 48)
+    val cold = new Timeline(root)
+    (48 until 55).foreach { seq =>
+      assert(cold.read(seq).files.map(_.path) == states(seq).map(_.path), s"seq $seq")
+    }
+    // archived records materialize fully too (they are self-contained)
+    val archived = cold.readArchived()
+    assert(archived.size == 48)
+    assert(archived.head.files.map(_.path) == states(0).map(_.path))
+    assert(archived.last.files.map(_.path) == states(47).map(_.path))
+    // idempotent-retry of the latest commit against the archived timeline
+    val again = cold.commit(Commit(54, "upsert", states(54), "{}",
+      Some("cp54"), 1700000000054L))
+    assert(again.files.map(_.path) == states(54).map(_.path))
+  }
+
+  test("rollback across a delta chain restores the exact earlier state") {
+    val root = Files.createTempDirectory("graft-tl-rb").toString
+    val (tl, states) = build(root)
+    assert(tl.rollback(toSeq = 33) == 21)
+    assert(tl.latest().get.files.map(_.path) == states(33).map(_.path))
+    val cold = new Timeline(root)
+    assert(cold.read(33).files.map(_.path) == states(33).map(_.path))
+    // recommit after rollback: next seq diffs against the restored state
+    val live = states(33).drop(5) ++ (5000 until 5005).map(df)
+    cold.commit(Commit(34, "upsert", live, "{}", Some("cp34b"), 1700000001000L))
+    assert(new Timeline(root).read(34).files.map(_.path) == live.map(_.path))
+  }
+}
