@@ -39,4 +39,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("dedup_clusters")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("PII scrub is a pure narrow map: no shuffle, no join, no UDF") {
+    val p = plan("text_pii_scrub")
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    // the regexes run inside whole-stage codegen, at scan speed
+    // (executedPlan.toString marks codegen stages with "*(n)")
+    assert(p.contains("*(1)"))
+  }
+
+  test("domain census broadcasts the blocklist; corpus scanned once") {
+    val p = plan("text_domain_census")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("minhash verification prefilters candidates before the posting-list joins") {
+    val df = SparkEntry.queries("dedup_minhash")(spark, dir)
+    val p = df.queryExecution.optimizedPlan.toString
+    // the exact size bound (least/greatest on shingle counts) must sit
+    // between candidate generation and the expensive shingle joins
+    assert(p.contains("least(") && p.contains("greatest("))
+  }
 }
