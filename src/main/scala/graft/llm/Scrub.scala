@@ -57,6 +57,27 @@ object Scrub {
   def extractDomains(text: Column): Column =
     regexp_extract_all(text, lit(UrlRe), lit(1))
 
+  /** Canonicalize a URL the way crawl dedup does: strip the `#fragment`
+    * and `utm_*` tracking params, lowercase the scheme and host (path and
+    * query stay case-sensitive per RFC 3986), drop a bare trailing slash.
+    * Pure codegen'd string ops — runs at scan speed over a 100 TB crawl,
+    * and every step is RE2-compatible so the whole pipeline replicates in
+    * oracle SQL. */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    // drop utm params: mid-list first, then a leading '?utm_...&' or a
+    // lone '?utm_...' (order matters so the separator survives correctly)
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag, "&utm_[^&]*", ""),
+        "\\?utm_[^&]*&", "?"),
+      "\\?utm_[^&]*$", "")
+    val scheme = lower(regexp_extract(noUtm, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noUtm, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    val rest = regexp_replace(noUtm, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    concat(scheme, lit("://"), host, regexp_replace(rest, "/$", ""))
+  }
+
   /** Per-domain reference census over a corpus, with blocklisted domains
     * removed — the shape of a crawl-filtering pass. The corpus is scanned
     * once; explode is a narrow op; one hash aggregate on domain; the

@@ -145,6 +145,22 @@ object LlmQueries {
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           md5(col("redacted")).as("red_md5"))
     }),
+    // crawl-style URL canonicalization: messy doc_id-derived URLs (mixed
+    // case, tracking params, fragments) normalized identically on both
+    // sides — the dedup key a crawl pipeline groups by
+    "text_url_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val id = col("doc_id")
+      val u1 = concat(lit("HTTP://Site"), (id % 7).cast("string"),
+        lit(".Example.org/Page"), (id % 13).cast("string"),
+        lit("/?utm_source=s"), id.cast("string"),
+        lit("&ref="), (id % 3).cast("string"), lit("#top"))
+      val u2 = concat(lit("https://WWW.Ref"), (id % 5).cast("string"),
+        lit(".net/x/?utm_c=9"))
+      docs.select(id,
+        Scrub.canonicalizeUrl(u1).as("c1"),
+        Scrub.canonicalizeUrl(u2).as("c2"))
+    }),
     // per-domain reference census with a broadcast blocklist anti-join
     "text_domain_census" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -443,6 +459,30 @@ object LlmQueries {
                '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
          FROM e""",
 
+    // same canonicalization pipeline, CTE-chained; DuckDB regexp_replace
+    // needs the explicit 'g' only on the mid-list utm strip (all other
+    // patterns are anchored/single); scheme+host lowercased, path kept
+    "text_url_canonical" -> {
+      def noUtm(e: String) =
+        s"""regexp_replace(regexp_replace(regexp_replace($e,
+            '&utm_[^&]*', '', 'g'), '\\?utm_[^&]*&', '?'), '\\?utm_[^&]*$$', '')"""
+      def canon(e: String) =
+        s"""lower(regexp_extract($e, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://'
+            || lower(regexp_extract($e, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+            || regexp_replace(regexp_replace($e,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', ''), '/$$', '')"""
+      s"""WITH u AS (SELECT doc_id,
+           'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.org/Page'
+             || CAST(doc_id % 13 AS VARCHAR) || '/?utm_source=s'
+             || CAST(doc_id AS VARCHAR) || '&ref=' || CAST(doc_id % 3 AS VARCHAR)
+             || '#top' AS u1,
+           'https://WWW.Ref' || CAST(doc_id % 5 AS VARCHAR) || '.net/x/?utm_c=9' AS u2
+         FROM documents),
+         f AS (SELECT doc_id, regexp_replace(u1, '#.*$$', '') AS f1,
+                      regexp_replace(u2, '#.*$$', '') AS f2 FROM u),
+         q AS (SELECT doc_id, ${noUtm("f1")} AS q1, ${noUtm("f2")} AS q2 FROM f)
+         SELECT doc_id, ${canon("q1")} AS c1, ${canon("q2")} AS c2 FROM q"""
+    },
     "text_domain_census" ->
       """WITH e AS (SELECT text || ' see http://site' || CAST(doc_id % 7 AS VARCHAR)
            || '.example.org/p and https://www.ref' || CAST(doc_id % 5 AS VARCHAR)

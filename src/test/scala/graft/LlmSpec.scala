@@ -294,6 +294,21 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(4))
   }
 
+  test("canonicalizeUrl strips fragments/utm, lowercases scheme+host, keeps path case") {
+    import graft.llm.Scrub
+    val urls = Seq(
+      "HTTP://Example.COM/Path/?utm_a=1&id=2&utm_b=3#frag",
+      "https://a.org/p?utm_only=x",
+      "https://a.org/dir/",
+      "HtTpS://B.NET/CaseKept?q=UP").toDF("u")
+    val got = urls.select(Scrub.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    assert(got == Seq(
+      "http://example.com/Path/?id=2",
+      "https://a.org/p",
+      "https://a.org/dir",
+      "https://b.net/CaseKept?q=UP"))
+  }
+
   test("domainCensus counts URL hosts and drops blocklisted domains") {
     import graft.llm.Scrub
     val docs = Seq(
