@@ -195,6 +195,27 @@ object Dedup {
         (col("n_train") - col("n_kept")).as("n_removed"), col("n_kept"))
   }
 
+  /** N-gram decontamination (the GPT-3/PaLM recipe, vs the exact-hash
+    * variant in [[decontaminate]]): a training document is contaminated if
+    * it shares ANY word n-gram with the held-out eval corpus. The distinct
+    * eval n-gram set is broadcast (eval corpora are tiny next to training
+    * data), so the 100 TB train side is one scan + a broadcast semi-join —
+    * the corpus never shuffles. Returns a one-row summary.
+    */
+  def ngramDecontaminate(docs: DataFrame, idCol: String, textCol: String,
+      isEval: Column, n: Int = 8): DataFrame = {
+    val eval = docs.filter(isEval)
+    val train = docs.filter(!isEval)
+    val evalGrams = shingles(eval, idCol, textCol, n).select(col("s")).distinct()
+    val flagged = shingles(train, idCol, textCol, n)
+      .join(broadcast(evalGrams), Seq("s"), "left_semi")
+      .select(col(idCol)).distinct()
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
+      .select(col("n_train"), col("n_flagged"),
+        (col("n_train") - col("n_flagged")).as("n_clean"))
+  }
+
   /** 64-bit SimHash: per bit, sum ±1 over token occurrences; bit set if the
     * sum is positive. The per-token bit source is the first 16 hex digits
     * of md5 (bit b = bit b%4 of digit b/4) — chosen over xxhash64 because

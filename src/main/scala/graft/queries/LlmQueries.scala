@@ -43,6 +43,12 @@ object LlmQueries {
     // eval-set decontamination: exact-hash anti-join against a held-out corpus
     "dedup_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(t(s, dir, "documents"), "text", col("source") === "src0")),
+    // n-gram overlap decontamination (GPT-3 recipe): flag any train doc
+    // sharing a word 3-gram with the eval slice (n=3 keeps the overlap
+    // non-vacuous on this corpus; production would use 8-13)
+    "dedup_ngram_decontaminate" -> ((s, dir) =>
+      Dedup.ngramDecontaminate(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", n = 3)),
     // deterministic per-language mixing sample (hash-bucket thresholds /65536)
     "sample_stratified" -> ((s, dir) =>
       Sampling.stratifiedStats(t(s, dir, "documents"), "doc_id", "lang", "n_chars",
@@ -253,6 +259,24 @@ object LlmQueries {
            COUNT(CASE WHEN n_tok >= 30 AND ttr >= 0.4 AND stopr >= 0.03
                  THEN 1 END) AS n_kept
          FROM m GROUP BY lang""",
+
+    // same 3-gram construction as the engine's shingles (distinct per doc,
+    // empty/null-gram filtered)
+    "dedup_ngram_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+                FROM w),
+         sh0 AS (SELECT doc_id, source, s FROM sh
+                 WHERE s IS NOT NULL AND length(s) > 0),
+         ev AS (SELECT DISTINCT s FROM sh0 WHERE source = 'src0'),
+         fl AS (SELECT DISTINCT doc_id FROM sh0
+                WHERE source <> 'src0' AND s IN (SELECT s FROM ev))
+         SELECT (SELECT COUNT(*) FROM documents WHERE source <> 'src0') AS n_train,
+                (SELECT COUNT(*) FROM fl) AS n_flagged,
+                (SELECT COUNT(*) FROM documents WHERE source <> 'src0')
+                  - (SELECT COUNT(*) FROM fl) AS n_clean""",
 
     "dedup_decontaminate" ->
       """WITH h AS (SELECT source, md5(text) AS hh FROM documents),

@@ -294,6 +294,18 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(4))
   }
 
+  test("ngram decontamination flags exactly the train docs sharing an n-gram with eval") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "eval"),
+      (2L, "zz alpha beta gamma yy", "train"),   // shares 'alpha beta gamma'
+      (3L, "delta epsilon zeta eta", "train"),   // no shared 3-gram
+      (4L, "beta gamma delta qq rr", "train")    // shares 'beta gamma delta'
+    ).toDF("doc_id", "text", "source")
+    val r = Dedup.ngramDecontaminate(docs, "doc_id", "text",
+      col("source") === "eval", n = 3).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2 && r.getLong(2) == 1)
+  }
+
   test("canonicalizeUrl strips fragments/utm, lowercases scheme+host, keeps path case") {
     import graft.llm.Scrub
     val urls = Seq(
