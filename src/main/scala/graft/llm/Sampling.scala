@@ -43,6 +43,48 @@ object Sampling {
         md5(concat(lit(salt + ":"), col(idCol).cast("string"))).as("h"))
       .orderBy(col("h")).limit(k)
 
+  /** Sequence packing: assign id-ordered documents to training shards of
+    * `budget` tokens each (a doc starts a new shard when the running token
+    * total crosses the budget — contiguous greedy packing, the standard
+    * pre-tokenization sharding step).
+    *
+    * The global running sum is computed WITHOUT a single-partition window
+    * (the classic scale trap): range-partition by id, an in-partition
+    * window handles the local prefix sum in parallel, per-partition totals
+    * (one tiny row each) get their own prefix offsets, and a broadcast
+    * join adds the offset back. Works identically at any partition count —
+    * the result is partition-layout-independent, so it is deterministic
+    * and engine-portable.
+    *
+    * Returns (id, n_tokens, shard) with shard = floor(exclusive-prefix /
+    * budget).
+    */
+  def packShards(docs: DataFrame, idCol: String, tokensCol: Column,
+      budget: Long, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val nPart =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
+      .repartitionByRange(nPart, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("_pid", spark_partition_id())
+    val inPart = Window.partitionBy(col("_pid")).orderBy(col(idCol))
+    val local = toks.withColumn("_cum", sum(col("n_tokens")).over(inPart))
+    // per-partition totals: O(partitions) rows — the tiny single-partition
+    // window is on THIS, never on the data
+    val offW = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = local.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("_t"))
+      .withColumn("_off", coalesce(sum(col("_t")).over(offW), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .select(col(idCol), col("n_tokens"),
+        (((col("_cum") + col("_off")) - col("n_tokens")) / budget)
+          .cast("long").as("shard"))
+  }
+
   /** Mixing summary: per stratum, total vs sampled doc counts and the
     * sampled character mass (the quantity a token-budget mixing plan
     * actually targets). */

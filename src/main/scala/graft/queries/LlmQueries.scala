@@ -57,6 +57,14 @@ object LlmQueries {
     // exact-size uniform sample: k smallest salted hashes (TakeOrdered)
     "sample_uniform" -> ((s, dir) =>
       Sampling.uniformSampleK(t(s, dir, "documents"), "doc_id", k = 100)),
+    // contiguous token-budget sharding via the distributed prefix sum
+    // (in-partition windows + broadcast offsets — no global window)
+    "sample_pack_shards" -> ((s, dir) =>
+      Sampling.packShards(t(s, dir, "documents"), "doc_id",
+          size(split(col("text"), " ")), budget = 2000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
+          min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))),
 
     // ---- text quality / featurization
     // Gopher-style repetition signals: top-bigram and duplicate-bigram ratios
@@ -309,6 +317,20 @@ object LlmQueries {
     "sample_uniform" ->
       """SELECT doc_id, md5('samp:' || CAST(doc_id AS VARCHAR)) AS h
          FROM documents ORDER BY h LIMIT 100""",
+
+    // the oracle's single-machine window cumsum defines the semantics the
+    // distributed prefix sum must reproduce exactly
+    "sample_pack_shards" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM t)
+         SELECT CAST(pre // 2000 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS tok_sum,
+           MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         FROM c GROUP BY 1""",
 
     // the engine really encodes + parses + resizes P6 images; the oracle
     // recomputes the geometry arithmetic the round trip must reproduce

@@ -294,6 +294,24 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(3).isNullAt(4))
   }
 
+  test("packShards matches sequential greedy packing and is partition-count independent") {
+    import graft.llm.Sampling
+    val docs = (1L to 100L).map(i => (i, s"d$i", (i % 7 + 1) * 10)).toDF("id", "t", "tok")
+    def run(p: Int) = Sampling.packShards(docs, "id", $"tok", budget = 100, partitions = p)
+      .select($"id", $"shard").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // sequential reference: shard = floor(exclusive running total / budget)
+    var cum = 0L
+    val want = (1L to 100L).map { i =>
+      val tok = (i % 7 + 1) * 10
+      val shard = cum / 100
+      cum += tok
+      (i, shard)
+    }
+    assert(run(1) == want)
+    assert(run(7) == want)   // distributed prefix sum = single-machine result
+    assert(run(13) == want)
+  }
+
   test("ngram decontamination flags exactly the train docs sharing an n-gram with eval") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", "eval"),
