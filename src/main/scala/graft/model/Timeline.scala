@@ -85,6 +85,7 @@ class Timeline(tableRoot: String) {
   implicit private val fmts: Formats = DefaultFormats
   private val commitsDir: Path = Paths.get(tableRoot, "_graft", "commits")
   private val archiveDir: Path = Paths.get(tableRoot, "_graft", "archive")
+  private val savepointsDir: Path = Paths.get(tableRoot, "_graft", "savepoints")
   // Memoize manifest parses (a 100k-file manifest is ~10 MB of JSON and
   // latest() runs on every operation). Entries are validated against the
   // file's (mtime, size) on every hit — a rollback+recommit from ANOTHER
@@ -287,6 +288,45 @@ class Timeline(tableRoot: String) {
         .map(materialize)
     }
 
+  /** Savepoint (Hudi's disaster-recovery pin): persist a SELF-CONTAINED
+    * full copy of the commit under `_graft/savepoints/`, and from then on
+    * cleaning and rollback treat its files as live. Unlike the active
+    * timeline the savepoint survives archiving (its record carries the
+    * complete file list, no base chain). */
+  def savepoint(seq: Long): Unit = {
+    val c = read(seq)
+    Files.createDirectories(savepointsDir)
+    val target = savepointsDir.resolve(f"$seq%012d.savepoint.json")
+    val tmp = savepointsDir.resolve(s".$seq.${UUID.randomUUID()}.tmp")
+    Files.write(tmp, fullJson(c).getBytes(StandardCharsets.UTF_8))
+    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp) }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp) // idempotent: a savepoint is immutable
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        Files.move(tmp, target)
+    }
+  }
+
+  /** Savepointed commits, oldest first (each record self-contained). */
+  def listSavepoints(): Seq[Commit] =
+    if (!Files.exists(savepointsDir)) Seq.empty
+    else Using.resource(Files.list(savepointsDir)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".savepoint.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+    }.map(p => materialize(
+      JsonMethods.parse(Files.readString(p)).extract[CommitRecord]))
+
+  /** Read a savepointed snapshot (works even after the commit left the
+    * active timeline and the archive). */
+  def readSavepoint(seq: Long): Commit =
+    listSavepoints().find(_.seq == seq).getOrElse(
+      throw new IllegalArgumentException(s"no savepoint at seq $seq"))
+
+  def deleteSavepoint(seq: Long): Boolean =
+    Files.deleteIfExists(savepointsDir.resolve(f"$seq%012d.savepoint.json"))
+
   /** Rollback: discard every commit after `toSeq` and delete the data
     * files only those commits reference (restore-to-savepoint; the
     * operational escape hatch for a bad batch). Single-writer context —
@@ -297,7 +337,7 @@ class Timeline(tableRoot: String) {
     require(seqs.contains(toSeq), s"commit $toSeq not on the active timeline")
     val doomed = seqs.filter(_ > toSeq)
     val keepPaths: Set[String] =
-      (seqs.filterNot(_ > toSeq).map(read) ++ readArchived())
+      (seqs.filterNot(_ > toSeq).map(read) ++ readArchived() ++ listSavepoints())
         .flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet
     val dead = doomed.map(read)
       .flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet -- keepPaths
@@ -320,7 +360,8 @@ class Timeline(tableRoot: String) {
     val retained = seqs.takeRight(retainCommits).toSet
     val allPaths = (c: Commit) => (c.files ++ c.logFiles).map(_.path)
     val live: Set[String] =
-      seqs.filter(retained).flatMap(s => allPaths(read(s))).toSet
+      (seqs.filter(retained).flatMap(s => allPaths(read(s))) ++
+        listSavepoints().flatMap(allPaths)).toSet
     val expired = seqs.filterNot(retained).map(read) ++
       readArchived().filterNot(c => retained(c.seq))
     val dead: Set[String] = expired.flatMap(allPaths).toSet -- live

