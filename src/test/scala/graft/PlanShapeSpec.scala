@@ -55,6 +55,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("ngram decontamination broadcasts the eval grams; train side joins semi") {
+    val p = plan("dedup_ngram_decontaminate")
+    // the gram membership test must be a broadcast semi-join (the only
+    // BNLJ allowed is the final 1x1-row scalar summary crossJoin)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"))
+  }
+
+  test("sequence packing windows are partitioned on the data path") {
+    // the only unpartitioned window may be the O(partitions)-row offsets
+    // aggregate, never the per-document cumsum
+    val df = SparkEntry.queries("sample_pack_shards")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("_pid")), "in-partition cumsum window missing")
+  }
+
   test("minhash verification prefilters candidates before the posting-list joins") {
     val df = SparkEntry.queries("dedup_minhash")(spark, dir)
     val p = df.queryExecution.optimizedPlan.toString
