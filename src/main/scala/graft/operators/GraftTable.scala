@@ -45,6 +45,7 @@ class GraftTable(
     val staleLockMs: Long = GraftTable.DefaultStaleLockMs,
     val tableType: String = GraftTable.CopyOnWrite,
     val compactEvery: Int = 0,
+    val compactLogBytesRatio: Double = 0.0,
     val globalIndex: Boolean = true,
     val harvestThreshold: Int = GraftTable.DistributedHarvestThreshold) {
 
@@ -372,7 +373,16 @@ class GraftTable(
     val c = timeline.commit(Commit(seq, "delta_commit", prev.files, unionSchema.json,
       checkpoint, System.currentTimeMillis(), logFiles = prev.logFiles ++ logs))
     val deltasSinceBase = history().reverse.takeWhile(_.action == "delta_commit").size
-    if (compactEvery > 0 && deltasSinceBase >= compactEvery) doCompact() else c
+    // two inline triggers (either enables compaction): every N delta
+    // commits, or when outstanding log bytes cross a fraction of base
+    // bytes — the size-based policy keeps read amplification bounded on
+    // hot tables where batch cadence and batch size are uncorrelated
+    val logsOverweight = compactLogBytesRatio > 0 &&
+      c.logFiles.map(_.bytes).sum >
+        compactLogBytesRatio * math.max(1L, c.files.map(_.bytes).sum)
+    if ((compactEvery > 0 && deltasSinceBase >= compactEvery) || logsOverweight)
+      doCompact()
+    else c
   }
 
   /** Merge-on-read view of a commit: base files unioned with delta logs,

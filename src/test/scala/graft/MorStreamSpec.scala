@@ -83,6 +83,34 @@ class MorStreamSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a2")))
   }
 
+  test("size-based compaction triggers when log bytes cross the base-bytes ratio") {
+    val t = new GraftTable(spark, tmp("morsz"), Seq("id"),
+      targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead,
+      compactLogBytesRatio = 0.5)
+    t.bulkInsert((1L to 200L).map(i => (i, s"v$i", "010", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    val baseBytes = t.latestCommit().get.files.map(_.bytes).sum
+    // append small deltas until their cumulative bytes exceed half the base
+    var compacted = false
+    var i = 0
+    while (!compacted && i < 40) {
+      i += 1
+      val c = t.upsert(Seq((i.toLong, s"u$i", f"${100 + i}%03d", false))
+        .toDF("id", "v", "trx_seq", Meta.Deleted))
+      compacted = c.action == "compact"
+      if (!compacted)
+        assert(c.logFiles.map(_.bytes).sum <= 0.5 * baseBytes + 16 * 1024,
+          "logs grew far past the ratio without compacting")
+    }
+    assert(compacted, s"no compaction in $i delta commits")
+    assert(t.latestCommit().get.logFiles.isEmpty)
+    // the merged result survived the automatic fold: every upserted key
+    // carries its update, untouched keys keep the bulk-insert value
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    (1 to i).foreach(k => assert(got(k.toLong) == s"u$k", s"key $k"))
+    assert(got(200L) == "v200")
+  }
+
   test("live ProcessingTime loop commits batches incrementally and matches the batch result") {
     val t = graft.queries.CdcScenario.continuousLive(spark, "/root/testdata/sf0.001")
     // three incremental commits: bulk load + two upserts
