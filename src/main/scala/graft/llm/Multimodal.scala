@@ -50,14 +50,11 @@ object Multimodal {
     binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val (w, h, _) = PpmCodec.decode(payload)
+          val (w, h, rgb) = PpmCodec.decode(payload)
           val (rw, rh) = (math.max(w / 2, 1), math.max(h / 2, 1))
-          val resized = PpmCodec.resizeNearest(payload, rw, rh)
-          val (_, _, rgb) = PpmCodec.decode(resized)
-          var sum = 0L
-          var j = 0
-          while (j < rgb.length) { sum += rgb(j) & 0xFF; j += 1 }
-          (id, rw, rh, sum, frameSampleStub(payload, sampleEvery).length)
+          val resized = PpmCodec.resampleRgb(w, h, rgb, rw, rh)
+          (id, rw, rh, PpmCodec.pixelSum(resized),
+            frameSampleStub(payload, sampleEvery).length)
         }
       }
       .toDF("id", "rw", "rh", "px_sum_resized", "n_sampled")
@@ -154,10 +151,8 @@ object Multimodal {
         // per-partition codec init would go here
         it.map { case (id, payload) =>
           val (w, h, rgb) = PpmCodec.decode(payload)
-          var sum = 0L
-          var j = 0
-          while (j < rgb.length) { sum += rgb(j) & 0xFF; j += 1 }
-          (id, w, h, rgb(0) & 0xFF, rgb(rgb.length / 2) & 0xFF, sum)
+          (id, w, h, rgb(0) & 0xFF, rgb(rgb.length / 2) & 0xFF,
+            PpmCodec.pixelSum(rgb))
         }
       }
       .toDF("id", "w", "h", "f0", "fmid", "px_sum")

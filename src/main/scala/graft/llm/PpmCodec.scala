@@ -60,9 +60,10 @@ object PpmCodec {
     (r.toDouble / n, g.toDouble / n, b.toDouble / n)
   }
 
-  /** Nearest-neighbor resize to (ow, oh); returns a valid P6 image. */
-  def resizeNearest(payload: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
-    val (w, h, rgb) = decode(payload)
+  /** Nearest-neighbor resample of an already-decoded raster (no
+    * re-encode) — the building block callers with a decoded image in hand
+    * use to avoid a second decode. */
+  def resampleRgb(w: Int, h: Int, rgb: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
     val out = new Array[Byte](ow * oh * 3)
     var y = 0
     while (y < oh) {
@@ -77,6 +78,20 @@ object PpmCodec {
       }
       y += 1
     }
-    encode(ow, oh, out)
+    out
+  }
+
+  /** Nearest-neighbor resize to (ow, oh); returns a valid P6 image. */
+  def resizeNearest(payload: Array[Byte], ow: Int, oh: Int): Array[Byte] = {
+    val (w, h, rgb) = decode(payload)
+    encode(ow, oh, resampleRgb(w, h, rgb, ow, oh))
+  }
+
+  /** Exact integer sum of all channel bytes (unsigned). */
+  def pixelSum(rgb: Array[Byte]): Long = {
+    var sum = 0L
+    var j = 0
+    while (j < rgb.length) { sum += rgb(j) & 0xFF; j += 1 }
+    sum
   }
 }

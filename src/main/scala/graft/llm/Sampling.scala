@@ -49,12 +49,13 @@ object Sampling {
     * pre-tokenization sharding step).
     *
     * The global running sum is computed WITHOUT a single-partition window
-    * (the classic scale trap): range-partition by id, an in-partition
-    * window handles the local prefix sum in parallel, per-partition totals
-    * (one tiny row each) get their own prefix offsets, and a broadcast
-    * join adds the offset back. Works identically at any partition count —
-    * the result is partition-layout-independent, so it is deterministic
-    * and engine-portable.
+    * (the classic scale trap): rows are bucketed by a deterministic,
+    * id-monotonic range function, an in-bucket window handles the local
+    * prefix sum in parallel, per-bucket totals (one tiny row each) get
+    * their own prefix offsets, and a broadcast join adds the offset back.
+    * Works identically at any bucket count — the result is
+    * partition-layout-independent, so it is deterministic and
+    * engine-portable.
     *
     * Returns (id, n_tokens, shard) with shard = floor(exclusive-prefix /
     * budget).
@@ -66,20 +67,31 @@ object Sampling {
     val nPart =
       if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
+    // deterministic, id-monotonic buckets (one cheap min/max agg picks the
+    // width). NOT spark_partition_id over repartitionByRange: range
+    // boundaries are SAMPLED per execution, and this plan consumes the
+    // partitioned child twice (offsets + join) — without exchange reuse
+    // the two executions could disagree on row→partition assignment.
+    // A pure function of the id cannot disagree with itself.
+    val Array(mnR) = docs.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).collect()
+    if (mnR.isNullAt(0))
+      return docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"),
+        lit(0L).as("shard")).limit(0)
+    val (mn, mx) = (mnR.getLong(0), mnR.getLong(1))
+    val width = math.max(1L, (mx - mn) / nPart + 1)
     val toks = docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
-      .repartitionByRange(nPart, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .withColumn("_pid", spark_partition_id())
-    val inPart = Window.partitionBy(col("_pid")).orderBy(col(idCol))
-    val local = toks.withColumn("_cum", sum(col("n_tokens")).over(inPart))
-    // per-partition totals: O(partitions) rows — the tiny single-partition
+      .withColumn("_b", ((col(idCol).cast("long") - mn) / width).cast("long"))
+    val inBucket = Window.partitionBy(col("_b")).orderBy(col(idCol))
+    val local = toks.withColumn("_cum", sum(col("n_tokens")).over(inBucket))
+    // per-bucket totals: O(buckets) rows — the tiny single-partition
     // window is on THIS, never on the data
-    val offW = Window.orderBy(col("_pid"))
+    val offW = Window.orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val offsets = local.groupBy(col("_pid")).agg(sum(col("n_tokens")).as("_t"))
+    val offsets = toks.groupBy(col("_b")).agg(sum(col("n_tokens")).as("_t"))
       .withColumn("_off", coalesce(sum(col("_t")).over(offW), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    local.join(broadcast(offsets), Seq("_pid"))
+      .select(col("_b"), col("_off"))
+    local.join(broadcast(offsets), Seq("_b"))
       .select(col(idCol), col("n_tokens"),
         (((col("_cum") + col("_off")) - col("n_tokens")) / budget)
           .cast("long").as("shard"))

@@ -173,11 +173,15 @@ class Timeline(tableRoot: String) {
           c.commitTimeMs, c.extra, files = Some(c.files),
           logFiles = Some(c.logFiles))
       case Some(b) =>
+        // diff on the WHOLE DataFile, not just the path: a path whose
+        // stats changed (in-place rewrite, external writer) must travel as
+        // remove+add or it would reconstruct with stale stats and corrupt
+        // interval pruning
         def diff(prev: Seq[DataFile], next: Seq[DataFile]) = {
-          val prevPaths = prev.map(_.path).toSet
-          val nextPaths = next.map(_.path).toSet
-          (next.filterNot(f => prevPaths(f.path)),
-            prev.map(_.path).filterNot(nextPaths))
+          val prevByPath = prev.map(f => f.path -> f).toMap
+          val nextByPath = next.map(f => f.path -> f).toMap
+          (next.filterNot(f => prevByPath.get(f.path).contains(f)),
+            prev.map(_.path).filterNot(p => nextByPath.get(p) == prevByPath.get(p)))
         }
         val (adds, removes) = diff(b.files, c.files)
         val (logAdds, logRemoves) = diff(b.logFiles, c.logFiles)
@@ -258,6 +262,7 @@ class Timeline(tableRoot: String) {
     * checkpointed in place before the window is deleted so every retained
     * delta still chains to a readable base. */
   def archive(keepLast: Int): Int = {
+    require(keepLast >= 1, s"archive must retain at least one commit (got $keepLast)")
     val seqs = listCommitSeqs()
     if (seqs.size <= keepLast) return 0
     Files.createDirectories(archiveDir)

@@ -623,7 +623,10 @@ object GraftTable {
     var statsBlocks = 0
     var mn: String = null
     var mx: String = null
-    Using.resource(ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))) { r =>
+    // fromStatus with the already-known length: fromPath would re-stat the
+    // file — 100k redundant metadata round-trips on the bulk-insert path
+    val status = new org.apache.hadoop.fs.FileStatus(len, false, 1, 0, 0, p)
+    Using.resource(ParquetFileReader.open(HadoopInputFile.fromStatus(status, conf))) { r =>
       r.getFooter.getBlocks.asScala.foreach { b =>
         rows += b.getRowCount
         blocks += 1

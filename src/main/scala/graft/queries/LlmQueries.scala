@@ -496,9 +496,9 @@ object LlmQueries {
            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
          FROM documents)
          SELECT doc_id,
-           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
-           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+           CAST(COALESCE(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')), 0) AS INT) AS n_emails,
+           CAST(COALESCE(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')), 0) AS INT) AS n_ips,
+           CAST(COALESCE(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')), 0) AS INT) AS n_phones,
            md5(regexp_replace(regexp_replace(regexp_replace(t,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
@@ -559,12 +559,14 @@ object LlmQueries {
              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
          FROM m)
          SELECT doc_id AS id, w, h,
-           ascii(substr(text, 1, 1)) AS f0,
-           ascii(substr(text, CAST((n // 2) % L AS INT) + 1, 1)) AS fmid,
-           CAST((n // L) * list_aggregate(codes, 'sum')
+           CASE WHEN L = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS f0,
+           CASE WHEN L = 0 THEN 0
+                ELSE ascii(substr(text, CAST((n // 2) % L AS INT) + 1, 1)) END AS fmid,
+           CAST(CASE WHEN L = 0 THEN 0 ELSE
+             (n // L) * list_aggregate(codes, 'sum')
              + CASE WHEN n % L = 0 THEN 0
                     ELSE list_aggregate(codes[1:CAST(n % L AS INT)], 'sum') END
-             AS BIGINT) AS px_sum
+             END AS BIGINT) AS px_sum
          FROM s""",
 
     // the engine really encodes + chunk-walks + decimates PCM WAVs; the
@@ -603,10 +605,11 @@ object LlmQueries {
          g AS (SELECT doc_id, text, L, w, h,
            greatest(w // 2, 1) AS rw, greatest(h // 2, 1) AS rh FROM m),
          px AS (SELECT doc_id, w, h, rw, rh,
-           list_aggregate(list_transform(range(0, rw * rh * 3),
-             p -> CAST(ascii(substr(text,
-               CAST(((((p // 3 // rw) * h // rh) * w + ((p // 3) % rw) * w // rw) * 3 + p % 3) % L AS INT) + 1,
-               1)) AS BIGINT)), 'sum') AS px_sum_resized
+           CASE WHEN L = 0 THEN 0 ELSE
+             list_aggregate(list_transform(range(0, rw * rh * 3),
+               p -> CAST(ascii(substr(text,
+                 CAST(((((p // 3 // rw) * h // rh) * w + ((p // 3) % rw) * w // rw) * 3 + p % 3) % L AS INT) + 1,
+                 1)) AS BIGINT)), 'sum') END AS px_sum_resized
          FROM g)
          SELECT doc_id AS id, CAST(rw AS INT) AS rw, CAST(rh AS INT) AS rh,
            CAST(px_sum_resized AS BIGINT) AS px_sum_resized,

@@ -63,12 +63,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("sequence packing windows are partitioned on the data path") {
-    // the only unpartitioned window may be the O(partitions)-row offsets
+    // the only unpartitioned window may be the O(buckets)-row offsets
     // aggregate, never the per-document cumsum
     val df = SparkEntry.queries("sample_pack_shards")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.exists(_.contains("_pid")), "in-partition cumsum window missing")
+    assert(windows.exists(_.contains("_b")), "in-bucket cumsum window missing")
   }
 
   test("minhash verification prefilters candidates before the posting-list joins") {
