@@ -96,6 +96,29 @@ class TimelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](tl.readSavepoint(20))
   }
 
+  test("100k-file table: delta commits stay KB-sized while checkpoints carry the full list") {
+    val root = Files.createTempDirectory("graft-tl-100k").toString
+    val tl = new Timeline(root)
+    var live: Seq[DataFile] = (0 until 100000).map(df)
+    var nextId = 100000
+    tl.commit(Commit(0, "bulk_insert", live, "{}", None, 1700000000000L))
+    (1 to 5).foreach { seq =>
+      val added = (0 until 20).map { _ => nextId += 1; df(nextId) }
+      live = live.drop(20) ++ added
+      tl.commit(Commit(seq, "upsert", live, "{}", None, 1700000000000L + seq))
+    }
+    def size(seq: Int) =
+      Files.size(Paths.get(root, "_graft", "commits", f"$seq%012d.commit.json"))
+    // the checkpoint really carries 100k entries (MB-scale)...
+    assert(size(0) > 5L * 1024 * 1024)
+    // ...while every delta stays bounded by its 20-file churn (KB-scale):
+    // commit I/O at 100 TB is O(batch), not O(table)
+    (1 to 5).foreach(seq => assert(size(seq) < 64 * 1024, s"delta $seq: ${size(seq)}"))
+    // and reconstruction at the tip is exact
+    assert(tl.read(5).files.size == 100000)
+    assert(tl.read(5).files.map(_.path) == live.map(_.path))
+  }
+
   test("rollback across a delta chain restores the exact earlier state") {
     val root = Files.createTempDirectory("graft-tl-rb").toString
     val (tl, states) = build(root)
