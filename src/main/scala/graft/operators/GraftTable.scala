@@ -449,6 +449,39 @@ class GraftTable(
   /** Snapshot read without engine meta columns. */
   def readUser(): DataFrame = read().drop(Meta.RecordKey, Meta.CommitSeq)
 
+  /** Key-range snapshot read with MANIFEST-level file skipping: only files
+    * whose [minKey, maxKey] interval overlaps [lo, hi] are scanned (files
+    * without reliable stats always join the scan). A point lookup on a
+    * 100k-file table schedules O(files-in-range) tasks instead of 100k —
+    * the manifest prunes before any footer is opened; the residual key
+    * filter keeps the result exact. MOR: the same pruning applies to base
+    * and log files — every version of an in-range key lives in an
+    * overlapping file, so the latest-wins merge stays complete.
+    */
+  def readKeyRange(lo: String, hi: String): DataFrame = {
+    require(GraftTable.cmpKey(lo, hi) <= 0, s"empty key range [$lo, $hi]")
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    def overlaps(f: DataFile): Boolean =
+      f.maxKey == GraftTable.NoStatsMaxKey || (f.maxKey.isEmpty && f.numRows > 0) ||
+        (GraftTable.cmpKey(f.minKey, hi) <= 0 && GraftTable.cmpKey(f.maxKey, lo) >= 0)
+    val pruned = c.copy(files = c.files.filter(overlaps),
+      logFiles = c.logFiles.filter(overlaps))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val base =
+      if (pruned.logFiles.nonEmpty) mergedView(pruned)
+      else scanFiles(pruned.files, schema)
+    // Spark string comparison is UTF8String binary order — the same
+    // collation as cmpKey and the parquet stats, so prune and filter agree
+    base.filter(col(Meta.RecordKey) >= lit(lo) && col(Meta.RecordKey) <= lit(hi))
+  }
+
+  /** Numeric-key convenience: [lo, hi] through the order-preserving
+    * zero-padded key encoding. */
+  def readKeyRange(lo: Long, hi: Long): DataFrame =
+    readKeyRange(f"$lo%019d", f"$hi%019d")
+
   /** Incremental query: rows from files ADDED by commits after `sinceSeq`
     * — the downstream-consumer analog of Hudi's incremental pull. COW
     * granularity is the affected region (rewritten files carry unchanged

@@ -277,6 +277,13 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col("o_note"))),
+    // manifest-pruned key-range read: only interval-overlapping files are
+    // scanned; the result must equal the filtered full snapshot
+    "cdc_keyrange" -> ((s, dir) =>
+      CdcScenario.main(s, dir).readKeyRange(1000L, 60000L)
+        .drop(Meta.RecordKey, Meta.CommitSeq)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
     // savepoint: after clean(1) removed all non-latest history, the pinned
     // commit-1 snapshot must still read completely (same as time travel)
     "cdc_savepoint" -> ((s, dir) =>
@@ -424,6 +431,12 @@ object CdcQueries {
          )
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_note
          FROM final""",
+    // the final state restricted to the key range (inserted +10M keys are
+    // out of range by construction)
+    "cdc_keyrange" ->
+      s"""$finalState
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+         FROM final WHERE o_orderkey BETWEEN 1000 AND 60000""",
     // savepoint(1) after clean == the commit-1 snapshot == time travel
     "cdc_savepoint" ->
       """SELECT o_orderkey,

@@ -231,6 +231,28 @@ class MergeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a"))
   }
 
+  test("readKeyRange prunes to interval-overlapping files and stays exact") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 4 * 1024)
+    t.bulkInsert((1L to 2000L).map(i => (i, s"v$i", "001"))
+      .toDF("id", "v", "trx_seq"))
+    val c = t.latestCommit().get
+    assert(c.files.size > 4, s"need multiple files, got ${c.files.size}")
+    // the range covers a slice of the keyspace → strictly fewer files scan
+    val lo = f"${500L}%019d"; val hi = f"${700L}%019d"
+    val overlapping = c.files.count(f =>
+      GraftTable.cmpKey(f.minKey, hi) <= 0 && GraftTable.cmpKey(f.maxKey, lo) >= 0)
+    assert(overlapping < c.files.size, "range should not span every file")
+    val got = t.readKeyRange(500L, 700L).select("id", "v")
+      .as[(Long, String)].collect().sorted.toSeq
+    val want = (500L to 700L).map(i => (i, s"v$i"))
+    assert(got == want)
+    // the scan really reads only the overlapping files
+    val scanned = t.readKeyRange(500L, 700L).queryExecution.executedPlan.toString
+    assert(!scanned.isEmpty)
+    val planFiles = t.readKeyRange(500L, 700L).inputFiles.length
+    assert(planFiles == overlapping, s"scanned $planFiles vs pruned $overlapping")
+  }
+
   test("distributed footer harvest returns identical DataFile stats to the driver pool") {
     val df = (0 until 4000).map(i =>
       (i.toLong, s"v$i", s"p${i % 3}", "001", false))
