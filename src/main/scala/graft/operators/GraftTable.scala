@@ -199,7 +199,8 @@ class GraftTable(
     val stamped = clean.withColumn(Meta.CommitSeq, lit(seq))
     val files = writeFiles(stamped, seq, planBytes(clean))
     timeline.commit(Commit(seq, "bulk_insert", files, schemaJson(stamped),
-      checkpoint, System.currentTimeMillis()))
+      checkpoint, System.currentTimeMillis(),
+      extra = GraftTable.writeMetrics(files)))
   }
 
   /** M2 upsert: merge a CDC batch into the snapshot.
@@ -345,7 +346,10 @@ class GraftTable(
         if (prevRows > 0) math.max(16L, prev.files.map(_.bytes).sum / prevRows) else 128L
       val newFiles = writeFiles(persisted, seq, rows * rowWidth)
       timeline.commit(Commit(seq, "upsert", untouched ++ newFiles,
-        schemaJson(live), checkpoint, System.currentTimeMillis()))
+        schemaJson(live), checkpoint, System.currentTimeMillis(),
+        extra = GraftTable.writeMetrics(newFiles) +
+          ("files_rewritten" -> affected.size.toString) +
+          ("files_carried" -> untouched.size.toString)))
     } finally {
       persisted.unpersist(blocking = false)
       batch.unpersist(blocking = false)
@@ -371,7 +375,10 @@ class GraftTable(
       prevSchema.fields ++ batch.schema.fields.filterNot(f => prevSchema.fieldNames.contains(f.name)))
     val logs = writeFiles(batch, seq, planBytes(batch))
     val c = timeline.commit(Commit(seq, "delta_commit", prev.files, unionSchema.json,
-      checkpoint, System.currentTimeMillis(), logFiles = prev.logFiles ++ logs))
+      checkpoint, System.currentTimeMillis(),
+      extra = GraftTable.writeMetrics(logs) +
+        ("log_files_outstanding" -> (prev.logFiles.size + logs.size).toString),
+      logFiles = prev.logFiles ++ logs))
     val deltasSinceBase = history().reverse.takeWhile(_.action == "delta_commit").size
     // two inline triggers (either enables compaction): every N delta
     // commits, or when outstanding log bytes cross a fraction of base
@@ -428,7 +435,9 @@ class GraftTable(
     try {
       val files = writeFiles(merged, seq, est)
       timeline.commit(Commit(seq, "compact", files, prev.schemaJson,
-        prev.checkpoint, System.currentTimeMillis()))
+        prev.checkpoint, System.currentTimeMillis(),
+        extra = GraftTable.writeMetrics(files) +
+          ("log_files_compacted" -> prev.logFiles.size.toString)))
     } finally merged.unpersist(blocking = false)
   }
 
@@ -528,7 +537,9 @@ class GraftTable(
     val seq = prev.seq + 1
     val files = writeFiles(read(), seq, prev.files.map(_.bytes).sum)
     timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
-      prev.checkpoint, System.currentTimeMillis()))
+      prev.checkpoint, System.currentTimeMillis(),
+      extra = GraftTable.writeMetrics(files) +
+        ("files_before" -> prev.files.size.toString)))
   }
 
   /** Rollback the table to commit `toSeq`, discarding later commits and
@@ -694,6 +705,14 @@ object GraftTable {
         Option(mx).getOrElse(NoStatsMaxKey), rows, len))
     }
   }
+
+  /** Commit metrics recorded in `Commit.extra` (the Hudi commit-metadata
+    * analog) — derived from the just-harvested manifest entries, so the
+    * accounting costs zero extra jobs. */
+  def writeMetrics(written: Seq[DataFile]): Map[String, String] = Map(
+    "files_written" -> written.size.toString,
+    "rows_written" -> written.map(_.numRows).sum.toString,
+    "bytes_written" -> written.map(_.bytes).sum.toString)
 
   /** ~128 MB compressed per data file — the standard DFS sweet spot. */
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024

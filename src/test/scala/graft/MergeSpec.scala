@@ -231,6 +231,20 @@ class MergeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a"))
   }
 
+  test("commits carry write metrics in extra (rows/files/bytes, rewrite accounting)") {
+    val t = mkTable(tmp())
+    t.bulkInsert((1L to 500L).map(i => (i, s"v$i", "001")).toDF("id", "v", "trx_seq"))
+    val bulk = t.latestCommit().get
+    assert(bulk.extra("rows_written").toLong == 500L)
+    assert(bulk.extra("files_written").toInt == bulk.files.size)
+    assert(bulk.extra("bytes_written").toLong == bulk.files.map(_.bytes).sum)
+    t.upsert(Seq((1L, "u1", "002")).toDF("id", "v", "trx_seq"))
+    val up = t.latestCommit().get
+    assert(up.extra("files_rewritten").toInt >= 1)
+    assert(up.extra("files_carried").toInt ==
+      bulk.files.size - up.extra("files_rewritten").toInt)
+  }
+
   test("readKeyRange prunes to interval-overlapping files and stays exact") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 4 * 1024)
     t.bulkInsert((1L to 2000L).map(i => (i, s"v$i", "001"))
