@@ -508,6 +508,28 @@ class GraftTable(
     scanFiles(added, schema)
   }
 
+  /** Incremental pull bounded on both ends: rows from files added by
+    * commits in (sinceSeq, untilSeq] — Hudi's begin/end incremental query.
+    * Same granularity notes as [[readChangesSince]]. */
+  def readChangesBetween(sinceSeq: Long, untilSeq: Long): DataFrame = {
+    require(sinceSeq <= untilSeq, s"empty commit range ($sinceSeq, $untilSeq]")
+    val upper = timeline.read(untilSeq)
+    val baseline = timeline.read(sinceSeq)
+    val old = (baseline.files ++ baseline.logFiles).map(_.path).toSet
+    val added = (upper.files ++ upper.logFiles).filterNot(f => old(f.path))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(upper.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    scanFiles(added, schema)
+  }
+
+  /** Timestamp time travel (Hudi's as-of-instant query): the snapshot at
+    * the newest commit whose commit time is <= `tsMs`. */
+  def readAsOfTime(tsMs: Long): DataFrame = {
+    val eligible = history().filter(_.commitTimeMs <= tsMs)
+    require(eligible.nonEmpty, s"no commit at or before timestamp $tsMs")
+    readAsOf(eligible.last.seq)
+  }
+
   /** Time travel: the snapshot as of commit `seq` (must still be on the
     * active timeline — cleaning bounds how far back this reaches, exactly
     * like Hudi's retained-commit window, handler.py:90-91). */

@@ -231,6 +231,26 @@ class MergeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a"))
   }
 
+  test("timestamp time travel and bounded incremental pull") {
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq((1L, "a", "001")).toDF("id", "v", "trx_seq"))
+    val t0 = t.latestCommit().get.commitTimeMs
+    Thread.sleep(5)
+    t.upsert(Seq((2L, "b", "002")).toDF("id", "v", "trx_seq"))
+    Thread.sleep(5)
+    t.upsert(Seq((3L, "c", "003")).toDF("id", "v", "trx_seq"))
+    // as-of the first commit's own timestamp → just row 1
+    assert(t.readAsOfTime(t0).select("id").as[Long].collect().toSet == Set(1L))
+    // as-of now → full snapshot
+    assert(t.readAsOfTime(System.currentTimeMillis())
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException](t.readAsOfTime(t0 - 1000000))
+    // bounded pull (0, 1]: only commit 1's added files (rows 1+2 — COW
+    // rewrite granularity carries row 1's neighborhood)
+    val pulled = t.readChangesBetween(0, 1).select("id").as[Long].collect().toSet
+    assert(pulled.contains(2L) && !pulled.contains(3L))
+  }
+
   test("commits carry write metrics in extra (rows/files/bytes, rewrite accounting)") {
     val t = mkTable(tmp())
     t.bulkInsert((1L to 500L).map(i => (i, s"v$i", "001")).toDF("id", "v", "trx_seq"))
