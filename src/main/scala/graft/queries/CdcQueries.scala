@@ -271,6 +271,13 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
+    // bounded incremental pull (S2, begin/end form): on MOR, commits
+    // (0, 1] added exactly batch A's precombined delta logs
+    "cdc_incremental_bounded" -> ((s, dir) =>
+      CdcScenario.mor(s, dir).readChangesBetween(0, 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
     // schema evolution: late batch carries a NEW column; old rows null-pad
     "cdc_schema_evolution" -> ((s, dir) =>
       CdcScenario.evolved(s, dir).readUser()
@@ -402,6 +409,24 @@ object CdcQueries {
            UNION ALL
            SELECT o_orderkey, 'V', o_totalprice + 500.0, 6, false
            FROM orders WHERE o_orderkey % 7 = 0
+         )
+         SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           printf('%020d', q) AS trx_seq, deleted
+         FROM pulled""",
+    // batch A alone after precombine: %10 updates (except %970, where the
+    // seq-4 tombstone wins), %97 tombstones, +10M inserts
+    "cdc_incremental_bounded" ->
+      """WITH pulled AS (
+           SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS p,
+                  3 AS q, false AS deleted
+           FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus, o_totalprice, 4, true
+           FROM orders WHERE o_orderkey % 97 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'N', o_totalprice, 2, false
+           FROM orders WHERE o_orderkey % 1000 = 1
          )
          SELECT o_orderkey, o_orderstatus,
            CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price,
