@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Deterministic subsampling for training-data mixing: every document is
   * kept or dropped by a pure function of its id, so the sample is
@@ -73,15 +74,35 @@ object Sampling {
     // partitioned child twice (offsets + join) — without exchange reuse
     // the two executions could disagree on row→partition assignment.
     // A pure function of the id cannot disagree with itself.
+    //
+    // Contract: the id column must be integral (packing is defined by
+    // numeric id order) and non-null; id-range bucketing balances when ids
+    // are roughly evenly spread over their range (the normal shape for
+    // document counters) — wildly clustered id namespaces should be
+    // normalized first or pass an explicit `partitions`.
+    docs.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"packShards needs an integral id column, got $idCol: $other " +
+          "(packing order is defined by numeric id order)")
+    }
     val Array(mnR) = docs.agg(
       min(col(idCol).cast("long")), max(col(idCol).cast("long"))).collect()
     if (mnR.isNullAt(0))
       return docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"),
         lit(0L).as("shard")).limit(0)
     val (mn, mx) = (mnR.getLong(0), mnR.getLong(1))
-    val width = math.max(1L, (mx - mn) / nPart + 1)
+    // double-space bucketing: Long→Double is monotone non-decreasing, and
+    // subtraction/division by a positive constant preserve that, so the
+    // bucket function is id-monotonic; precision loss at >2^53 only merges
+    // ADJACENT ids into one bucket (coarser, never wrong). BigDecimal
+    // width avoids (mx - mn) Long overflow for ids spanning the domain.
+    val width = (BigDecimal(mx) - BigDecimal(mn) + 1)
+      .max(BigDecimal(1)) / nPart max BigDecimal(1)
     val toks = docs.select(col(idCol), tokensCol.cast("long").as("n_tokens"))
-      .withColumn("_b", ((col(idCol).cast("long") - mn) / width).cast("long"))
+      .filter(col(idCol).isNotNull)
+      .withColumn("_b",
+        floor((col(idCol).cast("double") - lit(mn.toDouble)) / lit(width.toDouble)))
     val inBucket = Window.partitionBy(col("_b")).orderBy(col(idCol))
     val local = toks.withColumn("_cum", sum(col("n_tokens")).over(inBucket))
     // per-bucket totals: O(buckets) rows — the tiny single-partition

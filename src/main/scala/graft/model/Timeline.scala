@@ -194,6 +194,23 @@ class Timeline(tableRoot: String) {
 
   def latest(): Option[Commit] = latestSeq().map(read)
 
+  /** Commit time of `seq` WITHOUT materializing the manifest: served from
+    * the commit cache when hot, otherwise extracted textually from the
+    * record (a flat top-level field — no JSON tree, no delta-chain
+    * reconstruction). Keeps timestamp lookups O(bytes-read) instead of
+    * O(manifest-parse) per commit. */
+  def commitTimeMs(seq: Long): Long = {
+    commitCache.get(seq) match {
+      case Some((_, _, c)) => c.commitTimeMs
+      case None =>
+        val text = Files.readString(commitPath(seq))
+        Timeline.CommitTimeRe.findFirstMatchIn(text) match {
+          case Some(m) => m.group(1).toLong
+          case None => read(seq).commitTimeMs // malformed? fall back to full parse
+        }
+    }
+  }
+
   /** Atomic commit: serialize → unique temp file → PUBLISH as a hard link.
     *
     * Concurrency: link(2) atomically creates the target with its full
@@ -384,4 +401,9 @@ object Timeline {
     * this depth; commit-file size between checkpoints is bounded by the
     * batch churn, not the table's live-file count. */
   val CheckpointInterval: Int = 10
+
+  /** `commitTimeMs` is a flat top-level field of every record shape (the
+    * nested DataFile objects carry no such key), so a textual probe is
+    * unambiguous. */
+  private[model] val CommitTimeRe = """"commitTimeMs"\s*:\s*(\d+)""".r
 }

@@ -245,11 +245,9 @@ class GraftTable(
     def partKey(m: Map[String, String]): String =
       partitionFields.map(f => m.getOrElse(f, GraftTable.NullPartition)).mkString("/")
     // files without reliable key statistics can never be pruned safely —
-    // they join the affected set unconditionally (maxKey "" with rows is
-    // the legacy no-stats encoding)
+    // they join the affected set unconditionally
     val (statless, statful) =
-      prev.files.partition(f =>
-        f.maxKey == GraftTable.NoStatsMaxKey || (f.maxKey.isEmpty && f.numRows > 0))
+      prev.files.partition(f => !GraftTable.hasReliableStats(f))
     val grouped: Map[String, Array[DataFile]] =
       if (partitioned) statful.toArray.groupBy(f => partKey(f.partition))
       else Map("" -> statful.toArray)
@@ -472,7 +470,7 @@ class GraftTable(
     val c = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     def overlaps(f: DataFile): Boolean =
-      f.maxKey == GraftTable.NoStatsMaxKey || (f.maxKey.isEmpty && f.numRows > 0) ||
+      !GraftTable.hasReliableStats(f) ||
         (GraftTable.cmpKey(f.minKey, hi) <= 0 && GraftTable.cmpKey(f.maxKey, lo) >= 0)
     val pruned = c.copy(files = c.files.filter(overlaps),
       logFiles = c.logFiles.filter(overlaps))
@@ -487,9 +485,16 @@ class GraftTable(
   }
 
   /** Numeric-key convenience: [lo, hi] through the order-preserving
-    * zero-padded key encoding. */
-  def readKeyRange(lo: Long, hi: Long): DataFrame =
+    * zero-padded key encoding. Non-negative only — `%019d` is NOT
+    * order-preserving for negative values ("-…9" sorts above "-…1"), so a
+    * negative bound would silently return wrong membership; use the
+    * string overload with a sign-aware encoding instead. */
+  def readKeyRange(lo: Long, hi: Long): DataFrame = {
+    require(lo >= 0 && hi >= 0,
+      s"numeric key range must be non-negative (got [$lo, $hi]): the " +
+        "zero-padded encoding does not order negatives — use the string overload")
     readKeyRange(f"$lo%019d", f"$hi%019d")
+  }
 
   /** Incremental query: rows from files ADDED by commits after `sinceSeq`
     * — the downstream-consumer analog of Hudi's incremental pull. COW
@@ -497,16 +502,9 @@ class GraftTable(
     * neighbors of changed keys); every key changed since `sinceSeq` is
     * guaranteed present. MOR delta logs are change-exact.
     */
-  def readChangesSince(sinceSeq: Long): DataFrame = {
-    val latest = timeline.latest().getOrElse(
-      throw new IllegalStateException(s"no commits at $root"))
-    val baseline = timeline.read(sinceSeq)
-    val old = (baseline.files ++ baseline.logFiles).map(_.path).toSet
-    val added = (latest.files ++ latest.logFiles).filterNot(f => old(f.path))
-    val schema = org.apache.spark.sql.types.DataType.fromJson(latest.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    scanFiles(added, schema)
-  }
+  def readChangesSince(sinceSeq: Long): DataFrame =
+    readChangesBetween(sinceSeq, timeline.latestSeq().getOrElse(
+      throw new IllegalStateException(s"no commits at $root")))
 
   /** Incremental pull bounded on both ends: rows from files added by
     * commits in (sinceSeq, untilSeq] — Hudi's begin/end incremental query.
@@ -523,11 +521,14 @@ class GraftTable(
   }
 
   /** Timestamp time travel (Hudi's as-of-instant query): the snapshot at
-    * the newest commit whose commit time is <= `tsMs`. */
+    * the newest commit whose commit time is <= `tsMs`. Resolves the seq
+    * via header-only commit-time reads — never materializes the (MB-scale
+    * at 100k files) manifests of every active commit. */
   def readAsOfTime(tsMs: Long): DataFrame = {
-    val eligible = history().filter(_.commitTimeMs <= tsMs)
+    val eligible = timeline.listCommitSeqs()
+      .filter(s => timeline.commitTimeMs(s) <= tsMs)
     require(eligible.nonEmpty, s"no commit at or before timestamp $tsMs")
-    readAsOf(eligible.last.seq)
+    readAsOf(eligible.last)
   }
 
   /** Time travel: the snapshot as of commit `seq` (must still be on the
@@ -657,6 +658,13 @@ object GraftTable {
   /** maxKey sentinel for files lacking reliable key statistics (dropped or
     * oversized parquet stats): such files are always treated as affected. */
   val NoStatsMaxKey = "\u0000__GRAFT_NO_STATS__"
+
+  /** Whether a file's [minKey, maxKey] interval may be used for pruning.
+    * The ONE definition both pruning sites (upsert affected-set, key-range
+    * read) share — they must never disagree on what "no reliable stats"
+    * means. (maxKey "" with rows is the legacy no-stats encoding.) */
+  def hasReliableStats(f: DataFile): Boolean =
+    f.maxKey != NoStatsMaxKey && !(f.maxKey.isEmpty && f.numRows > 0)
 
   /** Unsigned UTF-8 byte comparison — the collation parquet BINARY
     * statistics and Spark's UTF8String ordering share. Java String

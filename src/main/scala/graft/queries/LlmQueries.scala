@@ -336,13 +336,13 @@ object LlmQueries {
     // recomputes the geometry arithmetic the round trip must reproduce
     "mm_ppm" ->
       """SELECT doc_id,
-           strlen(text) % 64 + 1 AS w,
-           strlen(text) % 48 + 1 AS h,
-           (strlen(text) % 64 + 1) * (strlen(text) % 48 + 1) * 3 AS n_rgb,
-           greatest((strlen(text) % 64 + 1) // 2, 1) AS rw,
-           greatest((strlen(text) % 48 + 1) // 2, 1) AS rh,
-           greatest((strlen(text) % 64 + 1) // 2, 1)
-             * greatest((strlen(text) % 48 + 1) // 2, 1) * 3 AS n_rgb_resized
+           strlen(COALESCE(text, '')) % 64 + 1 AS w,
+           strlen(COALESCE(text, '')) % 48 + 1 AS h,
+           (strlen(COALESCE(text, '')) % 64 + 1) * (strlen(COALESCE(text, '')) % 48 + 1) * 3 AS n_rgb,
+           greatest((strlen(COALESCE(text, '')) % 64 + 1) // 2, 1) AS rw,
+           greatest((strlen(COALESCE(text, '')) % 48 + 1) // 2, 1) AS rh,
+           greatest((strlen(COALESCE(text, '')) % 64 + 1) // 2, 1)
+             * greatest((strlen(COALESCE(text, '')) % 48 + 1) // 2, 1) * 3 AS n_rgb_resized
          FROM documents""",
 
     "text_repetition" ->
@@ -550,14 +550,16 @@ object LlmQueries {
     // recomputes first/middle-pixel features and the exact pixel sum via
     // cycle arithmetic (full cycles x total + prefix remainder)
     "mm_features" ->
-      """WITH m AS (SELECT doc_id, text, length(text) AS L,
-           CAST(length(text) % 64 + 1 AS INT) AS w,
-           CAST(length(text) % 48 + 1 AS INT) AS h
+      """WITH m AS (SELECT doc_id, text, COALESCE(length(text), 0) AS L
          FROM documents),
+         m2 AS (SELECT doc_id, text, L,
+           CAST(L % 64 + 1 AS INT) AS w,
+           CAST(L % 48 + 1 AS INT) AS h
+         FROM m),
          s AS (SELECT doc_id, text, L, w, h, CAST(w AS BIGINT) * h * 3 AS n,
            list_transform(range(1, CAST(L + 1 AS INT)),
              i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
-         FROM m)
+         FROM m2)
          SELECT doc_id AS id, w, h,
            CASE WHEN L = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS f0,
            CASE WHEN L = 0 THEN 0
@@ -574,7 +576,7 @@ object LlmQueries {
     // RMS from exact integer sums of squares — bit-identical doubles)
     "mm_wav" ->
       """WITH v AS (SELECT doc_id,
-           list_transform(range(1, length(text) + 1),
+           list_transform(range(1, COALESCE(length(text), 0) + 1),
              i -> CAST((ascii(substr(text, i, 1)) - 100) * 257 AS BIGINT)) AS s
          FROM documents),
          d AS (SELECT doc_id, s,
@@ -598,10 +600,12 @@ object LlmQueries {
     // video frame-sample leg counts every 7th payload byte (PPM header =
     // 'P6\n{w} {h}\n255\n' = 9 + digits(w) + digits(h) bytes)
     "mm_transform" ->
-      """WITH m AS (SELECT doc_id, text, length(text) AS L,
-           CAST(length(text) % 64 + 1 AS BIGINT) AS w,
-           CAST(length(text) % 48 + 1 AS BIGINT) AS h
+      """WITH m0 AS (SELECT doc_id, text, COALESCE(length(text), 0) AS L
          FROM documents),
+         m AS (SELECT doc_id, text, L,
+           CAST(L % 64 + 1 AS BIGINT) AS w,
+           CAST(L % 48 + 1 AS BIGINT) AS h
+         FROM m0),
          g AS (SELECT doc_id, text, L, w, h,
            greatest(w // 2, 1) AS rw, greatest(h // 2, 1) AS rh FROM m),
          px AS (SELECT doc_id, w, h, rw, rh,
