@@ -118,6 +118,34 @@ object Sampling {
           .cast("long").as("shard"))
   }
 
+  /** WEIGHTED Bernoulli sample: document i survives with probability
+    * min(1, w_i / `unitWeight`) — the importance-sampling keep rule a
+    * mixing pipeline uses to bias toward long/high-quality documents.
+    * Entirely integer arithmetic (bucket·unitWeight < w·65536), so the
+    * decision is exact, reproducible, and replicates bit-for-bit in any
+    * engine with md5 — no floating-point probability ever computed.
+    * Same narrow-map shape as the stratified variant: scan speed at 100 TB.
+    */
+  def weightedKeep(idCol: Column, weightCol: Column, unitWeight: Long,
+      salt: String): Column = {
+    require(unitWeight > 0, s"unitWeight must be positive (got $unitWeight)")
+    // keep iff bucket/65536 < w/unitWeight  ⇔  bucket·unitWeight < w·65536
+    hashBucket(idCol, salt).cast("long") * unitWeight <
+      coalesce(weightCol.cast("long"), lit(0L)) * 65536L
+  }
+
+  /** Per-stratum census of a weighted sample: total and kept doc counts
+    * plus kept weight mass. Documents at or above `unitWeight` are always
+    * kept (probability capped at 1). */
+  def weightedStats(docs: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, unitWeight: Long, salt: String = "wsamp"): DataFrame = {
+    val keep = weightedKeep(col(idCol), col(weightCol), unitWeight, salt)
+    docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(keep, 1)).as("n_sampled"),
+        coalesce(sum(when(keep, col(weightCol))), lit(0L)).as("mass_sampled"))
+  }
+
   /** Mixing summary: per stratum, total vs sampled doc counts and the
     * sampled character mass (the quantity a token-budget mixing plan
     * actually targets). */

@@ -8,6 +8,17 @@ import scala.util.Using
 import org.json4s._
 import org.json4s.jackson.{JsonMethods, Serialization}
 
+/** Per-file min/max statistics for ONE tracked non-key column (the
+  * column-stats index — Hudi's metadata-table `column_stats` partition /
+  * Delta's per-file stats, kept in the manifest). Values travel as strings
+  * (JSON-safe, exact for integral types); `kind` pins the comparison:
+  * "long" (INT32/INT64, incl. date/timestamp physical values), "double"
+  * (FLOAT/DOUBLE) or "string" (UTF-8 unsigned byte order, same collation
+  * as parquet BINARY stats). A column absent from the map simply cannot
+  * prune — conservative by construction.
+  */
+case class ColStat(kind: String, min: String, max: String)
+
 /** One immutable data file inside a table snapshot, with the statistics the
   * upsert planner needs to prune work (Hudi-style file groups without the
   * Hudi runtime): key-range + row count + size. At 100 TB a table has
@@ -15,6 +26,10 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   * min/max key interval lets an upsert touch only the files its batch
   * keys can possibly live in. `bytes` sizes the rewrite of the affected
   * region so output file counts track data volume, not a constant.
+  * `colStats` holds min/max for the table's opt-in tracked columns so
+  * non-key range reads can skip files the same way (bounded: only the
+  * columns the user registered, not the whole schema — the manifest stays
+  * O(files), not O(files × columns)).
   */
 case class DataFile(
     path: String,                       // relative to table root
@@ -22,7 +37,8 @@ case class DataFile(
     minKey: String,
     maxKey: String,
     numRows: Long,
-    bytes: Long = 0L)
+    bytes: Long = 0L,
+    colStats: Map[String, ColStat] = Map.empty)
 
 /** An atomic commit of a table snapshot. `files` is the COMPLETE set of
   * live files at this version (carried-forward + newly written) — readers

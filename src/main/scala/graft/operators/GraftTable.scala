@@ -9,7 +9,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.{Commit, DataFile, KeyGen, Meta, Timeline}
+import graft.model.{ColStat, Commit, DataFile, KeyGen, Meta, Timeline}
 
 /** A mutable keyed analytic table maintained over immutable parquet
   * snapshots — the Spark-native re-expression of what the reference
@@ -47,7 +47,8 @@ class GraftTable(
     val compactEvery: Int = 0,
     val compactLogBytesRatio: Double = 0.0,
     val globalIndex: Boolean = true,
-    val harvestThreshold: Int = GraftTable.DistributedHarvestThreshold) {
+    val harvestThreshold: Int = GraftTable.DistributedHarvestThreshold,
+    val statsColumns: Seq[String] = Seq.empty) {
 
   private val timeline = new Timeline(root)
   private def dataDir(seq: Long) = s"data/c$seq"
@@ -93,9 +94,12 @@ class GraftTable(
     * bytes) straight from the parquet footers — metadata-only, no second
     * scan of the data. Zero-row files are dropped and deleted.
     */
-  private def writeFiles(df: DataFrame, seq: Long, estBytes: Long): Seq[DataFile] = {
+  private def writeFiles(df: DataFrame, seq: Long, estBytes: Long,
+      layoutSort: Seq[Column] = Seq.empty): Seq[DataFile] = {
     val stage = Paths.get(root, dataDir(seq)).toString
-    val sortCols = (partitionFields :+ Meta.RecordKey).map(col)
+    val sortCols =
+      if (layoutSort.nonEmpty) partitionFields.map(col) ++ layoutSort
+      else (partitionFields :+ Meta.RecordKey).map(col)
     val writer0 = df
       .repartitionByRange(numPartitionsFor(estBytes), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -141,9 +145,10 @@ class GraftTable(
         // serializable); element order is preserved by parallelize+collect
         val confSer = new graft.util.SerConf(conf)
         val rootU = rootUri
+        val statsCols = statsColumns
         val slices = math.max(1, math.min(inputs.size / 16 + 1, 512))
         spark.sparkContext.parallelize(inputs, slices)
-          .map { case (p, len) => GraftTable.harvestFooter(p, len, rootU, confSer.value) }
+          .map { case (p, len) => GraftTable.harvestFooter(p, len, rootU, confSer.value, statsCols) }
           .collect().toSeq
       } else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -151,7 +156,8 @@ class GraftTable(
         try {
           val futures = inputs.map { case (p, len) =>
             pool.submit(new java.util.concurrent.Callable[Option[DataFile]] {
-              def call(): Option[DataFile] = GraftTable.harvestFooter(p, len, rootUri, conf)
+              def call(): Option[DataFile] =
+                GraftTable.harvestFooter(p, len, rootUri, conf, statsColumns)
             })
           }
           futures.map(_.get()) // rethrows any footer failure; order = listing order
@@ -496,6 +502,41 @@ class GraftTable(
     readKeyRange(f"$lo%019d", f"$hi%019d")
   }
 
+  /** Column-stats snapshot read (the Hudi column-stats-index / Delta
+    * data-skipping analog): scan only files whose tracked min/max for
+    * `column` (see [[statsColumns]]) overlaps [lo, hi]; the residual
+    * filter keeps the result exact. Files without a usable stat for the
+    * column — legacy manifests, kind mismatch, blocks with dropped stats —
+    * always join the scan, so pruning is conservative by construction.
+    *
+    * MOR with outstanding logs falls back to filter-after-merge WITHOUT
+    * file pruning: unlike the record key (identical in every version of a
+    * row), a tracked column's value differs across versions, so pruning a
+    * superseding out-of-range version would resurrect a stale in-range row.
+    * Compaction restores the pruned path.
+    */
+  def readColumnRange(column: String, lo: Long, hi: Long): DataFrame =
+    readColumnRangeTyped(column, "long", lo.toString, hi.toString, lit(lo), lit(hi))
+
+  def readColumnRange(column: String, lo: Double, hi: Double): DataFrame =
+    readColumnRangeTyped(column, "double", lo.toString, hi.toString, lit(lo), lit(hi))
+
+  def readColumnRange(column: String, lo: String, hi: String): DataFrame =
+    readColumnRangeTyped(column, "string", lo, hi, lit(lo), lit(hi))
+
+  private def readColumnRangeTyped(column: String, kind: String,
+      lo: String, hi: String, loLit: Column, hiLit: Column): DataFrame = {
+    require(GraftTable.cmpStat(kind, lo, hi) <= 0, s"empty range [$lo, $hi] on $column")
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val residual = col(column) >= loLit && col(column) <= hiLit
+    if (c.logFiles.nonEmpty) return mergedView(c).filter(residual)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    scanFiles(GraftTable.filesInColumnRange(c.files, column, kind, lo, hi), schema)
+      .filter(residual)
+  }
+
   /** Incremental query: rows from files ADDED by commits after `sinceSeq`
     * — the downstream-consumer analog of Hudi's incremental pull. COW
     * granularity is the affected region (rewritten files carry unchanged
@@ -563,6 +604,55 @@ class GraftTable(
       prev.checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(files) +
         ("files_before" -> prev.files.size.toString)))
+  }
+
+  /** T1 variant — Z-ORDER clustering (Delta OPTIMIZE ZORDER BY / Hudi
+    * clustering with z-order sort): rewrite the snapshot laid out along the
+    * Z-curve of `zCols`, so file-level min/max stats stay narrow on EVERY
+    * z column at once and [[readColumnRange]] prunes multi-dimensionally.
+    * Trade-off (same as Hudi/Delta): record-key intervals widen, so
+    * subsequent upserts prune less tightly until a key-sorted `cluster()`
+    * — z-order a table that is read-heavy on the z columns.
+    *
+    * Implementation: each z column is normalized to a 16-bit rank bucket by
+    * min/max (one tiny agg job), buckets are bit-interleaved into the
+    * z-value, and the rewrite range-partitions + sorts on that z-value —
+    * the z-value is a sort EXPRESSION, never materialized into the data.
+    * Contents are byte-identical to the input snapshot; only layout moves.
+    */
+  def clusterZOrder(zCols: Seq[String]): Commit = withLock {
+    require(zCols.size >= 2, s"z-order needs >= 2 columns (got $zCols)")
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    require(prev.logFiles.isEmpty, "compact() before z-ordering a MOR table")
+    val seq = prev.seq + 1
+    val snap = read()
+    // per-column [min, max] for normalization — one metadata-light agg
+    val bounds = snap.agg(
+      struct(zCols.flatMap(c =>
+        Seq(min(col(c).cast("double")).as(s"mn_$c"),
+          max(col(c).cast("double")).as(s"mx_$c"))): _*).as("b"))
+      .select("b.*").head()
+    val n = zCols.size
+    val zExpr = zCols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
+      val mn = bounds.getAs[Double](s"mn_$c")
+      val mx = bounds.getAs[Double](s"mx_$c")
+      val span = if (mx > mn) mx - mn else 1.0
+      // 16-bit bucket; nulls sort first (bucket 0)
+      val bucket = least(lit(65535L), greatest(lit(0L),
+        floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) / lit(span) * 65535.0)
+          .cast("long")))
+      (0 until 16).foldLeft(acc) { (a, i) =>
+        a.bitwiseOR(shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
+    val files = writeFiles(snap, seq, prev.files.map(_.bytes).sum,
+      layoutSort = Seq(zExpr))
+    timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
+      prev.checkpoint, System.currentTimeMillis(),
+      extra = GraftTable.writeMetrics(files) +
+        ("files_before" -> prev.files.size.toString) +
+        ("zorder_cols" -> zCols.mkString(","))))
   }
 
   /** Rollback the table to commit `toSeq`, discarding later commits and
@@ -690,13 +780,16 @@ object GraftTable {
     * distributed harvest job.
     */
   private[operators] def harvestFooter(pathStr: String, len: Long,
-      rootUri: String, conf: org.apache.hadoop.conf.Configuration): Option[DataFile] = {
+      rootUri: String, conf: org.apache.hadoop.conf.Configuration,
+      statsCols: Seq[String] = Seq.empty): Option[DataFile] = {
     val p = new HPath(pathStr)
     var rows = 0L
     var blocks = 0
     var statsBlocks = 0
     var mn: String = null
     var mx: String = null
+    // tracked non-key columns: per-column (kind, min, max, blocks-with-stats)
+    val colAcc = scala.collection.mutable.Map.empty[String, (String, String, String, Int)]
     // fromStatus with the already-known length: fromPath would re-stat the
     // file — 100k redundant metadata round-trips on the bulk-insert path
     val status = new org.apache.hadoop.fs.FileStatus(len, false, 1, 0, 0, p)
@@ -717,12 +810,33 @@ object GraftTable {
             if (mx == null || cmpKey(hi, mx) > 0) mx = hi
           }
         }
+        if (statsCols.nonEmpty) statsCols.foreach { name =>
+          b.getColumns.asScala.find(_.getPath.toDotString == name).foreach { c =>
+            val s = c.getStatistics
+            if (s != null && !s.isEmpty && s.hasNonNullValue)
+              statOf(c.getPrimitiveType, s).foreach { case (kind, lo, hi) =>
+                colAcc.get(name) match {
+                  case None => colAcc(name) = (kind, lo, hi, 1)
+                  case Some((k0, l0, h0, n0)) if k0 == kind =>
+                    val l = if (cmpStat(kind, lo, l0) < 0) lo else l0
+                    val h = if (cmpStat(kind, hi, h0) > 0) hi else h0
+                    colAcc(name) = (kind, l, h, n0 + 1)
+                  case Some(_) => () // kind flip across blocks: leave count short
+                }
+              }
+          }
+        }
       }
     }
     // a block without key statistics (dropped oversized stats, or no
     // key column) makes the interval unreliable: mark the file
     // always-affected rather than silently unprunable-yet-pruned
     if (statsBlocks != blocks) { mn = null; mx = null }
+    // same rule per tracked column: every block must have contributed
+    // stats or the column cannot prune this file
+    val colStats: Map[String, ColStat] = colAcc.iterator.collect {
+      case (name, (kind, lo, hi, n)) if n == blocks => name -> ColStat(kind, lo, hi)
+    }.toMap
     if (rows == 0L) None
     else {
       val rel = pathStr.stripPrefix(rootUri).stripPrefix("/")
@@ -732,9 +846,72 @@ object GraftTable {
         }.toMap
       Some(DataFile(rel, partVals,
         Option(mn).getOrElse(""),
-        Option(mx).getOrElse(NoStatsMaxKey), rows, len))
+        Option(mx).getOrElse(NoStatsMaxKey), rows, len, colStats))
     }
   }
+
+  /** Map one block's parquet statistics to a (kind, min, max) triple, or
+    * None when the physical/logical type has no order-preserving string
+    * encoding we track. INT32/INT64 cover date/timestamp physical values
+    * (order-preserving as raw longs); BINARY is recorded only for UTF-8
+    * string columns — decimal-as-binary byte order is NOT value order and
+    * must never prune.
+    */
+  private def statOf(pt: org.apache.parquet.schema.PrimitiveType,
+      s: org.apache.parquet.column.statistics.Statistics[_]): Option[(String, String, String)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    pt.getPrimitiveTypeName match {
+      case INT32 | INT64 =>
+        // ONLY plain signed integers: decimal-annotated ints store scaled
+        // values (12345 for 123.45) and date/timestamp raw values are in
+        // storage units (days/micros/millis) — comparing either against a
+        // caller's Long bound would prune wrongly. Conservative: no stat.
+        pt.getLogicalTypeAnnotation match {
+          case null =>
+            Some(("long", s.genericGetMin.toString, s.genericGetMax.toString))
+          case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation if i.isSigned =>
+            Some(("long", s.genericGetMin.toString, s.genericGetMax.toString))
+          case _ => None
+        }
+      case DOUBLE =>
+        Some(("double", s.genericGetMin.toString, s.genericGetMax.toString))
+      case FLOAT =>
+        // widen to the float's EXACT double value before stringifying:
+        // Float.toString("0.1") reparsed as a double is NOT (double)0.1f,
+        // and that ulp-level skew could prune a file whose rows pass the
+        // residual (double-promoted) filter
+        Some(("double",
+          s.genericGetMin.asInstanceOf[java.lang.Float].floatValue.toDouble.toString,
+          s.genericGetMax.asInstanceOf[java.lang.Float].floatValue.toDouble.toString))
+      case BINARY if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(("string",
+          s.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+          s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
+      case _ => None
+    }
+  }
+
+  /** Typed comparison for [[graft.model.ColStat]] values. */
+  def cmpStat(kind: String, a: String, b: String): Int = kind match {
+    case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _        => cmpKey(a, b)
+  }
+
+  /** Files whose tracked stat for `column` may overlap [lo, hi] — files
+    * without a same-kind stat are kept (conservative). Exposed for specs
+    * asserting pruning effectiveness. */
+  private[graft] def filesInColumnRange(files: Seq[DataFile], column: String,
+      kind: String, lo: String, hi: String): Seq[DataFile] =
+    files.filter { f =>
+      f.colStats.get(column) match {
+        case Some(st) if st.kind == kind =>
+          cmpStat(kind, st.min, hi) <= 0 && cmpStat(kind, st.max, lo) >= 0
+        case _ => true
+      }
+    }
 
   /** Commit metrics recorded in `Commit.extra` (the Hudi commit-metadata
     * analog) — derived from the just-harvested manifest entries, so the

@@ -67,11 +67,13 @@ object CdcScenario {
   private def build(s: SparkSession, dir: String, key: String,
       partitionFields: Seq[String] = Seq.empty,
       tableType: String = GraftTable.CopyOnWrite,
-      globalIndex: Boolean = true)(extra: GraftTable => Unit): GraftTable =
+      globalIndex: Boolean = true,
+      statsColumns: Seq[String] = Seq.empty)(extra: GraftTable => Unit): GraftTable =
     cache.getOrElseUpdate(s"$key:$dir", {
       val root = Files.createTempDirectory(s"graft-cdc-$key").toString
       val t = new GraftTable(s, root, Seq("o_orderkey"), partitionFields,
-        targetFileBytes = 1024 * 1024, tableType = tableType, globalIndex = globalIndex)
+        targetFileBytes = 1024 * 1024, tableType = tableType, globalIndex = globalIndex,
+        statsColumns = statsColumns)
       t.bulkInsert(fullLoad(s, dir))
       t.upsert(batchA(s, dir))
       t.upsert(batchB(s, dir))
@@ -94,6 +96,16 @@ object CdcScenario {
   /** Clustered after ingest (T1). */
   def clustered(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "clu")(_.cluster())
+
+  /** Column-stats index on `o_custkey` (non-key data skipping). */
+  def colStats(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "cst", statsColumns = Seq("o_custkey"))(_ => ())
+
+  /** Z-order clustered on (o_custkey, o_totalprice) with column stats
+    * tracked on both — multi-dimensional data skipping (T1 variant). */
+  def zordered(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "zor", statsColumns = Seq("o_custkey", "o_totalprice"))(
+      _.clusterZOrder(Seq("o_custkey", "o_totalprice")))
 
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
@@ -291,6 +303,17 @@ object CdcQueries {
         .drop(Meta.RecordKey, Meta.CommitSeq)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // column-stats data skipping: only files whose tracked o_custkey
+    // min/max overlaps the range are scanned; result equals the filtered
+    // full snapshot (residual filter keeps exactness)
+    "cdc_colstats" -> ((s, dir) =>
+      CdcScenario.colStats(s, dir).readColumnRange("o_custkey", 100L, 800L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"))),
+    // z-order clustering: layout moves to the (o_custkey, o_totalprice)
+    // Z-curve, snapshot contents must be unchanged
+    "cdc_zorder" -> ((s, dir) => statusAgg(CdcScenario.zordered(s, dir))),
     // savepoint: after clean(1) removed all non-latest history, the pinned
     // commit-1 snapshot must still read completely (same as time travel)
     "cdc_savepoint" -> ((s, dir) =>
@@ -462,6 +485,12 @@ object CdcQueries {
       s"""$finalState
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
          FROM final WHERE o_orderkey BETWEEN 1000 AND 60000""",
+    // the final state restricted to the tracked-column range
+    "cdc_colstats" ->
+      s"""$finalState
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_custkey
+         FROM final WHERE o_custkey BETWEEN 100 AND 800""",
+    "cdc_zorder" -> statusAggSql,
     // savepoint(1) after clean == the commit-1 snapshot == time travel
     "cdc_savepoint" ->
       """SELECT o_orderkey,

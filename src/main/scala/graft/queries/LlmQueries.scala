@@ -57,6 +57,11 @@ object LlmQueries {
     // exact-size uniform sample: k smallest salted hashes (TakeOrdered)
     "sample_uniform" -> ((s, dir) =>
       Sampling.uniformSampleK(t(s, dir, "documents"), "doc_id", k = 100)),
+    // weighted Bernoulli sample: keep probability ∝ n_chars (capped at 1),
+    // decided in exact integer arithmetic — replicated digit-for-digit
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedStats(t(s, dir, "documents"), "doc_id", "lang",
+        "n_chars", unitWeight = 2000L)),
     // contiguous token-budget sharding via the distributed prefix sum
     // (in-partition windows + broadcast offsets — no global window)
     "sample_pack_shards" -> ((s, dir) =>
@@ -317,6 +322,24 @@ object LlmQueries {
     "sample_uniform" ->
       """SELECT doc_id, md5('samp:' || CAST(doc_id AS VARCHAR)) AS h
          FROM documents ORDER BY h LIMIT 100""",
+
+    // same salted-md5 bucket as the stratified oracle; keep decision is the
+    // integer cross-multiplication bucket·2000 < n_chars·65536
+    "sample_weighted" ->
+      """WITH h AS (SELECT lang, n_chars,
+             md5('wsamp:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         b AS (SELECT lang, n_chars,
+               (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket FROM h),
+         k AS (SELECT lang, n_chars,
+               CAST(bucket AS BIGINT) * 2000 < CAST(COALESCE(n_chars, 0) AS BIGINT) * 65536 AS keep
+               FROM b)
+         SELECT lang, COUNT(*) AS n_total,
+           COUNT(CASE WHEN keep THEN 1 END) AS n_sampled,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN n_chars END), 0) AS BIGINT) AS mass_sampled
+         FROM k GROUP BY lang""",
 
     // the oracle's single-machine window cumsum defines the semantics the
     // distributed prefix sum must reproduce exactly

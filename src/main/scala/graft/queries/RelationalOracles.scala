@@ -373,6 +373,22 @@ object RelationalOracles {
          SELECT COUNT(*) AS n_users, CAST(SUM(user_id) AS BIGINT) AS sum_users,
                 MIN(user_id) AS min_user, MAX(user_id) AS max_user FROM u""",
 
+    // the batch replay of the stream-stream interval join: clicks matched
+    // to same-user views within ±10 minutes, money as integer cents
+    "st_stream_join" ->
+      """WITH v AS (SELECT user_id, ts AS vts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents
+           FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c_cents
+           FROM events WHERE event_type = 'click')
+         SELECT c.user_id % 10 AS cohort, COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN vts <= cts THEN 1 ELSE 0 END) AS BIGINT) AS n_view_first,
+           CAST(SUM(c_cents + v_cents) AS BIGINT) AS cents_sum
+         FROM c JOIN v ON c.user_id = v.user_id
+           AND vts BETWEEN cts - INTERVAL 10 MINUTE AND cts + INTERVAL 10 MINUTE
+         GROUP BY 1""",
+
     "st_session_window" ->
       """WITH d AS (
            SELECT user_id, ts,

@@ -593,6 +593,13 @@ object RelationalQueries {
           sum(col("user_id")).as("sum_users"),
           min(col("user_id")).as("min_user"),
           max(col("user_id")).as("max_user"))
-    })
+    }),
+    // a REAL stream-stream run: watermarked interval join (clicks to
+    // same-user views within ±10 min) across multiple micro-batches per
+    // side; inner-join emission is exact, so the drained pair set equals
+    // the batch join and the integer-cent sums are order-free
+    "st_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamJoin.attributionStats(s, s"$dir/events.parquet",
+        "st_join_sink"))
   )
 }

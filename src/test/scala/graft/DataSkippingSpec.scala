@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{ColStat, DataFile}
+import graft.operators.GraftTable
+
+/** Column-stats index (non-key data skipping) + z-order clustering:
+  * correctness of the pruned read, conservativeness of the stat harvest,
+  * manifest round-trip of per-file column stats, and the quantitative
+  * claim that z-order actually narrows per-file stat spans enough to
+  * skip files on BOTH z dimensions.
+  */
+class DataSkippingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-skip").toString
+
+  /** 4000 rows, key = id, tracked column `v` correlated with id so the
+    * key-sorted layout yields tight per-file v-intervals. */
+  private def corrTable(): GraftTable = {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, statsColumns = Seq("v", "s"))
+    val df = (0L until 4000L).toDF("id")
+      .withColumn("v", col("id") * 3)
+      .withColumn("s", format_string("s%06d", col("id")))
+      .withColumn("trx_seq", lit("001"))
+    t.bulkInsert(df)
+    t
+  }
+
+  test("colStats are harvested with the right kinds and cover the data") {
+    val t = corrTable()
+    val files = t.latestCommit().get.files
+    assert(files.size > 1, "need a multi-file table to test skipping")
+    assert(files.forall(_.colStats.contains("v")))
+    assert(files.forall(_.colStats("v").kind == "long"))
+    assert(files.forall(_.colStats.contains("s")))
+    assert(files.forall(_.colStats("s").kind == "string"))
+    // stats must bound the actual data: global min/max across files
+    val vmin = files.map(_.colStats("v").min.toLong).min
+    val vmax = files.map(_.colStats("v").max.toLong).max
+    assert(vmin == 0L && vmax == 3L * 3999)
+  }
+
+  test("readColumnRange equals filter-on-snapshot and actually prunes files") {
+    val t = corrTable()
+    val got = t.readColumnRange("v", 300L, 900L)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    val want = t.read().filter(col("v") >= 300 && col("v") <= 900)
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    val files = t.latestCommit().get.files
+    val pruned = GraftTable.filesInColumnRange(files, "v", "long", "300", "900")
+    assert(pruned.size < files.size,
+      s"expected pruning on a correlated column (kept ${pruned.size}/${files.size})")
+    // string kind prunes too
+    val sPruned = GraftTable.filesInColumnRange(files, "s", "string", "s000100", "s000300")
+    assert(sPruned.size < files.size)
+  }
+
+  test("files without a usable stat are conservatively kept") {
+    val files = Seq(
+      DataFile("a", Map.empty, "", "", 10, 1,
+        Map("v" -> ColStat("long", "0", "99"))),
+      DataFile("b", Map.empty, "", "", 10, 1, Map.empty), // no stat
+      DataFile("c", Map.empty, "", "", 10, 1,
+        Map("v" -> ColStat("string", "0", "99"))), // kind mismatch
+      DataFile("d", Map.empty, "", "", 10, 1,
+        Map("v" -> ColStat("long", "500", "600"))))
+    val kept = GraftTable.filesInColumnRange(files, "v", "long", "100", "400")
+    assert(kept.map(_.path) == Seq("b", "c"))
+  }
+
+  test("colStats survive the commit manifest round-trip (full and delta)") {
+    val t = corrTable()
+    // upsert triggers a DELTA manifest record (seq 1 vs checkpoint at 0)
+    t.upsert(Seq((7L, 21L, "s000007x", "002")).toDF("id", "v", "s", "trx_seq"))
+    val c = t.latestCommit().get
+    assert(c.seq == 1)
+    val fresh = new GraftTable(spark, t.root, Seq("id"),
+      statsColumns = Seq("v", "s"))
+    val reread = fresh.latestCommit().get
+    assert(reread.files.map(f => f.path -> f.colStats).toMap ==
+      c.files.map(f => f.path -> f.colStats).toMap)
+    assert(reread.files.forall(_.colStats.nonEmpty))
+  }
+
+  test("z-order keeps the snapshot identical and narrows BOTH dimensions") {
+    // two independent uniform dimensions: key-sorted layout is tight on x
+    // (x == id) but each file spans nearly all of y; z-order splits the
+    // span on both
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, statsColumns = Seq("x", "y"))
+    val df = (0L until 4096L).toDF("id")
+      .withColumn("x", col("id"))
+      // y decorrelated from id via bit-reversal-ish mix (deterministic)
+      .withColumn("y", (col("id") * 2654435761L) % 4096L)
+      .withColumn("trx_seq", lit("001"))
+    t.bulkInsert(df)
+    val before = t.read().select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val keyFiles = t.latestCommit().get.files
+    def span(fs: Seq[DataFile], c: String): Double =
+      fs.map(f => f.colStats(c).max.toLong - f.colStats(c).min.toLong).sum.toDouble / fs.size
+    val ySpanKey = span(keyFiles, "y")
+
+    t.clusterZOrder(Seq("x", "y"))
+    val zFiles = t.latestCommit().get.files
+    val after = t.read().select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(after == before, "z-order must not change table contents")
+    assert(zFiles.size > 1)
+    // key-sorted files each span ~the full y domain; z-ordered files must
+    // do strictly better on y while staying bounded on x
+    val ySpanZ = span(zFiles, "y")
+    assert(ySpanZ < ySpanKey * 0.7,
+      s"z-order should narrow y spans (key-sorted $ySpanKey, z $ySpanZ)")
+    // and a 2-D box query prunes: narrow range on y alone skips files
+    val yPruned = GraftTable.filesInColumnRange(zFiles, "y", "long", "0", "511")
+    assert(yPruned.size < zFiles.size,
+      s"y-range should prune z-ordered files (kept ${yPruned.size}/${zFiles.size})")
+    // correctness of the pruned read on the z layout
+    val got = t.readColumnRange("y", 0L, 511L).select("id").as[Long].collect().sorted.toSeq
+    val want = df.filter(col("y") <= 511).select("id").as[Long].collect().sorted.toSeq
+    assert(got == want)
+  }
+
+  test("weighted sampling matches a JVM recomputation of the integer rule") {
+    val docs = Seq((1L, "en", 100), (2L, "en", 1999), (3L, "en", 2000),
+      (4L, "de", 0), (5L, "de", 3500), (6L, "de", 65))
+      .toDF("doc_id", "lang", "n_chars")
+    val got = graft.llm.Sampling
+      .weightedStats(docs, "doc_id", "lang", "n_chars", unitWeight = 2000L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wsamp:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map(b => f"$b%02x").mkString, 16)
+    }
+    def keep(id: Long, w: Long): Boolean = bucket(id) * 2000L < w * 65536L
+    val rows = Seq((1L, "en", 100L), (2L, "en", 1999L), (3L, "en", 2000L),
+      (4L, "de", 0L), (5L, "de", 3500L), (6L, "de", 65L))
+    val want = rows.groupBy(_._2).map { case (lang, rs) =>
+      (lang, rs.size.toLong, rs.count(r => keep(r._1, r._3)).toLong,
+        rs.filter(r => keep(r._1, r._3)).map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    assert(got == want)
+    // a doc at/above unitWeight is always kept (p capped at 1)
+    assert(keep(3L, 2000L) && keep(5L, 3500L))
+  }
+
+  test("stream-stream interval join equals the batch join") {
+    val dir = s"${tmp()}/events"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val rows = Seq(
+      (0L, ts(0), 1L, "view", 10.00, "{}"),
+      (1L, ts(5), 1L, "click", 1.25, "{}"),   // pairs with view@0 (in 10m)
+      (2L, ts(30), 1L, "view", 20.00, "{}"),  // too far from click@5
+      (3L, ts(33), 1L, "click", 2.50, "{}"),  // pairs with view@30
+      (4L, ts(3), 2L, "click", 5.00, "{}"),   // pairs with view@8 (click first)
+      (5L, ts(8), 2L, "view", 7.75, "{}"),
+      (6L, ts(0), 3L, "view", 1.00, "{}"))    // no click for user 3
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("overwrite").parquet(dir)
+    val got = graft.streaming.StreamJoin
+      .attributionStats(spark, dir, "skip_spec_join_sink", windowMinutes = 10, slices = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // user 1: (click@5, view@0) view-first, cents 125+1000;
+    //         (click@33, view@30) view-first, cents 250+2000
+    // user 2: (click@3, view@8) click-first, cents 500+775
+    val want = Seq((1L, 2L, 2L, 1125L + 2250L), (2L, 1L, 0L, 1275L))
+    assert(got == want)
+  }
+}
