@@ -86,6 +86,16 @@ object RelationalOracles {
                       WHERE event_type = 'click') c USING (user_id))
          GROUP BY pid""",
 
+    "tr2_join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM customer c JOIN LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 2) o ON TRUE
+         WHERE c.c_custkey % 50 = 0""",
+
     "tr2_join_asof" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
          m AS (SELECT p.event_id, p.ts,
@@ -122,6 +132,13 @@ object RelationalOracles {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+
+    "tr3_agg_pivot" ->
+      """SELECT o_orderpriority,
+         COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+         COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+         COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+         FROM orders GROUP BY o_orderpriority""",
 
     "tr3_agg_stats" ->
       """SELECT l_returnflag, ROUND(stddev_samp(l_extendedprice), 2) AS sd,

@@ -169,6 +169,20 @@ object RelationalQueries {
           when($"cts" <= $"pts" && $"cts" >= $"pts" - expr("INTERVAL 30 MINUTES"), 1))
         .groupBy($"pid").agg(count($"hit").as("n_clicks_30m"))
     }),
+    // LATERAL correlated subquery join (top-2 orders per sampled customer):
+    // Catalyst decorrelates the per-row LIMIT into a ranked window join —
+    // declared as LATERAL, executed without any nested re-execution
+    "tr2_join_lateral" -> ((s, dir) => {
+      Q.views(s, dir, "customer", "orders")
+      s.sql("""SELECT c.c_custkey, o.o_orderkey,
+                      CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+               FROM customer c JOIN LATERAL (
+                 SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) o
+               WHERE c.c_custkey % 50 = 0""")
+    }),
     "tr2_join_asof" -> ((s, dir) => {
       import s.implicits._
       // As-of join, Spark-first: tag signups, union-order by time, carry the
@@ -210,6 +224,21 @@ object RelationalQueries {
       import s.implicits._
       t(s, dir, "orders").cube($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("n"))
+    }),
+    // PIVOT: long→wide reshaping with explicit value list (explicit values
+    // keep the plan a single agg — Spark's implicit-pivot first runs a
+    // distinct job to discover them); absent cells coalesce to 0 so the
+    // result matches the CASE-based relational form exactly
+    "tr3_agg_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
     }),
     "tr3_agg_gsets" -> ((s, dir) => {
       Q.views(s, dir, "lineitem")
