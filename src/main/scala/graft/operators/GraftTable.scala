@@ -627,12 +627,24 @@ class GraftTable(
     require(prev.logFiles.isEmpty, "compact() before z-ordering a MOR table")
     val seq = prev.seq + 1
     val snap = read()
+    // try_cast, not cast: ANSI mode (Spark 4 default) throws on a
+    // non-numeric z column — degrade to the no-bounds fallback instead
+    def asD(c: String) = expr(s"try_cast(`$c` AS DOUBLE)")
     // per-column [min, max] for normalization — one metadata-light agg
     val bounds = snap.agg(
       struct(zCols.flatMap(c =>
-        Seq(min(col(c).cast("double")).as(s"mn_$c"),
-          max(col(c).cast("double")).as(s"mx_$c"))): _*).as("b"))
+        Seq(min(asD(c)).as(s"mn_$c"), max(asD(c)).as(s"mx_$c"))): _*).as("b"))
       .select("b.*").head()
+    // empty snapshot or an all-null / non-numeric z column has no bounds —
+    // fall back to the key-sorted layout rather than NPE on unboxing
+    if (zCols.exists(c => bounds.isNullAt(bounds.fieldIndex(s"mn_$c")))) {
+      val files = writeFiles(snap, seq, prev.files.map(_.bytes).sum)
+      return timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
+        prev.checkpoint, System.currentTimeMillis(),
+        extra = GraftTable.writeMetrics(files) +
+          ("files_before" -> prev.files.size.toString) +
+          ("zorder_fallback" -> "no_bounds")))
+    }
     val n = zCols.size
     val zExpr = zCols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
       val mn = bounds.getAs[Double](s"mn_$c")
@@ -640,7 +652,7 @@ class GraftTable(
       val span = if (mx > mn) mx - mn else 1.0
       // 16-bit bucket; nulls sort first (bucket 0)
       val bucket = least(lit(65535L), greatest(lit(0L),
-        floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) / lit(span) * 65535.0)
+        floor((coalesce(asD(c), lit(mn)) - lit(mn)) / lit(span) * 65535.0)
           .cast("long")))
       (0 until 16).foldLeft(acc) { (a, i) =>
         a.bitwiseOR(shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * n + j))

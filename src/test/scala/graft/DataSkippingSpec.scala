@@ -129,6 +129,18 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("z-order falls back to the key layout when a z column has no numeric bounds") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val df = (0L until 100L).toDF("id")
+      .withColumn("s", concat(lit("v"), col("id")))
+      .withColumn("trx_seq", lit("001"))
+    t.bulkInsert(df)
+    val before = t.read().select("id", "s").as[(Long, String)].collect().sorted.toSeq
+    val c = t.clusterZOrder(Seq("s", "id")) // string casts to null doubles
+    assert(c.extra.get("zorder_fallback").contains("no_bounds"))
+    assert(t.read().select("id", "s").as[(Long, String)].collect().sorted.toSeq == before)
+  }
+
   test("weighted sampling matches a JVM recomputation of the integer rule") {
     val docs = Seq((1L, "en", 100), (2L, "en", 1999), (3L, "en", 2000),
       (4L, "de", 0), (5L, "de", 3500), (6L, "de", 65))
