@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: media payloads are opaque `binary` columns
-  * with a typed metadata struct travelling alongside. Images decode through
-  * the real dependency-free [[PpmCodec]] and audio through [[WavCodec]];
-  * only video frame-sampling remains stubbed ([[frameSampleStub]] — no
-  * video decoder ships in this environment; swap in JNI/ffmpeg/javacv
-  * without touching the pipeline shape).
+  * with a typed metadata struct travelling alongside. Every modality runs
+  * a real dependency-free codec: images through [[PpmCodec]], audio
+  * through [[WavCodec]], video through the PPM-stream container
+  * ([[PpmCodec.frameOffsets]]/[[PpmCodec.sampleStream]] — the
+  * `ffmpeg image2pipe -vcodec ppm` wire format). Compressed formats
+  * (JPEG/H.264) would swap in behind the same pipeline shape.
   */
 object Multimodal {
 
@@ -33,19 +34,12 @@ object Multimodal {
         (length(col(textCol)) % 480).cast("int").as("height"),
         length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
-  /** STUB — "frame sample": a real implementation decodes a video and
-    * keeps every k-th frame; the stand-in keeps every k-th byte. The only
-    * remaining codec stub (no video decoder ships in this environment);
-    * images run through [[PpmCodec]] and audio through [[WavCodec]]. */
-  def frameSampleStub(payload: Array[Byte], k: Int): Array[Byte] =
-    payload.grouped(k).map(_.head).toArray
-
   /** REAL image transform over the PPM corpus: parse, nearest-neighbor
     * resize to half dimensions, exact pixel-sum of the resized image
     * (integer math — the content proof that resampling picked the right
-    * source pixels). The video frame-sample path stays stubbed. */
-  def transform(spark: SparkSession, binTable: DataFrame, idCol: String,
-      sampleEvery: Int = 7): DataFrame = {
+    * source pixels). Frame sampling lives on the video path
+    * ([[videoStats]]), where it operates on a real multi-frame container. */
+  def transform(spark: SparkSession, binTable: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -53,11 +47,60 @@ object Multimodal {
           val (w, h, rgb) = PpmCodec.decode(payload)
           val (rw, rh) = (math.max(w / 2, 1), math.max(h / 2, 1))
           val resized = PpmCodec.resampleRgb(w, h, rgb, rw, rh)
-          (id, rw, rh, PpmCodec.pixelSum(resized),
-            frameSampleStub(payload, sampleEvery).length)
+          (id, rw, rh, PpmCodec.pixelSum(resized))
         }
       }
-      .toDF("id", "rw", "rh", "px_sum_resized", "n_sampled")
+      .toDF("id", "rw", "rh", "px_sum_resized")
+  }
+
+  /** Render each document as a REAL multi-frame PPM stream (the
+    * image2pipe/ppm video container): 2-5 small frames whose pixels are
+    * the doc's bytes cycled with a per-frame phase shift, so consecutive
+    * frames genuinely differ — a deterministic corpus of real videos. */
+  def asPpmVideoTable(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).map(_.getBytes("UTF-8")).getOrElse(Array.empty[Byte])
+          val l = bytes.length
+          val nFrames = l % 4 + 2
+          val w = l % 8 + 1
+          val h = l % 6 + 1
+          val fill = if (bytes.isEmpty) Array[Byte](0) else bytes
+          val frames = (0 until nFrames).map { f =>
+            PpmCodec.encode(w, h,
+              Array.tabulate(w * h * 3)(j => fill((j + f) % fill.length)))
+          }
+          (id, PpmCodec.encodeStream(frames))
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL video demux + frame-sample round trip: walk the container's
+    * frame headers, keep every `k`-th frame (a valid stream at 1/k rate),
+    * re-demux the sampled stream, and pixel-sum the kept frames (exact
+    * integer math — the content proof sampling kept the RIGHT frames).
+    * Partition-parallel like every codec call. */
+  def videoStats(spark: SparkSession, binTable: DataFrame, idCol: String,
+      k: Int = 2): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val frames = PpmCodec.frameOffsets(payload)
+          val (w, h, _) = PpmCodec.decode(payload) // first frame geometry
+          val sampled = PpmCodec.sampleStream(payload, k)
+          val keptFrames = PpmCodec.decodeStream(sampled)
+          val pxKept = keptFrames.map(f => PpmCodec.pixelSum(f._3)).sum
+          (id, frames.size, w, h, payload.length.toLong,
+            keptFrames.size, sampled.length.toLong, pxKept)
+        }
+      }
+      .toDF(idCol, "n_frames", "w", "h", "total_bytes",
+        "n_kept", "kept_bytes", "px_kept")
   }
 
   /** Render each document as a REAL P6 PPM image (pixels = the doc's

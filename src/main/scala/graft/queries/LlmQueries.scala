@@ -212,11 +212,16 @@ object LlmQueries {
     "mm_wav" -> ((s, dir) =>
       Multimodal.wavStats(s,
         Multimodal.asWavTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
-    // REAL nearest-neighbor resize (pixel-sum proves source-pixel choice);
-    // only the video frame-sample leg keeps its documented stub
+    // REAL nearest-neighbor resize (pixel-sum proves source-pixel choice)
     "mm_transform" -> ((s, dir) =>
       Multimodal.transform(s,
-        Multimodal.asPpmTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id"))
+        Multimodal.asPpmTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+    // REAL video path: render docs as multi-frame PPM streams (the
+    // ffmpeg image2pipe/ppm container), demux by walking frame headers,
+    // keep every 2nd frame, pixel-sum the kept frames
+    "mm_video" -> ((s, dir) =>
+      Multimodal.videoStats(s,
+        Multimodal.asPpmVideoTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id"))
   )
 
   private val langScore: String => String = markers =>
@@ -619,9 +624,7 @@ object LlmQueries {
          FROM d""",
 
     // full SQL replication of the nearest-neighbor resize: output byte p
-    // maps to source byte ((((y*h//rh)*w + x*w//rw)*3 + channel) % L); the
-    // video frame-sample leg counts every 7th payload byte (PPM header =
-    // 'P6\n{w} {h}\n255\n' = 9 + digits(w) + digits(h) bytes)
+    // maps to source byte ((((y*h//rh)*w + x*w//rw)*3 + channel) % L)
     "mm_transform" ->
       """WITH m0 AS (SELECT doc_id, text, COALESCE(length(text), 0) AS L
          FROM documents),
@@ -639,9 +642,39 @@ object LlmQueries {
                  1)) AS BIGINT)), 'sum') END AS px_sum_resized
          FROM g)
          SELECT doc_id AS id, CAST(rw AS INT) AS rw, CAST(rh AS INT) AS rh,
-           CAST(px_sum_resized AS BIGINT) AS px_sum_resized,
-           CAST(ceil((9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
-                      + w * h * 3) / 7.0) AS INT) AS n_sampled
+           CAST(px_sum_resized AS BIGINT) AS px_sum_resized
+         FROM px""",
+
+    // the engine really renders, demuxes and frame-samples PPM streams;
+    // the oracle recomputes the container arithmetic (frame byte length =
+    // 9 + digits(w) + digits(h) header + w*h*3 raster) and the kept-frame
+    // pixel sums (frame f pixel j = text byte (j+f) % L) digit-for-digit
+    "mm_video" ->
+      """WITH m AS (SELECT doc_id, text, COALESCE(strlen(text), 0) AS L
+         FROM documents),
+         g AS (SELECT doc_id, text, L,
+           CAST(L % 4 + 2 AS BIGINT) AS f,
+           CAST(L % 8 + 1 AS BIGINT) AS w,
+           CAST(L % 6 + 1 AS BIGINT) AS h
+         FROM m),
+         s AS (SELECT doc_id, text, L, f, w, h,
+           9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+             + w * h * 3 AS frame_len,
+           (f + 1) // 2 AS kept,
+           w * h * 3 AS n
+         FROM g),
+         px AS (SELECT doc_id, f, w, h, frame_len, kept, n,
+           CASE WHEN L = 0 THEN 0 ELSE
+             list_aggregate(list_transform(list_filter(range(0, f), fr -> fr % 2 = 0),
+               fr -> list_aggregate(list_transform(range(0, n),
+                 j -> CAST(ascii(substr(text, CAST((j + fr) % L AS INT) + 1, 1)) AS BIGINT)),
+                 'sum')), 'sum') END AS px_kept
+         FROM s)
+         SELECT doc_id, CAST(f AS INT) AS n_frames, CAST(w AS INT) AS w,
+           CAST(h AS INT) AS h, CAST(f * frame_len AS BIGINT) AS total_bytes,
+           CAST(kept AS INT) AS n_kept,
+           CAST(kept * frame_len AS BIGINT) AS kept_bytes,
+           CAST(px_kept AS BIGINT) AS px_kept
          FROM px"""
   )
 

@@ -208,6 +208,34 @@ class LlmSpec extends AnyFunSuite {
     assert(rw == 1 && rh == 1 && rp.toSeq == Seq[Byte](0, 0, 0))
   }
 
+  test("PPM stream demuxes frames, samples every k-th, stays a valid stream") {
+    import graft.llm.PpmCodec
+    // five frames, distinct contents, mixed geometry (real streams may vary)
+    val frames = (0 until 5).map { f =>
+      val (w, h) = if (f == 4) (3, 1) else (2, 2)
+      PpmCodec.encode(w, h, Array.tabulate(w * h * 3)(j => ((j + f * 10) % 256).toByte))
+    }
+    val stream = PpmCodec.encodeStream(frames)
+    val offs = PpmCodec.frameOffsets(stream)
+    assert(offs.size == 5)
+    assert(offs.map(_._2).sum == stream.length)
+    // decode returns the frames byte-exactly
+    val dec = PpmCodec.decodeStream(stream)
+    assert(dec.map(d => (d._1, d._2)) == Seq((2, 2), (2, 2), (2, 2), (2, 2), (3, 1)))
+    assert(dec(3)._3.toSeq == Array.tabulate(12)(j => ((j + 30) % 256).toByte).toSeq)
+    // sample k=2 keeps frames 0, 2, 4 — and the result re-demuxes cleanly
+    val sampled = PpmCodec.sampleStream(stream, 2)
+    val sdec = PpmCodec.decodeStream(sampled)
+    assert(sdec.size == 3)
+    assert(sdec(0)._3.toSeq == dec(0)._3.toSeq)
+    assert(sdec(1)._3.toSeq == dec(2)._3.toSeq)
+    assert(sdec(2)._3.toSeq == dec(4)._3.toSeq)
+    // a truncated stream fails loudly, never silently drops the tail
+    intercept[IllegalArgumentException] {
+      PpmCodec.frameOffsets(stream.dropRight(1))
+    }
+  }
+
   test("asPpmTable renders empty and null docs as 1x1 black instead of crashing") {
     import graft.llm.{Multimodal, PpmCodec}
     val docs = Seq((1L, "hello"), (2L, ""), (3L, null.asInstanceOf[String]))
