@@ -502,6 +502,58 @@ class GraftTable(
     readKeyRange(f"$lo%019d", f"$hi%019d")
   }
 
+  /** Multi-key POINT LOOKUP with manifest-level file skipping — the
+    * serving-path read (Hudi record-level query): each key binary-searches
+    * the sorted interval index (O(log files) per key, all driver-side
+    * metadata), only files whose [minKey, maxKey] can contain a probed key
+    * are scanned, and the residual `IN` filter (pushed into the parquet
+    * scan) keeps the result exact. Sound on MOR logs for the same reason
+    * as [[readKeyRange]]: every version of key k lives in a file whose
+    * interval contains k. Keys are a driver-side list by definition — a
+    * point lookup is a small probe set; for bulk key joins use a join.
+    */
+  def readKeys(keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "empty key set")
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    def relevant(files: Seq[DataFile]): Seq[DataFile] = {
+      val (statless, statful) = files.partition(f => !GraftTable.hasReliableStats(f))
+      val ivs = statful.toArray.sortWith((a, b) => GraftTable.cmpKey(a.minKey, b.minKey) < 0)
+      val maxEnd = ivs.scanLeft("")((acc, f) =>
+        if (GraftTable.cmpKey(acc, f.maxKey) >= 0) acc else f.maxKey).drop(1)
+      val hit = Array.fill(ivs.length)(false)
+      keys.foreach { k =>
+        var lo = 0; var hi = ivs.length - 1; var pos = -1
+        while (lo <= hi) { // rightmost interval with minKey <= k
+          val mid = (lo + hi) >>> 1
+          if (GraftTable.cmpKey(ivs(mid).minKey, k) <= 0) { pos = mid; lo = mid + 1 }
+          else hi = mid - 1
+        }
+        var i = pos
+        while (i >= 0 && GraftTable.cmpKey(maxEnd(i), k) >= 0) {
+          if (!hit(i) && GraftTable.cmpKey(ivs(i).maxKey, k) >= 0) hit(i) = true
+          i -= 1
+        }
+      }
+      statless ++ ivs.iterator.zipWithIndex.collect { case (f, i) if hit(i) => f }
+    }
+    val pruned = c.copy(files = relevant(c.files), logFiles = relevant(c.logFiles))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val base =
+      if (pruned.logFiles.nonEmpty) mergedView(pruned)
+      else scanFiles(pruned.files, schema)
+    base.filter(col(Meta.RecordKey).isin(keys: _*))
+  }
+
+  /** Numeric-key point lookup through the order-preserving zero-padded
+    * encoding (non-negative only — see [[readKeyRange(lo:Long*]]). */
+  def readKeys(keys: Seq[Long])(implicit d: DummyImplicit): DataFrame = {
+    require(keys.forall(_ >= 0), "numeric keys must be non-negative " +
+      "(the zero-padded encoding does not order negatives)")
+    readKeys(keys.map(k => f"$k%019d"))
+  }
+
   /** Column-stats snapshot read (the Hudi column-stats-index / Delta
     * data-skipping analog): scan only files whose tracked min/max for
     * `column` (see [[statsColumns]]) overlaps [lo, hi]; the residual

@@ -303,6 +303,14 @@ object CdcQueries {
         .drop(Meta.RecordKey, Meta.CommitSeq)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // multi-key point lookup: each key binary-searches the manifest's
+    // interval index; only containing files are scanned, residual IN
+    // filter keeps the result exact
+    "cdc_pointlookup" -> ((s, dir) =>
+      CdcScenario.main(s, dir).readKeys((500L to 60000L by 500L).toSeq)
+        .drop(Meta.RecordKey, Meta.CommitSeq)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
     // column-stats data skipping: only files whose tracked o_custkey
     // min/max overlaps the range are scanned; result equals the filtered
     // full snapshot (residual filter keeps exactness)
@@ -485,6 +493,13 @@ object CdcQueries {
       s"""$finalState
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
          FROM final WHERE o_orderkey BETWEEN 1000 AND 60000""",
+    // the final state restricted to the probed key set (the +10M inserted
+    // keys all end in …001 mod 500, so none are probed)
+    "cdc_pointlookup" ->
+      s"""$finalState
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+         FROM final
+         WHERE o_orderkey % 500 = 0 AND o_orderkey BETWEEN 500 AND 60000""",
     // the final state restricted to the tracked-column range
     "cdc_colstats" ->
       s"""$finalState

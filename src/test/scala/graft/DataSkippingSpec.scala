@@ -62,6 +62,26 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(sPruned.size < files.size)
   }
 
+  test("point lookup scans only interval-containing files and matches a full filter") {
+    val t = corrTable()
+    val keys = Seq(3L, 777L, 1500L, 3999L)
+    val got = t.readKeys(keys).select("id", "v").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val want = t.read().filter(col("id").isin(keys: _*))
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == want && got.size == keys.size)
+    // the probe set clusters into few files — most of the table is skipped
+    // (recompute the containing set from the manifest the way the probe does)
+    val all = t.latestCommit().get.files
+    val enc = keys.map(k => f"$k%019d")
+    val containing = all.filter(f => enc.exists(k =>
+      GraftTable.cmpKey(f.minKey, k) <= 0 && GraftTable.cmpKey(f.maxKey, k) >= 0))
+    assert(containing.size < all.size,
+      s"expected file skipping (containing ${containing.size}/${all.size})")
+    // absent keys return nothing (and don't blow up the probe)
+    assert(t.readKeys(Seq(99999L)).count() == 0)
+  }
+
   test("files without a usable stat are conservatively kept") {
     val files = Seq(
       DataFile("a", Map.empty, "", "", 10, 1,
