@@ -315,8 +315,15 @@ class GraftTable(
 
     val merged = existing match {
       case None => batch
-      case Some(ex) =>
-        val unioned = ex.unionByName(batch, allowMissingColumns = true)
+      case Some(ex0) =>
+        // schema evolution may WIDEN a column's type (int→long,
+        // float→double, Avro-resolution lattice): cast both sides to the
+        // per-field widened schema before the union — an unwidenable
+        // clash (string vs int) fails loudly here, never silently
+        val wide = GraftTable.widenSchemas(ex0.schema, batch.schema)
+        val ex = GraftTable.castTo(ex0, wide)
+        val unioned = ex.unionByName(GraftTable.castTo(batch, wide),
+          allowMissingColumns = true)
         val cols = unioned.columns
         // non-global index: (partition, key) is the row identity — same-
         // keyed rows in different partitions are distinct and must never
@@ -374,10 +381,13 @@ class GraftTable(
       .withColumn(Meta.CommitSeq, lit(seq))
     val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // schema evolution: union of base schema and any new batch columns
-    val unionSchema = org.apache.spark.sql.types.StructType(
-      prevSchema.fields ++ batch.schema.fields.filterNot(f => prevSchema.fieldNames.contains(f.name)))
-    val logs = writeFiles(batch, seq, planBytes(batch))
+    // schema evolution: new batch columns append, same-name columns widen
+    // (int→long, float→double); the batch's logs are written already-wide
+    // so the merge-on-read union never meets a narrower file than the
+    // manifest schema claims (base files upcast via the parquet reader)
+    val unionSchema = GraftTable.widenSchemas(prevSchema, batch.schema)
+    val wideBatch = GraftTable.castTo(batch, unionSchema)
+    val logs = writeFiles(wideBatch, seq, planBytes(wideBatch))
     val c = timeline.commit(Commit(seq, "delta_commit", prev.files, unionSchema.json,
       checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(logs) +
@@ -955,6 +965,60 @@ object GraftTable {
           s.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
       case _ => None
     }
+  }
+
+  /** Common wider type for SAFE schema-evolution promotion (the Avro/Hudi
+    * resolution lattice): integral chain byte→short→int→long, float→double,
+    * and integral+fractional meet at double. None = not widenable (the
+    * caller fails loudly instead of silently corrupting). */
+  def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3; case LongType => 4
+      case FloatType => 11; case DoubleType => 12
+      case _ => -1
+    }
+    if (a == b) Some(a)
+    else (rank(a), rank(b)) match {
+      case (x, y) if x < 0 || y < 0 => None
+      case (x, y) if x <= 4 && y <= 4 => Some(if (x >= y) a else b)
+      case (x, y) if x >= 11 && y >= 11 => Some(if (x >= y) a else b)
+      case _ => Some(DoubleType) // integral meets fractional
+    }
+  }
+
+  /** Per-field widened union of two schemas: same-name fields promote via
+    * [[widen]] (IllegalArgumentException on an unwidenable clash), fields
+    * unique to either side append. Field order: left schema first. */
+  def widenSchemas(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val merged = a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case Some(fb) if fb.dataType != fa.dataType =>
+          val w = widen(fa.dataType, fb.dataType).getOrElse(throw new IllegalArgumentException(
+            s"column ${fa.name}: cannot widen ${fa.dataType.simpleString} vs ${fb.dataType.simpleString}"))
+          fa.copy(dataType = w, nullable = fa.nullable || fb.nullable)
+        case Some(fb) => fa.copy(nullable = fa.nullable || fb.nullable)
+        case None => fa
+      }
+    }
+    StructType(merged ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
+  }
+
+  /** Cast `df`'s columns to the types `target` declares for them (columns
+    * absent from the target pass through; the cast is always a widening by
+    * construction of [[widenSchemas]]). */
+  def castTo(df: DataFrame, target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val want = target.fields.map(f => f.name -> f.dataType).toMap
+    df.select(df.schema.fields.map { f =>
+      want.get(f.name) match {
+        case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
   }
 
   /** Typed comparison for [[graft.model.ColStat]] values. */

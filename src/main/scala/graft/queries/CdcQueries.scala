@@ -192,6 +192,25 @@ object CdcScenario {
 
   private def t0(s: SparkSession, dir: String): DataFrame = Q.t(s, dir, "orders")
 
+  /** Type widening under merge: the full load carries INT o_custkey, a
+    * later winning batch carries LONG values beyond the int range on the
+    * %10 keys — the snapshot schema must widen and untouched narrow files
+    * must stay readable (the parquet reader upcasts against the widened
+    * manifest schema). */
+  def widened(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"widen:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-widen").toString
+      val t = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val o = t0(s, dir)
+      t.bulkInsert(meta(o.withColumn("o_custkey", col("o_custkey").cast("int")),
+        1, deleted = false))
+      t.upsert(meta(o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 3000000000L)
+        .withColumn("o_orderstatus", lit("W")), 7, deleted = false))
+      t
+    })
+
   /** Rollback target: a fresh copy of the 3-commit scenario rolled back to
     * commit 1 — the snapshot must equal the time-travel view of commit 1
     * (later commits' exclusive files discarded). */
@@ -290,6 +309,12 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
+    // schema evolution, type widening: INT o_custkey meets LONG values
+    // beyond the int range; snapshot schema widens, narrow files upcast
+    "cdc_schema_widen" -> ((s, dir) =>
+      CdcScenario.widened(s, dir).readUser()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("custkey_sum"))),
     // schema evolution: late batch carries a NEW column; old rows null-pad
     "cdc_schema_evolution" -> ((s, dir) =>
       CdcScenario.evolved(s, dir).readUser()
@@ -463,6 +488,15 @@ object CdcQueries {
            CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price,
            printf('%020d', q) AS trx_seq, deleted
          FROM pulled""",
+    // %10 keys carry the widening 'W' batch (custkey + 3e9, beyond int);
+    // everything else keeps the full-load values
+    "cdc_schema_widen" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'W' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 3000000000 ELSE o_custkey END AS ck
+           FROM orders)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(ck) AS BIGINT) AS custkey_sum
+         FROM final GROUP BY o_orderstatus""",
     // standard final state + the seq-9 evolved overlay on %10 keys: status
     // 'E', price+1, o_note populated; every other row null-pads o_note.
     // (%10 is even, so the odd-%97 deleted set is unchanged.)

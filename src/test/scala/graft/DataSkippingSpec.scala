@@ -161,6 +161,49 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(t.read().select("id", "s").as[(Long, String)].collect().sorted.toSeq == before)
   }
 
+  test("upsert widens column types (int→long, float→double) across the merge") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val base = (0L until 2000L).toDF("id")
+      .withColumn("n", col("id").cast("int"))
+      .withColumn("x", col("id").cast("float"))
+      .withColumn("trx_seq", lit("001"))
+    t.bulkInsert(base)
+    // the batch carries LONG n (beyond int range) and DOUBLE x, touching
+    // only a key sliver — untouched narrow files must stay readable under
+    // the widened manifest schema
+    val batch = Seq((5L, 5000000000L, 2.5d, "002"), (7L, -6000000000L, 0.25d, "002"))
+      .toDF("id", "n", "x", "trx_seq")
+    t.upsert(batch)
+    val sch = t.read().schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("x").dataType == org.apache.spark.sql.types.DoubleType)
+    val got = t.readUser().filter(col("id").isin(3L, 5L, 7L))
+      .select("id", "n", "x").as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((3L, 3L, 3.0d), (5L, 5000000000L, 2.5d), (7L, -6000000000L, 0.25d)))
+    assert(t.read().count() == 2000)
+    // an unwidenable clash fails loudly instead of corrupting
+    val clash = Seq((9L, "not-a-number", "003")).toDF("id", "n", "trx_seq")
+    intercept[IllegalArgumentException] { t.upsert(clash) }
+  }
+
+  test("MOR delta commit widens types; merge-on-read view reads old base files") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead)
+    val base = (0L until 500L).toDF("id")
+      .withColumn("n", col("id").cast("int"))
+      .withColumn("trx_seq", lit("001"))
+    t.bulkInsert(base)
+    t.upsert(Seq((11L, 7000000000L, "002")).toDF("id", "n", "trx_seq"))
+    val got = t.readUser().filter(col("id").isin(10L, 11L))
+      .select("id", "n").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 10L), (11L, 7000000000L)))
+    // compaction folds wide logs + narrow base into a consistent base
+    t.compact()
+    assert(t.read().schema("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.readUser().filter(col("id") === 11L)
+      .select("n").as[Long].head() == 7000000000L)
+  }
+
   test("weighted sampling matches a JVM recomputation of the integer rule") {
     val docs = Seq((1L, "en", 100), (2L, "en", 1999), (3L, "en", 2000),
       (4L, "de", 0), (5L, "de", 3500), (6L, "de", 65))
