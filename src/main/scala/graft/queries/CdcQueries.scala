@@ -175,6 +175,39 @@ object CdcScenario {
       t
     })
 
+  /** LIVE incremental-feed output (the consumer side of chaining): a MOR
+    * table ingests the two CDC batches while an [[graft.streaming.IncrementalFeed]]
+    * poll loop runs against it; each emitted change batch is appended to a
+    * parquet accumulator. Change-exact on MOR (delta logs are the
+    * precombined batches), so the accumulated rows equal the batch
+    * incremental pull — the same oracle as `cdc_incremental`. */
+  private val feedOut = TrieMap[String, String]()
+  def feedOutput(s: SparkSession, dir: String): String =
+    feedOut.getOrElseUpdate(dir, {
+      val base = Files.createTempDirectory("graft-cdc-feed")
+      val out = s"$base/out"
+      val ck = java.nio.file.Paths.get(s"$base/ck.seq")
+      val t = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024, tableType = GraftTable.MergeOnRead)
+      t.bulkInsert(fullLoad(s, dir))
+      val h = graft.streaming.IncrementalFeed.start(t, ck, startSeq = 0L,
+        pollMs = 100L) { (df, _, _) => df.write.mode("append").parquet(out) }
+      try {
+        def await(n: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 120000
+          while (h.consumedSeq < n) {
+            h.checkFailed()
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(s"feed did not reach seq $n in 120s")
+            Thread.sleep(100)
+          }
+        }
+        t.upsert(batchA(s, dir)); await(1)
+        t.upsert(batchB(s, dir)); await(2)
+      } finally h.stop()
+      out
+    })
+
   /** Schema evolution under merge: after the 2-batch scenario, a third
     * batch arrives with a NEW column (`o_note`) on the %10 keys at a
     * winning seq — old rows must null-pad, the manifest schema must widen,
@@ -302,6 +335,13 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
+    // LIVE incremental-feed consumer: poll loop emits change batches while
+    // the table ingests; accumulated output equals the batch pull
+    "st_incremental_feed" -> ((s, dir) =>
+      s.read.parquet(CdcScenario.feedOutput(s, dir))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
     // bounded incremental pull (S2, begin/end form): on MOR, commits
     // (0, 1] added exactly batch A's precombined delta logs
     "cdc_incremental_bounded" -> ((s, dir) =>
@@ -400,6 +440,36 @@ object CdcQueries {
          CAST(SUM(price) AS DOUBLE) AS total
        FROM final GROUP BY o_orderstatus"""
 
+  /** The two precombined CDC batches — what both the batch incremental
+    * pull (`cdc_incremental`) and the live feed (`st_incremental_feed`)
+    * must deliver on a MOR table. */
+  private val incrementalPulledSql =
+    """WITH pulled AS (
+         SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS p,
+                3 AS q, false AS deleted
+         FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, o_totalprice, 4, true
+         FROM orders WHERE o_orderkey % 97 = 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N', o_totalprice, 2, false
+         FROM orders WHERE o_orderkey % 1000 = 1
+         UNION ALL
+         SELECT o_orderkey, 'L', o_totalprice + 77.0, 2, false
+         FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
+           AND o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey, 'R', o_totalprice, 5, false
+         FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_orderkey, 'V', o_totalprice + 500.0, 6, false
+         FROM orders WHERE o_orderkey % 7 = 0
+       )
+       SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price,
+         printf('%020d', q) AS trx_seq, deleted
+       FROM pulled"""
+
   val oracles: Map[String, String] = Map(
     "cdc_snapshot" ->
       s"""$finalState SELECT o_orderkey, o_orderstatus,
@@ -444,32 +514,9 @@ object CdcQueries {
     // keys resolve to the seq-6 'V' over the seq-2 late row, even %679
     // keys to 'V' over the seq-5 re-insert, and %970 late rows lose to
     // the seq-5 re-insert)
-    "cdc_incremental" ->
-      """WITH pulled AS (
-           SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS p,
-                  3 AS q, false AS deleted
-           FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 <> 0
-           UNION ALL
-           SELECT o_orderkey, o_orderstatus, o_totalprice, 4, true
-           FROM orders WHERE o_orderkey % 97 = 0
-           UNION ALL
-           SELECT o_orderkey + 10000000, 'N', o_totalprice, 2, false
-           FROM orders WHERE o_orderkey % 1000 = 1
-           UNION ALL
-           SELECT o_orderkey, 'L', o_totalprice + 77.0, 2, false
-           FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 7 <> 0
-             AND o_orderkey % 97 <> 0
-           UNION ALL
-           SELECT o_orderkey, 'R', o_totalprice, 5, false
-           FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0
-           UNION ALL
-           SELECT o_orderkey, 'V', o_totalprice + 500.0, 6, false
-           FROM orders WHERE o_orderkey % 7 = 0
-         )
-         SELECT o_orderkey, o_orderstatus,
-           CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price,
-           printf('%020d', q) AS trx_seq, deleted
-         FROM pulled""",
+    "cdc_incremental" -> incrementalPulledSql,
+    // the live feed accumulates exactly the same change set
+    "st_incremental_feed" -> incrementalPulledSql,
     // batch A alone after precombine: %10 updates (except %970, where the
     // seq-4 tombstone wins), %97 tombstones, +10M inserts
     "cdc_incremental_bounded" ->

@@ -228,6 +228,44 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(keep(3L, 2000L) && keep(5L, 3500L))
   }
 
+  test("incremental feed skips maintenance rewrites and resumes from its checkpoint") {
+    val base = Files.createTempDirectory("graft-feed-spec")
+    val out = s"$base/out"
+    val ck = base.resolve("ck.seq")
+    val t = new GraftTable(spark, s"$base/table", Seq("id"),
+      targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead)
+    t.bulkInsert((0L until 300L).toDF("id")
+      .withColumn("v", col("id")).withColumn("trx_seq", lit("001")))
+    def feed() = graft.streaming.IncrementalFeed.start(t, ck, startSeq = 0L,
+      pollMs = 50L) { (df, _, _) => df.write.mode("append").parquet(out) }
+    def await(h: graft.streaming.IncrementalFeed.Handle, n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (h.consumedSeq < n) {
+        h.checkFailed()
+        assert(System.currentTimeMillis() < deadline, s"feed stuck below seq $n")
+        Thread.sleep(50)
+      }
+    }
+    val h = feed()
+    try {
+      t.upsert(Seq((5L, 500L, "002")).toDF("id", "v", "trx_seq")); await(h, 1)
+      t.compact(); await(h, 2) // rewrites every row — must NOT re-emit
+      t.upsert(Seq((7L, 700L, "003")).toDF("id", "v", "trx_seq")); await(h, 3)
+    } finally h.stop()
+    val emitted = spark.read.parquet(out).select("id", "v")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(emitted == Seq((5L, 500L), (7L, 700L)),
+      s"feed must emit exactly the two upserts, got $emitted")
+    // a fresh feed resumes from the persisted checkpoint: nothing re-emits
+    val h2 = feed()
+    try {
+      t.upsert(Seq((9L, 900L, "004")).toDF("id", "v", "trx_seq")); await(h2, 4)
+    } finally h2.stop()
+    val after = spark.read.parquet(out).select("id", "v")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(after == Seq((5L, 500L), (7L, 700L), (9L, 900L)))
+  }
+
   test("stream-stream interval join equals the batch join") {
     val dir = s"${tmp()}/events"
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
