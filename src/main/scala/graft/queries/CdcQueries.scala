@@ -208,6 +208,41 @@ object CdcScenario {
       out
     })
 
+  /** LIVE table-to-table chaining: a second keyed table bootstraps from
+    * the upstream snapshot, then FOLLOWS it through the incremental feed —
+    * each emitted change batch upserts downstream while ingest continues
+    * upstream. The downstream latest-wins merge absorbs any feed replay
+    * (at-least-once + idempotent sink = exactly-once), so the final
+    * downstream snapshot must equal the upstream final state. */
+  def chainedLive(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"chainlive:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-chainlive")
+      val ck = java.nio.file.Paths.get(s"$base/ck.seq")
+      val t1 = new GraftTable(s, s"$base/upstream", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024, tableType = GraftTable.MergeOnRead)
+      val t2 = new GraftTable(s, s"$base/downstream", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      t1.bulkInsert(fullLoad(s, dir))
+      // consumer bootstrap: snapshot as of the feed's start seq
+      t2.bulkInsert(t1.readAsOf(0).drop(Meta.CommitSeq))
+      val h = graft.streaming.IncrementalFeed.start(t1, ck, startSeq = 0L,
+        pollMs = 100L) { (df, _, _) => t2.upsert(df.drop(Meta.CommitSeq)); () }
+      try {
+        def await(n: Long): Unit = {
+          val deadline = System.currentTimeMillis() + 120000
+          while (h.consumedSeq < n) {
+            h.checkFailed()
+            if (System.currentTimeMillis() > deadline)
+              throw new IllegalStateException(s"chain feed did not reach seq $n in 120s")
+            Thread.sleep(100)
+          }
+        }
+        t1.upsert(batchA(s, dir)); await(1)
+        t1.upsert(batchB(s, dir)); await(2)
+      } finally h.stop()
+      t2
+    })
+
   /** Schema evolution under merge: after the 2-batch scenario, a third
     * batch arrives with a NEW column (`o_note`) on the %10 keys at a
     * winning seq — old rows must null-pad, the manifest schema must widen,
@@ -335,6 +370,9 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
+    // LIVE table-to-table chaining: downstream follows upstream through
+    // the feed; final downstream snapshot equals the upstream final state
+    "st_chain_live" -> ((s, dir) => statusAgg(CdcScenario.chainedLive(s, dir))),
     // LIVE incremental-feed consumer: poll loop emits change batches while
     // the table ingests; accumulated output equals the batch pull
     "st_incremental_feed" -> ((s, dir) =>
@@ -517,6 +555,7 @@ object CdcQueries {
     "cdc_incremental" -> incrementalPulledSql,
     // the live feed accumulates exactly the same change set
     "st_incremental_feed" -> incrementalPulledSql,
+    "st_chain_live" -> statusAggSql,
     // batch A alone after precombine: %10 updates (except %970, where the
     // seq-4 tombstone wins), %97 tombstones, +10M inserts
     "cdc_incremental_bounded" ->
