@@ -51,7 +51,11 @@ class GraftTable(
     val statsColumns: Seq[String] = Seq.empty) {
 
   private val timeline = new Timeline(root)
-  private def dataDir(seq: Long) = s"data/c$seq"
+  // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
+  // racing for the same seq must never share a stage dir — the loser's
+  // overwrite would clobber the winner's committed data files
+  private def dataDir(seq: Long) =
+    s"data/c$seq-${java.util.UUID.randomUUID().toString.take(8)}"
 
   // ---------------------------------------------------------------- helpers
 
@@ -204,9 +208,60 @@ class GraftTable(
     val seq = timeline.latestSeq().map(_ + 1).getOrElse(0L)
     val stamped = clean.withColumn(Meta.CommitSeq, lit(seq))
     val files = writeFiles(stamped, seq, planBytes(clean))
-    timeline.commit(Commit(seq, "bulk_insert", files, schemaJson(stamped),
+    commitOrCleanStage(Commit(seq, "bulk_insert", files, schemaJson(stamped),
       checkpoint, System.currentTimeMillis(),
-      extra = GraftTable.writeMetrics(files)))
+      extra = GraftTable.writeMetrics(files)), files)
+  }
+
+  /** Publish `c`, and if a DIFFERENT concurrent commit already owns the
+    * seq (optimistic loser), remove this attempt's freshly staged dirs —
+    * they are referenced by no manifest — before rethrowing for retry. */
+  private def commitOrCleanStage(c: Commit, staged: Seq[DataFile]): Commit =
+    try timeline.commit(c)
+    catch {
+      case e: IllegalStateException =>
+        staged.map(_.path.split("/").take(2).mkString("/")).distinct.foreach { d =>
+          val p = Paths.get(root, d)
+          if (Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            Using.resource(java.nio.file.Files.walk(p)) { s =>
+              s.sorted(java.util.Comparator.reverseOrder())
+                .iterator().asScala.foreach(Files.deleteIfExists(_))
+            }
+          }
+        }
+        throw e
+    }
+
+  /** OPTIMISTIC multi-writer upsert (the Hudi/Delta OCC shape): no writer
+    * lock — read the snapshot, compute the merge, publish through the
+    * timeline's atomic seq CAS. A loser RECOMPUTES against the winner's
+    * snapshot and retries, which is correct under arbitrary key overlap
+    * because the precombine/latest-wins merge is order-independent; its
+    * abandoned stage dir is deleted before the retry. Writers pay
+    * recompute on conflict instead of serializing up front — the right
+    * trade when concurrent writers usually touch disjoint regions.
+    * Maintenance (clean / archive / cluster / compact) still takes the
+    * single-writer lock and must not run concurrently with OCC writers.
+    */
+  def upsertOptimistic(batch0: DataFrame, checkpoint: Option[String] = None,
+      maxRetries: Int = 5): Commit = {
+    var attempt = 0
+    while (true) {
+      try {
+        return if (tableType == GraftTable.MergeOnRead && timeline.latest().isDefined)
+          doDeltaCommit(batch0, checkpoint)
+        else doUpsert(batch0, checkpoint)
+      } catch {
+        case e: IllegalStateException if e.getMessage != null &&
+            e.getMessage.contains("concurrent writer") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          // jittered backoff so racers do not re-collide in lockstep
+          Thread.sleep(25L + scala.util.Random.nextInt(100))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** M2 upsert: merge a CDC batch into the snapshot.
@@ -356,11 +411,11 @@ class GraftTable(
       val rowWidth =
         if (prevRows > 0) math.max(16L, prev.files.map(_.bytes).sum / prevRows) else 128L
       val newFiles = writeFiles(persisted, seq, rows * rowWidth)
-      timeline.commit(Commit(seq, "upsert", untouched ++ newFiles,
+      commitOrCleanStage(Commit(seq, "upsert", untouched ++ newFiles,
         schemaJson(live), checkpoint, System.currentTimeMillis(),
         extra = GraftTable.writeMetrics(newFiles) +
           ("files_rewritten" -> affected.size.toString) +
-          ("files_carried" -> untouched.size.toString)))
+          ("files_carried" -> untouched.size.toString)), newFiles)
     } finally {
       persisted.unpersist(blocking = false)
       batch.unpersist(blocking = false)
@@ -388,11 +443,11 @@ class GraftTable(
     val unionSchema = GraftTable.widenSchemas(prevSchema, batch.schema)
     val wideBatch = GraftTable.castTo(batch, unionSchema)
     val logs = writeFiles(wideBatch, seq, planBytes(wideBatch))
-    val c = timeline.commit(Commit(seq, "delta_commit", prev.files, unionSchema.json,
+    val c = commitOrCleanStage(Commit(seq, "delta_commit", prev.files, unionSchema.json,
       checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(logs) +
         ("log_files_outstanding" -> (prev.logFiles.size + logs.size).toString),
-      logFiles = prev.logFiles ++ logs))
+      logFiles = prev.logFiles ++ logs), logs)
     val deltasSinceBase = history().reverse.takeWhile(_.action == "delta_commit").size
     // two inline triggers (either enables compaction): every N delta
     // commits, or when outstanding log bytes cross a fraction of base

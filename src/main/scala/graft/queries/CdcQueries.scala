@@ -208,6 +208,34 @@ object CdcScenario {
       out
     })
 
+  /** OPTIMISTIC concurrency: two LOCK-FREE writers race disjoint status
+    * overlays ('X' on %3==0 keys at seq 8, 'Y' on %3==1 at seq 9) through
+    * [[GraftTable.upsertOptimistic]] — the loser recomputes against the
+    * winner's snapshot, so both land and the final state is deterministic
+    * regardless of commit order (latest-wins is order-independent). */
+  def occ(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"occ:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-occ").toString
+      val t = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      t.bulkInsert(fullLoad(s, dir))
+      val o = t0(s, dir)
+      val k = col("o_orderkey")
+      val bx = meta(o.filter(k % 3 === 0).withColumn("o_orderstatus", lit("X")), 8, deleted = false)
+      val by = meta(o.filter(k % 3 === 1).withColumn("o_orderstatus", lit("Y")), 9, deleted = false)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val fs = Seq(bx, by).map { b =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = { start.await(); t.upsertOptimistic(b).seq }
+        })
+      }
+      start.countDown()
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      t
+    })
+
   /** LIVE table-to-table chaining: a second keyed table bootstraps from
     * the upstream snapshot, then FOLLOWS it through the incremental feed —
     * each emitted change batch upserts downstream while ingest continues
@@ -373,6 +401,9 @@ object CdcQueries {
     // LIVE table-to-table chaining: downstream follows upstream through
     // the feed; final downstream snapshot equals the upstream final state
     "st_chain_live" -> ((s, dir) => statusAgg(CdcScenario.chainedLive(s, dir))),
+    // OCC: two lock-free racing writers both land; deterministic final
+    // state regardless of commit order
+    "cdc_occ" -> ((s, dir) => statusAgg(CdcScenario.occ(s, dir))),
     // LIVE incremental-feed consumer: poll loop emits change batches while
     // the table ingests; accumulated output equals the batch pull
     "st_incremental_feed" -> ((s, dir) =>
@@ -556,6 +587,17 @@ object CdcQueries {
     // the live feed accumulates exactly the same change set
     "st_incremental_feed" -> incrementalPulledSql,
     "st_chain_live" -> statusAggSql,
+    // the racing overlays: %3==0 → 'X' (seq 8), %3==1 → 'Y' (seq 9),
+    // prices untouched
+    "cdc_occ" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                       WHEN o_orderkey % 3 = 1 THEN 'Y'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
     // batch A alone after precombine: %10 updates (except %970, where the
     // seq-4 tombstone wins), %97 tombstones, +10M inserts
     "cdc_incremental_bounded" ->

@@ -51,6 +51,50 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(snap.size == 1 + succeeded.size)
   }
 
+  test("OCC: lock-free racing writers all land; overlap resolves latest-wins; no orphans") {
+    val root = Files.createTempDirectory("graft-occ").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert((0L until 400L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit("base"))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit("00001")))
+
+    // writer A stamps %2 keys at seq 8; writer B stamps %4 keys at seq 9 —
+    // the %4 overlap must end up with B regardless of commit order
+    val a = (0L until 400L by 2).map(k => (k, "A", "00008")).toDF("id", "v", "trx_seq")
+    val b = (0L until 400L by 4).map(k => (k, "B", "00009")).toDF("id", "v", "trx_seq")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fs = Seq(a, b).map { batch =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await(); t.upsertOptimistic(batch).seq }
+      })
+    }
+    start.countDown()
+    val seqs = fs.map(_.get(120, TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(seqs == Seq(1L, 2L), s"both writers must commit (got $seqs)")
+
+    val snap = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(snap.size == 400)
+    (0L until 400L).foreach { k =>
+      val want = if (k % 4 == 0) "B" else if (k % 2 == 0) "A" else "base"
+      assert(snap(k) == want, s"key $k: got ${snap(k)}, want $want")
+    }
+
+    // no orphans: every parquet file on disk is referenced by some commit
+    val referenced = t.history().flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(
+          java.nio.file.Paths.get(root, "data"))) { s =>
+        s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(p => java.nio.file.Paths.get(root).relativize(p).toString).toSet
+      }
+    }
+    assert(onDisk.subsetOf(referenced),
+      s"orphan staged files left behind: ${onDisk -- referenced}")
+  }
+
   test("retried identical commit is absorbed; conflicting same-seq commit fails") {
     val root = Files.createTempDirectory("graft-idem").toString
     val tl = new graft.model.Timeline(root)
