@@ -95,6 +95,38 @@ class ConcurrencySpec extends AnyFunSuite {
       s"orphan staged files left behind: ${onDisk -- referenced}")
   }
 
+  test("OCC soak: three writers x three rounds all land on a linear timeline") {
+    val root = Files.createTempDirectory("graft-occ-soak").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert((0L until 300L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit("00000")))
+    val pool = Executors.newFixedThreadPool(3)
+    val fs = (0 until 3).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = (1 to 3).foreach { r =>
+          // writer w stamps its own residue class; rounds strictly increase
+          val seq = r * 3 + w + 1
+          t.upsertOptimistic((w.toLong until 300L by 3)
+            .map(k => (k, seq.toLong, f"$seq%05d")).toDF("id", "v", "trx_seq"))
+          ()
+        }
+      })
+    }
+    fs.foreach(_.get(300, TimeUnit.SECONDS))
+    pool.shutdown()
+    // linear, gapless timeline: 0 (bulk) + 9 upserts
+    val seqs = t.history().map(_.seq)
+    assert(seqs == (0L to 9L).toSeq, s"timeline not linear: $seqs")
+    // every key holds its writer's FINAL round (latest trx_seq wins)
+    val snap = t.readUser().select("id", "v").as[(Long, Long)].collect().toMap
+    assert(snap.size == 300)
+    (0L until 300L).foreach { k =>
+      val w = (k % 3).toInt
+      assert(snap(k) == 3 * 3 + w + 1, s"key $k: got ${snap(k)}")
+    }
+  }
+
   test("retried identical commit is absorbed; conflicting same-seq commit fails") {
     val root = Files.createTempDirectory("graft-idem").toString
     val tl = new graft.model.Timeline(root)
