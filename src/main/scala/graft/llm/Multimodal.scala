@@ -56,7 +56,13 @@ object Multimodal {
   /** Render each document as a REAL multi-frame PPM stream (the
     * image2pipe/ppm video container): 2-5 small frames whose pixels are
     * the doc's bytes cycled with a per-frame phase shift, so consecutive
-    * frames genuinely differ — a deterministic corpus of real videos. */
+    * frames genuinely differ — a deterministic corpus of real videos.
+    *
+    * Indexing contract (same as [[asPpmTable]] and its oracles): pixel
+    * values index the UTF-8 BYTES while the SQL oracle indexes characters
+    * — identical only on ASCII corpora, which the provisioned documents
+    * are by construction. A non-ASCII corpus would need byte-indexed
+    * oracles (hex-sliced blobs) on the SQL side. */
   def asPpmVideoTable(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     import spark.implicits._

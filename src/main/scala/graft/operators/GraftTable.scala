@@ -249,8 +249,11 @@ class GraftTable(
     var attempt = 0
     while (true) {
       try {
+        // inline compaction suppressed: it runs post-commit, so its
+        // conflict would retry an ALREADY-committed batch (double apply);
+        // compact()/cluster() stay locked maintenance operations
         return if (tableType == GraftTable.MergeOnRead && timeline.latest().isDefined)
-          doDeltaCommit(batch0, checkpoint)
+          doDeltaCommit(batch0, checkpoint, allowInlineCompact = false)
         else doUpsert(batch0, checkpoint)
       } catch {
         case e: IllegalStateException if e.getMessage != null &&
@@ -314,33 +317,15 @@ class GraftTable(
       else Map("" -> statful.toArray)
     // all interval comparisons in UNSIGNED UTF-8 byte order — the order
     // parquet stats and Spark's UTF8String range partitioning both use
-    val index: Map[String, (Array[(String, String, String)], Array[String])] =
+    // (the stabbing walk itself lives in IntervalIndex, shared with the
+    // point-lookup read so the two sites cannot drift)
+    val index: Map[String, IntervalIndex] =
       grouped.map { case (p, fs) =>
-        val ivs = fs.map(f => (f.minKey, f.maxKey, f.path))
-          .sortWith((a, b) => GraftTable.cmpKey(a._1, b._1) < 0)
-        val maxEnd = ivs.scanLeft("")((acc, iv) =>
-          if (GraftTable.cmpKey(acc, iv._2) >= 0) acc else iv._2).drop(1)
-        p -> (ivs, maxEnd)
+        p -> IntervalIndex.build(fs.map(f => (f.minKey, f.maxKey, f.path)).toSeq)
       }
     val bcIvs = spark.sparkContext.broadcast(index)
     val findFiles = udf { (part: String, k: String) =>
-      bcIvs.value.get(part) match {
-        case None => Seq.empty[String]
-        case Some((ivs, maxEnd)) =>
-          var lo = 0; var hi = ivs.length - 1; var pos = -1
-          while (lo <= hi) { // rightmost interval with minKey <= k
-            val mid = (lo + hi) >>> 1
-            if (GraftTable.cmpKey(ivs(mid)._1, k) <= 0) { pos = mid; lo = mid + 1 }
-            else hi = mid - 1
-          }
-          val out = Seq.newBuilder[String]
-          var i = pos
-          while (i >= 0 && GraftTable.cmpKey(maxEnd(i), k) >= 0) {
-            if (GraftTable.cmpKey(ivs(i)._2, k) >= 0) out += ivs(i)._3
-            i -= 1
-          }
-          out.result()
-      }
+      bcIvs.value.get(part).map(_.stab(k)).getOrElse(Seq.empty[String])
     }
     val partCol =
       if (partitioned)
@@ -429,7 +414,8 @@ class GraftTable(
     * compaction folds the logs back into base files every `compactEvery`
     * delta commits.
     */
-  private def doDeltaCommit(batch0: DataFrame, checkpoint: Option[String]): Commit = {
+  private def doDeltaCommit(batch0: DataFrame, checkpoint: Option[String],
+      allowInlineCompact: Boolean = true): Commit = {
     val prev = timeline.latest().get
     val seq = prev.seq + 1
     val batch = precombine(prepared(batch0))
@@ -456,7 +442,12 @@ class GraftTable(
     val logsOverweight = compactLogBytesRatio > 0 &&
       c.logFiles.map(_.bytes).sum >
         compactLogBytesRatio * math.max(1L, c.files.map(_.bytes).sum)
-    if ((compactEvery > 0 && deltasSinceBase >= compactEvery) || logsOverweight)
+    // inline compaction is MAINTENANCE — it must not run on the lock-free
+    // optimistic path: the batch's delta commit has already succeeded, so
+    // a compaction conflict bubbling to the OCC retry loop would re-apply
+    // the whole batch as duplicate logs
+    if (allowInlineCompact &&
+        ((compactEvery > 0 && deltasSinceBase >= compactEvery) || logsOverweight))
       doCompact()
     else c
   }
@@ -583,24 +574,9 @@ class GraftTable(
       throw new IllegalStateException(s"no commits at $root"))
     def relevant(files: Seq[DataFile]): Seq[DataFile] = {
       val (statless, statful) = files.partition(f => !GraftTable.hasReliableStats(f))
-      val ivs = statful.toArray.sortWith((a, b) => GraftTable.cmpKey(a.minKey, b.minKey) < 0)
-      val maxEnd = ivs.scanLeft("")((acc, f) =>
-        if (GraftTable.cmpKey(acc, f.maxKey) >= 0) acc else f.maxKey).drop(1)
-      val hit = Array.fill(ivs.length)(false)
-      keys.foreach { k =>
-        var lo = 0; var hi = ivs.length - 1; var pos = -1
-        while (lo <= hi) { // rightmost interval with minKey <= k
-          val mid = (lo + hi) >>> 1
-          if (GraftTable.cmpKey(ivs(mid).minKey, k) <= 0) { pos = mid; lo = mid + 1 }
-          else hi = mid - 1
-        }
-        var i = pos
-        while (i >= 0 && GraftTable.cmpKey(maxEnd(i), k) >= 0) {
-          if (!hit(i) && GraftTable.cmpKey(ivs(i).maxKey, k) >= 0) hit(i) = true
-          i -= 1
-        }
-      }
-      statless ++ ivs.iterator.zipWithIndex.collect { case (f, i) if hit(i) => f }
+      val idx = IntervalIndex.build(statful.map(f => (f.minKey, f.maxKey, f.path)))
+      val hitPaths: Set[String] = keys.iterator.flatMap(idx.stab).toSet
+      statless ++ statful.filter(f => hitPaths(f.path))
     }
     val pruned = c.copy(files = relevant(c.files), logFiles = relevant(c.logFiles))
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
@@ -708,6 +684,14 @@ class GraftTable(
   /** Active-timeline commits, oldest first (driver-side metadata). */
   def history(): Seq[Commit] = timeline.listCommitSeqs().map(timeline.read)
 
+  /** Commits with seq in (fromExclusive, toInclusive], oldest first —
+    * reads ONLY the window's manifests (a long-lived incremental consumer
+    * must not re-materialize the whole timeline per poll). */
+  def history(fromExclusive: Long, toInclusive: Long): Seq[Commit] =
+    timeline.listCommitSeqs()
+      .filter(s => s > fromExclusive && s <= toInclusive)
+      .map(timeline.read)
+
   // --------------------------------------------------------- table services
 
   /** T1 inline clustering: rewrite the snapshot into right-sized key-sorted
@@ -763,15 +747,20 @@ class GraftTable(
           ("zorder_fallback" -> "no_bounds")))
     }
     val n = zCols.size
+    // bits per column scale down so the interleave fits a 64-bit long:
+    // Spark/Java shift amounts mask to 6 bits, so a position >= 64 would
+    // silently WRAP onto low bits and scramble the curve (not error)
+    val bitsPer = math.min(16, 64 / n)
+    val maxBucket = (1L << bitsPer) - 1
     val zExpr = zCols.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, j)) =>
       val mn = bounds.getAs[Double](s"mn_$c")
       val mx = bounds.getAs[Double](s"mx_$c")
       val span = if (mx > mn) mx - mn else 1.0
-      // 16-bit bucket; nulls sort first (bucket 0)
-      val bucket = least(lit(65535L), greatest(lit(0L),
-        floor((coalesce(asD(c), lit(mn)) - lit(mn)) / lit(span) * 65535.0)
+      // rank bucket; nulls sort first (bucket 0)
+      val bucket = least(lit(maxBucket), greatest(lit(0L),
+        floor((coalesce(asD(c), lit(mn)) - lit(mn)) / lit(span) * maxBucket.toDouble)
           .cast("long")))
-      (0 until 16).foldLeft(acc) { (a, i) =>
+      (0 until bitsPer).foldLeft(acc) { (a, i) =>
         a.bitwiseOR(shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * n + j))
       }
     }
@@ -807,8 +796,56 @@ class GraftTable(
     }
   }
 
-  /** T2 cleaning — retain `retainCommits` snapshot versions (handler.py:90-91). */
-  def clean(retainCommits: Int = 5): Int = withLock(timeline.clean(retainCommits))
+  /** T2 cleaning — retain `retainCommits` snapshot versions
+    * (handler.py:90-91). Also garbage-collects ABANDONED STAGE DIRS: a
+    * writer that crashed between staging and commit leaves a
+    * `data/cN-<uuid>` dir no manifest references — invisible to the
+    * manifest-driven clean, so it would leak forever. A stage whose
+    * newest file is older than `staleLockMs` cannot belong to a live
+    * writer (a live write keeps producing younger files than any commit
+    * decision) and is deleted. Returns the expired-version file count
+    * (stage GC is bookkeeping, not history). */
+  def clean(retainCommits: Int = 5): Int = withLock {
+    val n = timeline.clean(retainCommits)
+    cleanOrphanStages(staleLockMs)
+    n
+  }
+
+  /** Delete unreferenced stage dirs whose newest file is older than
+    * `graceMs`. Referenced = any dir a live, archived or savepointed
+    * manifest mentions. Returns deleted dir count. */
+  private def cleanOrphanStages(graceMs: Long): Int = {
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.exists(dataRoot)) return 0
+    val referenced: Set[String] =
+      (timeline.listCommitSeqs().map(timeline.read) ++ timeline.readArchived() ++
+        timeline.listSavepoints())
+        .flatMap(c => (c.files ++ c.logFiles)
+          .map(_.path.split("/").take(2).mkString("/"))).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var removed = 0
+    val dirs = Using.resource(Files.list(dataRoot)) { s =>
+      s.iterator().asScala.filter(Files.isDirectory(_)).toList
+    }
+    dirs.foreach { d =>
+      val rel = s"data/${d.getFileName}"
+      if (!referenced(rel)) {
+        val newest = Using.resource(Files.walk(d)) { s =>
+          s.iterator().asScala
+            .map(p => Files.getLastModifiedTime(p).toMillis)
+            .foldLeft(0L)(math.max)
+        }
+        if (newest < cutoff) {
+          Using.resource(Files.walk(d)) { s =>
+            s.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.deleteIfExists(_))
+          }
+          removed += 1
+        }
+      }
+    }
+    removed
+  }
 
   /** T3 archiving — keep `keepLast` commits on the active timeline (handler.py:74,92-93). */
   def archive(keepLast: Int = 10): Int = withLock(timeline.archive(keepLast))
@@ -866,6 +903,42 @@ class GraftTable(
       heartbeat.interrupt()
       if (owned) Files.deleteIfExists(lock)
     }
+  }
+}
+
+/** Sorted-interval stabbing index over (minKey, maxKey, path) triples —
+  * the ONE implementation of "which files can contain key k" that the
+  * upsert planner (broadcast per partition, probed inside a UDF) and the
+  * point-lookup read share, so the two sites can never drift apart on
+  * pruning semantics. Rightmost-start binary search + running-max-end
+  * walk: O(log n + hits) per probe, unsigned-UTF-8 collation throughout.
+  */
+final class IntervalIndex private (
+    ivs: Array[(String, String, String)], maxEnd: Array[String]) extends Serializable {
+  def stab(k: String): Seq[String] = {
+    var lo = 0; var hi = ivs.length - 1; var pos = -1
+    while (lo <= hi) { // rightmost interval with minKey <= k
+      val mid = (lo + hi) >>> 1
+      if (GraftTable.cmpKey(ivs(mid)._1, k) <= 0) { pos = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    val out = Seq.newBuilder[String]
+    var i = pos
+    while (i >= 0 && GraftTable.cmpKey(maxEnd(i), k) >= 0) {
+      if (GraftTable.cmpKey(ivs(i)._2, k) >= 0) out += ivs(i)._3
+      i -= 1
+    }
+    out.result()
+  }
+}
+
+object IntervalIndex {
+  def build(intervals: Seq[(String, String, String)]): IntervalIndex = {
+    val ivs = intervals.toArray
+      .sortWith((a, b) => GraftTable.cmpKey(a._1, b._1) < 0)
+    val maxEnd = ivs.scanLeft("")((acc, iv) =>
+      if (GraftTable.cmpKey(acc, iv._2) >= 0) acc else iv._2).drop(1)
+    new IntervalIndex(ivs, maxEnd)
   }
 }
 

@@ -63,9 +63,10 @@ object IncrementalFeed {
           table.latestCommit() match {
             case Some(tip) if tip.seq > last =>
               // emit only ingest actions; cluster/compact rewrites carry
-              // no new row versions and must not re-feed downstream
-              val history = table.history()
-                .filter(c => c.seq > last && c.seq <= tip.seq)
+              // no new row versions and must not re-feed downstream.
+              // Bounded history: only the (last, tip] manifests are read —
+              // a poll never re-materializes the whole timeline
+              val history = table.history(last, tip.seq)
               val emitFrom = last
               val emitTo = tip.seq
               val ingest = history.filterNot(c =>

@@ -105,10 +105,14 @@ class ConcurrencySpec extends AnyFunSuite {
     val fs = (0 until 3).map { w =>
       pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = (1 to 3).foreach { r =>
-          // writer w stamps its own residue class; rounds strictly increase
+          // writer w stamps its own residue class; rounds strictly increase.
+          // Hot-spot contention: every writer races every round, so give a
+          // retry budget well above the default (losing 5 straight races
+          // is routine here, and the caller-visible failure is loud)
           val seq = r * 3 + w + 1
           t.upsertOptimistic((w.toLong until 300L by 3)
-            .map(k => (k, seq.toLong, f"$seq%05d")).toDF("id", "v", "trx_seq"))
+            .map(k => (k, seq.toLong, f"$seq%05d")).toDF("id", "v", "trx_seq"),
+            maxRetries = 50)
           ()
         }
       })
@@ -125,6 +129,52 @@ class ConcurrencySpec extends AnyFunSuite {
       val w = (k % 3).toInt
       assert(snap(k) == 3 * 3 + w + 1, s"key $k: got ${snap(k)}")
     }
+  }
+
+  test("OCC on MOR suppresses inline compaction (post-commit conflict would double-apply)") {
+    val root = Files.createTempDirectory("graft-occ-mor").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      tableType = GraftTable.MergeOnRead, compactEvery = 1)
+    t.bulkInsert(Seq((0L, 0L, "00000")).toDF("id", "v", "trx_seq"))
+    // the optimistic path must land a plain delta commit — its inline
+    // compaction (a post-commit maintenance step) losing a race would
+    // bubble into the retry loop and re-apply the already-committed batch
+    t.upsertOptimistic(Seq((1L, 1L, "00001")).toDF("id", "v", "trx_seq"))
+    assert(t.history().map(_.action) == Seq("bulk_insert", "delta_commit"))
+    // the LOCKED upsert still honors the inline trigger
+    t.upsert(Seq((2L, 2L, "00002")).toDF("id", "v", "trx_seq"))
+    assert(t.history().map(_.action) ==
+      Seq("bulk_insert", "delta_commit", "delta_commit", "compact"))
+    val snap = t.readUser().select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(snap == Seq((0L, 0L), (1L, 1L), (2L, 2L)))
+  }
+
+  test("clean() reclaims crashed-writer stage dirs but spares fresh and referenced ones") {
+    val root = Files.createTempDirectory("graft-stage-gc").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      staleLockMs = 60000)
+    t.bulkInsert((0L until 50L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.col("id"))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit("001")))
+    t.upsert(Seq((1L, 99L, "002")).toDF("id", "v", "trx_seq"))
+    // a crashed writer's abandoned stage: unreferenced dir, old mtime
+    val orphan = java.nio.file.Paths.get(root, "data", "c9-deadbeef")
+    Files.createDirectories(orphan)
+    val of = orphan.resolve("part-0.parquet")
+    Files.write(of, Array[Byte](1, 2, 3))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    Files.setLastModifiedTime(of, old)
+    Files.setLastModifiedTime(orphan, old)
+    // a LIVE writer's stage: unreferenced but fresh — must survive
+    val live = java.nio.file.Paths.get(root, "data", "c9-feedf00d")
+    Files.createDirectories(live)
+    Files.write(live.resolve("part-0.parquet"), Array[Byte](4, 5))
+    t.clean(retainCommits = 2)
+    assert(!Files.exists(orphan), "stale orphan stage must be GC'd")
+    assert(Files.exists(live), "fresh (possibly in-flight) stage must survive")
+    // all referenced data intact
+    assert(t.readUser().count() == 50)
   }
 
   test("retried identical commit is absorbed; conflicting same-seq commit fails") {

@@ -96,18 +96,30 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("SortMergeJoin"))
   }
 
-  test("column-range read schedules only stat-overlapping files") {
-    val t = graft.queries.CdcScenario.colStats(spark, dir)
+  test("column-range read schedules EXACTLY the stat-overlapping files") {
+    import org.apache.spark.sql.functions._
+    // tracked column correlated with the key so skipping actually bites
+    val t = new graft.operators.GraftTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-planshape").toString,
+      Seq("id"), targetFileBytes = 16 * 1024, statsColumns = Seq("v"))
+    import spark.implicits._
+    t.bulkInsert((0L until 4000L).toDF("id")
+      .withColumn("v", col("id") * 3).withColumn("trx_seq", lit("001")))
     val all = t.latestCommit().get.files
     val kept = graft.operators.GraftTable
-      .filesInColumnRange(all, "o_custkey", "long", "100", "800")
-    // the scan's file list is exactly the kept set (plan-level assert:
-    // number of parquet splits read ≤ kept files; every file ~1 row group)
-    val scanned = t.readColumnRange("o_custkey", 100L, 800L)
-      .queryExecution.executedPlan.toString
-    assert(kept.size <= all.size)
-    // residual filter must still be pushed to the scan
-    assert(scanned.contains("PushedFilters") &&
-      scanned.contains("o_custkey"))
+      .filesInColumnRange(all, "v", "long", "300", "900")
+    assert(kept.size < all.size, "correlated column must prune")
+    val df = t.readColumnRange("v", 300L, 900L)
+    // the physical scan's file list must be exactly the kept set — if the
+    // read path ever drops filesInColumnRange, this count snaps back to all
+    val scannedFiles = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    assert(scannedFiles == kept.size,
+      s"scan reads $scannedFiles files, stats admit ${kept.size}")
+    // and the residual range predicate is pushed into the parquet scan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("v"))
   }
 }
