@@ -21,7 +21,8 @@ case class TableConfig(
     globalIndex: Boolean,                  // index scope (Hudi hoodie.index global/non-global analog)
     transformerSql: Option[String],        // TR0 hook (handler.py:115-116)
     enabled: Boolean,                      // P4 (handler.py:131)
-    sparkConf: Map[String, String]) {
+    sparkConf: Map[String, String],
+    statsColumns: Seq[String] = Seq.empty) { // column-stats index (data skipping)
 
   /** Curated table name `{identifier}_{schema}_{table}` (handler.py:132). */
   def curatedName(identifier: String): String =
@@ -94,7 +95,9 @@ object ConfigLoader {
           globalIndex = (hudi \ "global_index").extractOpt[Boolean].getOrElse(true),
           transformerSql = str(hudi, "transformer_sql"),
           enabled = (o \ "enabled").extractOpt[Boolean].getOrElse(true),
-          sparkConf = (o \ "spark_conf").extractOpt[Map[String, String]].getOrElse(Map.empty))
+          sparkConf = (o \ "spark_conf").extractOpt[Map[String, String]].getOrElse(Map.empty),
+          statsColumns = str(hudi, "stats_columns").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
       }
     }
 

@@ -75,6 +75,44 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs — the asymmetric complement to Jaccard:
+    * C(A→B) = |A∩B| / |A| flags A as (near-)contained in B, which catches
+    * excerpts, quotes and subset documents whose Jaccard stays low because
+    * the larger doc dilutes the union (the standard companion measure in
+    * crawl dedup). Same inverted-index shape as [[jaccardPairs]] — one
+    * shingle equi-join, work proportional to posting lists — with BOTH
+    * directions scored from the single undirected intersection count.
+    * Emits (inner, outer, containment): inner's shingles are ≥ threshold
+    * covered by outer.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(docs, idCol, textCol)
+    val sh = (maxDocFreq match {
+      case Some(cap) =>
+        val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => sh0
+    }).cache()
+    val cnt = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("ia"), col("s"))
+    val b = sh.select(col(idCol).as("ib"), col("s"))
+    val inter = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(cnt.withColumnRenamed("id", "ia").withColumnRenamed("n_sh", "na"), Seq("ia"))
+      .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
+    // each undirected pair yields up to two directed containment rows
+    val ab = scored.select(col("ia").as("id_in"), col("ib").as("id_out"),
+      (col("inter").cast("double") / col("na")).as("c"))
+    val ba = scored.select(col("ib").as("id_in"), col("ia").as("id_out"),
+      (col("inter").cast("double") / col("nb")).as("c"))
+    ab.unionByName(ba)
+      .filter(col("c") >= threshold)
+      .select(col("id_in"), col("id_out"), round(col("c"), 4).as("containment"))
+  }
+
   /** MinHash signature column: array of 64 per-permutation minima. The
     * shingle string is hashed ONCE (xxhash64); the permutations re-hash
     * only the resulting long inside [[graft.functions.MinHashSig]] — a

@@ -66,7 +66,8 @@ object IngestJob {
       orderingField = tc.sourceOrderingField,
       tableType = tc.tableType,
       compactEvery = if (tc.tableType == GraftTable.MergeOnRead) tc.compactEvery else 0,
-      globalIndex = tc.globalIndex)
+      globalIndex = tc.globalIndex,
+      statsColumns = tc.statsColumns)
 
   def run(spark: SparkSession, pipe: PipelineConfig, tc: TableConfig): TableResult = {
     val t0 = System.currentTimeMillis()

@@ -24,6 +24,11 @@ object LlmQueries {
         maxDocFreq = Some(100))),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", threshold = 0.5)),
+    // asymmetric containment C(A→B) = |A∩B|/|A| — catches excerpts/subset
+    // docs whose Jaccard stays low because the big doc dilutes the union
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.8, maxDocFreq = Some(100))),
     // maxDist=3 keeps the 4-chunk pigeonhole EXACT (d≤3 ⇒ ≥1 chunk equal,
     // so candidate generation provably misses nothing) — the graded result
     // is the complete Hamming-≤3 pair set, oracle-checked end to end
@@ -237,6 +242,18 @@ object LlmQueries {
     // df-capped variant (maxDocFreq=100): shingles above the cap drop from
     // both the index and the per-doc counts — same semantics as the engine
     "dedup_jaccard" -> jaccardSql(Some(100)),
+    // directed containment from the same shingle CTEs: each undirected
+    // pair scores both directions against its own shingle count
+    "dedup_containment" ->
+      s"""WITH ${jaccardCtes(Some(100))},
+         d AS (
+           SELECT ia AS id_in, ib AS id_out, CAST(inter AS DOUBLE) / ca.n AS c
+           FROM pairs JOIN cnt ca ON ia = ca.doc_id
+           UNION ALL
+           SELECT ib, ia, CAST(inter AS DOUBLE) / cb.n
+           FROM pairs JOIN cnt cb ON ib = cb.doc_id)
+         SELECT id_in, id_out, round(c, 4) AS containment
+         FROM d WHERE c >= 0.8""",
     // MinHash-LSH with 16 bands x 4 rows has ~100% recall at J>=0.5 on this
     // corpus (planted near-dups are J~0.8+); candidates are exact-verified,
     // so the result set equals the exact Jaccard pairs.

@@ -57,6 +57,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(cfg.tables.find(_.name == "public.orders").get.transformerSql.isDefined)
   }
 
+  test("stats_columns config plumbs through to the table's column-stats index") {
+    val base = Files.createTempDirectory("graft-pipe-stats").toString
+    val raw = s"$base/raw"; val curated = s"$base/curated"
+    seedRaw(raw)
+    val json =
+      s"""[
+         |{"config":"pipeline::bulk_insert","identifier":"st",
+         | "raw_root":"$raw","curated_root":"$curated","database":"graft",
+         | "step_parallelism":1},
+         |{"config":"table::public.orders","identifier":"st","enabled":true,
+         | "hudi_config":{"record_key":"o_orderkey","source_ordering_field":"trx_seq",
+         |   "stats_columns":"o_totalprice, o_custkey"}}
+         |]""".stripMargin
+    val p = Paths.get(base, "configs.json"); Files.writeString(p, json)
+    val cfg = ConfigLoader.load(p.toString, "st", "bulk_insert")
+    val tc = cfg.tables.head
+    assert(tc.statsColumns == Seq("o_totalprice", "o_custkey"))
+    val report = Pipeline.run(spark, cfg)
+    assert(report.ok)
+    val table = IngestJob.openTable(spark, cfg, tc)
+    val files = table.latestCommit().get.files
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.colStats.contains("o_totalprice") &&
+      f.colStats("o_totalprice").kind == "double"))
+    assert(files.forall(f => f.colStats("o_custkey").kind == "long"))
+  }
+
   test("bulk_insert -> delta chain: full load, incremental no-op, new-file pickup") {
     val base = Files.createTempDirectory("graft-pipe").toString
     val raw = s"$base/raw"; val curated = s"$base/curated"
