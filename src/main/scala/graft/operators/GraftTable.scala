@@ -558,6 +558,37 @@ class GraftTable(
     readKeyRange(f"$lo%019d", f"$hi%019d")
   }
 
+  /** Partition-pruned snapshot read: scan only files whose hive-style
+    * partition values match `spec` (a subset of the partition columns) —
+    * pruned from the MANIFEST's recorded values, so no directory listing
+    * and no partition discovery job ever runs. The residual filter keeps
+    * the result exact even for files written before a partition-evolution.
+    */
+  def readPartition(spec: Map[String, String]): DataFrame = {
+    require(spec.nonEmpty, "empty partition spec")
+    val unknown = spec.keySet -- partitionFields.toSet
+    require(unknown.isEmpty, s"not partition columns: ${unknown.mkString(",")}")
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val residual = (df: DataFrame) =>
+      spec.foldLeft(df) { case (d, (k, v)) => d.filter(col(k) === lit(v)) }
+    // MOR + GLOBAL index cannot prune logs: a key may have MOVED partition
+    // between versions, and pruning away the superseding other-partition
+    // version would resurrect the stale in-partition row. Non-global
+    // identity is (partition, key), so per-partition merge is complete.
+    if (c.logFiles.nonEmpty && globalIndex) return residual(mergedView(c))
+    def matches(f: DataFile): Boolean =
+      spec.forall { case (k, v) => f.partition.get(k).forall(_ == v) }
+    val pruned = c.copy(files = c.files.filter(matches),
+      logFiles = c.logFiles.filter(matches))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val base =
+      if (pruned.logFiles.nonEmpty) mergedView(pruned)
+      else scanFiles(pruned.files, schema)
+    residual(base)
+  }
+
   /** Multi-key POINT LOOKUP with manifest-level file skipping — the
     * serving-path read (Hudi record-level query): each key binary-searches
     * the sorted interval index (O(log files) per key, all driver-side

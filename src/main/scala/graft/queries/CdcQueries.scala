@@ -437,6 +437,15 @@ object CdcQueries {
         .drop(Meta.RecordKey, Meta.CommitSeq)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // partition-pruned read: only manifest entries of the requested
+    // partition are scanned — no directory listing, no discovery job
+    "cdc_partition_read" -> ((s, dir) =>
+      CdcScenario.partitioned(s, dir)
+        .readPartition(Map("o_orderpriority" -> "1-URGENT"))
+        .drop(Meta.RecordKey, Meta.CommitSeq)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_orderpriority"))),
     // multi-key point lookup: each key binary-searches the manifest's
     // interval index; only containing files are scanned, residual IN
     // filter keeps the result exact
@@ -655,6 +664,12 @@ object CdcQueries {
       s"""$finalState
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
          FROM final WHERE o_orderkey BETWEEN 1000 AND 60000""",
+    // the final state restricted to one partition
+    "cdc_partition_read" ->
+      s"""$finalState
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price,
+           o_orderpriority
+         FROM final WHERE o_orderpriority = '1-URGENT'""",
     // the final state restricted to the probed key set (the +10M inserted
     // keys all end in …001 mod 500, so none are probed)
     "cdc_pointlookup" ->

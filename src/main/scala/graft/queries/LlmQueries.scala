@@ -169,6 +169,23 @@ object LlmQueries {
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
           md5(col("redacted")).as("red_md5"))
     }),
+    // payment-card PII: candidate digit runs + codegen'd Luhn validation +
+    // redaction of VALID cards only. The appended numbers are known
+    // fixtures (two Luhn-valid, one invalid, one too short to be a
+    // candidate), so the oracle states ground truth as constants — the
+    // engine's Luhn arithmetic is graded against known answers
+    "text_card_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enriched = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" pay 4532015112830366"))
+            .when(col("doc_id") % 4 === 1, lit(" pay 1234567890123456"))
+            .when(col("doc_id") % 4 === 2, lit(" ref 123456789012"))
+            .otherwise(lit(" pay 4111111111111111"))).as("text"))
+      Scrub.cardAudit(enriched, "doc_id", "text")
+        .select(col("doc_id"), col("n_candidates"), col("n_valid"),
+          md5(col("redacted")).as("red_md5"))
+    }),
     // crawl-style URL canonicalization: messy doc_id-derived URLs (mixed
     // case, tracking params, fragments) normalized identically on both
     // sides — the dedup key a crawl pipeline groups by
@@ -550,6 +567,24 @@ object LlmQueries {
                '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS red_md5
          FROM e""",
 
+    // ground truth by construction: 4532015112830366 and 4111111111111111
+    // are Luhn-valid, 1234567890123456 is not, 123456789012 is 12 digits
+    // (below the 13-16 candidate window)
+    "text_card_audit" ->
+      """WITH e AS (SELECT doc_id, text ||
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN ' pay 4532015112830366'
+             WHEN 1 THEN ' pay 1234567890123456'
+             WHEN 2 THEN ' ref 123456789012'
+             ELSE ' pay 4111111111111111' END AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 0 ELSE 1 END AS INT) AS n_candidates,
+           CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 0 END AS INT) AS n_valid,
+           md5(CASE WHEN doc_id % 4 = 0 THEN replace(t, '4532015112830366', '<CARD>')
+                    WHEN doc_id % 4 = 3 THEN replace(t, '4111111111111111', '<CARD>')
+                    ELSE t END) AS red_md5
+         FROM e""",
     // same canonicalization pipeline, CTE-chained; DuckDB regexp_replace
     // needs the explicit 'g' only on the mid-list utm strip (all other
     // patterns are anchored/single); scheme+host lowercased, path kept

@@ -161,6 +161,48 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(t.read().select("id", "s").as[(Long, String)].collect().sorted.toSeq == before)
   }
 
+  test("partition read scans only the requested partition's files") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      partitionFields = Seq("p"), targetFileBytes = 16 * 1024)
+    val df = (0L until 1000L).toDF("id")
+      .withColumn("p", concat(lit("g"), (col("id") % 4).cast("string")))
+      .withColumn("v", col("id"))
+      .withColumn("trx_seq", lit("001"))
+    t.bulkInsert(df)
+    val got = t.readPartition(Map("p" -> "g2"))
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = (2L until 1000L by 4).toSeq
+    assert(got == want)
+    // the physical scan reads exactly the g2 files from the manifest
+    val all = t.latestCommit().get.files
+    val g2Files = all.count(_.partition.get("p").contains("g2"))
+    assert(g2Files < all.size)
+    val scanned = t.readPartition(Map("p" -> "g2"))
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.length
+      }.sum
+    assert(scanned == g2Files, s"scanned $scanned files, manifest admits $g2Files")
+    // unknown partition value -> empty, unknown column -> loud failure
+    assert(t.readPartition(Map("p" -> "nope")).count() == 0)
+    intercept[IllegalArgumentException] { t.readPartition(Map("q" -> "x")) }
+  }
+
+  test("card audit validates Luhn and redacts only valid cards") {
+    val docs = Seq(
+      (1L, "pay with 4532015112830366 now"),   // valid 16-digit
+      (2L, "fake 1234567890123456 here"),      // candidate, invalid
+      (3L, "short 123456789012 run"),          // 12 digits: not a candidate
+      (4L, "two 4111111111111111 and 4532015112830366 cards"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Scrub.cardAudit(docs, "doc_id", "text")
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 1, 1, "pay with <CARD> now")))
+    assert(got(1) == ((2L, 1, 0, "fake 1234567890123456 here")))
+    assert(got(2) == ((3L, 0, 0, "short 123456789012 run")))
+    assert(got(3) == ((4L, 2, 2, "two <CARD> and <CARD> cards")))
+  }
+
   test("upsert widens column types (int→long, float→double) across the merge") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     val base = (0L until 2000L).toDF("id")
