@@ -51,8 +51,12 @@ object Dedup {
     * the standard stop-shingle treatment). The hot set is at most
     * |postings|/cap shingles, hence broadcastable.
     */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame = {
+  /** Shared posting-join core: undirected pairs sharing ≥1 shingle with
+    * (ia, ib, inter, na, nb) — intersection count plus both docs' shingle
+    * counts. One shingle equi-join; Jaccard and containment are both one
+    * arithmetic step away. */
+  private def pairOverlaps(docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Option[Int]): DataFrame = {
     val sh0 = shingles(docs, idCol, textCol)
     val sh = (maxDocFreq match {
       case Some(cap) =>
@@ -64,16 +68,19 @@ object Dedup {
     val cnt = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("ia"), col("s"))
     val b = sh.select(col(idCol).as("ib"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
+    a.join(b, Seq("s")).filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-    inter
       .join(cnt.withColumnRenamed("id", "ia").withColumnRenamed("n_sh", "na"), Seq("ia"))
       .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
+  }
+
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame =
+    pairOverlaps(docs, idCol, textCol, maxDocFreq)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** CONTAINMENT near-dup pairs — the asymmetric complement to Jaccard:
     * C(A→B) = |A∩B| / |A| flags A as (near-)contained in B, which catches
@@ -87,22 +94,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(docs, idCol, textCol)
-    val sh = (maxDocFreq match {
-      case Some(cap) =>
-        val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select(col("s"))
-        sh0.join(broadcast(hot), Seq("s"), "left_anti")
-      case None => sh0
-    }).cache()
-    val cnt = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("ia"), col("s"))
-    val b = sh.select(col(idCol).as("ib"), col("s"))
-    val inter = a.join(b, Seq("s")).filter(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
-    val scored = inter
-      .join(cnt.withColumnRenamed("id", "ia").withColumnRenamed("n_sh", "na"), Seq("ia"))
-      .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
+    val scored = pairOverlaps(docs, idCol, textCol, maxDocFreq)
     // each undirected pair yields up to two directed containment rows
     val ab = scored.select(col("ia").as("id_in"), col("ib").as("id_out"),
       (col("inter").cast("double") / col("na")).as("c"))
