@@ -356,6 +356,18 @@ object RelationalOracles {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2""",
 
+    // append mode emits only CLOSED windows: end <= max(ts) - 30 min
+    // (the final no-data flush batch advances the watermark there)
+    "st_stream_window_live" ->
+      """WITH m AS (SELECT MAX(ts) AS mx FROM events),
+         w AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2)
+         SELECT CAST(epoch(ws) AS BIGINT) AS epoch_s, event_type, n, cents
+         FROM w, m
+         WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 30 MINUTE""",
+
     "ev_funnel" ->
       """WITH o AS (
            SELECT user_id, event_type, ts,

@@ -629,6 +629,13 @@ object RelationalQueries {
     // the batch join and the integer-cent sums are order-free
     "st_stream_join" -> ((s, dir) =>
       graft.streaming.StreamJoin.attributionStats(s, s"$dir/events.parquet",
-        "st_join_sink"))
+        "st_join_sink")),
+    // a REAL append-mode watermarked window run: each window emits ONCE
+    // when the watermark closes it (state dropped — the unbounded-stream
+    // semantics); the emitted set is exactly the windows whose end ≤
+    // final watermark (max ts − 30 min), which the oracle recomputes
+    "st_stream_window_live" -> ((s, dir) =>
+      graft.streaming.StreamWindow.tumblingStats(s, s"$dir/events.parquet",
+        "st_window_sink"))
   )
 }
