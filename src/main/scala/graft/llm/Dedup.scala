@@ -74,6 +74,11 @@ object Dedup {
       .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
   }
 
+  /** Exact n-gram Jaccard similar pairs via the shared posting join:
+    * J = |A∩B| / (|A|+|B|−|A∩B|). With `maxDocFreq` set, shingles above
+    * the cap drop from BOTH the index and the per-doc counts (the
+    * stop-shingle treatment — see [[pairOverlaps]]), so the result is the
+    * exact Jaccard over the discriminative-shingle space. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame =
     pairOverlaps(docs, idCol, textCol, maxDocFreq)
@@ -93,17 +98,19 @@ object Dedup {
     * covered by outer.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, maxDocFreq: Option[Int] = None): DataFrame = {
-    val scored = pairOverlaps(docs, idCol, textCol, maxDocFreq)
-    // each undirected pair yields up to two directed containment rows
-    val ab = scored.select(col("ia").as("id_in"), col("ib").as("id_out"),
-      (col("inter").cast("double") / col("na")).as("c"))
-    val ba = scored.select(col("ib").as("id_in"), col("ia").as("id_out"),
-      (col("inter").cast("double") / col("nb")).as("c"))
-    ab.unionByName(ba)
+      threshold: Double = 0.8, maxDocFreq: Option[Int] = None): DataFrame =
+    // both directions come out of ONE pass over the scored pairs (explode,
+    // not a self-union — a union of two selects would re-run the whole
+    // posting join per branch)
+    pairOverlaps(docs, idCol, textCol, maxDocFreq)
+      .select(col("inter"), explode(array(
+        struct(col("ia").as("id_in"), col("ib").as("id_out"), col("na").as("n_in")),
+        struct(col("ib").as("id_in"), col("ia").as("id_out"), col("nb").as("n_in"))))
+        .as("d"))
+      .select(col("d.id_in").as("id_in"), col("d.id_out").as("id_out"),
+        (col("inter").cast("double") / col("d.n_in")).as("c"))
       .filter(col("c") >= threshold)
       .select(col("id_in"), col("id_out"), round(col("c"), 4).as("containment"))
-  }
 
   /** MinHash signature column: array of 64 per-permutation minima. The
     * shingle string is hashed ONCE (xxhash64); the permutations re-hash

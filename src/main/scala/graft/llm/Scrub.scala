@@ -89,10 +89,15 @@ object Scrub {
       regexp_extract_all(col(textCol), lit(CardRe), lit(0)),
       array().cast("array<string>"))
     docs.select(col(idCol), col(textCol).as("_t"), cands.as("_c"))
+      // materialize the Luhn-filtered array ONCE: lambda subtrees defeat
+      // common-subexpression elimination, so inlining the filter twice
+      // would run the per-digit checksum over every candidate twice
+      .select(col(idCol), col("_t"), col("_c"),
+        filter(col("_c"), d => luhnValid(d)).as("_v"))
       .select(col(idCol),
         size(col("_c")).as("n_candidates"),
-        size(filter(col("_c"), d => luhnValid(d))).as("n_valid"),
-        aggregate(filter(col("_c"), d => luhnValid(d)), col("_t"),
+        size(col("_v")).as("n_valid"),
+        aggregate(col("_v"), col("_t"),
           (acc, d) => replace(acc, d, lit("<CARD>"))).as("redacted"))
   }
 

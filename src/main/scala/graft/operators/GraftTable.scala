@@ -472,7 +472,15 @@ class GraftTable(
       val tie = struct(col(orderingField),
         if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0),
         if (cols.contains(Meta.CommitSeq)) coalesce(col(Meta.CommitSeq), lit(0L)) else lit(0L))
-      val merged = all.groupBy(col(Meta.RecordKey))
+      // merge identity must MATCH the write side (doUpsert): with a
+      // non-global index a row's identity is (partition, key) — grouping
+      // by key alone would collapse legitimately distinct same-keyed rows
+      // living in different partitions
+      val identity: Seq[Column] =
+        if (!globalIndex && partitionFields.nonEmpty)
+          partitionFields.map(col) :+ col(Meta.RecordKey)
+        else Seq(col(Meta.RecordKey))
+      val merged = all.groupBy(identity: _*)
         .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tie).as("_r"))
         .select(cols.map(c0 => col("_r." + c0).as(c0)).toIndexedSeq: _*)
       if (cols.contains(Meta.Deleted))
@@ -534,16 +542,10 @@ class GraftTable(
     def overlaps(f: DataFile): Boolean =
       !GraftTable.hasReliableStats(f) ||
         (GraftTable.cmpKey(f.minKey, hi) <= 0 && GraftTable.cmpKey(f.maxKey, lo) >= 0)
-    val pruned = c.copy(files = c.files.filter(overlaps),
-      logFiles = c.logFiles.filter(overlaps))
-    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val base =
-      if (pruned.logFiles.nonEmpty) mergedView(pruned)
-      else scanFiles(pruned.files, schema)
     // Spark string comparison is UTF8String binary order — the same
     // collation as cmpKey and the parquet stats, so prune and filter agree
-    base.filter(col(Meta.RecordKey) >= lit(lo) && col(Meta.RecordKey) <= lit(hi))
+    prunedRead(c, overlaps)
+      .filter(col(Meta.RecordKey) >= lit(lo) && col(Meta.RecordKey) <= lit(hi))
   }
 
   /** Numeric-key convenience: [lo, hi] through the order-preserving
@@ -556,6 +558,19 @@ class GraftTable(
       s"numeric key range must be non-negative (got [$lo, $hi]): the " +
         "zero-padded encoding does not order negatives — use the string overload")
     readKeyRange(f"$lo%019d", f"$hi%019d")
+  }
+
+  /** The shared tail of every pruned read: scan the latest-commit subset
+    * selected by `keep` (applied to base and log files alike), through the
+    * merge-on-read view when logs are outstanding. Callers add their own
+    * exact residual filter. */
+  private def prunedRead(c: Commit, keep: DataFile => Boolean): DataFrame = {
+    val pruned = c.copy(files = c.files.filter(keep),
+      logFiles = c.logFiles.filter(keep))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (pruned.logFiles.nonEmpty) mergedView(pruned)
+    else scanFiles(pruned.files, schema)
   }
 
   /** Partition-pruned snapshot read: scan only files whose hive-style
@@ -579,14 +594,7 @@ class GraftTable(
     if (c.logFiles.nonEmpty && globalIndex) return residual(mergedView(c))
     def matches(f: DataFile): Boolean =
       spec.forall { case (k, v) => f.partition.get(k).forall(_ == v) }
-    val pruned = c.copy(files = c.files.filter(matches),
-      logFiles = c.logFiles.filter(matches))
-    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val base =
-      if (pruned.logFiles.nonEmpty) mergedView(pruned)
-      else scanFiles(pruned.files, schema)
-    residual(base)
+    residual(prunedRead(c, matches))
   }
 
   /** Multi-key POINT LOOKUP with manifest-level file skipping — the
@@ -603,19 +611,14 @@ class GraftTable(
     require(keys.nonEmpty, "empty key set")
     val c = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
-    def relevant(files: Seq[DataFile]): Seq[DataFile] = {
+    def relevant(files: Seq[DataFile]): Set[String] = {
       val (statless, statful) = files.partition(f => !GraftTable.hasReliableStats(f))
       val idx = IntervalIndex.build(statful.map(f => (f.minKey, f.maxKey, f.path)))
-      val hitPaths: Set[String] = keys.iterator.flatMap(idx.stab).toSet
-      statless ++ statful.filter(f => hitPaths(f.path))
+      keys.iterator.flatMap(idx.stab).toSet ++ statless.map(_.path)
     }
-    val pruned = c.copy(files = relevant(c.files), logFiles = relevant(c.logFiles))
-    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val base =
-      if (pruned.logFiles.nonEmpty) mergedView(pruned)
-      else scanFiles(pruned.files, schema)
-    base.filter(col(Meta.RecordKey).isin(keys: _*))
+    val keep = relevant(c.files) ++ relevant(c.logFiles)
+    prunedRead(c, f => keep(f.path))
+      .filter(col(Meta.RecordKey).isin(keys: _*))
   }
 
   /** Numeric-key point lookup through the order-preserving zero-padded

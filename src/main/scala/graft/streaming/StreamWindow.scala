@@ -42,6 +42,13 @@ object StreamWindow {
     val withM = events.withColumn("_m", expr("unix_micros(ts)"))
     val bounds = withM.stat.approxQuantile("_m",
       (1 until slices).map(_.toDouble / slices).toArray, 0.0).map(_.toLong)
+    val inDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$base/in"))
+    // the file source orders by modification time: stamp each slice with
+    // an EXPLICIT, strictly-increasing mtime (seconds apart) — wall-clock
+    // sleeps would break on filesystems with coarse mtime granularity and
+    // a tie processed out of order drops a whole slice as late data
+    val epoch = 1700000000000L
     (0 until slices).foreach { i =>
       val lo: Option[Long] = if (i == 0) None else Some(bounds(i - 1))
       val hi: Option[Long] = if (i == slices - 1) None else Some(bounds(i))
@@ -49,8 +56,14 @@ object StreamWindow {
         .filter(lo.map(col("_m") > lit(_)).getOrElse(lit(true)))
         .filter(hi.map(col("_m") <= lit(_)).getOrElse(lit(true)))
         .drop("_m")
-      part.coalesce(1).write.mode("append").parquet(s"$base/in")
-      Thread.sleep(50) // distinct mtimes: the source orders files by them
+      val stage = s"$base/slice$i"
+      part.coalesce(1).write.mode("overwrite").parquet(stage)
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = inDir.resolve(f"slice$i%03d.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(epoch + i * 2000L))
     }
     spark.catalog.dropTempView(sinkTable)
     val q = spark.readStream.schema(events.schema)

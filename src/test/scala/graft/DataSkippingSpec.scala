@@ -188,6 +188,24 @@ class DataSkippingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.readPartition(Map("q" -> "x")) }
   }
 
+  test("non-global MOR merge keeps same-keyed rows in different partitions distinct") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), partitionFields = Seq("p"),
+      targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead,
+      globalIndex = false)
+    t.bulkInsert(Seq((42L, "p1", "a", "001"), (7L, "p1", "b", "001"))
+      .toDF("id", "p", "v", "trx_seq"))
+    // same key lands in ANOTHER partition via delta logs: under non-global
+    // identity these are two distinct live rows — the merge-on-read view
+    // must group by (partition, key), not key alone
+    t.upsert(Seq((42L, "p2", "c", "002")).toDF("id", "p", "v", "trx_seq"))
+    val got = t.readUser().select("id", "p", "v")
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(got == Seq((7L, "p1", "b"), (42L, "p1", "a"), (42L, "p2", "c")))
+    val p1 = t.readPartition(Map("p" -> "p1")).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(p1 == Seq(7L, 42L))
+  }
+
   test("card audit validates Luhn and redacts only valid cards") {
     val docs = Seq(
       (1L, "pay with 4532015112830366 now"),   // valid 16-digit
