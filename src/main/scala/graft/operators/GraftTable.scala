@@ -59,18 +59,26 @@ class GraftTable(
 
   // ---------------------------------------------------------------- helpers
 
-  /** Precombine (M1): among rows sharing a record key keep the one with the
-    * max ordering value; on ties the delete tombstone wins (Hudi semantics).
-    * One hash-shuffle on the key; max_by carries the whole row so there is
-    * no second join back.
+  /** Precombine (M1): among rows sharing a row IDENTITY keep the one with
+    * the max ordering value; on ties the delete tombstone wins (Hudi
+    * semantics). Identity matches the table's index scope — Hudi's
+    * HoodieKey: the record key alone under a global index, (partition,
+    * key) under a non-global one, where same-keyed rows in different
+    * partitions are distinct and must both survive a single batch. One
+    * hash-shuffle; max_by carries the whole row so there is no second
+    * join back.
     */
   def precombine(batch: DataFrame): DataFrame = {
     val cols = batch.columns
     val tieBreak = struct(
       col(orderingField),
       if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0))
+    val identity: Seq[Column] =
+      if (!globalIndex && partitionFields.nonEmpty && partitionFields.forall(cols.contains))
+        partitionFields.map(col) :+ col(Meta.RecordKey)
+      else Seq(col(Meta.RecordKey))
     batch
-      .groupBy(col(Meta.RecordKey))
+      .groupBy(identity: _*)
       .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieBreak).as("_r"))
       .select((Meta.RecordKey +: cols.filterNot(_ == Meta.RecordKey))
         .map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
@@ -652,16 +660,48 @@ class GraftTable(
     readColumnRangeTyped(column, "string", lo, hi, lit(lo), lit(hi))
 
   private def readColumnRangeTyped(column: String, kind: String,
-      lo: String, hi: String, loLit: Column, hiLit: Column): DataFrame = {
-    require(GraftTable.cmpStat(kind, lo, hi) <= 0, s"empty range [$lo, $hi] on $column")
+      lo: String, hi: String, loLit: Column, hiLit: Column): DataFrame =
+    readColumnBox(Seq((column, lo, hi)))
+
+  /** Multi-column BOX read — the query shape [[clusterZOrder]] optimizes
+    * the layout for: every range must hold at once, and every range with a
+    * same-kind tracked stat prunes files independently (the kept set is
+    * the intersection). Bounds are matched to stat kinds by runtime type:
+    * Long/Int → long, Double/Float → double, String → string. The exact
+    * residual conjunction runs on the pruned scan; MOR with outstanding
+    * logs falls back to filter-after-merge for the same reason as the
+    * single-column read.
+    */
+  def readColumnBox(ranges: Seq[(String, Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "empty box")
+    def enc(v: Any): (String, String, Column) = v match {
+      case x: Long   => ("long", x.toString, lit(x))
+      case x: Int    => ("long", x.toLong.toString, lit(x.toLong))
+      case x: Double => ("double", x.toString, lit(x))
+      case x: Float  => ("double", x.toDouble.toString, lit(x.toDouble))
+      case x: String => ("string", x, lit(x))
+      case other => throw new IllegalArgumentException(
+        s"unsupported bound type ${other.getClass.getSimpleName} (long/double/string)")
+    }
+    val typed = ranges.map { case (column, lo0, hi0) =>
+      val (kl, lo, loLit) = enc(lo0)
+      val (kh, hi, hiLit) = enc(hi0)
+      require(kl == kh, s"$column: mixed bound types ($kl vs $kh)")
+      require(GraftTable.cmpStat(kl, lo, hi) <= 0, s"empty range [$lo, $hi] on $column")
+      (column, kl, lo, hi, loLit, hiLit)
+    }
     val c = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
-    val residual = col(column) >= loLit && col(column) <= hiLit
+    val residual = typed.map { case (column, _, _, _, loLit, hiLit) =>
+      col(column) >= loLit && col(column) <= hiLit
+    }.reduce(_ && _)
     if (c.logFiles.nonEmpty) return mergedView(c).filter(residual)
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    scanFiles(GraftTable.filesInColumnRange(c.files, column, kind, lo, hi), schema)
-      .filter(residual)
+    val kept = typed.foldLeft(c.files) { case (fs, (column, kind, lo, hi, _, _)) =>
+      GraftTable.filesInColumnRange(fs, column, kind, lo, hi)
+    }
+    scanFiles(kept, schema).filter(residual)
   }
 
   /** Incremental query: rows from files ADDED by commits after `sinceSeq`

@@ -465,6 +465,16 @@ object CdcQueries {
     // z-order clustering: layout moves to the (o_custkey, o_totalprice)
     // Z-curve, snapshot contents must be unchanged
     "cdc_zorder" -> ((s, dir) => statusAgg(CdcScenario.zordered(s, dir))),
+    // 2-D box read over the z-ordered layout — BOTH tracked dimensions
+    // prune files (the query shape z-order exists for); exact residual
+    "cdc_zorder_box" -> ((s, dir) =>
+      CdcScenario.zordered(s, dir)
+        .readColumnBox(Seq(("o_custkey", 100L, 800L),
+          ("o_totalprice", 50000.5, 200000.25)))
+        .drop(Meta.RecordKey, Meta.CommitSeq)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"))),
     // savepoint: after clean(1) removed all non-latest history, the pinned
     // commit-1 snapshot must still read completely (same as time travel)
     "cdc_savepoint" -> ((s, dir) =>
@@ -683,6 +693,31 @@ object CdcQueries {
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_custkey
          FROM final WHERE o_custkey BETWEEN 100 AND 800""",
     "cdc_zorder" -> statusAggSql,
+    // the box filters run on the RAW double price (the snapshot's stored
+    // value — same double arithmetic in both engines); output is the
+    // usual decimal-cast double
+    "cdc_zorder_box" ->
+      """WITH raw AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'V'
+                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN 'R'
+                  WHEN o_orderkey % 10 = 0 THEN 'U'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN o_totalprice
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS praw,
+             o_custkey
+           FROM orders
+           WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0)
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'N', o_totalprice, o_custkey
+           FROM orders WHERE o_orderkey % 1000 = 1)
+         SELECT o_orderkey, o_orderstatus,
+           CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price, o_custkey
+         FROM raw
+         WHERE o_custkey BETWEEN 100 AND 800
+           AND praw BETWEEN 50000.5 AND 200000.25""",
     // savepoint(1) after clean == the commit-1 snapshot == time travel
     "cdc_savepoint" ->
       """SELECT o_orderkey,

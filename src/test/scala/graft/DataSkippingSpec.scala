@@ -147,6 +147,16 @@ class DataSkippingSpec extends AnyFunSuite {
     val got = t.readColumnRange("y", 0L, 511L).select("id").as[Long].collect().sorted.toSeq
     val want = df.filter(col("y") <= 511).select("id").as[Long].collect().sorted.toSeq
     assert(got == want)
+    // 2-D box: the kept set is the INTERSECTION of per-dimension prunes,
+    // strictly smaller than either dimension alone on this layout
+    val xKept = GraftTable.filesInColumnRange(zFiles, "x", "long", "0", "1023")
+    val boxKept = GraftTable.filesInColumnRange(xKept, "y", "long", "0", "511")
+    assert(boxKept.size < xKept.size && boxKept.size < yPruned.size)
+    val gotBox = t.readColumnBox(Seq(("x", 0L, 1023L), ("y", 0L, 511L)))
+      .select("id").as[Long].collect().sorted.toSeq
+    val wantBox = df.filter(col("x") <= 1023 && col("y") <= 511)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(gotBox == wantBox)
   }
 
   test("z-order falls back to the key layout when a z column has no numeric bounds") {
@@ -204,6 +214,13 @@ class DataSkippingSpec extends AnyFunSuite {
     val p1 = t.readPartition(Map("p" -> "p1")).select("id").as[Long]
       .collect().sorted.toSeq
     assert(p1 == Seq(7L, 42L))
+    // ONE batch carrying the same key in both partitions: precombine must
+    // dedup by (partition, key) — Hudi's HoodieKey — not collapse them
+    t.upsert(Seq((42L, "p1", "d", "003"), (42L, "p2", "e", "003"))
+      .toDF("id", "p", "v", "trx_seq"))
+    val after = t.readUser().filter(col("id") === 42L).select("p", "v")
+      .as[(String, String)].collect().sorted.toSeq
+    assert(after == Seq(("p1", "d"), ("p2", "e")))
   }
 
   test("card audit validates Luhn and redacts only valid cards") {
