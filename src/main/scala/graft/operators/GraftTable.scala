@@ -650,17 +650,17 @@ class GraftTable(
     * superseding out-of-range version would resurrect a stale in-range row.
     * Compaction restores the pruned path.
     */
+  // overloads hand the ORIGINAL typed bounds to the box read — its
+  // runtime-type encoding picks the stat kind, so a pre-stringified bound
+  // would silently kind-mismatch every numeric stat and disable pruning
+  // (the plan-shape spec pins the scanned-file count against exactly that)
   def readColumnRange(column: String, lo: Long, hi: Long): DataFrame =
-    readColumnRangeTyped(column, "long", lo.toString, hi.toString, lit(lo), lit(hi))
+    readColumnBox(Seq((column, lo, hi)))
 
   def readColumnRange(column: String, lo: Double, hi: Double): DataFrame =
-    readColumnRangeTyped(column, "double", lo.toString, hi.toString, lit(lo), lit(hi))
+    readColumnBox(Seq((column, lo, hi)))
 
   def readColumnRange(column: String, lo: String, hi: String): DataFrame =
-    readColumnRangeTyped(column, "string", lo, hi, lit(lo), lit(hi))
-
-  private def readColumnRangeTyped(column: String, kind: String,
-      lo: String, hi: String, loLit: Column, hiLit: Column): DataFrame =
     readColumnBox(Seq((column, lo, hi)))
 
   /** Multi-column BOX read — the query shape [[clusterZOrder]] optimizes

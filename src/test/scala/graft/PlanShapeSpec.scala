@@ -79,6 +79,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("least(") && p.contains("greatest("))
   }
 
+  test("containment derives both directions in one pass — no plan-doubling union") {
+    val p = plan("dedup_containment")
+    // a self-union of two selects over the scored pairs would re-run the
+    // whole posting join per branch; the explode form runs it once
+    assert(!p.contains("Union"))
+    assert(p.contains("Generate"))
+  }
+
   test("explicit-value pivot is one aggregate pass, no value-discovery job") {
     val p = plan("tr3_agg_pivot")
     // implicit pivot first runs a distinct over the pivot column; the
