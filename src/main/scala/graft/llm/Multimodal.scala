@@ -96,13 +96,17 @@ object Multimodal {
     binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val frames = PpmCodec.frameOffsets(payload)
-          val (w, h, _) = PpmCodec.decode(payload) // first frame geometry
-          val sampled = PpmCodec.sampleStream(payload, k)
-          val keptFrames = PpmCodec.decodeStream(sampled)
+          // ONE header walk; only the KEPT frames are decoded (frame 0 is
+          // always kept, so its geometry doubles as the stream's)
+          val offs = PpmCodec.frameOffsets(payload)
+          val kept = offs.zipWithIndex.collect { case (o, i) if i % k == 0 => o }
+          val keptFrames = kept.map { case (off, len) =>
+            PpmCodec.decode(java.util.Arrays.copyOfRange(payload, off, off + len))
+          }
+          val (w, h, _) = keptFrames.head
           val pxKept = keptFrames.map(f => PpmCodec.pixelSum(f._3)).sum
-          (id, frames.size, w, h, payload.length.toLong,
-            keptFrames.size, sampled.length.toLong, pxKept)
+          (id, offs.size, w, h, payload.length.toLong,
+            keptFrames.size, kept.map(_._2.toLong).sum, pxKept)
         }
       }
       .toDF(idCol, "n_frames", "w", "h", "total_bytes",

@@ -312,6 +312,21 @@ class Timeline(tableRoot: String) {
     toArchive.size
   }
 
+  /** Read a commit wherever it lives: active timeline first, then the
+    * archive (full-manifest records survive there) — an incremental
+    * consumer that lagged past an `archive()` window must still be able
+    * to resolve its baseline and deltas instead of dying on a missing
+    * active-timeline file. */
+  def readIncludingArchived(seq: Long): Commit =
+    try read(seq)
+    catch {
+      case e: java.nio.file.NoSuchFileException =>
+        readArchived().find(_.seq == seq).getOrElse(
+          throw new IllegalArgumentException(
+            s"commit $seq is on neither the active timeline nor the archive " +
+              "(cleaned past retention?)", e))
+    }
+
   /** Commits preserved in the archive (oldest first). */
   def readArchived(): Seq[Commit] =
     if (!Files.exists(archiveDir)) Seq.empty

@@ -229,14 +229,7 @@ class GraftTable(
     catch {
       case e: IllegalStateException =>
         staged.map(_.path.split("/").take(2).mkString("/")).distinct.foreach { d =>
-          val p = Paths.get(root, d)
-          if (Files.exists(p)) {
-            import scala.jdk.CollectionConverters._
-            Using.resource(java.nio.file.Files.walk(p)) { s =>
-              s.sorted(java.util.Comparator.reverseOrder())
-                .iterator().asScala.foreach(Files.deleteIfExists(_))
-            }
-          }
+          graft.util.Fs.deleteRecursively(Paths.get(root, d))
         }
         throw e
     }
@@ -299,6 +292,13 @@ class GraftTable(
   private def doUpsert(batch0: DataFrame, checkpoint: Option[String]): Commit = {
     val prev = timeline.latest().getOrElse(
       return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+    // close the routing TOCTOU: callers branch on latest().isDefined BEFORE
+    // calling in, and a racer (an optimistic writer never holds the lock)
+    // can land the first commit in between — a MOR table must still take
+    // the delta-log path here, or its base files get a COW rewrite and the
+    // change-exact incremental contract breaks
+    if (tableType == GraftTable.MergeOnRead)
+      return doDeltaCommit(batch0, checkpoint, allowInlineCompact = false)
     // persisted: the precombined batch feeds BOTH the pruning pass and the
     // merge — without caching, the precombine shuffle would run twice
     val batch = precombine(prepared(batch0))
@@ -361,14 +361,16 @@ class GraftTable(
       if (df.columns.contains(Meta.CommitSeq)) coalesce(col(Meta.CommitSeq), lit(seq))
       else lit(seq))
 
+    // schema evolution may WIDEN a column's type (int→long, float→double,
+    // Avro-resolution lattice): the union schema is computed against the
+    // PREVIOUS MANIFEST schema even when no files are affected — an
+    // insert-only batch (all-new keys, affected = empty) still carries
+    // every prior file, so committing the batch's own schema would
+    // silently drop prior columns or narrow widened types for them
+    val wide = GraftTable.widenSchemas(prevSchema, batch.schema)
     val merged = existing match {
-      case None => batch
+      case None => GraftTable.castTo(batch, wide)
       case Some(ex0) =>
-        // schema evolution may WIDEN a column's type (int→long,
-        // float→double, Avro-resolution lattice): cast both sides to the
-        // per-field widened schema before the union — an unwidenable
-        // clash (string vs int) fails loudly here, never silently
-        val wide = GraftTable.widenSchemas(ex0.schema, batch.schema)
         val ex = GraftTable.castTo(ex0, wide)
         val unioned = ex.unionByName(GraftTable.castTo(batch, wide),
           allowMissingColumns = true)
@@ -404,8 +406,11 @@ class GraftTable(
       val rowWidth =
         if (prevRows > 0) math.max(16L, prev.files.map(_.bytes).sum / prevRows) else 128L
       val newFiles = writeFiles(persisted, seq, rows * rowWidth)
+      // manifest schema = the widened UNION (+ any meta column live added):
+      // never the batch's own schema — carried files keep their columns
       commitOrCleanStage(Commit(seq, "upsert", untouched ++ newFiles,
-        schemaJson(live), checkpoint, System.currentTimeMillis(),
+        GraftTable.widenSchemas(wide, live.schema).json,
+        checkpoint, System.currentTimeMillis(),
         extra = GraftTable.writeMetrics(newFiles) +
           ("files_rewritten" -> affected.size.toString) +
           ("files_carried" -> untouched.size.toString)), newFiles)
@@ -719,8 +724,10 @@ class GraftTable(
     * Same granularity notes as [[readChangesSince]]. */
   def readChangesBetween(sinceSeq: Long, untilSeq: Long): DataFrame = {
     require(sinceSeq <= untilSeq, s"empty commit range ($sinceSeq, $untilSeq]")
-    val upper = timeline.read(untilSeq)
-    val baseline = timeline.read(sinceSeq)
+    // archive-aware: a consumer pulling a window that archiving has moved
+    // off the active timeline must still resolve both endpoints
+    val upper = timeline.readIncludingArchived(untilSeq)
+    val baseline = timeline.readIncludingArchived(sinceSeq)
     val old = (baseline.files ++ baseline.logFiles).map(_.path).toSet
     val added = (upper.files ++ upper.logFiles).filterNot(f => old(f.path))
     val schema = org.apache.spark.sql.types.DataType.fromJson(upper.schemaJson)
@@ -760,11 +767,19 @@ class GraftTable(
 
   /** Commits with seq in (fromExclusive, toInclusive], oldest first —
     * reads ONLY the window's manifests (a long-lived incremental consumer
-    * must not re-materialize the whole timeline per poll). */
-  def history(fromExclusive: Long, toInclusive: Long): Seq[Commit] =
-    timeline.listCommitSeqs()
+    * must not re-materialize the whole timeline per poll). Commits the
+    * window overlaps that have been ARCHIVED off the active timeline are
+    * resolved from the archive, so a lagging consumer sees every commit
+    * instead of a silent gap. */
+  def history(fromExclusive: Long, toInclusive: Long): Seq[Commit] = {
+    val active = timeline.listCommitSeqs()
       .filter(s => s > fromExclusive && s <= toInclusive)
-      .map(timeline.read)
+    val activeSet = active.toSet
+    val archived = timeline.readArchived()
+      .filter(c => c.seq > fromExclusive && c.seq <= toInclusive &&
+        !activeSet(c.seq))
+    (archived ++ active.map(timeline.read)).sortBy(_.seq)
+  }
 
   // --------------------------------------------------------- table services
 
@@ -810,9 +825,17 @@ class GraftTable(
       struct(zCols.flatMap(c =>
         Seq(min(asD(c)).as(s"mn_$c"), max(asD(c)).as(s"mx_$c"))): _*).as("b"))
       .select("b.*").head()
-    // empty snapshot or an all-null / non-numeric z column has no bounds —
-    // fall back to the key-sorted layout rather than NPE on unboxing
-    if (zCols.exists(c => bounds.isNullAt(bounds.fieldIndex(s"mn_$c")))) {
+    // empty snapshot, all-null / non-numeric z column, or NaN/±Infinity
+    // extrema (NaN sorts above every double, so max() returns it; either
+    // poisons the span into NaN buckets and the ANSI long-cast throws) —
+    // fall back to the key-sorted layout rather than fail the rewrite
+    def unusable(field: String): Boolean = {
+      val i = bounds.fieldIndex(field)
+      bounds.isNullAt(i) || {
+        val v = bounds.getDouble(i); v.isNaN || v.isInfinite
+      }
+    }
+    if (zCols.exists(c => unusable(s"mn_$c") || unusable(s"mx_$c"))) {
       val files = writeFiles(snap, seq, prev.files.map(_.bytes).sum)
       return timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
         prev.checkpoint, System.currentTimeMillis(),
@@ -910,10 +933,7 @@ class GraftTable(
             .foldLeft(0L)(math.max)
         }
         if (newest < cutoff) {
-          Using.resource(Files.walk(d)) { s =>
-            s.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(Files.deleteIfExists(_))
-          }
+          graft.util.Fs.deleteRecursively(d)
           removed += 1
         }
       }

@@ -58,8 +58,10 @@ object StreamWindow {
         .drop("_m")
       val stage = s"$base/slice$i"
       part.coalesce(1).write.mode("overwrite").parquet(stage)
-      val src = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val src = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(stage))) { s =>
+        s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      }
       val dst = inDir.resolve(f"slice$i%03d.parquet")
       java.nio.file.Files.move(src, dst)
       java.nio.file.Files.setLastModifiedTime(dst,

@@ -190,7 +190,5 @@ object CatalogSync {
     sb.toString
   }
 
-  private def deleteTree(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+  private def deleteTree(p: Path): Unit = graft.util.Fs.deleteRecursively(p)
 }

@@ -263,6 +263,55 @@ class DataSkippingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.upsert(clash) }
   }
 
+  test("insert-only upsert keeps the full manifest schema for carried files") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert((0L until 100L).toDF("id")
+      .withColumn("v", col("id").cast("int"))
+      .withColumn("note", concat(lit("n"), col("id")))
+      .withColumn("trx_seq", lit("001")))
+    // all-new keys above the global max: affected = empty, every prior
+    // file is carried — the committed schema must still be the widened
+    // UNION (note survives, v widens), not the batch's own narrow schema
+    t.upsert(Seq((1000L, 5000000000L, "002")).toDF("id", "v", "trx_seq"))
+    val sch = t.read().schema
+    assert(sch.fieldNames.contains("note"), "carried column vanished from the manifest schema")
+    assert(sch("v").dataType == org.apache.spark.sql.types.LongType)
+    val got = t.readUser().filter(col("id").isin(5L, 1000L))
+      .select("id", "v", "note").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((5L, 5L, Some("n5")), (1000L, 5000000000L, None)))
+    assert(t.read().count() == 101)
+  }
+
+  test("incremental feed resolves commits that archiving moved off the active timeline") {
+    val base = Files.createTempDirectory("graft-feed-archive")
+    val out = s"$base/out"
+    val ck = base.resolve("ck.seq")
+    val t = new GraftTable(spark, s"$base/table", Seq("id"),
+      targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead)
+    t.bulkInsert((0L until 200L).toDF("id")
+      .withColumn("v", col("id")).withColumn("trx_seq", lit("001")))
+    t.upsert(Seq((3L, 300L, "002")).toDF("id", "v", "trx_seq"))
+    t.upsert(Seq((4L, 400L, "003")).toDF("id", "v", "trx_seq"))
+    // archive everything but the tip BEFORE the consumer catches up
+    t.archive(keepLast = 1)
+    val h = graft.streaming.IncrementalFeed.start(t, ck, startSeq = 0L,
+      pollMs = 50L) { (df, _, _) => df.write.mode("append").parquet(out) }
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (h.consumedSeq < 2) {
+        h.checkFailed()
+        assert(System.currentTimeMillis() < deadline, "feed stuck behind the archive")
+        Thread.sleep(50)
+      }
+    } finally h.stop()
+    val emitted = spark.read.parquet(out).select("id", "v")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(emitted == Seq((3L, 300L), (4L, 400L)),
+      s"archived-window changes must still deliver, got $emitted")
+  }
+
   test("MOR delta commit widens types; merge-on-read view reads old base files") {
     val t = new GraftTable(spark, tmp(), Seq("id"),
       targetFileBytes = 16 * 1024, tableType = GraftTable.MergeOnRead)
