@@ -99,6 +99,11 @@ object Multimodal {
           // ONE header walk; only the KEPT frames are decoded (frame 0 is
           // always kept, so its geometry doubles as the stream's)
           val offs = PpmCodec.frameOffsets(payload)
+          // impossible from asPpmVideoTable (>= 2 frames by construction)
+          // but this is a public API: a frameless payload must fail with
+          // the offending id, not a bare NoSuchElementException from .head
+          require(offs.nonEmpty,
+            s"payload for id=$id contains no PPM frames (empty or non-PPM stream)")
           val kept = offs.zipWithIndex.collect { case (o, i) if i % k == 0 => o }
           val keptFrames = kept.map { case (off, len) =>
             PpmCodec.decode(java.util.Arrays.copyOfRange(payload, off, off + len))

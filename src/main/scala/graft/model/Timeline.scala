@@ -87,6 +87,16 @@ private[model] case class CommitRecord(
     logAdds: Option[Seq[DataFile]] = None,
     logRemoves: Option[Seq[String]] = None)
 
+/** Thrown by [[Timeline.commit]] when a DIFFERENT concurrent commit
+  * already owns the seq — the optimistic-concurrency conflict signal.
+  * A dedicated type (not message text) so retry loops match reliably:
+  * substring-matching the message would silently stop retrying on a
+  * reword and retry unrelated IllegalStateExceptions that happen to
+  * contain the phrase. Extends IllegalStateException so pre-existing
+  * catch sites keep working.
+  */
+class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
+
 /** Filesystem commit timeline. Write protocol: data files first, then the
   * manifest via write-temp + atomic-rename — a reader either sees the old
   * complete snapshot or the new complete snapshot (ST4 exactly-once: re-run
@@ -266,7 +276,7 @@ class Timeline(tableRoot: String) {
           existing.files.map(_.path).toSet == c.files.map(_.path).toSet &&
           existing.logFiles.map(_.path).toSet == c.logFiles.map(_.path).toSet
         if (same) existing
-        else throw new IllegalStateException(
+        else throw new ConcurrentCommitException(
           s"concurrent writer already committed seq ${c.seq} at $target with a different file set")
     }
   }

@@ -223,16 +223,31 @@ class GraftTable(
 
   /** Publish `c`, and if a DIFFERENT concurrent commit already owns the
     * seq (optimistic loser), remove this attempt's freshly staged dirs —
-    * they are referenced by no manifest — before rethrowing for retry. */
-  private def commitOrCleanStage(c: Commit, staged: Seq[DataFile]): Commit =
+    * they are referenced by no manifest — before rethrowing for retry.
+    *
+    * Last-ditch staged-file validation: a writer SUSPENDED past
+    * `staleLockMs` (its in-flight marker went stale) may have had its
+    * stage garbage-collected by maintenance that legitimately presumed it
+    * dead. Committing would publish a manifest referencing deleted files —
+    * re-check existence right before the publish and convert the loss
+    * into an OCC conflict (the retry loop recomputes from scratch).
+    */
+  private def commitOrCleanStage(c: Commit, staged: Seq[DataFile]): Commit = {
+    def dropStage(): Unit =
+      staged.map(_.path.split("/").take(2).mkString("/")).distinct.foreach { d =>
+        graft.util.Fs.deleteRecursively(Paths.get(root, d))
+      }
+    if (!staged.forall(f => Files.exists(Paths.get(root, f.path)))) {
+      dropStage()
+      throw new graft.model.ConcurrentCommitException(
+        s"staged files for seq ${c.seq} were garbage-collected mid-write " +
+          "(writer presumed dead after a stall?); recompute and retry")
+    }
     try timeline.commit(c)
     catch {
-      case e: IllegalStateException =>
-        staged.map(_.path.split("/").take(2).mkString("/")).distinct.foreach { d =>
-          graft.util.Fs.deleteRecursively(Paths.get(root, d))
-        }
-        throw e
+      case e: IllegalStateException => dropStage(); throw e
     }
+  }
 
   /** OPTIMISTIC multi-writer upsert (the Hudi/Delta OCC shape): no writer
     * lock — read the snapshot, compute the merge, publish through the
@@ -242,11 +257,18 @@ class GraftTable(
     * abandoned stage dir is deleted before the retry. Writers pay
     * recompute on conflict instead of serializing up front — the right
     * trade when concurrent writers usually touch disjoint regions.
-    * Maintenance (clean / archive / cluster / compact) still takes the
-    * single-writer lock and must not run concurrently with OCC writers.
+    *
+    * Maintenance exclusion is ENFORCED, not advisory: the whole
+    * read-compute-commit window runs under an in-flight marker
+    * ([[withInflightMarker]]); file-deleting maintenance (`clean`,
+    * `rollback`) fences new optimistic writers and drains live markers
+    * before touching any data file, so a writer never reads (or commits
+    * a manifest over) files maintenance is deleting. Commit-creating
+    * maintenance (`compact`, `cluster`) needs no fence — the timeline's
+    * seq CAS already resolves those races.
     */
   def upsertOptimistic(batch0: DataFrame, checkpoint: Option[String] = None,
-      maxRetries: Int = 5): Commit = {
+      maxRetries: Int = 5): Commit = withInflightMarker {
     var attempt = 0
     while (true) {
       try {
@@ -257,8 +279,7 @@ class GraftTable(
           doDeltaCommit(batch0, checkpoint, allowInlineCompact = false)
         else doUpsert(batch0, checkpoint)
       } catch {
-        case e: IllegalStateException if e.getMessage != null &&
-            e.getMessage.contains("concurrent writer") =>
+        case e: graft.model.ConcurrentCommitException =>
           attempt += 1
           if (attempt > maxRetries) throw e
           // jittered backoff so racers do not re-collide in lockstep
@@ -503,8 +524,26 @@ class GraftTable(
   }
 
   /** T4 — compaction: materialize the merged view into fresh base files and
-    * clear the log set. */
-  def compact(): Commit = withLock(doCompact())
+    * clear the log set. Retries on an optimistic writer winning the seq —
+    * a snapshot rewrite is always re-computable from the new latest. */
+  def compact(): Commit = withLock(retryOnConflict(doCompact()))
+
+  /** Re-run a snapshot-rewrite maintenance op when a lock-free optimistic
+    * writer wins its seq: the op reads latest() afresh each attempt, so a
+    * retry is simply the same rewrite over the winner's snapshot. */
+  private def retryOnConflict(f: => Commit, maxRetries: Int = 5): Commit = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: graft.model.ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(25L + scala.util.Random.nextInt(100))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def doCompact(): Commit = {
     val prev = timeline.latest().getOrElse(
@@ -679,11 +718,18 @@ class GraftTable(
     */
   def readColumnBox(ranges: Seq[(String, Any, Any)]): DataFrame = {
     require(ranges.nonEmpty, "empty box")
+    def encD(x: Double): (String, String, Column) = {
+      // NaN compares false against everything in SQL — a NaN bound can only
+      // mean a caller bug, and letting it through would prune arbitrarily
+      require(!x.isNaN, "NaN is not a valid range bound")
+      val n = GraftTable.normDouble(x)
+      ("double", n.toString, lit(n))
+    }
     def enc(v: Any): (String, String, Column) = v match {
       case x: Long   => ("long", x.toString, lit(x))
       case x: Int    => ("long", x.toLong.toString, lit(x.toLong))
-      case x: Double => ("double", x.toString, lit(x))
-      case x: Float  => ("double", x.toDouble.toString, lit(x.toDouble))
+      case x: Double => encD(x)
+      case x: Float  => encD(x.toDouble)
       case x: String => ("string", x, lit(x))
       case other => throw new IllegalArgumentException(
         s"unsupported bound type ${other.getClass.getSimpleName} (long/double/string)")
@@ -772,20 +818,30 @@ class GraftTable(
     * resolved from the archive, so a lagging consumer sees every commit
     * instead of a silent gap. */
   def history(fromExclusive: Long, toInclusive: Long): Seq[Commit] = {
-    val active = timeline.listCommitSeqs()
-      .filter(s => s > fromExclusive && s <= toInclusive)
+    val all = timeline.listCommitSeqs()
+    val active = all.filter(s => s > fromExclusive && s <= toInclusive)
+    // The archive only ever holds the timeline's OLDEST PREFIX (archive()
+    // moves seqs strictly below every surviving active seq), so when the
+    // active timeline already reaches down to the window's first possible
+    // seq the archive cannot contribute — a long-lived incremental poller
+    // whose window is fully active then skips the O(entire archive)
+    // deserialization it would otherwise pay on every poll.
+    val activeCoversWindow = all.headOption.exists(_ <= fromExclusive + 1)
     val activeSet = active.toSet
-    val archived = timeline.readArchived()
-      .filter(c => c.seq > fromExclusive && c.seq <= toInclusive &&
-        !activeSet(c.seq))
+    val archived =
+      if (activeCoversWindow) Seq.empty
+      else timeline.readArchived()
+        .filter(c => c.seq > fromExclusive && c.seq <= toInclusive &&
+          !activeSet(c.seq))
     (archived ++ active.map(timeline.read)).sortBy(_.seq)
   }
 
   // --------------------------------------------------------- table services
 
   /** T1 inline clustering: rewrite the snapshot into right-sized key-sorted
-    * files (small-file compaction, reference handler.py:73,81). */
-  def cluster(): Commit = withLock {
+    * files (small-file compaction, reference handler.py:73,81). Retries on
+    * an optimistic writer winning the seq (see [[retryOnConflict]]). */
+  def cluster(): Commit = withLock(retryOnConflict {
     val prev = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val seq = prev.seq + 1
@@ -794,7 +850,7 @@ class GraftTable(
       prev.checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(files) +
         ("files_before" -> prev.files.size.toString)))
-  }
+  })
 
   /** T1 variant — Z-ORDER clustering (Delta OPTIMIZE ZORDER BY / Hudi
     * clustering with z-order sort): rewrite the snapshot laid out along the
@@ -810,7 +866,7 @@ class GraftTable(
     * the z-value is a sort EXPRESSION, never materialized into the data.
     * Contents are byte-identical to the input snapshot; only layout moves.
     */
-  def clusterZOrder(zCols: Seq[String]): Commit = withLock {
+  def clusterZOrder(zCols: Seq[String]): Commit = withLock(retryOnConflict {
     require(zCols.size >= 2, s"z-order needs >= 2 columns (got $zCols)")
     val prev = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
@@ -868,11 +924,15 @@ class GraftTable(
       extra = GraftTable.writeMetrics(files) +
         ("files_before" -> prev.files.size.toString) +
         ("zorder_cols" -> zCols.mkString(","))))
-  }
+  })
 
   /** Rollback the table to commit `toSeq`, discarding later commits and
-    * their exclusive data files. */
-  def rollback(toSeq: Long): Int = withLock(timeline.rollback(toSeq))
+    * their exclusive data files. Fenced: a lock-free optimistic writer
+    * computing on top of a doomed commit must drain first — otherwise its
+    * commit would chain onto a deleted manifest and resurrect rolled-back
+    * data. */
+  def rollback(toSeq: Long): Int =
+    withLock(withMaintenanceFence(timeline.rollback(toSeq)))
 
   /** Savepoint a commit (Hudi's disaster-recovery pin): its snapshot —
     * record AND data files — survives cleaning, archiving and rollback
@@ -902,11 +962,11 @@ class GraftTable(
     * writer (a live write keeps producing younger files than any commit
     * decision) and is deleted. Returns the expired-version file count
     * (stage GC is bookkeeping, not history). */
-  def clean(retainCommits: Int = 5): Int = withLock {
+  def clean(retainCommits: Int = 5): Int = withLock(withMaintenanceFence {
     val n = timeline.clean(retainCommits)
     cleanOrphanStages(staleLockMs)
     n
-  }
+  })
 
   /** Delete unreferenced stage dirs whose newest file is older than
     * `graceMs`. Referenced = any dir a live, archived or savepointed
@@ -981,21 +1041,122 @@ class GraftTable(
           } else throw new IllegalStateException(s"another writer holds $lock", e)
       }
     acquire(canBreakStale = true)
-    val heartbeat = new Thread(() => {
+    val heartbeat = startHeartbeat(lock, s"graft-lock-heartbeat-$root", () => owned)
+    try f finally {
+      heartbeat.interrupt()
+      if (owned) Files.deleteIfExists(lock)
+    }
+  }
+
+  /** Daemon mtime-refresh loop: while the guard holds, `p` never looks
+    * older than staleLockMs/4 — shared by the writer lock, the maintenance
+    * fence and the in-flight markers. */
+  private def startHeartbeat(p: java.nio.file.Path, name: String,
+      guard: () => Boolean = () => true): Thread = {
+    val t = new Thread(() => {
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(math.max(250L, staleLockMs / 4))
-          try if (owned) Files.setLastModifiedTime(lock,
+          try if (guard()) Files.setLastModifiedTime(p,
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
           catch { case _: java.io.IOException => () }
         }
       } catch { case _: InterruptedException => () }
-    }, s"graft-lock-heartbeat-$root")
-    heartbeat.setDaemon(true)
-    heartbeat.start()
+    }, name)
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  // ------------------------------- OCC / maintenance mutual exclusion
+  //
+  // Lock-free optimistic writers never hold the table lock, so
+  // file-deleting maintenance (clean's expired-file + orphan-stage GC,
+  // rollback's doomed-file delete) could otherwise run concurrently with a
+  // writer's read-compute-commit window and delete files mid-merge. The
+  // exclusion is a flag-and-check barrier, both sides publish-then-look:
+  //
+  //  - an OCC writer publishes a heartbeat-refreshed marker under
+  //    `_graft/inflight/`, THEN checks for a live maintenance fence; if
+  //    fenced it retracts the marker and waits (maintenance is short);
+  //  - maintenance (already under the writer lock) publishes the fence
+  //    `_graft/maint.lock`, THEN waits for live markers to drain.
+  //
+  // Whichever side published second is guaranteed to see the other, so a
+  // writer can never be inside its window while maintenance deletes files.
+  // A marker whose heartbeat went silent for staleLockMs is presumed dead
+  // (same liveness rule as the writer lock); the residual
+  // suspended-past-stale writer is caught by commitOrCleanStage's
+  // staged-file existence re-check, which converts the loss into an OCC
+  // retry instead of a manifest referencing deleted files.
+
+  private val inflightDir = Paths.get(root, "_graft", "inflight")
+  private val maintLock = Paths.get(root, "_graft", "maint.lock")
+
+  private def fresh(p: java.nio.file.Path): Boolean =
+    try System.currentTimeMillis() -
+      Files.getLastModifiedTime(p).toMillis <= staleLockMs
+    catch { case _: java.io.IOException => false } // vanished = not live
+
+  private def maintenanceLive(): Boolean = Files.exists(maintLock) && fresh(maintLock)
+
+  /** Run `f` (an optimistic write attempt chain) under a published
+    * in-flight marker; blocks while a live maintenance fence is up. */
+  private def withInflightMarker[A](f: => A): A = {
+    Files.createDirectories(inflightDir)
+    var marker: java.nio.file.Path = null
+    while (marker == null) {
+      val m = inflightDir.resolve(
+        s"w-${java.util.UUID.randomUUID().toString.take(12)}")
+      Files.write(m,
+        ProcessHandle.current().pid().toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      // publish-then-look: if the fence went up first we see it here and
+      // retract; if it goes up after this check, maintenance's drain loop
+      // sees our marker and waits for us instead
+      if (maintenanceLive()) {
+        Files.deleteIfExists(m)
+        Thread.sleep(50L + scala.util.Random.nextInt(100))
+      } else marker = m
+    }
+    val hb = startHeartbeat(marker, s"graft-inflight-heartbeat-$root")
     try f finally {
-      heartbeat.interrupt()
-      if (owned) Files.deleteIfExists(lock)
+      hb.interrupt()
+      Files.deleteIfExists(marker)
+    }
+  }
+
+  /** Run file-deleting maintenance behind the fence: publish
+    * `maint.lock` (heartbeat-refreshed), drain live in-flight markers,
+    * then act. Caller holds the writer lock, so at most one fence exists;
+    * a leftover fence from a crashed maintainer is simply overwritten. */
+  private def withMaintenanceFence[A](f: => A): A = {
+    Files.createDirectories(Paths.get(root, "_graft"))
+    Files.write(maintLock,
+      ProcessHandle.current().pid().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hb = startHeartbeat(maintLock, s"graft-maint-heartbeat-$root")
+    try {
+      val deadline = System.currentTimeMillis() + math.max(staleLockMs, 60000L)
+      def liveMarkers(): Seq[java.nio.file.Path] =
+        if (!Files.exists(inflightDir)) Seq.empty
+        else Using.resource(Files.list(inflightDir)) { s =>
+          s.iterator().asScala.filter(fresh).toList
+        }
+      var pending = liveMarkers()
+      while (pending.nonEmpty) {
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"maintenance fence timed out draining in-flight optimistic " +
+              s"writers: ${pending.map(_.getFileName).mkString(",")}")
+        Thread.sleep(100L)
+        pending = liveMarkers()
+      }
+      f
+    } finally {
+      hb.interrupt()
+      Files.deleteIfExists(maintLock)
     }
   }
 }
@@ -1171,15 +1332,15 @@ object GraftTable {
           case _ => None
         }
       case DOUBLE =>
-        Some(("double", s.genericGetMin.toString, s.genericGetMax.toString))
+        doubleStat(s.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
+          s.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
       case FLOAT =>
         // widen to the float's EXACT double value before stringifying:
         // Float.toString("0.1") reparsed as a double is NOT (double)0.1f,
         // and that ulp-level skew could prune a file whose rows pass the
         // residual (double-promoted) filter
-        Some(("double",
-          s.genericGetMin.asInstanceOf[java.lang.Float].floatValue.toDouble.toString,
-          s.genericGetMax.asInstanceOf[java.lang.Float].floatValue.toDouble.toString))
+        doubleStat(s.genericGetMin.asInstanceOf[java.lang.Float].floatValue.toDouble,
+          s.genericGetMax.asInstanceOf[java.lang.Float].floatValue.toDouble)
       case BINARY if pt.getLogicalTypeAnnotation
           .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         Some(("string",
@@ -1188,6 +1349,13 @@ object GraftTable {
       case _ => None
     }
   }
+
+  /** Double stat triple with canonical zeros; a NaN extremum (a writer that
+    * kept NaN rows in min/max) makes the whole stat unusable — the file
+    * must always join the scan rather than be pruned by garbage bounds. */
+  private def doubleStat(mn: Double, mx: Double): Option[(String, String, String)] =
+    if (mn.isNaN || mx.isNaN) None
+    else Some(("double", normDouble(mn).toString, normDouble(mx).toString))
 
   /** Common wider type for SAFE schema-evolution promotion (the Avro/Hudi
     * resolution lattice): integral chain byte→short→int→long, float→double,
@@ -1243,12 +1411,21 @@ object GraftTable {
     }.toIndexedSeq: _*)
   }
 
-  /** Typed comparison for [[graft.model.ColStat]] values. */
+  /** Typed comparison for [[graft.model.ColStat]] values. Doubles are
+    * normalized through [[normDouble]] first: Double.compare orders
+    * -0.0 < 0.0 while the residual Spark filter treats them equal, so an
+    * unnormalized -0.0 bound (or a legacy manifest stat) could prune a
+    * file whose rows pass the residual. */
   def cmpStat(kind: String, a: String, b: String): Int = kind match {
     case "long"   => java.lang.Long.compare(a.toLong, b.toLong)
-    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "double" => java.lang.Double.compare(normDouble(a.toDouble), normDouble(b.toDouble))
     case _        => cmpKey(a, b)
   }
+
+  /** Canonical double for stats/bounds: -0.0 becomes +0.0 (SQL comparison
+    * semantics, which the residual filter uses). NaN has no place in a
+    * range bound or a min/max stat — callers reject or drop it. */
+  def normDouble(v: Double): Double = if (v == 0.0) 0.0 else v
 
   /** Files whose tracked stat for `column` may overlap [lo, hi] — files
     * without a same-kind stat are kept (conservative). Exposed for specs

@@ -149,6 +149,68 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(snap == Seq((0L, 0L), (1L, 1L), (2L, 2L)))
   }
 
+  test("OCC vs clean(1): maintenance fence drains writers — no lost update, no read-after-delete") {
+    val root = Files.createTempDirectory("graft-occ-clean").toString
+    // short stale window so marker heartbeats are fast (1.25 s refresh)
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      staleLockMs = 5000)
+    t.bulkInsert((0L until 200L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit("00000")))
+    // history for clean(1) to chew on — old versions of every even key
+    (1 to 2).foreach { r =>
+      t.upsert((0L until 200L by 2).map(k => (k, r.toLong, f"$r%05d"))
+        .toDF("id", "v", "trx_seq"))
+    }
+
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val rounds = 6
+    val writer = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = { start.await()
+        (3 to 2 + rounds).foreach { r =>
+          t.upsertOptimistic((0L until 200L by 2).map(k => (k, r.toLong, f"$r%05d"))
+            .toDF("id", "v", "trx_seq"), maxRetries = 50)
+        }
+      }
+    })
+    val cleanErrs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maintainer = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = { start.await()
+        // aggressive retention: every cycle deletes all non-latest files —
+        // without the fence this reliably rips files out from under the
+        // writer's merge scan
+        (1 to 12).foreach { _ =>
+          try t.clean(retainCommits = 1)
+          catch { case _: Throwable => cleanErrs.incrementAndGet(); () }
+          Thread.sleep(150)
+        }
+      }
+    })
+    start.countDown()
+    writer.get(300, TimeUnit.SECONDS)
+    maintainer.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+
+    assert(cleanErrs.get() == 0, s"clean() threw ${cleanErrs.get()} times")
+    // no lost update: every even key carries the writer's FINAL round
+    val snap = t.readUser().select("id", "v").as[(Long, Long)].collect().toMap
+    assert(snap.size == 200)
+    (0L until 200L).foreach { k =>
+      val want = if (k % 2 == 0) (2 + rounds).toLong else 0L
+      assert(snap(k) == want, s"key $k: got ${snap(k)}, want $want")
+    }
+    // timeline linear, barrier state fully retracted
+    val seqs = t.history().map(_.seq)
+    assert(seqs == (seqs.min to seqs.max).toSeq, s"timeline has gaps: $seqs")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "_graft", "maint.lock")),
+      "maintenance fence left behind")
+    val inflight = java.nio.file.Paths.get(root, "_graft", "inflight")
+    if (Files.exists(inflight))
+      assert(java.nio.file.Files.list(inflight).count() == 0,
+        "in-flight markers left behind")
+  }
+
   test("clean() reclaims crashed-writer stage dirs but spares fresh and referenced ones") {
     val root = Files.createTempDirectory("graft-stage-gc").toString
     val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,

@@ -70,6 +70,82 @@ class SoakSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"unreferenced files left on disk: $leaked")
   }
 
+  test("OCC x maintenance soak: 3 lock-free writers vs clean/archive/compact over 30+ commits") {
+    val root = Files.createTempDirectory("graft-occ-maint-soak").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      staleLockMs = 5000)
+    t.bulkInsert((0L until 300L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit("00000")))
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val rounds = 10
+    val writers = (0 until 3).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { start.await()
+          (1 to rounds).foreach { r =>
+            val seq = r * 3 + w + 1
+            t.upsertOptimistic((w.toLong until 300L by 3)
+              .map(k => (k, seq.toLong, f"$seq%05d")).toDF("id", "v", "trx_seq"),
+              maxRetries = 100)
+            ()
+          }
+        }
+      })
+    }
+    val maintErrs = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val maintainer = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = { start.await()
+        (1 to 10).foreach { i =>
+          try {
+            t.clean(retainCommits = 5)
+            if (i % 3 == 0) t.archive(keepLast = 10)
+            if (i % 4 == 0) t.compact()
+          } catch { case e: Throwable => maintErrs.compareAndSet(null, e) }
+          Thread.sleep(400)
+        }
+      }
+    })
+    start.countDown()
+    writers.foreach(_.get(540, java.util.concurrent.TimeUnit.SECONDS))
+    maintainer.get(540, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(maintErrs.get() == null, s"maintenance threw: ${maintErrs.get()}")
+
+    // serial oracle: every key holds its writer's final-round stamp —
+    // compaction/cleaning/archiving must be invisible to the data
+    val snap = t.readUser().select("id", "v").as[(Long, Long)].collect().toMap
+    assert(snap.size == 300)
+    (0L until 300L).foreach { k =>
+      val w = (k % 3).toInt
+      assert(snap(k) == rounds * 3 + w + 1, s"key $k: got ${snap(k)}")
+    }
+    // >= 30 writer commits landed (plus compactions)
+    val total = t.history().map(_.seq).max
+    assert(total >= 30L, s"expected >= 30 commits, latest seq = $total")
+
+    // storage sane after a final clean: every parquet on disk is referenced
+    // by a retained manifest (no orphans from losing writers or maintenance)
+    t.clean(retainCommits = 1)
+    val referenced = (t.history() ++ new graft.model.Timeline(root).readArchived())
+      .flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet
+    val onDisk = {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(Paths.get(root, "data"))) { s =>
+        s.iterator().asScala.filter(p => p.toString.endsWith(".parquet"))
+          .map(p => Paths.get(root).relativize(p).toString).toSet
+      }
+    }
+    assert(onDisk.subsetOf(referenced),
+      s"orphan files left on disk: ${onDisk -- referenced}")
+    // barrier state fully retracted
+    assert(!Files.exists(Paths.get(root, "_graft", "maint.lock")))
+    val inflight = Paths.get(root, "_graft", "inflight")
+    if (Files.exists(inflight))
+      assert(java.nio.file.Files.list(inflight).count() == 0)
+  }
+
   test("50-commit sf0.01 cadence with clean/archive/cluster: correct snapshots, bounded metadata") {
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
       .select($"o_orderkey", $"o_orderstatus").cache()
