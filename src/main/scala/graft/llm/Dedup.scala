@@ -58,13 +58,21 @@ object Dedup {
   private def pairOverlaps(docs: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Option[Int]): DataFrame = {
     val sh0 = shingles(docs, idCol, textCol)
-    val sh = (maxDocFreq match {
+    // NOT cached: the shingle subtree feeds three shuffles (posting join's
+    // two sides + the per-doc counts), but its own deduplicating exchange
+    // is IDENTICAL under canonicalization in every branch, so Spark's
+    // ReuseExchange computes the scan→explode→distinct prefix once and the
+    // three consumers re-read its shuffle output. A .cache() here would be
+    // marginally faster but leaks executor memory past the query's
+    // lifetime (nothing ever unpersists a lazily returned plan) —
+    // LlmSpec pins both the reuse and the no-leak contract.
+    val sh = maxDocFreq match {
       case Some(cap) =>
         val hot = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select(col("s"))
         sh0.join(broadcast(hot), Seq("s"), "left_anti")
       case None => sh0
-    }).cache()
+    }
     val cnt = sh.groupBy(col(idCol).as("id")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("ia"), col("s"))
     val b = sh.select(col(idCol).as("ib"), col("s"))
@@ -133,7 +141,11 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, bands: Int = 16, rows: Int = 4): DataFrame = {
-    val sh = shingles(docs, idCol, textCol).cache()
+    // uncached for the same reason as [[pairOverlaps]]: every consumer
+    // (signature agg, count table, both posting sides) shuffles the same
+    // canonicalized shingle subtree, so ReuseExchange shares one
+    // computation without pinning executor memory for the session
+    val sh = shingles(docs, idCol, textCol)
     val sig = minhashSignatures(sh, idCol)
     val banded = sig.select(col(idCol).as("id"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
@@ -185,6 +197,19 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // Checkpoint lifecycle: each localCheckpoint pins an RDD in executor
+    // memory. A superseded iteration's labels (and, after the loop, the
+    // edge set) are unpersisted EAGERLY — without this, a 15-round run
+    // holds 16 full label snapshots until the session dies. Only the
+    // RETURNED labels stay pinned: a localCheckpoint truncates lineage,
+    // so unpersisting the result would make it unrecomputable. Its
+    // footprint is O(near-dup vertices), the smallest set in the job.
+    def pinned(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+    def release(df: DataFrame): Unit =
+      pinned(df).foreach(_.unpersist(blocking = false))
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
     val und = e.union(e.select(col("v"), col("u"))).distinct()
       .localCheckpoint()
@@ -192,25 +217,30 @@ object Dedup {
       .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = und
-        .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
-        .groupBy(col("u").as("id")).agg(min(col("comp")).as("nc"))
-      val next = labels.as("l")
-        .join(nbrMin.as("n"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("l.comp"), coalesce(col("n.nc"), col("l.comp"))).as("comp"))
-        .localCheckpoint()
-      converged = next.as("a")
-        .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-        .filter(col("comp") =!= col("old")).isEmpty
-      labels = next
-      iter += 1
-    }
-    if (!converged)
+    try {
+      while (!converged && iter < maxIter) {
+        val nbrMin = und
+          .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
+          .groupBy(col("u").as("id")).agg(min(col("comp")).as("nc"))
+        val next = labels.as("l")
+          .join(nbrMin.as("n"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("l.comp"), coalesce(col("n.nc"), col("l.comp"))).as("comp"))
+          .localCheckpoint()
+        converged = next.as("a")
+          .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
+          .filter(col("comp") =!= col("old")).isEmpty
+        release(labels) // superseded snapshot — next is checkpointed, no lineage back
+        labels = next
+        iter += 1
+      }
+    } finally release(und)
+    if (!converged) {
+      release(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter iterations " +
           "(component diameter exceeds the cap); raise maxIter")
+    }
     labels
   }
 

@@ -131,6 +131,45 @@ class LlmSpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("dedup posting queries pin no RDDs and reuse the shingle exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text")
+    mh.collect()
+    val jc = Dedup.jaccardPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxDocFreq = Some(100))
+    jc.collect()
+    val ct = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.8, maxDocFreq = Some(100))
+    ct.collect()
+    // the session must be exactly as it was: no cache outlives the query
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "dedup queries left cached RDDs behind")
+    // ...because the shingle subtree's exchange is REUSED, not re-run:
+    // one scan→explode→distinct per query, shared by every consumer
+    Seq("minhash" -> mh, "jaccard" -> jc, "containment" -> ct).foreach {
+      case (name, q) =>
+        assert(q.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+          s"$name plan recomputes the shingle subtree instead of reusing its exchange")
+    }
+  }
+
+  test("connectedComponents releases every intermediate checkpoint, pins only the result") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val comp = Dedup.connectedComponents(edges, "a", "b")
+    // superseded per-round label snapshots and the edge checkpoint are
+    // unpersisted eagerly; only the RETURNED labels may stay (their
+    // lineage is truncated — unpersisting them would break the caller)
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.size <= 1,
+      s"connectedComponents left ${pinned.size} checkpoints pinned (expect <= 1)")
+    // and the survivor is genuinely the result: still fully readable
+    assert(comp.count() == 11)
+  }
+
   test("decontaminate removes exactly the train docs hash-matching the eval set") {
     val docs = Seq(
       ("eval", "alpha"), ("eval", "beta"), ("eval", "beta"),
