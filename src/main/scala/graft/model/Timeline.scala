@@ -2,7 +2,6 @@ package graft.model
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
-import java.util.UUID
 import scala.jdk.CollectionConverters._
 import scala.util.Using
 import org.json4s._
@@ -103,11 +102,12 @@ class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
   * of a failed job rewrites data files that no manifest references, then
   * commits once).
   *
-  * Local-FS rename is atomic; on an object store the same protocol holds
-  * with a conditional PUT. Everything here is driver-side metadata — no
+  * Atomic publication goes through a [[CommitStore]]: hard-link CAS on a
+  * local filesystem, conditional PUT on an object store — the protocol
+  * here is storage-agnostic. Everything is driver-side metadata — no
   * Spark job ever depends on listing the data directory.
   */
-class Timeline(tableRoot: String) {
+class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
   implicit private val fmts: Formats = DefaultFormats
   private val commitsDir: Path = Paths.get(tableRoot, "_graft", "commits")
   private val archiveDir: Path = Paths.get(tableRoot, "_graft", "archive")
@@ -237,14 +237,9 @@ class Timeline(tableRoot: String) {
     }
   }
 
-  /** Atomic commit: serialize → unique temp file → PUBLISH as a hard link.
-    *
-    * Concurrency: link(2) atomically creates the target with its full
-    * content and fails with EEXIST if it already exists — no
-    * check-then-rename window (Files.move without REPLACE stats the
-    * target first, and two racing writers could both slip through and
-    * silently overwrite). Of two writers that computed the same next seq
-    * exactly one wins; the loser gets FileAlreadyExistsException.
+  /** Atomic commit: serialize → [[CommitStore.putIfAbsent]] CAS on the
+    * commit path. Of two writers that computed the same next seq exactly
+    * one wins; the loser's CAS returns false.
     * Idempotent retry: if the existing commit has the same action and file
     * set (a re-run after a successful-but-unacknowledged commit), the
     * collision is absorbed and the existing commit returned; a genuinely
@@ -253,31 +248,17 @@ class Timeline(tableRoot: String) {
   def commit(c: Commit): Commit = {
     init()
     val target = commitPath(c.seq)
-    val tmp = commitsDir.resolve(s".${c.seq}.${UUID.randomUUID()}.tmp")
-    Files.write(tmp,
-      Serialization.write(toRecord(c)).getBytes(StandardCharsets.UTF_8))
-    try {
-      try {
-        Files.createLink(target, tmp); Files.deleteIfExists(tmp)
-        cachePut(c.seq, stamp(target), c); c
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException => throw e
-        // filesystems without hard links (vfat/NFS/SMB report EPERM as
-        // FileSystemException, others UnsupportedOperation): atomic rename
-        // (object stores use a conditional PUT here instead)
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          Files.move(tmp, target); cachePut(c.seq, stamp(target), c); c
-      }
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        val existing = read(c.seq)
-        val same = existing.action == c.action &&
-          existing.files.map(_.path).toSet == c.files.map(_.path).toSet &&
-          existing.logFiles.map(_.path).toSet == c.logFiles.map(_.path).toSet
-        if (same) existing
-        else throw new ConcurrentCommitException(
-          s"concurrent writer already committed seq ${c.seq} at $target with a different file set")
+    val bytes = Serialization.write(toRecord(c)).getBytes(StandardCharsets.UTF_8)
+    if (store.putIfAbsent(target, bytes)) {
+      cachePut(c.seq, stamp(target), c); c
+    } else {
+      val existing = read(c.seq)
+      val same = existing.action == c.action &&
+        existing.files.map(_.path).toSet == c.files.map(_.path).toSet &&
+        existing.logFiles.map(_.path).toSet == c.logFiles.map(_.path).toSet
+      if (same) existing
+      else throw new ConcurrentCommitException(
+        s"concurrent writer already committed seq ${c.seq} at $target with a different file set")
     }
   }
 
@@ -291,10 +272,7 @@ class Timeline(tableRoot: String) {
     * records. Must run while the commit's base chain is still readable. */
   private def checkpointInPlace(seq: Long): Unit = {
     val c = read(seq)
-    val tmp = commitsDir.resolve(s".$seq.${UUID.randomUUID()}.ckpt.tmp")
-    Files.write(tmp, fullJson(c).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, commitPath(seq),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    store.put(commitPath(seq), fullJson(c).getBytes(StandardCharsets.UTF_8))
     cachePut(seq, stamp(commitPath(seq)), c)
   }
 
@@ -313,9 +291,9 @@ class Timeline(tableRoot: String) {
     val merged = toArchive.map(s => fullJson(read(s))).mkString("[", ",", "]")
     val archiveFile = archiveDir.resolve(
       f"${toArchive.head}%012d-${toArchive.last}%012d.archive.json")
-    val tmp = archiveDir.resolve(s".${toArchive.head}.${UUID.randomUUID()}.tmp")
-    Files.write(tmp, merged.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, archiveFile)
+    // idempotent: a crashed prior archive of the same window left
+    // identical content (full manifests of the same commits) — absorb
+    store.putIfAbsent(archiveFile, merged.getBytes(StandardCharsets.UTF_8))
     checkpointInPlace(seqs.takeRight(keepLast).head)
     toArchive.foreach(s => Files.delete(commitPath(s)))
     toArchive.foreach(commitCache.remove)
@@ -360,15 +338,10 @@ class Timeline(tableRoot: String) {
     val c = read(seq)
     Files.createDirectories(savepointsDir)
     val target = savepointsDir.resolve(f"$seq%012d.savepoint.json")
-    val tmp = savepointsDir.resolve(s".$seq.${UUID.randomUUID()}.tmp")
-    Files.write(tmp, fullJson(c).getBytes(StandardCharsets.UTF_8))
-    try { Files.createLink(target, tmp); Files.deleteIfExists(tmp) }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp) // idempotent: a savepoint is immutable
-      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-        Files.move(tmp, target)
-    }
+    // losing the CAS is fine: a savepoint is immutable, the existing one
+    // is byte-equivalent
+    store.putIfAbsent(target, fullJson(c).getBytes(StandardCharsets.UTF_8))
+    ()
   }
 
   /** Savepointed commits, oldest first (each record self-contained). */

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import org.scalatest.funsuite.AnyFunSuite
-import graft.model.{Commit, DataFile, Timeline}
+import graft.model.{Commit, CommitStore, DataFile, LocalFsCommitStore, Timeline}
 
 /** Incremental-manifest contract: commit files between checkpoints are
   * sized by batch churn (not live-file count), reconstruction is exact at
@@ -117,6 +117,46 @@ class TimelineSpec extends AnyFunSuite {
     // and reconstruction at the tip is exact
     assert(tl.read(5).files.size == 100000)
     assert(tl.read(5).files.map(_.path) == live.map(_.path))
+  }
+
+  test("every publish routes through the CommitStore seam; CAS loss surfaces as conflict") {
+    // instrumented store: delegates to the local impl, counts primitives —
+    // proving commit/checkpoint/archive/savepoint all go through the trait
+    class CountingStore extends CommitStore {
+      var casCalls = 0; var putCalls = 0; var casLost = 0
+      def putIfAbsent(target: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+        casCalls += 1
+        val won = LocalFsCommitStore.putIfAbsent(target, bytes)
+        if (!won) casLost += 1
+        won
+      }
+      def put(target: java.nio.file.Path, bytes: Array[Byte]): Unit = {
+        putCalls += 1; LocalFsCommitStore.put(target, bytes)
+      }
+    }
+    val root = Files.createTempDirectory("graft-tl-store").toString
+    val store = new CountingStore
+    val tl = new Timeline(root, store)
+    def f(p: String) = DataFile(p, Map.empty, "a", "z", 10, 100)
+    (0L to 11L).foreach { s =>
+      tl.commit(Commit(s, "upsert", Seq(f(s"data/c$s/p.parquet")), "{}", None, 1000 + s))
+    }
+    assert(store.casCalls == 12, "commits must CAS through the store")
+    tl.savepoint(2L)                       // +1 CAS
+    val archived = tl.archive(keepLast = 5) // +1 CAS (archive file) +1 put (boundary checkpoint)
+    assert(archived == 7)
+    assert(store.casCalls == 14 && store.putCalls == 1,
+      s"archive/savepoint bypassed the store (cas=${store.casCalls}, put=${store.putCalls})")
+    // protocol behavior is unchanged through the seam
+    assert(tl.latest().get.seq == 11L)
+    assert(tl.readSavepoint(2L).files.head.path == "data/c2/p.parquet")
+    // CAS loss on a DIFFERENT file set is the typed conflict...
+    assertThrows[graft.model.ConcurrentCommitException](
+      tl.commit(Commit(11L, "upsert", Seq(f("data/other/p.parquet")), "{}", None, 99L)))
+    // ...and an identical replay is absorbed, both as store-level CAS losses
+    assert(tl.commit(Commit(11L, "upsert", Seq(f("data/c11/p.parquet")), "{}", None, 99L))
+      .commitTimeMs == 1011L)
+    assert(store.casLost == 2)
   }
 
   test("rollback across a delta chain restores the exact earlier state") {
