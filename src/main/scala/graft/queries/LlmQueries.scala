@@ -112,6 +112,12 @@ object LlmQueries {
     "sim_topk_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding", "label",
         col("vec_id") < 20, k = 5, nprobe = 2)),
+    // TRAINED coarse quantizer: 3 Lloyd k-means rounds (seeded init, exact
+    // SQL replication of every iteration in the oracle), final-centroid
+    // assignment, probe nprobe cells — the full IVF build+search pipeline
+    "sim_topk_ivf_trained" -> ((s, dir) =>
+      Similarity.ivfTrainedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, nprobe = 2, kCells = 4, iters = 3)),
     "dedup_cosine" -> ((s, dir) =>
       Similarity.cosineTopPairsBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
         topN = 20, blocks = 8)),
@@ -480,6 +486,39 @@ object LlmQueries {
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s)
          WHERE rnk <= 5""",
 
+    // full SQL replication of the TRAINED-IVF pipeline: seeded k-means init,
+    // 3 unrolled Lloyd rounds, final-centroid assignment, nprobe=2 probe,
+    // exact cosine (raw float vectors — bit-identical doubles) in probed
+    // cells. Centroid means are fp-order-sensitive across engines but only
+    // rank discrete cells (same caveat as sim_topk_ivf, proven green).
+    "sim_topk_ivf_trained" ->
+      s"""WITH ${kmeansCtes(4, 3)},
+         af AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(e.v, c.cv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cell) AS rn
+             FROM e CROSS JOIN c3 c) WHERE rn = 1),
+         q AS (SELECT vec_id AS qid, embedding AS qv, v AS qd FROM e WHERE vec_id < 20),
+         pc AS (SELECT qid, qv, cell,
+             list_aggregate(list_transform(list_zip(qd, cv),
+               z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS cdist
+           FROM q CROSS JOIN c3),
+         probe AS (SELECT qid, qv, cell FROM
+             (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, cell) AS crn FROM pc)
+           WHERE crn <= 2),
+         s AS (SELECT p.qid, m.vec_id AS nid,
+             list_aggregate(list_transform(list_zip(p.qv, m.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(p.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(m.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+           FROM probe p JOIN af ON p.cell = af.cell
+           JOIN e m ON m.vec_id = af.vec_id AND m.vec_id <> p.qid)
+         SELECT qid, rnk, nid, round(cos, 6) AS cos FROM
+           (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s)
+         WHERE rnk <= 5""",
+
     // n_pairs = n_texts ⇔ deterministic function of text (hard contract);
     // hash_ok = bounded collision count (soft quality gate, always TRUE for
     // a working 64-bit hash at any graded corpus size)
@@ -729,6 +768,34 @@ object LlmQueries {
            CAST(px_kept AS BIGINT) AS px_kept
          FROM px"""
   )
+
+  /** CTE chain replicating [[graft.llm.Similarity.kmeansCentroids]] exactly:
+    * salted-md5 seeded init (cell = hash rank), then `iters` unrolled Lloyd
+    * rounds — assignment by squared L2 with ties to the lower cell, update
+    * by per-cell per-dimension AVG. Ends with centroid CTE `c$iters`. */
+  private def kmeansCtes(kCells: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, embedding,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         c0 AS (SELECT cell, v AS cv FROM (
+             SELECT row_number() OVER (
+                 ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v
+             FROM e) WHERE cell < $kCells)"""
+    (1 to iters).foreach { i =>
+      sb ++= s""",
+         a$i AS (SELECT vec_id, v, cell FROM (
+             SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(e.v, c.cv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cell) AS rn
+             FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1),
+         c${i}d AS (SELECT cell, s.i AS i, AVG(s.v) AS a FROM
+             (SELECT cell, unnest(list_transform(range(1, len(v) + 1),
+               i -> {'i': i, 'v': v[i]})) AS s FROM a$i) GROUP BY cell, s.i),
+         c$i AS (SELECT cell, list(a ORDER BY i) AS cv FROM c${i}d GROUP BY cell)"""
+    }
+    sb.toString
+  }
 
   /** Shared CTE chain deriving the exact-Jaccard pair scores (pre-threshold)
     * — the common prefix of the jaccard, minhash and clusters oracles. */

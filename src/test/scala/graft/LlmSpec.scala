@@ -49,6 +49,25 @@ class LlmSpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("trained IVF probing every cell reproduces brute force; training is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // with nprobe = kCells every cell is searched, so the k-means
+    // partition must be invisible: result == exact brute force
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val trained = Similarity.ivfTrainedTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 3, nprobe = 4, kCells = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(trained == brute)
+    // seeded init + deterministic iteration: two runs, identical centroids
+    val c1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    val c2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 4, 3)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toMap
+    assert(c1 == c2)
+    assert(c1.nonEmpty && c1.size <= 4)
+  }
+
   test("IVF with partial probe returns a subset ranking consistent with brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
