@@ -80,7 +80,26 @@ object Similarity {
     * (sub-quadratic candidates) instead of a global top-k.
     */
   def cosineTopPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
-      topN: Int = 20, blocks: Int = 8): DataFrame = {
+      topN: Int = 20, blocks: Int = 8): DataFrame =
+    blockedPairScores(emb, idCol, vecCol, blocks)
+      .orderBy(col("cos").desc, col("ia"), col("ib"))
+      .limit(topN)
+      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+
+  /** Exact THRESHOLD pairs over the same block-partitioned self-join:
+    * every pair with cosine ≥ `threshold`, no global sort — the exact
+    * ground-truth side of the LSH recall contract. */
+  def cosineThresholdPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 8): DataFrame =
+    blockedPairScores(emb, idCol, vecCol, blocks)
+      .filter(col("cos") >= threshold)
+      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
+
+  /** Shared block-partitioned exact scorer: (ia, ib, cos) for every
+    * unordered pair, as blocks² uniformly-sized equi-join cells (see
+    * [[cosineTopPairsBlocked]] for why this is the right Ω(N²) shape). */
+  private def blockedPairScores(emb: DataFrame, idCol: String, vecCol: String,
+      blocks: Int): DataFrame = {
     VectorFunctions.register(emb.sparkSession)
     val n = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nm", sqrt(VectorFunctions.floatDot(col("v"), col("v"))))
@@ -95,9 +114,6 @@ object Similarity {
     a.join(b, Seq("ba", "bb"))                      // hash join on the block cell
       .filter(col("ia") < col("ib"))                // each unordered pair exactly once
       .withColumn("cos", VectorFunctions.floatDot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .orderBy(col("cos").desc, col("ia"), col("ib"))
-      .limit(topN)
-      .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
   }
 
   /** Hyperplane-LSH cosine near-dup: pairs with cosine ≥ `threshold`,

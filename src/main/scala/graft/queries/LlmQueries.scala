@@ -121,6 +121,34 @@ object LlmQueries {
     "dedup_cosine" -> ((s, dir) =>
       Similarity.cosineTopPairsBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
         topN = 20, blocks = 8)),
+    // LSH cosine near-dup ACCURACY CONTRACT (tr3_agg_hll style): the corpus
+    // gets deterministic planted near-dups (every 5th vector twinned with
+    // its first two coordinates negated — exact float math, replicated
+    // digit-for-digit in SQL; planted cosines spread 0.90..0.999). Graded:
+    // the exact ≥0.9 pair count (bit-identical on both engines), zero LSH
+    // false positives (structural: candidates are exactly re-scored), and
+    // recall ≥ 0.95 against the exact set — fixed seed, so the outcome is
+    // deterministic, not flaky.
+    "dedup_cosine_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> IF(i < 2, -x, x))").as("embedding"))
+      val corpus = emb.unionByName(pert)
+      val exact = Similarity.cosineThresholdPairsBlocked(corpus, "vec_id", "embedding",
+        threshold = 0.9, blocks = 8)
+      val lsh = Similarity.lshCosinePairs(corpus, "vec_id", "embedding",
+        threshold = 0.9)
+      val matched = lsh.select(col("ia"), col("ib"))
+        .join(exact.select(col("ia"), col("ib")), Seq("ia", "ib"), "left_semi")
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(matched.agg(count(lit(1)).as("n_matched")))
+        .select(col("n_exact"),
+          (col("n_lsh") - col("n_matched")).as("n_false_pos"),
+          // recall >= 0.95 in exact integer arithmetic
+          (col("n_matched") * 20 >= col("n_exact") * 19).as("recall_ok"))
+    }),
 
     // ---- text analysis
     "text_stats" -> ((s, dir) =>
@@ -528,6 +556,28 @@ object LlmQueries {
          COUNT(DISTINCT text) AS n_pairs,
          TRUE AS hash_ok
          FROM documents""",
+
+    // the oracle recomputes the exact >=0.9 pair count over the SAME
+    // planted corpus (bit-identical float construction and double
+    // accumulation); the LSH-side columns are stated as the contract the
+    // engine must meet — zero false positives, recall >= 0.95
+    "dedup_cosine_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         pert AS (SELECT vec_id + 100000 AS vec_id,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i <= 2 THEN -embedding[i] ELSE embedding[i] END) AS embedding
+           FROM e WHERE vec_id % 5 = 0),
+         corpus AS (SELECT * FROM e UNION ALL SELECT * FROM pert),
+         n AS (SELECT vec_id, embedding,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
+           FROM corpus),
+         p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') / (a.nm * b.nm) AS cos
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT COUNT(*) AS n_exact, CAST(0 AS BIGINT) AS n_false_pos,
+                TRUE AS recall_ok
+         FROM p WHERE cos >= 0.9""",
 
     "dedup_cosine" ->
       """WITH n AS (SELECT vec_id, embedding,
