@@ -37,7 +37,15 @@ case class DataFile(
     maxKey: String,
     numRows: Long,
     bytes: Long = 0L,
-    colStats: Map[String, ColStat] = Map.empty)
+    colStats: Map[String, ColStat] = Map.empty,
+    /** Opt-in record-key Bloom filter ("numHashes:base64", ~1 byte/key,
+      * [[graft.functions.KeyBloom]] encoding): consulted by the upsert
+      * planner and point lookups when key intervals are wide — the
+      * z-ordered-layout case, where [minKey, maxKey] covers nearly the
+      * whole key space and intervals alone stop pruning. Manifest cost is
+      * O(rows) per file; at very large table sizes the blooms belong in a
+      * sidecar metadata table, which the encoding here makes portable. */
+    keyBloom: Option[String] = None)
 
 /** An atomic commit of a table snapshot. `files` is the COMPLETE set of
   * live files at this version (carried-forward + newly written) — readers

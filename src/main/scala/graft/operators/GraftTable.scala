@@ -48,7 +48,8 @@ class GraftTable(
     val compactLogBytesRatio: Double = 0.0,
     val globalIndex: Boolean = true,
     val harvestThreshold: Int = GraftTable.DistributedHarvestThreshold,
-    val statsColumns: Seq[String] = Seq.empty) {
+    val statsColumns: Seq[String] = Seq.empty,
+    val keyBlooms: Boolean = false) {
 
   private val timeline = new Timeline(root)
   // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
@@ -118,7 +119,39 @@ class GraftTable(
       .write.mode("overwrite")
     val writer = if (partitionFields.nonEmpty) writer0.partitionBy(partitionFields: _*) else writer0
     writer.parquet(stage)
-    harvestStats(stage)
+    val files = harvestStats(stage)
+    if (keyBlooms) attachKeyBlooms(stage, files) else files
+  }
+
+  /** Opt-in per-file key blooms: ONE extra Spark job over the just-written
+    * stage reading only the record-key column, aggregated by the native
+    * partial-merging [[graft.functions.KeyBloomAgg]] — the write's file
+    * partitioning is preserved by the scan, so map-side partials already
+    * are per-file blooms and only bloom bytes shuffle. Sized from the
+    * write's largest file (one aggregate expression serves every group);
+    * files are matched by basename (Spark part-file names carry a task
+    * UUID — unique within a write). A file the job cannot match keeps
+    * `keyBloom = None` and is simply never bloom-pruned (conservative).
+    */
+  private def attachKeyBlooms(stage: String, files: Seq[DataFile]): Seq[DataFile] = {
+    if (files.isEmpty) return files
+    graft.functions.KeyBloomFunctions.register(spark)
+    val numBits = graft.functions.KeyBloom.sizeBits(files.map(_.numRows).max)
+    val numHashes = graft.functions.KeyBloom.DefaultHashes
+    val perFile = spark.read.parquet(stage)
+      .select(input_file_name().as("f"), col(Meta.RecordKey).cast("string").as("k"))
+      .groupBy(col("f"))
+      .agg(graft.functions.KeyBloomFunctions.keyBloomAgg(col("k"), numBits, numHashes).as("b"))
+      .collect()
+      .map(r => r.getString(0).split('/').last -> r.getAs[Array[Byte]]("b"))
+      .toMap
+    files.map { f =>
+      perFile.get(f.path.split('/').last) match {
+        case Some(bits) =>
+          f.copy(keyBloom = Some(graft.functions.KeyBloom.encode(numHashes, bits)))
+        case None => f
+      }
+    }
   }
 
   /** Read key-range/row-count/size stats from the footers of every parquet
@@ -353,8 +386,27 @@ class GraftTable(
         p -> IntervalIndex.build(fs.map(f => (f.minKey, f.maxKey, f.path)).toSeq)
       }
     val bcIvs = spark.sparkContext.broadcast(index)
+    // per-file key blooms (opt-in, decoded once and broadcast): a file the
+    // intervals admit but whose bloom excludes the key cannot contain it —
+    // the pruning lever that survives z-order clustering, where every
+    // file's key interval widens toward the whole key space. No bloom =>
+    // interval-only (conservative); no false negatives by construction.
+    val bcBlooms = spark.sparkContext.broadcast(
+      prev.files.iterator.flatMap(f =>
+        f.keyBloom.map(enc => f.path -> graft.functions.KeyBloom.decode(enc))).toMap)
     val findFiles = udf { (part: String, k: String) =>
-      bcIvs.value.get(part).map(_.stab(k)).getOrElse(Seq.empty[String])
+      val cands = bcIvs.value.get(part).map(_.stab(k)).getOrElse(Seq.empty[String])
+      val blooms = bcBlooms.value
+      if (blooms.isEmpty) cands
+      else {
+        val h = graft.functions.KeyBloom.hash(k)
+        cands.filter { p =>
+          blooms.get(p) match {
+            case Some((nh, bits)) => graft.functions.KeyBloom.contains(bits, nh, h)
+            case None => true
+          }
+        }
+      }
     }
     val partCol =
       if (partitioned)
@@ -666,7 +718,17 @@ class GraftTable(
     def relevant(files: Seq[DataFile]): Set[String] = {
       val (statless, statful) = files.partition(f => !GraftTable.hasReliableStats(f))
       val idx = IntervalIndex.build(statful.map(f => (f.minKey, f.maxKey, f.path)))
-      keys.iterator.flatMap(idx.stab).toSet ++ statless.map(_.path)
+      val blooms = files.iterator.flatMap(f =>
+        f.keyBloom.map(enc => f.path -> graft.functions.KeyBloom.decode(enc))).toMap
+      keys.iterator.flatMap { k =>
+        val cands = idx.stab(k)
+        if (blooms.isEmpty) cands
+        else {
+          val h = graft.functions.KeyBloom.hash(k)
+          cands.filter(p => blooms.get(p).forall { case (nh, bits) =>
+            graft.functions.KeyBloom.contains(bits, nh, h) })
+        }
+      }.toSet ++ statless.map(_.path)
     }
     val keep = relevant(c.files) ++ relevant(c.logFiles)
     prunedRead(c, f => keep(f.path))
@@ -858,7 +920,10 @@ class GraftTable(
     * z column at once and [[readColumnRange]] prunes multi-dimensionally.
     * Trade-off (same as Hudi/Delta): record-key intervals widen, so
     * subsequent upserts prune less tightly until a key-sorted `cluster()`
-    * — z-order a table that is read-heavy on the z columns.
+    * — z-order a table that is read-heavy on the z columns. Tables with
+    * [[keyBlooms]] enabled keep upsert pruning tight anyway: the per-file
+    * key bloom admits only files that really hold a batch key, independent
+    * of layout (MergeSpec pins rewritten == bloom-admitted).
     *
     * Implementation: each z column is normalized to a 16-bit rank bucket by
     * min/max (one tiny agg job), buckets are bit-interleaved into the

@@ -68,12 +68,13 @@ object CdcScenario {
       partitionFields: Seq[String] = Seq.empty,
       tableType: String = GraftTable.CopyOnWrite,
       globalIndex: Boolean = true,
-      statsColumns: Seq[String] = Seq.empty)(extra: GraftTable => Unit): GraftTable =
+      statsColumns: Seq[String] = Seq.empty,
+      keyBlooms: Boolean = false)(extra: GraftTable => Unit): GraftTable =
     cache.getOrElseUpdate(s"$key:$dir", {
       val root = Files.createTempDirectory(s"graft-cdc-$key").toString
       val t = new GraftTable(s, root, Seq("o_orderkey"), partitionFields,
         targetFileBytes = 1024 * 1024, tableType = tableType, globalIndex = globalIndex,
-        statsColumns = statsColumns)
+        statsColumns = statsColumns, keyBlooms = keyBlooms)
       t.bulkInsert(fullLoad(s, dir))
       t.upsert(batchA(s, dir))
       t.upsert(batchB(s, dir))
@@ -106,6 +107,20 @@ object CdcScenario {
   def zordered(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "zor", statsColumns = Seq("o_custkey", "o_totalprice"))(
       _.clusterZOrder(Seq("o_custkey", "o_totalprice")))
+
+  /** Z-ordered WITH per-file key blooms, then upserted: the layout that
+    * wrecks key-interval pruning (every file's interval widens toward the
+    * whole key space), with the bloom index restoring it — the post-commit
+    * upsert routes through the bloom-pruned affected-file set (MergeSpec
+    * pins the file counts; here the graded artifact is the snapshot that
+    * pruned write produced). */
+  def bloomed(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "blm", keyBlooms = true) { t =>
+      t.clusterZOrder(Seq("o_custkey", "o_totalprice"))
+      t.upsert(t.readUser().filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("W"))
+        .withColumn(Meta.Ordering, lit(sq(7))))
+    }
 
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
@@ -465,6 +480,11 @@ object CdcQueries {
     // z-order clustering: layout moves to the (o_custkey, o_totalprice)
     // Z-curve, snapshot contents must be unchanged
     "cdc_zorder" -> ((s, dir) => statusAgg(CdcScenario.zordered(s, dir))),
+    // post-z-order upsert through the per-file key-bloom pruned write
+    // path: data must be exactly the overlay of the 'W' batch on the
+    // final state (a bloom false NEGATIVE would lose the update; blooms
+    // are constructed no-false-negative)
+    "cdc_bloom_upsert" -> ((s, dir) => statusAgg(CdcScenario.bloomed(s, dir))),
     // 2-D box read over the z-ordered layout — BOTH tracked dimensions
     // prune files (the query shape z-order exists for); exact residual
     "cdc_zorder_box" -> ((s, dir) =>
@@ -693,6 +713,16 @@ object CdcQueries {
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_custkey
          FROM final WHERE o_custkey BETWEEN 100 AND 800""",
     "cdc_zorder" -> statusAggSql,
+    // the 'W' overlay touches only original keys (inserted 1e7+ keys end
+    // in digit 1) and no deleted key (those left the snapshot), so the
+    // oracle is a plain CASE on the final state
+    "cdc_bloom_upsert" ->
+      s"""$finalState
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM (SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'W'
+                           ELSE o_orderstatus END AS o_orderstatus, price
+               FROM final)
+         GROUP BY o_orderstatus""",
     // the box filters run on the RAW double price (the snapshot's stored
     // value — same double arithmetic in both engines); output is the
     // usual decimal-cast double

@@ -285,6 +285,51 @@ class MergeSpec extends AnyFunSuite {
     assert(planFiles == overlapping, s"scanned $planFiles vs pruned $overlapping")
   }
 
+  test("key blooms restore upsert pruning on a z-ordered table") {
+    import graft.functions.KeyBloom
+    val root = tmp()
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 8 * 1024,
+      keyBlooms = true)
+    // two decorrelated uniform dims so the z-order rewrite genuinely
+    // scrambles key order across files (the DataSkippingSpec layout)
+    val df = (0L until 4096L).map { k =>
+      (k, (k * 2654435761L) % 4096, (k * 40503L) % 4096, "00001")
+    }.toDF("id", "x", "y", "trx_seq")
+    t.bulkInsert(df)
+    t.clusterZOrder(Seq("x", "y"))
+    val files = t.latestCommit().get.files
+    assert(files.size >= 8, s"need a multi-file table (got ${files.size})")
+    assert(files.forall(_.keyBloom.isDefined), "every file must carry a bloom")
+
+    // a handful of point updates scattered across the key space
+    val ids = Seq(10L, 777L, 2000L, 3999L)
+    val keys = t.read().filter($"id".isin(ids: _*))
+      .select(Meta.RecordKey).as[String].collect()
+    assert(keys.length == ids.size)
+    // what intervals alone admit vs intervals + blooms: on a z-ordered
+    // layout the key intervals are wide (each file spans most of the key
+    // space) while the blooms stay exact-membership sharp
+    def inInterval(f: graft.model.DataFile, k: String) =
+      GraftTable.cmpKey(f.minKey, k) <= 0 && GraftTable.cmpKey(f.maxKey, k) >= 0
+    val intervalAdmit = files.filter(f => keys.exists(inInterval(f, _))).map(_.path).toSet
+    val bloomAdmit = files.filter { f =>
+      val (nh, bits) = KeyBloom.decode(f.keyBloom.get)
+      keys.exists(k => inInterval(f, k) && KeyBloom.contains(bits, nh, KeyBloom.hash(k)))
+    }.map(_.path).toSet
+    assert(bloomAdmit.size < intervalAdmit.size,
+      s"blooms must prune beyond intervals (interval=${intervalAdmit.size}, bloom=${bloomAdmit.size})")
+
+    val c = t.upsert(ids.map(k => (k, 0L, 0L, "00002")).toDF("id", "x", "y", "trx_seq"))
+    assert(c.extra("files_rewritten").toInt == bloomAdmit.size,
+      s"rewrite set must equal the bloom-admitted set " +
+        s"(rewrote ${c.extra("files_rewritten")}, bloom admits ${bloomAdmit.size})")
+    // correctness is untouched: updated rows new, everything else intact
+    val snap = t.readUser().select($"id", $"x").as[(Long, Long)].collect().toMap
+    assert(snap.size == 4096)
+    ids.foreach(k => assert(snap(k) == 0L))
+    assert(snap(11L) == (11L * 2654435761L) % 4096)
+  }
+
   test("distributed footer harvest returns identical DataFile stats to the driver pool") {
     val df = (0 until 4000).map(i =>
       (i.toLong, s"v$i", s"p${i % 3}", "001", false))
