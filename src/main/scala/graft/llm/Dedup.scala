@@ -120,6 +120,32 @@ object Dedup {
       .filter(col("c") >= threshold)
       .select(col("id_in"), col("id_out"), round(col("c"), 4).as("containment"))
 
+  /** Duplicated-passage census — the shingle-granular approximation of
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): per document, how much of it is
+    * made of n-grams that also occur in OTHER documents. Two hash
+    * aggregates and one posting join on the shingle — work proportional
+    * to posting-list sizes, the same 100 TB shape as [[jaccardPairs]].
+    * A shingle counts as duplicated when its corpus document frequency is
+    * ≥ 2 (it appears verbatim somewhere else); the per-doc ratio is the
+    * boilerplate/copied-span signal a crawl pipeline filters on. All
+    * counts integral; the single final division is exact-replicable.
+    * Returns (id, n_shingles, n_dup, dup_ratio) for docs whose ratio is
+    * ≥ `minRatio`.
+    */
+  def duplicatedSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minRatio: Double = 0.0): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= 2, 1)).as("n_dup"))
+      .withColumn("dup_ratio",
+        round(col("n_dup").cast("double") / col("n_shingles"), 4))
+      .filter(col("dup_ratio") >= minRatio)
+  }
+
   /** MinHash signature column: array of 64 per-permutation minima. The
     * shingle string is hashed ONCE (xxhash64); the permutations re-hash
     * only the resulting long inside [[graft.functions.MinHashSig]] — a

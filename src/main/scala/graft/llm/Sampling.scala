@@ -44,6 +44,25 @@ object Sampling {
         md5(concat(lit(salt + ":"), col(idCol).cast("string"))).as("h"))
       .orderBy(col("h")).limit(k)
 
+  /** PER-GROUP exact-k uniform sample: within every stratum, the k
+    * documents with the smallest salted hash — the "n examples per
+    * language/source" selection a mixing plan makes after choosing rates.
+    * One hash shuffle on the stratum key; rank is a per-group window over
+    * the hash (each group's rows sort within their partition — never a
+    * global sort), so the cost profile is groupBy-like regardless of
+    * group count. Deterministic and engine-portable like [[uniformSampleK]].
+    */
+  def uniformSampleKPerGroup(docs: DataFrame, idCol: String,
+      stratumCol: String, k: Int, salt: String = "gsamp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("h"), col(idCol))
+    docs.select(col(stratumCol), col(idCol), h.as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(stratumCol), col(idCol), col("rk"))
+  }
+
   /** Sequence packing: assign id-ordered documents to training shards of
     * `budget` tokens each (a doc starts a new shard when the running token
     * total crosses the budget — contiguous greedy packing, the standard

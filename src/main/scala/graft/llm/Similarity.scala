@@ -161,6 +161,37 @@ object Similarity {
       .select(col("ia"), col("ib"), round(col("cos"), 6).as("cos"))
   }
 
+  /** INT8-quantized brute-force top-k — the scalar-quantization serving
+    * shape (faiss SQ8): each vector is symmetrically quantized to
+    * `q_i = round(x_i · 127 / max|x|)` (zero vectors quantize to zeros),
+    * and candidates are ranked by the INTEGER dot product of the
+    * quantized vectors. At serving scale this is the memory-bandwidth
+    * win (4× smaller vectors, SIMD int8 dots); here the ranking is
+    * all-integer after quantization, so the whole pipeline — including
+    * the quantizer itself — replicates exactly in SQL. Ties break to the
+    * lower neighbor id. Returns (qid, rnk, nid, qdot).
+    */
+  def int8TopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5): DataFrame = {
+    val quantized = emb
+      .withColumn("_amax",
+        expr(s"CAST(array_max(transform($vecCol, x -> abs(x))) AS DOUBLE)"))
+      .withColumn("_q", expr(
+        s"transform($vecCol, x -> IF(_amax = 0D, 0, " +
+          "CAST(round(CAST(x AS DOUBLE) * 127D / _amax) AS INT)))"))
+    val q = quantized.filter(queryPred)
+      .select(col(idCol).as("qid"), col("_q").as("qa"))
+    val scored = quantized.select(col(idCol).as("nid"), col("_q").as("qb"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> CAST(x AS BIGINT) * y), 0L, (a, b) -> a + b)"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("qdot").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("qdot"))
+  }
+
   /** Squared-L2 distance between the double arrays in columns `a`/`b` —
     * left-to-right accumulation, bit-identical to DuckDB's list_aggregate
     * over the same zip. */

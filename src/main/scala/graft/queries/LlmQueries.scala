@@ -45,6 +45,10 @@ object LlmQueries {
           concat_ws(",",
             transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))
     }),
+    // duplicated-passage census: per-doc share of 3-gram shingles whose
+    // corpus document frequency >= 2 (the boilerplate/copied-span signal)
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text", n = 3)),
     // eval-set decontamination: exact-hash anti-join against a held-out corpus
     "dedup_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(t(s, dir, "documents"), "text", col("source") === "src0")),
@@ -62,6 +66,11 @@ object LlmQueries {
     // exact-size uniform sample: k smallest salted hashes (TakeOrdered)
     "sample_uniform" -> ((s, dir) =>
       Sampling.uniformSampleK(t(s, dir, "documents"), "doc_id", k = 100)),
+    // per-stratum exact-k: the 25 smallest salted hashes WITHIN each
+    // language — one hash shuffle + per-group window, no global sort
+    "sample_uniform_per_lang" -> ((s, dir) =>
+      Sampling.uniformSampleKPerGroup(t(s, dir, "documents"), "doc_id", "lang",
+        k = 25)),
     // weighted Bernoulli sample: keep probability ∝ n_chars (capped at 1),
     // decided in exact integer arithmetic — replicated digit-for-digit
     "sample_weighted" -> ((s, dir) =>
@@ -121,6 +130,11 @@ object LlmQueries {
     "dedup_cosine" -> ((s, dir) =>
       Similarity.cosineTopPairsBlocked(t(s, dir, "embeddings"), "vec_id", "embedding",
         topN = 20, blocks = 8)),
+    // int8 scalar-quantized ranking (faiss SQ8 shape): integer dot
+    // products end to end, exact in any engine
+    "sim_topk_int8" -> ((s, dir) =>
+      Similarity.int8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5)),
     // LSH cosine near-dup ACCURACY CONTRACT (tr3_agg_hll style): the corpus
     // gets deterministic planted near-dups (every 5th vector twinned with
     // its first two coordinates negated — exact float math, replicated
@@ -364,6 +378,22 @@ object LlmQueries {
                 (SELECT COUNT(*) FROM documents WHERE source <> 'src0')
                   - (SELECT COUNT(*) FROM fl) AS n_clean""",
 
+    // same 3-gram shingle construction as the jaccard family (distinct per
+    // doc), df over the whole corpus, integral counts + one division
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+                FROM w),
+         sh0 AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL AND length(s) > 0),
+         dfq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s)
+         SELECT doc_id, COUNT(*) AS n_shingles,
+           COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup,
+           round(CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+         FROM sh0 JOIN dfq USING (s)
+         GROUP BY doc_id""",
+
     "dedup_decontaminate" ->
       """WITH h AS (SELECT source, md5(text) AS hh FROM documents),
          ev AS (SELECT DISTINCT hh FROM h WHERE source = 'src0'),
@@ -395,6 +425,14 @@ object LlmQueries {
     "sample_uniform" ->
       """SELECT doc_id, md5('samp:' || CAST(doc_id AS VARCHAR)) AS h
          FROM documents ORDER BY h LIMIT 100""",
+
+    "sample_uniform_per_lang" ->
+      """SELECT lang, doc_id, rk FROM (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('gsamp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 25""",
 
     // same salted-md5 bucket as the stratified oracle; keep decision is the
     // integer cross-multiplication bucket·2000 < n_chars·65536
@@ -556,6 +594,28 @@ object LlmQueries {
          COUNT(DISTINCT text) AS n_pairs,
          TRUE AS hash_ok
          FROM documents""",
+
+    // exact replication of the int8 quantizer + integer ranking: amax as
+    // FLOAT (exact), the scale division in double (identical expression
+    // order), round() half-away-from-zero in both engines, then pure
+    // 64-bit integer dot products
+    "sim_topk_int8" ->
+      """WITH qz AS (SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS amax,
+             embedding FROM embeddings),
+         qv AS (SELECT vec_id,
+             list_transform(embedding, x -> CASE WHEN amax = 0 THEN 0
+               ELSE CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS INT) END) AS q
+           FROM qz),
+         qs AS (SELECT vec_id AS qid, q AS qa FROM qv WHERE vec_id < 20),
+         s AS (SELECT qid, n.vec_id AS nid,
+             CAST(list_aggregate(list_transform(list_zip(qa, n.q),
+               z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS BIGINT) AS qdot
+           FROM qs, qv n WHERE n.vec_id <> qs.qid)
+         SELECT qid, rnk, nid, qdot FROM
+           (SELECT qid, nid, qdot,
+              row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rnk FROM s)
+         WHERE rnk <= 5""",
 
     // the oracle recomputes the exact >=0.9 pair count over the SAME
     // planted corpus (bit-identical float construction and double

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Sampling, Similarity}
 
 class LlmSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -187,6 +187,35 @@ class LlmSpec extends AnyFunSuite {
       s"connectedComponents left ${pinned.size} checkpoints pinned (expect <= 1)")
     // and the survivor is genuinely the result: still fully readable
     assert(comp.count() == 11)
+  }
+
+  test("duplicated-span census: exact twins score 1.0, unique docs 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),          // twin of 1: all shingles shared
+      (3L, "zeta eta theta iota kappa lambda")).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanStats(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 3L, 1.0)) && got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((4L, 0L, 0.0)))
+  }
+
+  test("int8 quantization: a scaled copy of a vector ranks first (quantizer is scale-invariant)") {
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 2.0f)),
+      (1L, Array(0.25f, -0.5f, 0.125f, 1.0f)),   // 0 scaled by 0.5: same int8 codes
+      (2L, Array(-2.0f, 1.0f, 3.0f, -0.5f))).toDF("vec_id", "embedding")
+    val rows = Similarity.int8TopK(emb, "vec_id", "embedding", col("vec_id") === 0, k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.head == ((1, 1L, rows.head._3)) && rows.head._3 > 0,
+      s"scaled copy must rank first with a positive integer dot (got ${rows.toSeq})")
+    // per-group sampler: every lang keeps exactly k, ranks 1..k
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val per = Sampling.uniformSampleKPerGroup(docs, "doc_id", "lang", k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(2)))
+    per.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 5), s"lang $lang ranks: ${rs.toSeq}")
+    }
   }
 
   test("decontaminate removes exactly the train docs hash-matching the eval set") {
