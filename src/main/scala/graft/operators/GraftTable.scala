@@ -49,7 +49,8 @@ class GraftTable(
     val globalIndex: Boolean = true,
     val harvestThreshold: Int = GraftTable.DistributedHarvestThreshold,
     val statsColumns: Seq[String] = Seq.empty,
-    val keyBlooms: Boolean = false) {
+    val keyBlooms: Boolean = false,
+    val partialUpdate: Boolean = false) {
 
   private val timeline = new Timeline(root)
   // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
@@ -74,15 +75,66 @@ class GraftTable(
     val tieBreak = struct(
       col(orderingField),
       if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0))
-    val identity: Seq[Column] =
+    val identity: Seq[String] =
       if (!globalIndex && partitionFields.nonEmpty && partitionFields.forall(cols.contains))
-        partitionFields.map(col) :+ col(Meta.RecordKey)
-      else Seq(col(Meta.RecordKey))
+        partitionFields :+ Meta.RecordKey
+      else Seq(Meta.RecordKey)
+    if (partialUpdate)
+      return mergePartial(batch, identity, tieBreak)
+        .select((Meta.RecordKey +: cols.filterNot(_ == Meta.RecordKey))
+          .map(col).toIndexedSeq: _*)
     batch
-      .groupBy(identity: _*)
+      .groupBy(identity.map(col): _*)
       .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieBreak).as("_r"))
       .select((Meta.RecordKey +: cols.filterNot(_ == Meta.RecordKey))
         .map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
+  }
+
+  /** PARTIAL-UPDATE merge (Hudi's PartialUpdateAvroPayload / the
+    * DMS-without-full-LOB CDC shape): a version carries values only for
+    * the columns it changed (the rest are null), and the merged row takes
+    * EACH DATA COLUMN from the latest version where it is non-null —
+    * instead of whole-row latest-wins. Delete epochs are respected:
+    * versions at or below the group's newest tombstone are masked out
+    * first (a window max over the same hash-partitioning the aggregate
+    * uses — no extra shuffle), so a delete+reinsert never resurrects
+    * pre-delete column values, and a tombstone that IS the newest version
+    * empties its group (the key leaves the snapshot). Meta columns
+    * (ordering, tombstone flag, commit stamp) come from the winner row.
+    * One shuffle, same scale shape as the whole-row merge.
+    *
+    * Trade-off (inherent to the payload, same as Hudi): a partial-update
+    * table cannot write a column to SQL NULL — null means "unchanged".
+    */
+  private def mergePartial(df: DataFrame, identity: Seq[String],
+      tie: Column): DataFrame = {
+    val cols = df.columns
+    val metaCols = Set(orderingField, Meta.Deleted, Meta.CommitSeq)
+    def fold(src: DataFrame): DataFrame = {
+      val aggs = cols.filterNot(identity.contains).map { c =>
+        if (metaCols(c)) max_by(col(c), tie).as(c)
+        else max_by(col(c), when(col(c).isNotNull, tie)).as(c)
+      }
+      src.groupBy(identity.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(cols.map(col).toIndexedSeq: _*)
+    }
+    if (!cols.contains(Meta.Deleted)) return fold(df)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(identity.map(col): _*)
+    val ann = df.withColumn("_dt",
+      max(when(coalesce(col(Meta.Deleted), lit(false)), tie)).over(w))
+    val folded = fold(
+      ann.filter(col("_dt").isNull || tie > col("_dt")).drop("_dt"))
+    // the group's NEWEST TOMBSTONE travels with the folded survivor: a
+    // later merge stage (precombined batch ⋈ existing snapshot) needs the
+    // epoch boundary to mask pre-delete state — folding it away here
+    // would let a same-batch delete+reinsert resurrect old column values
+    // downstream. Terminal stages drop it (bulk insert and the post-merge
+    // live filter both strip Deleted rows).
+    val tomb = ann.filter(coalesce(col(Meta.Deleted), lit(false)) && tie === col("_dt"))
+      .drop("_dt")
+    folded.unionByName(tomb)
   }
 
   private def prepared(df: DataFrame): DataFrame =
@@ -451,10 +503,12 @@ class GraftTable(
         // non-global index: (partition, key) is the row identity — same-
         // keyed rows in different partitions are distinct and must never
         // collapse, even when pruning pulled both into the affected read
-        val identity: Seq[Column] =
-          if (partitioned) partitionFields.map(col) :+ col(Meta.RecordKey)
-          else Seq(col(Meta.RecordKey))
-        unioned.groupBy(identity: _*)
+        val identity: Seq[String] =
+          if (partitioned) partitionFields :+ Meta.RecordKey
+          else Seq(Meta.RecordKey)
+        if (partialUpdate)
+          mergePartial(unioned, identity, tieExpr(unioned))
+        else unioned.groupBy(identity.map(col): _*)
           .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieExpr(unioned)).as("_r"))
           .select(cols.map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
     }
@@ -562,13 +616,15 @@ class GraftTable(
       // non-global index a row's identity is (partition, key) — grouping
       // by key alone would collapse legitimately distinct same-keyed rows
       // living in different partitions
-      val identity: Seq[Column] =
+      val identity: Seq[String] =
         if (!globalIndex && partitionFields.nonEmpty)
-          partitionFields.map(col) :+ col(Meta.RecordKey)
-        else Seq(col(Meta.RecordKey))
-      val merged = all.groupBy(identity: _*)
-        .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tie).as("_r"))
-        .select(cols.map(c0 => col("_r." + c0).as(c0)).toIndexedSeq: _*)
+          partitionFields :+ Meta.RecordKey
+        else Seq(Meta.RecordKey)
+      val merged =
+        if (partialUpdate) mergePartial(all, identity, tie)
+        else all.groupBy(identity.map(col): _*)
+          .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tie).as("_r"))
+          .select(cols.map(c0 => col("_r." + c0).as(c0)).toIndexedSeq: _*)
       if (cols.contains(Meta.Deleted))
         merged.filter(!coalesce(col(Meta.Deleted), lit(false)))
       else merged

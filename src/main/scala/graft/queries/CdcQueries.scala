@@ -122,6 +122,40 @@ object CdcScenario {
         .withColumn(Meta.Ordering, lit(sq(7))))
     }
 
+  /** PARTIAL-UPDATE table (Hudi PartialUpdateAvroPayload — the DMS shape
+    * when change records carry only changed columns): batches null out
+    * everything they did not touch; the merge takes each column from the
+    * latest version that set it, and a delete resets the epoch so a
+    * partial reinsert starts from NULLs, not resurrected state. */
+  def partial(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"pu:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-pu").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024, partialUpdate = true)
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      def only(df: DataFrame, keep: Set[String]): DataFrame =
+        df.select(df.columns.map { c =>
+          if (c == "o_orderkey" || keep(c)) col(c)
+          else lit(null).cast(df.schema(c).dataType).as(c)
+        }.toIndexedSeq: _*)
+      tab.bulkInsert(fullLoad(s, dir))
+      // trx 2: keys %10==0 set ONLY the status
+      tab.upsert(meta(only(o.filter(k % 10 === 0)
+        .withColumn("o_orderstatus", lit("P")), Set("o_orderstatus")), 2, deleted = false))
+      // trx 3: the same keys set ONLY the price — status 'P' must survive
+      tab.upsert(meta(only(o.filter(k % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0), Set("o_totalprice")), 3, deleted = false))
+      // trx 4 delete + trx 5 partial reinsert (status only) in ONE batch:
+      // the epoch reset must hold through precombine + merge — price and
+      // custkey come back NULL, never the pre-delete values
+      tab.upsert(
+        meta(o.filter(k % 97 === 0), 4, deleted = true)
+          .unionByName(meta(only(o.filter(k % 97 === 0)
+            .withColumn("o_orderstatus", lit("Z")), Set("o_orderstatus")), 5, deleted = false)))
+      tab
+    })
+
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "svc") { t => t.clean(retainCommits = 2); t.archive(keepLast = 1) }
@@ -485,6 +519,13 @@ object CdcQueries {
     // final state (a bloom false NEGATIVE would lose the update; blooms
     // are constructed no-false-negative)
     "cdc_bloom_upsert" -> ((s, dir) => statusAgg(CdcScenario.bloomed(s, dir))),
+    // partial-update payload: per-column latest-non-null fold with
+    // delete-epoch reset — full final snapshot graded (NULLs included)
+    "cdc_partial_update" -> ((s, dir) =>
+      CdcScenario.partial(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"))),
     // 2-D box read over the z-ordered layout — BOTH tracked dimensions
     // prune files (the query shape z-order exists for); exact residual
     "cdc_zorder_box" -> ((s, dir) =>
@@ -713,6 +754,20 @@ object CdcQueries {
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_custkey
          FROM final WHERE o_custkey BETWEEN 100 AND 800""",
     "cdc_zorder" -> statusAggSql,
+    // per-column overlay: status from its latest setter (trx 5 'Z' for
+    // reinserted, trx 2 'P' for %10), price from trx 3 (+500) or the
+    // original, with the %97 delete-reinsert cycle leaving price/custkey
+    // NULL (epoch reset — never the pre-delete values)
+    "cdc_partial_update" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN 'Z'
+                WHEN o_orderkey % 10 = 0 THEN 'P'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                WHEN o_orderkey % 10 = 0 THEN CAST(CAST(o_totalprice + 500.0 AS DECIMAL(18,2)) AS DOUBLE)
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) END AS price,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS o_custkey
+         FROM orders""",
     // the 'W' overlay touches only original keys (inserted 1e7+ keys end
     // in digit 1) and no deleted key (those left the snapshot), so the
     // oracle is a plain CASE on the final state

@@ -285,6 +285,54 @@ class MergeSpec extends AnyFunSuite {
     assert(planFiles == overlapping, s"scanned $planFiles vs pruned $overlapping")
   }
 
+  test("partial-update merge: latest non-null per column; delete resets state") {
+    val root = tmp()
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      partialUpdate = true)
+    t.bulkInsert(Seq(
+      (1L, Some("a1"), Some(10L), "001", false),
+      (2L, Some("a2"), Some(20L), "001", false),
+      (3L, Some("a3"), Some(30L), "001", false))
+      .toDF("id", "a", "b", "trx_seq", Meta.Deleted))
+    // batch 1: set ONLY a for key 1; ONLY b for key 2
+    t.upsert(Seq(
+      (1L, Some("A1"), None: Option[Long], "002", false),
+      (2L, None: Option[String], Some(22L), "002", false))
+      .toDF("id", "a", "b", "trx_seq", Meta.Deleted))
+    // batch 2: delete key 3, then (same batch, later trx) partial reinsert
+    // setting only a — b must come back NULL, not resurrect 30
+    t.upsert(Seq(
+      (3L, None: Option[String], None: Option[Long], "003", true),
+      (3L, Some("Z3"), None: Option[Long], "004", false))
+      .toDF("id", "a", "b", "trx_seq", Meta.Deleted))
+    val got = t.readUser().select($"id", $"a", $"b")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some("A1"), Some(10L))), s"key 1: ${got(1L)}") // a updated, b kept
+    assert(got(2L) == ((Some("a2"), Some(22L))), s"key 2: ${got(2L)}") // a kept, b updated
+    assert(got(3L) == ((Some("Z3"), None)), s"key 3: ${got(3L)}")      // delete reset b
+    // delete as the LATEST version removes the key entirely
+    t.upsert(Seq((2L, None: Option[String], None: Option[Long], "005", true))
+      .toDF("id", "a", "b", "trx_seq", Meta.Deleted))
+    assert(t.readUser().filter($"id" === 2L).isEmpty)
+
+    // MOR variant: the same fold must hold through the merge-on-read view
+    val m = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024,
+      partialUpdate = true, tableType = GraftTable.MergeOnRead)
+    m.bulkInsert(Seq((1L, Some("x"), Some(5L), "001", false))
+      .toDF("id", "a", "b", "trx_seq", Meta.Deleted))
+    m.upsert(Seq((1L, Some("y"), None: Option[Long], "002", false))
+      .toDF("id", "a", "b", "trx_seq", Meta.Deleted))
+    m.upsert(Seq((1L, None: Option[String], Some(7L), "003", false))
+      .toDF("id", "a", "b", "trx_seq", Meta.Deleted))
+    val mor = m.readUser().select($"a", $"b").as[(Option[String], Option[Long])].collect()
+    assert(mor.toSeq == Seq((Some("y"), Some(7L))), s"MOR fold: ${mor.toSeq}")
+    // and compaction materializes the identical row
+    m.compact()
+    val comp = m.readUser().select($"a", $"b").as[(Option[String], Option[Long])].collect()
+    assert(comp.toSeq == Seq((Some("y"), Some(7L))))
+  }
+
   test("key blooms restore upsert pruning on a z-ordered table") {
     import graft.functions.KeyBloom
     val root = tmp()
