@@ -418,6 +418,31 @@ object RelationalOracles {
            AND vts BETWEEN cts - INTERVAL 10 MINUTE AND cts + INTERVAL 10 MINUTE
          GROUP BY 1""",
 
+    // LEFT OUTER replay: every matched pair + the unmatched clicks whose
+    // match horizon (cts + 10 min) lies below the final global watermark
+    // (min of both sides' max event time, minus the 17-min delay)
+    "st_stream_join_outer" ->
+      """WITH v AS (SELECT user_id, ts AS vts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents
+           FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts AS cts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c_cents
+           FROM events WHERE event_type = 'click'),
+         wm AS (SELECT least((SELECT max(vts) FROM v), (SELECT max(cts) FROM c))
+                  - INTERVAL 17 MINUTE AS w),
+         j AS (SELECT c.user_id, cts, c_cents, vts, v_cents
+           FROM c LEFT JOIN v ON c.user_id = v.user_id
+             AND vts BETWEEN cts - INTERVAL 10 MINUTE AND cts + INTERVAL 10 MINUTE),
+         e AS (SELECT * FROM j
+           WHERE vts IS NOT NULL
+              OR cts + INTERVAL 10 MINUTE < (SELECT w FROM wm))
+         SELECT user_id % 10 AS cohort, COUNT(*) AS n_rows,
+           COUNT(vts) AS n_matched,
+           COUNT(*) - COUNT(vts) AS n_unmatched,
+           CAST(COALESCE(SUM(CASE WHEN vts IS NOT NULL THEN c_cents + v_cents END), 0) AS BIGINT) AS cents_matched,
+           CAST(COALESCE(SUM(CASE WHEN vts IS NULL THEN c_cents END), 0) AS BIGINT) AS cents_unmatched
+         FROM e GROUP BY 1""",
+
     "st_session_window" ->
       """WITH d AS (
            SELECT user_id, ts,

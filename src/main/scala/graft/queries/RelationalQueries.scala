@@ -630,6 +630,15 @@ object RelationalQueries {
     "st_stream_join" -> ((s, dir) =>
       graft.streaming.StreamJoin.attributionStats(s, s"$dir/events.parquet",
         "st_join_sink")),
+    // LEFT OUTER stream-stream: matched pairs emit like the inner join;
+    // an UNMATCHED click emits (null view side) only once the final
+    // watermark W = min(max vts, max cts) − 17 min proves no future view
+    // can match it (cts + 10 min < W) — younger unmatched clicks are
+    // still buffered state when the drain ends, exactly the
+    // unbounded-stream semantics, which the oracle replays
+    "st_stream_join_outer" -> ((s, dir) =>
+      graft.streaming.StreamJoin.attributionLeftOuterStats(s, s"$dir/events.parquet",
+        "st_loj_sink")),
     // a REAL append-mode watermarked window run: each window emits ONCE
     // when the watermark closes it (state dropped — the unbounded-stream
     // semantics); the emitted set is exactly the windows whose end ≤

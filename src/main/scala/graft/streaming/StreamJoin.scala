@@ -77,4 +77,107 @@ object StreamJoin {
         sum(when(col("vts") <= col("cts"), 1L).otherwise(0L)).as("n_view_first"),
         sum(col("c_cents") + col("v_cents")).as("cents_sum"))
   }
+
+  /** LEFT OUTER watermarked stream-stream join — the attribution shape
+    * that must also account for clicks that never matched a view. Outer
+    * (null-padded) rows only exist once the watermark PROVES no future
+    * view can match, so unlike the inner variant the watermark delay must
+    * be finite and the emitted set is delay-dependent: an unmatched click
+    * emits iff the final global watermark `W = min(max vts, max cts) −
+    * delay` has passed its match horizon (`cts + window < W`); unmatched
+    * clicks younger than that are still buffered when the drain ends —
+    * exactly the unbounded-stream semantics, replayed deterministically.
+    *
+    * Late-drop hazard: a finite watermark on multi-batch replay drops
+    * out-of-order input. Each side is therefore written as TIME-ORDERED
+    * slices (`repartitionByRange` on the event time, one file per batch),
+    * so the watermark ratchets monotonically and never drops a row — the
+    * same in-order-slices discipline the live window query uses.
+    */
+  def attributionLeftOuterStats(spark: SparkSession, eventsParquet: String,
+      sinkTable: String, windowMinutes: Int = 10, delayMinutes: Int = 17,
+      slices: Int = 4): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-loj")
+    val raw = spark.read.parquet(eventsParquet)
+    val events =
+      if (raw.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    // time-contiguous slices with EXPLICIT strictly-increasing mtimes (the
+    // StreamWindow discipline): the file source processes oldest-mtime
+    // first, so the watermark ratchets monotonically and nothing is ever
+    // dropped late. A plain multi-file write gets TIED mtimes and an
+    // undefined processing order — the watermark then jumps ahead and
+    // whole slices die as late input, nondeterministically.
+    def sideDir(tpe: String): String =
+      writeTimeSlices(events.filter(col("event_type") === tpe),
+        s"$base/$tpe", slices)
+    val viewDir = sideDir("view")
+    val clickDir = sideDir("click")
+    val schema = events.schema
+    def stream(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+    val views = stream(viewDir).select(
+      col("user_id").as("v_user"), col("ts").as("vts"), cents(col("value")).as("v_cents"))
+      .withWatermark("vts", s"$delayMinutes minutes")
+    val clicks = stream(clickDir).select(
+      col("user_id").as("c_user"), col("ts").as("cts"), cents(col("value")).as("c_cents"))
+      .withWatermark("cts", s"$delayMinutes minutes")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("vts") >= col("cts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("vts") <= col("cts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+      "leftOuter")
+    spark.catalog.dropTempView(sinkTable)
+    val q = joined.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+      .groupBy((col("c_user") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("vts")).as("n_matched"),
+        (count(lit(1)) - count(col("vts"))).as("n_unmatched"),
+        coalesce(sum(when(col("vts").isNotNull, col("c_cents") + col("v_cents"))),
+          lit(0L)).as("cents_matched"),
+        coalesce(sum(when(col("vts").isNull, col("c_cents"))), lit(0L)).as("cents_unmatched"))
+  }
+
+  /** Write `df` (must carry an event-time column `ts`) as `slices`
+    * time-contiguous single-file slices under `dir`, stamped with
+    * explicit strictly-increasing mtimes so the file stream source
+    * replays them oldest-first — the in-order discipline every
+    * finite-watermark drain in this package depends on. */
+  private def writeTimeSlices(df: DataFrame, dir: String, slices: Int): String = {
+    val withM = df.withColumn("_m", expr("unix_micros(ts)"))
+    val bounds = withM.stat.approxQuantile("_m",
+      (1 until slices).map(_.toDouble / slices).toArray, 0.0).map(_.toLong)
+    val inDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir))
+    val epoch = 1700000000000L
+    (0 until slices).foreach { i =>
+      val lo: Option[Long] = if (i == 0) None else Some(bounds(i - 1))
+      val hi: Option[Long] = if (i == slices - 1) None else Some(bounds(i))
+      val part = withM
+        .filter(lo.map(col("_m") > lit(_)).getOrElse(lit(true)))
+        .filter(hi.map(col("_m") <= lit(_)).getOrElse(lit(true)))
+        .drop("_m")
+      val stage = s"$dir-stage$i"
+      part.coalesce(1).write.mode("overwrite").parquet(stage)
+      val src = scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(stage))) { s =>
+        s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      }
+      val dst = inDir.resolve(f"slice$i%03d.parquet")
+      java.nio.file.Files.move(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(epoch + i * 2000L))
+    }
+    inDir.toString
+  }
 }
