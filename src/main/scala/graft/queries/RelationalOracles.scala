@@ -418,6 +418,18 @@ object RelationalOracles {
            AND vts BETWEEN cts - INTERVAL 10 MINUTE AND cts + INTERVAL 10 MINUTE
          GROUP BY 1""",
 
+    // batch replay of the custom state fold: the per-user event sequence
+    // in (ts, event_id) order, transitions counted with lag()
+    "st_custom_state_funnel" ->
+      """WITH o AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev
+           FROM events)
+         SELECT user_id, COUNT(*) AS n_events,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS n_clicks,
+           CAST(COUNT(CASE WHEN prev = 'view' AND event_type = 'click' THEN 1 END) AS BIGINT) AS n_view_then_click
+         FROM o GROUP BY user_id""",
+
     // LEFT OUTER replay: every matched pair + the unmatched clicks whose
     // match horizon (cts + 10 min) lies below the final global watermark
     // (min of both sides' max event time, minus the 17-min delay)

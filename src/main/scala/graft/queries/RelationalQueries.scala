@@ -639,6 +639,13 @@ object RelationalQueries {
     "st_stream_join_outer" -> ((s, dir) =>
       graft.streaming.StreamJoin.attributionLeftOuterStats(s, s"$dir/events.parquet",
         "st_loj_sink")),
+    // a REAL custom-state run (mapGroupsWithState): per-user funnel
+    // counters folded across micro-batch boundaries — the view→click
+    // transition spanning two batches is exactly what per-batch windows
+    // cannot see; the oracle replays the fold with a lag() window
+    "st_custom_state_funnel" -> ((s, dir) =>
+      graft.streaming.StreamState.funnelStats(s, s"$dir/events.parquet",
+        "st_state_sink")),
     // a REAL append-mode watermarked window run: each window emits ONCE
     // when the watermark closes it (state dropped — the unbounded-stream
     // semantics); the emitted set is exactly the windows whose end ≤

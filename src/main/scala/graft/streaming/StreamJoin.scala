@@ -148,12 +148,19 @@ object StreamJoin {
         coalesce(sum(when(col("vts").isNull, col("c_cents"))), lit(0L)).as("cents_unmatched"))
   }
 
-  /** Write `df` (must carry an event-time column `ts`) as `slices`
-    * time-contiguous single-file slices under `dir`, stamped with
-    * explicit strictly-increasing mtimes so the file stream source
-    * replays them oldest-first — the in-order discipline every
-    * finite-watermark drain in this package depends on. */
-  private def writeTimeSlices(df: DataFrame, dir: String, slices: Int): String = {
+  private def writeTimeSlices(df: DataFrame, dir: String, slices: Int): String =
+    StreamSlices.writeTimeSlices(df, dir, slices)
+}
+
+/** Shared replay-determinism helper: write a DataFrame (with event-time
+  * column `ts`) as time-contiguous single-file slices under `dir`,
+  * stamped with EXPLICIT strictly-increasing mtimes so the file stream
+  * source replays them oldest-first. Every finite-watermark or
+  * order-sensitive drain in this package depends on this discipline — a
+  * plain multi-file write gets tied mtimes, an undefined processing
+  * order, and nondeterministic late-drops. */
+private[streaming] object StreamSlices {
+  def writeTimeSlices(df: DataFrame, dir: String, slices: Int): String = {
     val withM = df.withColumn("_m", expr("unix_micros(ts)"))
     val bounds = withM.stat.approxQuantile("_m",
       (1 until slices).map(_.toDouble / slices).toArray, 0.0).map(_.toLong)

