@@ -49,6 +49,11 @@ object LlmQueries {
     // corpus document frequency >= 2 (the boilerplate/copied-span signal)
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text", n = 3)),
+    // CCNet-style segment dedup: remove 8-word segments that appear
+    // verbatim in >= 2 docs; graded artifact includes the md5 of the
+    // RECONSTRUCTED deduped text, proving the transformation itself
+    "text_segment_dedup" -> ((s, dir) =>
+      TextAnalysis.segmentDedup(t(s, dir, "documents"), "doc_id", "text")),
     // eval-set decontamination: exact-hash anti-join against a held-out corpus
     "dedup_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(t(s, dir, "documents"), "text", col("source") === "src0")),
@@ -377,6 +382,23 @@ object LlmQueries {
                 (SELECT COUNT(*) FROM fl) AS n_flagged,
                 (SELECT COUNT(*) FROM documents WHERE source <> 'src0')
                   - (SELECT COUNT(*) FROM fl) AS n_clean""",
+
+    // 8-word segments, distinct-doc frequency, kept text rebuilt in
+    // segment order (string_agg ORDER BY pos) — digit-for-digit
+    "text_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         segs AS (SELECT doc_id, s['pos'] AS pos, s['seg'] AS seg FROM
+           (SELECT doc_id, unnest(list_transform(
+               range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+               i -> {'pos': i, 'seg': array_to_string(w[i * 8 + 1 : (i + 1) * 8], ' ')})) AS s
+            FROM w)),
+         dfq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+         SELECT doc_id, COUNT(*) AS n_segs,
+           COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_segs,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY pos)
+             FILTER (WHERE df < 2), '')) AS kept_md5
+         FROM segs JOIN dfq USING (seg)
+         GROUP BY doc_id""",
 
     // same 3-gram shingle construction as the jaccard family (distinct per
     // doc), df over the whole corpus, integral counts + one division
