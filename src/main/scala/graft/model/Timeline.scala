@@ -45,7 +45,13 @@ case class DataFile(
       * whole key space and intervals alone stop pruning. Manifest cost is
       * O(rows) per file; at very large table sizes the blooms belong in a
       * sidecar metadata table, which the encoding here makes portable. */
-    keyBloom: Option[String] = None)
+    keyBloom: Option[String] = None,
+    /** Opt-in per-column Bloom filters for the table's registered
+      * `bloomColumns` (same encoding, built over the column's canonical
+      * string form): the secondary-index analog — equality lookups on a
+      * non-key column prune files min/max ranges cannot (a shuffled
+      * column spans nearly its whole domain in every file). */
+    colBlooms: Map[String, String] = Map.empty)
 
 /** An atomic commit of a table snapshot. `files` is the COMPLETE set of
   * live files at this version (carried-forward + newly written) — readers

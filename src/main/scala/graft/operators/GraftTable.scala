@@ -50,6 +50,7 @@ class GraftTable(
     val harvestThreshold: Int = GraftTable.DistributedHarvestThreshold,
     val statsColumns: Seq[String] = Seq.empty,
     val keyBlooms: Boolean = false,
+    val bloomColumns: Seq[String] = Seq.empty,
     val partialUpdate: Boolean = false) {
 
   private val timeline = new Timeline(root)
@@ -172,35 +173,56 @@ class GraftTable(
     val writer = if (partitionFields.nonEmpty) writer0.partitionBy(partitionFields: _*) else writer0
     writer.parquet(stage)
     val files = harvestStats(stage)
-    if (keyBlooms) attachKeyBlooms(stage, files) else files
+    if (keyBlooms || bloomColumns.nonEmpty) attachBlooms(stage, files) else files
   }
 
-  /** Opt-in per-file key blooms: ONE extra Spark job over the just-written
-    * stage reading only the record-key column, aggregated by the native
-    * partial-merging [[graft.functions.KeyBloomAgg]] — the write's file
-    * partitioning is preserved by the scan, so map-side partials already
-    * are per-file blooms and only bloom bytes shuffle. Sized from the
-    * write's largest file (one aggregate expression serves every group);
-    * files are matched by basename (Spark part-file names carry a task
-    * UUID — unique within a write). A file the job cannot match keeps
-    * `keyBloom = None` and is simply never bloom-pruned (conservative).
+  /** Opt-in per-file blooms (record key and/or registered data columns):
+    * ONE extra Spark job over the just-written stage reading only the
+    * bloomed columns, aggregated by the native partial-merging
+    * [[graft.functions.KeyBloomAgg]] — the write's file partitioning is
+    * preserved by the scan, so map-side partials already are per-file
+    * blooms and only bloom bytes shuffle. Sized from the write's largest
+    * file (one aggregate expression serves every group); files are
+    * matched by basename (Spark part-file names carry a task UUID —
+    * unique within a write). A file the job cannot match, or a bloom
+    * column absent from this write's schema, stays bloom-less and is
+    * simply never bloom-pruned (conservative). Data columns are bloomed
+    * over their canonical STRING form — the same form the probe encodes.
     */
-  private def attachKeyBlooms(stage: String, files: Seq[DataFile]): Seq[DataFile] = {
+  private def attachBlooms(stage: String, files: Seq[DataFile]): Seq[DataFile] = {
     if (files.isEmpty) return files
     graft.functions.KeyBloomFunctions.register(spark)
     val numBits = graft.functions.KeyBloom.sizeBits(files.map(_.numRows).max)
     val numHashes = graft.functions.KeyBloom.DefaultHashes
-    val perFile = spark.read.parquet(stage)
-      .select(input_file_name().as("f"), col(Meta.RecordKey).cast("string").as("k"))
+    val df0 = spark.read.parquet(stage)
+    val present = bloomColumns.filter(df0.columns.contains)
+    def agg(c: Column) =
+      graft.functions.KeyBloomFunctions.keyBloomAgg(c.cast("string"), numBits, numHashes)
+    val aggs =
+      (if (keyBlooms) Seq(agg(col(Meta.RecordKey)).as("_kb")) else Seq.empty) ++
+        present.map(c => agg(col(c)).as(s"_cb_$c"))
+    if (aggs.isEmpty) return files
+    val inputCols =
+      (if (keyBlooms) Seq(col(Meta.RecordKey)) else Seq.empty) ++ present.map(col)
+    val perFile = df0
+      .select((input_file_name().as("f") +: inputCols): _*)
       .groupBy(col("f"))
-      .agg(graft.functions.KeyBloomFunctions.keyBloomAgg(col("k"), numBits, numHashes).as("b"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map(r => r.getString(0).split('/').last -> r.getAs[Array[Byte]]("b"))
+      .map { r =>
+        val key = if (keyBlooms) Option(r.getAs[Array[Byte]]("_kb")) else None
+        val cb = present.flatMap(c =>
+          Option(r.getAs[Array[Byte]](s"_cb_$c")).map(c -> _)).toMap
+        r.getString(0).split('/').last -> ((key, cb))
+      }
       .toMap
     files.map { f =>
       perFile.get(f.path.split('/').last) match {
-        case Some(bits) =>
-          f.copy(keyBloom = Some(graft.functions.KeyBloom.encode(numHashes, bits)))
+        case Some((kb, cb)) =>
+          f.copy(
+            keyBloom = kb.map(graft.functions.KeyBloom.encode(numHashes, _)),
+            colBlooms = cb.map { case (c, bits) =>
+              c -> graft.functions.KeyBloom.encode(numHashes, bits) })
         case None => f
       }
     }
@@ -870,6 +892,47 @@ class GraftTable(
     val kept = typed.foldLeft(c.files) { case (fs, (column, kind, lo, hi, _, _)) =>
       GraftTable.filesInColumnRange(fs, column, kind, lo, hi)
     }
+    scanFiles(kept, schema).filter(residual)
+  }
+
+  /** EQUALITY lookup on a non-key column through the per-column bloom
+    * index (see [[bloomColumns]]) — the secondary-index read: a column
+    * with no correlation to the key layout spans nearly its whole domain
+    * in every file, so min/max stats admit everything; the bloom admits
+    * only files that really contain the value (~2% false positives, zero
+    * false negatives). Column-stats ranges, when tracked, prune first;
+    * files without a bloom for the column always join the scan. The exact
+    * residual equality filter (pushed into the parquet scan) keeps the
+    * result exact. Long and String probes only — their canonical string
+    * form matches the build side's `cast(col as string)` exactly; double
+    * formatting does not round-trip reliably and is rejected.
+    * MOR with outstanding logs falls back to filter-after-merge for the
+    * same reason as [[readColumnRange]].
+    */
+  def readColumnEquals(column: String, value: Any): DataFrame = {
+    val (kind, str, valLit) = value match {
+      case x: Long   => ("long", x.toString, lit(x))
+      case x: Int    => ("long", x.toLong.toString, lit(x.toLong))
+      case x: String => ("string", x, lit(x))
+      case other => throw new IllegalArgumentException(
+        s"readColumnEquals supports long/string probes, got ${other.getClass.getSimpleName}")
+    }
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val residual = col(column) === valLit
+    if (c.logFiles.nonEmpty) return mergedView(c).filter(residual)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val h = graft.functions.KeyBloom.hash(str)
+    val kept = GraftTable.filesInColumnRange(c.files, column, kind, str, str)
+      .filter { f =>
+        f.colBlooms.get(column) match {
+          case Some(enc) =>
+            val (nh, bits) = graft.functions.KeyBloom.decode(enc)
+            graft.functions.KeyBloom.contains(bits, nh, h)
+          case None => true
+        }
+      }
     scanFiles(kept, schema).filter(residual)
   }
 

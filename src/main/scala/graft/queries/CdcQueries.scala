@@ -69,12 +69,13 @@ object CdcScenario {
       tableType: String = GraftTable.CopyOnWrite,
       globalIndex: Boolean = true,
       statsColumns: Seq[String] = Seq.empty,
-      keyBlooms: Boolean = false)(extra: GraftTable => Unit): GraftTable =
+      keyBlooms: Boolean = false,
+      bloomColumns: Seq[String] = Seq.empty)(extra: GraftTable => Unit): GraftTable =
     cache.getOrElseUpdate(s"$key:$dir", {
       val root = Files.createTempDirectory(s"graft-cdc-$key").toString
       val t = new GraftTable(s, root, Seq("o_orderkey"), partitionFields,
         targetFileBytes = 1024 * 1024, tableType = tableType, globalIndex = globalIndex,
-        statsColumns = statsColumns, keyBlooms = keyBlooms)
+        statsColumns = statsColumns, keyBlooms = keyBlooms, bloomColumns = bloomColumns)
       t.bulkInsert(fullLoad(s, dir))
       t.upsert(batchA(s, dir))
       t.upsert(batchB(s, dir))
@@ -101,6 +102,14 @@ object CdcScenario {
   /** Column-stats index on `o_custkey` (non-key data skipping). */
   def colStats(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "cst", statsColumns = Seq("o_custkey"))(_ => ())
+
+  /** Per-column bloom index on `o_custkey` (secondary equality lookups):
+    * custkey is decorrelated from the orderkey layout, so every file's
+    * min/max range spans nearly the whole customer domain and only the
+    * bloom can prune an equality probe. */
+  def colBloomed(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "cbl", statsColumns = Seq("o_custkey"),
+      bloomColumns = Seq("o_custkey"))(_ => ())
 
   /** Z-order clustered on (o_custkey, o_totalprice) with column stats
     * tracked on both — multi-dimensional data skipping (T1 variant). */
@@ -519,6 +528,13 @@ object CdcQueries {
     // final state (a bloom false NEGATIVE would lose the update; blooms
     // are constructed no-false-negative)
     "cdc_bloom_upsert" -> ((s, dir) => statusAgg(CdcScenario.bloomed(s, dir))),
+    // secondary-index equality lookup: per-file o_custkey bloom prunes
+    // files the (domain-spanning) min/max ranges cannot; exact residual
+    "cdc_colbloom_lookup" -> ((s, dir) =>
+      CdcScenario.colBloomed(s, dir).readColumnEquals("o_custkey", 700L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"))),
     // partial-update payload: per-column latest-non-null fold with
     // delete-epoch reset — full final snapshot graded (NULLs included)
     "cdc_partial_update" -> ((s, dir) =>
@@ -754,6 +770,12 @@ object CdcQueries {
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_custkey
          FROM final WHERE o_custkey BETWEEN 100 AND 800""",
     "cdc_zorder" -> statusAggSql,
+    // the final state restricted to one customer — what the bloom-pruned
+    // equality lookup must return exactly
+    "cdc_colbloom_lookup" ->
+      s"""$finalState
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_custkey
+         FROM final WHERE o_custkey = 700""",
     // per-column overlay: status from its latest setter (trx 5 'Z' for
     // reinserted, trx 2 'P' for %10), price from trx 3 (+500) or the
     // original, with the %97 delete-reinsert cycle leaving price/custkey

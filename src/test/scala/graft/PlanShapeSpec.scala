@@ -130,4 +130,34 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") && p.contains("v"))
   }
+
+  test("column-bloom equality lookup schedules only bloom-admitted files") {
+    import org.apache.spark.sql.functions._
+    // secondary column DECORRELATED from the key layout: every file's
+    // [min, max] range spans nearly the whole domain, so range stats
+    // admit everything and only the bloom can prune
+    val t = new graft.operators.GraftTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-colbloom").toString,
+      Seq("id"), targetFileBytes = 16 * 1024,
+      statsColumns = Seq("u"), bloomColumns = Seq("u"))
+    import spark.implicits._
+    t.bulkInsert((0L until 4000L).toDF("id")
+      .withColumn("u", pmod(col("id") * 2654435761L, lit(100000L)))
+      .withColumn("trx_seq", lit("001")))
+    val all = t.latestCommit().get.files
+    assert(all.size >= 8 && all.forall(_.colBlooms.contains("u")))
+    // pick a value that exists; its home file count is tiny
+    val probe = (1234L * 2654435761L) % 100000L
+    val df = t.readColumnEquals("u", probe)
+    val scannedFiles = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    assert(scannedFiles < all.size,
+      s"bloom must prune ($scannedFiles of ${all.size} files scanned)")
+    // exactness: the pruned scan returns exactly the matching rows
+    assert(df.filter(col("id") === 1234L).count() == 1)
+    assert(df.count() ==
+      t.read().filter(col("u") === probe).count())
+  }
 }
