@@ -22,7 +22,10 @@ case class TableConfig(
     transformerSql: Option[String],        // TR0 hook (handler.py:115-116)
     enabled: Boolean,                      // P4 (handler.py:131)
     sparkConf: Map[String, String],
-    statsColumns: Seq[String] = Seq.empty) { // column-stats index (data skipping)
+    statsColumns: Seq[String] = Seq.empty,  // column-stats index (data skipping)
+    keyBlooms: Boolean = false,             // per-file record-key bloom index
+    bloomColumns: Seq[String] = Seq.empty,  // per-column bloom index (secondary lookups)
+    partialUpdate: Boolean = false) {       // partial-image CDC merge payload
 
   /** Curated table name `{identifier}_{schema}_{table}` (handler.py:132). */
   def curatedName(identifier: String): String =
@@ -97,7 +100,11 @@ object ConfigLoader {
           enabled = (o \ "enabled").extractOpt[Boolean].getOrElse(true),
           sparkConf = (o \ "spark_conf").extractOpt[Map[String, String]].getOrElse(Map.empty),
           statsColumns = str(hudi, "stats_columns").toSeq
-            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+          keyBlooms = (hudi \ "key_blooms").extractOpt[Boolean].getOrElse(false),
+          bloomColumns = str(hudi, "bloom_columns").toSeq
+            .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+          partialUpdate = (hudi \ "partial_update").extractOpt[Boolean].getOrElse(false))
       }
     }
 

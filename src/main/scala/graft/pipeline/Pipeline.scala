@@ -67,7 +67,10 @@ object IngestJob {
       tableType = tc.tableType,
       compactEvery = if (tc.tableType == GraftTable.MergeOnRead) tc.compactEvery else 0,
       globalIndex = tc.globalIndex,
-      statsColumns = tc.statsColumns)
+      statsColumns = tc.statsColumns,
+      keyBlooms = tc.keyBlooms,
+      bloomColumns = tc.bloomColumns,
+      partialUpdate = tc.partialUpdate)
 
   def run(spark: SparkSession, pipe: PipelineConfig, tc: TableConfig): TableResult = {
     val t0 = System.currentTimeMillis()

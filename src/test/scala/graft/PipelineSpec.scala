@@ -68,12 +68,15 @@ class PipelineSpec extends AnyFunSuite {
          | "step_parallelism":1},
          |{"config":"table::public.orders","identifier":"st","enabled":true,
          | "hudi_config":{"record_key":"o_orderkey","source_ordering_field":"trx_seq",
-         |   "stats_columns":"o_totalprice, o_custkey"}}
+         |   "stats_columns":"o_totalprice, o_custkey",
+         |   "key_blooms":true, "bloom_columns":"o_custkey",
+         |   "partial_update":false}}
          |]""".stripMargin
     val p = Paths.get(base, "configs.json"); Files.writeString(p, json)
     val cfg = ConfigLoader.load(p.toString, "st", "bulk_insert")
     val tc = cfg.tables.head
     assert(tc.statsColumns == Seq("o_totalprice", "o_custkey"))
+    assert(tc.keyBlooms && tc.bloomColumns == Seq("o_custkey") && !tc.partialUpdate)
     val report = Pipeline.run(spark, cfg)
     assert(report.ok)
     val table = IngestJob.openTable(spark, cfg, tc)
@@ -82,6 +85,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(files.forall(f => f.colStats.contains("o_totalprice") &&
       f.colStats("o_totalprice").kind == "double"))
     assert(files.forall(f => f.colStats("o_custkey").kind == "long"))
+    // bloom config reaches the write path: every file carries both indexes
+    assert(files.forall(f => f.keyBloom.isDefined && f.colBlooms.contains("o_custkey")))
   }
 
   test("bulk_insert -> delta chain: full load, incremental no-op, new-file pickup") {
