@@ -211,6 +211,28 @@ class ConcurrencySpec extends AnyFunSuite {
         "in-flight markers left behind")
   }
 
+  test("maintenance fence waits out a live marker but proceeds past a dead writer's stale one") {
+    val root = Files.createTempDirectory("graft-fence-stale").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      staleLockMs = 1500)
+    t.bulkInsert(Seq((0L, "a", "001")).toDF("id", "v", "trx_seq"))
+    t.upsert(Seq((0L, "b", "002")).toDF("id", "v", "trx_seq"))
+    // a crashed OCC writer's in-flight marker: exists, never heartbeats
+    val inflight = java.nio.file.Paths.get(root, "_graft", "inflight")
+    Files.createDirectories(inflight)
+    val dead = inflight.resolve("w-deadwriter")
+    Files.write(dead, "0".getBytes)
+    val t0 = System.currentTimeMillis()
+    val cleaned = t.clean(retainCommits = 1)
+    val waited = System.currentTimeMillis() - t0
+    // clean() had to wait for the marker to go stale (~staleLockMs), not
+    // the full drain deadline, and then actually did its work
+    assert(waited >= 1000 && waited < 30000, s"drain waited ${waited}ms")
+    assert(cleaned >= 1, "expired files must be reclaimed after the drain")
+    assert(t.readUser().count() == 1)
+    Files.deleteIfExists(dead)
+  }
+
   test("clean() reclaims crashed-writer stage dirs but spares fresh and referenced ones") {
     val root = Files.createTempDirectory("graft-stage-gc").toString
     val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
