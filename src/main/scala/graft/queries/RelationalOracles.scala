@@ -418,6 +418,28 @@ object RelationalOracles {
            AND vts BETWEEN cts - INTERVAL 10 MINUTE AND cts + INTERVAL 10 MINUTE
          GROUP BY 1""",
 
+    // batch replay of streaming sessionization + the closure predicate:
+    // a session emitted = it has a successor session (closed by event) OR
+    // its idle horizon (last event + 30 min, at the engine's ms timeout
+    // granularity) lies below the final watermark (max ts − 20 min, ms)
+    "st_custom_session" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+         d AS (SELECT user_id, tsu, event_id,
+             CASE WHEN lag(tsu) OVER w IS NULL
+                    OR tsu - lag(tsu) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         s AS (SELECT user_id, tsu,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS sid
+           FROM d),
+         g AS (SELECT user_id, sid, MIN(tsu) AS start_us, MAX(tsu) AS last_us,
+             COUNT(*) AS n_events
+           FROM s GROUP BY user_id, sid),
+         wm AS (SELECT MAX(tsu) // 1000 - 1200000 AS w_ms FROM e)
+         SELECT user_id, start_us, n_events, last_us - start_us AS dur_us
+         FROM g
+         WHERE sid < (SELECT MAX(sid) FROM g g2 WHERE g2.user_id = g.user_id)
+            OR last_us // 1000 + 1800000 < (SELECT w_ms FROM wm)""",
+
     // batch replay of the custom state fold: the per-user event sequence
     // in (ts, event_id) order, transitions counted with lag()
     "st_custom_state_funnel" ->

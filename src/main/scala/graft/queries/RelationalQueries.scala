@@ -646,6 +646,13 @@ object RelationalQueries {
     "st_custom_state_funnel" -> ((s, dir) =>
       graft.streaming.StreamState.funnelStats(s, s"$dir/events.parquet",
         "st_state_sink")),
+    // TRUE streaming sessionization (flatMapGroupsWithState + event-time
+    // timeout): a session emits exactly once when it CLOSES — by the next
+    // event (>= 30 min idle) or by the watermark passing its idle horizon
+    // (timeout, state dropped); still-open sessions stay unemitted
+    "st_custom_session" -> ((s, dir) =>
+      graft.streaming.StreamState.sessionStats(s, s"$dir/events.parquet",
+        "st_sess_sink")),
     // a REAL append-mode watermarked window run: each window emits ONCE
     // when the watermark closes it (state dropped — the unbounded-stream
     // semantics); the emitted set is exactly the windows whose end ≤

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** CUSTOM state machine over a keyed stream —
   * `KeyValueGroupedDataset.mapGroupsWithState`, the Structured Streaming
@@ -86,5 +86,79 @@ object StreamState {
       .agg(max(col("n_events")).as("n_events"),
         max(col("n_clicks")).as("n_clicks"),
         max(col("n_view_then_click")).as("n_view_then_click"))
+  }
+
+  case class SessEvent(user_id: Long, ts: java.sql.Timestamp, tsu: Long, event_id: Long)
+  case class SessState(startUs: Long, lastUs: Long, nEvents: Long)
+  case class ClosedSession(user_id: Long, start_us: Long, n_events: Long, dur_us: Long)
+
+  /** TRUE streaming sessionization — `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT, the semantics the SQL `session_window` cannot
+    * give on an unbounded stream: a session is emitted exactly once, when
+    * it CLOSES, either because a later event opened the next session
+    * (≥ `gap` idle) or because the watermark passed its idle horizon with
+    * no further events (the timeout path — state dropped, nothing
+    * retained). Sessions still open when the drain ends are unemitted,
+    * exactly as on a live stream; the oracle replays batch sessionization
+    * plus that closure predicate. State: one (start, last, count) tuple
+    * per user. Replay determinism as in [[funnelStats]].
+    */
+  def sessionStats(spark: SparkSession, eventsParquet: String,
+      sinkTable: String, gapMinutes: Int = 30, delayMinutes: Int = 20,
+      slices: Int = 4): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60_000_000L
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    val raw = spark.read.parquet(eventsParquet)
+    val events =
+      if (raw.schema.fields.exists(f => f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.LongType))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val inDir = StreamSlices.writeTimeSlices(events, s"$base/in", slices)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .select(col("user_id"), col("ts"), expr("unix_micros(ts)").as("tsu"),
+        col("event_id"))
+      .withWatermark("ts", s"$delayMinutes minutes")
+      .as[SessEvent]
+    val closed = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[SessEvent], gs: GroupState[SessState]) =>
+          val out = Seq.newBuilder[ClosedSession]
+          var st = gs.getOption.orNull
+          if (it.isEmpty) {
+            // timeout fired: the watermark passed lastUs + gap — close
+            if (gs.hasTimedOut && st != null) {
+              out += ClosedSession(uid, st.startUs, st.nEvents, st.lastUs - st.startUs)
+              gs.remove()
+              st = null
+            }
+          } else {
+            it.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+              st match {
+                case null => st = SessState(e.tsu, e.tsu, 1L)
+                case s if e.tsu - s.lastUs >= gapUs =>
+                  out += ClosedSession(uid, s.startUs, s.nEvents, s.lastUs - s.startUs)
+                  st = SessState(e.tsu, e.tsu, 1L)
+                case s => st = SessState(s.startUs, e.tsu, s.nEvents + 1)
+              }
+            }
+            gs.update(st)
+            gs.setTimeoutTimestamp(st.lastUs / 1000 + gapMinutes * 60_000L)
+          }
+          out.result().iterator
+      }
+    spark.catalog.dropTempView(sinkTable)
+    val q = closed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
   }
 }
