@@ -283,6 +283,71 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos"))
   }
 
+  /** PRODUCT-QUANTIZATION top-k (the faiss PQ/ADC shape): each vector is
+    * compressed to `m` code bytes — per contiguous subspace, the id of
+    * the nearest centroid from a per-subspace k-means codebook — and a
+    * query ranks neighbors by the ASYMMETRIC distance sum: its exact
+    * per-subspace distances to each codebook centroid, looked up by the
+    * neighbor's codes. The 100 TB shape: training reuses
+    * [[kmeansCentroids]] (aggregates only), the collected codebooks are
+    * m×kCodes×(dims/m) doubles (hundreds of bytes), ENCODING is a pure
+    * narrow map of literal-centroid expressions — the corpus is never
+    * joined or shuffled — and the search is a broadcast of the query set
+    * plus m tiny (queries × kCodes) distance-table joins. Ranking ties
+    * break to the lower neighbor id; distances sum in fixed subspace
+    * order, so the whole pipeline replicates in SQL.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5, m: Int = 4,
+      kCodes: Int = 8, iters: Int = 2): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val dims = emb.select(size(col(vecCol))).first().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val sub = dims / m
+    val base = emb.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
+    def sliceSql(vcol: String, j: Int) = s"slice($vcol, ${j * sub + 1}, $sub)"
+    // 1) per-subspace codebooks — tiny, collected once
+    val codebooks: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
+      kmeansCentroids(base.select(col("id"), expr(sliceSql("v", j)).as("sv")),
+          "id", "sv", kCodes, iters, salt = s"pq$j")
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    }
+    def dLit(vcol: String, j: Int, cv: Seq[Double]) = expr(
+      s"aggregate(zip_with(${sliceSql(vcol, j)}, array(${cv.mkString(",")}), " +
+        "(x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d)")
+    // 2) encode: argmin (distance, cell) per subspace as literal-centroid
+    // expressions — a narrow map, no join against the corpus
+    val encoded = (0 until m).foldLeft(base) { (df, j) =>
+      val cands = codebooks(j).map { case (cid, cv) =>
+        struct(dLit("v", j, cv).as("d"), lit(cid).as("c"))
+      }
+      df.withColumn(s"code_$j", array_min(array(cands: _*))("c"))
+    }.select((col("id").as("nid") +: (0 until m).map(j => col(s"code_$j"))): _*)
+    // 3) per-query ADC tables: exact subspace distance to every centroid
+    val q = emb.filter(queryPred).select(col(idCol).as("qid"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("qv"))
+    val qdists: Seq[DataFrame] = (0 until m).map { j =>
+      val entries = codebooks(j).map { case (cid, cv) =>
+        struct(lit(cid).as("c"), dLit("qv", j, cv).as("d"))
+      }
+      q.select(col("qid"), explode(array(entries: _*)).as("e"))
+        .select(col("qid"), col("e.c").as(s"code_$j"), col("e.d").as(s"d_$j"))
+    }
+    // 4) rank by the looked-up distance sum (fixed subspace order)
+    val pairs = encoded.crossJoin(broadcast(q.select(col("qid"))))
+      .filter(col("nid") =!= col("qid"))
+    val withD = (0 until m).foldLeft(pairs) { (df, j) =>
+      df.join(broadcast(qdists(j)), Seq("qid", s"code_$j"))
+    }
+    val adistExpr = (1 until m).foldLeft(col("d_0")) { (acc, j) => acc + col(s"d_$j") }
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("nid"))
+    withD.withColumn("adist", adistExpr)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("adist"), 4).as("adist"))
+  }
+
   /** IVF-bucketed ANN: centroids from a grouping column (the pre-assigned
     * quantizer variant; [[ivfTrainedTopK]] is the k-means-trained path),
     * queries probe the `nprobe` nearest centroids, search only those cells.

@@ -140,6 +140,13 @@ object LlmQueries {
     "sim_topk_int8" -> ((s, dir) =>
       Similarity.int8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 20, k = 5)),
+    // product quantization (faiss PQ/ADC): 4 per-subspace k-means
+    // codebooks, vectors compressed to 4 codes, queries rank by the
+    // asymmetric table-lookup distance — full SQL replication including
+    // every codebook training round
+    "sim_topk_pq" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, m = 4, kCodes = 8, iters = 2)),
     // LSH cosine near-dup ACCURACY CONTRACT (tr3_agg_hll style): the corpus
     // gets deterministic planted near-dups (every 5th vector twinned with
     // its first two coordinates negated — exact float math, replicated
@@ -617,6 +624,11 @@ object LlmQueries {
          TRUE AS hash_ok
          FROM documents""",
 
+    // full replication of PQ training/encoding/ADC (64 dims = 4 subspaces
+    // of 16; centroid fp noise only picks discrete codes; the graded
+    // adist is rounded to 4dp and sums in fixed subspace order)
+    "sim_topk_pq" -> pqSql(m = 4, sub = 16, kCodes = 8, iters = 2, k = 5),
+
     // exact replication of the int8 quantizer + integer ranking: amax as
     // FLOAT (exact), the scale division in double (identical expression
     // order), round() half-away-from-zero in both engines, then pure
@@ -927,6 +939,79 @@ object LlmQueries {
          c$i AS (SELECT cell, list(a ORDER BY i) AS cv FROM c${i}d GROUP BY cell)"""
     }
     sb.toString
+  }
+
+  /** Parameterized k-means CTE chain for SUB-VECTOR codebooks (the PQ
+    * oracle): like [[kmeansCtes]] but over `vExpr` (a slice of the
+    * doubles CTE `e`), with per-subspace salt and CTE-name prefix `p`.
+    * Emits `${p}e` (vec_id, v = the slice) and centroids `${p}c$iters`. */
+  private def kmeansSubCtes(p: String, vExpr: String, kCells: Int,
+      iters: Int, salt: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}e AS (SELECT vec_id, $vExpr AS v FROM e),
+         ${p}c0 AS (SELECT cell, v AS cv FROM (
+             SELECT row_number() OVER (
+                 ORDER BY md5('$salt:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v
+             FROM ${p}e) WHERE cell < $kCells)"""
+    (1 to iters).foreach { i =>
+      sb ++= s""",
+         ${p}a$i AS (SELECT vec_id, v, cell FROM (
+             SELECT n.vec_id, n.v, c.cell,
+               row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(n.v, c.cv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cell) AS rn
+             FROM ${p}e n CROSS JOIN ${p}c${i - 1} c) WHERE rn = 1),
+         ${p}c${i}d AS (SELECT cell, s.i AS i, AVG(s.v) AS a FROM
+             (SELECT cell, unnest(list_transform(range(1, len(v) + 1),
+               i -> {'i': i, 'v': v[i]})) AS s FROM ${p}a$i) GROUP BY cell, s.i),
+         ${p}c$i AS (SELECT cell, list(a ORDER BY i) AS cv FROM ${p}c${i}d GROUP BY cell)"""
+    }
+    sb.toString
+  }
+
+  /** The full PQ/ADC oracle: m per-subspace k-means codebooks, per-vector
+    * argmin codes, per-query centroid distance tables, ranking by the
+    * code-looked-up distance sum in fixed subspace order. */
+  private def pqSql(m: Int, sub: Int, kCodes: Int, iters: Int, k: Int): String = {
+    val dist = (a: String, b: String) =>
+      s"""list_aggregate(list_transform(list_zip($a, $b),
+           z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum')"""
+    val subspaces = (0 until m).map { j =>
+      kmeansSubCtes(s"s$j", s"v[${j * sub + 1}:${(j + 1) * sub}]", kCodes, iters, s"pq$j")
+    }.mkString(",\n         ")
+    val codes = (0 until m).map { j =>
+      s"""n$j AS (SELECT vec_id, cell AS code_$j FROM (
+             SELECT p.vec_id, c.cell,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 ${dist("p.v", "c.cv")}, c.cell) AS rn
+             FROM s${j}e p CROSS JOIN s${j}c$iters c) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    val qtabs = (0 until m).map { j =>
+      s"""qd$j AS (SELECT p.vec_id AS qid, c.cell AS code_$j,
+             ${dist("p.v", "c.cv")} AS d_$j
+           FROM s${j}e p CROSS JOIN s${j}c$iters c WHERE p.vec_id < 20)"""
+    }.mkString(",\n         ")
+    val codeJoins = (1 until m)
+      .map(j => s"JOIN n$j ON n$j.vec_id = n0.vec_id").mkString("\n           ")
+    val tabJoins = (0 until m)
+      .map(j => s"JOIN qd$j ON qd$j.qid = q.qid AND qd$j.code_$j = n$j.code_$j")
+      .mkString("\n           ")
+    val adist = (0 until m).map(j => s"qd$j.d_$j").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         $subspaces,
+         $codes,
+         $qtabs,
+         q AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 20),
+         adc AS (SELECT q.qid, n0.vec_id AS nid, $adist AS adist
+           FROM q
+           JOIN n0 ON n0.vec_id <> q.qid
+           $codeJoins
+           $tabJoins)
+         SELECT qid, rnk, nid, round(adist, 4) AS adist FROM
+           (SELECT qid, nid, adist,
+              row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rnk FROM adc)
+         WHERE rnk <= $k"""
   }
 
   /** Shared CTE chain deriving the exact-Jaccard pair scores (pre-threshold)

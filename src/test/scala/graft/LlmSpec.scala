@@ -68,6 +68,26 @@ class LlmSpec extends AnyFunSuite {
     assert(c1.nonEmpty && c1.size <= 4)
   }
 
+  test("PQ: an exact copy of the query attains the minimal ADC distance; runs are identical") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant an exact copy of query vector 3 at id 100003: adist(q, copy) =
+    // sum over subspaces of min-centroid distance — the provable minimum
+    val copy = emb.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("label"), col("embedding")).unionByName(copy)
+    val r1 = Similarity.pqTopK(corpus, "vec_id", "embedding", col("vec_id") === 3,
+      k = 10, m = 4, kCodes = 4, iters = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val copyDist = r1.find(_._2 == 100003L)
+      .getOrElse(fail(s"copy not in top-10: ${r1.toSeq}"))._3
+    assert(r1.forall(_._3 >= copyDist),
+      s"copy's adist $copyDist must be the minimum (got ${r1.toSeq})")
+    val r2 = Similarity.pqTopK(corpus, "vec_id", "embedding", col("vec_id") === 3,
+      k = 10, m = 4, kCodes = 4, iters = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(r1.toSeq == r2.toSeq, "PQ must be deterministic across runs")
+  }
+
   test("IVF with partial probe returns a subset ranking consistent with brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", "label",
