@@ -191,6 +191,16 @@ class GraftTable(
     */
   private def attachBlooms(stage: String, files: Seq[DataFile]): Seq[DataFile] = {
     if (files.isEmpty) return files
+    // Scale bound, stated honestly: blooms ride in the manifest and are
+    // collected to the driver, so their total size is O(written files ×
+    // bloom bytes). That is the right trade for the serving-table shapes
+    // blooms exist for (z-ordered or secondary-lookup tables, and the
+    // incremental upserts that follow — a handful of files per write).
+    // A massive initial bulk insert skips bloom attachment entirely
+    // (conservative: files without blooms are never bloom-pruned) — at
+    // that scale blooms belong in per-file sidecars / a metadata table,
+    // which the self-described encoding supports without a format change.
+    if (files.size > GraftTable.MaxBloomFilesPerWrite) return files
     graft.functions.KeyBloomFunctions.register(spark)
     val numBits = graft.functions.KeyBloom.sizeBits(files.map(_.numRows).max)
     val numHashes = graft.functions.KeyBloom.DefaultHashes
@@ -1642,4 +1652,9 @@ object GraftTable {
   val DistributedHarvestThreshold: Int = 256
   /** A writer silent for 30 min is presumed dead; its lock is broken. */
   val DefaultStaleLockMs: Long = 30L * 60 * 1000
+  /** Above this many files in one write, bloom attachment is skipped:
+    * manifest-resident blooms are collected driver-side, so their cost is
+    * O(files × bloom bytes) per write — fine for the incremental writes
+    * blooms serve, wrong for a 100k-file initial bulk insert. */
+  val MaxBloomFilesPerWrite: Int = 4096
 }
