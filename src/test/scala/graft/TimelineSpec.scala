@@ -119,6 +119,32 @@ class TimelineSpec extends AnyFunSuite {
     assert(tl.read(5).files.map(_.path) == live.map(_.path))
   }
 
+  test("bloom fields round-trip through delta records, checkpoints and the archive") {
+    val root = Files.createTempDirectory("graft-tl-bloom").toString
+    val tl = new Timeline(root)
+    val rich = DataFile("data/c0/p.parquet", Map.empty, "a", "z", 10, 100,
+      colStats = Map("v" -> graft.model.ColStat("long", "1", "9")),
+      keyBloom = Some("5:AAAA"),
+      colBlooms = Map("v" -> "5:BBBB"))
+    tl.commit(Commit(0L, "bulk_insert", Seq(rich), "{}", None, 1L))
+    // delta records against the base must not lose the new fields
+    (1L to 12L).foreach { s =>
+      tl.commit(Commit(s, "upsert",
+        Seq(rich, DataFile(s"data/c$s/p.parquet", Map.empty, "a", "z", 5, 50)),
+        "{}", None, 1L + s))
+    }
+    def check(c: Commit): Unit = {
+      val f = c.files.find(_.path == "data/c0/p.parquet").get
+      assert(f.keyBloom.contains("5:AAAA"))
+      assert(f.colBlooms == Map("v" -> "5:BBBB"))
+      assert(f.colStats("v").min == "1")
+    }
+    check(tl.read(12L))        // through the delta chain + checkpoint at 10
+    tl.archive(keepLast = 3)   // c0..c9 leave the active timeline
+    check(tl.readIncludingArchived(5L)) // materialized full archive record
+    check(tl.read(12L))        // boundary checkpoint rewrite kept fields
+  }
+
   test("every publish routes through the CommitStore seam; CAS loss surfaces as conflict") {
     // instrumented store: delegates to the local impl, counts primitives —
     // proving commit/checkpoint/archive/savepoint all go through the trait
