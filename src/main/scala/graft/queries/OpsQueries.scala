@@ -49,6 +49,31 @@ object OpsScenarios {
       url
     })
 
+  /** Separate Derby db for the INCREMENTAL pull scenario (the shared
+    * `derbyUrl` db must stay immutable — jdbc_roundtrip's oracle is the
+    * original nation table): seed nation, then land 5 "CDC" rows above
+    * the watermark via plain JDBC inserts. */
+  def derbyIncUrl(s: SparkSession, dir: String): String =
+    jdbcCache.getOrElseUpdate(s"inc:$dir", {
+      val dbDir = Files.createTempDirectory("graft-derby-inc").resolve("db")
+      val url = s"jdbc:derby:$dbDir;create=true"
+      Q.t(s, dir, "nation").write.format("jdbc")
+        .option("url", url).option("dbtable", "nation")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .option("createTableColumnTypes", "n_name VARCHAR(64)")
+        .save()
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        (0 until 5).foreach { i =>
+          st.executeUpdate(s"INSERT INTO nation VALUES " +
+            s"(${1000 + i}, 'NEW_$i', ${i % 5})")
+        }
+        st.close()
+      } finally conn.close()
+      url
+    })
+
   // ---------------------------------------------------------------- O4 lock
 
   /** Gate for the lock race, keyed by table root; the winner's batch
@@ -255,6 +280,16 @@ object OpsQueries {
         numPartitions = 4,
         props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
     }),
+    // S6b: incremental JDBC pull — only the rows above the watermark come
+    // back, with the predicate pushed into the database's own query.
+    // The column is passed DIALECT-QUOTED: the query runs verbatim on the
+    // source database (Spark's writer created quoted-lowercase columns)
+    "jdbc_incremental" -> ((s, dir) => {
+      val url = OpsScenarios.derbyIncUrl(s, dir)
+      JdbcSource.readIncremental(s, url, "nation", "\"n_nationkey\"",
+        lastWatermark = 24,
+        props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    }),
     // O4: exactly one of two racing writers commits; the loser records the
     // lock failure
     "lock_guard" -> ((s, dir) => {
@@ -294,6 +329,12 @@ object OpsQueries {
   val oracles: Map[String, String] = Map(
     "jdbc_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    // the 5 planted CDC rows and nothing else
+    "jdbc_incremental" ->
+      """SELECT CAST(1000 + i AS INTEGER) AS n_nationkey,
+           'NEW_' || CAST(i AS VARCHAR) AS n_name,
+           CAST(i % 5 AS INTEGER) AS n_regionkey
+         FROM (SELECT unnest(range(0, 5)) AS i)""",
     "lock_guard" ->
       """SELECT * FROM (VALUES (CAST(2 AS BIGINT), true))
          AS t(n_commits, loser_failed)""",

@@ -109,4 +109,26 @@ object JdbcSource {
       .option("numPartitions", numPartitions))
     props.foldLeft(withPart) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
+
+  /** INCREMENTAL pull: rows with `watermarkCol` strictly above the last
+    * seen watermark — the self-serve polling complement to the
+    * partitioned full load (what a DMS-less deployment runs on a cadence
+    * against the source database). The predicate ships INSIDE the pushed
+    * query, so the database answers from its index instead of the engine
+    * filtering a full dump; batches are deltas by construction, so the
+    * single-partition read is the right shape (the partitioned reader
+    * stays the full-load path). Feed the result to `GraftTable.upsert`
+    * and record the new high watermark in the commit checkpoint — the
+    * same exactly-once loop the file-based incremental source uses.
+    * `table`/`watermarkCol` are interpolated verbatim into the pushed
+    * query: the caller supplies the source dialect's quoting. */
+  def readIncremental(spark: SparkSession, url: String, table: String,
+      watermarkCol: String, lastWatermark: Long,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url)
+      .option("query",
+        s"SELECT * FROM $table WHERE $watermarkCol > $lastWatermark")
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
 }
