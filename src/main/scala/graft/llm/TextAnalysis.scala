@@ -77,14 +77,21 @@ object TextAnalysis {
     * thresholds. Pure narrow column expressions — the filter runs at scan
     * speed and composes with any downstream op. Returns the per-stratum
     * keep summary (the number a curation run reports). */
-  def qualityFilterStats(docs: DataFrame, stratumCol: String, textCol: String,
-      minTokens: Int, minTtr: Double, minStopRatio: Double): DataFrame = {
-    val words = split(col(textCol), " ")
+  /** The C4-style keep predicate itself — shared by the census and by
+    * pipelines that FILTER with it (the graded curation chain). */
+  def qualityKeep(textCol: org.apache.spark.sql.Column,
+      minTokens: Int, minTtr: Double, minStopRatio: Double): org.apache.spark.sql.Column = {
+    val words = split(textCol, " ")
     val stopArr = array(Stopwords.map(lit): _*)
     val nTok = size(words)
     val ttr = size(array_distinct(words)).cast("double") / nTok
     val stopR = size(filter(words, w => array_contains(stopArr, w))).cast("double") / nTok
-    val keep = nTok >= minTokens && ttr >= minTtr && stopR >= minStopRatio
+    nTok >= minTokens && ttr >= minTtr && stopR >= minStopRatio
+  }
+
+  def qualityFilterStats(docs: DataFrame, stratumCol: String, textCol: String,
+      minTokens: Int, minTtr: Double, minStopRatio: Double): DataFrame = {
+    val keep = qualityKeep(col(textCol), minTokens, minTtr, minStopRatio)
     docs.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_docs"), count(when(keep, 1)).as("n_kept"))
   }

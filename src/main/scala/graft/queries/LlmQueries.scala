@@ -104,6 +104,30 @@ object LlmQueries {
     "text_filter_quality" -> ((s, dir) =>
       TextAnalysis.qualityFilterStats(t(s, dir, "documents"), "lang", "text",
         minTokens = 30, minTtr = 0.4, minStopRatio = 0.03)),
+    // THE CURATION PIPELINE END TO END — quality gate → exact dedup →
+    // near-dup clustering keep-one → deterministic sample → token-budget
+    // packing, one composed job graded against the same chain in SQL
+    "llm_curation_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val qual = docs.filter(TextAnalysis.qualityKeep(col("text"), 30, 0.4, 0.03))
+      val uniq = qual.withColumn("_rn", row_number().over(
+          Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1).drop("_rn")
+      val pairs = Dedup.jaccardPairs(uniq, "doc_id", "text",
+        threshold = 0.5, maxDocFreq = Some(100))
+      val removed = Dedup.connectedComponents(pairs, "ia", "ib")
+        .filter(col("id") =!= col("comp"))
+      val survivors = uniq.join(removed.select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val sampled = survivors.filter(
+        Sampling.hashBucket(col("doc_id"), "cur") < 32768)
+      Sampling.packShards(sampled, "doc_id",
+          size(split(col("text"), " ")), budget = 2000L)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sum"),
+          min(col("doc_id")).as("first_id"), max(col("doc_id")).as("last_id"))
+    }),
     // the dedup pipeline end-to-end: pairs -> components -> keep one
     // representative (the min-id label) per cluster
     "dedup_keep" -> ((s, dir) => {
@@ -359,6 +383,51 @@ object LlmQueries {
     "dedup_clusters" -> clustersSql,
 
     "dedup_keep" -> keepSql,
+
+    // the same five-stage chain, digit for digit: C4 gate, min-id exact
+    // dedup, recursive-CTE near-dup components over the SURVIVORS' pair
+    // graph, salted-hash 50% sample, window-cumsum packing
+    "llm_curation_e2e" ->
+      s"""WITH RECURSIVE
+         qual AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+           WHERE len(w) >= 30
+             AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.4
+             AND CAST(len(list_filter(w, x -> x IN ('the','a','of','and','to',
+               'in','is','on','for','with'))) AS DOUBLE) / len(w) >= 0.03),
+         uniq AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM qual) WHERE rn = 1),
+         ${jaccardCtes(Some(100), "uniq")},
+         jp AS (SELECT ia, ib FROM scored WHERE j >= 0.5),
+         ee AS (SELECT ia AS u, ib AS v FROM jp UNION SELECT ib, ia FROM jp),
+         reach(id, r) AS (
+           SELECT u, u FROM ee
+           UNION
+           SELECT ee.u, reach.r FROM ee JOIN reach ON ee.v = reach.id),
+         comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         surv AS (SELECT doc_id, text FROM uniq
+           WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)),
+         samp AS (SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+               (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket
+             FROM (SELECT doc_id, text,
+               md5('cur:' || CAST(doc_id AS VARCHAR)) AS m FROM surv))
+           WHERE bucket < 32768),
+         tok AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM samp),
+         c AS (SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           FROM tok)
+         SELECT CAST(pre // 2000 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS tok_sum,
+           MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+         FROM c GROUP BY 1""",
 
     "text_filter_quality" ->
       """WITH s AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
@@ -1016,11 +1085,11 @@ object LlmQueries {
 
   /** Shared CTE chain deriving the exact-Jaccard pair scores (pre-threshold)
     * — the common prefix of the jaccard, minhash and clusters oracles. */
-  private def jaccardCtes(maxDocFreq: Option[Int]): String = {
+  private def jaccardCtes(maxDocFreq: Option[Int], src: String = "documents"): String = {
     val dfFilter = maxDocFreq
       .map(cap => s"AND s NOT IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > $cap)")
       .getOrElse("")
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        sh AS (SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
                   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
