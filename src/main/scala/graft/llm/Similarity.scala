@@ -216,9 +216,13 @@ object Similarity {
     * both engines). Returns (cell, cv: array<double>).
     */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
-      kCells: Int, iters: Int, salt: String = "km"): DataFrame = {
+      kCells: Int, iters: Int, salt: String = "km", dimsHint: Int = 0): DataFrame = {
     require(kCells >= 1 && iters >= 0, s"need kCells >= 1, iters >= 0")
-    val dims = emb.select(size(col(vecCol))).first().getInt(0)
+    // dimsHint skips the probe job when the caller already knows the
+    // width (pqTopK calls this m times with a fixed sub-vector size)
+    val dims =
+      if (dimsHint > 0) dimsHint
+      else emb.select(size(col(vecCol))).first().getInt(0)
     val base = emb.select(col(idCol).as("id"),
       expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("v"))
     val wSeed = Window.orderBy(col("h"), col("id"))
@@ -310,7 +314,7 @@ object Similarity {
     // 1) per-subspace codebooks — tiny, collected once
     val codebooks: Seq[Seq[(Int, Seq[Double])]] = (0 until m).map { j =>
       kmeansCentroids(base.select(col("id"), expr(sliceSql("v", j)).as("sv")),
-          "id", "sv", kCodes, iters, salt = s"pq$j")
+          "id", "sv", kCodes, iters, salt = s"pq$j", dimsHint = sub)
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
     }
     def dLit(vcol: String, j: Int, cv: Seq[Double]) = expr(

@@ -183,11 +183,15 @@ class GraftTable(
     * preserved by the scan, so map-side partials already are per-file
     * blooms and only bloom bytes shuffle. Sized from the write's largest
     * file (one aggregate expression serves every group); files are
-    * matched by basename (Spark part-file names carry a task UUID —
-    * unique within a write). A file the job cannot match, or a bloom
-    * column absent from this write's schema, stays bloom-less and is
-    * simply never bloom-pruned (conservative). Data columns are bloomed
-    * over their canonical STRING form — the same form the probe encodes.
+    * matched by their path RELATIVE TO THE STAGE DIR — never by bare
+    * basename: a dynamic-partition write reuses the same
+    * `part-<task>-<uuid>` name in every partition directory, so a
+    * basename match would cross-attach blooms between partitions and
+    * silently break the no-false-negative guarantee the upsert pruner
+    * relies on. A file the job cannot match, or a bloom column absent
+    * from this write's schema, stays bloom-less and is simply never
+    * bloom-pruned (conservative). Data columns are bloomed over their
+    * canonical STRING form — the same form the probe encodes.
     */
   private def attachBlooms(stage: String, files: Seq[DataFile]): Seq[DataFile] = {
     if (files.isEmpty) return files
@@ -214,20 +218,29 @@ class GraftTable(
     if (aggs.isEmpty) return files
     val inputCols =
       (if (keyBlooms) Seq(col(Meta.RecordKey)) else Seq.empty) ++ present.map(col)
+    // stage-relative path: decode the scan's URI form and cut at the
+    // unique stage-dir segment (cN-<attempt-uuid>), matching DataFile.path
+    // with its "data/cN-<uuid>/" prefix stripped
+    val stageName = Paths.get(stage).getFileName.toString
+    def stageRel(uri: String): Option[String] = {
+      val p = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
+      val i = p.indexOf(s"/$stageName/")
+      if (i < 0) None else Some(p.substring(i + stageName.length + 2))
+    }
     val perFile = df0
       .select((input_file_name().as("f") +: inputCols): _*)
       .groupBy(col("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-      .map { r =>
+      .flatMap { r =>
         val key = if (keyBlooms) Option(r.getAs[Array[Byte]]("_kb")) else None
         val cb = present.flatMap(c =>
           Option(r.getAs[Array[Byte]](s"_cb_$c")).map(c -> _)).toMap
-        r.getString(0).split('/').last -> ((key, cb))
+        stageRel(r.getString(0)).map(_ -> ((key, cb)))
       }
       .toMap
     files.map { f =>
-      perFile.get(f.path.split('/').last) match {
+      perFile.get(f.path.split('/').drop(2).mkString("/")) match {
         case Some((kb, cb)) =>
           f.copy(
             keyBloom = kb.map(graft.functions.KeyBloom.encode(numHashes, _)),
@@ -694,10 +707,13 @@ class GraftTable(
     val merged = mergedView(prev).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val files = writeFiles(merged, seq, est)
-      timeline.commit(Commit(seq, "compact", files, prev.schemaJson,
+      // commitOrCleanStage, not a bare commit: an OCC racer winning the
+      // seq must not leak this attempt's full-snapshot stage dir across
+      // every retryOnConflict round
+      commitOrCleanStage(Commit(seq, "compact", files, prev.schemaJson,
         prev.checkpoint, System.currentTimeMillis(),
         extra = GraftTable.writeMetrics(files) +
-          ("log_files_compacted" -> prev.logFiles.size.toString)))
+          ("log_files_compacted" -> prev.logFiles.size.toString)), files)
     } finally merged.unpersist(blocking = false)
   }
 
@@ -1037,10 +1053,10 @@ class GraftTable(
       throw new IllegalStateException(s"no commits at $root"))
     val seq = prev.seq + 1
     val files = writeFiles(read(), seq, prev.files.map(_.bytes).sum)
-    timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
+    commitOrCleanStage(Commit(seq, "cluster", files, prev.schemaJson,
       prev.checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(files) +
-        ("files_before" -> prev.files.size.toString)))
+        ("files_before" -> prev.files.size.toString)), files)
   })
 
   /** T1 variant — Z-ORDER clustering (Delta OPTIMIZE ZORDER BY / Hudi
@@ -1087,11 +1103,11 @@ class GraftTable(
     }
     if (zCols.exists(c => unusable(s"mn_$c") || unusable(s"mx_$c"))) {
       val files = writeFiles(snap, seq, prev.files.map(_.bytes).sum)
-      return timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
+      return commitOrCleanStage(Commit(seq, "cluster", files, prev.schemaJson,
         prev.checkpoint, System.currentTimeMillis(),
         extra = GraftTable.writeMetrics(files) +
           ("files_before" -> prev.files.size.toString) +
-          ("zorder_fallback" -> "no_bounds")))
+          ("zorder_fallback" -> "no_bounds")), files)
     }
     val n = zCols.size
     // bits per column scale down so the interleave fits a 64-bit long:
@@ -1113,11 +1129,11 @@ class GraftTable(
     }
     val files = writeFiles(snap, seq, prev.files.map(_.bytes).sum,
       layoutSort = Seq(zExpr))
-    timeline.commit(Commit(seq, "cluster", files, prev.schemaJson,
+    commitOrCleanStage(Commit(seq, "cluster", files, prev.schemaJson,
       prev.checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(files) +
         ("files_before" -> prev.files.size.toString) +
-        ("zorder_cols" -> zCols.mkString(","))))
+        ("zorder_cols" -> zCols.mkString(","))), files)
   })
 
   /** Rollback the table to commit `toSeq`, discarding later commits and
@@ -1195,8 +1211,15 @@ class GraftTable(
     removed
   }
 
-  /** T3 archiving — keep `keepLast` commits on the active timeline (handler.py:74,92-93). */
-  def archive(keepLast: Int = 10): Int = withLock(timeline.archive(keepLast))
+  /** T3 archiving — keep `keepLast` commits on the active timeline
+    * (handler.py:74,92-93). Fenced like the file-deleting maintenance:
+    * archiving DELETES active commit records, and a lock-free optimistic
+    * writer mid-flight reads the active timeline (manifest resolution,
+    * MOR delta cadence) — racing the deletion would surface as a
+    * NoSuchFileException AFTER its batch already committed, which a
+    * retrying caller would double-apply. */
+  def archive(keepLast: Int = 10): Int =
+    withLock(withMaintenanceFence(timeline.archive(keepLast)))
 
   // ---------------------------------------------------- concurrency guard
 

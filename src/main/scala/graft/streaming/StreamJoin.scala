@@ -167,9 +167,13 @@ private[streaming] object StreamSlices {
     val inDir = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(dir))
     val epoch = 1700000000000L
-    (0 until slices).foreach { i =>
+    // empty input yields no quantile bounds — degrade to ONE (empty,
+    // schema-bearing) slice so downstream drains see a valid stream
+    // instead of an index crash
+    val effSlices = if (bounds.length < slices - 1) 1 else slices
+    (0 until effSlices).foreach { i =>
       val lo: Option[Long] = if (i == 0) None else Some(bounds(i - 1))
-      val hi: Option[Long] = if (i == slices - 1) None else Some(bounds(i))
+      val hi: Option[Long] = if (i == effSlices - 1) None else Some(bounds(i))
       val part = withM
         .filter(lo.map(col("_m") > lit(_)).getOrElse(lit(true)))
         .filter(hi.map(col("_m") <= lit(_)).getOrElse(lit(true)))

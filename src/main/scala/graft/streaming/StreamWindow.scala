@@ -36,41 +36,14 @@ object StreamWindow {
     // slices must be TIME-CONTIGUOUS and arrive in time order: a batch
     // containing events older than the already-advanced watermark would
     // have them dropped as late (hash-sliced replays lose 3/4 of the
-    // data exactly that way). Files are written one at a time with
-    // distinct mtimes — the file source processes them oldest-first, so
-    // the watermark ratchets forward and nothing is ever late.
-    val withM = events.withColumn("_m", expr("unix_micros(ts)"))
-    val bounds = withM.stat.approxQuantile("_m",
-      (1 until slices).map(_.toDouble / slices).toArray, 0.0).map(_.toLong)
-    val inDir = java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(s"$base/in"))
-    // the file source orders by modification time: stamp each slice with
-    // an EXPLICIT, strictly-increasing mtime (seconds apart) — wall-clock
-    // sleeps would break on filesystems with coarse mtime granularity and
-    // a tie processed out of order drops a whole slice as late data
-    val epoch = 1700000000000L
-    (0 until slices).foreach { i =>
-      val lo: Option[Long] = if (i == 0) None else Some(bounds(i - 1))
-      val hi: Option[Long] = if (i == slices - 1) None else Some(bounds(i))
-      val part = withM
-        .filter(lo.map(col("_m") > lit(_)).getOrElse(lit(true)))
-        .filter(hi.map(col("_m") <= lit(_)).getOrElse(lit(true)))
-        .drop("_m")
-      val stage = s"$base/slice$i"
-      part.coalesce(1).write.mode("overwrite").parquet(stage)
-      val src = scala.util.Using.resource(
-          java.nio.file.Files.list(java.nio.file.Paths.get(stage))) { s =>
-        s.filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      }
-      val dst = inDir.resolve(f"slice$i%03d.parquet")
-      java.nio.file.Files.move(src, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(epoch + i * 2000L))
-    }
+    // data exactly that way). The shared StreamSlices helper writes one
+    // file per slice with explicit strictly-increasing mtimes, so the
+    // file source replays oldest-first and the watermark only ratchets.
+    val inDir = StreamSlices.writeTimeSlices(events, s"$base/in", slices)
     spark.catalog.dropTempView(sinkTable)
     val q = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$base/in")
+      .parquet(inDir)
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), windowSpec).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -378,6 +378,32 @@ class MergeSpec extends AnyFunSuite {
     assert(snap(11L) == (11L * 2654435761L) % 4096)
   }
 
+  test("blooms attach to the RIGHT files on partitioned tables (no basename cross-attachment)") {
+    import graft.functions.KeyBloom
+    val root = tmp()
+    val t = new GraftTable(spark, root, Seq("id"), partitionFields = Seq("pt"),
+      targetFileBytes = 8 * 1024, keyBlooms = true)
+    t.bulkInsert((0L until 2000L).map(i => (i, s"p${i % 3}", "001"))
+      .toDF("id", "pt", "trx_seq"))
+    val files = t.latestCommit().get.files
+    assert(files.size >= 3 && files.forall(_.keyBloom.isDefined),
+      s"every partitioned file needs a bloom (${files.size} files)")
+    // dynamic-partition writes reuse part-file basenames across partition
+    // dirs; a basename match would cross-attach blooms and break the
+    // no-false-negative guarantee — so probe EVERY file's own keys
+    files.foreach { f =>
+      val keys = spark.read.parquet(s"$root/${f.path}")
+        .select(Meta.RecordKey).as[String].collect()
+      val (nh, bits) = KeyBloom.decode(f.keyBloom.get)
+      keys.foreach(k => assert(KeyBloom.contains(bits, nh, KeyBloom.hash(k)),
+        s"file ${f.path} does not contain its own key $k — bloom cross-attached"))
+    }
+    // and the bloom-pruned upsert path loses nothing
+    t.upsert(Seq((3L, "p0", "002"), (4L, "p1", "002"), (5L, "p2", "002"))
+      .toDF("id", "pt", "trx_seq"))
+    assert(t.readUser().count() == 2000)
+  }
+
   test("distributed footer harvest returns identical DataFile stats to the driver pool") {
     val df = (0 until 4000).map(i =>
       (i.toLong, s"v$i", s"p${i % 3}", "001", false))
