@@ -1211,6 +1211,51 @@ class GraftTable(
     removed
   }
 
+  /** Integrity check (the Hudi metadata-validation / `fsck` analog):
+    * verify the latest manifest against storage — every referenced file
+    * exists with its recorded size, and nothing unreferenced sits in the
+    * data tree except stage dirs younger than the liveness grace (an
+    * in-flight writer's work is not an orphan). Driver-side metadata
+    * walk, no Spark job. Returns (n_missing, n_orphaned,
+    * n_size_mismatch, ok) — all-zero/true on a healthy table.
+    */
+  def fsck(): (Long, Long, Long, Boolean) = {
+    // MUST-EXIST = active timeline + savepoints: those snapshots are
+    // readable by contract. Archived commits are HISTORY records — clean
+    // legitimately deletes their exclusive data files — so they count as
+    // referenced (not orphans, while still present) but never as missing.
+    val mustExist: Map[String, DataFile] =
+      (timeline.listCommitSeqs().map(timeline.read) ++ timeline.listSavepoints())
+        .flatMap(c => c.files ++ c.logFiles).map(f => f.path -> f).toMap
+    val referenced: Set[String] =
+      mustExist.keySet ++
+        timeline.readArchived().flatMap(c => (c.files ++ c.logFiles).map(_.path))
+    var missing = 0L
+    var sizeMismatch = 0L
+    mustExist.values.foreach { f =>
+      val p = Paths.get(root, f.path)
+      if (!Files.exists(p)) missing += 1
+      else if (f.bytes > 0 && Files.size(p) != f.bytes) sizeMismatch += 1
+    }
+    val dataRoot = Paths.get(root, "data")
+    val cutoff = System.currentTimeMillis() - staleLockMs
+    var orphaned = 0L
+    if (Files.exists(dataRoot)) {
+      val onDisk = Using.resource(Files.walk(dataRoot)) { s =>
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+          .map(p => Paths.get(root).relativize(p).toString)
+          .toList
+      }
+      onDisk.foreach { rel =>
+        if (!referenced.contains(rel) &&
+            Files.getLastModifiedTime(Paths.get(root, rel)).toMillis < cutoff)
+          orphaned += 1
+      }
+    }
+    (missing, orphaned, sizeMismatch, missing == 0 && orphaned == 0 && sizeMismatch == 0)
+  }
+
   /** T3 archiving — keep `keepLast` commits on the active timeline
     * (handler.py:74,92-93). Fenced like the file-deleting maintenance:
     * archiving DELETES active commit records, and a lock-free optimistic

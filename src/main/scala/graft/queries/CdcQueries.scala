@@ -528,6 +528,14 @@ object CdcQueries {
     // final state (a bloom false NEGATIVE would lose the update; blooms
     // are constructed no-false-negative)
     "cdc_bloom_upsert" -> ((s, dir) => statusAgg(CdcScenario.bloomed(s, dir))),
+    // manifest<->storage integrity after the full maintenance gauntlet
+    // (clean + archive have run on this table): nothing referenced is
+    // missing or mis-sized, nothing unreferenced is left behind
+    "cdc_fsck" -> ((s, dir) => {
+      import s.implicits._
+      val (m, o, sz, ok) = CdcScenario.serviced(s, dir).fsck()
+      Seq((m, o, sz, ok)).toDF("n_missing", "n_orphaned", "n_size_mismatch", "ok")
+    }),
     // secondary-index equality lookup: per-file o_custkey bloom prunes
     // files the (domain-spanning) min/max ranges cannot; exact residual
     "cdc_colbloom_lookup" -> ((s, dir) =>
@@ -770,6 +778,11 @@ object CdcQueries {
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_custkey
          FROM final WHERE o_custkey BETWEEN 100 AND 800""",
     "cdc_zorder" -> statusAggSql,
+    // the integrity invariants a healthy table must satisfy
+    "cdc_fsck" ->
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), true))
+         AS t(n_missing, n_orphaned, n_size_mismatch, ok)""",
     // the final state restricted to one customer — what the bloom-pruned
     // equality lookup must return exactly
     "cdc_colbloom_lookup" ->

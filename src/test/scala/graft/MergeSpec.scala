@@ -378,6 +378,28 @@ class MergeSpec extends AnyFunSuite {
     assert(snap(11L) == (11L * 2654435761L) % 4096)
   }
 
+  test("fsck detects missing referenced files and stale orphans; clean table is clean") {
+    val root = tmp()
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      staleLockMs = 60000)
+    t.bulkInsert((0L until 500L).toDF("id")
+      .withColumn("v", $"id").withColumn("trx_seq", org.apache.spark.sql.functions.lit("001")))
+    t.upsert(Seq((1L, 99L, "002")).toDF("id", "v", "trx_seq"))
+    assert(t.fsck() == ((0L, 0L, 0L, true)), "healthy table must pass fsck")
+    // plant a stale orphan and delete a referenced file
+    val orphan = java.nio.file.Paths.get(root, "data", "c9-feedbeef", "part-x.parquet")
+    Files.createDirectories(orphan.getParent)
+    Files.write(orphan, Array[Byte](1))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 120000)
+    Files.setLastModifiedTime(orphan, old)
+    val victim = t.latestCommit().get.files.head.path
+    Files.delete(java.nio.file.Paths.get(root, victim))
+    val (m, o, sz, ok) = t.fsck()
+    assert(m == 1 && o == 1 && !ok, s"fsck must flag the damage (got $m missing, $o orphans)")
+    assert(sz == 0)
+  }
+
   test("blooms attach to the RIGHT files on partitioned tables (no basename cross-attachment)") {
     import graft.functions.KeyBloom
     val root = tmp()
