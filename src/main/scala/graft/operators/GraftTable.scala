@@ -1211,6 +1211,39 @@ class GraftTable(
     removed
   }
 
+  /** ZERO-COPY CLONE (the Delta shallow-clone analog, made genuinely
+    * independent by hard links): materialize snapshot `atSeq` (default
+    * latest) as a new table at `destRoot`. Data files are immutable by
+    * contract, so each is hard-linked (byte-copy fallback for
+    * filesystems without links); the clone starts its own timeline at
+    * seq 0 and the two tables evolve independently — cleaning either
+    * side only unlinks its own references, never the other's bytes.
+    * Idempotent: re-cloning into the same dest absorbs existing links
+    * and the seq-0 CAS. O(files) metadata work, zero data movement.
+    */
+  def cloneTo(destRoot: String, atSeq: Option[Long] = None): GraftTable = {
+    val c = atSeq.map(timeline.read).getOrElse(timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root")))
+    (c.files ++ c.logFiles).foreach { f =>
+      val src = Paths.get(root, f.path)
+      val dst = Paths.get(destRoot, f.path)
+      Files.createDirectories(dst.getParent)
+      try Files.createLink(dst, src)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // idempotent re-clone
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          if (!Files.exists(dst)) Files.copy(src, dst)
+      }
+    }
+    new Timeline(destRoot).commit(Commit(0L, "clone", c.files, c.schemaJson,
+      c.checkpoint, System.currentTimeMillis(),
+      extra = Map("cloned_from" -> s"$root@${c.seq}"), logFiles = c.logFiles))
+    new GraftTable(spark, destRoot, keyFields, partitionFields, orderingField,
+      targetFileBytes, staleLockMs, tableType, compactEvery, compactLogBytesRatio,
+      globalIndex, harvestThreshold, statsColumns, keyBlooms, bloomColumns,
+      partialUpdate)
+  }
+
   /** Integrity check (the Hudi metadata-validation / `fsck` analog):
     * verify the latest manifest against storage — every referenced file
     * exists with its recorded size, and nothing unreferenced sits in the
@@ -1220,16 +1253,19 @@ class GraftTable(
     * n_size_mismatch, ok) — all-zero/true on a healthy table.
     */
   def fsck(): (Long, Long, Long, Boolean) = {
-    // MUST-EXIST = active timeline + savepoints: those snapshots are
-    // readable by contract. Archived commits are HISTORY records — clean
-    // legitimately deletes their exclusive data files — so they count as
-    // referenced (not orphans, while still present) but never as missing.
+    // MUST-EXIST = the LATEST commit + savepoints — the snapshots that
+    // are readable by contract. Older active commits keep their RECORDS
+    // after clean() has deleted their exclusive files (cleaning bounds
+    // time travel, exactly like Hudi's retained-commit window), and
+    // archived commits are pure history — both count as referenced (their
+    // still-present files are not orphans) but never as missing.
     val mustExist: Map[String, DataFile] =
-      (timeline.listCommitSeqs().map(timeline.read) ++ timeline.listSavepoints())
+      (timeline.latest().toSeq ++ timeline.listSavepoints())
         .flatMap(c => c.files ++ c.logFiles).map(f => f.path -> f).toMap
     val referenced: Set[String] =
       mustExist.keySet ++
-        timeline.readArchived().flatMap(c => (c.files ++ c.logFiles).map(_.path))
+        (timeline.listCommitSeqs().map(timeline.read) ++ timeline.readArchived())
+          .flatMap(c => (c.files ++ c.logFiles).map(_.path))
     var missing = 0L
     var sizeMismatch = 0L
     mustExist.values.foreach { f =>

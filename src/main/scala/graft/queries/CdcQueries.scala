@@ -165,6 +165,21 @@ object CdcScenario {
       tab
     })
 
+  /** Zero-copy CLONE pair: a dedicated source table, its hard-link clone,
+    * and a mutation applied ONLY to the clone — isolation is graded from
+    * both sides. */
+  def clonePair(s: SparkSession, dir: String): (GraftTable, GraftTable) =
+    cloneCache.getOrElseUpdate(s"clone:$dir", {
+      val src = build(s, dir, "clsrc")(_ => ())
+      val cl = src.cloneTo(
+        Files.createTempDirectory("graft-cdc-clone").toString + "/t")
+      cl.upsert(cl.readUser().filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderstatus", lit("C"))
+        .withColumn(Meta.Ordering, lit(sq(9))))
+      (src, cl)
+    })
+  private val cloneCache = TrieMap[String, (GraftTable, GraftTable)]()
+
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "svc") { t => t.clean(retainCommits = 2); t.archive(keepLast = 1) }
@@ -528,6 +543,12 @@ object CdcQueries {
     // final state (a bloom false NEGATIVE would lose the update; blooms
     // are constructed no-false-negative)
     "cdc_bloom_upsert" -> ((s, dir) => statusAgg(CdcScenario.bloomed(s, dir))),
+    // zero-copy clone: the CLONE carries the 'C' overlay it was upserted
+    // with (a real independent table over hard-linked bytes)...
+    "cdc_clone" -> ((s, dir) => statusAgg(CdcScenario.clonePair(s, dir)._2)),
+    // ...while the SOURCE is byte-for-byte untouched by the clone's write
+    "cdc_clone_isolation" -> ((s, dir) =>
+      statusAgg(CdcScenario.clonePair(s, dir)._1)),
     // manifest<->storage integrity after the full maintenance gauntlet
     // (clean + archive have run on this table): nothing referenced is
     // missing or mis-sized, nothing unreferenced is left behind
@@ -778,6 +799,17 @@ object CdcQueries {
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price, o_custkey
          FROM final WHERE o_custkey BETWEEN 100 AND 800""",
     "cdc_zorder" -> statusAggSql,
+    // the clone's snapshot = final state with the 'C' overlay (keys
+    // divisible by 11, including the shifted inserts that land on %11=0)
+    "cdc_clone" ->
+      s"""$finalState
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM (SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'C'
+                           ELSE o_orderstatus END AS o_orderstatus, price
+               FROM final)
+         GROUP BY o_orderstatus""",
+    // the source after the clone's mutation = the plain final state
+    "cdc_clone_isolation" -> statusAggSql,
     // the integrity invariants a healthy table must satisfy
     "cdc_fsck" ->
       """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT),

@@ -378,6 +378,33 @@ class MergeSpec extends AnyFunSuite {
     assert(snap(11L) == (11L * 2654435761L) % 4096)
   }
 
+  test("cloneTo is zero-copy (shared inodes) and both sides survive each other's cleaning") {
+    val srcRoot = tmp()
+    val t = new GraftTable(spark, srcRoot, Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert((0L until 400L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit(0L))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit("001")))
+    t.upsert((0L until 400L by 2).map(k => (k, 1L, "002")).toDF("id", "v", "trx_seq"))
+    val cloneRoot = tmp() + "/clone"
+    val cl = t.cloneTo(cloneRoot)
+    // zero-copy: the cloned file IS the source file (same inode)
+    val p = t.latestCommit().get.files.head.path
+    assert(Files.getAttribute(java.nio.file.Paths.get(srcRoot, p), "unix:ino") ==
+      Files.getAttribute(java.nio.file.Paths.get(cloneRoot, p), "unix:ino"))
+    // the clone's write is invisible to the source...
+    cl.upsert(Seq((1L, 99L, "003")).toDF("id", "v", "trx_seq"))
+    assert(t.readUser().filter($"id" === 1L).select($"v").as[Long].head() == 0L)
+    assert(cl.readUser().filter($"id" === 1L).select($"v").as[Long].head() == 99L)
+    // ...and each side's cleaning unlinks only its own references: the
+    // source retains only its latest commit, deleting files the clone
+    // still hard-links — the clone must stay fully readable, and vice versa
+    t.clean(retainCommits = 1)
+    cl.clean(retainCommits = 1)
+    assert(cl.readUser().count() == 400)
+    assert(t.readUser().count() == 400)
+    assert(t.fsck()._4 && cl.fsck()._4, "both sides must pass fsck after cross-cleaning")
+  }
+
   test("fsck detects missing referenced files and stale orphans; clean table is clean") {
     val root = tmp()
     val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
