@@ -219,7 +219,10 @@ object Similarity {
       kCells: Int, iters: Int, salt: String = "km", dimsHint: Int = 0): DataFrame = {
     require(kCells >= 1 && iters >= 0, s"need kCells >= 1, iters >= 0")
     // dimsHint skips the probe job when the caller already knows the
-    // width (pqTopK calls this m times with a fixed sub-vector size)
+    // width (pqTopK calls this m times with a fixed sub-vector size).
+    // CONTRACT: the hint must equal the true vector width — a wider hint
+    // would silently null-pad the centroid arrays (element_at past the
+    // end is null), corrupting every distance downstream
     val dims =
       if (dimsHint > 0) dimsHint
       else emb.select(size(col(vecCol))).first().getInt(0)

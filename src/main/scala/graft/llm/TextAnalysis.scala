@@ -72,13 +72,11 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, textCol: String): org.apache.spark.sql.Column =
     md5(lower(regexp_replace(trim(col(textCol)), " +", " ")))
 
-  /** C4/Gopher-style rule filter: keep a document iff it clears minimum
+  /** The C4/Gopher-style keep predicate: a document clears minimum
     * length, lexical diversity (type-token ratio) and stopword-density
-    * thresholds. Pure narrow column expressions — the filter runs at scan
-    * speed and composes with any downstream op. Returns the per-stratum
-    * keep summary (the number a curation run reports). */
-  /** The C4-style keep predicate itself — shared by the census and by
-    * pipelines that FILTER with it (the graded curation chain). */
+    * thresholds. Pure narrow column expressions — runs at scan speed and
+    * composes with any downstream op (the graded curation chain filters
+    * with it directly). */
   def qualityKeep(textCol: org.apache.spark.sql.Column,
       minTokens: Int, minTtr: Double, minStopRatio: Double): org.apache.spark.sql.Column = {
     val words = split(textCol, " ")
@@ -89,6 +87,8 @@ object TextAnalysis {
     nTok >= minTokens && ttr >= minTtr && stopR >= minStopRatio
   }
 
+  /** Per-stratum census of [[qualityKeep]]: total vs kept doc counts —
+    * the number a curation run reports. */
   def qualityFilterStats(docs: DataFrame, stratumCol: String, textCol: String,
       minTokens: Int, minTtr: Double, minStopRatio: Double): DataFrame = {
     val keep = qualityKeep(col(textCol), minTokens, minTtr, minStopRatio)

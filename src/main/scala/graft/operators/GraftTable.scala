@@ -1221,28 +1221,51 @@ class GraftTable(
     * Idempotent: re-cloning into the same dest absorbs existing links
     * and the seq-0 CAS. O(files) metadata work, zero data movement.
     */
-  def cloneTo(destRoot: String, atSeq: Option[Long] = None): GraftTable = {
-    val c = atSeq.map(timeline.read).getOrElse(timeline.latest().getOrElse(
-      throw new IllegalStateException(s"no commits at $root")))
-    (c.files ++ c.logFiles).foreach { f =>
-      val src = Paths.get(root, f.path)
-      val dst = Paths.get(destRoot, f.path)
-      Files.createDirectories(dst.getParent)
-      try Files.createLink(dst, src)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException => () // idempotent re-clone
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          if (!Files.exists(dst)) Files.copy(src, dst)
+  def cloneTo(destRoot: String, atSeq: Option[Long] = None): GraftTable =
+    // the in-flight marker makes file-deleting maintenance on the SOURCE
+    // drain/wait, so clean()/rollback() cannot delete a file mid-link;
+    // a clone is a reader with a write-sized window — same barrier as a
+    // lock-free writer
+    withInflightMarker {
+      val c = atSeq.map(timeline.read).getOrElse(timeline.latest().getOrElse(
+        throw new IllegalStateException(s"no commits at $root")))
+      try {
+        (c.files ++ c.logFiles).foreach { f =>
+          val src = Paths.get(root, f.path)
+          val dst = Paths.get(destRoot, f.path)
+          Files.createDirectories(dst.getParent)
+          try Files.createLink(dst, src)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => () // idempotent re-clone
+            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              // copy fallback must stay atomic-or-absent: a crashed copy
+              // leaves a truncated file a naive exists-check would absorb
+              // into the manifest — stage + atomic move instead, and only
+              // absorb an existing dst of the RIGHT size
+              if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
+                val tmp = dst.resolveSibling(s".${dst.getFileName}.clone.tmp")
+                Files.copy(src, tmp,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                Files.move(tmp, dst,
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+          }
+        }
+      } catch {
+        case e: Throwable =>
+          // no half-built clones: the seq-0 manifest was never written,
+          // so the dest tree is garbage — remove it before rethrowing
+          graft.util.Fs.deleteRecursively(Paths.get(destRoot))
+          throw e
       }
+      new Timeline(destRoot).commit(Commit(0L, "clone", c.files, c.schemaJson,
+        c.checkpoint, System.currentTimeMillis(),
+        extra = Map("cloned_from" -> s"$root@${c.seq}"), logFiles = c.logFiles))
+      new GraftTable(spark, destRoot, keyFields, partitionFields, orderingField,
+        targetFileBytes, staleLockMs, tableType, compactEvery, compactLogBytesRatio,
+        globalIndex, harvestThreshold, statsColumns, keyBlooms, bloomColumns,
+        partialUpdate)
     }
-    new Timeline(destRoot).commit(Commit(0L, "clone", c.files, c.schemaJson,
-      c.checkpoint, System.currentTimeMillis(),
-      extra = Map("cloned_from" -> s"$root@${c.seq}"), logFiles = c.logFiles))
-    new GraftTable(spark, destRoot, keyFields, partitionFields, orderingField,
-      targetFileBytes, staleLockMs, tableType, compactEvery, compactLogBytesRatio,
-      globalIndex, harvestThreshold, statsColumns, keyBlooms, bloomColumns,
-      partialUpdate)
-  }
 
   /** Integrity check (the Hudi metadata-validation / `fsck` analog):
     * verify the latest manifest against storage — every referenced file
@@ -1259,19 +1282,30 @@ class GraftTable(
     // time travel, exactly like Hudi's retained-commit window), and
     // archived commits are pure history — both count as referenced (their
     // still-present files are not orphans) but never as missing.
+    // a point-in-time verdict that must SURVIVE concurrent maintenance:
+    // a record archived away between listing and reading is skipped, and
+    // a file vanishing between the existence and size probes counts as
+    // missing — never an exception out of an integrity CHECKER
+    def readable(seqs: Seq[Long]): Seq[Commit] = seqs.flatMap { s =>
+      try Some(timeline.read(s))
+      catch { case _: java.io.IOException => None }
+    }
     val mustExist: Map[String, DataFile] =
-      (timeline.latest().toSeq ++ timeline.listSavepoints())
+      (timeline.latestSeq().toSeq.flatMap(s => readable(Seq(s))) ++
+        timeline.listSavepoints())
         .flatMap(c => c.files ++ c.logFiles).map(f => f.path -> f).toMap
     val referenced: Set[String] =
       mustExist.keySet ++
-        (timeline.listCommitSeqs().map(timeline.read) ++ timeline.readArchived())
+        (readable(timeline.listCommitSeqs()) ++ timeline.readArchived())
           .flatMap(c => (c.files ++ c.logFiles).map(_.path))
     var missing = 0L
     var sizeMismatch = 0L
     mustExist.values.foreach { f =>
       val p = Paths.get(root, f.path)
-      if (!Files.exists(p)) missing += 1
-      else if (f.bytes > 0 && Files.size(p) != f.bytes) sizeMismatch += 1
+      try {
+        if (!Files.exists(p)) missing += 1
+        else if (f.bytes > 0 && Files.size(p) != f.bytes) sizeMismatch += 1
+      } catch { case _: java.io.IOException => missing += 1 }
     }
     val dataRoot = Paths.get(root, "data")
     val cutoff = System.currentTimeMillis() - staleLockMs
@@ -1284,9 +1318,11 @@ class GraftTable(
           .toList
       }
       onDisk.foreach { rel =>
-        if (!referenced.contains(rel) &&
-            Files.getLastModifiedTime(Paths.get(root, rel)).toMillis < cutoff)
-          orphaned += 1
+        try {
+          if (!referenced.contains(rel) &&
+              Files.getLastModifiedTime(Paths.get(root, rel)).toMillis < cutoff)
+            orphaned += 1
+        } catch { case _: java.io.IOException => () } // deleted mid-walk: not an orphan
       }
     }
     (missing, orphaned, sizeMismatch, missing == 0 && orphaned == 0 && sizeMismatch == 0)

@@ -111,9 +111,15 @@ object LlmQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val qual = docs.filter(TextAnalysis.qualityKeep(col("text"), 30, 0.4, 0.03))
+      // localCheckpoint: the quality scan + full-corpus dedup window feed
+      // FOUR consumers (connected-components edges, the survivors
+      // anti-join, and packShards' bounds + prefix branches) — truncate
+      // once instead of recomputing per consumer; the checkpoint is tiny
+      // (the filtered doc subset)
       val uniq = qual.withColumn("_rn", row_number().over(
           Window.partitionBy(col("text")).orderBy(col("doc_id"))))
         .filter(col("_rn") === 1).drop("_rn")
+        .localCheckpoint()
       val pairs = Dedup.jaccardPairs(uniq, "doc_id", "text",
         threshold = 0.5, maxDocFreq = Some(100))
       val removed = Dedup.connectedComponents(pairs, "ia", "ib")

@@ -30,15 +30,7 @@ object StreamJoin {
   def attributionStats(spark: SparkSession, eventsParquet: String,
       sinkTable: String, windowMinutes: Int = 10, slices: Int = 4): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-join")
-    val raw = spark.read.parquet(eventsParquet)
-    // TIMESTAMP(NANOS) parquet arrives as a raw long under
-    // spark.sql.legacy.parquet.nanosAsLong — truncate to micros exactly
-    // like the batch loaders (and DuckDB's implicit ns→us read) do
-    val events =
-      if (raw.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val events = StreamSlices.normalizeTs(spark.read.parquet(eventsParquet))
     def sideDir(tpe: String): String = {
       val d = s"$base/$tpe"
       events.filter(col("event_type") === tpe)
@@ -63,15 +55,7 @@ object StreamJoin {
       col("c_user") === col("v_user") &&
         col("vts") >= col("cts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
         col("vts") <= col("cts") + expr(s"INTERVAL $windowMinutes MINUTES"))
-    spark.catalog.dropTempView(sinkTable)
-    val q = joined.writeStream
-      .trigger(Trigger.AvailableNow())
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
-    spark.table(sinkTable)
+    StreamSlices.drainToMemory(spark, joined, sinkTable, "append")
       .groupBy((col("c_user") % 10).as("cohort"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("vts") <= col("cts"), 1L).otherwise(0L)).as("n_view_first"),
@@ -98,12 +82,7 @@ object StreamJoin {
       sinkTable: String, windowMinutes: Int = 10, delayMinutes: Int = 17,
       slices: Int = 4): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-loj")
-    val raw = spark.read.parquet(eventsParquet)
-    val events =
-      if (raw.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val events = StreamSlices.normalizeTs(spark.read.parquet(eventsParquet))
     // time-contiguous slices with EXPLICIT strictly-increasing mtimes (the
     // StreamWindow discipline): the file source processes oldest-mtime
     // first, so the watermark ratchets monotonically and nothing is ever
@@ -130,15 +109,7 @@ object StreamJoin {
         col("vts") >= col("cts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
         col("vts") <= col("cts") + expr(s"INTERVAL $windowMinutes MINUTES"),
       "leftOuter")
-    spark.catalog.dropTempView(sinkTable)
-    val q = joined.writeStream
-      .trigger(Trigger.AvailableNow())
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
-    spark.table(sinkTable)
+    StreamSlices.drainToMemory(spark, joined, sinkTable, "append")
       .groupBy((col("c_user") % 10).as("cohort"))
       .agg(count(lit(1)).as("n_rows"),
         count(col("vts")).as("n_matched"),
@@ -160,6 +131,31 @@ object StreamJoin {
   * plain multi-file write gets tied mtimes, an undefined processing
   * order, and nondeterministic late-drops. */
 private[streaming] object StreamSlices {
+  /** The one ts-normalization rule every replay shares: TIMESTAMP(NANOS)
+    * parquet arrives as a raw long under the session's nanosAsLong
+    * setting — truncate to micros exactly like the batch loaders (and
+    * DuckDB's implicit ns→us read) do. */
+  def normalizeTs(raw: DataFrame): DataFrame =
+    if (raw.schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+
+  /** The one drain discipline every graded streaming run shares:
+    * AvailableNow into a fresh in-memory sink, awaited, read back. */
+  def drainToMemory(spark: SparkSession, ds: org.apache.spark.sql.Dataset[_],
+      sinkTable: String, mode: String): DataFrame = {
+    spark.catalog.dropTempView(sinkTable)
+    val q = ds.writeStream
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(mode)
+      .start()
+    q.awaitTermination()
+    spark.table(sinkTable)
+  }
+
   def writeTimeSlices(df: DataFrame, dir: String, slices: Int): String = {
     val withM = df.withColumn("_m", expr("unix_micros(ts)"))
     val bounds = withM.stat.approxQuantile("_m",

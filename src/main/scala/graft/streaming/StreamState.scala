@@ -47,12 +47,7 @@ object StreamState {
       sinkTable: String, slices: Int = 4): DataFrame = {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-stream-state")
-    val raw = spark.read.parquet(eventsParquet)
-    val events =
-      if (raw.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val events = StreamSlices.normalizeTs(spark.read.parquet(eventsParquet))
     val inDir = StreamSlices.writeTimeSlices(events, s"$base/in", slices)
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
@@ -71,17 +66,9 @@ object StreamState {
           gs.update(next)
           FunnelUpdate(uid, next.nEvents, next.nClicks, next.nViewThenClick)
       }
-    spark.catalog.dropTempView(sinkTable)
-    val q = updates.writeStream
-      .trigger(Trigger.AvailableNow())
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("update")
-      .start()
-    q.awaitTermination()
     // update mode emits one cumulative row per user per touching batch;
     // the counters are monotone, so the final state is the per-user max
-    spark.table(sinkTable)
+    StreamSlices.drainToMemory(spark, updates, sinkTable, "update")
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"),
         max(col("n_clicks")).as("n_clicks"),
@@ -109,12 +96,7 @@ object StreamState {
     import spark.implicits._
     val gapUs = gapMinutes * 60_000_000L
     val base = java.nio.file.Files.createTempDirectory("graft-stream-sess")
-    val raw = spark.read.parquet(eventsParquet)
-    val events =
-      if (raw.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val events = StreamSlices.normalizeTs(spark.read.parquet(eventsParquet))
     val inDir = StreamSlices.writeTimeSlices(events, s"$base/in", slices)
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
@@ -151,14 +133,6 @@ object StreamState {
           }
           out.result().iterator
       }
-    spark.catalog.dropTempView(sinkTable)
-    val q = closed.writeStream
-      .trigger(Trigger.AvailableNow())
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
-    spark.table(sinkTable)
+    StreamSlices.drainToMemory(spark, closed, sinkTable, "append")
   }
 }

@@ -27,12 +27,7 @@ object StreamWindow {
       sinkTable: String, windowSpec: String = "1 hour",
       delay: String = "30 minutes", slices: Int = 4): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-window")
-    val raw = spark.read.parquet(eventsParquet)
-    val events =
-      if (raw.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val events = StreamSlices.normalizeTs(spark.read.parquet(eventsParquet))
     // slices must be TIME-CONTIGUOUS and arrive in time order: a batch
     // containing events older than the already-advanced watermark would
     // have them dropped as late (hash-sliced replays lose 3/4 of the
@@ -40,22 +35,14 @@ object StreamWindow {
     // file per slice with explicit strictly-increasing mtimes, so the
     // file source replays oldest-first and the watermark only ratchets.
     val inDir = StreamSlices.writeTimeSlices(events, s"$base/in", slices)
-    spark.catalog.dropTempView(sinkTable)
-    val q = spark.readStream.schema(events.schema)
+    val agged = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(inDir)
       .withWatermark("ts", delay)
       .groupBy(window(col("ts"), windowSpec).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode("append")
-      .start()
-    q.awaitTermination()
-    spark.table(sinkTable)
+    StreamSlices.drainToMemory(spark, agged, sinkTable, "append")
       .select(unix_timestamp(col("w.start")).as("epoch_s"),
         col("event_type"), col("n"), col("cents"))
   }
