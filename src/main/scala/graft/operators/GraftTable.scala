@@ -1151,6 +1151,23 @@ class GraftTable(
 
   def deleteSavepoint(seq: Long): Boolean = withLock(timeline.deleteSavepoint(seq))
 
+  /** FORWARD-MOVING restore (Hudi's restore-to-savepoint, minus its
+    * history destruction): publish a NEW commit whose snapshot is the
+    * savepointed one — the bad batches stay on the timeline for audit,
+    * incremental consumers see a normal next commit instead of a
+    * rewound sequence, and the savepoint's files are re-referenced (the
+    * savepoint record keeps them alive regardless). Contrast with
+    * [[rollback]], which deletes the offending commits and their
+    * exclusive files outright. */
+  def restoreSavepoint(seq: Long): Commit = withLock {
+    val sp = timeline.readSavepoint(seq)
+    val next = timeline.latestSeq().map(_ + 1).getOrElse(0L)
+    timeline.commit(Commit(next, "restore", sp.files, sp.schemaJson,
+      sp.checkpoint, System.currentTimeMillis(),
+      extra = Map("restored_from" -> seq.toString),
+      logFiles = sp.logFiles))
+  }
+
   /** Read a savepointed snapshot — valid even after the commit has left
     * the active timeline and its unshared files were cleaned elsewhere. */
   def readSavepointed(seq: Long): DataFrame = {

@@ -392,6 +392,18 @@ object CdcScenario {
   def savepointed(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "svp") { t => t.savepoint(1); t.clean(retainCommits = 1) }
 
+  /** Savepoint at commit 1, land a junk batch, then RESTORE forward: a
+    * new commit republishes the savepointed snapshot while the junk stays
+    * on the timeline for audit. */
+  def restored(s: SparkSession, dir: String): GraftTable =
+    build(s, dir, "rst") { tab =>
+      tab.savepoint(1)
+      tab.upsert(meta(t(s, dir, "orders").limit(200)
+        .withColumn("o_orderstatus", lit("X")), 8, deleted = false))
+      tab.restoreSavepoint(1)
+      ()
+    }
+
   /** Composite-key table over lineitem (M5 ComplexKeyGenerator semantics). */
   def keyed(s: SparkSession, dir: String): GraftTable =
     cache.getOrElseUpdate(s"keys:$dir", {
@@ -588,6 +600,14 @@ object CdcQueries {
         .drop(Meta.RecordKey, Meta.CommitSeq)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // forward-moving restore: the snapshot equals the savepointed commit-1
+    // state while the junk batch stays on the timeline for audit
+    "cdc_restore" -> ((s, dir) => {
+      val tab = CdcScenario.restored(s, dir)
+      tab.readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    }),
     // rollback: discarding commits 2+ must reproduce the commit-1 snapshot
     "cdc_rollback" -> ((s, dir) =>
       CdcScenario.rolledBack(s, dir).readUser()
@@ -872,6 +892,17 @@ object CdcQueries {
            AND praw BETWEEN 50000.5 AND 200000.25""",
     // savepoint(1) after clean == the commit-1 snapshot == time travel
     "cdc_savepoint" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM orders WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+         FROM orders WHERE o_orderkey % 1000 = 1""",
+    // restore == the savepointed commit-1 snapshot (same oracle shape)
+    "cdc_restore" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
            CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
