@@ -106,6 +106,12 @@ class GraftTable(
     *
     * Trade-off (inherent to the payload, same as Hudi): a partial-update
     * table cannot write a column to SQL NULL — null means "unchanged".
+    * And because the snapshot materializes the FOLD (one row per key, no
+    * per-column version provenance), the batch-split law holds for
+    * IN-ORDER arrival per key: a late batch carrying a LOWER-ordering
+    * version cannot fill a column a higher-ordering version left null —
+    * the materialized row's tie wins. In-order CDC (the DMS stream
+    * contract) is unaffected; MergeLawsSpec pins the in-order law.
     */
   private def mergePartial(df: DataFrame, identity: Seq[String],
       tie: Column): DataFrame = {

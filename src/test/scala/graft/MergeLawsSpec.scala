@@ -93,6 +93,44 @@ class MergeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("partial-update law: any IN-ORDER batch split equals the sequential per-column fold") {
+    // reference model: apply events in seq order — a delete wipes the
+    // key (epoch reset); a normal event overlays only its non-null cols
+    case class PEv(id: Long, a: Option[String], b: Option[Long], seq: Int, del: Boolean)
+    def fold(evs: Seq[PEv]): Map[Long, (Option[String], Option[Long])] =
+      evs.sortBy(_.seq).foldLeft(Map.empty[Long, (Option[String], Option[Long])]) {
+        case (st, e) if e.del => st - e.id
+        case (st, e) =>
+          val (a0, b0) = st.getOrElse(e.id, (None, None))
+          st.updated(e.id, (e.a.orElse(a0), e.b.orElse(b0)))
+      }
+    (1 to 4).foreach { trial =>
+      val rnd = new scala.util.Random(1000 + trial)
+      // unique seq per event; per-key order within the stream = seq order
+      val evs = rnd.shuffle((1 to 60).toList).zipWithIndex.map { case (seq, i) =>
+        PEv(1L + rnd.nextInt(10),
+          if (rnd.nextInt(3) == 0) None else Some(s"a$seq"),
+          if (rnd.nextInt(3) == 0) None else Some(seq.toLong),
+          seq, rnd.nextInt(6) == 0)
+      }.sortBy(_.seq) // IN-ORDER arrival — the law's precondition
+      // random order-preserving split into 1..5 batches
+      val cuts = (0 until rnd.nextInt(5)).map(_ => rnd.nextInt(evs.size)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(evs.size)).distinct.sliding(2)
+        .map { case Seq(from, to) => evs.slice(from, to) }.filter(_.nonEmpty).toList
+      val t = new GraftTable(spark, Files.createTempDirectory(s"graft-plaw$trial").toString,
+        Seq("id"), targetFileBytes = 16 * 1024, partialUpdate = true)
+      batches.foreach { b =>
+        t.upsert(b.map(e => (e.id, e.a, e.b, f"${e.seq}%05d", e.del))
+          .toDF("id", "a", "b", "trx_seq", Meta.Deleted))
+      }
+      val got = t.readUser().select($"id", $"a", $"b")
+        .as[(Long, Option[String], Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == fold(evs),
+        s"trial $trial (${batches.size} batches) diverged from the sequential fold")
+    }
+  }
+
   test("tombstone resurrection: COW resurrects across commits, MOR logs keep the delete visible") {
     import org.apache.spark.sql.functions.lit
     // batch1: insert k@10 — batch2: delete k@30 — batch3: late update k@20
