@@ -378,6 +378,28 @@ class MergeSpec extends AnyFunSuite {
     assert(snap(11L) == (11L * 2654435761L) % 4096)
   }
 
+  test("restoreSavepoint keeps audit history and re-exposes restored keys to incremental pulls") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert((0L until 300L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit("good"))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit("001")))
+    t.savepoint(0)
+    t.upsert((0L until 300L by 3).map(k => (k, "JUNK", "002")).toDF("id", "v", "trx_seq"))
+    val restored = t.restoreSavepoint(0)
+    assert(restored.action == "restore" && restored.seq == 2L)
+    // the snapshot is the savepointed state...
+    val snap = t.readUser().select($"id", $"v").as[(Long, String)].collect()
+    assert(snap.length == 300 && snap.forall(_._2 == "good"))
+    // ...the junk batch stays on the timeline for audit (time travel works)...
+    assert(t.history().map(_.action) == Seq("bulk_insert", "upsert", "restore"))
+    assert(t.readAsOf(1).filter($"v" === "JUNK").count() == 100)
+    // ...and an incremental consumer that already pulled the junk commit
+    // sees the restored region re-added, so it converges on replay
+    val reExposed = t.readChangesBetween(1, 2).select($"id").as[Long].collect().toSet
+    assert((0L until 300L by 3).forall(reExposed.contains),
+      "every junk-touched key must be re-exposed by the restore commit")
+  }
+
   test("cloneTo is zero-copy (shared inodes) and both sides survive each other's cleaning") {
     val srcRoot = tmp()
     val t = new GraftTable(spark, srcRoot, Seq("id"), targetFileBytes = 16 * 1024)
