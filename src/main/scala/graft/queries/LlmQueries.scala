@@ -328,6 +328,14 @@ object LlmQueries {
     "mm_transform" -> ((s, dir) =>
       Multimodal.transform(s,
         Multimodal.asPpmTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+    // REAL COMPRESSED image path: render docs as genuine GIF87a (LZW
+    // entropy coding), then inflate the sub-blocks back and prove the
+    // pixels via exact cycle arithmetic — a broken LZW cannot fake these
+    "mm_gif" -> ((s, dir) =>
+      Multimodal.gifStats(s,
+        Multimodal.asGifTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("w"), col("h"), col("n_px"), col("f0"),
+          col("px_sum"))),
     // REAL video path: render docs as multi-frame PPM streams (the
     // ffmpeg image2pipe/ppm container), demux by walking frame headers,
     // keep every 2nd frame, pixel-sum the kept frames
@@ -908,6 +916,30 @@ object LlmQueries {
                     ELSE list_aggregate(codes[1:CAST(n % L AS INT)], 'sum') END
              END AS BIGINT) AS px_sum
          FROM s""",
+
+    // the engine really LZW-encodes + inflates GIFs; the oracle recomputes
+    // the pixel features from cycle arithmetic (pixel j = text byte j % L,
+    // one palette index per pixel)
+    "mm_gif" ->
+      """WITH m AS (SELECT doc_id, text, COALESCE(strlen(text), 0) AS L
+         FROM documents),
+         s AS (SELECT doc_id, text, L,
+           CAST(L % 48 + 1 AS BIGINT) AS w,
+           CAST(L % 32 + 1 AS BIGINT) AS h
+         FROM m),
+         t2 AS (SELECT doc_id, text, L, w, h, w * h AS n,
+           list_transform(range(1, CAST(L + 1 AS INT)),
+             i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+         FROM s)
+         SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(n AS BIGINT) AS n_px,
+           CASE WHEN L = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS f0,
+           CAST(CASE WHEN L = 0 THEN 0 ELSE
+             (n // L) * list_aggregate(codes, 'sum')
+             + CASE WHEN n % L = 0 THEN 0
+                    ELSE list_aggregate(codes[1:CAST(n % L AS INT)], 'sum') END
+             END AS BIGINT) AS px_sum
+         FROM t2""",
 
     // the engine really encodes + chunk-walks + decimates PCM WAVs; the
     // oracle recomputes the sample math (one 16-bit sample per ASCII byte,

@@ -209,6 +209,30 @@ class LlmSpec extends AnyFunSuite {
     assert(comp.count() == 11)
   }
 
+  test("GIF LZW round-trips random, repetitive and dictionary-overflow payloads exactly") {
+    import graft.llm.GifCodec
+    val rnd = new scala.util.Random(7)
+    // random bytes (KwKwK cases), heavy repetition (deep LZW chains), and
+    // a 100k-pixel image that overflows the 4096-entry dictionary and
+    // forces the Clear-code reset path the small graded corpus never hits
+    val cases = Seq(
+      (3, 2, Array.tabulate(6)(i => (i * 37).toByte)),
+      (1, 1, Array[Byte](0)),
+      (64, 64, Array.fill(64 * 64)((rnd.nextInt(256) - 128).toByte)),
+      (50, 40, Array.tabulate(2000)(i => (i % 3).toByte)),        // aaabbb-ish runs
+      (400, 250, Array.fill(400 * 250)((rnd.nextInt(7) - 3).toByte)) // > 4096 dict entries
+    )
+    cases.foreach { case (w, h, px) =>
+      val gif = GifCodec.encode(w, h, px)
+      val (dw, dh, dpx) = GifCodec.decode(gif)
+      assert(dw == w && dh == h, s"geometry mismatch for $w x $h")
+      assert(java.util.Arrays.equals(dpx, px), s"pixel mismatch for $w x $h")
+      // the repetitive cases must actually COMPRESS (LZW earning its keep)
+      if (px.length >= 2000 && px.toSet.size <= 8)
+        assert(gif.length < px.length, s"no compression on repetitive $w x $h")
+    }
+  }
+
   test("duplicated-span census: exact twins score 1.0, unique docs 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
