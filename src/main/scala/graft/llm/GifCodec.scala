@@ -40,33 +40,85 @@ object GifCodec {
     out.toByteArray
   }
 
-  /** Decode a GIF87a stream of the supported profile →
+  /** Decode a single-frame GIF of the supported profile →
     * (w, h, pixel indices). */
   def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val frames = decodeFrames(bytes)
+    require(frames.nonEmpty, "GIF stream contains no image block")
+    frames.head
+  }
+
+  /** ANIMATED container: multiple image blocks in one stream (each frame
+    * LZW-compressed independently — the GIF flavor of a video file). The
+    * shared header/palette are written once; frames stack as consecutive
+    * image descriptors. */
+  def encodeFrames(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xF7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    frames.foreach { px =>
+      require(px.length == w * h, s"frame size ${px.length} != $w x $h")
+      out.write(0x2C)
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(0)
+      out.write(8)
+      out.write(lzwCompress(px))
+      out.write(0)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Walk the container and inflate EVERY image block → (w, h, pixels)
+    * per frame. Extension blocks (0x21) are skipped per spec, so streams
+    * from encoders that emit graphic-control extensions also demux. */
+  def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
     require(bytes.length > 13 &&
       new String(bytes, 0, 6, "US-ASCII").startsWith("GIF"), "not a GIF stream")
     def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
     val flags = bytes(10) & 0xFF
     var pos = 13
     if ((flags & 0x80) != 0) pos += 3 * (2 << (flags & 7)) // skip global palette
-    require((bytes(pos) & 0xFF) == 0x2C, s"expected image descriptor at $pos")
-    val w = le16(pos + 5); val h = le16(pos + 7)
-    val localFlags = bytes(pos + 9) & 0xFF
-    pos += 10
-    if ((localFlags & 0x80) != 0) pos += 3 * (2 << (localFlags & 7))
-    val minCode = bytes(pos) & 0xFF
-    require(minCode == 8, s"unsupported LZW minimum code size $minCode")
-    pos += 1
-    // concatenate the data sub-blocks
-    val data = new java.io.ByteArrayOutputStream()
-    var len = bytes(pos) & 0xFF
-    while (len != 0) {
-      data.write(bytes, pos + 1, len)
-      pos += 1 + len
-      len = bytes(pos) & 0xFF
+    val frames = Seq.newBuilder[(Int, Int, Array[Byte])]
+    def skipSubBlocks(): Unit = {
+      var len = bytes(pos) & 0xFF
+      while (len != 0) { pos += 1 + len; len = bytes(pos) & 0xFF }
+      pos += 1
     }
-    val px = lzwDecompress(data.toByteArray, w * h)
-    (w, h, px)
+    var done = false
+    while (!done && pos < bytes.length) {
+      (bytes(pos) & 0xFF) match {
+        case 0x3B => done = true
+        case 0x21 => // extension: label byte then sub-blocks
+          pos += 2
+          skipSubBlocks()
+        case 0x2C =>
+          val w = le16(pos + 5); val h = le16(pos + 7)
+          val localFlags = bytes(pos + 9) & 0xFF
+          pos += 10
+          if ((localFlags & 0x80) != 0) pos += 3 * (2 << (localFlags & 7))
+          val minCode = bytes(pos) & 0xFF
+          require(minCode == 8, s"unsupported LZW minimum code size $minCode")
+          pos += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var len = bytes(pos) & 0xFF
+          while (len != 0) {
+            data.write(bytes, pos + 1, len)
+            pos += 1 + len
+            len = bytes(pos) & 0xFF
+          }
+          pos += 1
+          frames += ((w, h, lzwDecompress(data.toByteArray, w * h)))
+        case other =>
+          throw new IllegalArgumentException(f"unexpected GIF block 0x$other%02X at $pos")
+      }
+    }
+    frames.result()
   }
 
   /** Exact integer pixel sum (the content proof the oracles recompute). */

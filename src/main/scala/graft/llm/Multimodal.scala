@@ -74,6 +74,51 @@ object Multimodal {
       .toDF(idCol, "w", "h", "n_px", "f0", "px_sum", "gif_bytes")
   }
 
+  /** Render each document as a REAL ANIMATED GIF: 2-4 frames whose pixels
+    * are the doc's bytes cycled with a per-frame phase shift, each frame
+    * independently LZW-compressed into one GIF89a container — compressed
+    * VIDEO-shaped media, the pairing of entropy coding with demuxing. */
+  def asGifVideoTable(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).map(_.getBytes("UTF-8")).getOrElse(Array.empty[Byte])
+          val l = bytes.length
+          val nFrames = l % 3 + 2
+          val w = l % 16 + 1
+          val h = l % 12 + 1
+          val fill = if (bytes.isEmpty) Array[Byte](0) else bytes
+          val frames = (0 until nFrames).map { f =>
+            Array.tabulate(w * h)(j => fill((j + f) % fill.length))
+          }
+          (id, GifCodec.encodeFrames(w, h, frames))
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL compressed-video round trip: demux the animated GIF, inflate
+    * every frame's LZW data, keep every `k`-th frame and prove the kept
+    * content with exact integer pixel sums. */
+  def gifVideoStats(spark: SparkSession, binTable: DataFrame, idCol: String,
+      k: Int = 2): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val frames = GifCodec.decodeFrames(payload)
+          require(frames.nonEmpty, s"payload for id=$id contains no GIF frames")
+          val kept = frames.zipWithIndex.collect { case (f, i) if i % k == 0 => f }
+          val (w, h, _) = kept.head
+          (id, frames.size, w, h, kept.size,
+            kept.map(f => GifCodec.pixelSum(f._3)).sum)
+        }
+      }
+      .toDF(idCol, "n_frames", "w", "h", "n_kept", "px_kept")
+  }
+
   /** REAL image transform over the PPM corpus: parse, nearest-neighbor
     * resize to half dimensions, exact pixel-sum of the resized image
     * (integer math — the content proof that resampling picked the right

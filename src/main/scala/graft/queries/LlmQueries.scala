@@ -336,6 +336,11 @@ object LlmQueries {
         Multimodal.asGifTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")
         .select(col("doc_id"), col("w"), col("h"), col("n_px"), col("f0"),
           col("px_sum"))),
+    // REAL COMPRESSED video path: animated GIF — demux the container AND
+    // inflate each frame's LZW before any pixel can be proven
+    "mm_gif_video" -> ((s, dir) =>
+      Multimodal.gifVideoStats(s,
+        Multimodal.asGifVideoTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
     // REAL video path: render docs as multi-frame PPM streams (the
     // ffmpeg image2pipe/ppm container), demux by walking frame headers,
     // keep every 2nd frame, pixel-sum the kept frames
@@ -940,6 +945,33 @@ object LlmQueries {
                     ELSE list_aggregate(codes[1:CAST(n % L AS INT)], 'sum') END
              END AS BIGINT) AS px_sum
          FROM t2""",
+
+    // the engine really demuxes + LZW-inflates animated GIFs; the oracle
+    // recomputes the kept-frame pixel sums (frame fr pixel j = text byte
+    // (j + fr) % L) digit-for-digit — the mm_video arithmetic with the
+    // GIF geometry
+    "mm_gif_video" ->
+      """WITH m AS (SELECT doc_id, text, COALESCE(strlen(text), 0) AS L
+         FROM documents),
+         g AS (SELECT doc_id, text, L,
+           CAST(L % 3 + 2 AS BIGINT) AS f,
+           CAST(L % 16 + 1 AS BIGINT) AS w,
+           CAST(L % 12 + 1 AS BIGINT) AS h
+         FROM m),
+         s AS (SELECT doc_id, text, L, f, w, h,
+           (f + 1) // 2 AS kept, w * h AS n
+         FROM g),
+         px AS (SELECT doc_id, f, w, h, kept, n,
+           CASE WHEN L = 0 THEN 0 ELSE
+             list_aggregate(list_transform(list_filter(range(0, f), fr -> fr % 2 = 0),
+               fr -> list_aggregate(list_transform(range(0, n),
+                 j -> CAST(ascii(substr(text, CAST((j + fr) % L AS INT) + 1, 1)) AS BIGINT)),
+                 'sum')), 'sum') END AS px_kept
+         FROM s)
+         SELECT doc_id, CAST(f AS INT) AS n_frames, CAST(w AS INT) AS w,
+           CAST(h AS INT) AS h, CAST(kept AS INT) AS n_kept,
+           CAST(px_kept AS BIGINT) AS px_kept
+         FROM px""",
 
     // the engine really encodes + chunk-walks + decimates PCM WAVs; the
     // oracle recomputes the sample math (one 16-bit sample per ASCII byte,

@@ -233,6 +233,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("animated GIF demux round-trips every frame and skips extension blocks") {
+    import graft.llm.GifCodec
+    val rnd = new scala.util.Random(11)
+    val (w, h) = (17, 9)
+    val frames = (0 until 4).map(_ => Array.fill(w * h)((rnd.nextInt(256) - 128).toByte))
+    val gif = GifCodec.encodeFrames(w, h, frames)
+    val got = GifCodec.decodeFrames(gif)
+    assert(got.size == 4)
+    got.zip(frames).foreach { case ((dw, dh, dpx), px) =>
+      assert(dw == w && dh == h && java.util.Arrays.equals(dpx, px))
+    }
+    // foreign encoders emit graphic-control extensions before frames:
+    // splice one in (0x21 label, 4-byte block, terminator) and re-demux
+    val splice = Array[Byte](0x21, 0xF9.toByte, 4, 0, 0, 0, 0, 0)
+    val at = 13 + 768 // header + logical screen descriptor + global palette
+    val withExt = gif.take(at) ++ splice ++ gif.drop(at)
+    val got2 = GifCodec.decodeFrames(withExt)
+    assert(got2.size == 4 && java.util.Arrays.equals(got2.head._3, frames.head))
+  }
+
   test("duplicated-span census: exact twins score 1.0, unique docs 0.0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
