@@ -211,6 +211,39 @@ class ConcurrencySpec extends AnyFunSuite {
         "in-flight markers left behind")
   }
 
+  test("OCC x partial-update: column-disjoint lock-free writers both land, neither clobbers") {
+    val root = Files.createTempDirectory("graft-occ-partial").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      partialUpdate = true)
+    t.bulkInsert((0L until 200L).map(i => (i, Some("a0"), Some(0L), "001"))
+      .toDF("id", "a", "b", "trx_seq"))
+    // writer A touches ONLY column a; writer B ONLY column b — with the
+    // partial payload the loser's recompute must preserve the winner's
+    // column regardless of commit order (whole-row latest-wins would
+    // clobber one side with nulls)
+    val batchA = (0L until 200L).map(i => (i, Some("A"), None: Option[Long], "002"))
+      .toDF("id", "a", "b", "trx_seq")
+    val batchB = (0L until 200L).map(i => (i, None: Option[String], Some(9L), "003"))
+      .toDF("id", "a", "b", "trx_seq")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fs = Seq(batchA, batchB).map { b =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await(); t.upsertOptimistic(b, maxRetries = 20).seq }
+      })
+    }
+    start.countDown()
+    val seqs = fs.map(_.get(180, TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(seqs == Seq(1L, 2L), s"both writers must commit (got $seqs)")
+    val got = t.readUser().select($"id", $"a", $"b")
+      .as[(Long, Option[String], Option[Long])].collect()
+    assert(got.length == 200)
+    got.foreach { case (id, a, b) =>
+      assert(a.contains("A") && b.contains(9L), s"key $id clobbered: ($a, $b)")
+    }
+  }
+
   test("maintenance fence waits out a live marker but proceeds past a dead writer's stale one") {
     val root = Files.createTempDirectory("graft-fence-stale").toString
     val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
