@@ -453,12 +453,21 @@ class MergeSpec extends AnyFunSuite {
     import graft.functions.KeyBloom
     val root = tmp()
     val t = new GraftTable(spark, root, Seq("id"), partitionFields = Seq("pt"),
-      targetFileBytes = 8 * 1024, keyBlooms = true)
-    t.bulkInsert((0L until 2000L).map(i => (i, s"p${i % 3}", "001"))
-      .toDF("id", "pt", "trx_seq"))
+      targetFileBytes = 8 * 1024, keyBlooms = true,
+      statsColumns = Seq("u"), bloomColumns = Seq("u"))
+    t.bulkInsert((0L until 2000L).map(i =>
+        (i, s"p${i % 3}", (i * 2654435761L) % 50000L, "001"))
+      .toDF("id", "pt", "u", "trx_seq"))
     val files = t.latestCommit().get.files
     assert(files.size >= 3 && files.forall(_.keyBloom.isDefined),
       s"every partitioned file needs a bloom (${files.size} files)")
+    assert(files.forall(_.colBlooms.contains("u")),
+      "column blooms must attach on partitioned tables too")
+    // a partitioned bloom-pruned equality lookup stays exact
+    val probe = (777L * 2654435761L) % 50000L
+    val hit = t.readColumnEquals("u", probe)
+      .select($"id").as[Long].collect().toSet
+    assert(hit == (0L until 2000L).filter(i => (i * 2654435761L) % 50000L == probe).toSet)
     // dynamic-partition writes reuse part-file basenames across partition
     // dirs; a basename match would cross-attach blooms and break the
     // no-false-negative guarantee — so probe EVERY file's own keys
