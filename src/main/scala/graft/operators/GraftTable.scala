@@ -267,7 +267,8 @@ class GraftTable(
     * driver wall-clock stays flat in table size. Zero-row files are
     * deleted (driver-side) and dropped from the manifest either way.
     */
-  private def harvestStats(stage: String): Seq[DataFile] = {
+  private def harvestStats(stage: String,
+      statsCols: Seq[String] = statsColumns): Seq[DataFile] = {
     val conf = spark.sessionState.newHadoopConf()
     val stagePath = new HPath(stage)
     val fs = stagePath.getFileSystem(conf)
@@ -293,10 +294,10 @@ class GraftTable(
         // serializable); element order is preserved by parallelize+collect
         val confSer = new graft.util.SerConf(conf)
         val rootU = rootUri
-        val statsCols = statsColumns
+        val capturedCols = statsCols
         val slices = math.max(1, math.min(inputs.size / 16 + 1, 512))
         spark.sparkContext.parallelize(inputs, slices)
-          .map { case (p, len) => GraftTable.harvestFooter(p, len, rootU, confSer.value, statsCols) }
+          .map { case (p, len) => GraftTable.harvestFooter(p, len, rootU, confSer.value, capturedCols) }
           .collect().toSeq
       } else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -305,7 +306,7 @@ class GraftTable(
           val futures = inputs.map { case (p, len) =>
             pool.submit(new java.util.concurrent.Callable[Option[DataFile]] {
               def call(): Option[DataFile] =
-                GraftTable.harvestFooter(p, len, rootUri, conf, statsColumns)
+                GraftTable.harvestFooter(p, len, rootUri, conf, statsCols)
             })
           }
           futures.map(_.get()) // rethrows any footer failure; order = listing order
@@ -325,15 +326,35 @@ class GraftTable(
     * a mixed list (carried-forward + fresh files from different commits)
     * must be scanned per commit dir and unioned — each scan keeps full
     * pushdown, and the union is by name so schema evolution holds.
+    *
+    * BOOTSTRAP commit dirs (`c<seq>-boot-*`, see [[bootstrap]]) hold
+    * foreign files where the synthetic record key is PHYSICALLY ABSENT:
+    * those groups scan without the key field (pinning it would null-fill
+    * a non-nullable identity) and derive it per row from the key fields —
+    * the exact same KeyGen expression the write side uses, inside codegen.
+    * User-column pushdown is untouched; only a residual filter on the
+    * derived key evaluates post-scan for these groups.
     */
   private def scanFiles(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val byCommitDir = files.groupBy(f => f.path.split("/").take(2).mkString("/"))
-    byCommitDir.values.map { fs =>
-      spark.read.schema(schema).option("basePath", root)
-        .parquet(fs.map(f => s"$root/${f.path}"): _*)
+    byCommitDir.map { case (dir, fs) =>
+      val paths = fs.map(f => s"$root/${f.path}")
+      if (dir.split("/").last.matches("c\\d+-boot-.*")) {
+        val phys = org.apache.spark.sql.types.StructType(
+          schema.filterNot(_.name == Meta.RecordKey))
+        val raw = spark.read.schema(phys).option("basePath", root).parquet(paths: _*)
+        val keyed =
+          if (keyFields.forall(raw.columns.contains)) KeyGen.withRecordKey(raw, keyFields)
+          else raw
+        val ordered = (schema.fieldNames.filter(keyed.columns.contains) ++
+          (if (keyed.columns.contains(Meta.RecordKey) &&
+            !schema.fieldNames.contains(Meta.RecordKey)) Seq(Meta.RecordKey) else Seq.empty))
+        keyed.select(ordered.map(col).toIndexedSeq: _*)
+      } else
+        spark.read.schema(schema).option("basePath", root).parquet(paths: _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -356,6 +377,92 @@ class GraftTable(
       checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(files)), files)
   }
+
+  /** METADATA-ONLY BOOTSTRAP (the Hudi bootstrap / Delta CONVERT TO DELTA
+    * analog): onboard an EXISTING parquet directory as a keyed table
+    * without rewriting a byte of data — the 100 TB onboarding path, where
+    * a full rewrite would cost a cluster-day before the first query runs.
+    *
+    * Every parquet file under `sourceDir` is hard-linked (byte-copy
+    * fallback) into a `data/c0-boot-*` commit dir preserving its relative
+    * subtree (hive partition dirs survive), footers are harvested by the
+    * same pass every write uses, and commit 0 publishes the manifest.
+    * Bootstrapped files physically LACK the engine meta columns; the
+    * record key is derived at scan time ([[scanFiles]]) from the same
+    * KeyGen expression the write side uses, and bootstrap rows merge as
+    * OLDEST (null ordering loses to any CDC version — full-load-then-CDC
+    * semantics, exactly the DMS shape). Key-interval pruning stats are
+    * derived from the key FIELD's own parquet stats through the
+    * order-preserving encoding when that is sound (single integral key,
+    * non-negative min, or single string key); otherwise the file is
+    * marked always-affected — conservative, never wrong.
+    */
+  def bootstrap(sourceDir: String, checkpoint: Option[String] = None): Commit =
+    withLock {
+      require(timeline.latestSeq().isEmpty,
+        s"bootstrap requires an empty table (commits exist at $root)")
+      val src = Paths.get(sourceDir)
+      require(Files.isDirectory(src), s"no such bootstrap source: $sourceDir")
+      val stage = Paths.get(root, "data",
+        s"c0-boot-${java.util.UUID.randomUUID().toString.take(8)}")
+      val sources = Using.resource(Files.walk(src)) { s =>
+        s.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.toList
+      }
+      require(sources.nonEmpty, s"no parquet files under $sourceDir")
+      try {
+        sources.foreach { p =>
+          val dst = stage.resolve(src.relativize(p))
+          Files.createDirectories(dst.getParent)
+          try Files.createLink(dst, p)
+          catch {
+            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+              Files.copy(p, dst)
+          }
+        }
+        // harvest the key field's stats alongside the configured columns so
+        // the manifest's [minKey, maxKey] intervals exist from day zero
+        val keyStatCols =
+          if (keyFields.size == 1) keyFields.filterNot(statsColumns.contains)
+          else Seq.empty
+        val files = harvestStats(stage.toString, statsColumns ++ keyStatCols)
+          .map(deriveKeyInterval)
+        // manifest schema = the files' own schema (incl. hive partition
+        // columns) + the derived record key the scan injects
+        val dataSchema = spark.read.option("basePath", root.toString)
+          .parquet(stage.toString).schema
+        val schema =
+          if (dataSchema.fieldNames.contains(Meta.RecordKey)) dataSchema
+          else dataSchema.add(Meta.RecordKey, org.apache.spark.sql.types.StringType,
+            nullable = true)
+        timeline.commit(Commit(0L, "bootstrap", files, schema.json, checkpoint,
+          System.currentTimeMillis(),
+          extra = GraftTable.writeMetrics(files) +
+            ("bootstrap_source" -> sourceDir)))
+      } catch {
+        case e: Throwable =>
+          graft.util.Fs.deleteRecursively(stage)
+          throw e
+      }
+    }
+
+  /** Map a bootstrapped file's key-FIELD column stats onto the manifest's
+    * [minKey, maxKey] interval when the key encoding is order-preserving
+    * over them: single integral field with non-negative min (zero-padding
+    * preserves order), or single string field (identity encoding). Files
+    * where that doesn't hold keep their always-affected marker. */
+  private def deriveKeyInterval(f: DataFile): DataFile =
+    if (keyFields.size != 1 || GraftTable.hasReliableStats(f)) f
+    else f.colStats.get(keyFields.head) match {
+      case Some(ColStat("long", mn, mx)) if mn.toLong >= 0 =>
+        f.copy(minKey = f"${mn.toLong}%019d", maxKey = f"${mx.toLong}%019d")
+      case Some(ColStat("string", mn, mx)) =>
+        f.copy(minKey = mn, maxKey = mx)
+      case _ => f
+    }
 
   /** Publish `c`, and if a DIFFERENT concurrent commit already owns the
     * seq (optimistic loser), remove this attempt's freshly staged dirs —
@@ -643,6 +750,179 @@ class GraftTable(
     else c
   }
 
+  // ------------------------------------------------ replace-class operations
+  //
+  // The Hudi REPLACE-commit family (insert_overwrite, insert_overwrite_table,
+  // delete_partition) plus predicate delete: each publishes a normal commit
+  // whose manifest REPLACES part of the previous file set instead of merging
+  // into it. Replaced files stay on disk for time travel until clean()
+  // expires their commits — exactly like upsert-rewritten files. All four
+  // require a compacted table when MERGE_ON_READ (outstanding delta logs may
+  // hold row versions on both sides of the replacement boundary; a replace
+  // that splits a version chain would resurrect stale rows).
+
+  private def requireCompacted(prev: Commit, op: String): Unit =
+    require(prev.logFiles.isEmpty,
+      s"$op on a MERGE_ON_READ table with outstanding delta logs requires " +
+        "compact() first: logs may hold row versions on both sides of the " +
+        "replacement boundary")
+
+  /** INSERT_OVERWRITE (Hudi `insert_overwrite` / Spark dynamic partition
+    * overwrite): atomically replace the contents of exactly the partitions
+    * the batch TOUCHES with the batch's rows; every other partition's
+    * files carry forward untouched — zero I/O outside the touched
+    * partitions, so a daily partition reload on a 100 TB table moves one
+    * day's bytes. The batch is precombined (in-batch dedup) and
+    * tombstone-stripped (overwrite semantics: a delete row simply does
+    * not appear); schema evolution follows the same widen-only lattice as
+    * upsert.
+    */
+  def insertOverwritePartitions(batch0: DataFrame,
+      checkpoint: Option[String] = None): Commit = withLock {
+    require(partitionFields.nonEmpty,
+      "insertOverwritePartitions requires a partitioned table; " +
+        "use insertOverwriteTable for unpartitioned overwrite")
+    val prev = timeline.latest().getOrElse(
+      return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+    requireCompacted(prev, "insertOverwritePartitions")
+    val seq = prev.seq + 1
+    val batch = precombine(prepared(batch0))
+    val live =
+      if (batch.columns.contains(Meta.Deleted))
+        batch.filter(!coalesce(col(Meta.Deleted), lit(false)))
+      else batch
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val wide = GraftTable.widenSchemas(prevSchema, batch.schema)
+    val stamped = GraftTable.castTo(live, wide).withColumn(Meta.CommitSeq, lit(seq))
+    // the touched-partition set, in the manifest's recorded string form —
+    // driver-side, bounded by the batch's partition count
+    val touched: Set[String] = stamped
+      .select(partitionFields.map(f =>
+        coalesce(col(f).cast("string"), lit(GraftTable.NullPartition)).as(f)): _*)
+      .distinct().collect()
+      .map(r => partitionFields.indices.map(r.getString).mkString("/")).toSet
+    def partKey(m: Map[String, String]): String =
+      partitionFields.map(f => m.getOrElse(f, GraftTable.NullPartition)).mkString("/")
+    val (replaced, carried) = prev.files.partition(f => touched(partKey(f.partition)))
+    val newFiles = writeFiles(stamped, seq, planBytes(stamped))
+    commitOrCleanStage(Commit(seq, "replace_overwrite", carried ++ newFiles,
+      GraftTable.widenSchemas(wide, stamped.schema).json,
+      checkpoint.orElse(prev.checkpoint), System.currentTimeMillis(),
+      extra = GraftTable.writeMetrics(newFiles) +
+        ("partitions_replaced" -> touched.size.toString) +
+        ("files_replaced" -> replaced.size.toString) +
+        ("files_carried" -> carried.size.toString)), newFiles)
+  }
+
+  /** INSERT_OVERWRITE_TABLE (Hudi `insert_overwrite_table` / SQL
+    * `INSERT OVERWRITE` without a partition spec): replace the ENTIRE
+    * table contents with the batch in one atomic commit. History stays
+    * time-travelable until clean() expires it. Schema still follows the
+    * widen-only evolution contract — an overwrite may add or widen
+    * columns, never silently narrow them.
+    */
+  def insertOverwriteTable(batch0: DataFrame,
+      checkpoint: Option[String] = None): Commit = withLock {
+    val prev = timeline.latest().getOrElse(
+      return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+    requireCompacted(prev, "insertOverwriteTable")
+    val seq = prev.seq + 1
+    val batch = precombine(prepared(batch0))
+    val live =
+      if (batch.columns.contains(Meta.Deleted))
+        batch.filter(!coalesce(col(Meta.Deleted), lit(false)))
+      else batch
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val wide = GraftTable.widenSchemas(prevSchema, batch.schema)
+    val stamped = GraftTable.castTo(live, wide).withColumn(Meta.CommitSeq, lit(seq))
+    val newFiles = writeFiles(stamped, seq, planBytes(stamped))
+    commitOrCleanStage(Commit(seq, "replace_overwrite_table", newFiles,
+      GraftTable.widenSchemas(wide, stamped.schema).json,
+      checkpoint.orElse(prev.checkpoint), System.currentTimeMillis(),
+      extra = GraftTable.writeMetrics(newFiles) +
+        ("files_replaced" -> prev.files.size.toString)), newFiles)
+  }
+
+  /** DELETE_PARTITION (Hudi `delete_partition`): drop every file whose
+    * recorded hive partition values match `spec` — a PURE METADATA
+    * operation: no Spark job runs, no byte moves; the new manifest simply
+    * omits the partition's files (time travel keeps them readable until
+    * clean() expires the old commits). The drop-a-day / drop-a-tenant
+    * operation on a 100 TB table, at manifest cost.
+    */
+  def deletePartition(spec: Map[String, String]): Commit = withLock {
+    require(spec.nonEmpty, "empty partition spec")
+    val unknown = spec.keySet -- partitionFields.toSet
+    require(unknown.isEmpty, s"not partition columns: ${unknown.mkString(",")}")
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    requireCompacted(prev, "deletePartition")
+    // a file with NO recorded value for a spec'd column can be proven
+    // neither in nor out of the partition — fail loudly rather than
+    // silently keep (wrong rows survive) or drop (wrong rows vanish).
+    // Partitioned writes always record their values, so this only fires
+    // on a mis-declared table.
+    val undecidable = prev.files.filter(f => spec.keys.exists(k => !f.partition.contains(k)))
+    require(undecidable.isEmpty,
+      s"files without recorded partition values for ${spec.keys.mkString(",")}: " +
+        undecidable.take(3).map(_.path).mkString(","))
+    val (dropped, kept) = prev.files.partition(f =>
+      spec.forall { case (k, v) => f.partition.get(k).contains(v) })
+    timeline.commit(Commit(prev.seq + 1, "delete_partition", kept,
+      prev.schemaJson, prev.checkpoint, System.currentTimeMillis(),
+      extra = Map(
+        "partition_spec" -> spec.map { case (k, v) => s"$k=$v" }.mkString("/"),
+        "files_dropped" -> dropped.size.toString,
+        "rows_dropped" -> dropped.map(_.numRows).sum.toString)))
+  }
+
+  /** Predicate DELETE over conjunctive range predicates (SQL
+    * `DELETE WHERE c1 BETWEEN ... AND c2 BETWEEN ...`): triaged through
+    * the column-stats index — files PROVABLY DISJOINT from the box on any
+    * predicate column carry forward untouched (zero I/O; with the table
+    * clustered or z-ordered on the predicate columns that is almost all
+    * of them), and only stat-overlapping files are read and rewritten
+    * without the matching rows. Rows with NULL in any predicate column
+    * never match (SQL three-valued logic) and always survive. Bounds
+    * follow [[readColumnBox]]'s typing rules.
+    */
+  def deleteWhere(ranges: Seq[(String, Any, Any)]): Commit = withLock {
+    require(ranges.nonEmpty, "empty delete predicate")
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    requireCompacted(prev, "deleteWhere")
+    val typed = ranges.map { case (column, lo0, hi0) =>
+      val (kl, lo, loLit) = GraftTable.encodeBound(lo0)
+      val (kh, hi, hiLit) = GraftTable.encodeBound(hi0)
+      require(kl == kh, s"$column: mixed bound types ($kl vs $kh)")
+      require(GraftTable.cmpStat(kl, lo, hi) <= 0, s"empty range [$lo, $hi] on $column")
+      (column, kl, lo, hi, loLit, hiLit)
+    }
+    val overlapping = typed.foldLeft(prev.files) { case (fs, (c, k, lo, hi, _, _)) =>
+      GraftTable.filesInColumnRange(fs, c, k, lo, hi)
+    }
+    val overlapSet = overlapping.map(_.path).toSet
+    val carried = prev.files.filterNot(f => overlapSet(f.path))
+    val seq = prev.seq + 1
+    val matches = typed.map { case (c, _, _, _, loLit, hiLit) =>
+      col(c) >= loLit && col(c) <= hiLit
+    }.reduce(_ && _)
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val newFiles =
+      if (overlapping.isEmpty) Seq.empty[DataFile]
+      else writeFiles(
+        scanFiles(overlapping, prevSchema).filter(!coalesce(matches, lit(false))),
+        seq, overlapping.map(_.bytes).sum)
+    commitOrCleanStage(Commit(seq, "delete_where", carried ++ newFiles,
+      prev.schemaJson, prev.checkpoint, System.currentTimeMillis(),
+      extra = GraftTable.writeMetrics(newFiles) +
+        ("files_rewritten" -> overlapping.size.toString) +
+        ("files_carried" -> carried.size.toString)), newFiles)
+  }
+
   /** Merge-on-read view of a commit: base files unioned with delta logs,
     * latest-wins per key, tombstones dropped. One hash shuffle — the same
     * plan shape as the COW merge, applied at read time.
@@ -890,25 +1170,9 @@ class GraftTable(
     */
   def readColumnBox(ranges: Seq[(String, Any, Any)]): DataFrame = {
     require(ranges.nonEmpty, "empty box")
-    def encD(x: Double): (String, String, Column) = {
-      // NaN compares false against everything in SQL — a NaN bound can only
-      // mean a caller bug, and letting it through would prune arbitrarily
-      require(!x.isNaN, "NaN is not a valid range bound")
-      val n = GraftTable.normDouble(x)
-      ("double", n.toString, lit(n))
-    }
-    def enc(v: Any): (String, String, Column) = v match {
-      case x: Long   => ("long", x.toString, lit(x))
-      case x: Int    => ("long", x.toLong.toString, lit(x.toLong))
-      case x: Double => encD(x)
-      case x: Float  => encD(x.toDouble)
-      case x: String => ("string", x, lit(x))
-      case other => throw new IllegalArgumentException(
-        s"unsupported bound type ${other.getClass.getSimpleName} (long/double/string)")
-    }
     val typed = ranges.map { case (column, lo0, hi0) =>
-      val (kl, lo, loLit) = enc(lo0)
-      val (kh, hi, hiLit) = enc(hi0)
+      val (kl, lo, loLit) = GraftTable.encodeBound(lo0)
+      val (kh, hi, hiLit) = GraftTable.encodeBound(hi0)
       require(kl == kh, s"$column: mixed bound types ($kl vs $kh)")
       require(GraftTable.cmpStat(kl, lo, hi) <= 0, s"empty range [$lo, $hi] on $column")
       (column, kl, lo, hi, loLit, hiLit)
@@ -992,6 +1256,42 @@ class GraftTable(
     val schema = org.apache.spark.sql.types.DataType.fromJson(upper.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     scanFiles(added, schema)
+  }
+
+  /** CHANGE-DATA-FEED diff between two commits (the Delta CDF / Hudi
+    * CDC-query analog, computed from snapshots — no stored change files):
+    * one row per key whose user-visible columns differ between the
+    * snapshots at `fromSeq` and `toSeq` — op `I` (absent → present),
+    * `U` (present, any common user column changed), `D` (present →
+    * absent) — with the after-image columns (NULL for `D`). Engine meta
+    * columns (ordering, tombstone, commit stamp) are excluded from the
+    * comparison: a rewrite that only re-stamps a row is not a change.
+    * Columns added between the two commits are likewise excluded (no
+    * before-image exists to compare). One full-outer sort-merge join on
+    * the row identity — scales like any key join, no driver state.
+    */
+  def changesDiff(fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq < toSeq, s"empty commit range ($fromSeq, $toSeq]")
+    val before0 = readAsOf(fromSeq)
+    val after0 = readAsOf(toSeq)
+    val idCols: Seq[String] =
+      if (!globalIndex && partitionFields.nonEmpty) partitionFields :+ Meta.RecordKey
+      else Seq(Meta.RecordKey)
+    val metaCols = Set(Meta.CommitSeq, orderingField, Meta.Deleted) ++ idCols
+    val common = after0.columns.filter(c =>
+      before0.columns.contains(c) && !metaCols(c)).toSeq
+    val b = before0.select(
+      (idCols.map(col) :+ struct(common.map(col): _*).as("_before")): _*)
+    val a = after0.select(
+      (idCols.map(col) :+ struct(common.map(col): _*).as("_after")): _*)
+    b.join(a, idCols, "full_outer")
+      .withColumn("_op",
+        when(col("_before").isNull, lit("I"))
+          .when(col("_after").isNull, lit("D"))
+          .when(!(col("_before") <=> col("_after")), lit("U")))
+      .filter(col("_op").isNotNull)
+      .select((idCols.map(col) :+ col("_op").as("op")) ++
+        common.map(c => col("_after")(c).as(c)): _*)
   }
 
   /** Timestamp time travel (Hudi's as-of-instant query): the snapshot at
@@ -1766,6 +2066,27 @@ object GraftTable {
         case _ => col(f.name)
       }
     }.toIndexedSeq: _*)
+  }
+
+  /** Encode a caller's range bound as (stat kind, canonical stat string,
+    * residual-filter literal) — the ONE bound typing both the box read and
+    * the predicate delete share, so prune and residual can never disagree.
+    * NaN bounds are rejected: NaN compares false against everything in
+    * SQL, so letting one through would prune arbitrarily. */
+  private[operators] def encodeBound(v: Any): (String, String, Column) = v match {
+    case x: Long   => ("long", x.toString, lit(x))
+    case x: Int    => ("long", x.toLong.toString, lit(x.toLong))
+    case x: Double => encodeDoubleBound(x)
+    case x: Float  => encodeDoubleBound(x.toDouble)
+    case x: String => ("string", x, lit(x))
+    case other => throw new IllegalArgumentException(
+      s"unsupported bound type ${other.getClass.getSimpleName} (long/double/string)")
+  }
+
+  private def encodeDoubleBound(x: Double): (String, String, Column) = {
+    require(!x.isNaN, "NaN is not a valid range bound")
+    val n = normDouble(x)
+    ("double", n.toString, lit(n))
   }
 
   /** Typed comparison for [[graft.model.ColStat]] values. Doubles are

@@ -180,6 +180,77 @@ object CdcScenario {
     })
   private val cloneCache = TrieMap[String, (GraftTable, GraftTable)]()
 
+  /** METADATA-ONLY BOOTSTRAP onboarding: raw meta-less orders parquet is
+    * hard-linked in place (zero data movement), then the standard CDC
+    * batches land on top — bootstrap rows merge as OLDEST (null ordering
+    * loses to any CDC version), so the final state equals the standard
+    * scenario's. */
+  def bootstrapped(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"boot:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-boot")
+      val raw = s"$base/raw"
+      t(s, dir, "orders").repartition(4).write.parquet(raw)
+      val tab = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bootstrap(raw)
+      tab.upsert(batchA(s, dir))
+      tab.upsert(batchB(s, dir))
+      tab
+    })
+
+  /** INSERT_OVERWRITE: reload the 1-URGENT partition with a filtered,
+    * transformed batch; every other partition's files carry untouched. */
+  def overwritten(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"iow:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-iow").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"), Seq("o_orderpriority"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      tab.insertOverwritePartitions(meta(
+        o.filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 3 === 0)
+          .withColumn("o_orderstatus", lit("O"))
+          .withColumn("o_totalprice", col("o_totalprice") + 250.0), 8, deleted = false))
+      tab
+    })
+
+  /** INSERT_OVERWRITE_TABLE: the whole table replaced atomically. */
+  def overwrittenTable(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"iowt:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-iowt").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      tab.insertOverwriteTable(meta(o.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("T")), 8, deleted = false))
+      tab
+    })
+
+  /** DELETE_PARTITION: drop 5-LOW — a pure metadata commit. */
+  def partitionDropped(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"dpart:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-dpart").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"), Seq("o_orderpriority"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      tab.deletePartition(Map("o_orderpriority" -> "5-LOW"))
+      tab
+    })
+
+  /** Predicate DELETE over a key range: the key-sorted layout keeps
+    * per-file o_orderkey stats tight, so only range-overlapping files are
+    * rewritten — the rest carry forward untouched. */
+  def rangeDeleted(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"dwhere:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-dwhere").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024, statsColumns = Seq("o_orderkey"))
+      tab.bulkInsert(fullLoad(s, dir))
+      tab.deleteWhere(Seq(("o_orderkey", 1000L, 30000L)))
+      tab
+    })
+
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "svc") { t => t.clean(retainCommits = 2); t.archive(keepLast = 1) }
@@ -613,6 +684,36 @@ object CdcQueries {
       CdcScenario.rolledBack(s, dir).readUser()
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // metadata-only bootstrap + CDC on top: the meta-less hard-linked
+    // full load merges as oldest, so the final state equals the standard
+    // scenario's — graded through the same aggregate
+    "cdc_bootstrap" -> ((s, dir) => statusAgg(CdcScenario.bootstrapped(s, dir))),
+    // partition overwrite: 1-URGENT reloaded with the 'O' batch, every
+    // other partition byte-untouched
+    "cdc_insert_overwrite" -> ((s, dir) =>
+      CdcScenario.overwritten(s, dir).readUser()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+    // whole-table overwrite: only the 'T' batch survives
+    "cdc_overwrite_table" -> ((s, dir) =>
+      statusAgg(CdcScenario.overwrittenTable(s, dir))),
+    // delete_partition: 5-LOW dropped by a manifest-only commit
+    "cdc_delete_partition" -> ((s, dir) =>
+      CdcScenario.partitionDropped(s, dir).readUser()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+    // predicate delete: keys in [1000, 30000] removed; only stat-
+    // overlapping files were rewritten
+    "cdc_delete_where" -> ((s, dir) => statusAgg(CdcScenario.rangeDeleted(s, dir))),
+    // change-data-feed diff between the initial load and the final state:
+    // every delete, insert and update classified with its after-image
+    "cdc_changes_diff" -> ((s, dir) =>
+      CdcScenario.main(s, dir).changesDiff(0, 2)
+        .select(col(Meta.RecordKey).cast("long").as("o_orderkey"), col("op"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -923,6 +1024,64 @@ object CdcQueries {
          SELECT o_orderkey + 10000000, 'N',
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
          FROM orders WHERE o_orderkey % 1000 = 1""",
+    // bootstrap + CDC reaches the standard final state (bootstrap rows
+    // merge as oldest, exactly like the seq-1 full load they stand in for)
+    "cdc_bootstrap" -> statusAggSql,
+    // 1-URGENT holds only the overwrite batch ('O', price+250 on %3 keys);
+    // every other partition keeps its full-load rows
+    "cdc_insert_overwrite" ->
+      """WITH final AS (
+           SELECT o_orderpriority, CAST(o_totalprice + 250.0 AS DECIMAL(18,2)) AS p
+           FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderpriority <> '1-URGENT')
+         SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderpriority""",
+    // whole-table overwrite: only the 'T' batch (%5 keys) survives
+    "cdc_overwrite_table" ->
+      """SELECT 'T' AS o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey % 5 = 0""",
+    // 5-LOW dropped, everything else intact
+    "cdc_delete_partition" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderpriority <> '5-LOW'
+         GROUP BY o_orderpriority""",
+    // keys [1000, 30000] deleted from the full load
+    "cdc_delete_where" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 30000
+         GROUP BY o_orderstatus""",
+    // the diff of the final state vs the initial load: D = the odd-%97
+    // deletes (after-image NULL), I = the +10M inserts, U = every
+    // surviving key the batches touched (%7 / even-%97 / %10 — the CASE
+    // mirrors finalState's precedence)
+    "cdc_changes_diff" ->
+      """WITH diff AS (
+           SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS st,
+             CAST(NULL AS DOUBLE) AS praw
+           FROM orders
+           WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice
+           FROM orders WHERE o_orderkey % 1000 = 1
+           UNION ALL
+           SELECT o_orderkey, 'U',
+             CASE WHEN o_orderkey % 7 = 0 THEN 'V'
+                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN 'R'
+                  ELSE 'U' END,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN o_totalprice
+                  ELSE o_totalprice + 1000.0 END
+           FROM orders
+           WHERE o_orderkey % 7 = 0 OR (o_orderkey % 97 = 0 AND o_orderkey % 2 = 0)
+             OR o_orderkey % 10 = 0)
+         SELECT k AS o_orderkey, op, st AS o_orderstatus,
+           CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM diff""",
     "m5_keygen" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT k) AS n_keys,
            MIN(k) AS min_key, MAX(k) AS max_key FROM
