@@ -169,6 +169,70 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
   }
 
+  /** BPE TOKENIZER TRAINING (the byte-pair-encoding merge-learning loop —
+    * Sennrich et al. 2016, the shape HF `tokenizers` trains at corpus
+    * scale): learn `rounds` merges by repeatedly taking the most frequent
+    * adjacent symbol pair over the corpus and fusing it everywhere.
+    *
+    * Scale design: ONE corpus-scale pass builds the distinct-word census
+    * (map-side-combined hash agg — the same trick industrial BPE trainers
+    * use: merge statistics depend only on (word, freq), never on documents
+    * again); every round after that runs on the VOCABULARY table (orders
+    * of magnitude smaller than the corpus), as one pair-count aggregate +
+    * one narrow symbol-rewrite map, localCheckpointed to keep the plan
+    * flat. Only the single winning (pair, count) row reaches the driver
+    * per round — the control-plane decision, exactly like the k-means
+    * argmin. Words are letter runs of the lowercased text; symbols are
+    * therefore always `[a-z]+` and the double-space-joined symbol string
+    * makes greedy left-to-right pair fusion a plain (non-regex) string
+    * `replace`: pattern `' a  b '` on the space-padded string consumes one
+    * space from each side, so consecutive occurrences fuse in one pass in
+    * document order — the exact semantics of the reference BPE `re.sub`
+    * loop, portable to any engine's `replace`.
+    *
+    * Returns (merge table: round, pair, merged, freq — the trained
+    * artifact; final vocabulary: sym, freq — words rewritten by all
+    * merges, for downstream token censuses). Training stops early if the
+    * vocabulary runs out of pairs.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("trim(regexp_replace(w, '(.)', '$1  '))").as("sym"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // sequence(), not a window: adjacent pairs are a per-row array op.
+      // The size guard matters — sequence(1, 0) counts DOWN in Spark.
+      val top = words
+        .select(col("freq"), split(col("sym"), "  ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> concat(ss[i - 1], ' ', ss[i]))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val n = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, pair, a + b, n))
+        words = words.withColumn("sym",
+          expr(s"trim(replace(concat(' ', sym, ' '), ' $a  $b ', ' ${a + b} '))"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    (merges.result().toDF("round", "pair", "merged", "freq"), words)
+  }
+
   /** Per-document keyword extraction, tf-idf-shaped: score a term by how
     * often the doc uses it relative to how many docs use it at all
     * (score = tf / df — a pure integer ratio, so the double is the exact

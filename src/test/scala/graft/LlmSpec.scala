@@ -528,4 +528,32 @@ class LlmSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows == Map("a.example.org" -> 2L, "b.example.net" -> 1L))
   }
+
+  test("bpeTrain learns the reference merge sequence with greedy overlap fusion") {
+    import graft.llm.TextAnalysis
+    // "aaab" x3 + "aab" x2: round 1 pair counts — (a,a): 2*3 + 1*2 = 8
+    // (two overlapping occurrences in 'aaab' both count), (a,b): 5.
+    // Merge (a,a) -> greedy left-to-right: 'aaab' -> [aa, a, b] (NOT
+    // [a, aa, b]), 'aab' -> [aa, b]. Round 2: (aa,a)=3, (aa,b)=2,
+    // (a,b)=3 -> tie on 3, lexicographic picks '(a b)'... "a b" < "aa a"
+    // (space 0x20 < 'a') so merge (a,b). Round 3: (aa,ab)=3, (aa,b)=2
+    // -> merge (aa,ab).
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("aab")).toDF("text")
+    val (merges, words) = TextAnalysis.bpeTrain(docs, "text", rounds = 3)
+    val got = merges.as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a a", "aa", 8L), (2, "a b", "ab", 3L),
+      (3, "aa ab", "aaab", 3L)))
+    val vocab = words.as[(String, Long)].collect().toMap
+    assert(vocab == Map("aaab" -> 3L, "aa  b" -> 2L))
+  }
+
+  test("bpeTrain stops when the vocabulary runs out of pairs") {
+    import graft.llm.TextAnalysis
+    val docs = Seq("ab ab cd").toDF("text")
+    val (merges, words) = TextAnalysis.bpeTrain(docs, "text", rounds = 10)
+    // round 1 merges (a,b) n=2; round 2 merges (c,d) n=1; then every word
+    // is a single symbol and training stops early
+    assert(merges.count() == 2)
+    assert(words.select("sym").as[String].collect().toSet == Set("ab", "cd"))
+  }
 }
