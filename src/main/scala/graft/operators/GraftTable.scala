@@ -553,54 +553,40 @@ class GraftTable(
       else doUpsert(batch0, checkpoint)
     }
 
-  private def doUpsert(batch0: DataFrame, checkpoint: Option[String]): Commit = {
-    val prev = timeline.latest().getOrElse(
-      return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
-    // close the routing TOCTOU: callers branch on latest().isDefined BEFORE
-    // calling in, and a racer (an optimistic writer never holds the lock)
-    // can land the first commit in between — a MOR table must still take
-    // the delta-log path here, or its base files get a COW rewrite and the
-    // change-exact incremental contract breaks
-    if (tableType == GraftTable.MergeOnRead)
-      return doDeltaCommit(batch0, checkpoint, allowInlineCompact = false)
-    // persisted: the precombined batch feeds BOTH the pruning pass and the
-    // merge — without caching, the precombine shuffle would run twice
-    val batch = precombine(prepared(batch0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // ---- affected-file pruning (the 100 TB lever)
-    // The manifest's intervals are already driver-side; broadcast them
-    // sorted and binary-search per batch key (O(keys·log files)) instead of
-    // a nested-loop interval join (O(keys·files)). With a non-global index
-    // on a partitioned table (Hudi's default index scope), intervals are
-    // grouped per partition and a key probes only its own partition's
-    // files — a single-partition batch then rewrites only that partition,
-    // not same-keyed ranges everywhere. (Global index keeps one interval
-    // set: keys are unique table-wide and a row may move partitions.)
+  /** The write planner's affected-file selection (the 100 TB lever),
+    * shared by upsert and MERGE INTO: the manifest's intervals are already
+    * driver-side; broadcast them sorted and binary-search per batch key
+    * (O(keys·log files)) instead of a nested-loop interval join
+    * (O(keys·files)). With a non-global index on a partitioned table
+    * (Hudi's default index scope), intervals are grouped per partition and
+    * a key probes only its own partition's files — a single-partition
+    * batch then rewrites only that partition, not same-keyed ranges
+    * everywhere. (Global index keeps one interval set: keys are unique
+    * table-wide and a row may move partitions.) Files without reliable
+    * key statistics join the affected set unconditionally; opt-in
+    * per-file key blooms (decoded once and broadcast) veto files the
+    * intervals admit but that provably lack the key — the pruning lever
+    * that survives z-order clustering. All interval comparisons in
+    * UNSIGNED UTF-8 byte order — the order parquet stats and Spark's
+    * UTF8String range partitioning both use (the stabbing walk itself
+    * lives in IntervalIndex, shared with the point-lookup read so the
+    * sites cannot drift). Returns (affected, untouched).
+    */
+  private def pruneAffected(prev: Commit,
+      batch: DataFrame): (Seq[DataFile], Seq[DataFile]) = {
     val partitioned = !globalIndex && partitionFields.nonEmpty
     def partKey(m: Map[String, String]): String =
       partitionFields.map(f => m.getOrElse(f, GraftTable.NullPartition)).mkString("/")
-    // files without reliable key statistics can never be pruned safely —
-    // they join the affected set unconditionally
     val (statless, statful) =
       prev.files.partition(f => !GraftTable.hasReliableStats(f))
     val grouped: Map[String, Array[DataFile]] =
       if (partitioned) statful.toArray.groupBy(f => partKey(f.partition))
       else Map("" -> statful.toArray)
-    // all interval comparisons in UNSIGNED UTF-8 byte order — the order
-    // parquet stats and Spark's UTF8String range partitioning both use
-    // (the stabbing walk itself lives in IntervalIndex, shared with the
-    // point-lookup read so the two sites cannot drift)
     val index: Map[String, IntervalIndex] =
       grouped.map { case (p, fs) =>
         p -> IntervalIndex.build(fs.map(f => (f.minKey, f.maxKey, f.path)).toSeq)
       }
     val bcIvs = spark.sparkContext.broadcast(index)
-    // per-file key blooms (opt-in, decoded once and broadcast): a file the
-    // intervals admit but whose bloom excludes the key cannot contain it —
-    // the pruning lever that survives z-order clustering, where every
-    // file's key interval widens toward the whole key space. No bloom =>
-    // interval-only (conservative); no false negatives by construction.
     val bcBlooms = spark.sparkContext.broadcast(
       prev.files.iterator.flatMap(f =>
         f.keyBloom.map(enc => f.path -> graft.functions.KeyBloom.decode(enc))).toMap)
@@ -626,7 +612,25 @@ class GraftTable(
     val affectedPaths: Set[String] = batch
       .select(explode(findFiles(partCol, col(Meta.RecordKey))).as("path"))
       .distinct().collect().map(_.getString(0)).toSet ++ statless.map(_.path)
-    val (affected, untouched) = prev.files.partition(f => affectedPaths(f.path))
+    prev.files.partition(f => affectedPaths(f.path))
+  }
+
+  private def doUpsert(batch0: DataFrame, checkpoint: Option[String]): Commit = {
+    val prev = timeline.latest().getOrElse(
+      return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+    // close the routing TOCTOU: callers branch on latest().isDefined BEFORE
+    // calling in, and a racer (an optimistic writer never holds the lock)
+    // can land the first commit in between — a MOR table must still take
+    // the delta-log path here, or its base files get a COW rewrite and the
+    // change-exact incremental contract breaks
+    if (tableType == GraftTable.MergeOnRead)
+      return doDeltaCommit(batch0, checkpoint, allowInlineCompact = false)
+    // persisted: the precombined batch feeds BOTH the pruning pass and the
+    // merge — without caching, the precombine shuffle would run twice
+    val batch = precombine(prepared(batch0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val (affected, untouched) = pruneAffected(prev, batch)
 
     val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -662,7 +666,7 @@ class GraftTable(
         // keyed rows in different partitions are distinct and must never
         // collapse, even when pruning pulled both into the affected read
         val identity: Seq[String] =
-          if (partitioned) partitionFields :+ Meta.RecordKey
+          if (!globalIndex && partitionFields.nonEmpty) partitionFields :+ Meta.RecordKey
           else Seq(Meta.RecordKey)
         if (partialUpdate)
           mergePartial(unioned, identity, tieExpr(unioned))
@@ -921,6 +925,101 @@ class GraftTable(
       extra = GraftTable.writeMetrics(newFiles) +
         ("files_rewritten" -> overlapping.size.toString) +
         ("files_carried" -> carried.size.toString)), newFiles)
+  }
+
+  /** SQL MERGE INTO (the Delta/Hudi `MERGE` analog — EXPRESSION-based row
+    * merging, distinct from the CDC upsert's version-based latest-wins):
+    * join `source` to the table on the record key and apply
+    *
+    *  - matched ∧ `whenMatchedDelete`  → row deleted;
+    *  - matched                        → `whenMatchedSet` column updates
+    *    (columns not set keep their current value);
+    *  - source-only                    → inserted (when
+    *    `insertWhenNotMatched`), taking each table column from the
+    *    same-named source column, NULL where the source lacks it;
+    *  - target-only                    → carried unchanged.
+    *
+    * Action expressions see the joined row: target columns by name,
+    * every source column as `src_<name>` — so a SET can mix both sides
+    * (`col("o_totalprice") + col("src_delta")`). Helper source columns
+    * not in the table schema are visible to expressions but never
+    * persisted. Per the SQL/Delta MERGE rule, more than one source row
+    * per key is an error (checked). Only files whose key interval/bloom
+    * admits a source key are rewritten — the same [[pruneAffected]]
+    * planner as upsert, so MERGE write amplification is proportional to
+    * the source's key spread. Requires a globally-unique record key
+    * (global index) and a compacted table when MERGE_ON_READ.
+    */
+  def mergeInto(source0: DataFrame,
+      whenMatchedSet: Map[String, Column] = Map.empty,
+      whenMatchedDelete: Option[Column] = None,
+      insertWhenNotMatched: Boolean = true): Commit = withLock {
+    require(globalIndex,
+      "mergeInto requires a globally-unique record key (global index): " +
+        "with a partition-scoped index the same key may exist in several partitions")
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    requireCompacted(prev, "mergeInto")
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val tableCols = prevSchema.fieldNames.toSeq
+    val badSet = whenMatchedSet.keySet.filter(c =>
+      !tableCols.contains(c) || c == Meta.RecordKey || keyFields.contains(c))
+    require(badSet.isEmpty,
+      s"whenMatchedSet may only update non-key table columns; bad: ${badSet.mkString(",")}")
+    val src = prepared(source0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = src.groupBy(col(Meta.RecordKey)).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty, "mergeInto source has multiple rows for key " +
+        dup.headOption.map(_.getString(0)).getOrElse(""))
+      val (affected, untouched) = pruneAffected(prev, src)
+      val seq = prev.seq + 1
+      val ex = scanFiles(affected, prevSchema).withColumn("_t", lit(true))
+      val srcCols = src.columns.filterNot(_ == Meta.RecordKey).toSet
+      val srcPrefixed = src.columns.foldLeft(src.toDF())((d, c) =>
+        if (c == Meta.RecordKey) d else d.withColumnRenamed(c, s"src_$c"))
+        .withColumn("_s", lit(true))
+      val j = ex.join(srcPrefixed, Seq(Meta.RecordKey), "full_outer")
+      val matched = col("_t").isNotNull && col("_s").isNotNull
+      // a NULL delete condition keeps the row (SQL three-valued logic)
+      val keep = !coalesce(matched && whenMatchedDelete.getOrElse(lit(false)), lit(false))
+      val base = if (insertWhenNotMatched) j.filter(keep)
+      else j.filter(keep && col("_t").isNotNull)
+      val projected = tableCols.map { c =>
+        val dt = prevSchema(c).dataType
+        if (c == Meta.RecordKey) col(c).as(c)
+        else if (c == Meta.CommitSeq)
+          // source-touched rows carry this commit's stamp; carried
+          // target-only rows keep their original one
+          when(col("_s").isNotNull, lit(seq).cast(dt))
+            .otherwise(col(c)).as(c)
+        else {
+          val onMatch = whenMatchedSet.get(c).map(_.cast(dt)).getOrElse(col(c))
+          val onInsert =
+            if (srcCols.contains(c)) col(s"src_$c").cast(dt)
+            else lit(null).cast(dt)
+          when(matched, onMatch)
+            .when(col("_t").isNotNull, col(c))
+            .otherwise(onInsert).as(c)
+        }
+      }
+      val result = base.select(projected: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val rows = result.count()
+        val prevRows = prev.files.map(_.numRows).sum
+        val rowWidth =
+          if (prevRows > 0) math.max(16L, prev.files.map(_.bytes).sum / prevRows) else 128L
+        val newFiles = writeFiles(result, seq, rows * rowWidth)
+        commitOrCleanStage(Commit(seq, "merge", untouched ++ newFiles,
+          prev.schemaJson, prev.checkpoint, System.currentTimeMillis(),
+          extra = GraftTable.writeMetrics(newFiles) +
+            ("files_rewritten" -> affected.size.toString) +
+            ("files_carried" -> untouched.size.toString)), newFiles)
+      } finally result.unpersist(blocking = false)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Merge-on-read view of a commit: base files unioned with delta logs,

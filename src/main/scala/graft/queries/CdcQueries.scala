@@ -251,6 +251,32 @@ object CdcScenario {
       tab
     })
 
+  /** SQL MERGE INTO: expression-based three-way merge — %13 keys matched
+    * (even multiples of 13 deleted via the source's action flag, the rest
+    * updated with SET expressions), fresh +20M keys inserted from the
+    * source row. */
+  def mergedInto(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"minto:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-minto").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      val source = o.filter(k % 13 === 0)
+        .withColumn("action", when(k % 26 === 0, lit("DEL")).otherwise(lit("ADJ")))
+        .unionByName(o.filter(k % 1000 === 7)
+          .withColumn("o_orderkey", k + 20000000L)
+          .withColumn("o_orderstatus", lit("G"))
+          .withColumn("action", lit("NEW")))
+      tab.mergeInto(source,
+        whenMatchedSet = Map(
+          "o_orderstatus" -> lit("M"),
+          "o_totalprice" -> (col("o_totalprice") + lit(100.0))),
+        whenMatchedDelete = Some(col("src_action") === "DEL"))
+      tab
+    })
+
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "svc") { t => t.clean(retainCommits = 2); t.archive(keepLast = 1) }
@@ -714,6 +740,9 @@ object CdcQueries {
         .select(col(Meta.RecordKey).cast("long").as("o_orderkey"), col("op"),
           col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // SQL MERGE INTO: matched-update SET, matched-delete condition and
+    // not-matched insert applied in one expression-based commit
+    "cdc_merge_into" -> ((s, dir) => statusAgg(CdcScenario.mergedInto(s, dir))),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -1082,6 +1111,20 @@ object CdcQueries {
          SELECT k AS o_orderkey, op, st AS o_orderstatus,
            CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM diff""",
+    // MERGE result: even multiples of 13 deleted, odd multiples updated
+    // ('M', +100), +20M 'G' rows inserted, everything else untouched
+    "cdc_merge_into" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'M'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CAST(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_orderkey % 26 <> 0
+           UNION ALL
+           SELECT 'G', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 1000 = 7)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
     "m5_keygen" ->
       """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT k) AS n_keys,
            MIN(k) AS min_key, MAX(k) AS max_key FROM

@@ -132,6 +132,49 @@ class WriteOpsSpec extends AnyFunSuite {
     assert(t.readUser().count() == 2000)
   }
 
+  test("mergeInto applies SET/DELETE/INSERT and prunes untouched files") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 4 * 1024)
+    t.bulkInsert(rows(2000).drop("p"))
+    val before = t.latestCommit().get
+    assert(before.files.size >= 4)
+    // source: update id=5 (v from a SET mixing target+source), delete id=6,
+    // insert id=9001; 'note' is a helper column never persisted
+    val source = Seq((5L, "NEW", "keep"), (6L, "x", "drop"), (9001L, "ins", "keep"))
+      .toDF("id", "v", "note")
+    val c = t.mergeInto(source,
+      whenMatchedSet = Map("v" -> concat(col("v"), lit("+"), col("src_v"))),
+      whenMatchedDelete = Some(col("src_note") === "drop"))
+    assert(c.action == "merge")
+    assert(c.extra("files_rewritten").toInt < before.files.size,
+      "merge must rewrite only files whose key interval admits a source key")
+    val got = t.readUser().filter(col("id").isin(5L, 6L, 9001L))
+      .select("id", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((5L, "v5+NEW"), (9001L, "ins")))
+    assert(t.readUser().count() == 2000) // -1 delete +1 insert
+    assert(!t.readUser().columns.contains("note"))
+    // untouched rows really are untouched
+    assert(t.readUser().filter(col("id") === 1000L).select("v").as[String].head() == "v1000")
+  }
+
+  test("mergeInto rejects a source with duplicate keys") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(rows(10).drop("p"))
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](t.mergeInto(dup))
+    assert(e.getMessage.contains("multiple rows"))
+  }
+
+  test("mergeInto with insertWhenNotMatched=false drops source-only rows") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(rows(10).drop("p"))
+    t.mergeInto(Seq((3L, "upd"), (9999L, "ghost")).toDF("id", "v"),
+      whenMatchedSet = Map("v" -> col("src_v")),
+      insertWhenNotMatched = false)
+    val ids = t.readUser().select("id").as[Long].collect().toSet
+    assert(ids == (1L to 10L).toSet)
+    assert(t.readUser().filter(col("id") === 3L).select("v").as[String].head() == "upd")
+  }
+
   test("changesDiff classifies I/U/D and ignores meta-only rewrites") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     t.bulkInsert(Seq((1L, "a", "01", false), (2L, "b", "01", false),
