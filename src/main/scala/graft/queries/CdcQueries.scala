@@ -277,6 +277,19 @@ object CdcScenario {
       tab
     })
 
+  /** Gzipped CSV zone fixture (DMS's default S3 target format): a
+    * 3-column orders extract written once per dir as 4 `.csv.gz` shards. */
+  private val pathCache = TrieMap[String, String]()
+  def csvZone(s: SparkSession, dir: String): String =
+    pathCache.getOrElseUpdate(s"csv:$dir", {
+      val path = Files.createTempDirectory("graft-cdc-csv").toString + "/zone"
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(4)
+        .write.option("header", "true").option("compression", "gzip").csv(path)
+      path
+    })
+
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "svc") { t => t.clean(retainCommits = 2); t.archive(keepLast = 1) }
@@ -743,6 +756,19 @@ object CdcQueries {
     // SQL MERGE INTO: matched-update SET, matched-delete condition and
     // not-matched insert applied in one expression-based commit
     "cdc_merge_into" -> ((s, dir) => statusAgg(CdcScenario.mergedInto(s, dir))),
+    // gzip CSV raw zone (DMS's default target format): doubles and
+    // strings must round-trip exactly through write+codec+parse
+    "src_csv_gz" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType)))
+      graft.sources.CdcSource.readCsv(s, CdcScenario.csvZone(s, dir), schema)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -1111,6 +1137,11 @@ object CdcQueries {
          SELECT k AS o_orderkey, op, st AS o_orderstatus,
            CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM diff""",
+    // the decoded CSV zone must census identically to the source table
+    "src_csv_gz" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
     // MERGE result: even multiples of 13 deleted, odd multiples updated
     // ('M', +100), +20M 'G' rows inserted, everything else untouched
     "cdc_merge_into" ->

@@ -100,6 +100,22 @@ object LlmQueries {
     // per-doc top-3 keywords by tf/df (integer-ratio tf-idf)
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+    // gzipped-JSONL corpus ingestion (the canonical LLM interchange
+    // format): the corpus round-trips through Spark's native text-codec
+    // path as 4 .json.gz shards; the census only survives exact
+    // text/integer round-tripping
+    "src_jsonl_gz" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      graft.sources.CdcSource.readJsonl(s, jsonlFixture(s, dir), schema)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          countDistinct(col("text")).as("n_texts"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
     // BPE tokenizer TRAINING (Sennrich et al.): 8 merge rounds learned
     // from the corpus word census — one corpus pass, then vocabulary-local
     // rounds; the graded artifact is the merge table itself
@@ -360,6 +376,17 @@ object LlmQueries {
         Multimodal.asPpmVideoTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id"))
   )
 
+  /** Gzipped JSONL corpus fixture: the documents table written once per
+    * dir as 4 `.json.gz` shards through Spark's own codec path. */
+  private val jsonlCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def jsonlFixture(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    jsonlCache.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/corpus"
+      t(s, dir, "documents").repartition(4)
+        .write.option("compression", "gzip").json(path)
+      path
+    })
+
   /** Shared BPE training per testdata dir: both graded rows (the merge
     * table and the post-merge token census) come from ONE training run. */
   private val bpeCache =
@@ -402,6 +429,13 @@ object LlmQueries {
     s"len(list_filter(string_split(text, ' '), x -> x IN ($markers)))"
 
   val oracles: Map[String, String] = Map(
+    // the compressed corpus must round-trip exactly: the census over the
+    // decoded shards equals the census over the source table
+    "src_jsonl_gz" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+           COUNT(DISTINCT text) AS n_texts,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM documents GROUP BY lang""",
     // the BPE merge table: every round's winning pair, its fused symbol
     // and its corpus count — replicated round by round in pure string SQL
     "text_bpe_merges" ->

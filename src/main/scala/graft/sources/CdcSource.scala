@@ -21,6 +21,25 @@ object CdcSource {
     schema.fold(r)(r.schema).parquet(root)
   }
 
+  /** S1 variant — JSON-lines zone (`*.jsonl` / `*.jsonl.gz`), the
+    * canonical LLM corpus interchange format: one JSON object per line,
+    * usually gzip-compressed per shard. Spark's text source decodes the
+    * codec transparently per file. Stated honestly for 100 TB: gzip is
+    * NOT splittable, so parallelism is per FILE — which is how these
+    * corpora ship (a crawl dump is tens of thousands of shards); the
+    * schema is REQUIRED — inference would read every shard twice before
+    * the first real job. */
+  def readJsonl(spark: SparkSession, root: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("recursiveFileLookup", "true").json(root)
+
+  /** S1 variant — CSV zone (DMS's DEFAULT S3 target format; the reference
+    * pipeline opts into parquet, but a stock DMS endpoint emits CSV).
+    * Same codec/splittability/schema notes as [[readJsonl]]. */
+  def readCsv(spark: SparkSession, root: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("recursiveFileLookup", "true")
+      .option("header", header.toString).csv(root)
+
   /** Watermark = the max ingested mtime PLUS the set of paths already
     * processed at exactly that mtime. A later arrival sharing the boundary
     * timestamp (coarse mtime granularity on many filesystems/object
