@@ -786,6 +786,8 @@ class GraftTable(
     require(partitionFields.nonEmpty,
       "insertOverwritePartitions requires a partitioned table; " +
         "use insertOverwriteTable for unpartitioned overwrite")
+    require(partitionFields.forall(batch0.columns.contains),
+      s"overwrite batch must carry the partition columns ${partitionFields.mkString(",")}")
     val prev = timeline.latest().getOrElse(
       return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
     requireCompacted(prev, "insertOverwritePartitions")
@@ -953,7 +955,11 @@ class GraftTable(
   def mergeInto(source0: DataFrame,
       whenMatchedSet: Map[String, Column] = Map.empty,
       whenMatchedDelete: Option[Column] = None,
-      insertWhenNotMatched: Boolean = true): Commit = withLock {
+      insertWhenNotMatched: Boolean = true): Commit = withLock(retryOnConflict {
+    // retryOnConflict is sound here: MERGE is defined against the CURRENT
+    // snapshot, and each attempt re-reads latest() — a retry after an OCC
+    // writer stole the seq recomputes the same merge over the winner's
+    // state, which is exactly the serial-execution semantics
     require(globalIndex,
       "mergeInto requires a globally-unique record key (global index): " +
         "with a partition-scoped index the same key may exist in several partitions")
@@ -1020,7 +1026,7 @@ class GraftTable(
             ("files_carried" -> untouched.size.toString)), newFiles)
       } finally result.unpersist(blocking = false)
     } finally src.unpersist(blocking = false)
-  }
+  })
 
   /** Merge-on-read view of a commit: base files unioned with delta logs,
     * latest-wins per key, tombstones dropped. One hash shuffle — the same
