@@ -160,4 +160,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() ==
       t.read().filter(col("u") === probe).count())
   }
+
+  test("bootstrap scans keep user-column pushdown; only the derived key is residual") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-bootplan")
+    (0L until 2000L).toDF("id").withColumn("v", col("id") * 7)
+      .repartitionByRange(4, col("id")).sortWithinPartitions(col("id"))
+      .write.parquet(s"$base/raw")
+    val t = new graft.operators.GraftTable(spark, s"$base/t", Seq("id"),
+      targetFileBytes = 16 * 1024)
+    t.bootstrap(s"$base/raw")
+    // a filter on a PHYSICAL column pushes into the parquet scan even
+    // though the scan also derives the synthetic record key per row
+    val df = t.read().filter(col("v") >= 700L && col("v") <= 1400L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(v"),
+      s"user-column predicate must reach the scan:\n$p")
+    assert(df.count() == 101)
+    // key-range reads prune files through the DERIVED intervals before
+    // any task is scheduled
+    val kr = t.readKeyRange(0L, 100L)
+    val scannedFiles = kr.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    assert(scannedFiles < t.latestCommit().get.files.size,
+      s"derived intervals must prune the bootstrap scan ($scannedFiles files)")
+  }
 }
