@@ -1210,6 +1210,13 @@ class GraftTable(
     require(keys.nonEmpty, "empty key set")
     val c = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
+    pointPrunedRead(c, keys)
+  }
+
+  /** The shared tail of every point lookup: interval/bloom-prune commit
+    * `c`'s files against the probed keys, scan the survivors, apply the
+    * exact residual `IN`. */
+  private def pointPrunedRead(c: Commit, keys: Seq[String]): DataFrame = {
     def relevant(files: Seq[DataFile]): Set[String] = {
       val (statless, statful) = files.partition(f => !GraftTable.hasReliableStats(f))
       val idx = IntervalIndex.build(statful.map(f => (f.minKey, f.maxKey, f.path)))
@@ -1228,6 +1235,25 @@ class GraftTable(
     val keep = relevant(c.files) ++ relevant(c.logFiles)
     prunedRead(c, f => keep(f.path))
       .filter(col(Meta.RecordKey).isin(keys: _*))
+  }
+
+  /** ROW-HISTORY AUDIT (the "what did we store for these keys over time"
+    * compliance query): each probed key's state at EVERY active commit,
+    * tagged with the commit seq — a delete shows as the key vanishing
+    * from that seq onward until a re-insert. Each commit is read through
+    * the same interval/bloom-pruned point lookup as [[readKeys]], so the
+    * cost is O(active commits × files-holding-key) scheduled tasks —
+    * driver-orchestrated audit scale, deliberately not a data-path
+    * operator (cleaning bounds how far back it reaches, like all time
+    * travel). Columns: the snapshot's, plus `commit_seq`.
+    */
+  def keyHistory(keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "empty key set")
+    val seqs = timeline.listCommitSeqs()
+    require(seqs.nonEmpty, s"no commits at $root")
+    seqs.map { s =>
+      pointPrunedRead(timeline.read(s), keys).withColumn("commit_seq", lit(s))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Numeric-key point lookup through the order-preserving zero-padded

@@ -290,6 +290,16 @@ object CdcScenario {
       path
     })
 
+  /** Zstd-compressed parquet zone (the 100 TB default codec): orders
+    * re-written once per dir with compression=zstd. */
+  def zstdZone(s: SparkSession, dir: String): String =
+    pathCache.getOrElseUpdate(s"zstd:$dir", {
+      val path = Files.createTempDirectory("graft-cdc-zstd").toString + "/zone"
+      t(s, dir, "orders").repartition(4)
+        .write.option("compression", "zstd").parquet(path)
+      path
+    })
+
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "svc") { t => t.clean(retainCommits = 2); t.archive(keepLast = 1) }
@@ -769,6 +779,20 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
+    // row-history audit: three keys' states at every commit — an update
+    // chain, a permanent delete, and a delete + re-insert (keys 10/97/194
+    // are the smallest of each lifecycle class in this dataset)
+    "cdc_key_history" -> ((s, dir) =>
+      CdcScenario.main(s, dir).keyHistory(Seq(10L, 97L, 194L).map(k => f"$k%019d"))
+        .select(col(Meta.RecordKey).cast("long").as("o_orderkey"),
+          col("commit_seq"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // zstd parquet zone round trip (the at-scale default codec)
+    "src_parquet_zstd" -> ((s, dir) =>
+      graft.sources.CdcSource.readRaw(s, CdcScenario.zstdZone(s, dir))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -1137,6 +1161,31 @@ object CdcQueries {
          SELECT k AS o_orderkey, op, st AS o_orderstatus,
            CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM diff""",
+    // key 10: original, then 'U' +1000 at commits 1 and 2 (the late 'L'
+    // row loses); key 97: original, deleted at commit 1, stays gone;
+    // key 194: original, deleted at commit 1, re-inserted 'R' at commit 2
+    "cdc_key_history" ->
+      """WITH h AS (
+           SELECT o_orderkey, 0 AS seq, o_orderstatus AS st, o_totalprice AS p
+           FROM orders WHERE o_orderkey IN (10, 97, 194)
+           UNION ALL
+           SELECT o_orderkey, 1, 'U', o_totalprice + 1000.0
+           FROM orders WHERE o_orderkey = 10
+           UNION ALL
+           SELECT o_orderkey, 2, 'U', o_totalprice + 1000.0
+           FROM orders WHERE o_orderkey = 10
+           UNION ALL
+           SELECT o_orderkey, 2, 'R', o_totalprice
+           FROM orders WHERE o_orderkey = 194)
+         SELECT o_orderkey, CAST(seq AS BIGINT) AS commit_seq,
+           st AS o_orderstatus,
+           CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM h""",
+    // the zstd zone must census identically to the source table
+    "src_parquet_zstd" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
     // the decoded CSV zone must census identically to the source table
     "src_csv_gz" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
