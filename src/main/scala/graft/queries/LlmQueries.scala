@@ -373,7 +373,14 @@ object LlmQueries {
     // keep every 2nd frame, pixel-sum the kept frames
     "mm_video" -> ((s, dir) =>
       Multimodal.videoStats(s,
-        Multimodal.asPpmVideoTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id"))
+        Multimodal.asPpmVideoTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+    // Common Crawl-shaped WARC ingestion: the corpus packed into
+    // per-record-gzipped WARC shards (WET extracted-text layout), then
+    // inflated and demuxed back — graded on a 4-way exact census the
+    // decode chain cannot fake
+    "mm_warc" -> ((s, dir) =>
+      Multimodal.warcStats(s,
+        Multimodal.asWarcTable(s, t(s, dir, "documents"), "doc_id", "text")))
   )
 
   /** Gzipped JSONL corpus fixture: the documents table written once per
@@ -429,6 +436,15 @@ object LlmQueries {
     s"len(list_filter(string_split(text, ' '), x -> x IN ($markers)))"
 
   val oracles: Map[String, String] = Map(
+    // the WARC shards must demux back to exactly the source corpus:
+    // per-shard record count, decoded char total, distinct texts, and
+    // the id sum recovered from the target URIs
+    "mm_warc" ->
+      """SELECT CAST(doc_id // 16 AS BIGINT) AS shard_id,
+           COUNT(*) AS n_records, CAST(SUM(len(text)) AS BIGINT) AS chars,
+           COUNT(DISTINCT text) AS n_texts,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM documents GROUP BY shard_id""",
     // the compressed corpus must round-trip exactly: the census over the
     // decoded shards equals the census over the source table
     "src_jsonl_gz" ->

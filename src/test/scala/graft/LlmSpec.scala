@@ -547,6 +547,34 @@ class LlmSpec extends AnyFunSuite {
     assert(vocab == Map("aaab" -> 3L, "aa  b" -> 2L))
   }
 
+  test("WarcCodec round-trips records through gzip members and rejects truncation") {
+    import graft.llm.WarcCodec
+    import graft.llm.WarcCodec.WarcRecord
+    val records = Seq(
+      WarcRecord("conversion", "doc://1", "hello world".getBytes("UTF-8")),
+      WarcRecord("conversion", "doc://2", Array[Byte](0, 1, 2, -1, 127)), // binary payload
+      WarcRecord("response", "http://x/y", Array.empty[Byte]))
+    for (gz <- Seq(true, false)) {
+      val shard = WarcCodec.encode(records, gzipPerRecord = gz)
+      val back = WarcCodec.decode(shard)
+      assert(back.map(_.warcType) == records.map(_.warcType))
+      assert(back.map(_.targetUri) == records.map(_.targetUri))
+      assert(back.zip(records).forall { case (a, b) =>
+        java.util.Arrays.equals(a.payload, b.payload) })
+    }
+    // per-record members really are independent gzip members: a shard of
+    // 3 records contains 3 gzip magics
+    val gzShard = WarcCodec.encode(records, gzipPerRecord = true)
+    val magics = gzShard.sliding(2).count(w =>
+      (w(0) & 0xFF) == 0x1f && (w(1) & 0xFF) == 0x8b)
+    assert(magics >= 3)
+    // truncated payload fails loudly, never resynchronizes silently
+    val plain = WarcCodec.encode(records, gzipPerRecord = false)
+    val e = intercept[IllegalArgumentException](
+      WarcCodec.decode(plain.dropRight(3)))
+    assert(e.getMessage.contains("terminator") || e.getMessage.contains("truncated"))
+  }
+
   test("bpeTrain stops when the vocabulary runs out of pairs") {
     import graft.llm.TextAnalysis
     val docs = Seq("ab ab cd").toDF("text")
