@@ -782,7 +782,7 @@ class GraftTable(
     * upsert.
     */
   def insertOverwritePartitions(batch0: DataFrame,
-      checkpoint: Option[String] = None): Commit = withLock {
+      checkpoint: Option[String] = None): Commit = withLock(retryOnConflict {
     require(partitionFields.nonEmpty,
       "insertOverwritePartitions requires a partitioned table; " +
         "use insertOverwriteTable for unpartitioned overwrite")
@@ -819,7 +819,7 @@ class GraftTable(
         ("partitions_replaced" -> touched.size.toString) +
         ("files_replaced" -> replaced.size.toString) +
         ("files_carried" -> carried.size.toString)), newFiles)
-  }
+  })
 
   /** INSERT_OVERWRITE_TABLE (Hudi `insert_overwrite_table` / SQL
     * `INSERT OVERWRITE` without a partition spec): replace the ENTIRE
@@ -829,7 +829,7 @@ class GraftTable(
     * columns, never silently narrow them.
     */
   def insertOverwriteTable(batch0: DataFrame,
-      checkpoint: Option[String] = None): Commit = withLock {
+      checkpoint: Option[String] = None): Commit = withLock(retryOnConflict {
     val prev = timeline.latest().getOrElse(
       return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
     requireCompacted(prev, "insertOverwriteTable")
@@ -849,7 +849,7 @@ class GraftTable(
       checkpoint.orElse(prev.checkpoint), System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(newFiles) +
         ("files_replaced" -> prev.files.size.toString)), newFiles)
-  }
+  })
 
   /** DELETE_PARTITION (Hudi `delete_partition`): drop every file whose
     * recorded hive partition values match `spec` — a PURE METADATA
@@ -858,7 +858,7 @@ class GraftTable(
     * clean() expires the old commits). The drop-a-day / drop-a-tenant
     * operation on a 100 TB table, at manifest cost.
     */
-  def deletePartition(spec: Map[String, String]): Commit = withLock {
+  def deletePartition(spec: Map[String, String]): Commit = withLock(retryOnConflict {
     require(spec.nonEmpty, "empty partition spec")
     val unknown = spec.keySet -- partitionFields.toSet
     require(unknown.isEmpty, s"not partition columns: ${unknown.mkString(",")}")
@@ -882,7 +882,7 @@ class GraftTable(
         "partition_spec" -> spec.map { case (k, v) => s"$k=$v" }.mkString("/"),
         "files_dropped" -> dropped.size.toString,
         "rows_dropped" -> dropped.map(_.numRows).sum.toString)))
-  }
+  })
 
   /** Predicate DELETE over conjunctive range predicates (SQL
     * `DELETE WHERE c1 BETWEEN ... AND c2 BETWEEN ...`): triaged through
@@ -894,7 +894,7 @@ class GraftTable(
     * never match (SQL three-valued logic) and always survive. Bounds
     * follow [[readColumnBox]]'s typing rules.
     */
-  def deleteWhere(ranges: Seq[(String, Any, Any)]): Commit = withLock {
+  def deleteWhere(ranges: Seq[(String, Any, Any)]): Commit = withLock(retryOnConflict {
     require(ranges.nonEmpty, "empty delete predicate")
     val prev = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
@@ -927,7 +927,71 @@ class GraftTable(
       extra = GraftTable.writeMetrics(newFiles) +
         ("files_rewritten" -> overlapping.size.toString) +
         ("files_carried" -> carried.size.toString)), newFiles)
-  }
+  })
+
+  private def protectedColumns: Set[String] =
+    Set(Meta.RecordKey, Meta.CommitSeq, Meta.Deleted, orderingField) ++
+      keyFields ++ partitionFields
+
+  /** METADATA-ONLY COLUMN DROP: publish a commit whose schema simply
+    * omits the column — zero I/O. Readers pin the manifest schema, so a
+    * parquet scan never reads (or returns) the dropped bytes; later
+    * rewrites shed them physically file by file. Engine meta columns,
+    * key fields, partition fields and the ordering field are protected.
+    *
+    * Semantics stated honestly (this format binds columns by NAME — no
+    * parquet field IDs, no Delta-style mapping table): a metadata drop
+    * HIDES the column, it does not purge bytes, and if a later batch
+    * re-introduces the same name, files not yet rewritten since the drop
+    * bind their residual values to it again. To re-use a dropped name
+    * with a clean slate, shed the bytes first (`cluster()` rewrites the
+    * snapshot under the manifest schema) — WriteOpsSpec pins both
+    * behaviors. Delta's column-mapping mode exists precisely to avoid
+    * this; Hudi refuses column drops altogether.
+    */
+  def dropColumn(name: String): Commit = withLock(retryOnConflict {
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(prevSchema.fieldNames.contains(name), s"no such column: $name")
+    require(!protectedColumns(name), s"cannot drop protected column $name")
+    val schema = org.apache.spark.sql.types.StructType(
+      prevSchema.filterNot(_.name == name))
+    timeline.commit(Commit(prev.seq + 1, "drop_column", prev.files,
+      schema.json, prev.checkpoint, System.currentTimeMillis(),
+      extra = Map("dropped_column" -> name), logFiles = prev.logFiles))
+  })
+
+  /** COLUMN RENAME — an explicit REWRITE, stated honestly: this format
+    * binds columns by NAME (no parquet field IDs), so a metadata-only
+    * rename cannot safely rebind old physical names (Hudi refuses the
+    * operation; Delta requires its column-mapping mode). The snapshot is
+    * rewritten once with the column renamed — O(table), like a
+    * clustering pass — and the commit publishes the new schema.
+    * Protected columns as in [[dropColumn]].
+    */
+  def renameColumn(oldName: String, newName: String): Commit =
+    withLock(retryOnConflict {
+      val prev = timeline.latest().getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      requireCompacted(prev, "renameColumn")
+      val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(prevSchema.fieldNames.contains(oldName), s"no such column: $oldName")
+      require(!prevSchema.fieldNames.contains(newName),
+        s"column $newName already exists")
+      require(!protectedColumns(oldName), s"cannot rename protected column $oldName")
+      val seq = prev.seq + 1
+      val renamed = read().withColumnRenamed(oldName, newName)
+      val files = writeFiles(renamed, seq, prev.files.map(_.bytes).sum)
+      val schema = org.apache.spark.sql.types.StructType(prevSchema.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      commitOrCleanStage(Commit(seq, "rename_column", files, schema.json,
+        prev.checkpoint, System.currentTimeMillis(),
+        extra = GraftTable.writeMetrics(files) +
+          ("renamed" -> s"$oldName->$newName")), files)
+    })
 
   /** SQL MERGE INTO (the Delta/Hudi `MERGE` analog — EXPRESSION-based row
     * merging, distinct from the CDC upsert's version-based latest-wins):

@@ -300,6 +300,29 @@ object CdcScenario {
       path
     })
 
+  /** Metadata-only column drop: o_orderdate vanishes from the schema
+    * without a byte moving. */
+  def columnDropped(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"dropc:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-dropc").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      tab.dropColumn("o_orderdate")
+      tab
+    })
+
+  /** Column rename via explicit rewrite: o_orderstatus becomes status. */
+  def columnRenamed(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"renc:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-renc").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      tab.renameColumn("o_orderstatus", "status")
+      tab
+    })
+
   /** Cleaned + archived (T2/T3). */
   def serviced(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "svc") { t => t.clean(retainCommits = 2); t.archive(keepLast = 1) }
@@ -793,6 +816,19 @@ object CdcQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+    // metadata-only column drop: the full remaining row set — the
+    // dropped o_orderdate can appear in neither schema nor data
+    "cdc_drop_column" -> ((s, dir) =>
+      CdcScenario.columnDropped(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_orderpriority"))),
+    // rename-by-rewrite: the data is intact under the NEW name
+    "cdc_rename_column" -> ((s, dir) =>
+      CdcScenario.columnRenamed(s, dir).readUser()
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -1181,6 +1217,17 @@ object CdcQueries {
            st AS o_orderstatus,
            CAST(CAST(p AS DECIMAL(18,2)) AS DOUBLE) AS price
          FROM h""",
+    // the drop leaves every other column byte-identical
+    "cdc_drop_column" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+           o_orderpriority
+         FROM orders""",
+    // the rename preserves the data under the new name
+    "cdc_rename_column" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
     // the zstd zone must census identically to the source table
     "src_parquet_zstd" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

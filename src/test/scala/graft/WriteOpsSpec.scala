@@ -175,6 +175,52 @@ class WriteOpsSpec extends AnyFunSuite {
     assert(t.readUser().filter(col("id") === 3L).select("v").as[String].head() == "upd")
   }
 
+  test("dropColumn is metadata-only; name binds by residue until bytes are shed") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "x1", "01"), (2L, "b", "x2", "01"))
+      .toDF("id", "v", "extra", "trx_seq"))
+    val before = t.latestCommit().get
+    val c = t.dropColumn("extra")
+    // zero I/O: the commit carries exactly the previous files
+    assert(c.files.map(_.path) == before.files.map(_.path))
+    assert(!t.read().columns.contains("extra"))
+    assert(t.readUser().select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // DOCUMENTED name-binding semantics: re-adding the name while old
+    // files still hold the bytes exposes the residual values again
+    t.upsert(Seq((3L, "c", "fresh", "02")).toDF("id", "v", "extra", "trx_seq"))
+    val residual = t.readUser().select("id", "extra").as[(Long, String)]
+      .collect().toMap
+    assert(residual == Map(1L -> "x1", 2L -> "x2", 3L -> "fresh"))
+    // protected columns refuse
+    intercept[IllegalArgumentException](t.dropColumn("id"))
+    intercept[IllegalArgumentException](t.dropColumn("trx_seq"))
+  }
+
+  test("dropColumn + cluster() sheds the bytes, so a re-added name starts null") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "x1", "01"), (2L, "b", "x2", "01"))
+      .toDF("id", "v", "extra", "trx_seq"))
+    t.dropColumn("extra")
+    t.cluster() // rewrites the snapshot under the manifest schema: bytes gone
+    t.upsert(Seq((3L, "c", "fresh", "02")).toDF("id", "v", "extra", "trx_seq"))
+    val got = t.readUser().select("id", "extra").as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(1L -> null, 2L -> null, 3L -> "fresh"))
+  }
+
+  test("renameColumn rewrites once and preserves data under the new name") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "01"), (2L, "b", "01")).toDF("id", "v", "trx_seq"))
+    val c = t.renameColumn("v", "value")
+    assert(c.action == "rename_column")
+    assert(!t.read().columns.contains("v") && t.read().columns.contains("value"))
+    assert(t.readUser().select("id", "value").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    intercept[IllegalArgumentException](t.renameColumn("id", "id2"))
+    intercept[IllegalArgumentException](t.renameColumn("value", "trx_seq"))
+  }
+
   test("changesDiff classifies I/U/D and ignores meta-only rewrites") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     t.bulkInsert(Seq((1L, "a", "01", false), (2L, "b", "01", false),
