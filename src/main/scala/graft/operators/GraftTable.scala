@@ -1277,10 +1277,10 @@ class GraftTable(
     pointPrunedRead(c, keys)
   }
 
-  /** The shared tail of every point lookup: interval/bloom-prune commit
-    * `c`'s files against the probed keys, scan the survivors, apply the
-    * exact residual `IN`. */
-  private def pointPrunedRead(c: Commit, keys: Seq[String]): DataFrame = {
+  /** Interval/bloom-pruned file set of commit `c` for a probed key set —
+    * the metadata half of a point lookup, exposed separately so
+    * [[keyHistory]] can existence-check before scheduling a scan. */
+  private def pointKeepSet(c: Commit, keys: Seq[String]): Set[String] = {
     def relevant(files: Seq[DataFile]): Set[String] = {
       val (statless, statful) = files.partition(f => !GraftTable.hasReliableStats(f))
       val idx = IntervalIndex.build(statful.map(f => (f.minKey, f.maxKey, f.path)))
@@ -1296,7 +1296,14 @@ class GraftTable(
         }
       }.toSet ++ statless.map(_.path)
     }
-    val keep = relevant(c.files) ++ relevant(c.logFiles)
+    relevant(c.files) ++ relevant(c.logFiles)
+  }
+
+  /** The shared tail of every point lookup: interval/bloom-prune commit
+    * `c`'s files against the probed keys, scan the survivors, apply the
+    * exact residual `IN`. */
+  private def pointPrunedRead(c: Commit, keys: Seq[String]): DataFrame = {
+    val keep = pointKeepSet(c, keys)
     prunedRead(c, f => keep(f.path))
       .filter(col(Meta.RecordKey).isin(keys: _*))
   }
@@ -1308,16 +1315,25 @@ class GraftTable(
     * the same interval/bloom-pruned point lookup as [[readKeys]], so the
     * cost is O(active commits × files-holding-key) scheduled tasks —
     * driver-orchestrated audit scale, deliberately not a data-path
-    * operator (cleaning bounds how far back it reaches, like all time
-    * travel). Columns: the snapshot's, plus `commit_seq`.
+    * operator. Cleaning bounds how far back it reaches, like all time
+    * travel: a retained commit RECORD whose relevant files clean() has
+    * already deleted is SKIPPED (existence-checked on the tiny pruned
+    * set before any task is scheduled) rather than crashing the audit
+    * mid-scan. Columns: the snapshot's, plus `commit_seq`.
     */
   def keyHistory(keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "empty key set")
     val seqs = timeline.listCommitSeqs()
     require(seqs.nonEmpty, s"no commits at $root")
-    seqs.map { s =>
-      pointPrunedRead(timeline.read(s), keys).withColumn("commit_seq", lit(s))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val parts = seqs.flatMap { s =>
+      val c = timeline.read(s)
+      val keep = pointKeepSet(c, keys)
+      if (!keep.forall(p => Files.exists(Paths.get(root, p)))) None
+      else Some(pointPrunedRead(c, keys).withColumn("commit_seq", lit(s)))
+    }
+    require(parts.nonEmpty,
+      s"no readable commits for the probed keys at $root (cleaned away?)")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Numeric-key point lookup through the order-preserving zero-padded

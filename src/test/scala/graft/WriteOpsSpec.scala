@@ -221,6 +221,21 @@ class WriteOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.renameColumn("value", "trx_seq"))
   }
 
+  test("keyHistory skips commits cleaning has emptied instead of crashing") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "01")).toDF("id", "v", "trx_seq"))
+    t.upsert(Seq((1L, "b", "02")).toDF("id", "v", "trx_seq"))
+    t.upsert(Seq((1L, "c", "03")).toDF("id", "v", "trx_seq"))
+    val full = t.keyHistory(Seq(f"${1L}%019d"))
+      .select(col("commit_seq"), col("v")).as[(Long, String)].collect().sortBy(_._1)
+    assert(full.toSeq == Seq((0L, "a"), (1L, "b"), (2L, "c")))
+    t.clean(retainCommits = 1) // commits 0 and 1 lose their files
+    val bounded = t.keyHistory(Seq(f"${1L}%019d"))
+      .select(col("commit_seq"), col("v")).as[(Long, String)].collect().sortBy(_._1)
+    assert(bounded.toSeq == Seq((2L, "c")),
+      "cleaned-away history must bound the audit horizon, not crash it")
+  }
+
   test("changesDiff classifies I/U/D and ignores meta-only rewrites") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     t.bulkInsert(Seq((1L, "a", "01", false), (2L, "b", "01", false),
