@@ -355,6 +355,26 @@ object CdcScenario {
       t
     })
 
+  /** Streaming ingest of a gzipped-JSONL raw zone (the LLM corpus format
+    * arriving as a live feed): the same CDC batches land as `.json.gz`
+    * shards and are drained by the same Structured Streaming loop with an
+    * explicit source schema — the parquet and JSONL zones share every
+    * line of the ingest path except the reader format. */
+  def streamedJsonl(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"stjson:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-stjson")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val tab = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val schema = fullLoad(s, dir).schema
+      Seq(fullLoad(s, dir), batchA(s, dir), batchB(s, dir)).foreach { b =>
+        b.coalesce(1).write.mode("append").option("compression", "gzip").json(raw)
+        graft.streaming.ContinuousIngest.drain(s, raw, tab, ck,
+          format = "json", sourceSchema = Some(schema))
+      }
+      tab
+    })
+
   /** LIVE `--continuous` loop (ST2, reference handler.py:166-167): the
     * ProcessingTime-trigger stream stays up while CDC batches land in the
     * raw zone; each poll cycle commits incrementally (awaited via the
@@ -609,6 +629,8 @@ object CdcQueries {
     "mor_compacted" -> ((s, dir) => statusAgg(CdcScenario.morCompacted(s, dir))),
     // S3/ST2: Structured Streaming ingest of the same batches
     "st_stream_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamed(s, dir))),
+    // S3/ST2 over a gzipped-JSONL zone: same loop, text-format source
+    "st_jsonl_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamedJsonl(s, dir))),
     // ST2 live loop: ProcessingTime trigger, batches dropped while running
     "st_continuous_live" -> ((s, dir) => statusAgg(CdcScenario.continuousLive(s, dir))),
     // time travel: snapshot as of commit 1 (full load + batch A only)
@@ -938,6 +960,7 @@ object CdcQueries {
     "mor_snapshot" -> statusAggSql,
     "mor_compacted" -> statusAggSql,
     "st_stream_ingest" -> statusAggSql,
+    "st_jsonl_ingest" -> statusAggSql,
     "st_continuous_live" -> statusAggSql,
     // the two CDC batches after per-batch precombine (batch A: %970 keys
     // resolve to the seq-4 tombstone over the seq-3 update; batch B: %70

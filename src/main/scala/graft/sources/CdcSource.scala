@@ -59,8 +59,12 @@ object CdcSource {
     } else (lines.head.toLong, lines.tail.toSet)
   }
 
-  /** Recursive listing of data files under `root`, sorted by (mtime, path). */
-  def listDataFiles(spark: SparkSession, root: String): Seq[(Long, String)] = {
+  /** Recursive listing of data files under `root`, sorted by (mtime,
+    * path). `suffix` selects the zone format; its gzipped form
+    * (`<suffix>.gz`) always counts too — compressed JSONL/CSV zones ship
+    * that way. */
+  def listDataFiles(spark: SparkSession, root: String,
+      suffix: String = ".parquet"): Seq[(Long, String)] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new HPath(root)
     val fs = p.getFileSystem(conf)
@@ -70,7 +74,8 @@ object CdcSource {
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if (st.isFile && name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith("."))
+      if (st.isFile && (name.endsWith(suffix) || name.endsWith(suffix + ".gz")) &&
+          !name.startsWith("_") && !name.startsWith("."))
         out += ((st.getModificationTime, fs.makeQualified(st.getPath).toString))
     }
     out.result().sorted

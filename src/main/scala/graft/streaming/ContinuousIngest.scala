@@ -25,15 +25,24 @@ object ContinuousIngest {
   def start(spark: SparkSession, rawDir: String, table: GraftTable,
       checkpointDir: String, transformerSql: Option[String] = None,
       availableNow: Boolean = true,
-      processingInterval: String = "10 seconds"): StreamingQuery = {
-    // file streams need an explicit schema: probe the zone once (batch)
-    val schema = spark.read.option("recursiveFileLookup", "true")
-      .parquet(rawDir).schema
+      processingInterval: String = "10 seconds",
+      format: String = "parquet",
+      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    // file streams need an explicit schema: parquet zones probe their own
+    // footers once (batch, metadata-only); text formats (json/csv) REQUIRE
+    // a caller schema — inference would read every shard before the
+    // stream starts
+    val schema = sourceSchema.getOrElse {
+      require(format == "parquet",
+        s"a $format file stream needs an explicit sourceSchema")
+      spark.read.option("recursiveFileLookup", "true").parquet(rawDir).schema
+    }
     val src = spark.readStream
       .schema(schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 1000)
-      .parquet(rawDir)
+      .format(format)
+      .load(rawDir)
     src.writeStream
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(processingInterval))
       .option("checkpointLocation", checkpointDir)
@@ -52,10 +61,17 @@ object ContinuousIngest {
     * cycle, not an error (the schema probe would otherwise throw on an
     * empty directory). Returns true if a drain ran. */
   def drain(spark: SparkSession, rawDir: String, table: GraftTable,
-      checkpointDir: String, transformerSql: Option[String] = None): Boolean = {
-    if (graft.sources.CdcSource.listDataFiles(spark, rawDir).isEmpty) false
+      checkpointDir: String, transformerSql: Option[String] = None,
+      format: String = "parquet",
+      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
+    val suffix = format match {
+      case "parquet" => ".parquet"
+      case other => s".$other"
+    }
+    if (graft.sources.CdcSource.listDataFiles(spark, rawDir, suffix).isEmpty) false
     else {
-      val q = start(spark, rawDir, table, checkpointDir, transformerSql, availableNow = true)
+      val q = start(spark, rawDir, table, checkpointDir, transformerSql,
+        availableNow = true, format = format, sourceSchema = sourceSchema)
       q.awaitTermination()
       true
     }
