@@ -199,6 +199,13 @@ object TextAnalysis {
       rounds: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // checkpoint lifecycle (same discipline as connectedComponents): each
+    // round's vocabulary supersedes the previous one's pinned RDD —
+    // release it eagerly, keep only the final (returned) checkpoint
+    def release(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
     var words = docs
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -224,9 +231,11 @@ object TextAnalysis {
         val n = top(0).getLong(1)
         val Array(a, b) = pair.split(" ", 2)
         merges += ((r, pair, a + b, n))
+        val prev = words
         words = words.withColumn("sym",
           expr(s"trim(replace(concat(' ', sym, ' '), ' $a  $b ', ' ${a + b} '))"))
           .localCheckpoint()
+        release(prev)
         r += 1
       }
     }

@@ -101,6 +101,7 @@ object WarcCodec {
         line = readLine()
       }
       require(len >= 0, "WARC record without Content-Length")
+      require(len <= Int.MaxValue - 8, s"WARC payload too large to buffer: $len")
       require(pos + len + 4 <= bytes.length,
         s"truncated WARC payload: need ${len + 4} bytes at $pos of ${bytes.length}")
       val payload = java.util.Arrays.copyOfRange(bytes, pos, pos + len.toInt)
