@@ -221,6 +221,75 @@ class WriteOpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.renameColumn("value", "trx_seq"))
   }
 
+  test("mixed write-op lifecycle equals an independently computed oracle") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 8 * 1024, statsColumns = Seq("x"))
+    val base = (1 to 500).map(i => (i.toLong, s"v$i", i.toLong * 3, f"$i%06d"))
+      .toDF("id", "v", "x", "trx_seq")
+    t.bulkInsert(base)
+    // 1. CDC upsert: update %7 (status bump), delete %13
+    t.upsert((1 to 500).filter(_ % 7 == 0)
+      .map(i => (i.toLong, s"u$i", i.toLong * 3, "700000", false)).toDF(
+        "id", "v", "x", "trx_seq", Meta.Deleted)
+      .unionByName((1 to 500).filter(_ % 13 == 0)
+        .map(i => (i.toLong, s"v$i", i.toLong * 3, "800000", true)).toDF(
+          "id", "v", "x", "trx_seq", Meta.Deleted)))
+    // 2. MERGE INTO: SET v for %11 survivors, insert 9001. (%11 keys that
+    // the %13 delete removed are excluded — they would legitimately
+    // RE-INSERT as not-matched source rows, which is upsert territory)
+    t.mergeInto(((1 to 500).filter(i => i % 11 == 0 && i % 13 != 0)
+      .map(i => (i.toLong, "m")) :+ (9001L, "ins")).toDF("id", "note"),
+      whenMatchedSet = Map("v" -> concat(lit("M:"), col("v"))))
+    // 3. predicate delete on the stats-tracked column: x in [300, 600]
+    t.deleteWhere(Seq(("x", 300L, 600L)))
+    // 4. maintenance: cluster + clean; integrity must hold
+    t.cluster()
+    t.clean(retainCommits = 2)
+    assert(t.fsck()._4, "fsck must be green after the mixed lifecycle")
+    // independent oracle: the same fold in plain DataFrame algebra
+    val afterUpsert = base
+      .withColumn("v", when(col("id") % 7 === 0, concat(lit("u"), col("id"))).otherwise(col("v")))
+      .filter(col("id") % 13 =!= 0)
+    val afterMerge = afterUpsert
+      .withColumn("v", when(col("id") % 11 === 0, concat(lit("M:"), col("v"))).otherwise(col("v")))
+      .select(col("id"), col("v"), col("x"))
+      .unionByName(Seq((9001L, null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "v", "x"))
+    val expected = afterMerge
+      .filter(col("x").isNull || col("x") < 300L || col("x") > 600L)
+      .as[(Long, String, Option[Long])].collect().toSet
+    val got = t.readUser().select(col("id"), col("v"), col("x"))
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got == expected)
+  }
+
+  test("lock-free OCC upsert racing MERGE INTO on disjoint keys loses neither") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024,
+      staleLockMs = 60000)
+    t.bulkInsert((1 to 200).map(i => (i.toLong, s"v$i", f"$i%06d"))
+      .toDF("id", "v", "trx_seq"))
+    // writer A: lock-free OCC upsert of EVEN keys; writer B: MERGE INTO
+    // updating ODD keys. Disjoint key sets make the final state
+    // order-independent, so both effects must land whatever interleaving
+    // the race produces (the MERGE retries if A steals its seq).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val a = pool.submit(new Runnable { def run(): Unit =
+        t.upsertOptimistic((2 to 200 by 2).map(i => (i.toLong, "EVEN", "900000"))
+          .toDF("id", "v", "trx_seq")) })
+      val b = pool.submit(new Runnable { def run(): Unit =
+        t.mergeInto((1 to 199 by 2).map(i => (i.toLong, "z")).toDF("id", "z"),
+          whenMatchedSet = Map("v" -> lit("ODD")),
+          insertWhenNotMatched = false) })
+      a.get(); b.get()
+    } finally pool.shutdown()
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect()
+    assert(got.length == 200)
+    assert(got.forall { case (id, v) => v == (if (id % 2 == 0) "EVEN" else "ODD") },
+      "both the OCC write and the merge must survive the race")
+    assert(t.fsck()._4)
+  }
+
   test("keyHistory skips commits cleaning has emptied instead of crashing") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     t.bulkInsert(Seq((1L, "a", "01")).toDF("id", "v", "trx_seq"))
