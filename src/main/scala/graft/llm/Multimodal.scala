@@ -99,6 +99,44 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** Render each document as a REAL QOI image (qoiformat.org): pixel j's
+    * RGB channels are the doc's bytes (3j, 3j+1, 3j+2) mod L — so the
+    * concatenated channel stream is simply the byte cycle, provable with
+    * the same cycle arithmetic as the GIF path while exercising a
+    * DIFFERENT compression family (RLE + rolling index + delta ops, no
+    * dictionary). Empty docs render 1×1 black. */
+  def asQoiTable(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).map(_.getBytes("UTF-8")).getOrElse(Array.empty[Byte])
+          val w = bytes.length % 40 + 1
+          val h = bytes.length % 24 + 1
+          val fill = if (bytes.isEmpty) Array[Byte](0) else bytes
+          val px = Array.tabulate(w * h * 3)(k => fill(k % fill.length))
+          (id, QoiCodec.encode(w, h, px))
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** QOI round trip: decode each payload and report geometry + the exact
+    * unsigned channel-byte sum — a broken RLE/index/delta decode cannot
+    * reproduce the cycle-arithmetic oracle. */
+  def qoiStats(spark: SparkSession, binTable: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (w, h, px) = QoiCodec.decode(payload)
+          (id, w, h, (w * h).toLong, QoiCodec.channelSum(px), payload.length.toLong)
+        }
+      }
+      .toDF(idCol, "w", "h", "n_px", "rgb_sum", "qoi_bytes")
+  }
+
   /** Pack the corpus into WARC shards — byte-faithful Common Crawl
     * layout: `docsPerShard` documents per shard, records ordered by id,
     * each record its own gzip member ([[WarcCodec.encode]]). The doc id

@@ -374,6 +374,13 @@ object LlmQueries {
     "mm_video" -> ((s, dir) =>
       Multimodal.videoStats(s,
         Multimodal.asPpmVideoTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
+    // SECOND real compressed-image family: QOI (RLE + rolling index +
+    // wrap-around delta ops — dictionary-free, unlike GIF's LZW); the
+    // decode must reproduce the byte-cycle channel sums exactly
+    "mm_qoi" -> ((s, dir) =>
+      Multimodal.qoiStats(s,
+        Multimodal.asQoiTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")
+        .select(col("doc_id"), col("w"), col("h"), col("n_px"), col("rgb_sum"))),
     // Common Crawl-shaped WARC ingestion: the corpus packed into
     // per-record-gzipped WARC shards (WET extracted-text layout), then
     // inflated and demuxed back — graded on a 4-way exact census the
@@ -436,6 +443,28 @@ object LlmQueries {
     s"len(list_filter(string_split(text, ' '), x -> x IN ($markers)))"
 
   val oracles: Map[String, String] = Map(
+    // QOI channel stream = the doc's byte cycle (pixel j channels are
+    // bytes 3j, 3j+1, 3j+2 mod L), so rgb_sum follows the same cycle
+    // arithmetic as the GIF oracle with n -> 3wh
+    "mm_qoi" ->
+      """WITH m AS (SELECT doc_id, text, COALESCE(strlen(text), 0) AS L
+         FROM documents),
+         s AS (SELECT doc_id, text, L,
+           CAST(L % 40 + 1 AS BIGINT) AS w,
+           CAST(L % 24 + 1 AS BIGINT) AS h
+         FROM m),
+         t2 AS (SELECT doc_id, L, w, h, w * h * 3 AS mch,
+           list_transform(range(1, CAST(L + 1 AS INT)),
+             i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)) AS codes
+         FROM s)
+         SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(w * h AS BIGINT) AS n_px,
+           CAST(CASE WHEN L = 0 THEN 0 ELSE
+             (mch // L) * list_aggregate(codes, 'sum')
+             + CASE WHEN mch % L = 0 THEN 0
+                    ELSE list_aggregate(codes[1:CAST(mch % L AS INT)], 'sum') END
+             END AS BIGINT) AS rgb_sum
+         FROM t2""",
     // the WARC shards must demux back to exactly the source corpus:
     // per-shard record count, decoded char total, distinct texts, and
     // the id sum recovered from the target URIs

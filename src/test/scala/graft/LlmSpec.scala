@@ -575,6 +575,35 @@ class LlmSpec extends AnyFunSuite {
     assert(e.getMessage.contains("terminator") || e.getMessage.contains("truncated"))
   }
 
+  test("QoiCodec round-trips every op family and compresses repetition") {
+    import graft.llm.QoiCodec
+    def roundTrip(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {
+      val enc = QoiCodec.encode(w, h, px)
+      val (w2, h2, px2) = QoiCodec.decode(enc)
+      assert(w2 == w && h2 == h)
+      assert(java.util.Arrays.equals(px2, px))
+      enc
+    }
+    // flat image: pure RUN ops — must genuinely compress
+    val flat = Array.fill[Byte](30 * 20 * 3)(77)
+    assert(roundTrip(30, 20, flat).length < flat.length / 10)
+    // smooth gradient: DIFF/LUMA paths (small per-pixel deltas)
+    val grad = Array.tabulate[Byte](16 * 16 * 3)(k => ((k / 3) % 256).toByte)
+    roundTrip(16, 16, grad)
+    // alternating pair: INDEX hits after the first occurrences
+    val alt = Array.tabulate[Byte](10 * 10 * 3)(k =>
+      if ((k / 3) % 2 == 0) 10 else 200.toByte)
+    roundTrip(10, 10, alt)
+    // adversarial: pseudo-random bytes (RGB literals dominate), incl. the
+    // wrap-around delta edges 255->0
+    val rnd = Array.tabulate[Byte](13 * 7 * 3)(k => ((k * 73 + 11) % 256).toByte)
+    roundTrip(13, 7, rnd)
+    // malformed input fails loudly
+    intercept[IllegalArgumentException](QoiCodec.decode(Array[Byte](1, 2, 3)))
+    val good = QoiCodec.encode(2, 2, new Array[Byte](12))
+    intercept[IllegalArgumentException](QoiCodec.decode(good.dropRight(1)))
+  }
+
   test("bpeTrain stops when the vocabulary runs out of pairs") {
     import graft.llm.TextAnalysis
     val docs = Seq("ab ab cd").toDF("text")
