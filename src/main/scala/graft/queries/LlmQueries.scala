@@ -381,6 +381,11 @@ object LlmQueries {
       Multimodal.qoiStats(s,
         Multimodal.asQoiTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")
         .select(col("doc_id"), col("w"), col("h"), col("n_px"), col("rgb_sum"))),
+    // REAL COMPRESSED audio (IMA ADPCM 4:1): adaptive 4-bit quantization
+    // of an audio-like byte-driven waveform — structural facts exact,
+    // quality graded as a deterministic accuracy contract
+    "mm_adpcm" -> ((s, dir) =>
+      Multimodal.adpcmStats(s, t(s, dir, "documents"), "doc_id", "text")),
     // Common Crawl-shaped WARC ingestion: the corpus packed into
     // per-record-gzipped WARC shards (WET extracted-text layout), then
     // inflated and demuxed back — graded on a 4-way exact census the
@@ -465,6 +470,17 @@ object LlmQueries {
                     ELSE list_aggregate(codes[1:CAST(mch % L AS INT)], 'sum') END
              END AS BIGINT) AS rgb_sum
          FROM t2""",
+    // ADPCM contract: sample count and block size are exact layout
+    // arithmetic (12-byte header + one nibble per code); the first sample
+    // ships verbatim; the 4-bit quantizer's relative RMS error stays
+    // under 5% on the audio-like fixture (measured max 1.6% — the
+    // deterministic bound, not a statistical one)
+    "mm_adpcm" ->
+      """SELECT doc_id,
+           CAST(COALESCE(strlen(text), 0) AS BIGINT) AS n_samples,
+           CAST(12 + COALESCE(strlen(text), 0) // 2 AS BIGINT) AS adpcm_bytes,
+           TRUE AS first_exact, TRUE AS quality_ok
+         FROM documents""",
     // the WARC shards must demux back to exactly the source corpus:
     // per-shard record count, decoded char total, distinct texts, and
     // the id sum recovered from the target URIs

@@ -604,6 +604,31 @@ class LlmSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QoiCodec.decode(good.dropRight(1)))
   }
 
+  test("AdpcmCodec: deterministic, exact on constants, tracks ramps, fails loudly") {
+    import graft.llm.AdpcmCodec
+    // constant signal: every code is 0 (vpdiff = step>>3 rounds to ... no:
+    // diff 0 -> code 0 -> vpdiff = step>>3 = 0 at index 0 (7>>3) -> the
+    // predictor never moves: constants reproduce EXACTLY
+    val const = Array.fill[Short](100)(1234)
+    assert(AdpcmCodec.decode(AdpcmCodec.encode(const)).toSeq == const.toSeq)
+    // slow ramp: small deltas track within the first quantization steps
+    val ramp = Array.tabulate[Short](500)(i => (i * 16).toShort)
+    val dr = AdpcmCodec.decode(AdpcmCodec.encode(ramp))
+    assert(dr.length == 500 && dr(0) == 0)
+    val maxDev = ramp.zip(dr).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDev <= 64, s"ramp tracking deviated by $maxDev")
+    // deterministic: identical bytes on re-encode
+    assert(java.util.Arrays.equals(AdpcmCodec.encode(ramp), AdpcmCodec.encode(ramp)))
+    // 4:1 layout: 12-byte header + one nibble per non-first sample
+    assert(AdpcmCodec.encode(ramp).length == 12 + 500 / 2)
+    assert(AdpcmCodec.encode(Array.empty[Short]).length == 12)
+    assert(AdpcmCodec.decode(AdpcmCodec.encode(Array.empty[Short])).isEmpty)
+    // malformed input fails loudly
+    intercept[IllegalArgumentException](AdpcmCodec.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      AdpcmCodec.decode(AdpcmCodec.encode(ramp).dropRight(5)))
+  }
+
   test("bpeTrain stops when the vocabulary runs out of pairs") {
     import graft.llm.TextAnalysis
     val docs = Seq("ab ab cd").toDF("text")
