@@ -375,6 +375,25 @@ object CdcScenario {
       tab
     })
 
+  /** Streaming ingest of a gzipped CSV zone (DMS's default target
+    * format as a live feed): header + explicit schema, same drain loop. */
+  def streamedCsv(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"stcsv:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-stcsv")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val tab = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val schema = fullLoad(s, dir).schema
+      Seq(fullLoad(s, dir), batchA(s, dir), batchB(s, dir)).foreach { b =>
+        b.coalesce(1).write.mode("append")
+          .option("header", "true").option("compression", "gzip").csv(raw)
+        graft.streaming.ContinuousIngest.drain(s, raw, tab, ck,
+          format = "csv", sourceSchema = Some(schema),
+          sourceOptions = Map("header" -> "true"))
+      }
+      tab
+    })
+
   /** LIVE `--continuous` loop (ST2, reference handler.py:166-167): the
     * ProcessingTime-trigger stream stays up while CDC batches land in the
     * raw zone; each poll cycle commits incrementally (awaited via the
@@ -631,6 +650,8 @@ object CdcQueries {
     "st_stream_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamed(s, dir))),
     // S3/ST2 over a gzipped-JSONL zone: same loop, text-format source
     "st_jsonl_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamedJsonl(s, dir))),
+    // S3/ST2 over a gzipped CSV zone (the stock DMS target format, live)
+    "st_csv_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamedCsv(s, dir))),
     // ST2 live loop: ProcessingTime trigger, batches dropped while running
     "st_continuous_live" -> ((s, dir) => statusAgg(CdcScenario.continuousLive(s, dir))),
     // time travel: snapshot as of commit 1 (full load + batch A only)
@@ -961,6 +982,7 @@ object CdcQueries {
     "mor_compacted" -> statusAggSql,
     "st_stream_ingest" -> statusAggSql,
     "st_jsonl_ingest" -> statusAggSql,
+    "st_csv_ingest" -> statusAggSql,
     "st_continuous_live" -> statusAggSql,
     // the two CDC batches after per-batch precombine (batch A: %970 keys
     // resolve to the seq-4 tombstone over the seq-3 update; batch B: %70

@@ -27,7 +27,8 @@ object ContinuousIngest {
       availableNow: Boolean = true,
       processingInterval: String = "10 seconds",
       format: String = "parquet",
-      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
     // file streams need an explicit schema: parquet zones probe their own
     // footers once (batch, metadata-only); text formats (json/csv) REQUIRE
     // a caller schema — inference would read every shard before the
@@ -41,6 +42,7 @@ object ContinuousIngest {
       .schema(schema)
       .option("recursiveFileLookup", "true")
       .option("maxFilesPerTrigger", 1000)
+      .options(sourceOptions)
       .format(format)
       .load(rawDir)
     src.writeStream
@@ -63,7 +65,8 @@ object ContinuousIngest {
   def drain(spark: SparkSession, rawDir: String, table: GraftTable,
       checkpointDir: String, transformerSql: Option[String] = None,
       format: String = "parquet",
-      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): Boolean = {
+      sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      sourceOptions: Map[String, String] = Map.empty): Boolean = {
     val suffix = format match {
       case "parquet" => ".parquet"
       case other => s".$other"
@@ -71,7 +74,8 @@ object ContinuousIngest {
     if (graft.sources.CdcSource.listDataFiles(spark, rawDir, suffix).isEmpty) false
     else {
       val q = start(spark, rawDir, table, checkpointDir, transformerSql,
-        availableNow = true, format = format, sourceSchema = sourceSchema)
+        availableNow = true, format = format, sourceSchema = sourceSchema,
+        sourceOptions = sourceOptions)
       q.awaitTermination()
       true
     }
