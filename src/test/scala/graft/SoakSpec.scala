@@ -146,6 +146,72 @@ class SoakSpec extends AnyFunSuite {
       assert(java.nio.file.Files.list(inflight).count() == 0)
   }
 
+  test("OCC x replace-family soak: lock-free writers vs deleteWhere/mergeInto/clean") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-occ-replace-soak").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      staleLockMs = 5000, statsColumns = Seq("id"))
+    t.bulkInsert((0L until 400L).toDF("id")
+      .withColumn("v", lit(0L)).withColumn("trx_seq", lit("00000")))
+
+    // DISJOINT DOMAINS make the concurrent end state deterministic:
+    // ids 0..299 belong to the 3 OCC writers (striped % 3), 300..349 to
+    // the predicate deleter, 350..399 to the merger. Every collision is
+    // therefore a pure commit-seq race — exactly what the retry paths
+    // must absorb without losing any side's effect.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val rounds = 6
+    val writers = (0 until 3).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = { start.await()
+          (1 to rounds).foreach { r =>
+            val seq = r * 3 + w + 1
+            t.upsertOptimistic((w.toLong until 300L by 3)
+              .map(k => (k, seq.toLong, f"$seq%05d")).toDF("id", "v", "trx_seq"),
+              maxRetries = 100)
+            ()
+          }
+        }
+      })
+    }
+    val mixErrs = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val mixer = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit = { start.await()
+        (1 to 5).foreach { i =>
+          try {
+            t.deleteWhere(Seq(("id", 300L + 10 * (i - 1), 299L + 10 * i)))
+            t.mergeInto((350L until 400L).map(k => (k, 1000L + i)).toDF("id", "nv"),
+              whenMatchedSet = Map("v" -> col("src_nv")),
+              insertWhenNotMatched = false)
+            if (i % 2 == 0) t.clean(retainCommits = 8)
+          } catch { case e: Throwable => mixErrs.compareAndSet(null, e) }
+          Thread.sleep(300)
+        }
+      }
+    })
+    start.countDown()
+    writers.foreach(_.get(540, java.util.concurrent.TimeUnit.SECONDS))
+    mixer.get(540, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(mixErrs.get() == null, s"mixer threw: ${mixErrs.get()}")
+
+    val snap = t.readUser().select("id", "v").as[(Long, Long)].collect().toMap
+    // writers: every stripe holds its final-round stamp
+    (0L until 300L).foreach { k =>
+      val w = (k % 3).toInt
+      assert(snap(k) == rounds * 3 + w + 1, s"key $k: got ${snap.get(k)}")
+    }
+    // deleter: 300..349 fully removed despite racing writers
+    assert((300L until 350L).forall(!snap.contains(_)),
+      "predicate-deleted keys must stay gone")
+    // merger: 350..399 carry the LAST merge round's value
+    (350L until 400L).foreach(k =>
+      assert(snap(k) == 1005L, s"key $k: got ${snap.get(k)}"))
+    assert(snap.size == 350)
+    assert(t.fsck()._4, "fsck must be green after the mixed soak")
+  }
+
   test("50-commit sf0.01 cadence with clean/archive/cluster: correct snapshots, bounded metadata") {
     val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
       .select($"o_orderkey", $"o_orderstatus").cache()
