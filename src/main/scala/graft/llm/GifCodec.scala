@@ -80,37 +80,49 @@ object GifCodec {
   def decodeFrames(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
     require(bytes.length > 13 &&
       new String(bytes, 0, 6, "US-ASCII").startsWith("GIF"), "not a GIF stream")
-    def le16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    // truncation fails loudly (same contract as the WARC/QOI codecs):
+    // every positional read goes through at(), so a stream cut mid-block
+    // throws IllegalArgumentException with the offset, never AIOOBE
+    def at(o: Int): Int = {
+      if (o >= bytes.length)
+        throw new IllegalArgumentException(
+          s"truncated GIF stream: need byte at $o, have ${bytes.length}")
+      bytes(o) & 0xFF
+    }
+    def le16(o: Int): Int = at(o) | (at(o + 1) << 8)
     val flags = bytes(10) & 0xFF
     var pos = 13
     if ((flags & 0x80) != 0) pos += 3 * (2 << (flags & 7)) // skip global palette
     val frames = Seq.newBuilder[(Int, Int, Array[Byte])]
     def skipSubBlocks(): Unit = {
-      var len = bytes(pos) & 0xFF
-      while (len != 0) { pos += 1 + len; len = bytes(pos) & 0xFF }
+      var len = at(pos)
+      while (len != 0) { pos += 1 + len; len = at(pos) }
       pos += 1
     }
     var done = false
     while (!done && pos < bytes.length) {
-      (bytes(pos) & 0xFF) match {
+      at(pos) match {
         case 0x3B => done = true
         case 0x21 => // extension: label byte then sub-blocks
           pos += 2
           skipSubBlocks()
         case 0x2C =>
           val w = le16(pos + 5); val h = le16(pos + 7)
-          val localFlags = bytes(pos + 9) & 0xFF
+          val localFlags = at(pos + 9)
           pos += 10
           if ((localFlags & 0x80) != 0) pos += 3 * (2 << (localFlags & 7))
-          val minCode = bytes(pos) & 0xFF
+          val minCode = at(pos)
           require(minCode == 8, s"unsupported LZW minimum code size $minCode")
           pos += 1
           val data = new java.io.ByteArrayOutputStream()
-          var len = bytes(pos) & 0xFF
+          var len = at(pos)
           while (len != 0) {
+            if (pos + 1 + len > bytes.length)
+              throw new IllegalArgumentException(
+                s"truncated GIF sub-block at $pos: need ${len} bytes, have ${bytes.length - pos - 1}")
             data.write(bytes, pos + 1, len)
             pos += 1 + len
-            len = bytes(pos) & 0xFF
+            len = at(pos)
           }
           pos += 1
           frames += ((w, h, lzwDecompress(data.toByteArray, w * h)))

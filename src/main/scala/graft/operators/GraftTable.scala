@@ -802,8 +802,12 @@ class GraftTable(
     val wide = GraftTable.widenSchemas(prevSchema, batch.schema)
     val stamped = GraftTable.castTo(live, wide).withColumn(Meta.CommitSeq, lit(seq))
     // the touched-partition set, in the manifest's recorded string form —
-    // driver-side, bounded by the batch's partition count
-    val touched: Set[String] = stamped
+    // driver-side, bounded by the batch's partition count. Computed from
+    // the PRE-STRIP precombined batch: a partition whose batch rows are
+    // all deletes still marks the partition as replaced (its old files
+    // drop and nothing lands) — "clear this partition" must not be a
+    // silent no-op
+    val touched: Set[String] = batch
       .select(partitionFields.map(f =>
         coalesce(col(f).cast("string"), lit(GraftTable.NullPartition)).as(f)): _*)
       .distinct().collect()
@@ -1153,22 +1157,66 @@ class GraftTable(
     throw new IllegalStateException("unreachable")
   }
 
+  /** PER-FILE-GROUP compaction plan (the Hudi compaction-strategy shape):
+    * only base files whose [minKey, maxKey] interval can contain a logged
+    * key are merged and rewritten; every other base file carries forward
+    * path-identical. Soundness: any base file holding a version of logged
+    * key k has a key interval containing k, and k lies inside some log
+    * file's interval — so a base file DISJOINT from every log interval
+    * provably holds no logged key and its rows are bit-final. With a
+    * non-global index the row identity is (partition, key), so a log only
+    * supersedes rows in its own partition and the overlap test narrows to
+    * per-partition scope. Files without reliable key stats join the
+    * rewrite unconditionally (conservative, never wrong). At 100 TB with
+    * logs on 1% of file groups this rewrites ~1% of the table instead of
+    * all of it — write amplification proportional to log spread, the same
+    * lever [[pruneAffected]] gives the upsert path.
+    */
   private def doCompact(): Commit = {
     val prev = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
+    // nothing outstanding: compaction is definitionally a no-op — do not
+    // publish a commit that rewrites (or even re-references) the table
+    if (prev.logFiles.isEmpty) return prev
     val seq = prev.seq + 1
-    val est = (prev.files ++ prev.logFiles).map(_.bytes).sum
+    val partitioned = !globalIndex && partitionFields.nonEmpty
+    def pk(f: DataFile): String =
+      partitionFields.map(x => f.partition.getOrElse(x, GraftTable.NullPartition))
+        .mkString("/")
+    // per-scope log intervals ("" = table-wide under a global index); a
+    // statless log file makes its whole scope unbounded
+    val logScopes: Map[String, (Boolean, Seq[(String, String)])] =
+      prev.logFiles.groupBy(f => if (partitioned) pk(f) else "").map { case (p, ls) =>
+        val (statless, statful) = ls.partition(l => !GraftTable.hasReliableStats(l))
+        p -> ((statless.nonEmpty, statful.map(l => (l.minKey, l.maxKey))))
+      }
+    def overlapsLogs(f: DataFile): Boolean =
+      logScopes.get(if (partitioned) pk(f) else "") match {
+        case None => false // no logs in this file's partition scope
+        case Some((unbounded, ivs)) =>
+          unbounded || !GraftTable.hasReliableStats(f) ||
+            ivs.exists { case (lo, hi) =>
+              GraftTable.cmpKey(f.minKey, hi) <= 0 &&
+                GraftTable.cmpKey(f.maxKey, lo) >= 0
+            }
+      }
+    val (rewrite, carried) = prev.files.partition(overlapsLogs)
+    val est = (rewrite ++ prev.logFiles).map(_.bytes).sum
+    // merge ONLY the overlapping base subset against the full log set;
     // persist: range-bound sampling must not re-run the base⋈log merge
-    val merged = mergedView(prev).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merged = mergedView(prev.copy(files = rewrite))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val files = writeFiles(merged, seq, est)
       // commitOrCleanStage, not a bare commit: an OCC racer winning the
       // seq must not leak this attempt's full-snapshot stage dir across
       // every retryOnConflict round
-      commitOrCleanStage(Commit(seq, "compact", files, prev.schemaJson,
+      commitOrCleanStage(Commit(seq, "compact", carried ++ files, prev.schemaJson,
         prev.checkpoint, System.currentTimeMillis(),
         extra = GraftTable.writeMetrics(files) +
-          ("log_files_compacted" -> prev.logFiles.size.toString)), files)
+          ("log_files_compacted" -> prev.logFiles.size.toString) +
+          ("files_rewritten" -> rewrite.size.toString) +
+          ("files_carried" -> carried.size.toString)), files)
     } finally merged.unpersist(blocking = false)
   }
 
@@ -1188,6 +1236,23 @@ class GraftTable(
 
   /** Snapshot read without engine meta columns. */
   def readUser(): DataFrame = read().drop(Meta.RecordKey, Meta.CommitSeq)
+
+  /** MOR READ-OPTIMIZED view (Hudi's `_ro` table, hive-synced beside the
+    * realtime `_rt` view — reference handler.py:78-80,112-113): base files
+    * ONLY, outstanding delta logs ignored. Cheap and possibly stale — the
+    * state as of the last compaction (or the last COW write), served as a
+    * plain pruned parquet scan with zero merge cost. On a COW table (or a
+    * fully compacted MOR) this IS the snapshot. Columns newer than the
+    * last compaction (schema evolution via delta commits) null-fill: the
+    * manifest schema is pinned, so `_ro` and `_rt` stay union-compatible.
+    */
+  def readOptimized(): DataFrame = {
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    scanFiles(c.files, schema)
+  }
 
   /** Key-range snapshot read with MANIFEST-level file skipping: only files
     * whose [minKey, maxKey] interval overlaps [lo, hi] are scanned (files

@@ -340,6 +340,42 @@ object CdcScenario {
   def morCompacted(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "morc", tableType = GraftTable.MergeOnRead)(_.compact())
 
+  /** MOR with delta logs confined to a NARROW key range, then compacted:
+    * the per-file-group compaction plan must merge only base files whose
+    * key interval overlaps a log file and carry the rest path-identical —
+    * graded on the snapshot being exact (equal to a full compaction),
+    * with the plan counts pinned in MergeSpec. */
+  def morPrunedCompact(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"morp:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-morp").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 128 * 1024, tableType = GraftTable.MergeOnRead)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      tab.upsert(meta(o.filter(k <= 3000 && k % 5 === 0)
+        .withColumn("o_orderstatus", lit("Q"))
+        .withColumn("o_totalprice", col("o_totalprice") + 111.0), 2, deleted = false))
+      tab.compact()
+      tab
+    })
+
+  /** MOR mid-lifecycle for the `_ro`/`_rt` dual view: full load → batch A
+    * as a delta log → compact (base = full+A state) → batch B as an
+    * OUTSTANDING delta log. `readOptimized()` must serve the base-only
+    * (stale, commit-1-equivalent) state while `read()` merges B in. */
+  def morDualView(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"mordv:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-mordv").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024, tableType = GraftTable.MergeOnRead)
+      tab.bulkInsert(fullLoad(s, dir))
+      tab.upsert(batchA(s, dir))
+      tab.compact()
+      tab.upsert(batchB(s, dir))
+      tab
+    })
+
   /** Streaming-ingested variant (S3/ST2): the same batches arrive as raw
     * files drained by Structured Streaming foreachBatch upserts. */
   def streamed(s: SparkSession, dir: String): GraftTable =
@@ -646,6 +682,27 @@ object CdcQueries {
     // T4: MERGE_ON_READ — logs + merge-on-read view, then compacted base
     "mor_snapshot" -> ((s, dir) => statusAgg(CdcScenario.mor(s, dir))),
     "mor_compacted" -> ((s, dir) => statusAgg(CdcScenario.morCompacted(s, dir))),
+    // T4 per-file-group compaction: logs on a narrow key range → only
+    // overlapping base files rewrite, the rest carry; snapshot is exact
+    "mor_compact_pruned" -> ((s, dir) =>
+      statusAgg(CdcScenario.morPrunedCompact(s, dir))),
+    // MOR read-optimized view (_ro): base files only — the stale
+    // commit-1-equivalent state while batch B sits in outstanding logs...
+    "mor_read_optimized" -> ((s, dir) =>
+      CdcScenario.morDualView(s, dir).readOptimized()
+        .drop(Meta.RecordKey, Meta.CommitSeq)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // ...while the realtime view (_rt) of the SAME table merges the logs:
+    // the registered _ro/_rt catalog pair resolves by name (Hudi hive-sync
+    // shape) and _rt equals the standard final state
+    "mor_realtime_view" -> ((s, dir) => {
+      val tab = CdcScenario.morDualView(s, dir)
+      val (_, rt) = graft.sync.CatalogSync.syncMor(s, "graftdb", "orders_mor", tab)
+      s.table(rt).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
     // S3/ST2: Structured Streaming ingest of the same batches
     "st_stream_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamed(s, dir))),
     // S3/ST2 over a gzipped-JSONL zone: same loop, text-format source
@@ -980,6 +1037,29 @@ object CdcQueries {
          FROM orders WHERE o_orderkey % 1000 = 1""",
     "mor_snapshot" -> statusAggSql,
     "mor_compacted" -> statusAggSql,
+    "mor_compact_pruned" ->
+      """WITH st AS (
+           SELECT CASE WHEN o_orderkey <= 3000 AND o_orderkey % 5 = 0
+                       THEN 'Q' ELSE o_orderstatus END AS o_orderstatus,
+                  CAST(CASE WHEN o_orderkey <= 3000 AND o_orderkey % 5 = 0
+                       THEN o_totalprice + 111.0 ELSE o_totalprice END
+                       AS DECIMAL(18,2)) AS price
+           FROM orders)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM st GROUP BY o_orderstatus""",
+    // the _ro view serves the state as of the last compaction = commit 1
+    // (full load + batch A) — the same state the time-travel oracle pins
+    "mor_read_optimized" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM orders WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+         FROM orders WHERE o_orderkey % 1000 = 1""",
+    "mor_realtime_view" -> statusAggSql,
     "st_stream_ingest" -> statusAggSql,
     "st_jsonl_ingest" -> statusAggSql,
     "st_csv_ingest" -> statusAggSql,

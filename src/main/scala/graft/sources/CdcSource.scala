@@ -144,11 +144,23 @@ object JdbcSource {
     * stays the full-load path). Feed the result to `GraftTable.upsert`
     * and record the new high watermark in the commit checkpoint — the
     * same exactly-once loop the file-based incremental source uses.
-    * `table`/`watermarkCol` are interpolated verbatim into the pushed
-    * query: the caller supplies the source dialect's quoting. */
+    * `table`/`watermarkCol` are interpolated into the pushed query after
+    * validation against a conservative identifier grammar (optionally
+    * schema-qualified bare identifiers, or fully double-quoted parts —
+    * the caller supplies any dialect-specific quoting inside the quotes):
+    * a user-influenced identifier can otherwise smuggle SQL into the
+    * SOURCE database. */
   def readIncremental(spark: SparkSession, url: String, table: String,
       watermarkCol: String, lastWatermark: Long,
       props: Map[String, String] = Map.empty): DataFrame = {
+    def checkIdent(what: String, s: String): Unit = {
+      val part = """([A-Za-z_][A-Za-z0-9_$]*|"[^"\\;]+")"""
+      require(s.matches(s"$part(\\.$part)*"),
+        s"$what is not a safe SQL identifier: $s " +
+          "(use bare or double-quoted dot-qualified parts)")
+    }
+    checkIdent("table", table)
+    checkIdent("watermarkCol", watermarkCol)
     val r = spark.read.format("jdbc")
       .option("url", url)
       .option("query",

@@ -67,11 +67,16 @@ object ContinuousIngest {
       format: String = "parquet",
       sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
       sourceOptions: Map[String, String] = Map.empty): Boolean = {
-    val suffix = format match {
-      case "parquet" => ".parquet"
-      case other => s".$other"
+    // a JSONL zone may shard as .json OR .jsonl (both advertised by
+    // CdcSource.readJsonl) — the emptiness probe must accept either, or a
+    // .jsonl zone silently never drains while the batch reader ingests it
+    val suffixes = format match {
+      case "parquet" => Seq(".parquet")
+      case "json" => Seq(".json", ".jsonl")
+      case other => Seq(s".$other")
     }
-    if (graft.sources.CdcSource.listDataFiles(spark, rawDir, suffix).isEmpty) false
+    if (suffixes.forall(sfx =>
+        graft.sources.CdcSource.listDataFiles(spark, rawDir, sfx).isEmpty)) false
     else {
       val q = start(spark, rawDir, table, checkpointDir, transformerSql,
         availableNow = true, format = format, sourceSchema = sourceSchema,

@@ -40,6 +40,27 @@ object CatalogSync {
     name
   }
 
+  /** MOR dual-view sync (the Hudi hive-sync shape, handler.py:78-80):
+    * registers BOTH `<name>_ro` (read-optimized — base files only, cheap
+    * and possibly stale) and `<name>_rt` (realtime — merge-on-read
+    * snapshot) for the same table, exactly like Hudi's `_ro`/`_rt`
+    * catalog pair for MERGE_ON_READ tables. On a COW table the two views
+    * are identical by construction. Returns (roName, rtName).
+    */
+  def syncMor(spark: SparkSession, database: String, tableName: String,
+      table: GraftTable): (String, String) = {
+    val ro = viewName(database, tableName) + "_ro"
+    val rt = viewName(database, tableName) + "_rt"
+    val roView = table.readOptimized().drop(graft.model.Meta.RecordKey,
+      graft.model.Meta.CommitSeq)
+    roView.createOrReplaceTempView(ro)
+    roView.createOrReplaceGlobalTempView(ro)
+    val rtView = table.readUser()
+    rtView.createOrReplaceTempView(rt)
+    rtView.createOrReplaceGlobalTempView(rt)
+    (ro, rt)
+  }
+
   /** Persistent metastore sync of the latest commit: hard-link snapshot
     * dir + external table `database.tableName`. Returns the qualified
     * table name. Snapshot dirs are kept for the current and previous
