@@ -1627,19 +1627,43 @@ class GraftTable(
 
   // --------------------------------------------------------- table services
 
-  /** T1 inline clustering: rewrite the snapshot into right-sized key-sorted
-    * files (small-file compaction, reference handler.py:73,81). Retries on
-    * an optimistic writer winning the seq (see [[retryOnConflict]]). */
-  def cluster(): Commit = withLock(retryOnConflict {
-    val prev = timeline.latest().getOrElse(
-      throw new IllegalStateException(s"no commits at $root"))
-    val seq = prev.seq + 1
-    val files = writeFiles(read(), seq, prev.files.map(_.bytes).sum)
-    commitOrCleanStage(Commit(seq, "cluster", files, prev.schemaJson,
-      prev.checkpoint, System.currentTimeMillis(),
-      extra = GraftTable.writeMetrics(files) +
-        ("files_before" -> prev.files.size.toString)), files)
-  })
+  /** T1 inline clustering (small-file compaction, reference
+    * handler.py:73,81): rewrite file groups into right-sized key-sorted
+    * files. `smallFileBytes` is the CLUSTERING PLAN threshold (the Hudi
+    * small-file-limit strategy): only files under it rewrite — merged
+    * together into target-sized files — and every right-sized file
+    * carries forward path-identical, so the pass run inline after every
+    * commit costs O(small files), never O(table). The default
+    * (`Long.MaxValue`) is the full snapshot rewrite: the re-layout /
+    * shed-dropped-column-bytes operation, which deliberately touches
+    * everything. A MOR table with outstanding logs always takes the full
+    * path (the rewrite folds the logs; carrying base files while logs
+    * straddle them would split version chains). Retries on an optimistic
+    * writer winning the seq (see [[retryOnConflict]]). */
+  def cluster(smallFileBytes: Long = Long.MaxValue): Commit =
+    withLock(retryOnConflict {
+      val prev = timeline.latest().getOrElse(
+        throw new IllegalStateException(s"no commits at $root"))
+      val seq = prev.seq + 1
+      val (small, carried) =
+        if (prev.logFiles.nonEmpty) (prev.files, Seq.empty[DataFile])
+        else prev.files.partition(_.bytes < smallFileBytes)
+      // fewer than two small files: merging cannot reduce the file count —
+      // publishing a commit that re-writes one file is pure churn
+      if (carried.nonEmpty && small.size < 2) return prev
+      val schema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val input =
+        if (prev.logFiles.nonEmpty) read() else scanFiles(small, schema)
+      val files = writeFiles(input, seq,
+        (small ++ prev.logFiles).map(_.bytes).sum)
+      commitOrCleanStage(Commit(seq, "cluster", carried ++ files, prev.schemaJson,
+        prev.checkpoint, System.currentTimeMillis(),
+        extra = GraftTable.writeMetrics(files) +
+          ("files_before" -> prev.files.size.toString) +
+          ("files_rewritten" -> small.size.toString) +
+          ("files_carried" -> carried.size.toString)), files)
+    })
 
   /** T1 variant — Z-ORDER clustering (Delta OPTIMIZE ZORDER BY / Hudi
     * clustering with z-order sort): rewrite the snapshot laid out along the
@@ -1658,13 +1682,22 @@ class GraftTable(
     * the z-value is a sort EXPRESSION, never materialized into the data.
     * Contents are byte-identical to the input snapshot; only layout moves.
     */
-  def clusterZOrder(zCols: Seq[String]): Commit = withLock(retryOnConflict {
+  def clusterZOrder(zCols: Seq[String],
+      smallFileBytes: Long = Long.MaxValue): Commit = withLock(retryOnConflict {
     require(zCols.size >= 2, s"z-order needs >= 2 columns (got $zCols)")
     val prev = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     require(prev.logFiles.isEmpty, "compact() before z-ordering a MOR table")
     val seq = prev.seq + 1
-    val snap = read()
+    // same clustering PLAN as [[cluster]]: under an explicit threshold
+    // only small file groups rewrite (bounds and z-values computed over
+    // that subset), right-sized files carry — the inline-maintenance
+    // shape; the default rewrites the whole snapshot (the re-layout op)
+    val (small, carried) = prev.files.partition(_.bytes < smallFileBytes)
+    if (carried.nonEmpty && small.size < 2) return prev
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val snap = if (carried.isEmpty) read() else scanFiles(small, prevSchema)
     // try_cast, not cast: ANSI mode (Spark 4 default) throws on a
     // non-numeric z column — degrade to the no-bounds fallback instead
     def asD(c: String) = expr(s"try_cast(`$c` AS DOUBLE)")
@@ -1684,11 +1717,13 @@ class GraftTable(
       }
     }
     if (zCols.exists(c => unusable(s"mn_$c") || unusable(s"mx_$c"))) {
-      val files = writeFiles(snap, seq, prev.files.map(_.bytes).sum)
-      return commitOrCleanStage(Commit(seq, "cluster", files, prev.schemaJson,
-        prev.checkpoint, System.currentTimeMillis(),
+      val files = writeFiles(snap, seq, small.map(_.bytes).sum)
+      return commitOrCleanStage(Commit(seq, "cluster", carried ++ files,
+        prev.schemaJson, prev.checkpoint, System.currentTimeMillis(),
         extra = GraftTable.writeMetrics(files) +
           ("files_before" -> prev.files.size.toString) +
+          ("files_rewritten" -> small.size.toString) +
+          ("files_carried" -> carried.size.toString) +
           ("zorder_fallback" -> "no_bounds")), files)
     }
     val n = zCols.size
@@ -1709,12 +1744,14 @@ class GraftTable(
         a.bitwiseOR(shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)), i * n + j))
       }
     }
-    val files = writeFiles(snap, seq, prev.files.map(_.bytes).sum,
+    val files = writeFiles(snap, seq, small.map(_.bytes).sum,
       layoutSort = Seq(zExpr))
-    commitOrCleanStage(Commit(seq, "cluster", files, prev.schemaJson,
+    commitOrCleanStage(Commit(seq, "cluster", carried ++ files, prev.schemaJson,
       prev.checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(files) +
         ("files_before" -> prev.files.size.toString) +
+        ("files_rewritten" -> small.size.toString) +
+        ("files_carried" -> carried.size.toString) +
         ("zorder_cols" -> zCols.mkString(","))), files)
   })
 

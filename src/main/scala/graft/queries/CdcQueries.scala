@@ -99,6 +99,29 @@ object CdcScenario {
   def clustered(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "clu")(_.cluster())
 
+  /** PLANNED incremental clustering (T1, the inline-maintenance shape):
+    * three small insert batches land as small files beside the right-sized
+    * bulk load; `cluster(smallFileBytes)` must merge only the small file
+    * groups and carry the rest path-identical. Graded on the snapshot
+    * being exact; the plan counts are pinned in WriteOpsSpec. */
+  def clusterPlanned(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"clup:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-clup").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 128 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      Seq((30000000L, "A1"), (40000000L, "A2"), (50000000L, "A3"))
+        .foreach { case (off, st) =>
+          tab.upsert(meta(o.filter(k % 500 === 3)
+            .withColumn("o_orderkey", k + off)
+            .withColumn("o_orderstatus", lit(st)), 2, deleted = false))
+        }
+      tab.cluster(smallFileBytes = 64 * 1024)
+      tab
+    })
+
   /** Column-stats index on `o_custkey` (non-key data skipping). */
   def colStats(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "cst", statsColumns = Seq("o_custkey"))(_ => ())
@@ -675,6 +698,9 @@ object CdcQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
     // T1: clustering rewrites files, snapshot must be unchanged
     "cdc_cluster" -> ((s, dir) => statusAgg(CdcScenario.clustered(s, dir))),
+    // T1 planned: only small file groups merged, right-sized files carried
+    "cdc_cluster_planned" -> ((s, dir) =>
+      statusAgg(CdcScenario.clusterPlanned(s, dir))),
     // T2+T3: clean + archive leave the latest snapshot intact
     "cdc_services" -> ((s, dir) => statusAgg(CdcScenario.serviced(s, dir))),
     // ST4: re-applying a batch is a no-op
@@ -1021,6 +1047,18 @@ object CdcQueries {
            CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderpriority""",
     "cdc_cluster" -> statusAggSql,
+    "cdc_cluster_planned" ->
+      """WITH st AS (
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL SELECT 'A1', CAST(o_totalprice AS DECIMAL(18,2))
+             FROM orders WHERE o_orderkey % 500 = 3
+           UNION ALL SELECT 'A2', CAST(o_totalprice AS DECIMAL(18,2))
+             FROM orders WHERE o_orderkey % 500 = 3
+           UNION ALL SELECT 'A3', CAST(o_totalprice AS DECIMAL(18,2))
+             FROM orders WHERE o_orderkey % 500 = 3)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM st GROUP BY o_orderstatus""",
     "cdc_services" -> statusAggSql,
     "cdc_idempotent" -> statusAggSql,
     // state after batch A only: %97 keys deleted, %10 updated (+1000),

@@ -501,4 +501,39 @@ class MergeSpec extends AnyFunSuite {
     val distributed = stats(0)
     assert(distributed.nonEmpty && distributed == driver)
   }
+
+  test("compaction rewrites exactly the log-overlapping file groups and carries the rest") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 8 * 1024, tableType = GraftTable.MergeOnRead)
+    t.bulkInsert((0L until 4000L).map(i => (i, s"v$i", "001"))
+      .toDF("id", "v", "trx_seq"))
+    val base = t.latestCommit().get
+    assert(base.files.size >= 8, s"need a multi-file base (got ${base.files.size})")
+    // delta logs confined to the low end of the key space
+    t.upsert((0L until 200L).map(i => (i, s"u$i", "002")).toDF("id", "v", "trx_seq"))
+    val logs = t.latestCommit().get.logFiles
+    assert(logs.nonEmpty)
+    // expected rewrite set: base files whose interval overlaps a log's
+    val expected = base.files.count(f => logs.exists(l =>
+      f.minKey <= l.maxKey && f.maxKey >= l.minKey))
+    val cc = t.compact()
+    assert(cc.extra("files_rewritten").toInt == expected)
+    assert(cc.extra("files_carried").toInt == base.files.size - expected)
+    assert(cc.extra("files_carried").toInt > 0,
+      "narrow logs must leave most of the base carried")
+    // carried files are path-identical (zero write amplification outside
+    // the affected groups)
+    val carriedPaths = base.files.map(_.path).toSet
+      .intersect(cc.files.map(_.path).toSet)
+    assert(carriedPaths.size == cc.extra("files_carried").toInt)
+    // and the snapshot is exact
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 4000)
+    assert((0L until 200L).forall(i => got(i) == s"u$i"))
+    assert(got(3999L) == "v3999")
+    // a second compact with nothing outstanding is a pure no-op: no new
+    // commit, no rewrite
+    val again = t.compact()
+    assert(again.seq == cc.seq)
+  }
 }

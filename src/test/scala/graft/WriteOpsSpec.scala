@@ -209,6 +209,37 @@ class WriteOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> null, 2L -> null, 3L -> "fresh"))
   }
 
+  test("planned clustering merges only small file groups; right-sized files carry") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 32 * 1024)
+    t.bulkInsert((0L until 4000L).map(i => (i, s"v$i" * 4, "001"))
+      .toDF("id", "v", "trx_seq"))
+    val base = t.latestCommit().get.files
+    // two tiny insert batches in fresh key ranges land as small files
+    t.upsert(Seq((100000L, "a", "002"), (100001L, "b", "002")).toDF("id", "v", "trx_seq"))
+    t.upsert(Seq((200000L, "c", "003"), (200001L, "d", "003")).toDF("id", "v", "trx_seq"))
+    val before = t.latestCommit().get.files
+    val small = before.filter(_.bytes < 4 * 1024)
+    assert(small.size >= 2, s"need small files to plan over (got ${small.size})")
+    assert(small.size < before.size, "need right-sized files to carry")
+    val cc = t.cluster(smallFileBytes = 4 * 1024)
+    assert(cc.extra("files_rewritten").toInt == small.size)
+    assert(cc.extra("files_carried").toInt == before.size - small.size)
+    // carried files are path-identical — zero write amplification on them
+    val carried = before.map(_.path).toSet.intersect(cc.files.map(_.path).toSet)
+    assert(carried.size == cc.extra("files_carried").toInt && carried.nonEmpty)
+    // rewritten bytes track the small files, not the table
+    val rewrittenBytes = cc.files.filterNot(f => carried(f.path)).map(_.bytes).sum
+    assert(rewrittenBytes < base.map(_.bytes).sum / 2,
+      s"planned pass must not rewrite the table (wrote $rewrittenBytes)")
+    // snapshot exact
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 4004 && got(100000L) == "a" && got(200001L) == "d"
+      && got(3999L) == "v3999" * 4)
+    // nothing left to merge: a second planned pass is a no-op (no commit)
+    val again = t.cluster(smallFileBytes = 4 * 1024)
+    assert(again.seq == cc.seq || again.extra("files_rewritten").toInt >= 2)
+  }
+
   test("renameColumn rewrites once and preserves data under the new name") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     t.bulkInsert(Seq((1L, "a", "01"), (2L, "b", "01")).toDF("id", "v", "trx_seq"))
