@@ -1545,11 +1545,53 @@ class GraftTable(
     * Columns added between the two commits are likewise excluded (no
     * before-image exists to compare). One full-outer sort-merge join on
     * the row identity — scales like any key join, no driver state.
+    *
+    * MANIFEST-PRUNED (the 100 TB lever): a key can produce an I/U/D row
+    * only if a file holding one of its versions was added or removed
+    * between the two commits, and that key necessarily lies inside that
+    * changed file's [minKey, maxKey] interval. So both sides prune to
+    * files overlapping the merged interval spans of the manifest
+    * SET-DIFFERENCE, plus an exact residual key-in-span filter (files
+    * overlapping a span may hold out-of-span keys whose version sets the
+    * pruning left incomplete — the residual excludes them, and they
+    * provably cannot have changed). An adjacent-commit diff that touched
+    * one file group scans that group's neighborhood, not two full
+    * snapshots. Falls back to the full two-snapshot join only when a
+    * changed file lacks reliable key stats or the span list degenerates
+    * (> [[GraftTable.MaxDiffSpans]] disjoint spans).
     */
   def changesDiff(fromSeq: Long, toSeq: Long): DataFrame = {
     require(fromSeq < toSeq, s"empty commit range ($fromSeq, $toSeq]")
-    val before0 = readAsOf(fromSeq)
-    val after0 = readAsOf(toSeq)
+    val from = timeline.read(fromSeq)
+    val to = timeline.read(toSeq)
+    val fromAll = from.files ++ from.logFiles
+    val toAll = to.files ++ to.logFiles
+    val fromPaths = fromAll.map(_.path).toSet
+    val toPaths = toAll.map(_.path).toSet
+    val seed = fromAll.filterNot(f => toPaths(f.path)) ++
+      toAll.filterNot(f => fromPaths(f.path))
+    val prunable = seed.forall(GraftTable.hasReliableStats)
+    val spans =
+      if (prunable) GraftTable.mergeKeySpans(seed.map(f => (f.minKey, f.maxKey)))
+      else Seq.empty
+    val usePrune = prunable && spans.size <= GraftTable.MaxDiffSpans
+    def side(c: Commit): DataFrame =
+      if (!usePrune) asOfView(c)
+      else {
+        def keep(f: DataFile): Boolean =
+          !GraftTable.hasReliableStats(f) ||
+            spans.exists { case (lo, hi) =>
+              GraftTable.cmpKey(f.minKey, hi) <= 0 &&
+                GraftTable.cmpKey(f.maxKey, lo) >= 0
+            }
+        val inSpan = spans.foldLeft(lit(false)) { case (acc, (lo, hi)) =>
+          acc || (col(Meta.RecordKey) >= lit(lo) && col(Meta.RecordKey) <= lit(hi))
+        }
+        asOfView(c.copy(files = c.files.filter(keep),
+          logFiles = c.logFiles.filter(keep))).filter(inSpan)
+      }
+    val before0 = side(from)
+    val after0 = side(to)
     val idCols: Seq[String] =
       if (!globalIndex && partitionFields.nonEmpty) partitionFields :+ Meta.RecordKey
       else Seq(Meta.RecordKey)
@@ -1584,15 +1626,17 @@ class GraftTable(
   /** Time travel: the snapshot as of commit `seq` (must still be on the
     * active timeline — cleaning bounds how far back this reaches, exactly
     * like Hudi's retained-commit window, handler.py:90-91). */
-  def readAsOf(seq: Long): DataFrame = {
-    val c = timeline.read(seq)
+  def readAsOf(seq: Long): DataFrame = asOfView(timeline.read(seq))
+
+  /** Snapshot view of a (possibly file-pruned) commit: merge-on-read when
+    * logs are present, plain pinned-schema scan otherwise. */
+  private def asOfView(c: Commit): DataFrame =
     if (c.logFiles.nonEmpty) mergedView(c)
     else {
       val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       scanFiles(c.files, schema)
     }
-  }
 
   def latestCommit(): Option[Commit] = timeline.latest()
   def latestCheckpoint(): Option[String] = timeline.latest().flatMap(_.checkpoint)
@@ -2200,6 +2244,28 @@ object GraftTable {
     }
     x.length - y.length
   }
+
+  /** Span-list degeneracy cap for the pruned [[GraftTable.changesDiff]]:
+    * above this many disjoint changed-key spans the residual OR-chain
+    * stops being codegen-friendly and the diff falls back to the full
+    * two-snapshot join. */
+  val MaxDiffSpans: Int = 256
+
+  /** Merge key intervals into disjoint, sorted spans (driver-side,
+    * O(n log n) in changed-file count). */
+  def mergeKeySpans(ivs: Seq[(String, String)]): Seq[(String, String)] = {
+    if (ivs.isEmpty) return Seq.empty
+    val sorted = ivs.sortWith((a, b) => cmpKey(a._1, b._1) < 0)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)](sorted.head)
+    sorted.tail.foreach { case (lo, hi) =>
+      val (clo, chi) = out.last
+      if (cmpKey(lo, chi) <= 0)
+        out(out.length - 1) = (clo, if (cmpKey(hi, chi) > 0) hi else chi)
+      else out += ((lo, hi))
+    }
+    out.toSeq
+  }
+
   /** Read one parquet footer into a [[DataFile]] (None = zero rows; the
     * caller deletes the file and drops it from the manifest). Executor-safe:
     * depends only on (path, length, table-root URI, Hadoop conf) — no

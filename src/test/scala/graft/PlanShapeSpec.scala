@@ -188,4 +188,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scannedFiles < t.latestCommit().get.files.size,
       s"derived intervals must prune the bootstrap scan ($scannedFiles files)")
   }
+
+  test("changesDiff scans the changed file neighborhood, not two full snapshots") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = new graft.operators.GraftTable(spark,
+      java.nio.file.Files.createTempDirectory("graft-diffplan").toString,
+      Seq("id"), targetFileBytes = 8 * 1024)
+    t.bulkInsert((0L until 4000L).map(i => (i, s"v$i", "001"))
+      .toDF("id", "v", "trx_seq"))
+    val before = t.latestCommit().get.files.size
+    assert(before >= 8, s"need a multi-file table (got $before)")
+    // adjacent commit touching one narrow key range → one file group moves
+    t.upsert(Seq((10L, "u10", "002"), (11L, "u11", "002"))
+      .toDF("id", "v", "trx_seq"))
+    val after = t.latestCommit().get.files.size
+    val df = t.changesDiff(0, 1)
+    val scanned = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    assert(scanned < (before + after) / 2,
+      s"adjacent-commit diff must prune the untouched groups " +
+        s"(scanned $scanned of ${before + after})")
+    // and the pruned diff is exact
+    val got = df.select(col(graft.model.Meta.RecordKey).cast("long"), col("op"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((10L, "U"), (11L, "U")))
+  }
 }
