@@ -1401,6 +1401,96 @@ class GraftTable(
     parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** RECORD-LEVEL INDEX build (the Hudi RECORD_INDEX / metadata-table
+    * analog): one pass over the snapshot materializes an exact key→file
+    * map as a parquet sidecar under `_graft/rli/c<seq>/`, hash-BUCKETED
+    * on the record key (`bucket=<b>/` hive dirs). A point lookup then
+    * reads O(probed buckets) index shards — flat in the table's FILE
+    * COUNT — and scans only the named data files, where the interval
+    * index costs O(keys · log files) driver-side stabs plus bloom probes
+    * across every manifest entry. The index is pinned to the commit seq
+    * it was built at; [[readKeysIndexed]] refuses a stale index rather
+    * than serve wrong files (incremental maintenance would update only
+    * the buckets of rewritten files' keys — the bucket layout is designed
+    * for it, but rebuilds are explicit here). Requires a compacted table:
+    * outstanding delta logs hold key versions the base-file map cannot
+    * name. Returns the indexed commit seq.
+    */
+  def buildRecordIndex(numBuckets: Int = GraftTable.DefaultRliBuckets): Long = {
+    require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    require(c.logFiles.isEmpty,
+      "buildRecordIndex requires a compacted table: delta logs hold key " +
+        "versions the base-file map cannot name")
+    val idxDir = Paths.get(root, "_graft", "rli", s"c${c.seq}")
+    if (Files.exists(idxDir)) return c.seq // immutable once built for a seq
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val rootAbs = Paths.get(root).toAbsolutePath.toString.stripSuffix("/")
+    val toRel = udf { (uri: String) =>
+      val p = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
+      val i = p.indexOf(rootAbs)
+      if (i < 0) p else p.substring(i + rootAbs.length + 1)
+    }
+    val bucketOf = udf((k: String) => GraftTable.rliBucket(k, numBuckets))
+    val tmp = Paths.get(root, "_graft", "rli",
+      s".c${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}")
+    scanFiles(c.files, schema)
+      .select(col(Meta.RecordKey),
+        toRel(input_file_name()).as("path"),
+        bucketOf(col(Meta.RecordKey)).as("bucket"))
+      .repartition(math.min(numBuckets, 32), col("bucket"))
+      .write.partitionBy("bucket").parquet(tmp.toString)
+    // write-temp + atomic publish: a concurrent builder loses cleanly
+    try Files.move(tmp, idxDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        graft.util.Fs.deleteRecursively(tmp)
+        if (!Files.exists(idxDir)) throw e
+    }
+    c.seq
+  }
+
+  /** Point lookup THROUGH the record-level index: probe keys hash to
+    * buckets driver-side, only those index shards are read (partition-
+    * pruned on `bucket=`), the named data files are scanned with the
+    * exact residual `IN`. Stab cost is O(distinct buckets) index reads +
+    * O(files-holding-keys) data reads — independent of the manifest's
+    * file count, the serving-path shape for 1M-file tables. Fails loudly
+    * on a stale or missing index (see [[buildRecordIndex]]).
+    */
+  def readKeysIndexed(keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "empty key set")
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val idxDir = Paths.get(root, "_graft", "rli", s"c${c.seq}")
+    require(Files.exists(idxDir),
+      s"no record index for commit ${c.seq} at $root — buildRecordIndex() " +
+        "after the latest commit (a stale index would name retired files)")
+    require(c.logFiles.isEmpty,
+      "readKeysIndexed requires a compacted table (see buildRecordIndex)")
+    // bucket dirs that can hold a probed key — derive the bucket count
+    // from the index layout itself, not a caller-supplied number
+    val numBuckets = Using.resource(Files.list(idxDir)) { s =>
+      s.iterator().asScala.count(_.getFileName.toString.startsWith("bucket="))
+    }
+    val allBuckets = keys.map(k => GraftTable.rliBucket(k, numBuckets)).distinct
+    // a bucket dir may be absent when no key hashed into it at build time
+    val present = allBuckets.filter(b => Files.exists(idxDir.resolve(s"bucket=$b")))
+    if (present.isEmpty)
+      return prunedRead(c, _ => false).filter(col(Meta.RecordKey).isin(keys: _*))
+    val idx = spark.read.option("basePath", idxDir.toString)
+      .parquet(present.map(b => s"$idxDir/bucket=$b"): _*)
+      .filter(col(Meta.RecordKey).isin(keys: _*))
+    // driver-side by definition: a point lookup probes a small key set,
+    // so the named-file list is bounded by it
+    val hit = idx.select(col("path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    prunedRead(c, f => hit(f.path))
+      .filter(col(Meta.RecordKey).isin(keys: _*))
+  }
+
   /** Numeric-key point lookup through the order-preserving zero-padded
     * encoding (non-negative only — see [[readKeyRange(lo:Long*]]). */
   def readKeys(keys: Seq[Long])(implicit d: DummyImplicit): DataFrame = {
@@ -2244,6 +2334,16 @@ object GraftTable {
     }
     x.length - y.length
   }
+
+  /** Default bucket count for the record-level index sidecar. */
+  val DefaultRliBuckets: Int = 64
+
+  /** Record-level-index bucket of a key: a fixed-seed hash both the index
+    * build (executor UDF) and the probe side (driver) compute identically.
+    * Independent of Spark's `hash()` so the contract is self-contained. */
+  def rliBucket(key: String, numBuckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c),
+      numBuckets)
 
   /** Span-list degeneracy cap for the pruned [[GraftTable.changesDiff]]:
     * above this many disjoint changed-key spans the residual OR-chain

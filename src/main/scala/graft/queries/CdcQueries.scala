@@ -808,6 +808,17 @@ object CdcQueries {
         .drop(Meta.RecordKey, Meta.CommitSeq)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // record-level-index point lookup: the same probe set served through
+    // the bucketed key→file sidecar — O(buckets) index stabs independent
+    // of the manifest's file count, result identical to cdc_pointlookup
+    "cdc_pointlookup_rli" -> ((s, dir) => {
+      val tab = CdcScenario.main(s, dir)
+      tab.buildRecordIndex() // idempotent per commit seq
+      tab.readKeysIndexed((500L to 60000L by 500L).map(k => f"$k%019d"))
+        .drop(Meta.RecordKey, Meta.CommitSeq)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    }),
     // column-stats data skipping: only files whose tracked o_custkey
     // min/max overlaps the range are scanned; result equals the filtered
     // full snapshot (residual filter keeps exactness)
@@ -1188,6 +1199,11 @@ object CdcQueries {
     // the final state restricted to the probed key set (the +10M inserted
     // keys all end in …001 mod 500, so none are probed)
     "cdc_pointlookup" ->
+      s"""$finalState
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+         FROM final
+         WHERE o_orderkey % 500 = 0 AND o_orderkey BETWEEN 500 AND 60000""",
+    "cdc_pointlookup_rli" ->
       s"""$finalState
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
          FROM final

@@ -415,4 +415,41 @@ class DataSkippingSpec extends AnyFunSuite {
     val want = Seq((1L, 2L, 2L, 1125L + 2250L), (2L, 1L, 0L, 1275L))
     assert(got == want)
   }
+
+  test("record-level index: O(buckets) stabs name exactly the key-holding files") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024)
+    t.bulkInsert((0L until 4000L).map(i => (i, s"v$i", "001"))
+      .toDF("id", "v", "trx_seq"))
+    val total = t.latestCommit().get.files.size
+    assert(total >= 8, s"need a multi-file table (got $total)")
+    val seq = t.buildRecordIndex(numBuckets = 16)
+    assert(seq == t.latestCommit().get.seq)
+    val probes = Seq(5L, 1999L, 3998L).map(k => f"$k%019d")
+    val df = t.readKeysIndexed(probes)
+    // stab bound: the data scan schedules only the files the index named —
+    // never O(total files), regardless of manifest size
+    val scanned = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.length
+    }.sum
+    assert(scanned <= probes.size && scanned < total,
+      s"index must name at most one file per probed key (scanned $scanned)")
+    // exact result, identical to the interval-index path
+    val got = df.select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((5L, "v5"), (1999L, "v1999"), (3998L, "v3998")))
+    val viaIntervals = t.readKeys(probes).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == viaIntervals)
+    // absent keys return empty, not an error
+    assert(t.readKeysIndexed(Seq(f"${999999L}%019d")).isEmpty)
+    // a commit after the build makes the index stale — refuse, never serve
+    // retired files
+    t.upsert(Seq((5L, "patched", "002")).toDF("id", "v", "trx_seq"))
+    intercept[IllegalArgumentException](t.readKeysIndexed(probes))
+    // rebuild at the new seq serves the patched row
+    t.buildRecordIndex(numBuckets = 16)
+    val patched = t.readKeysIndexed(probes).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(patched == Set((5L, "patched"), (1999L, "v1999"), (3998L, "v3998")))
+  }
 }
