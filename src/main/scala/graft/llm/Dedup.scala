@@ -207,67 +207,100 @@ object Dedup {
 
   /** Connected components over an undirected edge list — the step that
     * turns near-dup PAIRS into dedup GROUPS (keep one representative per
-    * group). Min-label propagation: every vertex repeatedly adopts the
-    * smallest component id seen among itself and its neighbors until
-    * fixpoint. Each iteration is one shuffle join (edges ⋈ labels) plus a
-    * partial/final min-aggregate — the classic MapReduce-CC shape (cf.
-    * Kiveris et al., "Connected Components in MapReduce and Beyond";
-    * alternating large-star/small-star has the same per-round cost and a
-    * better adversarial bound, but dedup-cluster graphs have tiny label
-    * diameter, so plain propagation converges in a handful of rounds).
+    * group). Alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round hangs
+    * every node off the minimum of its neighborhood, which contracts
+    * paths by roughly squaring — rounds grow with log(component
+    * diameter), not the diameter itself. Min-label propagation (the
+    * classic MapReduce-CC shape this replaces) needs rounds ∝ diameter:
+    * a chain-shaped near-dup cluster — common at web scale, where doc A
+    * near-dups B near-dups C without A resembling C — multiplies
+    * shuffles linearly there and logarithmically here, at the same
+    * per-round cost (one shuffle groupBy + one shuffle join each).
     * `localCheckpoint` truncates lineage each round — without it the
-    * iterated-join plan tree grows exponentially and kills the driver at
+    * iterated plan tree grows exponentially and kills the driver at
     * scale long before the data does.
     *
     * Returns (id, comp) for every vertex that appears in `edges`.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    connectedComponentsCounted(edges, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the round count — exposed so the
+    * log-convergence bound is testable (LlmSpec pins a 256-chain). */
+  private[graft] def connectedComponentsCounted(edges: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): (DataFrame, Int) = {
     // Checkpoint lifecycle: each localCheckpoint pins an RDD in executor
-    // memory. A superseded iteration's labels (and, after the loop, the
-    // edge set) are unpersisted EAGERLY — without this, a 15-round run
-    // holds 16 full label snapshots until the session dies. Only the
-    // RETURNED labels stay pinned: a localCheckpoint truncates lineage,
-    // so unpersisting the result would make it unrecomputable. Its
-    // footprint is O(near-dup vertices), the smallest set in the job.
+    // memory; superseded rounds are unpersisted EAGERLY. Only the
+    // RETURNED labels stay pinned — a localCheckpoint truncates lineage,
+    // so unpersisting the result would make it unrecomputable.
     def pinned(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
     def release(df: DataFrame): Unit =
       pinned(df).foreach(_.unpersist(blocking = false))
-    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-    val und = e.union(e.select(col("v"), col("u"))).distinct()
-      .localCheckpoint()
-    var labels = und.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    val e0 = edges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val vertices = e0.select(col("u").as("id"))
+      .union(e0.select(col("v").as("id"))).distinct().localCheckpoint()
+    // work on canonically directed (big → small) distinct edges
+    var cur = e0.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+
+    /** large-star: every node links its LARGER neighbors to the minimum
+      * of its full neighborhood (including itself). */
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    /** small-star: every node links its smaller-or-equal neighbors (and
+      * itself) to the minimum among them. */
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+
     var iter = 0
     var converged = false
     try {
       while (!converged && iter < maxIter) {
-        val nbrMin = und
-          .join(labels.select(col("id").as("v"), col("comp")), Seq("v"))
-          .groupBy(col("u").as("id")).agg(min(col("comp")).as("nc"))
-        val next = labels.as("l")
-          .join(nbrMin.as("n"), Seq("id"), "left")
-          .select(col("id"),
-            least(col("l.comp"), coalesce(col("n.nc"), col("l.comp"))).as("comp"))
-          .localCheckpoint()
-        converged = next.as("a")
-          .join(labels.select(col("id"), col("comp").as("old")), Seq("id"))
-          .filter(col("comp") =!= col("old")).isEmpty
-        release(labels) // superseded snapshot — next is checkpointed, no lineage back
-        labels = next
+        val next = smallStar(largeStar(cur)).localCheckpoint()
+        // fixpoint: the directed edge set is stable (stars stay stars)
+        converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+        release(cur)
+        cur = next
         iter += 1
       }
-    } finally release(und)
-    if (!converged) {
-      release(labels)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge after $maxIter iterations " +
-          "(component diameter exceeds the cap); raise maxIter")
-    }
-    labels
+      if (!converged) {
+        release(cur)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge after $maxIter rounds; raise maxIter")
+      }
+      // stable state is a star forest: (u, root) edges. Roots and isolated
+      // vertices (self-loop-only inputs) label themselves.
+      val labels = vertices.as("vs")
+        .join(cur.select(col("u").as("id"), col("v").as("c")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
+        .localCheckpoint()
+      release(cur)
+      (labels, iter)
+    } finally release(vertices)
   }
 
   /** Benchmark decontamination: drop training documents whose exact

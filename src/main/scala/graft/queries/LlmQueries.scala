@@ -34,8 +34,8 @@ object LlmQueries {
     // is the complete Hamming-≤3 pair set, oracle-checked end to end
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
-    // near-dup pairs → dedup groups: connected components by iterative
-    // min-label propagation (shuffle join + min-agg per round)
+    // near-dup pairs → dedup groups: connected components by alternating
+    // large-star/small-star contraction (log-of-diameter rounds)
     "dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5, maxDocFreq = Some(100))

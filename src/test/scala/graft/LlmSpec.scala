@@ -170,6 +170,16 @@ class LlmSpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("large-star/small-star converges in log rounds on a 256-node chain") {
+    // a path graph is the adversarial case for min-label propagation
+    // (rounds ∝ diameter = 255); star contraction must land in O(log n)
+    val edges = (0L until 255L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Dedup.connectedComponentsCounted(edges, "a", "b")
+    assert(rounds <= 10, s"chain took $rounds rounds (diameter-bound behavior)")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 256 && got.forall(_._2 == 0L))
+  }
+
   test("dedup posting queries pin no RDDs and reuse the shingle exchange") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text")
