@@ -98,7 +98,101 @@ private[model] case class CommitRecord(
     adds: Option[Seq[DataFile]] = None,
     removes: Option[Seq[String]] = None,
     logAdds: Option[Seq[DataFile]] = None,
-    logRemoves: Option[Seq[String]] = None)
+    logRemoves: Option[Seq[String]] = None,
+    /** BINARY-SIDECAR full checkpoint (the ≥1M-file scale path — the
+      * Delta checkpoint.parquet / Hudi metadata-table analog): above
+      * [[Timeline.BinarySidecarThreshold]] live files, a full checkpoint
+      * stores its file list as a length-prefixed binary sidecar next to
+      * the commit record (`<name>`, relative to the commits dir) instead
+      * of inline JSON — a 1M-file manifest parses in O(bytes) with no
+      * JSON tree, keeping driver reconstruction seconds-bounded. The
+      * commit POINT is still the tiny JSON record's CAS; the sidecar is
+      * written first and garbage-collected if the CAS loses. */
+    filesBin: Option[String] = None,
+    logFilesBin: Option[String] = None)
+
+/** Length-prefixed binary encoding of a [[DataFile]] list — the sidecar
+  * format behind [[CommitRecord.filesBin]]. Plain streams, no JSON, no
+  * reflection: a 1M-entry manifest encodes/decodes in low seconds on one
+  * driver core where the JSON shape costs an order of magnitude more in
+  * both time and transient heap. Strings are UTF-8 with int length
+  * prefixes (bloom encodings exceed `writeUTF`'s 64 KB cap). Versioned
+  * magic header so the format can evolve without breaking old tables.
+  */
+object BinaryManifest {
+  private val Magic = 0x47465442 // "GFTB"
+  private val Version = 1
+
+  def write(path: Path, files: Seq[DataFile]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(path), 1 << 20))
+    try {
+      out.writeInt(Magic); out.writeInt(Version); out.writeInt(files.size)
+      files.foreach { f =>
+        str(out, f.path)
+        out.writeInt(f.partition.size)
+        f.partition.foreach { case (k, v) => str(out, k); str(out, v) }
+        str(out, f.minKey); str(out, f.maxKey)
+        out.writeLong(f.numRows); out.writeLong(f.bytes)
+        out.writeInt(f.colStats.size)
+        f.colStats.foreach { case (c, s) =>
+          str(out, c); str(out, s.kind); str(out, s.min); str(out, s.max)
+        }
+        opt(out, f.keyBloom)
+        out.writeInt(f.colBlooms.size)
+        f.colBlooms.foreach { case (c, e) => str(out, c); str(out, e) }
+      }
+    } finally out.close()
+  }
+
+  def read(path: Path): Seq[DataFile] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(path), 1 << 20))
+    try {
+      require(in.readInt() == Magic, s"not a graft binary manifest: $path")
+      val v = in.readInt()
+      require(v == Version, s"unsupported binary manifest version $v at $path")
+      val n = in.readInt()
+      val out = Vector.newBuilder[DataFile]
+      out.sizeHint(n)
+      var i = 0
+      while (i < n) {
+        val p = rstr(in)
+        val np = in.readInt()
+        val part = (0 until np).map(_ => (rstr(in), rstr(in))).toMap
+        val mn = rstr(in); val mx = rstr(in)
+        val rows = in.readLong(); val bytes = in.readLong()
+        val ns = in.readInt()
+        val stats = (0 until ns).map(_ =>
+          (rstr(in), ColStat(rstr(in), rstr(in), rstr(in)))).toMap
+        val kb = ropt(in)
+        val nb = in.readInt()
+        val cb = (0 until nb).map(_ => (rstr(in), rstr(in))).toMap
+        out += DataFile(p, part, mn, mx, rows, bytes, stats, kb, cb)
+        i += 1
+      }
+      out.result()
+    } finally in.close()
+  }
+
+  private def str(out: java.io.DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    out.writeInt(b.length); out.write(b)
+  }
+  private def opt(out: java.io.DataOutputStream, s: Option[String]): Unit =
+    s match {
+      case Some(v) => out.writeBoolean(true); str(out, v)
+      case None => out.writeBoolean(false)
+    }
+  private def rstr(in: java.io.DataInputStream): String = {
+    val n = in.readInt()
+    val b = new Array[Byte](n)
+    in.readFully(b)
+    new String(b, StandardCharsets.UTF_8)
+  }
+  private def ropt(in: java.io.DataInputStream): Option[String] =
+    if (in.readBoolean()) Some(rstr(in)) else None
+}
 
 /** Thrown by [[Timeline.commit]] when a DIFFERENT concurrent commit
   * already owns the seq — the optimistic-concurrency conflict signal.
@@ -121,7 +215,8 @@ class ConcurrentCommitException(msg: String) extends IllegalStateException(msg)
   * here is storage-agnostic. Everything is driver-side metadata — no
   * Spark job ever depends on listing the data directory.
   */
-class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
+class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
+    binarySidecarThreshold: Int = Timeline.BinarySidecarThreshold) {
   implicit private val fmts: Formats = DefaultFormats
   private val commitsDir: Path = Paths.get(tableRoot, "_graft", "commits")
   private val archiveDir: Path = Paths.get(tableRoot, "_graft", "archive")
@@ -185,8 +280,14 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
     * file rewritten in place keeps its new stats. */
   private def materialize(r: CommitRecord): Commit = r.baseSeq match {
     case None =>
-      Commit(r.seq, r.action, r.files.getOrElse(Seq.empty), r.schemaJson,
-        r.checkpoint, r.commitTimeMs, r.extra, r.logFiles.getOrElse(Seq.empty))
+      def resolve(inline: Option[Seq[DataFile]], bin: Option[String]): Seq[DataFile] =
+        inline.getOrElse(bin match {
+          case Some(name) => BinaryManifest.read(commitsDir.resolve(name))
+          case None => Seq.empty
+        })
+      Commit(r.seq, r.action, resolve(r.files, r.filesBin), r.schemaJson,
+        r.checkpoint, r.commitTimeMs, r.extra,
+        resolve(r.logFiles, r.logFilesBin))
     case Some(bs) =>
       val base = read(bs)
       def patch(cur: Seq[DataFile], removes: Option[Seq[String]],
@@ -208,10 +309,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
       if (c.seq == 0 || c.seq % Timeline.CheckpointInterval == 0) None
       else try Some(read(c.seq - 1)) catch { case _: Exception => None }
     base match {
-      case None =>
-        CommitRecord(c.seq, c.action, c.schemaJson, c.checkpoint,
-          c.commitTimeMs, c.extra, files = Some(c.files),
-          logFiles = Some(c.logFiles))
+      case None => fullRecord(c)
       case Some(b) =>
         // diff on the WHOLE DataFile, not just the path: a path whose
         // stats changed (in-place rewrite, external writer) must travel as
@@ -230,6 +328,46 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
           adds = Some(adds), removes = Some(removes),
           logAdds = Some(logAdds), logRemoves = Some(logRemoves))
     }
+  }
+
+  /** Full-checkpoint record shape; above the sidecar threshold the file
+    * lists spill to binary sidecars written BEFORE the tiny JSON record —
+    * the record's CAS remains the single commit point, and a lost CAS
+    * garbage-collects the orphaned sidecars ([[commit]]). */
+  private def fullRecord(c: Commit): CommitRecord =
+    if (c.files.size + c.logFiles.size <= binarySidecarThreshold)
+      CommitRecord(c.seq, c.action, c.schemaJson, c.checkpoint, c.commitTimeMs,
+        c.extra, files = Some(c.files), logFiles = Some(c.logFiles))
+    else {
+      Files.createDirectories(commitsDir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val fb = f"${c.seq}%012d-$tag.files.bin"
+      BinaryManifest.write(commitsDir.resolve(fb), c.files)
+      val lb =
+        if (c.logFiles.isEmpty) None
+        else {
+          val n = f"${c.seq}%012d-$tag.logfiles.bin"
+          BinaryManifest.write(commitsDir.resolve(n), c.logFiles)
+          Some(n)
+        }
+      CommitRecord(c.seq, c.action, c.schemaJson, c.checkpoint, c.commitTimeMs,
+        c.extra, filesBin = Some(fb), logFilesBin = lb)
+    }
+
+  /** Sidecar file names referenced by the on-disk record of `seq`. */
+  private def sidecarsOf(seq: Long): Seq[String] = {
+    val p = commitPath(seq)
+    if (!Files.exists(p)) Seq.empty
+    else try {
+      val r = JsonMethods.parse(Files.readString(p)).extract[CommitRecord]
+      r.filesBin.toSeq ++ r.logFilesBin.toSeq
+    } catch { case _: Exception => Seq.empty }
+  }
+
+  private def deleteRecordAndSidecars(seq: Long): Unit = {
+    val side = sidecarsOf(seq)
+    Files.delete(commitPath(seq))
+    side.foreach(n => Files.deleteIfExists(commitsDir.resolve(n)))
   }
 
   def latest(): Option[Commit] = latestSeq().map(read)
@@ -262,10 +400,15 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
   def commit(c: Commit): Commit = {
     init()
     val target = commitPath(c.seq)
-    val bytes = Serialization.write(toRecord(c)).getBytes(StandardCharsets.UTF_8)
+    val rec = toRecord(c)
+    val bytes = Serialization.write(rec).getBytes(StandardCharsets.UTF_8)
     if (store.putIfAbsent(target, bytes)) {
       cachePut(c.seq, stamp(target), c); c
     } else {
+      // CAS lost: this attempt's binary sidecars are referenced by no
+      // record — remove them before resolving the collision
+      (rec.filesBin.toSeq ++ rec.logFilesBin.toSeq)
+        .foreach(n => Files.deleteIfExists(commitsDir.resolve(n)))
       val existing = read(c.seq)
       val same = existing.action == c.action &&
         existing.files.map(_.path).toSet == c.files.map(_.path).toSet &&
@@ -286,8 +429,13 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
     * records. Must run while the commit's base chain is still readable. */
   private def checkpointInPlace(seq: Long): Unit = {
     val c = read(seq)
-    store.put(commitPath(seq), fullJson(c).getBytes(StandardCharsets.UTF_8))
+    val old = sidecarsOf(seq)
+    val rec = fullRecord(c)
+    store.put(commitPath(seq), Serialization.write(rec).getBytes(StandardCharsets.UTF_8))
     cachePut(seq, stamp(commitPath(seq)), c)
+    // sidecars the rewritten record no longer references are dead
+    val keep = (rec.filesBin.toSeq ++ rec.logFilesBin.toSeq).toSet
+    old.filterNot(keep).foreach(n => Files.deleteIfExists(commitsDir.resolve(n)))
   }
 
   /** T3 archiving (reference handler.py:74,92-93: keep 10-15 commits on the
@@ -309,7 +457,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
     // identical content (full manifests of the same commits) — absorb
     store.putIfAbsent(archiveFile, merged.getBytes(StandardCharsets.UTF_8))
     checkpointInPlace(seqs.takeRight(keepLast).head)
-    toArchive.foreach(s => Files.delete(commitPath(s)))
+    toArchive.foreach(deleteRecordAndSidecars)
     toArchive.foreach(commitCache.remove)
     toArchive.size
   }
@@ -395,7 +543,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore) {
       val p = Paths.get(tableRoot, rel)
       if (Files.exists(p)) Files.delete(p)
     }
-    doomed.foreach(s => Files.delete(commitPath(s)))
+    doomed.foreach(deleteRecordAndSidecars)
     commitCache.clear()
     doomed.size
   }
@@ -429,6 +577,15 @@ object Timeline {
     * this depth; commit-file size between checkpoints is bounded by the
     * batch churn, not the table's live-file count. */
   val CheckpointInterval: Int = 10
+
+  /** Above this many live files a full checkpoint spills its file lists
+    * to a [[BinaryManifest]] sidecar instead of inline JSON. 100k files
+    * (~14 MB JSON) is the measured comfortable ceiling for the JSON
+    * shape; a 100 TB table at 128 MB/file carries ~800k-1M entries and
+    * needs the O(bytes) binary path to keep driver manifest reads
+    * seconds-bounded. Savepoints and archives stay deliberately inline:
+    * they are the SELF-CONTAINED disaster-recovery records. */
+  val BinarySidecarThreshold: Int = 100000
 
   /** `commitTimeMs` is a flat top-level field of every record shape (the
     * nested DataFile objects carry no such key), so a textual probe is

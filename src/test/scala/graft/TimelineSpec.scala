@@ -119,6 +119,48 @@ class TimelineSpec extends AnyFunSuite {
     assert(tl.read(5).files.map(_.path) == live.map(_.path))
   }
 
+  test("1M-file checkpoint spills to a binary sidecar; parse and prune stay bounded") {
+    val root = Files.createTempDirectory("graft-tl-1m").toString
+    val tl = new Timeline(root)
+    val n = 1000000 // the 100 TB shape: ~128 MB/file
+    val live: Seq[DataFile] = (0 until n).map(df)
+    tl.commit(Commit(0, "bulk_insert", live, "{}", None, 1700000000000L))
+    // the commit RECORD stays tiny — the list lives in a binary sidecar
+    val rec = Paths.get(root, "_graft", "commits", "000000000000.commit.json")
+    assert(Files.size(rec) < 16 * 1024,
+      s"1M-file record must reference a sidecar (got ${Files.size(rec)} bytes)")
+    val sidecars = scala.util.Using.resource(Files.list(rec.getParent)) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".files.bin")).toSeq
+    }
+    assert(sidecars.size == 1)
+    // cold-cache reconstruction is O(bytes), seconds-bounded
+    val tl2 = new Timeline(root)
+    val t0 = System.nanoTime()
+    val c = tl2.read(0)
+    val parseS = (System.nanoTime() - t0) / 1e9
+    assert(c.files.size == n)
+    assert(c.files.head == live.head && c.files.last == live.last,
+      "binary round-trip must be field-exact")
+    assert(parseS < 60.0, f"1M-file manifest parse took $parseS%.1f s")
+    // and the write planner's prune structure builds + stabs on it fine:
+    // O(n log n) index build, O(log n) per-key stab, all driver-side
+    val t1 = System.nanoTime()
+    val idx = graft.operators.IntervalIndex.build(
+      c.files.map(f => (f.minKey, f.maxKey, f.path)))
+    val hits = (0 until 1000).map(k => idx.stab(f"k${k * 997}%07d"))
+    val pruneS = (System.nanoTime() - t1) / 1e9
+    assert(hits.forall(_.nonEmpty))
+    assert(pruneS < 60.0, f"1M-file index build + 1000 stabs took $pruneS%.1f s")
+    // delta commits on top stay churn-bounded exactly as at 100k
+    val live2 = live.drop(10) ++ (0 until 10).map(i => df(n + i))
+    tl2.commit(Commit(1, "upsert", live2, "{}", None, 1700000000001L))
+    val d1 = Paths.get(root, "_graft", "commits", "000000000001.commit.json")
+    assert(Files.size(d1) < 64 * 1024)
+    assert(tl2.read(1).files.size == n)
+  }
+
   test("bloom fields round-trip through delta records, checkpoints and the archive") {
     val root = Files.createTempDirectory("graft-tl-bloom").toString
     val tl = new Timeline(root)
