@@ -21,11 +21,20 @@ import org.apache.spark.sql.functions._
 object Bench {
   /** Representative spread: scan+filter, shuffle join, broadcast join,
     * agg, window, top-k, as-of, correlated subquery, CDC ingest, CDC read,
-    * minhash dedup, ANN, text stats. */
+    * minhash dedup, ANN, text stats. BYTE-STABLE across rounds for
+    * comparability — new surface benches go in [[WriteFamily]]. */
   val Headline: Seq[String] = Seq(
     "tr1_filter_project", "tr2_join_inner", "tr2_join_asof", "tr3_agg_group",
     "tr4_window_rank", "tr5_topk", "tr8_exists",
     "cdc_ingest", "cdc_read", "dedup_minhash", "sim_topk_brute", "text_stats")
+
+  /** Second reported section (round 9+): the write/maintenance family —
+    * SQL MERGE INTO, per-file-group compaction, planned clustering, and
+    * the manifest-pruned CDF diff — each timed on a prebuilt table.
+    * Mutating ops run on a fresh hard-link CLONE per run (zero-copy
+    * setup), so the timed window is the operation itself. */
+  val WriteFamily: Seq[String] = Seq(
+    "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff")
 
   val Runs = 3
 
@@ -87,10 +96,91 @@ object Bench {
       }
       name -> (if (times.exists(_ < 0)) -1.0 else median(times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
+
+    // ---- write/maintenance family (round 9+): prebuilt bases, op timed
+    import org.apache.spark.sql.DataFrame
+    def tmpRoot(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-bench-$tag").toString
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val k = col("o_orderkey")
+    def stamp(df: DataFrame, seq: Int): DataFrame =
+      df.withColumn("trx_seq", lit(f"$seq%020d"))
+    // MERGE base: plain bulk-loaded table
+    val mergeBase = new graft.operators.GraftTable(spark, tmpRoot("merge"),
+      Seq("o_orderkey"), targetFileBytes = 1024 * 1024)
+    mergeBase.bulkInsert(stamp(orders, 1))
+    val mergeSource = orders.filter(k % 13 === 0)
+      .withColumn("action", when(k % 26 === 0, lit("DEL")).otherwise(lit("ADJ")))
+    // compact base: MOR with delta logs confined to a narrow key range
+    val morBase = new graft.operators.GraftTable(spark, tmpRoot("mor"),
+      Seq("o_orderkey"), targetFileBytes = 1024 * 1024,
+      tableType = graft.operators.GraftTable.MergeOnRead)
+    morBase.bulkInsert(stamp(orders, 1))
+    morBase.upsert(stamp(orders.filter(k <= 30000 && k % 5 === 0)
+      .withColumn("o_orderstatus", lit("Q")), 2))
+    // cluster base: right-sized bulk plus three small-file insert commits
+    val cluBase = new graft.operators.GraftTable(spark, tmpRoot("clu"),
+      Seq("o_orderkey"), targetFileBytes = 1024 * 1024)
+    cluBase.bulkInsert(stamp(orders, 1))
+    Seq(30000000L, 40000000L, 50000000L).foreach { off =>
+      cluBase.upsert(stamp(orders.filter(k % 500 === 3)
+        .withColumn("o_orderkey", k + off), 2))
+    }
+    // diff base: the read-only 3-commit scenario already built above
+    // outer () = UNTIMED per-run setup (hard-link clone); inner () = the
+    // timed operation itself
+    val writeOps: Seq[(String, () => () => Unit)] = Seq(
+      "w_merge_into" -> (() => {
+        val c = mergeBase.cloneTo(tmpRoot("merge-run") + "/t")
+        () => {
+          c.mergeInto(mergeSource,
+            whenMatchedSet = Map("o_orderstatus" -> lit("M"),
+              "o_totalprice" -> (col("o_totalprice") + lit(100.0))),
+            whenMatchedDelete = Some(col("src_action") === "DEL"))
+          ()
+        }
+      }),
+      "w_compact_pruned" -> (() => {
+        val c = morBase.cloneTo(tmpRoot("mor-run") + "/t")
+        () => { c.compact(); () }
+      }),
+      "w_cluster_planned" -> (() => {
+        val c = cluBase.cloneTo(tmpRoot("clu-run") + "/t")
+        () => { c.cluster(smallFileBytes = 256 * 1024); () }
+      }),
+      "w_changes_diff" -> (() => {
+        () => readTable.changesDiff(1, 2)
+          .write.format("noop").mode("overwrite").save()
+      }))
+    val writeResults = writeOps.map { case (name, mkRun) =>
+      val times = (1 to Runs).map { _ =>
+        val run =
+          try mkRun()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name setup failed: ${e.getMessage}")
+            null
+          }
+        if (run == null) -1.0
+        else {
+          val t0 = System.nanoTime()
+          val ok =
+            try { run(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else median(times))
+    }
+
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (n, v) => "\"" + n + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val qs = jsonMap(results)
+    val ws = jsonMap(writeResults)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"queries":$qs,"write_family":$ws,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
