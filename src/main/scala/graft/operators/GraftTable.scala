@@ -1902,6 +1902,9 @@ class GraftTable(
     * until [[deleteSavepoint]]. */
   def savepoint(seq: Long): Unit = withLock(timeline.savepoint(seq))
 
+  /** Savepointed commits, oldest first (driver-side metadata). */
+  def listSavepoints(): Seq[Commit] = timeline.listSavepoints()
+
   def deleteSavepoint(seq: Long): Boolean = withLock(timeline.deleteSavepoint(seq))
 
   /** FORWARD-MOVING restore (Hudi's restore-to-savepoint, minus its

@@ -645,6 +645,18 @@ object CdcScenario {
       ()
     }
 
+  /** SQL-managed MOR table: a clone of the standard MOR scenario whose
+    * outstanding logs are folded through the `CALL run_compaction(...)`
+    * SQL procedure — the management surface exercised end to end. */
+  def sqlManaged(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"sqlm:$dir", {
+      val cl = mor(s, dir).cloneTo(
+        Files.createTempDirectory("graft-cdc-sqlmor").toString + "/t")
+      graft.sql.GraftSql.register(s, "orders_sqlmor", cl)
+      graft.sql.GraftSql.sql(s, "CALL run_compaction('orders_sqlmor')").collect()
+      cl
+    })
+
   /** Composite-key table over lineitem (M5 ComplexKeyGenerator semantics). */
   def keyed(s: SparkSession, dir: String): GraftTable =
     cache.getOrElseUpdate(s"keys:$dir", {
@@ -966,6 +978,25 @@ object CdcQueries {
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+    // SQL time travel: the graft VERSION AS OF clause rewrites to the
+    // commit-1 snapshot inside otherwise-ordinary Spark SQL
+    "sql_version_as_of" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s, "orders_sql", CdcScenario.main(s, dir))
+      graft.sql.GraftSql.sql(s,
+        """SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+           FROM orders_sql VERSION AS OF 1""")
+    }),
+    // SQL management: CALL run_compaction folded the clone's delta logs;
+    // the snapshot must equal the standard final state
+    "sql_call_compaction" -> ((s, dir) => statusAgg(CdcScenario.sqlManaged(s, dir))),
+    // SQL management: CALL show_commits exposes the timeline (clone
+    // commit 0, compaction commit 1)
+    "sql_call_show_commits" -> ((s, dir) => {
+      CdcScenario.sqlManaged(s, dir)
+      graft.sql.GraftSql.sql(s, "CALL show_commits('orders_sqlmor')")
+        .select(col("seq"), col("action"))
+    }),
     // M5: composite key encoding, uniqueness, and ordering
     "m5_keygen" -> ((s, dir) => {
       val t = CdcScenario.keyed(s, dir).read()
@@ -1109,6 +1140,22 @@ object CdcQueries {
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
          FROM orders WHERE o_orderkey % 1000 = 1""",
     "mor_realtime_view" -> statusAggSql,
+    // VERSION AS OF 1 = commit-1 state, the same oracle as cdc_timetravel
+    "sql_version_as_of" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+           CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM orders WHERE o_orderkey % 97 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N',
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+         FROM orders WHERE o_orderkey % 1000 = 1""",
+    "sql_call_compaction" -> statusAggSql,
+    "sql_call_show_commits" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'clone'),
+           (CAST(1 AS BIGINT), 'compact')) AS t(seq, action)""",
     "st_stream_ingest" -> statusAggSql,
     "st_jsonl_ingest" -> statusAggSql,
     "st_csv_ingest" -> statusAggSql,

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraftTable
+import graft.sql.GraftSql
+
+/** The SQL doorway: VERSION/TIMESTAMP AS OF rewriting over registered
+  * tables and the CALL procedure surface (the Hudi Spark-SQL analog). */
+class GraftSqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-sql").toString
+
+  private def mk(name: String): GraftTable = {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001")).toDF("id", "v", "trx_seq"))
+    t.upsert(Seq((2L, "b2", "002"), (3L, "c", "002")).toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, name, t)
+    t
+  }
+
+  test("VERSION AS OF rewrites registered tables; unregistered names pass through") {
+    mk("sqlspec_t1")
+    val v0 = GraftSql.sql(spark,
+      "SELECT id, v FROM sqlspec_t1 VERSION AS OF 0 ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(v0 == Seq((1L, "a"), (2L, "b")))
+    val v1 = GraftSql.sql(spark,
+      "SELECT id, v FROM sqlspec_t1 VERSION AS OF 1 ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(v1 == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // live view (no clause) serves the latest snapshot
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM sqlspec_t1")
+      .as[Long].head() == 3)
+    // an unregistered name keeps its clause verbatim and fails in Spark's
+    // own parser — the rewrite cannot touch foreign tables
+    intercept[Exception](GraftSql.sql(spark,
+      "SELECT * FROM not_registered VERSION AS OF 0"))
+  }
+
+  test("TIMESTAMP AS OF resolves through commit times") {
+    val t = mk("sqlspec_t2")
+    val c0 = t.history().head.commitTimeMs
+    val ts = new java.sql.Timestamp(c0).toString
+    val rows = GraftSql.sql(spark,
+      s"SELECT id, v FROM sqlspec_t2 TIMESTAMP AS OF '$ts' ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("CALL procedures: show_commits, clean, savepoint/restore, rollback, rli") {
+    val t = mk("sqlspec_t3")
+    val commits = GraftSql.sql(spark, "CALL show_commits('sqlspec_t3')")
+      .select("seq", "action").as[(Long, String)].collect().toSeq
+    assert(commits == Seq((0L, "bulk_insert"), (1L, "upsert")))
+    // savepoint + junk batch + restore
+    GraftSql.sql(spark, "CALL create_savepoint('sqlspec_t3', 1)").collect()
+    assert(t.listSavepoints().map(_.seq) == Seq(1L))
+    t.upsert(Seq((9L, "junk", "003")).toDF("id", "v", "trx_seq"))
+    GraftSql.sql(spark, "CALL restore_savepoint('sqlspec_t3', 1)").collect()
+    assert(t.readUser().count() == 3)
+    // rollback discards the junk + restore commits
+    GraftSql.sql(spark, "CALL rollback_to('sqlspec_t3', 1)").collect()
+    assert(t.history().map(_.seq) == Seq(0L, 1L))
+    // record index through SQL; stale-free because nothing committed since
+    val idx = GraftSql.sql(spark, "CALL build_record_index('sqlspec_t3')")
+      .as[(String, String)].collect().toMap
+    assert(idx("indexed_seq") == "1")
+    // clean retains the latest snapshot
+    GraftSql.sql(spark, "CALL run_clean('sqlspec_t3', 1)").collect()
+    assert(t.readUser().count() == 3)
+  }
+
+  test("CALL run_clustering takes the optional plan threshold") {
+    val t = mk("sqlspec_t4")
+    val r = GraftSql.sql(spark,
+      "CALL run_clustering('sqlspec_t4', 4096)")
+      .as[(String, String)].collect().toMap
+    // tiny table: either a no-op plan (fewer than 2 small files) or a
+    // planned merge — both surface through the summary shape
+    assert(r.contains("action") || r.contains("files_rewritten") || r.nonEmpty)
+  }
+
+  test("unknown procedures and malformed arguments fail loudly") {
+    mk("sqlspec_t5")
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL no_such_proc('sqlspec_t5')"))
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL run_clean('sqlspec_t5')")) // arity
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL show_commits('not_registered')"))
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL run_clean('sqlspec_t5', 'unterminated)"))
+  }
+}
