@@ -51,7 +51,16 @@ class GraftTable(
     val statsColumns: Seq[String] = Seq.empty,
     val keyBlooms: Boolean = false,
     val bloomColumns: Seq[String] = Seq.empty,
-    val partialUpdate: Boolean = false) {
+    val partialUpdate: Boolean = false,
+    /** > 0 enables INLINE clustering (reference handler.py:73,81 —
+      * hoodie.clustering.inline): after every locked upsert commit, a
+      * planned [[cluster]] pass with this small-file threshold folds
+      * accumulated small file groups. The fewer-than-two-small-files
+      * no-op guard makes the idle case a driver-only manifest check, so
+      * "every commit" costs nothing until small files actually pile up.
+      * MOR tables defer the pass while delta logs are outstanding
+      * (inline compaction folds those first). */
+    val clusterSmallFileBytes: Long = 0L) {
 
   private val timeline = new Timeline(root)
   // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
@@ -548,9 +557,15 @@ class GraftTable(
     */
   def upsert(batch0: DataFrame, checkpoint: Option[String] = None): Commit =
     withLock {
-      if (tableType == GraftTable.MergeOnRead && timeline.latest().isDefined)
-        doDeltaCommit(batch0, checkpoint)
-      else doUpsert(batch0, checkpoint)
+      val c =
+        if (tableType == GraftTable.MergeOnRead && timeline.latest().isDefined)
+          doDeltaCommit(batch0, checkpoint)
+        else doUpsert(batch0, checkpoint)
+      // inline clustering (lock already held): a no-op unless >= 2 small
+      // files exist and no delta logs are outstanding
+      if (clusterSmallFileBytes > 0 && c.logFiles.isEmpty)
+        retryOnConflict(doCluster(clusterSmallFileBytes))
+      else c
     }
 
   /** The write planner's affected-file selection (the 100 TB lever),
@@ -1403,18 +1418,22 @@ class GraftTable(
 
   /** RECORD-LEVEL INDEX build (the Hudi RECORD_INDEX / metadata-table
     * analog): one pass over the snapshot materializes an exact key→file
-    * map as a parquet sidecar under `_graft/rli/c<seq>/`, hash-BUCKETED
-    * on the record key (`bucket=<b>/` hive dirs). A point lookup then
-    * reads O(probed buckets) index shards — flat in the table's FILE
-    * COUNT — and scans only the named data files, where the interval
-    * index costs O(keys · log files) driver-side stabs plus bloom probes
-    * across every manifest entry. The index is pinned to the commit seq
-    * it was built at; [[readKeysIndexed]] refuses a stale index rather
-    * than serve wrong files (incremental maintenance would update only
-    * the buckets of rewritten files' keys — the bucket layout is designed
-    * for it, but rebuilds are explicit here). Requires a compacted table:
-    * outstanding delta logs hold key versions the base-file map cannot
-    * name. Returns the indexed commit seq.
+    * map as a parquet sidecar under `_graft/rli/c<seq>/`, RANGE-bucketed
+    * on the record key (`bucket=<b>/` hive dirs). Bucket boundaries are
+    * derived from the MANIFEST — the table's files are key-sorted, so
+    * row-count-weighted cuts over the sorted file intervals give
+    * near-equal buckets with zero data read. A point lookup then reads
+    * O(probed buckets) index shards — flat in the table's FILE COUNT —
+    * and scans only the named data files. Range (not hash) bucketing is
+    * what makes INCREMENTAL maintenance cheap: a commit's churn is
+    * key-contiguous (rewrites carry neighbors), so it touches the few
+    * buckets overlapping the churn interval, where a hash layout would
+    * scatter the same churn across every bucket
+    * ([[maintainRecordIndex]]). The index is pinned to the commit seq it
+    * was built at; [[readKeysIndexed]] refuses a stale index rather than
+    * serve wrong files. Requires a compacted table: outstanding delta
+    * logs hold key versions the base-file map cannot name. Returns the
+    * indexed commit seq.
     */
   def buildRecordIndex(numBuckets: Int = GraftTable.DefaultRliBuckets): Long = {
     require(numBuckets > 0, s"numBuckets must be positive (got $numBuckets)")
@@ -1427,38 +1446,165 @@ class GraftTable(
     if (Files.exists(idxDir)) return c.seq // immutable once built for a seq
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val rootAbs = Paths.get(root).toAbsolutePath.toString.stripSuffix("/")
-    val toRel = udf { (uri: String) =>
-      val p = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
-      val i = p.indexOf(rootAbs)
-      if (i < 0) p else p.substring(i + rootAbs.length + 1)
-    }
-    val bucketOf = udf((k: String) => GraftTable.rliBucket(k, numBuckets))
+    val boundaries = GraftTable.rliBoundaries(c.files, numBuckets)
+    val bcB = spark.sparkContext.broadcast(boundaries)
+    val bucketOf = udf((k: String) => GraftTable.rliRangeBucket(k, bcB.value))
     val tmp = Paths.get(root, "_graft", "rli",
       s".c${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}")
     scanFiles(c.files, schema)
       .select(col(Meta.RecordKey),
-        toRel(input_file_name()).as("path"),
+        rliToRel(input_file_name()).as("path"),
         bucketOf(col(Meta.RecordKey)).as("bucket"))
-      .repartition(math.min(numBuckets, 32), col("bucket"))
+      .repartition(math.min(boundaries.length + 1, 32), col("bucket"))
       .write.partitionBy("bucket").parquet(tmp.toString)
-    // write-temp + atomic publish: a concurrent builder loses cleanly
+    publishRli(tmp, idxDir, boundaries)
+    c.seq
+  }
+
+  /** Scan-URI → table-relative path (shared by the index build paths). */
+  private def rliToRel: Column => Column = {
+    val rootAbs = Paths.get(root).toAbsolutePath.toString.stripSuffix("/")
+    val f = udf { (uri: String) =>
+      val p = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
+      val i = p.indexOf(rootAbs)
+      if (i < 0) p else p.substring(i + rootAbs.length + 1)
+    }
+    f(_)
+  }
+
+  /** Stamp the bucket boundaries and atomically publish an index build
+    * dir. The meta file pins the range layout — probes and maintenance
+    * must bucket EXACTLY as the build did, and deriving anything from
+    * the `bucket=` dir listing would drift whenever a bucket happened to
+    * receive no keys. */
+  private def publishRli(tmp: java.nio.file.Path, idxDir: java.nio.file.Path,
+      boundaries: Array[String]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    Files.writeString(tmp.resolve("_rli.meta"),
+      org.json4s.jackson.Serialization.write(
+        Map("numBuckets" -> (boundaries.length + 1), "boundaries" -> boundaries.toSeq)))
     try Files.move(tmp, idxDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
       case e: java.nio.file.FileSystemException =>
         graft.util.Fs.deleteRecursively(tmp)
         if (!Files.exists(idxDir)) throw e
     }
+  }
+
+  private def readRliMeta(idxDir: java.nio.file.Path): Array[String] = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    (org.json4s.jackson.JsonMethods.parse(
+      Files.readString(idxDir.resolve("_rli.meta"))) \ "boundaries")
+      .extract[Seq[String]].toArray
+  }
+
+  /** INCREMENTAL record-index maintenance (the Hudi metadata-table
+    * update shape): bring the newest prior index forward to the latest
+    * commit by rewriting ONLY the buckets overlapping the commit churn's
+    * key intervals — cost is O(churn + affected-bucket bytes), never
+    * O(table). The affected-bucket set comes straight from the MANIFEST
+    * set-difference (removed files are never read — their intervals
+    * bound their keys); only ADDED files are scanned, for their key→file
+    * entries. Every other bucket HARD-LINKS from the prior index (zero
+    * bytes moved — DataSkippingSpec pins shared inodes). Boundaries are
+    * inherited from the prior build, so buckets drift from equal-sized
+    * under sustained churn; a periodic full [[buildRecordIndex]]
+    * rebalances, exactly like compaction for MOR logs. Falls back to a
+    * full rebuild when no prior index survives on the active timeline or
+    * a churn file lacks reliable key stats. Returns the indexed seq.
+    */
+  def maintainRecordIndex(): Long = {
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val rliRoot = Paths.get(root, "_graft", "rli")
+    val idxDir = rliRoot.resolve(s"c${c.seq}")
+    if (Files.exists(idxDir)) return c.seq
+    require(c.logFiles.isEmpty,
+      "maintainRecordIndex requires a compacted table (see buildRecordIndex)")
+    val activeSeqs = timeline.listCommitSeqs().toSet
+    val prior: Option[Long] =
+      if (!Files.exists(rliRoot)) None
+      else Using.resource(Files.list(rliRoot)) { s =>
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("c\\d+")).map(_.drop(1).toLong)
+          .filter(p => p < c.seq && activeSeqs(p)).maxOption
+      }
+    val pSeq = prior.getOrElse(return buildRecordIndex())
+    val priorDir = rliRoot.resolve(s"c$pSeq")
+    if (!Files.exists(priorDir.resolve("_rli.meta"))) return buildRecordIndex()
+    val boundaries = readRliMeta(priorDir)
+    val numBuckets = boundaries.length + 1
+    val pc = timeline.read(pSeq)
+    val curPaths = c.files.map(_.path).toSet
+    val prevPaths = pc.files.map(_.path).toSet
+    val removed = pc.files.filterNot(f => curPaths(f.path))
+    val added = c.files.filterNot(f => prevPaths(f.path))
+    // a statless churn file's keys cannot be bounded → rebalance rebuild
+    if ((removed ++ added).exists(f => !GraftTable.hasReliableStats(f)))
+      return buildRecordIndex()
+    // affected buckets from the churn INTERVALS — pure driver metadata
+    val affected: Set[Int] = (removed ++ added).flatMap { f =>
+      GraftTable.rliRangeBucket(f.minKey, boundaries) to
+        GraftTable.rliRangeBucket(f.maxKey, boundaries)
+    }.toSet
+    val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val bcB = spark.sparkContext.broadcast(boundaries)
+    val bucketOf = udf((k: String) => GraftTable.rliRangeBucket(k, bcB.value))
+    val tmp = rliRoot.resolve(
+      s".c${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (affected.isEmpty) Files.createDirectories(tmp)
+    else {
+      // rewrite ONLY the affected buckets: prior entries minus removed
+      // paths, plus the added files' entries (which land inside the
+      // affected range by key monotonicity)
+      val priorAffected = affected.toSeq.sorted
+        .map(b => priorDir.resolve(s"bucket=$b"))
+        .filter(Files.exists(_)).map(_.toString)
+      val fresh = scanFiles(added, schema)
+        .select(col(Meta.RecordKey), rliToRel(input_file_name()).as("path"),
+          bucketOf(col(Meta.RecordKey)).as("bucket"))
+      val priorPart =
+        if (priorAffected.isEmpty) None
+        else Some(spark.read.option("basePath", priorDir.toString)
+          .parquet(priorAffected: _*)
+          .filter(!col("path").isin(removed.map(_.path): _*))
+          .select(col(Meta.RecordKey), col("path"), col("bucket")))
+      priorPart.map(_.unionByName(fresh)).getOrElse(fresh)
+        .repartition(math.min(affected.size, 32), col("bucket"))
+        .write.partitionBy("bucket").parquet(tmp.toString)
+    }
+    // unaffected buckets hard-link from the prior index — zero copy
+    (0 until numBuckets).filterNot(affected).foreach { b =>
+      val src = priorDir.resolve(s"bucket=$b")
+      if (Files.exists(src)) {
+        val dst = tmp.resolve(s"bucket=$b")
+        Files.createDirectories(dst)
+        Using.resource(Files.list(src)) { s =>
+          s.iterator().asScala.filter(p =>
+            p.getFileName.toString.endsWith(".parquet")).foreach { p =>
+            try Files.createLink(dst.resolve(p.getFileName), p)
+            catch {
+              case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+                Files.copy(p, dst.resolve(p.getFileName))
+            }
+          }
+        }
+      }
+    }
+    publishRli(tmp, idxDir, boundaries)
     c.seq
   }
 
-  /** Point lookup THROUGH the record-level index: probe keys hash to
-    * buckets driver-side, only those index shards are read (partition-
-    * pruned on `bucket=`), the named data files are scanned with the
-    * exact residual `IN`. Stab cost is O(distinct buckets) index reads +
-    * O(files-holding-keys) data reads — independent of the manifest's
-    * file count, the serving-path shape for 1M-file tables. Fails loudly
-    * on a stale or missing index (see [[buildRecordIndex]]).
+  /** Point lookup THROUGH the record-level index: probe keys bucket by
+    * the meta-pinned range boundaries driver-side, only those index
+    * shards are read (partition-pruned on `bucket=`), the named data
+    * files are scanned with the exact residual `IN`. Stab cost is
+    * O(distinct buckets) index reads + O(files-holding-keys) data reads
+    * — independent of the manifest's file count, the serving-path shape
+    * for 1M-file tables. Fails loudly on a stale or missing index (see
+    * [[buildRecordIndex]]).
     */
   def readKeysIndexed(keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "empty key set")
@@ -1470,13 +1616,9 @@ class GraftTable(
         "after the latest commit (a stale index would name retired files)")
     require(c.logFiles.isEmpty,
       "readKeysIndexed requires a compacted table (see buildRecordIndex)")
-    // bucket dirs that can hold a probed key — derive the bucket count
-    // from the index layout itself, not a caller-supplied number
-    val numBuckets = Using.resource(Files.list(idxDir)) { s =>
-      s.iterator().asScala.count(_.getFileName.toString.startsWith("bucket="))
-    }
-    val allBuckets = keys.map(k => GraftTable.rliBucket(k, numBuckets)).distinct
-    // a bucket dir may be absent when no key hashed into it at build time
+    val boundaries = readRliMeta(idxDir)
+    val allBuckets = keys.map(k => GraftTable.rliRangeBucket(k, boundaries)).distinct
+    // a bucket dir may be absent when no key fell into it at build time
     val present = allBuckets.filter(b => Files.exists(idxDir.resolve(s"bucket=$b")))
     if (present.isEmpty)
       return prunedRead(c, _ => false).filter(col(Meta.RecordKey).isin(keys: _*))
@@ -1775,7 +1917,12 @@ class GraftTable(
     * straddle them would split version chains). Retries on an optimistic
     * writer winning the seq (see [[retryOnConflict]]). */
   def cluster(smallFileBytes: Long = Long.MaxValue): Commit =
-    withLock(retryOnConflict {
+    withLock(retryOnConflict(doCluster(smallFileBytes)))
+
+  /** Unlocked clustering body — shared by [[cluster]] and the inline
+    * post-upsert trigger (the table lock is already held there; the
+    * file lock is not reentrant). */
+  private def doCluster(smallFileBytes: Long): Commit = {
       val prev = timeline.latest().getOrElse(
         throw new IllegalStateException(s"no commits at $root"))
       val seq = prev.seq + 1
@@ -1797,7 +1944,7 @@ class GraftTable(
           ("files_before" -> prev.files.size.toString) +
           ("files_rewritten" -> small.size.toString) +
           ("files_carried" -> carried.size.toString)), files)
-    })
+  }
 
   /** T1 variant — Z-ORDER clustering (Delta OPTIMIZE ZORDER BY / Hudi
     * clustering with z-order sort): rewrite the snapshot laid out along the
@@ -2037,7 +2184,7 @@ class GraftTable(
       new GraftTable(spark, destRoot, keyFields, partitionFields, orderingField,
         targetFileBytes, staleLockMs, tableType, compactEvery, compactLogBytesRatio,
         globalIndex, harvestThreshold, statsColumns, keyBlooms, bloomColumns,
-        partialUpdate)
+        partialUpdate, clusterSmallFileBytes)
     }
 
   /** Integrity check (the Hudi metadata-validation / `fsck` analog):
@@ -2341,12 +2488,52 @@ object GraftTable {
   /** Default bucket count for the record-level index sidecar. */
   val DefaultRliBuckets: Int = 64
 
-  /** Record-level-index bucket of a key: a fixed-seed hash both the index
-    * build (executor UDF) and the probe side (driver) compute identically.
-    * Independent of Spark's `hash()` so the contract is self-contained. */
-  def rliBucket(key: String, numBuckets: Int): Int =
-    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c),
-      numBuckets)
+  /** Range-bucket boundaries for the record-level index, derived from
+    * the MANIFEST alone: files sorted by minKey, cut at row-count-
+    * weighted steps, each boundary = the cut file's maxKey (bucket i =
+    * keys ≤ boundary(i); the last bucket is unbounded above). Zero data
+    * read — the table's key-sorted layout makes the file intervals a
+    * ready-made equi-depth histogram. Returns an empty array (single
+    * bucket) when any file lacks reliable key stats. */
+  def rliBoundaries(files: Seq[DataFile], numBuckets: Int): Array[String] = {
+    if (numBuckets <= 1 || files.size < 2 ||
+        files.exists(f => !hasReliableStats(f))) return Array.empty
+    val sorted = files.sortWith((a, b) => cmpKey(a.minKey, b.minKey) < 0)
+    val total = sorted.map(_.numRows).sum
+    val step = math.max(1L, total / numBuckets)
+    val bounds = Seq.newBuilder[String]
+    var acc = 0L
+    var nextCut = step
+    sorted.init.foreach { f =>
+      acc += f.numRows
+      if (acc >= nextCut) {
+        bounds += f.maxKey
+        nextCut = acc + step
+      }
+    }
+    // overlapping intervals can make raw cuts non-monotonic — the probe's
+    // binary search requires strictly increasing boundaries
+    val out = Seq.newBuilder[String]
+    var last: String = null
+    bounds.result().foreach { b =>
+      if (last == null || cmpKey(b, last) > 0) { out += b; last = b }
+    }
+    out.result().toArray
+  }
+
+  /** Bucket of `key` under range `boundaries`: the first i with
+    * key ≤ boundaries(i), else boundaries.length (the open last bucket).
+    * O(log buckets) binary search, identical on the build (executor UDF)
+    * and probe (driver) sides. */
+  def rliRangeBucket(key: String, boundaries: Array[String]): Int = {
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (cmpKey(key, boundaries(m)) <= 0) hi = m else lo = m + 1
+    }
+    lo
+  }
 
   /** Span-list degeneracy cap for the pruned [[GraftTable.changesDiff]]:
     * above this many disjoint changed-key spans the residual OR-chain

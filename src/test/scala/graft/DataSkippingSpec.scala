@@ -452,4 +452,42 @@ class DataSkippingSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(patched == Set((5L, "patched"), (1999L, "v1999"), (3998L, "v3998")))
   }
+
+  test("record-index maintenance rewrites only changed buckets; the rest hard-link") {
+    val root = tmp()
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 8 * 1024)
+    t.bulkInsert((0L until 4000L).map(i => (i, s"v$i", "001"))
+      .toDF("id", "v", "trx_seq"))
+    t.buildRecordIndex(numBuckets = 16)
+    val priorSeq = t.latestCommit().get.seq
+    // narrow upsert: one file group's keys move
+    t.upsert(Seq((7L, "u7", "002"), (8L, "u8", "002")).toDF("id", "v", "trx_seq"))
+    val seq = t.maintainRecordIndex()
+    assert(seq == t.latestCommit().get.seq)
+    // correctness: identical to what a full rebuild would serve
+    val probes = Seq(7L, 8L, 1999L, 3998L).map(k => f"$k%019d")
+    val got = t.readKeysIndexed(probes).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((7L, "u7"), (8L, "u8"), (1999L, "v1999"), (3998L, "v3998")))
+    // scale shape: most buckets were hard-linked from the prior index
+    // (shared inode), only the churn's buckets were rewritten
+    def inodes(seqN: Long): Map[String, Any] = {
+      val dir = java.nio.file.Paths.get(root, "_graft", "rli", s"c$seqN")
+      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(p => dir.relativize(p).toString ->
+            java.nio.file.Files.getAttribute(p, "unix:ino"))
+          .toMap
+      }
+    }
+    val prior = inodes(priorSeq)
+    val now = inodes(seq)
+    val shared = now.count { case (rel, ino) => prior.get(rel).contains(ino) }
+    assert(shared > 0, "unchanged buckets must hard-link, not copy")
+    assert(shared < now.size, "changed buckets must be rewritten")
+    // full snapshot still exact through the maintained index path
+    assert(t.readKeysIndexed(Seq(f"${0L}%019d")).select("v").as[String].head() == "v0")
+  }
 }

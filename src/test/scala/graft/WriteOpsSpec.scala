@@ -240,6 +240,24 @@ class WriteOpsSpec extends AnyFunSuite {
     assert(again.seq == cc.seq || again.extra("files_rewritten").toInt >= 2)
   }
 
+  test("inline clustering folds small files after upserts; idle commits are no-ops") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 32 * 1024,
+      clusterSmallFileBytes = 4 * 1024)
+    t.bulkInsert((0L until 4000L).map(i => (i, s"v$i" * 4, "001"))
+      .toDF("id", "v", "trx_seq"))
+    // one tiny insert: a single small file — inline pass must NOT fire
+    val c1 = t.upsert(Seq((100000L, "a", "002")).toDF("id", "v", "trx_seq"))
+    assert(c1.action == "upsert", s"single small file must not trigger (got ${c1.action})")
+    // second tiny insert: two small files — inline pass fires and returns
+    // the clustering commit (the same shape as MOR inline compaction)
+    val c2 = t.upsert(Seq((200000L, "b", "003")).toDF("id", "v", "trx_seq"))
+    assert(c2.action == "cluster", s"expected inline cluster commit (got ${c2.action})")
+    assert(c2.extra("files_carried").toInt > 0)
+    assert(c2.extra("files_rewritten").toInt >= 2)
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 4002 && got(100000L) == "a" && got(200000L) == "b")
+  }
+
   test("renameColumn rewrites once and preserves data under the new name") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     t.bulkInsert(Seq((1L, "a", "01"), (2L, "b", "01")).toDF("id", "v", "trx_seq"))
