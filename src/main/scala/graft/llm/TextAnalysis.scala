@@ -260,4 +260,35 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Count-based BIGRAM language model with add-k smoothing (the KenLM /
+    * CCNet-statistics shape, minus the backoff tables): tokenize on
+    * non-letter runs, census adjacent pairs, and estimate
+    * p(w2 | w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·) is the
+    * bigram-first marginal and V the continuation vocabulary — all exact
+    * integer counts, so the single double division is the same IEEE value
+    * in any engine. Two hash aggregates + one keyed join + a 1-row
+    * vocabulary crossJoin: the corpus is touched once, the model table is
+    * O(distinct bigrams), the classic n-gram-count MapReduce shape. Top
+    * `topN` bigrams by (count desc, w1, w2) — a deterministic total
+    * order, so the cut is engine-independent. */
+  def bigramLm(docs: DataFrame, textCol: String, topN: Int = 30,
+      addK: Int = 1): DataFrame = {
+    val toks = docs.select(split(lower(col(textCol)), "[^a-z]+").as("w0"))
+      .select(expr("filter(w0, x -> x <> '')").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bigrams = toks.select(explode(expr(
+      "transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val counts = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = counts.agg(countDistinct(col("w2")).as("v"))
+    counts.join(c1, "w1").crossJoin(vocab)
+      .withColumn("p", round(
+        (col("c12") + lit(addK)).cast("double") /
+          (col("c1") + lit(addK) * col("v")).cast("double"), 6))
+      .orderBy(col("c12").desc, col("w1"), col("w2")).limit(topN)
+      .select(col("w1"), col("w2"), col("c12"), col("p"))
+  }
 }

@@ -233,9 +233,26 @@ object LlmQueries {
           (col("n_matched") * 20 >= col("n_exact") * 19).as("recall_ok"))
     }),
 
+    // SemDeDup (Abbas et al. 2023): trained k-means cells bound the pair
+    // candidates, lower-id-wins drop within each cell at cosine >= 0.9.
+    // Same planted twin corpus as the LSH contract so real semantic dups
+    // exist; the oracle replicates every Lloyd round + the drop SET.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> IF(i < 2, -x, x))").as("embedding"))
+      Similarity.semanticDedup(emb.unionByName(pert), "vec_id", "embedding",
+        threshold = 0.9, kCells = 4, iters = 3)
+    }),
+
     // ---- text analysis
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
+    // count-based bigram LM with add-1 smoothing: exact integer censuses,
+    // one IEEE-exact division — the KenLM-statistics shape
+    "text_ngram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLm(t(s, dir, "documents"), "text", topN = 30)),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"), "doc_id", "text")),
     "text_tokens" -> ((s, dir) =>
@@ -918,6 +935,56 @@ object LlmQueries {
                 TRUE AS recall_ok
          FROM p WHERE cos >= 0.9""",
 
+    // full replication: planted corpus, every Lloyd round (kmeansCtes over
+    // the corpus CTE), final assignment, within-cell pair scores from the
+    // raw floats (bit-identical doubles), lower-id-wins drop set
+    "dedup_semantic" ->
+      s"""WITH corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 100000,
+             list_transform(range(1, len(embedding) + 1),
+               i -> CASE WHEN i <= 2 THEN -embedding[i] ELSE embedding[i] END)
+           FROM embeddings WHERE vec_id % 5 = 0),
+         ${kmeansCtes(4, 3, "corpus")},
+         af AS (SELECT vec_id, cell FROM (
+             SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_aggregate(list_transform(list_zip(e.v, c.cv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum'), c.cell) AS rn
+             FROM e CROSS JOIN c3 c) WHERE rn = 1),
+         m AS (SELECT af.vec_id, af.cell, c.embedding,
+             sqrt(list_aggregate(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
+           FROM af JOIN corpus c ON af.vec_id = c.vec_id),
+         d AS (SELECT DISTINCT a.cell, b.vec_id AS id
+           FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           WHERE list_aggregate(list_transform(list_zip(a.embedding, b.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+             / (a.nm * b.nm) >= 0.9)
+         SELECT m.cell, COUNT(*) AS n_members,
+           CAST(COALESCE(MAX(dc.nd), 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(MAX(dc.ds), 0) AS BIGINT) AS dropped_id_sum
+         FROM m LEFT JOIN (SELECT cell, COUNT(*) AS nd, SUM(id) AS ds
+                           FROM d GROUP BY cell) dc ON m.cell = dc.cell
+         GROUP BY m.cell""",
+
+    // exact integer censuses + one IEEE-exact double division
+    "text_ngram_lm" ->
+      """WITH tok AS (SELECT list_filter(
+             string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+           FROM documents),
+         bg AS (SELECT unnest(list_transform(range(1, len(w)),
+             i -> {'w1': w[i], 'w2': w[i + 1]})) AS b
+           FROM tok WHERE len(w) >= 2),
+         c AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+         c1 AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY w1),
+         v AS (SELECT COUNT(DISTINCT w2) AS v FROM c)
+         SELECT w1, w2, c12,
+           round(CAST(c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE), 6) AS p
+         FROM c JOIN c1 USING (w1) CROSS JOIN v
+         ORDER BY c12 DESC, w1, w2 LIMIT 30""",
+
     "dedup_cosine" ->
       """WITH n AS (SELECT vec_id, embedding,
              sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
@@ -1213,10 +1280,11 @@ object LlmQueries {
     * salted-md5 seeded init (cell = hash rank), then `iters` unrolled Lloyd
     * rounds — assignment by squared L2 with ties to the lower cell, update
     * by per-cell per-dimension AVG. Ends with centroid CTE `c$iters`. */
-  private def kmeansCtes(kCells: Int, iters: Int): String = {
+  private def kmeansCtes(kCells: Int, iters: Int,
+      src: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb ++= s"""e AS (SELECT vec_id, embedding,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM $src),
          c0 AS (SELECT cell, v AS cv FROM (
              SELECT row_number() OVER (
                  ORDER BY md5('km:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v

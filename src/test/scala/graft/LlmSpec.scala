@@ -170,6 +170,45 @@ class LlmSpec extends AnyFunSuite {
     assert(got.size == 11)
   }
 
+  test("semanticDedup drops exactly the lower-priority twin within a cell") {
+    import graft.llm.Similarity
+    // two tight direction-clusters; ids 1/2 near-parallel (cos ~ 1),
+    // id 3 orthogonal-ish in its own neighborhood
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.04f, 0.999f, 0.0f)),
+      (5L, Array(0.5f, 0.5f, 0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.95, kCells = 2, iters = 2)
+      .select("n_members", "n_dropped", "dropped_id_sum")
+      .as[(Long, Long, Long)].collect().toSeq
+    // whatever the trained cells are, each twin pair collapses to its
+    // lower id: exactly 2 and 4 are dropped across all cells
+    assert(got.map(_._2).sum == 2 && got.map(_._3).sum == 6,
+      s"expected drops {2, 4}, got $got")
+    assert(got.map(_._1).sum == 5)
+  }
+
+  test("bigramLm computes exact add-1 conditional probabilities") {
+    import graft.llm.TextAnalysis
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a cat sat"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLm(docs, "text", topN = 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // bigrams: the-cat x2, cat-sat x2, cat-ran, a-cat; V(w2) = {cat, sat, ran}
+    assert(got(("the", "cat"))._1 == 2L && got(("cat", "sat"))._1 == 2L)
+    // p(cat | the) = (2 + 1) / (2 + 3) = 0.6 exactly
+    assert(got(("the", "cat"))._2 == 0.6)
+    // p(sat | cat) = (2 + 1) / (3 + 3) = 0.5
+    assert(got(("cat", "sat"))._2 == 0.5)
+    // p(ran | cat) = (1 + 1) / (3 + 3) round 6
+    assert(got(("cat", "ran"))._2 == 0.333333)
+  }
+
   test("large-star/small-star converges in log rounds on a 256-node chain") {
     // a path graph is the adversarial case for min-label propagation
     // (rounds ∝ diameter = 255); star contraction must land in O(log n)
