@@ -25,7 +25,8 @@ case class TableConfig(
     statsColumns: Seq[String] = Seq.empty,  // column-stats index (data skipping)
     keyBlooms: Boolean = false,             // per-file record-key bloom index
     bloomColumns: Seq[String] = Seq.empty,  // per-column bloom index (secondary lookups)
-    partialUpdate: Boolean = false) {       // partial-image CDC merge payload
+    partialUpdate: Boolean = false,         // partial-image CDC merge payload
+    clusterSmallFileBytes: Long = 0L) {     // inline clustering threshold (handler.py:73,81)
 
   /** Curated table name `{identifier}_{schema}_{table}` (handler.py:132). */
   def curatedName(identifier: String): String =
@@ -104,7 +105,9 @@ object ConfigLoader {
           keyBlooms = (hudi \ "key_blooms").extractOpt[Boolean].getOrElse(false),
           bloomColumns = str(hudi, "bloom_columns").toSeq
             .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
-          partialUpdate = (hudi \ "partial_update").extractOpt[Boolean].getOrElse(false))
+          partialUpdate = (hudi \ "partial_update").extractOpt[Boolean].getOrElse(false),
+          clusterSmallFileBytes =
+            (hudi \ "cluster_small_file_bytes").extractOpt[Long].getOrElse(0L))
       }
     }
 

@@ -594,9 +594,25 @@ class GraftTable(
       partitionFields.map(f => m.getOrElse(f, GraftTable.NullPartition)).mkString("/")
     val (statless, statful) =
       prev.files.partition(f => !GraftTable.hasReliableStats(f))
-    val grouped: Map[String, Array[DataFile]] =
+    val grouped0: Map[String, Array[DataFile]] =
       if (partitioned) statful.toArray.groupBy(f => partKey(f.partition))
       else Map("" -> statful.toArray)
+    // partition-scoped index: on a big partitioned non-global table, only
+    // partitions the batch actually TOUCHES need an interval index — a
+    // one-partition daily batch against a 1M-file table then builds and
+    // broadcasts one partition's intervals, not the whole manifest. The
+    // small-table fast path skips the extra distinct job.
+    val grouped: Map[String, Array[DataFile]] =
+      if (!partitioned || prev.files.size < GraftTable.PartitionScopedPruneThreshold)
+        grouped0
+      else {
+        val touched = batch
+          .select(partitionFields.map(f =>
+            coalesce(col(f).cast("string"), lit(GraftTable.NullPartition)).as(f)): _*)
+          .distinct().collect()
+          .map(r => partitionFields.indices.map(r.getString).mkString("/")).toSet
+        grouped0.filter { case (p, _) => touched(p) }
+      }
     val index: Map[String, IntervalIndex] =
       grouped.map { case (p, fs) =>
         p -> IntervalIndex.build(fs.map(f => (f.minKey, f.maxKey, f.path)).toSeq)
@@ -2487,6 +2503,12 @@ object GraftTable {
 
   /** Default bucket count for the record-level index sidecar. */
   val DefaultRliBuckets: Int = 64
+
+  /** Above this many manifest files, a partitioned non-global upsert
+    * scopes its interval-index build/broadcast to the batch's touched
+    * partitions (one extra tiny distinct job buys not shipping a
+    * 1M-entry index for a one-partition batch). */
+  val PartitionScopedPruneThreshold: Int = 1024
 
   /** Range-bucket boundaries for the record-level index, derived from
     * the MANIFEST alone: files sorted by minKey, cut at row-count-

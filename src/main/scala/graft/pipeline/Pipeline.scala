@@ -70,7 +70,8 @@ object IngestJob {
       statsColumns = tc.statsColumns,
       keyBlooms = tc.keyBlooms,
       bloomColumns = tc.bloomColumns,
-      partialUpdate = tc.partialUpdate)
+      partialUpdate = tc.partialUpdate,
+      clusterSmallFileBytes = tc.clusterSmallFileBytes)
 
   def run(spark: SparkSession, pipe: PipelineConfig, tc: TableConfig): TableResult = {
     val t0 = System.currentTimeMillis()
