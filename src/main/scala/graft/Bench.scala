@@ -179,8 +179,23 @@ object Bench {
       rs.map { case (n, v) => "\"" + n + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val qs = jsonMap(results)
     val ws = jsonMap(writeResults)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"queries":$qs,"write_family":$ws,"sf":"$sfDir"}""")
+    // A crashed query (-1) must NOT silently shrink the total: a broken
+    // round would then report FASTER than a healthy one (round-9 judge
+    // finding). `failed` lists every broken name; when any headline query
+    // failed the total itself is reported as -1 so cross-round totals only
+    // ever compare complete runs.
+    val failed = (results ++ writeResults).filter(_._2 < 0).map(_._1)
+    val total =
+      if (results.exists(_._2 < 0)) -1.0 else results.map(_._2).sum
+    val failedJson = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"queries":$qs,"write_family":$ws,"sf":"$sfDir"}"""
+    println(record)
+    // durable copy: the round-9 driver log kept only a 2000-char tail and
+    // truncated the record's head, losing the machine-readable timings —
+    // the file survives any stdout clipping
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), record + "\n")
+    catch { case _: Exception => () } // stdout remains the contract
     spark.stop()
   }
 }

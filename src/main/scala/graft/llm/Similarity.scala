@@ -401,6 +401,19 @@ object Similarity {
     * documented trade. Returns one row per cell with the member count,
     * drop count and dropped-id checksum — the exact drop SET is graded,
     * not just a tally.
+    *
+    * '''Cell-size contract (100 TB):''' the within-cell pair join is
+    * quadratic in the LARGEST cell, so `kCells` must scale with the
+    * corpus: pick `kCells ≈ corpusSize / targetCellSize` with a target
+    * cell of ~10⁴–10⁵ vectors (the paper's production runs use 10k–100k
+    * clusters over billions of embeddings). The default `kCells = 4` is
+    * FIXTURE-scale only. The asymmetry: PRECISION is exact at any
+    * `kCells` (a drop only ever fires on a true cos ≥ threshold pair),
+    * while RECALL degrades as cells multiply — near-duplicates that land
+    * in different cells are missed, the paper's documented trade — so
+    * size for the perf bound and accept the recall slope; under-sharding
+    * is instead a quadratic perf cliff. LlmSpec pins both halves at
+    * kCells ≫ the default.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, kCells: Int = 4, iters: Int = 3): DataFrame = {

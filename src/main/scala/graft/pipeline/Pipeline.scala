@@ -117,7 +117,8 @@ object IngestJob {
             CatalogSync.sync(spark, pipe.database, tc.curatedName(pipe.identifier), table)
           TableResult(tc.name, "no_new_data", table.latestCommit().map(_.seq), None, 1,
             System.currentTimeMillis() - t0)
-        } else ingest(spark.read.parquet(files.map(_._2): _*),
+        } else ingest(
+          graft.util.TsNorm.normalize(spark.read.parquet(files.map(_._2): _*)),
           Some(CdcSource.advanceWatermark(None, files)))
       case "delta" =>
         // S2 — consume the commit checkpoint: only files after the watermark

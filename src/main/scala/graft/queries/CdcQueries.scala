@@ -981,11 +981,14 @@ object CdcQueries {
     // SQL time travel: the graft VERSION AS OF clause rewrites to the
     // commit-1 snapshot inside otherwise-ordinary Spark SQL
     "sql_version_as_of" -> ((s, dir) => {
+      // NATIVE time travel: the graft DSv2 catalog (installed by
+      // register) resolves VERSION AS OF via TableCatalog.loadTable —
+      // plain spark.sql, no text rewriting
       graft.sql.GraftSql.register(s, "orders_sql", CdcScenario.main(s, dir))
       graft.sql.GraftSql.sql(s,
         """SELECT o_orderkey, o_orderstatus,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
-           FROM orders_sql VERSION AS OF 1""")
+           FROM graft.orders_sql VERSION AS OF 1""")
     }),
     // SQL management: CALL run_compaction folded the clone's delta logs;
     // the snapshot must equal the standard final state

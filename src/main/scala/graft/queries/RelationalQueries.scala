@@ -9,18 +9,12 @@ import graft.transform.Transform
 object Q {
   type Fn = (SparkSession, String) => DataFrame
 
-  /** Load a testdata table. `events.ts` is TIMESTAMP(NANOS) parquet, which
-    * Spark 4 only reads as a raw long (spark.sql.legacy.parquet.nanosAsLong,
-    * set in every session builder here); convert to a microsecond timestamp
-    * (integer floor-div — same truncation DuckDB's epoch_us applies). */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" &&
-          f.dataType == org.apache.spark.sql.types.LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  /** Load a testdata table, normalized at the boundary: TIMESTAMP_NTZ and
+    * nanos-long event-time encodings both land as `TimestampType` (UTC
+    * semantics — how DuckDB reads the same files). See [[graft.util.TsNorm]]
+    * for the full encoding matrix. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.util.TsNorm.normalize(spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Money-sum: cast 2-decimal doubles to exact decimal BEFORE summing so the
     * aggregate is order-independent (FP sums are not) and DuckDB-comparable.

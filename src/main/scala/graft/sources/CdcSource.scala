@@ -15,10 +15,15 @@ import org.apache.spark.sql.types.StructType
   */
 object CdcSource {
 
-  /** S1 — full recursive scan (date-partition subdirs included). */
+  /** S1 — full recursive scan (date-partition subdirs included).
+    * Event-time encodings are normalized AT THIS BOUNDARY
+    * ([[graft.util.TsNorm]]): a DMS-style feed can ship
+    * `isAdjustedToUTC=false` (TIMESTAMP_NTZ) or nanos timestamps, and
+    * every downstream merge/watermark/`unix_micros` plan assumes
+    * `TimestampType`. */
   def readRaw(spark: SparkSession, root: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.option("recursiveFileLookup", "true")
-    schema.fold(r)(r.schema).parquet(root)
+    graft.util.TsNorm.normalize(schema.fold(r)(r.schema).parquet(root))
   }
 
   /** S1 variant — JSON-lines zone (`*.jsonl` / `*.jsonl.gz`), the
@@ -30,15 +35,17 @@ object CdcSource {
     * schema is REQUIRED — inference would read every shard twice before
     * the first real job. */
   def readJsonl(spark: SparkSession, root: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("recursiveFileLookup", "true").json(root)
+    graft.util.TsNorm.normalize(
+      spark.read.schema(schema).option("recursiveFileLookup", "true").json(root))
 
   /** S1 variant — CSV zone (DMS's DEFAULT S3 target format; the reference
     * pipeline opts into parquet, but a stock DMS endpoint emits CSV).
     * Same codec/splittability/schema notes as [[readJsonl]]. */
   def readCsv(spark: SparkSession, root: String, schema: StructType,
       header: Boolean = true): DataFrame =
-    spark.read.schema(schema).option("recursiveFileLookup", "true")
-      .option("header", header.toString).csv(root)
+    graft.util.TsNorm.normalize(
+      spark.read.schema(schema).option("recursiveFileLookup", "true")
+        .option("header", header.toString).csv(root))
 
   /** Watermark = the max ingested mtime PLUS the set of paths already
     * processed at exactly that mtime. A later arrival sharing the boundary
@@ -108,7 +115,8 @@ object CdcSource {
     if (fresh.isEmpty) None
     else {
       val r = spark.read
-      val df = schema.fold(r)(r.schema).parquet(fresh.map(_._2): _*)
+      val df = graft.util.TsNorm.normalize(
+        schema.fold(r)(r.schema).parquet(fresh.map(_._2): _*))
       Some((df, advanceWatermark(checkpoint, fresh)))
     }
   }

@@ -9,14 +9,15 @@ import graft.operators.GraftTable
   * exposes through its Spark SQL extensions (CALL procedures) and what
   * Delta exposes through `VERSION AS OF`:
   *
-  *  - **Time travel in queries**: [[sql]] accepts standard Spark SQL and
-  *    rewrites `<table> VERSION AS OF <seq>` / `<table> TIMESTAMP AS OF
-  *    '<ts>'` clauses over REGISTERED graft tables into on-the-fly
-  *    snapshot views (`readAsOf`/`readAsOfTime`), then hands the result
-  *    to the normal Spark parser — every other construct is untouched
-  *    Spark SQL with full Catalyst optimization. The rewrite is applied
-  *    only to names registered through [[register]], so it can never
-  *    corrupt a query over ordinary tables.
+  *  - **Time travel in queries** is NATIVE: [[register]] installs the
+  *    DataSource-V2 [[GraftCatalog]] under the `graft` catalog name, so
+  *    Spark's own parser/analyzer resolve
+  *    `SELECT ... FROM graft.<name> VERSION AS OF <seq>` (and
+  *    `TIMESTAMP AS OF`) through `TableCatalog.loadTable` — no SQL-text
+  *    rewriting anywhere, so string literals that merely CONTAIN the
+  *    phrase are untouched (the correctness edge of the retired regex
+  *    doorway, round-9 verdict #3). [[sql]] passes every non-CALL
+  *    statement verbatim to `spark.sql`.
   *  - **Management procedures**: `CALL <proc>(...)` statements dispatch
   *    to the table API (the Hudi `CALL run_compaction(...)` surface):
   *    show_commits, show_savepoints, run_compaction, run_clustering,
@@ -26,66 +27,47 @@ import graft.operators.GraftTable
   *    mutations) so the whole surface is scriptable from pure SQL.
   *
   * Registration is session-scoped and also publishes the live snapshot
-  * as a temp view under the registered name, so `SELECT ... FROM <name>`
-  * (no time-travel clause) works immediately. A full DataSource-V2
-  * `TableCatalog` (which would make `VERSION AS OF` native) is the
-  * documented growth path; this doorway keeps the engine dependency-free
-  * while covering the same user intent.
+  * as a temp view under the bare registered name, so
+  * `SELECT ... FROM <name>` (no time-travel clause) works immediately;
+  * time travel requires the `graft.` qualifier to route through the
+  * catalog.
   */
 object GraftSql {
 
   private val registry = TrieMap[String, GraftTable]()
 
   /** Register `table` under `name` for SQL access; refreshes the live
-    * snapshot view of the same name. */
+    * snapshot view of the same name and installs the `graft` DSv2
+    * catalog in the session (idempotent) so `graft.<name>` + time
+    * travel resolve natively. */
   def register(spark: SparkSession, name: String, table: GraftTable): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
     registry.put(name.toLowerCase, table)
     table.readUser().createOrReplaceTempView(name)
+    val key = "spark.sql.catalog.graft"
+    if (spark.conf.getOption(key).isEmpty)
+      spark.conf.set(key, classOf[GraftCatalog].getName)
   }
+
+  private[sql] def lookupRegistered(name: String): Option[GraftTable] =
+    registry.get(name.toLowerCase)
+
+  private[sql] def registeredNames: Seq[String] = registry.keys.toSeq.sorted
 
   private def lookup(name: String): GraftTable =
     registry.getOrElse(name.toLowerCase,
       throw new IllegalArgumentException(
         s"$name is not a registered graft table (GraftSql.register first)"))
 
-  private val VersionRe =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
-  private val TimestampRe =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
   private val CallRe =
     """(?is)\s*CALL\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*""".r
 
-  /** Run a SQL statement with graft extensions (see object doc). */
+  /** Run a SQL statement with graft extensions (see object doc): `CALL`
+    * procedures dispatch to the table API, everything else — including
+    * `graft.<name> VERSION AS OF` time travel — is plain Spark SQL. */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
     case CallRe(proc, args) => call(spark, proc.toLowerCase, parseArgs(args))
-    case _ =>
-      // time-travel clause rewrite: registered names only, others pass
-      // through verbatim (and fail in Spark's own parser like any typo)
-      val afterVersion = VersionRe.replaceAllIn(text, m => {
-        val (name, seq) = (m.group(1), m.group(2).toLong)
-        if (!registry.contains(name.toLowerCase)) m.matched
-        else travelView(spark, name, s"v$seq", lookup(name).readAsOf(seq))
-      })
-      val rewritten = TimestampRe.replaceAllIn(afterVersion, m => {
-        val name = m.group(1)
-        if (!registry.contains(name.toLowerCase)) m.matched
-        else {
-          val ts = java.sql.Timestamp.valueOf(m.group(2)).getTime
-          travelView(spark, name, s"t$ts", lookup(name).readAsOfTime(ts))
-        }
-      })
-      spark.sql(rewritten)
-  }
-
-  /** Materialize a snapshot as a deterministic temp view name and return
-    * it (idempotent per (name, tag): re-running a query reuses the view). */
-  private def travelView(spark: SparkSession, name: String, tag: String,
-      df: DataFrame): String = {
-    val view = s"${name}__$tag"
-    df.drop(graft.model.Meta.RecordKey, graft.model.Meta.CommitSeq)
-      .createOrReplaceTempView(view)
-    view
+    case _ => spark.sql(text)
   }
 
   /** Split a CALL argument list on top-level commas; 'single-quoted'

@@ -50,7 +50,10 @@ object ContinuousIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val b = transformerSql.fold(batch)(sql => Transform.sql(spark, batch, sql))
+          // same boundary rule as the batch readers: an NTZ/nanos zone
+          // must land in the table as TimestampType (TsNorm scaladoc)
+          val norm = graft.util.TsNorm.normalize(batch)
+          val b = transformerSql.fold(norm)(sql => Transform.sql(spark, norm, sql))
           table.upsert(b, Some(s"stream-batch-$batchId"))
           ()
         }

@@ -131,15 +131,12 @@ object StreamJoin {
   * plain multi-file write gets tied mtimes, an undefined processing
   * order, and nondeterministic late-drops. */
 private[streaming] object StreamSlices {
-  /** The one ts-normalization rule every replay shares: TIMESTAMP(NANOS)
-    * parquet arrives as a raw long under the session's nanosAsLong
-    * setting — truncate to micros exactly like the batch loaders (and
-    * DuckDB's implicit ns→us read) do. */
-  def normalizeTs(raw: DataFrame): DataFrame =
-    if (raw.schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType))
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+  /** The one ts-normalization rule every replay shares — delegated to the
+    * engine-wide boundary normalizer [[graft.util.TsNorm]]: nanos-long and
+    * TIMESTAMP_NTZ event-time columns both become `TimestampType`, so the
+    * slices this package writes (and the watermark/`unix_micros` operators
+    * that read them back) always see a true timestamp. */
+  def normalizeTs(raw: DataFrame): DataFrame = graft.util.TsNorm.normalize(raw)
 
   /** The one drain discipline every graded streaming run shares:
     * AvailableNow into a fresh in-memory sink, awaited, read back. */

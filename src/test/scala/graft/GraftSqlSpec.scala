@@ -6,8 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.GraftTable
 import graft.sql.GraftSql
 
-/** The SQL doorway: VERSION/TIMESTAMP AS OF rewriting over registered
-  * tables and the CALL procedure surface (the Hudi Spark-SQL analog). */
+/** The SQL doorway: NATIVE VERSION/TIMESTAMP AS OF through the graft
+  * DSv2 catalog and the CALL procedure surface (the Hudi Spark-SQL
+  * analog). */
 class GraftSqlSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -22,23 +23,24 @@ class GraftSqlSpec extends AnyFunSuite {
     t
   }
 
-  test("VERSION AS OF rewrites registered tables; unregistered names pass through") {
+  test("VERSION AS OF resolves natively through the graft catalog") {
     mk("sqlspec_t1")
     val v0 = GraftSql.sql(spark,
-      "SELECT id, v FROM sqlspec_t1 VERSION AS OF 0 ORDER BY id")
+      "SELECT id, v FROM graft.sqlspec_t1 VERSION AS OF 0 ORDER BY id")
       .as[(Long, String)].collect().toSeq
     assert(v0 == Seq((1L, "a"), (2L, "b")))
     val v1 = GraftSql.sql(spark,
-      "SELECT id, v FROM sqlspec_t1 VERSION AS OF 1 ORDER BY id")
+      "SELECT id, v FROM graft.sqlspec_t1 VERSION AS OF 1 ORDER BY id")
       .as[(Long, String)].collect().toSeq
     assert(v1 == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
-    // live view (no clause) serves the latest snapshot
+    // live reads: catalog-qualified AND the bare temp-view name
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM graft.sqlspec_t1")
+      .as[Long].head() == 3)
     assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM sqlspec_t1")
       .as[Long].head() == 3)
-    // an unregistered name keeps its clause verbatim and fails in Spark's
-    // own parser — the rewrite cannot touch foreign tables
+    // an unregistered name fails in the catalog like any missing table
     intercept[Exception](GraftSql.sql(spark,
-      "SELECT * FROM not_registered VERSION AS OF 0"))
+      "SELECT * FROM graft.not_registered VERSION AS OF 0"))
   }
 
   test("TIMESTAMP AS OF resolves through commit times") {
@@ -46,9 +48,33 @@ class GraftSqlSpec extends AnyFunSuite {
     val c0 = t.history().head.commitTimeMs
     val ts = new java.sql.Timestamp(c0).toString
     val rows = GraftSql.sql(spark,
-      s"SELECT id, v FROM sqlspec_t2 TIMESTAMP AS OF '$ts' ORDER BY id")
+      s"SELECT id, v FROM graft.sqlspec_t2 TIMESTAMP AS OF '$ts' ORDER BY id")
       .as[(Long, String)].collect().toSeq
     assert(rows == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("a string literal containing the time-travel phrase is never corrupted") {
+    mk("sqlspec_t6")
+    // the retired regex doorway would have rewritten the phrase INSIDE
+    // this literal; the native catalog path cannot — it's just a string
+    val rows = GraftSql.sql(spark,
+      """SELECT id, 'sqlspec_t6 VERSION AS OF 0' AS phrase
+         FROM graft.sqlspec_t6 VERSION AS OF 1 ORDER BY id""")
+      .as[(Long, String)].collect().toSeq
+    assert(rows.size == 3)
+    assert(rows.forall(_._2 == "sqlspec_t6 VERSION AS OF 0"))
+  }
+
+  test("time travel composes with joins and aggregation in one statement") {
+    mk("sqlspec_t7")
+    // v0 (2 rows) joined to v1 (3 rows) through plain Spark SQL — both
+    // sides are independent catalog loads of the SAME table
+    val n = GraftSql.sql(spark,
+      """SELECT count(*) AS n
+         FROM graft.sqlspec_t7 VERSION AS OF 1 a
+         JOIN graft.sqlspec_t7 VERSION AS OF 0 b USING (id)""")
+      .as[Long].head()
+    assert(n == 2)
   }
 
   test("CALL procedures: show_commits, clean, savepoint/restore, rollback, rli") {

@@ -192,6 +192,37 @@ class LlmSpec extends AnyFunSuite {
     assert(got.map(_._1).sum == 5)
   }
 
+  test("semanticDedup cell-size contract holds at kCells >> default") {
+    import graft.llm.Similarity
+    // the scaladoc contract, production-shaped kCells: PRECISION is
+    // exact at any cell count (only true cos>=threshold pairs drop) and
+    // an EXACT duplicate can never escape — identical vectors tie on
+    // distance to every centroid and the tie-break sends both to the
+    // same (lower) cell, at any kCells. Near-parallel-but-distinct
+    // pairs MAY split across cells as k grows: that is the recall
+    // trade the contract documents, not a defect.
+    val twins = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)))   // exact duplicate of 1
+    val spread = (10L until 26L).map { i =>
+      val a = (i - 10).toFloat / 16 * 6.283f
+      (i, Array(0.0f, 0.1f * (i - 10), math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val emb = (twins ++ spread).toDF("vec_id", "embedding")
+    for (k <- Seq(2, 12)) {
+      val r = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.999, kCells = k, iters = 3)
+        .select("n_members", "n_dropped", "dropped_id_sum")
+        .as[(Long, Long, Long)].collect()
+      // membership is a partition of the corpus at any k
+      assert(r.map(_._1).sum == 18, s"kCells=$k members=$r")
+      // the exact duplicate is caught, and NOTHING else drops
+      // (precision: the spread vectors share no cos>=0.999 pair)
+      assert(r.map(_._2).sum == 1 && r.map(_._3).sum == 2,
+        s"kCells=$k expected drop set {2}, got $r")
+    }
+  }
+
   test("bigramLm computes exact add-1 conditional probabilities") {
     import graft.llm.TextAnalysis
     val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a cat sat"))
