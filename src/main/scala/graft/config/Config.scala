@@ -26,7 +26,8 @@ case class TableConfig(
     keyBlooms: Boolean = false,             // per-file record-key bloom index
     bloomColumns: Seq[String] = Seq.empty,  // per-column bloom index (secondary lookups)
     partialUpdate: Boolean = false,         // partial-image CDC merge payload
-    clusterSmallFileBytes: Long = 0L) {     // inline clustering threshold (handler.py:73,81)
+    clusterSmallFileBytes: Long = 0L,       // inline clustering threshold (handler.py:73,81)
+    rliMaintain: Boolean = false) {         // keep the record-level index current per commit
 
   /** Curated table name `{identifier}_{schema}_{table}` (handler.py:132). */
   def curatedName(identifier: String): String =
@@ -107,7 +108,8 @@ object ConfigLoader {
             .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
           partialUpdate = (hudi \ "partial_update").extractOpt[Boolean].getOrElse(false),
           clusterSmallFileBytes =
-            (hudi \ "cluster_small_file_bytes").extractOpt[Long].getOrElse(0L))
+            (hudi \ "cluster_small_file_bytes").extractOpt[Long].getOrElse(0L),
+          rliMaintain = (hudi \ "rli_maintain").extractOpt[Boolean].getOrElse(false))
       }
     }
 

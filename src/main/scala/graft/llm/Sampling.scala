@@ -165,6 +165,25 @@ object Sampling {
         coalesce(sum(when(keep, col(weightCol))), lit(0L)).as("mass_sampled"))
   }
 
+  /** Temperature-scaled mixture weights — the multilingual data-mixing
+    * computation (mC4 / XLM-R style): sampling probability
+    * p_l ∝ n_l^α flattens the head languages so low-resource strata are
+    * not drowned. α is FIXED at 1/2: `sqrt` is IEEE-correctly-rounded on
+    * every engine (a general `pow` is not), so the weights replicate
+    * digit-for-digit in the SQL oracle. One hash aggregate over the
+    * corpus + a broadcast 1-row normalizer — the group cardinality
+    * (languages/sources) is tiny by construction. Output p is rounded to
+    * 6 decimals at the boundary (the normalizer is a sum of doubles whose
+    * addition order an engine may choose freely; the rounding absorbs the
+    * last-ulp difference). */
+  def mixtureWeights(docs: DataFrame, idCol: String, stratumCol: String): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(col(idCol)).as("n_docs"))
+    val norm = counts.agg(sum(sqrt(col("n_docs").cast("double"))).as("z"))
+    counts.crossJoin(broadcast(norm))
+      .select(col(stratumCol), col("n_docs"),
+        round(sqrt(col("n_docs").cast("double")) / col("z"), 6).as("p"))
+  }
+
   /** Mixing summary: per stratum, total vs sampled doc counts and the
     * sampled character mass (the quantity a token-budget mixing plan
     * actually targets). */

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: per-document
@@ -29,6 +29,68 @@ object TextAnalysis {
       round(size(filter(words, w => array_contains(stopArr, w))).cast("double") /
         size(words), 4).as("stop_ratio"),
       round(size(array_distinct(words)).cast("double") / size(words), 4).as("ttr"))
+  }
+
+  /** Per-document fluency score under the corpus's OWN add-k bigram LM —
+    * the CCNet/KenLM perplexity-filter shape: documents whose token
+    * transitions are improbable under the corpus statistics (gibberish,
+    * boilerplate, wrong-language residue) score high and get gated.
+    * Output `nll` = average negative log-probability over the document's
+    * bigrams (monotone in perplexity: ppl = e^nll).
+    *
+    * Self-scoring means every document bigram exists in the model, so the
+    * probability joins are INNER equi-joins on the bigram/context keys —
+    * two corpus-sized hash shuffles, no driver state; the 1-row vocab
+    * normalizer broadcasts. (Scoring a corpus against a FOREIGN reference
+    * model is the same plan with left joins + the unseen-mass smoothing
+    * fallback.) `nll` is rounded to 4 decimals at the boundary: the
+    * per-document mean sums ~10²-10³ doubles whose addition order an
+    * engine may choose freely, and log itself is only ulp-accurate across
+    * libms — the rounding absorbs both. */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+      addK: Int = 1): DataFrame = {
+    val toks = docs.select(col(idCol),
+        expr(s"filter(split(lower($textCol), '[^a-z]+'), x -> x <> '')").as("w"))
+      .filter(size(col("w")) >= 2)
+    val pairs = toks.select(col(idCol), explode(expr(
+      "transform(sequence(1, size(w) - 1), " +
+        "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("b"))
+      .select(col(idCol), col("b.w1"), col("b.w2"))
+    val counts = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = counts.agg(countDistinct(col("w2")).as("v"))
+    pairs.join(counts, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log(
+        (col("c12") + lit(addK)).cast("double") /
+          (col("c1") + lit(addK) * col("v")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("lp")), 4).as("nll"))
+  }
+
+  /** Character-class census per document — the script-detection signal a
+    * multilingual curation pipeline gates on before (or alongside) word-level
+    * language ID: a document whose character mass is mostly digits or
+    * punctuation is boilerplate regardless of its marker words, and a
+    * Latin-ratio collapse flags mis-routed non-Latin content. Counts are
+    * exact integers computed as length deltas of class-stripping
+    * `regexp_replace` — pure codegen'd string expressions, scan-speed,
+    * replicated digit-for-digit by the oracle (a full Unicode-script table
+    * reduces to the same shape: one class pattern per script). */
+  def scriptCensus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pattern: String): Column =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), pattern, ""))).cast("int")
+    val latin = cnt("[A-Za-z]")
+    val digit = cnt("[0-9]")
+    val space = cnt("[ ]")
+    val punct = cnt("[.,;:!?]")
+    docs.select(col(idCol),
+      length(col(textCol)).cast("int").as("n_chars"),
+      latin.as("n_latin"), digit.as("n_digit"),
+      space.as("n_space"), punct.as("n_punct"),
+      (length(col(textCol)).cast("int") - latin - digit - space - punct).as("n_other"),
+      round(latin.cast("double") / length(col(textCol)), 4).as("latin_ratio"))
   }
 
   /** Marker-word language ID: score each language by marker hits, argmax

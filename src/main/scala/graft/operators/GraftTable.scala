@@ -60,7 +60,17 @@ class GraftTable(
       * "every commit" costs nothing until small files actually pile up.
       * MOR tables defer the pass while delta logs are outstanding
       * (inline compaction folds those first). */
-    val clusterSmallFileBytes: Long = 0L) {
+    val clusterSmallFileBytes: Long = 0L,
+    /** Keep the record-level index CURRENT across commits (the Hudi
+      * metadata-table auto-update analog): after every locked
+      * upsert/bulk-insert that leaves a compacted snapshot,
+      * [[maintainRecordIndex]] brings the index forward — O(churn)
+      * bucket rewrites, unchanged buckets hard-linked — so the upsert
+      * planner's exact RLI fast path stays live instead of decaying to
+      * interval stabs one commit after a manual build. First commit pays
+      * the full [[buildRecordIndex]]. MOR tables defer while delta logs
+      * are outstanding (the index cannot name logged key versions). */
+    val rliMaintain: Boolean = false) {
 
   private val timeline = new Timeline(root)
   // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
@@ -372,7 +382,11 @@ class GraftTable(
   /** M4 bulk insert: full-load files → new table, no merge, PARTITION_SORT
     * layout (range-partition + sort by key). */
   def bulkInsert(df0: DataFrame, checkpoint: Option[String] = None): Commit =
-    withLock(doBulkInsert(df0, checkpoint))
+    withLock {
+      val c = doBulkInsert(df0, checkpoint)
+      maintainRliInline(c)
+      c
+    }
 
   private def doBulkInsert(df0: DataFrame, checkpoint: Option[String]): Commit = {
     val df = prepared(df0)
@@ -563,10 +577,21 @@ class GraftTable(
         else doUpsert(batch0, checkpoint)
       // inline clustering (lock already held): a no-op unless >= 2 small
       // files exist and no delta logs are outstanding
-      if (clusterSmallFileBytes > 0 && c.logFiles.isEmpty)
-        retryOnConflict(doCluster(clusterSmallFileBytes))
-      else c
+      val after =
+        if (clusterSmallFileBytes > 0 && c.logFiles.isEmpty)
+          retryOnConflict(doCluster(clusterSmallFileBytes))
+        else c
+      maintainRliInline(after)
+      after
     }
+
+  /** Best-effort inline RLI maintenance (see `rliMaintain`): skipped on
+    * outstanding delta logs; a maintenance race surfaces on the NEXT
+    * commit's maintain rather than failing this one's ingest. */
+  private def maintainRliInline(c: Commit): Unit =
+    if (rliMaintain && c.logFiles.isEmpty)
+      try { maintainRecordIndex(); () }
+      catch { case _: IllegalStateException => () }
 
   /** The write planner's affected-file selection (the 100 TB lever),
     * shared by upsert and MERGE INTO: the manifest's intervals are already
@@ -1226,7 +1251,14 @@ class GraftTable(
   /** Re-run a snapshot-rewrite maintenance op when a lock-free optimistic
     * writer wins its seq: the op reads latest() afresh each attempt, so a
     * retry is simply the same rewrite over the winner's snapshot. */
-  private def retryOnConflict(f: => Commit, maxRetries: Int = 5): Commit = {
+  // 20 bounded retries with jittered backoff: the replace/maintenance
+  // family (mergeInto, deleteWhere, compact, ...) must absorb sustained
+  // commit races against hot optimistic writers — at 5, three writers on
+  // a loaded host can starve a merge into a spurious throw (SoakSpec's
+  // replace-family race); at 20 the worst case adds ~1.5 s of backoff
+  // before the loud failure, which is the right trade for an op whose
+  // alternative is operator intervention.
+  private def retryOnConflict(f: => Commit, maxRetries: Int = 20): Commit = {
     var attempt = 0
     while (true) {
       try return f

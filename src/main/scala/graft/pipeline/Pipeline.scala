@@ -71,7 +71,8 @@ object IngestJob {
       keyBlooms = tc.keyBlooms,
       bloomColumns = tc.bloomColumns,
       partialUpdate = tc.partialUpdate,
-      clusterSmallFileBytes = tc.clusterSmallFileBytes)
+      clusterSmallFileBytes = tc.clusterSmallFileBytes,
+      rliMaintain = tc.rliMaintain)
 
   def run(spark: SparkSession, pipe: PipelineConfig, tc: TableConfig): TableResult = {
     val t0 = System.currentTimeMillis()

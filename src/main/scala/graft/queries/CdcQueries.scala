@@ -122,6 +122,35 @@ object CdcScenario {
       tab
     })
 
+  /** Upserts planned THROUGH the record-level index (M2h meets M2): the
+    * index is built on the bulk load, maintained incrementally across
+    * commits, and both a pure-update and a mixed update+insert batch must
+    * route through the exact key→file planner — `require` makes a silent
+    * fallback to the interval path a loud graded failure, and the
+    * snapshot itself is oracle-checked. */
+  def rliPlanned(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"rlip:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-rlip").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      tab.buildRecordIndex()
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      tab.upsert(meta(o.filter(k % 13 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") + 250.0), 2, deleted = false))
+      require(tab.lastPlanner == "rli",
+        s"update batch must plan through the record index, got '${tab.lastPlanner}'")
+      tab.maintainRecordIndex() // incremental bring-forward, not a rebuild
+      tab.upsert(meta(o.filter(k % 500 === 7)
+        .withColumn("o_orderkey", k + 20000000L)
+        .withColumn("o_orderstatus", lit("Y")), 3, deleted = false))
+      require(tab.lastPlanner == "rli",
+        s"insert batch must plan through the maintained index, got '${tab.lastPlanner}'")
+      tab
+    })
+
   /** Column-stats index on `o_custkey` (non-key data skipping). */
   def colStats(s: SparkSession, dir: String): GraftTable =
     build(s, dir, "cst", statsColumns = Seq("o_custkey"))(_ => ())
@@ -990,6 +1019,28 @@ object CdcQueries {
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
            FROM graft.orders_sql VERSION AS OF 1""")
     }),
+    // native TIMESTAMP AS OF through the DSv2 catalog: travel to the
+    // latest commit's time (commit times are wall-clock, so the latest
+    // is the only one deterministically tie-free) = the final snapshot
+    "sql_timestamp_as_of" -> ((s, dir) => {
+      val tab = CdcScenario.main(s, dir)
+      graft.sql.GraftSql.register(s, "orders_sql", tab)
+      val tsLit = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(tab.history().last.commitTimeMs))
+      graft.sql.GraftSql.sql(s,
+        s"""SELECT o_orderkey, o_orderstatus,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+            FROM graft.orders_sql TIMESTAMP AS OF '$tsLit'""")
+    }),
+    // record-level-index-planned upserts (the planner fast path, graded
+    // end to end: scenario `require`s the RLI planner fired, the oracle
+    // checks the merged snapshot)
+    "cdc_upsert_rli" -> ((s, dir) =>
+      CdcScenario.rliPlanned(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
     // SQL management: CALL run_compaction folded the clone's delta logs;
     // the snapshot must equal the standard final state
     "sql_call_compaction" -> ((s, dir) => statusAgg(CdcScenario.sqlManaged(s, dir))),
@@ -1154,6 +1205,26 @@ object CdcQueries {
          SELECT o_orderkey + 10000000, 'N',
            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
          FROM orders WHERE o_orderkey % 1000 = 1""",
+    // timestamp travel lands on the latest commit = the final state
+    "sql_timestamp_as_of" ->
+      s"""$finalState
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+         FROM final""",
+    // the RLI-planned scenario's merged snapshot: %13 updates overlay,
+    // %500=7 shifted inserts append
+    "cdc_upsert_rli" ->
+      """WITH final AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CAST(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 250.0
+                  ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT o_orderkey + 20000000, 'Y', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 500 = 7
+         )
+         SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
+         FROM final""",
     "sql_call_compaction" -> statusAggSql,
     "sql_call_show_commits" ->
       """SELECT * FROM (VALUES

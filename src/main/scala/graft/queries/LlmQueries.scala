@@ -249,6 +249,18 @@ object LlmQueries {
     // ---- text analysis
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
+    // character-class census (script-detection gate): exact integer
+    // length-delta counts, codegen'd regexp_replace at scan speed
+    "text_script_census" -> ((s, dir) =>
+      TextAnalysis.scriptCensus(t(s, dir, "documents"), "doc_id", "text")),
+    // temperature-scaled mixing weights (alpha = 1/2, IEEE-exact sqrt):
+    // the multilingual data-mixing computation
+    "sample_mixture_weights" -> ((s, dir) =>
+      Sampling.mixtureWeights(t(s, dir, "documents"), "doc_id", "lang")),
+    // CCNet-style fluency gate: per-doc mean negative log-prob under the
+    // corpus's own add-1 bigram LM
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.bigramScore(t(s, dir, "documents"), "doc_id", "text")),
     // count-based bigram LM with add-1 smoothing: exact integer censuses,
     // one IEEE-exact division — the KenLM-statistics shape
     "text_ngram_lm" -> ((s, dir) =>
@@ -985,6 +997,22 @@ object LlmQueries {
          FROM c JOIN c1 USING (w1) CROSS JOIN v
          ORDER BY c12 DESC, w1, w2 LIMIT 30""",
 
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS w
+           FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+             i -> {'w1': w[i], 'w2': w[i + 1]})) AS b
+           FROM tok WHERE len(w) >= 2),
+         p AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         c AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2),
+         c1 AS (SELECT w1, SUM(c12) AS c1 FROM c GROUP BY w1),
+         v AS (SELECT COUNT(DISTINCT w2) AS v FROM c)
+         SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           round(-avg(ln(CAST(c.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))), 4) AS nll
+         FROM p JOIN c USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         GROUP BY p.doc_id""",
+
     "dedup_cosine" ->
       """WITH n AS (SELECT vec_id, embedding,
              sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm
@@ -1009,6 +1037,24 @@ object LlmQueries {
          round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                / len(string_split(text, ' ')), 4) AS ttr
          FROM documents""",
+
+    "text_script_census" ->
+      """SELECT doc_id,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS INT) AS n_latin,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit,
+         CAST(length(text) - length(regexp_replace(text, '[ ]', '', 'g')) AS INT) AS n_space,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9 .,;:!?]', '', 'g')) AS INT) AS n_other,
+         round(CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text), 4) AS latin_ratio
+         FROM documents""",
+
+    "sample_mixture_weights" ->
+      """WITH c AS (SELECT lang, COUNT(doc_id) AS n_docs FROM documents GROUP BY lang),
+              z AS (SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM c)
+         SELECT c.lang, c.n_docs, round(sqrt(CAST(c.n_docs AS DOUBLE)) / z.z, 6) AS p
+         FROM c, z""",
 
     "text_langid" ->
       s"""WITH s AS (SELECT doc_id,

@@ -4,12 +4,14 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -124,17 +126,77 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new V1Scan {
-        private lazy val df = mkDf()
-        override def readSchema(): StructType = df.schema
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = df.schema
-            override def buildScan(): RDD[Row] = df.rdd
-          }.asInstanceOf[T]
+    new GraftScanBuilder(mkDf)
+}
+
+/** Scan builder with REAL pushdown into the snapshot plan: pruned
+  * columns and translatable filters are applied to the underlying
+  * DataFrame BEFORE the V1 row boundary, so Catalyst's parquet scan
+  * inside the snapshot plan sees them (`ReadSchema` narrows,
+  * `PushedFilters` populate) — a `SELECT one_col FROM graft.t WHERE k=x`
+  * reads one column of the key-pruned file set, not the whole table.
+  * Every filter is ALSO returned to Spark as a residual
+  * (`pushFilters` returns its input), so correctness never depends on
+  * the translation — an untranslatable predicate just skips the
+  * early-prune. */
+private[sql] class GraftScanBuilder(mkDf: () => DataFrame)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: Option[StructType] = None
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
+    filters // all stay residual: the pushdown is an early prune, not a contract
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new V1Scan {
+    private lazy val df = {
+      val base = mkDf()
+      val filtered = pushed.foldLeft(base)((d, f) =>
+        GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
+      required match {
+        case Some(s) if s.nonEmpty => filtered.select(s.fieldNames.map(col).toIndexedSeq: _*)
+        case Some(_) => filtered.select() // count(*)-style: zero columns, rows kept
+        case None => filtered
       }
     }
+    override def readSchema(): StructType = df.schema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = df.schema
+        override def buildScan(): RDD[Row] = df.rdd
+      }.asInstanceOf[T]
+  }
+}
+
+private[sql] object GraftScanBuilder {
+  /** Conservative source-Filter → Column translation; None = leave the
+    * predicate entirely to Spark's residual evaluation. */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case sources.Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
 }

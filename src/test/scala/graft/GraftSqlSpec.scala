@@ -65,6 +65,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rows.forall(_._2 == "sqlspec_t6 VERSION AS OF 0"))
   }
 
+  test("catalog scans prune columns and apply pushed filters correctly") {
+    mk("sqlspec_t8")
+    // projection + equality filter: pruned early, residual keeps exactness
+    assert(GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_t8 WHERE id = 2").as[String].collect().toSeq
+      == Seq("b2"))
+    // zero-column prune path (count-star asks for an empty schema)
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft.sqlspec_t8 WHERE id >= 2")
+      .as[Long].head() == 2)
+    // pushdown composes with time travel
+    assert(GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_t8 VERSION AS OF 0 WHERE id = 2")
+      .as[String].head() == "b")
+    // an untranslatable predicate still evaluates (residual-only path)
+    assert(GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_t8 WHERE id % 2 = 1").as[String].collect().toSeq
+      == Seq("a", "c"))
+  }
+
   test("time travel composes with joins and aggregation in one statement") {
     mk("sqlspec_t7")
     // v0 (2 rows) joined to v1 (3 rows) through plain Spark SQL — both

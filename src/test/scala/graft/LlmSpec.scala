@@ -223,6 +223,44 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("scriptCensus counts character classes exactly and disjointly") {
+    import graft.llm.TextAnalysis
+    val docs = Seq((1L, "Ab1 c,d!"), (2L, "xyz")).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptCensus(docs, "doc_id", "text")
+      .as[(Long, Int, Int, Int, Int, Int, Int, Double)].collect()
+      .sortBy(_._1).toSeq
+    // "Ab1 c,d!": 8 chars = 4 latin + 1 digit + 1 space + 2 punct + 0 other
+    assert(got == Seq(
+      (1L, 8, 4, 1, 1, 2, 0, 0.5),
+      (2L, 3, 3, 0, 0, 0, 0, 1.0)))
+  }
+
+  test("mixtureWeights computes sqrt-temperature mixing probabilities") {
+    import graft.llm.Sampling
+    // counts 9/4/1 -> sqrt 3/2/1, z = 6: the alpha=1/2 flattening gives
+    // the small stratum 1/6 instead of 1/14
+    val docs = (Seq.fill(9)("big") ++ Seq.fill(4)("mid") ++ Seq("small"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l) }.toDF("doc_id", "lang")
+    val got = Sampling.mixtureWeights(docs, "doc_id", "lang")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("big", 9L, 0.5), ("mid", 4L, 0.333333), ("small", 1L, 0.166667)))
+  }
+
+  test("bigramScore: self-scored corpus matches hand-computed add-1 NLL") {
+    import graft.llm.TextAnalysis
+    // corpus: "a b" ×2, "a c" ×1 → bigram counts (a,b)=2, (a,c)=1;
+    // context c1(a)=3; vocab {b,c} → V=2.
+    // P(b|a) = (2+1)/(3+2) = 0.6 ; P(c|a) = (1+1)/(3+2) = 0.4
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramScore(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val nllB = math.round(-math.log(0.6) * 10000) / 10000.0
+    val nllC = math.round(-math.log(0.4) * 10000) / 10000.0
+    assert(got == Seq((1L, 1L, nllB), (2L, 1L, nllB), (3L, 1L, nllC)))
+    // fluency ordering: the rarer transition scores strictly worse
+    assert(nllC > nllB)
+  }
+
   test("bigramLm computes exact add-1 conditional probabilities") {
     import graft.llm.TextAnalysis
     val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "a cat sat"))

@@ -586,4 +586,25 @@ class MergeSpec extends AnyFunSuite {
       .toDF("id", "v", "trx_seq", Meta.Deleted))
     assert(t.lastPlanner == "interval")
   }
+
+  test("rliMaintain keeps the planner on the RLI path across commits hands-free") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, rliMaintain = true)
+    // bulk insert auto-builds; every subsequent upsert plans through the
+    // maintained index with NO manual build/maintain calls anywhere
+    t.bulkInsert((0L until 1000L by 2).map(i => (i, s"v$i", "010", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    val c1 = t.upsert(Seq((2L, "u2", "020", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(t.lastPlanner == "rli")
+    assert(c1.extra("files_rewritten").toInt == 1)
+    val c2 = t.upsert(Seq((1001L, "ins", "030", false), (4L, "u4", "030", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(t.lastPlanner == "rli")
+    assert(c2.extra("files_rewritten").toInt == 1) // insert names no file, update names one
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 501 && got(2L) == "u2" && got(4L) == "u4" && got(1001L) == "ins")
+    // the maintained index also serves point reads at the head commit
+    assert(t.readKeysIndexed(Seq(f"${4L}%019d")).count() == 1)
+  }
 }
