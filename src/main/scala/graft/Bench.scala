@@ -34,7 +34,8 @@ object Bench {
     * Mutating ops run on a fresh hard-link CLONE per run (zero-copy
     * setup), so the timed window is the operation itself. */
   val WriteFamily: Seq[String] = Seq(
-    "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff")
+    "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
+    "w_upsert_interval", "w_upsert_rli")
 
   val Runs = 3
 
@@ -151,6 +152,22 @@ object Bench {
       "w_changes_diff" -> (() => {
         () => readTable.changesDiff(1, 2)
           .write.format("noop").mode("overwrite").save()
+      }),
+      // planner pair: the SAME update batch through the interval planner
+      // vs the record-level-index planner (index built untimed) — the
+      // round-10 exact-candidate fast path, measured not asserted
+      "w_upsert_interval" -> (() => {
+        val c = mergeBase.cloneTo(tmpRoot("ui-run") + "/t")
+        val batch = stamp(orders.filter(k % 13 === 0)
+          .withColumn("o_orderstatus", lit("Z")), 2)
+        () => { c.upsert(batch); () }
+      }),
+      "w_upsert_rli" -> (() => {
+        val c = mergeBase.cloneTo(tmpRoot("ur-run") + "/t")
+        c.buildRecordIndex()
+        val batch = stamp(orders.filter(k % 13 === 0)
+          .withColumn("o_orderstatus", lit("Z")), 2)
+        () => { c.upsert(batch); () }
       }))
     val writeResults = writeOps.map { case (name, mkRun) =>
       val times = (1 to Runs).map { _ =>

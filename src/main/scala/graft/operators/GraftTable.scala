@@ -586,12 +586,17 @@ class GraftTable(
     }
 
   /** Best-effort inline RLI maintenance (see `rliMaintain`): skipped on
-    * outstanding delta logs; a maintenance race surfaces on the NEXT
-    * commit's maintain rather than failing this one's ingest. */
+    * outstanding delta logs. Any failure degrades the NEXT upsert's
+    * planner to the interval path (stale index is refused, never served)
+    * instead of failing THIS commit's ingest — the data is already
+    * durably committed when this runs. */
   private def maintainRliInline(c: Commit): Unit =
     if (rliMaintain && c.logFiles.isEmpty)
       try { maintainRecordIndex(); () }
-      catch { case _: IllegalStateException => () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] inline RLI maintenance failed at seq ${c.seq} " +
+          s"(planner falls back to intervals until the next maintain): ${e.getMessage}")
+      }
 
   /** The write planner's affected-file selection (the 100 TB lever),
     * shared by upsert and MERGE INTO: the manifest's intervals are already

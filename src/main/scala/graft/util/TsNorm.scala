@@ -35,7 +35,9 @@ object TsNorm {
 
   /** Nanos-encoded raw-long event-time columns (see scaladoc). Only `ts`
     * is known to carry nanos in the feeds we ingest; a generic long is
-    * data, not time. */
+    * data, not time. Scope note: normalization is TOP-LEVEL columns —
+    * RDBMS-sourced CDC rows are flat by construction (SURVEY §1.3);
+    * nested NTZ fields would need a recursive cast here. */
   private val NanosLongCols = Set("ts")
 
   def normalize(df: DataFrame): DataFrame = {

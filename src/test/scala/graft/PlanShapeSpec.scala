@@ -216,4 +216,29 @@ class PlanShapeSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(got == Set((10L, "U"), (11L, "U")))
   }
+
+  test("script census is a pure narrow map: no shuffle, no join, codegen'd") {
+    val p = plan("text_script_census")
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"))
+    assert(p.contains("*(1)"))
+  }
+
+  test("mixture weights are one aggregate + a broadcast 1-row normalizer") {
+    val p = plan("sample_mixture_weights")
+    // the normalizer join must broadcast (1 row), never shuffle the counts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
+  test("LM scoring joins stay equi-hash; the corpus is never nested-looped") {
+    val p = plan("text_lm_score")
+    // doc-bigrams x model joins: hash equi-joins only (the vocab
+    // normalizer is the single legitimate broadcast of one row)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nested <= 1, s"only the 1-row vocab broadcast may nest ($nested found)")
+  }
 }
