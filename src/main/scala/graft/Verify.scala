@@ -26,6 +26,10 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
         failed += name
         val d = Paths.get(outDir, name)
+        // clear any PRIOR run's parquet first: a failure that throws
+        // before the overwrite-save deletes anything would otherwise
+        // leave stale green results beside the error marker
+        graft.util.Fs.deleteRecursively(d)
         Files.createDirectories(d)
         Files.writeString(d.resolve("_error.txt"),
           s"${e.getClass.getName}: ${e.getMessage}")

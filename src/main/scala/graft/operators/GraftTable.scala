@@ -382,11 +382,7 @@ class GraftTable(
   /** M4 bulk insert: full-load files → new table, no merge, PARTITION_SORT
     * layout (range-partition + sort by key). */
   def bulkInsert(df0: DataFrame, checkpoint: Option[String] = None): Commit =
-    withLock {
-      val c = doBulkInsert(df0, checkpoint)
-      maintainRliInline(c)
-      c
-    }
+    withLock(doBulkInsert(df0, checkpoint))
 
   private def doBulkInsert(df0: DataFrame, checkpoint: Option[String]): Commit = {
     val df = prepared(df0)
@@ -509,10 +505,16 @@ class GraftTable(
         s"staged files for seq ${c.seq} were garbage-collected mid-write " +
           "(writer presumed dead after a stall?); recompute and retry")
     }
-    try timeline.commit(c)
-    catch {
-      case e: IllegalStateException => dropStage(); throw e
-    }
+    val committed =
+      try timeline.commit(c)
+      catch {
+        case e: IllegalStateException => dropStage(); throw e
+      }
+    // single choke point for hands-free index upkeep: EVERY staged-file
+    // commit (upsert, merge, overwrite, compact, cluster, delete, rename)
+    // flows through here, so `rliMaintain` cannot miss a mutation class
+    maintainRliInline(committed)
+    committed
   }
 
   /** OPTIMISTIC multi-writer upsert (the Hudi/Delta OCC shape): no writer
@@ -577,19 +579,21 @@ class GraftTable(
         else doUpsert(batch0, checkpoint)
       // inline clustering (lock already held): a no-op unless >= 2 small
       // files exist and no delta logs are outstanding
-      val after =
-        if (clusterSmallFileBytes > 0 && c.logFiles.isEmpty)
-          retryOnConflict(doCluster(clusterSmallFileBytes))
-        else c
-      maintainRliInline(after)
-      after
+      if (clusterSmallFileBytes > 0 && c.logFiles.isEmpty)
+        retryOnConflict(doCluster(clusterSmallFileBytes))
+      else c
     }
 
-  /** Best-effort inline RLI maintenance (see `rliMaintain`): skipped on
-    * outstanding delta logs. Any failure degrades the NEXT upsert's
-    * planner to the interval path (stale index is refused, never served)
-    * instead of failing THIS commit's ingest — the data is already
-    * durably committed when this runs. */
+  /** Best-effort inline RLI maintenance (see `rliMaintain`), invoked
+    * from the [[commitOrCleanStage]] choke point (every staged-file
+    * commit) plus the manifest-surgery commits (delete_partition,
+    * drop_column, restore): skipped on outstanding delta logs
+    * (compaction's own commit maintains then). Any failure degrades the
+    * NEXT upsert's planner to the interval path (a stale index is
+    * refused, never served) instead of failing THIS commit's ingest —
+    * the data is already durably committed when this runs. Idempotent
+    * per seq, so paths that commit twice in one operation (upsert +
+    * inline cluster) just no-op the second time. */
   private def maintainRliInline(c: Commit): Unit =
     if (rliMaintain && c.logFiles.isEmpty)
       try { maintainRecordIndex(); () }
@@ -993,12 +997,14 @@ class GraftTable(
         undecidable.take(3).map(_.path).mkString(","))
     val (dropped, kept) = prev.files.partition(f =>
       spec.forall { case (k, v) => f.partition.get(k).contains(v) })
-    timeline.commit(Commit(prev.seq + 1, "delete_partition", kept,
+    val c = timeline.commit(Commit(prev.seq + 1, "delete_partition", kept,
       prev.schemaJson, prev.checkpoint, System.currentTimeMillis(),
       extra = Map(
         "partition_spec" -> spec.map { case (k, v) => s"$k=$v" }.mkString("/"),
         "files_dropped" -> dropped.size.toString,
         "rows_dropped" -> dropped.map(_.numRows).sum.toString)))
+    maintainRliInline(c)
+    c
   })
 
   /** Predicate DELETE over conjunctive range predicates (SQL
@@ -1075,9 +1081,11 @@ class GraftTable(
     require(!protectedColumns(name), s"cannot drop protected column $name")
     val schema = org.apache.spark.sql.types.StructType(
       prevSchema.filterNot(_.name == name))
-    timeline.commit(Commit(prev.seq + 1, "drop_column", prev.files,
+    val c = timeline.commit(Commit(prev.seq + 1, "drop_column", prev.files,
       schema.json, prev.checkpoint, System.currentTimeMillis(),
       extra = Map("dropped_column" -> name), logFiles = prev.logFiles))
+    maintainRliInline(c)
+    c
   })
 
   /** COLUMN RENAME — an explicit REWRITE, stated honestly: this format
@@ -2170,10 +2178,12 @@ class GraftTable(
   def restoreSavepoint(seq: Long): Commit = withLock {
     val sp = timeline.readSavepoint(seq)
     val next = timeline.latestSeq().map(_ + 1).getOrElse(0L)
-    timeline.commit(Commit(next, "restore", sp.files, sp.schemaJson,
+    val c = timeline.commit(Commit(next, "restore", sp.files, sp.schemaJson,
       sp.checkpoint, System.currentTimeMillis(),
       extra = Map("restored_from" -> seq.toString),
       logFiles = sp.logFiles))
+    maintainRliInline(c)
+    c
   }
 
   /** Read a savepointed snapshot — valid even after the commit has left

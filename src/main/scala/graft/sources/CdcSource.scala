@@ -36,7 +36,8 @@ object CdcSource {
     * the first real job. */
   def readJsonl(spark: SparkSession, root: String, schema: StructType): DataFrame =
     graft.util.TsNorm.normalize(
-      spark.read.schema(schema).option("recursiveFileLookup", "true").json(root))
+      spark.read.schema(schema).option("recursiveFileLookup", "true").json(root),
+      nanosLong = false) // text zones never carry parquet-NANOS longs
 
   /** S1 variant — CSV zone (DMS's DEFAULT S3 target format; the reference
     * pipeline opts into parquet, but a stock DMS endpoint emits CSV).
@@ -45,7 +46,8 @@ object CdcSource {
       header: Boolean = true): DataFrame =
     graft.util.TsNorm.normalize(
       spark.read.schema(schema).option("recursiveFileLookup", "true")
-        .option("header", header.toString).csv(root))
+        .option("header", header.toString).csv(root),
+      nanosLong = false) // text zones never carry parquet-NANOS longs
 
   /** Watermark = the max ingested mtime PLUS the set of paths already
     * processed at exactly that mtime. A later arrival sharing the boundary

@@ -121,7 +121,12 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame)
     extends Table with SupportsRead {
 
   override def name(): String = tableName
-  override def schema(): StructType = mkDf().schema
+  // Catalyst calls schema() several times per resolution; building the
+  // snapshot plan involves a manifest read, so resolve it once per Table
+  // instance (instances are minted per loadTable call, so a LIVE table
+  // still sees fresh schemas across statements)
+  private lazy val resolvedSchema: StructType = mkDf().schema
+  override def schema(): StructType = resolvedSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 

@@ -51,8 +51,10 @@ object ContinuousIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // same boundary rule as the batch readers: an NTZ/nanos zone
-          // must land in the table as TimestampType (TsNorm scaladoc)
-          val norm = graft.util.TsNorm.normalize(batch)
+          // must land in the table as TimestampType; the nanos-long rule
+          // is parquet-only (TsNorm scaladoc)
+          val norm = graft.util.TsNorm.normalize(batch,
+            nanosLong = format == "parquet")
           val b = transformerSql.fold(norm)(sql => Transform.sql(spark, norm, sql))
           table.upsert(b, Some(s"stream-batch-$batchId"))
           ()

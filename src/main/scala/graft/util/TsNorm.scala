@@ -40,17 +40,24 @@ object TsNorm {
     * nested NTZ fields would need a recursive cast here. */
   private val NanosLongCols = Set("ts")
 
-  def normalize(df: DataFrame): DataFrame = {
+  /** `nanosLong = true` only at PARQUET boundaries: the raw-long-`ts`
+    * rule exists solely because Spark 4 surfaces parquet TIMESTAMP(NANOS)
+    * as a long under the legacy flag. A JSONL/CSV zone can never carry
+    * that encoding — a long `ts` there is the caller's own data (epoch
+    * millis, a sequence number, ...) and dividing it by 1000 would
+    * silently shift every event; text readers therefore pass `false`
+    * and get only the NTZ cast. */
+  def normalize(df: DataFrame, nanosLong: Boolean = true): DataFrame = {
     val needsWork = df.schema.fields.exists { f =>
       f.dataType == TimestampNTZType ||
-        (f.dataType == LongType && NanosLongCols(f.name))
+        (nanosLong && f.dataType == LongType && NanosLongCols(f.name))
     }
     if (!needsWork) df
     else df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case TimestampNTZType =>
           acc.withColumn(f.name, col(f.name).cast(TimestampType))
-        case LongType if NanosLongCols(f.name) =>
+        case LongType if nanosLong && NanosLongCols(f.name) =>
           acc.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
         case _ => acc
       }

@@ -46,7 +46,12 @@ class GraftSqlSpec extends AnyFunSuite {
   test("TIMESTAMP AS OF resolves through commit times") {
     val t = mk("sqlspec_t2")
     val c0 = t.history().head.commitTimeMs
-    val ts = new java.sql.Timestamp(c0).toString
+    // render in UTC explicitly: Spark parses the literal under the
+    // session's pinned UTC zone, while java.sql.Timestamp.toString uses
+    // the JVM default zone — on a non-UTC JVM they would disagree
+    val ts = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(c0))
     val rows = GraftSql.sql(spark,
       s"SELECT id, v FROM graft.sqlspec_t2 TIMESTAMP AS OF '$ts' ORDER BY id")
       .as[(Long, String)].collect().toSeq

@@ -606,5 +606,16 @@ class MergeSpec extends AnyFunSuite {
     assert(got.size == 501 && got(2L) == "u2" && got(4L) == "u4" && got(1001L) == "ins")
     // the maintained index also serves point reads at the head commit
     assert(t.readKeysIndexed(Seq(f"${4L}%019d")).count() == 1)
+    // replace-family commits maintain too (the commit choke point):
+    // a MERGE INTO leaves the index current, so the NEXT upsert still
+    // plans through it instead of decaying to intervals for one commit
+    t.mergeInto(Seq((6L, "m6")).toDF("id", "nv"),
+      whenMatchedSet = Map("v" -> org.apache.spark.sql.functions.col("src_nv")),
+      insertWhenNotMatched = false)
+    val c3 = t.upsert(Seq((8L, "u8", "040", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    assert(t.lastPlanner == "rli")
+    assert(c3.extra("files_rewritten").toInt == 1)
+    assert(t.readUser().filter($"id" === 6L).select("v").as[String].head() == "m6")
   }
 }

@@ -231,14 +231,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
-  test("LM scoring joins stay equi-hash; the corpus is never nested-looped") {
+  test("LM scoring joins stay equi; the corpus is never nested-looped") {
     val p = plan("text_lm_score")
-    // doc-bigrams x model joins: hash equi-joins only (the vocab
-    // normalizer is the single legitimate broadcast of one row)
+    // doc-bigrams x model joins must be EQUI joins (hash or sort-merge —
+    // both scale as key shuffles); what must never appear is an all-pairs
+    // plan, and the only nested-loop allowed is the 1-row vocab broadcast
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
-      p.contains("BroadcastHashJoin"))
     val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(nested <= 1, s"only the 1-row vocab broadcast may nest ($nested found)")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), "the model joins must be equi-joins")
   }
 }

@@ -81,6 +81,23 @@ class TsNormSpec extends AnyFunSuite {
     }
   }
 
+  test("text zones keep a long ts column as DATA — the nanos rule is parquet-only") {
+    import org.apache.spark.sql.types._
+    // a JSONL feed whose schema declares ts as LONG (say epoch millis)
+    // can never be parquet TIMESTAMP(NANOS); dividing it by 1000 would
+    // silently shift every event — the reader must hand it back verbatim
+    val dir = tmp("tsnorm-jsonl")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part0.jsonl"),
+      """{"id":1,"ts":1700000000123}""" + "\n" + """{"id":2,"ts":1700000000456}""" + "\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", LongType)))
+    val df = CdcSource.readJsonl(spark, dir, schema)
+    assert(df.schema("ts").dataType == LongType)
+    assert(df.select($"ts").as[Long].collect().sorted.toSeq
+      == Seq(1700000000123L, 1700000000456L))
+  }
+
   test("Q.t hands back TimestampType for the graded events table") {
     val ev = graft.queries.Q.t(spark, "/root/testdata/sf0.001", "events")
     assert(ev.schema("ts").dataType == TimestampType)
