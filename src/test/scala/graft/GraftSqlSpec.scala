@@ -70,6 +70,16 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rows.forall(_._2 == "sqlspec_t6 VERSION AS OF 0"))
   }
 
+  test("SHOW TABLES IN graft and DESCRIBE resolve through the catalog") {
+    mk("sqlspec_t9")
+    val names = GraftSql.sql(spark, "SHOW TABLES IN graft")
+      .select("tableName").as[String].collect().toSet
+    assert(names.contains("sqlspec_t9"))
+    val cols = GraftSql.sql(spark, "DESCRIBE TABLE graft.sqlspec_t9")
+      .select("col_name").as[String].collect().toSet
+    assert(Set("id", "v", "trx_seq").subsetOf(cols))
+  }
+
   test("catalog scans prune columns and apply pushed filters correctly") {
     mk("sqlspec_t8")
     // projection + equality filter: pruned early, residual keeps exactness
