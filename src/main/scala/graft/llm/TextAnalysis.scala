@@ -31,6 +31,24 @@ object TextAnalysis {
       round(size(array_distinct(words)).cast("double") / size(words), 4).as("ttr"))
   }
 
+  /** Sequence-length histogram in power-of-2 buckets — the census a
+    * context-length / batch-packing plan starts from (how much token
+    * mass sits in each length band decides truncation limits and pack
+    * targets). The bucket index is `floor(log2(n_tokens))` computed as
+    * `length(bin(n)) - 1` — pure INTEGER string arithmetic, because the
+    * obvious `floor(log2(x))` is fp-fragile exactly at the bucket
+    * boundaries (log2(8) can evaluate just under 3 via ln-ratio libms
+    * and misfile every power-of-2 document). One map + one hash
+    * aggregate, scan-speed. */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("b", (length(bin(col("n_tokens"))) - 1).cast("int"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
+      .select(expr("shiftleft(1L, b)").as("bucket_lo"),
+        col("n_docs"), col("token_mass"))
+
   /** Per-document fluency score under the corpus's OWN add-k bigram LM —
     * the CCNet/KenLM perplexity-filter shape: documents whose token
     * transitions are improbable under the corpus statistics (gibberish,

@@ -261,6 +261,10 @@ object LlmQueries {
     // corpus's own add-1 bigram LM
     "text_lm_score" -> ((s, dir) =>
       TextAnalysis.bigramScore(t(s, dir, "documents"), "doc_id", "text")),
+    // power-of-2 sequence-length histogram (context-length planning):
+    // integer-exact bucketing via length(bin(n))-1
+    "text_length_buckets" -> ((s, dir) =>
+      TextAnalysis.lengthBuckets(t(s, dir, "documents"), "doc_id", "text")),
     // count-based bigram LM with add-1 smoothing: exact integer censuses,
     // one IEEE-exact division — the KenLM-statistics shape
     "text_ngram_lm" -> ((s, dir) =>
@@ -996,6 +1000,14 @@ object LlmQueries {
            round(CAST(c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE), 6) AS p
          FROM c JOIN c1 USING (w1) CROSS JOIN v
          ORDER BY c12 DESC, w1, w2 LIMIT 30""",
+
+    "text_length_buckets" ->
+      """WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         b AS (SELECT CAST(length(bin(n)) - 1 AS INT) AS b, n FROM t)
+         SELECT CAST(1 << b AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS token_mass
+         FROM b GROUP BY b""",
 
     "text_lm_score" ->
       """WITH tok AS (SELECT doc_id, list_filter(

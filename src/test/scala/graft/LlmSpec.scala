@@ -246,6 +246,22 @@ class LlmSpec extends AnyFunSuite {
     assert(got == Seq(("big", 9L, 0.5), ("mid", 4L, 0.333333), ("small", 1L, 0.166667)))
   }
 
+  test("lengthBuckets files boundary lengths exactly (1, 2, 7, 8 tokens)") {
+    import graft.llm.TextAnalysis
+    // powers of 2 are the fp-fragile boundary: 8 tokens MUST land in
+    // bucket_lo=8, never 4 (the log2-via-ln failure mode)
+    val docs = Seq(
+      (1L, "a"),                      // 1 token  -> bucket 1
+      (2L, "a b"),                    // 2 tokens -> bucket 2
+      (3L, "a b c"),                  // 3 tokens -> bucket 2
+      (4L, "a b c d e f g"),          // 7 tokens -> bucket 4
+      (5L, "a b c d e f g h")         // 8 tokens -> bucket 8
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBuckets(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 2L, 5L), (4L, 1L, 7L), (8L, 1L, 8L)))
+  }
+
   test("bigramScore: self-scored corpus matches hand-computed add-1 NLL") {
     import graft.llm.TextAnalysis
     // corpus: "a b" ×2, "a c" ×1 → bigram counts (a,b)=2, (a,c)=1;
