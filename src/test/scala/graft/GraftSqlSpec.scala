@@ -100,6 +100,22 @@ class GraftSqlSpec extends AnyFunSuite {
       == Seq("a", "c"))
   }
 
+  test("catalog pushdown is visible in the executed plan") {
+    mk("sqlspec_t10")
+    val p = GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_t10 WHERE id = 2")
+      .queryExecution.executedPlan.toString
+    // the V1 bridge scan must advertise the pushed filter and a schema
+    // pruned to the selected column (+ the filter column) — proof the
+    // prune/filter reached the snapshot plan instead of post-filtering
+    // full rows
+    assert(p.contains("PushedFilters"), s"no pushdown marker in:\n$p")
+    assert(p.contains("EqualTo(id,2)") || p.contains("IsNotNull(id)"),
+      s"id=2 not pushed in:\n$p")
+    assert(!p.contains("trx_seq"),
+      s"unselected column leaked into the scan schema:\n$p")
+  }
+
   test("time travel composes with joins and aggregation in one statement") {
     mk("sqlspec_t7")
     // v0 (2 rows) joined to v1 (3 rows) through plain Spark SQL — both
