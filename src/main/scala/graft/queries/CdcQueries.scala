@@ -964,6 +964,15 @@ object CdcQueries {
         .select(col(Meta.RecordKey).cast("long").as("o_orderkey"), col("op"),
           col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))),
+    // the same change feed through the SQL CALL surface — delete rows
+    // keep their identity via the record-key column
+    "sql_changes_feed" -> ((s, dir) => {
+      graft.sql.GraftSql.register(s, "orders_sql", CdcScenario.main(s, dir))
+      graft.sql.GraftSql.sql(s, "CALL show_changes('orders_sql', 0, 2)")
+        .select(col(Meta.RecordKey).cast("long").as("o_orderkey"), col("op"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    }),
     // SQL MERGE INTO: matched-update SET, matched-delete condition and
     // not-matched insert applied in one expression-based commit
     "cdc_merge_into" -> ((s, dir) => statusAgg(CdcScenario.mergedInto(s, dir))),
@@ -1475,6 +1484,30 @@ object CdcQueries {
     // surviving key the batches touched (%7 / even-%97 / %10 — the CASE
     // mirrors finalState's precedence)
     "cdc_changes_diff" ->
+      """WITH diff AS (
+           SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS st,
+             CAST(NULL AS DOUBLE) AS praw
+           FROM orders
+           WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0
+           UNION ALL
+           SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice
+           FROM orders WHERE o_orderkey % 1000 = 1
+           UNION ALL
+           SELECT o_orderkey, 'U',
+             CASE WHEN o_orderkey % 7 = 0 THEN 'V'
+                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN 'R'
+                  ELSE 'U' END,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN o_totalprice
+                  ELSE o_totalprice + 1000.0 END
+           FROM orders
+           WHERE o_orderkey % 7 = 0 OR (o_orderkey % 97 = 0 AND o_orderkey % 2 = 0)
+             OR o_orderkey % 10 = 0)
+         SELECT k AS o_orderkey, op, st AS o_orderstatus,
+           CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price
+         FROM diff""",
+    // identical feed through CALL show_changes — one oracle, two doors
+    "sql_changes_feed" ->
       """WITH diff AS (
            SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS st,
              CAST(NULL AS DOUBLE) AS praw

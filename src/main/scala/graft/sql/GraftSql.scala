@@ -171,12 +171,20 @@ object GraftSql {
         arity(1)
         val seq = lookup(args(0)).buildRecordIndex()
         summary("indexed_seq" -> seq.toString)
+      case "show_changes" =>
+        arity(3)
+        // the change-data-feed from pure SQL: op (I/U/D) + after-image
+        // between two commit seqs, manifest-pruned like the API call.
+        // The record key STAYS in the output — a delete's after-image is
+        // all-null, so the key column is its only identity
+        lookup(args(0)).changesDiff(args(1).toLong, args(2).toLong)
+          .drop(graft.model.Meta.CommitSeq)
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure $other; available: show_commits, " +
-            "show_savepoints, run_compaction, run_clustering, run_clean, " +
-            "run_archive, create_savepoint, restore_savepoint, rollback_to, " +
-            "delete_partition, build_record_index")
+            "show_savepoints, show_changes, run_compaction, run_clustering, " +
+            "run_clean, run_archive, create_savepoint, restore_savepoint, " +
+            "rollback_to, delete_partition, build_record_index")
     }
   }
 }

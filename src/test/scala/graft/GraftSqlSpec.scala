@@ -161,6 +161,14 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.contains("action") || r.contains("files_rewritten") || r.nonEmpty)
   }
 
+  test("CALL show_changes surfaces the change-data-feed between commits") {
+    mk("sqlspec_t11")
+    // commit 0 = {1->a, 2->b}; commit 1 upserts 2->b2 and inserts 3->c
+    val rows = GraftSql.sql(spark, "CALL show_changes('sqlspec_t11', 0, 1)")
+      .select("id", "op").as[(Long, String)].collect().toSet
+    assert(rows == Set((2L, "U"), (3L, "I")))
+  }
+
   test("unknown procedures and malformed arguments fail loudly") {
     mk("sqlspec_t5")
     intercept[IllegalArgumentException](
