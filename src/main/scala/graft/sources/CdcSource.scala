@@ -68,26 +68,66 @@ object CdcSource {
     } else (lines.head.toLong, lines.tail.toSet)
   }
 
+  /** Zones with more first-level entries than this list DISTRIBUTED:
+    * a single-threaded driver walk over a 1M-file object-store zone is
+    * the classic ingest stall (every date-partition dir is a sequential
+    * round trip); above the threshold the per-subdirectory walks fan out
+    * as Spark tasks. Below it, the driver walk wins — no job overhead. */
+  val DistributedListThreshold = 64
+
   /** Recursive listing of data files under `root`, sorted by (mtime,
     * path). `suffix` selects the zone format; its gzipped form
     * (`<suffix>.gz`) always counts too — compressed JSONL/CSV zones ship
-    * that way. */
+    * that way. Wide zones (> [[DistributedListThreshold]] first-level
+    * entries — the DMS date-partition layout after a few months) listed
+    * in parallel across the cluster; the result still lands driver-side
+    * because the (mtime, path) watermark is driver state, and it is
+    * bounded by the file COUNT, not data size. */
   def listDataFiles(spark: SparkSession, root: String,
       suffix: String = ".parquet"): Seq[(Long, String)] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new HPath(root)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
+    val level1 = fs.listStatus(p)
+    val (dirs, files) = level1.partition(_.isDirectory)
+    val keepName = mkKeep(suffix)
+    val direct = files.iterator.filter(st => keepName(st.getPath.getName))
+      .map(st => (st.getModificationTime, fs.makeQualified(st.getPath).toString))
+      .toSeq
+    val nested: Seq[(Long, String)] =
+      if (level1.length <= DistributedListThreshold)
+        dirs.iterator.flatMap(d => walk(fs, d.getPath, keepName)).toSeq
+      else {
+        // distributed: each task walks one subtree with its own FS client
+        val ser = new graft.util.SerConf(conf)
+        val dirStrs = dirs.map(_.getPath.toString).toIndexedSeq
+        spark.sparkContext
+          .parallelize(dirStrs, math.min(dirStrs.length, 64))
+          .flatMap { d =>
+            val dp = new HPath(d)
+            val dfs = dp.getFileSystem(ser.value)
+            walk(dfs, dp, mkKeep(suffix))
+          }
+          .collect().toSeq
+      }
+    (direct ++ nested).sorted
+  }
+
+  private def mkKeep(suffix: String): String => Boolean =
+    name => (name.endsWith(suffix) || name.endsWith(suffix + ".gz")) &&
+      !name.startsWith("_") && !name.startsWith(".")
+
+  private def walk(fs: org.apache.hadoop.fs.FileSystem, p: HPath,
+      keep: String => Boolean): Seq[(Long, String)] = {
     val out = Seq.newBuilder[(Long, String)]
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && (name.endsWith(suffix) || name.endsWith(suffix + ".gz")) &&
-          !name.startsWith("_") && !name.startsWith("."))
+      if (st.isFile && keep(st.getPath.getName))
         out += ((st.getModificationTime, fs.makeQualified(st.getPath).toString))
     }
-    out.result().sorted
+    out.result()
   }
 
   /** Next watermark after processing `fresh` files on top of `checkpoint`. */
