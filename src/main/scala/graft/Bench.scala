@@ -112,6 +112,9 @@ object Bench {
     mergeBase.bulkInsert(stamp(orders, 1))
     val mergeSource = orders.filter(k % 13 === 0)
       .withColumn("action", when(k % 26 === 0, lit("DEL")).otherwise(lit("ADJ")))
+    // shared update batch for the w_upsert_* planner pair
+    val plannerBatch = stamp(orders.filter(k % 13 === 0)
+      .withColumn("o_orderstatus", lit("Z")), 2)
     // compact base: MOR with delta logs confined to a narrow key range
     val morBase = new graft.operators.GraftTable(spark, tmpRoot("mor"),
       Seq("o_orderkey"), targetFileBytes = 1024 * 1024,
@@ -158,16 +161,12 @@ object Bench {
       // round-10 exact-candidate fast path, measured not asserted
       "w_upsert_interval" -> (() => {
         val c = mergeBase.cloneTo(tmpRoot("ui-run") + "/t")
-        val batch = stamp(orders.filter(k % 13 === 0)
-          .withColumn("o_orderstatus", lit("Z")), 2)
-        () => { c.upsert(batch); () }
+        () => { c.upsert(plannerBatch); () }
       }),
       "w_upsert_rli" -> (() => {
         val c = mergeBase.cloneTo(tmpRoot("ur-run") + "/t")
         c.buildRecordIndex()
-        val batch = stamp(orders.filter(k % 13 === 0)
-          .withColumn("o_orderstatus", lit("Z")), 2)
-        () => { c.upsert(batch); () }
+        () => { c.upsert(plannerBatch); () }
       }))
     val writeResults = writeOps.map { case (name, mkRun) =>
       val times = (1 to Runs).map { _ =>

@@ -40,7 +40,7 @@ object TextAnalysis {
     * boundaries (log2(8) can evaluate just under 3 via ln-ratio libms
     * and misfile every power-of-2 document). One map + one hash
     * aggregate, scan-speed. */
-  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def lengthBuckets(docs: DataFrame, textCol: String): DataFrame =
     docs.select(size(split(col(textCol), " ")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("b", (length(bin(col("n_tokens"))) - 1).cast("int"))

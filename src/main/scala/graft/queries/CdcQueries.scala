@@ -1095,6 +1095,33 @@ object CdcQueries {
     * the same final state. */
   def statusAggOracle: String = statusAggSql
 
+  /** The I/U/D feed between commit 0 and the final state — graded twice:
+    * once through the API (`cdc_changes_diff`) and once through the SQL
+    * CALL door (`sql_changes_feed`). */
+  private val changesDiffSql =
+    """WITH diff AS (
+         SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS st,
+           CAST(NULL AS DOUBLE) AS praw
+         FROM orders
+         WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice
+         FROM orders WHERE o_orderkey % 1000 = 1
+         UNION ALL
+         SELECT o_orderkey, 'U',
+           CASE WHEN o_orderkey % 7 = 0 THEN 'V'
+                WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN 'R'
+                ELSE 'U' END,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN o_totalprice
+                ELSE o_totalprice + 1000.0 END
+         FROM orders
+         WHERE o_orderkey % 7 = 0 OR (o_orderkey % 97 = 0 AND o_orderkey % 2 = 0)
+           OR o_orderkey % 10 = 0)
+       SELECT k AS o_orderkey, op, st AS o_orderstatus,
+         CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price
+       FROM diff"""
+
   private val statusAggSql =
     s"""$finalState
        SELECT o_orderstatus, COUNT(*) AS n,
@@ -1483,53 +1510,9 @@ object CdcQueries {
     // deletes (after-image NULL), I = the +10M inserts, U = every
     // surviving key the batches touched (%7 / even-%97 / %10 — the CASE
     // mirrors finalState's precedence)
-    "cdc_changes_diff" ->
-      """WITH diff AS (
-           SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS st,
-             CAST(NULL AS DOUBLE) AS praw
-           FROM orders
-           WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0
-           UNION ALL
-           SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice
-           FROM orders WHERE o_orderkey % 1000 = 1
-           UNION ALL
-           SELECT o_orderkey, 'U',
-             CASE WHEN o_orderkey % 7 = 0 THEN 'V'
-                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN 'R'
-                  ELSE 'U' END,
-             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
-                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN o_totalprice
-                  ELSE o_totalprice + 1000.0 END
-           FROM orders
-           WHERE o_orderkey % 7 = 0 OR (o_orderkey % 97 = 0 AND o_orderkey % 2 = 0)
-             OR o_orderkey % 10 = 0)
-         SELECT k AS o_orderkey, op, st AS o_orderstatus,
-           CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price
-         FROM diff""",
+    "cdc_changes_diff" -> changesDiffSql,
     // identical feed through CALL show_changes — one oracle, two doors
-    "sql_changes_feed" ->
-      """WITH diff AS (
-           SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS VARCHAR) AS st,
-             CAST(NULL AS DOUBLE) AS praw
-           FROM orders
-           WHERE o_orderkey % 97 = 0 AND o_orderkey % 2 = 1 AND o_orderkey % 7 <> 0
-           UNION ALL
-           SELECT o_orderkey + 10000000, 'I', 'N', o_totalprice
-           FROM orders WHERE o_orderkey % 1000 = 1
-           UNION ALL
-           SELECT o_orderkey, 'U',
-             CASE WHEN o_orderkey % 7 = 0 THEN 'V'
-                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN 'R'
-                  ELSE 'U' END,
-             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
-                  WHEN o_orderkey % 97 = 0 AND o_orderkey % 2 = 0 THEN o_totalprice
-                  ELSE o_totalprice + 1000.0 END
-           FROM orders
-           WHERE o_orderkey % 7 = 0 OR (o_orderkey % 97 = 0 AND o_orderkey % 2 = 0)
-             OR o_orderkey % 10 = 0)
-         SELECT k AS o_orderkey, op, st AS o_orderstatus,
-           CAST(CAST(praw AS DECIMAL(18,2)) AS DOUBLE) AS price
-         FROM diff""",
+    "sql_changes_feed" -> changesDiffSql,
     // key 10: original, then 'U' +1000 at commits 1 and 2 (the late 'L'
     // row loses); key 97: original, deleted at commit 1, stays gone;
     // key 194: original, deleted at commit 1, re-inserted 'R' at commit 2

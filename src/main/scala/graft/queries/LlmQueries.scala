@@ -264,7 +264,7 @@ object LlmQueries {
     // power-of-2 sequence-length histogram (context-length planning):
     // integer-exact bucketing via length(bin(n))-1
     "text_length_buckets" -> ((s, dir) =>
-      TextAnalysis.lengthBuckets(t(s, dir, "documents"), "doc_id", "text")),
+      TextAnalysis.lengthBuckets(t(s, dir, "documents"), "text")),
     // count-based bigram LM with add-1 smoothing: exact integer censuses,
     // one IEEE-exact division — the KenLM-statistics shape
     "text_ngram_lm" -> ((s, dir) =>

@@ -257,7 +257,7 @@ class LlmSpec extends AnyFunSuite {
       (4L, "a b c d e f g"),          // 7 tokens -> bucket 4
       (5L, "a b c d e f g h")         // 8 tokens -> bucket 8
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.lengthBuckets(docs, "doc_id", "text")
+    val got = TextAnalysis.lengthBuckets(docs, "text")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 1L, 1L), (2L, 2L, 5L), (4L, 1L, 7L), (8L, 1L, 8L)))
   }
