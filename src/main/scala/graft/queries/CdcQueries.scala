@@ -352,6 +352,15 @@ object CdcScenario {
       path
     })
 
+  /** ORC zone (S1e): the other columnar lake format — sharded like a
+    * multi-writer feed so the recursive reader genuinely merges files. */
+  def orcZone(s: SparkSession, dir: String): String =
+    pathCache.getOrElseUpdate(s"orc:$dir", {
+      val path = Files.createTempDirectory("graft-cdc-orc").toString + "/zone"
+      t(s, dir, "orders").repartition(4).write.orc(path)
+      path
+    })
+
   /** Metadata-only column drop: o_orderdate vanishes from the schema
     * without a byte moving. */
   def columnDropped(s: SparkSession, dir: String): GraftTable =
@@ -1003,6 +1012,12 @@ object CdcQueries {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+    // ORC zone round trip (the other columnar lake format)
+    "src_orc" -> ((s, dir) =>
+      graft.sources.CdcSource.readOrc(s, CdcScenario.orcZone(s, dir))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
     // metadata-only column drop: the full remaining row set — the
     // dropped o_orderdate can appear in neither schema nor data
     "cdc_drop_column" -> ((s, dir) =>
@@ -1546,6 +1561,11 @@ object CdcQueries {
          FROM orders GROUP BY o_orderstatus""",
     // the zstd zone must census identically to the source table
     "src_parquet_zstd" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
+    // the decoded ORC zone must census identically to the source table
+    "src_orc" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY o_orderstatus""",

@@ -26,6 +26,17 @@ object CdcSource {
     graft.util.TsNorm.normalize(schema.fold(r)(r.schema).parquet(root))
   }
 
+  /** S1 variant — ORC zone: the other columnar lake format, read through
+    * Spark's native (pushdown-capable, vectorized) ORC source with the
+    * same recursive layout and boundary normalization as the parquet
+    * zone. ORC's own TIMESTAMP is timezone-naive — Spark surfaces it per
+    * `spark.sql.orc.ntz` semantics, and [[graft.util.TsNorm]] lands
+    * either reading as `TimestampType`. */
+  def readOrc(spark: SparkSession, root: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("recursiveFileLookup", "true")
+    graft.util.TsNorm.normalize(schema.fold(r)(r.schema).orc(root))
+  }
+
   /** S1 variant — JSON-lines zone (`*.jsonl` / `*.jsonl.gz`), the
     * canonical LLM corpus interchange format: one JSON object per line,
     * usually gzip-compressed per shard. Spark's text source decodes the
