@@ -93,6 +93,36 @@ class MergeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("planner law: RLI-planned and interval-planned upserts reach identical snapshots") {
+    // the planner picks WHICH files rewrite, never WHAT the merge means —
+    // for any event stream, a table with a maintained record-level index
+    // and one without must land on byte-identical user snapshots
+    val rnd = new scala.util.Random(4242)
+    (1 to 6).foreach { trial =>
+      val evs = genEvents(rnd)
+      val (a, b) = evs.splitAt(rnd.nextInt(evs.size + 1))
+
+      val interval = new GraftTable(spark,
+        Files.createTempDirectory("graft-law-iv").toString,
+        Seq("id"), targetFileBytes = 16 * 1024)
+      val rli = new GraftTable(spark,
+        Files.createTempDirectory("graft-law-rli").toString,
+        Seq("id"), targetFileBytes = 16 * 1024, rliMaintain = true)
+
+      Seq(interval, rli).foreach { t =>
+        if (a.nonEmpty) t.upsert(toDf(a))
+        if (b.nonEmpty) t.upsert(toDf(b))
+      }
+      // the second upsert (when both halves are non-empty) must have
+      // actually exercised the RLI planner on the indexed table
+      if (a.nonEmpty && b.nonEmpty)
+        assert(rli.lastPlanner == "rli", s"trial $trial: planner not engaged")
+      val expected = reduceBatches(List(a, b).filter(_.nonEmpty))
+      assert(snapshot(interval) == expected, s"trial $trial interval: $evs")
+      assert(snapshot(rli) == expected, s"trial $trial rli: $evs")
+    }
+  }
+
   test("partial-update law: any IN-ORDER batch split equals the sequential per-column fold") {
     // reference model: apply events in seq order — a delete wipes the
     // key (epoch reset); a normal event overlays only its non-null cols
