@@ -457,10 +457,16 @@ class GraftTable(
           if (dataSchema.fieldNames.contains(Meta.RecordKey)) dataSchema
           else dataSchema.add(Meta.RecordKey, org.apache.spark.sql.types.StringType,
             nullable = true)
-        timeline.commit(Commit(0L, "bootstrap", files, schema.json, checkpoint,
-          System.currentTimeMillis(),
+        val committed = timeline.commit(Commit(0L, "bootstrap", files,
+          schema.json, checkpoint, System.currentTimeMillis(),
           extra = GraftTable.writeMetrics(files) +
             ("bootstrap_source" -> sourceDir)))
+        // same hands-free index upkeep as the commitOrCleanStage choke
+        // point (bootstrap commits via timeline directly — no staged-file
+        // OCC to resolve): an rliMaintain table's first post-bootstrap
+        // upsert must plan through the RLI, not decay to interval stabs
+        maintainRliInline(committed)
+        committed
       } catch {
         case e: Throwable =>
           graft.util.Fs.deleteRecursively(stage)

@@ -34,7 +34,10 @@ object CdcSource {
     * either reading as `TimestampType`. */
   def readOrc(spark: SparkSession, root: String, schema: Option[StructType] = None): DataFrame = {
     val r = spark.read.option("recursiveFileLookup", "true")
-    graft.util.TsNorm.normalize(schema.fold(r)(r.schema).orc(root))
+    // nanosLong = false: ORC has no parquet-style TIMESTAMP(NANOS)-as-
+    // BIGINT encoding, so a genuine long column named like a timestamp
+    // must NOT be reinterpreted (the nanos rule is parquet-only)
+    graft.util.TsNorm.normalize(schema.fold(r)(r.schema).orc(root), nanosLong = false)
   }
 
   /** S1 variant — JSON-lines zone (`*.jsonl` / `*.jsonl.gz`), the
@@ -107,14 +110,17 @@ object CdcSource {
       .map(st => (st.getModificationTime, fs.makeQualified(st.getPath).toString))
       .toSeq
     val nested: Seq[(Long, String)] =
-      if (level1.length <= DistributedListThreshold)
+      // gate on the DIRECTORY count, not total level-1 entries: a flat
+      // zone with thousands of files and no subdirs has nothing to fan
+      // out (and parallelize over zero dirs would demand >=1 partition)
+      if (dirs.length <= DistributedListThreshold)
         dirs.iterator.flatMap(d => walk(fs, d.getPath, keepName)).toSeq
       else {
         // distributed: each task walks one subtree with its own FS client
         val ser = new graft.util.SerConf(conf)
         val dirStrs = dirs.map(_.getPath.toString).toIndexedSeq
         spark.sparkContext
-          .parallelize(dirStrs, math.min(dirStrs.length, 64))
+          .parallelize(dirStrs, math.max(1, math.min(dirStrs.length, 64)))
           .flatMap { d =>
             val dp = new HPath(d)
             val dfs = dp.getFileSystem(ser.value)

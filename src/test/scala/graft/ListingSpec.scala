@@ -44,6 +44,31 @@ class ListingSpec extends AnyFunSuite {
     assert(w.forall(_._1 > 0L))
   }
 
+  test("flat wide zone: many first-level files, zero subdirs — no crash") {
+    // regression: the distributed branch once gated on TOTAL level-1
+    // entries, so an unpartitioned zone with >threshold files and no
+    // subdirs tried parallelize(Seq.empty, 0) and threw at collect()
+    val root = Files.createTempDirectory("graft-listing-flat").toString
+    val n = CdcSource.DistributedListThreshold + 10
+    (0 until n).foreach { i =>
+      Files.writeString(Paths.get(root, s"part-$i.parquet"), "x")
+    }
+    val got = CdcSource.listDataFiles(spark, root)
+    assert(got.size == n)
+    assert(got == got.sorted)
+  }
+
+  test("wide zone gate counts DIRECTORIES: many flat files plus a few subdirs stay driver-side") {
+    val root = Files.createTempDirectory("graft-listing-flatmix").toString
+    (0 until CdcSource.DistributedListThreshold + 5).foreach { i =>
+      Files.writeString(Paths.get(root, s"part-$i.parquet"), "x")
+    }
+    Files.createDirectories(Paths.get(root, "sub"))
+    Files.writeString(Paths.get(root, "sub", "nested.parquet"), "x")
+    val got = CdcSource.listDataFiles(spark, root)
+    assert(got.size == CdcSource.DistributedListThreshold + 6)
+  }
+
   test("mixed zone: first-level files AND subdirectories both list") {
     val root = Files.createTempDirectory("graft-listing-mix").toString
     Files.writeString(Paths.get(root, "top.parquet"), "x")
