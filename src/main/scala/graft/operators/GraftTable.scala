@@ -35,6 +35,12 @@ import graft.model.{ColStat, Commit, DataFile, KeyGen, Meta, Timeline}
   * listing) and tombstones are physically removed at write, so the read
   * path is a plain parquet scan with all of Catalyst's pushdown intact.
   */
+/** Result of a filter-triaged catalog scan ([[GraftTable.readUserPruned]]):
+  * the (possibly MOR-merged) snapshot DataFrame over only the ADMITTED
+  * manifest files, plus the admitted/total accounting the SQL layer
+  * surfaces as scan metrics. */
+case class PrunedScan(df: DataFrame, admittedFiles: Int, totalFiles: Int)
+
 class GraftTable(
     spark: SparkSession,
     val root: String,
@@ -1370,6 +1376,192 @@ class GraftTable(
 
   /** Snapshot read without engine meta columns. */
   def readUser(): DataFrame = read().drop(Meta.RecordKey, Meta.CommitSeq)
+
+  /** Filter-triaged USER snapshot — the DSv2 catalog scan path
+    * (`SELECT ... FROM graft.t WHERE ...`). Every pushed conjunct that
+    * names the record key, a tracked stats column, a registered bloom
+    * column, or a partition column prunes the MANIFEST file list through
+    * the same triage the API reads use — interval stab + key bloom
+    * ([[readKeys]]), column min/max overlap ([[readColumnBox]]), column
+    * bloom admit ([[readColumnEquals]]), partition match
+    * ([[readPartition]]) — BEFORE any task is scheduled, so a SQL point
+    * query on a 100k-file table schedules O(files-that-can-match) tasks,
+    * not 100k. Untranslatable predicates (and untracked columns) prune
+    * nothing; the SQL layer re-applies EVERY filter residually, so the
+    * triage only ever has to be conservative, never exact.
+    *
+    * Soundness: key-based pruning holds even on MOR with outstanding
+    * logs (every version of key k lives in a file whose interval
+    * contains k); column-stats/bloom/partition pruning applies only when
+    * no logs are outstanding — a merged row's latest values are not
+    * bounded by any single file's stats (same rule as [[readColumnBox]]
+    * and [[readPartition]]).
+    */
+  def readUserPruned(filters: Seq[org.apache.spark.sql.sources.Filter]): PrunedScan = {
+    import org.apache.spark.sql.{sources => sf}
+    val c = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val total = c.files.size + c.logFiles.size
+    // the pushed array is a conjunction; nested Ands flatten into it and
+    // null-safe equality on a non-null literal is plain equality
+    def flat(f: sf.Filter): Seq[sf.Filter] = f match {
+      case sf.And(l, r) => flat(l) ++ flat(r)
+      case other => Seq(other)
+    }
+    val conjuncts = filters.flatMap(flat).map {
+      case sf.EqualNullSafe(a, v) if v != null => sf.EqualTo(a, v)
+      case other => other
+    }
+    val keeps = Seq.newBuilder[DataFile => Boolean]
+
+    // ---- record-key triage ------------------------------------------
+    // Driver-side replica of the KeyGen encoding (TableModel.scala):
+    // zero-padded integrals, identity strings, field-qualified escaped
+    // composites. A POINT probe is sound for any exact encoding (the
+    // stab compares stored strings under one total order); a RANGE bound
+    // additionally needs the encoding to be order-preserving over the
+    // bound — string keys always, integral keys for non-negative bounds
+    // (negative stored keys sort before every padded non-negative AND
+    // are numerically below every non-negative bound, so both prune
+    // directions stay sound).
+    def encKey(v: Any): Option[String] = v match {
+      case null => None
+      case x: Byte  => Some(f"${x.toLong}%019d")
+      case x: Short => Some(f"${x.toLong}%019d")
+      case x: Int   => Some(f"${x.toLong}%019d")
+      case x: Long  => Some(f"$x%019d")
+      case x: String => Some(x)
+      case _ => None // no driver-side canonical form — prune nothing
+    }
+    def rangeEncKey(v: Any): Option[String] = v match {
+      case x: Byte  if x >= 0 => Some(f"${x.toLong}%019d")
+      case x: Short if x >= 0 => Some(f"${x.toLong}%019d")
+      case x: Int   if x >= 0 => Some(f"${x.toLong}%019d")
+      case x: Long  if x >= 0 => Some(f"$x%019d")
+      case x: String => Some(x)
+      case _ => None
+    }
+    def probeKeep(ks: Seq[String]): DataFile => Boolean = {
+      val s = pointKeepSet(c, ks)
+      f => s(f.path)
+    }
+    def keyLo(lo: String): DataFile => Boolean =
+      f => !GraftTable.hasReliableStats(f) || GraftTable.cmpKey(f.maxKey, lo) >= 0
+    def keyHi(hi: String): DataFile => Boolean =
+      f => !GraftTable.hasReliableStats(f) || GraftTable.cmpKey(f.minKey, hi) <= 0
+    if (keyFields.size == 1) {
+      val kf = keyFields.head
+      conjuncts.foreach {
+        case sf.EqualTo(`kf`, v) =>
+          encKey(v).foreach(k => keeps += probeKeep(Seq(k)))
+        case sf.In(`kf`, vs) if vs.nonEmpty =>
+          // every value must encode — a partial probe set would prune
+          // away files holding the unencodable values' rows
+          val ks = vs.toSeq.map(encKey)
+          if (ks.forall(_.isDefined)) keeps += probeKeep(ks.flatten)
+        case sf.GreaterThan(`kf`, v) => rangeEncKey(v).foreach(lo => keeps += keyLo(lo))
+        case sf.GreaterThanOrEqual(`kf`, v) => rangeEncKey(v).foreach(lo => keeps += keyLo(lo))
+        case sf.LessThan(`kf`, v) => rangeEncKey(v).foreach(hi => keeps += keyHi(hi))
+        case sf.LessThanOrEqual(`kf`, v) => rangeEncKey(v).foreach(hi => keeps += keyHi(hi))
+        case _ => ()
+      }
+    } else {
+      // composite key: an equality conjunct on EVERY key field pins one
+      // exact composite probe (conjunction semantics: any one value per
+      // field is a sound superset — contradictory duplicates just admit
+      // a file set for an empty result)
+      def esc(s: String): String = s.replaceAll("([\\\\,:])", "\\\\$1")
+      val fieldEq: Map[String, Any] = keyFields.flatMap { kf =>
+        conjuncts.collectFirst {
+          case sf.EqualTo(`kf`, v) if v != null => kf -> v
+          case sf.In(`kf`, Array(v)) if v != null => kf -> v
+        }
+      }.toMap
+      if (fieldEq.size == keyFields.size) {
+        val parts = keyFields.map(kf => encKey(fieldEq(kf)).map(e => s"$kf:${esc(e)}"))
+        if (parts.forall(_.isDefined))
+          keeps += probeKeep(Seq(parts.flatten.mkString(",")))
+      }
+    }
+
+    // ---- stats-column / bloom / partition triage (compacted only) ----
+    if (c.logFiles.isEmpty) {
+      def statBound(v: Any): Option[(String, String)] = v match {
+        case null => None
+        case x: Byte   => Some(("long", x.toLong.toString))
+        case x: Short  => Some(("long", x.toLong.toString))
+        case x: Int    => Some(("long", x.toLong.toString))
+        case x: Long   => Some(("long", x.toString))
+        case x: Float  if !x.isNaN => Some(("double", GraftTable.normDouble(x.toDouble).toString))
+        case x: Double if !x.isNaN => Some(("double", GraftTable.normDouble(x).toString))
+        case x: String => Some(("string", x))
+        case _ => None
+      }
+      def statKeep(column: String, kind: String, lo: Option[String],
+          hi: Option[String]): DataFile => Boolean =
+        f => f.colStats.get(column) match {
+          case Some(st) if st.kind == kind =>
+            hi.forall(h => GraftTable.cmpStat(kind, st.min, h) <= 0) &&
+              lo.forall(l => GraftTable.cmpStat(kind, st.max, l) >= 0)
+          case _ => true
+        }
+      val tracked = statsColumns.toSet
+      conjuncts.foreach {
+        case sf.EqualTo(a, v) if tracked(a) =>
+          statBound(v).foreach { case (k, s) => keeps += statKeep(a, k, Some(s), Some(s)) }
+        case sf.GreaterThan(a, v) if tracked(a) =>
+          statBound(v).foreach { case (k, s) => keeps += statKeep(a, k, Some(s), None) }
+        case sf.GreaterThanOrEqual(a, v) if tracked(a) =>
+          statBound(v).foreach { case (k, s) => keeps += statKeep(a, k, Some(s), None) }
+        case sf.LessThan(a, v) if tracked(a) =>
+          statBound(v).foreach { case (k, s) => keeps += statKeep(a, k, None, Some(s)) }
+        case sf.LessThanOrEqual(a, v) if tracked(a) =>
+          statBound(v).foreach { case (k, s) => keeps += statKeep(a, k, None, Some(s)) }
+        case _ => ()
+      }
+      val bloomed = bloomColumns.toSet
+      conjuncts.foreach {
+        case sf.EqualTo(a, v) if bloomed(a) =>
+          val canon = v match {
+            case x: Int => Some(x.toLong.toString)
+            case x: Long => Some(x.toString)
+            case x: String => Some(x)
+            case _ => None // same long/string probe rule as readColumnEquals
+          }
+          canon.foreach { s =>
+            val h = graft.functions.KeyBloom.hash(s)
+            keeps += (f => f.colBlooms.get(a) match {
+              case Some(enc0) =>
+                val (nh, bits) = graft.functions.KeyBloom.decode(enc0)
+                graft.functions.KeyBloom.contains(bits, nh, h)
+              case None => true
+            })
+          }
+        case _ => ()
+      }
+      if (partitionFields.nonEmpty) {
+        val pf = partitionFields.toSet
+        conjuncts.foreach {
+          case sf.EqualTo(a, v) if pf(a) =>
+            val canon = v match {
+              case x: Int => Some(x.toString)
+              case x: Long => Some(x.toString)
+              case x: String => Some(x)
+              case _ => None // hive dir value form not canonical for other types
+            }
+            canon.foreach(s => keeps += (f => f.partition.get(a).forall(_ == s)))
+          case _ => ()
+        }
+      }
+    }
+
+    val preds = keeps.result()
+    val keep: DataFile => Boolean =
+      if (preds.isEmpty) _ => true else f => preds.forall(_(f))
+    val admitted = c.files.count(keep) + c.logFiles.count(keep)
+    PrunedScan(prunedRead(c, keep).drop(Meta.RecordKey, Meta.CommitSeq),
+      admitted, total)
+  }
 
   /** MOR READ-OPTIMIZED view (Hudi's `_ro` table, hive-synced beside the
     * realtime `_rt` view — reference handler.py:78-80,112-113): base files

@@ -1,6 +1,7 @@
 package graft.sql
 
 import java.util
+import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
@@ -38,12 +39,15 @@ import graft.operators.GraftTable
   *
   * Read path: each table surfaces through the V2→V1 bridge
   * ([[org.apache.spark.sql.connector.read.V1Scan]]) whose relation is
-  * the engine's own pruned snapshot plan (`readUser`/`readAsOf` —
-  * manifest-driven file pruning, MOR log merge, meta columns dropped).
-  * The bridge hands Catalyst an `RDD[Row]` at the relation boundary;
-  * filters/projections still prune inside the snapshot plan itself via
-  * the table's manifest statistics, which is where 100-TB pruning
-  * happens (file skipping), not at the row boundary.
+  * the engine's own snapshot plan (MOR log merge, meta columns
+  * dropped). Pushed filters do TWO jobs before the bridge's row
+  * boundary: on live tables they run the MANIFEST TRIAGE
+  * ([[graft.operators.GraftTable.readUserPruned]] — key interval stab,
+  * key/column blooms, column min/max stats, partition values) so the
+  * snapshot plan is built over only the admitted files, and they are
+  * re-applied as plan-level filters so the parquet scan inside sees
+  * them too. This is where 100-TB pruning happens: a SQL point query
+  * schedules O(matching files) tasks, not O(files).
   *
   * The catalog is read-only by design: writes go through the
   * `GraftTable` API / `CALL` procedures, mirroring how the reference
@@ -74,7 +78,8 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table =
     new GraftV2Table(s"$catalogName.${fullName(ident)}",
-      () => resolve(ident).readUser())
+      () => resolve(ident).readUser(),
+      pruner = Some(fs => resolve(ident).readUserPruned(fs)))
 
   /** `VERSION AS OF <seq>` — Spark hands the version over as a string. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -116,8 +121,12 @@ class GraftCatalog extends TableCatalog {
 
 /** A registered graft table (or one of its time-travel snapshots) seen
   * through DSv2. `mkDf` is re-evaluated per scan so the LIVE table always
-  * reads its current snapshot, while time-travel instances pin a seq. */
-private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame)
+  * reads its current snapshot, while time-travel instances pin a seq.
+  * `pruner` (live tables) is the manifest triage —
+  * [[graft.operators.GraftTable.readUserPruned]] — consulted per scan
+  * with the pushed filters. */
+private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
+    pruner: Option[Seq[Filter] => graft.operators.PrunedScan] = None)
     extends Table with SupportsRead {
 
   override def name(): String = tableName
@@ -131,20 +140,31 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame)
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(mkDf)
+    new GraftScanBuilder(tableName, mkDf, pruner)
 }
 
-/** Scan builder with REAL pushdown into the snapshot plan: pruned
-  * columns and translatable filters are applied to the underlying
-  * DataFrame BEFORE the V1 row boundary, so Catalyst's parquet scan
-  * inside the snapshot plan sees them (`ReadSchema` narrows,
-  * `PushedFilters` populate) — a `SELECT one_col FROM graft.t WHERE k=x`
-  * reads one column of the key-pruned file set, not the whole table.
-  * Every filter is ALSO returned to Spark as a residual
-  * (`pushFilters` returns its input), so correctness never depends on
-  * the translation — an untranslatable predicate just skips the
-  * early-prune. */
-private[sql] class GraftScanBuilder(mkDf: () => DataFrame)
+/** Scan builder with REAL pushdown into the snapshot plan, two layers
+  * deep:
+  *
+  *  1. **Manifest triage** (live tables): pushed filters route through
+  *     the table's own file-skipping indexes — record-key interval stab
+  *     + key bloom, column min/max stats, column blooms, partition
+  *     values — so the snapshot DataFrame is built from the ADMITTED
+  *     file subset before any task is scheduled. A
+  *     `SELECT ... FROM graft.t WHERE key = x` schedules O(log files)
+  *     planning work and O(matching files) tasks, not O(files).
+  *  2. **Plan-level pushdown**: pruned columns and translatable filters
+  *     are applied to that DataFrame BEFORE the V1 row boundary, so
+  *     Catalyst's parquet scan inside the snapshot plan sees them
+  *     (`ReadSchema` narrows, `PushedFilters` populate).
+  *
+  * Every filter is ALSO returned to Spark as a residual (`pushFilters`
+  * returns its input), so correctness never depends on the translation
+  * or the triage — both only ever shrink the scanned set, never the
+  * result. Per-scan admitted/total file counts are recorded in
+  * [[GraftScanMetrics]]. */
+private[sql] class GraftScanBuilder(tableName: String, mkDf: () => DataFrame,
+    pruner: Option[Seq[Filter] => graft.operators.PrunedScan])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -163,7 +183,13 @@ private[sql] class GraftScanBuilder(mkDf: () => DataFrame)
 
   override def build(): Scan = new V1Scan {
     private lazy val df = {
-      val base = mkDf()
+      val base = pruner match {
+        case Some(p) =>
+          val ps = p(pushed.toSeq)
+          GraftScanMetrics.record(tableName, ps.admittedFiles, ps.totalFiles)
+          ps.df
+        case None => mkDf()
+      }
       val filtered = pushed.foldLeft(base)((d, f) =>
         GraftScanBuilder.toColumn(f).map(d.filter).getOrElse(d))
       required match {
@@ -181,6 +207,19 @@ private[sql] class GraftScanBuilder(mkDf: () => DataFrame)
         override def buildScan(): RDD[Row] = df.rdd
       }.asInstanceOf[T]
   }
+}
+
+/** Last manifest-triage outcome per catalog table (admitted vs total
+  * manifest files for the most recent scan) — the observability hook
+  * plan-shape tests and operators use to confirm SQL point/range queries
+  * actually file-skip. */
+object GraftScanMetrics {
+  private val last = TrieMap[String, (Int, Int)]()
+  private[sql] def record(table: String, admitted: Int, total: Int): Unit =
+    last.put(table, (admitted, total))
+  /** (admittedFiles, totalFiles) of `table`'s most recent catalog scan. */
+  def lastScan(table: String): Option[(Int, Int)] = last.get(table)
+  def clear(): Unit = last.clear()
 }
 
 private[sql] object GraftScanBuilder {

@@ -116,6 +116,98 @@ class GraftSqlSpec extends AnyFunSuite {
       s"unselected column leaked into the scan schema:\n$p")
   }
 
+  test("catalog SQL point query file-skips through the manifest triage") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024,
+      statsColumns = Seq("score"))
+    val rows = spark.range(1, 4001)
+      .selectExpr("id", "id * 3 AS score", "concat('v', id) AS v",
+        "'001' AS trx_seq")
+    t.bulkInsert(rows)
+    val total = t.latestCommit().get.files.size
+    assert(total >= 4, s"fixture must span several files (got $total)")
+    GraftSql.register(spark, "sqlspec_prune", t)
+    graft.sql.GraftScanMetrics.clear()
+
+    // key point query: O(matching files) admitted, result exact
+    assert(GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_prune WHERE id = 1234").as[String].head()
+      == "v1234")
+    val (aKey, tKey) = graft.sql.GraftScanMetrics.lastScan("graft.sqlspec_prune").get
+    assert(tKey == total)
+    assert(aKey >= 1 && aKey < total, s"key probe admitted $aKey of $total files")
+
+    // stats-column range: min/max triage admits only overlapping files
+    assert(GraftSql.sql(spark,
+      """SELECT count(*) AS n FROM graft.sqlspec_prune
+         WHERE score >= 300 AND score <= 360""").as[Long].head() == 21)
+    val (aStat, _) = graft.sql.GraftScanMetrics.lastScan("graft.sqlspec_prune").get
+    assert(aStat >= 1 && aStat < total, s"stats range admitted $aStat of $total files")
+
+    // key range prune
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft.sqlspec_prune WHERE id > 3900")
+      .as[Long].head() == 100)
+    val (aRange, _) = graft.sql.GraftScanMetrics.lastScan("graft.sqlspec_prune").get
+    assert(aRange >= 1 && aRange < total, s"key range admitted $aRange of $total files")
+
+    // IN-list probe
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft.sqlspec_prune WHERE id IN (5, 3999)")
+      .as[Long].head() == 2)
+    val (aIn, _) = graft.sql.GraftScanMetrics.lastScan("graft.sqlspec_prune").get
+    assert(aIn >= 1 && aIn < total, s"IN probe admitted $aIn of $total files")
+
+    // untranslatable predicate: prunes nothing, still exact
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft.sqlspec_prune WHERE id % 1000 = 0")
+      .as[Long].head() == 4)
+    val (aNone, _) = graft.sql.GraftScanMetrics.lastScan("graft.sqlspec_prune").get
+    assert(aNone == total, "no translatable conjunct must admit everything")
+  }
+
+  test("composite-key catalog query prunes when every key field is pinned") {
+    val t = new GraftTable(spark, tmp(), Seq("a", "b"), targetFileBytes = 8 * 1024)
+    t.bulkInsert(spark.range(1, 3001)
+      .selectExpr("id AS a", "concat('x', id % 7) AS b", "concat('v', id) AS v",
+        "'001' AS trx_seq"))
+    val total = t.latestCommit().get.files.size
+    assert(total >= 3)
+    GraftSql.register(spark, "sqlspec_prune_ck", t)
+    assert(GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_prune_ck WHERE a = 2026 AND b = 'xий'")
+      .as[String].collect().isEmpty) // composite encodes; no such b value
+    assert(GraftSql.sql(spark,
+      s"SELECT v FROM graft.sqlspec_prune_ck WHERE a = 2026 AND b = 'x${2026 % 7}'")
+      .as[String].head() == "v2026")
+    val (aCk, tCk) = graft.sql.GraftScanMetrics.lastScan("graft.sqlspec_prune_ck").get
+    assert(tCk == total)
+    assert(aCk >= 1 && aCk < total, s"composite probe admitted $aCk of $total files")
+  }
+
+  test("MOR with outstanding logs: key triage prunes, stats triage stands down, result exact") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024,
+      tableType = GraftTable.MergeOnRead, statsColumns = Seq("score"))
+    t.bulkInsert(spark.range(1, 2001)
+      .selectExpr("id", "id * 3 AS score", "concat('v', id) AS v", "'001' AS trx_seq"))
+    t.upsert(Seq((7L, 21L, "v7b", "002")).toDF("id", "score", "v", "trx_seq"))
+    val c = t.latestCommit().get
+    assert(c.logFiles.nonEmpty, "fixture must carry outstanding delta logs")
+    GraftSql.register(spark, "sqlspec_prune_mor", t)
+    // the updated key resolves to the LOG version — key pruning must keep
+    // both the base file holding 7 and the log file superseding it
+    assert(GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_prune_mor WHERE id = 7").as[String].head()
+      == "v7b")
+    val (aMor, tMor) = graft.sql.GraftScanMetrics.lastScan("graft.sqlspec_prune_mor").get
+    assert(tMor == c.files.size + c.logFiles.size)
+    assert(aMor < tMor, s"MOR key probe admitted $aMor of $tMor files")
+    // stats triage must NOT prune while logs are outstanding: a log row's
+    // latest values are not bounded by base-file stats
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft.sqlspec_prune_mor WHERE score >= 30 AND score <= 60")
+      .as[Long].head() == 11)
+  }
+
   test("time travel composes with joins and aggregation in one statement") {
     mk("sqlspec_t7")
     // v0 (2 rows) joined to v1 (3 rows) through plain Spark SQL — both
