@@ -329,6 +329,62 @@ object CdcScenario {
       tab
     })
 
+  /** The SAME merge as [[mergedInto]], issued as a `MERGE INTO` SQL
+    * STATEMENT through the parser extension — conditional DELETE before
+    * the unconditional UPDATE (first-match-wins), `INSERT *` for the
+    * fresh keys. The two tables must reach identical final states. */
+  def mergedIntoSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"mintosql:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-mintosql").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      o.filter(k % 13 === 0)
+        .withColumn("action", when(k % 26 === 0, lit("DEL")).otherwise(lit("ADJ")))
+        .unionByName(o.filter(k % 1000 === 7)
+          .withColumn("o_orderkey", k + 20000000L)
+          .withColumn("o_orderstatus", lit("G"))
+          .withColumn("action", lit("NEW")))
+        .createOrReplaceTempView("orders_minto_src")
+      graft.sql.GraftSql.register(s, "orders_minto_sql", tab)
+      s.sql(
+        """MERGE INTO graft.orders_minto_sql t USING orders_minto_src s
+           ON t.o_orderkey = s.o_orderkey
+           WHEN MATCHED AND s.action = 'DEL' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET
+             o_orderstatus = 'M', o_totalprice = t.o_totalprice + 100.0
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+      tab
+    })
+
+  /** `INSERT INTO graft.t` through the catalog's DSv2 write path: the
+    * appended batch UPSERTS (key collisions latest-win via trx_seq) —
+    * %50 keys restamped 'I', fresh +30M keys inserted as 'J'. */
+  def insertedIntoSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"inssql:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-inssql").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      meta(o.filter(k % 50 === 0).withColumn("o_orderstatus", lit("I")), 5,
+          deleted = false)
+        .unionByName(meta(o.filter(k % 1000 === 3)
+          .withColumn("o_orderkey", k + 30000000L)
+          .withColumn("o_orderstatus", lit("J")), 5, deleted = false))
+        .createOrReplaceTempView("orders_ins_src")
+      graft.sql.GraftSql.register(s, "orders_ins_sql", tab)
+      // explicit SELECT list: INSERT INTO resolves by position against
+      // the table schema, so pin the source to it
+      val cols = tab.readUser().columns.mkString(", ")
+      s.sql(s"INSERT INTO graft.orders_ins_sql SELECT $cols FROM orders_ins_src")
+      tab
+    })
+
+
   /** Gzipped CSV zone fixture (DMS's default S3 target format): a
     * 3-column orders extract written once per dir as 4 `.csv.gz` shards. */
   private val pathCache = TrieMap[String, String]()
@@ -691,7 +747,9 @@ object CdcScenario {
       val cl = mor(s, dir).cloneTo(
         Files.createTempDirectory("graft-cdc-sqlmor").toString + "/t")
       graft.sql.GraftSql.register(s, "orders_sqlmor", cl)
-      graft.sql.GraftSql.sql(s, "CALL run_compaction('orders_sqlmor')").collect()
+      // bare spark.sql: CALL is first-class via GraftSparkExtension's
+      // injected parser (no GraftSql.sql doorway)
+      s.sql("CALL run_compaction('orders_sqlmor')").collect()
       cl
     })
 
@@ -977,7 +1035,7 @@ object CdcQueries {
     // keep their identity via the record-key column
     "sql_changes_feed" -> ((s, dir) => {
       graft.sql.GraftSql.register(s, "orders_sql", CdcScenario.main(s, dir))
-      graft.sql.GraftSql.sql(s, "CALL show_changes('orders_sql', 0, 2)")
+      s.sql("CALL show_changes('orders_sql', 0, 2)")
         .select(col(Meta.RecordKey).cast("long").as("o_orderkey"), col("op"),
           col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
@@ -985,6 +1043,12 @@ object CdcQueries {
     // SQL MERGE INTO: matched-update SET, matched-delete condition and
     // not-matched insert applied in one expression-based commit
     "cdc_merge_into" -> ((s, dir) => statusAgg(CdcScenario.mergedInto(s, dir))),
+    // the SAME merge issued as a MERGE INTO statement (parser extension →
+    // engine expression merge): final state must equal cdc_merge_into's
+    "cdc_merge_into_sql" -> ((s, dir) => statusAgg(CdcScenario.mergedIntoSql(s, dir))),
+    // INSERT INTO graft.t (DSv2 write path): append upserts, key
+    // collisions latest-win
+    "cdc_insert_into_sql" -> ((s, dir) => statusAgg(CdcScenario.insertedIntoSql(s, dir))),
     // gzip CSV raw zone (DMS's default target format): doubles and
     // strings must round-trip exactly through write+codec+parse
     "src_csv_gz" -> ((s, dir) => {
@@ -1072,7 +1136,7 @@ object CdcQueries {
     // commit 0, compaction commit 1)
     "sql_call_show_commits" -> ((s, dir) => {
       CdcScenario.sqlManaged(s, dir)
-      graft.sql.GraftSql.sql(s, "CALL show_commits('orders_sqlmor')")
+      s.sql("CALL show_commits('orders_sqlmor')")
         .select(col("seq"), col("action"))
     }),
     // M5: composite key encoding, uniqueness, and ordering
@@ -1586,6 +1650,33 @@ object CdcQueries {
            UNION ALL
            SELECT 'G', CAST(o_totalprice AS DECIMAL(18,2))
            FROM orders WHERE o_orderkey % 1000 = 7)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
+    // identical final state to cdc_merge_into — the statement path must
+    // reproduce the API path bit for bit
+    "cdc_merge_into_sql" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'M'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CAST(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_orderkey % 26 <> 0
+           UNION ALL
+           SELECT 'G', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 1000 = 7)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
+    // INSERT INTO upsert semantics: %50 keys restamped 'I' (trx_seq 5
+    // beats the full load's 1), +30M 'J' rows appended
+    "cdc_insert_into_sql" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 50 = 0 THEN 'I'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT 'J', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 1000 = 3)
          SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderstatus""",
     "m5_keygen" ->

@@ -7,12 +7,13 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -49,9 +50,14 @@ import graft.operators.GraftTable
   * them too. This is where 100-TB pruning happens: a SQL point query
   * schedules O(matching files) tasks, not O(files).
   *
-  * The catalog is read-only by design: writes go through the
-  * `GraftTable` API / `CALL` procedures, mirroring how the reference
-  * routes all mutation through DeltaStreamer rather than SQL DML.
+  * DML writes ARE supported (the Hudi Spark-SQL mutation surface):
+  * `INSERT INTO graft.t` upserts the query's rows (key collisions
+  * latest-win), `INSERT OVERWRITE graft.t` atomically replaces the
+  * table, and `MERGE INTO graft.t USING ...` routes through the
+  * engine's expression merge (via [[GraftSparkExtension]]'s parser).
+  * DDL (create/alter/drop/rename) stays out of SQL: tables are created
+  * through the `GraftTable` API, which owns key/partition/index
+  * configuration.
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = "graft"
@@ -79,7 +85,8 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table =
     new GraftV2Table(s"$catalogName.${fullName(ident)}",
       () => resolve(ident).readUser(),
-      pruner = Some(fs => resolve(ident).readUserPruned(fs)))
+      pruner = Some(fs => resolve(ident).readUserPruned(fs)),
+      writeTable = Some(resolve(ident)))
 
   /** `VERSION AS OF <seq>` — Spark hands the version over as a string. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -126,8 +133,9 @@ class GraftCatalog extends TableCatalog {
   * [[graft.operators.GraftTable.readUserPruned]] — consulted per scan
   * with the pushed filters. */
 private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
-    pruner: Option[Seq[Filter] => graft.operators.PrunedScan] = None)
-    extends Table with SupportsRead {
+    pruner: Option[Seq[Filter] => graft.operators.PrunedScan] = None,
+    writeTable: Option[GraftTable] = None)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   // Catalyst calls schema() several times per resolution; building the
@@ -137,10 +145,42 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
   private lazy val resolvedSchema: StructType = mkDf().schema
   override def schema(): StructType = resolvedSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    (Set(TableCapability.BATCH_READ) ++
+      (if (writeTable.isDefined)
+        Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      else Set.empty[TableCapability])).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(tableName, mkDf, pruner)
+
+  /** SQL DML writes (`INSERT INTO graft.t` / `INSERT OVERWRITE graft.t`)
+    * through the V1 write bridge: the incoming query arrives as a whole
+    * DataFrame and routes onto the engine's own write path — append
+    * becomes a keyed UPSERT (the Hudi `INSERT INTO` semantics: key
+    * collisions latest-win instead of duplicating), overwrite becomes
+    * [[GraftTable.insertOverwriteTable]]. Time-travel snapshots are
+    * read-only. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    writeTable match {
+      case Some(t) => new GraftWriteBuilder(t)
+      case None => throw new UnsupportedOperationException(
+        s"$tableName is a time-travel snapshot: read-only")
+    }
+}
+
+private[sql] class GraftWriteBuilder(t: GraftTable, overwrite: Boolean = false)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = new GraftWriteBuilder(t, overwrite = true)
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+          if (overwrite || overwriteFlag) t.insertOverwriteTable(data)
+          else t.upsert(data)
+          ()
+        }
+      }
+  }
 }
 
 /** Scan builder with REAL pushdown into the snapshot plan, two layers

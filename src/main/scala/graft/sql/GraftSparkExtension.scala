@@ -1,0 +1,276 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.model.Meta
+import graft.operators.GraftTable
+
+/** Session extension making the graft SQL surface FIRST-CLASS in bare
+  * `spark.sql(...)` — no `GraftSql.sql` doorway needed. Install with
+  * `spark.sql.extensions=graft.sql.GraftSparkExtension` at session build
+  * time (the Verify/Bench/Main sessions all do). Two statement classes
+  * are intercepted by an injected parser; EVERYTHING else — including
+  * every statement that merely CONTAINS these phrases inside a string
+  * literal — parses through Spark's own parser verbatim:
+  *
+  *  - `CALL <proc>(...)` — whole-statement match, dispatched to the
+  *    procedure surface ([[GraftSql.call]]). SHOW-style procedures stay
+  *    lazy plans; mutations execute eagerly like Spark's own commands.
+  *  - `MERGE INTO graft.<t> ...` — parsed by SPARK'S parser into its
+  *    `MergeIntoTable` AST first (never by regex over query text), then
+  *    translated by [[GraftMergeSql]] onto the engine's three-way
+  *    expression merge ([[GraftTable.mergeInto]]), preserving its
+  *    guarantees (duplicate-source-key rejection, manifest-pruned
+  *    rewrite, OCC retry). A MERGE whose target is NOT in the graft
+  *    catalog passes through untouched.
+  *
+  * `INSERT INTO graft.<t>` needs no parser help — it resolves through
+  * the catalog's DSv2 write path (`GraftV2Table` SupportsWrite).
+  */
+class GraftSparkExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+}
+
+/** Delegating parser: intercepts `CALL` (whole-statement, the same
+  * quote-aware grammar as the doorway) and graft-targeted MERGE; every
+  * other method and statement is the delegate's verbatim. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case GraftSql.CallRe(proc, args) =>
+      GraftSql.call(session, proc.toLowerCase, GraftSql.parseArgs(args))
+        .queryExecution.logical
+    case _ =>
+      val plan = delegate.parsePlan(sqlText)
+      GraftMergeSql.rewrite(session, plan).getOrElse(plan)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** SQL `MERGE INTO graft.<t>` → [[GraftTable.mergeInto]] translation.
+  *
+  * The statement arrives as Spark's own parsed `MergeIntoTable` AST; the
+  * translator maps the supported — and loudly rejects the unsupported —
+  * shapes onto the API's semantics:
+  *
+  *  - `ON` must equate the record key column(s) between target and
+  *    source (the engine's MERGE identity is the record key; arbitrary
+  *    join conditions have no meaning against a keyed table).
+  *  - at most one `WHEN MATCHED ... UPDATE` (with optional condition —
+  *    emulated per column as `when(cond, value).otherwise(col)`) and at
+  *    most one `WHEN MATCHED ... DELETE`, composed with SQL's
+  *    first-match-wins ordering;
+  *  - `WHEN NOT MATCHED THEN INSERT *` (or an explicit identity column
+  *    list) → `insertWhenNotMatched`;
+  *  - `WHEN NOT MATCHED BY SOURCE` / schema evolution: rejected loudly.
+  *
+  * Attribute references in action expressions are re-homed onto the
+  * engine's merge frame: source-qualified columns become their
+  * `src_`-prefixed join aliases, target-qualified (and unqualified
+  * target-resolvable) columns stay plain.
+  */
+private[sql] object GraftMergeSql {
+
+  /** Execute `plan` through the engine if it is a MERGE targeting a
+    * registered graft-catalog table; None = not ours. */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
+    plan match {
+      case m: MergeIntoTable =>
+        graftTarget(m.targetTable).map { case (name, alias) =>
+          run(spark, m, name, alias)
+        }
+      case _ => None
+    }
+
+  /** (registered table name, optional alias) when `p` is
+    * `graft.<name>` (with optional SubqueryAlias wrapper). */
+  private def graftTarget(p: LogicalPlan): Option[(String, Option[String])] =
+    p match {
+      case SubqueryAlias(id, child) =>
+        graftTarget(child).map { case (n, _) => (n, Some(id.name)) }
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+        Some((u.multipartIdentifier(1), None))
+      case _ => None
+    }
+
+  private def sourceAliases(p: LogicalPlan): Set[String] = p match {
+    case SubqueryAlias(id, _) => Set(id.name.toLowerCase)
+    case u: UnresolvedRelation => Set(u.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft MERGE INTO: $msg")
+
+  private def run(spark: SparkSession, m: MergeIntoTable, name: String,
+      targetAlias: Option[String]): LogicalPlan = {
+    val MergeIntoTable(_, sourcePlan, cond, matched, notMatched,
+      notMatchedBySource, withSchemaEvolution) = m
+    if (notMatchedBySource.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (withSchemaEvolution)
+      fail("WITH SCHEMA EVOLUTION is not supported; widening happens on upsert")
+    val table = GraftSql.lookupRegistered(name).getOrElse(fail(
+      s"$name is not a registered graft table (GraftSql.register first)"))
+    val sourceDf: DataFrame = GraftSqlBridge.ofRows(spark, sourcePlan)
+    val srcCols = sourceDf.columns.map(_.toLowerCase).toSet
+    val tblCols = table.readUser().columns.map(_.toLowerCase).toSet
+    val tAliases: Set[String] =
+      targetAlias.map(_.toLowerCase).toSet + name.toLowerCase
+    val sAliases = sourceAliases(sourcePlan)
+
+    // which side an attribute's qualifier names: Some(true)=source,
+    // Some(false)=target, None=unqualified/unknown
+    def side(ua: UnresolvedAttribute): Option[Boolean] =
+      if (ua.nameParts.length < 2) None
+      else {
+        val tail = ua.nameParts.init.last.toLowerCase
+        if (sAliases.contains(tail)) Some(true)
+        else if (tAliases.contains(tail)) Some(false)
+        else fail(s"unknown qualifier in ${ua.nameParts.mkString(".")} " +
+          s"(target: ${tAliases.mkString("/")}, source: ${sAliases.mkString("/")})")
+      }
+
+    // ---- ON must equate the record key between the two sides ---------
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val keySet = table.keyFields.map(_.toLowerCase).toSet
+    val covered = conjuncts(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+          if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) &&
+            keySet(a.nameParts.last.toLowerCase) &&
+            !(side(a).isDefined && side(a) == side(b)) =>
+        a.nameParts.last.toLowerCase
+      case other => fail("ON must equate the record key column(s) " +
+        s"(${table.keyFields.mkString(", ")}) between target and source; " +
+        s"unsupported conjunct: ${other.sql}")
+    }
+    if (covered.toSet != keySet || covered.size != keySet.size)
+      fail(s"ON must cover exactly the record key (${table.keyFields.mkString(", ")}); " +
+        s"got: ${covered.mkString(", ")}")
+
+    // ---- action-expression translation onto the merge frame ----------
+    def xlate(e: Expression): Column = GraftSqlBridge.column(e.transformUp {
+      case ua: UnresolvedAttribute =>
+        val nm = ua.nameParts.last
+        side(ua) match {
+          case Some(true) => UnresolvedAttribute(Seq("src_" + nm))
+          case Some(false) => UnresolvedAttribute(Seq(nm))
+          case None =>
+            if (tblCols(nm.toLowerCase)) UnresolvedAttribute(Seq(nm))
+            else if (srcCols(nm.toLowerCase)) UnresolvedAttribute(Seq("src_" + nm))
+            else fail(s"column $nm exists in neither target nor source")
+        }
+    })
+
+    def assignName(a: Assignment): String = a.key match {
+      case ua: UnresolvedAttribute if side(ua) != Some(true) => ua.nameParts.last
+      case other => fail(s"assignment target must be a target column: ${other.sql}")
+    }
+    // UPDATE SET * / identity-insert expansion: shared non-meta columns
+    val shared = (srcCols & tblCols) -
+      Meta.RecordKey.toLowerCase - Meta.CommitSeq.toLowerCase
+    def starSet: Seq[(String, Column)] =
+      (shared -- keySet).toSeq.sorted.map(c => c -> col("src_" + c))
+
+    // ---- matched actions: <=1 UPDATE, <=1 DELETE, first-match-wins ---
+    var updateCond: Option[Option[Column]] = None // Some(inner)=seen; inner=its condition
+    var updateSet = Map.empty[String, Column]
+    var deleteCond: Option[Column] = None
+    def addUpdate(c0: Option[Expression], assigns: Seq[(String, Column)]): Unit = {
+      if (updateCond.isDefined) fail("at most one WHEN MATCHED ... UPDATE")
+      if (deleteCond.isDefined)
+        // delete ran first: update applies to the survivors, which the
+        // engine's keep-then-project order already guarantees
+        ()
+      val c = c0.map(xlate)
+      updateCond = Some(c)
+      updateSet = assigns.map { case (n, v) =>
+        n -> c.fold(v)(cc => when(cc, v).otherwise(col(n)))
+      }.toMap
+    }
+    matched.foreach {
+      case DeleteAction(c0) =>
+        if (deleteCond.isDefined) fail("at most one WHEN MATCHED ... DELETE")
+        val d = c0.map(xlate).getOrElse(lit(true))
+        updateCond match {
+          case Some(None) => () // unconditional UPDATE listed first shadows DELETE
+          case Some(Some(u)) => // first-match-wins: delete only where update didn't
+            deleteCond = Some(!coalesce(u, lit(false)) && d)
+          case None => deleteCond = Some(d)
+        }
+      case UpdateAction(c0, assigns, _) =>
+        addUpdate(c0, assigns.map(a => assignName(a) -> xlate(a.value)))
+      case UpdateStarAction(c0) => addUpdate(c0, starSet)
+      case other => fail(s"unsupported WHEN MATCHED action: $other")
+    }
+
+    // ---- not-matched: INSERT * or an identity column list ------------
+    val insert = notMatched match {
+      case Seq() => false
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, assigns)) =>
+        val named = assigns.map { a =>
+          val n = assignName(a)
+          a.value match {
+            case v: UnresolvedAttribute
+                if v.nameParts.last.equalsIgnoreCase(n) && side(v) != Some(false) => n.toLowerCase
+            case other => fail("INSERT must be identity (col <- source.col); " +
+              s"got ${other.sql} — the engine inserts the full source row")
+          }
+        }
+        if (named.toSet != shared)
+          fail(s"INSERT column list must cover every shared column (${shared.toSeq.sorted.mkString(", ")})")
+        true
+      case Seq(InsertStarAction(Some(_))) | Seq(InsertAction(Some(_), _)) =>
+        fail("conditional WHEN NOT MATCHED is not supported")
+      case _ => fail("at most one WHEN NOT MATCHED action")
+    }
+
+    val commit = table.mergeInto(sourceDf,
+      whenMatchedSet = updateSet,
+      whenMatchedDelete = deleteCond,
+      insertWhenNotMatched = insert)
+    summaryDf(spark, Seq(
+      "seq" -> commit.seq.toString,
+      "action" -> commit.action,
+      "files_rewritten" -> commit.extra.getOrElse("files_rewritten", "0"),
+      "files_carried" -> commit.extra.getOrElse("files_carried", "0"),
+      "rows_written" -> commit.extra.getOrElse("rows_written", "0")))
+      .queryExecution.logical
+  }
+
+  private def summaryDf(spark: SparkSession, rows: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("key", "value")
+  }
+}

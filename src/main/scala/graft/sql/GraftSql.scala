@@ -59,7 +59,7 @@ object GraftSql {
       throw new IllegalArgumentException(
         s"$name is not a registered graft table (GraftSql.register first)"))
 
-  private val CallRe =
+  private[sql] val CallRe =
     """(?is)\s*CALL\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*""".r
 
   /** Run a SQL statement with graft extensions (see object doc): `CALL`
@@ -74,7 +74,7 @@ object GraftSql {
     * strings (with '' escapes) and bare integer literals only — the whole
     * procedure grammar needs nothing richer, and rejecting the rest keeps
     * the entry un-spoofable. */
-  private def parseArgs(raw: String): Seq[String] = {
+  private[sql] def parseArgs(raw: String): Seq[String] = {
     if (raw.trim.isEmpty) return Seq.empty
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
@@ -104,7 +104,7 @@ object GraftSql {
     }
   }
 
-  private def call(spark: SparkSession, proc: String,
+  private[sql] def call(spark: SparkSession, proc: String,
       args: Seq[String]): DataFrame = {
     import spark.implicits._
     def arity(n: Int): Unit = require(args.size == n,

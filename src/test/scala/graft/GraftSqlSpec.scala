@@ -220,6 +220,93 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("CALL is first-class in bare spark.sql via the parser extension") {
+    mk("sqlspec_ext1")
+    val commits = spark.sql("CALL show_commits('sqlspec_ext1')")
+      .select("seq", "action").as[(Long, String)].collect().toSeq
+    assert(commits == Seq((0L, "bulk_insert"), (1L, "upsert")))
+    val changes = spark.sql("CALL show_changes('sqlspec_ext1', 0, 1)")
+      .select("id", "op").as[(Long, String)].collect().toSet
+    assert(changes == Set((2L, "U"), (3L, "I")))
+    // literal safety: a statement CONTAINING the CALL phrase is untouched
+    val s = spark.sql(
+      "SELECT 'CALL run_clean(sqlspec_ext1, 0)' AS phrase FROM graft.sqlspec_ext1")
+      .as[String].collect()
+    assert(s.length == 3 && s.forall(_ == "CALL run_clean(sqlspec_ext1, 0)"))
+    // malformed CALLs fail loudly through the same grammar
+    intercept[IllegalArgumentException](spark.sql("CALL no_such_proc('x')"))
+  }
+
+  test("INSERT INTO graft.t upserts; INSERT OVERWRITE replaces the table") {
+    val t = mk("sqlspec_ins")
+    spark.sql(
+      "INSERT INTO graft.sqlspec_ins VALUES (4, 'd', '003'), (2, 'b3', '003')")
+    val after = t.readUser().select("id", "v").as[(Long, String)]
+      .collect().toMap
+    assert(after == Map(1L -> "a", 2L -> "b3", 3L -> "c", 4L -> "d"),
+      s"INSERT INTO must upsert (latest-wins on key), got $after")
+    // INSERT with a SELECT source through the same path
+    spark.sql(
+      """INSERT INTO graft.sqlspec_ins
+         SELECT id + 10, concat(v, '+'), '004' FROM graft.sqlspec_ins WHERE id = 1""")
+    assert(t.readUser().filter($"id" === 11).select("v").as[String].head() == "a+")
+    spark.sql("INSERT OVERWRITE graft.sqlspec_ins VALUES (9, 'z', '005')")
+    assert(t.readUser().select("id", "v").as[(Long, String)].collect().toSeq
+      == Seq((9L, "z")))
+    // time-travel still sees the pre-overwrite state
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.sqlspec_ins VERSION AS OF 3").as[Long].head() == 5)
+  }
+
+  test("MERGE INTO graft.t translates onto the engine's expression merge") {
+    val t = mk("sqlspec_merge")
+    Seq((2L, "B", "009"), (9L, "nine", "009"))
+      .toDF("id", "v", "trx_seq").createOrReplaceTempView("sqlspec_merge_src")
+    val summary = spark.sql(
+      """MERGE INTO graft.sqlspec_merge t USING sqlspec_merge_src s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = concat(s.v, '!')
+         WHEN NOT MATCHED THEN INSERT *""")
+      .as[(String, String)].collect().toMap
+    assert(summary("action") == "merge")
+    val after = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(after == Map(1L -> "a", 2L -> "B!", 3L -> "c", 9L -> "nine"),
+      s"unexpected merged state: $after")
+
+    // conditional DELETE + UPDATE, first-match-wins composition
+    Seq((1L, "DEL", "010"), (3L, "KEEP", "010"))
+      .toDF("id", "action", "trx_seq").createOrReplaceTempView("sqlspec_merge_src2")
+    spark.sql(
+      """MERGE INTO graft.sqlspec_merge t USING sqlspec_merge_src2 s
+         ON t.id = s.id
+         WHEN MATCHED AND s.action = 'DEL' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = 'touched'""")
+    val after2 = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(after2 == Map(2L -> "B!", 3L -> "touched", 9L -> "nine"),
+      s"unexpected state after delete-merge: $after2")
+  }
+
+  test("MERGE INTO rejects duplicate source keys and non-key ON conditions") {
+    mk("sqlspec_merge_guard")
+    Seq((2L, "x", "009"), (2L, "y", "009"))
+      .toDF("id", "v", "trx_seq").createOrReplaceTempView("sqlspec_dup_src")
+    val dup = intercept[IllegalArgumentException](spark.sql(
+      """MERGE INTO graft.sqlspec_merge_guard t USING sqlspec_dup_src s
+         ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v"""))
+    assert(dup.getMessage.contains("multiple rows"),
+      s"duplicate-source-key rejection must survive the SQL path: ${dup.getMessage}")
+    // ON not on the record key: loud, not silently wrong
+    intercept[IllegalArgumentException](spark.sql(
+      """MERGE INTO graft.sqlspec_merge_guard t USING sqlspec_dup_src s
+         ON t.v = s.v WHEN MATCHED THEN UPDATE SET v = s.v"""))
+    // MERGE on a non-graft target parses through Spark untouched (fails
+    // in Spark's analyzer for a plain view, NOT in our translator)
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO sqlspec_merge_guard t USING sqlspec_dup_src s
+         ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v"""))
+    assert(!e.getMessage.startsWith("graft MERGE INTO"))
+  }
+
   test("CALL procedures: show_commits, clean, savepoint/restore, rollback, rli") {
     val t = mk("sqlspec_t3")
     val commits = GraftSql.sql(spark, "CALL show_commits('sqlspec_t3')")

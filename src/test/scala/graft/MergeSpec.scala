@@ -14,6 +14,7 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkExtension")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
