@@ -2077,6 +2077,37 @@ class GraftTable(
     scanFiles(added, schema)
   }
 
+  /** Manifest-level plan for the STREAMING source
+    * ([[graft.streaming.GraftMicroBatchStream]]): the files ADDED by
+    * INGEST commits in (sinceSeq, untilSeq] — maintenance rewrites
+    * (cluster/compact) skipped, exactly the IncrementalFeed loop's
+    * per-commit accounting as a file list. Change-exact on MOR delta
+    * logs; affected-region granularity on COW (rewritten files carry
+    * unchanged neighbors — at-least-once per key version, which a
+    * latest-wins consumer absorbs). Driver cost: O(commits in window)
+    * manifest reads, no data jobs. */
+  def changeFilesBetween(sinceSeq: Long, untilSeq: Long): Seq[DataFile] = {
+    require(sinceSeq <= untilSeq, s"empty commit range ($sinceSeq, $untilSeq]")
+    history(sinceSeq, untilSeq)
+      .filterNot(c => c.action == "cluster" || c.action == "compact")
+      .flatMap { c =>
+        val old: Set[String] =
+          if (c.seq == 0) Set.empty
+          else {
+            val base = timeline.readIncludingArchived(c.seq - 1)
+            (base.files ++ base.logFiles).map(_.path).toSet
+          }
+        (c.files ++ c.logFiles).filterNot(f => old(f.path))
+      }
+  }
+
+  /** The complete live file set (base + outstanding logs) at commit
+    * `seq` — the streaming source's initial-snapshot plan. */
+  def snapshotFilesAt(seq: Long): Seq[DataFile] = {
+    val c = timeline.readIncludingArchived(seq)
+    c.files ++ c.logFiles
+  }
+
   /** CHANGE-DATA-FEED diff between two commits (the Delta CDF / Hudi
     * CDC-query analog, computed from snapshots — no stored change files):
     * one row per key whose user-visible columns differ between the

@@ -384,6 +384,26 @@ object CdcScenario {
       tab
     })
 
+  /** Drain the COW scenario table once through the DSv2 catalog stream
+    * (`spark.readStream.table`, Trigger.AvailableNow, parquet sink) and
+    * return the sink path. A fresh checkpoint's first micro-batch is the
+    * full snapshot at the tip, so the sunk rows equal the batch read. */
+  def catalogStreamOutput(s: SparkSession, dir: String): String =
+    pathCache.getOrElseUpdate(s"catstream:$dir", {
+      val t = main(s, dir)
+      graft.sql.GraftSql.register(s, "orders_cat_stream", t)
+      val ck = Files.createTempDirectory("graft-catstream-ck").toString
+      val out = Files.createTempDirectory("graft-catstream-out").toString + "/sink"
+      val q = s.readStream.table("graft.orders_cat_stream")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "catalog stream did not drain")
+      out
+    })
+
+
 
   /** Gzipped CSV zone fixture (DMS's default S3 target format): a
     * 3-column orders extract written once per dir as 4 `.csv.gz` shards. */
@@ -860,6 +880,16 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
+    // DSv2 streaming read: spark.readStream.table("graft.<t>") drains
+    // the COW scenario table through the catalog's MicroBatchStream —
+    // the fresh-checkpoint initial batch IS the snapshot, so the sunk
+    // rows aggregate to the same final state as the batch read
+    "st_catalog_stream" -> ((s, dir) => {
+      val out = CdcScenario.catalogStreamOutput(s, dir)
+      s.read.parquet(out).groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }),
     // LIVE table-to-table chaining: downstream follows upstream through
     // the feed; final downstream snapshot equals the upstream final state
     "st_chain_live" -> ((s, dir) => statusAgg(CdcScenario.chainedLive(s, dir))),
@@ -1346,6 +1376,8 @@ object CdcQueries {
            (CAST(0 AS BIGINT), 'clone'),
            (CAST(1 AS BIGINT), 'compact')) AS t(seq, action)""",
     "st_stream_ingest" -> statusAggSql,
+    // the DSv2 catalog stream's drained snapshot = the batch final state
+    "st_catalog_stream" -> statusAggSql,
     "st_jsonl_ingest" -> statusAggSql,
     "st_csv_ingest" -> statusAggSql,
     "st_continuous_live" -> statusAggSql,

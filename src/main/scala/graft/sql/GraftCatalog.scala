@@ -147,11 +147,12 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
   override def capabilities(): util.Set[TableCapability] =
     (Set(TableCapability.BATCH_READ) ++
       (if (writeTable.isDefined)
-        Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+        Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+          TableCapability.MICRO_BATCH_READ)
       else Set.empty[TableCapability])).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableName, mkDf, pruner)
+    new GraftScanBuilder(tableName, mkDf, pruner, writeTable)
 
   /** SQL DML writes (`INSERT INTO graft.t` / `INSERT OVERWRITE graft.t`)
     * through the V1 write bridge: the incoming query arrives as a whole
@@ -204,7 +205,8 @@ private[sql] class GraftWriteBuilder(t: GraftTable, overwrite: Boolean = false)
   * result. Per-scan admitted/total file counts are recorded in
   * [[GraftScanMetrics]]. */
 private[sql] class GraftScanBuilder(tableName: String, mkDf: () => DataFrame,
-    pruner: Option[Seq[Filter] => graft.operators.PrunedScan])
+    pruner: Option[Seq[Filter] => graft.operators.PrunedScan],
+    liveTable: Option[GraftTable] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -246,6 +248,16 @@ private[sql] class GraftScanBuilder(tableName: String, mkDf: () => DataFrame,
         override def schema: StructType = df.schema
         override def buildScan(): RDD[Row] = df.rdd
       }.asInstanceOf[T]
+    /** `spark.readStream.table("graft.t")` — micro-batches planned off
+      * the commit timeline ([[graft.streaming.GraftMicroBatchStream]]);
+      * the pruned column set flows through as the stream schema. */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      liveTable match {
+        case Some(t) => new graft.streaming.GraftMicroBatchStream(t, df.schema)
+        case None => throw new UnsupportedOperationException(
+          s"$tableName is a time-travel snapshot: no streaming read")
+      }
   }
 }
 

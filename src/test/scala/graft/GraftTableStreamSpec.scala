@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.GraftTable
+import graft.sql.GraftSql
+
+/** `spark.readStream.table("graft.<name>")` — the DSv2 micro-batch
+  * source over the commit timeline: snapshot-then-changes delivery,
+  * checkpoint resume without re-delivery, manifest-injected partition
+  * values, maintenance commits never re-feeding. */
+class GraftTableStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Drain the stream once into a RECOVERABLE (parquet) sink — the
+    * memory sink cannot resume from a checkpoint, which is the very
+    * contract under test. */
+  private def runOnce(table: String, ck: String, out: String): Unit = {
+    val q = spark.readStream.table(table)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not drain in time")
+  }
+
+  private def sunk(out: String): Set[(Long, String)] =
+    spark.read.parquet(out).select("id", "v").as[(Long, String)].collect().toSet
+
+  test("snapshot then changes, with checkpoint resume") {
+    val root = Files.createTempDirectory("graft-catstream").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001")).toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, "catstream_t1", t)
+    val ck = Files.createTempDirectory("graft-catstream-ck").toString
+    val out = Files.createTempDirectory("graft-catstream-out").toString + "/sink"
+
+    runOnce("graft.catstream_t1", ck, out)
+    val b1 = sunk(out)
+    assert(b1 == Set((1L, "a"), (2L, "b")), s"initial batch must be the snapshot: $b1")
+
+    // a new commit, then resume from the SAME checkpoint: only the new
+    // commit's files feed; nothing already consumed re-delivers
+    t.upsert(Seq((3L, "c", "002")).toDF("id", "v", "trx_seq"))
+    runOnce("graft.catstream_t1", ck, out)
+    val b2 = sunk(out)
+    assert(b2 == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"resume must append exactly the new commit's rows: $b2")
+
+    // no new commits: another resume delivers nothing
+    runOnce("graft.catstream_t1", ck, out)
+    assert(sunk(out) == b2, "idle resume must deliver no rows")
+  }
+
+  test("maintenance commits do not re-feed; MOR delta logs are change-exact") {
+    val root = Files.createTempDirectory("graft-catstream-mor").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      tableType = GraftTable.MergeOnRead)
+    t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001")).toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, "catstream_t2", t)
+    val ck = Files.createTempDirectory("graft-catstream-mor-ck").toString
+    val out = Files.createTempDirectory("graft-catstream-mor-out").toString + "/sink"
+    runOnce("graft.catstream_t2", ck, out)
+    assert(sunk(out).size == 2)
+
+    t.upsert(Seq((2L, "b2", "002")).toDF("id", "v", "trx_seq")) // delta log
+    t.compact() // maintenance: must NOT re-feed the rewritten base files
+    runOnce("graft.catstream_t2", ck, out)
+    val delta = sunk(out) -- Set((1L, "a"), (2L, "b"))
+    assert(delta == Set((2L, "b2")), s"change-exact delta expected, got $delta")
+  }
+
+  test("partitioned table: partition values injected from the manifest") {
+    val root = Files.createTempDirectory("graft-catstream-part").toString
+    val t = new GraftTable(spark, root, Seq("id"), partitionFields = Seq("p"),
+      targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "x", "a1", "001"), (2L, "y", "b1", "001"))
+      .toDF("id", "p", "v", "trx_seq"))
+    GraftSql.register(spark, "catstream_t3", t)
+    val ck = Files.createTempDirectory("graft-catstream-part-ck").toString
+    val out = Files.createTempDirectory("graft-catstream-part-out").toString + "/sink"
+    runOnce("graft.catstream_t3", ck, out)
+    val rows = spark.read.parquet(out).select("id", "p", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set((1L, "x", "a1"), (2L, "y", "b1")),
+      s"partition column must carry manifest values: $rows")
+  }
+
+  test("column pruning flows into the stream schema") {
+    val root = Files.createTempDirectory("graft-catstream-prune").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "001")).toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, "catstream_t4", t)
+    val ck = Files.createTempDirectory("graft-catstream-prune-ck").toString
+    val q = spark.readStream.table("graft.catstream_t4").select("v")
+      .writeStream.format("memory").queryName("catstream_pr")
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(spark.table("catstream_pr").columns.toSeq == Seq("v"))
+    assert(spark.table("catstream_pr").as[String].collect().toSeq == Seq("a"))
+  }
+}
