@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.DataFile
+import graft.operators.{GraftTable, IntervalIndex}
+
+/** File-count SCALING measurement for the upsert planner pair (round-10
+  * verdict task #5): the sf0.1 bench cannot reach the interval/RLI
+  * crossover (~60 files), so measure the DRIVER-SIDE planner cores on
+  * synthetic manifests at 10k / 100k / 1M files and print the curve.
+  *
+  * What each number is:
+  *  - interval walk: what [[GraftTable]]'s pruneAffected pays PER BATCH
+  *    on the driver+executors — a fresh IntervalIndex.build over every
+  *    manifest entry plus one stab per batch key (10k keys here).
+  *  - RLI probe core: what the record-level-index planner pays per batch
+  *    for the same work — a binary search over the ~64 range-bucket
+  *    boundaries per key. The remaining RLI cost (bucket-shard semi-join
+  *    jobs) is sized by table ROWS / bucket, not by the manifest's file
+  *    count, and was measured at ~0.15 s fixed overhead in the
+  *    BENCH_r10/r11 `w_upsert_interval`/`w_upsert_rli` pair.
+  *
+  * The measurements are PRINTED (PERF_NOTES carries the curve); the only
+  * assertions are sanity-level so host-load variance can never turn a
+  * measurement into a flake.
+  */
+class PlannerScalingSpec extends AnyFunSuite {
+
+  private val ProbeKeys = 10000
+
+  private def synthManifest(n: Int): Array[DataFile] = {
+    // disjoint key-sorted intervals, 1000 keys per file — the layout a
+    // range-partitioned bulk insert actually produces
+    Array.tabulate(n) { i =>
+      val lo = i.toLong * 1000
+      val hi = lo + 999
+      DataFile(s"data/c0/part-$i.parquet", Map.empty,
+        f"$lo%019d", f"$hi%019d", 1000L, 4L * 1024 * 1024)
+    }
+  }
+
+  private def medianMs(runs: Int)(body: => Unit): Double = {
+    val ts = (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e6
+    }.sorted
+    ts(ts.length / 2)
+  }
+
+  test("interval-walk planner cost grows with manifest size; RLI probe core stays flat") {
+    val rnd = new scala.util.Random(42)
+    val results = Seq(10000, 100000, 1000000).map { n =>
+      val files = synthManifest(n)
+      val keys = Array.fill(ProbeKeys)(
+        f"${rnd.nextLong(n.toLong * 1000).max(0)}%019d")
+
+      // per-batch interval planner: fresh index build + one stab per key
+      var admitted = 0
+      val intervalMs = medianMs(3) {
+        val idx = IntervalIndex.build(
+          files.map(f => (f.minKey, f.maxKey, f.path)).toSeq)
+        admitted = keys.map(k => idx.stab(k).size).sum
+      }
+
+      // RLI planner driver core: boundary probe per key (boundaries are
+      // loaded from the index sidecar meta, built once per COMMIT, not
+      // per batch — their build cost is charged to the write that
+      // maintains the index, so it is excluded here)
+      val boundaries = GraftTable.rliBoundaries(files.toSeq,
+        GraftTable.DefaultRliBuckets)
+      var buckets = 0
+      val rliMs = medianMs(3) {
+        buckets = keys.map(k => GraftTable.rliRangeBucket(k, boundaries)).sum
+      }
+      info(f"files=$n%7d  interval_walk=${intervalMs}%9.2f ms   " +
+        f"rli_probe_core=${rliMs}%6.3f ms   (stab admissions=$admitted, bucketSum=$buckets)")
+      (n, intervalMs, rliMs)
+    }
+
+    // sanity only: the interval walk must grow with N; the probe core
+    // must not (it never touches the manifest list)
+    val byN = results.map { case (n, i, _) => n -> i }.toMap
+    assert(byN(1000000) > byN(10000),
+      s"interval planner cost must grow with the manifest: $results")
+    val rliMax = results.map(_._3).max
+    assert(rliMax < results.last._2,
+      s"at 1M files the RLI probe core must undercut the interval walk: $results")
+  }
+}
