@@ -1064,6 +1064,80 @@ class GraftTable(
         ("files_carried" -> carried.size.toString)), newFiles)
   })
 
+  /** Pruned PARTIAL REWRITE shared by the SQL row-level mutations
+    * (`UPDATE graft.t` / `DELETE FROM graft.t`): the files the manifest
+    * triage ([[triageKeep]]) admits for the statement's WHERE conjuncts
+    * are rewritten through `transform`; every other file carries forward
+    * untouched — write amplification ∝ the predicate's file footprint
+    * (key ranges, column stats, blooms, partition values all prune),
+    * never the table size. `filters` may be empty (full-table statement):
+    * every file rewrites, correct just not pruned.
+    */
+  private def prunedRewrite(action: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      transform: (DataFrame, org.apache.spark.sql.types.StructType, Long) => DataFrame)
+      : Commit = withLock(retryOnConflict {
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    requireCompacted(prev, action)
+    val keep = triageKeep(prev, filters)
+    val (affected, carried) = prev.files.partition(keep)
+    val seq = prev.seq + 1
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val newFiles =
+      if (affected.isEmpty) Seq.empty[DataFile]
+      else writeFiles(transform(scanFiles(affected, prevSchema), prevSchema, seq),
+        seq, affected.map(_.bytes).sum)
+    commitOrCleanStage(Commit(seq, action, carried ++ newFiles,
+      prev.schemaJson, prev.checkpoint, System.currentTimeMillis(),
+      extra = GraftTable.writeMetrics(newFiles) +
+        ("files_rewritten" -> affected.size.toString) +
+        ("files_carried" -> carried.size.toString)), newFiles)
+  })
+
+  /** SQL `UPDATE graft.t SET ... WHERE ...`: rows matching `cond` take
+    * the SET expressions (evaluated over the row, cast to the column's
+    * type) and this commit's stamp; everything else — including
+    * non-matching rows inside rewritten files — is carried byte-faithful.
+    * Key/partition/ordering/meta columns are protected (an UPDATE that
+    * moves a row's identity is a delete+insert, not an update — same
+    * rule as [[mergeInto]]'s SET validation). NULL `cond` keeps the row
+    * (SQL three-valued logic). `filters` are the WHERE's translatable
+    * conjuncts for the manifest triage; correctness never depends on
+    * them (`cond` is exact).
+    */
+  def updateWhere(set: Map[String, Column], cond: Column,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): Commit = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    val matches = coalesce(cond, lit(false))
+    prunedRewrite("update_where", filters, (df, schema, seq) => {
+      val tableCols = schema.fieldNames.toSeq
+      val bad = set.keySet.filter(c0 =>
+        !tableCols.contains(c0) || protectedColumns.contains(c0))
+      require(bad.isEmpty,
+        s"UPDATE may only set non-key, non-partition data columns; bad: ${bad.mkString(",")}")
+      val projected = tableCols.map { c0 =>
+        val dt = schema(c0).dataType
+        if (set.contains(c0))
+          when(matches, set(c0).cast(dt)).otherwise(col(c0)).as(c0)
+        else if (c0 == Meta.CommitSeq)
+          when(matches, lit(seq).cast(dt)).otherwise(col(c0)).as(c0)
+        else col(c0).as(c0)
+      }
+      df.select(projected: _*)
+    })
+  }
+
+  /** SQL `DELETE FROM graft.t WHERE ...`: rows matching `cond` leave the
+    * snapshot; files the triage clears carry forward untouched. NULL
+    * `cond` keeps the row. History stays time-travelable until clean().
+    */
+  def deleteRows(cond: Column,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty): Commit =
+    prunedRewrite("delete_where", filters,
+      (df, _, _) => df.filter(!coalesce(cond, lit(false))))
+
   private def protectedColumns: Set[String] =
     Set(Meta.RecordKey, Meta.CommitSeq, Meta.Deleted, orderingField) ++
       keyFields ++ partitionFields
@@ -1398,10 +1472,24 @@ class GraftTable(
     * and [[readPartition]]).
     */
   def readUserPruned(filters: Seq[org.apache.spark.sql.sources.Filter]): PrunedScan = {
-    import org.apache.spark.sql.{sources => sf}
     val c = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
     val total = c.files.size + c.logFiles.size
+    val keep = triageKeep(c, filters)
+    val admitted = c.files.count(keep) + c.logFiles.count(keep)
+    PrunedScan(prunedRead(c, keep).drop(Meta.RecordKey, Meta.CommitSeq),
+      admitted, total)
+  }
+
+  /** The manifest-triage predicate for a conjunction of pushed source
+    * filters against commit `c` — the shared core of the catalog scan
+    * ([[readUserPruned]]) and the SQL row-level rewrites
+    * ([[updateWhere]]/[[deleteRows]]). Conservative by construction:
+    * a file is dropped only when one of the engine's own indexes proves
+    * no matching row can live in it. */
+  private def triageKeep(c: Commit,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): DataFile => Boolean = {
+    import org.apache.spark.sql.{sources => sf}
     // the pushed array is a conjunction; nested Ands flatten into it and
     // null-safe equality on a non-null literal is plain equality
     def flat(f: sf.Filter): Seq[sf.Filter] = f match {
@@ -1556,11 +1644,7 @@ class GraftTable(
     }
 
     val preds = keeps.result()
-    val keep: DataFile => Boolean =
-      if (preds.isEmpty) _ => true else f => preds.forall(_(f))
-    val admitted = c.files.count(keep) + c.logFiles.count(keep)
-    PrunedScan(prunedRead(c, keep).drop(Meta.RecordKey, Meta.CommitSeq),
-      admitted, total)
+    if (preds.isEmpty) _ => true else f => preds.forall(_(f))
   }
 
   /** MOR READ-OPTIMIZED view (Hudi's `_ro` table, hive-synced beside the

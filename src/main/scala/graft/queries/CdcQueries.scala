@@ -384,6 +384,38 @@ object CdcScenario {
       tab
     })
 
+  /** SQL `UPDATE graft.t SET ... WHERE <key range>`: the low-key rows
+    * restamped through the pruned partial rewrite (only files whose key
+    * interval can overlap the range rewrite). */
+  def updatedWhereSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"updsql:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-updsql").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      graft.sql.GraftSql.register(s, "orders_upd_sql", tab)
+      s.sql(
+        """UPDATE graft.orders_upd_sql
+           SET o_orderstatus = 'X', o_totalprice = o_totalprice + 50.0
+           WHERE o_orderkey <= 5000""").collect()
+      tab
+    })
+
+  /** SQL `DELETE FROM graft.t WHERE ...`: mixed predicate — the key
+    * conjunct prunes the rewrite, the status conjunct is residual-exact. */
+  def deletedWhereSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"delsql:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-delsql").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      graft.sql.GraftSql.register(s, "orders_del_sql", tab)
+      s.sql(
+        """DELETE FROM graft.orders_del_sql
+           WHERE o_orderstatus = 'F' AND o_orderkey <= 5000""").collect()
+      tab
+    })
+
   /** Drain the COW scenario table once through the DSv2 catalog stream
     * (`spark.readStream.table`, Trigger.AvailableNow, parquet sink) and
     * return the sink path. A fresh checkpoint's first micro-batch is the
@@ -1079,6 +1111,10 @@ object CdcQueries {
     // INSERT INTO graft.t (DSv2 write path): append upserts, key
     // collisions latest-win
     "cdc_insert_into_sql" -> ((s, dir) => statusAgg(CdcScenario.insertedIntoSql(s, dir))),
+    // SQL UPDATE: key-range-pruned partial rewrite via the parser ext
+    "cdc_update_where_sql" -> ((s, dir) => statusAgg(CdcScenario.updatedWhereSql(s, dir))),
+    // SQL DELETE: mixed predicate (key conjunct prunes, status residual)
+    "cdc_delete_where_sql" -> ((s, dir) => statusAgg(CdcScenario.deletedWhereSql(s, dir))),
     // gzip CSV raw zone (DMS's default target format): doubles and
     // strings must round-trip exactly through write+codec+parse
     "src_csv_gz" -> ((s, dir) => {
@@ -1709,6 +1745,24 @@ object CdcQueries {
            UNION ALL
            SELECT 'J', CAST(o_totalprice AS DECIMAL(18,2))
            FROM orders WHERE o_orderkey % 1000 = 3)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
+    // SQL UPDATE final state: low keys restamped 'X', price +50
+    "cdc_update_where_sql" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey <= 5000 THEN 'X'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CAST(CASE WHEN o_orderkey <= 5000 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+           FROM orders)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
+    // SQL DELETE final state: low-key 'F' rows gone
+    "cdc_delete_where_sql" ->
+      """WITH final AS (
+           SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           WHERE NOT (o_orderstatus = 'F' AND o_orderkey <= 5000))
          SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderstatus""",
     "m5_keygen" ->

@@ -51,7 +51,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case _ =>
       val plan = delegate.parsePlan(sqlText)
-      GraftMergeSql.rewrite(session, plan).getOrElse(plan)
+      GraftMergeSql.rewrite(session, plan)
+        .orElse(GraftRowLevelSql.rewrite(session, plan))
+        .getOrElse(plan)
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -109,7 +111,7 @@ private[sql] object GraftMergeSql {
 
   /** (registered table name, optional alias) when `p` is
     * `graft.<name>` (with optional SubqueryAlias wrapper). */
-  private def graftTarget(p: LogicalPlan): Option[(String, Option[String])] =
+  private[sql] def graftTarget(p: LogicalPlan): Option[(String, Option[String])] =
     p match {
       case SubqueryAlias(id, child) =>
         graftTarget(child).map { case (n, _) => (n, Some(id.name)) }
@@ -272,5 +274,142 @@ private[sql] object GraftMergeSql {
   private def summaryDf(spark: SparkSession, rows: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
     rows.toDF("key", "value")
+  }
+}
+
+/** SQL `UPDATE graft.<t> SET ... [WHERE ...]` and
+  * `DELETE FROM graft.<t> [WHERE ...]` → the engine's pruned partial
+  * rewrites ([[GraftTable.updateWhere]]/[[GraftTable.deleteRows]]).
+  *
+  * The statement arrives as Spark's own parsed `UpdateTable` /
+  * `DeleteFromTable` AST. The WHERE expression is applied EXACTLY (it
+  * becomes the rewrite's row filter); independently, its translatable
+  * conjuncts (comparisons/IN between a column and a literal) are
+  * extracted as source filters for the MANIFEST TRIAGE, so a predicate
+  * on the key, a tracked stats column, a bloom column, or a partition
+  * column rewrites only the files that can hold matching rows.
+  * Untranslatable predicates just rewrite more files — never wrong
+  * results. Non-graft targets pass through to Spark untouched.
+  */
+private[sql] object GraftRowLevelSql {
+  import org.apache.spark.sql.catalyst.CatalystTypeConverters
+  import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, In => CatalystIn, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, UpdateTable}
+  import org.apache.spark.sql.{sources => sf}
+
+  def rewrite(spark: SparkSession, plan: LogicalPlan): Option[LogicalPlan] =
+    plan match {
+      case UpdateTable(target, assignments, condition) =>
+        GraftMergeSql.graftTarget(target).map { case (name, alias) =>
+          runUpdate(spark, name, alias, assignments, condition)
+        }
+      case DeleteFromTable(target, condition) =>
+        GraftMergeSql.graftTarget(target).map { case (name, alias) =>
+          runDelete(spark, name, alias, condition)
+        }
+      case _ => None
+    }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"graft row-level SQL: $msg")
+
+  private def table(name: String): GraftTable =
+    GraftSql.lookupRegistered(name).getOrElse(fail(
+      s"$name is not a registered graft table (GraftSql.register first)"))
+
+  /** Strip target-alias qualifiers; reject foreign ones (a single-
+    * relation statement has no other scope to resolve against). */
+  private def xlate(e: Expression, aliases: Set[String]): Column =
+    GraftSqlBridge.column(e.transformUp {
+      case ua: UnresolvedAttribute if ua.nameParts.length >= 2 =>
+        val tail = ua.nameParts.init.last.toLowerCase
+        if (aliases(tail)) UnresolvedAttribute(Seq(ua.nameParts.last))
+        else fail(s"unknown qualifier in ${ua.nameParts.mkString(".")}")
+    })
+
+  /** Translatable conjuncts of the WHERE expression as source filters
+    * for the manifest triage — conservative: anything unrecognized
+    * contributes nothing. */
+  private[sql] def triageFilters(e: Expression, aliases: Set[String]): Seq[sf.Filter] = {
+    def attr(x: Expression): Option[String] = x match {
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length == 1 ||
+            aliases(ua.nameParts.init.last.toLowerCase) =>
+        Some(ua.nameParts.last)
+      case _ => None
+    }
+    def value(x: Expression): Option[Any] = x match {
+      case l: Literal if l.value != null =>
+        Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ => None
+    }
+    def conj(x: Expression): Seq[sf.Filter] = x match {
+      case And(a, b) => conj(a) ++ conj(b)
+      case EqualTo(a, v) =>
+        (for { n <- attr(a); w <- value(v) } yield sf.EqualTo(n, w)).toSeq ++
+          (for { n <- attr(v); w <- value(a) } yield sf.EqualTo(n, w)).toSeq
+      case GreaterThan(a, v) =>
+        (for { n <- attr(a); w <- value(v) } yield sf.GreaterThan(n, w)).toSeq ++
+          (for { n <- attr(v); w <- value(a) } yield sf.LessThan(n, w)).toSeq
+      case GreaterThanOrEqual(a, v) =>
+        (for { n <- attr(a); w <- value(v) } yield sf.GreaterThanOrEqual(n, w)).toSeq ++
+          (for { n <- attr(v); w <- value(a) } yield sf.LessThanOrEqual(n, w)).toSeq
+      case LessThan(a, v) =>
+        (for { n <- attr(a); w <- value(v) } yield sf.LessThan(n, w)).toSeq ++
+          (for { n <- attr(v); w <- value(a) } yield sf.GreaterThan(n, w)).toSeq
+      case LessThanOrEqual(a, v) =>
+        (for { n <- attr(a); w <- value(v) } yield sf.LessThanOrEqual(n, w)).toSeq ++
+          (for { n <- attr(v); w <- value(a) } yield sf.GreaterThanOrEqual(n, w)).toSeq
+      case CatalystIn(a, vs) if vs.nonEmpty =>
+        (for {
+          n <- attr(a)
+          ws <- Some(vs.map(value)) if ws.forall(_.isDefined)
+        } yield sf.In(n, ws.flatten.toArray)).toSeq
+      case _: Or | _: Not | _: IsNull | _: IsNotNull => Seq.empty
+      case _ => Seq.empty
+    }
+    conj(e)
+  }
+
+  private def aliasSet(name: String, alias: Option[String]): Set[String] =
+    alias.map(_.toLowerCase).toSet + name.toLowerCase
+
+  private def runUpdate(spark: SparkSession, name: String,
+      alias: Option[String], assignments: Seq[Assignment],
+      condition: Option[Expression]): LogicalPlan = {
+    val t = table(name)
+    val aliases = aliasSet(name, alias)
+    val set = assignments.map { a =>
+      a.key match {
+        case ua: UnresolvedAttribute
+            if ua.nameParts.length == 1 ||
+              aliases(ua.nameParts.init.last.toLowerCase) =>
+          ua.nameParts.last -> xlate(a.value, aliases)
+        case other => fail(s"assignment target must be a table column: ${other.sql}")
+      }
+    }.toMap
+    val cond = condition.map(xlate(_, aliases))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val filters = condition.map(triageFilters(_, aliases)).getOrElse(Seq.empty)
+    val c = t.updateWhere(set, cond, filters)
+    summary(spark, c)
+  }
+
+  private def runDelete(spark: SparkSession, name: String,
+      alias: Option[String], condition: Expression): LogicalPlan = {
+    val t = table(name)
+    val aliases = aliasSet(name, alias)
+    val c = t.deleteRows(xlate(condition, aliases),
+      triageFilters(condition, aliases))
+    summary(spark, c)
+  }
+
+  private def summary(spark: SparkSession, c: graft.model.Commit): LogicalPlan = {
+    import spark.implicits._
+    Seq("seq" -> c.seq.toString, "action" -> c.action,
+      "files_rewritten" -> c.extra.getOrElse("files_rewritten", "0"),
+      "files_carried" -> c.extra.getOrElse("files_carried", "0"),
+      "rows_written" -> c.extra.getOrElse("rows_written", "0"))
+      .toDF("key", "value").queryExecution.logical
   }
 }

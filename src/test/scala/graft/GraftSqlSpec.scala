@@ -286,6 +286,50 @@ class GraftSqlSpec extends AnyFunSuite {
       s"unexpected state after delete-merge: $after2")
   }
 
+  test("UPDATE and DELETE statements run as pruned partial rewrites") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024,
+      statsColumns = Seq("score"))
+    t.bulkInsert(spark.range(1, 4001)
+      .selectExpr("id", "id * 3 AS score", "concat('v', id) AS v", "'001' AS trx_seq"))
+    val total = t.latestCommit().get.files.size
+    assert(total >= 4)
+    GraftSql.register(spark, "sqlspec_dml", t)
+
+    // UPDATE with a key-range WHERE: triage rewrites only the tail files
+    val u = spark.sql(
+      "UPDATE graft.sqlspec_dml SET v = concat(v, '!') WHERE id >= 3900")
+      .as[(String, String)].collect().toMap
+    assert(u("action") == "update_where")
+    assert(u("files_rewritten").toInt >= 1 && u("files_rewritten").toInt < total,
+      s"key-range UPDATE must prune the rewrite: $u")
+    assert(t.readUser().filter($"v".endsWith("!")).count() == 101)
+    assert(t.readUser().filter($"id" === 3950).select("v").as[String].head() == "v3950!")
+    assert(t.readUser().filter($"id" === 100).select("v").as[String].head() == "v100")
+
+    // DELETE with a stats-column WHERE: triage prunes via column min/max
+    val d = spark.sql(
+      "DELETE FROM graft.sqlspec_dml WHERE score >= 300 AND score <= 360")
+      .as[(String, String)].collect().toMap
+    assert(d("action") == "delete_where")
+    assert(d("files_rewritten").toInt < total, s"stats DELETE must prune: $d")
+    assert(t.readUser().count() == 4000 - 21)
+    assert(t.readUser().filter($"score" === 300).isEmpty)
+
+    // history stays travelable across both rewrites
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.sqlspec_dml VERSION AS OF 0").as[Long].head() == 4000)
+
+    // protected columns refuse; aliases resolve; non-graft passes through
+    intercept[IllegalArgumentException](spark.sql(
+      "UPDATE graft.sqlspec_dml SET id = 1 WHERE id = 2"))
+    assert(spark.sql(
+      "UPDATE graft.sqlspec_dml SET v = v WHERE id = -5")
+      .as[(String, String)].collect().toMap.apply("files_rewritten") == "0")
+    val e = intercept[Exception](spark.sql(
+      "DELETE FROM sqlspec_dml WHERE id = 1")) // temp view, not our catalog
+    assert(!e.getMessage.startsWith("graft row-level SQL"))
+  }
+
   test("MERGE INTO rejects duplicate source keys and non-key ON conditions") {
     mk("sqlspec_merge_guard")
     Seq((2L, "x", "009"), (2L, "y", "009"))
