@@ -1471,9 +1471,12 @@ class GraftTable(
     * bounded by any single file's stats (same rule as [[readColumnBox]]
     * and [[readPartition]]).
     */
-  def readUserPruned(filters: Seq[org.apache.spark.sql.sources.Filter]): PrunedScan = {
-    val c = timeline.latest().getOrElse(
-      throw new IllegalStateException(s"no commits at $root"))
+  def readUserPruned(filters: Seq[org.apache.spark.sql.sources.Filter]): PrunedScan =
+    prunedScanOf(timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root")), filters)
+
+  private def prunedScanOf(c: Commit,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): PrunedScan = {
     val total = c.files.size + c.logFiles.size
     val keep = triageKeep(c, filters)
     val admitted = c.files.count(keep) + c.logFiles.count(keep)
@@ -2275,11 +2278,26 @@ class GraftTable(
     * via header-only commit-time reads — never materializes the (MB-scale
     * at 100k files) manifests of every active commit. */
   def readAsOfTime(tsMs: Long): DataFrame = {
+    readAsOf(seqAsOfTime(tsMs))
+  }
+
+  /** The commit seq a timestamp travel resolves to: the newest active
+    * commit at or before `tsMs`. */
+  def seqAsOfTime(tsMs: Long): Long = {
     val eligible = timeline.listCommitSeqs()
       .filter(s => timeline.commitTimeMs(s) <= tsMs)
     require(eligible.nonEmpty, s"no commit at or before timestamp $tsMs")
-    readAsOf(eligible.last)
+    eligible.last
   }
+
+  /** Filter-triaged USER snapshot AS OF commit `seq` — the time-travel
+    * counterpart of [[readUserPruned]], so the catalog's `VERSION AS OF`
+    * / `TIMESTAMP AS OF` scans file-skip exactly like live ones (the
+    * triage consults THAT commit's manifest, so pruning is correct
+    * against the historical file set). */
+  def readUserPrunedAsOf(seq: Long,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): PrunedScan =
+    prunedScanOf(timeline.read(seq), filters)
 
   /** Time travel: the snapshot as of commit `seq` (must still be on the
     * active timeline — cleaning bounds how far back this reaches, exactly

@@ -98,14 +98,19 @@ class GraftCatalog extends TableCatalog {
       }
     val t = resolve(ident)
     new GraftV2Table(s"$catalogName.${fullName(ident)}@v$version",
-      () => t.readAsOf(seq).drop(Meta.RecordKey, Meta.CommitSeq))
+      () => t.readAsOf(seq).drop(Meta.RecordKey, Meta.CommitSeq),
+      pruner = Some(fs => t.readUserPrunedAsOf(seq, fs)))
   }
 
-  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. */
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds. The
+    * timestamp resolves to its commit seq ONCE at load, so the scan's
+    * triage and its snapshot agree on one manifest. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = resolve(ident)
+    val seq = t.seqAsOfTime(timestampMicros / 1000L)
     new GraftV2Table(s"$catalogName.${fullName(ident)}@t$timestampMicros",
-      () => t.readAsOfTime(timestampMicros / 1000L).drop(Meta.RecordKey, Meta.CommitSeq))
+      () => t.readAsOf(seq).drop(Meta.RecordKey, Meta.CommitSeq),
+      pruner = Some(fs => t.readUserPrunedAsOf(seq, fs)))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -165,6 +165,30 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(aNone == total, "no translatable conjunct must admit everything")
   }
 
+  test("time-travel catalog scans file-skip against the HISTORICAL manifest") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024)
+    t.bulkInsert(spark.range(1, 3001)
+      .selectExpr("id", "concat('v', id) AS v", "'001' AS trx_seq"))
+    val v0Files = t.latestCommit().get.files.size
+    assert(v0Files >= 3)
+    // commit 1 rewrites the low keys
+    t.upsert(spark.range(1, 101)
+      .selectExpr("id", "concat('w', id) AS v", "'002' AS trx_seq"))
+    GraftSql.register(spark, "sqlspec_tt_prune", t)
+    graft.sql.GraftScanMetrics.clear()
+    // point query AS OF commit 0 must admit < v0's files and see v0's value
+    assert(GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_tt_prune VERSION AS OF 0 WHERE id = 50")
+      .as[String].head() == "v50")
+    val (a0, t0) = graft.sql.GraftScanMetrics
+      .lastScan("graft.sqlspec_tt_prune@v0").get
+    assert(t0 == v0Files)
+    assert(a0 >= 1 && a0 < v0Files, s"time-travel probe admitted $a0 of $v0Files")
+    // live query sees the rewrite
+    assert(GraftSql.sql(spark,
+      "SELECT v FROM graft.sqlspec_tt_prune WHERE id = 50").as[String].head() == "w50")
+  }
+
   test("composite-key catalog query prunes when every key field is pinned") {
     val t = new GraftTable(spark, tmp(), Seq("a", "b"), targetFileBytes = 8 * 1024)
     t.bulkInsert(spark.range(1, 3001)
