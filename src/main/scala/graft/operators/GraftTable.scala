@@ -41,6 +41,30 @@ import graft.model.{ColStat, Commit, DataFile, KeyGen, Meta, Timeline}
   * surfaces as scan metrics. */
 case class PrunedScan(df: DataFrame, admittedFiles: Int, totalFiles: Int)
 
+/** Persisted table descriptor (`_graft/table.json` — the
+  * `hoodie.properties` analog): every successful commit republishes it
+  * (tiny JSON, atomic tmp+move, idempotent), so the table is
+  * SELF-DESCRIBING — any session can [[GraftTable.open]] it by path
+  * without knowing its configuration, and the SQL catalog discovers
+  * warehouse tables the same way. The last writer's configuration wins;
+  * the file is descriptive, never load-bearing for the writer that
+  * already holds the config. */
+case class TableConfig(
+    keyFields: Seq[String],
+    partitionFields: Seq[String],
+    orderingField: String,
+    tableType: String,
+    globalIndex: Boolean,
+    statsColumns: Seq[String],
+    keyBlooms: Boolean,
+    bloomColumns: Seq[String],
+    partialUpdate: Boolean,
+    targetFileBytes: Long,
+    compactEvery: Int,
+    compactLogBytesRatio: Double,
+    clusterSmallFileBytes: Long,
+    rliMaintain: Boolean)
+
 class GraftTable(
     spark: SparkSession,
     val root: String,
@@ -472,6 +496,7 @@ class GraftTable(
         // OCC to resolve): an rliMaintain table's first post-bootstrap
         // upsert must plan through the RLI, not decay to interval stabs
         maintainRliInline(committed)
+        persistConfig()
         committed
       } catch {
         case e: Throwable =>
@@ -526,8 +551,21 @@ class GraftTable(
     // commit (upsert, merge, overwrite, compact, cluster, delete, rename)
     // flows through here, so `rliMaintain` cannot miss a mutation class
     maintainRliInline(committed)
+    persistConfig()
     committed
   }
+
+  /** Republish the self-describing `_graft/table.json` (best-effort:
+    * the commit is already durable; a failed descriptor write only
+    * degrades path-open/warehouse discovery until the next commit). */
+  private def persistConfig(): Unit =
+    try GraftTable.writeConfig(root, TableConfig(keyFields, partitionFields,
+      orderingField, tableType, globalIndex, statsColumns, keyBlooms,
+      bloomColumns, partialUpdate, targetFileBytes, compactEvery,
+      compactLogBytesRatio, clusterSmallFileBytes, rliMaintain))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] table descriptor write failed at $root: ${e.getMessage}")
+    }
 
   /** OPTIMISTIC multi-writer upsert (the Hudi/Delta OCC shape): no writer
     * lock — read the snapshot, compute the merge, publish through the
@@ -2627,10 +2665,12 @@ class GraftTable(
       new Timeline(destRoot).commit(Commit(0L, "clone", c.files, c.schemaJson,
         c.checkpoint, System.currentTimeMillis(),
         extra = Map("cloned_from" -> s"$root@${c.seq}"), logFiles = c.logFiles))
-      new GraftTable(spark, destRoot, keyFields, partitionFields, orderingField,
-        targetFileBytes, staleLockMs, tableType, compactEvery, compactLogBytesRatio,
-        globalIndex, harvestThreshold, statsColumns, keyBlooms, bloomColumns,
-        partialUpdate, clusterSmallFileBytes)
+      val cloned = new GraftTable(spark, destRoot, keyFields, partitionFields,
+        orderingField, targetFileBytes, staleLockMs, tableType, compactEvery,
+        compactLogBytesRatio, globalIndex, harvestThreshold, statsColumns,
+        keyBlooms, bloomColumns, partialUpdate, clusterSmallFileBytes)
+      cloned.persistConfig() // clones are self-describing from commit 0
+      cloned
     }
 
   /** Integrity check (the Hudi metadata-validation / `fsck` analog):
@@ -2900,6 +2940,42 @@ object IntervalIndex {
 object GraftTable {
   val CopyOnWrite = "COPY_ON_WRITE"
   val MergeOnRead = "MERGE_ON_READ"
+
+  implicit private val cfgFormats: org.json4s.Formats = org.json4s.DefaultFormats
+
+  /** Atomic publish of the self-describing table descriptor. */
+  private[operators] def writeConfig(root: String, cfg: TableConfig): Unit = {
+    val p = Paths.get(root, "_graft", "table.json")
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s".table.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.writeString(tmp, org.json4s.jackson.Serialization.writePretty(cfg))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The persisted descriptor, if the table at `root` is self-described. */
+  def readConfig(root: String): Option[TableConfig] = {
+    val p = Paths.get(root, "_graft", "table.json")
+    if (!Files.exists(p)) None
+    else Some(org.json4s.jackson.JsonMethods.parse(Files.readString(p))
+      .extract[TableConfig])
+  }
+
+  /** Open an existing table BY PATH from its persisted descriptor — no
+    * key/partition/index configuration needed (the `hoodie.properties`
+    * usability contract: a table is a directory, not a constructor
+    * call). Fails loudly on an undescribed directory. */
+  def open(spark: SparkSession, root: String): GraftTable = {
+    val cfg = readConfig(root).getOrElse(throw new IllegalArgumentException(
+      s"no _graft/table.json at $root — not a self-described graft table " +
+        "(any commit on a current-version table publishes one)"))
+    new GraftTable(spark, root, cfg.keyFields, cfg.partitionFields,
+      cfg.orderingField, cfg.targetFileBytes, DefaultStaleLockMs,
+      cfg.tableType, cfg.compactEvery, cfg.compactLogBytesRatio,
+      cfg.globalIndex, DistributedHarvestThreshold, cfg.statsColumns,
+      cfg.keyBlooms, cfg.bloomColumns, cfg.partialUpdate,
+      cfg.clusterSmallFileBytes, cfg.rliMaintain)
+  }
   /** Hive's null-partition directory name. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
   /** maxKey sentinel for files lacking reliable key statistics (dropped or

@@ -416,6 +416,18 @@ object CdcScenario {
       tab
     })
 
+  /** Metastore-less discovery fixture: a self-described table under a
+    * warehouse directory, resolved as `graft.orders_wh` from the conf
+    * alone — no register call anywhere. */
+  def warehousePath(s: SparkSession, dir: String): String =
+    pathCache.getOrElseUpdate(s"wh:$dir", {
+      val wh = Files.createTempDirectory("graft-warehouse").toString
+      val tab = new GraftTable(s, s"$wh/orders_wh", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      wh
+    })
+
   /** Drain the COW scenario table once through the DSv2 catalog stream
     * (`spark.readStream.table`, Trigger.AvailableNow, parquet sink) and
     * return the sink path. A fresh checkpoint's first micro-batch is the
@@ -1115,6 +1127,17 @@ object CdcQueries {
     "cdc_update_where_sql" -> ((s, dir) => statusAgg(CdcScenario.updatedWhereSql(s, dir))),
     // SQL DELETE: mixed predicate (key conjunct prunes, status residual)
     "cdc_delete_where_sql" -> ((s, dir) => statusAgg(CdcScenario.deletedWhereSql(s, dir))),
+    // metastore-less discovery: the warehouse conf alone resolves a
+    // self-described table directory as graft.<name> — zero registration
+    "catalog_warehouse" -> ((s, dir) => {
+      val wh = CdcScenario.warehousePath(s, dir)
+      graft.sql.GraftSql.install(s)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM graft.orders_wh GROUP BY o_orderstatus""")
+    }),
     // gzip CSV raw zone (DMS's default target format): doubles and
     // strings must round-trip exactly through write+codec+parse
     "src_csv_gz" -> ((s, dir) => {
@@ -1747,6 +1770,11 @@ object CdcQueries {
            FROM orders WHERE o_orderkey % 1000 = 3)
          SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderstatus""",
+    // warehouse-discovered table = the plain full load
+    "catalog_warehouse" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY o_orderstatus""",
     // SQL UPDATE final state: low keys restamped 'X', price +50
     "cdc_update_where_sql" ->
       """WITH final AS (

@@ -70,17 +70,49 @@ class GraftCatalog extends TableCatalog {
   private def fullName(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(".")
 
-  private def resolve(ident: Identifier): GraftTable =
-    GraftSql.lookupRegistered(fullName(ident))
+  /** Warehouse directory for PATH-BASED discovery (the metastore-less
+    * deployment): with `spark.sql.catalog.graft.warehouse=<dir>` set,
+    * any `<dir>/<name>` holding a self-describing `_graft/table.json`
+    * resolves as `graft.<name>` with NO registration call — the table
+    * descriptor carries the key/partition/index configuration
+    * ([[graft.operators.GraftTable.open]]). Read from the ACTIVE session
+    * conf so it can be set/changed after the catalog instantiates. */
+  private def warehouseDir: Option[String] =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption(s"spark.sql.catalog.$catalogName.warehouse")
+
+  private def warehouseRoot(name: String): Option[String] =
+    warehouseDir.map(w => s"${w.stripSuffix("/")}/$name").filter(r =>
+      name.matches("[A-Za-z_][A-Za-z0-9_.-]*") && // no path traversal
+        java.nio.file.Files.exists(
+          java.nio.file.Paths.get(r, "_graft", "table.json")))
+
+  private def resolve(ident: Identifier): GraftTable = {
+    val name = fullName(ident)
+    GraftSql.lookupRegistered(name)
+      .orElse(warehouseRoot(name).map(r =>
+        GraftTable.open(org.apache.spark.sql.SparkSession.active, r)))
       .getOrElse(throw new NoSuchTableException(ident))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     require(namespace.isEmpty, s"graft catalog has no namespaces: ${namespace.mkString(".")}")
-    GraftSql.registeredNames.map(n => Identifier.of(Array.empty, n)).toArray
+    val discovered = warehouseDir.toSeq.flatMap { w =>
+      val p = java.nio.file.Paths.get(w)
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else scala.util.Using.resource(java.nio.file.Files.list(p)) { s =>
+        s.iterator().asScala
+          .filter(d => java.nio.file.Files.exists(d.resolve("_graft/table.json")))
+          .map(_.getFileName.toString).toList
+      }
+    }
+    (GraftSql.registeredNames ++ discovered).distinct.sorted
+      .map(n => Identifier.of(Array.empty, n)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    GraftSql.lookupRegistered(fullName(ident)).isDefined
+    GraftSql.lookupRegistered(fullName(ident)).isDefined ||
+      warehouseRoot(fullName(ident)).isDefined
 
   override def loadTable(ident: Identifier): Table =
     new GraftV2Table(s"$catalogName.${fullName(ident)}",

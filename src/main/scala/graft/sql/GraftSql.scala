@@ -44,6 +44,14 @@ object GraftSql {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
     registry.put(name.toLowerCase, table)
     table.readUser().createOrReplaceTempView(name)
+    install(spark)
+  }
+
+  /** Install the `graft` DSv2 catalog in the session (idempotent) WITHOUT
+    * registering any table — the metastore-less entry point: pair with
+    * `spark.sql.catalog.graft.warehouse=<dir>` and every self-described
+    * table directory under it resolves as `graft.<name>`. */
+  def install(spark: SparkSession): Unit = {
     val key = "spark.sql.catalog.graft"
     if (spark.conf.getOption(key).isEmpty)
       spark.conf.set(key, classOf[GraftCatalog].getName)

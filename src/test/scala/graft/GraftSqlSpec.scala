@@ -232,6 +232,46 @@ class GraftSqlSpec extends AnyFunSuite {
       .as[Long].head() == 11)
   }
 
+  test("self-describing tables: open by path, discover through the warehouse conf") {
+    val warehouse = Files.createTempDirectory("graft-warehouse").toString
+    val t = new GraftTable(spark, s"$warehouse/sales", Seq("id"),
+      partitionFields = Seq("region"), targetFileBytes = 16 * 1024,
+      statsColumns = Seq("amount"), globalIndex = false)
+    t.bulkInsert(Seq((1L, "eu", 10L, "a", "001"), (2L, "us", 20L, "b", "001"))
+      .toDF("id", "region", "amount", "v", "trx_seq"))
+
+    // descriptor round-trips the configuration
+    val cfg = GraftTable.readConfig(s"$warehouse/sales").get
+    assert(cfg.keyFields == Seq("id") && cfg.partitionFields == Seq("region"))
+    assert(cfg.statsColumns == Seq("amount") && !cfg.globalIndex)
+
+    // open by path: no constructor configuration
+    val reopened = GraftTable.open(spark, s"$warehouse/sales")
+    assert(reopened.readUser().count() == 2)
+    assert(reopened.partitionFields == Seq("region"))
+    reopened.upsert(Seq((3L, "eu", 30L, "c", "002"))
+      .toDF("id", "region", "amount", "v", "trx_seq"))
+    assert(reopened.readUser().count() == 3)
+
+    // warehouse discovery: graft.<dirname> resolves with NO register call
+    GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sales").as[Long].head() == 3)
+      assert(spark.sql("SELECT v FROM graft.sales WHERE id = 3").as[String].head() == "c")
+      val names = spark.sql("SHOW TABLES IN graft")
+        .select("tableName").as[String].collect().toSet
+      assert(names.contains("sales"))
+      // clones are self-describing from commit 0
+      val cl = reopened.cloneTo(s"$warehouse/sales_clone")
+      assert(cl.readUser().count() == 3)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.sales_clone").as[Long].head() == 3)
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+    // undescribed directories fail loudly
+    intercept[IllegalArgumentException](
+      GraftTable.open(spark, Files.createTempDirectory("graft-notatable").toString))
+  }
+
   test("time travel composes with joins and aggregation in one statement") {
     mk("sqlspec_t7")
     // v0 (2 rows) joined to v1 (3 rows) through plain Spark SQL — both
