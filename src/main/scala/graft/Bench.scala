@@ -35,7 +35,7 @@ object Bench {
     * setup), so the timed window is the operation itself. */
   val WriteFamily: Seq[String] = Seq(
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
-    "w_upsert_interval", "w_upsert_rli")
+    "w_upsert_interval", "w_upsert_rli", "w_sql_point")
 
   val Runs = 3
 
@@ -168,6 +168,22 @@ object Bench {
         val c = mergeBase.cloneTo(tmpRoot("ur-run") + "/t")
         c.buildRecordIndex()
         () => { c.upsert(plannerBatch); () }
+      }),
+      // catalog SQL point query with manifest triage (round-11): the scan
+      // must schedule O(matching files), not the full manifest — the
+      // round-10 "one scale-killer" measured, not asserted
+      "w_sql_point" -> (() => {
+        graft.sql.GraftSql.register(spark, "bench_point", mergeBase)
+        () => {
+          spark.sql(
+            "SELECT o_orderstatus, o_totalprice FROM graft.bench_point WHERE o_orderkey = 299999")
+            .write.format("noop").mode("overwrite").save()
+          val (admitted, total) = graft.sql.GraftScanMetrics
+            .lastScan("graft.bench_point").getOrElse((0, 0))
+          if (total > 1 && admitted >= total)
+            throw new IllegalStateException(
+              s"catalog point query did not file-skip: $admitted/$total")
+        }
       }))
     val writeResults = writeOps.map { case (name, mkRun) =>
       val times = (1 to Runs).map { _ =>
