@@ -14,6 +14,30 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+  /** Fixed-window CHARACTER chunking with overlap — the long-document
+    * windowing primitive for context-length-bounded training and RAG
+    * indexing: every document explodes into `window`-char chunks whose
+    * starts step by `stride` (overlap = window - stride), each with a
+    * stable (doc, chunk_idx) identity and a content hash for downstream
+    * chunk-level dedup. Deterministic and byte-exact by construction
+    * (pure substr/md5 over character offsets — no tokenizer drift), so
+    * the whole operator replicates in SQL. Scale: one explode + codegen'd
+    * string expressions, zero shuffles — chunking 100 TB is a scan.
+    */
+  def charChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window (got window=$window stride=$stride)")
+    docs.select(col(idCol), col(textCol).as("_t"),
+        explode(sequence(lit(0), greatest(lit(0),
+          floor((length(col(textCol)) - 1) / lit(stride)).cast("int")))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_pos"),
+        expr(s"substr(_t, chunk_idx * $stride + 1, $window)").as("_c"))
+      .select(col(idCol), col("chunk_idx"), col("start_pos"),
+        length(col("_c")).as("chunk_len"), md5(col("_c")).as("chunk_md5"))
+  }
+
   /** Per-document statistics + a composite quality score. */
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = split(col(textCol), " ")

@@ -301,6 +301,12 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(TextAnalysis.fingerprint(t(s, dir, "documents"), "text")).as("n_unique"))),
 
+    // fixed-window character chunking (RAG / training-window primitive):
+    // per-chunk identity, offsets and content hash, byte-exact
+    "text_char_chunks" -> ((s, dir) =>
+      TextAnalysis.charChunks(t(s, dir, "documents"), "doc_id", "text",
+        window = 120, stride = 80)),
+
     // ---- content scrubbing (PII redaction + URL-policy filtering)
     // The corpus carries no natural PII, so BOTH sides append the same
     // deterministic doc_id-derived contact line (variable email/IP
@@ -1093,6 +1099,18 @@ object LlmQueries {
       """SELECT source, COUNT(*) AS n_docs,
          COUNT(DISTINCT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))) AS n_unique
          FROM documents GROUP BY source""",
+
+    // unnest(range(...)) replicates the chunk explode (DuckDB's
+    // generate_series is not lateral-correlatable); // is floor division,
+    // substr/length/md5 are 1-based char semantics both sides
+    "text_char_chunks" ->
+      """SELECT doc_id, CAST(gs AS INT) AS chunk_idx,
+           CAST(gs * 80 AS INT) AS start_pos,
+           CAST(length(substr(text, CAST(gs AS INT) * 80 + 1, 120)) AS INT) AS chunk_len,
+           md5(substr(text, CAST(gs AS INT) * 80 + 1, 120)) AS chunk_md5
+         FROM (SELECT doc_id, text,
+                 unnest(range(0, greatest(1, (length(text) - 1) // 80 + 1))) AS gs
+               FROM documents)""",
 
     // same deterministic enrichment, then the same RE2-compatible regexes
     // (DuckDB needs the explicit 'g' flag where Spark replaces all by

@@ -772,4 +772,23 @@ class LlmSpec extends AnyFunSuite {
     assert(merges.count() == 2)
     assert(words.select("sym").as[String].collect().toSet == Set("ab", "cd"))
   }
+
+  test("charChunks: fixed-window overlap chunking is offset-exact") {
+    val docs = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.charChunks(docs, "doc_id", "text",
+      window = 5, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_pos", "chunk_len")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    // len 8, stride 3 -> starts 0,3,6; windows clamp at the tail
+    assert(got == Seq((1L, 0, 0, 5), (1L, 1, 3, 5), (1L, 2, 6, 2),
+      (2L, 0, 0, 2), (3L, 0, 0, 0)), s"unexpected chunking: $got")
+    // overlap really repeats content: chunk 1 of doc 1 starts at 'd'
+    val c1 = graft.llm.TextAnalysis.charChunks(docs, "doc_id", "text", 5, 3)
+      .filter($"doc_id" === 1 && $"chunk_idx" === 1)
+      .select("chunk_md5").as[String].head()
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("defgh".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(c1 == expect)
+  }
 }
