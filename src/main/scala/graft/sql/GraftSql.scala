@@ -175,6 +175,36 @@ object GraftSql {
         val c = lookup(args(0)).deletePartition(spec)
         summary("seq" -> c.seq.toString,
           "files_dropped" -> c.extra.getOrElse("files_dropped", "0"))
+      case "show_table_stats" =>
+        // manifest-only table census (the ops dashboard row): zero data
+        // jobs — rows/bytes/key-span come straight off the live manifest
+        arity(1)
+        val t = lookup(args(0))
+        val c = t.latestCommit().getOrElse(
+          throw new IllegalArgumentException(s"${args(0)} has no commits"))
+        val all = c.files ++ c.logFiles
+        summary(
+          "seq" -> c.seq.toString,
+          "action" -> c.action,
+          "n_files" -> c.files.size.toString,
+          "n_log_files" -> c.logFiles.size.toString,
+          "total_rows" -> c.files.map(_.numRows).sum.toString,
+          "total_bytes" -> all.map(_.bytes).sum.toString,
+          // cmpKey order (unsigned UTF-8) — the collation every other
+          // key comparison in the engine uses, not Java String order
+          "min_key" -> {
+            val ks = all.filter(graft.operators.GraftTable.hasReliableStats).map(_.minKey)
+            if (ks.isEmpty) ""
+            else ks.reduce((a, b) =>
+              if (graft.operators.GraftTable.cmpKey(a, b) <= 0) a else b)
+          },
+          "max_key" -> {
+            val ks = all.filter(graft.operators.GraftTable.hasReliableStats).map(_.maxKey)
+            if (ks.isEmpty) ""
+            else ks.reduce((a, b) =>
+              if (graft.operators.GraftTable.cmpKey(a, b) >= 0) a else b)
+          },
+          "commit_time_ms" -> c.commitTimeMs.toString)
       case "build_record_index" =>
         arity(1)
         val seq = lookup(args(0)).buildRecordIndex()
@@ -190,7 +220,8 @@ object GraftSql {
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure $other; available: show_commits, " +
-            "show_savepoints, show_changes, run_compaction, run_clustering, " +
+            "show_savepoints, show_changes, show_table_stats, " +
+            "run_compaction, run_clustering, " +
             "run_clean, run_archive, create_savepoint, restore_savepoint, " +
             "rollback_to, delete_partition, build_record_index")
     }

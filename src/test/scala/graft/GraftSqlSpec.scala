@@ -448,6 +448,16 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(r.contains("action") || r.contains("files_rewritten") || r.nonEmpty)
   }
 
+  test("CALL show_table_stats reports the manifest census") {
+    val t = mk("sqlspec_stats")
+    val stats = spark.sql("CALL show_table_stats('sqlspec_stats')")
+      .as[(String, String)].collect().toMap
+    assert(stats("seq") == "1" && stats("n_log_files") == "0")
+    assert(stats("total_rows").toLong == 3)
+    assert(stats("n_files").toInt == t.latestCommit().get.files.size)
+    assert(stats("min_key").nonEmpty && stats("max_key").nonEmpty)
+  }
+
   test("CALL show_changes surfaces the change-data-feed between commits") {
     mk("sqlspec_t11")
     // commit 0 = {1->a, 2->b}; commit 1 upserts 2->b2 and inserts 3->c
