@@ -27,6 +27,33 @@ object Dedup {
       .distinct()
   }
 
+  /** CHUNK-LEVEL near-duplicate pairs: documents sharing >= `minShared`
+    * identical fixed-window chunks ([[TextAnalysis.charChunks]] — same
+    * window/stride as the chunk store, so a hit names the EXACT reusable
+    * chunks). The candidate generator is a posting-list equi-join on the
+    * chunk hash, never all-pairs; chunks appearing in more than `maxDf`
+    * documents (boilerplate — headers, licenses, empty windows) are
+    * dropped from the postings first, which both bounds the join's hot
+    * keys at 100 TB and is exactly the signal-vs-boilerplate split
+    * chunk dedup wants. One distinct + one self equi-join + one
+    * aggregate: the linear-scale shape.
+    */
+  def chunkOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int, minShared: Int, maxDf: Int): DataFrame = {
+    val dist = TextAnalysis.charChunks(docs, idCol, textCol, window, stride)
+      .select(col(idCol).as("doc"), col("chunk_md5").as("h"))
+      .distinct()
+    val rare = dist.groupBy(col("h"))
+      .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDf)
+      .select(col("h"))
+    val keep = dist.join(rare, Seq("h"))
+    keep.as("a").join(keep.as("b"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
   /** Exact duplicate groups by content hash (md5). One hash-shuffle. */
   def exactStats(docs: DataFrame, textCol: String): DataFrame = {
     val byHash = docs.groupBy(md5(col(textCol)).as("h")).agg(count(lit(1)).as("n"))

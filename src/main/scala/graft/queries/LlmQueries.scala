@@ -307,6 +307,12 @@ object LlmQueries {
       TextAnalysis.charChunks(t(s, dir, "documents"), "doc_id", "text",
         window = 120, stride = 80)),
 
+    // chunk-level near-dup pairs: posting-list join on chunk hash with a
+    // boilerplate document-frequency cap — never all-pairs
+    "dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        window = 120, stride = 80, minShared = 2, maxDf = 50)),
+
     // ---- content scrubbing (PII redaction + URL-policy filtering)
     // The corpus carries no natural PII, so BOTH sides append the same
     // deterministic doc_id-derived contact line (variable email/IP
@@ -1099,6 +1105,22 @@ object LlmQueries {
       """SELECT source, COUNT(*) AS n_docs,
          COUNT(DISTINCT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g')))) AS n_unique
          FROM documents GROUP BY source""",
+
+    // same chunk explode + df-capped posting self-join, fully in SQL
+    "dedup_chunks" ->
+      """WITH chunks AS (
+           SELECT doc_id, md5(substr(text, CAST(gs AS INT) * 80 + 1, 120)) AS h
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, greatest(1, (length(text) - 1) // 80 + 1))) AS gs
+                 FROM documents)),
+         dist AS (SELECT DISTINCT doc_id, h FROM chunks),
+         rare AS (SELECT h FROM dist GROUP BY h HAVING COUNT(*) <= 50)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_chunks
+         FROM (SELECT dist.* FROM dist JOIN rare USING (h)) a
+         JOIN (SELECT dist.* FROM dist JOIN rare USING (h)) b
+           ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
 
     // unnest(range(...)) replicates the chunk explode (DuckDB's
     // generate_series is not lateral-correlatable); // is floor division,

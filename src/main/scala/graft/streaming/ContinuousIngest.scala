@@ -63,6 +63,33 @@ object ContinuousIngest {
       .start()
   }
 
+  /** Sink ANY streaming DataFrame into a keyed table — the write-side
+    * complement of `spark.readStream.table("graft.t")`: whatever the
+    * source (rate, kafka-shaped, a graft catalog stream, a transformed
+    * pipeline), each micro-batch upserts under the stream's checkpoint.
+    * This is deliberately `foreachBatch`, NOT a DSv2 StreamingWrite:
+    * per-partition epoch writers would bypass the precombine → prune →
+    * atomic-commit machinery that makes the sink exactly-once (a
+    * replayed epoch re-runs the SAME idempotent upsert; latest-wins
+    * absorbs it) — the engine's whole-batch write path IS the sink
+    * contract. Composing `spark.readStream.table` with this gives
+    * table-to-table streaming through standard surfaces end to end.
+    */
+  def sink(stream: DataFrame, table: GraftTable, checkpointDir: String,
+      availableNow: Boolean = true,
+      processingInterval: String = "10 seconds"): StreamingQuery =
+    stream.writeStream
+      .trigger(if (availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(processingInterval))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          table.upsert(batch, Some(s"stream-sink-$batchId"))
+          ()
+        }
+      }
+      .start()
+
   /** Drain everything currently in the raw zone and stop (one scheduled
     * micro-batch cycle). A quiet/absent zone is the documented no-op
     * cycle, not an error (the schema probe would otherwise throw on an

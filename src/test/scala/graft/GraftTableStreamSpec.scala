@@ -88,6 +88,38 @@ class GraftTableStreamSpec extends AnyFunSuite {
       s"partition column must carry manifest values: $rows")
   }
 
+  test("table-to-table streaming: readStream.table into ContinuousIngest.sink") {
+    val srcRoot = Files.createTempDirectory("graft-t2t-src").toString
+    val src = new GraftTable(spark, srcRoot, Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001")).toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, "t2t_src", src)
+    val dst = new GraftTable(spark,
+      Files.createTempDirectory("graft-t2t-dst").toString, Seq("id"),
+      targetFileBytes = 16 * 1024)
+    val ck = Files.createTempDirectory("graft-t2t-ck").toString
+
+    def chainOnce(): Unit = {
+      val q = graft.streaming.ContinuousIngest.sink(
+        spark.readStream.table("graft.t2t_src"), dst, ck)
+      assert(q.awaitTermination(120000))
+    }
+    chainOnce()
+    assert(dst.readUser().select("id", "v").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b")))
+
+    // upstream moves; the chain resumes from its checkpoint and the
+    // downstream converges through the idempotent latest-wins upsert
+    src.upsert(Seq((2L, "b2", "002"), (3L, "c", "002")).toDF("id", "v", "trx_seq"))
+    chainOnce()
+    assert(dst.readUser().select("id", "v").as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b2"), (3L, "c")))
+    // replaying the same chain again changes nothing (exactly-once)
+    val seqBefore = dst.latestCommit().get.seq
+    chainOnce()
+    assert(dst.readUser().count() == 3)
+    assert(dst.latestCommit().get.seq == seqBefore, "idle chain must not commit")
+  }
+
   test("column pruning flows into the stream schema") {
     val root = Files.createTempDirectory("graft-catstream-prune").toString
     val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
