@@ -392,6 +392,65 @@ object Dedup {
           .reduce((a, c) => a.bitwiseOR(c)).as("simhash"))
   }
 
+  /** EXACT duplicated-substring census via sorted-suffix neighbors — the
+    * suffix-array method of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed as Spark relational
+    * operators instead of a monolithic in-memory suffix array:
+    *
+    *  1. explode every suffix start (stride 1 — exact), truncated to
+    *     `maxSuffix` chars;
+    *  2. bucket by the first `bucketPrefix` chars. Any two suffixes with a
+    *     common prefix ≥ `minMatch` ≥ `bucketPrefix` share the bucket
+    *     (pigeonhole), so per-bucket sorting loses NO qualifying pair;
+    *  3. per bucket, sort suffixes and take each one's LCP with its sorted
+    *     neighbors (the suffix-array property: a suffix's maximal LCP with
+    *     ANY other suffix is attained at an adjacent suffix in sorted
+    *     order — and both candidates sit in its own bucket when ≥
+    *     minMatch);
+    *  4. per document: how many positions start a duplicated substring of
+    *     ≥ `minMatch` chars, and the longest duplicated run (capped at
+    *     `maxSuffix`).
+    *
+    * A position's `lcp` depends only on the corpus's suffix MULTISET, so
+    * the census is deterministic. Everything is one explode + one
+    * hash-shuffle window + one aggregate: chars-in-corpus rows of ~
+    * `maxSuffix` bytes, no all-pairs anywhere. At 100 TB the explode
+    * factor is the cost knob — a stride-q variant subsamples start
+    * positions (recall trades at known odds, the paper's own
+    * engineering); buckets hash-shuffle, with hot-prefix skew bounded by
+    * lengthening `bucketPrefix`.
+    */
+  def suffixDuplication(docs: DataFrame, idCol: String, textCol: String,
+      minMatch: Int = 20, maxSuffix: Int = 60, bucketPrefix: Int = 8): DataFrame = {
+    require(bucketPrefix <= minMatch,
+      s"bucketPrefix ($bucketPrefix) must be <= minMatch ($minMatch) or bucketing loses pairs")
+    require(minMatch <= maxSuffix, s"minMatch ($minMatch) must be <= maxSuffix ($maxSuffix)")
+    // LCP of two suffixes: the prefix-equal position set is prefix-closed,
+    // so its SIZE is the longest common prefix — codegen'd higher-order
+    // functions, no UDF
+    def lcp(a: Column, b: Column): Column =
+      when(b.isNull, lit(0)).otherwise(
+        size(filter(sequence(lit(1), least(length(a), length(b))),
+          k => a.substr(lit(1), k) === b.substr(lit(1), k))))
+    val sfx = docs
+      .filter(length(col(textCol)) >= minMatch)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(minMatch - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        col("_t").substr(col("pos"), lit(maxSuffix)).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s").substr(lit(1), lit(bucketPrefix)))
+      .orderBy(col("s"), col("doc_id"), col("pos"))
+    sfx
+      .withColumn("lcp", greatest(
+        lcp(col("s"), lead(col("s"), 1).over(w)),
+        lcp(col("s"), lag(col("s"), 1).over(w))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sfx"),
+        sum(when(col("lcp") >= minMatch, 1L).otherwise(0L)).as("dup_positions"),
+        max(col("lcp")).cast("long").as("max_dup_len"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * bucketed by 16-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ some chunk
     * equal). */

@@ -111,6 +111,16 @@ class GraftTable(
 
   // ---------------------------------------------------------------- helpers
 
+  /** The ordering column for a tie struct — NULL-typed when the frame
+    * doesn't carry it. A table written purely through SQL (`CREATE TABLE`
+    * + `INSERT INTO`) has no CDC ordering column at all: versions then
+    * rank on the rest of the tie chain (tombstone, commit seq), i.e.
+    * "later statement wins" — and nothing injects a bookkeeping column
+    * into the user-visible schema. */
+  private def orderingCol(cols: Seq[String]): Column =
+    if (cols.contains(orderingField)) col(orderingField)
+    else lit(null).cast("string")
+
   /** Precombine (M1): among rows sharing a row IDENTITY keep the one with
     * the max ordering value; on ties the delete tombstone wins (Hudi
     * semantics). Identity matches the table's index scope — Hudi's
@@ -118,12 +128,14 @@ class GraftTable(
     * key) under a non-global one, where same-keyed rows in different
     * partitions are distinct and must both survive a single batch. One
     * hash-shuffle; max_by carries the whole row so there is no second
-    * join back.
+    * join back. Without an ordering column, equal-key rows WITHIN one
+    * batch tie arbitrarily (the SQL multi-assignment rule); across
+    * commits the seq decides.
     */
   def precombine(batch: DataFrame): DataFrame = {
     val cols = batch.columns
     val tieBreak = struct(
-      col(orderingField),
+      orderingCol(cols.toSeq),
       if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0))
     val identity: Seq[String] =
       if (!globalIndex && partitionFields.nonEmpty && partitionFields.forall(cols.contains))
@@ -810,7 +822,7 @@ class GraftTable(
     // (trx_seq, deleted) the LATER commit wins deterministically (incoming
     // batch rows have no stamp yet → coalesce to this commit's seq)
     val tieExpr: DataFrame => Column = df => struct(
-      col(orderingField),
+      orderingCol(df.columns.toSeq),
       if (df.columns.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0),
       if (df.columns.contains(Meta.CommitSeq)) coalesce(col(Meta.CommitSeq), lit(seq))
       else lit(seq))
@@ -1212,6 +1224,30 @@ class GraftTable(
     c
   })
 
+  /** METADATA-ONLY COLUMN ADD (the `ALTER TABLE ... ADD COLUMN` half of
+    * [[dropColumn]]): publish a commit whose schema appends the column as
+    * a NULLABLE field — zero I/O. Every reader pins the manifest schema,
+    * so files written before the add null-fill the new column (the same
+    * mechanism upsert-time schema evolution already relies on), and the
+    * first batch that actually carries values persists them. Works on
+    * MOR with outstanding logs for the same reason the drop does: the
+    * schema is a manifest property, not a file property.
+    */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType)
+      : Commit = withLock(retryOnConflict {
+    val prev = timeline.latest().getOrElse(
+      throw new IllegalStateException(s"no commits at $root"))
+    val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(!prevSchema.fieldNames.contains(name), s"column $name already exists")
+    val schema = prevSchema.add(name, dataType, nullable = true)
+    val c = timeline.commit(Commit(prev.seq + 1, "add_column", prev.files,
+      schema.json, prev.checkpoint, System.currentTimeMillis(),
+      extra = Map("added_column" -> name), logFiles = prev.logFiles))
+    maintainRliInline(c)
+    c
+  })
+
   /** COLUMN RENAME — an explicit REWRITE, stated honestly: this format
     * binds columns by NAME (no parquet field IDs), so a metadata-only
     * rename cannot safely rebind old physical names (Hudi refuses the
@@ -1358,7 +1394,7 @@ class GraftTable(
     if (c.logFiles.isEmpty) all
     else {
       val cols = all.columns
-      val tie = struct(col(orderingField),
+      val tie = struct(orderingCol(cols.toSeq),
         if (cols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0),
         if (cols.contains(Meta.CommitSeq)) coalesce(col(Meta.CommitSeq), lit(0L)) else lit(0L))
       // merge identity must MATCH the write side (doUpsert): with a

@@ -416,6 +416,67 @@ object CdcScenario {
       tab
     })
 
+  /** FULL SQL LIFECYCLE, creation side: the table is born from a
+    * `CREATE TABLE ... AS SELECT` statement (catalog `createTable` +
+    * append — the append IS the keyed upsert), then a second
+    * `INSERT INTO` statement upserts on top: %4==1 keys restamped 'C'
+    * (some overwrite CTAS rows, some — the %3==0 ones — are fresh, so
+    * both merge paths run), fresh +40M keys landed as 'D'. The source
+    * carries NO trx_seq — the merge's tie chain falls through to the
+    * commit seq, so the INSERT's rows beat the CTAS rows
+    * deterministically without any bookkeeping column entering the
+    * schema. */
+  def ctasSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"ctassql:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-ctassql").toString
+      graft.sql.GraftSql.install(s)
+      val src = t(s, dir, "orders")
+      src.createOrReplaceTempView("orders_ctas_src")
+      // same-JVM re-entry (another sf dir): retire the prior registration
+      s.sql("DROP TABLE IF EXISTS graft.orders_ctas_sql")
+      s.sql(
+        s"""CREATE TABLE graft.orders_ctas_sql
+            LOCATION '$root'
+            TBLPROPERTIES ('record_key'='o_orderkey')
+            AS SELECT * FROM orders_ctas_src WHERE o_orderkey % 3 <> 0""")
+      val insCols = src.columns.map {
+        case "o_orderstatus" => "'C' AS o_orderstatus"
+        case c => c
+      }.mkString(", ")
+      val freshCols = src.columns.map {
+        case "o_orderkey" => "o_orderkey + 40000000 AS o_orderkey"
+        case "o_orderstatus" => "'D' AS o_orderstatus"
+        case c => c
+      }.mkString(", ")
+      s.sql(
+        s"""INSERT INTO graft.orders_ctas_sql
+            SELECT $insCols FROM orders_ctas_src WHERE o_orderkey % 4 = 1
+            UNION ALL
+            SELECT $freshCols FROM orders_ctas_src WHERE o_orderkey % 1000 = 11""")
+      GraftTable.open(s, root)
+    })
+
+  /** FULL SQL LIFECYCLE, evolution side: `ALTER TABLE` statements route
+    * the engine's schema-evolution commits — ADD COLUMN (metadata-only,
+    * then FILLED for a key slice by a pruned SQL UPDATE), RENAME COLUMN
+    * (the honest rewrite), DROP COLUMN (metadata-only). The graded
+    * aggregate reads through all four commits. */
+  def alteredSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"altersql:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-altersql").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      graft.sql.GraftSql.register(s, "orders_alter_sql", tab)
+      s.sql("ALTER TABLE graft.orders_alter_sql ADD COLUMN o_channel STRING")
+      s.sql(
+        """UPDATE graft.orders_alter_sql SET o_channel = 'web'
+           WHERE o_orderkey <= 3000""").collect()
+      s.sql("ALTER TABLE graft.orders_alter_sql RENAME COLUMN o_orderpriority TO o_prio")
+      s.sql("ALTER TABLE graft.orders_alter_sql DROP COLUMN o_orderdate")
+      tab
+    })
+
   /** Metastore-less discovery fixture: a self-described table under a
     * warehouse directory, resolved as `graft.orders_wh` from the conf
     * alone — no register call anywhere. */
@@ -1125,6 +1186,15 @@ object CdcQueries {
     "cdc_insert_into_sql" -> ((s, dir) => statusAgg(CdcScenario.insertedIntoSql(s, dir))),
     // SQL UPDATE: key-range-pruned partial rewrite via the parser ext
     "cdc_update_where_sql" -> ((s, dir) => statusAgg(CdcScenario.updatedWhereSql(s, dir))),
+    // ST4j: SQL DDL lifecycle — CTAS creates the table, INSERT INTO upserts
+    "cdc_ctas_sql" -> ((s, dir) => statusAgg(CdcScenario.ctasSql(s, dir))),
+    // ST4j: ALTER TABLE ADD (+UPDATE fill) / RENAME / DROP COLUMN chain
+    "cdc_alter_table_sql" -> ((s, dir) =>
+      CdcScenario.alteredSql(s, dir).readUser()
+        .groupBy(col("o_channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+          countDistinct(col("o_prio")).as("prios"))),
     // SQL DELETE: mixed predicate (key conjunct prunes, status residual)
     "cdc_delete_where_sql" -> ((s, dir) => statusAgg(CdcScenario.deletedWhereSql(s, dir))),
     // metastore-less discovery: the warehouse conf alone resolves a
@@ -1770,6 +1840,31 @@ object CdcQueries {
            FROM orders WHERE o_orderkey % 1000 = 3)
          SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderstatus""",
+    // SQL lifecycle: CTAS kept keys %3<>0, then INSERT restamped %4==1
+    // keys 'C' (no ordering column — commit seq 2 beats the CTAS's 1;
+    // the %3==0 subset lands as fresh inserts) and appended +40M 'D'
+    "cdc_ctas_sql" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 4 = 1 THEN 'C'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders WHERE o_orderkey % 3 <> 0 OR o_orderkey % 4 = 1
+           UNION ALL
+           SELECT 'D', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 1000 = 11)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
+    // ALTER chain final state: o_channel filled for keys <= 3000,
+    // o_orderpriority renamed o_prio (values intact), o_orderdate gone
+    "cdc_alter_table_sql" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey <= 3000 THEN 'web' END AS o_channel,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderpriority AS o_prio
+           FROM orders)
+         SELECT o_channel, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total,
+           COUNT(DISTINCT o_prio) AS prios
+         FROM final GROUP BY o_channel""",
     // warehouse-discovered table = the plain full load
     "catalog_warehouse" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -313,6 +313,12 @@ object LlmQueries {
       Dedup.chunkOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
         window = 120, stride = 80, minShared = 2, maxDf = 50)),
 
+    // exact duplicated-substring census via sorted-suffix neighbor LCPs
+    // (the Lee et al. suffix-array dedup, as relational operators)
+    "dedup_suffix" -> ((s, dir) =>
+      Dedup.suffixDuplication(t(s, dir, "documents"), "doc_id", "text",
+        minMatch = 20, maxSuffix = 60, bucketPrefix = 8)),
+
     // ---- content scrubbing (PII redaction + URL-policy filtering)
     // The corpus carries no natural PII, so BOTH sides append the same
     // deterministic doc_id-derived contact line (variable email/IP
@@ -1121,6 +1127,39 @@ object LlmQueries {
          JOIN (SELECT dist.* FROM dist JOIN rare USING (h)) b
            ON a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // the full suffix-sort algorithm replayed: same buckets, same sorted
+    // neighbors, same prefix-closed LCP-by-filter-length trick (DuckDB
+    // list_filter lambda = Spark's codegen'd higher-order filter)
+    "dedup_suffix" ->
+      """WITH sfx AS (
+           SELECT doc_id, CAST(gs + 1 AS INT) AS pos,
+                  substr(text, CAST(gs + 1 AS INT), 60) AS s
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS gs
+                 FROM documents)),
+         nb AS (
+           SELECT doc_id, pos, s,
+                  lead(s) OVER (PARTITION BY substr(s, 1, 8)
+                                ORDER BY s, doc_id, pos) AS nxt,
+                  lag(s)  OVER (PARTITION BY substr(s, 1, 8)
+                                ORDER BY s, doc_id, pos) AS prv
+           FROM sfx),
+         sc AS (
+           SELECT doc_id,
+             greatest(
+               CASE WHEN nxt IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(length(s), length(nxt)) + 1),
+                     k -> substr(s, 1, CAST(k AS INT)) = substr(nxt, 1, CAST(k AS INT)))) END,
+               CASE WHEN prv IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(length(s), length(prv)) + 1),
+                     k -> substr(s, 1, CAST(k AS INT)) = substr(prv, 1, CAST(k AS INT)))) END
+             ) AS lcp
+           FROM nb)
+         SELECT doc_id, COUNT(*) AS n_sfx,
+           CAST(SUM(CASE WHEN lcp >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
+           CAST(MAX(lcp) AS BIGINT) AS max_dup_len
+         FROM sc GROUP BY doc_id""",
 
     // unnest(range(...)) replicates the chunk explode (DuckDB's
     // generate_series is not lateral-correlatable); // is floor division,

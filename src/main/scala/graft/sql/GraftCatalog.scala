@@ -55,9 +55,14 @@ import graft.operators.GraftTable
   * latest-win), `INSERT OVERWRITE graft.t` atomically replaces the
   * table, and `MERGE INTO graft.t USING ...` routes through the
   * engine's expression merge (via [[GraftSparkExtension]]'s parser).
-  * DDL (create/alter/drop/rename) stays out of SQL: tables are created
-  * through the `GraftTable` API, which owns key/partition/index
-  * configuration.
+  *
+  * DDL is supported too — the full SQL lifecycle:
+  * `CREATE TABLE graft.t (...) TBLPROPERTIES ('record_key'='...')` (and
+  * CTAS) creates a table under the warehouse or an explicit `LOCATION`
+  * (see [[createTable]] for the property surface);
+  * `ALTER TABLE graft.t ADD|DROP|RENAME COLUMN` routes onto the
+  * engine's schema-evolution commits; `DROP TABLE graft.t` deletes a
+  * warehouse-managed table's files, deregisters an external one.
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = "graft"
@@ -145,22 +150,155 @@ class GraftCatalog extends TableCatalog {
       pruner = Some(fs => t.readUserPrunedAsOf(seq, fs)))
   }
 
+  /** SQL DDL — `CREATE TABLE graft.<name> (...) TBLPROPERTIES (...)` and
+    * CTAS (Spark plans CTAS on a non-staging catalog as createTable +
+    * append, and our append IS the keyed upsert, so the created table is
+    * immediately a full graft table). The table's engine configuration
+    * rides in table properties:
+    *
+    *  - `record_key` (REQUIRED) — comma-separated key columns;
+    *  - `ordering` — precombine column (default `trx_seq`; when the
+    *    schema lacks the default, SQL writes inject a per-statement
+    *    monotone stamp so successive INSERTs still latest-win);
+    *  - `type` — COW (default) / MOR;
+    *  - `stats_columns`, `key_blooms`, `bloom_columns`, `global_index`,
+    *    `partial_update`, `rli_maintain`, `compact_every`,
+    *    `target_file_bytes`, `cluster_small_file_bytes` — the same knobs
+    *    as the `GraftTable` constructor.
+    *
+    * The root directory is the `LOCATION` clause if given, else
+    * `<warehouse>/<name>`. `PARTITIONED BY` accepts identity columns only
+    * (hive-style layout — no bucket/days transforms in this format).
+    * Commit 0 is an empty bulk insert pinning the declared schema, so the
+    * table is readable (and warehouse-discoverable via its descriptor)
+    * before any row lands. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only; create tables via the GraftTable API")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val name = fullName(ident)
+    require(ident.namespace().isEmpty, s"graft catalog has no namespaces: $name")
+    require(!tableExists(ident), s"table $catalogName.$name already exists")
+    val props = properties.asScala
+    def csv(k: String): Seq[String] =
+      props.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    def flag(k: String, d: Boolean): Boolean = props.get(k).map(_.toBoolean).getOrElse(d)
+    val keys = csv("record_key")
+    require(keys.nonEmpty,
+      "graft CREATE TABLE requires TBLPROPERTIES ('record_key'='<col>[,<col>...]')")
+    val fieldNames = schema.fieldNames.toSet
+    keys.foreach(k => require(fieldNames.contains(k),
+      s"record_key column $k is not in the table schema"))
+    val partCols = partitions.toSeq.map { tr =>
+      val refs = tr.references()
+      require(tr.name() == "identity" && refs.length == 1 &&
+        refs(0).fieldNames().length == 1,
+        s"graft tables support only identity PARTITIONED BY columns, got: $tr")
+      refs(0).fieldNames()(0)
+    }
+    partCols.foreach(p => require(fieldNames.contains(p),
+      s"partition column $p is not in the table schema"))
+    val ordering = props.getOrElse("ordering", Meta.Ordering)
+    if (props.contains("ordering"))
+      require(fieldNames.contains(ordering),
+        s"ordering column $ordering is not in the table schema")
+    // Spark normalizes LOCATION to a URI ("file:/..."): resolve it back
+    // to a local path — this engine's storage layer is java.nio-based
+    val root = props.get(TableCatalog.PROP_LOCATION)
+      .map { loc =>
+        val u = new java.net.URI(loc)
+        if (u.getScheme == "file") java.nio.file.Paths.get(u).toString
+        else if (u.getScheme == null) loc
+        else throw new IllegalArgumentException(
+          s"graft LOCATION must be a local path, got: $loc")
+      }
+      .orElse(warehouseDir.map(w => s"${w.stripSuffix("/")}/$name"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"CREATE TABLE $catalogName.$name needs a LOCATION clause or " +
+          s"spark.sql.catalog.$catalogName.warehouse"))
+    val tableType = props.getOrElse("type", GraftTable.CopyOnWrite).toUpperCase match {
+      case "COW" | GraftTable.CopyOnWrite => GraftTable.CopyOnWrite
+      case "MOR" | GraftTable.MergeOnRead => GraftTable.MergeOnRead
+      case other => throw new IllegalArgumentException(s"unknown graft table type: $other")
+    }
+    val t = new GraftTable(spark, root, keys, partCols, ordering,
+      targetFileBytes = props.get("target_file_bytes").map(_.toLong)
+        .getOrElse(GraftTable.DefaultTargetFileBytes),
+      tableType = tableType,
+      compactEvery = props.get("compact_every").map(_.toInt).getOrElse(0),
+      globalIndex = flag("global_index", d = true),
+      statsColumns = csv("stats_columns"),
+      keyBlooms = flag("key_blooms", d = false),
+      bloomColumns = csv("bloom_columns"),
+      partialUpdate = flag("partial_update", d = false),
+      clusterSmallFileBytes = props.get("cluster_small_file_bytes").map(_.toLong)
+        .getOrElse(0L),
+      rliMaintain = flag("rli_maintain", d = false))
+    t.bulkInsert(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema))
+    GraftSql.register(spark, name, t)
+    loadTable(ident)
+  }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only; evolve schemas via upsert/mergeInto")
+  /** `ALTER TABLE graft.<t> ADD|DROP|RENAME COLUMN` — routed onto the
+    * engine's own schema-evolution commits: ADD and DROP are
+    * metadata-only ([[graft.operators.GraftTable.addColumn]] /
+    * `dropColumn` — zero I/O, readers null-fill / hide via the manifest
+    * schema), RENAME is the honest O(table) rewrite (name-bound format —
+    * no field IDs). Key/partition/ordering/meta columns refuse, loudly,
+    * inside the table API. Property changes are not supported: the
+    * engine configuration is fixed at creation (as in the reference,
+    * where it rides the DeltaStreamer launch command). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = resolve(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          s"nested ADD COLUMN not supported: ${a.fieldNames().mkString(".")}")
+        t.addColumn(a.fieldNames()(0), a.dataType())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"nested DROP COLUMN not supported: ${d.fieldNames().mkString(".")}")
+        t.dropColumn(d.fieldNames()(0))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"nested RENAME COLUMN not supported: ${r.fieldNames().mkString(".")}")
+        t.renameColumn(r.fieldNames()(0), r.newName())
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD/DROP/RENAME COLUMN only, got: $other")
+    }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "graft catalog is read-only; drop via filesystem + deregister")
+  /** `DROP TABLE graft.<t>`. Spark's managed-vs-external split by path:
+    * a table whose root lives under the catalog warehouse is MANAGED —
+    * dropping it deletes its directory; any other root (registered by
+    * API or created with an explicit LOCATION) is EXTERNAL — dropping
+    * only removes it from the catalog, the files stay. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val name = fullName(ident)
+    val registered = GraftSql.lookupRegistered(name)
+    val wh = warehouseRoot(name)
+    if (registered.isEmpty && wh.isEmpty) return false
+    val underWarehouse: String => Boolean = r => warehouseDir.exists(w =>
+      java.nio.file.Paths.get(r).toAbsolutePath.normalize
+        .startsWith(java.nio.file.Paths.get(w).toAbsolutePath.normalize))
+    val managedRoot = registered.map(_.root).filter(underWarehouse).orElse(wh)
+    GraftSql.deregister(org.apache.spark.sql.SparkSession.active, name)
+    managedRoot.foreach { r =>
+      val p = java.nio.file.Paths.get(r)
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+          s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+    }
+    true
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      "graft catalog is read-only; re-register under the new name instead")
+      "graft RENAME TABLE is not supported: the root path is the table's " +
+        "identity — clone to a new root (cloneTo) and drop the old one instead")
 }
 
 /** A registered graft table (or one of its time-travel snapshots) seen
@@ -213,6 +351,11 @@ private[sql] class GraftWriteBuilder(t: GraftTable, overwrite: Boolean = false)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+          // a pure-SQL INSERT needn't carry the CDC ordering column (a
+          // SQL-created table may not even declare one): the merge's tie
+          // chain falls through to the commit seq, so successive INSERTs
+          // latest-win deterministically with no bookkeeping column ever
+          // entering the user schema
           if (overwrite || overwriteFlag) t.insertOverwriteTable(data)
           else t.upsert(data)
           ()

@@ -57,6 +57,15 @@ object GraftSql {
       spark.conf.set(key, classOf[GraftCatalog].getName)
   }
 
+  /** Remove `name` from the session registry and drop its bare-name temp
+    * view (the `DROP TABLE graft.<name>` deregistration half — file
+    * deletion, if any, is the catalog's call). */
+  def deregister(spark: SparkSession, name: String): Unit = {
+    registry.remove(name.toLowerCase)
+    spark.catalog.dropTempView(name)
+    ()
+  }
+
   private[sql] def lookupRegistered(name: String): Option[GraftTable] =
     registry.get(name.toLowerCase)
 

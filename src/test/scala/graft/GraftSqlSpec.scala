@@ -477,4 +477,106 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       GraftSql.sql(spark, "CALL run_clean('sqlspec_t5', 'unterminated)"))
   }
+
+  test("CREATE TABLE / INSERT / DROP TABLE: the managed SQL lifecycle") {
+    val wh = tmp()
+    GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      spark.sql(
+        """CREATE TABLE graft.ddl_t1 (id BIGINT, v STRING)
+           TBLPROPERTIES ('record_key'='id')""")
+      // born readable and discoverable: empty, declared user schema
+      assert(spark.sql("SELECT * FROM graft.ddl_t1").columns.toSeq == Seq("id", "v"))
+      assert(spark.sql("SELECT count(*) AS n FROM graft.ddl_t1").as[Long].head() == 0)
+      assert(spark.sql("SHOW TABLES IN graft").select("tableName")
+        .as[String].collect().contains("ddl_t1"))
+      // descriptor on disk = the table is self-described from commit 0
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(wh, "ddl_t1", "_graft", "table.json")))
+      // no trx_seq declared anywhere: the merge tie chain falls through
+      // to the commit seq, so successive INSERTs latest-win — and the
+      // user schema stays exactly (id, v)
+      spark.sql("INSERT INTO graft.ddl_t1 VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO graft.ddl_t1 VALUES (2, 'b2'), (3, 'c')")
+      val after = spark.sql("SELECT id, v FROM graft.ddl_t1")
+        .as[(Long, String)].collect().toMap
+      assert(after == Map(1L -> "a", 2L -> "b2", 3L -> "c"),
+        s"second INSERT must win on key 2: $after")
+      assert(spark.sql("SELECT * FROM graft.ddl_t1").columns.toSeq == Seq("id", "v"),
+        "no bookkeeping column may leak into the user schema")
+      // DROP on a warehouse-managed table deletes its directory
+      spark.sql("DROP TABLE graft.ddl_t1")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "ddl_t1")))
+      assert(!spark.sql("SHOW TABLES IN graft").select("tableName")
+        .as[String].collect().contains("ddl_t1"))
+      intercept[Exception](spark.sql("SELECT * FROM graft.ddl_t1").collect())
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
+  test("CTAS with LOCATION creates an external table; DROP keeps its files") {
+    val root = tmp()
+    GraftSql.install(spark)
+    Seq((1L, "x", 10), (2L, "y", 20), (2L, "y2", 21))
+      .toDF("id", "v", "score").createOrReplaceTempView("ddl_ctas_src")
+    spark.sql(
+      s"""CREATE TABLE graft.ddl_t2
+          LOCATION '$root'
+          TBLPROPERTIES ('record_key'='id')
+          AS SELECT * FROM ddl_ctas_src""")
+    // CTAS rows land through the keyed upsert: duplicate key 2 collapses
+    // (tie within one statement — either version; count is the contract)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.ddl_t2").as[Long].head() == 2)
+    val t = GraftTable.open(spark, root)
+    assert(t.keyFields == Seq("id"))
+    spark.sql("DROP TABLE graft.ddl_t2")
+    // external (explicit LOCATION, no warehouse): files survive the DROP
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_graft", "table.json")))
+    intercept[Exception](spark.sql("SELECT * FROM graft.ddl_t2").collect())
+  }
+
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN route the schema-evolution commits") {
+    val t = mk("sqlspec_ddl_alter")
+    val filesBefore = t.latestCommit().get.files.map(_.path)
+    spark.sql("ALTER TABLE graft.sqlspec_ddl_alter ADD COLUMN tag STRING")
+    // metadata-only: same data files, new column null-filled
+    assert(t.latestCommit().get.files.map(_.path) == filesBefore,
+      "ADD COLUMN must not rewrite data files")
+    assert(spark.sql("SELECT tag FROM graft.sqlspec_ddl_alter")
+      .as[Option[String]].collect().forall(_.isEmpty))
+    // fill it through SQL, read it back
+    spark.sql("INSERT INTO graft.sqlspec_ddl_alter VALUES (3, 'c2', '009', 'hot')")
+    assert(spark.sql(
+      "SELECT tag FROM graft.sqlspec_ddl_alter WHERE id = 3").as[String].head() == "hot")
+    spark.sql("ALTER TABLE graft.sqlspec_ddl_alter RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT w FROM graft.sqlspec_ddl_alter WHERE id = 1")
+      .as[String].head() == "a")
+    spark.sql("ALTER TABLE graft.sqlspec_ddl_alter DROP COLUMN tag")
+    assert(!spark.sql("SELECT * FROM graft.sqlspec_ddl_alter").columns.contains("tag"))
+    // protected columns refuse, loudly, through the SQL path too
+    intercept[Exception](
+      spark.sql("ALTER TABLE graft.sqlspec_ddl_alter DROP COLUMN id"))
+  }
+
+  test("CREATE TABLE misconfiguration fails loudly") {
+    GraftSql.install(spark)
+    // no record_key property
+    intercept[Exception](spark.sql(
+      s"CREATE TABLE graft.ddl_bad1 (id BIGINT) LOCATION '${tmp()}'"))
+    // record_key not in the schema
+    intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.ddl_bad2 (id BIGINT) LOCATION '${tmp()}'
+          TBLPROPERTIES ('record_key'='nope')"""))
+    // nowhere to put it: no LOCATION, no warehouse conf
+    spark.conf.unset("spark.sql.catalog.graft.warehouse")
+    intercept[Exception](spark.sql(
+      """CREATE TABLE graft.ddl_bad3 (id BIGINT)
+         TBLPROPERTIES ('record_key'='id')"""))
+    // non-identity partition transform
+    intercept[Exception](spark.sql(
+      s"""CREATE TABLE graft.ddl_bad4 (id BIGINT, ts TIMESTAMP)
+          PARTITIONED BY (days(ts)) LOCATION '${tmp()}'
+          TBLPROPERTIES ('record_key'='id')"""))
+  }
 }

@@ -773,6 +773,23 @@ class LlmSpec extends AnyFunSuite {
     assert(words.select("sym").as[String].collect().toSet == Set("ab", "cd"))
   }
 
+  test("suffixDuplication: sorted-suffix neighbor census is exact") {
+    val docs = Seq((1L, "ABCDEFGHIJ"), (2L, "ABCDEFGHIJ"),
+      (3L, "KLMNOPQRST"), (4L, "XYXYXYXYXYXY"), (5L, "abc"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.suffixDuplication(docs, "doc_id", "text",
+      minMatch = 5, maxSuffix = 8, bucketPrefix = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 6L, 8L), // twin doc: every suffix duplicated, LCP capped at 8
+      (2L, 6L, 6L, 8L),
+      (3L, 6L, 0L, 0L), // unique content: nothing duplicated
+      (4L, 8L, 8L, 8L)), // periodic self-repetition counts too
+      s"unexpected census: $got")
+    // doc 5 is shorter than minMatch: no suffixes, absent from the census
+  }
+
   test("charChunks: fixed-window overlap chunking is offset-exact") {
     val docs = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
     val got = graft.llm.TextAnalysis.charChunks(docs, "doc_id", "text",
