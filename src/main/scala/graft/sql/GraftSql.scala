@@ -20,8 +20,9 @@ import graft.operators.GraftTable
   *    statement verbatim to `spark.sql`.
   *  - **Management procedures**: `CALL <proc>(...)` statements dispatch
   *    to the table API (the Hudi `CALL run_compaction(...)` surface):
-  *    show_commits, show_savepoints, run_compaction, run_clustering,
-  *    run_clean, run_archive, create_savepoint, restore_savepoint,
+  *    show_commits, show_savepoints, show_changes, show_table_stats,
+  *    show_partitions, run_compaction, run_clustering, run_clean,
+  *    run_archive, run_fsck, create_savepoint, restore_savepoint,
   *    rollback_to, delete_partition, build_record_index. Each returns a
   *    DataFrame (result rows for SHOW-style, an action summary for
   *    mutations) so the whole surface is scriptable from pure SQL.
@@ -214,6 +215,30 @@ object GraftSql {
               if (graft.operators.GraftTable.cmpKey(a, b) >= 0) a else b)
           },
           "commit_time_ms" -> c.commitTimeMs.toString)
+      case "run_fsck" =>
+        // table integrity check from SQL: missing/orphaned/size-mismatch
+        // file counts + the overall verdict (the API fsck's exact tuple)
+        arity(1)
+        val (m, o, sz, ok) = lookup(args(0)).fsck()
+        summary("n_missing" -> m.toString, "n_orphaned" -> o.toString,
+          "n_size_mismatch" -> sz.toString, "ok" -> ok.toString)
+      case "show_partitions" =>
+        // per-partition manifest census (SHOW PARTITIONS + ops sizing in
+        // one): zero data jobs, straight off the live manifest
+        arity(1)
+        val t = lookup(args(0))
+        val c = t.latestCommit().getOrElse(
+          throw new IllegalArgumentException(s"${args(0)} has no commits"))
+        (c.files ++ c.logFiles)
+          .groupBy(f => if (f.partition.isEmpty) ""
+            else f.partition.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+              .mkString("/"))
+          .toSeq
+          .map { case (p, fs) =>
+            (p, fs.size.toLong, fs.map(_.numRows).sum, fs.map(_.bytes).sum)
+          }
+          .sortBy(_._1)
+          .toDF("partition", "n_files", "n_rows", "n_bytes")
       case "build_record_index" =>
         arity(1)
         val seq = lookup(args(0)).buildRecordIndex()
@@ -230,9 +255,10 @@ object GraftSql {
         throw new IllegalArgumentException(
           s"unknown procedure $other; available: show_commits, " +
             "show_savepoints, show_changes, show_table_stats, " +
-            "run_compaction, run_clustering, " +
-            "run_clean, run_archive, create_savepoint, restore_savepoint, " +
-            "rollback_to, delete_partition, build_record_index")
+            "show_partitions, run_compaction, run_clustering, " +
+            "run_clean, run_archive, run_fsck, create_savepoint, " +
+            "restore_savepoint, rollback_to, delete_partition, " +
+            "build_record_index")
     }
   }
 }

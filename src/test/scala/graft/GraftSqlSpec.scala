@@ -466,6 +466,20 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rows == Set((2L, "U"), (3L, "I")))
   }
 
+  test("CALL run_fsck and show_partitions report off the live manifest") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), Seq("p"),
+      targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "x", "a", "001"), (2L, "y", "b", "001"),
+      (3L, "z", "b", "001")).toDF("id", "v", "p", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_fsck", t)
+    val verdict = spark.sql("CALL run_fsck('sqlspec_fsck')")
+      .as[(String, String)].collect().toMap
+    assert(verdict("ok") == "true" && verdict("n_missing") == "0")
+    val parts = spark.sql("CALL show_partitions('sqlspec_fsck')")
+      .select("partition", "n_rows").as[(String, Long)].collect().toMap
+    assert(parts == Map("p=a" -> 1L, "p=b" -> 2L), s"unexpected census: $parts")
+  }
+
   test("unknown procedures and malformed arguments fail loudly") {
     mk("sqlspec_t5")
     intercept[IllegalArgumentException](
