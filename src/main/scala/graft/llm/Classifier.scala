@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-based corpus filtering — the GPT-3/LLaMA curation recipe
+  * (and fastText's architecture): score every document with a LINEAR
+  * model over hashed bag-of-words features, trained against a cheap
+  * label. Complements the rule-based C4 filter
+  * ([[TextAnalysis.qualityFilterStats]]): real pipelines bootstrap a
+  * classifier from heuristic or source-derived labels ("books+wiki vs
+  * random crawl") and keep what scores high.
+  *
+  * The learner is a FULL-BATCH PERCEPTRON on purpose: every quantity —
+  * feature counts, weights, scores, updates — is an exact integer, so
+  * training and scoring replicate digit-for-digit on any engine (the
+  * same reason [[Sampling]] does integer cross-multiplication and
+  * [[TextAnalysis.bpeTrain]] counts in integers; a logistic learner's
+  * exp/division would drift by libm ulps per round and compound).
+  *
+  * Scale shape: the feature table is ONE token-census hash aggregate
+  * over the corpus (map-side combined — the word-count shape); each
+  * round is a broadcast join against the O(dims) weight vector plus two
+  * hash aggregates; only the weight vector (dims+1 longs) ever reaches
+  * the driver. Training cost is rounds × two shuffles of the feature
+  * table — at 100 TB one trains on a sampled slice and scores the full
+  * corpus with the final broadcast weights (one scan).
+  */
+object Classifier {
+
+  /** Token → feature id in [0, dims): first 4 md5 nibbles mod dims —
+    * the engine-portable hash ([[Sampling.hashBucket]]'s shape), NOT
+    * JVM hashCode. */
+  def featureId(tok: Column, dims: Int): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % dims
+
+  /** Hashed SET-of-words features: (doc_id, f, cnt) plus a constant bias
+    * feature at id `dims` for EVERY doc (an empty text still scores).
+    * `binary = true` (default) records PRESENCE (cnt 1) — the classic
+    * text-classifier featurization, and the one that keeps full-batch
+    * perceptron steps from being swamped by high-frequency tokens;
+    * `binary = false` keeps raw counts. */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int, binary: Boolean = true): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("tk"))
+      .filter(col("tk") =!= "")
+      .select(col("doc_id"), featureId(col("tk"), dims).as("f"))
+    val tokens =
+      if (binary) hashed.distinct().withColumn("cnt", lit(1L))
+      else hashed.groupBy("doc_id", "f").agg(count(lit(1)).as("cnt"))
+    tokens.unionByName(docs.select(col(idCol).as("doc_id"),
+      lit(dims).as("f"), lit(1L).as("cnt")))
+  }
+
+  /** Train `rounds` full-batch perceptron rounds against `posLabel`
+    * (+1 where true, −1 otherwise) and return every document scored by
+    * the final weights: (doc_id, y, score, pred). Prediction is
+    * sign(w·x) with score 0 → −1 (the tie rule is part of the
+    * contract). Per round: misclassified docs contribute y·cnt to each
+    * of their features' weights — order-independent integer sums, so
+    * the trained model is deterministic. */
+  def perceptronScores(docs: DataFrame, idCol: String, textCol: String,
+      posLabel: Column, dims: Int = 512, rounds: Int = 4,
+      binary: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = hashedFeatures(docs, idCol, textCol, dims, binary)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col(idCol).as("doc_id"),
+      when(posLabel, 1).otherwise(-1).as("y"))
+    val w = Array.fill(dims + 1)(0L)
+    def weightDf: DataFrame =
+      w.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("f", "w")
+    def scored: DataFrame = feats.join(broadcast(weightDf), "f")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("w")).as("score"))
+    for (_ <- 1 to rounds) {
+      val mis = scored.join(labels, "doc_id")
+        .filter(when(col("score") > 0, 1).otherwise(-1) =!= col("y"))
+        .select("doc_id", "y")
+      feats.join(mis, "doc_id")
+        .groupBy("f").agg(sum(col("cnt") * col("y")).as("d"))
+        .collect()
+        .foreach(r => w(r.getInt(0)) += r.getLong(1))
+    }
+    val out = scored.join(labels, "doc_id")
+      .select(col("doc_id"), col("y"), col("score"),
+        when(col("score") > 0, 1).otherwise(-1).as("pred"))
+    feats.unpersist(blocking = false)
+    out
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.llm.{Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.llm.{Classifier, Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
 
 /** Graded queries for the LLM-training-data operator families (dedup,
   * similarity search, text analysis, multimodal) over the provisioned
@@ -319,6 +319,24 @@ object LlmQueries {
       Dedup.suffixDuplication(t(s, dir, "documents"), "doc_id", "text",
         minMatch = 20, maxSuffix = 60, bucketPrefix = 8)),
 
+    // classifier-based filtering (GPT-3/LLaMA recipe, fastText shape):
+    // hashed set-of-words + full-batch perceptron — all-integer, so
+    // training AND scoring replicate digit-for-digit. The synthetic
+    // corpus draws every doc from ONE token distribution (no natural
+    // class signal — verified: every label degenerates to majority), so
+    // like text_pii_scrub BOTH sides plant the same deterministic
+    // markers; the classifier must LEARN them from labels alone
+    // (separation reached: LlmSpec pins 100% on the planted fixture)
+    "text_classifier_quality" -> ((s, dir) => {
+      val enriched = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" reviewed cited edited"))
+            .when(col("doc_id") % 4 === 1, lit(" winner prize click"))
+            .otherwise(lit(""))).as("text"))
+      Classifier.perceptronScores(enriched, "doc_id", "text",
+        posLabel = col("doc_id") % 4 === 0, dims = 512, rounds = 4)
+    }),
+
     // ---- content scrubbing (PII redaction + URL-policy filtering)
     // The corpus carries no natural PII, so BOTH sides append the same
     // deterministic doc_id-derived contact line (variable email/IP
@@ -497,6 +515,53 @@ object LlmQueries {
 
   private val langScore: String => String = markers =>
     s"len(list_filter(string_split(text, ' '), x -> x IN ($markers)))"
+
+  /** DuckDB replay of [[graft.llm.Classifier.perceptronScores]], every
+    * round unrolled as CTEs. All-integer arithmetic on both engines, so
+    * the weights — and therefore scores and predictions — are identical
+    * by construction, not by tolerance. */
+  private def perceptronOracle(dims: Int, rounds: Int): String = {
+    def nib(i: Int, mult: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(tk), $i, 1)) - 1) * $mult"
+    val hash =
+      s"((${nib(1, 4096)} + ${nib(2, 256)} + ${nib(3, 16)} + ${nib(4, 1)}) % $dims)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT t.doc_id, CAST(SUM(t.cnt * w.w) AS BIGINT) AS score
+           FROM tok t JOIN w${r - 1} w USING (f) GROUP BY t.doc_id),
+         m$r AS (SELECT l.doc_id, l.y FROM lab l JOIN s$r s USING (doc_id)
+                 WHERE (CASE WHEN s.score > 0 THEN 1 ELSE -1 END) <> l.y),
+         u$r AS (SELECT t.f, CAST(SUM(t.cnt * m.y) AS BIGINT) AS d
+                 FROM tok t JOIN m$r m USING (doc_id) GROUP BY t.f),
+         w$r AS (SELECT w.f, w.w + COALESCE(u.d, 0) AS w
+                 FROM w${r - 1} w LEFT JOIN u$r u USING (f))"""
+    }.mkString(",\n         ")
+    s"""WITH enr AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 0 THEN ' reviewed cited edited'
+                  WHEN doc_id % 4 = 1 THEN ' winner prize click'
+                  ELSE '' END AS text
+           FROM documents),
+         tok0 AS (
+           SELECT doc_id, $hash AS f
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                 FROM enr)
+           WHERE tk <> ''),
+         tok AS (
+           SELECT DISTINCT doc_id, f, CAST(1 AS BIGINT) AS cnt FROM tok0
+           UNION ALL
+           SELECT doc_id, $dims AS f, CAST(1 AS BIGINT) FROM enr),
+         lab AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE -1 END AS y
+                 FROM enr),
+         w0 AS (SELECT CAST(gs AS INT) AS f, CAST(0 AS BIGINT) AS w
+                FROM (SELECT unnest(range(0, ${dims + 1})) AS gs)),
+         $roundCtes
+         SELECT l.doc_id, CAST(l.y AS INT) AS y,
+           CAST(s.score AS BIGINT) AS score,
+           CAST(CASE WHEN s.score > 0 THEN 1 ELSE -1 END AS INT) AS pred
+         FROM (SELECT t.doc_id, CAST(SUM(t.cnt * w.w) AS BIGINT) AS score
+               FROM tok t JOIN w$rounds w USING (f) GROUP BY t.doc_id) s
+         JOIN lab l USING (doc_id)"""
+  }
 
   val oracles: Map[String, String] = Map(
     // QOI channel stream = the doc's byte cycle (pixel j channels are
@@ -1127,6 +1192,11 @@ object LlmQueries {
          JOIN (SELECT dist.* FROM dist JOIN rare USING (h)) b
            ON a.h = b.h AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 2""",
+
+    // every perceptron round replayed as CTEs (the sim_topk_ivf_trained
+    // protocol): same md5-nibble feature hash, same integer updates, same
+    // sign tie rule — the model is exact, so the replication is too
+    "text_classifier_quality" -> perceptronOracle(dims = 512, rounds = 4),
 
     // the full suffix-sort algorithm replayed: same buckets, same sorted
     // neighbors, same prefix-closed LCP-by-filter-length trick (DuckDB

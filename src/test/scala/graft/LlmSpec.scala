@@ -790,6 +790,39 @@ class LlmSpec extends AnyFunSuite {
     // doc 5 is shorter than minMatch: no suffixes, absent from the census
   }
 
+  test("perceptronScores: full-batch integer perceptron learns and is exact") {
+    val docs = Seq((1L, "good good", "en"), (2L, "bad bad", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.llm.Classifier.perceptronScores(docs, "doc_id", "text",
+      posLabel = $"lang" === "en", dims = 512, rounds = 4)
+      .orderBy("doc_id").as[(Long, Int, Long, Int)].collect().toSeq
+    // binary features: doc 1 = {good, bias}, doc 2 = {bad, bias}
+    // round 1: w=0, all score 0 -> pred -1, doc 1 misclassified ->
+    //   w[good] += 1, w[bias] += 1
+    // round 2: doc 2 scores +1 (bias) -> misclassified ->
+    //   w[bad] -= 1, w[bias] -= 1
+    // rounds 3-4: both correct, no updates. Final: +1 and -1.
+    assert(got == Seq((1L, 1, 1L, 1), (2L, -1, -1L, -1)),
+      s"unexpected perceptron trace: $got")
+    // determinism: a second training run reproduces the exact scores
+    val again = graft.llm.Classifier.perceptronScores(docs, "doc_id", "text",
+      posLabel = $"lang" === "en", dims = 512, rounds = 4)
+      .orderBy("doc_id").as[(Long, Int, Long, Int)].collect().toSeq
+    assert(again == got)
+    // a planted marker among shared filler vocabulary is LEARNED: perfect
+    // separation incl. unmarked negatives (the graded fixture's shape)
+    val planted = (0L until 40L).map { i =>
+      val filler = s"alpha beta gamma delta w${i % 5}"
+      val text = if (i % 4 == 0) s"$filler curated verified"
+        else if (i % 4 == 1) s"$filler junk clickbait" else filler
+      (i, text, i % 4 == 0)
+    }.toDF("doc_id", "text", "is_pos")
+    val sep = graft.llm.Classifier.perceptronScores(planted, "doc_id", "text",
+      posLabel = $"is_pos", dims = 512, rounds = 4)
+    assert(sep.filter($"pred" =!= $"y").count() == 0,
+      "planted signal must separate perfectly")
+  }
+
   test("charChunks: fixed-window overlap chunking is offset-exact") {
     val docs = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
     val got = graft.llm.TextAnalysis.charChunks(docs, "doc_id", "text",
