@@ -295,10 +295,35 @@ class GraftCatalog extends TableCatalog {
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "graft RENAME TABLE is not supported: the root path is the table's " +
-        "identity — clone to a new root (cloneTo) and drop the old one instead")
+  /** `ALTER TABLE graft.<old> RENAME TO <new>`. A registered external
+    * table just re-keys in the catalog (its root path — its storage
+    * identity — is untouched). A warehouse-managed table ALSO moves its
+    * directory to `<warehouse>/<new>` so path-based discovery follows
+    * the new name; the move is a directory rename on the same
+    * filesystem — metadata-only, no data bytes move. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val oldName = fullName(oldIdent)
+    val newName = fullName(newIdent)
+    require(newIdent.namespace().isEmpty, s"graft catalog has no namespaces: $newName")
+    require(!tableExists(newIdent), s"table $catalogName.$newName already exists")
+    val registered = GraftSql.lookupRegistered(oldName)
+    val wh = warehouseRoot(oldName)
+    if (registered.isEmpty && wh.isEmpty) throw new NoSuchTableException(oldIdent)
+    val root = registered.map(_.root).orElse(wh).get
+    GraftSql.deregister(spark, oldName)
+    val p = java.nio.file.Paths.get(root).toAbsolutePath.normalize
+    val inWarehouse = warehouseDir.exists(w =>
+      p.getParent == java.nio.file.Paths.get(w).toAbsolutePath.normalize &&
+        p.getFileName.toString == oldName)
+    val newRoot =
+      if (inWarehouse) {
+        val dst = p.resolveSibling(newName)
+        java.nio.file.Files.move(p, dst)
+        dst.toString
+      } else root
+    GraftSql.register(spark, newName, GraftTable.open(spark, newRoot))
+  }
 }
 
 /** A registered graft table (or one of its time-travel snapshots) seen

@@ -573,6 +573,33 @@ class GraftSqlSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft.sqlspec_ddl_alter DROP COLUMN id"))
   }
 
+  test("ALTER TABLE RENAME TO re-keys external tables and moves managed dirs") {
+    // external: registry re-key only, root untouched
+    val t = mk("sqlspec_rn_old")
+    val root = t.root
+    spark.sql("ALTER TABLE graft.sqlspec_rn_old RENAME TO sqlspec_rn_new")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.sqlspec_rn_new")
+      .as[Long].head() == 3)
+    intercept[Exception](spark.sql("SELECT * FROM graft.sqlspec_rn_old").collect())
+    assert(GraftTable.open(spark, root).readUser().count() == 3,
+      "external rename must not move storage")
+    // managed: the warehouse directory follows the new name
+    val wh = tmp()
+    GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      spark.sql(
+        s"""CREATE TABLE graft.rn_m1 (id BIGINT, v STRING)
+            TBLPROPERTIES ('record_key'='id')""")
+      spark.sql("INSERT INTO graft.rn_m1 VALUES (7, 'x')")
+      spark.sql("ALTER TABLE graft.rn_m1 RENAME TO rn_m2")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "rn_m2")))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "rn_m1")))
+      assert(spark.sql("SELECT v FROM graft.rn_m2 WHERE id = 7")
+        .as[String].head() == "x")
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
   test("CREATE TABLE misconfiguration fails loudly") {
     GraftSql.install(spark)
     // no record_key property
