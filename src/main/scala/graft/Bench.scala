@@ -35,7 +35,7 @@ object Bench {
     * setup), so the timed window is the operation itself. */
   val WriteFamily: Seq[String] = Seq(
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
-    "w_upsert_interval", "w_upsert_rli", "w_sql_point")
+    "w_upsert_interval", "w_upsert_rli", "w_sql_point", "w_sql_ddl")
 
   val Runs = 3
 
@@ -183,6 +183,25 @@ object Bench {
           if (total > 1 && admitted >= total)
             throw new IllegalStateException(
               s"catalog point query did not file-skip: $admitted/$total")
+        }
+      }),
+      // full SQL DDL lifecycle (round-11 surface): CTAS materializes the
+      // orders table through the keyed write path, INSERT upserts a
+      // batch, DROP retires the external registration — all pure SQL
+      "w_sql_ddl" -> (() => {
+        graft.sql.GraftSql.install(spark)
+        orders.createOrReplaceTempView("bench_ddl_src")
+        val loc = tmpRoot("ddl-run") + "/t"
+        () => {
+          spark.sql(
+            s"""CREATE TABLE graft.bench_ddl LOCATION '$loc'
+                TBLPROPERTIES ('record_key'='o_orderkey')
+                AS SELECT * FROM bench_ddl_src""")
+          spark.sql(
+            """INSERT INTO graft.bench_ddl
+               SELECT * FROM bench_ddl_src WHERE o_orderkey % 13 = 0""")
+          spark.sql("DROP TABLE graft.bench_ddl")
+          ()
         }
       }))
     val writeResults = writeOps.map { case (name, mkRun) =>

@@ -231,6 +231,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("suffix dedup is explode + ONE window shuffle — no join, no UDF") {
+    val p = plan("dedup_suffix")
+    assert(!p.contains("Join"), "suffix census must not join anything")
+    assert(!p.contains("ScalaUDF"), "LCP must be codegen'd higher-order functions")
+    val windows = "\\bWindow\\b".r.findAllIn(p).length
+    assert(windows == 1, s"exactly one window pass over the suffix table ($windows found)")
+  }
+
+  test("classifier scoring broadcasts the weight vector; no all-pairs, no UDF") {
+    val p = plan("text_classifier_quality")
+    assert(p.contains("BroadcastHashJoin"),
+      "the O(dims) weight vector must broadcast-join the feature table")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("ScalaUDF"), "feature hashing must be codegen'd")
+  }
+
   test("LM scoring joins stay equi; the corpus is never nested-looped") {
     val p = plan("text_lm_score")
     // doc-bigrams x model joins must be EQUI joins (hash or sort-merge —
