@@ -35,7 +35,8 @@ object Bench {
     * setup), so the timed window is the operation itself. */
   val WriteFamily: Seq[String] = Seq(
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
-    "w_upsert_interval", "w_upsert_rli", "w_sql_point", "w_sql_ddl")
+    "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket", "w_sql_point",
+    "w_sql_ddl")
 
   val Runs = 3
 
@@ -168,6 +169,15 @@ object Bench {
         val c = mergeBase.cloneTo(tmpRoot("ur-run") + "/t")
         c.buildRecordIndex()
         () => { c.upsert(plannerBatch); () }
+      }),
+      // third planner leg: the BUCKET index — same batch on a hash-
+      // bucketed base (built untimed per run: bucketing is a layout, a
+      // clone of the range-laid base cannot provide it)
+      "w_upsert_bucket" -> (() => {
+        val b = new graft.operators.GraftTable(spark, tmpRoot("ub-run") + "/t",
+          Seq("o_orderkey"), targetFileBytes = 1024 * 1024, bucketCount = 16)
+        b.bulkInsert(stamp(orders, 1))
+        () => { b.upsert(plannerBatch); () }
       }),
       // catalog SQL point query with manifest triage (round-11): the scan
       // must schedule O(matching files), not the full manifest — the

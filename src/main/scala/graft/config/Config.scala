@@ -27,7 +27,8 @@ case class TableConfig(
     bloomColumns: Seq[String] = Seq.empty,  // per-column bloom index (secondary lookups)
     partialUpdate: Boolean = false,         // partial-image CDC merge payload
     clusterSmallFileBytes: Long = 0L,       // inline clustering threshold (handler.py:73,81)
-    rliMaintain: Boolean = false) {         // keep the record-level index current per commit
+    rliMaintain: Boolean = false,           // keep the record-level index current per commit
+    bucketCount: Int = 0) {                 // BUCKET index (hoodie.index.type=BUCKET analog)
 
   /** Curated table name `{identifier}_{schema}_{table}` (handler.py:132). */
   def curatedName(identifier: String): String =
@@ -109,7 +110,8 @@ object ConfigLoader {
           partialUpdate = (hudi \ "partial_update").extractOpt[Boolean].getOrElse(false),
           clusterSmallFileBytes =
             (hudi \ "cluster_small_file_bytes").extractOpt[Long].getOrElse(0L),
-          rliMaintain = (hudi \ "rli_maintain").extractOpt[Boolean].getOrElse(false))
+          rliMaintain = (hudi \ "rli_maintain").extractOpt[Boolean].getOrElse(false),
+          bucketCount = (hudi \ "bucket_count").extractOpt[Int].getOrElse(0))
       }
     }
 

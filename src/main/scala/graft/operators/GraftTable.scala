@@ -63,7 +63,10 @@ case class TableConfig(
     compactEvery: Int,
     compactLogBytesRatio: Double,
     clusterSmallFileBytes: Long,
-    rliMaintain: Boolean)
+    rliMaintain: Boolean,
+    /** Default keeps descriptors written before the BUCKET index existed
+      * readable (json4s fills missing fields from defaults). */
+    bucketCount: Int = 0)
 
 class GraftTable(
     spark: SparkSession,
@@ -100,7 +103,22 @@ class GraftTable(
       * interval stabs one commit after a manual build. First commit pays
       * the full [[buildRecordIndex]]. MOR tables defer while delta logs
       * are outstanding (the index cannot name logged key versions). */
-    val rliMaintain: Boolean = false) {
+    val rliMaintain: Boolean = false,
+    /** > 0 enables the BUCKET index (the Hudi BUCKET index type): rows
+      * land in `bucketCount` hash buckets of the record key, materialized
+      * as synthetic `_graft_bucket=<k>` hive dirs recorded in the
+      * manifest. The upsert planner then pre-drops every file outside
+      * the batch's touched buckets BEFORE interval work — O(1)-bounded
+      * candidate sets per key with ZERO index structures to build or
+      * maintain (the trade vs the RLI: no maintenance, but bucket count
+      * is fixed at creation and small batches write one file per touched
+      * bucket). COW + global index + no user partitioning in this
+      * version — the constraint set Hudi's simple bucket engine shares. */
+    val bucketCount: Int = 0) {
+
+  require(bucketCount == 0 ||
+    (tableType == GraftTable.CopyOnWrite && partitionFields.isEmpty && globalIndex),
+    "bucketCount requires COPY_ON_WRITE, a global index and no partition columns")
 
   private val timeline = new Timeline(root)
   // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
@@ -230,14 +248,24 @@ class GraftTable(
   private def writeFiles(df: DataFrame, seq: Long, estBytes: Long,
       layoutSort: Seq[Column] = Seq.empty): Seq[DataFile] = {
     val stage = Paths.get(root, dataDir(seq)).toString
+    // BUCKET index layout: derive the bucket from the record key at write
+    // time and emit it as a hive partition dir — partitionBy strips the
+    // column from the data files, so it exists ONLY in paths + manifest
+    val bucketed = bucketCount > 0
+    val src =
+      if (bucketed) df.withColumn(GraftTable.BucketCol,
+        GraftTable.bucketExprOf(col(Meta.RecordKey), bucketCount))
+      else df
+    val partCols =
+      if (bucketed) partitionFields :+ GraftTable.BucketCol else partitionFields
     val sortCols =
-      if (layoutSort.nonEmpty) partitionFields.map(col) ++ layoutSort
-      else (partitionFields :+ Meta.RecordKey).map(col)
-    val writer0 = df
+      if (layoutSort.nonEmpty) partCols.map(col) ++ layoutSort
+      else (partCols :+ Meta.RecordKey).map(col)
+    val writer0 = src
       .repartitionByRange(numPartitionsFor(estBytes), sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
-    val writer = if (partitionFields.nonEmpty) writer0.partitionBy(partitionFields: _*) else writer0
+    val writer = if (partCols.nonEmpty) writer0.partitionBy(partCols: _*) else writer0
     writer.parquet(stage)
     val files = harvestStats(stage)
     if (keyBlooms || bloomColumns.nonEmpty) attachBlooms(stage, files) else files
@@ -417,6 +445,9 @@ class GraftTable(
       } else
         spark.read.schema(schema).option("basePath", root).parquet(paths: _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+      // Spark APPENDS discovered partition dirs missing from an explicit
+      // schema; the synthetic bucket dir is layout, never a column
+      .drop(GraftTable.BucketCol)
   }
 
   // ------------------------------------------------------------- operations
@@ -574,7 +605,7 @@ class GraftTable(
     try GraftTable.writeConfig(root, TableConfig(keyFields, partitionFields,
       orderingField, tableType, globalIndex, statsColumns, keyBlooms,
       bloomColumns, partialUpdate, targetFileBytes, compactEvery,
-      compactLogBytesRatio, clusterSmallFileBytes, rliMaintain))
+      compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount))
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] table descriptor write failed at $root: ${e.getMessage}")
     }
@@ -698,11 +729,27 @@ class GraftTable(
       case None =>
         lastPlanner = "interval"
     }
+    // BUCKET-index pre-filter: a file whose recorded bucket is outside the
+    // batch's touched set cannot hold any batch key — drop it before any
+    // interval work. One bounded distinct (≤ bucketCount rows) on the
+    // already-cached batch; files with NO recorded bucket (pre-bucketing
+    // history) conservatively stay candidates. The interval stabs below
+    // then prune further WITHIN the touched buckets.
+    val (candFiles, bucketSkipped) =
+      if (bucketCount <= 0) (prev.files, Seq.empty[DataFile])
+      else {
+        lastPlanner = "bucket"
+        val touched = batch
+          .select(GraftTable.bucketExprOf(col(Meta.RecordKey), bucketCount).as("_b"))
+          .distinct().collect().map(_.getInt(0).toString).toSet
+        prev.files.partition(f =>
+          f.partition.get(GraftTable.BucketCol).forall(touched))
+      }
     val partitioned = !globalIndex && partitionFields.nonEmpty
     def partKey(m: Map[String, String]): String =
       partitionFields.map(f => m.getOrElse(f, GraftTable.NullPartition)).mkString("/")
     val (statless, statful) =
-      prev.files.partition(f => !GraftTable.hasReliableStats(f))
+      candFiles.partition(f => !GraftTable.hasReliableStats(f))
     val grouped0: Map[String, Array[DataFile]] =
       if (partitioned) statful.toArray.groupBy(f => partKey(f.partition))
       else Map("" -> statful.toArray)
@@ -752,7 +799,8 @@ class GraftTable(
     val affectedPaths: Set[String] = batch
       .select(explode(findFiles(partCol, col(Meta.RecordKey))).as("path"))
       .distinct().collect().map(_.getString(0)).toSet ++ statless.map(_.path)
-    prev.files.partition(f => affectedPaths(f.path))
+    val (affected, untouched) = candFiles.partition(f => affectedPaths(f.path))
+    (affected, untouched ++ bucketSkipped)
   }
 
   /** Which planner selected the affected set in the last [[pruneAffected]]
@@ -1833,7 +1881,15 @@ class GraftTable(
     * the metadata half of a point lookup, exposed separately so
     * [[keyHistory]] can existence-check before scheduling a scan. */
   private def pointKeepSet(c: Commit, keys: Seq[String]): Set[String] = {
-    def relevant(files: Seq[DataFile]): Set[String] = {
+    // BUCKET veto first (driver-side md5, no job): a probed key can only
+    // live in its own bucket's files; un-bucketed files stay candidates
+    val keyBuckets: Set[String] =
+      if (bucketCount <= 0) Set.empty
+      else keys.map(k => GraftTable.bucketOfKey(k, bucketCount).toString).toSet
+    def inBucket(f: DataFile): Boolean =
+      bucketCount <= 0 || f.partition.get(GraftTable.BucketCol).forall(keyBuckets)
+    def relevant(files0: Seq[DataFile]): Set[String] = {
+      val files = files0.filter(inBucket)
       val (statless, statful) = files.partition(f => !GraftTable.hasReliableStats(f))
       val idx = IntervalIndex.build(statful.map(f => (f.minKey, f.maxKey, f.path)))
       val blooms = files.iterator.flatMap(f =>
@@ -2704,7 +2760,8 @@ class GraftTable(
       val cloned = new GraftTable(spark, destRoot, keyFields, partitionFields,
         orderingField, targetFileBytes, staleLockMs, tableType, compactEvery,
         compactLogBytesRatio, globalIndex, harvestThreshold, statsColumns,
-        keyBlooms, bloomColumns, partialUpdate, clusterSmallFileBytes)
+        keyBlooms, bloomColumns, partialUpdate, clusterSmallFileBytes,
+        bucketCount = bucketCount)
       cloned.persistConfig() // clones are self-describing from commit 0
       cloned
     }
@@ -3010,10 +3067,32 @@ object GraftTable {
       cfg.tableType, cfg.compactEvery, cfg.compactLogBytesRatio,
       cfg.globalIndex, DistributedHarvestThreshold, cfg.statsColumns,
       cfg.keyBlooms, cfg.bloomColumns, cfg.partialUpdate,
-      cfg.clusterSmallFileBytes, cfg.rliMaintain)
+      cfg.clusterSmallFileBytes, cfg.rliMaintain, cfg.bucketCount)
   }
   /** Hive's null-partition directory name. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Synthetic hive-dir name for the BUCKET index (`bucketCount` > 0):
+    * data files live under `_graft_bucket=<k>/` and the bucket value
+    * rides each file's manifest partition map — it is NEVER a schema
+    * column (commit schemas omit it; explicit-schema scans never
+    * materialize it), so the user surface is untouched. */
+  val BucketCol = "_graft_bucket"
+
+  /** Row-side bucket assignment: first 4 md5 nibbles of the record key,
+    * mod `n` — the engine's portable hash shape, chosen so the driver
+    * can compute the identical value without a Spark job
+    * ([[bucketOfKey]]). */
+  def bucketExprOf(key: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(key), 1, 4), 16, 10).cast("int") % n
+
+  /** Driver-side twin of [[bucketExprOf]]: first two md5 bytes = first
+    * four hex nibbles; both sides are non-negative so `%` agrees. */
+  def bucketOfKey(key: String, n: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % n
+  }
   /** maxKey sentinel for files lacking reliable key statistics (dropped or
     * oversized parquet stats): such files are always treated as affected. */
   val NoStatsMaxKey = "\u0000__GRAFT_NO_STATS__"

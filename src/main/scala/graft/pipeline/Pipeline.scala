@@ -72,7 +72,8 @@ object IngestJob {
       bloomColumns = tc.bloomColumns,
       partialUpdate = tc.partialUpdate,
       clusterSmallFileBytes = tc.clusterSmallFileBytes,
-      rliMaintain = tc.rliMaintain)
+      rliMaintain = tc.rliMaintain,
+      bucketCount = tc.bucketCount)
 
   def run(spark: SparkSession, pipe: PipelineConfig, tc: TableConfig): TableResult = {
     val t0 = System.currentTimeMillis()

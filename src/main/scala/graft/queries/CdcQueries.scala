@@ -183,6 +183,27 @@ object CdcScenario {
         .withColumn(Meta.Ordering, lit(sq(7))))
     }
 
+  /** BUCKET-index table (the Hudi BUCKET index type, M2j): the standard
+    * 3-batch scenario on a hash-bucketed layout (16 buckets as synthetic
+    * hive dirs), then the same 'W' overlay as the bloom fixture — the
+    * planner must route through the bucket pre-filter (`require`d loud),
+    * with zero index structures built or maintained. */
+  def bucketed(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"bkt:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-bkt").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024, bucketCount = 16)
+      tab.bulkInsert(fullLoad(s, dir))
+      tab.upsert(batchA(s, dir))
+      tab.upsert(batchB(s, dir))
+      tab.upsert(tab.readUser().filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("W"))
+        .withColumn(Meta.Ordering, lit(sq(7))))
+      require(tab.lastPlanner == "bucket",
+        s"expected the bucket planner, got ${tab.lastPlanner}")
+      tab
+    })
+
   /** PARTIAL-UPDATE table (Hudi PartialUpdateAvroPayload — the DMS shape
     * when change records carry only changed columns): batches null out
     * everything they did not touch; the merge takes each column from the
@@ -1078,6 +1099,9 @@ object CdcQueries {
     // final state (a bloom false NEGATIVE would lose the update; blooms
     // are constructed no-false-negative)
     "cdc_bloom_upsert" -> ((s, dir) => statusAgg(CdcScenario.bloomed(s, dir))),
+    // M2j: BUCKET-index write path — snapshot exact through the hash-
+    // bucketed layout, planner require'd onto the bucket pre-filter
+    "cdc_bucket_upsert" -> ((s, dir) => statusAgg(CdcScenario.bucketed(s, dir))),
     // zero-copy clone: the CLONE carries the 'C' overlay it was upserted
     // with (a real independent table over hard-linked bytes)...
     "cdc_clone" -> ((s, dir) => statusAgg(CdcScenario.clonePair(s, dir)._2)),
@@ -1651,6 +1675,15 @@ object CdcQueries {
     // in digit 1) and no deleted key (those left the snapshot), so the
     // oracle is a plain CASE on the final state
     "cdc_bloom_upsert" ->
+      s"""$finalState
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM (SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'W'
+                           ELSE o_orderstatus END AS o_orderstatus, price
+               FROM final)
+         GROUP BY o_orderstatus""",
+    // identical final state through the BUCKET-index layout: the hash
+    // bucketing is pure physical layout, invisible to the merge result
+    "cdc_bucket_upsert" ->
       s"""$finalState
          SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
          FROM (SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'W'

@@ -232,7 +232,8 @@ class GraftCatalog extends TableCatalog {
       partialUpdate = flag("partial_update", d = false),
       clusterSmallFileBytes = props.get("cluster_small_file_bytes").map(_.toLong)
         .getOrElse(0L),
-      rliMaintain = flag("rli_maintain", d = false))
+      rliMaintain = flag("rli_maintain", d = false),
+      bucketCount = props.get("bucket_count").map(_.toInt).getOrElse(0))
     t.bulkInsert(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema))
     GraftSql.register(spark, name, t)

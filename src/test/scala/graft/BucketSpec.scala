@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Meta
+import graft.operators.GraftTable
+
+/** The BUCKET index (Hudi BUCKET index type): hash-bucketed file layout
+  * as synthetic `_graft_bucket=<k>` hive dirs, planner pre-filter by
+  * touched bucket, zero index structures to maintain. */
+class BucketSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-bucket").toString
+
+  private def rows(n: Int, tag: String, seq: String) =
+    spark.range(1, n + 1)
+      .selectExpr("id", s"concat('$tag', id) AS v", s"'$seq' AS trx_seq")
+
+  test("bucketed table reaches the same snapshot as a plain table") {
+    val plain = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val bucketed = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, bucketCount = 8)
+    Seq(plain, bucketed).foreach { t =>
+      t.bulkInsert(rows(2000, "a", "001"))
+      t.upsert(rows(2000, "b", "002").filter($"id" % 7 === 0))
+      t.upsert(rows(2000, "c", "003").filter($"id" % 13 === 0)
+        .withColumn(Meta.Deleted, lit(true)))
+    }
+    val p = plain.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    val b = bucketed.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(b == p, "bucketed and plain layouts must agree on the merged state")
+    // the bucket is layout only: no schema column, no user-visible trace
+    assert(!bucketed.readUser().columns.contains(GraftTable.BucketCol))
+    // every data file carries its bucket in the manifest partition map
+    val files = bucketed.latestCommit().get.files
+    assert(files.forall(_.partition.contains(GraftTable.BucketCol)))
+    assert(files.map(_.partition(GraftTable.BucketCol)).toSet.size > 1,
+      "2000 keys across 8 buckets must occupy more than one bucket")
+  }
+
+  test("upsert planner pre-drops every file outside the touched buckets") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 8 * 1024, bucketCount = 8)
+    t.bulkInsert(rows(4000, "a", "001"))
+    val files = t.latestCommit().get.files
+    val byBucket = files.groupBy(_.partition(GraftTable.BucketCol))
+    assert(byBucket.size > 4, s"expected spread over buckets, got ${byBucket.keySet}")
+    // single-key update: candidates are bounded by ONE bucket's files
+    val kb = GraftTable.bucketOfKey(f"${57L}%019d", 8).toString
+    val c = t.upsert(Seq((57L, "upd", "002")).toDF("id", "v", "trx_seq"))
+    assert(t.lastPlanner == "bucket")
+    val rewritten = c.extra("files_rewritten").toInt
+    assert(rewritten <= byBucket(kb).size,
+      s"rewrote $rewritten, bucket $kb only has ${byBucket(kb).size} files")
+    // untouched files carried path-identical
+    val carriedPaths = c.files.map(_.path).toSet
+    val untouchedBefore = files.filterNot(_.partition(GraftTable.BucketCol) == kb)
+    assert(untouchedBefore.forall(f => carriedPaths(f.path)),
+      "files in other buckets must carry path-identical")
+    assert(t.readUser().filter($"id" === 57).select("v").as[String].head() == "upd")
+  }
+
+  test("point lookups veto by bucket before interval work; config round-trips") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 8 * 1024, bucketCount = 8)
+    t.bulkInsert(rows(4000, "a", "001"))
+    val got = t.readKeys(Seq(12L, 3999L))
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((12L, "a12"), (3999L, "a3999")))
+    // the driver-side hash and the write-path expression must agree:
+    // probe a key through the veto and still find it
+    val reopened = GraftTable.open(spark, t.root)
+    assert(reopened.bucketCount == 8, "descriptor must carry bucketCount")
+    assert(reopened.readKeys(Seq(777L)).count() == 1)
+  }
+
+  test("driver-side bucketOfKey equals the write-path expression for every key") {
+    val n = 16
+    val keys = spark.range(0, 500)
+      .select(concat(lit("k"), col("id")).as("k"))
+    val mism = keys.withColumn("e", GraftTable.bucketExprOf(col("k"), n))
+      .collect()
+      .count(r => GraftTable.bucketOfKey(r.getString(0), n) != r.getInt(1))
+    assert(mism == 0, s"$mism driver/executor bucket disagreements")
+  }
+
+  test("SQL CREATE TABLE with bucket_count creates a bucketed table") {
+    graft.sql.GraftSql.install(spark)
+    val root = tmp()
+    spark.sql(
+      s"""CREATE TABLE graft.bkt_sql (id BIGINT, v STRING) LOCATION '$root'
+          TBLPROPERTIES ('record_key'='id', 'bucket_count'='4')""")
+    spark.sql("INSERT INTO graft.bkt_sql VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val t = GraftTable.open(spark, root)
+    assert(t.bucketCount == 4)
+    assert(t.latestCommit().get.files.forall(_.partition.contains(GraftTable.BucketCol)))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.bkt_sql").as[Long].head() == 3)
+  }
+
+  test("bucketCount refuses MOR, partitioned and non-global configurations") {
+    intercept[IllegalArgumentException](new GraftTable(spark, tmp(), Seq("id"),
+      tableType = GraftTable.MergeOnRead, bucketCount = 4))
+    intercept[IllegalArgumentException](new GraftTable(spark, tmp(), Seq("id"),
+      partitionFields = Seq("p"), bucketCount = 4))
+    intercept[IllegalArgumentException](new GraftTable(spark, tmp(), Seq("id"),
+      globalIndex = false, bucketCount = 4))
+  }
+}

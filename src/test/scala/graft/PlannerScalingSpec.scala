@@ -74,8 +74,22 @@ class PlannerScalingSpec extends AnyFunSuite {
       val rliMs = minMs(5) {
         buckets = keys.map(k => GraftTable.rliRangeBucket(k, boundaries)).sum
       }
+
+      // BUCKET-index planner core: hash every probe key (md5, driver
+      // side) + one pass over the manifest's partition maps — no index
+      // build, no per-key stab; cost is a flat O(N) set-membership scan
+      val bucketFiles = files.zipWithIndex.map { case (f, i) =>
+        f.copy(partition = Map(GraftTable.BucketCol -> (i % 64).toString))
+      }
+      var kept = 0
+      val bucketMs = minMs(5) {
+        val touched = keys.map(k => GraftTable.bucketOfKey(k, 64).toString).toSet
+        kept = bucketFiles.count(f =>
+          f.partition.get(GraftTable.BucketCol).forall(touched))
+      }
       info(f"files=$n%7d  interval_walk=${intervalMs}%9.2f ms   " +
-        f"rli_probe_core=${rliMs}%6.3f ms   (stab admissions=$admitted, bucketSum=$buckets)")
+        f"rli_probe_core=${rliMs}%6.3f ms   bucket_filter=${bucketMs}%7.3f ms   " +
+        f"(stab admissions=$admitted, bucketSum=$buckets, bucketKept=$kept)")
       (n, intervalMs, rliMs)
     }
 
