@@ -192,6 +192,34 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("qdot"))
   }
 
+  /** Two-stage serving read (the faiss refine / rerank pattern): the
+    * INT8 quantized ranking produces a `shortlist`-deep candidate set
+    * per query — the memory-bandwidth pass — and exact float cosine then
+    * reranks ONLY the shortlisted vectors. At 100 TB the expensive exact
+    * scorer touches `|queries| × shortlist` rows instead of the corpus:
+    * the shortlist join is a hash equi-join on the candidate id, the
+    * query vectors broadcast, and the rerank window is bounded per
+    * query. Output shape matches [[bruteTopK]] — (qid, rnk, nid, cos) —
+    * so recall against the exact ranking is directly measurable. */
+  def int8RerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      shortlist: Int = 20): DataFrame = {
+    VectorFunctions.register(emb.sparkSession)
+    val short = int8TopK(emb, idCol, vecCol, queryPred, shortlist)
+      .select(col("qid"), col("nid"))
+    val vecs = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val qs = emb.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val rer = short
+      .join(vecs, "nid")
+      .join(broadcast(qs), "qid")
+      .withColumn("cos", dot("qv", "nv") / (norm("qv") * norm("nv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Squared-L2 distance between the double arrays in columns `a`/`b` —
     * left-to-right accumulation, bit-identical to DuckDB's list_aggregate
     * over the same zip. */

@@ -197,6 +197,12 @@ object LlmQueries {
     "sim_topk_int8" -> ((s, dir) =>
       Similarity.int8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 20, k = 5)),
+    // two-stage rerank (faiss refine): int8 shortlist bounds the
+    // candidates, exact float cosine reranks only those — the serving
+    // pattern where the exact scorer touches |queries|×shortlist rows
+    "sim_topk_rerank" -> ((s, dir) =>
+      Similarity.int8RerankTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, shortlist = 20)),
     // product quantization (faiss PQ/ADC): 4 per-subspace k-means
     // codebooks, vectors compressed to 4 codes, queries rank by the
     // asymmetric table-lookup distance — full SQL replication including
@@ -1010,6 +1016,40 @@ object LlmQueries {
          SELECT qid, rnk, nid, qdot FROM
            (SELECT qid, nid, qdot,
               row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rnk FROM s)
+         WHERE rnk <= 5""",
+
+    // the rerank pipeline replayed whole: the int8 shortlist CTEs (same
+    // quantizer and integer dots as sim_topk_int8) feed the brute
+    // oracle's exact double cosine over ONLY the shortlisted pairs
+    "sim_topk_rerank" ->
+      """WITH qz AS (SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS amax,
+             embedding FROM embeddings),
+         qv AS (SELECT vec_id,
+             list_transform(embedding, x -> CASE WHEN amax = 0 THEN 0
+               ELSE CAST(round(CAST(x AS DOUBLE) * 127 / amax) AS INT) END) AS q
+           FROM qz),
+         qs AS (SELECT vec_id AS qid, q AS qa FROM qv WHERE vec_id < 20),
+         s AS (SELECT qid, n.vec_id AS nid,
+             CAST(list_aggregate(list_transform(list_zip(qa, n.q),
+               z -> CAST(z[1] AS BIGINT) * z[2]), 'sum') AS BIGINT) AS qdot
+           FROM qs, qv n WHERE n.vec_id <> qs.qid),
+         short AS (SELECT qid, nid FROM
+             (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rnk
+              FROM s)
+           WHERE rnk <= 20),
+         r AS (SELECT sh.qid, sh.nid,
+             list_aggregate(list_transform(list_zip(qe.embedding, n.embedding),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+           FROM short sh
+           JOIN embeddings n ON n.vec_id = sh.nid
+           JOIN embeddings qe ON qe.vec_id = sh.qid)
+         SELECT qid, rnk, nid, round(cos, 6) AS cos FROM
+           (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM r)
          WHERE rnk <= 5""",
 
     // the oracle recomputes the exact >=0.9 pair count over the SAME

@@ -823,6 +823,24 @@ class LlmSpec extends AnyFunSuite {
       "planted signal must separate perfectly")
   }
 
+  test("int8RerankTopK: full-width shortlist equals the exact ranking") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count().toInt
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      $"vec_id" < 5, k = 5).collect().toSet
+    // shortlist = everything: the refine stage sees every candidate, so
+    // the two-stage result must equal the exact one bit for bit
+    val full = Similarity.int8RerankTopK(emb, "vec_id", "embedding",
+      $"vec_id" < 5, k = 5, shortlist = n).collect().toSet
+    assert(full == brute, "full-width rerank must reproduce the exact top-k")
+    // a narrow shortlist still returns k ranked rows per query
+    val narrow = Similarity.int8RerankTopK(emb, "vec_id", "embedding",
+      $"vec_id" < 5, k = 5, shortlist = 8)
+    assert(narrow.groupBy("qid").count().select("count").as[Long]
+      .collect().forall(_ == 5L))
+  }
+
   test("charChunks: fixed-window overlap chunking is offset-exact") {
     val docs = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
     val got = graft.llm.TextAnalysis.charChunks(docs, "doc_id", "text",
