@@ -100,6 +100,58 @@ class BucketSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) AS n FROM graft.bkt_sql").as[Long].head() == 3)
   }
 
+  test("SQL DML and maintenance run unchanged on a bucketed table") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, bucketCount = 8)
+    t.bulkInsert(rows(1000, "a", "001"))
+    graft.sql.GraftSql.register(spark, "bkt_dml", t)
+    spark.sql("UPDATE graft.bkt_dml SET v = 'upd' WHERE id <= 100").collect()
+    spark.sql("DELETE FROM graft.bkt_dml WHERE id > 900").collect()
+    Seq((50L, "merged", "009"), (2000L, "fresh", "009"))
+      .toDF("id", "v", "trx_seq").createOrReplaceTempView("bkt_dml_src")
+    spark.sql(
+      """MERGE INTO graft.bkt_dml t USING bkt_dml_src s ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = s.v
+         WHEN NOT MATCHED THEN INSERT *""")
+    t.cluster(smallFileBytes = 8 * 1024)
+    val got = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(got.size == 901, s"1000 - 100 deleted + 1 fresh = 901, got ${got.size}")
+    assert(got(50L) == "merged" && got(100L) == "upd" &&
+      got(101L) == "a101" && got(2000L) == "fresh")
+    assert(!got.contains(950L))
+    // every post-maintenance file still carries its bucket
+    assert(t.latestCommit().get.files.forall(
+      _.partition.contains(GraftTable.BucketCol)))
+    // catalog SQL point query rides the bucket veto + interval stab
+    graft.sql.GraftScanMetrics.clear()
+    assert(spark.sql("SELECT v FROM graft.bkt_dml WHERE id = 500")
+      .as[String].head() == "a500")
+    val (admitted, total) = graft.sql.GraftScanMetrics.lastScan("graft.bkt_dml").get
+    assert(admitted < total, s"point query must file-skip: $admitted/$total")
+  }
+
+  test("law: seeded random CDC batches reach the plain table's exact state") {
+    val rnd = new scala.util.Random(7)
+    val plain = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val bucketed = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, bucketCount = 8)
+    val batches = (1 to 3).map { seq =>
+      val ops = (1 to 300).map { _ =>
+        val id = rnd.nextInt(1500).toLong
+        val del = rnd.nextInt(10) == 0
+        (id, s"v$seq-$id", f"$seq%03d", del)
+      }
+      ops.toDF("id", "v", "trx_seq", Meta.Deleted)
+    }
+    Seq(plain, bucketed).foreach { t =>
+      t.bulkInsert(rows(1000, "base", "000"))
+      batches.foreach(t.upsert(_))
+    }
+    val p = plain.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    val b = bucketed.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    assert(b == p, "random CDC fold must be layout-independent")
+  }
+
   test("bucketCount refuses MOR, partitioned and non-global configurations") {
     intercept[IllegalArgumentException](new GraftTable(spark, tmp(), Seq("id"),
       tableType = GraftTable.MergeOnRead, bucketCount = 4))
