@@ -345,6 +345,31 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
   // still sees fresh schemas across statements)
   private lazy val resolvedSchema: StructType = mkDf().schema
   override def schema(): StructType = resolvedSchema
+
+  /** Engine configuration surfaced to `SHOW TBLPROPERTIES` /
+    * `DESCRIBE EXTENDED` — the same keys `CREATE TABLE` accepts, so a
+    * user can read back exactly what they could have declared. */
+  override def properties(): util.Map[String, String] =
+    writeTable.map { t =>
+      val base = Map(
+        "record_key" -> t.keyFields.mkString(","),
+        "ordering" -> t.orderingField,
+        "type" -> t.tableType,
+        "global_index" -> t.globalIndex.toString,
+        "location" -> t.root)
+      val opt = Seq(
+        "stats_columns" -> t.statsColumns.mkString(","),
+        "bloom_columns" -> t.bloomColumns.mkString(","),
+        "key_blooms" -> (if (t.keyBlooms) "true" else ""),
+        "partial_update" -> (if (t.partialUpdate) "true" else ""),
+        "rli_maintain" -> (if (t.rliMaintain) "true" else ""),
+        "compact_every" -> (if (t.compactEvery > 0) t.compactEvery.toString else ""),
+        "cluster_small_file_bytes" ->
+          (if (t.clusterSmallFileBytes > 0) t.clusterSmallFileBytes.toString else ""),
+        "bucket_count" -> (if (t.bucketCount > 0) t.bucketCount.toString else ""))
+        .filter(_._2.nonEmpty)
+      (base ++ opt).asJava
+    }.getOrElse(java.util.Collections.emptyMap[String, String]())
   override def capabilities(): util.Set[TableCapability] =
     (Set(TableCapability.BATCH_READ) ++
       (if (writeTable.isDefined)

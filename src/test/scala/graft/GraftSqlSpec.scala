@@ -600,6 +600,20 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
   }
 
+  test("SHOW TBLPROPERTIES reads back the engine configuration") {
+    val t = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, statsColumns = Seq("v"), bucketCount = 4)
+    t.bulkInsert(Seq((1L, "a", "001")).toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_props", t)
+    val props = spark.sql("SHOW TBLPROPERTIES graft.sqlspec_props")
+      .as[(String, String)].collect().toMap
+    assert(props("record_key") == "id")
+    assert(props("type") == "COPY_ON_WRITE")
+    assert(props("stats_columns") == "v")
+    assert(props("bucket_count") == "4")
+    assert(!props.contains("rli_maintain"), "unset knobs stay silent")
+  }
+
   test("CREATE TABLE misconfiguration fails loudly") {
     GraftSql.install(spark)
     // no record_key property
