@@ -28,11 +28,11 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** Token → feature id in [0, dims): first 4 md5 nibbles mod dims —
-    * the engine-portable hash ([[Sampling.hashBucket]]'s shape), NOT
-    * JVM hashCode. */
+  /** Token → feature id in [0, dims): the shared portable hash
+    * ([[graft.functions.PortableHash.hex4]]) mod dims — NOT JVM
+    * hashCode. */
   def featureId(tok: Column, dims: Int): Column =
-    conv(substring(md5(tok), 1, 4), 16, 10).cast("int") % dims
+    graft.functions.PortableHash.hex4(tok) % dims
 
   /** Hashed SET-of-words features: (doc_id, f, cnt) plus a constant bias
     * feature at id `dims` for EVERY doc (an empty text still scores).

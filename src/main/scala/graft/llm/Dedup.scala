@@ -408,8 +408,12 @@ object Dedup {
     *     order — and both candidates sit in its own bucket when ≥
     *     minMatch);
     *  4. per document: how many positions start a duplicated substring of
-    *     ≥ `minMatch` chars, and the longest duplicated run (capped at
-    *     `maxSuffix`).
+    *     ≥ `minMatch` chars, and the longest duplicated run. `max_dup_len`
+    *     is exact in [`bucketPrefix`, `maxSuffix`]: runs shorter than the
+    *     bucket prefix can land in different buckets and go unmeasured
+    *     (they are below `minMatch` anyway, so the dedup signal
+    *     `dup_positions` is unaffected), and runs longer than `maxSuffix`
+    *     report the cap.
     *
     * A position's `lcp` depends only on the corpus's suffix MULTISET, so
     * the census is deterministic. Everything is one explode + one

@@ -134,10 +134,28 @@ class GraftTable(
     * + `INSERT INTO`) has no CDC ordering column at all: versions then
     * rank on the rest of the tie chain (tombstone, commit seq), i.e.
     * "later statement wins" — and nothing injects a bookkeeping column
-    * into the user-visible schema. */
+    * into the user-visible schema. The fallback is only ever legitimate
+    * when the TABLE itself is ordering-free: [[requireOrderingPresent]]
+    * refuses a batch that omits a column the table schema carries. */
   private def orderingCol(cols: Seq[String]): Column =
     if (cols.contains(orderingField)) col(orderingField)
     else lit(null).cast("string")
+
+  /** Refuse a merge batch that OMITS the ordering column while the table
+    * schema carries it (a typo'd column name, say): in the merged union
+    * the column exists, so every batch row would carry NULL ordering and
+    * silently LOSE its tie to the stored version — an upsert that
+    * commits successfully and drops all its updates. Loud beats that. */
+  private def requireOrderingPresent(batch: DataFrame): Unit =
+    if (!batch.columns.contains(orderingField))
+      timeline.latest().foreach { c =>
+        val prevCols = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        require(!prevCols.contains(orderingField),
+          s"batch lacks ordering column '$orderingField' that the table " +
+            "schema carries — its rows would all lose merge ties; supply " +
+            "the column (or check its spelling)")
+      }
 
   /** Precombine (M1): among rows sharing a row IDENTITY keep the one with
     * the max ordering value; on ties the delete tombstone wins (Hudi
@@ -843,6 +861,7 @@ class GraftTable(
   }
 
   private def doUpsert(batch0: DataFrame, checkpoint: Option[String]): Commit = {
+    requireOrderingPresent(batch0)
     val prev = timeline.latest().getOrElse(
       return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
     // close the routing TOCTOU: callers branch on latest().isDefined BEFORE
@@ -945,6 +964,7 @@ class GraftTable(
     */
   private def doDeltaCommit(batch0: DataFrame, checkpoint: Option[String],
       allowInlineCompact: Boolean = true): Commit = {
+    requireOrderingPresent(batch0)
     val prev = timeline.latest().get
     val seq = prev.seq + 1
     val batch = precombine(prepared(batch0))
@@ -1237,8 +1257,8 @@ class GraftTable(
       (df, _, _) => df.filter(!coalesce(cond, lit(false))))
 
   private def protectedColumns: Set[String] =
-    Set(Meta.RecordKey, Meta.CommitSeq, Meta.Deleted, orderingField) ++
-      keyFields ++ partitionFields
+    Set(Meta.RecordKey, Meta.CommitSeq, Meta.Deleted, orderingField,
+      GraftTable.BucketCol) ++ keyFields ++ partitionFields
 
   /** METADATA-ONLY COLUMN DROP: publish a commit whose schema simply
     * omits the column — zero I/O. Readers pin the manifest schema, so a
@@ -1288,6 +1308,9 @@ class GraftTable(
     val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     require(!prevSchema.fieldNames.contains(name), s"column $name already exists")
+    // reserved engine names must not become user columns: a column named
+    // like the tombstone would silently filter rows out of every merge
+    require(!protectedColumns(name), s"cannot add reserved/engine column $name")
     val schema = prevSchema.add(name, dataType, nullable = true)
     val c = timeline.commit(Commit(prev.seq + 1, "add_column", prev.files,
       schema.json, prev.checkpoint, System.currentTimeMillis(),
@@ -1315,6 +1338,8 @@ class GraftTable(
       require(!prevSchema.fieldNames.contains(newName),
         s"column $newName already exists")
       require(!protectedColumns(oldName), s"cannot rename protected column $oldName")
+      require(!protectedColumns(newName),
+        s"cannot rename to reserved/engine column name $newName")
       val seq = prev.seq + 1
       val renamed = read().withColumnRenamed(oldName, newName)
       val files = writeFiles(renamed, seq, prev.files.map(_.bytes).sum)
@@ -3079,20 +3104,16 @@ object GraftTable {
     * materialize it), so the user surface is untouched. */
   val BucketCol = "_graft_bucket"
 
-  /** Row-side bucket assignment: first 4 md5 nibbles of the record key,
-    * mod `n` — the engine's portable hash shape, chosen so the driver
-    * can compute the identical value without a Spark job
-    * ([[bucketOfKey]]). */
+  /** Row-side bucket assignment: the shared portable hash
+    * ([[graft.functions.PortableHash.hex4]]) of the record key, mod `n` —
+    * chosen so the driver can compute the identical value without a
+    * Spark job ([[bucketOfKey]]). */
   def bucketExprOf(key: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(key), 1, 4), 16, 10).cast("int") % n
+    graft.functions.PortableHash.hex4(key) % n
 
-  /** Driver-side twin of [[bucketExprOf]]: first two md5 bytes = first
-    * four hex nibbles; both sides are non-negative so `%` agrees. */
-  def bucketOfKey(key: String, n: Int): Int = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (((d(0) & 0xFF) << 8) | (d(1) & 0xFF)) % n
-  }
+  /** Driver-side twin of [[bucketExprOf]]. */
+  def bucketOfKey(key: String, n: Int): Int =
+    graft.functions.PortableHash.hex4Jvm(key) % n
   /** maxKey sentinel for files lacking reliable key statistics (dropped or
     * oversized parquet stats): such files are always treated as affected. */
   val NoStatsMaxKey = "\u0000__GRAFT_NO_STATS__"

@@ -283,7 +283,14 @@ class GraftCatalog extends TableCatalog {
     val underWarehouse: String => Boolean = r => warehouseDir.exists(w =>
       java.nio.file.Paths.get(r).toAbsolutePath.normalize
         .startsWith(java.nio.file.Paths.get(w).toAbsolutePath.normalize))
-    val managedRoot = registered.map(_.root).filter(underWarehouse).orElse(wh)
+    // delete files only for the root of the table THIS DROP resolved: a
+    // registered external table never deletes a same-named warehouse dir
+    // it merely shadowed (resolve() prefers the registry, so that dir was
+    // not the table being dropped)
+    val managedRoot = registered match {
+      case Some(t) => Some(t.root).filter(underWarehouse)
+      case None => wh
+    }
     GraftSql.deregister(org.apache.spark.sql.SparkSession.active, name)
     managedRoot.foreach { r =>
       val p = java.nio.file.Paths.get(r)
@@ -312,7 +319,12 @@ class GraftCatalog extends TableCatalog {
     val wh = warehouseRoot(oldName)
     if (registered.isEmpty && wh.isEmpty) throw new NoSuchTableException(oldIdent)
     val root = registered.map(_.root).orElse(wh).get
-    GraftSql.deregister(spark, oldName)
+    // validate BEFORE touching any state: an un-described table (its
+    // best-effort descriptor write failed) cannot be re-opened under the
+    // new name, and deregistering first would strand it nameless
+    require(GraftTable.readConfig(root).isDefined,
+      s"$root has no _graft/table.json descriptor — commit once to " +
+        "publish it before renaming")
     val p = java.nio.file.Paths.get(root).toAbsolutePath.normalize
     val inWarehouse = warehouseDir.exists(w =>
       p.getParent == java.nio.file.Paths.get(w).toAbsolutePath.normalize &&
@@ -323,7 +335,9 @@ class GraftCatalog extends TableCatalog {
         java.nio.file.Files.move(p, dst)
         dst.toString
       } else root
-    GraftSql.register(spark, newName, GraftTable.open(spark, newRoot))
+    val reopened = GraftTable.open(spark, newRoot)
+    GraftSql.deregister(spark, oldName)
+    GraftSql.register(spark, newName, reopened)
   }
 }
 

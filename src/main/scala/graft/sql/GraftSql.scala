@@ -44,8 +44,14 @@ object GraftSql {
   def register(spark: SparkSession, name: String, table: GraftTable): Unit = {
     require(name.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad table name: $name")
     registry.put(name.toLowerCase, table)
-    table.readUser().createOrReplaceTempView(name)
     install(spark)
+    // LIVE bare-name view: defined over the catalog identifier, so every
+    // statement re-resolves the current snapshot — a view materialized
+    // from readUser() here would pin the REGISTRATION-TIME manifest and
+    // serve stale rows after any later write (CTAS was the glaring case:
+    // the table registers while still empty)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS SELECT * FROM graft.$name")
+    ()
   }
 
   /** Install the `graft` DSv2 catalog in the session (idempotent) WITHOUT
@@ -60,12 +66,15 @@ object GraftSql {
 
   /** Remove `name` from the session registry and drop its bare-name temp
     * view (the `DROP TABLE graft.<name>` deregistration half — file
-    * deletion, if any, is the catalog's call). */
-  def deregister(spark: SparkSession, name: String): Unit = {
-    registry.remove(name.toLowerCase)
-    spark.catalog.dropTempView(name)
-    ()
-  }
+    * deletion, if any, is the catalog's call). The view is dropped ONLY
+    * when the name was actually registered: a warehouse-discovered table
+    * never created one, and a user's unrelated same-named temp view must
+    * survive its drop. */
+  def deregister(spark: SparkSession, name: String): Unit =
+    if (registry.remove(name.toLowerCase).isDefined) {
+      spark.catalog.dropTempView(name)
+      ()
+    }
 
   private[sql] def lookupRegistered(name: String): Option[GraftTable] =
     registry.get(name.toLowerCase)

@@ -152,6 +152,26 @@ class BucketSpec extends AnyFunSuite {
     assert(b == p, "random CDC fold must be layout-independent")
   }
 
+  test("a batch omitting the table's ordering column is refused, loudly") {
+    // the silent alternative: NULL ordering loses every merge tie, so an
+    // upsert would commit successfully and drop all its updates
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "001")).toDF("id", "v", "trx_seq"))
+    val e = intercept[IllegalArgumentException](
+      t.upsert(Seq((1L, "b")).toDF("id", "v")))
+    assert(e.getMessage.contains("trx_seq"))
+    // an ordering-FREE table (pure-SQL lifecycle) still merges fine
+    val free = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    free.bulkInsert(Seq((1L, "a")).toDF("id", "v"))
+    free.upsert(Seq((1L, "b")).toDF("id", "v"))
+    assert(free.readUser().select("v").as[String].head() == "b")
+    // reserved engine names can never become user columns via ALTER
+    intercept[IllegalArgumentException](
+      free.addColumn("_hoodie_is_deleted", org.apache.spark.sql.types.BooleanType))
+    intercept[IllegalArgumentException](
+      free.addColumn(GraftTable.BucketCol, org.apache.spark.sql.types.IntegerType))
+  }
+
   test("bucketCount refuses MOR, partitioned and non-global configurations") {
     intercept[IllegalArgumentException](new GraftTable(spark, tmp(), Seq("id"),
       tableType = GraftTable.MergeOnRead, bucketCount = 4))
