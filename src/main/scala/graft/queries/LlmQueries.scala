@@ -253,6 +253,21 @@ object LlmQueries {
     }),
 
     // ---- text analysis
+    // text normalization (pre-tokenization cleanup): control chars
+    // stripped, whitespace runs collapsed, trimmed — census + md5 of the
+    // transformation. The corpus is already clean, so (text_pii_scrub
+    // style) BOTH sides plant the same deterministic noise first
+    "text_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val noise = when(col("doc_id") % 3 === 0,
+          concat(expr("chr(9)"), lit("x "), expr("chr(7)")))
+        .when(col("doc_id") % 3 === 1, lit("  double  spaced  tail "))
+        .otherwise(lit(""))
+      TextAnalysis.normalizeStats(
+        docs.select(col("doc_id"), concat(col("text"), noise).as("text")),
+        "doc_id", "text")
+    }),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
     // character-class census (script-detection gate): exact integer
@@ -1158,6 +1173,23 @@ object LlmQueries {
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT ia, ib, round(cos, 6) AS cos FROM p
          ORDER BY cos DESC, ia, ib LIMIT 20""",
+
+    // same planted noise, same two regexes (DuckDB needs the explicit 'g'
+    // flag), same trim — the md5 pins the transformation byte for byte
+    "text_normalize" ->
+      """WITH e AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN chr(9) || 'x ' || chr(7)
+                  WHEN doc_id % 3 = 1 THEN '  double  spaced  tail '
+                  ELSE '' END AS t FROM documents),
+         n AS (SELECT doc_id, t,
+             trim(regexp_replace(regexp_replace(t,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '[ \t\n\r]+', ' ', 'g')) AS c
+           FROM e)
+         SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+           CAST(length(c) AS BIGINT) AS n_after,
+           c <> t AS changed, md5(c) AS norm_md5
+         FROM n""",
 
     "text_stats" ->
       """SELECT doc_id,

@@ -841,6 +841,25 @@ class LlmSpec extends AnyFunSuite {
       .collect().forall(_ == 5L))
   }
 
+  test("normalizeStats strips controls, collapses whitespace, pins the hash") {
+    val docs = Seq(
+      (1L, "a\u0007b\t\tc  d "), // bell stripped, tabs+runs collapse, trim
+      (2L, "clean text"),        // untouched
+      (3L, "")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis.normalizeStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_before", "n_after", "changed")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    // "a\u0007b\t\tc  d " -> "ab c d": 10 chars -> 6
+    assert(got == Seq((1L, 10L, 6L, true), (2L, 10L, 10L, false),
+      (3L, 0L, 0L, false)), s"unexpected census: $got")
+    val h = graft.llm.TextAnalysis.normalizeStats(docs, "doc_id", "text")
+      .filter($"doc_id" === 1).select("norm_md5").as[String].head()
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("ab c d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(h == expect)
+  }
+
   test("charChunks: fixed-window overlap chunking is offset-exact") {
     val docs = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
     val got = graft.llm.TextAnalysis.charChunks(docs, "doc_id", "text",
