@@ -184,6 +184,37 @@ object Sampling {
         round(sqrt(col("n_docs").cast("double")) / col("z"), 6).as("p"))
   }
 
+  /** Temperature-mixture sampling APPLIED (the mC4/XLM-R recipe end to
+    * end): per-stratum keep probability q_l = min(1, β·N / (√n_l · Σ√n))
+    * makes the EXPECTED kept count β·N·p_l with p from
+    * [[mixtureWeights]]'s α=1/2 law — head strata downsample toward the
+    * temperature-scaled target, tail strata clamp at keep-everything
+    * (the recipe's own deficit). The keep decision is the salted
+    * hash-bucket gate against floor(q·65536): q is rounded to 6 decimals
+    * first, so the threshold survives the normalizer's engine-chosen
+    * summation order (the [[mixtureWeights]] boundary-rounding rule).
+    * One count aggregate + a broadcast stratum-threshold join + one
+    * census aggregate — two corpus passes, 100-TB shaped. */
+  def mixtureSampleStats(docs: DataFrame, idCol: String, stratumCol: String,
+      budget: Double = 0.5, salt: String = "mixapply"): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(col(idCol)).as("n_docs"))
+    val norm = counts.agg(
+      sum(sqrt(col("n_docs").cast("double"))).as("z"),
+      sum(col("n_docs")).as("n_all"))
+    val th = counts.crossJoin(broadcast(norm))
+      .select(col(stratumCol),
+        least(lit(1.0), round(lit(budget) * col("n_all") /
+          (sqrt(col("n_docs").cast("double")) * col("z")), 6)).as("q"))
+    docs.join(broadcast(th), Seq(stratumCol))
+      .select(col(stratumCol), col("q"),
+        (hashBucket(col(idCol), salt) <
+          floor(col("q") * 65536).cast("int")).as("_keep"))
+      .groupBy(col(stratumCol), col("q"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("_keep"), 1)).as("n_kept"))
+      .select(col(stratumCol), col("n_total"), col("n_kept"), col("q"))
+  }
+
   /** Mixing summary: per stratum, total vs sampled doc counts and the
     * sampled character mass (the quantity a token-budget mixing plan
     * actually targets). */

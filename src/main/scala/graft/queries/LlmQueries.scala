@@ -278,6 +278,10 @@ object LlmQueries {
     // the multilingual data-mixing computation
     "sample_mixture_weights" -> ((s, dir) =>
       Sampling.mixtureWeights(t(s, dir, "documents"), "doc_id", "lang")),
+    // the mixture APPLIED: α=1/2 temperature downsampling at a β=0.5 doc
+    // budget — per-lang keep gate, census exact on both engines
+    "sample_mixture_apply" -> ((s, dir) =>
+      Sampling.mixtureSampleStats(t(s, dir, "documents"), "doc_id", "lang")),
     // CCNet-style fluency gate: per-doc mean negative log-prob under the
     // corpus's own add-1 bigram LM
     "text_lm_score" -> ((s, dir) =>
@@ -1222,6 +1226,30 @@ object LlmQueries {
               z AS (SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM c)
          SELECT c.lang, c.n_docs, round(sqrt(CAST(c.n_docs AS DOUBLE)) / z.z, 6) AS p
          FROM c, z""",
+
+    // the applied mixture gate: same q arithmetic (round 6 BEFORE the
+    // 65536 threshold — the normalizer-ulp shield), same salted nibble
+    // hash as sample_stratified
+    "sample_mixture_apply" ->
+      """WITH c AS (SELECT lang, COUNT(doc_id) AS n_docs FROM documents GROUP BY lang),
+         nrm AS (SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z,
+                        SUM(n_docs) AS n_all FROM c),
+         th AS (SELECT lang,
+             least(1.0, round(0.5 * n_all /
+               (sqrt(CAST(n_docs AS DOUBLE)) * z), 6)) AS q
+           FROM c, nrm),
+         k AS (SELECT d.lang, th.q,
+             CASE WHEN
+                 (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1)
+               < CAST(floor(q * 65536) AS INT) THEN 1 ELSE 0 END AS keep
+           FROM (SELECT lang, md5('mixapply:' || CAST(doc_id AS VARCHAR)) AS m
+                 FROM documents) d
+           JOIN th USING (lang))
+         SELECT lang, COUNT(*) AS n_total, CAST(SUM(keep) AS BIGINT) AS n_kept, q
+         FROM k GROUP BY lang, q""",
 
     "text_langid" ->
       s"""WITH s AS (SELECT doc_id,

@@ -841,6 +841,26 @@ class LlmSpec extends AnyFunSuite {
       .collect().forall(_ == 5L))
   }
 
+  test("mixtureSampleStats: α=1/2 thresholds exact, tail stratum keeps all") {
+    // 9/4/1 docs -> √n = 3/2/1, z = 6, N = 14, β = 0.5:
+    //   q_en = 7/(3·6) = 0.388889, q_de = 7/12 = 0.583333, q_zh -> clamp 1
+    val docs = ((1 to 9).map(i => (i.toLong, "en")) ++
+      (10 to 13).map(i => (i.toLong, "de")) ++ Seq((14L, "zh")))
+      .toDF("doc_id", "lang")
+    val got = graft.llm.Sampling.mixtureSampleStats(docs, "doc_id", "lang")
+      .orderBy("lang")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val byLang = got.map(r => r._1 -> r).toMap
+    assert(byLang("en")._4 == 0.388889 && byLang("de")._4 == 0.583333 &&
+      byLang("zh")._4 == 1.0, s"unexpected thresholds: $got")
+    assert(byLang("zh")._3 == 1L, "q=1 must keep the whole tail stratum")
+    assert(got.forall(r => r._3 <= r._2))
+    // deterministic: the census reproduces exactly
+    val again = graft.llm.Sampling.mixtureSampleStats(docs, "doc_id", "lang")
+      .orderBy("lang").as[(String, Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
   test("normalizeStats strips controls, collapses whitespace, pins the hash") {
     val docs = Seq(
       (1L, "a\u0007b\t\tc  d "), // bell stripped, tabs+runs collapse, trim
