@@ -112,13 +112,15 @@ class GraftTable(
       * candidate sets per key with ZERO index structures to build or
       * maintain (the trade vs the RLI: no maintenance, but bucket count
       * is fixed at creation and small batches write one file per touched
-      * bucket). COW + global index + no user partitioning in this
-      * version — the constraint set Hudi's simple bucket engine shares. */
+      * bucket). Works on COW and MOR (delta logs bucket like base files,
+      * and compaction scopes file groups per bucket); requires a global
+      * index and no user partition columns — the constraint set Hudi's
+      * simple bucket engine shares. */
     val bucketCount: Int = 0) {
 
-  require(bucketCount == 0 ||
-    (tableType == GraftTable.CopyOnWrite && partitionFields.isEmpty && globalIndex),
-    "bucketCount requires COPY_ON_WRITE, a global index and no partition columns")
+  require(bucketCount == 0 || (partitionFields.isEmpty && globalIndex),
+    "bucketCount requires a global index and no partition columns " +
+      "(COW and MOR both supported; delta logs bucket like base files)")
 
   private val timeline = new Timeline(root)
   // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
@@ -1544,23 +1546,40 @@ class GraftTable(
     def pk(f: DataFile): String =
       partitionFields.map(x => f.partition.getOrElse(x, GraftTable.NullPartition))
         .mkString("/")
-    // per-scope log intervals ("" = table-wide under a global index); a
-    // statless log file makes its whole scope unbounded
+    // per-scope log intervals; the scope is the partition under a
+    // non-global index, the BUCKET on a bucketed table (hash scatters
+    // keys, so every bucket's log spans nearly the whole key range —
+    // interval overlap alone would rewrite every bucket; a log can only
+    // hold ITS bucket's keys, so scoping restores the pruning), and
+    // table-wide ("") otherwise. A file with NO recorded scope (None —
+    // pre-bucketing history) is conservative: its logs apply everywhere,
+    // and as a base file it checks against every scope. A statless log
+    // makes its whole scope unbounded.
+    val bucketed = bucketCount > 0
+    def scopeKey(f: DataFile): Option[String] =
+      if (bucketed) f.partition.get(GraftTable.BucketCol)
+      else Some(if (partitioned) pk(f) else "")
+    def scopeIvs(ls: Seq[DataFile]): (Boolean, Seq[(String, String)]) = {
+      val (statless, statful) = ls.partition(l => !GraftTable.hasReliableStats(l))
+      (statless.nonEmpty, statful.map(l => (l.minKey, l.maxKey)))
+    }
+    val grouped = prev.logFiles.groupBy(scopeKey)
+    val everywhere = grouped.get(None).map(scopeIvs)
     val logScopes: Map[String, (Boolean, Seq[(String, String)])] =
-      prev.logFiles.groupBy(f => if (partitioned) pk(f) else "").map { case (p, ls) =>
-        val (statless, statful) = ls.partition(l => !GraftTable.hasReliableStats(l))
-        p -> ((statless.nonEmpty, statful.map(l => (l.minKey, l.maxKey))))
+      grouped.collect { case (Some(s), ls) => s -> scopeIvs(ls) }
+    def hit(f: DataFile, sc: (Boolean, Seq[(String, String)])): Boolean =
+      sc._1 || !GraftTable.hasReliableStats(f) ||
+        sc._2.exists { case (lo, hi) =>
+          GraftTable.cmpKey(f.minKey, hi) <= 0 &&
+            GraftTable.cmpKey(f.maxKey, lo) >= 0
+        }
+    def overlapsLogs(f: DataFile): Boolean = {
+      val scoped = scopeKey(f) match {
+        case Some(s) => logScopes.get(s).exists(hit(f, _))
+        case None => logScopes.values.exists(hit(f, _))
       }
-    def overlapsLogs(f: DataFile): Boolean =
-      logScopes.get(if (partitioned) pk(f) else "") match {
-        case None => false // no logs in this file's partition scope
-        case Some((unbounded, ivs)) =>
-          unbounded || !GraftTable.hasReliableStats(f) ||
-            ivs.exists { case (lo, hi) =>
-              GraftTable.cmpKey(f.minKey, hi) <= 0 &&
-                GraftTable.cmpKey(f.maxKey, lo) >= 0
-            }
-      }
+      scoped || everywhere.exists(hit(f, _))
+    }
     val (rewrite, carried) = prev.files.partition(overlapsLogs)
     val est = (rewrite ++ prev.logFiles).map(_.bytes).sum
     // merge ONLY the overlapping base subset against the full log set;

@@ -172,12 +172,48 @@ class BucketSpec extends AnyFunSuite {
       free.addColumn(GraftTable.BucketCol, org.apache.spark.sql.types.IntegerType))
   }
 
-  test("bucketCount refuses MOR, partitioned and non-global configurations") {
-    intercept[IllegalArgumentException](new GraftTable(spark, tmp(), Seq("id"),
-      tableType = GraftTable.MergeOnRead, bucketCount = 4))
+  test("bucketCount refuses partitioned and non-global configurations") {
     intercept[IllegalArgumentException](new GraftTable(spark, tmp(), Seq("id"),
       partitionFields = Seq("p"), bucketCount = 4))
     intercept[IllegalArgumentException](new GraftTable(spark, tmp(), Seq("id"),
       globalIndex = false, bucketCount = 4))
+  }
+
+  test("MOR bucketed: logs bucket like base files; compaction scopes per bucket") {
+    val plain = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 8 * 1024, tableType = GraftTable.MergeOnRead)
+    val bkt = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 8 * 1024, tableType = GraftTable.MergeOnRead,
+      bucketCount = 8)
+    // two keys far apart in KEY space but in the SAME bucket: the delta
+    // log's interval spans nearly the whole table, so interval overlap
+    // alone would rewrite every bucket — the bucket scope must not
+    val loId = (1L to 100L).find(i =>
+      GraftTable.bucketOfKey(f"$i%019d", 8) == GraftTable.bucketOfKey(f"${3900L}%019d", 8))
+      .getOrElse(fail("no low id shares bucket with 3900"))
+    Seq(plain, bkt).foreach { t =>
+      t.bulkInsert(rows(4000, "a", "001"))
+      t.upsert(Seq((loId, "lo", "002"), (3900L, "hi", "002"))
+        .toDF("id", "v", "trx_seq"))
+    }
+    // merged view equal with logs outstanding
+    assert(bkt.readUser().select("id", "v").as[(Long, String)].collect().toMap ==
+      plain.readUser().select("id", "v").as[(Long, String)].collect().toMap)
+    // logs carry their bucket
+    assert(bkt.latestCommit().get.logFiles.forall(
+      _.partition.contains(GraftTable.BucketCol)))
+    val targetBucket = GraftTable.bucketOfKey(f"${3900L}%019d", 8).toString
+    val baseFiles = bkt.latestCommit().get.files
+    val inBucket = baseFiles.count(_.partition(GraftTable.BucketCol) == targetBucket)
+    val cB = bkt.compact()
+    val cP = plain.compact()
+    assert(cB.extra("files_rewritten").toInt <= inBucket,
+      s"bucket-scoped compaction must rewrite <= $inBucket files, " +
+        s"got ${cB.extra("files_rewritten")}")
+    assert(cP.extra("files_rewritten").toInt > cB.extra("files_rewritten").toInt,
+      "the unbucketed table must rewrite MORE under the same wide-interval log")
+    // post-compaction snapshots still agree
+    assert(bkt.readUser().select("id", "v").as[(Long, String)].collect().toMap ==
+      plain.readUser().select("id", "v").as[(Long, String)].collect().toMap)
   }
 }
