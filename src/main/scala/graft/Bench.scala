@@ -35,7 +35,8 @@ object Bench {
     * setup), so the timed window is the operation itself. */
   val WriteFamily: Seq[String] = Seq(
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
-    "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket", "w_sql_point",
+    "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket",
+    "w_upsert_narrow_interval", "w_upsert_narrow_bucket", "w_sql_point",
     "w_sql_ddl")
 
   val Runs = 3
@@ -117,6 +118,12 @@ object Bench {
     // shared update batch for the w_upsert_* planner pair
     val plannerBatch = stamp(orders.filter(k % 13 === 0)
       .withColumn("o_orderstatus", lit("Z")), 2)
+    // single-bucket batch for the narrow pair: keys range-scattered but
+    // all hashing to bucket 3 of 16
+    val narrowBatch = stamp(orders.filter(
+      graft.operators.GraftTable.bucketExprOf(
+        format_string("%019d", k), 16) === 3)
+      .withColumn("o_orderstatus", lit("Y")), 2)
     // compact base: MOR with delta logs confined to a narrow key range
     val morBase = new graft.operators.GraftTable(spark, tmpRoot("mor"),
       Seq("o_orderkey"), targetFileBytes = 1024 * 1024,
@@ -178,6 +185,21 @@ object Bench {
           Seq("o_orderkey"), targetFileBytes = 1024 * 1024, bucketCount = 16)
         b.bulkInsert(stamp(orders, 1))
         () => { b.upsert(plannerBatch); () }
+      }),
+      // NARROW-batch planner pair: the same single-bucket key set (keys
+      // scattered across the whole key RANGE but sharing one hash
+      // bucket) through both layouts. Interval planning admits nearly
+      // every file for it; the bucket planner admits one bucket — the
+      // regime the hash index exists for, measured end to end
+      "w_upsert_narrow_interval" -> (() => {
+        val c = mergeBase.cloneTo(tmpRoot("ni-run") + "/t")
+        () => { c.upsert(narrowBatch); () }
+      }),
+      "w_upsert_narrow_bucket" -> (() => {
+        val b = new graft.operators.GraftTable(spark, tmpRoot("nb-run") + "/t",
+          Seq("o_orderkey"), targetFileBytes = 1024 * 1024, bucketCount = 16)
+        b.bulkInsert(stamp(orders, 1))
+        () => { b.upsert(narrowBatch); () }
       }),
       // catalog SQL point query with manifest triage (round-11): the scan
       // must schedule O(matching files), not the full manifest — the
