@@ -425,7 +425,19 @@ object Dedup {
     * lengthening `bucketPrefix`.
     */
   def suffixDuplication(docs: DataFrame, idCol: String, textCol: String,
-      minMatch: Int = 20, maxSuffix: Int = 60, bucketPrefix: Int = 8): DataFrame = {
+      minMatch: Int = 20, maxSuffix: Int = 60, bucketPrefix: Int = 8): DataFrame =
+    suffixLcps(docs, idCol, textCol, minMatch, maxSuffix, bucketPrefix)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sfx"),
+        sum(when(col("lcp") >= minMatch, 1L).otherwise(0L)).as("dup_positions"),
+        max(col("lcp")).cast("long").as("max_dup_len"))
+
+  /** The sorted-suffix LCP core shared by [[suffixDuplication]] (census)
+    * and [[suffixDedupTexts]] (removal): per suffix start, its maximal
+    * LCP with any other suffix (exact for LCPs in
+    * [bucketPrefix, maxSuffix]). Returns (doc_id, pos, lcp). */
+  private def suffixLcps(docs: DataFrame, idCol: String, textCol: String,
+      minMatch: Int, maxSuffix: Int, bucketPrefix: Int): DataFrame = {
     require(bucketPrefix <= minMatch,
       s"bucketPrefix ($bucketPrefix) must be <= minMatch ($minMatch) or bucketing loses pairs")
     require(minMatch <= maxSuffix, s"minMatch ($minMatch) must be <= maxSuffix ($maxSuffix)")
@@ -445,14 +457,77 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("s").substr(lit(1), lit(bucketPrefix)))
       .orderBy(col("s"), col("doc_id"), col("pos"))
-    sfx
-      .withColumn("lcp", greatest(
-        lcp(col("s"), lead(col("s"), 1).over(w)),
-        lcp(col("s"), lag(col("s"), 1).over(w))))
+    sfx.select(col("doc_id"), col("pos"), greatest(
+      lcp(col("s"), lead(col("s"), 1).over(w)),
+      lcp(col("s"), lag(col("s"), 1).over(w))).as("lcp"))
+  }
+
+  /** EXACT duplicated-substring REMOVAL — the output the Lee et al.
+    * pipeline actually ships: every duplicated run of ≥ `minMatch` chars
+    * is CUT from the text, and the document is reconstructed from the
+    * surviving gaps (their trained models drop one copy; cutting every
+    * occurrence is the symmetric set-based variant an engine can compute
+    * without electing owners — boilerplate disappears entirely, which is
+    * the dominant use).
+    *
+    *  1. [[suffixLcps]] marks duplicated START positions; each
+    *     contributes the interval [pos, pos+lcp) (runs longer than
+    *     `maxSuffix` are covered by their successive start positions —
+    *     every position inside a long duplicated run starts a duplicated
+    *     suffix itself, so coverage does not truncate at the cap);
+    *  2. intervals merge per doc with one running-max window
+    *     (partitioned by doc — bounded state);
+    *  3. the kept text is the ordered concatenation of the complement
+    *     gaps, rebuilt with order-pinned array_sort (collect_list order
+    *     is not a contract).
+    *
+    * Returns (doc_id, n_chars, removed_chars, kept_md5) — the census
+    * plus a hash of the TRANSFORMED text, so the surgery itself is
+    * verifiable. Docs with nothing duplicated (or shorter than
+    * `minMatch`) keep their text byte-identically.
+    */
+  def suffixDedupTexts(docs: DataFrame, idCol: String, textCol: String,
+      minMatch: Int = 20, maxSuffix: Int = 60, bucketPrefix: Int = 8): DataFrame = {
+    val ivs = suffixLcps(docs, idCol, textCol, minMatch, maxSuffix, bucketPrefix)
+      .filter(col("lcp") >= minMatch)
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + col("lcp")).as("e"))
+    // merge overlapping/adjacent intervals: a new segment starts where
+    // this start exceeds the running max end of everything before it
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s", "e")
+    val prevMaxE = max(col("e")).over(wDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val merged = ivs
+      .withColumn("new_seg", when(prevMaxE.isNull || col("s") > prevMaxE, 1L)
+        .otherwise(0L))
+      .withColumn("seg", sum(col("new_seg")).over(
+        wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    // complement gaps: the piece BEFORE each merged interval + the tail
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+      length(col(textCol)).as("_len"))
+    val wSeg = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s")
+    val gaps = merged
+      .withColumn("gap_s", coalesce(lag(col("e"), 1).over(wSeg), lit(1)))
+      .join(base, "doc_id")
+      .select(col("doc_id"), col("gap_s").as("o"),
+        col("_t").substr(col("gap_s").cast("int"), (col("s") - col("gap_s")).cast("int")).as("piece"))
+    val tails = merged.groupBy(col("doc_id")).agg(max(col("e")).as("last_e"))
+      .join(base, "doc_id")
+      .select(col("doc_id"), col("last_e").as("o"),
+        col("_t").substr(col("last_e").cast("int"),
+          (col("_len") - col("last_e") + 1).cast("int")).as("piece"))
+    val rebuilt = gaps.unionByName(tails)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_sfx"),
-        sum(when(col("lcp") >= minMatch, 1L).otherwise(0L)).as("dup_positions"),
-        max(col("lcp")).cast("long").as("max_dup_len"))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(o, piece))), x -> x.piece)"),
+        "").as("kept"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_len").cast("long").as("n_chars"),
+        (col("_len") - length(coalesce(col("kept"), col("_t")))).cast("long")
+          .as("removed_chars"),
+        md5(coalesce(col("kept"), col("_t"))).as("kept_md5"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates

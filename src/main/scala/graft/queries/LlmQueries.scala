@@ -344,6 +344,12 @@ object LlmQueries {
       Dedup.suffixDuplication(t(s, dir, "documents"), "doc_id", "text",
         minMatch = 20, maxSuffix = 60, bucketPrefix = 8)),
 
+    // the removal half: duplicated runs CUT, text rebuilt from the gaps,
+    // graded on the census + md5 of the cleaned text
+    "dedup_suffix_removal" -> ((s, dir) =>
+      Dedup.suffixDedupTexts(t(s, dir, "documents"), "doc_id", "text",
+        minMatch = 20, maxSuffix = 60, bucketPrefix = 8)),
+
     // classifier-based filtering (GPT-3/LLaMA recipe, fastText shape):
     // hashed set-of-words + full-batch perceptron — all-integer, so
     // training AND scoring replicate digit-for-digit. The synthetic
@@ -1297,6 +1303,72 @@ object LlmQueries {
     // protocol): same md5-nibble feature hash, same integer updates, same
     // sign tie rule — the model is exact, so the replication is too
     "text_classifier_quality" -> perceptronOracle(dims = 512, rounds = 4),
+
+    // the full removal pipeline replayed: the same suffix-LCP CTEs, the
+    // same running-max interval merge, the same gap/tail surgery, pieces
+    // re-joined with an ORDER BY that mirrors the order-pinned array_sort
+    "dedup_suffix_removal" ->
+      """WITH sfx AS (
+           SELECT doc_id, CAST(gs + 1 AS INT) AS pos,
+                  substr(text, CAST(gs + 1 AS INT), 60) AS s
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS gs
+                 FROM documents)),
+         nb AS (
+           SELECT doc_id, pos, s,
+                  lead(s) OVER (PARTITION BY substr(s, 1, 8)
+                                ORDER BY s, doc_id, pos) AS nxt,
+                  lag(s)  OVER (PARTITION BY substr(s, 1, 8)
+                                ORDER BY s, doc_id, pos) AS prv
+           FROM sfx),
+         sc AS (
+           SELECT doc_id, pos,
+             greatest(
+               CASE WHEN nxt IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(length(s), length(nxt)) + 1),
+                     k -> substr(s, 1, CAST(k AS INT)) = substr(nxt, 1, CAST(k AS INT)))) END,
+               CASE WHEN prv IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(length(s), length(prv)) + 1),
+                     k -> substr(s, 1, CAST(k AS INT)) = substr(prv, 1, CAST(k AS INT)))) END
+             ) AS lcp
+           FROM nb),
+         iv AS (SELECT doc_id, pos AS s, pos + lcp AS e FROM sc WHERE lcp >= 20),
+         mg0 AS (
+           SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                 ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS new_seg
+           FROM iv),
+         mg1 AS (
+           SELECT doc_id, s, e,
+             SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM mg0),
+         mg AS (SELECT doc_id, seg, MIN(s) AS s, MAX(e) AS e
+                FROM mg1 GROUP BY doc_id, seg),
+         gp AS (
+           SELECT doc_id, s,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS o
+           FROM mg),
+         gaps AS (
+           SELECT g.doc_id, g.o,
+             substr(d.text, CAST(g.o AS INT), CAST(g.s - g.o AS INT)) AS piece
+           FROM gp g JOIN documents d USING (doc_id)),
+         tails AS (
+           SELECT m.doc_id, m.le AS o,
+             substr(d.text, CAST(m.le AS INT),
+                    CAST(length(d.text) - m.le + 1 AS INT)) AS piece
+           FROM (SELECT doc_id, MAX(e) AS le FROM mg GROUP BY doc_id) m
+           JOIN documents d USING (doc_id)),
+         keptt AS (
+           SELECT doc_id, string_agg(piece, '' ORDER BY o) AS kept
+           FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
+           GROUP BY doc_id)
+         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(length(d.text) - length(COALESCE(k.kept, d.text)) AS BIGINT)
+             AS removed_chars,
+           md5(COALESCE(k.kept, d.text)) AS kept_md5
+         FROM documents d LEFT JOIN keptt k USING (doc_id)""",
 
     // the full suffix-sort algorithm replayed: same buckets, same sorted
     // neighbors, same prefix-closed LCP-by-filter-length trick (DuckDB

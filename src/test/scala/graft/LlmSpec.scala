@@ -861,6 +861,25 @@ class LlmSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("suffixDedupTexts cuts duplicated runs and rebuilds the gaps") {
+    val docs = Seq((1L, "ABCDEFGHIJ"), (2L, "ABCDEFGHIJ"), (3L, "KLMNOPQRST"),
+      (5L, "abcdeDUPLICATEDRUNxyzfg"), (6L, "DUPLICATEDRUN"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.suffixDedupTexts(docs, "doc_id", "text",
+      minMatch = 5, maxSuffix = 8, bucketPrefix = 2)
+      .orderBy("doc_id").select("doc_id", "n_chars", "removed_chars")
+      .as[(Long, Long, Long)].collect().toSeq
+    // twins fully duplicated -> fully removed; unique doc untouched; the
+    // shared 13-char run cut out of the middle of doc 5, both copies
+    assert(got == Seq((1L, 10L, 10L), (2L, 10L, 10L), (3L, 10L, 0L),
+      (5L, 23L, 13L), (6L, 13L, 13L)), s"unexpected removal census: $got")
+    val kept5 = graft.llm.Dedup.suffixDedupTexts(docs, "doc_id", "text", 5, 8, 2)
+      .filter($"doc_id" === 5).select("kept_md5").as[String].head()
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest("abcdexyzfg".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(kept5 == expect, "the rebuilt text must be exactly the two gaps")
+  }
+
   test("normalizeStats strips controls, collapses whitespace, pins the hash") {
     val docs = Seq(
       (1L, "a\u0007b\t\tc  d "), // bell stripped, tabs+runs collapse, trim
