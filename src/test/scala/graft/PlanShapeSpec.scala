@@ -247,6 +247,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "feature hashing must be codegen'd")
   }
 
+  test("suffix removal joins stay equi; windows are per-doc partitioned") {
+    val p = plan("dedup_suffix_removal")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "interval merge + gap surgery must never go all-pairs")
+    assert(!p.contains("ScalaUDF"))
+  }
+
   test("LM scoring joins stay equi; the corpus is never nested-looped") {
     val p = plan("text_lm_score")
     // doc-bigrams x model joins must be EQUI joins (hash or sort-merge —
