@@ -192,6 +192,22 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("qdot"))
   }
 
+  /** Matryoshka-style dimension truncation (MRL serving): rank on only
+    * the FIRST `dims` coordinates — with matryoshka-trained embeddings
+    * the information-dense prefix carries most of the ranking signal, so
+    * halving dims halves memory bandwidth and dot-product work per
+    * candidate. Exact same pipeline as [[bruteTopK]] over the sliced
+    * vectors (slice is a narrow codegen'd map — no shuffle added), same
+    * output shape, so recall against the full-dimension ranking is
+    * directly measurable; compose with [[int8RerankTopK]]'s refine for
+    * the production truncate→shortlist→exact stack. */
+  def truncatedTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 5,
+      dims: Int = 32): DataFrame =
+    bruteTopK(emb.select(col(idCol),
+        expr(s"slice($vecCol, 1, $dims)").as(vecCol)),
+      idCol, vecCol, queryPred, k)
+
   /** Two-stage serving read (the faiss refine / rerank pattern): the
     * INT8 quantized ranking produces a `shortlist`-deep candidate set
     * per query — the memory-bandwidth pass — and exact float cosine then

@@ -197,6 +197,13 @@ object LlmQueries {
     "sim_topk_int8" -> ((s, dir) =>
       Similarity.int8TopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         col("vec_id") < 20, k = 5)),
+    // Matryoshka truncation: exact ranking on the first 32 of 64 dims —
+    // half the serving bandwidth. Graded on exact replication of the
+    // truncated ranking; recall vs the full rank is the embedding's
+    // property (these random vectors have no MRL prefix structure)
+    "sim_topk_mrl" -> ((s, dir) =>
+      Similarity.truncatedTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        col("vec_id") < 20, k = 5, dims = 32)),
     // two-stage rerank (faiss refine): int8 shortlist bounds the
     // candidates, exact float cosine reranks only those — the serving
     // pattern where the exact scorer touches |queries|×shortlist rows
@@ -1041,6 +1048,23 @@ object LlmQueries {
          SELECT qid, rnk, nid, qdot FROM
            (SELECT qid, nid, qdot,
               row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, nid) AS rnk FROM s)
+         WHERE rnk <= 5""",
+
+    // the brute oracle over list_slice'd vectors — same double cosine,
+    // same tie rule, 32-dim prefix on both sides
+    "sim_topk_mrl" ->
+      """WITH q AS (SELECT vec_id AS qid, list_slice(embedding, 1, 32) AS qv
+             FROM embeddings WHERE vec_id < 20),
+         c AS (SELECT vec_id, list_slice(embedding, 1, 32) AS v FROM embeddings),
+         s AS (SELECT qid, c.vec_id AS nid,
+             list_aggregate(list_transform(list_zip(qv, c.v),
+               z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum')
+             / (sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+           FROM q, c WHERE c.vec_id <> q.qid)
+         SELECT qid, rnk, nid, round(cos, 6) AS cos FROM
+           (SELECT qid, nid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk FROM s)
          WHERE rnk <= 5""",
 
     // the rerank pipeline replayed whole: the int8 shortlist CTEs (same

@@ -823,6 +823,26 @@ class LlmSpec extends AnyFunSuite {
       "planted signal must separate perfectly")
   }
 
+  test("truncatedTopK: full-width slice is identity; prefix slice is consistent") {
+    import graft.llm.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // dims = full width: slicing is a no-op, the ranking must be exact
+    val full = Similarity.truncatedTopK(emb, "vec_id", "embedding",
+      $"vec_id" < 5, k = 5, dims = 64).collect().toSet
+    val brute = Similarity.bruteTopK(emb, "vec_id", "embedding",
+      $"vec_id" < 5, k = 5).collect().toSet
+    assert(full == brute)
+    // prefix slice = brute over pre-sliced vectors (one definition)
+    val pre = emb.selectExpr("vec_id", "slice(embedding, 1, 32) AS embedding")
+    assert(Similarity.truncatedTopK(emb, "vec_id", "embedding",
+        $"vec_id" < 5, k = 5, dims = 32).collect().toSet ==
+      Similarity.bruteTopK(pre, "vec_id", "embedding",
+        $"vec_id" < 5, k = 5).collect().toSet)
+    // NOTE: recall vs the full ranking is the EMBEDDING's property, not
+    // the operator's — this corpus's random vectors have no matryoshka
+    // prefix structure, so no recall contract is asserted here
+  }
+
   test("int8RerankTopK: full-width shortlist equals the exact ranking") {
     import graft.llm.Similarity
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
