@@ -47,10 +47,16 @@ object TextAnalysis {
     * and downstream exact dedup. Unicode canonicalization (NFC) is out
     * of scope here: Spark has no codegen'd normalizer, and a JVM-UDF
     * pass would not replicate engine-portably. */
+  /** The normalization TRANSFORM itself, as a reusable codegen'd
+    * expression — [[normalizeStats]] censuses it, pipeline compositions
+    * apply it. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r]+", " "))
+
   def normalizeStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val stripped = regexp_replace(col(textCol),
-      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    val collapsed = trim(regexp_replace(stripped, "[ \\t\\n\\r]+", " "))
+    val collapsed = normalized(col(textCol))
     docs.select(col(idCol).as("doc_id"),
       length(col(textCol)).cast("long").as("n_before"),
       length(collapsed).cast("long").as("n_after"),

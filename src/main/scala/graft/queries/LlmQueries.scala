@@ -357,6 +357,27 @@ object LlmQueries {
       Dedup.suffixDedupTexts(t(s, dir, "documents"), "doc_id", "text",
         minMatch = 20, maxSuffix = 60, bucketPrefix = 8)),
 
+    // clean→dedup end-to-end: planted noise normalized away, then
+    // duplicated substrings cut from the CLEANED text, censused per
+    // source — the round-11 families composed into one chain
+    "llm_clean_dedup_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val noise = when(col("doc_id") % 3 === 0,
+          concat(expr("chr(9)"), lit("x "), expr("chr(7)")))
+        .when(col("doc_id") % 3 === 1, lit("  double  spaced  tail "))
+        .otherwise(lit(""))
+      val cleaned = docs.select(col("doc_id"),
+        TextAnalysis.normalized(concat(col("text"), noise)).as("text"))
+      Dedup.suffixDedupTexts(cleaned, "doc_id", "text",
+          minMatch = 20, maxSuffix = 60, bucketPrefix = 8)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("clean_chars"),
+          sum(col("removed_chars")).as("removed_chars"),
+          countDistinct(col("kept_md5")).as("n_unique_kept"))
+    }),
+
     // classifier-based filtering (GPT-3/LLaMA recipe, fastText shape):
     // hashed set-of-words + full-batch perceptron — all-integer, so
     // training AND scoring replicate digit-for-digit. The synthetic
@@ -1393,6 +1414,86 @@ object LlmQueries {
              AS removed_chars,
            md5(COALESCE(k.kept, d.text)) AS kept_md5
          FROM documents d LEFT JOIN keptt k USING (doc_id)""",
+
+    // the chain replayed: planted noise + normalization prelude, then
+    // the identical removal CTEs over the CLEANED text, source census
+    "llm_clean_dedup_e2e" ->
+      """WITH e AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN chr(9) || 'x ' || chr(7)
+                  WHEN doc_id % 3 = 1 THEN '  double  spaced  tail '
+                  ELSE '' END AS t FROM documents),
+         cln AS (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(t,
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+               '[ \t\n\r]+', ' ', 'g')) AS text
+           FROM e),
+         sfx AS (
+           SELECT doc_id, CAST(gs + 1 AS INT) AS pos,
+                  substr(text, CAST(gs + 1 AS INT), 60) AS s
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS gs
+                 FROM cln)),
+         nb AS (
+           SELECT doc_id, pos, s,
+                  lead(s) OVER (PARTITION BY substr(s, 1, 8)
+                                ORDER BY s, doc_id, pos) AS nxt,
+                  lag(s)  OVER (PARTITION BY substr(s, 1, 8)
+                                ORDER BY s, doc_id, pos) AS prv
+           FROM sfx),
+         sc AS (
+           SELECT doc_id, pos,
+             greatest(
+               CASE WHEN nxt IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(length(s), length(nxt)) + 1),
+                     k -> substr(s, 1, CAST(k AS INT)) = substr(nxt, 1, CAST(k AS INT)))) END,
+               CASE WHEN prv IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(length(s), length(prv)) + 1),
+                     k -> substr(s, 1, CAST(k AS INT)) = substr(prv, 1, CAST(k AS INT)))) END
+             ) AS lcp
+           FROM nb),
+         iv AS (SELECT doc_id, pos AS s, pos + lcp AS e FROM sc WHERE lcp >= 20),
+         mg0 AS (
+           SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                 ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS new_seg
+           FROM iv),
+         mg1 AS (
+           SELECT doc_id, s, e,
+             SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM mg0),
+         mg AS (SELECT doc_id, seg, MIN(s) AS s, MAX(e) AS e
+                FROM mg1 GROUP BY doc_id, seg),
+         gp AS (
+           SELECT doc_id, s,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS o
+           FROM mg),
+         gaps AS (
+           SELECT g.doc_id, g.o,
+             substr(d.text, CAST(g.o AS INT), CAST(g.s - g.o AS INT)) AS piece
+           FROM gp g JOIN cln d USING (doc_id)),
+         tails AS (
+           SELECT m.doc_id, m.le AS o,
+             substr(d.text, CAST(m.le AS INT),
+                    CAST(length(d.text) - m.le + 1 AS INT)) AS piece
+           FROM (SELECT doc_id, MAX(e) AS le FROM mg GROUP BY doc_id) m
+           JOIN cln d USING (doc_id)),
+         keptt AS (
+           SELECT doc_id, string_agg(piece, '' ORDER BY o) AS kept
+           FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
+           GROUP BY doc_id),
+         per_doc AS (
+           SELECT d.doc_id, length(d.text) AS n_chars,
+             length(d.text) - length(COALESCE(k.kept, d.text)) AS removed,
+             md5(COALESCE(k.kept, d.text)) AS kept_md5
+           FROM cln d LEFT JOIN keptt k USING (doc_id))
+         SELECT s.source, COUNT(*) AS n_docs,
+           CAST(SUM(p.n_chars) AS BIGINT) AS clean_chars,
+           CAST(SUM(p.removed) AS BIGINT) AS removed_chars,
+           COUNT(DISTINCT p.kept_md5) AS n_unique_kept
+         FROM per_doc p JOIN documents s USING (doc_id)
+         GROUP BY s.source""",
 
     // the full suffix-sort algorithm replayed: same buckets, same sorted
     // neighbors, same prefix-closed LCP-by-filter-length trick (DuckDB
