@@ -504,21 +504,25 @@ object Dedup {
         wDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("seg"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-    // complement gaps: the piece BEFORE each merged interval + the tail
+    // complement gaps: the piece BEFORE each merged interval, plus — from
+    // the LAST interval per doc — the tail. One window marks both, so the
+    // corpus text joins the intervals ONCE (not once per piece kind)
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"),
       length(col(textCol)).as("_len"))
     val wSeg = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("s")
-    val gaps = merged
+    val withText = merged
       .withColumn("gap_s", coalesce(lag(col("e"), 1).over(wSeg), lit(1)))
+      .withColumn("is_last", lead(col("s"), 1).over(wSeg).isNull)
       .join(base, "doc_id")
+    val gaps = withText
       .select(col("doc_id"), col("gap_s").as("o"),
-        col("_t").substr(col("gap_s").cast("int"), (col("s") - col("gap_s")).cast("int")).as("piece"))
-    val tails = merged.groupBy(col("doc_id")).agg(max(col("e")).as("last_e"))
-      .join(base, "doc_id")
-      .select(col("doc_id"), col("last_e").as("o"),
-        col("_t").substr(col("last_e").cast("int"),
-          (col("_len") - col("last_e") + 1).cast("int")).as("piece"))
+        col("_t").substr(col("gap_s").cast("int"),
+          (col("s") - col("gap_s")).cast("int")).as("piece"))
+    val tails = withText.filter(col("is_last"))
+      .select(col("doc_id"), col("e").as("o"),
+        col("_t").substr(col("e").cast("int"),
+          (col("_len") - col("e") + 1).cast("int")).as("piece"))
     val rebuilt = gaps.unionByName(tails)
       .groupBy(col("doc_id"))
       .agg(array_join(expr("transform(array_sort(collect_list(struct(o, piece))), x -> x.piece)"),

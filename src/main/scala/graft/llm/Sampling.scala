@@ -202,17 +202,20 @@ object Sampling {
       sum(sqrt(col("n_docs").cast("double"))).as("z"),
       sum(col("n_docs")).as("n_all"))
     val th = counts.crossJoin(broadcast(norm))
-      .select(col(stratumCol),
+      .select(col(stratumCol).as("_st"),
         least(lit(1.0), round(lit(budget) * col("n_all") /
           (sqrt(col("n_docs").cast("double")) * col("z")), 6)).as("q"))
-    docs.join(broadcast(th), Seq(stratumCol))
-      .select(col(stratumCol), col("q"),
+    // NULL-SAFE stratum join: a null-stratum group gets a threshold like
+    // any other — a plain equi-join would silently drop its docs from
+    // the census entirely (no row, not even an n_total)
+    docs.join(broadcast(th), col(stratumCol) <=> col("_st"))
+      .select(col("_st"), col("q"),
         (hashBucket(col(idCol), salt) <
           floor(col("q") * 65536).cast("int")).as("_keep"))
-      .groupBy(col(stratumCol), col("q"))
+      .groupBy(col("_st"), col("q"))
       .agg(count(lit(1)).as("n_total"),
         count(when(col("_keep"), 1)).as("n_kept"))
-      .select(col(stratumCol), col("n_total"), col("n_kept"), col("q"))
+      .select(col("_st").as(stratumCol), col("n_total"), col("n_kept"), col("q"))
   }
 
   /** Mixing summary: per stratum, total vs sampled doc counts and the

@@ -205,7 +205,7 @@ object Similarity {
       queryPred: org.apache.spark.sql.Column, k: Int = 5,
       dims: Int = 32): DataFrame =
     bruteTopK(emb.select(col(idCol),
-        expr(s"slice($vecCol, 1, $dims)").as(vecCol)),
+        slice(col(vecCol), 1, dims).as(vecCol)),
       idCol, vecCol, queryPred, k)
 
   /** Two-stage serving read (the faiss refine / rerank pattern): the

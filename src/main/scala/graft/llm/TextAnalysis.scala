@@ -38,23 +38,22 @@ object TextAnalysis {
         length(col("_c")).as("chunk_len"), md5(col("_c")).as("chunk_md5"))
   }
 
-  /** TEXT NORMALIZATION (the standard pre-tokenization cleanup pass):
-    * strip C0/DEL control characters, collapse whitespace runs to one
-    * space, trim. Pure codegen'd `regexp_replace`/`trim` — normalizing
-    * 100 TB is a scan. Returns per-doc (doc_id, n_before, n_after,
-    * changed, norm_md5): the census says how dirty the corpus was, the
-    * hash pins the TRANSFORMATION itself (not just counts) for grading
-    * and downstream exact dedup. Unicode canonicalization (NFC) is out
-    * of scope here: Spark has no codegen'd normalizer, and a JVM-UDF
-    * pass would not replicate engine-portably. */
-  /** The normalization TRANSFORM itself, as a reusable codegen'd
-    * expression — [[normalizeStats]] censuses it, pipeline compositions
-    * apply it. */
+  /** The normalization TRANSFORM (the standard pre-tokenization cleanup
+    * pass): strip C0/DEL control characters, collapse whitespace runs to
+    * one space, trim — a reusable codegen'd expression, so normalizing
+    * 100 TB is a scan. [[normalizeStats]] censuses it, pipeline
+    * compositions apply it. Unicode canonicalization (NFC) is out of
+    * scope: Spark has no codegen'd normalizer, and a JVM-UDF pass would
+    * not replicate engine-portably. */
   def normalized(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
       "[ \\t\\n\\r]+", " "))
 
+  /** Per-doc normalization census: (doc_id, n_before, n_after, changed,
+    * norm_md5) — the census says how dirty the corpus was, the hash pins
+    * the TRANSFORMATION itself (not just counts) for grading and
+    * downstream exact dedup. */
   def normalizeStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val collapsed = normalized(col(textCol))
     docs.select(col(idCol).as("doc_id"),

@@ -266,12 +266,8 @@ object LlmQueries {
     // style) BOTH sides plant the same deterministic noise first
     "text_normalize" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val noise = when(col("doc_id") % 3 === 0,
-          concat(expr("chr(9)"), lit("x "), expr("chr(7)")))
-        .when(col("doc_id") % 3 === 1, lit("  double  spaced  tail "))
-        .otherwise(lit(""))
       TextAnalysis.normalizeStats(
-        docs.select(col("doc_id"), concat(col("text"), noise).as("text")),
+        docs.select(col("doc_id"), concat(col("text"), plantedNoise).as("text")),
         "doc_id", "text")
     }),
 
@@ -362,12 +358,8 @@ object LlmQueries {
     // source — the round-11 families composed into one chain
     "llm_clean_dedup_e2e" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val noise = when(col("doc_id") % 3 === 0,
-          concat(expr("chr(9)"), lit("x "), expr("chr(7)")))
-        .when(col("doc_id") % 3 === 1, lit("  double  spaced  tail "))
-        .otherwise(lit(""))
       val cleaned = docs.select(col("doc_id"),
-        TextAnalysis.normalized(concat(col("text"), noise)).as("text"))
+        TextAnalysis.normalized(concat(col("text"), plantedNoise)).as("text"))
       Dedup.suffixDedupTexts(cleaned, "doc_id", "text",
           minMatch = 20, maxSuffix = 60, bucketPrefix = 8)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
@@ -574,6 +566,86 @@ object LlmQueries {
 
   private val langScore: String => String = markers =>
     s"len(list_filter(string_split(text, ' '), x -> x IN ($markers)))"
+
+  /** ONE definition of the planted normalization noise (Spark side) —
+    * `text_normalize` and `llm_clean_dedup_e2e` must plant byte-identical
+    * bytes or the chained oracle diverges from the census oracle. */
+  private[queries] def plantedNoise: org.apache.spark.sql.Column =
+    when(col("doc_id") % 3 === 0,
+        concat(expr("chr(9)"), lit("x "), expr("chr(7)")))
+      .when(col("doc_id") % 3 === 1, lit("  double  spaced  tail "))
+      .otherwise(lit(""))
+
+  /** The SQL twin of [[plantedNoise]]. */
+  private val plantedNoiseSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN chr(9) || 'x ' || chr(7)
+            WHEN doc_id % 3 = 1 THEN '  double  spaced  tail '
+            ELSE '' END"""
+
+  /** The sorted-suffix LCP CTE chain (sfx → nb → sc) over `src` — ONE
+    * definition shared by the census, removal and chained-e2e oracles so
+    * the three replications of the same algorithm can never drift. */
+  private def suffixLcpCtes(src: String): String =
+    s"""sfx AS (
+           SELECT doc_id, CAST(gs + 1 AS INT) AS pos,
+                  substr(text, CAST(gs + 1 AS INT), 60) AS s
+           FROM (SELECT doc_id, text,
+                   unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS gs
+                 FROM $src)),
+         nb AS (
+           SELECT doc_id, pos, s,
+                  lead(s) OVER (PARTITION BY substr(s, 1, 8)
+                                ORDER BY s, doc_id, pos) AS nxt,
+                  lag(s)  OVER (PARTITION BY substr(s, 1, 8)
+                                ORDER BY s, doc_id, pos) AS prv
+           FROM sfx),
+         sc AS (
+           SELECT doc_id, pos,
+             greatest(
+               CASE WHEN nxt IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(length(s), length(nxt)) + 1),
+                     k -> substr(s, 1, CAST(k AS INT)) = substr(nxt, 1, CAST(k AS INT)))) END,
+               CASE WHEN prv IS NULL THEN 0 ELSE
+                 len(list_filter(range(1, least(length(s), length(prv)) + 1),
+                     k -> substr(s, 1, CAST(k AS INT)) = substr(prv, 1, CAST(k AS INT)))) END
+             ) AS lcp
+           FROM nb)"""
+
+  /** The interval-merge + gap-surgery CTE chain (iv → … → keptt) over
+    * the LCPs, reading text from `src`; pairs with [[suffixLcpCtes]]. */
+  private def suffixRemovalCtes(src: String): String =
+    s"""iv AS (SELECT doc_id, pos AS s, pos + lcp AS e FROM sc WHERE lcp >= 20),
+         mg0 AS (
+           SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                 ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS new_seg
+           FROM iv),
+         mg1 AS (
+           SELECT doc_id, s, e,
+             SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM mg0),
+         mg AS (SELECT doc_id, seg, MIN(s) AS s, MAX(e) AS e
+                FROM mg1 GROUP BY doc_id, seg),
+         gp AS (
+           SELECT doc_id, s,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS o
+           FROM mg),
+         gaps AS (
+           SELECT g.doc_id, g.o,
+             substr(d.text, CAST(g.o AS INT), CAST(g.s - g.o AS INT)) AS piece
+           FROM gp g JOIN $src d USING (doc_id)),
+         tails AS (
+           SELECT m.doc_id, m.le AS o,
+             substr(d.text, CAST(m.le AS INT),
+                    CAST(length(d.text) - m.le + 1 AS INT)) AS piece
+           FROM (SELECT doc_id, MAX(e) AS le FROM mg GROUP BY doc_id) m
+           JOIN $src d USING (doc_id)),
+         keptt AS (
+           SELECT doc_id, string_agg(piece, '' ORDER BY o) AS kept
+           FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
+           GROUP BY doc_id)"""
 
   /** DuckDB replay of [[graft.llm.Classifier.perceptronScores]], every
     * round unrolled as CTEs. All-integer arithmetic on both engines, so
@@ -1229,17 +1301,14 @@ object LlmQueries {
          SELECT ia, ib, round(cos, 6) AS cos FROM p
          ORDER BY cos DESC, ia, ib LIMIT 20""",
 
-    // same planted noise, same two regexes (DuckDB needs the explicit 'g'
-    // flag), same trim — the md5 pins the transformation byte for byte
+    // the SHARED planted noise, same two regexes (DuckDB needs the
+    // explicit 'g' flag), same trim — the md5 pins the transformation
     "text_normalize" ->
-      """WITH e AS (SELECT doc_id, text ||
-             CASE WHEN doc_id % 3 = 0 THEN chr(9) || 'x ' || chr(7)
-                  WHEN doc_id % 3 = 1 THEN '  double  spaced  tail '
-                  ELSE '' END AS t FROM documents),
+      s"""WITH e AS (SELECT doc_id, text || $plantedNoiseSql AS t FROM documents),
          n AS (SELECT doc_id, t,
              trim(regexp_replace(regexp_replace(t,
-               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-               '[ \t\n\r]+', ' ', 'g')) AS c
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '[ \\t\\n\\r]+', ' ', 'g')) AS c
            FROM e)
          SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
            CAST(length(c) AS BIGINT) AS n_after,
@@ -1298,7 +1367,7 @@ object LlmQueries {
                < CAST(floor(q * 65536) AS INT) THEN 1 ELSE 0 END AS keep
            FROM (SELECT lang, md5('mixapply:' || CAST(doc_id AS VARCHAR)) AS m
                  FROM documents) d
-           JOIN th USING (lang))
+           JOIN th ON d.lang IS NOT DISTINCT FROM th.lang)
          SELECT lang, COUNT(*) AS n_total, CAST(SUM(keep) AS BIGINT) AS n_kept, q
          FROM k GROUP BY lang, q""",
 
@@ -1349,66 +1418,13 @@ object LlmQueries {
     // sign tie rule — the model is exact, so the replication is too
     "text_classifier_quality" -> perceptronOracle(dims = 512, rounds = 4),
 
-    // the full removal pipeline replayed: the same suffix-LCP CTEs, the
-    // same running-max interval merge, the same gap/tail surgery, pieces
-    // re-joined with an ORDER BY that mirrors the order-pinned array_sort
+    // the full removal pipeline replayed from the SHARED CTE generators:
+    // same suffix-LCP chain, same running-max interval merge, same
+    // gap/tail surgery, pieces re-joined with an ORDER BY that mirrors
+    // the order-pinned array_sort
     "dedup_suffix_removal" ->
-      """WITH sfx AS (
-           SELECT doc_id, CAST(gs + 1 AS INT) AS pos,
-                  substr(text, CAST(gs + 1 AS INT), 60) AS s
-           FROM (SELECT doc_id, text,
-                   unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS gs
-                 FROM documents)),
-         nb AS (
-           SELECT doc_id, pos, s,
-                  lead(s) OVER (PARTITION BY substr(s, 1, 8)
-                                ORDER BY s, doc_id, pos) AS nxt,
-                  lag(s)  OVER (PARTITION BY substr(s, 1, 8)
-                                ORDER BY s, doc_id, pos) AS prv
-           FROM sfx),
-         sc AS (
-           SELECT doc_id, pos,
-             greatest(
-               CASE WHEN nxt IS NULL THEN 0 ELSE
-                 len(list_filter(range(1, least(length(s), length(nxt)) + 1),
-                     k -> substr(s, 1, CAST(k AS INT)) = substr(nxt, 1, CAST(k AS INT)))) END,
-               CASE WHEN prv IS NULL THEN 0 ELSE
-                 len(list_filter(range(1, least(length(s), length(prv)) + 1),
-                     k -> substr(s, 1, CAST(k AS INT)) = substr(prv, 1, CAST(k AS INT)))) END
-             ) AS lcp
-           FROM nb),
-         iv AS (SELECT doc_id, pos AS s, pos + lcp AS e FROM sc WHERE lcp >= 20),
-         mg0 AS (
-           SELECT doc_id, s, e,
-             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
-                 ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               -1) THEN 1 ELSE 0 END AS new_seg
-           FROM iv),
-         mg1 AS (
-           SELECT doc_id, s, e,
-             SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
-           FROM mg0),
-         mg AS (SELECT doc_id, seg, MIN(s) AS s, MAX(e) AS e
-                FROM mg1 GROUP BY doc_id, seg),
-         gp AS (
-           SELECT doc_id, s,
-             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS o
-           FROM mg),
-         gaps AS (
-           SELECT g.doc_id, g.o,
-             substr(d.text, CAST(g.o AS INT), CAST(g.s - g.o AS INT)) AS piece
-           FROM gp g JOIN documents d USING (doc_id)),
-         tails AS (
-           SELECT m.doc_id, m.le AS o,
-             substr(d.text, CAST(m.le AS INT),
-                    CAST(length(d.text) - m.le + 1 AS INT)) AS piece
-           FROM (SELECT doc_id, MAX(e) AS le FROM mg GROUP BY doc_id) m
-           JOIN documents d USING (doc_id)),
-         keptt AS (
-           SELECT doc_id, string_agg(piece, '' ORDER BY o) AS kept
-           FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
-           GROUP BY doc_id)
+      s"""WITH ${suffixLcpCtes("documents")},
+         ${suffixRemovalCtes("documents")}
          SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
            CAST(length(d.text) - length(COALESCE(k.kept, d.text)) AS BIGINT)
              AS removed_chars,
@@ -1416,73 +1432,16 @@ object LlmQueries {
          FROM documents d LEFT JOIN keptt k USING (doc_id)""",
 
     // the chain replayed: planted noise + normalization prelude, then
-    // the identical removal CTEs over the CLEANED text, source census
+    // the SHARED removal CTEs over the CLEANED text, source census
     "llm_clean_dedup_e2e" ->
-      """WITH e AS (SELECT doc_id, text ||
-             CASE WHEN doc_id % 3 = 0 THEN chr(9) || 'x ' || chr(7)
-                  WHEN doc_id % 3 = 1 THEN '  double  spaced  tail '
-                  ELSE '' END AS t FROM documents),
+      s"""WITH e AS (SELECT doc_id, text || $plantedNoiseSql AS t FROM documents),
          cln AS (SELECT doc_id,
              trim(regexp_replace(regexp_replace(t,
-               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-               '[ \t\n\r]+', ' ', 'g')) AS text
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+               '[ \\t\\n\\r]+', ' ', 'g')) AS text
            FROM e),
-         sfx AS (
-           SELECT doc_id, CAST(gs + 1 AS INT) AS pos,
-                  substr(text, CAST(gs + 1 AS INT), 60) AS s
-           FROM (SELECT doc_id, text,
-                   unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS gs
-                 FROM cln)),
-         nb AS (
-           SELECT doc_id, pos, s,
-                  lead(s) OVER (PARTITION BY substr(s, 1, 8)
-                                ORDER BY s, doc_id, pos) AS nxt,
-                  lag(s)  OVER (PARTITION BY substr(s, 1, 8)
-                                ORDER BY s, doc_id, pos) AS prv
-           FROM sfx),
-         sc AS (
-           SELECT doc_id, pos,
-             greatest(
-               CASE WHEN nxt IS NULL THEN 0 ELSE
-                 len(list_filter(range(1, least(length(s), length(nxt)) + 1),
-                     k -> substr(s, 1, CAST(k AS INT)) = substr(nxt, 1, CAST(k AS INT)))) END,
-               CASE WHEN prv IS NULL THEN 0 ELSE
-                 len(list_filter(range(1, least(length(s), length(prv)) + 1),
-                     k -> substr(s, 1, CAST(k AS INT)) = substr(prv, 1, CAST(k AS INT)))) END
-             ) AS lcp
-           FROM nb),
-         iv AS (SELECT doc_id, pos AS s, pos + lcp AS e FROM sc WHERE lcp >= 20),
-         mg0 AS (
-           SELECT doc_id, s, e,
-             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
-                 ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-               -1) THEN 1 ELSE 0 END AS new_seg
-           FROM iv),
-         mg1 AS (
-           SELECT doc_id, s, e,
-             SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
-           FROM mg0),
-         mg AS (SELECT doc_id, seg, MIN(s) AS s, MAX(e) AS e
-                FROM mg1 GROUP BY doc_id, seg),
-         gp AS (
-           SELECT doc_id, s,
-             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS o
-           FROM mg),
-         gaps AS (
-           SELECT g.doc_id, g.o,
-             substr(d.text, CAST(g.o AS INT), CAST(g.s - g.o AS INT)) AS piece
-           FROM gp g JOIN cln d USING (doc_id)),
-         tails AS (
-           SELECT m.doc_id, m.le AS o,
-             substr(d.text, CAST(m.le AS INT),
-                    CAST(length(d.text) - m.le + 1 AS INT)) AS piece
-           FROM (SELECT doc_id, MAX(e) AS le FROM mg GROUP BY doc_id) m
-           JOIN cln d USING (doc_id)),
-         keptt AS (
-           SELECT doc_id, string_agg(piece, '' ORDER BY o) AS kept
-           FROM (SELECT * FROM gaps UNION ALL SELECT * FROM tails)
-           GROUP BY doc_id),
+         ${suffixLcpCtes("cln")},
+         ${suffixRemovalCtes("cln")},
          per_doc AS (
            SELECT d.doc_id, length(d.text) AS n_chars,
              length(d.text) - length(COALESCE(k.kept, d.text)) AS removed,
@@ -1495,34 +1454,12 @@ object LlmQueries {
          FROM per_doc p JOIN documents s USING (doc_id)
          GROUP BY s.source""",
 
-    // the full suffix-sort algorithm replayed: same buckets, same sorted
-    // neighbors, same prefix-closed LCP-by-filter-length trick (DuckDB
-    // list_filter lambda = Spark's codegen'd higher-order filter)
+    // the full suffix-sort algorithm replayed from the SHARED CTE
+    // generator: same buckets, same sorted neighbors, same prefix-closed
+    // LCP-by-filter-length trick (DuckDB list_filter lambda = Spark's
+    // codegen'd higher-order filter)
     "dedup_suffix" ->
-      """WITH sfx AS (
-           SELECT doc_id, CAST(gs + 1 AS INT) AS pos,
-                  substr(text, CAST(gs + 1 AS INT), 60) AS s
-           FROM (SELECT doc_id, text,
-                   unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS gs
-                 FROM documents)),
-         nb AS (
-           SELECT doc_id, pos, s,
-                  lead(s) OVER (PARTITION BY substr(s, 1, 8)
-                                ORDER BY s, doc_id, pos) AS nxt,
-                  lag(s)  OVER (PARTITION BY substr(s, 1, 8)
-                                ORDER BY s, doc_id, pos) AS prv
-           FROM sfx),
-         sc AS (
-           SELECT doc_id,
-             greatest(
-               CASE WHEN nxt IS NULL THEN 0 ELSE
-                 len(list_filter(range(1, least(length(s), length(nxt)) + 1),
-                     k -> substr(s, 1, CAST(k AS INT)) = substr(nxt, 1, CAST(k AS INT)))) END,
-               CASE WHEN prv IS NULL THEN 0 ELSE
-                 len(list_filter(range(1, least(length(s), length(prv)) + 1),
-                     k -> substr(s, 1, CAST(k AS INT)) = substr(prv, 1, CAST(k AS INT)))) END
-             ) AS lcp
-           FROM nb)
+      s"""WITH ${suffixLcpCtes("documents")}
          SELECT doc_id, COUNT(*) AS n_sfx,
            CAST(SUM(CASE WHEN lcp >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
            CAST(MAX(lcp) AS BIGINT) AS max_dup_len
