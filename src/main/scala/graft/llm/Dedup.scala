@@ -3,6 +3,8 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.RangeBucket
+
 /** Content-level deduplication over document corpora — the operators a
   * large-scale training-data pipeline runs before anything else. All are
   * shuffle-on-key patterns that scale linearly: no all-pairs crossJoin
@@ -399,34 +401,38 @@ object Dedup {
     *
     *  1. explode every suffix start (stride 1 — exact), truncated to
     *     `maxSuffix` chars;
-    *  2. bucket by the first `bucketPrefix` chars. Any two suffixes with a
-    *     common prefix ≥ `minMatch` ≥ `bucketPrefix` share the bucket
-    *     (pigeonhole), so per-bucket sorting loses NO qualifying pair;
-    *  3. per bucket, sort suffixes and take each one's LCP with its sorted
-    *     neighbors (the suffix-array property: a suffix's maximal LCP with
-    *     ANY other suffix is attained at an adjacent suffix in sorted
-    *     order — and both candidates sit in its own bucket when ≥
-    *     minMatch);
-    *  4. per document: how many positions start a duplicated substring of
-    *     ≥ `minMatch` chars, and the longest duplicated run. `max_dup_len`
-    *     is exact in [`bucketPrefix`, `maxSuffix`]: runs shorter than the
-    *     bucket prefix can land in different buckets and go unmeasured
-    *     (they are below `minMatch` anyway, so the dedup signal
-    *     `dup_positions` is unaffected), and runs longer than `maxSuffix`
-    *     report the cap.
+    *  2. collapse to DISTINCT suffix values with counts (map-side-combined
+    *     `groupBy` — identical-value skew dies here: a boilerplate
+    *     sentence repeated 10⁹ times arrives pre-aggregated, and a
+    *     duplicated value's max-LCP is its own length by definition, no
+    *     sort ever sees the copies);
+    *  3. lay the distinct values out in range buckets cut at boundaries
+    *     sampled from the distinct values themselves, sort per bucket,
+    *     and take each value's LCP with its sorted neighbors (the
+    *     suffix-array property: a suffix's maximal LCP with ANY other
+    *     suffix is attained at an adjacent suffix in sorted order); the
+    *     adjacent pair spanning each bucket boundary is completed from
+    *     collected per-bucket extremes, so the layout moves WHERE the
+    *     sort runs, never the answer;
+    *  4. join the value-level LCP back to the instances and census per
+    *     document: how many positions start a duplicated substring of
+    *     ≥ `minMatch` chars, and the longest duplicated run (exact up to
+    *     the `maxSuffix` cap, which long runs report).
     *
     * A position's `lcp` depends only on the corpus's suffix MULTISET, so
-    * the census is deterministic. Everything is one explode + one
-    * hash-shuffle window + one aggregate: chars-in-corpus rows of ~
-    * `maxSuffix` bytes, no all-pairs anywhere. At 100 TB the explode
-    * factor is the cost knob — a stride-q variant subsamples start
-    * positions (recall trades at known odds, the paper's own
-    * engineering); buckets hash-shuffle, with hot-prefix skew bounded by
-    * lengthening `bucketPrefix`.
+    * the census is deterministic and independent of `buckets` — chars-in-
+    * corpus rows of ~`maxSuffix` bytes, no all-pairs anywhere. At 100 TB
+    * the explode factor is the cost knob — a stride-q variant subsamples
+    * start positions (recall trades at known odds, the paper's own
+    * engineering). The LAYOUT has no hot key by construction: identical
+    * values never meet a sort, and per-bucket distinct-value load is
+    * bounded by quantile-sampling error, not by Zipfian prefix mass (the
+    * round-11 hazard of prefix-bucketed windows, where one common 8-char
+    * opening could concentrate a corpus share on a single task).
     */
   def suffixDuplication(docs: DataFrame, idCol: String, textCol: String,
-      minMatch: Int = 20, maxSuffix: Int = 60, bucketPrefix: Int = 8): DataFrame =
-    suffixLcps(docs, idCol, textCol, minMatch, maxSuffix, bucketPrefix)
+      minMatch: Int = 20, maxSuffix: Int = 60, buckets: Int = 128): DataFrame =
+    suffixLcps(docs, idCol, textCol, minMatch, maxSuffix, buckets)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sfx"),
         sum(when(col("lcp") >= minMatch, 1L).otherwise(0L)).as("dup_positions"),
@@ -434,12 +440,24 @@ object Dedup {
 
   /** The sorted-suffix LCP core shared by [[suffixDuplication]] (census)
     * and [[suffixDedupTexts]] (removal): per suffix start, its maximal
-    * LCP with any other suffix (exact for LCPs in
-    * [bucketPrefix, maxSuffix]). Returns (doc_id, pos, lcp). */
+    * LCP with ANY other suffix in the corpus (exact up to the `maxSuffix`
+    * truncation). Returns (doc_id, pos, lcp).
+    *
+    * `buckets` shapes only the LAYOUT, never the answer. Two skew guards
+    * make the layout 100-TB-safe where a sort key follows a Zipfian
+    * corpus: (1) identical suffix values collapse through a map-side-
+    * combined `groupBy` before any sort — a duplicated value's max-LCP
+    * is `length(s)` by definition; (2) the DISTINCT values (unique by
+    * construction, so no residual hot key) sort inside range buckets cut
+    * at boundaries sampled from the distinct values themselves, and the
+    * adjacent pair spanning each bucket boundary is completed from
+    * collected per-bucket extremes, so no neighbor pair is lost to the
+    * partitioning. Boundaries and extremes are pure functions of the
+    * deterministic distinct-value SET, collected once into plan
+    * literals — every job in the chain buckets identically. */
   private def suffixLcps(docs: DataFrame, idCol: String, textCol: String,
-      minMatch: Int, maxSuffix: Int, bucketPrefix: Int): DataFrame = {
-    require(bucketPrefix <= minMatch,
-      s"bucketPrefix ($bucketPrefix) must be <= minMatch ($minMatch) or bucketing loses pairs")
+      minMatch: Int, maxSuffix: Int, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
     require(minMatch <= maxSuffix, s"minMatch ($minMatch) must be <= maxSuffix ($maxSuffix)")
     // LCP of two suffixes: the prefix-equal position set is prefix-closed,
     // so its SIZE is the longest common prefix — codegen'd higher-order
@@ -454,12 +472,45 @@ object Dedup {
         explode(sequence(lit(1), length(col(textCol)) - lit(minMatch - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
         col("_t").substr(col("pos"), lit(maxSuffix)).as("s"))
+    val byVal = sfx.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Boundary sample over DISTINCT values: md5 order is a seedless
+    // uniform draw, so bucket quantiles track the distinct-value
+    // distribution. The cache exists to amortize the TWO bounded
+    // planning jobs (sample + extremes) — the main plan below recomputes
+    // the deterministic aggregate once after unpersist, which costs one
+    // re-aggregation and can never change the result.
+    val sample = byVal.select(col("s"))
+      .orderBy(md5(col("s")), col("s")).limit(buckets * 32)
+      .collect().map(_.getString(0)).sorted(RangeBucket.Utf8Ordering)
+    val step = math.max(1, sample.length / buckets)
+    val boundaries: Array[String] =
+      (step until sample.length by step).map(i => sample(i - 1))
+        .take(buckets - 1).toArray
+    val bkt = RangeBucket.bucketCol(col("s"), boundaries.toSeq)
+    val edges = byVal.groupBy(bkt.as("_b"))
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    byVal.unpersist(blocking = false)
+    // cross-boundary completion: a bucket-min's global predecessor is the
+    // previous NONEMPTY bucket's max (and symmetrically for the max)
+    def neighborLit(pairs: Seq[(Int, String)]): Column =
+      if (pairs.isEmpty) lit(null).cast("string")
+      else element_at(
+        map(pairs.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("_b"))
+    val nextMin = neighborLit(edges.sliding(2).collect {
+      case Array((b, _, _), (_, mn2, _)) => b -> mn2 }.toSeq)
+    val prevMax = neighborLit(edges.sliding(2).collect {
+      case Array((_, _, mx1), (b2, _, _)) => b2 -> mx1 }.toSeq)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("s").substr(lit(1), lit(bucketPrefix)))
-      .orderBy(col("s"), col("doc_id"), col("pos"))
-    sfx.select(col("doc_id"), col("pos"), greatest(
-      lcp(col("s"), lead(col("s"), 1).over(w)),
-      lcp(col("s"), lag(col("s"), 1).over(w))).as("lcp"))
+      .partitionBy(col("_b")).orderBy(col("s"))
+    val valLcp = byVal.withColumn("_b", bkt)
+      .select(col("s"),
+        when(col("cnt") >= 2, length(col("s"))).otherwise(greatest(
+          lcp(col("s"), coalesce(lead(col("s"), 1).over(w), nextMin)),
+          lcp(col("s"), coalesce(lag(col("s"), 1).over(w), prevMax)))).as("lcp"))
+    sfx.join(valLcp, Seq("s")).select(col("doc_id"), col("pos"), col("lcp"))
   }
 
   /** EXACT duplicated-substring REMOVAL — the output the Lee et al.
@@ -487,8 +538,8 @@ object Dedup {
     * `minMatch`) keep their text byte-identically.
     */
   def suffixDedupTexts(docs: DataFrame, idCol: String, textCol: String,
-      minMatch: Int = 20, maxSuffix: Int = 60, bucketPrefix: Int = 8): DataFrame = {
-    val ivs = suffixLcps(docs, idCol, textCol, minMatch, maxSuffix, bucketPrefix)
+      minMatch: Int = 20, maxSuffix: Int = 60, buckets: Int = 128): DataFrame = {
+    val ivs = suffixLcps(docs, idCol, textCol, minMatch, maxSuffix, buckets)
       .filter(col("lcp") >= minMatch)
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + col("lcp")).as("e"))
     // merge overlapping/adjacent intervals: a new segment starts where

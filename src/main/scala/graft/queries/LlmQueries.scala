@@ -345,13 +345,13 @@ object LlmQueries {
     // (the Lee et al. suffix-array dedup, as relational operators)
     "dedup_suffix" -> ((s, dir) =>
       Dedup.suffixDuplication(t(s, dir, "documents"), "doc_id", "text",
-        minMatch = 20, maxSuffix = 60, bucketPrefix = 8)),
+        minMatch = 20, maxSuffix = 60, buckets = 128)),
 
     // the removal half: duplicated runs CUT, text rebuilt from the gaps,
     // graded on the census + md5 of the cleaned text
     "dedup_suffix_removal" -> ((s, dir) =>
       Dedup.suffixDedupTexts(t(s, dir, "documents"), "doc_id", "text",
-        minMatch = 20, maxSuffix = 60, bucketPrefix = 8)),
+        minMatch = 20, maxSuffix = 60, buckets = 128)),
 
     // clean→dedup end-to-end: planted noise normalized away, then
     // duplicated substrings cut from the CLEANED text, censused per
@@ -361,7 +361,7 @@ object LlmQueries {
       val cleaned = docs.select(col("doc_id"),
         TextAnalysis.normalized(concat(col("text"), plantedNoise)).as("text"))
       Dedup.suffixDedupTexts(cleaned, "doc_id", "text",
-          minMatch = 20, maxSuffix = 60, bucketPrefix = 8)
+          minMatch = 20, maxSuffix = 60, buckets = 128)
         .join(docs.select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -594,10 +594,8 @@ object LlmQueries {
                  FROM $src)),
          nb AS (
            SELECT doc_id, pos, s,
-                  lead(s) OVER (PARTITION BY substr(s, 1, 8)
-                                ORDER BY s, doc_id, pos) AS nxt,
-                  lag(s)  OVER (PARTITION BY substr(s, 1, 8)
-                                ORDER BY s, doc_id, pos) AS prv
+                  lead(s) OVER (ORDER BY s, doc_id, pos) AS nxt,
+                  lag(s)  OVER (ORDER BY s, doc_id, pos) AS prv
            FROM sfx),
          sc AS (
            SELECT doc_id, pos,
@@ -1455,9 +1453,10 @@ object LlmQueries {
          GROUP BY s.source""",
 
     // the full suffix-sort algorithm replayed from the SHARED CTE
-    // generator: same buckets, same sorted neighbors, same prefix-closed
-    // LCP-by-filter-length trick (DuckDB list_filter lambda = Spark's
-    // codegen'd higher-order filter)
+    // generator: same global sorted-neighbor LCPs (the engine's range
+    // bucketing is layout only — DuckDB replays the semantics with one
+    // global window), same prefix-closed LCP-by-filter-length trick
+    // (DuckDB list_filter lambda = Spark's codegen'd higher-order filter)
     "dedup_suffix" ->
       s"""WITH ${suffixLcpCtes("documents")}
          SELECT doc_id, COUNT(*) AS n_sfx,

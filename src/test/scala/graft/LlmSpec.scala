@@ -778,7 +778,7 @@ class LlmSpec extends AnyFunSuite {
       (3L, "KLMNOPQRST"), (4L, "XYXYXYXYXYXY"), (5L, "abc"))
       .toDF("doc_id", "text")
     val got = graft.llm.Dedup.suffixDuplication(docs, "doc_id", "text",
-      minMatch = 5, maxSuffix = 8, bucketPrefix = 2)
+      minMatch = 5, maxSuffix = 8, buckets = 2)
       .orderBy("doc_id")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
@@ -881,12 +881,53 @@ class LlmSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("suffix census survives planted skew and is bucket-layout-independent") {
+    // the round-11 hazard fixture, both skew modes planted: a third of
+    // the corpus opens with the same long prefix (Zipfian prefix mass —
+    // the case an 8-char-prefix window would funnel onto one task) and a
+    // 60-doc byte-identical cluster plants the hot-VALUE case
+    val hot = (1L to 40L).map(i => (i, s"COMMONOPENING shared boilerplate $i tail ${i * 7}"))
+    val ident = (41L to 100L).map(i => (i, "IDENTICAL DOCUMENT BODY REPEATED VERBATIM"))
+    val uniq = (101L to 120L).map(i => (i, s"distinct content ${i * 13} q${i % 7} z${i * 31}"))
+    val docs = (hot ++ ident ++ uniq).toDF("doc_id", "text")
+    val minMatch = 10
+    val maxSuffix = 24
+    def census(buckets: Int) =
+      graft.llm.Dedup.suffixDuplication(docs, "doc_id", "text",
+          minMatch, maxSuffix, buckets)
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val got = census(7)
+    // partition-count-independence: 1 bucket (degenerate global sort),
+    // 7 (boundaries slice through the hot prefix run), 64 (more buckets
+    // than sampled values) must all agree bit for bit
+    assert(census(1) == got && census(64) == got,
+      "the census must not depend on the bucket layout")
+    // brute-force suffix-array oracle: sort ALL truncated suffixes
+    // byte-wise, take each one's max adjacent LCP
+    def lcpOf(a: String, b: String): Int =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size
+    val all = (hot ++ ident ++ uniq).flatMap { case (id, t) =>
+      (1 to t.length - minMatch + 1).map(p =>
+        (id, p, t.substring(p - 1, math.min(t.length, p - 1 + maxSuffix))))
+    }
+    val sorted = all.sortBy(_._3)(graft.functions.RangeBucket.Utf8Ordering)
+    val expect = sorted.indices.map { i =>
+      val (id, _, s) = sorted(i)
+      val l = if (i > 0) lcpOf(s, sorted(i - 1)._3) else 0
+      val r = if (i < sorted.length - 1) lcpOf(s, sorted(i + 1)._3) else 0
+      (id, math.max(l, r))
+    }.groupBy(_._1).toSeq.map { case (id, xs) =>
+      (id, xs.size.toLong, xs.count(_._2 >= minMatch).toLong, xs.map(_._2).max.toLong)
+    }.sortBy(_._1)
+    assert(got == expect, s"census disagrees with the brute-force suffix array")
+  }
+
   test("suffixDedupTexts cuts duplicated runs and rebuilds the gaps") {
     val docs = Seq((1L, "ABCDEFGHIJ"), (2L, "ABCDEFGHIJ"), (3L, "KLMNOPQRST"),
       (5L, "abcdeDUPLICATEDRUNxyzfg"), (6L, "DUPLICATEDRUN"))
       .toDF("doc_id", "text")
     val got = graft.llm.Dedup.suffixDedupTexts(docs, "doc_id", "text",
-      minMatch = 5, maxSuffix = 8, bucketPrefix = 2)
+      minMatch = 5, maxSuffix = 8, buckets = 2)
       .orderBy("doc_id").select("doc_id", "n_chars", "removed_chars")
       .as[(Long, Long, Long)].collect().toSeq
     // twins fully duplicated -> fully removed; unique doc untouched; the
