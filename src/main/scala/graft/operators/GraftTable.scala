@@ -845,11 +845,17 @@ class GraftTable(
     val idxDir = Paths.get(root, "_graft", "rli", s"c${prev.seq}")
     if (!Files.exists(idxDir)) return None
     val boundaries = readRliMeta(idxDir)
-    val bcB = spark.sparkContext.broadcast(boundaries)
-    val bucketOf = udf((k: String) => GraftTable.rliRangeBucket(k, bcB.value))
+    // codegen'd range-bucket probe (boundaries embed as literals — ≤
+    // numBuckets short strings); a null record key surfaces loudly
+    // instead of routing to a phantom bucket
     val touched = batch
-      .select(bucketOf(col(Meta.RecordKey)).as("bucket")).distinct()
-      .collect().map(_.getInt(0))
+      .select(graft.functions.RangeBucket.bucketCol(col(Meta.RecordKey),
+        boundaries.toSeq).as("bucket")).distinct()
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          "batch contains a NULL record key — record keys must be non-null")
+        r.getInt(0)
+      }
     // buckets empty at build time have no dir; keys bucketing there are
     // pure inserts
     val present = touched.filter(b => Files.exists(idxDir.resolve(s"bucket=$b")))
@@ -2019,29 +2025,34 @@ class GraftTable(
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val boundaries = GraftTable.rliBoundaries(c.files, numBuckets)
-    val bcB = spark.sparkContext.broadcast(boundaries)
-    val bucketOf = udf((k: String) => GraftTable.rliRangeBucket(k, bcB.value))
     val tmp = Paths.get(root, "_graft", "rli",
       s".c${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}")
     scanFiles(c.files, schema)
       .select(col(Meta.RecordKey),
         rliToRel(input_file_name()).as("path"),
-        bucketOf(col(Meta.RecordKey)).as("bucket"))
+        graft.functions.RangeBucket.bucketCol(col(Meta.RecordKey),
+          boundaries.toSeq).as("bucket"))
       .repartition(math.min(boundaries.length + 1, 32), col("bucket"))
       .write.partitionBy("bucket").parquet(tmp.toString)
     publishRli(tmp, idxDir, boundaries)
     c.seq
   }
 
-  /** Scan-URI → table-relative path (shared by the index build paths). */
-  private def rliToRel: Column => Column = {
+  /** Scan-URI → table-relative path (shared by the index build paths).
+    * Pure-expression equivalent of `new URI(uri).getPath` + root-strip,
+    * so the index build stays whole-stage codegen'd: drop the
+    * `scheme:[//authority]` head, percent-decode (protecting literal
+    * `+`, which form-decoding would otherwise turn into a space — URI
+    * path decoding does not), fall back to the undecoded path on a
+    * malformed escape like the old try/catch did. */
+  private def rliToRel: Column => Column = { uriCol =>
     val rootAbs = Paths.get(root).toAbsolutePath.toString.stripSuffix("/")
-    val f = udf { (uri: String) =>
-      val p = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
-      val i = p.indexOf(rootAbs)
-      if (i < 0) p else p.substring(i + rootAbs.length + 1)
-    }
-    f(_)
+    val stripped = regexp_replace(uriCol, "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", "")
+    val path = coalesce(
+      try_url_decode(regexp_replace(stripped, "\\+", "%2B")), stripped)
+    val at = locate(rootAbs, path)
+    when(at === 0, path)
+      .otherwise(path.substr(at + lit(rootAbs.length + 1), length(path)))
   }
 
   /** Stamp the bucket boundaries and atomically publish an index build
@@ -2121,8 +2132,6 @@ class GraftTable(
     }.toSet
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val bcB = spark.sparkContext.broadcast(boundaries)
-    val bucketOf = udf((k: String) => GraftTable.rliRangeBucket(k, bcB.value))
     val tmp = rliRoot.resolve(
       s".c${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}")
     if (affected.isEmpty) Files.createDirectories(tmp)
@@ -2135,7 +2144,8 @@ class GraftTable(
         .filter(Files.exists(_)).map(_.toString)
       val fresh = scanFiles(added, schema)
         .select(col(Meta.RecordKey), rliToRel(input_file_name()).as("path"),
-          bucketOf(col(Meta.RecordKey)).as("bucket"))
+          graft.functions.RangeBucket.bucketCol(col(Meta.RecordKey),
+            boundaries.toSeq).as("bucket"))
       val priorPart =
         if (priorAffected.isEmpty) None
         else Some(spark.read.option("basePath", priorDir.toString)
@@ -3149,18 +3159,7 @@ object GraftTable {
     * comparison (UTF-16 code units) disagrees for supplementary
     * characters, which would let interval pruning skip an affected file.
     */
-  def cmpKey(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xFF) - (y(i) & 0xFF)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  def cmpKey(a: String, b: String): Int = graft.functions.RangeBucket.cmpUtf8(a, b)
 
   /** Default bucket count for the record-level index sidecar. */
   val DefaultRliBuckets: Int = 64
@@ -3206,17 +3205,11 @@ object GraftTable {
 
   /** Bucket of `key` under range `boundaries`: the first i with
     * key ≤ boundaries(i), else boundaries.length (the open last bucket).
-    * O(log buckets) binary search, identical on the build (executor UDF)
-    * and probe (driver) sides. */
-  def rliRangeBucket(key: String, boundaries: Array[String]): Int = {
-    var lo = 0
-    var hi = boundaries.length
-    while (lo < hi) {
-      val m = (lo + hi) >>> 1
-      if (cmpKey(key, boundaries(m)) <= 0) hi = m else lo = m + 1
-    }
-    lo
-  }
+    * Driver-side probes use this JVM form; executor-side routing uses
+    * the codegen'd twin `RangeBucket.bucketCol` — bit-equality pinned
+    * in ExpressionSpec. */
+  def rliRangeBucket(key: String, boundaries: Array[String]): Int =
+    graft.functions.RangeBucket.bucketOf(key, boundaries)
 
   /** Span-list degeneracy cap for the pruned [[GraftTable.changesDiff]]:
     * above this many disjoint changed-key spans the residual OR-chain

@@ -8,6 +8,35 @@ class ExpressionSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("RangeBucket.bucketCol is bit-identical to the JVM binary search") {
+    import graft.functions.RangeBucket
+    // boundary set with multi-byte UTF-8: U+FB00 (3-byte) vs U+1D11E
+    // (4-byte) sort OPPOSITE ways under UTF-16 code units vs UTF-8
+    // bytes — the Column form must follow the byte order, like cmpKey
+    val boundaries = Array("apple", "m", "zebra", "ﬀ", "𝄞")
+      .sorted(RangeBucket.Utf8Ordering)
+    assert(boundaries.takeRight(2).toSeq == Seq("ﬀ", "𝄞"),
+      "UTF-8 byte order must place the 4-byte astral char last")
+    val keys = Seq("", "a", "apple", "applf", "m", "n", "zebra", "zz",
+      "ﬀ", "ﬀa", "𝄞", "𝄞x", "~", "é")
+    val viaCol = keys.toDF("k")
+      .select(col("k"), RangeBucket.bucketCol(col("k"), boundaries.toSeq).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    keys.foreach { k =>
+      assert(viaCol(k) == RangeBucket.bucketOf(k, boundaries),
+        s"bucket mismatch for ${k.codePoints().toArray.toSeq}")
+      assert(viaCol(k) == graft.operators.GraftTable.rliRangeBucket(k, boundaries),
+        s"rliRangeBucket drift for $k")
+    }
+    // null key -> null bucket, not a phantom last bucket
+    val nb = Seq[(Integer, String)]((1, null)).toDF("i", "k")
+      .select(RangeBucket.bucketCol(col("k"), boundaries.toSeq)).collect()
+    assert(nb.head.isNullAt(0))
+    // empty boundary array: everything lands in bucket 0
+    assert(Seq("x").toDF("k")
+      .select(RangeBucket.bucketCol(col("k"), Nil)).head().getInt(0) == 0)
+  }
+
   test("FloatVectorDot matches the zip_with/aggregate composable form bit-for-bit") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

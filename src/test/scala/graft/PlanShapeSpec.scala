@@ -231,12 +231,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
-  test("suffix dedup is explode + ONE window shuffle — no join, no UDF") {
+  test("suffix dedup: distinct-value window on range buckets, equi join-back, no UDF") {
     val p = plan("dedup_suffix")
-    assert(!p.contains("Join"), "suffix census must not join anything")
     assert(!p.contains("ScalaUDF"), "LCP must be codegen'd higher-order functions")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the value-LCP join-back must stay an equi join")
     val windows = "\\bWindow\\b".r.findAllIn(p).length
-    assert(windows == 1, s"exactly one window pass over the suffix table ($windows found)")
+    assert(windows == 1, s"exactly one window pass, over DISTINCT values ($windows found)")
+    // the skew guard: the window partitions by the sampled range bucket
+    // (_b), never by a raw text prefix — a substr in the window partition
+    // spec would resurrect the round-11 Zipf hot-prefix hazard
+    assert(p.contains("_b"), "window must partition on the range-bucket column")
+    assert(!"partitionBy.*substr|windowspecdefinition\\(substr".r
+      .findFirstIn(p.toLowerCase).isDefined,
+      "no prefix-substr window partitioning")
+    // identical-value skew dies in a map-side-combined aggregate BEFORE
+    // any sort: the distinct-value groupBy must show a partial pass
+    assert("partial_count".r.findFirstIn(p).isDefined,
+      "distinct-value collapse must be a partial (map-side) aggregate")
   }
 
   test("classifier scoring broadcasts the weight vector; no all-pairs, no UDF") {
