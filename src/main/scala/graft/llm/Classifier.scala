@@ -87,6 +87,11 @@ object Classifier {
     val out = scored.join(labels, "doc_id")
       .select(col("doc_id"), col("y"), col("score"),
         when(col("score") > 0, 1).otherwise(-1).as("pred"))
+      // pin the scores while the feature cache is still live: the caller's
+      // first action runs after the unpersist below, and without this it
+      // would recompute the hashed-feature table from scratch — the cache
+      // would have served only the training rounds
+      .localCheckpoint(true)
     feats.unpersist(blocking = false)
     out
   }

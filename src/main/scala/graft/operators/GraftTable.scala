@@ -761,7 +761,14 @@ class GraftTable(
         lastPlanner = "bucket"
         val touched = batch
           .select(GraftTable.bucketExprOf(col(Meta.RecordKey), bucketCount).as("_b"))
-          .distinct().collect().map(_.getInt(0).toString).toSet
+          .distinct().collect().map { r =>
+            // a NULL record key would bucket to the hive null-partition
+            // dir (which no string bucket set matches) and NPE here —
+            // fail with a diagnosable message instead
+            require(!r.isNullAt(0),
+              "batch contains a NULL record key — record keys must be non-null")
+            r.getInt(0).toString
+          }.toSet
         prev.files.partition(f =>
           f.partition.get(GraftTable.BucketCol).forall(touched))
       }

@@ -158,8 +158,9 @@ class GraftCatalog extends TableCatalog {
     *
     *  - `record_key` (REQUIRED) — comma-separated key columns;
     *  - `ordering` — precombine column (default `trx_seq`; when the
-    *    schema lacks the default, SQL writes inject a per-statement
-    *    monotone stamp so successive INSERTs still latest-win);
+    *    schema lacks the default, no ordering column is injected — the
+    *    merge tie falls through to the commit sequence, so successive
+    *    SQL writes still latest-win at statement granularity);
     *  - `type` — COW (default) / MOR;
     *  - `stats_columns`, `key_blooms`, `bloom_columns`, `global_index`,
     *    `partial_update`, `rli_maintain`, `compact_every`,
@@ -280,15 +281,24 @@ class GraftCatalog extends TableCatalog {
     val registered = GraftSql.lookupRegistered(name)
     val wh = warehouseRoot(name)
     if (registered.isEmpty && wh.isEmpty) return false
-    val underWarehouse: String => Boolean = r => warehouseDir.exists(w =>
-      java.nio.file.Paths.get(r).toAbsolutePath.normalize
-        .startsWith(java.nio.file.Paths.get(w).toAbsolutePath.normalize))
+    // managed = the exact directory the warehouse would have created for
+    // this name (root's parent IS the warehouse dir AND the dir carries
+    // the table's name — the same strict test renameTable uses). A mere
+    // path-prefix test would misclassify a table created with an explicit
+    // LOCATION somewhere under the warehouse as managed and delete its
+    // files — and in the degenerate LOCATION-equals-warehouse case the
+    // recursive walk would take every other table with it.
+    val managedAt: String => Boolean = r => warehouseDir.exists { w =>
+      val p = java.nio.file.Paths.get(r).toAbsolutePath.normalize
+      p.getParent == java.nio.file.Paths.get(w).toAbsolutePath.normalize &&
+        p.getFileName.toString == name
+    }
     // delete files only for the root of the table THIS DROP resolved: a
     // registered external table never deletes a same-named warehouse dir
     // it merely shadowed (resolve() prefers the registry, so that dir was
     // not the table being dropped)
     val managedRoot = registered match {
-      case Some(t) => Some(t.root).filter(underWarehouse)
+      case Some(t) => Some(t.root).filter(managedAt)
       case None => wh
     }
     GraftSql.deregister(org.apache.spark.sql.SparkSession.active, name)

@@ -550,6 +550,35 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT * FROM graft.ddl_t2").collect())
   }
 
+  test("DROP with explicit LOCATION under the warehouse stays external") {
+    val wh = tmp()
+    GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      // the LOCATION points INSIDE the warehouse tree but is not the
+      // directory the warehouse would have created for this name — a
+      // path-prefix managed test would delete it (and in the degenerate
+      // LOCATION-equals-warehouse case, every sibling table with it)
+      val loc = s"$wh/external_zone/ddl_ext"
+      spark.sql(
+        s"""CREATE TABLE graft.ddl_ext (id BIGINT, v STRING)
+            LOCATION '$loc'
+            TBLPROPERTIES ('record_key'='id')""")
+      spark.sql("INSERT INTO graft.ddl_ext VALUES (1, 'a')")
+      spark.sql("DROP TABLE graft.ddl_ext")
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(loc, "_graft", "table.json")),
+        "explicit-LOCATION table files must survive DROP even under the warehouse")
+      // the genuinely managed shape (parent == warehouse, dir == name)
+      // still deletes
+      spark.sql(
+        """CREATE TABLE graft.ddl_mgd (id BIGINT)
+           TBLPROPERTIES ('record_key'='id')""")
+      spark.sql("DROP TABLE graft.ddl_mgd")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wh, "ddl_mgd")))
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
   test("ALTER TABLE ADD/RENAME/DROP COLUMN route the schema-evolution commits") {
     val t = mk("sqlspec_ddl_alter")
     val filesBefore = t.latestCommit().get.files.map(_.path)
