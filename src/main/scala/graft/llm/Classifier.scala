@@ -71,10 +71,7 @@ object Classifier {
     val labels = docs.select(col(idCol).as("doc_id"),
       when(posLabel, 1).otherwise(-1).as("y"))
     val w = Array.fill(dims + 1)(0L)
-    def weightDf: DataFrame =
-      w.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("f", "w")
-    def scored: DataFrame = feats.join(broadcast(weightDf), "f")
-      .groupBy("doc_id").agg(sum(col("cnt") * col("w")).as("score"))
+    def scored: DataFrame = scorePlan(feats, w.toSeq)
     for (_ <- 1 to rounds) {
       val mis = scored.join(labels, "doc_id")
         .filter(when(col("score") > 0, 1).otherwise(-1) =!= col("y"))
@@ -94,5 +91,19 @@ object Classifier {
       .localCheckpoint(true)
     feats.unpersist(blocking = false)
     out
+  }
+
+  /** The one scoring plan every perceptron pass runs — training rounds
+    * and the final output both come through here, so the plan-shape
+    * contract (the O(dims) weight vector BROADCASTS onto the feature
+    * table; the corpus is never nested-looped) is auditable on the
+    * exact constructor the algorithm uses, including after the output
+    * itself is checkpoint-pinned. */
+  private[graft] def scorePlan(feats: DataFrame, w: Seq[Long]): DataFrame = {
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val weightDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toDF("f", "w")
+    feats.join(broadcast(weightDf), "f")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("w")).as("score"))
   }
 }

@@ -193,23 +193,38 @@ object Dedup {
     * hash each band, equi-join on (band, hash) for candidates, then verify
     * candidates with exact Jaccard. Candidate generation is a shuffle join
     * on band hash — never all-pairs.
+    *
+    * Two guards keep the band join linear in TRUE output at crawl scale,
+    * where thousands of byte-identical copies of one page are the norm:
+    *
+    *  - **identical signatures collapse before banding.** Docs sharing a
+    *    full signature become ONE representative in the band join (a
+    *    1k-copy cluster contributed 16 bands × 500k pairs to the old
+    *    join; it now contributes one row per band), and their member
+    *    pairs are emitted directly from a signature equi-join — already
+    *    proportional to the true pair output, each pair exactly once,
+    *    and still exactly verified (an across-set signature collision
+    *    must not fake a Jaccard).
+    *  - **dense cross-signature buckets are capped.** A (band, hash)
+    *    bucket holding more than `maxBandFreq` DISTINCT signatures stops
+    *    generating pairs — the quadratic-candidate guard `maxDocFreq`
+    *    already gives the shingle postings. RECALL CONTRACT: a pair is
+    *    found iff some band bucket of ≤ `maxBandFreq` distinct
+    *    signatures contains both — distinct signatures differ somewhere,
+    *    so a capped bucket's docs normally still meet in their other,
+    *    sparser bands; identical docs are NEVER affected (one rep — no
+    *    bucket density from copies). The default is far above any sane
+    *    bucket density; lower it only with the contract in mind.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4): DataFrame = {
+      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4,
+      maxBandFreq: Int = 1024): DataFrame = {
     // uncached for the same reason as [[pairOverlaps]]: every consumer
     // (signature agg, count table, both posting sides) shuffles the same
     // canonicalized shingle subtree, so ReuseExchange shares one
     // computation without pinning executor memory for the session
     val sh = shingles(docs, idCol, textCol)
-    val sig = minhashSignatures(sh, idCol)
-    val banded = sig.select(col(idCol).as("id"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
-      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
+    val cand = minhashCandidates(sh, idCol, bands, rows, maxBandFreq)
 
     // exact verification of the candidate set, prefiltered by the exact
     // size bound J ≤ min(|A|,|B|)/max(|A|,|B|): a candidate whose
@@ -232,6 +247,41 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** The [[minhashPairs]] candidate generator (exposed for the skew
+    * tests): signature-collapsed band-LSH pairs ∪ within-signature
+    * member pairs, canonically oriented (ia < ib), distinct. */
+  private[graft] def minhashCandidates(sh: DataFrame, idCol: String,
+      bands: Int, rows: Int, maxBandFreq: Int): DataFrame = {
+    require(maxBandFreq >= 1, s"maxBandFreq must be >= 1 (got $maxBandFreq)")
+    val member = minhashSignatures(sh, idCol)
+      .select(col(idCol).as("id"), col("sig"))
+    // one representative per DISTINCT signature enters the band join;
+    // copy count never shows up as bucket density
+    val reps = member.groupBy(col("sig")).agg(min(col("id")).as("rid"))
+    val banded = reps.select(col("rid"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
+      .select(col("rid"), col("sig"), col("pos").as("band"), col("col").as("bh"))
+    // dense-bucket cap: the count window is LINEAR in the bucket (the
+    // quadratic step it guards is the self-join below)
+    val admitted = banded.withColumn("_nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("_nb") <= maxBandFreq)
+    val crossSig = admitted.as("x").join(admitted.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.rid") < col("y.rid"))
+      .select(col("x.sig").as("siga"), col("y.sig").as("sigb")).distinct()
+    val cross = crossSig
+      .join(member.select(col("sig").as("siga"), col("id").as("ia")), Seq("siga"))
+      .join(member.select(col("sig").as("sigb"), col("id").as("ib")), Seq("sigb"))
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"))
+    val within = member.as("a").join(member.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+    within.unionByName(cross).distinct()
   }
 
   /** Connected components over an undirected edge list — the step that

@@ -30,6 +30,42 @@ class LlmSpec extends AnyFunSuite {
     assert(twinPairs.forall(_._3 == 1.0))
   }
 
+  test("minhash band join survives a planted 1k-identical cluster; cap spares copies") {
+    // the crawl-scale hazard: 1000 byte-identical copies of one page.
+    // Pre-collapse, the band self-join emitted bands × n²/2 rows for it;
+    // collapsed, the cluster is ONE band representative and candidates
+    // are exactly the true member pairs
+    val n = 1000
+    val cluster = (1L to n.toLong).map(i =>
+      (i, "the same boilerplate page body repeated verbatim across the crawl"))
+    val nearA = (2001L, "alpha beta gamma delta epsilon zeta eta theta")
+    val nearB = (2002L, "alpha beta gamma delta epsilon zeta eta iota")
+    val far = (3001L, "something else entirely about unrelated topics ten words long")
+    val docs = (cluster ++ Seq(nearA, nearB, far)).toDF("doc_id", "text")
+    val truePairs = n.toLong * (n - 1) / 2
+    val cands = Dedup.minhashCandidates(Dedup.shingles(docs, "doc_id", "text"),
+      "doc_id", bands = 16, rows = 4, maxBandFreq = 1024).count()
+    assert(cands >= truePairs && cands <= truePairs + 20,
+      s"candidate volume must be output-proportional, got $cands for $truePairs true pairs")
+    // the TIGHTEST cap (every 2+-distinct-signature bucket dropped) must
+    // not lose a single identical-cluster pair: copies carry no bucket
+    // density, so only the cross-signature near-dup pair may disappear
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxBandFreq = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.length == truePairs,
+      s"cap=1 must keep exactly the identical-cluster pairs, got ${capped.length}")
+    assert(capped.forall(_._3 == 1.0))
+    assert(capped.forall { case (a, b, _) => a <= n && b <= n })
+    // the default cap changes nothing: all cluster pairs verified at 1.0,
+    // extras (if the near pair's bands collide) only among the near twins
+    val dflt = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dflt.count { case (a, b, _) => a <= n && b <= n } == truePairs)
+    assert(dflt.forall { case (a, b, _) =>
+      (a <= n && b <= n) || (a == 2001L && b == 2002L) })
+  }
+
   test("SimHash places exact twins at hamming distance 0") {
     val pairs = Dedup.simhashPairs(twins, "doc_id", "text", maxDist = 0)
       .select($"ia", $"ib").as[(Long, Long)].collect().toSet

@@ -252,7 +252,14 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("classifier scoring broadcasts the weight vector; no all-pairs, no UDF") {
-    val p = plan("text_classifier_quality")
+    // audit the shared scoring constructor — the SAME plan every training
+    // round and the final output run (the output DataFrame itself is
+    // checkpoint-pinned while the feature cache is live, so its own plan
+    // is an opaque ExistingRDD scan by design)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val feats = graft.llm.Classifier.hashedFeatures(docs, "doc_id", "text", 512, binary = true)
+    val p = graft.llm.Classifier.scorePlan(feats, Seq.fill(513)(0L))
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"),
       "the O(dims) weight vector must broadcast-join the feature table")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
