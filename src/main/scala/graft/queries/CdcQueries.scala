@@ -654,6 +654,36 @@ object CdcScenario {
       t
     })
 
+  /** DSv2 streaming WRITE through the catalog — the same three CDC
+    * batches drain from the raw zone via
+    * `df.writeStream.toTable("graft.<t>")` (executor-staged epochs,
+    * per-epoch commit through the table's own upsert;
+    * [[graft.streaming.GraftStreamingWrite]]) instead of the
+    * `foreachBatch` bridge. Graded on the final state equalling the
+    * batch CDC apply, i.e. the same oracle as `st_stream_ingest`. */
+  def catalogSink(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"catsink:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-catsink")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val t = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val schema = fullLoad(s, dir).schema
+      // commit 0 pins the declared schema (what toTable resolves up
+      // front), exactly like SQL CREATE TABLE
+      t.bulkInsert(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      graft.sql.GraftSql.register(s, "catsink_scn", t)
+      Seq(fullLoad(s, dir), batchA(s, dir), batchB(s, dir)).foreach { b =>
+        b.coalesce(1).write.mode("append").parquet(raw)
+        val q = s.readStream.schema(schema).parquet(raw)
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft.catsink_scn")
+        require(q.awaitTermination(180000), "catalog sink drain timed out")
+      }
+      t
+    })
+
   /** Streaming ingest of a gzipped-JSONL raw zone (the LLM corpus format
     * arriving as a live feed): the same CDC batches land as `.json.gz`
     * shards and are drained by the same Structured Streaming loop with an
@@ -985,6 +1015,11 @@ object CdcQueries {
     }),
     // S3/ST2: Structured Streaming ingest of the same batches
     "st_stream_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamed(s, dir))),
+    // DSv2 streaming WRITE: df.writeStream.toTable("graft.t") drains the
+    // same CDC batches through staged epochs + the engine's upsert; the
+    // final state equals the batch CDC apply (same oracle as the
+    // foreachBatch sink it generalizes)
+    "st_catalog_sink" -> ((s, dir) => statusAgg(CdcScenario.catalogSink(s, dir))),
     // S3/ST2 over a gzipped-JSONL zone: same loop, text-format source
     "st_jsonl_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamedJsonl(s, dir))),
     // S3/ST2 over a gzipped CSV zone (the stock DMS target format, live)
@@ -1529,6 +1564,7 @@ object CdcQueries {
            (CAST(0 AS BIGINT), 'clone'),
            (CAST(1 AS BIGINT), 'compact')) AS t(seq, action)""",
     "st_stream_ingest" -> statusAggSql,
+    "st_catalog_sink" -> statusAggSql,
     // the DSv2 catalog stream's drained snapshot = the batch final state
     "st_catalog_stream" -> statusAggSql,
     "st_jsonl_ingest" -> statusAggSql,

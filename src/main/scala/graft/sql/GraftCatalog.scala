@@ -398,7 +398,7 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
     (Set(TableCapability.BATCH_READ) ++
       (if (writeTable.isDefined)
         Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-          TableCapability.MICRO_BATCH_READ)
+          TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
       else Set.empty[TableCapability])).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -413,15 +413,28 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
     * read-only. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     writeTable match {
-      case Some(t) => new GraftWriteBuilder(t)
+      case Some(t) => new GraftWriteBuilder(t, info)
       case None => throw new UnsupportedOperationException(
         s"$tableName is a time-travel snapshot: read-only")
     }
 }
 
-private[sql] class GraftWriteBuilder(t: GraftTable, overwrite: Boolean = false)
-    extends WriteBuilder with SupportsTruncate {
-  override def truncate(): WriteBuilder = new GraftWriteBuilder(t, overwrite = true)
+/** One builder serves both write protocols: batch DML rides the V1
+  * bridge (the whole query DataFrame routes onto the engine's upsert /
+  * insert-overwrite), and `df.writeStream.toTable("graft.t")` rides the
+  * V2 streaming protocol via [[graft.streaming.GraftStreamingWrite]]
+  * (executor-staged rows, per-epoch driver commit through the SAME
+  * upsert). `truncate()` (INSERT OVERWRITE / `outputMode("complete")`)
+  * flips both paths to insert-overwrite-table semantics. The builder
+  * also declares update-as-append: the sink's append IS a keyed upsert,
+  * so Update-mode streaming aggregations land with their natural
+  * latest-wins semantics. */
+private[sql] class GraftWriteBuilder(t: GraftTable, info: LogicalWriteInfo,
+    overwrite: Boolean = false)
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(t, info, overwrite = true)
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
@@ -436,6 +449,9 @@ private[sql] class GraftWriteBuilder(t: GraftTable, overwrite: Boolean = false)
           ()
         }
       }
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new graft.streaming.GraftStreamingWrite(t, info.schema(),
+        info.queryId(), overwrite)
   }
 }
 

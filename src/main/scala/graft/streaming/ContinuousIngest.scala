@@ -63,16 +63,18 @@ object ContinuousIngest {
       .start()
   }
 
-  /** Sink ANY streaming DataFrame into a keyed table — the write-side
-    * complement of `spark.readStream.table("graft.t")`: whatever the
+  /** Sink ANY streaming DataFrame into a keyed table — the programmatic
+    * `foreachBatch` twin of `df.writeStream.toTable("graft.t")`
+    * ([[GraftStreamingWrite]], the native DSv2 sink): whatever the
     * source (rate, kafka-shaped, a graft catalog stream, a transformed
     * pipeline), each micro-batch upserts under the stream's checkpoint.
-    * This is deliberately `foreachBatch`, NOT a DSv2 StreamingWrite:
-    * per-partition epoch writers would bypass the precombine → prune →
-    * atomic-commit machinery that makes the sink exactly-once (a
-    * replayed epoch re-runs the SAME idempotent upsert; latest-wins
-    * absorbs it) — the engine's whole-batch write path IS the sink
-    * contract. Composing `spark.readStream.table` with this gives
+    * Both sinks land on the SAME whole-batch write path (precombine →
+    * prune → atomic commit) and share its replay contract: a replayed
+    * epoch re-runs the same idempotent upsert and latest-wins absorbs
+    * it. `foreachBatch` skips the DSv2 staging hop (the batch DataFrame
+    * is already whole on the driver) and accepts a `GraftTable` handle
+    * directly; `toTable` is the standard surface for catalog-named
+    * tables. Composing `spark.readStream.table` with either gives
     * table-to-table streaming through standard surfaces end to end.
     */
   def sink(stream: DataFrame, table: GraftTable, checkpointDir: String,

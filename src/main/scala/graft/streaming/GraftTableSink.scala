@@ -1,0 +1,295 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.util.Using
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types._
+
+import graft.operators.GraftTable
+
+/** Native DSv2 streaming WRITE into a graft table —
+  * `df.writeStream.toTable("graft.t")` — the write-side complement of
+  * [[GraftTableStream]] (`spark.readStream.table`). The capability bar
+  * is the reference's continuous mode as a first-class surface
+  * (`launch_hudi/handler.py:115-116`, `:166-167`): Hudi and Delta both
+  * accept `writeStream` sinks, so a user wiring a streaming pipeline
+  * from pure DataFrame surfaces reaches for this first.
+  *
+  * The V2 streaming protocol hands ROWS to per-partition executor
+  * writers, but the engine's exactly-once contract lives in its
+  * whole-batch write path (precombine → affected-file pruning → atomic
+  * commit). Bridging the two is a two-phase design, the same shape
+  * Hudi's DeltaStreamer uses against a raw staging zone:
+  *
+  *  1. **Stage** (executors, parallel): each writer spools its rows to
+  *     `<table>/_graft/stream_stage/<queryId>/epoch=<n>/` in a framed
+  *     binary row encoding ([[RowCodec]]) and names its file in the
+  *     commit message. Zombie attempts never reach a message; their
+  *     strays die with the epoch directory.
+  *  2. **Commit** (driver, per epoch): the named files re-enter as a
+  *     distributed DataFrame (one partition per staged file — the
+  *     stage's parallelism is preserved) and run the table's own
+  *     checkpointed upsert (or insert-overwrite-table under
+  *     `outputMode("complete")`). A replayed epoch re-runs the SAME
+  *     idempotent upsert — latest-wins absorbs it, exactly like the
+  *     `foreachBatch` sink ([[ContinuousIngest.sink]]) this generalizes.
+  *
+  * The staging directory lives under the table root deliberately: the
+  * engine's storage model is one shared filesystem for data, manifests
+  * and indexes alike, so the stage inherits the table's durability and
+  * visibility guarantees with no second storage system.
+  */
+private[graft] class GraftStreamingWrite(t: GraftTable, schema: StructType,
+    queryId: String, overwrite: Boolean) extends StreamingWrite {
+  RowCodec.validate(schema)
+  private val stageRoot = Paths.get(t.root, "_graft", "stream_stage", queryId)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStageWriterFactory(stageRoot.toString, schema)
+
+  private def epochDir(epochId: Long): Path = stageRoot.resolve(s"epoch=$epochId")
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case StagedFileMessage(p) if p != null && p.nonEmpty => p }.toSeq
+    if (files.nonEmpty) {
+      val spark = SparkSession.active
+      val sch = schema
+      val rows = spark.sparkContext.parallelize(files, files.size)
+        .flatMap(f => RowCodec.readAll(Paths.get(f), sch))
+      val df = spark.createDataFrame(rows, sch)
+      if (overwrite) t.insertOverwriteTable(df)
+      else t.upsert(df, Some(s"stream-epoch-$queryId-$epochId"))
+    }
+    deleteEpoch(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteEpoch(epochId)
+
+  private def deleteEpoch(epochId: Long): Unit = {
+    val d = epochDir(epochId)
+    if (Files.exists(d))
+      Using.resource(Files.walk(d)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+  }
+}
+
+/** Executor-side factory: one spool file per (epoch, partition, task
+  * attempt) — attempt-unique names make retries collision-free. */
+private[graft] class GraftStageWriterFactory(stageRoot: String,
+    schema: StructType) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftStageWriter(
+      Paths.get(stageRoot, s"epoch=$epochId", s"w-$partitionId-$taskId.bin"),
+      schema)
+}
+
+private[graft] case class StagedFileMessage(path: String) extends WriterCommitMessage
+
+/** Spools rows to one framed-binary file; the file is only created on
+  * the first row, so empty partitions stage nothing. */
+private[graft] class GraftStageWriter(path: Path, schema: StructType)
+    extends DataWriter[InternalRow] {
+  private var out: DataOutputStream = _
+  private var wrote = false
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      Files.createDirectories(path.getParent)
+      out = new DataOutputStream(new BufferedOutputStream(
+        Files.newOutputStream(path)))
+      wrote = true
+    }
+    RowCodec.write(out, row, schema)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    close()
+    StagedFileMessage(if (wrote) path.toString else null)
+  }
+
+  override def abort(): Unit = {
+    close()
+    Files.deleteIfExists(path)
+    ()
+  }
+
+  override def close(): Unit = {
+    if (out != null) { out.close(); out = null }
+  }
+}
+
+/** Framed binary row codec over a declared schema — the staging wire
+  * format between the V2 streaming writers (which see catalyst
+  * `InternalRow`s) and the driver-side epoch commit (which rebuilds
+  * external `Row`s for `createDataFrame`). Encoding is schema-driven
+  * field-by-field: a null byte, then the value. Temporal values move as
+  * their catalyst epoch numbers and rebuild as `java.time` types
+  * (`Instant`/`LocalDate`/`LocalDateTime`), which round-trip timezone-
+  * free; decimals move as unscaled bytes + scale. Nested STRUCT/MAP are
+  * rejected up front (loudly, before the query starts) — the keyed
+  * tables this sink feeds are flat CDC relations with optional
+  * primitive arrays and binary payloads. */
+private[graft] object RowCodec extends Serializable {
+
+  def validate(schema: StructType): Unit = schema.fields.foreach { f =>
+    f.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | BinaryType |
+           DateType | TimestampType | TimestampNTZType => ()
+      case _: DecimalType => ()
+      case ArrayType(et, _) => et match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"streaming write does not support array<$other> (column ${f.name})")
+      }
+      case other => throw new IllegalArgumentException(
+        s"streaming write does not support $other (column ${f.name}) — " +
+          "flatten nested structures before the sink")
+    }
+  }
+
+  def write(out: DataOutputStream, row: InternalRow, schema: StructType): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val isNull = row.isNullAt(i)
+      out.writeBoolean(isNull)
+      if (!isNull) writeValue(out, row, i, schema(i).dataType)
+      i += 1
+    }
+  }
+
+  private def writeValue(out: DataOutputStream, row: InternalRow, i: Int,
+      dt: DataType): Unit = dt match {
+    case BooleanType => out.writeBoolean(row.getBoolean(i))
+    case ByteType => out.writeByte(row.getByte(i).toInt)
+    case ShortType => out.writeShort(row.getShort(i).toInt)
+    case IntegerType | DateType => out.writeInt(row.getInt(i))
+    case LongType | TimestampType | TimestampNTZType => out.writeLong(row.getLong(i))
+    case FloatType => out.writeFloat(row.getFloat(i))
+    case DoubleType => out.writeDouble(row.getDouble(i))
+    case StringType => writeBytes(out, row.getUTF8String(i).getBytes)
+    case BinaryType => writeBytes(out, row.getBinary(i))
+    case d: DecimalType =>
+      val bd = row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      writeBytes(out, bd.unscaledValue().toByteArray)
+      out.writeInt(bd.scale())
+    case ArrayType(et, _) =>
+      val arr = row.getArray(i)
+      out.writeInt(arr.numElements())
+      var j = 0
+      while (j < arr.numElements()) {
+        val n = arr.isNullAt(j)
+        out.writeBoolean(n)
+        if (!n) writeArrayElem(out, arr, j, et)
+        j += 1
+      }
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def writeArrayElem(out: DataOutputStream, arr: ArrayData, j: Int,
+      et: DataType): Unit = et match {
+    case BooleanType => out.writeBoolean(arr.getBoolean(j))
+    case ByteType => out.writeByte(arr.getByte(j).toInt)
+    case ShortType => out.writeShort(arr.getShort(j).toInt)
+    case IntegerType => out.writeInt(arr.getInt(j))
+    case LongType => out.writeLong(arr.getLong(j))
+    case FloatType => out.writeFloat(arr.getFloat(j))
+    case DoubleType => out.writeDouble(arr.getDouble(j))
+    case StringType => writeBytes(out, arr.getUTF8String(j).getBytes)
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def writeBytes(out: DataOutputStream, b: Array[Byte]): Unit = {
+    out.writeInt(b.length)
+    out.write(b)
+  }
+
+  /** Read every row of a staged file back as external Rows. */
+  def readAll(path: Path, schema: StructType): Iterator[Row] = {
+    val in = new DataInputStream(new BufferedInputStream(
+      Files.newInputStream(path)))
+    new Iterator[Row] {
+      private var nextRow: Row = advance()
+      private def advance(): Row = {
+        val first =
+          try in.read()
+          catch { case _: java.io.EOFException => -1 }
+        if (first < 0) { in.close(); null }
+        else {
+          val vals = new Array[Any](schema.length)
+          var i = 0
+          while (i < schema.length) {
+            val isNull = if (i == 0) first != 0 else in.readBoolean()
+            vals(i) = if (isNull) null else readValue(in, schema(i).dataType)
+            i += 1
+          }
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): Row = {
+        val r = nextRow
+        nextRow = advance()
+        r
+      }
+    }
+  }
+
+  private def readValue(in: DataInputStream, dt: DataType): Any = dt match {
+    case BooleanType => in.readBoolean()
+    case ByteType => in.readByte()
+    case ShortType => in.readShort()
+    case IntegerType => in.readInt()
+    case DateType => java.time.LocalDate.ofEpochDay(in.readInt().toLong)
+    case LongType => in.readLong()
+    case TimestampType =>
+      val us = in.readLong()
+      java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+    case TimestampNTZType =>
+      val us = in.readLong()
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case FloatType => in.readFloat()
+    case DoubleType => in.readDouble()
+    case StringType => new String(readBytes(in), java.nio.charset.StandardCharsets.UTF_8)
+    case BinaryType => readBytes(in)
+    case _: DecimalType =>
+      val unscaled = readBytes(in)
+      val scale = in.readInt()
+      new java.math.BigDecimal(new java.math.BigInteger(unscaled), scale)
+    case ArrayType(et, _) =>
+      val n = in.readInt()
+      val b = Seq.newBuilder[Any]
+      var j = 0
+      while (j < n) {
+        b += (if (in.readBoolean()) null else readValue(in, et))
+        j += 1
+      }
+      b.result()
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def readBytes(in: DataInputStream): Array[Byte] = {
+    val n = in.readInt()
+    val b = new Array[Byte](n)
+    in.readFully(b)
+    b
+  }
+}
