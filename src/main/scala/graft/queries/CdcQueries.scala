@@ -531,6 +531,28 @@ object CdcScenario {
 
 
 
+  /** `startingVersion` stream fixture: the MOR scenario's change feed
+    * consumed through `spark.readStream.option("startingVersion", 0)
+    * .table(...)` — the fresh stream starts AFTER the baseline commit
+    * instead of snapshot-then-changes, so the delivered rows are exactly
+    * the two precombined CDC batches (the MOR delta logs), the same set
+    * the batch incremental pull (`cdc_incremental`) grades against. */
+  def catalogStreamFromOutput(s: SparkSession, dir: String): String =
+    pathCache.getOrElseUpdate(s"catstreamfrom:$dir", {
+      val t = mor(s, dir)
+      graft.sql.GraftSql.register(s, "orders_cat_stream_from", t)
+      val ck = Files.createTempDirectory("graft-catstreamf-ck").toString
+      val out = Files.createTempDirectory("graft-catstreamf-out").toString + "/sink"
+      val q = s.readStream.option("startingVersion", 0)
+        .table("graft.orders_cat_stream_from")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000), "startingVersion stream did not drain")
+      out
+    })
+
   /** Gzipped CSV zone fixture (DMS's default S3 target format): a
     * 3-column orders extract written once per dir as 4 `.csv.gz` shards. */
   private val pathCache = TrieMap[String, String]()
@@ -1051,6 +1073,14 @@ object CdcQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
+    // startingVersion: the fresh stream begins AFTER the named commit
+    // (no snapshot) — on MOR the delivered files are the change-exact
+    // delta logs, so the sunk rows equal the batch incremental pull
+    "st_catalog_stream_from" -> ((s, dir) =>
+      s.read.parquet(CdcScenario.catalogStreamFromOutput(s, dir))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col(Meta.Ordering), col(Meta.Deleted).as("deleted"))),
     // LIVE table-to-table chaining: downstream follows upstream through
     // the feed; final downstream snapshot equals the upstream final state
     "st_chain_live" -> ((s, dir) => statusAgg(CdcScenario.chainedLive(s, dir))),
@@ -1578,6 +1608,8 @@ object CdcQueries {
     "cdc_incremental" -> incrementalPulledSql,
     // the live feed accumulates exactly the same change set
     "st_incremental_feed" -> incrementalPulledSql,
+    // startingVersion=baseline delivers exactly the post-baseline logs
+    "st_catalog_stream_from" -> incrementalPulledSql,
     "st_chain_live" -> statusAggSql,
     // the racing overlays: %3==0 → 'X' (seq 8), %3==1 → 'Y' (seq 9),
     // prices untouched

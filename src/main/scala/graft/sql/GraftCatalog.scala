@@ -402,7 +402,7 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
       else Set.empty[TableCapability])).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(tableName, mkDf, pruner, writeTable)
+    new GraftScanBuilder(tableName, mkDf, pruner, writeTable, options)
 
   /** SQL DML writes (`INSERT INTO graft.t` / `INSERT OVERWRITE graft.t`)
     * through the V1 write bridge: the incoming query arrives as a whole
@@ -477,7 +477,8 @@ private[sql] class GraftWriteBuilder(t: GraftTable, info: LogicalWriteInfo,
   * [[GraftScanMetrics]]. */
 private[sql] class GraftScanBuilder(tableName: String, mkDf: () => DataFrame,
     pruner: Option[Seq[Filter] => graft.operators.PrunedScan],
-    liveTable: Option[GraftTable] = None)
+    liveTable: Option[GraftTable] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -521,11 +522,33 @@ private[sql] class GraftScanBuilder(tableName: String, mkDf: () => DataFrame,
       }.asInstanceOf[T]
     /** `spark.readStream.table("graft.t")` — micro-batches planned off
       * the commit timeline ([[graft.streaming.GraftMicroBatchStream]]);
-      * the pruned column set flows through as the stream schema. */
+      * the pruned column set flows through as the stream schema. A
+      * `startingVersion` read option (the Delta parity a CDC consumer
+      * resuming mid-timeline needs) starts a FRESH checkpoint from a
+      * named commit seq — delivering exactly the post-N changes — or
+      * from `"latest"` (only commits after stream start); without it the
+      * fresh stream does snapshot-then-changes. Checkpoint resume
+      * ignores it either way (Spark's offset log wins). */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       liveTable match {
-        case Some(t) => new graft.streaming.GraftMicroBatchStream(t, df.schema)
+        case Some(t) =>
+          val startFrom = Option(options.get("startingVersion")).map {
+            // empty table: -1 keeps snapshot-then-changes, which for a
+            // table empty at stream start IS "only what arrives later"
+            case v if v.equalsIgnoreCase("latest") =>
+              t.latestCommit().map(_.seq).getOrElse(-1L)
+            case v =>
+              val seq =
+                try v.toLong
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"startingVersion must be a commit seq (long) or 'latest': $v")
+                }
+              require(seq >= 0, s"startingVersion must be >= 0 (got $seq)")
+              seq
+          }
+          new graft.streaming.GraftMicroBatchStream(t, df.schema, startFrom)
         case None => throw new UnsupportedOperationException(
           s"$tableName is a time-travel snapshot: no streaming read")
       }

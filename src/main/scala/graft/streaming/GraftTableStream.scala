@@ -45,7 +45,8 @@ import graft.operators.GraftTable
   * pruned schema; partition-column values are injected from the MANIFEST
   * (no directory inference).
   */
-class GraftMicroBatchStream(table: GraftTable, streamSchema: StructType)
+class GraftMicroBatchStream(table: GraftTable, streamSchema: StructType,
+    startFrom: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val spark = SparkSession.active
@@ -63,7 +64,17 @@ class GraftMicroBatchStream(table: GraftTable, streamSchema: StructType)
     latestOffset()
   override def reportLatestOffset(): Offset = GraftStreamOffset(tip)
 
-  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+  /** Fresh-checkpoint start: −1 (snapshot-then-changes) unless the
+    * stream was opened with `startingVersion` — then the named commit
+    * seq, so the first batch is exactly the post-seq changes (the
+    * consumer declares it already holds the state as of that commit).
+    * Only consulted on a fresh checkpoint; resume replays Spark's own
+    * offset log. Starting past the tip is legal (the stream idles until
+    * commits pass it); archived history still plans (the window walks
+    * `readIncludingArchived`), though files a cleaner already removed
+    * fail loudly at read time, as any too-old consumer must. */
+  override def initialOffset(): Offset =
+    GraftStreamOffset(startFrom.getOrElse(-1L))
 
   override def latestOffset(): Offset =
     GraftStreamOffset(availableNowTarget.getOrElse(tip))

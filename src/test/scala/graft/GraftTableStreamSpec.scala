@@ -120,6 +120,68 @@ class GraftTableStreamSpec extends AnyFunSuite {
     assert(dst.latestCommit().get.seq == seqBefore, "idle chain must not commit")
   }
 
+  test("startingVersion: fresh stream delivers exactly the post-N changes") {
+    val root = Files.createTempDirectory("graft-catstream-sv").toString
+    // MOR: incremental batches are the delta LOGS — change-exact, so the
+    // delivered sets can be asserted literally (COW would re-deliver
+    // rewritten files' untouched keys, the documented at-least-once)
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024,
+      tableType = GraftTable.MergeOnRead)
+    t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001")).toDF("id", "v", "trx_seq"))
+    val seqAfterLoad = t.latestCommit().get.seq
+    t.upsert(Seq((3L, "c", "002")).toDF("id", "v", "trx_seq"))
+    val seqAfterC = t.latestCommit().get.seq
+    t.upsert(Seq((2L, "b2", "003"), (4L, "d", "003")).toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, "catstream_sv", t)
+    def drainFrom(sv: String): Set[(Long, String)] = {
+      val ck = Files.createTempDirectory("graft-catstream-sv-ck").toString
+      val out = Files.createTempDirectory("graft-catstream-sv-out").toString + "/sink"
+      val q = spark.readStream.option("startingVersion", sv)
+        .table("graft.catstream_sv")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      sunk(out)
+    }
+    // after the baseline: no snapshot — only the two upserts' rows
+    assert(drainFrom(seqAfterLoad.toString) ==
+      Set((3L, "c"), (2L, "b2"), (4L, "d")),
+      "post-baseline start must skip the snapshot")
+    // mid-timeline: only the last commit
+    assert(drainFrom(seqAfterC.toString) == Set((2L, "b2"), (4L, "d")))
+    // latest: nothing until a NEW commit lands, then exactly that commit
+    val ck = Files.createTempDirectory("graft-catstream-svl-ck").toString
+    val out = Files.createTempDirectory("graft-catstream-svl-out").toString + "/sink"
+    def drainLatest(): Unit = {
+      val q = spark.readStream.option("startingVersion", "latest")
+        .table("graft.catstream_sv")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000))
+    }
+    drainLatest()
+    assert(!Files.exists(java.nio.file.Paths.get(out)) || sunk(out).isEmpty,
+      "latest must deliver nothing already committed")
+    t.upsert(Seq((5L, "e", "004")).toDF("id", "v", "trx_seq"))
+    drainLatest() // same checkpoint: resumes from the pinned offset
+    assert(sunk(out) == Set((5L, "e")))
+    // a garbage startingVersion fails loudly at stream construction
+    val bad = intercept[Exception] {
+      val q = spark.readStream.option("startingVersion", "not-a-seq")
+        .table("graft.catstream_sv")
+        .writeStream.format("parquet")
+        .option("path", Files.createTempDirectory("graft-sv-bad").toString + "/x")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sv-bad-ck").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000)); q.stop()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("writeStream.toTable: staged epochs upsert, checkpoint resumes exactly-once") {
     val srcRoot = Files.createTempDirectory("graft-catsink-src").toString
     val root = Files.createTempDirectory("graft-catsink").toString
