@@ -2778,6 +2778,78 @@ class GraftTable(
     * Idempotent: re-cloning into the same dest absorbs existing links
     * and the seq-0 CAS. O(files) metadata work, zero data movement.
     */
+  /** A NEW handle over the same root with retunable ENGINE KNOBS
+    * changed — the `ALTER TABLE ... SET/UNSET TBLPROPERTIES` surface
+    * (Hudi lets a live table retune; creation-time-fixed knobs were the
+    * round-11 gap). Retunable: `stats_columns`, `bloom_columns`,
+    * `key_blooms`, `rli_maintain`, `compact_every`, `compact_ratio`,
+    * `cluster_small_file_bytes`, `target_file_bytes`. Identity-defining
+    * keys (`record_key`, `partition`, `ordering`, `type`,
+    * `global_index`, `bucket_count`, `partial_update`, `location`) are
+    * REFUSED loudly — they name what the data on disk already IS, not
+    * how the engine should treat new work. `unset` returns a knob to
+    * its default.
+    *
+    * The updated descriptor republishes through `table.json`
+    * immediately, so path-open, warehouse discovery, and the catalog
+    * (which re-registers on ALTER) see the new tuning at once. Knobs
+    * apply to work from NOW on: stats/bloom columns stamp files written
+    * after the change — prior manifests keep what they recorded, which
+    * every triage treats as conservatively absent; compaction/
+    * clustering thresholds gate the next maintenance decision. Handles
+    * created before the change keep the old tuning until reopened. */
+  def retuned(set: Map[String, String], unset: Set[String] = Set.empty): GraftTable = {
+    val retunable = Set("stats_columns", "bloom_columns", "key_blooms",
+      "rli_maintain", "compact_every", "compact_ratio",
+      "cluster_small_file_bytes", "target_file_bytes")
+    val identity = Set("record_key", "partition", "ordering", "type",
+      "global_index", "bucket_count", "partial_update", "location", "path")
+    (set.keys ++ unset).map(_.toLowerCase).foreach { k =>
+      if (identity(k)) throw new IllegalArgumentException(
+        s"table property '$k' defines the table's identity and cannot be " +
+          "altered — it names what the data on disk already is")
+      require(retunable(k), s"unknown table property '$k' " +
+        s"(retunable: ${retunable.toSeq.sorted.mkString(", ")})")
+    }
+    def csv(v: String): Seq[String] =
+      v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def bool(v: String): Boolean = v.trim.toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case other => throw new IllegalArgumentException(
+        s"expected true/false, got '$other'")
+    }
+    def pick[T](key: String, cur: T, dflt: T, parse: String => T): T =
+      if (unset.exists(_.equalsIgnoreCase(key))) dflt
+      else set.collectFirst { case (k, v) if k.equalsIgnoreCase(key) =>
+        parse(v) }.getOrElse(cur)
+    val nt = new GraftTable(spark, root, keyFields, partitionFields,
+      orderingField,
+      pick("target_file_bytes", targetFileBytes,
+        GraftTable.DefaultTargetFileBytes, _.toLong),
+      staleLockMs, tableType,
+      pick("compact_every", compactEvery, 0, _.toInt),
+      pick("compact_ratio", compactLogBytesRatio, 0.0, _.toDouble),
+      globalIndex, harvestThreshold,
+      pick("stats_columns", statsColumns, Seq.empty, csv),
+      pick("key_blooms", keyBlooms, false, bool),
+      pick("bloom_columns", bloomColumns, Seq.empty, csv),
+      partialUpdate,
+      pick("cluster_small_file_bytes", clusterSmallFileBytes, 0L, _.toLong),
+      pick("rli_maintain", rliMaintain, false, bool),
+      bucketCount)
+    // tracked columns must exist once the schema is pinned
+    latestCommit().foreach { c =>
+      val fields = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      (nt.statsColumns ++ nt.bloomColumns).foreach(cn =>
+        require(fields.contains(cn),
+          s"stats/bloom column '$cn' is not in the table schema"))
+    }
+    nt.persistConfig()
+    nt
+  }
+
   def cloneTo(destRoot: String, atSeq: Option[Long] = None): GraftTable =
     // the in-flight marker makes file-deleting maintenance on the SOURCE
     // drain/wait, so clean()/rollback() cannot delete a file mid-link;

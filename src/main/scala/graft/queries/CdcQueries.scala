@@ -531,6 +531,31 @@ object CdcScenario {
 
 
 
+  /** SQL TBLPROPERTIES retune fixture: table created WITHOUT stats
+    * columns, `ALTER TABLE ... SET TBLPROPERTIES` turns `stats_columns`
+    * on, THEN the data lands — files written after the toggle carry
+    * o_custkey min/max, so the catalog range scan runs the stats triage
+    * (file-skip pinned in GraftSqlSpec; the graded query grades the
+    * post-toggle read's exactness). */
+  def tblPropsTable(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"tblprops:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-props").toString + "/t"
+      graft.sql.GraftSql.install(s)
+      s.sql(s"""CREATE TABLE graft.props_scn (
+          o_orderkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_custkey BIGINT)
+        LOCATION '$root'
+        TBLPROPERTIES ('record_key'='o_orderkey', 'target_file_bytes'='131072')""")
+      s.sql("ALTER TABLE graft.props_scn SET TBLPROPERTIES " +
+        "('stats_columns'='o_custkey')")
+      t(s, dir, "orders")
+        .selectExpr("o_orderkey", "o_orderstatus",
+          "CAST(o_totalprice AS DOUBLE) AS o_totalprice", "o_custkey")
+        .createOrReplaceTempView("props_scn_src")
+      s.sql("INSERT INTO graft.props_scn SELECT * FROM props_scn_src")
+      GraftTable.open(s, root)
+    })
+
   /** `startingVersion` stream fixture: the MOR scenario's change feed
     * consumed through `spark.readStream.option("startingVersion", 0)
     * .table(...)` — the fresh stream starts AFTER the baseline commit
@@ -1148,6 +1173,14 @@ object CdcQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
     }),
+    // ALTER TABLE SET TBLPROPERTIES: stats_columns toggled ON by SQL
+    // after creation, data lands, the catalog range scan runs the
+    // stats triage — graded on the post-toggle read being exact
+    "cdc_tblproperties_sql" -> ((s, dir) => {
+      CdcScenario.tblPropsTable(s, dir)
+      s.sql("""SELECT o_orderkey, o_orderstatus, o_totalprice AS price, o_custkey
+               FROM graft.props_scn WHERE o_custkey BETWEEN 100 AND 800""")
+    }),
     // column-stats data skipping: only files whose tracked o_custkey
     // min/max overlaps the range are scanned; result equals the filtered
     // full snapshot (residual filter keeps exactness)
@@ -1697,6 +1730,13 @@ object CdcQueries {
          SELECT o_orderkey, o_orderstatus, CAST(price AS DOUBLE) AS price
          FROM final
          WHERE o_orderkey % 500 = 0 AND o_orderkey BETWEEN 500 AND 60000""",
+    // the raw orders rows restricted to the range the post-toggle
+    // tracked-column scan serves (one statement inserted them, so the
+    // upsert is the identity on the unique-keyed source)
+    "cdc_tblproperties_sql" ->
+      """SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price, o_custkey
+         FROM orders WHERE o_custkey BETWEEN 100 AND 800""",
     // the final state restricted to the tracked-column range
     "cdc_colstats" ->
       s"""$finalState

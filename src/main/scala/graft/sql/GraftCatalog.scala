@@ -247,9 +247,14 @@ class GraftCatalog extends TableCatalog {
     * `dropColumn` — zero I/O, readers null-fill / hide via the manifest
     * schema), RENAME is the honest O(table) rewrite (name-bound format —
     * no field IDs). Key/partition/ordering/meta columns refuse, loudly,
-    * inside the table API. Property changes are not supported: the
-    * engine configuration is fixed at creation (as in the reference,
-    * where it rides the DeltaStreamer launch command). */
+    * inside the table API. `SET/UNSET TBLPROPERTIES` retunes the
+    * table's ENGINE KNOBS live ([[graft.operators.GraftTable.retuned]]:
+    * stats/bloom columns, compaction and clustering thresholds,
+    * `rli_maintain`, `target_file_bytes`) with the new descriptor
+    * republished and the catalog re-registered immediately;
+    * identity-defining properties (`record_key`, `partition`, `type`,
+    * `bucket_count`, ...) refuse loudly — they name what the data on
+    * disk already is. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = resolve(ident)
     changes.foreach {
@@ -265,8 +270,24 @@ class GraftCatalog extends TableCatalog {
         require(r.fieldNames().length == 1,
           s"nested RENAME COLUMN not supported: ${r.fieldNames().mkString(".")}")
         t.renameColumn(r.fieldNames()(0), r.newName())
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD/DROP/RENAME COLUMN only, got: $other")
+        "graft ALTER TABLE supports ADD/DROP/RENAME COLUMN and " +
+          s"SET/UNSET TBLPROPERTIES only, got: $other")
+    }
+    // `SET/UNSET TBLPROPERTIES` — retunable engine knobs on a LIVE table
+    // (GraftTable.retuned: identity keys refused loudly there). The new
+    // handle republishes table.json immediately and re-registers, so
+    // SQL and discovery resolve the new tuning at once.
+    val setProps = changes.collect {
+      case p: TableChange.SetProperty => p.property -> p.value }.toMap
+    val unsetProps = changes.collect {
+      case p: TableChange.RemoveProperty => p.property }.toSet
+    if (setProps.nonEmpty || unsetProps.nonEmpty) {
+      val nt = t.retuned(setProps, unsetProps)
+      val name = fullName(ident)
+      if (GraftSql.lookupRegistered(name).isDefined)
+        GraftSql.register(org.apache.spark.sql.SparkSession.active, name, nt)
     }
     loadTable(ident)
   }

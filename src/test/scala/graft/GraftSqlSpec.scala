@@ -550,6 +550,54 @@ class GraftSqlSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT * FROM graft.ddl_t2").collect())
   }
 
+  test("SET TBLPROPERTIES retunes a live table; identity keys refuse loudly") {
+    val wh = tmp()
+    GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      spark.sql(
+        """CREATE TABLE graft.props_t (id BIGINT, score BIGINT, v STRING)
+           TBLPROPERTIES ('record_key'='id', 'target_file_bytes'='8192')""")
+      // retune BEFORE the data lands: files written after the toggle
+      // carry score min/max, so the range scan file-skips
+      spark.sql(
+        "ALTER TABLE graft.props_t SET TBLPROPERTIES ('stats_columns'='score')")
+      assert(GraftTable.open(spark, s"$wh/props_t").statsColumns == Seq("score"),
+        "the republished descriptor must carry the new tuning")
+      spark.range(1, 4001)
+        .selectExpr("id", "id * 3 AS score", "concat('v', id) AS v")
+        .createOrReplaceTempView("props_src")
+      spark.sql("INSERT INTO graft.props_t SELECT * FROM props_src")
+      val t = GraftTable.open(spark, s"$wh/props_t")
+      val total = t.latestCommit().get.files.size
+      assert(total >= 4, s"fixture must span several files (got $total)")
+      graft.sql.GraftScanMetrics.clear()
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM graft.props_t WHERE score BETWEEN 300 AND 900")
+        .as[Long].head()
+      assert(n == 201, s"ids 100..300 expected, got $n")
+      val (admitted, tot) =
+        graft.sql.GraftScanMetrics.lastScan("graft.props_t").get
+      assert(admitted >= 1 && admitted < tot,
+        s"post-toggle stats range must file-skip ($admitted of $tot)")
+      // UNSET returns the knob to its default
+      spark.sql("ALTER TABLE graft.props_t UNSET TBLPROPERTIES ('stats_columns')")
+      assert(GraftTable.open(spark, s"$wh/props_t").statsColumns.isEmpty)
+      // identity-defining and unknown keys refuse loudly; a stats column
+      // missing from the pinned schema refuses too
+      intercept[Exception](spark.sql(
+        "ALTER TABLE graft.props_t SET TBLPROPERTIES ('record_key'='v')"))
+      intercept[Exception](spark.sql(
+        "ALTER TABLE graft.props_t SET TBLPROPERTIES ('bucket_count'='8')"))
+      intercept[Exception](spark.sql(
+        "ALTER TABLE graft.props_t SET TBLPROPERTIES ('no_such_knob'='1')"))
+      intercept[Exception](spark.sql(
+        "ALTER TABLE graft.props_t SET TBLPROPERTIES ('stats_columns'='nope')"))
+      // the failed ALTERs changed nothing
+      assert(GraftTable.open(spark, s"$wh/props_t").keyFields == Seq("id"))
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
   test("DROP with explicit LOCATION under the warehouse stays external") {
     val wh = tmp()
     GraftSql.install(spark)
