@@ -42,9 +42,10 @@ object TextAnalysis {
     * pass): strip C0/DEL control characters, collapse whitespace runs to
     * one space, trim — a reusable codegen'd expression, so normalizing
     * 100 TB is a scan. [[normalizeStats]] censuses it, pipeline
-    * compositions apply it. Unicode canonicalization (NFC) is out of
-    * scope: Spark has no codegen'd normalizer, and a JVM-UDF pass would
-    * not replicate engine-portably. */
+    * compositions apply it. Unicode canonicalization is its own pass:
+    * [[nfcStats]] over the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression (DuckDB's
+    * `nfc_normalize` replicates it, so it oracle-checks). */
   def normalized(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(text, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
@@ -61,6 +62,23 @@ object TextAnalysis {
       length(collapsed).cast("long").as("n_after"),
       (collapsed =!= col(textCol)).as("changed"),
       md5(collapsed).as("norm_md5"))
+  }
+
+  /** Per-doc Unicode NFC census: (doc_id, n_before, n_after, changed,
+    * nfc_md5) — canonical composition ("e" + COMBINING ACUTE becomes
+    * "é") through the native [[graft.functions.NfcNormalize]]
+    * expression; whole-stage codegen'd, so canonicalizing 100 TB is a
+    * scan. The hash pins the TRANSFORMED text, so the normalization
+    * itself is graded (DuckDB `nfc_normalize` implements the same
+    * canonical composition). */
+  def nfcStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    val nfc = graft.functions.TextFunctions.nfc(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      length(col(textCol)).cast("long").as("n_before"),
+      length(nfc).cast("long").as("n_after"),
+      (nfc =!= col(textCol)).as("changed"),
+      md5(nfc).as("nfc_md5"))
   }
 
   /** Per-document statistics + a composite quality score. */

@@ -271,6 +271,21 @@ object LlmQueries {
         "doc_id", "text")
     }),
 
+    // Unicode NFC canonicalization (the round-11 "honestly out of
+    // scope" closed): planted combining sequences — an unattached
+    // acute, a precomposed control, a double composition — normalize
+    // through the native codegen'd expression; the census + hash of
+    // the TRANSFORMED text grade the composition itself
+    "text_nfc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tail = when(col("doc_id") % 3 === 0, lit(" cafe\u0301"))
+        .when(col("doc_id") % 3 === 1, lit(" caf\u00e9"))
+        .otherwise(lit(" A\u030angstro\u0308m"))
+      TextAnalysis.nfcStats(
+        docs.select(col("doc_id"), concat(col("text"), tail).as("text")),
+        "doc_id", "text")
+    }),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
     // character-class census (script-detection gate): exact integer
@@ -1298,6 +1313,24 @@ object LlmQueries {
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT ia, ib, round(cos, 6) AS cos FROM p
          ORDER BY cos DESC, ia, ib LIMIT 20""",
+
+    // DuckDB's nfc_normalize implements the same Unicode canonical
+    // composition as the engine's native expression; chr() plants the
+    // identical combining marks (769 = U+0301 acute, 778 = U+030A ring,
+    // 776 = U+0308 diaeresis) — lengths in code points both sides, md5
+    // over the composed UTF-8 both sides
+    "text_nfc" ->
+      """WITH e AS (SELECT doc_id, text ||
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN ' cafe' || chr(769)
+             WHEN 1 THEN ' caf' || chr(233)
+             ELSE ' A' || chr(778) || 'ngstro' || chr(776) || 'm' END AS t
+         FROM documents)
+         SELECT doc_id, CAST(length(t) AS BIGINT) AS n_before,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+           nfc_normalize(t) <> t AS changed,
+           md5(nfc_normalize(t)) AS nfc_md5
+         FROM e""",
 
     // the SHARED planted noise, same two regexes (DuckDB needs the
     // explicit 'g' flag), same trim — the md5 pins the transformation

@@ -64,6 +64,32 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("NfcNormalize composes canonically; codegen and interpreted agree") {
+    import graft.functions.TextFunctions
+    TextFunctions.register(spark)
+    // inputs by explicit escape: decomposed cafe+COMBINING ACUTE,
+    // precomposed caf\u00e9, and a double decomposition (A+RING ABOVE,
+    // o+DIAERESIS) that must land on the precomposed 8-char form
+    val df = Seq("cafe\u0301", "caf\u00e9", "A\u030angstro\u0308m", "plain", "")
+      .toDF("s")
+    def run(): Seq[(String, Int)] = df
+      .select(TextFunctions.nfc($"s").as("n"))
+      .select($"n", length($"n").as("l"))
+      .as[(String, Int)].collect().toSeq
+    val got = run()
+    assert(got(0) == got(1) && got(0)._2 == 4,
+      s"decomposed and precomposed forms must converge: $got")
+    assert(got(2) == ("\u00c5ngstr\u00f6m", 8), s"double composition: ${got(2)}")
+    assert(got(3) == ("plain", 5) && got(4) == ("", 0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(run() == got, "interpreted evaluation must match codegen")
+    }
+    // null in, null out
+    assert(Seq[(Integer, String)]((1, null)).toDF("i", "s")
+      .select(TextFunctions.nfc($"s")).head().isNullAt(0))
+  }
+
   test("MinHashSig aggregate is bit-identical to 64 composable min(xxhash64(i, h)) columns") {
     graft.functions.MinHashFunctions.register(spark)
     val sh = graft.llm.Dedup.shingles(
