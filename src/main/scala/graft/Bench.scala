@@ -37,7 +37,7 @@ object Bench {
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
     "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket",
     "w_upsert_narrow_interval", "w_upsert_narrow_bucket", "w_sql_point",
-    "w_sql_ddl")
+    "w_sql_ddl", "w_stream_sink")
 
   val Runs = 3
 
@@ -220,6 +220,28 @@ object Bench {
       // full SQL DDL lifecycle (round-11 surface): CTAS materializes the
       // orders table through the keyed write path, INSERT upserts a
       // batch, DROP retires the external registration — all pure SQL
+      "w_stream_sink" -> (() => {
+        // DSv2 streaming write: one AvailableNow drain of a parquet zone
+        // through df.writeStream.toTable — stage + epoch-commit + upsert
+        // (setup: fresh zone, table and checkpoint per run, untimed)
+        val zone = tmpRoot("sink-zone") + "/z"
+        orders.limit(20000).coalesce(2).write.parquet(zone)
+        val root = tmpRoot("sink-table") + "/t"
+        val t = new graft.operators.GraftTable(spark, root, Seq("o_orderkey"),
+          targetFileBytes = 1024 * 1024)
+        t.bulkInsert(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], orders.schema))
+        graft.sql.GraftSql.register(spark, "bench_sink", t)
+        val ck = tmpRoot("sink-ck")
+        () => {
+          val q = spark.readStream.schema(orders.schema).parquet(zone)
+            .writeStream.option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("graft.bench_sink")
+          require(q.awaitTermination(180000), "stream sink drain timed out")
+          ()
+        }
+      }),
       "w_sql_ddl" -> (() => {
         graft.sql.GraftSql.install(spark)
         orders.createOrReplaceTempView("bench_ddl_src")
