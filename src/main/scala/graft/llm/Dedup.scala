@@ -258,28 +258,33 @@ object Dedup {
     val member = minhashSignatures(sh, idCol)
       .select(col(idCol).as("id"), col("sig"))
     // one representative per DISTINCT signature enters the band join;
-    // copy count never shows up as bucket density
+    // copy count never shows up as bucket density. The min member id
+    // doubles as a compact rep key, so every downstream join keys on a
+    // LONG — the 64-element signature array crosses a shuffle exactly
+    // once (here), never again
     val reps = member.groupBy(col("sig")).agg(min(col("id")).as("rid"))
-    val banded = reps.select(col("rid"), col("sig"),
+    val memberRid = member.join(reps, Seq("sig"))
+      .select(col("rid"), col("id"))
+    val banded = reps.select(col("rid"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
-      .select(col("rid"), col("sig"), col("pos").as("band"), col("col").as("bh"))
+      .select(col("rid"), col("pos").as("band"), col("col").as("bh"))
     // dense-bucket cap: the count window is LINEAR in the bucket (the
     // quadratic step it guards is the self-join below)
     val admitted = banded.withColumn("_nb", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
       .filter(col("_nb") <= maxBandFreq)
-    val crossSig = admitted.as("x").join(admitted.as("y"),
+    val crossRep = admitted.as("x").join(admitted.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.rid") < col("y.rid"))
-      .select(col("x.sig").as("siga"), col("y.sig").as("sigb")).distinct()
-    val cross = crossSig
-      .join(member.select(col("sig").as("siga"), col("id").as("ia")), Seq("siga"))
-      .join(member.select(col("sig").as("sigb"), col("id").as("ib")), Seq("sigb"))
+      .select(col("x.rid").as("ra"), col("y.rid").as("rb")).distinct()
+    val cross = crossRep
+      .join(memberRid.select(col("rid").as("ra"), col("id").as("ia")), Seq("ra"))
+      .join(memberRid.select(col("rid").as("rb"), col("id").as("ib")), Seq("rb"))
       .select(least(col("ia"), col("ib")).as("ia"),
         greatest(col("ia"), col("ib")).as("ib"))
-    val within = member.as("a").join(member.as("b"),
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+    val within = memberRid.as("a").join(memberRid.as("b"),
+        col("a.rid") === col("b.rid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
     within.unionByName(cross).distinct()
   }
