@@ -50,7 +50,11 @@ object TextFunctions {
   def register(spark: SparkSession): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        NfcName, exprs => NfcNormalize(exprs.head), "built-in")
+        NfcName, { exprs =>
+          require(exprs.length == 1,
+            s"$NfcName expects exactly 1 argument, got ${exprs.length}")
+          NfcNormalize(exprs.head)
+        }, "built-in")
 
   /** Column API for [[NfcNormalize]] (register the session first). */
   def nfc(c: Column): Column = call_function(NfcName, c)

@@ -81,24 +81,29 @@ object Classifier {
         .collect()
         .foreach(r => w(r.getInt(0)) += r.getLong(1))
     }
-    val out = scored.join(labels, "doc_id")
+    // The returned plan scores through a FRESH (uncached) feature
+    // subtree, deliberately: the persisted table above exists to
+    // amortize the 2·rounds scans of the training loop and is released
+    // here; the output pass pays ONE more codegen'd feature-hash scan
+    // when the caller acts. The alternatives are both worse at scale —
+    // keeping the cache pinned leaks corpus-sized executor storage past
+    // the call, and an eager localCheckpoint materializes a row per
+    // document at call time AND trades lineage recovery for pinned
+    // blocks. Lazy + recompute keeps the result a plain Catalyst plan
+    // (prunable, pushdown-friendly); callers that will act repeatedly
+    // can cache it themselves.
+    feats.unpersist(blocking = false)
+    scorePlan(hashedFeatures(docs, idCol, textCol, dims, binary), w.toSeq)
+      .join(labels, "doc_id")
       .select(col("doc_id"), col("y"), col("score"),
         when(col("score") > 0, 1).otherwise(-1).as("pred"))
-      // pin the scores while the feature cache is still live: the caller's
-      // first action runs after the unpersist below, and without this it
-      // would recompute the hashed-feature table from scratch — the cache
-      // would have served only the training rounds
-      .localCheckpoint(true)
-    feats.unpersist(blocking = false)
-    out
   }
 
   /** The one scoring plan every perceptron pass runs — training rounds
     * and the final output both come through here, so the plan-shape
     * contract (the O(dims) weight vector BROADCASTS onto the feature
     * table; the corpus is never nested-looped) is auditable on the
-    * exact constructor the algorithm uses, including after the output
-    * itself is checkpoint-pinned. */
+    * exact constructor the algorithm uses. */
   private[graft] def scorePlan(feats: DataFrame, w: Seq[Long]): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._

@@ -2037,8 +2037,7 @@ class GraftTable(
     scanFiles(c.files, schema)
       .select(col(Meta.RecordKey),
         rliToRel(input_file_name()).as("path"),
-        graft.functions.RangeBucket.bucketCol(col(Meta.RecordKey),
-          boundaries.toSeq).as("bucket"))
+        GraftTable.rliBucketColLoud(boundaries).as("bucket"))
       .repartition(math.min(boundaries.length + 1, 32), col("bucket"))
       .write.partitionBy("bucket").parquet(tmp.toString)
     publishRli(tmp, idxDir, boundaries)
@@ -2151,8 +2150,7 @@ class GraftTable(
         .filter(Files.exists(_)).map(_.toString)
       val fresh = scanFiles(added, schema)
         .select(col(Meta.RecordKey), rliToRel(input_file_name()).as("path"),
-          graft.functions.RangeBucket.bucketCol(col(Meta.RecordKey),
-            boundaries.toSeq).as("bucket"))
+          GraftTable.rliBucketColLoud(boundaries).as("bucket"))
       val priorPart =
         if (priorAffected.isEmpty) None
         else Some(spark.read.option("basePath", priorDir.toString)
@@ -3289,6 +3287,20 @@ object GraftTable {
     * in ExpressionSpec. */
   def rliRangeBucket(key: String, boundaries: Array[String]): Int =
     graft.functions.RangeBucket.bucketOf(key, boundaries)
+
+  /** Executor-side bucket routing for the index BUILD/MAINTENANCE scans:
+    * `bucketCol` maps a NULL record key to a null bucket, which the
+    * partitioned write would silently file under the hive null-partition
+    * dir — invisible to every probe (they test numeric `bucket=` dirs
+    * only). A null key is corrupt data; fail the build loudly instead,
+    * codegen'd (the old closure NPE'd here by accident; this is the same
+    * loudness on purpose, with a message). */
+  private[operators] def rliBucketColLoud(
+      boundaries: Array[String]): org.apache.spark.sql.Column =
+    coalesce(
+      graft.functions.RangeBucket.bucketCol(col(Meta.RecordKey), boundaries.toSeq),
+      raise_error(lit("NULL record key in record-level-index build — " +
+        "record keys must be non-null")).cast("int"))
 
   /** Span-list degeneracy cap for the pruned [[GraftTable.changesDiff]]:
     * above this many disjoint changed-key spans the residual OR-chain

@@ -164,8 +164,10 @@ class GraftCatalog extends TableCatalog {
     *  - `type` — COW (default) / MOR;
     *  - `stats_columns`, `key_blooms`, `bloom_columns`, `global_index`,
     *    `partial_update`, `rli_maintain`, `compact_every`,
-    *    `target_file_bytes`, `cluster_small_file_bytes` — the same knobs
-    *    as the `GraftTable` constructor.
+    *    `compact_ratio`, `target_file_bytes`,
+    *    `cluster_small_file_bytes` — the same knobs as the `GraftTable`
+    *    constructor (and the retunable subset can change later via
+    *    `ALTER TABLE ... SET TBLPROPERTIES`).
     *
     * The root directory is the `LOCATION` clause if given, else
     * `<warehouse>/<name>`. `PARTITIONED BY` accepts identity columns only
@@ -226,6 +228,7 @@ class GraftCatalog extends TableCatalog {
         .getOrElse(GraftTable.DefaultTargetFileBytes),
       tableType = tableType,
       compactEvery = props.get("compact_every").map(_.toInt).getOrElse(0),
+      compactLogBytesRatio = props.get("compact_ratio").map(_.toDouble).getOrElse(0.0),
       globalIndex = flag("global_index", d = true),
       statsColumns = csv("stats_columns"),
       keyBlooms = flag("key_blooms", d = false),
@@ -403,6 +406,11 @@ private[sql] class GraftV2Table(tableName: String, mkDf: () => DataFrame,
         "global_index" -> t.globalIndex.toString,
         "location" -> t.root)
       val opt = Seq(
+        "target_file_bytes" ->
+          (if (t.targetFileBytes != GraftTable.DefaultTargetFileBytes)
+            t.targetFileBytes.toString else ""),
+        "compact_ratio" ->
+          (if (t.compactLogBytesRatio > 0) t.compactLogBytesRatio.toString else ""),
         "stats_columns" -> t.statsColumns.mkString(","),
         "bloom_columns" -> t.bloomColumns.mkString(","),
         "key_blooms" -> (if (t.keyBlooms) "true" else ""),
@@ -544,12 +552,16 @@ private[sql] class GraftScanBuilder(tableName: String, mkDf: () => DataFrame,
     /** `spark.readStream.table("graft.t")` — micro-batches planned off
       * the commit timeline ([[graft.streaming.GraftMicroBatchStream]]);
       * the pruned column set flows through as the stream schema. A
-      * `startingVersion` read option (the Delta parity a CDC consumer
-      * resuming mid-timeline needs) starts a FRESH checkpoint from a
-      * named commit seq — delivering exactly the post-N changes — or
-      * from `"latest"` (only commits after stream start); without it the
-      * fresh stream does snapshot-then-changes. Checkpoint resume
-      * ignores it either way (Spark's offset log wins). */
+      * `startingVersion` read option (mid-timeline resume for a CDC
+      * consumer — what Delta's option of the same name serves) starts a
+      * FRESH checkpoint from a named commit seq: N names the consumer's
+      * LAST SEEN commit, so the first batch is exactly the changes
+      * AFTER seq N — note Delta's convention differs (its N is the
+      * first version DELIVERED; pass N-1 here for that reading).
+      * `"latest"` starts from the tip (only commits after stream
+      * start); without the option the fresh stream does
+      * snapshot-then-changes. Checkpoint resume ignores it either way
+      * (Spark's offset log wins). */
     override def toMicroBatchStream(checkpointLocation: String)
         : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
       liveTable match {

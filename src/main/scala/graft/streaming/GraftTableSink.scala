@@ -50,6 +50,14 @@ private[graft] class GraftStreamingWrite(t: GraftTable, schema: StructType,
     queryId: String, overwrite: Boolean) extends StreamingWrite {
   RowCodec.validate(schema)
   private val stageRoot = Paths.get(t.root, "_graft", "stream_stage", queryId)
+  // fresh-start sweep: a crashed prior run of THIS query (same
+  // checkpoint → same queryId, which Spark's checkpoint lock keeps
+  // single-flight) may have left spooled epochs behind; uncommitted
+  // epochs re-stage on replay and committed epochs already deleted
+  // theirs, so anything here is garbage. A PERMANENTLY abandoned
+  // query's stage therefore dies on its next start; one never restarted
+  // leaves its dir for fsck's orphan report — the documented residual.
+  if (Files.exists(stageRoot)) deleteTree(stageRoot)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -60,14 +68,20 @@ private[graft] class GraftStreamingWrite(t: GraftTable, schema: StructType,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect {
       case StagedFileMessage(p) if p != null && p.nonEmpty => p }.toSeq
+    val spark = SparkSession.active
     if (files.nonEmpty) {
-      val spark = SparkSession.active
       val sch = schema
       val rows = spark.sparkContext.parallelize(files, files.size)
         .flatMap(f => RowCodec.readAll(Paths.get(f), sch))
       val df = spark.createDataFrame(rows, sch)
       if (overwrite) t.insertOverwriteTable(df)
       else t.upsert(df, Some(s"stream-epoch-$queryId-$epochId"))
+    } else if (overwrite) {
+      // complete-mode contract: the table must equal THIS epoch's
+      // result even when that result is empty — an empty epoch
+      // overwrites to empty rather than keeping the prior epoch's rows
+      t.insertOverwriteTable(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     }
     deleteEpoch(epochId)
   }
@@ -76,13 +90,20 @@ private[graft] class GraftStreamingWrite(t: GraftTable, schema: StructType,
     deleteEpoch(epochId)
 
   private def deleteEpoch(epochId: Long): Unit = {
-    val d = epochDir(epochId)
+    deleteTree(epochDir(epochId))
+    // drop the per-query dir once its last epoch is gone, so finished
+    // queries leave no empty directory chain under the table root
+    try Files.deleteIfExists(stageRoot)
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+    ()
+  }
+
+  private def deleteTree(d: Path): Unit =
     if (Files.exists(d))
       Using.resource(Files.walk(d)) { s =>
         s.sorted(java.util.Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p))
       }
-  }
 }
 
 /** Executor-side factory: one spool file per (epoch, partition, task

@@ -416,6 +416,22 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("record-level index build fails loudly on a NULL record key") {
+    // a null-keyed row would otherwise file under the hive null-partition
+    // bucket dir, invisible to every probe — the build must refuse
+    // a STRING key column: a null value encodes to a NULL record key
+    // (integral keys format to the literal "null" and stay non-null)
+    val t = new GraftTable(spark, tmp(), Seq("k"), targetFileBytes = 8 * 1024)
+    t.bulkInsert(Seq(("a", "ok", "001"), (null, "bad", "001"))
+      .toDF("k", "v", "trx_seq"))
+    val e = intercept[Exception](t.buildRecordIndex(numBuckets = 4))
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("NULL record key")),
+      s"expected a loud NULL-key failure, got: $e")
+  }
+
   test("record-level index: O(buckets) stabs name exactly the key-holding files") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024)
     t.bulkInsert((0L until 4000L).map(i => (i, s"v$i", "001"))

@@ -88,6 +88,9 @@ class ExpressionSpec extends AnyFunSuite {
     // null in, null out
     assert(Seq[(Integer, String)]((1, null)).toDF("i", "s")
       .select(TextFunctions.nfc($"s")).head().isNullAt(0))
+    // wrong arity fails with a real message, not a head-of-empty-list
+    val arity = intercept[Exception](spark.sql("SELECT nfc_normalize()").collect())
+    assert(arity.getMessage.contains("exactly 1 argument"), s"got: $arity")
   }
 
   test("MinHashSig aggregate is bit-identical to 64 composable min(xxhash64(i, h)) columns") {

@@ -580,6 +580,13 @@ class GraftSqlSpec extends AnyFunSuite {
         graft.sql.GraftScanMetrics.lastScan("graft.props_t").get
       assert(admitted >= 1 && admitted < tot,
         s"post-toggle stats range must file-skip ($admitted of $tot)")
+      // every retunable knob reads back through SHOW TBLPROPERTIES —
+      // what you can declare or retune, you can see
+      val shown = spark.sql("SHOW TBLPROPERTIES graft.props_t")
+        .as[(String, String)].collect().toMap
+      assert(shown.get("target_file_bytes").contains("8192") &&
+        shown.get("stats_columns").contains("score"),
+        s"retuned knobs must surface in SHOW TBLPROPERTIES: $shown")
       // UNSET returns the knob to its default
       spark.sql("ALTER TABLE graft.props_t UNSET TBLPROPERTIES ('stats_columns')")
       assert(GraftTable.open(spark, s"$wh/props_t").statsColumns.isEmpty)

@@ -215,11 +215,29 @@ class GraftTableStreamSpec extends AnyFunSuite {
     drain()
     assert(t.latestCommit().get.seq == seqBefore,
       "an empty epoch must not commit")
-    // the staging area cleans up after every committed epoch
+    // the staging area cleans up after every committed epoch — no row
+    // files AND no leftover per-query directory chain
     val stage = java.nio.file.Paths.get(root, "_graft", "stream_stage")
     assert(!Files.exists(stage) || scala.util.Using.resource(
         Files.walk(stage))(_.filter(Files.isRegularFile(_)).count()) == 0L,
       "no staged row files may survive a committed epoch")
+    assert(!Files.exists(stage) || scala.util.Using.resource(
+        Files.list(stage))(_.count()) == 0L,
+      "finished queries must not leave per-query stage directories behind")
+  }
+
+  test("complete-mode epoch with zero rows overwrites the table to empty") {
+    // the contract: under truncate (outputMode complete), the table must
+    // equal THIS epoch's result — an empty result empties the table
+    // rather than keeping the prior epoch's rows
+    val root = Files.createTempDirectory("graft-sink-complete").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "stale", "001")).toDF("id", "v", "trx_seq"))
+    val w = new graft.streaming.GraftStreamingWrite(
+      t, t.readUser().schema, "q-complete-test", overwrite = true)
+    w.commit(0L, Array.empty)
+    assert(t.readUser().count() == 0,
+      "an empty complete-mode epoch must overwrite to empty")
   }
 
   test("RowCodec round-trips every supported type through the staging format") {

@@ -242,7 +242,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // (_b), never by a raw text prefix — a substr in the window partition
     // spec would resurrect the round-11 Zipf hot-prefix hazard
     assert(p.contains("_b"), "window must partition on the range-bucket column")
-    assert(!"partitionBy.*substr|windowspecdefinition\\(substr".r
+    assert(!"partitionby.*substr|windowspecdefinition\\(substr".r
       .findFirstIn(p.toLowerCase).isDefined,
       "no prefix-substr window partitioning")
     // identical-value skew dies in a map-side-combined aggregate BEFORE
