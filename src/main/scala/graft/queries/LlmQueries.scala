@@ -68,6 +68,12 @@ object LlmQueries {
       Sampling.stratifiedStats(t(s, dir, "documents"), "doc_id", "lang", "n_chars",
         Map("en" -> 58982, "de" -> 39321, "es" -> 26214, "fr" -> 26214,
           "zh" -> 13107))),
+    // deterministic train/val/test split by salted content hash —
+    // membership is a per-doc invariant (eval stays uncontaminated when
+    // the corpus grows); ~90/5/5 cuts out of 65536
+    "sample_split" -> ((s, dir) =>
+      Sampling.splitCensus(t(s, dir, "documents"), "doc_id", "text",
+        Seq(("train", 58982), ("val", 62259), ("test", 65536)))),
     // exact-size uniform sample: k smallest salted hashes (TakeOrdered)
     "sample_uniform" -> ((s, dir) =>
       Sampling.uniformSampleK(t(s, dir, "documents"), "doc_id", k = 100)),
@@ -939,6 +945,21 @@ object LlmQueries {
 
     // same salted-md5 bucket, digit-by-digit: bucket = first 4 hex digits
     // of md5('mix:' || id) as an int in [0, 65536)
+    // same salted nibble-hash bucket, CASE over the cumulative cuts
+    "sample_split" ->
+      """WITH h AS (SELECT doc_id, length(text) AS n,
+             md5('split:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),
+         b AS (SELECT doc_id, n,
+               (strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1) AS bucket FROM h)
+         SELECT CASE WHEN bucket < 58982 THEN 'train'
+                     WHEN bucket < 62259 THEN 'val'
+                     ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_chars
+         FROM b GROUP BY 1""",
+
     "sample_stratified" ->
       """WITH h AS (SELECT lang, n_chars,
              md5('mix:' || CAST(doc_id AS VARCHAR)) AS m FROM documents),

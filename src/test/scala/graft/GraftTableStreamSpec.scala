@@ -226,6 +226,33 @@ class GraftTableStreamSpec extends AnyFunSuite {
       "finished queries must not leave per-query stage directories behind")
   }
 
+  test("writeStream.toTable into a partitioned table lands hive-partitioned") {
+    val srcRoot = Files.createTempDirectory("graft-catsink-part-src").toString + "/zone"
+    Seq((1L, "a", "x", "001"), (2L, "b", "y", "001"), (3L, "a", "z", "001"))
+      .toDF("id", "p", "v", "trx_seq").write.parquet(srcRoot)
+    val root = Files.createTempDirectory("graft-catsink-part").toString
+    val t = new GraftTable(spark, root, Seq("id"), partitionFields = Seq("p"),
+      targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq.empty[(Long, String, String, String)]
+      .toDF("id", "p", "v", "trx_seq"))
+    GraftSql.register(spark, "catsink_part", t)
+    val ck = Files.createTempDirectory("graft-catsink-part-ck").toString
+    val q = spark.readStream
+      .schema("id LONG, p STRING, v STRING, trx_seq STRING").parquet(srcRoot)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft.catsink_part")
+    assert(q.awaitTermination(120000))
+    assert(spark.table("graft.catsink_part").select("id", "p", "v")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "x"), (2L, "b", "y"), (3L, "a", "z")))
+    // the sink routed through the table's own write path: every file
+    // carries its manifest partition value
+    assert(t.latestCommit().get.files.nonEmpty &&
+      t.latestCommit().get.files.forall(_.partition.contains("p")),
+      "streamed rows must land under the table's hive partition layout")
+  }
+
   test("complete-mode epoch with zero rows overwrites the table to empty") {
     // the contract: under truncate (outputMode complete), the table must
     // equal THIS epoch's result — an empty result empties the table

@@ -897,6 +897,30 @@ class LlmSpec extends AnyFunSuite {
       .collect().forall(_ == 5L))
   }
 
+  test("assignSplit is a per-doc invariant; census sums; bad cuts refuse") {
+    val docs = (1L to 300L).map(i => (i, s"text body $i")).toDF("doc_id", "text")
+    val cuts = Seq(("train", 58982), ("val", 62259), ("test", 65536))
+    val all = Sampling.assignSplit(docs, "doc_id", cuts)
+      .as[(Long, String)].collect().toMap
+    // growing the corpus never moves a document's split — the property
+    // that keeps eval sets uncontaminated across refreshes
+    val sub = Sampling.assignSplit(docs.filter($"doc_id" <= 100), "doc_id", cuts)
+      .as[(Long, String)].collect().toMap
+    assert(sub.forall { case (id, s) => all(id) == s },
+      "a document's split must not depend on the rest of the corpus")
+    assert(all.values.toSet.subsetOf(Set("train", "val", "test")))
+    assert(all.values.count(_ == "train") > 240,
+      "a ~90% cut must dominate deterministically")
+    val census = Sampling.splitCensus(docs, "doc_id", "text", cuts)
+      .as[(String, Long, Long)].collect()
+    assert(census.map(_._2).sum == 300, "every doc lands in exactly one split")
+    // malformed cuts refuse loudly: not ending at 65536, non-increasing
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(docs, "doc_id", Seq(("a", 100), ("b", 200))))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplit(docs, "doc_id", Seq(("a", 70000), ("b", 65536))))
+  }
+
   test("mixtureSampleStats: α=1/2 thresholds exact, tail stratum keeps all") {
     // 9/4/1 docs -> √n = 3/2/1, z = 6, N = 14, β = 0.5:
     //   q_en = 7/(3·6) = 0.388889, q_de = 7/12 = 0.583333, q_zh -> clamp 1
