@@ -1,0 +1,130 @@
+package graft.llm
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** A real ISO-BMFF (MP4/MOV family) container codec with zero
+  * dependencies: big-endian size+type box framing, nested container
+  * boxes, full-box version/flags headers — the video-container analog
+  * of [[WarcCodec]] (archive) and [[GifCodec]] (compressed image).
+  * Encode builds a structurally valid `ftyp / moov(mvhd, trak(tkhd,
+  * mdia(mdhd))…) / mdat` file; decode walks the box TREE generically
+  * (any box layout, unknown boxes skipped by their declared size) and
+  * parses the movie header. Sample-table demux and codec payloads
+  * (avc1/mp4a) stay behind the engine's documented decode stubs — the
+  * container walk is the Spark-side plumbing a 100-TB video corpus
+  * needs first: locating tracks, durations and the media payload
+  * without touching a codec library.
+  */
+object Mp4Codec {
+
+  /** Container boxes whose payload is a sequence of child boxes. */
+  private val Containers = Set("moov", "trak", "mdia", "minf", "stbl", "edts")
+
+  private def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + payload.length).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(8 + payload.length).put(tag.getBytes("US-ASCII")).put(payload)
+    bb.array()
+  }
+
+  private def fullBox(tag: String, body: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + body.length).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0) // version 0, flags 0
+    bb.put(body)
+    box(tag, bb.array())
+  }
+
+  /** Serialize a minimal, structurally valid ISO-BMFF file: `ftyp`,
+    * `moov` with an mvhd (given timescale/duration) and `nTracks`
+    * skeleton tracks, and the media payload in `mdat`. */
+  def encode(timescale: Int, duration: Long, nTracks: Int,
+      mdat: Array[Byte]): Array[Byte] = {
+    require(nTracks >= 1, "an ISO-BMFF movie needs at least one track")
+    val ftyp = box("ftyp", {
+      val bb = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
+      bb.put("isom".getBytes("US-ASCII")).putInt(0)
+        .put("isom".getBytes("US-ASCII")).put("mp41".getBytes("US-ASCII"))
+      bb.array()
+    })
+    val mvhd = fullBox("mvhd", {
+      val bb = ByteBuffer.allocate(96).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(0).putInt(0)                       // creation, modification
+      bb.putInt(timescale).putInt(duration.toInt)  // timescale, duration
+      bb.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      bb.put(new Array[Byte](10))                  // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)                        // unity matrix
+      bb.put(new Array[Byte](24))                  // pre_defined
+      bb.putInt(nTracks + 1)                       // next_track_ID
+      bb.array()
+    })
+    val traks = (1 to nTracks).map { tid =>
+      val tkhd = fullBox("tkhd", {
+        val bb = ByteBuffer.allocate(80).order(ByteOrder.BIG_ENDIAN)
+        bb.putInt(0).putInt(0)      // creation, modification
+        bb.putInt(tid).putInt(0)    // track_ID, reserved
+        bb.putInt(duration.toInt)
+        bb.put(new Array[Byte](60)) // reserved/layer/matrix/width/height
+        bb.array()
+      })
+      val mdhd = fullBox("mdhd", {
+        val bb = ByteBuffer.allocate(20).order(ByteOrder.BIG_ENDIAN)
+        bb.putInt(0).putInt(0)                      // creation, modification
+        bb.putInt(timescale).putInt(duration.toInt) // timescale, duration
+        bb.putShort(0x55C4.toShort).putShort(0)     // language "und"
+        bb.array()
+      })
+      box("trak", tkhd ++ box("mdia", mdhd))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten)
+    ftyp ++ moov ++ box("mdat", mdat)
+  }
+
+  /** Walk the box tree: every box as (path, offset, size), in file
+    * order, parents before children. Unknown boxes are skipped by their
+    * declared size — the walk never needs to understand a payload to
+    * traverse past it. A declared size that overruns its parent fails
+    * loudly (truncated or corrupt file), as does size < 8. */
+  def walk(payload: Array[Byte]): Seq[(String, Long, Long)] = {
+    val out = Seq.newBuilder[(String, Long, Long)]
+    def go(from: Int, until: Int, path: String): Unit = {
+      var p = from
+      while (p < until) {
+        require(until - p >= 8, s"truncated box header at $p")
+        val bb = ByteBuffer.wrap(payload, p, 8).order(ByteOrder.BIG_ENDIAN)
+        val size = bb.getInt()
+        val tag = {
+          val b = new Array[Byte](4)
+          System.arraycopy(payload, p + 4, b, 0, 4)
+          new String(b, "US-ASCII")
+        }
+        require(size >= 8, s"bad box size $size at $p")
+        require(p + size <= until, s"box $tag overruns its parent at $p")
+        val full = if (path.isEmpty) tag else s"$path/$tag"
+        out += ((full, p.toLong, size.toLong))
+        if (Containers(tag)) go(p + 8, p + size, full)
+        p += size
+      }
+    }
+    go(0, payload.length, "")
+    out.result()
+  }
+
+  /** Movie-header fields: (timescale, duration). */
+  def mvhd(payload: Array[Byte]): (Int, Long) = {
+    val at = walk(payload).collectFirst { case ("moov/mvhd", off, _) => off }
+      .getOrElse(throw new IllegalArgumentException("no moov/mvhd box"))
+    val bb = ByteBuffer.wrap(payload, at.toInt + 8, 20).order(ByteOrder.BIG_ENDIAN)
+    val versionFlags = bb.getInt()
+    require((versionFlags >>> 24) == 0, "only mvhd version 0 supported")
+    bb.getInt(); bb.getInt() // creation, modification
+    (bb.getInt(), bb.getInt().toLong)
+  }
+
+  /** The `mdat` media payload (first mdat box). */
+  def mdat(payload: Array[Byte]): Array[Byte] = {
+    val (off, size) = walk(payload).collectFirst {
+      case ("mdat", o, s) => (o, s) }
+      .getOrElse(throw new IllegalArgumentException("no mdat box"))
+    java.util.Arrays.copyOfRange(payload, off.toInt + 8, (off + size).toInt)
+  }
+}

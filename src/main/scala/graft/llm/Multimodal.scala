@@ -405,6 +405,50 @@ object Multimodal {
       .toDF(idCol, "sr", "ch", "n_samples", "rms", "sr_dec", "n_dec", "rms_dec")
   }
 
+  /** Render docs as genuine ISO-BMFF (MP4-family) containers: timescale
+    * 1000, duration = text length (one "ms" per byte), `len % 3 + 1`
+    * skeleton tracks, the text bytes as the `mdat` media payload —
+    * deterministic per doc, so every parsed field is oracle-checkable. */
+  def asMp4Table(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = Option(text).map(_.getBytes("US-ASCII"))
+            .getOrElse(Array.empty[Byte])
+          (id, Mp4Codec.encode(timescale = 1000, duration = bytes.length.toLong,
+            nTracks = bytes.length % 3 + 1, mdat = bytes))
+        }
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL container demux over the MP4 corpus: walk the box tree
+    * generically, parse the movie header, locate and hash the media
+    * payload — the track/duration/payload plumbing a video pipeline
+    * runs before any codec library is involved. Partition-parallel like
+    * every codec call; the md5 proves the walk reached the exact mdat
+    * byte range, not just counted boxes. */
+  def mp4Stats(spark: SparkSession, binTable: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    binTable.select(col(idCol), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          val boxes = Mp4Codec.walk(payload)
+          val (ts, dur) = Mp4Codec.mvhd(payload)
+          val media = Mp4Codec.mdat(payload)
+          md.reset()
+          val hex = md.digest(media).map("%02x".format(_)).mkString
+          (id, boxes.size, boxes.count(_._1 == "moov/trak"), ts, dur,
+            media.length, hex)
+        }
+      }
+      .toDF(idCol, "n_boxes", "n_tracks", "timescale", "duration_ms",
+        "mdat_len", "mdat_md5")
+  }
+
   /** Partition-parallel REAL feature extraction over the PPM corpus via
     * typed mapPartitions — decode, then pixel features (first / middle
     * pixel byte, exact integer pixel sum). The decode loop runs once per

@@ -504,6 +504,13 @@ object LlmQueries {
         Multimodal.asGifTable(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")
         .select(col("doc_id"), col("w"), col("h"), col("n_px"), col("f0"),
           col("px_sum"))),
+    // REAL MP4-family container path: encode docs as structurally valid
+    // ISO-BMFF (ftyp/moov/trak…/mdat), then demux by walking the box
+    // tree generically — counts, movie header, and an md5 that proves
+    // the walk reached the exact mdat byte range
+    "mm_mp4" -> ((s, dir) =>
+      Multimodal.mp4Stats(s,
+        Multimodal.asMp4Table(s, t(s, dir, "documents"), "doc_id", "text"), "doc_id")),
     // REAL COMPRESSED video path: animated GIF — demux the container AND
     // inflate each frame's LZW before any pixel can be proven
     "mm_gif_video" -> ((s, dir) =>
@@ -1690,6 +1697,21 @@ object LlmQueries {
            CAST(h AS INT) AS h, CAST(kept AS INT) AS n_kept,
            CAST(px_kept AS BIGINT) AS px_kept
          FROM px""",
+
+    // the engine really encodes + box-walks ISO-BMFF; the oracle
+    // recomputes the construction arithmetic (4 fixed boxes + 4 per
+    // track; duration = byte length at timescale 1000) and the media
+    // hash (mdat payload IS the text bytes, so md5(text) must equal the
+    // demuxed-range digest — a wrong offset cannot fake it)
+    "mm_mp4" ->
+      """SELECT doc_id,
+           CAST(4 + 4 * (length(COALESCE(text, '')) % 3 + 1) AS INT) AS n_boxes,
+           CAST(length(COALESCE(text, '')) % 3 + 1 AS INT) AS n_tracks,
+           1000 AS timescale,
+           CAST(length(COALESCE(text, '')) AS BIGINT) AS duration_ms,
+           CAST(length(COALESCE(text, '')) AS INT) AS mdat_len,
+           md5(COALESCE(text, '')) AS mdat_md5
+         FROM documents""",
 
     // the engine really encodes + chunk-walks + decimates PCM WAVs; the
     // oracle recomputes the sample math (one 16-bit sample per ASCII byte,

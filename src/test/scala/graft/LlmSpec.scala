@@ -379,6 +379,36 @@ class LlmSpec extends AnyFunSuite {
     assert(comp.count() == 11)
   }
 
+  test("ISO-BMFF box walk round-trips the tree and refuses corrupt sizes") {
+    import graft.llm.Mp4Codec
+    val media = "the media payload bytes".getBytes("US-ASCII")
+    val f = Mp4Codec.encode(timescale = 1000, duration = 2345L,
+      nTracks = 2, mdat = media)
+    val boxes = Mp4Codec.walk(f)
+    val paths = boxes.map(_._1)
+    // tree order, parents before children, both tracks materialized
+    assert(paths.head == "ftyp" && paths.last == "mdat")
+    assert(paths.count(_ == "moov/trak") == 2 &&
+      paths.count(_ == "moov/trak/mdia/mdhd") == 2)
+    assert(boxes.size == 4 + 4 * 2)
+    // offsets + declared sizes tile the file exactly
+    val top = boxes.filter(b => !b._1.contains("/"))
+    assert(top.map(_._3).sum == f.length)
+    assert(Mp4Codec.mvhd(f) == ((1000, 2345L)))
+    assert(Mp4Codec.mdat(f).toSeq == media.toSeq,
+      "the demuxed mdat range must be byte-exact")
+    // a corrupted child size that overruns its parent fails loudly
+    val bad = f.clone()
+    val moovOff = boxes.collectFirst { case ("moov/mvhd", o, _) => o }.get.toInt
+    java.nio.ByteBuffer.wrap(bad, moovOff, 4).putInt(1 << 28)
+    val e = intercept[IllegalArgumentException](Mp4Codec.walk(bad))
+    assert(e.getMessage.contains("overruns"))
+    // size < 8 is never a box
+    val bad2 = f.clone()
+    java.nio.ByteBuffer.wrap(bad2, 0, 4).putInt(3)
+    intercept[IllegalArgumentException](Mp4Codec.walk(bad2))
+  }
+
   test("GIF LZW round-trips random, repetitive and dictionary-overflow payloads exactly") {
     import graft.llm.GifCodec
     val rnd = new scala.util.Random(7)
