@@ -66,7 +66,14 @@ case class TableConfig(
     rliMaintain: Boolean,
     /** Default keeps descriptors written before the BUCKET index existed
       * readable (json4s fills missing fields from defaults). */
-    bucketCount: Int = 0)
+    bucketCount: Int = 0,
+    /** Freshness stamp: when the HANDLE that publishes this descriptor
+      * was configured (construction or retune time). `persistConfig`
+      * refuses to clobber a NEWER on-disk descriptor, so a stale
+      * pre-retune handle's next commit cannot silently undo an
+      * `ALTER TABLE ... SET TBLPROPERTIES` on disk. Absent in old
+      * descriptors (json4s default 0 = always overwritable). */
+    tunedAt: Long = 0L)
 
 class GraftTable(
     spark: SparkSession,
@@ -621,12 +628,23 @@ class GraftTable(
   /** Republish the self-describing `_graft/table.json` (best-effort:
     * the commit is already durable; a failed descriptor write only
     * degrades path-open/warehouse discovery until the next commit). */
+  /** When this handle's engine configuration was fixed (construction /
+    * retune) — the freshness guard for descriptor republish. */
+  private[operators] val configuredAt: Long = System.currentTimeMillis()
+
   private def persistConfig(): Unit =
-    try GraftTable.writeConfig(root, TableConfig(keyFields, partitionFields,
-      orderingField, tableType, globalIndex, statsColumns, keyBlooms,
-      bloomColumns, partialUpdate, targetFileBytes, compactEvery,
-      compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount))
-    catch { case scala.util.control.NonFatal(e) =>
+    try {
+      // freshness guard: a handle older than the on-disk descriptor
+      // (someone retuned after this handle was built) must not clobber
+      // the newer tuning with its own stale copy on its next commit
+      val stale = GraftTable.readConfig(root).exists(_.tunedAt > configuredAt)
+      if (!stale)
+        GraftTable.writeConfig(root, TableConfig(keyFields, partitionFields,
+          orderingField, tableType, globalIndex, statsColumns, keyBlooms,
+          bloomColumns, partialUpdate, targetFileBytes, compactEvery,
+          compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount,
+          tunedAt = configuredAt))
+    } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] table descriptor write failed at $root: ${e.getMessage}")
     }
 
@@ -2795,7 +2813,9 @@ class GraftTable(
     * after the change — prior manifests keep what they recorded, which
     * every triage treats as conservatively absent; compaction/
     * clustering thresholds gate the next maintenance decision. Handles
-    * created before the change keep the old tuning until reopened. */
+    * created before the change keep the old tuning until reopened — and
+    * their commits cannot clobber the new descriptor (the `tunedAt`
+    * freshness guard in `persistConfig`). */
   def retuned(set: Map[String, String], unset: Set[String] = Set.empty): GraftTable = {
     val retunable = Set("stats_columns", "bloom_columns", "key_blooms",
       "rli_maintain", "compact_every", "compact_ratio",

@@ -602,6 +602,16 @@ class GraftSqlSpec extends AnyFunSuite {
         "ALTER TABLE graft.props_t SET TBLPROPERTIES ('stats_columns'='nope')"))
       // the failed ALTERs changed nothing
       assert(GraftTable.open(spark, s"$wh/props_t").keyFields == Seq("id"))
+      // a STALE pre-retune handle committing afterwards must not undo
+      // the retune on disk (the tunedAt freshness guard)
+      val stale = GraftTable.open(spark, s"$wh/props_t")
+      Thread.sleep(5)
+      spark.sql(
+        "ALTER TABLE graft.props_t SET TBLPROPERTIES ('stats_columns'='score')")
+      stale.upsert(Seq((9999L, 9999L * 3, "v9999", "001"))
+        .toDF("id", "score", "v", "trx_seq"))
+      assert(GraftTable.open(spark, s"$wh/props_t").statsColumns == Seq("score"),
+        "a stale handle's commit must not clobber the retuned descriptor")
     } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
   }
 
