@@ -2975,6 +2975,23 @@ class GraftTable(
         } catch { case _: java.io.IOException => () } // deleted mid-walk: not an orphan
       }
     }
+    // abandoned streaming-write spools: a dead query's staged row files
+    // under _graft/stream_stage are real bytes no probe will ever read
+    // (a restarted query sweeps its own stage; one never restarted
+    // leaves them). Past the liveness grace they are orphans — the same
+    // cutoff that separates an in-flight writer's stage dir from trash.
+    val streamStage = Paths.get(root, "_graft", "stream_stage")
+    if (Files.exists(streamStage)) {
+      Using.resource(Files.walk(streamStage)) { s =>
+        s.iterator().asScala.foreach { p =>
+          try {
+            if (Files.isRegularFile(p) &&
+                Files.getLastModifiedTime(p).toMillis < cutoff)
+              orphaned += 1
+          } catch { case _: java.io.IOException => () }
+        }
+      }
+    }
     (missing, orphaned, sizeMismatch, missing == 0 && orphaned == 0 && sizeMismatch == 0)
   }
 

@@ -56,7 +56,8 @@ private[graft] class GraftStreamingWrite(t: GraftTable, schema: StructType,
   // epochs re-stage on replay and committed epochs already deleted
   // theirs, so anything here is garbage. A PERMANENTLY abandoned
   // query's stage therefore dies on its next start; one never restarted
-  // leaves its dir for fsck's orphan report — the documented residual.
+  // surfaces through fsck, which counts stage files older than the
+  // liveness grace as orphans.
   if (Files.exists(stageRoot)) deleteTree(stageRoot)
 
   override def createStreamingWriterFactory(

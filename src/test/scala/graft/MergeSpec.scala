@@ -448,6 +448,18 @@ class MergeSpec extends AnyFunSuite {
     val (m, o, sz, ok) = t.fsck()
     assert(m == 1 && o == 1 && !ok, s"fsck must flag the damage (got $m missing, $o orphans)")
     assert(sz == 0)
+    // an abandoned streaming-write spool past the liveness grace is an
+    // orphan too (real bytes no probe will ever read); a FRESH spool —
+    // an in-flight query — is not
+    val spool = java.nio.file.Paths.get(root,
+      "_graft", "stream_stage", "dead-query", "epoch=3", "w-0-1.bin")
+    Files.createDirectories(spool.getParent)
+    Files.write(spool, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(spool, old)
+    val fresh = spool.resolveSibling("w-0-2.bin")
+    Files.write(fresh, Array[Byte](4))
+    assert(t.fsck()._2 == 2L,
+      "stale stream spools must count as orphans; fresh ones must not")
   }
 
   test("blooms attach to the RIGHT files on partitioned tables (no basename cross-attachment)") {
