@@ -226,6 +226,38 @@ class GraftTableStreamSpec extends AnyFunSuite {
       "finished queries must not leave per-query stage directories behind")
   }
 
+  test("streaming sink interleaves with batch writers under the table lock") {
+    // the sink's per-epoch commit is the SAME locked upsert as any batch
+    // writer — interleaving the two must land on the precombine order
+    // (trx_seq), not on arrival order
+    val srcRoot = Files.createTempDirectory("graft-catsink-mix-src").toString
+    val root = Files.createTempDirectory("graft-catsink-mix").toString
+    val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "base", "001")).toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, "catsink_mix", t)
+    val ck = Files.createTempDirectory("graft-catsink-mix-ck").toString
+    def feed(rows: (Long, String, String)*): Unit =
+      rows.toDF("id", "v", "trx_seq").write.mode("append").parquet(srcRoot)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, v STRING, trx_seq STRING").parquet(srcRoot)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).toTable("graft.catsink_mix")
+      assert(q.awaitTermination(120000))
+    }
+    feed((2L, "s1", "010"))
+    drain()
+    t.upsert(Seq((2L, "b1", "005"), (3L, "b2", "011")).toDF("id", "v", "trx_seq"))
+    feed((3L, "s2", "007"), (4L, "s3", "012"))
+    drain()
+    val state = spark.table("graft.catsink_mix")
+      .select("id", "v").as[(Long, String)].collect().toMap
+    // key 2: stream's 010 beats the later-arriving batch 005;
+    // key 3: batch 011 beats the later-arriving stream 007
+    assert(state == Map(1L -> "base", 2L -> "s1", 3L -> "b2", 4L -> "s3"),
+      s"precombine order must win over arrival order: $state")
+  }
+
   test("writeStream.toTable into a partitioned table lands hive-partitioned") {
     val srcRoot = Files.createTempDirectory("graft-catsink-part-src").toString + "/zone"
     Seq((1L, "a", "x", "001"), (2L, "b", "y", "001"), (3L, "a", "z", "001"))
