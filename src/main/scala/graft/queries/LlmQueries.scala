@@ -368,6 +368,12 @@ object LlmQueries {
       Dedup.suffixDuplication(t(s, dir, "documents"), "doc_id", "text",
         minMatch = 20, maxSuffix = 60, buckets = 128)),
 
+    // the stride-q cost knob graded: every 4th suffix start sampled —
+    // recall for runs of length >= minMatch + 3 unchanged, volume /4
+    "dedup_suffix_stride" -> ((s, dir) =>
+      Dedup.suffixDuplication(t(s, dir, "documents"), "doc_id", "text",
+        minMatch = 20, maxSuffix = 60, buckets = 128, stride = 4)),
+
     // the removal half: duplicated runs CUT, text rebuilt from the gaps,
     // graded on the census + md5 of the cleaned text
     "dedup_suffix_removal" -> ((s, dir) =>
@@ -613,12 +619,12 @@ object LlmQueries {
   /** The sorted-suffix LCP CTE chain (sfx → nb → sc) over `src` — ONE
     * definition shared by the census, removal and chained-e2e oracles so
     * the three replications of the same algorithm can never drift. */
-  private def suffixLcpCtes(src: String): String =
+  private def suffixLcpCtes(src: String, stride: Int = 1): String =
     s"""sfx AS (
            SELECT doc_id, CAST(gs + 1 AS INT) AS pos,
                   substr(text, CAST(gs + 1 AS INT), 60) AS s
            FROM (SELECT doc_id, text,
-                   unnest(range(0, greatest(length(text) - 20 + 1, 0))) AS gs
+                   unnest(range(0, greatest(length(text) - 20 + 1, 0), $stride)) AS gs
                  FROM $src)),
          nb AS (
            SELECT doc_id, pos, s,
@@ -1512,6 +1518,15 @@ object LlmQueries {
            COUNT(DISTINCT p.kept_md5) AS n_unique_kept
          FROM per_doc p JOIN documents s USING (doc_id)
          GROUP BY s.source""",
+
+    // the same shared CTE generator at stride 4 — DuckDB range() takes
+    // the identical step, so the sampled suffix multiset matches
+    "dedup_suffix_stride" ->
+      s"""WITH ${suffixLcpCtes("documents", stride = 4)}
+         SELECT doc_id, COUNT(*) AS n_sfx,
+           CAST(SUM(CASE WHEN lcp >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
+           CAST(MAX(lcp) AS BIGINT) AS max_dup_len
+         FROM sc GROUP BY doc_id""",
 
     // the full suffix-sort algorithm replayed from the SHARED CTE
     // generator: same global sorted-neighbor LCPs (the engine's range
