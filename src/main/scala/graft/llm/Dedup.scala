@@ -509,24 +509,26 @@ object Dedup {
     * combined `groupBy` before any sort — a duplicated value's max-LCP
     * is `length(s)` by definition; (2) the DISTINCT values (unique by
     * construction, so no residual hot key) sort inside range buckets cut
-    * at boundaries sampled from the distinct values themselves, and the
+    * at boundaries derived from a bounded, deterministic doc sample
+    * (distinct suffix candidates, byte-sorted, evenly cut), and the
     * adjacent pair spanning each bucket boundary is completed from
     * collected per-bucket extremes, so no neighbor pair is lost to the
-    * partitioning. Boundaries and extremes are pure functions of the
-    * deterministic distinct-value SET, collected once into plan
-    * literals — every job in the chain buckets identically. */
+    * partitioning. Boundaries and extremes collect once into plan
+    * literals — every job in the chain buckets identically — and the
+    * full suffix multiset is aggregated exactly once. */
   private def suffixLcps(docs: DataFrame, idCol: String, textCol: String,
       minMatch: Int, maxSuffix: Int, buckets: Int, stride: Int = 1): DataFrame = {
     require(buckets > 0, s"buckets must be positive (got $buckets)")
     require(stride >= 1, s"stride must be >= 1 (got $stride)")
     require(minMatch <= maxSuffix, s"minMatch ($minMatch) must be <= maxSuffix ($maxSuffix)")
-    // LCP of two suffixes: the prefix-equal position set is prefix-closed,
-    // so its SIZE is the longest common prefix — codegen'd higher-order
-    // functions, no UDF
+    graft.functions.TextFunctions.registerLcp(docs.sparkSession)
+    // LCP of two suffixes via the native fused expression
+    // ([[graft.functions.StringLcp]] — one O(L) byte walk in codegen;
+    // the composable higher-order-filter form copies O(L²) chars per
+    // comparison, which dominated the whole census); a missing neighbor
+    // keeps the old no-neighbor-means-0 contract
     def lcp(a: Column, b: Column): Column =
-      when(b.isNull, lit(0)).otherwise(
-        size(filter(sequence(lit(1), least(length(a), length(b))),
-          k => a.substr(lit(1), k) === b.substr(lit(1), k))))
+      coalesce(graft.functions.TextFunctions.lcp(a, b), lit(0))
     val sfx = docs
       .filter(length(col(textCol)) >= minMatch)
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
@@ -534,27 +536,37 @@ object Dedup {
           lit(stride))).as("pos"))
       .select(col("doc_id"), col("pos"),
         col("_t").substr(col("pos"), lit(maxSuffix)).as("s"))
-    val byVal = sfx.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Boundary sample over DISTINCT values: md5 order is a seedless
-    // uniform draw, so bucket quantiles track the distinct-value
-    // distribution. The cache exists to amortize the TWO bounded
-    // planning jobs (sample + extremes) — the main plan below recomputes
-    // the deterministic aggregate once after unpersist, which costs one
-    // re-aggregation and can never change the result.
-    val sample = byVal.select(col("s"))
-      .orderBy(md5(col("s")), col("s")).limit(buckets * 32)
-      .collect().map(_.getString(0)).sorted(RangeBucket.Utf8Ordering)
-    val step = math.max(1, sample.length / buckets)
+    // Boundary sample from a BOUNDED doc draw, computed driver-side: a
+    // deterministic md5-ordered TakeOrdered over the corpus pulls ≤512
+    // texts (one k-heap pass, no shuffle), whose own suffixes — distinct,
+    // byte-sorted — cut the range. Hot identical values collapse to one
+    // candidate, so Zipf mass cannot eat the cut list, and instance-
+    // weighted density splits exactly the hot-prefix regions the window
+    // must not concentrate. The main plan then aggregates the suffix
+    // multiset ONCE — no cache, no second full shuffle; boundaries are
+    // plan literals, so every job buckets identically by construction.
+    val sampleTexts = docs
+      .filter(length(col(textCol)) >= minMatch)
+      .select(col(textCol).as("_t"))
+      .orderBy(md5(col("_t")), col("_t")).limit(512)
+      .collect().map(_.getString(0))
+    val cand = sampleTexts.iterator.flatMap { t =>
+      (1 to t.length - minMatch + 1 by stride).iterator
+        .map(p => t.substring(p - 1, math.min(t.length, p - 1 + maxSuffix)))
+    }.toArray.distinct.sorted(RangeBucket.Utf8Ordering)
+    val step = math.max(1, cand.length / buckets)
     val boundaries: Array[String] =
-      (step until sample.length by step).map(i => sample(i - 1))
+      (step until cand.length by step).map(i => cand(i - 1))
         .take(buckets - 1).toArray
     val bkt = RangeBucket.bucketCol(col("s"), boundaries.toSeq)
-    val edges = byVal.groupBy(bkt.as("_b"))
+    // per-bucket extremes straight off the explode (map-side combined —
+    // ≤ 2·buckets values per task reach the tiny shuffle); min/max over
+    // instances IS min/max over distinct values
+    val edges = sfx.groupBy(bkt.as("_b"))
       .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
-    byVal.unpersist(blocking = false)
+    val byVal = sfx.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
     // cross-boundary completion: a bucket-min's global predecessor is the
     // previous NONEMPTY bucket's max (and symmetrically for the max)
     def neighborLit(pairs: Seq[(Int, String)]): Column =

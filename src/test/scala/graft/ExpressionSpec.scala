@@ -93,6 +93,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(arity.getMessage.contains("exactly 1 argument"), s"got: $arity")
   }
 
+  test("StringLcp equals the composable prefix-filter form, chars not bytes") {
+    import graft.functions.TextFunctions
+    TextFunctions.registerLcp(spark)
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcXYZ éè𝄞ﬀ"
+    val pairs = (1 to 200).map { _ =>
+      val base = (1 to rnd.nextInt(12)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val x = base + (1 to rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val y = base + (1 to rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (x, y)
+    } ++ Seq(("", ""), ("", "a"), ("é", "è"), ("éa", "éb"), ("𝄞x", "𝄞y"),
+      ("abc", "abc"), ("abc", "abcd"))
+    val df = pairs.toDF("a", "b")
+    // the composable form needs an explicit empty-side guard: Spark's
+    // sequence(1, 0) DESCENDS ([1, 0]), and substr(x, 1, 0) = "" equals
+    // "" — so without the guard an empty side scores 1, a latent bug the
+    // native expression does not have
+    val both = df.select(
+      TextFunctions.lcp($"a", $"b").as("native"),
+      when(least(length($"a"), length($"b")) === 0, 0).otherwise(
+        size(filter(sequence(lit(1), least(length($"a"), length($"b"))),
+          k => $"a".substr(lit(1), k) === $"b".substr(lit(1), k)))).as("lambda"))
+    assert(both.filter($"native" =!= $"lambda").count() == 0,
+      "native LCP must equal the composable char-prefix form on every pair")
+    // the mid-codepoint case the byte walk must NOT get wrong: é vs è
+    // share a UTF-8 lead byte but no character
+    assert(Seq(("é", "è")).toDF("a", "b")
+      .select(TextFunctions.lcp($"a", $"b")).head().getInt(0) == 0)
+    // interpreted path agrees
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(both.filter($"native" =!= $"lambda").count() == 0)
+    }
+    // null in, null out (Dedup wraps with coalesce(..., 0))
+    assert(Seq(("a", null.asInstanceOf[String])).toDF("a", "b")
+      .select(TextFunctions.lcp($"a", $"b")).head().isNullAt(0))
+  }
+
   test("MinHashSig aggregate is bit-identical to 64 composable min(xxhash64(i, h)) columns") {
     graft.functions.MinHashFunctions.register(spark)
     val sh = graft.llm.Dedup.shingles(
