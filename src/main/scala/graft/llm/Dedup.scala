@@ -661,20 +661,43 @@ object Dedup {
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, candidates
     * bucketed by 16-bit chunk equality (pigeonhole: dist ≤ 3 ⇒ some chunk
-    * equal). */
+    * equal). Same crawl-scale guards as [[minhashPairs]]: identical
+    * 64-bit signatures collapse to one representative before the chunk
+    * join (a byte-identical cluster contributes one row per chunk, and
+    * its member pairs — all distance 0 — emit once each from a
+    * signature equi-join), and a (chunk, value) bucket holding more
+    * than `maxChunkFreq` DISTINCT signatures stops generating pairs
+    * (recall contract: distinct signatures differ somewhere, so capped
+    * docs normally still meet in another, sparser chunk; identical docs
+    * are never affected). Distance computes per signature PAIR before
+    * member expansion — never per member pair. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val sig = simhash(docs, idCol, textCol)
-    val chunked = sig.select(col(idCol).as("id"), col("simhash"),
+      maxDist: Int = 3, maxChunkFreq: Int = 1024): DataFrame = {
+    require(maxChunkFreq >= 1, s"maxChunkFreq must be >= 1 (got $maxChunkFreq)")
+    val member = simhash(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash"))
+    val reps = member.groupBy(col("simhash")).agg(min(col("id")).as("rid"))
+    val chunked = reps.select(col("rid"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col("id"), col("simhash"), col("pos").as("chunk"), col("col").as("cv"))
-    chunked.as("x").join(chunked.as("y"),
+      .select(col("rid"), col("simhash"), col("pos").as("chunk"), col("col").as("cv"))
+    val admitted = chunked.withColumn("_nc", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("cv"))))
+      .filter(col("_nc") <= maxChunkFreq)
+    val repPairs = admitted.as("x").join(admitted.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("ia"), col("y.id").as("ib"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
-      .distinct()
+          col("x.rid") < col("y.rid"))
+      .select(col("x.simhash").as("ha"), col("y.simhash").as("hb")).distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("dist") <= maxDist)
+    val cross = repPairs
+      .join(member.select(col("simhash").as("ha"), col("id").as("ia")), Seq("ha"))
+      .join(member.select(col("simhash").as("hb"), col("id").as("ib")), Seq("hb"))
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"), col("dist"))
+    val within = member.as("a").join(member.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"), lit(0).as("dist"))
+    within.unionByName(cross).distinct()
   }
 }

@@ -66,6 +66,28 @@ class LlmSpec extends AnyFunSuite {
       (a <= n && b <= n) || (a == 2001L && b == 2002L) })
   }
 
+  test("simhash chunk join survives an identical cluster; tight cap spares copies") {
+    // same guards as minhash: copies collapse to one chunk-join row, so
+    // even a cap of 1 keeps every identical-cluster pair at distance 0
+    val n = 300
+    val cluster = (1L to n.toLong).map(i =>
+      (i, "the very same boilerplate page body repeated across the crawl"))
+    val far = Seq((9001L, "something wholly unrelated about other topics entirely"))
+    val docs = (cluster ++ far).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxDist = 3, maxChunkFreq = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val truePairs = n.toLong * (n - 1) / 2
+    assert(capped.length == truePairs,
+      s"cap=1 must keep exactly the cluster pairs, got ${capped.length}")
+    assert(capped.forall { case (a, b, d) => a <= n && b <= n && d == 0 })
+    // default cap: same cluster pairs; extras only if the far doc's
+    // simhash genuinely lands within distance 3 (deterministic either way)
+    val dflt = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(dflt.count { case (a, b, _) => a <= n && b <= n } == truePairs)
+  }
+
   test("SimHash places exact twins at hamming distance 0") {
     val pairs = Dedup.simhashPairs(twins, "doc_id", "text", maxDist = 0)
       .select($"ia", $"ib").as[(Long, Long)].collect().toSet
