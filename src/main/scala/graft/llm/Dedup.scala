@@ -249,44 +249,75 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Crawl-scale candidate scaffolding SHARED by [[minhashPairs]] and
+    * [[simhashPairs]] — the uniform five-step guard for signature-bucket
+    * pair generators, kept in one place so the two cannot drift:
+    *
+    *  1. identical signatures collapse to one representative (the min
+    *     member id doubles as a compact LONG rep key, so the signature
+    *     itself crosses a shuffle exactly once — in the member→rep join);
+    *  2. `bandsOf` lays the reps out in buckets (bk1, bk2) — minhash
+    *     bands, simhash chunks;
+    *  3. buckets holding more than `maxFreq` DISTINCT signatures stop
+    *     generating pairs (the count window is LINEAR in the bucket; the
+    *     quadratic step it guards is the self-join);
+    *  4. admitted reps self-join per bucket into distinct rep pairs;
+    *  5. callers expand rep pairs to member pairs ([[expandRepPairs]])
+    *     and add the within-signature pairs ([[withinSigPairs]]) —
+    *     output-proportional by construction.
+    *
+    * Returns (memberRid (rid, id), reps (sig, rid), repPairs (ra, rb)).
+    */
+  private def collapsedRepPairs(member: DataFrame,
+      bandsOf: DataFrame => DataFrame, maxFreq: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(maxFreq >= 1, s"bucket cap must be >= 1 (got $maxFreq)")
+    val reps = member.groupBy(col("sig")).agg(min(col("id")).as("rid"))
+    val memberRid = member.join(reps, Seq("sig")).select(col("rid"), col("id"))
+    val admitted = bandsOf(reps).withColumn("_nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk1"), col("bk2"))))
+      .filter(col("_nb") <= maxFreq)
+    val repPairs = admitted.as("x").join(admitted.as("y"),
+        col("x.bk1") === col("y.bk1") && col("x.bk2") === col("y.bk2") &&
+          col("x.rid") < col("y.rid"))
+      .select(col("x.rid").as("ra"), col("y.rid").as("rb")).distinct()
+    (memberRid, reps, repPairs)
+  }
+
+  /** Expand rep pairs (ra, rb, extra...) to canonically-oriented member
+    * pairs (ia, ib, extra...). */
+  private def expandRepPairs(memberRid: DataFrame, repPairs: DataFrame): DataFrame = {
+    val extra = repPairs.columns.filterNot(c => c == "ra" || c == "rb")
+    repPairs
+      .join(memberRid.select(col("rid").as("ra"), col("id").as("ia")), Seq("ra"))
+      .join(memberRid.select(col("rid").as("rb"), col("id").as("ib")), Seq("rb"))
+      .select((Seq(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib")) ++ extra.map(col)): _*)
+  }
+
+  /** All (ia < ib) member pairs sharing a signature — every one a true
+    * duplicate-cluster pair, emitted exactly once. */
+  private def withinSigPairs(memberRid: DataFrame): DataFrame =
+    memberRid.as("a").join(memberRid.as("b"),
+        col("a.rid") === col("b.rid") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"))
+
   /** The [[minhashPairs]] candidate generator (exposed for the skew
     * tests): signature-collapsed band-LSH pairs ∪ within-signature
     * member pairs, canonically oriented (ia < ib), distinct. */
   private[graft] def minhashCandidates(sh: DataFrame, idCol: String,
       bands: Int, rows: Int, maxBandFreq: Int): DataFrame = {
-    require(maxBandFreq >= 1, s"maxBandFreq must be >= 1 (got $maxBandFreq)")
     val member = minhashSignatures(sh, idCol)
       .select(col(idCol).as("id"), col("sig"))
-    // one representative per DISTINCT signature enters the band join;
-    // copy count never shows up as bucket density. The min member id
-    // doubles as a compact rep key, so every downstream join keys on a
-    // LONG — the 64-element signature array crosses a shuffle exactly
-    // once (here), never again
-    val reps = member.groupBy(col("sig")).agg(min(col("id")).as("rid"))
-    val memberRid = member.join(reps, Seq("sig"))
-      .select(col("rid"), col("id"))
-    val banded = reps.select(col("rid"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
-      .select(col("rid"), col("pos").as("band"), col("col").as("bh"))
-    // dense-bucket cap: the count window is LINEAR in the bucket (the
-    // quadratic step it guards is the self-join below)
-    val admitted = banded.withColumn("_nb", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("_nb") <= maxBandFreq)
-    val crossRep = admitted.as("x").join(admitted.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.rid") < col("y.rid"))
-      .select(col("x.rid").as("ra"), col("y.rid").as("rb")).distinct()
-    val cross = crossRep
-      .join(memberRid.select(col("rid").as("ra"), col("id").as("ia")), Seq("ra"))
-      .join(memberRid.select(col("rid").as("rb"), col("id").as("ib")), Seq("rb"))
-      .select(least(col("ia"), col("ib")).as("ia"),
-        greatest(col("ia"), col("ib")).as("ib"))
-    val within = memberRid.as("a").join(memberRid.as("b"),
-        col("a.rid") === col("b.rid") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"))
-    within.unionByName(cross).distinct()
+    val (memberRid, _, repPairs) = collapsedRepPairs(member,
+      reps => reps.select(col("rid"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
+        .select(col("rid"), col("pos").as("bk1"), col("col").as("bk2")),
+      maxBandFreq)
+    withinSigPairs(memberRid)
+      .unionByName(expandRepPairs(memberRid, repPairs))
+      .distinct()
   }
 
   /** Connected components over an undirected edge list — the step that
@@ -536,24 +567,31 @@ object Dedup {
           lit(stride))).as("pos"))
       .select(col("doc_id"), col("pos"),
         col("_t").substr(col("pos"), lit(maxSuffix)).as("s"))
-    // Boundary sample from a BOUNDED doc draw, computed driver-side: a
-    // deterministic md5-ordered TakeOrdered over the corpus pulls ≤512
-    // texts (one k-heap pass, no shuffle), whose own suffixes — distinct,
-    // byte-sorted — cut the range. Hot identical values collapse to one
-    // candidate, so Zipf mass cannot eat the cut list, and instance-
-    // weighted density splits exactly the hot-prefix regions the window
-    // must not concentrate. The main plan then aggregates the suffix
+    // Boundary sample, BOUNDED IN BYTES and computed executor-side: a
+    // deterministic md5-ordered TakeOrdered draws ≤2048 docs (one k-heap
+    // pass, no shuffle), duplicates-by-text collapse (so a corpus that
+    // is mostly copies of one page still contributes diverse cuts up to
+    // that draw), and from ≤512 surviving texts at most 64 evenly-spaced
+    // truncated suffixes EACH are extracted before anything reaches the
+    // driver — ≤32k strings of ≤`maxSuffix` chars, never a full
+    // document. Cuts track the sampled-doc suffix distribution: the
+    // identical-value collapse below absorbs hot-VALUE mass regardless,
+    // and residual distinct-value imbalance is bounded by the rare-doc
+    // share of the draw (the e2e tests pin bucket-independence of the
+    // RESULT either way). The main plan then aggregates the suffix
     // multiset ONCE — no cache, no second full shuffle; boundaries are
     // plan literals, so every job buckets identically by construction.
-    val sampleTexts = docs
+    val nStarts = length(col("_t")) - lit(minMatch - 1)
+    val cand = docs
       .filter(length(col(textCol)) >= minMatch)
       .select(col(textCol).as("_t"))
-      .orderBy(md5(col("_t")), col("_t")).limit(512)
-      .collect().map(_.getString(0))
-    val cand = sampleTexts.iterator.flatMap { t =>
-      (1 to t.length - minMatch + 1 by stride).iterator
-        .map(p => t.substring(p - 1, math.min(t.length, p - 1 + maxSuffix)))
-    }.toArray.distinct.sorted(RangeBucket.Utf8Ordering)
+      .orderBy(md5(col("_t")), col("_t")).limit(2048)
+      .dropDuplicates("_t").limit(512)
+      .select(explode(sequence(lit(1), nStarts,
+        greatest(lit(1), (nStarts / 64).cast("int")))).as("p"), col("_t"))
+      .select(col("_t").substr(col("p"), lit(maxSuffix)).as("s"))
+      .distinct()
+      .collect().map(_.getString(0)).sorted(RangeBucket.Utf8Ordering)
     val step = math.max(1, cand.length / buckets)
     val boundaries: Array[String] =
       (step until cand.length by step).map(i => cand(i - 1))
@@ -673,31 +711,23 @@ object Dedup {
     * member expansion — never per member pair. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3, maxChunkFreq: Int = 1024): DataFrame = {
-    require(maxChunkFreq >= 1, s"maxChunkFreq must be >= 1 (got $maxChunkFreq)")
     val member = simhash(docs, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
-    val reps = member.groupBy(col("simhash")).agg(min(col("id")).as("rid"))
-    val chunked = reps.select(col("rid"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
-      .select(col("rid"), col("simhash"), col("pos").as("chunk"), col("col").as("cv"))
-    val admitted = chunked.withColumn("_nc", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("cv"))))
-      .filter(col("_nc") <= maxChunkFreq)
-    val repPairs = admitted.as("x").join(admitted.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-          col("x.rid") < col("y.rid"))
-      .select(col("x.simhash").as("ha"), col("y.simhash").as("hb")).distinct()
-      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .select(col(idCol).as("id"), col("simhash").as("sig"))
+    val (memberRid, reps, repPairs) = collapsedRepPairs(member,
+      rs => rs.select(col("rid"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        .select(col("rid"), col("pos").as("bk1"), col("col").as("bk2")),
+      maxChunkFreq)
+    // Hamming distance per signature PAIR — before member expansion
+    val scored = repPairs
+      .join(reps.select(col("rid").as("ra"), col("sig").as("ha")), Seq("ra"))
+      .join(reps.select(col("rid").as("rb"), col("sig").as("hb")), Seq("rb"))
+      .select(col("ra"), col("rb"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
       .filter(col("dist") <= maxDist)
-    val cross = repPairs
-      .join(member.select(col("simhash").as("ha"), col("id").as("ia")), Seq("ha"))
-      .join(member.select(col("simhash").as("hb"), col("id").as("ib")), Seq("hb"))
-      .select(least(col("ia"), col("ib")).as("ia"),
-        greatest(col("ia"), col("ib")).as("ib"), col("dist"))
-    val within = member.as("a").join(member.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"), lit(0).as("dist"))
-    within.unionByName(cross).distinct()
+    withinSigPairs(memberRid).withColumn("dist", lit(0))
+      .unionByName(expandRepPairs(memberRid, scored))
+      .distinct()
   }
 }

@@ -39,6 +39,8 @@ object Mp4Codec {
   def encode(timescale: Int, duration: Long, nTracks: Int,
       mdat: Array[Byte]): Array[Byte] = {
     require(nTracks >= 1, "an ISO-BMFF movie needs at least one track")
+    require(duration >= 0 && duration <= 0xFFFFFFFFL,
+      s"version-0 boxes carry 32-bit durations (got $duration)")
     val ftyp = box("ftyp", {
       val bb = ByteBuffer.allocate(16).order(ByteOrder.BIG_ENDIAN)
       bb.put("isom".getBytes("US-ASCII")).putInt(0)
@@ -110,21 +112,37 @@ object Mp4Codec {
   }
 
   /** Movie-header fields: (timescale, duration). */
-  def mvhd(payload: Array[Byte]): (Int, Long) = {
-    val at = walk(payload).collectFirst { case ("moov/mvhd", off, _) => off }
+  def mvhd(payload: Array[Byte]): (Int, Long) =
+    mvhdFrom(payload, walk(payload))
+
+  /** [[mvhd]] over an already-computed box list (one walk per file on
+    * the hot demux path, not one per field). The declared box size must
+    * cover the fields read — a corrupt short mvhd refuses loudly
+    * instead of reading the next sibling's bytes as header fields. */
+  def mvhdFrom(payload: Array[Byte],
+      boxes: Seq[(String, Long, Long)]): (Int, Long) = {
+    val (at, size) = boxes.collectFirst { case ("moov/mvhd", off, sz) => (off, sz) }
       .getOrElse(throw new IllegalArgumentException("no moov/mvhd box"))
+    require(size >= 8 + 4 + 16,
+      s"mvhd box too short for its version-0 fields (size $size)")
     val bb = ByteBuffer.wrap(payload, at.toInt + 8, 20).order(ByteOrder.BIG_ENDIAN)
     val versionFlags = bb.getInt()
     require((versionFlags >>> 24) == 0, "only mvhd version 0 supported")
     bb.getInt(); bb.getInt() // creation, modification
-    (bb.getInt(), bb.getInt().toLong)
+    // duration is a 32-bit UNSIGNED field in version 0 — mask, don't
+    // sign-extend
+    (bb.getInt(), bb.getInt().toLong & 0xFFFFFFFFL)
   }
 
   /** The `mdat` media payload (first mdat box). */
   def mdat(payload: Array[Byte]): Array[Byte] = {
-    val (off, size) = walk(payload).collectFirst {
-      case ("mdat", o, s) => (o, s) }
-      .getOrElse(throw new IllegalArgumentException("no mdat box"))
+    val (off, size) = mdatRange(walk(payload))
     java.util.Arrays.copyOfRange(payload, off.toInt + 8, (off + size).toInt)
   }
+
+  /** Offset + declared size of the first `mdat` from an already-computed
+    * box list — lets callers hash/slice the media range in place. */
+  def mdatRange(boxes: Seq[(String, Long, Long)]): (Long, Long) =
+    boxes.collectFirst { case ("mdat", o, s) => (o, s) }
+      .getOrElse(throw new IllegalArgumentException("no mdat box"))
 }

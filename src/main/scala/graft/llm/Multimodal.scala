@@ -436,13 +436,14 @@ object Multimodal {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, payload) =>
-          val boxes = Mp4Codec.walk(payload)
-          val (ts, dur) = Mp4Codec.mvhd(payload)
-          val media = Mp4Codec.mdat(payload)
+          val boxes = Mp4Codec.walk(payload) // ONE walk per file
+          val (ts, dur) = Mp4Codec.mvhdFrom(payload, boxes)
+          val (mOff, mSize) = Mp4Codec.mdatRange(boxes)
           md.reset()
-          val hex = md.digest(media).map("%02x".format(_)).mkString
+          md.update(payload, mOff.toInt + 8, (mSize - 8).toInt) // hash in place
+          val hex = md.digest().map("%02x".format(_)).mkString
           (id, boxes.size, boxes.count(_._1 == "moov/trak"), ts, dur,
-            media.length, hex)
+            (mSize - 8).toInt, hex)
         }
       }
       .toDF(idCol, "n_boxes", "n_tracks", "timescale", "duration_ms",

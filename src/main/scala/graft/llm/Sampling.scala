@@ -57,9 +57,16 @@ object Sampling {
       cuts.map(_._2).distinct == cuts.map(_._2),
       s"cuts must strictly increase (got $cuts)")
     val b = hashBucket(id, salt)
-    cuts.init.foldRight(lit(cuts.last._1): Column) {
+    val assigned = cuts.init.foldRight(lit(cuts.last._1): Column) {
       case ((name, cut), acc) => when(b < cut, name).otherwise(acc)
     }
+    // a NULL id hashes to null, every `when` falls through, and the doc
+    // would silently land in the LAST split — the eval set, the exact
+    // contamination this operator exists to prevent. Refuse loudly.
+    when(id.isNull,
+      raise_error(lit("assignSplit: NULL id — document ids must be non-null"))
+        .cast("string"))
+      .otherwise(assigned)
   }
 
   /** Per-split census over [[assignSplit]]'s rule: (split, n_docs,

@@ -632,18 +632,30 @@ class GraftTable(
     * retune) — the freshness guard for descriptor republish. */
   private[operators] val configuredAt: Long = System.currentTimeMillis()
 
-  private def persistConfig(): Unit =
+  private def persistConfig(force: Boolean = false): Unit =
     try {
       // freshness guard: a handle older than the on-disk descriptor
       // (someone retuned after this handle was built) must not clobber
-      // the newer tuning with its own stale copy on its next commit
-      val stale = GraftTable.readConfig(root).exists(_.tunedAt > configuredAt)
-      if (!stale)
+      // the newer tuning with its own stale copy on its next commit.
+      // An UNREADABLE descriptor counts as absent — overwritable — so a
+      // torn/corrupt table.json heals on the next commit instead of
+      // permanently blocking every future republish. Commit-path calls
+      // run under the table lock, closing the read-then-write race; the
+      // retune path forces its write (a retune must land regardless of
+      // the clock skew of whoever stamped the descriptor last) with a
+      // stamp strictly above anything on disk.
+      val onDisk = scala.util.Try(GraftTable.readConfig(root)).toOption.flatten
+      val stale = !force && onDisk.exists(_.tunedAt >= configuredAt)
+      if (!stale) {
+        val stamp =
+          if (force) math.max(configuredAt, onDisk.map(_.tunedAt + 1).getOrElse(0L))
+          else configuredAt
         GraftTable.writeConfig(root, TableConfig(keyFields, partitionFields,
           orderingField, tableType, globalIndex, statsColumns, keyBlooms,
           bloomColumns, partialUpdate, targetFileBytes, compactEvery,
           compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount,
-          tunedAt = configuredAt))
+          tunedAt = stamp))
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] table descriptor write failed at $root: ${e.getMessage}")
     }
@@ -2864,7 +2876,11 @@ class GraftTable(
         require(fields.contains(cn),
           s"stats/bloom column '$cn' is not in the table schema"))
     }
-    nt.persistConfig()
+    // force under the table lock: the retune must land regardless of
+    // wall-clock ordering against prior descriptor stamps, and the lock
+    // closes the read-then-write race with a concurrent commit's
+    // republish (commit paths persist while holding the same lock)
+    nt.withLock(nt.persistConfig(force = true))
     nt
   }
 
