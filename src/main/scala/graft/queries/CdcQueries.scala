@@ -556,6 +556,36 @@ object CdcScenario {
       GraftTable.open(s, root)
     })
 
+  /** Complete-mode DSv2 sink fixture: a streaming AGGREGATION drains
+    * through `outputMode("complete").toTable(...)` — every epoch
+    * OVERWRITES the table with the full aggregate (the sink's truncate
+    * path), so after one AvailableNow drain the table IS the batch
+    * aggregate of the zone. */
+  def catalogSinkComplete(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"catsinkc:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-catsinkc")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val load = fullLoad(s, dir)
+      load.coalesce(2).write.parquet(raw)
+      val t = new GraftTable(s, s"$base/table", Seq("o_orderstatus"))
+      t.bulkInsert(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType)))))
+      graft.sql.GraftSql.register(s, "catsinkc_scn", t)
+      val q = s.readStream.schema(load.schema).parquet(raw)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.catsinkc_scn")
+      require(q.awaitTermination(180000), "complete-mode sink drain timed out")
+      t
+    })
+
   /** `startingVersion` stream fixture: the MOR scenario's change feed
     * consumed through `spark.readStream.option("startingVersion", 0)
     * .table(...)` — the fresh stream starts AFTER the baseline commit
@@ -1067,6 +1097,12 @@ object CdcQueries {
     // final state equals the batch CDC apply (same oracle as the
     // foreachBatch sink it generalizes)
     "st_catalog_sink" -> ((s, dir) => statusAgg(CdcScenario.catalogSink(s, dir))),
+    // complete-mode sink: a streaming aggregation whose every epoch
+    // OVERWRITES the table (the sink's truncate path) — after the drain
+    // the table IS the batch aggregate of the zone
+    "st_catalog_sink_complete" -> ((s, dir) =>
+      CdcScenario.catalogSinkComplete(s, dir).readUser()
+        .select(col("o_orderstatus"), col("n"))),
     // S3/ST2 over a gzipped-JSONL zone: same loop, text-format source
     "st_jsonl_ingest" -> ((s, dir) => statusAgg(CdcScenario.streamedJsonl(s, dir))),
     // S3/ST2 over a gzipped CSV zone (the stock DMS target format, live)
@@ -1628,6 +1664,10 @@ object CdcQueries {
            (CAST(1 AS BIGINT), 'compact')) AS t(seq, action)""",
     "st_stream_ingest" -> statusAggSql,
     "st_catalog_sink" -> statusAggSql,
+    // the zone is the raw full load (one row per key), so the complete-
+    // mode aggregate equals the plain batch census
+    "st_catalog_sink_complete" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1""",
     // the DSv2 catalog stream's drained snapshot = the batch final state
     "st_catalog_stream" -> statusAggSql,
     "st_jsonl_ingest" -> statusAggSql,
