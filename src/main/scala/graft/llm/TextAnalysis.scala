@@ -81,6 +81,27 @@ object TextAnalysis {
       md5(nfc).as("nfc_md5"))
   }
 
+  /** Per-doc sentence segmentation census — the NLP-standard unit
+    * between characters ([[charChunks]]) and documents: terminated
+    * sentences are maximal `[^.!?]+[.!?]+` runs (greedy char-class
+    * regex — engine-portable, no lookbehind), the unterminated tail is
+    * flagged separately. (doc_id, n_full, has_frag, avg_full_len,
+    * max_full_len); pure codegen'd regex ops, segmenting 100 TB is a
+    * scan. */
+  def sentenceStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ms = regexp_extract_all(col(textCol), lit("[^.!?]+[.!?]+"), lit(0))
+    val lens = transform(ms, s => length(s))
+    val nFull = size(ms)
+    val frag = trim(regexp_replace(col(textCol), "[^.!?]+[.!?]+", ""))
+    docs.select(col(idCol).as("doc_id"),
+      nFull.cast("int").as("n_full"),
+      (length(frag) > 0).as("has_frag"),
+      round(when(nFull === 0, lit(0.0)).otherwise(
+        aggregate(lens, lit(0L), (a, x) => a + x).cast("double") / nFull),
+        4).as("avg_full_len"),
+      coalesce(array_max(lens), lit(0)).cast("int").as("max_full_len"))
+  }
+
   /** Per-document statistics + a composite quality score. */
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = split(col(textCol), " ")

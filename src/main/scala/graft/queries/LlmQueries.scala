@@ -292,6 +292,20 @@ object LlmQueries {
         "doc_id", "text")
     }),
 
+    // sentence segmentation census: planted terminal punctuation (the
+    // corpus itself has none) exercises multi-sentence, single-sentence
+    // and fragment-only shapes
+    "text_sentences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tail = when(col("doc_id") % 3 === 0,
+          lit(". First planted sentence! And a second one? trailing frag"))
+        .when(col("doc_id") % 3 === 1, lit(". Single tail sentence."))
+        .otherwise(lit(" no terminal punctuation here"))
+      TextAnalysis.sentenceStats(
+        docs.select(col("doc_id"), concat(col("text"), tail).as("text")),
+        "doc_id", "text")
+    }),
+
     "text_stats" -> ((s, dir) =>
       TextAnalysis.stats(t(s, dir, "documents"), "doc_id", "text")),
     // character-class census (script-detection gate): exact integer
@@ -1347,6 +1361,26 @@ object LlmQueries {
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT ia, ib, round(cos, 6) AS cos FROM p
          ORDER BY cos DESC, ia, ib LIMIT 20""",
+
+    // same greedy char-class segmentation regex (RE2 and Java agree on
+    // it — no lookbehind anywhere), same integer-sum/count average
+    "text_sentences" ->
+      """WITH e AS (SELECT doc_id, text ||
+           CASE CAST(doc_id % 3 AS INT)
+             WHEN 0 THEN '. First planted sentence! And a second one? trailing frag'
+             WHEN 1 THEN '. Single tail sentence.'
+             ELSE ' no terminal punctuation here' END AS t
+         FROM documents),
+         m AS (SELECT doc_id, t,
+             regexp_extract_all(t, '[^.!?]+[.!?]+') AS ms FROM e)
+         SELECT doc_id, CAST(len(ms) AS INT) AS n_full,
+           length(trim(regexp_replace(t, '[^.!?]+[.!?]+', '', 'g'))) > 0 AS has_frag,
+           round(CASE WHEN len(ms) = 0 THEN 0.0 ELSE
+             CAST(list_aggregate(list_transform(ms, x -> length(x)), 'sum') AS DOUBLE)
+               / len(ms) END, 4) AS avg_full_len,
+           CAST(COALESCE(list_aggregate(list_transform(ms, x -> length(x)), 'max'), 0) AS INT)
+             AS max_full_len
+         FROM m""",
 
     // DuckDB's nfc_normalize implements the same Unicode canonical
     // composition as the engine's native expression; chr() plants the

@@ -1053,6 +1053,24 @@ class LlmSpec extends AnyFunSuite {
     assert(kept5 == expect, "the rebuilt text must be exactly the two gaps")
   }
 
+  test("sentenceStats segments terminated runs and flags the fragment tail") {
+    val docs = Seq(
+      (1L, "One. Two two! Three?"),     // 3 full, no frag
+      (2L, "No punctuation at all"),    // fragment only
+      (3L, "Lead sentence. tail frag"), // 1 full + frag
+      (4L, "")).toDF("doc_id", "text")  // nothing
+    val got = graft.llm.TextAnalysis.sentenceStats(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Boolean, Double, Int)].collect().toSeq
+    // lengths include the terminator and any leading space of the run:
+    // "One." 4, " Two two!" 9, " Three?" 7 → avg 20/3
+    assert(got == Seq(
+      (1L, 3, false, math.round(20.0 / 3 * 10000) / 10000.0, 9),
+      (2L, 0, true, 0.0, 0),
+      (3L, 1, true, 14.0, 14),
+      (4L, 0, false, 0.0, 0)), s"unexpected census: $got")
+  }
+
   test("normalizeStats strips controls, collapses whitespace, pins the hash") {
     val docs = Seq(
       (1L, "a\u0007b\t\tc  d "), // bell stripped, tabs+runs collapse, trim
