@@ -274,10 +274,27 @@ object Dedup {
     require(maxFreq >= 1, s"bucket cap must be >= 1 (got $maxFreq)")
     val reps = member.groupBy(col("sig")).agg(min(col("id")).as("rid"))
     val memberRid = member.join(reps, Seq("sig")).select(col("rid"), col("id"))
-    val admitted = bandsOf(reps).withColumn("_nb", count(lit(1)).over(
+    val counted = bandsOf(reps).withColumn("_nb", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bk1"), col("bk2"))))
-      .filter(col("_nb") <= maxFreq)
-    val repPairs = admitted.as("x").join(admitted.as("y"),
+    // the cap makes a formerly-exact generator approximate under
+    // dense-bucket corpora — make that loss OBSERVABLE, never silent: a
+    // CollectMetrics node counts the capped buckets/rows in the same
+    // pass (no extra job), and a session listener logs any nonzero hit.
+    // Only the LEFT join side carries the observation: a duplicated
+    // CollectMetrics node (self-join) loses its metrics under AQE, so
+    // the right side recomputes the same lineage unobserved.
+    // DISTINCT aggregates are disallowed in observed metrics; every row
+    // of a bucket carries the same _nb, so sum(1/_nb) over capped rows
+    // counts capped BUCKETS exactly (rounded in the listener).
+    CapObservability.install(member.sparkSession)
+    val observed = counted.observe(CapObservability.freshName(),
+      sum(when(col("_nb") > maxFreq, lit(1.0) / col("_nb"))
+        .otherwise(lit(0.0))).as("capped_buckets"),
+      sum(when(col("_nb") > maxFreq, lit(1L)).otherwise(lit(0L)))
+        .as("capped_sig_rows"))
+    val admittedObs = observed.filter(col("_nb") <= maxFreq)
+    val admitted = counted.filter(col("_nb") <= maxFreq)
+    val repPairs = admittedObs.as("x").join(admitted.as("y"),
         col("x.bk1") === col("y.bk1") && col("x.bk2") === col("y.bk2") &&
           col("x.rid") < col("y.rid"))
       .select(col("x.rid").as("ra"), col("y.rid").as("rb")).distinct()
@@ -586,7 +603,10 @@ object Dedup {
       .filter(length(col(textCol)) >= minMatch)
       .select(col(textCol).as("_t"))
       .orderBy(md5(col("_t")), col("_t")).limit(2048)
-      .dropDuplicates("_t").limit(512)
+      .dropDuplicates("_t")
+      // re-sort: dropDuplicates does not preserve order, so without this
+      // the trailing limit would pick an arbitrary (run-varying) subset
+      .orderBy(md5(col("_t")), col("_t")).limit(512)
       .select(explode(sequence(lit(1), nStarts,
         greatest(lit(1), (nStarts / 64).cast("int")))).as("p"), col("_t"))
       .select(col("_t").substr(col("p"), lit(maxSuffix)).as("s"))
@@ -730,4 +750,197 @@ object Dedup {
       .unionByName(expandRepPairs(memberRid, scored))
       .distinct()
   }
+
+  /** Exact-text collapse shared by the components-oriented dedup APIs:
+    * (memberRid (rid, id), repDocs (rid, _t, mult)) where rid = min
+    * member id per DISTINCT text and mult = the group size. The text
+    * column crosses the shuffle once (same linear cost class as
+    * shingling); everything downstream works on distinct texts only. */
+  private def textCollapse(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("_t"))
+    val reps = base.groupBy(col("_t"))
+      .agg(min(col("id")).as("rid"), count(lit(1)).as("mult"))
+    val memberRid = base.join(reps, Seq("_t")).select(col("rid"), col("id"))
+    (memberRid, reps.select(col("rid"), col("_t"), col("mult")))
+  }
+
+  /** Near-dup edge list for [[minhashComponents]] — exposed so tests can
+    * pin its SIZE: member→rep star edges (n−1 per n-member identical
+    * group) ∪ verified rep-level pairs. A member joins its rep's star
+    * only when the rep has ≥ 1 shingle (a shingle-less doc can never
+    * appear in the pair graph, so it must not appear here either). */
+  private[graft] def minhashComponentEdges(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double, bands: Int, rows: Int,
+      maxBandFreq: Int): DataFrame = {
+    require(threshold <= 1.0,
+      s"star edges assume identical text passes the threshold (got $threshold)")
+    val (memberRid, repDocs) = textCollapse(docs, idCol, textCol)
+    val pairs = minhashPairs(repDocs, "rid", "_t", threshold, bands, rows,
+        maxBandFreq)
+      .select(col("ia"), col("ib"))
+    val surv = shingles(repDocs, "rid", "_t").select(col("rid")).distinct()
+    val star = memberRid.join(surv, Seq("rid"))
+      .filter(col("id") =!= col("rid"))
+      .select(col("rid").as("ia"), col("id").as("ib"))
+    star.unionByName(pairs)
+  }
+
+  /** Components-oriented MinHash dedup — near-dup GROUPS without ever
+    * materializing member pairs. [[minhashPairs]] expands rep pairs to
+    * member pairs, which is quadratic in a true duplicate cluster (a
+    * 10⁶-copy crawl page → ~5·10¹¹ pairs) even though candidate
+    * GENERATION is linear; when the deliverable is clusters, the
+    * expansion is pure waste, because connectedComponents would collapse
+    * the pairs right back. This API feeds CC the member→rep star edges
+    * (n rows) ∪ verified rep-level pairs instead — identical components
+    * (identical text ⇔ jaccard 1 ≥ threshold glues every member to its
+    * rep; distinct texts keep their exact verified pair edges, and
+    * jaccard over distinct shingle SETS is invariant under text
+    * duplication), edges LINEAR in cluster size.
+    *
+    * Returns (id, comp) — same contract as
+    * [[connectedComponents]] over [[minhashPairs]].
+    */
+  def minhashComponents(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, bands: Int = 16, rows: Int = 4,
+      maxBandFreq: Int = 1024): DataFrame =
+    connectedComponents(
+      minhashComponentEdges(docs, idCol, textCol, threshold, bands, rows,
+        maxBandFreq), "ia", "ib")
+
+  /** [[minhashComponents]]'s exact-Jaccard sibling, with the
+    * [[jaccardPairs]] stop-shingle cap replicated BIT-EXACTLY on the
+    * collapsed corpus: document frequency is the member-weighted sum
+    * over distinct texts (a shingle in 150 copies of one page still
+    * counts 150), so the surviving-shingle space — and therefore every
+    * pair's jaccard and the survivor set — is identical to the
+    * uncollapsed computation. An identical group whose every shingle is
+    * capped away drops out of the star too, exactly as its members drop
+    * out of the pair graph. */
+  def jaccardComponents(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame =
+    connectedComponents(
+      jaccardComponentEdges(docs, idCol, textCol, threshold, maxDocFreq),
+      "ia", "ib")
+
+  /** Edge list for [[jaccardComponents]] — exposed for the size tests. */
+  private[graft] def jaccardComponentEdges(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      maxDocFreq: Option[Int]): DataFrame = {
+    require(threshold <= 1.0,
+      s"star edges assume identical text passes the threshold (got $threshold)")
+    val (memberRid, repDocs) = textCollapse(docs, idCol, textCol)
+    val sh0 = shingles(repDocs, "rid", "_t")
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        // full-corpus document frequency from the collapsed index: one
+        // posting row per distinct text, weighted by group size
+        val hot = sh0.join(repDocs.select(col("rid"), col("mult")), Seq("rid"))
+          .groupBy(col("s")).agg(sum(col("mult")).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        sh0.join(broadcast(hot), Seq("s"), "left_anti")
+      case None => sh0
+    }
+    val cnt = sh.groupBy(col("rid").as("id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.select(col("rid").as("ia"), col("s"))
+      .join(sh.select(col("rid").as("ib"), col("s")), Seq("s"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("inter"))
+      .join(cnt.withColumnRenamed("id", "ia").withColumnRenamed("n_sh", "na"), Seq("ia"))
+      .join(cnt.withColumnRenamed("id", "ib").withColumnRenamed("n_sh", "nb"), Seq("ib"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")) >= threshold)
+      .select(col("ia"), col("ib"))
+    val star = memberRid.join(sh.select(col("rid")).distinct(), Seq("rid"))
+      .filter(col("id") =!= col("rid"))
+      .select(col("rid").as("ia"), col("id").as("ib"))
+    star.unionByName(pairs)
+  }
+
+  /** DETERMINISTIC audit of the [[simhashPairs]] dense-bucket cap: one
+    * row (capped_buckets, capped_sig_rows) counting the (chunk, value)
+    * buckets holding more than `maxChunkFreq` DISTINCT signatures — the
+    * buckets whose cross-signature pairs the cap suppresses — and the
+    * signature rows inside them. Complements the inline observation
+    * metric (which a run whose candidate branch collapses to empty
+    * under AQE can lose): this is a standalone linear aggregate a
+    * pipeline can grade, alert on, or use to pick `maxChunkFreq`. */
+  def simhashCapAudit(docs: DataFrame, idCol: String, textCol: String,
+      maxChunkFreq: Int = 1024): DataFrame = {
+    val member = simhash(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("sig"))
+    val reps = member.groupBy(col("sig")).agg(min(col("id")).as("rid"))
+    val bands = reps.select(
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+      .select(col("pos").as("bk1"), col("col").as("bk2"))
+    bands.groupBy(col("bk1"), col("bk2")).agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(when(col("n") > maxChunkFreq, lit(1L))), lit(0L))
+          .as("capped_buckets"),
+        coalesce(sum(when(col("n") > maxChunkFreq, col("n"))), lit(0L))
+          .as("capped_sig_rows"))
+  }
+}
+
+/** Makes dense-bucket cap hits OBSERVABLE: the `maxFreq` guard in the
+  * shared pair scaffolding silently trades recall for boundedness on
+  * corpora with boilerplate-dense buckets, so every capped bucket is
+  * counted through a `Dataset.observe` metric and logged by a
+  * per-session [[org.apache.spark.sql.util.QueryExecutionListener]].
+  * The last observation is also kept queryable (for tests and
+  * operational assertions) — listener delivery is async, so readers
+  * poll [[lastCapped]].
+  *
+  * Known edge: when the candidate branch materializes EMPTY at runtime
+  * (every bucket capped, zero rep pairs), AQE's empty-relation
+  * propagation replaces the subtree before the final plan reports
+  * metrics, so the observation is lost for exactly that run. The
+  * deterministic [[Dedup.simhashCapAudit]] census covers that case —
+  * it is a standalone aggregate AQE cannot prune. */
+private[graft] object CapObservability {
+  import java.util.concurrent.atomic.AtomicLong
+  import scala.collection.concurrent.TrieMap
+
+  private val obsId = new AtomicLong()
+  private val installed = TrieMap.empty[SparkSession, Unit]
+  @volatile private var last: Option[(Long, Long)] = None
+
+  private[llm] def freshName(): String =
+    s"graft.dedup.cap.${obsId.incrementAndGet()}"
+
+  /** (capped_buckets, capped_sig_rows) from the most recent query that
+    * carried a cap observation; None until one completes. */
+  def lastCapped: Option[(Long, Long)] = last
+
+  def install(spark: SparkSession): Unit =
+    installed.getOrElseUpdate(spark, {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft.dedup.cap.")) {
+                val buckets = Option(row.get(row.fieldIndex("capped_buckets")))
+                  .map(v => math.round(v.asInstanceOf[Double])).getOrElse(0L)
+                val rows = Option(row.get(row.fieldIndex("capped_sig_rows")))
+                  .map(_.asInstanceOf[Long]).getOrElse(0L)
+                last = Some((buckets, rows))
+                if (buckets > 0)
+                  System.err.println(s"[graft] dedup dense-bucket cap hit: " +
+                    s"$buckets bucket(s) / $rows signature row(s) stopped " +
+                    "generating cross-signature pairs — recall is reduced " +
+                    "for docs whose only shared band/chunk is in a capped " +
+                    "bucket (raise maxFreq to trade cost for recall)")
+              }
+            }
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+      ()
+    })
 }

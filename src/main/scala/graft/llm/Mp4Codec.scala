@@ -81,30 +81,46 @@ object Mp4Codec {
     ftyp ++ moov ++ box("mdat", mdat)
   }
 
-  /** Walk the box tree: every box as (path, offset, size), in file
-    * order, parents before children. Unknown boxes are skipped by their
-    * declared size — the walk never needs to understand a payload to
-    * traverse past it. A declared size that overruns its parent fails
-    * loudly (truncated or corrupt file), as does size < 8. */
-  def walk(payload: Array[Byte]): Seq[(String, Long, Long)] = {
-    val out = Seq.newBuilder[(String, Long, Long)]
+  /** Walk the box tree: every box as (path, offset, totalSize,
+    * headerLen), in file order, parents before children. Unknown boxes
+    * are skipped by their declared size — the walk never needs to
+    * understand a payload to traverse past it. The two ISO-BMFF special
+    * sizes are honored: size==1 reads the 8-byte largesize that follows
+    * the tag (16-byte header — required for >4 GiB mdat), size==0
+    * extends the box to the end of its enclosing scope (legal only for
+    * a final box, which the extends-to-end semantics enforce by
+    * construction). A declared size that overruns its parent fails
+    * loudly (truncated or corrupt file), as does any other size < 8. */
+  def walk(payload: Array[Byte]): Seq[(String, Long, Long, Int)] = {
+    val out = Seq.newBuilder[(String, Long, Long, Int)]
     def go(from: Int, until: Int, path: String): Unit = {
       var p = from
       while (p < until) {
         require(until - p >= 8, s"truncated box header at $p")
         val bb = ByteBuffer.wrap(payload, p, 8).order(ByteOrder.BIG_ENDIAN)
-        val size = bb.getInt()
+        val size32 = bb.getInt()
         val tag = {
           val b = new Array[Byte](4)
           System.arraycopy(payload, p + 4, b, 0, 4)
           new String(b, "US-ASCII")
         }
-        require(size >= 8, s"bad box size $size at $p")
+        val (size, hdr) = size32 match {
+          case 0 => ((until - p).toLong, 8)
+          case 1 =>
+            require(until - p >= 16, s"truncated largesize header at $p")
+            val ls = ByteBuffer.wrap(payload, p + 8, 8)
+              .order(ByteOrder.BIG_ENDIAN).getLong()
+            require(ls >= 16, s"bad largesize $ls at $p")
+            (ls, 16)
+          case s =>
+            require(s >= 8, s"bad box size $s at $p")
+            (s.toLong, 8)
+        }
         require(p + size <= until, s"box $tag overruns its parent at $p")
         val full = if (path.isEmpty) tag else s"$path/$tag"
-        out += ((full, p.toLong, size.toLong))
-        if (Containers(tag)) go(p + 8, p + size, full)
-        p += size
+        out += ((full, p.toLong, size, hdr))
+        if (Containers(tag)) go(p + hdr, (p + size).toInt, full)
+        p += size.toInt
       }
     }
     go(0, payload.length, "")
@@ -120,12 +136,13 @@ object Mp4Codec {
     * cover the fields read — a corrupt short mvhd refuses loudly
     * instead of reading the next sibling's bytes as header fields. */
   def mvhdFrom(payload: Array[Byte],
-      boxes: Seq[(String, Long, Long)]): (Int, Long) = {
-    val (at, size) = boxes.collectFirst { case ("moov/mvhd", off, sz) => (off, sz) }
+      boxes: Seq[(String, Long, Long, Int)]): (Int, Long) = {
+    val (at, size, hdr) = boxes.collectFirst {
+      case ("moov/mvhd", off, sz, h) => (off, sz, h) }
       .getOrElse(throw new IllegalArgumentException("no moov/mvhd box"))
-    require(size >= 8 + 4 + 16,
+    require(size >= hdr + 4 + 16,
       s"mvhd box too short for its version-0 fields (size $size)")
-    val bb = ByteBuffer.wrap(payload, at.toInt + 8, 20).order(ByteOrder.BIG_ENDIAN)
+    val bb = ByteBuffer.wrap(payload, at.toInt + hdr, 20).order(ByteOrder.BIG_ENDIAN)
     val versionFlags = bb.getInt()
     require((versionFlags >>> 24) == 0, "only mvhd version 0 supported")
     bb.getInt(); bb.getInt() // creation, modification
@@ -136,13 +153,14 @@ object Mp4Codec {
 
   /** The `mdat` media payload (first mdat box). */
   def mdat(payload: Array[Byte]): Array[Byte] = {
-    val (off, size) = mdatRange(walk(payload))
-    java.util.Arrays.copyOfRange(payload, off.toInt + 8, (off + size).toInt)
+    val (off, len) = mdatRange(walk(payload))
+    java.util.Arrays.copyOfRange(payload, off.toInt, (off + len).toInt)
   }
 
-  /** Offset + declared size of the first `mdat` from an already-computed
-    * box list — lets callers hash/slice the media range in place. */
-  def mdatRange(boxes: Seq[(String, Long, Long)]): (Long, Long) =
-    boxes.collectFirst { case ("mdat", o, s) => (o, s) }
+  /** PAYLOAD offset + length of the first `mdat` (header excluded —
+    * callers hash/slice the media range in place without caring whether
+    * the box used an 8- or 16-byte header). */
+  def mdatRange(boxes: Seq[(String, Long, Long, Int)]): (Long, Long) =
+    boxes.collectFirst { case ("mdat", o, s, h) => (o + h, s - h) }
       .getOrElse(throw new IllegalArgumentException("no mdat box"))
 }

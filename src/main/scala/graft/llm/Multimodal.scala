@@ -438,12 +438,12 @@ object Multimodal {
         it.map { case (id, payload) =>
           val boxes = Mp4Codec.walk(payload) // ONE walk per file
           val (ts, dur) = Mp4Codec.mvhdFrom(payload, boxes)
-          val (mOff, mSize) = Mp4Codec.mdatRange(boxes)
+          val (mOff, mLen) = Mp4Codec.mdatRange(boxes)
           md.reset()
-          md.update(payload, mOff.toInt + 8, (mSize - 8).toInt) // hash in place
+          md.update(payload, mOff.toInt, mLen.toInt) // hash in place
           val hex = md.digest().map("%02x".format(_)).mkString
           (id, boxes.size, boxes.count(_._1 == "moov/trak"), ts, dur,
-            (mSize - 8).toInt, hex)
+            mLen.toInt, hex)
         }
       }
       .toDF(idCol, "n_boxes", "n_tracks", "timescale", "duration_ms",

@@ -67,12 +67,15 @@ case class TableConfig(
     /** Default keeps descriptors written before the BUCKET index existed
       * readable (json4s fills missing fields from defaults). */
     bucketCount: Int = 0,
-    /** Freshness stamp: when the HANDLE that publishes this descriptor
-      * was configured (construction or retune time). `persistConfig`
-      * refuses to clobber a NEWER on-disk descriptor, so a stale
-      * pre-retune handle's next commit cannot silently undo an
-      * `ALTER TABLE ... SET TBLPROPERTIES` on disk. Absent in old
-      * descriptors (json4s default 0 = always overwritable). */
+    /** Freshness VERSION: a monotonic counter bumped by every descriptor
+      * republish (`max(handle, disk) + 1`). `persistConfig` refuses to
+      * clobber a NEWER on-disk descriptor, so a stale pre-retune
+      * handle's next commit cannot silently undo an
+      * `ALTER TABLE ... SET TBLPROPERTIES` on disk — with no dependence
+      * on wall clocks (descriptors written by the pre-version scheme
+      * carried millisecond stamps; the counter simply continues above
+      * them). Absent in old descriptors (json4s default 0 = always
+      * overwritable). */
     tunedAt: Long = 0L)
 
 class GraftTable(
@@ -628,33 +631,39 @@ class GraftTable(
   /** Republish the self-describing `_graft/table.json` (best-effort:
     * the commit is already durable; a failed descriptor write only
     * degrades path-open/warehouse discovery until the next commit). */
-  /** When this handle's engine configuration was fixed (construction /
-    * retune) — the freshness guard for descriptor republish. */
-  private[operators] val configuredAt: Long = System.currentTimeMillis()
+  /** Descriptor VERSION this handle was configured against: the on-disk
+    * `tunedAt` at construction (0 when none). A monotonic counter, not a
+    * wall clock — every successful republish writes strictly
+    * `max(handle, disk) + 1`, so freshness never depends on millisecond
+    * resolution or on clock agreement across processes (a retune and a
+    * handle-open in the same millisecond are still ordered by the bump,
+    * and a clock-skewed writer cannot leapfrog a retune). */
+  private[operators] var descriptorVersion: Long =
+    scala.util.Try(GraftTable.readConfig(root)).toOption.flatten
+      .map(_.tunedAt).getOrElse(0L)
 
   private def persistConfig(force: Boolean = false): Unit =
     try {
-      // freshness guard: a handle older than the on-disk descriptor
-      // (someone retuned after this handle was built) must not clobber
-      // the newer tuning with its own stale copy on its next commit.
-      // An UNREADABLE descriptor counts as absent — overwritable — so a
-      // torn/corrupt table.json heals on the next commit instead of
-      // permanently blocking every future republish. Commit-path calls
-      // run under the table lock, closing the read-then-write race; the
-      // retune path forces its write (a retune must land regardless of
-      // the clock skew of whoever stamped the descriptor last) with a
-      // stamp strictly above anything on disk.
+      // freshness guard: a handle configured against an older descriptor
+      // version than what is now on disk (someone retuned after this
+      // handle was built) must not clobber the newer tuning with its own
+      // stale copy on its next commit. An UNREADABLE descriptor counts
+      // as absent — overwritable — so a torn/corrupt table.json heals on
+      // the next commit instead of permanently blocking every future
+      // republish. Commit-path calls run under the table lock, closing
+      // the read-then-write race; the retune path forces its write (a
+      // retune must land regardless of who stamped the descriptor last).
       val onDisk = scala.util.Try(GraftTable.readConfig(root)).toOption.flatten
-      val stale = !force && onDisk.exists(_.tunedAt >= configuredAt)
+      val diskV = onDisk.map(_.tunedAt).getOrElse(0L)
+      val stale = !force && diskV > descriptorVersion
       if (!stale) {
-        val stamp =
-          if (force) math.max(configuredAt, onDisk.map(_.tunedAt + 1).getOrElse(0L))
-          else configuredAt
+        val stamp = math.max(descriptorVersion, diskV) + 1
         GraftTable.writeConfig(root, TableConfig(keyFields, partitionFields,
           orderingField, tableType, globalIndex, statsColumns, keyBlooms,
           bloomColumns, partialUpdate, targetFileBytes, compactEvery,
           compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount,
           tunedAt = stamp))
+        descriptorVersion = stamp
       }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] table descriptor write failed at $root: ${e.getMessage}")

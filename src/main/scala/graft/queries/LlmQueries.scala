@@ -34,17 +34,33 @@ object LlmQueries {
     // is the complete Hamming-≤3 pair set, oracle-checked end to end
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 3)),
-    // near-dup pairs → dedup groups: connected components by alternating
-    // large-star/small-star contraction (log-of-diameter rounds)
-    "dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.5, maxDocFreq = Some(100))
-      Dedup.connectedComponents(pairs, "ia", "ib")
+    // the dense-bucket cap's recall loss as a GRADED observable: census
+    // of (chunk, value) buckets holding more distinct signatures than a
+    // deliberately tiny cap would admit (the corpus-audit a pipeline
+    // runs before trusting a capped pair generator)
+    "dedup_cap_audit" -> ((s, dir) =>
+      Dedup.simhashCapAudit(t(s, dir, "documents"), "doc_id", "text",
+        maxChunkFreq = 4)),
+    // near-dup GROUPS via the components-oriented API: star edges (one
+    // per member of an identical-text group) ∪ rep-level verified pairs
+    // feed CC — identical components to the pairs path, edges LINEAR in
+    // duplicate-cluster size instead of quadratic
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.jaccardComponents(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5, maxDocFreq = Some(100))
         .groupBy(col("comp").as("cluster_id"))
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",",
-            transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))
-    }),
+            transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))),
+    // same star-edge shape on the MinHash-LSH generator (the crawl-scale
+    // path: banded candidates on DISTINCT texts only)
+    "dedup_minhash_components" -> ((s, dir) =>
+      Dedup.minhashComponents(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))),
     // duplicated-passage census: per-doc share of 3-gram shingles whose
     // corpus document frequency >= 2 (the boilerplate/copied-span signal)
     "dedup_spans" -> ((s, dir) =>
@@ -171,9 +187,10 @@ object LlmQueries {
     // representative (the min-id label) per cluster
     "dedup_keep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      // groups consumer → components API (linear star edges, no member
+      // pair expansion)
+      val comp = Dedup.jaccardComponents(docs, "doc_id", "text",
         threshold = 0.5, maxDocFreq = Some(100))
-      val comp = Dedup.connectedComponents(pairs, "ia", "ib")
       val removed = comp.filter(col("id") =!= col("comp"))
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(comp.agg(count(lit(1)).as("n_in_clusters")))
@@ -849,7 +866,35 @@ object LlmQueries {
            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
          SELECT ia, ib, dist FROM pairs WHERE dist <= 3""",
 
-    "dedup_clusters" -> clustersSql,
+    // same signature pipeline as dedup_simhash, then: chunk c of a sig =
+    // its 16 bits 16c..16c+15 as an integer; bucket census over DISTINCT
+    // signatures; capped = buckets with > 4 distinct sigs
+    "dedup_cap_audit" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         t2 AS (SELECT doc_id, substr(md5(w), 1, 16) AS m FROM tok WHERE length(w) > 0),
+         bits AS (SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, b // 4 + 1, 1)) - 1)
+                            >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM t2 CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+           GROUP BY doc_id, b),
+         sigs AS (SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY b) AS sig
+                  FROM bits GROUP BY doc_id),
+         reps AS (SELECT DISTINCT sig FROM sigs),
+         chunks AS (SELECT c AS bk1,
+             CAST(list_aggregate(list_transform(range(0, 16),
+               j -> sig[c * 16 + j + 1] * (1 << j)), 'sum') AS BIGINT) AS bk2
+           FROM reps CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cc),
+         cnt AS (SELECT bk1, bk2, COUNT(*) AS n FROM chunks GROUP BY 1, 2)
+         SELECT CAST(COALESCE(SUM(CASE WHEN n > 4 THEN 1 END), 0) AS BIGINT) AS capped_buckets,
+           CAST(COALESCE(SUM(CASE WHEN n > 4 THEN n END), 0) AS BIGINT) AS capped_sig_rows
+         FROM cnt""",
+
+    "dedup_clusters" -> clustersSql(),
+
+    // components over the UNCAPPED jaccard pair graph — the oracle for
+    // the star-edge minhash components (LSH recall at 16×4 is complete
+    // on this corpus, pinned by dedup_minhash)
+    "dedup_minhash_components" -> clustersSql(None),
 
     "dedup_keep" -> keepSql,
 
@@ -1972,8 +2017,8 @@ object LlmQueries {
     * recursive CTE: enumerate every (vertex, reachable-vertex) pair, take
     * the min reachable id as the cluster label. Exponential in nothing on
     * the tiny planted clusters; the ENGINE side is the scalable path. */
-  private def clusterCtes: String =
-    s"""WITH RECURSIVE ${jaccardCtes(Some(100))},
+  private def clusterCtes(maxDocFreq: Option[Int] = Some(100)): String =
+    s"""WITH RECURSIVE ${jaccardCtes(maxDocFreq)},
        jp AS (SELECT ia, ib FROM scored WHERE j >= 0.5),
        e AS (SELECT ia AS u, ib AS v FROM jp UNION SELECT ib, ia FROM jp),
        reach(id, r) AS (
@@ -1982,14 +2027,14 @@ object LlmQueries {
          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
        comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
 
-  private def clustersSql: String =
-    s"""$clusterCtes
+  private def clustersSql(maxDocFreq: Option[Int] = Some(100)): String =
+    s"""${clusterCtes(maxDocFreq)}
        SELECT cluster_id, COUNT(*) AS n_docs,
               string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
        FROM comp GROUP BY cluster_id"""
 
   private def keepSql: String =
-    s"""$clusterCtes
+    s"""${clusterCtes()}
        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
               (SELECT COUNT(*) FROM comp) AS n_in_clusters,
               (SELECT COUNT(*) FROM comp WHERE id <> cluster_id) AS n_removed,

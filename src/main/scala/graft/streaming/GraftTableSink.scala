@@ -244,12 +244,20 @@ private[graft] object RowCodec extends Serializable {
   def readAll(path: Path, schema: StructType): Iterator[Row] = {
     val in = new DataInputStream(new BufferedInputStream(
       Files.newInputStream(path)))
+    // A consumer that stops early (downstream limit, task kill) never
+    // drains to EOF, so EOF-triggered close alone leaks the handle;
+    // tie the stream to the task lifetime when one exists.
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => in.close()))
     new Iterator[Row] {
       private var nextRow: Row = advance()
       private def advance(): Row = {
         val first =
           try in.read()
-          catch { case _: java.io.EOFException => -1 }
+          catch {
+            case _: java.io.EOFException => -1
+            case e: Throwable => in.close(); throw e
+          }
         if (first < 0) { in.close(); null }
         else {
           val vals = new Array[Any](schema.length)

@@ -604,8 +604,10 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(GraftTable.open(spark, s"$wh/props_t").keyFields == Seq("id"))
       // a STALE pre-retune handle committing afterwards must not undo
       // the retune on disk (the tunedAt freshness guard)
+      // no sleep: the descriptor version counter orders a retune against
+      // a handle opened in the SAME millisecond (the old wall-clock
+      // guard needed Thread.sleep(5) here)
       val stale = GraftTable.open(spark, s"$wh/props_t")
-      Thread.sleep(5)
       spark.sql(
         "ALTER TABLE graft.props_t SET TBLPROPERTIES ('stats_columns'='score')")
       stale.upsert(Seq((9999L, 9999L * 3, "v9999", "001"))

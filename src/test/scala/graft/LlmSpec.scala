@@ -66,6 +66,56 @@ class LlmSpec extends AnyFunSuite {
       (a <= n && b <= n) || (a == 2001L && b == 2002L) })
   }
 
+  test("components API: a 10k-identical cluster costs linear edges, same components") {
+    // the pairs API would expand this cluster to ~5·10⁷ member pairs
+    // before CC collapsed them; the components edge list must stay O(n)
+    val n = 10000
+    val cluster = (1L to n.toLong).map(i =>
+      (i, "the same boilerplate page body repeated verbatim across the crawl"))
+    val nearA = (20001L, "alpha beta gamma delta epsilon zeta eta theta")
+    val nearB = (20002L, "alpha beta gamma delta epsilon zeta eta iota")
+    val far = (30001L, "something else entirely about unrelated topics ten words long")
+    val docs = (cluster ++ Seq(nearA, nearB, far)).toDF("doc_id", "text")
+    val edges = Dedup.minhashComponentEdges(docs, "doc_id", "text",
+      threshold = 0.5, bands = 16, rows = 4, maxBandFreq = 1024)
+    val ec = edges.count()
+    assert(ec >= n - 1 && ec <= n + 20,
+      s"edge list must be linear in cluster size: got $ec for $n members")
+    val comp = Dedup.minhashComponents(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to n.toLong).forall(comp.get(_).contains(1L)),
+      "every identical member lands in the min-id component")
+    assert(comp.get(20001L).contains(20001L) && comp.get(20002L).contains(20001L))
+    assert(!comp.contains(30001L), "the unpaired doc appears in no component")
+  }
+
+  test("components == pairs-CC bit for bit, incl. the df-capped identical group") {
+    // mixed corpus: real docs, an 80-copy group (under the df cap — must
+    // cluster via star edges), and a 150-copy group whose every shingle
+    // exceeds df cap 100 (must vanish from BOTH paths — the survivor pin)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").limit(60)
+    val g80 = (1L to 80L).map(i =>
+      (500000L + i, "an eighty copy group body that stays under the document frequency cap"))
+    val g150 = (1L to 150L).map(i =>
+      (600000L + i, "a over cap group body appearing one hundred fifty times in the corpus"))
+    val docs = real.union((g80 ++ g150).toDF("doc_id", "text"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"comp").as[(Long, Long)].collect().toSet
+    val viaPairs = norm(Dedup.connectedComponents(
+      Dedup.jaccardPairs(docs, "doc_id", "text", 0.5, Some(100)), "ia", "ib"))
+    val viaStar = norm(Dedup.jaccardComponents(docs, "doc_id", "text", 0.5, Some(100)))
+    assert(viaStar == viaPairs,
+      s"star components must equal pairs components (star ${viaStar.size} vs pairs ${viaPairs.size})")
+    assert(viaStar.count(_._2 == 500001L) == 80, "the 80-group clusters whole")
+    assert(!viaStar.exists(_._1 > 600000L), "the df-capped group vanishes from both")
+    // and the minhash flavor agrees with ITS pairs path (no df cap)
+    val mhPairs = norm(Dedup.connectedComponents(
+      Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5), "ia", "ib"))
+    val mhStar = norm(Dedup.minhashComponents(docs, "doc_id", "text", threshold = 0.5))
+    assert(mhStar == mhPairs)
+  }
+
   test("simhash chunk join survives an identical cluster; tight cap spares copies") {
     // same guards as minhash: copies collapse to one chunk-join row, so
     // even a cap of 1 keeps every identical-cluster pair at distance 0
@@ -86,6 +136,40 @@ class LlmSpec extends AnyFunSuite {
     val dflt = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(dflt.count { case (a, b, _) => a <= n && b <= n } == truePairs)
+  }
+
+  test("dense-bucket cap hits are observable, never silent") {
+    import graft.llm.CapObservability
+    // five DISTINCT texts that share a word prefix: their simhash
+    // signatures differ, but several chunks collide — with cap=1 every
+    // shared (chunk, value) bucket holding 2+ distinct signatures is
+    // capped and must be REPORTED through the observation metric.
+    // AQE off: with every bucket capped the candidate branch is
+    // runtime-empty, and AQE's empty-propagation would prune the
+    // CollectMetrics node (the documented edge the audit query covers).
+    val docs = (1L to 5L).map(i =>
+      (i, s"shared boilerplate preamble common across pages variant $i"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3, maxChunkFreq = 1)
+      .count()
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // listener delivery is async — poll
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var seen = CapObservability.lastCapped
+    while ((seen.isEmpty || seen.exists(_._1 == 0L)) &&
+        System.nanoTime() < deadline) {
+      Thread.sleep(50); seen = CapObservability.lastCapped
+    }
+    assert(seen.exists(_._1 > 0L),
+      s"capped buckets must surface in the observation metric, got $seen")
+    assert(seen.exists(_._2 >= seen.get._1),
+      "every capped bucket contributes at least one capped signature row")
+    // the deterministic audit census agrees with the inline observation
+    val audit = Dedup.simhashCapAudit(docs, "doc_id", "text", maxChunkFreq = 1)
+      .collect()(0)
+    assert((audit.getLong(0), audit.getLong(1)) == seen.get,
+      s"audit ${(audit.getLong(0), audit.getLong(1))} vs observed $seen")
   }
 
   test("SimHash places exact twins at hamming distance 0") {
@@ -421,7 +505,7 @@ class LlmSpec extends AnyFunSuite {
       "the demuxed mdat range must be byte-exact")
     // a corrupted child size that overruns its parent fails loudly
     val bad = f.clone()
-    val moovOff = boxes.collectFirst { case ("moov/mvhd", o, _) => o }.get.toInt
+    val moovOff = boxes.collectFirst { case ("moov/mvhd", o, _, _) => o }.get.toInt
     java.nio.ByteBuffer.wrap(bad, moovOff, 4).putInt(1 << 28)
     val e = intercept[IllegalArgumentException](Mp4Codec.walk(bad))
     assert(e.getMessage.contains("overruns"))
@@ -429,6 +513,40 @@ class LlmSpec extends AnyFunSuite {
     val bad2 = f.clone()
     java.nio.ByteBuffer.wrap(bad2, 0, 4).putInt(3)
     intercept[IllegalArgumentException](Mp4Codec.walk(bad2))
+  }
+
+  test("ISO-BMFF special box sizes: 64-bit largesize and size-0 to-end-of-file") {
+    import graft.llm.Mp4Codec
+    val media = "large media payload".getBytes("US-ASCII")
+    val f = Mp4Codec.encode(timescale = 1000, duration = 777L,
+      nTracks = 1, mdat = media)
+    // rewrite the trailing mdat as a largesize box: size=1 marker, tag,
+    // then the 8-byte true size before the same payload
+    val mdatOff = Mp4Codec.walk(f).collectFirst { case ("mdat", o, _, _) => o }.get.toInt
+    val big = new Array[Byte](f.length + 8)
+    System.arraycopy(f, 0, big, 0, mdatOff)
+    val bb = java.nio.ByteBuffer.wrap(big, mdatOff, 16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(1)
+    bb.put("mdat".getBytes("US-ASCII"))
+    bb.putLong(16L + media.length)
+    System.arraycopy(media, 0, big, mdatOff + 16, media.length)
+    val boxes = Mp4Codec.walk(big)
+    val (o16, s16, h16) = boxes.collectFirst {
+      case ("mdat", o, s, h) => (o, s, h) }.get
+    assert(h16 == 16 && s16 == 16L + media.length && o16 == mdatOff.toLong)
+    assert(Mp4Codec.mdat(big).toSeq == media.toSeq,
+      "largesize header must not shift the demuxed payload")
+    assert(Mp4Codec.mvhd(big) == ((1000, 777L)))
+    // size==0: the final box extends to end of file
+    val zero = f.clone()
+    java.nio.ByteBuffer.wrap(zero, mdatOff, 4).putInt(0)
+    assert(Mp4Codec.mdat(zero).toSeq == media.toSeq)
+    // a truncated largesize header refuses loudly
+    val short = java.util.Arrays.copyOfRange(big, 0, mdatOff + 12)
+    val e = intercept[IllegalArgumentException](Mp4Codec.walk(short))
+    assert(e.getMessage.contains("truncated largesize") ||
+      e.getMessage.contains("truncated box header"))
   }
 
   test("GIF LZW round-trips random, repetitive and dictionary-overflow payloads exactly") {
