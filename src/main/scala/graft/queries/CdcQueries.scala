@@ -380,6 +380,37 @@ object CdcScenario {
       tab
     })
 
+  /** MULTI-CLAUSE `MERGE INTO` (ST4h round-13): two conditional UPDATE
+    * branches + a conditional DELETE with FIRST-MATCH-WINS ordering —
+    * an 'F'-status row whose price clears the first clause's bar is
+    * UPDATED, not deleted, because the earlier clause claims it (the
+    * Delta/Hudi contract a ported MERGE relies on). */
+  def mergedMultiSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"mmulti:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-mmulti").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      o.filter(k % 7 === 0)
+        .unionByName(o.filter(k % 1000 === 13)
+          .withColumn("o_orderkey", k + 50000000L)
+          .withColumn("o_orderstatus", lit("N")))
+        .createOrReplaceTempView("orders_mmulti_src")
+      graft.sql.GraftSql.register(s, "orders_mmulti_sql", tab)
+      s.sql(
+        """MERGE INTO graft.orders_mmulti_sql t USING orders_mmulti_src s
+           ON t.o_orderkey = s.o_orderkey
+           WHEN MATCHED AND s.o_totalprice > 150000.0 THEN UPDATE SET
+             o_orderstatus = 'H', o_totalprice = t.o_totalprice + 42.0
+           WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET
+             o_orderstatus = 'L', o_totalprice = t.o_totalprice + 5.0
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+      tab
+    })
+
   /** `INSERT INTO graft.t` through the catalog's DSv2 write path: the
     * appended batch UPSERTS (key collisions latest-win via trx_seq) —
     * %50 keys restamped 'I', fresh +30M keys inserted as 'J'. */
@@ -761,6 +792,34 @@ object CdcScenario {
       t
     })
 
+  /** Nested-schema DSv2 sink (round-13): the stream carries a STRUCT
+    * column plus a MAP end to end — `writeStream.toTable` stages the
+    * nested rows through the recursive RowCodec and upserts them, no
+    * flatten detour. The graded aggregate reads the struct fields back
+    * out of the final table. */
+  def catalogSinkNested(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"catsinknst:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-catsinknst")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val load = fullLoad(s, dir).select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price")).as("o_detail"),
+        map(lit("prio"), col("o_orderpriority")).as("o_tags"),
+        col(Meta.Ordering), col(Meta.Deleted))
+      load.coalesce(2).write.parquet(raw)
+      val t = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      t.bulkInsert(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], load.schema))
+      graft.sql.GraftSql.register(s, "catsinknst_scn", t)
+      val q = s.readStream.schema(load.schema).parquet(raw)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.catsinknst_scn")
+      require(q.awaitTermination(180000), "nested catalog sink drain timed out")
+      t
+    })
+
   /** Streaming ingest of a gzipped-JSONL raw zone (the LLM corpus format
     * arriving as a live feed): the same CDC batches land as `.json.gz`
     * shards and are drained by the same Structured Streaming loop with an
@@ -1097,6 +1156,13 @@ object CdcQueries {
     // final state equals the batch CDC apply (same oracle as the
     // foreachBatch sink it generalizes)
     "st_catalog_sink" -> ((s, dir) => statusAgg(CdcScenario.catalogSink(s, dir))),
+    // ST6b round-13: struct+map columns through the DSv2 streaming sink;
+    // the graded aggregate reads the struct fields back out
+    "st_catalog_sink_nested" -> ((s, dir) =>
+      CdcScenario.catalogSinkNested(s, dir).readUser()
+        .groupBy(col("o_detail.status").as("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_detail.price").cast("decimal(18,2)")).cast("double").as("total"))),
     // complete-mode sink: a streaming aggregation whose every epoch
     // OVERWRITES the table (the sink's truncate path) — after the drain
     // the table IS the batch aggregate of the zone
@@ -1339,6 +1405,8 @@ object CdcQueries {
     // the SAME merge issued as a MERGE INTO statement (parser extension →
     // engine expression merge): final state must equal cdc_merge_into's
     "cdc_merge_into_sql" -> ((s, dir) => statusAgg(CdcScenario.mergedIntoSql(s, dir))),
+    // ST4h round-13: N-clause MERGE, first-match-wins ordering graded
+    "cdc_merge_multi_sql" -> ((s, dir) => statusAgg(CdcScenario.mergedMultiSql(s, dir))),
     // INSERT INTO graft.t (DSv2 write path): append upserts, key
     // collisions latest-win
     "cdc_insert_into_sql" -> ((s, dir) => statusAgg(CdcScenario.insertedIntoSql(s, dir))),
@@ -1664,6 +1732,12 @@ object CdcQueries {
            (CAST(1 AS BIGINT), 'compact')) AS t(seq, action)""",
     "st_stream_ingest" -> statusAggSql,
     "st_catalog_sink" -> statusAggSql,
+    // the zone is the raw full load carried inside a struct, so the
+    // struct-field census equals the plain batch census
+    "st_catalog_sink_nested" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1""",
     // the zone is the raw full load (one row per key), so the complete-
     // mode aggregate equals the plain batch census
     "st_catalog_sink_complete" ->
@@ -2008,6 +2082,27 @@ object CdcQueries {
            FROM orders WHERE o_orderkey % 1000 = 7)
          SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderstatus""",
+    // multi-clause first-match-wins: %7 keys — 'H'+42 where price clears
+    // 150k (even when status is 'F': the earlier clause claims the row),
+    // else DELETE where 'F', else 'L'+5; +50M 'N' rows inserted
+    "cdc_merge_multi_sql" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 7 = 0 AND o_totalprice > 150000.0 THEN 'H'
+                       WHEN o_orderkey % 7 = 0 THEN 'L'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CAST(CASE WHEN o_orderkey % 7 = 0 AND o_totalprice > 150000.0
+                         THEN o_totalprice + 42.0
+                       WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+                       ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+           FROM orders
+           WHERE NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F'
+                      AND o_totalprice <= 150000.0)
+           UNION ALL
+           SELECT 'N', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 1000 = 13)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
+
     // INSERT INTO upsert semantics: %50 keys restamped 'I' (trx_seq 5
     // beats the full load's 1), +30M 'J' rows appended
     "cdc_insert_into_sql" ->

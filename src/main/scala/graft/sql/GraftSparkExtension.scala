@@ -83,10 +83,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   *  - `ON` must equate the record key column(s) between target and
   *    source (the engine's MERGE identity is the record key; arbitrary
   *    join conditions have no meaning against a keyed table).
-  *  - at most one `WHEN MATCHED ... UPDATE` (with optional condition —
-  *    emulated per column as `when(cond, value).otherwise(col)`) and at
-  *    most one `WHEN MATCHED ... DELETE`, composed with SQL's
-  *    first-match-wins ordering;
+  *  - any number of `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`
+  *    clauses with FIRST-MATCH-WINS ordering (the Delta/Hudi contract):
+  *    each clause's effective condition is `cond AND NOT (any earlier
+  *    cond)` — mutually exclusive by construction — and updates compile
+  *    to one per-column CASE chain over the clauses in statement order;
   *  - `WHEN NOT MATCHED THEN INSERT *` (or an explicit identity column
   *    list) → `insertWhenNotMatched`;
   *  - `WHEN NOT MATCHED BY SOURCE` / schema evolution: rejected loudly.
@@ -204,36 +205,45 @@ private[sql] object GraftMergeSql {
     def starSet: Seq[(String, Column)] =
       (shared -- keySet).toSeq.sorted.map(c => c -> col("src_" + c))
 
-    // ---- matched actions: <=1 UPDATE, <=1 DELETE, first-match-wins ---
-    var updateCond: Option[Option[Column]] = None // Some(inner)=seen; inner=its condition
-    var updateSet = Map.empty[String, Column]
+    // ---- matched actions: N UPDATE/DELETE clauses, FIRST-MATCH-WINS —
+    // the Delta/Hudi contract. Clause i fires where its condition holds
+    // AND no earlier clause's condition did, which makes the effective
+    // conditions mutually exclusive by construction: the engine's
+    // delete-vs-update apply order cannot matter, every matched row is
+    // claimed by at most one clause, and rows no clause claims carry
+    // over unchanged. NULL conditions count as non-matching (coalesce
+    // to false), per SQL's WHEN semantics.
+    var prior: Column = lit(false)
     var deleteCond: Option[Column] = None
-    def addUpdate(c0: Option[Expression], assigns: Seq[(String, Column)]): Unit = {
-      if (updateCond.isDefined) fail("at most one WHEN MATCHED ... UPDATE")
-      if (deleteCond.isDefined)
-        // delete ran first: update applies to the survivors, which the
-        // engine's keep-then-project order already guarantees
-        ()
-      val c = c0.map(xlate)
-      updateCond = Some(c)
-      updateSet = assigns.map { case (n, v) =>
-        n -> c.fold(v)(cc => when(cc, v).otherwise(col(n)))
-      }.toMap
+    val updateClauses = Seq.newBuilder[(Column, Map[String, Column])]
+    def rawCond(c0: Option[Expression]): Column =
+      c0.map(e => coalesce(xlate(e), lit(false))).getOrElse(lit(true))
+    def addClause(c0: Option[Expression],
+        assigns: Option[Seq[(String, Column)]]): Unit = {
+      val raw = rawCond(c0)
+      val eff = raw && !prior
+      assigns match {
+        case Some(set) => updateClauses += ((eff, set.toMap))
+        case None => deleteCond = Some(deleteCond.fold(eff)(_ || eff))
+      }
+      prior = prior || raw
     }
     matched.foreach {
-      case DeleteAction(c0) =>
-        if (deleteCond.isDefined) fail("at most one WHEN MATCHED ... DELETE")
-        val d = c0.map(xlate).getOrElse(lit(true))
-        updateCond match {
-          case Some(None) => () // unconditional UPDATE listed first shadows DELETE
-          case Some(Some(u)) => // first-match-wins: delete only where update didn't
-            deleteCond = Some(!coalesce(u, lit(false)) && d)
-          case None => deleteCond = Some(d)
-        }
+      case DeleteAction(c0) => addClause(c0, None)
       case UpdateAction(c0, assigns, _) =>
-        addUpdate(c0, assigns.map(a => assignName(a) -> xlate(a.value)))
-      case UpdateStarAction(c0) => addUpdate(c0, starSet)
+        addClause(c0, Some(assigns.map(a => assignName(a) -> xlate(a.value))))
+      case UpdateStarAction(c0) => addClause(c0, Some(starSet))
       case other => fail(s"unsupported WHEN MATCHED action: $other")
+    }
+    // per column: one CASE chain in clause order; a clause that does not
+    // assign the column keeps the target value for the rows it claims
+    val updateSet: Map[String, Column] = {
+      val clauses = updateClauses.result()
+      clauses.flatMap(_._2.keys).distinct.map { n =>
+        n -> clauses.foldRight(col(n): Column) { case ((eff, set), acc) =>
+          when(eff, set.getOrElse(n, col(n))).otherwise(acc)
+        }
+      }.toMap
     }
 
     // ---- not-matched: INSERT * or an identity column list ------------

@@ -7,6 +7,7 @@ import scala.util.Using
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -160,28 +161,31 @@ private[graft] class GraftStageWriter(path: Path, schema: StructType)
   * field-by-field: a null byte, then the value. Temporal values move as
   * their catalyst epoch numbers and rebuild as `java.time` types
   * (`Instant`/`LocalDate`/`LocalDateTime`), which round-trip timezone-
-  * free; decimals move as unscaled bytes + scale. Nested STRUCT/MAP are
-  * rejected up front (loudly, before the query starts) — the keyed
-  * tables this sink feeds are flat CDC relations with optional
-  * primitive arrays and binary payloads. */
+  * free; decimals move as unscaled bytes + scale. STRUCT/MAP/ARRAY nest
+  * arbitrarily (round-13): the schema-driven walk recurses — a struct is
+  * its fields' flags+values in order, a map is its size then key/value
+  * pairs (keys are non-null by Spark's contract), an array is its size
+  * then flagged elements — so a `from_json`-shaped stream writes
+  * straight to the table without a flatten detour. Unsupported LEAF
+  * types are still rejected up front, before the query starts. */
 private[graft] object RowCodec extends Serializable {
 
-  def validate(schema: StructType): Unit = schema.fields.foreach { f =>
-    f.dataType match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType | BinaryType |
-           DateType | TimestampType | TimestampNTZType => ()
-      case _: DecimalType => ()
-      case ArrayType(et, _) => et match {
-        case BooleanType | ByteType | ShortType | IntegerType | LongType |
-             FloatType | DoubleType | StringType => ()
-        case other => throw new IllegalArgumentException(
-          s"streaming write does not support array<$other> (column ${f.name})")
-      }
-      case other => throw new IllegalArgumentException(
-        s"streaming write does not support $other (column ${f.name}) — " +
-          "flatten nested structures before the sink")
-    }
+  def validate(schema: StructType): Unit =
+    schema.fields.foreach(f => validateType(f.dataType, f.name))
+
+  private def validateType(dt: DataType, where: String): Unit = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType |
+         DateType | TimestampType | TimestampNTZType => ()
+    case _: DecimalType => ()
+    case ArrayType(et, _) => validateType(et, s"$where[]")
+    case st: StructType =>
+      st.fields.foreach(f => validateType(f.dataType, s"$where.${f.name}"))
+    case MapType(kt, vt, _) =>
+      validateType(kt, s"$where<key>")
+      validateType(vt, s"$where<value>")
+    case other => throw new IllegalArgumentException(
+      s"streaming write does not support $other (column $where)")
   }
 
   def write(out: DataOutputStream, row: InternalRow, schema: StructType): Unit = {
@@ -194,44 +198,56 @@ private[graft] object RowCodec extends Serializable {
     }
   }
 
-  private def writeValue(out: DataOutputStream, row: InternalRow, i: Int,
+  /** One recursive writer over [[SpecializedGetters]] — `InternalRow`,
+    * `ArrayData` and a map's key/value arrays all expose it, so struct
+    * fields, array elements and map entries share this code path. */
+  private def writeValue(out: DataOutputStream, g: SpecializedGetters, i: Int,
       dt: DataType): Unit = dt match {
-    case BooleanType => out.writeBoolean(row.getBoolean(i))
-    case ByteType => out.writeByte(row.getByte(i).toInt)
-    case ShortType => out.writeShort(row.getShort(i).toInt)
-    case IntegerType | DateType => out.writeInt(row.getInt(i))
-    case LongType | TimestampType | TimestampNTZType => out.writeLong(row.getLong(i))
-    case FloatType => out.writeFloat(row.getFloat(i))
-    case DoubleType => out.writeDouble(row.getDouble(i))
-    case StringType => writeBytes(out, row.getUTF8String(i).getBytes)
-    case BinaryType => writeBytes(out, row.getBinary(i))
+    case BooleanType => out.writeBoolean(g.getBoolean(i))
+    case ByteType => out.writeByte(g.getByte(i).toInt)
+    case ShortType => out.writeShort(g.getShort(i).toInt)
+    case IntegerType | DateType => out.writeInt(g.getInt(i))
+    case LongType | TimestampType | TimestampNTZType => out.writeLong(g.getLong(i))
+    case FloatType => out.writeFloat(g.getFloat(i))
+    case DoubleType => out.writeDouble(g.getDouble(i))
+    case StringType => writeBytes(out, g.getUTF8String(i).getBytes)
+    case BinaryType => writeBytes(out, g.getBinary(i))
     case d: DecimalType =>
-      val bd = row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      val bd = g.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
       writeBytes(out, bd.unscaledValue().toByteArray)
       out.writeInt(bd.scale())
     case ArrayType(et, _) =>
-      val arr = row.getArray(i)
+      val arr = g.getArray(i)
       out.writeInt(arr.numElements())
       var j = 0
       while (j < arr.numElements()) {
         val n = arr.isNullAt(j)
         out.writeBoolean(n)
-        if (!n) writeArrayElem(out, arr, j, et)
+        if (!n) writeValue(out, arr, j, et)
         j += 1
       }
-    case other => throw new IllegalStateException(s"unreachable: $other")
-  }
-
-  private def writeArrayElem(out: DataOutputStream, arr: ArrayData, j: Int,
-      et: DataType): Unit = et match {
-    case BooleanType => out.writeBoolean(arr.getBoolean(j))
-    case ByteType => out.writeByte(arr.getByte(j).toInt)
-    case ShortType => out.writeShort(arr.getShort(j).toInt)
-    case IntegerType => out.writeInt(arr.getInt(j))
-    case LongType => out.writeLong(arr.getLong(j))
-    case FloatType => out.writeFloat(arr.getFloat(j))
-    case DoubleType => out.writeDouble(arr.getDouble(j))
-    case StringType => writeBytes(out, arr.getUTF8String(j).getBytes)
+    case st: StructType =>
+      val r = g.getStruct(i, st.length)
+      var j = 0
+      while (j < st.length) {
+        val n = r.isNullAt(j)
+        out.writeBoolean(n)
+        if (!n) writeValue(out, r, j, st(j).dataType)
+        j += 1
+      }
+    case MapType(kt, vt, _) =>
+      val m = g.getMap(i)
+      val keys = m.keyArray()
+      val vals = m.valueArray()
+      out.writeInt(m.numElements())
+      var j = 0
+      while (j < m.numElements()) {
+        writeValue(out, keys, j, kt) // map keys are non-null by contract
+        val n = vals.isNullAt(j)
+        out.writeBoolean(n)
+        if (!n) writeValue(out, vals, j, vt)
+        j += 1
+      }
     case other => throw new IllegalStateException(s"unreachable: $other")
   }
 
@@ -310,6 +326,24 @@ private[graft] object RowCodec extends Serializable {
       var j = 0
       while (j < n) {
         b += (if (in.readBoolean()) null else readValue(in, et))
+        j += 1
+      }
+      b.result()
+    case st: StructType =>
+      val vals = new Array[Any](st.length)
+      var j = 0
+      while (j < st.length) {
+        vals(j) = if (in.readBoolean()) null else readValue(in, st(j).dataType)
+        j += 1
+      }
+      Row.fromSeq(vals.toIndexedSeq)
+    case MapType(kt, vt, _) =>
+      val n = in.readInt()
+      val b = Map.newBuilder[Any, Any]
+      var j = 0
+      while (j < n) {
+        val k = readValue(in, kt)
+        b += (k -> (if (in.readBoolean()) null else readValue(in, vt)))
         j += 1
       }
       b.result()

@@ -350,6 +350,55 @@ class GraftSqlSpec extends AnyFunSuite {
       s"unexpected state after delete-merge: $after2")
   }
 
+  test("multi-clause MERGE applies first-match-wins across N UPDATE/DELETE branches") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq(
+      (1L, "a", 10L, "001"), (2L, "b", 200L, "001"), (3L, "c", 300L, "001"),
+      (4L, "d", 40L, "001"), (5L, "e", 50L, "001"))
+      .toDF("id", "v", "score", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_mmulti", t)
+    Seq((1L, "DEL"), (2L, "DEL"), (3L, "ADJ"), (4L, "ADJ"))
+      .toDF("id", "action").createOrReplaceTempView("sqlspec_mmulti_src")
+    // id=2: score>100 claims it FIRST even though action='DEL' — the
+    // ordering case; id=1: deleted; id=3: score>100 → 'HI'; id=4: falls
+    // to the unconditional tail clause; id=5: unmatched, untouched
+    spark.sql(
+      """MERGE INTO graft.sqlspec_mmulti t USING sqlspec_mmulti_src s
+         ON t.id = s.id
+         WHEN MATCHED AND t.score > 100 THEN UPDATE SET
+           v = 'HI', score = t.score + 1
+         WHEN MATCHED AND s.action = 'DEL' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = concat(t.v, '+')""")
+    val after = t.readUser().select("id", "v", "score")
+      .as[(Long, String, Long)].collect()
+      .map { case (i, vv, sc) => i -> ((vv, sc)) }.toMap
+    assert(after == Map(
+      2L -> ("HI", 201L), 3L -> ("HI", 301L),
+      4L -> ("d+", 40L), 5L -> ("e", 50L)),
+      s"first-match-wins state wrong: $after")
+
+    // swapped clause order flips the ordering case: DELETE claims id=2
+    val t2 = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t2.bulkInsert(Seq(
+      (1L, "a", 10L, "001"), (2L, "b", 200L, "001"), (3L, "c", 300L, "001"),
+      (4L, "d", 40L, "001"), (5L, "e", 50L, "001"))
+      .toDF("id", "v", "score", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_mmulti2", t2)
+    spark.sql(
+      """MERGE INTO graft.sqlspec_mmulti2 t USING sqlspec_mmulti_src s
+         ON t.id = s.id
+         WHEN MATCHED AND s.action = 'DEL' THEN DELETE
+         WHEN MATCHED AND t.score > 100 THEN UPDATE SET
+           v = 'HI', score = t.score + 1
+         WHEN MATCHED THEN UPDATE SET v = concat(t.v, '+')""")
+    val after2 = t2.readUser().select("id", "v", "score")
+      .as[(Long, String, Long)].collect()
+      .map { case (i, vv, sc) => i -> ((vv, sc)) }.toMap
+    assert(after2 == Map(
+      3L -> ("HI", 301L), 4L -> ("d+", 40L), 5L -> ("e", 50L)),
+      s"swapped-order state wrong: $after2")
+  }
+
   test("UPDATE and DELETE statements run as pruned partial rewrites") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024,
       statsColumns = Seq("score"))

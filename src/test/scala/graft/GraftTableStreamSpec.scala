@@ -333,12 +333,68 @@ class GraftTableStreamSpec extends AnyFunSuite {
     val re = spark.createDataFrame(spark.sparkContext.parallelize(back), schema)
     assert(re.exceptAll(df).count() == 0 && df.exceptAll(re).count() == 0,
       "staged rows must round-trip value-exactly, nulls and temporals included")
-    // nested structures are rejected loudly BEFORE any query starts
+    // unsupported LEAF types are still rejected loudly, anywhere in the
+    // nesting (round-13: struct/map themselves are now supported)
     intercept[IllegalArgumentException](graft.streaming.RowCodec.validate(
-      StructType(Seq(StructField("m", MapType(StringType, LongType))))))
+      StructType(Seq(StructField("st", StructType(Seq(
+        StructField("x", CalendarIntervalType))))))))
     intercept[IllegalArgumentException](graft.streaming.RowCodec.validate(
-      StructType(Seq(StructField("st",
-        StructType(Seq(StructField("x", LongType))))))))
+      StructType(Seq(StructField("m", MapType(StringType, NullType))))))
+  }
+
+  test("RowCodec round-trips nested STRUCT/MAP/ARRAY with nulls at every level") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val inner = StructType(Seq(
+      StructField("x", LongType), StructField("s", StringType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("st", StructType(Seq(
+        StructField("a", LongType),
+        StructField("nested", inner),
+        StructField("tags", ArrayType(StringType))))),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("deep", MapType(StringType, StructType(Seq(
+        StructField("v", DoubleType))))),
+      StructField("aos", ArrayType(inner)),
+      StructField("aoa", ArrayType(ArrayType(LongType)))))
+    graft.streaming.RowCodec.validate(schema)
+    val rows = Seq(
+      // fully populated
+      Row(1L,
+        Row(10L, Row(7L, "in"), Seq("t1", "t2")),
+        Map("k1" -> 1L, "k2" -> 2L),
+        Map("d" -> Row(2.5)),
+        Seq(Row(1L, "a"), Row(2L, "b")),
+        Seq(Seq(1L, 2L), Seq(3L))),
+      // nulls at every nesting level: null struct field, null nested
+      // struct, null array element, null map value, null inner leaf
+      Row(2L,
+        Row(null, null, Seq("only", null)),
+        Map("k" -> null),
+        Map("d2" -> Row(null)),
+        Seq(null, Row(null, null)),
+        Seq(null, Seq(null, 9L))),
+      // whole containers null
+      Row(3L, null, null, null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val internals = df.queryExecution.toRdd.map(_.copy()).collect()
+    val file = Files.createTempDirectory("graft-rowcodec-nested").resolve("r.bin")
+    val out = new java.io.DataOutputStream(java.nio.file.Files.newOutputStream(file))
+    internals.foreach(r => graft.streaming.RowCodec.write(out, r, schema))
+    out.close()
+    val back = graft.streaming.RowCodec.readAll(file, schema).toSeq
+    assert(back.length == 3)
+    val re = spark.createDataFrame(spark.sparkContext.parallelize(back), schema)
+    // set ops refuse MAP columns — canonicalize maps to sorted entry arrays
+    import org.apache.spark.sql.functions.{col, map_entries, sort_array}
+    def canon(d: org.apache.spark.sql.DataFrame) = d.select(col("id"), col("st"),
+      sort_array(map_entries(col("m"))).as("m"),
+      sort_array(map_entries(col("deep"))).as("deep"),
+      col("aos"), col("aoa"))
+    assert(canon(re).exceptAll(canon(df)).count() == 0 &&
+      canon(df).exceptAll(canon(re)).count() == 0,
+      "nested rows must round-trip value-exactly, nulls at every level included")
   }
 
   test("writeStream.toTable matches the foreachBatch sink's final state") {
