@@ -564,6 +564,22 @@ object Dedup {
     * partitioning. Boundaries and extremes collect once into plan
     * literals — every job in the chain buckets identically — and the
     * full suffix multiset is aggregated exactly once. */
+  /** The exploded (doc_id, pos, s) truncated-suffix multiset —
+    * [[suffixLcps]]'s input, exposed so the explode pass can be timed
+    * alone (PERF_NOTES carries its share of the census: the plan
+    * recomputes this subtree ~3× — edges aggregate, value aggregate,
+    * instance join — as a deliberate no-cache trade). */
+  private[graft] def suffixMultiset(docs: DataFrame, idCol: String,
+      textCol: String, minMatch: Int, maxSuffix: Int,
+      stride: Int = 1): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= minMatch)
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(minMatch - 1),
+          lit(stride))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        col("_t").substr(col("pos"), lit(maxSuffix)).as("s"))
+
   private def suffixLcps(docs: DataFrame, idCol: String, textCol: String,
       minMatch: Int, maxSuffix: Int, buckets: Int, stride: Int = 1): DataFrame = {
     require(buckets > 0, s"buckets must be positive (got $buckets)")
@@ -577,13 +593,7 @@ object Dedup {
     // keeps the old no-neighbor-means-0 contract
     def lcp(a: Column, b: Column): Column =
       coalesce(graft.functions.TextFunctions.lcp(a, b), lit(0))
-    val sfx = docs
-      .filter(length(col(textCol)) >= minMatch)
-      .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
-        explode(sequence(lit(1), length(col(textCol)) - lit(minMatch - 1),
-          lit(stride))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        col("_t").substr(col("pos"), lit(maxSuffix)).as("s"))
+    val sfx = suffixMultiset(docs, idCol, textCol, minMatch, maxSuffix, stride)
     // Boundary sample, BOUNDED IN BYTES and computed executor-side: a
     // deterministic md5-ordered TakeOrdered draws ≤2048 docs (one k-heap
     // pass, no shuffle), duplicates-by-text collapse (so a corpus that

@@ -66,6 +66,74 @@ class LlmSpec extends AnyFunSuite {
       (a <= n && b <= n) || (a == 2001L && b == 2002L) })
   }
 
+  test("suffix census survives a 1e5-instance hot value; AQE splits the skewed instance join") {
+    // one 100k-char single-character doc: every interior position yields
+    // the SAME 60-char truncated suffix, so one value carries ~1e5
+    // instances into the sfx⋈valLcp instance join — the boilerplate-value
+    // regime at crawl scale. The value collapse absorbs it everywhere
+    // except that final join, where AQE's skew split is the guard this
+    // fixture pins (thresholds lowered to make 7 MB of hot rows count as
+    // skew at test scale).
+    // 100k docs of ONE 20-char string: each contributes a single
+    // instance of a single suffix value — a 1e5-instance hot value whose
+    // shuffle partition stays >threshold because the distinct doc_ids
+    // resist the shuffle codec (a periodic 'a'*L doc also plants a hot
+    // value, but zstd flattens its constant rows below any threshold —
+    // it rides along here for the census assertions only)
+    val R = "qZ3kF8pLw2NvXs9TbYd0"
+    val hotMany = spark.range(1, 100001)
+      .select((col("id") + 100L).as("doc_id"), lit(R).as("text"))
+    val rest = Seq(
+      (1L, "a" * 100000),
+      (2L, "completely distinct words forming no twenty char duplicate runs"),
+      (3L, "another unrelated body of text with its own vocabulary entirely"))
+    val docs = hotMany.unionByName(rest.toDF("doc_id", "text"))
+    // at REAL hot-value scale the distinct-value side stays small and
+    // AQE resolves the instance join as a runtime BROADCAST (no skew
+    // possible at all — the multiset side never shuffles on s); forbid
+    // broadcast here to pin the OTHER guard: when distinct values are
+    // too many to broadcast, the sort-merge path must skew-split the
+    // hot value's partition
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    val saved = keys.map(k => k -> scala.util.Try(spark.conf.get(k)).toOption)
+    // the hot rows are identical strings — they compress ~250:1 in the
+    // shuffle, so the byte thresholds must sit far below the raw size
+    spark.conf.set(keys(0), "8k")
+    spark.conf.set(keys(1), "8k")
+    spark.conf.set(keys(2), "2")
+    spark.conf.set(keys(3), "-1")
+    spark.conf.set(keys(4), "-1")
+    spark.conf.set(keys(5), "true")
+    try {
+      val df = Dedup.suffixDuplication(docs, "doc_id", "text",
+        minMatch = 20, maxSuffix = 60, buckets = 8)
+      val rows = df.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // census exact under both hot values: every copy of R is one fully
+      // duplicated 20-char suffix; the periodic doc has all 99,981
+      // starts duplicated (interior suffixes identical, tail suffixes of
+      // length 20..59 proper prefixes of the run); neighbors untouched
+      assert(rows.size == 100003)
+      assert(rows(101L) == ((1L, 1L, 20L)) && rows(100100L) == ((1L, 1L, 20L)))
+      assert(rows.count(_._2 == ((1L, 1L, 20L))) == 100000)
+      assert(rows(1L) == ((99981L, 99981L, 60L)), s"periodic doc census: ${rows(1L)}")
+      assert(rows(2L)._2 == 0L && rows(3L)._2 == 0L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected an AQE skew-split marker in the executed plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) if v != null => spark.conf.set(k, v)
+      case (k, _) => spark.conf.unset(k)
+    }
+  }
+
   test("components API: a 10k-identical cluster costs linear edges, same components") {
     // the pairs API would expand this cluster to ~5·10⁷ member pairs
     // before CC collapsed them; the components edge list must stay O(n)
