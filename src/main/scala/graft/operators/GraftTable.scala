@@ -1431,7 +1431,24 @@ class GraftTable(
   def mergeInto(source0: DataFrame,
       whenMatchedSet: Map[String, Column] = Map.empty,
       whenMatchedDelete: Option[Column] = None,
-      insertWhenNotMatched: Boolean = true): Commit = withLock(retryOnConflict {
+      insertWhenNotMatched: Boolean = true,
+      /** Gate on the NOT MATCHED insert (frame columns, `src_` side):
+        * a non-matched source row lands only where this holds (NULL =
+        * no insert, SQL WHEN semantics). */
+      insertWhenNotMatchedCond: Option[Column] = None,
+      /** NOT MATCHED BY SOURCE update set (target rows with no source
+        * key): same shape as `whenMatchedSet`; values may embed their
+        * clause conditions (`when(cond, v).otherwise(col(c))`). Setting
+        * either BY SOURCE parameter disables affected-file pruning —
+        * the clause is defined over EVERY target row, so the merge
+        * rewrites the full table (the honest cost of the semantics). */
+      whenNotMatchedBySourceSet: Map[String, Column] = Map.empty,
+      whenNotMatchedBySourceDelete: Option[Column] = None,
+      /** Which BY SOURCE rows count as MODIFIED (commit-seq restamp):
+        * pass the OR of the clauses' conditions; None = every BY SOURCE
+        * row when a set is present. Unmodified carried rows must keep
+        * their original stamp — a restamp is visible to CDC readers. */
+      whenNotMatchedBySourceTouched: Option[Column] = None): Commit = withLock(retryOnConflict {
     // retryOnConflict is sound here: MERGE is defined against the CURRENT
     // snapshot, and each attempt re-reads latest() — a retry after an OCC
     // writer stole the seq recomputes the same merge over the winner's
@@ -1445,10 +1462,13 @@ class GraftTable(
     val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val tableCols = prevSchema.fieldNames.toSeq
-    val badSet = whenMatchedSet.keySet.filter(c =>
-      !tableCols.contains(c) || c == Meta.RecordKey || keyFields.contains(c))
+    val badSet = (whenMatchedSet.keySet ++ whenNotMatchedBySourceSet.keySet)
+      .filter(c =>
+        !tableCols.contains(c) || c == Meta.RecordKey || keyFields.contains(c))
     require(badSet.isEmpty,
       s"whenMatchedSet may only update non-key table columns; bad: ${badSet.mkString(",")}")
+    val hasBySource = whenNotMatchedBySourceSet.nonEmpty ||
+      whenNotMatchedBySourceDelete.isDefined
     val src = prepared(source0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1456,7 +1476,11 @@ class GraftTable(
         .filter(col("c") > 1).limit(1).collect()
       require(dup.isEmpty, "mergeInto source has multiple rows for key " +
         dup.headOption.map(_.getString(0)).getOrElse(""))
-      val (affected, untouched) = pruneAffected(prev, src)
+      // BY SOURCE clauses quantify over every target row, so pruning
+      // would silently skip the files their keys never touch
+      val (affected, untouched) =
+        if (hasBySource) (prev.files, Seq.empty[DataFile])
+        else pruneAffected(prev, src)
       val seq = prev.seq + 1
       val ex = scanFiles(affected, prevSchema).withColumn("_t", lit(true))
       val srcCols = src.columns.filterNot(_ == Meta.RecordKey).toSet
@@ -1465,25 +1489,37 @@ class GraftTable(
         .withColumn("_s", lit(true))
       val j = ex.join(srcPrefixed, Seq(Meta.RecordKey), "full_outer")
       val matched = col("_t").isNotNull && col("_s").isNotNull
-      // a NULL delete condition keeps the row (SQL three-valued logic)
-      val keep = !coalesce(matched && whenMatchedDelete.getOrElse(lit(false)), lit(false))
-      val base = if (insertWhenNotMatched) j.filter(keep)
+      val bySource = col("_t").isNotNull && col("_s").isNull
+      // a NULL delete/insert condition keeps/skips the row (SQL
+      // three-valued logic: WHEN conditions never fire on NULL)
+      val keep =
+        !coalesce(matched && whenMatchedDelete.getOrElse(lit(false)), lit(false)) &&
+        !coalesce(bySource &&
+          whenNotMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+      val insertOk = insertWhenNotMatchedCond
+        .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+      val base = if (insertWhenNotMatched)
+        j.filter(keep && (col("_t").isNotNull || insertOk))
       else j.filter(keep && col("_t").isNotNull)
+      val bySourceTouched = bySource && lit(whenNotMatchedBySourceSet.nonEmpty) &&
+        coalesce(whenNotMatchedBySourceTouched.getOrElse(lit(true)), lit(false))
       val projected = tableCols.map { c =>
         val dt = prevSchema(c).dataType
         if (c == Meta.RecordKey) col(c).as(c)
         else if (c == Meta.CommitSeq)
-          // source-touched rows carry this commit's stamp; carried
-          // target-only rows keep their original one
-          when(col("_s").isNotNull, lit(seq).cast(dt))
+          // source-touched (and BY-SOURCE-modified) rows carry this
+          // commit's stamp; carried target-only rows keep their own
+          when(col("_s").isNotNull || bySourceTouched, lit(seq).cast(dt))
             .otherwise(col(c)).as(c)
         else {
           val onMatch = whenMatchedSet.get(c).map(_.cast(dt)).getOrElse(col(c))
+          val onBySource =
+            whenNotMatchedBySourceSet.get(c).map(_.cast(dt)).getOrElse(col(c))
           val onInsert =
             if (srcCols.contains(c)) col(s"src_$c").cast(dt)
             else lit(null).cast(dt)
           when(matched, onMatch)
-            .when(col("_t").isNotNull, col(c))
+            .when(col("_t").isNotNull, onBySource)
             .otherwise(onInsert).as(c)
         }
       }

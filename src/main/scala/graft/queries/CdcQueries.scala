@@ -411,6 +411,37 @@ object CdcScenario {
       tab
     })
 
+  /** `WHEN NOT MATCHED BY SOURCE` + conditional `WHEN NOT MATCHED`
+    * INSERT (ST4h round-13): the two remaining Delta/Hudi MERGE clause
+    * families — target rows without a source key are updated/deleted
+    * first-match-wins (an 'O' row is RETUNED even when its price would
+    * also satisfy the later DELETE), and non-matched source rows insert
+    * only where the clause condition holds. */
+  def mergedBySourceSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"mbysrc:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-mbysrc").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      o.filter(k % 11 === 0)
+        .unionByName(o.filter(k % 1000 === 17)
+          .withColumn("o_orderkey", k + 60000000L)
+          .withColumn("o_orderstatus", lit("W")))
+        .createOrReplaceTempView("orders_mbysrc_src")
+      graft.sql.GraftSql.register(s, "orders_mbysrc_sql", tab)
+      s.sql(
+        """MERGE INTO graft.orders_mbysrc_sql t USING orders_mbysrc_src s
+           ON t.o_orderkey = s.o_orderkey
+           WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+           WHEN NOT MATCHED AND s.o_totalprice > 100000.0 THEN INSERT *
+           WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O' THEN UPDATE SET
+             o_orderstatus = 'Q'
+           WHEN NOT MATCHED BY SOURCE AND t.o_totalprice < 50000.0 THEN DELETE""").collect()
+      tab
+    })
+
   /** `INSERT INTO graft.t` through the catalog's DSv2 write path: the
     * appended batch UPSERTS (key collisions latest-win via trx_seq) —
     * %50 keys restamped 'I', fresh +30M keys inserted as 'J'. */
@@ -1407,6 +1438,8 @@ object CdcQueries {
     "cdc_merge_into_sql" -> ((s, dir) => statusAgg(CdcScenario.mergedIntoSql(s, dir))),
     // ST4h round-13: N-clause MERGE, first-match-wins ordering graded
     "cdc_merge_multi_sql" -> ((s, dir) => statusAgg(CdcScenario.mergedMultiSql(s, dir))),
+    // ST4h round-13: BY SOURCE clause family + conditional INSERT graded
+    "cdc_merge_bysource_sql" -> ((s, dir) => statusAgg(CdcScenario.mergedBySourceSql(s, dir))),
     // INSERT INTO graft.t (DSv2 write path): append upserts, key
     // collisions latest-win
     "cdc_insert_into_sql" -> ((s, dir) => statusAgg(CdcScenario.insertedIntoSql(s, dir))),
@@ -2100,6 +2133,26 @@ object CdcQueries {
            UNION ALL
            SELECT 'N', CAST(o_totalprice AS DECIMAL(18,2))
            FROM orders WHERE o_orderkey % 1000 = 13)
+         SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY o_orderstatus""",
+
+    // by-source first-match-wins: %11 keys matched → 'M'; of the REST,
+    // 'O' rows retag 'Q' (even under 50k — the earlier clause claims
+    // them), then sub-50k rows are deleted; +60M 'W' rows insert only
+    // where price clears 100k
+    "cdc_merge_bysource_sql" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 11 = 0 THEN 'M'
+                       WHEN o_orderstatus = 'O' THEN 'Q'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           WHERE o_orderkey % 11 = 0 OR o_orderstatus = 'O'
+              OR o_totalprice >= 50000.0
+           UNION ALL
+           SELECT 'W', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders
+           WHERE o_orderkey % 1000 = 17 AND o_totalprice > 100000.0)
          SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderstatus""",
 

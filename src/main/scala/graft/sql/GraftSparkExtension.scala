@@ -88,9 +88,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   *    each clause's effective condition is `cond AND NOT (any earlier
   *    cond)` — mutually exclusive by construction — and updates compile
   *    to one per-column CASE chain over the clauses in statement order;
-  *  - `WHEN NOT MATCHED THEN INSERT *` (or an explicit identity column
-  *    list) → `insertWhenNotMatched`;
-  *  - `WHEN NOT MATCHED BY SOURCE` / schema evolution: rejected loudly.
+  *  - any number of `WHEN NOT MATCHED [AND cond] THEN INSERT *` (or an
+  *    explicit identity column list) clauses — the engine inserts the
+  *    full source row identically whichever clause fires, so
+  *    first-match-wins collapses to inserting where ANY condition holds;
+  *  - any number of `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+  *    UPDATE/DELETE` clauses, first-match-wins — these quantify over
+  *    every target row, so the engine merge runs unpruned (full-table
+  *    rewrite, the honest cost of the semantics);
+  *  - schema evolution: rejected loudly (widening happens on upsert).
   *
   * Attribute references in action expressions are re-homed onto the
   * engine's merge frame: source-qualified columns become their
@@ -136,8 +142,6 @@ private[sql] object GraftMergeSql {
       targetAlias: Option[String]): LogicalPlan = {
     val MergeIntoTable(_, sourcePlan, cond, matched, notMatched,
       notMatchedBySource, withSchemaEvolution) = m
-    if (notMatchedBySource.nonEmpty)
-      fail("WHEN NOT MATCHED BY SOURCE is not supported")
     if (withSchemaEvolution)
       fail("WITH SCHEMA EVOLUTION is not supported; widening happens on upsert")
     val table = GraftSql.lookupRegistered(name).getOrElse(fail(
@@ -246,32 +250,73 @@ private[sql] object GraftMergeSql {
       }.toMap
     }
 
-    // ---- not-matched: INSERT * or an identity column list ------------
-    val insert = notMatched match {
-      case Seq() => false
-      case Seq(InsertStarAction(None)) => true
-      case Seq(InsertAction(None, assigns)) =>
-        val named = assigns.map { a =>
-          val n = assignName(a)
-          a.value match {
-            case v: UnresolvedAttribute
-                if v.nameParts.last.equalsIgnoreCase(n) && side(v) != Some(false) => n.toLowerCase
-            case other => fail("INSERT must be identity (col <- source.col); " +
-              s"got ${other.sql} — the engine inserts the full source row")
-          }
+    // ---- not-matched: N INSERT clauses (star / identity column list),
+    // each optionally conditional. The engine inserts the full source
+    // row identically whichever clause fires, so first-match-wins
+    // collapses to "insert where ANY clause condition holds".
+    def checkIdentity(assigns: Seq[Assignment]): Unit = {
+      val named = assigns.map { a =>
+        val n = assignName(a)
+        a.value match {
+          case v: UnresolvedAttribute
+              if v.nameParts.last.equalsIgnoreCase(n) && side(v) != Some(false) => n.toLowerCase
+          case other => fail("INSERT must be identity (col <- source.col); " +
+            s"got ${other.sql} — the engine inserts the full source row")
         }
-        if (named.toSet != shared)
-          fail(s"INSERT column list must cover every shared column (${shared.toSeq.sorted.mkString(", ")})")
-        true
-      case Seq(InsertStarAction(Some(_))) | Seq(InsertAction(Some(_), _)) =>
-        fail("conditional WHEN NOT MATCHED is not supported")
-      case _ => fail("at most one WHEN NOT MATCHED action")
+      }
+      if (named.toSet != shared)
+        fail(s"INSERT column list must cover every shared column (${shared.toSeq.sorted.mkString(", ")})")
     }
+    val insertConds: Seq[Option[Expression]] = notMatched.map {
+      case InsertStarAction(c0) => c0
+      case InsertAction(c0, assigns) => checkIdentity(assigns); c0
+      case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    val insert = insertConds.nonEmpty
+    val insertCond: Option[Column] =
+      if (insertConds.isEmpty || insertConds.exists(_.isEmpty)) None
+      else Some(insertConds.flatten
+        .map(e => coalesce(xlate(e), lit(false))).reduce(_ || _))
+
+    // ---- not-matched-by-source: N UPDATE/DELETE clauses over target
+    // rows with no source key — same first-match-wins compilation as
+    // the matched family (source-side refs are NULL on these rows, so a
+    // condition touching them simply never fires — SQL WHEN semantics)
+    var bsPrior: Column = lit(false)
+    var bsDeleteCond: Option[Column] = None
+    val bsUpdateClauses = Seq.newBuilder[(Column, Map[String, Column])]
+    notMatchedBySource.foreach {
+      case DeleteAction(c0) =>
+        val raw = rawCond(c0)
+        val eff = raw && !bsPrior
+        bsDeleteCond = Some(bsDeleteCond.fold(eff)(_ || eff))
+        bsPrior = bsPrior || raw
+      case UpdateAction(c0, assigns, _) =>
+        val raw = rawCond(c0)
+        bsUpdateClauses += ((raw && !bsPrior,
+          assigns.map(a => assignName(a) -> xlate(a.value)).toMap))
+        bsPrior = bsPrior || raw
+      case other => fail(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+    val bsClauses = bsUpdateClauses.result()
+    val bsSet: Map[String, Column] =
+      bsClauses.flatMap(_._2.keys).distinct.map { n =>
+        n -> bsClauses.foldRight(col(n): Column) { case ((eff, set), acc) =>
+          when(eff, set.getOrElse(n, col(n))).otherwise(acc)
+        }
+      }.toMap
+    val bsTouched: Option[Column] =
+      if (bsClauses.isEmpty) None
+      else Some(bsClauses.map(_._1).reduce(_ || _))
 
     val commit = table.mergeInto(sourceDf,
       whenMatchedSet = updateSet,
       whenMatchedDelete = deleteCond,
-      insertWhenNotMatched = insert)
+      insertWhenNotMatched = insert,
+      insertWhenNotMatchedCond = insertCond,
+      whenNotMatchedBySourceSet = bsSet,
+      whenNotMatchedBySourceDelete = bsDeleteCond,
+      whenNotMatchedBySourceTouched = bsTouched)
     summaryDf(spark, Seq(
       "seq" -> commit.seq.toString,
       "action" -> commit.action,

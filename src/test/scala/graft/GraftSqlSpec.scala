@@ -399,6 +399,34 @@ class GraftSqlSpec extends AnyFunSuite {
       s"swapped-order state wrong: $after2")
   }
 
+  test("conditional NOT MATCHED INSERT and NOT MATCHED BY SOURCE clauses") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq(
+      (1L, "a", 10L, "001"), (2L, "b", 200L, "001"), (3L, "c", 300L, "001"))
+      .toDF("id", "v", "score", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_bysrc", t)
+    Seq((1L, 5L), (7L, 700L), (8L, 8L))
+      .toDF("id", "score").createOrReplaceTempView("sqlspec_bysrc_src")
+    // id=1 matched → 'M'; id=7 inserted (cond holds), id=8 NOT inserted;
+    // id=3 (no source row, score>250) deleted by the FIRST by-source
+    // clause; id=2 falls to the unconditional by-source UPDATE
+    spark.sql(
+      """MERGE INTO graft.sqlspec_bysrc t USING sqlspec_bysrc_src s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET v = 'M'
+         WHEN NOT MATCHED AND s.score > 100 THEN INSERT (id, score) VALUES (s.id, s.score)
+         WHEN NOT MATCHED BY SOURCE AND t.score > 250 THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(t.v, '-')""")
+    val after = t.readUser().select("id", "v", "score")
+      .as[(Long, Option[String], Long)].collect()
+      .map { case (i, vv, sc) => i -> ((vv, sc)) }.toMap
+    assert(after == Map(
+      1L -> ((Some("M"), 10L)),
+      2L -> ((Some("b-"), 200L)),
+      7L -> ((None, 700L))),
+      s"by-source merge state wrong: $after")
+  }
+
   test("UPDATE and DELETE statements run as pruned partial rewrites") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024,
       statsColumns = Seq("score"))
