@@ -267,11 +267,24 @@ private[sql] object GraftMergeSql {
       if (named.toSet != shared)
         fail(s"INSERT column list must cover every shared column (${shared.toSeq.sorted.mkString(", ")})")
     }
+    // a clause family that quantifies over rows missing one side must
+    // not reference that side — those columns are NULL on every row the
+    // clause can fire on, so the condition would silently never hold;
+    // refuse loudly instead (the Delta/Spark contract)
+    def forbidSide(e: Expression, srcSide: Boolean, ctx: String): Unit =
+      e.foreach {
+        case ua: UnresolvedAttribute if side(ua) == Some(srcSide) =>
+          fail(s"$ctx may not reference ${if (srcSide) "source" else "target"} " +
+            s"columns: ${ua.nameParts.mkString(".")}")
+        case _ => ()
+      }
     val insertConds: Seq[Option[Expression]] = notMatched.map {
       case InsertStarAction(c0) => c0
       case InsertAction(c0, assigns) => checkIdentity(assigns); c0
       case other => fail(s"unsupported WHEN NOT MATCHED action: $other")
     }
+    insertConds.flatten.foreach(
+      forbidSide(_, srcSide = false, "WHEN NOT MATCHED condition"))
     val insert = insertConds.nonEmpty
     val insertCond: Option[Column] =
       if (insertConds.isEmpty || insertConds.exists(_.isEmpty)) None
@@ -287,11 +300,17 @@ private[sql] object GraftMergeSql {
     val bsUpdateClauses = Seq.newBuilder[(Column, Map[String, Column])]
     notMatchedBySource.foreach {
       case DeleteAction(c0) =>
+        c0.foreach(forbidSide(_, srcSide = true,
+          "WHEN NOT MATCHED BY SOURCE condition"))
         val raw = rawCond(c0)
         val eff = raw && !bsPrior
         bsDeleteCond = Some(bsDeleteCond.fold(eff)(_ || eff))
         bsPrior = bsPrior || raw
       case UpdateAction(c0, assigns, _) =>
+        c0.foreach(forbidSide(_, srcSide = true,
+          "WHEN NOT MATCHED BY SOURCE condition"))
+        assigns.foreach(a => forbidSide(a.value, srcSide = true,
+          "WHEN NOT MATCHED BY SOURCE assignment"))
         val raw = rawCond(c0)
         bsUpdateClauses += ((raw && !bsPrior,
           assigns.map(a => assignName(a) -> xlate(a.value)).toMap))

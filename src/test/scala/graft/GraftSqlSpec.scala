@@ -425,6 +425,18 @@ class GraftSqlSpec extends AnyFunSuite {
       2L -> ((Some("b-"), 200L)),
       7L -> ((None, 700L))),
       s"by-source merge state wrong: $after")
+    // wrong-side references would be NULL on every row the clause can
+    // fire on — refused loudly instead of silently never firing
+    val e1 = intercept[Exception](spark.sql(
+      """MERGE INTO graft.sqlspec_bysrc t USING sqlspec_bysrc_src s
+         ON t.id = s.id
+         WHEN NOT MATCHED AND t.score > 0 THEN INSERT (id, score) VALUES (s.id, s.score)"""))
+    assert(e1.getMessage.contains("may not reference target"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE INTO graft.sqlspec_bysrc t USING sqlspec_bysrc_src s
+         ON t.id = s.id
+         WHEN NOT MATCHED BY SOURCE AND s.score > 0 THEN DELETE"""))
+    assert(e2.getMessage.contains("may not reference source"), e2.getMessage)
   }
 
   test("UPDATE and DELETE statements run as pruned partial rewrites") {
