@@ -1448,7 +1448,14 @@ class GraftTable(
         * pass the OR of the clauses' conditions; None = every BY SOURCE
         * row when a set is present. Unmodified carried rows must keep
         * their original stamp — a restamp is visible to CDC readers. */
-      whenNotMatchedBySourceTouched: Option[Column] = None): Commit = withLock(retryOnConflict {
+      whenNotMatchedBySourceTouched: Option[Column] = None,
+      /** `WITH SCHEMA EVOLUTION`: the table schema widens to the union
+        * with the source's (new columns append, same-name types promote
+        * via the widen-only lattice — the same contract as upsert).
+        * Rows no clause assigns get NULL for a new column; carried
+        * files keep their columns and read as NULL through the union
+        * manifest schema. */
+      evolveSchema: Boolean = false): Commit = withLock(retryOnConflict {
     // retryOnConflict is sound here: MERGE is defined against the CURRENT
     // snapshot, and each attempt re-reads latest() — a retry after an OCC
     // writer stole the seq recomputes the same merge over the winner's
@@ -1461,15 +1468,24 @@ class GraftTable(
     requireCompacted(prev, "mergeInto")
     val prevSchema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val tableCols = prevSchema.fieldNames.toSeq
+    val hasBySource = whenNotMatchedBySourceSet.nonEmpty ||
+      whenNotMatchedBySourceDelete.isDefined
+    val src0 = prepared(source0)
+    // the ACTIVE schema this merge writes: prev as-is, or (evolution)
+    // the widened union with the source's user columns
+    val activeSchema =
+      if (!evolveSchema) prevSchema
+      else GraftTable.widenSchemas(prevSchema,
+        org.apache.spark.sql.types.StructType(
+          src0.schema.filterNot(_.name == Meta.RecordKey)))
+    val tableCols = activeSchema.fieldNames.toSeq
+    val prevCols = prevSchema.fieldNames.toSet
     val badSet = (whenMatchedSet.keySet ++ whenNotMatchedBySourceSet.keySet)
       .filter(c =>
         !tableCols.contains(c) || c == Meta.RecordKey || keyFields.contains(c))
     require(badSet.isEmpty,
       s"whenMatchedSet may only update non-key table columns; bad: ${badSet.mkString(",")}")
-    val hasBySource = whenNotMatchedBySourceSet.nonEmpty ||
-      whenNotMatchedBySourceDelete.isDefined
-    val src = prepared(source0)
+    val src = src0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dup = src.groupBy(col(Meta.RecordKey)).agg(count(lit(1)).as("c"))
@@ -1504,17 +1520,22 @@ class GraftTable(
       val bySourceTouched = bySource && lit(whenNotMatchedBySourceSet.nonEmpty) &&
         coalesce(whenNotMatchedBySourceTouched.getOrElse(lit(true)), lit(false))
       val projected = tableCols.map { c =>
-        val dt = prevSchema(c).dataType
+        val dt = activeSchema(c).dataType
+        // the target-side value: the frame column for prior-schema
+        // columns, NULL for evolution-added ones (the target never had
+        // a value there)
+        val tcol = if (prevCols.contains(c)) col(c).cast(dt)
+          else lit(null).cast(dt)
         if (c == Meta.RecordKey) col(c).as(c)
         else if (c == Meta.CommitSeq)
           // source-touched (and BY-SOURCE-modified) rows carry this
           // commit's stamp; carried target-only rows keep their own
           when(col("_s").isNotNull || bySourceTouched, lit(seq).cast(dt))
-            .otherwise(col(c)).as(c)
+            .otherwise(tcol).as(c)
         else {
-          val onMatch = whenMatchedSet.get(c).map(_.cast(dt)).getOrElse(col(c))
+          val onMatch = whenMatchedSet.get(c).map(_.cast(dt)).getOrElse(tcol)
           val onBySource =
-            whenNotMatchedBySourceSet.get(c).map(_.cast(dt)).getOrElse(col(c))
+            whenNotMatchedBySourceSet.get(c).map(_.cast(dt)).getOrElse(tcol)
           val onInsert =
             if (srcCols.contains(c)) col(s"src_$c").cast(dt)
             else lit(null).cast(dt)
@@ -1531,8 +1552,11 @@ class GraftTable(
         val rowWidth =
           if (prevRows > 0) math.max(16L, prev.files.map(_.bytes).sum / prevRows) else 128L
         val newFiles = writeFiles(result, seq, rows * rowWidth)
+        // manifest schema = the ACTIVE (possibly evolved) union — carried
+        // files keep their columns and read as NULL for added ones
         commitOrCleanStage(Commit(seq, "merge", untouched ++ newFiles,
-          prev.schemaJson, prev.checkpoint, System.currentTimeMillis(),
+          GraftTable.widenSchemas(activeSchema, result.schema).json,
+          prev.checkpoint, System.currentTimeMillis(),
           extra = GraftTable.writeMetrics(newFiles) +
             ("files_rewritten" -> affected.size.toString) +
             ("files_carried" -> untouched.size.toString)), newFiles)

@@ -851,6 +851,36 @@ object CdcScenario {
       t
     })
 
+  /** `MERGE WITH SCHEMA EVOLUTION` (ST4h round-13): the source carries a
+    * NEW column — the table widens to the union, matched rows take the
+    * source values via `UPDATE SET *` (new column included), carried
+    * rows read NULL for it, inserts land with it populated. */
+  def mergedEvolveSql(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"mevolve:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-mevolve").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      tab.bulkInsert(fullLoad(s, dir))
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      o.filter(k % 9 === 0)
+        .withColumn("o_orderstatus", lit("E"))
+        .withColumn("o_channel", lit("web"))
+        .unionByName(o.filter(k % 1000 === 19)
+          .withColumn("o_orderkey", k + 70000000L)
+          .withColumn("o_orderstatus", lit("Y"))
+          .withColumn("o_channel", lit("app")))
+        .createOrReplaceTempView("orders_mevolve_src")
+      graft.sql.GraftSql.register(s, "orders_mevolve_sql", tab)
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.orders_mevolve_sql t
+           USING orders_mevolve_src s
+           ON t.o_orderkey = s.o_orderkey
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""").collect()
+      tab
+    })
+
   /** Streaming ingest of a gzipped-JSONL raw zone (the LLM corpus format
     * arriving as a live feed): the same CDC batches land as `.json.gz`
     * shards and are drained by the same Structured Streaming loop with an
@@ -1440,6 +1470,13 @@ object CdcQueries {
     "cdc_merge_multi_sql" -> ((s, dir) => statusAgg(CdcScenario.mergedMultiSql(s, dir))),
     // ST4h round-13: BY SOURCE clause family + conditional INSERT graded
     "cdc_merge_bysource_sql" -> ((s, dir) => statusAgg(CdcScenario.mergedBySourceSql(s, dir))),
+    // ST4h round-13: WITH SCHEMA EVOLUTION — the new column is part of
+    // the graded aggregate, proving the widen landed end to end
+    "cdc_merge_evolve_sql" -> ((s, dir) =>
+      CdcScenario.mergedEvolveSql(s, dir).readUser()
+        .groupBy(col("o_orderstatus"), col("o_channel"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
     // INSERT INTO graft.t (DSv2 write path): append upserts, key
     // collisions latest-win
     "cdc_insert_into_sql" -> ((s, dir) => statusAgg(CdcScenario.insertedIntoSql(s, dir))),
@@ -2155,6 +2192,23 @@ object CdcQueries {
            WHERE o_orderkey % 1000 = 17 AND o_totalprice > 100000.0)
          SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY o_orderstatus""",
+
+    // schema evolution: %9 keys take the source row whole ('E', channel
+    // 'web'); every other carried row reads NULL for the new column;
+    // +70M 'Y'/'app' rows land with it populated
+    "cdc_merge_evolve_sql" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 9 = 0 THEN 'E'
+                       ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'web' END AS o_channel,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           FROM orders
+           UNION ALL
+           SELECT 'Y', 'app', CAST(o_totalprice AS DECIMAL(18,2))
+           FROM orders WHERE o_orderkey % 1000 = 19)
+         SELECT o_orderstatus, o_channel, COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY 1, 2""",
 
     // INSERT INTO upsert semantics: %50 keys restamped 'I' (trx_seq 5
     // beats the full load's 1), +30M 'J' rows appended

@@ -96,7 +96,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   *    UPDATE/DELETE` clauses, first-match-wins — these quantify over
   *    every target row, so the engine merge runs unpruned (full-table
   *    rewrite, the honest cost of the semantics);
-  *  - schema evolution: rejected loudly (widening happens on upsert).
+  *  - `MERGE WITH SCHEMA EVOLUTION INTO`: the table schema widens to
+  *    the union with the source's (new columns append, same-name types
+  *    promote — upsert's widen-only lattice); `UPDATE SET *` / identity
+  *    INSERT then cover every source column, new ones included.
   *
   * Attribute references in action expressions are re-homed onto the
   * engine's merge frame: source-qualified columns become their
@@ -142,8 +145,6 @@ private[sql] object GraftMergeSql {
       targetAlias: Option[String]): LogicalPlan = {
     val MergeIntoTable(_, sourcePlan, cond, matched, notMatched,
       notMatchedBySource, withSchemaEvolution) = m
-    if (withSchemaEvolution)
-      fail("WITH SCHEMA EVOLUTION is not supported; widening happens on upsert")
     val table = GraftSql.lookupRegistered(name).getOrElse(fail(
       s"$name is not a registered graft table (GraftSql.register first)"))
     val sourceDf: DataFrame = GraftSqlBridge.ofRows(spark, sourcePlan)
@@ -203,8 +204,10 @@ private[sql] object GraftMergeSql {
       case ua: UnresolvedAttribute if side(ua) != Some(true) => ua.nameParts.last
       case other => fail(s"assignment target must be a target column: ${other.sql}")
     }
-    // UPDATE SET * / identity-insert expansion: shared non-meta columns
-    val shared = (srcCols & tblCols) -
+    // UPDATE SET * / identity-insert expansion: shared non-meta columns —
+    // under WITH SCHEMA EVOLUTION every source column participates (new
+    // ones widen the table schema engine-side)
+    val shared = (if (withSchemaEvolution) srcCols else srcCols & tblCols) -
       Meta.RecordKey.toLowerCase - Meta.CommitSeq.toLowerCase
     def starSet: Seq[(String, Column)] =
       (shared -- keySet).toSeq.sorted.map(c => c -> col("src_" + c))
@@ -240,12 +243,16 @@ private[sql] object GraftMergeSql {
       case other => fail(s"unsupported WHEN MATCHED action: $other")
     }
     // per column: one CASE chain in clause order; a clause that does not
-    // assign the column keeps the target value for the rows it claims
+    // assign the column keeps the target value for the rows it claims —
+    // which is NULL for an evolution-added column (the target never had
+    // a value there, and the frame has no such column to reference)
+    def targetValueOf(n: String): Column =
+      if (tblCols(n.toLowerCase)) col(n) else lit(null)
     val updateSet: Map[String, Column] = {
       val clauses = updateClauses.result()
       clauses.flatMap(_._2.keys).distinct.map { n =>
-        n -> clauses.foldRight(col(n): Column) { case ((eff, set), acc) =>
-          when(eff, set.getOrElse(n, col(n))).otherwise(acc)
+        n -> clauses.foldRight(targetValueOf(n)) { case ((eff, set), acc) =>
+          when(eff, set.getOrElse(n, targetValueOf(n))).otherwise(acc)
         }
       }.toMap
     }
@@ -320,8 +327,8 @@ private[sql] object GraftMergeSql {
     val bsClauses = bsUpdateClauses.result()
     val bsSet: Map[String, Column] =
       bsClauses.flatMap(_._2.keys).distinct.map { n =>
-        n -> bsClauses.foldRight(col(n): Column) { case ((eff, set), acc) =>
-          when(eff, set.getOrElse(n, col(n))).otherwise(acc)
+        n -> bsClauses.foldRight(targetValueOf(n)) { case ((eff, set), acc) =>
+          when(eff, set.getOrElse(n, targetValueOf(n))).otherwise(acc)
         }
       }.toMap
     val bsTouched: Option[Column] =
@@ -335,7 +342,8 @@ private[sql] object GraftMergeSql {
       insertWhenNotMatchedCond = insertCond,
       whenNotMatchedBySourceSet = bsSet,
       whenNotMatchedBySourceDelete = bsDeleteCond,
-      whenNotMatchedBySourceTouched = bsTouched)
+      whenNotMatchedBySourceTouched = bsTouched,
+      evolveSchema = withSchemaEvolution)
     summaryDf(spark, Seq(
       "seq" -> commit.seq.toString,
       "action" -> commit.action,

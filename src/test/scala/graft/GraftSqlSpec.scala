@@ -439,6 +439,36 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("may not reference source"), e2.getMessage)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table to the source's columns") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001"), (3L, "c", "001"))
+      .toDF("id", "v", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_evolve", t)
+    Seq((2L, "B", "web"), (9L, "nine", "app"))
+      .toDF("id", "v", "channel").createOrReplaceTempView("sqlspec_evolve_src")
+    // without evolution, assigning the unknown column refuses loudly
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graft.sqlspec_evolve t USING sqlspec_evolve_src s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET channel = s.channel"""))
+    assert(e.getMessage.contains("non-key table columns"), e.getMessage)
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.sqlspec_evolve t
+         USING sqlspec_evolve_src s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val after = t.readUser().select("id", "v", "channel")
+      .as[(Long, String, Option[String])].collect()
+      .map { case (i, vv, ch) => i -> ((vv, ch)) }.toMap
+    assert(after == Map(
+      1L -> (("a", None)), 2L -> (("B", Some("web"))),
+      3L -> (("c", None)), 9L -> (("nine", Some("app")))),
+      s"evolved merge state wrong: $after")
+    // the widened column is part of the table schema from now on
+    assert(t.readUser().schema.fieldNames.contains("channel"))
+  }
+
   test("UPDATE and DELETE statements run as pruned partial rewrites") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024,
       statsColumns = Seq("score"))
