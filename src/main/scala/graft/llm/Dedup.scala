@@ -520,7 +520,7 @@ object Dedup {
     *     suffix-array property: a suffix's maximal LCP with ANY other
     *     suffix is attained at an adjacent suffix in sorted order); the
     *     adjacent pair spanning each bucket boundary is completed from
-    *     collected per-bucket extremes, so the layout moves WHERE the
+    *     per-bucket extremes, so the layout moves WHERE the
     *     sort runs, never the answer;
     *  4. join the value-level LCP back to the instances and census per
     *     document: how many positions start a duplicated substring of
@@ -560,15 +560,18 @@ object Dedup {
     * at boundaries derived from a bounded, deterministic doc sample
     * (distinct suffix candidates, byte-sorted, evenly cut), and the
     * adjacent pair spanning each bucket boundary is completed from
-    * collected per-bucket extremes, so no neighbor pair is lost to the
-    * partitioning. Boundaries and extremes collect once into plan
-    * literals — every job in the chain buckets identically — and the
-    * full suffix multiset is aggregated exactly once. */
+    * per-bucket extremes, so no neighbor pair is lost to the
+    * partitioning. Boundaries collect once into plan literals — every
+    * job in the chain buckets identically — and the extremes derive
+    * from the same distinct-value aggregate as the sort input inside
+    * ONE plan, so the full suffix multiset is aggregated exactly once
+    * (the groupBy(s) exchange is reused, not recomputed). */
   /** The exploded (doc_id, pos, s) truncated-suffix multiset —
     * [[suffixLcps]]'s input, exposed so the explode pass can be timed
     * alone (PERF_NOTES carries its share of the census: the plan
-    * recomputes this subtree ~3× — edges aggregate, value aggregate,
-    * instance join — as a deliberate no-cache trade). */
+    * computes this subtree 2× — the value aggregate, whose exchange the
+    * bucket-extreme branch reuses, and the instance join — as a
+    * deliberate no-cache trade). */
   private[graft] def suffixMultiset(docs: DataFrame, idCol: String,
       textCol: String, minMatch: Int, maxSuffix: Int,
       stride: Int = 1): DataFrame =
@@ -627,31 +630,35 @@ object Dedup {
       (step until cand.length by step).map(i => cand(i - 1))
         .take(buckets - 1).toArray
     val bkt = RangeBucket.bucketCol(col("s"), boundaries.toSeq)
-    // per-bucket extremes straight off the explode (map-side combined —
-    // ≤ 2·buckets values per task reach the tiny shuffle); min/max over
-    // instances IS min/max over distinct values
-    val edges = sfx.groupBy(bkt.as("_b"))
-      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-      .sortBy(_._1)
     val byVal = sfx.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_b", bkt)
     // cross-boundary completion: a bucket-min's global predecessor is the
-    // previous NONEMPTY bucket's max (and symmetrically for the max)
-    def neighborLit(pairs: Seq[(Int, String)]): Column =
-      if (pairs.isEmpty) lit(null).cast("string")
-      else element_at(
-        map(pairs.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*), col("_b"))
-    val nextMin = neighborLit(edges.sliding(2).collect {
-      case Array((b, _, _), (_, mn2, _)) => b -> mn2 }.toSeq)
-    val prevMax = neighborLit(edges.sliding(2).collect {
-      case Array((_, _, mx1), (b2, _, _)) => b2 -> mx1 }.toSeq)
+    // previous NONEMPTY bucket's max (and symmetrically for the max).
+    // The per-bucket extremes derive from the SAME distinct-value
+    // aggregate as the window input — one plan, so the groupBy(s)
+    // exchange (the full explode pass) is computed ONCE and reused
+    // (ReusedExchangeExec) instead of a separate driver collect
+    // recomputing the multiset. Extremes over distinct values ARE the
+    // extremes over instances. Neighbors come from the ≤`buckets`-row
+    // sorted extreme array (collect_list through a 1-row aggregate +
+    // posexplode — no second window pass, no nested-loop join), then
+    // broadcast equi-join back on the bucket id.
+    val nbr = byVal.groupBy(col("_b"))
+      .agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("_b"), col("mn"), col("mx"))))
+        .as("e"))
+      .select(col("e"), posexplode(col("e")))
+      .select(col("col")("_b").as("_b"),
+        get(col("e"), col("pos") + 1)("mn").as("next_mn"),
+        when(col("pos") > 0, get(col("e"), col("pos") - 1)("mx"))
+          .as("prev_mx"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_b")).orderBy(col("s"))
-    val valLcp = byVal.withColumn("_b", bkt)
+    val valLcp = byVal.join(broadcast(nbr), Seq("_b"), "left")
       .select(col("s"),
         when(col("cnt") >= 2, length(col("s"))).otherwise(greatest(
-          lcp(col("s"), coalesce(lead(col("s"), 1).over(w), nextMin)),
-          lcp(col("s"), coalesce(lag(col("s"), 1).over(w), prevMax)))).as("lcp"))
+          lcp(col("s"), coalesce(lead(col("s"), 1).over(w), col("next_mn"))),
+          lcp(col("s"), coalesce(lag(col("s"), 1).over(w), col("prev_mx"))))).as("lcp"))
     sfx.join(valLcp, Seq("s")).select(col("doc_id"), col("pos"), col("lcp"))
   }
 
