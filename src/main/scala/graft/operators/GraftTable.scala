@@ -1472,20 +1472,32 @@ class GraftTable(
       whenNotMatchedBySourceDelete.isDefined
     val src0 = prepared(source0)
     // the ACTIVE schema this merge writes: prev as-is, or (evolution)
-    // the widened union with the source's user columns
+    // the widened union with the source's user columns (recursive — a
+    // nested payload that gained a field widens too)
     val activeSchema =
       if (!evolveSchema) prevSchema
       else GraftTable.widenSchemas(prevSchema,
         org.apache.spark.sql.types.StructType(
           src0.schema.filterNot(_.name == Meta.RecordKey)))
     val tableCols = activeSchema.fieldNames.toSeq
-    val prevCols = prevSchema.fieldNames.toSet
     val badSet = (whenMatchedSet.keySet ++ whenNotMatchedBySourceSet.keySet)
       .filter(c =>
         !tableCols.contains(c) || c == Meta.RecordKey || keyFields.contains(c))
     require(badSet.isEmpty,
       s"whenMatchedSet may only update non-key table columns; bad: ${badSet.mkString(",")}")
-    val src = src0
+    // conform the source to the ACTIVE column types up front — loud on a
+    // nested type the active schema does not subsume (WITHOUT evolution a
+    // wider nested source must refuse, never silently drop fields) — so
+    // every downstream branch, including SQL-bridge CASE chains mixing
+    // src_ and target columns, is type-aligned by construction
+    val activeTypeOf = activeSchema.fields.map(f => f.name -> f.dataType).toMap
+    val src = src0.select(src0.schema.fields.map { f =>
+      activeTypeOf.get(f.name) match {
+        case Some(t) if t != f.dataType =>
+          GraftTable.conformOrCast(col(f.name), f.dataType, t).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dup = src.groupBy(col(Meta.RecordKey)).agg(count(lit(1)).as("c"))
@@ -1498,7 +1510,10 @@ class GraftTable(
         if (hasBySource) (prev.files, Seq.empty[DataFile])
         else pruneAffected(prev, src)
       val seq = prev.seq + 1
-      val ex = scanFiles(affected, prevSchema).withColumn("_t", lit(true))
+      // scan at the ACTIVE schema: the parquet reader null-fills
+      // evolution-added (including NESTED) fields and promotes widened
+      // leaves, so target-side frame columns are active-typed for free
+      val ex = scanFiles(affected, activeSchema).withColumn("_t", lit(true))
       val srcCols = src.columns.filterNot(_ == Meta.RecordKey).toSet
       val srcPrefixed = src.columns.foldLeft(src.toDF())((d, c) =>
         if (c == Meta.RecordKey) d else d.withColumnRenamed(c, s"src_$c"))
@@ -1519,25 +1534,35 @@ class GraftTable(
       else j.filter(keep && col("_t").isNotNull)
       val bySourceTouched = bySource && lit(whenNotMatchedBySourceSet.nonEmpty) &&
         coalesce(whenNotMatchedBySourceTouched.getOrElse(lit(true)), lit(false))
+      // user SET expressions may still produce a type the active column
+      // does not declare (e.g. a wider struct computed in the action):
+      // resolve their types against the frame in one analysis-only pass,
+      // then conform — loud for a non-subsumed nested type, plain cast
+      // for atomics (the pre-conformed source makes SQL-bridge CASE
+      // chains already type-aligned; this guards the open Column API)
+      def conformedSet(set: Map[String, Column]): Map[String, Column] =
+        if (set.isEmpty) set else {
+          val names = set.keys.toSeq
+          val types = j.select(names.map(set): _*).schema.fields.map(_.dataType)
+          names.zip(types).map { case (n, ft) =>
+            n -> GraftTable.conformOrCast(set(n), ft, activeSchema(n).dataType)
+          }.toMap
+        }
+      val mSet = conformedSet(whenMatchedSet)
+      val bsSet = conformedSet(whenNotMatchedBySourceSet)
       val projected = tableCols.map { c =>
         val dt = activeSchema(c).dataType
-        // the target-side value: the frame column for prior-schema
-        // columns, NULL for evolution-added ones (the target never had
-        // a value there)
-        val tcol = if (prevCols.contains(c)) col(c).cast(dt)
-          else lit(null).cast(dt)
         if (c == Meta.RecordKey) col(c).as(c)
         else if (c == Meta.CommitSeq)
           // source-touched (and BY-SOURCE-modified) rows carry this
           // commit's stamp; carried target-only rows keep their own
           when(col("_s").isNotNull || bySourceTouched, lit(seq).cast(dt))
-            .otherwise(tcol).as(c)
+            .otherwise(col(c)).as(c)
         else {
-          val onMatch = whenMatchedSet.get(c).map(_.cast(dt)).getOrElse(tcol)
-          val onBySource =
-            whenNotMatchedBySourceSet.get(c).map(_.cast(dt)).getOrElse(tcol)
+          val onMatch = mSet.getOrElse(c, col(c))
+          val onBySource = bsSet.getOrElse(c, col(c))
           val onInsert =
-            if (srcCols.contains(c)) col(s"src_$c").cast(dt)
+            if (srcCols.contains(c)) col(s"src_$c")
             else lit(null).cast(dt)
           when(matched, onMatch)
             .when(col("_t").isNotNull, onBySource)
@@ -3574,8 +3599,12 @@ object GraftTable {
 
   /** Common wider type for SAFE schema-evolution promotion (the Avro/Hudi
     * resolution lattice): integral chain byte→short→int→long, float→double,
-    * and integral+fractional meet at double. None = not widenable (the
-    * caller fails loudly instead of silently corrupting). */
+    * and integral+fractional meet at double. NESTED types widen
+    * recursively — two structs union field-by-field (new fields append,
+    * shared fields promote), arrays widen their element, maps widen key
+    * and value — so a CDC payload whose nested document gains a field is
+    * ordinary drift, not a refusal. None = not widenable (the caller
+    * fails loudly instead of silently corrupting). */
   def widen(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
@@ -3585,11 +3614,23 @@ object GraftTable {
       case _ => -1
     }
     if (a == b) Some(a)
-    else (rank(a), rank(b)) match {
-      case (x, y) if x < 0 || y < 0 => None
-      case (x, y) if x <= 4 && y <= 4 => Some(if (x >= y) a else b)
-      case (x, y) if x >= 11 && y >= 11 => Some(if (x >= y) a else b)
-      case _ => Some(DoubleType) // integral meets fractional
+    else (a, b) match {
+      case (sa: StructType, sb: StructType) =>
+        // widenSchemas throws on an unwidenable FIELD clash; surface that
+        // as not-widenable here so the caller names the outer column with
+        // both full types in its loud failure
+        try Some(widenSchemas(sa, sb))
+        catch { case _: IllegalArgumentException => None }
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        widen(ea, eb).map(e => ArrayType(e, na || nb))
+      case (MapType(ka, va, na), MapType(kb, vb, nb)) =>
+        for { k <- widen(ka, kb); v <- widen(va, vb) } yield MapType(k, v, na || nb)
+      case _ => (rank(a), rank(b)) match {
+        case (x, y) if x < 0 || y < 0 => None
+        case (x, y) if x <= 4 && y <= 4 => Some(if (x >= y) a else b)
+        case (x, y) if x >= 11 && y >= 11 => Some(if (x >= y) a else b)
+        case _ => Some(DoubleType) // integral meets fractional
+      }
     }
   }
 
@@ -3613,14 +3654,87 @@ object GraftTable {
     StructType(merged ++ b.fields.filterNot(f => a.fieldNames.contains(f.name)))
   }
 
+  /** Column expression conforming a value of type `from` to the WIDER
+    * type `to` (a product of [[widenSchemas]]): leaves cast; structs
+    * rebuild field-by-field with typed NULL for fields `from` lacks (a
+    * NULL struct stays NULL — never a struct of nulls); arrays and map
+    * values conform element-wise through codegen'd higher-order
+    * functions; map keys cast (widening is injective, so key identity
+    * is preserved). A bare `.cast` refuses to ADD struct fields, which
+    * is exactly the nested-drift case. */
+  def conformExpr(c: Column, from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    if (from == to) c
+    else (from, to) match {
+      case (f: StructType, t: StructType) =>
+        val fBy = f.fields.map(x => x.name -> x).toMap
+        val kids = t.fields.map { tf =>
+          fBy.get(tf.name) match {
+            case Some(ff) =>
+              conformExpr(c.getField(tf.name), ff.dataType, tf.dataType).as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(c.isNull, lit(null).cast(t))
+          .otherwise(struct(kids.toIndexedSeq: _*))
+      case (f: ArrayType, t: ArrayType) =>
+        transform(c, x => conformExpr(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        val vals =
+          if (f.valueType == t.valueType) c
+          else transform_values(c, (_, v) => conformExpr(v, f.valueType, t.valueType))
+        if (f.keyType == t.keyType) vals
+        else transform_keys(vals, (k, _) => k.cast(t.keyType))
+      case _ => c.cast(to)
+    }
+  }
+
+  /** Nullability/metadata-normalized type (nullable everywhere): type
+    * SUBSUMPTION checks must not refuse over nullability — resolved
+    * expressions relax it, manifests may pin it, and writing a nullable
+    * value where the manifest says non-null is not data loss. */
+  private def relaxed(d: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    d match {
+      case s: StructType =>
+        StructType(s.fields.map(f => StructField(f.name, relaxed(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(relaxed(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(relaxed(m.keyType), relaxed(m.valueType), valueContainsNull = true)
+      case o => o
+    }
+  }
+
+  /** [[conformExpr]] with the merge-branch safety contract: a NESTED
+    * value conforms only when the target type already subsumes it
+    * (`widen(from, to) == to` up to nullability — evolution widens the
+    * schema first, so a wider/incompatible nested source REFUSES loudly
+    * instead of silently dropping fields); atomic types keep plain SQL
+    * cast semantics. */
+  def conformOrCast(c: Column, from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if relaxed(f) == relaxed(t) => c
+      case (f @ (_: StructType | _: ArrayType | _: MapType), t) =>
+        require(widen(f, t).map(relaxed).contains(relaxed(t)),
+          s"cannot fit ${f.simpleString} into ${t.simpleString} " +
+            "(widen the table schema first: evolveSchema / MERGE WITH SCHEMA EVOLUTION)")
+        conformExpr(c, f, t)
+      case (_, t) => c.cast(t)
+    }
+  }
+
   /** Cast `df`'s columns to the types `target` declares for them (columns
-    * absent from the target pass through; the cast is always a widening by
-    * construction of [[widenSchemas]]). */
+    * absent from the target pass through; the conversion is always a
+    * widening by construction of [[widenSchemas]] — including nested
+    * struct-field additions, via [[conformExpr]]). */
   def castTo(df: DataFrame, target: org.apache.spark.sql.types.StructType): DataFrame = {
     val want = target.fields.map(f => f.name -> f.dataType).toMap
     df.select(df.schema.fields.map { f =>
       want.get(f.name) match {
-        case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+        case Some(t) if t != f.dataType => conformExpr(col(f.name), f.dataType, t).as(f.name)
         case _ => col(f.name)
       }
     }.toIndexedSeq: _*)

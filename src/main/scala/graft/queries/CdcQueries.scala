@@ -881,6 +881,36 @@ object CdcScenario {
       tab
     })
 
+  /** NESTED schema evolution through the API upsert (round-13): the
+    * full load carries a STRUCT payload `(st: string, ck: int)`; the
+    * drifted batch widens `ck` past int range (int→long promotion
+    * INSIDE the struct) and gains a `tag` field. Carried rows read
+    * typed NULL for `tag` and promoted `ck` straight off the old
+    * parquet (reader-side schema clipping — no rewrite of untouched
+    * files), which is the 100-TB contract for payload drift. */
+  def nestedEvolve(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"nestedevolve:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-nestedevolve").toString
+      val tab = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val o = t(s, dir, "orders")
+      val k = col("o_orderkey")
+      tab.bulkInsert(meta(o.select(k,
+        struct(col("o_orderstatus").as("st"),
+          col("o_custkey").cast("int").as("ck")).as("payload")),
+        1, deleted = false))
+      val upd = o.filter(k % 7 === 0).select(k,
+        struct(lit("N2").as("st"),
+          (col("o_custkey") + 3000000000L).as("ck"),
+          lit("drift").as("tag")).as("payload"))
+      val ins = o.filter(k % 1000 === 31).select(
+        (k + 80000000L).as("o_orderkey"),
+        struct(lit("Z").as("st"), lit(7L).as("ck"),
+          lit("new").as("tag")).as("payload"))
+      tab.upsert(meta(upd.unionByName(ins), 2, deleted = false))
+      tab
+    })
+
   /** Streaming ingest of a gzipped-JSONL raw zone (the LLM corpus format
     * arriving as a live feed): the same CDC batches land as `.json.gz`
     * shards and are drained by the same Structured Streaming loop with an
@@ -1477,6 +1507,14 @@ object CdcQueries {
         .groupBy(col("o_orderstatus"), col("o_channel"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+    // NESTED drift (round-13): struct payload gains a field + widens a
+    // leaf past int range through an ordinary upsert; the aggregate
+    // reads promoted + null-filled values out of the nested column
+    "cdc_nested_evolve" -> ((s, dir) =>
+      CdcScenario.nestedEvolve(s, dir).readUser()
+        .groupBy(col("payload.st").as("st"), col("payload.tag").as("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("payload.ck")).cast("long").as("sum_ck"))),
     // INSERT INTO graft.t (DSv2 write path): append upserts, key
     // collisions latest-win
     "cdc_insert_into_sql" -> ((s, dir) => statusAgg(CdcScenario.insertedIntoSql(s, dir))),
@@ -2208,6 +2246,22 @@ object CdcQueries {
            FROM orders WHERE o_orderkey % 1000 = 19)
          SELECT o_orderstatus, o_channel, COUNT(*) AS n,
            CAST(SUM(price) AS DOUBLE) AS total
+         FROM final GROUP BY 1, 2""",
+
+    // nested drift: %7 keys take the drifted payload whole (st 'N2',
+    // ck past int range, tag 'drift'); carried rows read NULL tag and
+    // their original ck promoted to long; +80M 'Z'/'new' rows land
+    "cdc_nested_evolve" ->
+      """WITH final AS (
+           SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'N2'
+                       ELSE o_orderstatus END AS st,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 3000000000
+                  ELSE o_custkey END AS ck,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'drift' END AS tag
+           FROM orders
+           UNION ALL
+           SELECT 'Z', 7, 'new' FROM orders WHERE o_orderkey % 1000 = 31)
+         SELECT st, tag, COUNT(*) AS n, CAST(SUM(ck) AS BIGINT) AS sum_ck
          FROM final GROUP BY 1, 2""",
 
     // INSERT INTO upsert semantics: %50 keys restamped 'I' (trx_seq 5
