@@ -2535,6 +2535,23 @@ class GraftTable(
     * (> [[GraftTable.MaxDiffSpans]] disjoint spans).
     */
   def changesDiff(fromSeq: Long, toSeq: Long): DataFrame = {
+    val img = changesDiffImages(fromSeq, toSeq)
+    val idCols = img.columns.filter(c =>
+      c != "op" && c != "_before" && c != "_after").toSeq
+    val common = img.schema("_after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    img.select((idCols.map(col) :+ col("op")) ++
+      common.map(c => col("_after")(c).as(c)): _*)
+  }
+
+  /** [[changesDiff]] with BOTH row images: one row per changed key with
+    * `op` (I/U/D), `_before` and `_after` structs of the common user
+    * columns (NULL struct on the absent side). The before-image is what
+    * an incremental consumer (e.g. [[IncrementalAgg]]) needs to RETRACT
+    * a key's prior contribution — the Delta CDF
+    * preimage/postimage pair, flattened to one row. Same manifest-level
+    * pruning as [[changesDiff]]. */
+  def changesDiffImages(fromSeq: Long, toSeq: Long): DataFrame = {
     require(fromSeq < toSeq, s"empty commit range ($fromSeq, $toSeq]")
     val from = timeline.read(fromSeq)
     val to = timeline.read(toSeq)
@@ -2577,13 +2594,13 @@ class GraftTable(
     val a = after0.select(
       (idCols.map(col) :+ struct(common.map(col): _*).as("_after")): _*)
     b.join(a, idCols, "full_outer")
-      .withColumn("_op",
+      .withColumn("op",
         when(col("_before").isNull, lit("I"))
           .when(col("_after").isNull, lit("D"))
           .when(!(col("_before") <=> col("_after")), lit("U")))
-      .filter(col("_op").isNotNull)
-      .select((idCols.map(col) :+ col("_op").as("op")) ++
-        common.map(c => col("_after")(c).as(c)): _*)
+      .filter(col("op").isNotNull)
+      .select((idCols.map(col) :+ col("op")) :+
+        col("_before") :+ col("_after"): _*)
   }
 
   /** Timestamp time travel (Hudi's as-of-instant query): the snapshot at

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.Meta
+
+/** Incremental view maintenance for grouped COUNT/SUM aggregates over a
+  * keyed [[GraftTable]] — the materialized-view pattern a warehouse user
+  * builds by hand on top of a change feed (Hudi incremental query → MERGE,
+  * Delta CDF → foreachBatch), packaged as one operator.
+  *
+  * The materialized aggregate is itself a [[GraftTable]] KEYED BY THE
+  * GROUP COLUMNS, so maintenance lands as an ordinary engine MERGE and
+  * readers get snapshot isolation, time travel, and SQL access for free.
+  *
+  * Scale contract (the 100-TB lever): [[maintain]] reads ONLY the
+  * manifest-pruned change neighborhood of `(fromSeq, toSeq]`
+  * ([[GraftTable.changesDiffImages]]) and MERGEs only the groups whose
+  * aggregate actually moved — work is proportional to the delta, never
+  * the source table or the full group count. A deleted key RETRACTS its
+  * before-image contribution; an update retracts the before-image and
+  * adds the after-image (group migration included: the two images may
+  * land in different groups); a group whose count reaches zero is
+  * deleted from the aggregate.
+  *
+  * Measures should be EXACT types (integral or decimal): incremental
+  * +/- is associative for them, so the maintained value equals a full
+  * recompute bit for bit. Floating-point sums would drift from a
+  * recompute by non-associativity — cast to decimal first. Null
+  * measures contribute nothing (SQL SUM semantics); a group whose
+  * every measure value is later removed keeps sum 0 where a recompute
+  * reports NULL — the one documented deviation.
+  */
+object IncrementalAgg {
+
+  /** One-time full aggregate of the source snapshot at commit `atSeq`
+    * into the (empty) aggregate table: group columns, `n` (live row
+    * count), and one column per named sum measure. */
+  def bootstrap(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
+      sums: Map[String, Column], atSeq: Long): Unit = {
+    val sumNames = sums.keys.toSeq.sorted
+    val snap = src.readAsOf(atSeq).drop(Meta.RecordKey, Meta.CommitSeq)
+    val full = snap.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sumNames.map(m => sum(sums(m)).as(m)): _*)
+    agg.bulkInsert(full)
+  }
+
+  /** Apply the source's `(fromSeq, toSeq]` change feed to the aggregate
+    * table. Idempotence is the caller's contract: apply each commit
+    * range exactly once, in order (the ranges compose: (a,b] then (b,c]
+    * ends in the same state as (a,c]). */
+  def maintain(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
+      sums: Map[String, Column], fromSeq: Long, toSeq: Long): Unit = {
+    val sumNames = sums.keys.toSeq.sorted
+    val img = src.changesDiffImages(fromSeq, toSeq)
+    val idCols = img.columns.filter(c =>
+      c != "op" && c != "_before" && c != "_after").toSeq
+    val common = img.schema("_after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    // signed contribution rows: retract before-images (D/U), add
+    // after-images (I/U); group columns may name id columns (top-level,
+    // identical on both sides) or image columns
+    def side(s: String, ops: Seq[String], sgn: Int): DataFrame =
+      img.filter(col("op").isin(ops.map(x => x: Any): _*))
+        .select((common.map(c => col(s)(c).as(c)) ++ idCols.map(col)) :+
+          lit(sgn.toLong).as("_sgn"): _*)
+    val rows = side("_before", Seq("D", "U"), -1)
+      .unionByName(side("_after", Seq("I", "U"), 1))
+    val delta = rows.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_sgn")).as("n"),
+        sumNames.map(m => sum(sums(m) * col("_sgn")).as(m)): _*)
+      // groups whose aggregate did not move (a changed non-measure
+      // column, or offsetting changes) are a no-op — skip the write
+      .filter(sumNames.map(m => col(m) =!= 0)
+        .foldLeft(col("n") =!= 0)(_ || _))
+    agg.mergeInto(delta,
+      whenMatchedSet = (sumNames.map(m =>
+        m -> (coalesce(col(m), lit(0)) + col(s"src_$m"))) :+
+        ("n" -> (col("n") + col("src_n")))).toMap,
+      whenMatchedDelete = Some(col("n") + col("src_n") === 0),
+      insertWhenNotMatched = true)
+  }
+}

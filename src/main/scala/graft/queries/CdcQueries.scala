@@ -5,7 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Meta
-import graft.operators.GraftTable
+import graft.operators.{GraftTable, IncrementalAgg}
 
 /** Deterministic CDC lifecycle over the `orders` testdata table, graded
   * against a DuckDB oracle that recomputes the same final state in pure SQL.
@@ -881,6 +881,26 @@ object CdcScenario {
       tab
     })
 
+  /** Incrementally-maintained status aggregate (round-13): bootstrap a
+    * materialized (status → count, sum-price) table at the full load,
+    * then apply each CDC commit's CHANGE FEED as a retract/add MERGE —
+    * delta-proportional work, no recompute. The graded read must equal
+    * the full-recompute oracle bit for bit (decimal measures make the
+    * incremental +/- associative). */
+  def incrAgg(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incragg:$dir", {
+      val src = main(s, dir)
+      val root = Files.createTempDirectory("graft-cdc-incragg").toString
+      val agg = new GraftTable(s, root, Seq("o_orderstatus"),
+        targetFileBytes = 256 * 1024)
+      val groups = Seq("o_orderstatus")
+      val sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)"))
+      IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
+      IncrementalAgg.maintain(src, agg, groups, sums, 0L, 1L)
+      IncrementalAgg.maintain(src, agg, groups, sums, 1L, 2L)
+      agg
+    })
+
   /** NESTED schema evolution through the API upsert (round-13): the
     * full load carries a STRUCT payload `(st: string, ck: int)`; the
     * drifted batch widens `ck` past int range (int→long promotion
@@ -1507,6 +1527,13 @@ object CdcQueries {
         .groupBy(col("o_orderstatus"), col("o_channel"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))),
+    // incrementally-maintained materialized aggregate (round-13): the
+    // change feed of each commit retracts/adds through an engine MERGE;
+    // the maintained table must equal the full recompute exactly
+    "cdc_incr_agg" -> ((s, dir) =>
+      CdcScenario.incrAgg(s, dir).readUser()
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))),
     // NESTED drift (round-13): struct payload gains a field + widens a
     // leaf past int range through an ordinary upsert; the aggregate
     // reads promoted + null-filled values out of the nested column
@@ -2247,6 +2274,10 @@ object CdcQueries {
          SELECT o_orderstatus, o_channel, COUNT(*) AS n,
            CAST(SUM(price) AS DOUBLE) AS total
          FROM final GROUP BY 1, 2""",
+
+    // the maintained aggregate must equal the full recompute of the
+    // final CDC state — same oracle as cdc_agg
+    "cdc_incr_agg" -> statusAggSql,
 
     // nested drift: %7 keys take the drifted payload whole (st 'N2',
     // ck past int range, tag 'drift'); carried rows read NULL tag and

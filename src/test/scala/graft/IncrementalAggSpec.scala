@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Meta
+import graft.operators.{GraftTable, IncrementalAgg}
+
+/** Incremental view maintenance: the maintained (group → count, sums)
+  * table must equal a full recompute of the source snapshot after every
+  * commit — through inserts, updates, deletes, GROUP MIGRATION (an
+  * update that moves a row between groups), and group extinction. */
+class IncrementalAggSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ivm").toString
+
+  private def meta(df: org.apache.spark.sql.DataFrame, seq: Int, del: Boolean) =
+    df.withColumn(Meta.Ordering, lit(f"$seq%020d"))
+      .withColumn(Meta.Deleted, lit(del))
+
+  private val groups = Seq("grp")
+  private val sums = Map("v" -> col("v"))
+
+  private def recompute(src: GraftTable) =
+    src.readUser().groupBy("grp").agg(count(lit(1)).as("n"), sum(col("v")).as("v"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+
+  private def maintained(agg: GraftTable) =
+    agg.readUser().select("grp", "n", "v")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+
+  test("maintained aggregate tracks inserts, updates, deletes, group migration") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "grp", "v"), 1, del = false))                       // seq 0
+    IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
+    assert(maintained(agg) == recompute(src))
+
+    // seq 1: update v in place, MIGRATE key 2 a→b, insert key 4, delete key 3
+    src.upsert(meta(Seq((1L, "a", 11L), (2L, "b", 20L), (4L, "c", 7L))
+      .toDF("id", "grp", "v"), 2, del = false)
+      .unionByName(meta(Seq((3L, "b", 5L)).toDF("id", "grp", "v"), 2, del = true)))
+    IncrementalAgg.maintain(src, agg, groups, sums, 0L, 1L)
+    assert(maintained(agg) == recompute(src), "after commit 1")
+    assert(recompute(src) == Seq(("a", 1L, 11L), ("b", 1L, 20L), ("c", 1L, 7L)))
+
+    // seq 2: extinguish group c entirely; add two rows to a
+    src.upsert(meta(Seq((5L, "a", 100L), (6L, "a", 200L)).toDF("id", "grp", "v"),
+      3, del = false)
+      .unionByName(meta(Seq((4L, "c", 7L)).toDF("id", "grp", "v"), 3, del = true)))
+    IncrementalAgg.maintain(src, agg, groups, sums, 1L, 2L)
+    assert(maintained(agg) == recompute(src), "after commit 2")
+    assert(!maintained(agg).exists(_._1 == "c"),
+      "an extinct group must be DELETED from the aggregate, not kept at zero")
+  }
+
+  test("maintenance ranges compose: (0,1] then (1,2] equals (0,2]") {
+    def build(): (GraftTable, GraftTable) = {
+      val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+      val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+      src.bulkInsert(meta(Seq((1L, "x", 1L), (2L, "y", 2L)).toDF("id", "grp", "v"),
+        1, del = false))
+      src.upsert(meta(Seq((1L, "y", 3L), (3L, "z", 9L)).toDF("id", "grp", "v"),
+        2, del = false))
+      src.upsert(meta(Seq((2L, "y", 8L)).toDF("id", "grp", "v"), 3, del = false)
+        .unionByName(meta(Seq((3L, "z", 9L)).toDF("id", "grp", "v"), 3, del = true)))
+      IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
+      (src, agg)
+    }
+    val (s1, a1) = build()
+    IncrementalAgg.maintain(s1, a1, groups, sums, 0L, 1L)
+    IncrementalAgg.maintain(s1, a1, groups, sums, 1L, 2L)
+    val (s2, a2) = build()
+    IncrementalAgg.maintain(s2, a2, groups, sums, 0L, 2L)
+    assert(maintained(a1) == maintained(a2))
+    assert(maintained(a1) == recompute(s1))
+  }
+
+  test("null measures contribute nothing; count still moves") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", Some(10L)), (2L, "a", None))
+      .toDF("id", "grp", "v"), 1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
+    // the null-valued row changes value; a null-valued row arrives
+    src.upsert(meta(Seq((2L, "a", Some(5L)), (3L, "a", None: Option[Long]))
+      .toDF("id", "grp", "v"), 2, del = false))
+    IncrementalAgg.maintain(src, agg, groups, sums, 0L, 1L)
+    val got = agg.readUser().select("grp", "n", "v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L, 15L)), s"got $got")
+  }
+}
