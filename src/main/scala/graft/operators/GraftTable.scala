@@ -484,10 +484,14 @@ class GraftTable(
 
   /** M4 bulk insert: full-load files → new table, no merge, PARTITION_SORT
     * layout (range-partition + sort by key). */
-  def bulkInsert(df0: DataFrame, checkpoint: Option[String] = None): Commit =
-    withLock(doBulkInsert(df0, checkpoint))
+  def bulkInsert(df0: DataFrame, checkpoint: Option[String] = None,
+      /** Caller metadata recorded in the commit's `extra` map — e.g. an
+        * incremental consumer's applied watermark, atomic with the data. */
+      extraMeta: Map[String, String] = Map.empty): Commit =
+    withLock(doBulkInsert(df0, checkpoint, extraMeta))
 
-  private def doBulkInsert(df0: DataFrame, checkpoint: Option[String]): Commit = {
+  private def doBulkInsert(df0: DataFrame, checkpoint: Option[String],
+      extraMeta: Map[String, String] = Map.empty): Commit = {
     val df = prepared(df0)
     val clean =
       if (df.columns.contains(Meta.Deleted)) df.filter(!coalesce(col(Meta.Deleted), lit(false)))
@@ -497,7 +501,7 @@ class GraftTable(
     val files = writeFiles(stamped, seq, planBytes(clean))
     commitOrCleanStage(Commit(seq, "bulk_insert", files, schemaJson(stamped),
       checkpoint, System.currentTimeMillis(),
-      extra = GraftTable.writeMetrics(files)), files)
+      extra = GraftTable.writeMetrics(files) ++ extraMeta), files)
   }
 
   /** METADATA-ONLY BOOTSTRAP (the Hudi bootstrap / Delta CONVERT TO DELTA
@@ -1455,7 +1459,10 @@ class GraftTable(
         * Rows no clause assigns get NULL for a new column; carried
         * files keep their columns and read as NULL through the union
         * manifest schema. */
-      evolveSchema: Boolean = false): Commit = withLock(retryOnConflict {
+      evolveSchema: Boolean = false,
+      /** Caller metadata recorded in the commit's `extra` map — e.g. an
+        * incremental consumer's applied watermark, atomic with the data. */
+      extraMeta: Map[String, String] = Map.empty): Commit = withLock(retryOnConflict {
     // retryOnConflict is sound here: MERGE is defined against the CURRENT
     // snapshot, and each attempt re-reads latest() — a retry after an OCC
     // writer stole the seq recomputes the same merge over the winner's
@@ -1584,7 +1591,7 @@ class GraftTable(
           prev.checkpoint, System.currentTimeMillis(),
           extra = GraftTable.writeMetrics(newFiles) +
             ("files_rewritten" -> affected.size.toString) +
-            ("files_carried" -> untouched.size.toString)), newFiles)
+            ("files_carried" -> untouched.size.toString) ++ extraMeta), newFiles)
       } finally result.unpersist(blocking = false)
     } finally src.unpersist(blocking = false)
   })

@@ -33,6 +33,21 @@ import graft.model.Meta
   */
 object IncrementalAgg {
 
+  /** Commit-extra key on the AGGREGATE table recording the newest source
+    * commit whose changes it reflects — written atomically with each
+    * bootstrap/maintain commit, so a crash between "apply" and "record"
+    * is impossible by construction and [[maintainLatest]] resumes
+    * exactly where the last successful application ended. */
+  val AppliedSeqKey = "ivm_applied_seq"
+
+  /** The aggregate's applied-source-commit watermark: the newest commit
+    * in its timeline carrying [[AppliedSeqKey]] (maintenance commits on
+    * the aggregate itself — compaction, clustering — don't carry it and
+    * are skipped). None = never bootstrapped. */
+  def appliedSeq(agg: GraftTable): Option[Long] =
+    agg.history().reverseIterator
+      .flatMap(_.extra.get(AppliedSeqKey)).map(_.toLong).nextOption()
+
   /** One-time full aggregate of the source snapshot at commit `atSeq`
     * into the (empty) aggregate table: group columns, `n` (live row
     * count), and one column per named sum measure. */
@@ -43,7 +58,22 @@ object IncrementalAgg {
     val full = snap.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumNames.map(m => sum(sums(m)).as(m)): _*)
-    agg.bulkInsert(full)
+    agg.bulkInsert(full, extraMeta = Map(AppliedSeqKey -> atSeq.toString))
+  }
+
+  /** Catch the aggregate up to the source's current head from the
+    * recorded watermark — IDEMPOTENT (a no-op returning the head when
+    * already current) and crash-safe (the new watermark lands in the
+    * same commit as the delta application). The per-epoch call a
+    * streaming ingest loop makes to keep a materialized view live. */
+  def maintainLatest(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
+      sums: Map[String, Column]): Long = {
+    val from = appliedSeq(agg).getOrElse(throw new IllegalStateException(
+      s"aggregate table carries no $AppliedSeqKey watermark — bootstrap first"))
+    val to = src.history().lastOption.map(_.seq).getOrElse(
+      throw new IllegalStateException("source table has no commits"))
+    if (to > from) maintain(src, agg, groupCols, sums, from, to)
+    to
   }
 
   /** Apply the source's `(fromSeq, toSeq]` change feed to the aggregate
@@ -79,6 +109,7 @@ object IncrementalAgg {
         m -> (coalesce(col(m), lit(0)) + col(s"src_$m"))) :+
         ("n" -> (col("n") + col("src_n")))).toMap,
       whenMatchedDelete = Some(col("n") + col("src_n") === 0),
-      insertWhenNotMatched = true)
+      insertWhenNotMatched = true,
+      extraMeta = Map(AppliedSeqKey -> toSeq.toString))
   }
 }

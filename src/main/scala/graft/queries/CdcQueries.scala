@@ -901,6 +901,34 @@ object CdcScenario {
       agg
     })
 
+  /** LIVE materialized view over the STREAMING ingest (round-13): the
+    * same raw-zone batches drain through the Structured Streaming
+    * foreachBatch loop, and after every drained epoch
+    * [[IncrementalAgg.maintainLatest]] catches the aggregate up from
+    * its crash-safe watermark — the maintained view is never more than
+    * one epoch behind the table and ends recompute-exact. */
+  def streamIncrAgg(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"stincragg:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-stincr")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val tab = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val agg = new GraftTable(s, s"$base/agg", Seq("o_orderstatus"),
+        targetFileBytes = 256 * 1024)
+      val groups = Seq("o_orderstatus")
+      val sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)"))
+      Seq(fullLoad(s, dir), batchA(s, dir), batchB(s, dir)).zipWithIndex
+        .foreach { case (b, i) =>
+          b.coalesce(1).write.mode("append").parquet(raw)
+          graft.streaming.ContinuousIngest.drain(s, raw, tab, ck)
+          if (i == 0)
+            IncrementalAgg.bootstrap(tab, agg, groups, sums,
+              tab.history().last.seq)
+          else IncrementalAgg.maintainLatest(tab, agg, groups, sums)
+        }
+      agg
+    })
+
   /** NESTED schema evolution through the API upsert (round-13): the
     * full load carries a STRUCT payload `(st: string, ck: int)`; the
     * drifted batch widens `ck` past int range (int→long promotion
@@ -1532,6 +1560,12 @@ object CdcQueries {
     // the maintained table must equal the full recompute exactly
     "cdc_incr_agg" -> ((s, dir) =>
       CdcScenario.incrAgg(s, dir).readUser()
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))),
+    // the same maintained view kept LIVE by the streaming ingest loop
+    // (per-epoch watermarked catch-up); must end recompute-exact
+    "st_incr_agg" -> ((s, dir) =>
+      CdcScenario.streamIncrAgg(s, dir).readUser()
         .select(col("o_orderstatus"), col("n"),
           col("total").cast("double").as("total"))),
     // NESTED drift (round-13): struct payload gains a field + widens a
@@ -2278,6 +2312,7 @@ object CdcQueries {
     // the maintained aggregate must equal the full recompute of the
     // final CDC state — same oracle as cdc_agg
     "cdc_incr_agg" -> statusAggSql,
+    "st_incr_agg" -> statusAggSql,
 
     // nested drift: %7 keys take the drifted payload whole (st 'N2',
     // ck past int range, tag 'drift'); carried rows read NULL tag and

@@ -80,6 +80,26 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(maintained(a1) == recompute(s1))
   }
 
+  test("maintainLatest resumes from the recorded watermark and is idempotent") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 1L)).toDF("id", "grp", "v"), 1, del = false))
+    assert(IncrementalAgg.appliedSeq(agg).isEmpty)
+    IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
+    assert(IncrementalAgg.appliedSeq(agg).contains(0L))
+    // two source commits arrive; ONE catch-up covers both
+    src.upsert(meta(Seq((2L, "a", 2L)).toDF("id", "grp", "v"), 2, del = false))
+    src.upsert(meta(Seq((3L, "b", 4L)).toDF("id", "grp", "v"), 3, del = false))
+    assert(IncrementalAgg.maintainLatest(src, agg, groups, sums) == 2L)
+    assert(IncrementalAgg.appliedSeq(agg).contains(2L))
+    assert(maintained(agg) == recompute(src))
+    // already current: no new commit on the aggregate
+    val commitsBefore = agg.history().size
+    assert(IncrementalAgg.maintainLatest(src, agg, groups, sums) == 2L)
+    assert(agg.history().size == commitsBefore,
+      "a current aggregate must not commit on catch-up")
+  }
+
   test("null measures contribute nothing; count still moves") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
