@@ -48,17 +48,72 @@ object IncrementalAgg {
     agg.history().reverseIterator
       .flatMap(_.extra.get(AppliedSeqKey)).map(_.toLong).nextOption()
 
+  /** Bootstrap-commit extra keys carrying the SELF-DESCRIBING view
+    * spec: source table root, group columns (csv), and sum measures
+    * (`name=sql-expr` joined by `;`). [[refresh]] rebuilds the whole
+    * maintenance call from them, so a view created once (API or `CALL
+    * create_agg_view`) refreshes from nothing but its own timeline. */
+  val SrcRootKey = "ivm_src_root"
+  val GroupsKey = "ivm_groups"
+  val SumsKey = "ivm_sums"
+
   /** One-time full aggregate of the source snapshot at commit `atSeq`
     * into the (empty) aggregate table: group columns, `n` (live row
     * count), and one column per named sum measure. */
   def bootstrap(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
-      sums: Map[String, Column], atSeq: Long): Unit = {
+      sums: Map[String, Column], atSeq: Long,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     val sumNames = sums.keys.toSeq.sorted
     val snap = src.readAsOf(atSeq).drop(Meta.RecordKey, Meta.CommitSeq)
     val full = snap.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumNames.map(m => sum(sums(m)).as(m)): _*)
-    agg.bulkInsert(full, extraMeta = Map(AppliedSeqKey -> atSeq.toString))
+    agg.bulkInsert(full,
+      extraMeta = extraMeta + (AppliedSeqKey -> atSeq.toString))
+  }
+
+  /** Create a SELF-DESCRIBING materialized aggregate view at `location`:
+    * keyed by the group columns, bootstrapped at the source's current
+    * head, with the view spec (source root, groups, measure SQL)
+    * recorded in the bootstrap commit so [[refresh]] — and the `CALL
+    * refresh_agg_view` SQL surface — needs only the view itself. */
+  def create(spark: org.apache.spark.sql.SparkSession, src: GraftTable,
+      location: String, groupCols: Seq[String],
+      sumSpecs: Seq[(String, String)]): GraftTable = {
+    sumSpecs.foreach { case (n, e) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad measure name: $n")
+      require(!e.contains(";"), s"measure expression may not contain ';': $e")
+      require(n != "n", "measure name 'n' collides with the count column")
+    }
+    require(groupCols.nonEmpty, "at least one group column")
+    val agg = new GraftTable(spark, location, groupCols)
+    val at = src.history().lastOption.map(_.seq).getOrElse(
+      throw new IllegalStateException("source table has no commits"))
+    bootstrap(src, agg, groupCols,
+      sumSpecs.map { case (n, e) => n -> expr(e) }.toMap, at,
+      extraMeta = Map(SrcRootKey -> src.root,
+        GroupsKey -> groupCols.mkString(","),
+        SumsKey -> sumSpecs.map { case (n, e) => s"$n=$e" }.mkString(";")))
+    agg
+  }
+
+  /** Catch a [[create]]d view up to its source's head using nothing but
+    * the spec in its own timeline. Returns (fromSeq, toSeq) applied. */
+  def refresh(spark: org.apache.spark.sql.SparkSession,
+      agg: GraftTable): (Long, Long) = {
+    val spec = agg.history().reverseIterator
+      .find(_.extra.contains(SrcRootKey)).map(_.extra).getOrElse(
+        throw new IllegalStateException(
+          s"no $SrcRootKey spec in the view's timeline — not a created agg view"))
+    val src = GraftTable.open(spark, spec(SrcRootKey))
+    val groupCols = spec(GroupsKey).split(",").toSeq
+    val sums = spec(SumsKey).split(";").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      kv.substring(0, i) -> expr(kv.substring(i + 1))
+    }.toMap
+    val from = appliedSeq(agg).get
+    val to = maintainLatest(src, agg, groupCols, sums)
+    (from, to)
   }
 
   /** Catch the aggregate up to the source's current head from the

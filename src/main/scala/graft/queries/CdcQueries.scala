@@ -901,6 +901,28 @@ object CdcScenario {
       agg
     })
 
+  /** Materialized aggregate view MANAGED FROM PURE SQL (round-13):
+    * `CALL create_agg_view` bootstraps a self-describing view at the
+    * full load, two CDC commits land on the source, and `CALL
+    * refresh_agg_view` catches the view up from nothing but its own
+    * recorded spec + watermark. The graded read goes through the DSv2
+    * catalog (`SELECT ... FROM graft.<view>`). */
+  def sqlAggView(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"sqlaggview:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-sqlagg")
+      val src = new GraftTable(s, s"$base/src", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      src.bulkInsert(fullLoad(s, dir))
+      graft.sql.GraftSql.register(s, "aggview_src", src)
+      s.sql("CALL create_agg_view('aggview_src', 'aggview_v', " +
+        s"'$base/agg', 'o_orderstatus', " +
+        "'total=CAST(o_totalprice AS DECIMAL(18,2))')").collect()
+      src.upsert(batchA(s, dir))
+      src.upsert(batchB(s, dir))
+      s.sql("CALL refresh_agg_view('aggview_v')").collect()
+      src // the view itself reads back as graft.aggview_v
+    })
+
   /** LIVE materialized view over the STREAMING ingest (round-13): the
     * same raw-zone batches drain through the Structured Streaming
     * foreachBatch loop, and after every drained epoch
@@ -1562,6 +1584,13 @@ object CdcQueries {
       CdcScenario.incrAgg(s, dir).readUser()
         .select(col("o_orderstatus"), col("n"),
           col("total").cast("double").as("total"))),
+    // the materialized view managed from PURE SQL (CALL create/refresh)
+    // and read through the DSv2 catalog
+    "sql_agg_view" -> ((s, dir) => {
+      CdcScenario.sqlAggView(s, dir)
+      s.sql("""SELECT o_orderstatus, n, CAST(total AS DOUBLE) AS total
+               FROM graft.aggview_v""")
+    }),
     // the same maintained view kept LIVE by the streaming ingest loop
     // (per-epoch watermarked catch-up); must end recompute-exact
     "st_incr_agg" -> ((s, dir) =>
@@ -2313,6 +2342,7 @@ object CdcQueries {
     // final CDC state — same oracle as cdc_agg
     "cdc_incr_agg" -> statusAggSql,
     "st_incr_agg" -> statusAggSql,
+    "sql_agg_view" -> statusAggSql,
 
     // nested drift: %7 keys take the drifted payload whole (st 'N2',
     // ck past int range, tag 'drift'); carried rows read NULL tag and

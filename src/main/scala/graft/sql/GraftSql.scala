@@ -21,7 +21,8 @@ import graft.operators.GraftTable
   *  - **Management procedures**: `CALL <proc>(...)` statements dispatch
   *    to the table API (the Hudi `CALL run_compaction(...)` surface):
   *    show_commits, show_savepoints, show_changes, show_table_stats,
-  *    show_partitions, run_compaction, run_clustering, run_clean,
+  *    show_partitions, create_agg_view, refresh_agg_view,
+  *    run_compaction, run_clustering, run_clean,
   *    run_archive, run_fsck, create_savepoint, restore_savepoint,
   *    rollback_to, delete_partition, build_record_index. Each returns a
   *    DataFrame (result rows for SHOW-style, an action summary for
@@ -103,9 +104,10 @@ object GraftSql {
     * the entry un-spoofable. */
   private[sql] def parseArgs(raw: String): Seq[String] = {
     if (raw.trim.isEmpty) return Seq.empty
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Boolean)]
     val cur = new StringBuilder
     var inStr = false
+    var sawQuote = false
     var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
@@ -115,17 +117,20 @@ object GraftSql {
         } else if (c == '\'') inStr = false
         else cur.append(c)
       } else c match {
-        case '\'' => inStr = true
-        case ',' => out += cur.toString.trim; cur.clear()
+        case '\'' => inStr = true; sawQuote = true
+        case ',' => out += ((cur.toString.trim, sawQuote)); cur.clear(); sawQuote = false
         case _ => cur.append(c)
       }
       i += 1
     }
     require(!inStr, s"unterminated string in CALL arguments: $raw")
-    out += cur.toString.trim
-    out.result().map { a =>
-      require(a.nonEmpty && (a.forall(_.isDigit) || !a.exists(_.isDigit) ||
-        a.matches("[A-Za-z0-9_=/.-]+")),
+    out += ((cur.toString.trim, sawQuote))
+    out.result().map { case (a, quoted) =>
+      // an explicitly QUOTED literal is the author's own string (e.g. a
+      // measure SQL expression) and passes as-is; the strict charset
+      // applies to BARE tokens, keeping the unquoted grammar un-spoofable
+      require(a.nonEmpty && (quoted || a.forall(_.isDigit) ||
+        !a.exists(_.isDigit) || a.matches("[A-Za-z0-9_=/.-]+")),
         s"unsupported CALL argument: $a")
       a
     }
@@ -260,6 +265,34 @@ object GraftSql {
         // all-null, so the key column is its only identity
         lookup(args(0)).changesDiff(args(1).toLong, args(2).toLong)
           .drop(graft.model.Meta.CommitSeq)
+      case "create_agg_view" =>
+        // materialized grouped COUNT/SUM view over a keyed table's
+        // change feed (IncrementalAgg): bootstrapped at the source head,
+        // self-describing (spec rides in the bootstrap commit), refreshed
+        // incrementally by CALL refresh_agg_view
+        require(args.size == 5, "create_agg_view(src_table, view_name, " +
+          s"location, group_cols_csv, sums_spec) — got ${args.size} args")
+        val src = lookup(args(0))
+        val groups = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sums = args(4).split(";").filter(_.trim.nonEmpty).toSeq.map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"sum measure must be name=expr: $kv")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        }
+        val agg = graft.operators.IncrementalAgg.create(
+          spark, src, args(2), groups, sums)
+        register(spark, args(1), agg)
+        summary("view" -> args(1), "location" -> args(2),
+          "bootstrapped_at" ->
+            graft.operators.IncrementalAgg.appliedSeq(agg).get.toString)
+      case "refresh_agg_view" =>
+        // delta-proportional catch-up from the view's crash-safe
+        // watermark; a current view is an idempotent no-op
+        arity(1)
+        val (from, to) =
+          graft.operators.IncrementalAgg.refresh(spark, lookup(args(0)))
+        summary("view" -> args(0),
+          "from_seq" -> from.toString, "to_seq" -> to.toString)
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure $other; available: show_commits, " +
@@ -267,7 +300,7 @@ object GraftSql {
             "show_partitions, run_compaction, run_clustering, " +
             "run_clean, run_archive, run_fsck, create_savepoint, " +
             "restore_savepoint, rollback_to, delete_partition, " +
-            "build_record_index")
+            "build_record_index, create_agg_view, refresh_agg_view")
     }
   }
 }

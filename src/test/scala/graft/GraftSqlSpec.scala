@@ -469,6 +469,33 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(t.readUser().schema.fieldNames.contains("channel"))
   }
 
+  test("CALL create_agg_view / refresh_agg_view manage a materialized view from SQL") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(Seq((1L, "a", 5L, "001"), (2L, "b", 7L, "001"))
+      .toDF("id", "grp", "v", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_ivm_src", src)
+    val loc = tmp()
+    val created = spark.sql("CALL create_agg_view('sqlspec_ivm_src', " +
+      s"'sqlspec_ivm_v', '$loc', 'grp', 'v=v*10')").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(created("bootstrapped_at") == "0")
+    src.upsert(Seq((3L, "a", 9L, "002")).toDF("id", "grp", "v", "trx_seq"))
+    val refreshed = spark.sql("CALL refresh_agg_view('sqlspec_ivm_v')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(refreshed("from_seq") == "0" && refreshed("to_seq") == "1", refreshed)
+    val got = spark.sql("SELECT grp, n, v FROM graft.sqlspec_ivm_v ORDER BY grp")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 140L), ("b", 1L, 70L)), s"got $got")
+    // current view: refresh is an idempotent no-op
+    val again = spark.sql("CALL refresh_agg_view('sqlspec_ivm_v')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again("from_seq") == "1" && again("to_seq") == "1")
+    // a plain table is not a view: refusal names the missing spec
+    val e = intercept[Exception](
+      spark.sql("CALL refresh_agg_view('sqlspec_ivm_src')").collect())
+    assert(e.getMessage.contains("not a created agg view"), e.getMessage)
+  }
+
   test("UPDATE and DELETE statements run as pruned partial rewrites") {
     val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 8 * 1024,
       statsColumns = Seq("score"))
