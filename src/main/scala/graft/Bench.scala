@@ -36,8 +36,8 @@ object Bench {
   val WriteFamily: Seq[String] = Seq(
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
     "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket",
-    "w_upsert_narrow_interval", "w_upsert_narrow_bucket", "w_sql_point",
-    "w_sql_ddl", "w_stream_sink")
+    "w_upsert_narrow_interval", "w_upsert_narrow_bucket", "w_incr_agg",
+    "w_sql_point", "w_sql_ddl", "w_stream_sink")
 
   /** Third reported section (round 13+): the heavy LLM-curation
     * operators. `dedup_suffix` is the engine's most expensive single
@@ -207,6 +207,24 @@ object Bench {
           Seq("o_orderkey"), targetFileBytes = 1024 * 1024, bucketCount = 16)
         b.bulkInsert(stamp(orders, 1))
         () => { b.upsert(narrowBatch); () }
+      }),
+      // incremental view maintenance (round-13): one CDC commit's delta
+      // applied to a prebuilt materialized status aggregate — the
+      // change-feed read + retract/add MERGE, end to end (setup per run:
+      // fresh agg bootstrapped at the base commit, source clone with the
+      // delta commit applied, untimed)
+      "w_incr_agg" -> (() => {
+        val c = mergeBase.cloneTo(tmpRoot("ivm-run") + "/t")
+        c.upsert(plannerBatch)
+        val agg = new graft.operators.GraftTable(spark,
+          tmpRoot("ivm-agg") + "/t", Seq("o_orderstatus"))
+        val groups = Seq("o_orderstatus")
+        val sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)"))
+        graft.operators.IncrementalAgg.bootstrap(c, agg, groups, sums, 0L)
+        () => {
+          graft.operators.IncrementalAgg.maintain(c, agg, groups, sums, 0L, 1L)
+          ()
+        }
       }),
       // catalog SQL point query with manifest triage (round-11): the scan
       // must schedule O(matching files), not the full manifest — the

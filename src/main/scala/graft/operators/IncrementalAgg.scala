@@ -87,6 +87,8 @@ object IncrementalAgg {
     }
     require(groupCols.nonEmpty, "at least one group column")
     val agg = new GraftTable(spark, location, groupCols)
+    require(agg.history().isEmpty,
+      s"$location already holds a committed table — create_agg_view needs a fresh location")
     val at = src.history().lastOption.map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
     bootstrap(src, agg, groupCols,
@@ -98,7 +100,10 @@ object IncrementalAgg {
   }
 
   /** Catch a [[create]]d view up to its source's head using nothing but
-    * the spec in its own timeline. Returns (fromSeq, toSeq) applied. */
+    * the spec in its own timeline. Each refresh RE-STAMPS the spec into
+    * its maintenance commit, so timeline archiving can never strand a
+    * view by aging out the bootstrap commit that carried it. Returns
+    * (fromSeq, toSeq) applied. */
   def refresh(spark: org.apache.spark.sql.SparkSession,
       agg: GraftTable): (Long, Long) = {
     val spec = agg.history().reverseIterator
@@ -112,7 +117,9 @@ object IncrementalAgg {
       kv.substring(0, i) -> expr(kv.substring(i + 1))
     }.toMap
     val from = appliedSeq(agg).get
-    val to = maintainLatest(src, agg, groupCols, sums)
+    val to = maintainLatest(src, agg, groupCols, sums,
+      extraMeta = Map(SrcRootKey -> spec(SrcRootKey),
+        GroupsKey -> spec(GroupsKey), SumsKey -> spec(SumsKey)))
     (from, to)
   }
 
@@ -122,12 +129,12 @@ object IncrementalAgg {
     * same commit as the delta application). The per-epoch call a
     * streaming ingest loop makes to keep a materialized view live. */
   def maintainLatest(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
-      sums: Map[String, Column]): Long = {
+      sums: Map[String, Column], extraMeta: Map[String, String] = Map.empty): Long = {
     val from = appliedSeq(agg).getOrElse(throw new IllegalStateException(
       s"aggregate table carries no $AppliedSeqKey watermark — bootstrap first"))
     val to = src.history().lastOption.map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
-    if (to > from) maintain(src, agg, groupCols, sums, from, to)
+    if (to > from) maintain(src, agg, groupCols, sums, from, to, extraMeta)
     to
   }
 
@@ -136,7 +143,8 @@ object IncrementalAgg {
     * range exactly once, in order (the ranges compose: (a,b] then (b,c]
     * ends in the same state as (a,c]). */
   def maintain(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
-      sums: Map[String, Column], fromSeq: Long, toSeq: Long): Unit = {
+      sums: Map[String, Column], fromSeq: Long, toSeq: Long,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     val sumNames = sums.keys.toSeq.sorted
     val img = src.changesDiffImages(fromSeq, toSeq)
     val idCols = img.columns.filter(c =>
@@ -165,6 +173,6 @@ object IncrementalAgg {
         ("n" -> (col("n") + col("src_n")))).toMap,
       whenMatchedDelete = Some(col("n") + col("src_n") === 0),
       insertWhenNotMatched = true,
-      extraMeta = Map(AppliedSeqKey -> toSeq.toString))
+      extraMeta = extraMeta + (AppliedSeqKey -> toSeq.toString))
   }
 }

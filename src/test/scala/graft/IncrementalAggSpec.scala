@@ -100,6 +100,25 @@ class IncrementalAggSpec extends AnyFunSuite {
       "a current aggregate must not commit on catch-up")
   }
 
+  test("applying a one-group delta rewrites only that group's file neighborhood") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    // tiny target bytes on the AGG side force one file per few groups,
+    // so a single-group delta must leave most agg files carried
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 32)
+    val wide = (1 to 400).map(i => (i.toLong, f"g$i%03d", i.toLong))
+    src.bulkInsert(meta(wide.toDF("id", "grp", "v"), 1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
+    val aggFiles = agg.history().last.files.size
+    assert(aggFiles > 4, s"fixture needs a multi-file aggregate (got $aggFiles)")
+    // one source row moves inside ONE group
+    src.upsert(meta(Seq((1L, "g001", 500L)).toDF("id", "grp", "v"), 2, del = false))
+    IncrementalAgg.maintain(src, agg, groups, sums, 0L, 1L)
+    val c = agg.history().last
+    assert(c.extra("files_rewritten").toInt < aggFiles / 2,
+      s"one-group delta rewrote ${c.extra("files_rewritten")} of $aggFiles agg files")
+    assert(maintained(agg) == recompute(src))
+  }
+
   test("null measures contribute nothing; count still moves") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
