@@ -219,7 +219,8 @@ object Bench {
         val agg = new graft.operators.GraftTable(spark,
           tmpRoot("ivm-agg") + "/t", Seq("o_orderstatus"))
         val groups = Seq("o_orderstatus")
-        val sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)"))
+        val sums = graft.operators.Measures(
+        sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)")))
         graft.operators.IncrementalAgg.bootstrap(c, agg, groups, sums, 0L)
         () => {
           graft.operators.IncrementalAgg.maintain(c, agg, groups, sums, 0L, 1L)

@@ -1,13 +1,27 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Meta
 
-/** Incremental view maintenance for grouped COUNT/SUM aggregates over a
-  * keyed [[GraftTable]] — the materialized-view pattern a warehouse user
-  * builds by hand on top of a change feed (Hudi incremental query → MERGE,
-  * Delta CDF → foreachBatch), packaged as one operator.
+/** The maintained measure set of an incremental aggregate view: named
+  * SUM / MIN / MAX expressions over source columns (plus the implicit
+  * live-row COUNT column `n`). Names must be distinct across all three
+  * families and must not collide with `n` or a group column. */
+case class Measures(sums: Map[String, Column] = Map.empty,
+    mins: Map[String, Column] = Map.empty,
+    maxs: Map[String, Column] = Map.empty) {
+  def names: Seq[String] =
+    (sums.keys ++ mins.keys ++ maxs.keys).toSeq.sorted
+  require(names.distinct.size == names.size && !names.contains("n"),
+    s"measure names must be distinct and not 'n': $names")
+}
+
+/** Incremental view maintenance for grouped COUNT/SUM/MIN/MAX aggregates
+  * over a keyed [[GraftTable]] — the materialized-view pattern a
+  * warehouse user builds by hand on top of a change feed (Hudi
+  * incremental query → MERGE, Delta CDF → foreachBatch), packaged as one
+  * operator.
   *
   * The materialized aggregate is itself a [[GraftTable]] KEYED BY THE
   * GROUP COLUMNS, so maintenance lands as an ordinary engine MERGE and
@@ -23,13 +37,22 @@ import graft.model.Meta
   * land in different groups); a group whose count reaches zero is
   * deleted from the aggregate.
   *
-  * Measures should be EXACT types (integral or decimal): incremental
-  * +/- is associative for them, so the maintained value equals a full
-  * recompute bit for bit. Floating-point sums would drift from a
-  * recompute by non-associativity — cast to decimal first. Null
-  * measures contribute nothing (SQL SUM semantics); a group whose
-  * every measure value is later removed keeps sum 0 where a recompute
-  * reports NULL — the one documented deviation.
+  * MIN/MAX are not retractable by arithmetic: an arriving value folds
+  * in exactly through `least`/`greatest`, but retracting the CURRENT
+  * extreme leaves the next-best unknown. Maintenance therefore marks a
+  * group DIRTY only when a retracted value ties the stored extreme and
+  * recomputes exactly the dirty groups from the source snapshot (one
+  * scan, restricted by a semi join — skipped entirely when no
+  * retraction touches an extreme, which is the common path).
+  *
+  * SUM measures should be EXACT types (integral or decimal):
+  * incremental +/- is associative for them, so the maintained value
+  * equals a full recompute bit for bit. Floating-point sums would drift
+  * from a recompute by non-associativity — cast to decimal first. Null
+  * measures contribute nothing (SQL semantics); a group whose every sum
+  * value is later removed keeps sum 0 where a recompute reports NULL —
+  * the one documented deviation (MIN/MAX recompute exactly, including
+  * back to NULL).
   */
 object IncrementalAgg {
 
@@ -49,25 +72,36 @@ object IncrementalAgg {
       .flatMap(_.extra.get(AppliedSeqKey)).map(_.toLong).nextOption()
 
   /** Bootstrap-commit extra keys carrying the SELF-DESCRIBING view
-    * spec: source table root, group columns (csv), and sum measures
-    * (`name=sql-expr` joined by `;`). [[refresh]] rebuilds the whole
+    * spec: source table root, group columns (csv), and measures
+    * (`name=sql-expr` for SUM, `name=min:sql-expr` / `name=max:sql-expr`
+    * for extremes, joined by `;`). [[refresh]] rebuilds the whole
     * maintenance call from them, so a view created once (API or `CALL
     * create_agg_view`) refreshes from nothing but its own timeline. */
   val SrcRootKey = "ivm_src_root"
   val GroupsKey = "ivm_groups"
   val SumsKey = "ivm_sums"
 
+  private def parseMeasures(specs: Seq[(String, String)]): Measures =
+    specs.foldLeft(Measures()) { case (acc, (n, e)) =>
+      if (e.startsWith("min:")) acc.copy(mins = acc.mins + (n -> expr(e.drop(4))))
+      else if (e.startsWith("max:")) acc.copy(maxs = acc.maxs + (n -> expr(e.drop(4))))
+      else acc.copy(sums = acc.sums + (n -> expr(e)))
+    }
+
   /** One-time full aggregate of the source snapshot at commit `atSeq`
     * into the (empty) aggregate table: group columns, `n` (live row
-    * count), and one column per named sum measure. */
+    * count), and one column per named measure. */
   def bootstrap(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
-      sums: Map[String, Column], atSeq: Long,
+      meas: Measures, atSeq: Long,
       extraMeta: Map[String, String] = Map.empty): Unit = {
-    val sumNames = sums.keys.toSeq.sorted
     val snap = src.readAsOf(atSeq).drop(Meta.RecordKey, Meta.CommitSeq)
+    val aggs = meas.names.map { m =>
+      meas.sums.get(m).map(e => sum(e).as(m))
+        .orElse(meas.mins.get(m).map(e => min(e).as(m)))
+        .getOrElse(max(meas.maxs(m)).as(m))
+    }
     val full = snap.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sumNames.map(m => sum(sums(m)).as(m)): _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
     agg.bulkInsert(full,
       extraMeta = extraMeta + (AppliedSeqKey -> atSeq.toString))
   }
@@ -77,7 +111,7 @@ object IncrementalAgg {
     * head, with the view spec (source root, groups, measure SQL)
     * recorded in the bootstrap commit so [[refresh]] — and the `CALL
     * refresh_agg_view` SQL surface — needs only the view itself. */
-  def create(spark: org.apache.spark.sql.SparkSession, src: GraftTable,
+  def create(spark: SparkSession, src: GraftTable,
       location: String, groupCols: Seq[String],
       sumSpecs: Seq[(String, String)]): GraftTable = {
     sumSpecs.foreach { case (n, e) =>
@@ -91,8 +125,7 @@ object IncrementalAgg {
       s"$location already holds a committed table — create_agg_view needs a fresh location")
     val at = src.history().lastOption.map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
-    bootstrap(src, agg, groupCols,
-      sumSpecs.map { case (n, e) => n -> expr(e) }.toMap, at,
+    bootstrap(src, agg, groupCols, parseMeasures(sumSpecs), at,
       extraMeta = Map(SrcRootKey -> src.root,
         GroupsKey -> groupCols.mkString(","),
         SumsKey -> sumSpecs.map { case (n, e) => s"$n=$e" }.mkString(";")))
@@ -104,20 +137,20 @@ object IncrementalAgg {
     * its maintenance commit, so timeline archiving can never strand a
     * view by aging out the bootstrap commit that carried it. Returns
     * (fromSeq, toSeq) applied. */
-  def refresh(spark: org.apache.spark.sql.SparkSession,
-      agg: GraftTable): (Long, Long) = {
+  def refresh(spark: SparkSession, agg: GraftTable): (Long, Long) = {
     val spec = agg.history().reverseIterator
       .find(_.extra.contains(SrcRootKey)).map(_.extra).getOrElse(
         throw new IllegalStateException(
           s"no $SrcRootKey spec in the view's timeline — not a created agg view"))
     val src = GraftTable.open(spark, spec(SrcRootKey))
     val groupCols = spec(GroupsKey).split(",").toSeq
-    val sums = spec(SumsKey).split(";").filter(_.nonEmpty).map { kv =>
-      val i = kv.indexOf('=')
-      kv.substring(0, i) -> expr(kv.substring(i + 1))
-    }.toMap
+    val meas = parseMeasures(
+      spec(SumsKey).split(";").filter(_.nonEmpty).toSeq.map { kv =>
+        val i = kv.indexOf('=')
+        kv.substring(0, i) -> kv.substring(i + 1)
+      })
     val from = appliedSeq(agg).get
-    val to = maintainLatest(src, agg, groupCols, sums,
+    val to = maintainLatest(src, agg, groupCols, meas,
       extraMeta = Map(SrcRootKey -> spec(SrcRootKey),
         GroupsKey -> spec(GroupsKey), SumsKey -> spec(SumsKey)))
     (from, to)
@@ -129,12 +162,12 @@ object IncrementalAgg {
     * same commit as the delta application). The per-epoch call a
     * streaming ingest loop makes to keep a materialized view live. */
   def maintainLatest(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
-      sums: Map[String, Column], extraMeta: Map[String, String] = Map.empty): Long = {
+      meas: Measures, extraMeta: Map[String, String] = Map.empty): Long = {
     val from = appliedSeq(agg).getOrElse(throw new IllegalStateException(
       s"aggregate table carries no $AppliedSeqKey watermark — bootstrap first"))
     val to = src.history().lastOption.map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
-    if (to > from) maintain(src, agg, groupCols, sums, from, to, extraMeta)
+    if (to > from) maintain(src, agg, groupCols, meas, from, to, extraMeta)
     to
   }
 
@@ -143,9 +176,13 @@ object IncrementalAgg {
     * range exactly once, in order (the ranges compose: (a,b] then (b,c]
     * ends in the same state as (a,c]). */
   def maintain(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
-      sums: Map[String, Column], fromSeq: Long, toSeq: Long,
+      meas: Measures, fromSeq: Long, toSeq: Long,
       extraMeta: Map[String, String] = Map.empty): Unit = {
-    val sumNames = sums.keys.toSeq.sorted
+    val sumNames = meas.sums.keys.toSeq.sorted
+    val minNames = meas.mins.keys.toSeq.sorted
+    val maxNames = meas.maxs.keys.toSeq.sorted
+    val extNames = minNames ++ maxNames
+    def extExpr(m: String): Column = meas.mins.getOrElse(m, meas.maxs(m))
     val img = src.changesDiffImages(fromSeq, toSeq)
     val idCols = img.columns.filter(c =>
       c != "op" && c != "_before" && c != "_after").toSeq
@@ -160,16 +197,72 @@ object IncrementalAgg {
           lit(sgn.toLong).as("_sgn"): _*)
     val rows = side("_before", Seq("D", "U"), -1)
       .unionByName(side("_after", Seq("I", "U"), 1))
-    val delta = rows.groupBy(groupCols.map(col): _*)
+    val added = col("_sgn") > 0
+    val delta0 = rows.groupBy(groupCols.map(col): _*)
       .agg(sum(col("_sgn")).as("n"),
-        sumNames.map(m => sum(sums(m) * col("_sgn")).as(m)): _*)
-      // groups whose aggregate did not move (a changed non-measure
-      // column, or offsetting changes) are a no-op — skip the write
-      .filter(sumNames.map(m => col(m) =!= 0)
-        .foldLeft(col("n") =!= 0)(_ || _))
+        sumNames.map(m => sum(meas.sums(m) * col("_sgn")).as(m)) ++
+          minNames.flatMap(m => Seq(
+            min(when(added, extExpr(m))).as(s"_add_$m"),
+            min(when(!added, extExpr(m))).as(s"_ret_$m"))) ++
+          maxNames.flatMap(m => Seq(
+            max(when(added, extExpr(m))).as(s"_add_$m"),
+            max(when(!added, extExpr(m))).as(s"_ret_$m"))): _*)
+    val sumsMoved = sumNames.map(m => col(m) =!= 0)
+      .foldLeft(col("n") =!= 0)(_ || _)
+    val delta =
+      if (extNames.isEmpty)
+        // pure COUNT/SUM: no state read, no dirtiness — the original path
+        delta0.filter(sumsMoved)
+      else {
+        // join the CURRENT stored extremes; a retraction tying one marks
+        // the group dirty (the next-best value is unknowable from the
+        // delta) — everything else folds in via least/greatest
+        val state = agg.readUser().select(
+          groupCols.map(col) ++ extNames.map(m => col(m).as(s"_cur_$m")): _*)
+        val dirtyCond = (
+          minNames.map(m => col(s"_ret_$m") <= col(s"_cur_$m")) ++
+          maxNames.map(m => col(s"_ret_$m") >= col(s"_cur_$m")))
+          .map(c => coalesce(c, lit(false))).reduce(_ || _)
+        val d1 = delta0.join(state, groupCols, "left")
+          .withColumn("_dirty", dirtyCond)
+        val dirtyGroups = d1.filter(col("_dirty")).select(groupCols.map(col): _*)
+        // the dirty-group recompute scans the source ONCE, restricted by
+        // the semi join — and is skipped outright when nothing retracted
+        // an extreme (the cheap test runs on the small delta)
+        val anyDirty = dirtyGroups.limit(1).count() > 0
+        val d2 =
+          if (!anyDirty) extNames.foldLeft(d1)((d, m) =>
+            d.withColumn(s"_rec_$m", lit(null)))
+          else {
+            val rec = src.readAsOf(toSeq)
+              .join(dirtyGroups, groupCols, "left_semi")
+              .groupBy(groupCols.map(col): _*)
+              .agg(count(lit(1)).as("_rec_cnt"),
+                (minNames.map(m => min(extExpr(m)).as(s"_rec_$m")) ++
+                  maxNames.map(m => max(extExpr(m)).as(s"_rec_$m"))): _*)
+              .drop("_rec_cnt")
+            d1.join(rec, groupCols, "left")
+          }
+        // least/greatest skip NULLs: a new group takes the add candidate,
+        // a no-adds group keeps the stored value
+        val withFinal = (minNames.map(m =>
+          m -> when(col("_dirty"), col(s"_rec_$m"))
+            .otherwise(least(col(s"_cur_$m"), col(s"_add_$m")))) ++
+          maxNames.map(m =>
+            m -> when(col("_dirty"), col(s"_rec_$m"))
+              .otherwise(greatest(col(s"_cur_$m"), col(s"_add_$m")))))
+          .foldLeft(d2) { case (d, (m, c)) => d.withColumn(m, c) }
+        val extMoved = extNames.map(m => !(col(m) <=> col(s"_cur_$m")))
+          .reduce(_ || _)
+        withFinal.filter(sumsMoved || extMoved)
+          .select((groupCols :+ "n").map(col) ++
+            sumNames.map(col) ++ extNames.map(col): _*)
+      }
     agg.mergeInto(delta,
       whenMatchedSet = (sumNames.map(m =>
-        m -> (coalesce(col(m), lit(0)) + col(s"src_$m"))) :+
+        m -> (coalesce(col(m), lit(0)) + col(s"src_$m"))) ++
+        // extremes arrive as ABSOLUTE new values, not deltas
+        extNames.map(m => m -> col(s"src_$m")) :+
         ("n" -> (col("n") + col("src_n")))).toMap,
       whenMatchedDelete = Some(col("n") + col("src_n") === 0),
       insertWhenNotMatched = true,

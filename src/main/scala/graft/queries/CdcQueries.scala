@@ -894,10 +894,32 @@ object CdcScenario {
       val agg = new GraftTable(s, root, Seq("o_orderstatus"),
         targetFileBytes = 256 * 1024)
       val groups = Seq("o_orderstatus")
-      val sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)"))
+      val sums = graft.operators.Measures(
+        sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)")))
       IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
       IncrementalAgg.maintain(src, agg, groups, sums, 0L, 1L)
       IncrementalAgg.maintain(src, agg, groups, sums, 1L, 2L)
+      agg
+    })
+
+  /** MIN/MAX-maintained variant (round-13): the CDC batches delete keys
+    * and move prices, so retractions TIE stored extremes and force the
+    * dirty-group recompute path at data scale — the maintained extremes
+    * must still equal a full recompute exactly. */
+  def incrAggMinmax(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incraggmm:$dir", {
+      val src = main(s, dir)
+      val root = Files.createTempDirectory("graft-cdc-incraggmm").toString
+      val agg = new GraftTable(s, root, Seq("o_orderstatus"),
+        targetFileBytes = 256 * 1024)
+      val groups = Seq("o_orderstatus")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val meas = graft.operators.Measures(
+        sums = Map("total" -> price),
+        mins = Map("lo" -> price), maxs = Map("hi" -> price))
+      IncrementalAgg.bootstrap(src, agg, groups, meas, 0L)
+      IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L)
+      IncrementalAgg.maintain(src, agg, groups, meas, 1L, 2L)
       agg
     })
 
@@ -938,7 +960,8 @@ object CdcScenario {
       val agg = new GraftTable(s, s"$base/agg", Seq("o_orderstatus"),
         targetFileBytes = 256 * 1024)
       val groups = Seq("o_orderstatus")
-      val sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)"))
+      val sums = graft.operators.Measures(
+        sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)")))
       Seq(fullLoad(s, dir), batchA(s, dir), batchB(s, dir)).zipWithIndex
         .foreach { case (b, i) =>
           b.coalesce(1).write.mode("append").parquet(raw)
@@ -1584,6 +1607,14 @@ object CdcQueries {
       CdcScenario.incrAgg(s, dir).readUser()
         .select(col("o_orderstatus"), col("n"),
           col("total").cast("double").as("total"))),
+    // MIN/MAX maintenance: deletes and price moves retract stored
+    // extremes, forcing the dirty-group recompute path at data scale
+    "cdc_incr_agg_minmax" -> ((s, dir) =>
+      CdcScenario.incrAggMinmax(s, dir).readUser()
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"),
+          col("lo").cast("double").as("lo"),
+          col("hi").cast("double").as("hi"))),
     // the materialized view managed from PURE SQL (CALL create/refresh)
     // and read through the DSv2 catalog
     "sql_agg_view" -> ((s, dir) => {
@@ -2343,6 +2374,13 @@ object CdcQueries {
     "cdc_incr_agg" -> statusAggSql,
     "st_incr_agg" -> statusAggSql,
     "sql_agg_view" -> statusAggSql,
+    "cdc_incr_agg_minmax" ->
+      s"""$finalState
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total,
+           CAST(MIN(price) AS DOUBLE) AS lo,
+           CAST(MAX(price) AS DOUBLE) AS hi
+         FROM final GROUP BY o_orderstatus""",
 
     // nested drift: %7 keys take the drifted payload whole (st 'N2',
     // ck past int range, tag 'drift'); carried rows read NULL tag and

@@ -476,16 +476,17 @@ class GraftSqlSpec extends AnyFunSuite {
     GraftSql.register(spark, "sqlspec_ivm_src", src)
     val loc = tmp()
     val created = spark.sql("CALL create_agg_view('sqlspec_ivm_src', " +
-      s"'sqlspec_ivm_v', '$loc', 'grp', 'v=v*10')").collect()
+      s"'sqlspec_ivm_v', '$loc', 'grp', 'v=v*10;lo=min:v;hi=max:v')").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(created("bootstrapped_at") == "0")
     src.upsert(Seq((3L, "a", 9L, "002")).toDF("id", "grp", "v", "trx_seq"))
     val refreshed = spark.sql("CALL refresh_agg_view('sqlspec_ivm_v')")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(refreshed("from_seq") == "0" && refreshed("to_seq") == "1", refreshed)
-    val got = spark.sql("SELECT grp, n, v FROM graft.sqlspec_ivm_v ORDER BY grp")
-      .as[(String, Long, Long)].collect().toSeq
-    assert(got == Seq(("a", 2L, 140L), ("b", 1L, 70L)), s"got $got")
+    val got = spark.sql(
+      "SELECT grp, n, v, lo, hi FROM graft.sqlspec_ivm_v ORDER BY grp")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L, 140L, 5L, 9L), ("b", 1L, 70L, 7L, 7L)), s"got $got")
     // current view: refresh is an idempotent no-op
     val again = spark.sql("CALL refresh_agg_view('sqlspec_ivm_v')")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap

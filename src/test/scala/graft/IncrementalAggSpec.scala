@@ -22,7 +22,7 @@ class IncrementalAggSpec extends AnyFunSuite {
       .withColumn(Meta.Deleted, lit(del))
 
   private val groups = Seq("grp")
-  private val sums = Map("v" -> col("v"))
+  private val sums = graft.operators.Measures(sums = Map("v" -> col("v")))
 
   private def recompute(src: GraftTable) =
     src.readUser().groupBy("grp").agg(count(lit(1)).as("n"), sum(col("v")).as("v"))
@@ -98,6 +98,42 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(IncrementalAgg.maintainLatest(src, agg, groups, sums) == 2L)
     assert(agg.history().size == commitsBefore,
       "a current aggregate must not commit on catch-up")
+  }
+
+  test("min/max: adds fold via least/greatest; retracting an extreme recomputes only dirty groups") {
+    val meas = graft.operators.Measures(sums = Map("v" -> col("v")),
+      mins = Map("lo" -> col("v")), maxs = Map("hi" -> col("v")))
+    def recomputeAll(src: GraftTable) =
+      src.readUser().groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("v"),
+        min("v").as("lo"), max("v").as("hi"))
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def maintainedAll(agg: GraftTable) =
+      agg.readUser().select("grp", "n", "v", "lo", "hi")
+        .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "b", 5L)).toDF("id", "grp", "v"), 1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, meas, 0L)
+    assert(maintainedAll(agg) == recomputeAll(src))
+
+    // seq 1: a new below-min value folds in (clean path); b's only row
+    // moves 5→7, retracting b's stored min AND max (dirty recompute)
+    src.upsert(meta(Seq((5L, "a", 1L), (4L, "b", 7L)).toDF("id", "grp", "v"),
+      2, del = false))
+    IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L)
+    assert(maintainedAll(agg) == recomputeAll(src), "after commit 1")
+    assert(maintainedAll(agg).find(_._1 == "a").get._4 == 1L)
+    assert(maintainedAll(agg).find(_._1 == "b").get == (("b", 1L, 7L, 7L, 7L)))
+
+    // seq 2: delete a's UNIQUE min (1) → min must CLIMB back to 10
+    // (pure retraction, only recompute can know); delete ONE of the
+    // duplicated maxes (20) → max must STAY 20 (multiplicity!)
+    src.upsert(meta(Seq((5L, "a", 1L), (3L, "a", 20L)).toDF("id", "grp", "v"),
+      3, del = true))
+    IncrementalAgg.maintain(src, agg, groups, meas, 1L, 2L)
+    assert(maintainedAll(agg) == recomputeAll(src), "after commit 2")
+    assert(maintainedAll(agg).find(_._1 == "a").get == (("a", 2L, 30L, 10L, 20L)))
   }
 
   test("applying a one-group delta rewrites only that group's file neighborhood") {
