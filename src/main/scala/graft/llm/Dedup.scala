@@ -921,30 +921,52 @@ private[graft] object CapObservability {
   import scala.collection.concurrent.TrieMap
 
   private val obsId = new AtomicLong()
-  private val installed = TrieMap.empty[SparkSession, Unit]
-  @volatile private var last: Option[(Long, Long)] = None
+  // observation id -> (capped_buckets, capped_sig_rows), bounded: old
+  // entries are pruned as new ones land
+  private val results = TrieMap.empty[Long, (Long, Long)]
+  private val Keep = 256L
+  // sessions are tracked WEAKLY — a short-lived session must stay
+  // collectible once its own listener bus releases it
+  private val installed =
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()
 
   private[llm] def freshName(): String =
     s"graft.dedup.cap.${obsId.incrementAndGet()}"
 
-  /** (capped_buckets, capped_sig_rows) from the most recent query that
-    * carried a cap observation; None until one completes. */
-  def lastCapped: Option[(Long, Long)] = last
+  /** Snapshot BEFORE running a query whose cap observations you want to
+    * read back: [[cappedSince]] with this marker returns only
+    * observations generated after it — race-free under concurrent
+    * dedup runs (each query's observation carries its own id). */
+  def marker(): Long = obsId.get()
 
-  def install(spark: SparkSession): Unit =
-    installed.getOrElseUpdate(spark, {
-      spark.listenerManager.register(
+  /** Observations with id newer than `marker`, oldest first. */
+  def cappedSince(marker: Long): Seq[(Long, Long)] =
+    results.toSeq.filter(_._1 > marker).sortBy(_._1).map(_._2)
+
+  /** (capped_buckets, capped_sig_rows) from the newest completed cap
+    * observation; None until one completes. Under concurrent runs this
+    * is whichever finished last — use [[marker]]/[[cappedSince]] to
+    * read a SPECIFIC run's counts. */
+  def lastCapped: Option[(Long, Long)] =
+    results.toSeq.sortBy(_._1).lastOption.map(_._2)
+
+  def install(spark: SparkSession): Unit = installed.synchronized {
+    if (installed.containsKey(spark)) return
+    installed.put(spark, java.lang.Boolean.TRUE): Unit
+    spark.listenerManager.register(
         new org.apache.spark.sql.util.QueryExecutionListener {
           override def onSuccess(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               durationNs: Long): Unit = {
             qe.observedMetrics.foreach { case (name, row) =>
               if (name.startsWith("graft.dedup.cap.")) {
+                val id = name.substring("graft.dedup.cap.".length).toLong
                 val buckets = Option(row.get(row.fieldIndex("capped_buckets")))
                   .map(v => math.round(v.asInstanceOf[Double])).getOrElse(0L)
                 val rows = Option(row.get(row.fieldIndex("capped_sig_rows")))
                   .map(_.asInstanceOf[Long]).getOrElse(0L)
-                last = Some((buckets, rows))
+                results.put(id, (buckets, rows))
+                results.keys.filter(_ < id - Keep).foreach(results.remove)
                 if (buckets > 0)
                   System.err.println(s"[graft] dedup dense-bucket cap hit: " +
                     s"$buckets bucket(s) / $rows signature row(s) stopped " +
@@ -958,6 +980,6 @@ private[graft] object CapObservability {
               qe: org.apache.spark.sql.execution.QueryExecution,
               exception: Exception): Unit = ()
         })
-      ()
-    })
+    ()
+  }
 }

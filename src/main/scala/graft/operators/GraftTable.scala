@@ -1453,6 +1453,13 @@ class GraftTable(
         * row when a set is present. Unmodified carried rows must keep
         * their original stamp — a restamp is visible to CDC readers. */
       whenNotMatchedBySourceTouched: Option[Column] = None,
+      /** Which MATCHED rows the WHEN MATCHED clauses actually CLAIM
+        * (the OR of their conditions): only claimed rows take this
+        * commit's stamp — a matched row every clause passed over is
+        * carried unmodified and must keep its original stamp, exactly
+        * like the BY SOURCE contract above. None = every matched row
+        * (the unconditional-UPDATE default). */
+      whenMatchedTouched: Option[Column] = None,
       /** `WITH SCHEMA EVOLUTION`: the table schema widens to the union
         * with the source's (new columns append, same-name types promote
         * via the widen-only lattice — the same contract as upsert).
@@ -1541,6 +1548,9 @@ class GraftTable(
       else j.filter(keep && col("_t").isNotNull)
       val bySourceTouched = bySource && lit(whenNotMatchedBySourceSet.nonEmpty) &&
         coalesce(whenNotMatchedBySourceTouched.getOrElse(lit(true)), lit(false))
+      val matchedTouched = matched &&
+        coalesce(whenMatchedTouched.getOrElse(lit(true)), lit(false))
+      val inserted = col("_s").isNotNull && col("_t").isNull
       // user SET expressions may still produce a type the active column
       // does not declare (e.g. a wider struct computed in the action):
       // resolve their types against the frame in one analysis-only pass,
@@ -1561,9 +1571,10 @@ class GraftTable(
         val dt = activeSchema(c).dataType
         if (c == Meta.RecordKey) col(c).as(c)
         else if (c == Meta.CommitSeq)
-          // source-touched (and BY-SOURCE-modified) rows carry this
-          // commit's stamp; carried target-only rows keep their own
-          when(col("_s").isNotNull || bySourceTouched, lit(seq).cast(dt))
+          // CLAIMED matched rows, inserts, and BY-SOURCE-modified rows
+          // carry this commit's stamp; carried rows (target-only, or
+          // matched but passed over by every clause) keep their own
+          when(matchedTouched || inserted || bySourceTouched, lit(seq).cast(dt))
             .otherwise(col(c)).as(c)
         else {
           val onMatch = mSet.getOrElse(c, col(c))
@@ -2590,6 +2601,13 @@ class GraftTable(
       }
     val before0 = side(from)
     val after0 = side(to)
+    // the feed's marker columns would silently CLOBBER same-named user
+    // columns (withColumn replaces; the downstream idCols inference
+    // excludes these names) — refuse loudly instead
+    val reserved = Seq("op", "_before", "_after").filter(after0.columns.contains)
+    require(reserved.isEmpty,
+      s"table columns ${reserved.mkString(",")} collide with the change-feed " +
+        "marker columns (op/_before/_after) — rename them to read changes")
     val idCols: Seq[String] =
       if (!globalIndex && partitionFields.nonEmpty) partitionFields :+ Meta.RecordKey
       else Seq(Meta.RecordKey)
@@ -2656,6 +2674,14 @@ class GraftTable(
 
   /** Active-timeline commits, oldest first (driver-side metadata). */
   def history(): Seq[Commit] = timeline.listCommitSeqs().map(timeline.read)
+
+  /** Newest-first LAZY commit iterator — manifests are read only as the
+    * iterator is consumed, so "find the newest commit carrying key K"
+    * (e.g. an incremental consumer's watermark) costs O(1) manifest
+    * reads in the common case instead of [[history]]'s full
+    * materialization. */
+  def historyNewestFirst(): Iterator[Commit] =
+    timeline.listCommitSeqs().reverseIterator.map(timeline.read)
 
   /** Commits with seq in (fromExclusive, toInclusive], oldest first —
     * reads ONLY the window's manifests (a long-lived incremental consumer
@@ -3730,6 +3756,26 @@ object GraftTable {
     }
   }
 
+  /** [[relaxed]] plus struct fields sorted by name recursively: the
+    * FIELD-ORDER-insensitive canonical form. Subsumption checks compare
+    * canon forms — [[widenSchemas]] keeps the left side's field order,
+    * so `widen(from, to)` and `to` list the same fields in different
+    * orders whenever the source adds a nested field anywhere but last
+    * (or merely reorders them); [[conformExpr]] conforms BY NAME, so
+    * order never matters semantically. Never use canon equality to skip
+    * a conform — storage is positional. */
+  private def canon(d: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    relaxed(d) match {
+      case s: StructType =>
+        StructType(s.fields.sortBy(_.name).map(f => f.copy(dataType = canon(f.dataType))))
+      case a: ArrayType => ArrayType(canon(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(canon(m.keyType), canon(m.valueType), valueContainsNull = true)
+      case o => o
+    }
+  }
+
   /** [[conformExpr]] with the merge-branch safety contract: a NESTED
     * value conforms only when the target type already subsumes it
     * (`widen(from, to) == to` up to nullability — evolution widens the
@@ -3742,7 +3788,7 @@ object GraftTable {
     (from, to) match {
       case (f, t) if relaxed(f) == relaxed(t) => c
       case (f @ (_: StructType | _: ArrayType | _: MapType), t) =>
-        require(widen(f, t).map(relaxed).contains(relaxed(t)),
+        require(widen(f, t).map(canon).contains(canon(t)),
           s"cannot fit ${f.simpleString} into ${t.simpleString} " +
             "(widen the table schema first: evolveSchema / MERGE WITH SCHEMA EVOLUTION)")
         conformExpr(c, f, t)

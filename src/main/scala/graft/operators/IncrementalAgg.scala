@@ -68,7 +68,7 @@ object IncrementalAgg {
     * the aggregate itself — compaction, clustering — don't carry it and
     * are skipped). None = never bootstrapped. */
   def appliedSeq(agg: GraftTable): Option[Long] =
-    agg.history().reverseIterator
+    agg.historyNewestFirst()
       .flatMap(_.extra.get(AppliedSeqKey)).map(_.toLong).nextOption()
 
   /** Bootstrap-commit extra keys carrying the SELF-DESCRIBING view
@@ -94,6 +94,8 @@ object IncrementalAgg {
   def bootstrap(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
       meas: Measures, atSeq: Long,
       extraMeta: Map[String, String] = Map.empty): Unit = {
+    require(meas.names.intersect(groupCols).isEmpty,
+      s"measure names collide with group columns: ${meas.names.intersect(groupCols).mkString(",")}")
     val snap = src.readAsOf(atSeq).drop(Meta.RecordKey, Meta.CommitSeq)
     val aggs = meas.names.map { m =>
       meas.sums.get(m).map(e => sum(e).as(m))
@@ -123,7 +125,7 @@ object IncrementalAgg {
     val agg = new GraftTable(spark, location, groupCols)
     require(agg.history().isEmpty,
       s"$location already holds a committed table — create_agg_view needs a fresh location")
-    val at = src.history().lastOption.map(_.seq).getOrElse(
+    val at = src.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
     bootstrap(src, agg, groupCols, parseMeasures(sumSpecs), at,
       extraMeta = Map(SrcRootKey -> src.root,
@@ -138,7 +140,7 @@ object IncrementalAgg {
     * view by aging out the bootstrap commit that carried it. Returns
     * (fromSeq, toSeq) applied. */
   def refresh(spark: SparkSession, agg: GraftTable): (Long, Long) = {
-    val spec = agg.history().reverseIterator
+    val spec = agg.historyNewestFirst()
       .find(_.extra.contains(SrcRootKey)).map(_.extra).getOrElse(
         throw new IllegalStateException(
           s"no $SrcRootKey spec in the view's timeline — not a created agg view"))
@@ -165,7 +167,7 @@ object IncrementalAgg {
       meas: Measures, extraMeta: Map[String, String] = Map.empty): Long = {
     val from = appliedSeq(agg).getOrElse(throw new IllegalStateException(
       s"aggregate table carries no $AppliedSeqKey watermark — bootstrap first"))
-    val to = src.history().lastOption.map(_.seq).getOrElse(
+    val to = src.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
     if (to > from) maintain(src, agg, groupCols, meas, from, to, extraMeta)
     to
@@ -178,6 +180,8 @@ object IncrementalAgg {
   def maintain(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
       meas: Measures, fromSeq: Long, toSeq: Long,
       extraMeta: Map[String, String] = Map.empty): Unit = {
+    require(meas.names.intersect(groupCols).isEmpty,
+      s"measure names collide with group columns: ${meas.names.intersect(groupCols).mkString(",")}")
     val sumNames = meas.sums.keys.toSeq.sorted
     val minNames = meas.mins.keys.toSeq.sorted
     val maxNames = meas.maxs.keys.toSeq.sorted
@@ -209,10 +213,10 @@ object IncrementalAgg {
             max(when(!added, extExpr(m))).as(s"_ret_$m"))): _*)
     val sumsMoved = sumNames.map(m => col(m) =!= 0)
       .foldLeft(col("n") =!= 0)(_ || _)
-    val delta =
+    val (delta, release): (DataFrame, () => Unit) =
       if (extNames.isEmpty)
         // pure COUNT/SUM: no state read, no dirtiness — the original path
-        delta0.filter(sumsMoved)
+        (delta0.filter(sumsMoved), () => ())
       else {
         // join the CURRENT stored extremes; a retraction tying one marks
         // the group dirty (the next-best value is unknowable from the
@@ -223,12 +227,15 @@ object IncrementalAgg {
           minNames.map(m => col(s"_ret_$m") <= col(s"_cur_$m")) ++
           maxNames.map(m => col(s"_ret_$m") >= col(s"_cur_$m")))
           .map(c => coalesce(c, lit(false))).reduce(_ || _)
+        // persisted (group-count-bounded) so the dirty probe below does
+        // NOT recompute the change-feed scan a second time for the merge
         val d1 = delta0.join(state, groupCols, "left")
           .withColumn("_dirty", dirtyCond)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dirtyGroups = d1.filter(col("_dirty")).select(groupCols.map(col): _*)
         // the dirty-group recompute scans the source ONCE, restricted by
         // the semi join — and is skipped outright when nothing retracted
-        // an extreme (the cheap test runs on the small delta)
+        // an extreme (the cheap test runs on the persisted delta)
         val anyDirty = dirtyGroups.limit(1).count() > 0
         val d2 =
           if (!anyDirty) extNames.foldLeft(d1)((d, m) =>
@@ -254,18 +261,25 @@ object IncrementalAgg {
           .foldLeft(d2) { case (d, (m, c)) => d.withColumn(m, c) }
         val extMoved = extNames.map(m => !(col(m) <=> col(s"_cur_$m")))
           .reduce(_ || _)
-        withFinal.filter(sumsMoved || extMoved)
+        (withFinal.filter(sumsMoved || extMoved)
           .select((groupCols :+ "n").map(col) ++
-            sumNames.map(col) ++ extNames.map(col): _*)
+            sumNames.map(col) ++ extNames.map(col): _*),
+          () => { d1.unpersist(blocking = false); () })
       }
-    agg.mergeInto(delta,
+    try agg.mergeInto(delta,
+      // an all-NULL sum contribution (e.g. one new row with a NULL
+      // measure) arrives as a NULL delta — it must PRESERVE the stored
+      // value, never null it out (and a NULL stored value stays NULL
+      // rather than becoming 0)
       whenMatchedSet = (sumNames.map(m =>
-        m -> (coalesce(col(m), lit(0)) + col(s"src_$m"))) ++
+        m -> when(col(s"src_$m").isNull, col(m))
+          .otherwise(coalesce(col(m), lit(0)) + col(s"src_$m"))) ++
         // extremes arrive as ABSOLUTE new values, not deltas
         extNames.map(m => m -> col(s"src_$m")) :+
         ("n" -> (col("n") + col("src_n")))).toMap,
       whenMatchedDelete = Some(col("n") + col("src_n") === 0),
       insertWhenNotMatched = true,
       extraMeta = extraMeta + (AppliedSeqKey -> toSeq.toString))
+    finally release()
   }
 }

@@ -256,6 +256,13 @@ private[sql] object GraftMergeSql {
         }
       }.toMap
     }
+    // which matched rows the clauses CLAIM: only those take the new
+    // commit stamp — a matched row every clause passed over is an
+    // unmodified carry and keeps its own (delete-claimed rows are
+    // removed before stamping, so the update claims suffice)
+    val matchedTouched: Option[Column] =
+      Some(updateClauses.result().map(_._1).reduceOption(_ || _)
+        .getOrElse(lit(false)))
 
     // ---- not-matched: N INSERT clauses (star / identity column list),
     // each optionally conditional. The engine inserts the full source
@@ -343,6 +350,7 @@ private[sql] object GraftMergeSql {
       whenNotMatchedBySourceSet = bsSet,
       whenNotMatchedBySourceDelete = bsDeleteCond,
       whenNotMatchedBySourceTouched = bsTouched,
+      whenMatchedTouched = matchedTouched,
       evolveSchema = withSchemaEvolution)
     summaryDf(spark, Seq(
       "seq" -> commit.seq.toString,

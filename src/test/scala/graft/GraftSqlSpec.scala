@@ -469,6 +469,26 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(t.readUser().schema.fieldNames.contains("channel"))
   }
 
+  test("matched rows every MERGE clause passes over keep their commit stamp") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a", 1L, "001"), (2L, "b", 2L, "001"))
+      .toDF("id", "grp", "v", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_stamp", t)
+    Seq((1L, 100L), (2L, 200L)).toDF("id", "nv")
+      .createOrReplaceTempView("sqlspec_stamp_src")
+    val before = t.read().select(col("id"), col(graft.model.Meta.CommitSeq))
+      .as[(Long, Long)].collect().toMap
+    spark.sql(
+      """MERGE INTO graft.sqlspec_stamp t USING sqlspec_stamp_src s
+         ON t.id = s.id
+         WHEN MATCHED AND t.id = 1 THEN UPDATE SET v = s.nv""")
+    val after = t.read().select(col("id"), col(graft.model.Meta.CommitSeq))
+      .as[(Long, Long)].collect().toMap
+    assert(after(1L) > before(1L), "the claimed row must take the new stamp")
+    assert(after(2L) == before(2L),
+      "a matched row no clause claimed is an unmodified carry and must keep its stamp")
+  }
+
   test("CALL create_agg_view / refresh_agg_view manage a materialized view from SQL") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     src.bulkInsert(Seq((1L, "a", 5L, "001"), (2L, "b", 7L, "001"))

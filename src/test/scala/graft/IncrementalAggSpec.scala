@@ -168,5 +168,14 @@ class IncrementalAggSpec extends AnyFunSuite {
     val got = agg.readUser().select("grp", "n", "v")
       .as[(String, Long, Long)].collect().toSeq
     assert(got == Seq(("a", 3L, 15L)), s"got $got")
+    // an ALL-NULL sum contribution (one more null-valued row) must
+    // PRESERVE the stored sum, not overwrite it with NULL
+    src.upsert(meta(Seq((4L, "a", None: Option[Long])).toDF("id", "grp", "v"),
+      3, del = false))
+    IncrementalAgg.maintain(src, agg, groups, sums, 1L, 2L)
+    val got2 = agg.readUser().select("grp", "n", "v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got2 == Seq(("a", 4L, 15L)),
+      s"null-only delta must keep the stored sum: $got2")
   }
 }

@@ -218,16 +218,18 @@ class LlmSpec extends AnyFunSuite {
     val docs = (1L to 5L).map(i =>
       (i, s"shared boilerplate preamble common across pages variant $i"))
       .toDF("doc_id", "text")
+    val mark = CapObservability.marker()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3, maxChunkFreq = 1)
       .count()
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // listener delivery is async — poll
+    // listener delivery is async — poll THIS run's observations (the
+    // marker scopes the read, so concurrent dedup runs can't interfere)
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    var seen = CapObservability.lastCapped
+    var seen = CapObservability.cappedSince(mark).lastOption
     while ((seen.isEmpty || seen.exists(_._1 == 0L)) &&
         System.nanoTime() < deadline) {
-      Thread.sleep(50); seen = CapObservability.lastCapped
+      Thread.sleep(50); seen = CapObservability.cappedSince(mark).lastOption
     }
     assert(seen.exists(_._1 > 0L),
       s"capped buckets must surface in the observation metric, got $seen")

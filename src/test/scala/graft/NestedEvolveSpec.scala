@@ -118,6 +118,33 @@ class NestedEvolveSpec extends AnyFunSuite {
       s"got: ${got.toSeq}")
   }
 
+  test("evolution conforms a REORDERED source struct by name (order-insensitive subsumption)") {
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq((1L, (10, "a"), "001"), (2L, (20, "b"), "001"))
+      .toDF("id", "payload", "trx_seq"))
+    GraftSql.register(spark, "nested_reorder", t)
+    // source payload lists the NEW field FIRST and reorders the rest —
+    // a from_json CDC feed shape; conformance is by NAME, never position
+    Seq((2L, ("hot", "B", 200L)), (9L, ("ins", "I", 900L)))
+      .toDF("id", "p0")
+      .select(col("id"), struct(
+        col("p0._1").as("tag"), col("p0._2").as("_2"),
+        col("p0._3").as("_1")).as("payload"))
+      .createOrReplaceTempView("nested_reorder_src")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.nested_reorder t
+         USING nested_reorder_src s
+         ON t.id = s.id
+         WHEN MATCHED THEN UPDATE SET *
+         WHEN NOT MATCHED THEN INSERT *""")
+    val got = t.readUser()
+      .select(col("id"), col("payload._1").as("x"), col("payload._2").as("y"),
+        col("payload.tag").as("tag"))
+      .as[(Long, Long, String, Option[String])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L, "a", None), (2L, 200L, "B", Some("hot")),
+      (9L, 900L, "I", Some("ins"))), s"got: ${got.toSeq}")
+  }
+
   test("merge WITHOUT evolution refuses a wider nested source loudly") {
     val t = mkTable(tmp())
     t.bulkInsert(Seq((1L, (10, "a"), "001")).toDF("id", "payload", "trx_seq"))
