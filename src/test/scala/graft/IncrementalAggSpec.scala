@@ -155,6 +155,40 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(maintained(agg) == recompute(src))
   }
 
+  test("cascading views: a rollup OVER an aggregate maintains through both change feeds") {
+    // source (id → grp, sub, v) → view A keyed (grp, sub) with per-
+    // subgroup sums → view B keyed grp rolling A up (n = live
+    // subgroups, vv = sum of subgroup sums). A is an ordinary
+    // GraftTable, so B needs nothing special: each level's maintenance
+    // commit IS the next level's change feed.
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val a = new GraftTable(spark, tmp(), Seq("grp", "sub"), targetFileBytes = 16 * 1024)
+    val b = new GraftTable(spark, tmp(), Seq("grp"), targetFileBytes = 16 * 1024)
+    val measA = graft.operators.Measures(sums = Map("v" -> col("v")))
+    val measB = graft.operators.Measures(sums = Map("vv" -> col("v")))
+    src.bulkInsert(meta(Seq((1L, "x", "s1", 1L), (2L, "x", "s2", 2L),
+      (3L, "y", "s1", 4L)).toDF("id", "grp", "sub", "v"), 1, del = false))
+    IncrementalAgg.bootstrap(src, a, Seq("grp", "sub"), measA, 0L)
+    IncrementalAgg.bootstrap(a, b, Seq("grp"), measB,
+      a.latestCommit().get.seq)
+    def recomputeB() = a.readUser().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("vv"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    def maintainedB() = b.readUser().select("grp", "n", "vv")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(maintainedB() == recomputeB())
+    // one commit: y gains a NEW subgroup, x/s1 moves value, z appears,
+    // and x/s2 is deleted (a vanished subgroup retracts from B)
+    src.upsert(meta(Seq((4L, "y", "s9", 8L), (1L, "x", "s1", 10L),
+      (5L, "z", "s1", 16L)).toDF("id", "grp", "sub", "v"), 2, del = false)
+      .unionByName(meta(Seq((2L, "x", "s2", 2L)).toDF("id", "grp", "sub", "v"),
+        2, del = true)))
+    IncrementalAgg.maintainLatest(src, a, Seq("grp", "sub"), measA)
+    IncrementalAgg.maintainLatest(a, b, Seq("grp"), measB)
+    assert(maintainedB() == recomputeB(), s"cascade after commit: ${maintainedB()}")
+    assert(maintainedB() == Seq(("x", 1L, 10L), ("y", 2L, 12L), ("z", 1L, 16L)))
+  }
+
   test("null measures contribute nothing; count still moves") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
