@@ -189,6 +189,23 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(maintainedB() == Seq(("x", 1L, 10L), ("y", 2L, 12L), ("z", 1L, 16L)))
   }
 
+  test("maintains over a MERGE_ON_READ source with outstanding delta logs") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024,
+      tableType = GraftTable.MergeOnRead)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 10L), (2L, "b", 5L)).toDF("id", "grp", "v"),
+      1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
+    // delta-log commit (NOT compacted): the diff must merge base ⋈ logs
+    src.upsert(meta(Seq((1L, "a", 11L), (3L, "c", 7L)).toDF("id", "grp", "v"),
+      2, del = false))
+    assert(src.latestCommit().get.logFiles.nonEmpty,
+      "fixture must leave an outstanding delta log")
+    IncrementalAgg.maintain(src, agg, groups, sums, 0L, 1L)
+    assert(maintained(agg) == recompute(src),
+      s"MOR maintenance diverged: ${maintained(agg)} vs ${recompute(src)}")
+  }
+
   test("null measures contribute nothing; count still moves") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
