@@ -1469,7 +1469,14 @@ class GraftTable(
       evolveSchema: Boolean = false,
       /** Caller metadata recorded in the commit's `extra` map — e.g. an
         * incremental consumer's applied watermark, atomic with the data. */
-      extraMeta: Map[String, String] = Map.empty): Commit = withLock(retryOnConflict {
+      extraMeta: Map[String, String] = Map.empty,
+      /** Validated UNDER THE TABLE LOCK before each merge attempt — the
+        * caller's read-then-merge races (e.g. two maintainers applying
+        * the same change-feed window) abort here instead of committing
+        * twice. Throw to refuse; OCC retries re-run the check against
+        * the then-current state. */
+      preCommit: Option[() => Unit] = None): Commit = withLock(retryOnConflict {
+    preCommit.foreach(_.apply())
     // retryOnConflict is sound here: MERGE is defined against the CURRENT
     // snapshot, and each attempt re-reads latest() — a retry after an OCC
     // writer stole the seq recomputes the same merge over the winner's

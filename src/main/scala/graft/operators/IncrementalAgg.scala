@@ -279,7 +279,17 @@ object IncrementalAgg {
         ("n" -> (col("n") + col("src_n")))).toMap,
       whenMatchedDelete = Some(col("n") + col("src_n") === 0),
       insertWhenNotMatched = true,
-      extraMeta = extraMeta + (AppliedSeqKey -> toSeq.toString))
+      extraMeta = extraMeta + (AppliedSeqKey -> toSeq.toString),
+      // exactly-once under concurrent maintainers: validated under the
+      // AGGREGATE's table lock, so a racing refresh that already applied
+      // a newer (or this) window refuses instead of double-counting
+      preCommit = Some(() => {
+        val cur = appliedSeq(agg)
+        if (cur != Some(fromSeq)) throw new IllegalStateException(
+          s"stale maintenance window ($fromSeq, $toSeq]: the aggregate's " +
+            s"applied watermark is ${cur.getOrElse("absent")} — " +
+            "bootstrap first / re-read the watermark (concurrent refresh?)")
+      }))
     finally release()
   }
 }

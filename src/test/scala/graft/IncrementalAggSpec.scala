@@ -189,6 +189,21 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(maintainedB() == Seq(("x", 1L, 10L), ("y", 2L, 12L), ("z", 1L, 16L)))
   }
 
+  test("re-applying an already-applied window refuses instead of double-counting") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), 1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, sums, 0L)
+    src.upsert(meta(Seq((2L, "a", 5L)).toDF("id", "grp", "v"), 2, del = false))
+    IncrementalAgg.maintain(src, agg, groups, sums, 0L, 1L)
+    // a racing maintainer (or a caller replaying the window) must refuse
+    // under the table lock, never apply the delta twice
+    val e = intercept[IllegalStateException](
+      IncrementalAgg.maintain(src, agg, groups, sums, 0L, 1L))
+    assert(e.getMessage.contains("stale maintenance window"), e.getMessage)
+    assert(maintained(agg) == recompute(src))
+  }
+
   test("maintains over a MERGE_ON_READ source with outstanding delta logs") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024,
       tableType = GraftTable.MergeOnRead)
