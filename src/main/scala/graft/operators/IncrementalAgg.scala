@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.Meta
+import graft.model.{KeyGen, Meta}
 
 /** The maintained measure set of an incremental aggregate view: named
   * SUM / MIN / MAX expressions over source columns (plus the implicit
@@ -15,6 +15,11 @@ case class Measures(sums: Map[String, Column] = Map.empty,
     (sums.keys ++ mins.keys ++ maxs.keys).toSeq.sorted
   require(names.distinct.size == names.size && !names.contains("n"),
     s"measure names must be distinct and not 'n': $names")
+  // the underscore prefix is the maintenance plan's internal namespace
+  // (_sgn, _dirty, _add_/_ret_/_cur_/_rec_<m>) — refuse at construction
+  // instead of failing with an ambiguous-column analysis error mid-run
+  require(names.forall(!_.startsWith("_")),
+    s"measure names may not start with '_' (reserved): $names")
 }
 
 /** Incremental view maintenance for grouped COUNT/SUM/MIN/MAX aggregates
@@ -81,6 +86,16 @@ object IncrementalAgg {
   val GroupsKey = "ivm_groups"
   val SumsKey = "ivm_sums"
 
+  /** Point-pruned state reads collect at most this many delta group
+    * keys to the driver; a wider delta falls back to the full state
+    * scan (at that width the scan is delta-proportional anyway). */
+  val StateKeyCap = 10000
+
+  private def requireKeyedByGroups(agg: GraftTable, groupCols: Seq[String]): Unit =
+    require(agg.keyFields == groupCols,
+      s"the aggregate table must be KEYED BY the group columns " +
+        s"(key=${agg.keyFields.mkString(",")}, groups=${groupCols.mkString(",")})")
+
   private def parseMeasures(specs: Seq[(String, String)]): Measures =
     specs.foldLeft(Measures()) { case (acc, (n, e)) =>
       if (e.startsWith("min:")) acc.copy(mins = acc.mins + (n -> expr(e.drop(4))))
@@ -96,6 +111,7 @@ object IncrementalAgg {
       extraMeta: Map[String, String] = Map.empty): Unit = {
     require(meas.names.intersect(groupCols).isEmpty,
       s"measure names collide with group columns: ${meas.names.intersect(groupCols).mkString(",")}")
+    requireKeyedByGroups(agg, groupCols)
     val snap = src.readAsOf(atSeq).drop(Meta.RecordKey, Meta.CommitSeq)
     val aggs = meas.names.map { m =>
       meas.sums.get(m).map(e => sum(e).as(m))
@@ -182,6 +198,7 @@ object IncrementalAgg {
       extraMeta: Map[String, String] = Map.empty): Unit = {
     require(meas.names.intersect(groupCols).isEmpty,
       s"measure names collide with group columns: ${meas.names.intersect(groupCols).mkString(",")}")
+    requireKeyedByGroups(agg, groupCols)
     val sumNames = meas.sums.keys.toSeq.sorted
     val minNames = meas.mins.keys.toSeq.sorted
     val maxNames = meas.maxs.keys.toSeq.sorted
@@ -218,36 +235,53 @@ object IncrementalAgg {
         // pure COUNT/SUM: no state read, no dirtiness — the original path
         (delta0.filter(sumsMoved), () => ())
       else {
-        // join the CURRENT stored extremes; a retraction tying one marks
-        // the group dirty (the next-best value is unknowable from the
-        // delta) — everything else folds in via least/greatest
-        val state = agg.readUser().select(
+        // materialize the (changed-group-bounded) delta FULLY before any
+        // probe: a limit-probe on an unpersisted frame would cache only
+        // the partitions it touched and re-run the change-feed scan for
+        // the merge
+        val p0 = delta0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p0.count(): Unit
+        // join the CURRENT stored extremes of ONLY the delta's groups —
+        // the aggregate is keyed by the group columns, so the state read
+        // point-prunes through the table's own key indexes instead of
+        // scanning O(group count) state per epoch. Fall back to the full
+        // scan on a wide delta or NULL group keys (a null-keyed group
+        // would be missed by the point read and misread as new).
+        val keyed = KeyGen.withRecordKey(
+          p0.select(groupCols.map(col): _*), groupCols)
+        val keys = keyed.filter(col(Meta.RecordKey).isNotNull)
+          .select(Meta.RecordKey).distinct().limit(StateKeyCap + 1)
+          .collect().map(_.getString(0)).toSeq
+        val anyNullKey =
+          keyed.filter(col(Meta.RecordKey).isNull).limit(1).count() > 0
+        val stateBase =
+          if (keys.nonEmpty && keys.size <= StateKeyCap && !anyNullKey)
+            agg.readKeys(keys).drop(Meta.RecordKey, Meta.CommitSeq)
+          else agg.readUser()
+        val state = stateBase.select(
           groupCols.map(col) ++ extNames.map(m => col(m).as(s"_cur_$m")): _*)
         val dirtyCond = (
           minNames.map(m => col(s"_ret_$m") <= col(s"_cur_$m")) ++
           maxNames.map(m => col(s"_ret_$m") >= col(s"_cur_$m")))
           .map(c => coalesce(c, lit(false))).reduce(_ || _)
-        // persisted (group-count-bounded) so the dirty probe below does
-        // NOT recompute the change-feed scan a second time for the merge
-        val d1 = delta0.join(state, groupCols, "left")
+        val d1 = p0.join(state, groupCols, "left")
           .withColumn("_dirty", dirtyCond)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dirtyGroups = d1.filter(col("_dirty")).select(groupCols.map(col): _*)
         // the dirty-group recompute scans the source ONCE, restricted by
         // the semi join — and is skipped outright when nothing retracted
-        // an extreme (the cheap test runs on the persisted delta)
+        // an extreme (the probe re-joins the cached delta with the small
+        // pruned state — no change-feed re-scan)
         val anyDirty = dirtyGroups.limit(1).count() > 0
         val d2 =
           if (!anyDirty) extNames.foldLeft(d1)((d, m) =>
             d.withColumn(s"_rec_$m", lit(null)))
           else {
+            val recAggs = minNames.map(m => min(extExpr(m)).as(s"_rec_$m")) ++
+              maxNames.map(m => max(extExpr(m)).as(s"_rec_$m"))
             val rec = src.readAsOf(toSeq)
               .join(dirtyGroups, groupCols, "left_semi")
               .groupBy(groupCols.map(col): _*)
-              .agg(count(lit(1)).as("_rec_cnt"),
-                (minNames.map(m => min(extExpr(m)).as(s"_rec_$m")) ++
-                  maxNames.map(m => max(extExpr(m)).as(s"_rec_$m"))): _*)
-              .drop("_rec_cnt")
+              .agg(recAggs.head, recAggs.tail: _*)
             d1.join(rec, groupCols, "left")
           }
         // least/greatest skip NULLs: a new group takes the add candidate,
@@ -264,7 +298,7 @@ object IncrementalAgg {
         (withFinal.filter(sumsMoved || extMoved)
           .select((groupCols :+ "n").map(col) ++
             sumNames.map(col) ++ extNames.map(col): _*),
-          () => { d1.unpersist(blocking = false); () })
+          () => { p0.unpersist(blocking = false); () })
       }
     try agg.mergeInto(delta,
       // an all-NULL sum contribution (e.g. one new row with a NULL

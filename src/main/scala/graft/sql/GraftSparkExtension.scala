@@ -248,20 +248,19 @@ private[sql] object GraftMergeSql {
     // a value there, and the frame has no such column to reference)
     def targetValueOf(n: String): Column =
       if (tblCols(n.toLowerCase)) col(n) else lit(null)
-    val updateSet: Map[String, Column] = {
-      val clauses = updateClauses.result()
-      clauses.flatMap(_._2.keys).distinct.map { n =>
-        n -> clauses.foldRight(targetValueOf(n)) { case ((eff, set), acc) =>
+    val updateClauseList = updateClauses.result()
+    val updateSet: Map[String, Column] =
+      updateClauseList.flatMap(_._2.keys).distinct.map { n =>
+        n -> updateClauseList.foldRight(targetValueOf(n)) { case ((eff, set), acc) =>
           when(eff, set.getOrElse(n, targetValueOf(n))).otherwise(acc)
         }
       }.toMap
-    }
     // which matched rows the clauses CLAIM: only those take the new
     // commit stamp — a matched row every clause passed over is an
     // unmodified carry and keeps its own (delete-claimed rows are
     // removed before stamping, so the update claims suffice)
     val matchedTouched: Option[Column] =
-      Some(updateClauses.result().map(_._1).reduceOption(_ || _)
+      Some(updateClauseList.map(_._1).reduceOption(_ || _)
         .getOrElse(lit(false)))
 
     // ---- not-matched: N INSERT clauses (star / identity column list),
