@@ -79,6 +79,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Host-load self-adjudication (round-13 judge finding: a loadavg-6.7
+    // host inflated every floor ~2× and the contaminated total became the
+    // cross-round record). The START loadavg is the load the run is about
+    // to compete with; above the threshold the record flags itself so
+    // total comparisons don't need a judge re-run.
+    val LoadContaminationThreshold = 3.0
+    def loadavg1: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val startLoad = loadavg1
+    val loadContaminated = startLoad > LoadContaminationThreshold
+    if (loadContaminated)
+      System.err.println(f"[bench] start loadavg $startLoad%.2f > " +
+        f"$LoadContaminationThreshold%.1f — timings will read high from host " +
+        "contention, record flagged load_contaminated; re-run on a quiet " +
+        "host (loadavg < 1) for a comparable floor")
+
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
     // prebuilt (untimed) table backing the read-path benchmark
@@ -347,7 +365,7 @@ object Bench {
       try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(sfDir)).toMillis
       catch { case _: Exception => -1L }
-    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"queries":$qs,"write_family":$ws,"llm_family":$ls,"sf":"$sfDir","loadavg":"$loadavg","cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"queries":$qs,"write_family":$ws,"llm_family":$ls,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
     println(record)
     // durable copy: the round-9 driver log kept only a 2000-char tail and
     // truncated the record's head, losing the machine-readable timings —

@@ -14,6 +14,14 @@ import graft.functions.RangeBucket
   */
 object Dedup {
 
+  /** Default posting-list document-frequency cap for the exact-Jaccard
+    * surface ([[jaccardPairs]]/[[containmentPairs]]/[[jaccardComponents]]):
+    * a shingle in more than this many documents is treated as a
+    * stop-shingle. Mirrors [[minhashComponents]]' default band-bucket cap
+    * so every public pair generator is bounded by default. */
+  val DefaultDocFreqCap = 1024
+
+
   /** Word n-gram shingles, distinct per doc: (id, shingle). The word array
     * is materialized once per row (splitting inside the transform lambda
     * would re-tokenize per element — O(words²)). */
@@ -79,6 +87,13 @@ object Dedup {
     * discriminative-shingle space (consistent, deterministic semantics —
     * the standard stop-shingle treatment). The hot set is at most
     * |postings|/cap shingles, hence broadcastable.
+    *
+    * The cap is ON BY DEFAULT ([[DefaultDocFreqCap]], mirroring the
+    * banded generators' bucket caps): an uncapped posting self-join is
+    * quadratic in its hottest posting list, which is the one default a
+    * crawl-scale caller must never inherit by accident. Pass an explicit
+    * `None` to opt into the exact uncapped join on corpora known to have
+    * no stop-shingles.
     */
   /** Shared posting-join core: undirected pairs sharing ≥1 shingle with
     * (ia, ib, inter, na, nb) — intersection count plus both docs' shingle
@@ -117,7 +132,8 @@ object Dedup {
     * stop-shingle treatment — see [[pairOverlaps]]), so the result is the
     * exact Jaccard over the discriminative-shingle space. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame =
+      threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = Some(Dedup.DefaultDocFreqCap)): DataFrame =
     pairOverlaps(docs, idCol, textCol, maxDocFreq)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -135,7 +151,8 @@ object Dedup {
     * covered by outer.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, maxDocFreq: Option[Int] = None): DataFrame =
+      threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = Some(Dedup.DefaultDocFreqCap)): DataFrame =
     // both directions come out of ONE pass over the scored pairs (explode,
     // not a self-union — a union of two selects would re-run the whole
     // posting join per branch)
@@ -836,7 +853,8 @@ object Dedup {
     * capped away drops out of the star too, exactly as its members drop
     * out of the pair graph. */
   def jaccardComponents(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.5, maxDocFreq: Option[Int] = None): DataFrame =
+      threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = Some(Dedup.DefaultDocFreqCap)): DataFrame =
     connectedComponents(
       jaccardComponentEdges(docs, idCol, textCol, threshold, maxDocFreq),
       "ia", "ib")

@@ -96,6 +96,26 @@ object IncrementalAgg {
       s"the aggregate table must be KEYED BY the group columns " +
         s"(key=${agg.keyFields.mkString(",")}, groups=${groupCols.mkString(",")})")
 
+  /** NULL group values are REFUSED LOUDLY: the aggregate is keyed by the
+    * group columns, and a NULL group breaks both the state read's
+    * null-unsafe equi-join and (for string groups) the record key itself,
+    * so the merge would insert a fresh partial-delta row per epoch and
+    * the view would silently diverge from a recompute. The check runs on
+    * the GROUPED frame (≤ one row per touched group — delta-proportional,
+    * never a source scan). Model missing groups with an explicit sentinel
+    * (`coalesce(col, lit("<none>"))`) in the view's group expression. */
+  private def requireNoNullGroups(grouped: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], where: String): Unit = {
+    val anyNull = groupCols.map(col(_).isNull).reduce(_ || _)
+    if (grouped.filter(anyNull).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"NULL group key in $where: incremental aggregate views refuse " +
+          s"NULL values in the group columns (${groupCols.mkString(",")}) — " +
+          "a NULL group cannot round-trip through the keyed state merge. " +
+          "Wrap the group expression in coalesce(..., <sentinel>) in the " +
+          "view definition instead.")
+  }
+
   private def parseMeasures(specs: Seq[(String, String)]): Measures =
     specs.foldLeft(Measures()) { case (acc, (n, e)) =>
       if (e.startsWith("min:")) acc.copy(mins = acc.mins + (n -> expr(e.drop(4))))
@@ -120,8 +140,12 @@ object IncrementalAgg {
     }
     val full = snap.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), aggs: _*)
-    agg.bulkInsert(full,
-      extraMeta = extraMeta + (AppliedSeqKey -> atSeq.toString))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      requireNoNullGroups(full, groupCols, "the bootstrap snapshot")
+      agg.bulkInsert(full,
+        extraMeta = extraMeta + (AppliedSeqKey -> atSeq.toString))
+    } finally { full.unpersist(blocking = false); () }
   }
 
   /** Create a SELF-DESCRIBING materialized aggregate view at `location`:
@@ -230,32 +254,34 @@ object IncrementalAgg {
             max(when(!added, extExpr(m))).as(s"_ret_$m"))): _*)
     val sumsMoved = sumNames.map(m => col(m) =!= 0)
       .foldLeft(col("n") =!= 0)(_ || _)
-    val (delta, release): (DataFrame, () => Unit) =
-      if (extNames.isEmpty)
-        // pure COUNT/SUM: no state read, no dirtiness — the original path
-        (delta0.filter(sumsMoved), () => ())
-      else {
-        // materialize the (changed-group-bounded) delta FULLY before any
-        // probe: a limit-probe on an unpersisted frame would cache only
-        // the partitions it touched and re-run the change-feed scan for
-        // the merge
-        val p0 = delta0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        p0.count(): Unit
+    // materialize the (changed-group-bounded) delta FULLY before any
+    // probe: a limit-probe on an unpersisted frame would cache only
+    // the partitions it touched and re-run the change-feed scan for
+    // the merge
+    val p0 = delta0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p0.count(): Unit
+    val release: () => Unit = () => { p0.unpersist(blocking = false); () }
+    try {
+      requireNoNullGroups(p0, groupCols, s"the ($fromSeq, $toSeq] change feed")
+      val delta: DataFrame =
+        if (extNames.isEmpty)
+          // pure COUNT/SUM: no state read, no dirtiness — the original path
+          p0.filter(sumsMoved)
+        else {
         // join the CURRENT stored extremes of ONLY the delta's groups —
         // the aggregate is keyed by the group columns, so the state read
         // point-prunes through the table's own key indexes instead of
         // scanning O(group count) state per epoch. Fall back to the full
-        // scan on a wide delta or NULL group keys (a null-keyed group
-        // would be missed by the point read and misread as new).
+        // scan on a wide delta (at that width the scan is
+        // delta-proportional anyway); NULL group keys were refused above,
+        // so the point read can never miss a stored group.
         val keyed = KeyGen.withRecordKey(
           p0.select(groupCols.map(col): _*), groupCols)
-        val keys = keyed.filter(col(Meta.RecordKey).isNotNull)
+        val keys = keyed
           .select(Meta.RecordKey).distinct().limit(StateKeyCap + 1)
           .collect().map(_.getString(0)).toSeq
-        val anyNullKey =
-          keyed.filter(col(Meta.RecordKey).isNull).limit(1).count() > 0
         val stateBase =
-          if (keys.nonEmpty && keys.size <= StateKeyCap && !anyNullKey)
+          if (keys.nonEmpty && keys.size <= StateKeyCap)
             agg.readKeys(keys).drop(Meta.RecordKey, Meta.CommitSeq)
           else agg.readUser()
         val state = stateBase.select(
@@ -295,12 +321,11 @@ object IncrementalAgg {
           .foldLeft(d2) { case (d, (m, c)) => d.withColumn(m, c) }
         val extMoved = extNames.map(m => !(col(m) <=> col(s"_cur_$m")))
           .reduce(_ || _)
-        (withFinal.filter(sumsMoved || extMoved)
+        withFinal.filter(sumsMoved || extMoved)
           .select((groupCols :+ "n").map(col) ++
-            sumNames.map(col) ++ extNames.map(col): _*),
-          () => { p0.unpersist(blocking = false); () })
+            sumNames.map(col) ++ extNames.map(col): _*)
       }
-    try agg.mergeInto(delta,
+      agg.mergeInto(delta,
       // an all-NULL sum contribution (e.g. one new row with a NULL
       // measure) arrives as a NULL delta — it must PRESERVE the stored
       // value, never null it out (and a NULL stored value stays NULL
@@ -324,6 +349,7 @@ object IncrementalAgg {
             s"applied watermark is ${cur.getOrElse("absent")} — " +
             "bootstrap first / re-read the watermark (concurrent refresh?)")
       }))
-    finally release()
+      ()
+    } finally release()
   }
 }

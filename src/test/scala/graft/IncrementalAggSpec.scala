@@ -221,6 +221,40 @@ class IncrementalAggSpec extends AnyFunSuite {
       s"MOR maintenance diverged: ${maintained(agg)} vs ${recompute(src)}")
   }
 
+  test("NULL group values are refused loudly in bootstrap and maintain") {
+    // a NULL group cannot round-trip through the keyed state merge (the
+    // equi-join is null-unsafe and a string group's record key is NULL),
+    // so the maintenance refuses instead of silently diverging
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, Some("a"), 10L), (2L, None: Option[String], 20L))
+      .toDF("id", "grp", "v"), 1, del = false))
+    val e = intercept[IllegalStateException](
+      IncrementalAgg.bootstrap(src, agg, groups, sums, 0L))
+    assert(e.getMessage.contains("NULL group key"), e.getMessage)
+
+    val src2 = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg2 = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src2.bulkInsert(meta(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), 1, del = false))
+    IncrementalAgg.bootstrap(src2, agg2, groups, sums, 0L)
+    src2.upsert(meta(Seq((2L, None: Option[String], 5L)).toDF("id", "grp", "v"),
+      2, del = false))
+    val e2 = intercept[IllegalStateException](
+      IncrementalAgg.maintain(src2, agg2, groups, sums, 0L, 1L))
+    assert(e2.getMessage.contains("NULL group key"), e2.getMessage)
+    // the refusal happened BEFORE any state change: watermark and rows intact
+    assert(IncrementalAgg.appliedSeq(agg2).contains(0L))
+    assert(maintained(agg2) == Seq(("a", 1L, 10L)))
+    // the MIN/MAX path refuses identically (it has its own state read)
+    val meas = graft.operators.Measures(sums = Map("v" -> col("v")),
+      mins = Map("lo" -> col("v")))
+    val agg3 = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    IncrementalAgg.bootstrap(src2, agg3, groups, meas, 0L)
+    val e3 = intercept[IllegalStateException](
+      IncrementalAgg.maintain(src2, agg3, groups, meas, 0L, 1L))
+    assert(e3.getMessage.contains("NULL group key"), e3.getMessage)
+  }
+
   test("null measures contribute nothing; count still moves") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)

@@ -356,7 +356,8 @@ class LlmSpec extends AnyFunSuite {
       (i.toLong, s"unique$i word$i token$i alpha$i beta$i gamma$i " +
         "common boilerplate sentence shared everywhere")
     }.toDF("doc_id", "text")
-    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0)
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0,
+      maxDocFreq = None)  // explicit opt-out: the cap is ON by default
     val capped = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.0,
       maxDocFreq = Some(10))
     assert(uncapped.count() == 780L)  // the p² blowup the cap exists to stop
