@@ -86,6 +86,14 @@ object IncrementalAgg {
   val GroupsKey = "ivm_groups"
   val SumsKey = "ivm_sums"
 
+  /** Optional view predicate (Spark SQL boolean over SOURCE columns):
+    * the view maintains the aggregate of `SELECT ... WHERE <pred>`.
+    * Applied identically to the bootstrap snapshot, to BOTH contribution
+    * sides of the change feed (a row whose update moves it across the
+    * predicate boundary is a pure add/retract even when its group didn't
+    * change), and to the dirty-group extremes recompute. */
+  val WhereKey = "ivm_where"
+
   /** Point-pruned state reads collect at most this many delta group
     * keys to the driver; a wider delta falls back to the full state
     * scan (at that width the scan is delta-proportional anyway). */
@@ -128,11 +136,13 @@ object IncrementalAgg {
     * count), and one column per named measure. */
   def bootstrap(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
       meas: Measures, atSeq: Long,
-      extraMeta: Map[String, String] = Map.empty): Unit = {
+      extraMeta: Map[String, String] = Map.empty,
+      where: Option[String] = None): Unit = {
     require(meas.names.intersect(groupCols).isEmpty,
       s"measure names collide with group columns: ${meas.names.intersect(groupCols).mkString(",")}")
     requireKeyedByGroups(agg, groupCols)
-    val snap = src.readAsOf(atSeq).drop(Meta.RecordKey, Meta.CommitSeq)
+    val snap0 = src.readAsOf(atSeq).drop(Meta.RecordKey, Meta.CommitSeq)
+    val snap = where.fold(snap0)(w => snap0.filter(expr(w)))
     val aggs = meas.names.map { m =>
       meas.sums.get(m).map(e => sum(e).as(m))
         .orElse(meas.mins.get(m).map(e => min(e).as(m)))
@@ -155,7 +165,8 @@ object IncrementalAgg {
     * refresh_agg_view` SQL surface — needs only the view itself. */
   def create(spark: SparkSession, src: GraftTable,
       location: String, groupCols: Seq[String],
-      sumSpecs: Seq[(String, String)]): GraftTable = {
+      sumSpecs: Seq[(String, String)],
+      where: Option[String] = None): GraftTable = {
     sumSpecs.foreach { case (n, e) =>
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad measure name: $n")
       require(!e.contains(";"), s"measure expression may not contain ';': $e")
@@ -167,10 +178,13 @@ object IncrementalAgg {
       s"$location already holds a committed table — create_agg_view needs a fresh location")
     val at = src.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
+    val w = where.map(_.trim).filter(_.nonEmpty)
     bootstrap(src, agg, groupCols, parseMeasures(sumSpecs), at,
       extraMeta = Map(SrcRootKey -> src.root,
         GroupsKey -> groupCols.mkString(","),
-        SumsKey -> sumSpecs.map { case (n, e) => s"$n=$e" }.mkString(";")))
+        SumsKey -> sumSpecs.map { case (n, e) => s"$n=$e" }.mkString(";")) ++
+        w.map(WhereKey -> _),
+      where = w)
     agg
   }
 
@@ -191,10 +205,13 @@ object IncrementalAgg {
         val i = kv.indexOf('=')
         kv.substring(0, i) -> kv.substring(i + 1)
       })
+    val where = spec.get(WhereKey)
     val from = appliedSeq(agg).get
     val to = maintainLatest(src, agg, groupCols, meas,
       extraMeta = Map(SrcRootKey -> spec(SrcRootKey),
-        GroupsKey -> spec(GroupsKey), SumsKey -> spec(SumsKey)))
+        GroupsKey -> spec(GroupsKey), SumsKey -> spec(SumsKey)) ++
+        where.map(WhereKey -> _),
+      where = where)
     (from, to)
   }
 
@@ -204,12 +221,13 @@ object IncrementalAgg {
     * same commit as the delta application). The per-epoch call a
     * streaming ingest loop makes to keep a materialized view live. */
   def maintainLatest(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
-      meas: Measures, extraMeta: Map[String, String] = Map.empty): Long = {
+      meas: Measures, extraMeta: Map[String, String] = Map.empty,
+      where: Option[String] = None): Long = {
     val from = appliedSeq(agg).getOrElse(throw new IllegalStateException(
       s"aggregate table carries no $AppliedSeqKey watermark — bootstrap first"))
     val to = src.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
-    if (to > from) maintain(src, agg, groupCols, meas, from, to, extraMeta)
+    if (to > from) maintain(src, agg, groupCols, meas, from, to, extraMeta, where)
     to
   }
 
@@ -219,7 +237,8 @@ object IncrementalAgg {
     * ends in the same state as (a,c]). */
   def maintain(src: GraftTable, agg: GraftTable, groupCols: Seq[String],
       meas: Measures, fromSeq: Long, toSeq: Long,
-      extraMeta: Map[String, String] = Map.empty): Unit = {
+      extraMeta: Map[String, String] = Map.empty,
+      where: Option[String] = None): Unit = {
     require(meas.names.intersect(groupCols).isEmpty,
       s"measure names collide with group columns: ${meas.names.intersect(groupCols).mkString(",")}")
     requireKeyedByGroups(agg, groupCols)
@@ -240,8 +259,13 @@ object IncrementalAgg {
       img.filter(col("op").isin(ops.map(x => x: Any): _*))
         .select((common.map(c => col(s)(c).as(c)) ++ idCols.map(col)) :+
           lit(sgn.toLong).as("_sgn"): _*)
-    val rows = side("_before", Seq("D", "U"), -1)
+    // the view predicate applies to EACH contribution side: an update
+    // that carries a row across the predicate boundary keeps exactly one
+    // of its two images, becoming a pure add (entered the set) or a pure
+    // retract (left it) — group migration and boundary migration compose
+    val rows0 = side("_before", Seq("D", "U"), -1)
       .unionByName(side("_after", Seq("I", "U"), 1))
+    val rows = where.fold(rows0)(w => rows0.filter(expr(w)))
     val added = col("_sgn") > 0
     val delta0 = rows.groupBy(groupCols.map(col): _*)
       .agg(sum(col("_sgn")).as("n"),
@@ -304,7 +328,9 @@ object IncrementalAgg {
           else {
             val recAggs = minNames.map(m => min(extExpr(m)).as(s"_rec_$m")) ++
               maxNames.map(m => max(extExpr(m)).as(s"_rec_$m"))
-            val rec = src.readAsOf(toSeq)
+            val recBase0 = src.readAsOf(toSeq)
+            val recBase = where.fold(recBase0)(w => recBase0.filter(expr(w)))
+            val rec = recBase
               .join(dirtyGroups, groupCols, "left_semi")
               .groupBy(groupCols.map(col): _*)
               .agg(recAggs.head, recAggs.tail: _*)

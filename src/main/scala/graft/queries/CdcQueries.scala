@@ -923,6 +923,31 @@ object CdcScenario {
       agg
     })
 
+  /** FILTERED incrementally-maintained aggregate (round-14): the view
+    * is `GROUP BY o_orderpriority` over `WHERE price > 100000` — a
+    * predicate on a column the CDC batches MOVE, so rows cross the
+    * boundary in both directions without changing groups (+1000/+500
+    * price moves push rows INTO the set; deletes retract members; the
+    * before/after images of one update can disagree on membership).
+    * The predicate is evaluated on the DECIMAL cast on both engine and
+    * oracle sides, so membership is bit-identical by construction. */
+  def incrAggWhere(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incraggw:$dir", {
+      val src = main(s, dir)
+      val root = Files.createTempDirectory("graft-cdc-incraggw").toString
+      val agg = new GraftTable(s, root, Seq("o_orderpriority"),
+        targetFileBytes = 256 * 1024)
+      val groups = Seq("o_orderpriority")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val meas = graft.operators.Measures(
+        sums = Map("total" -> price), mins = Map("lo" -> price))
+      val where = Some("CAST(o_totalprice AS DECIMAL(18,2)) > 100000.00")
+      IncrementalAgg.bootstrap(src, agg, groups, meas, 0L, where = where)
+      IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L, where = where)
+      IncrementalAgg.maintain(src, agg, groups, meas, 1L, 2L, where = where)
+      agg
+    })
+
   /** Materialized aggregate view MANAGED FROM PURE SQL (round-13):
     * `CALL create_agg_view` bootstraps a self-describing view at the
     * full load, two CDC commits land on the source, and `CALL
@@ -1615,6 +1640,14 @@ object CdcQueries {
           col("total").cast("double").as("total"),
           col("lo").cast("double").as("lo"),
           col("hi").cast("double").as("hi"))),
+    // FILTERED view (round-14): the WHERE predicate is part of the view
+    // spec and CDC batches move rows across the predicate boundary —
+    // the maintained filtered aggregate must equal the filtered recompute
+    "cdc_incr_agg_where" -> ((s, dir) =>
+      CdcScenario.incrAggWhere(s, dir).readUser()
+        .select(col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total"),
+          col("lo").cast("double").as("lo"))),
     // the materialized view managed from PURE SQL (CALL create/refresh)
     // and read through the DSv2 catalog
     "sql_agg_view" -> ((s, dir) => {
@@ -2381,6 +2414,15 @@ object CdcQueries {
            CAST(MIN(price) AS DOUBLE) AS lo,
            CAST(MAX(price) AS DOUBLE) AS hi
          FROM final GROUP BY o_orderstatus""",
+
+    // filtered view: the maintained aggregate of WHERE price > 100000
+    // must equal the filtered recompute of the final CDC state
+    "cdc_incr_agg_where" ->
+      s"""$finalState
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(price) AS DOUBLE) AS total,
+           CAST(MIN(price) AS DOUBLE) AS lo
+         FROM final WHERE price > 100000.00 GROUP BY o_orderpriority""",
 
     // nested drift: %7 keys take the drifted payload whole (st 'N2',
     // ck past int range, tag 'drift'); carried rows read NULL tag and

@@ -270,8 +270,9 @@ object GraftSql {
         // change feed (IncrementalAgg): bootstrapped at the source head,
         // self-describing (spec rides in the bootstrap commit), refreshed
         // incrementally by CALL refresh_agg_view
-        require(args.size == 5, "create_agg_view(src_table, view_name, " +
-          s"location, group_cols_csv, sums_spec) — got ${args.size} args")
+        require(args.size == 5 || args.size == 6,
+          "create_agg_view(src_table, view_name, location, group_cols_csv, " +
+            s"sums_spec[, where_predicate]) — got ${args.size} args")
         val src = lookup(args(0))
         val groups = args(3).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val sums = args(4).split(";").filter(_.trim.nonEmpty).toSeq.map { kv =>
@@ -280,7 +281,8 @@ object GraftSql {
           kv.substring(0, i).trim -> kv.substring(i + 1).trim
         }
         val agg = graft.operators.IncrementalAgg.create(
-          spark, src, args(2), groups, sums)
+          spark, src, args(2), groups, sums,
+          where = args.lift(5))
         register(spark, args(1), agg)
         summary("view" -> args(1), "location" -> args(2),
           "bootstrapped_at" ->

@@ -221,6 +221,63 @@ class IncrementalAggSpec extends AnyFunSuite {
       s"MOR maintenance diverged: ${maintained(agg)} vs ${recompute(src)}")
   }
 
+  test("filtered view: rows crossing the predicate boundary add/retract exactly") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    val meas = graft.operators.Measures(sums = Map("v" -> col("v")),
+      mins = Map("lo" -> col("v")))
+    val where = Some("v >= 10")
+    def recomputeF(src: GraftTable) =
+      src.readUser().filter("v >= 10").groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("v"), min("v").as("lo"))
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def maintainedF(agg: GraftTable) =
+      agg.readUser().select("grp", "n", "v", "lo")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    src.bulkInsert(meta(Seq((1L, "a", 10L), (2L, "a", 5L), (3L, "b", 20L))
+      .toDF("id", "grp", "v"), 1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, meas, 0L, where = where)
+    assert(maintainedF(agg) == recomputeF(src))
+    assert(maintainedF(agg) == Seq(("a", 1L, 10L, 10L), ("b", 1L, 20L, 20L)),
+      "bootstrap must aggregate only the predicate set")
+    // seq 1: id2 ENTERS the set (5→12, group unchanged — pure add from
+    // an update); id1 LEAVES it (10→3 — pure retract, ties a's min);
+    // id3 moves IN-set (20→15 — retract+add, retracts b's extreme);
+    // id4 inserts OUT-of-set (must never appear)
+    src.upsert(meta(Seq((2L, "a", 12L), (1L, "a", 3L), (3L, "b", 15L),
+      (4L, "b", 2L)).toDF("id", "grp", "v"), 2, del = false))
+    IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L, where = where)
+    assert(maintainedF(agg) == recomputeF(src), "after boundary crossings")
+    assert(maintainedF(agg) == Seq(("a", 1L, 12L, 12L), ("b", 1L, 15L, 15L)))
+    // seq 2: delete a's only in-set row → the group extinguishes FROM
+    // THE FILTERED SET even though out-of-set rows remain in the source
+    src.upsert(meta(Seq((2L, "a", 12L)).toDF("id", "grp", "v"), 3, del = true))
+    IncrementalAgg.maintain(src, agg, groups, meas, 1L, 2L, where = where)
+    assert(maintainedF(agg) == recomputeF(src))
+    assert(maintainedF(agg) == Seq(("b", 1L, 15L, 15L)),
+      "a group with no in-set rows must be deleted from the view")
+  }
+
+  test("CALL create_agg_view with a predicate refreshes the filtered view from its own spec") {
+    graft.sql.GraftSql.install(spark)
+    val base = Files.createTempDirectory("graft-ivm-sqlw")
+    val src = new GraftTable(spark, s"$base/src", Seq("id"),
+      targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 10L), (2L, "a", 5L))
+      .toDF("id", "grp", "v"), 1, del = false))
+    graft.sql.GraftSql.register(spark, "ivmw_src", src)
+    spark.sql("CALL create_agg_view('ivmw_src', 'ivmw_v', " +
+      s"'$base/agg', 'grp', 'v=v', 'v >= 10')").collect()
+    // one update ENTERS the set, one LEAVES it; refresh runs from the
+    // spec recorded in the view's own timeline (predicate included)
+    src.upsert(meta(Seq((2L, "a", 12L), (1L, "a", 3L))
+      .toDF("id", "grp", "v"), 2, del = false))
+    spark.sql("CALL refresh_agg_view('ivmw_v')").collect()
+    val got = spark.sql("SELECT grp, n, v FROM graft.ivmw_v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 12L)), s"got $got")
+  }
+
   test("NULL group values are refused loudly in bootstrap and maintain") {
     // a NULL group cannot round-trip through the keyed state merge (the
     // equi-join is null-unsafe and a string group's record key is NULL),
