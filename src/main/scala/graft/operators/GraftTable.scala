@@ -1138,9 +1138,11 @@ class GraftTable(
     * columns, never silently narrow them.
     */
   def insertOverwriteTable(batch0: DataFrame,
-      checkpoint: Option[String] = None): Commit = withLock(retryOnConflict {
+      checkpoint: Option[String] = None,
+      extraMeta: Map[String, String] = Map.empty): Commit = withLock(retryOnConflict {
     val prev = timeline.latest().getOrElse(
-      return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+      return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint,
+        extraMeta))
     requireCompacted(prev, "insertOverwriteTable")
     val seq = prev.seq + 1
     val batch = precombine(prepared(batch0))
@@ -1157,7 +1159,7 @@ class GraftTable(
       GraftTable.widenSchemas(wide, stamped.schema).json,
       checkpoint.orElse(prev.checkpoint), System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(newFiles) +
-        ("files_replaced" -> prev.files.size.toString)), newFiles)
+        ("files_replaced" -> prev.files.size.toString) ++ extraMeta), newFiles)
   })
 
   /** DELETE_PARTITION (Hudi `delete_partition`): drop every file whose

@@ -10,16 +10,37 @@ import graft.model.{KeyGen, Meta}
   * families and must not collide with `n` or a group column. */
 case class Measures(sums: Map[String, Column] = Map.empty,
     mins: Map[String, Column] = Map.empty,
-    maxs: Map[String, Column] = Map.empty) {
+    maxs: Map[String, Column] = Map.empty,
+    /** AVG measures: maintained as two physical SUM columns
+      * (`<m>_sum` = the expression, `<m>_cnt` = its non-null count) and
+      * DERIVED on read ([[IncrementalAgg.readView]]) as
+      * `<m> = <m>_sum / <m>_cnt` in DOUBLE — exact from existing state,
+      * no new maintenance machinery. */
+    avgs: Map[String, Column] = Map.empty,
+    /** Exact COUNT(DISTINCT expr) measures: maintained through a
+      * per-(group, value) auxiliary count table (see
+      * [[IncrementalAgg.auxTable]]) by the same retract/add merge — a
+      * value's live count reaching zero retracts it from the distinct
+      * set, the standard IVM construction. Values compare by their
+      * STRING rendering (injective for the string/integral/decimal
+      * columns distinct counts are taken over). */
+    dcounts: Map[String, Column] = Map.empty) {
   def names: Seq[String] =
-    (sums.keys ++ mins.keys ++ maxs.keys).toSeq.sorted
+    (sums.keys ++ mins.keys ++ maxs.keys ++ avgs.keys ++ dcounts.keys)
+      .toSeq.sorted
   require(names.distinct.size == names.size && !names.contains("n"),
     s"measure names must be distinct and not 'n': $names")
   // the underscore prefix is the maintenance plan's internal namespace
-  // (_sgn, _dirty, _add_/_ret_/_cur_/_rec_<m>) — refuse at construction
-  // instead of failing with an ambiguous-column analysis error mid-run
+  // (_sgn, _dirty, _add_/_ret_/_cur_/_curd_/_rec_/_abs_<m>) — refuse at
+  // construction instead of failing with an ambiguous-column analysis
+  // error mid-run
   require(names.forall(!_.startsWith("_")),
     s"measure names may not start with '_' (reserved): $names")
+  // AVG state columns are stored physically — their names must be free
+  private val avgState = avgs.keys.toSeq.flatMap(m => Seq(s"${m}_sum", s"${m}_cnt"))
+  require(avgState.intersect(names).isEmpty,
+    s"AVG state columns collide with measure names: " +
+      avgState.intersect(names).mkString(","))
 }
 
 /** Incremental view maintenance for grouped COUNT/SUM/MIN/MAX aggregates
@@ -49,6 +70,15 @@ case class Measures(sums: Map[String, Column] = Map.empty,
   * recomputes exactly the dirty groups from the source snapshot (one
   * scan, restricted by a semi join — skipped entirely when no
   * retraction touches an extreme, which is the common path).
+  *
+  * AVG measures desugar to two stored SUM columns (`<m>_sum`,
+  * `<m>_cnt`) and derive on read ([[IncrementalAgg.readView]]); exact
+  * COUNT(DISTINCT) measures maintain a per-(group, value) auxiliary
+  * count table under the view's root — a value's live count reaching
+  * zero retracts it from the distinct set (the standard IVM
+  * construction), and the view's distinct columns are re-derived as
+  * ABSOLUTE counts of the touched groups' live aux rows, which is what
+  * makes the two-table commit sequence crash-safe.
   *
   * SUM measures should be EXACT types (integral or decimal):
   * incremental +/- is associative for them, so the maintained value
@@ -99,6 +129,53 @@ object IncrementalAgg {
     * scan (at that width the scan is delta-proportional anyway). */
   val StateKeyCap = 10000
 
+  /** Value / live-count column names of a COUNT(DISTINCT) auxiliary
+    * table: (group cols..., [[DvCol]]) → [[CntCol]]. */
+  val DvCol = "_ivm_dv"
+  val CntCol = "cnt"
+
+  /** The auxiliary per-(group, value) count table backing an exact
+    * COUNT(DISTINCT) measure — an ordinary keyed [[GraftTable]] at
+    * `<view root>/_ivm_dv_<measure>` (beside the view's `data/`
+    * directory, so fsck's orphan walk and readers never see it). It
+    * carries its OWN [[AppliedSeqKey]] watermark, committed before the
+    * view's: a crash between the two commits resumes by skipping the
+    * already-applied aux merge and re-deriving the view's distinct
+    * columns from the aux ABSOLUTE state (idempotent by construction).
+    * NOTE a [[GraftTable.cloneTo]] of the view does not carry its aux
+    * tables — re-bootstrap a cloned dcount view. */
+  private[graft] def auxTable(spark: SparkSession, agg: GraftTable,
+      groupCols: Seq[String], m: String): GraftTable =
+    new GraftTable(spark, s"${agg.root}/_ivm_dv_$m", groupCols :+ DvCol,
+      targetFileBytes = agg.targetFileBytes)
+
+  /** The physically-stored SUM columns: declared sums plus each AVG
+    * measure's `<m>_sum` / `<m>_cnt` state pair (the non-null count is
+    * itself a signed sum, so AVG rides the existing exact-sum path). */
+  private def effSums(meas: Measures): Map[String, Column] =
+    meas.sums ++ meas.avgs.flatMap { case (m, e) =>
+      Seq(s"${m}_sum" -> e,
+        s"${m}_cnt" -> when(e.isNotNull, lit(1L)).otherwise(lit(0L))) }
+
+  private def requireAuxColumnsFree(meas: Measures, groupCols: Seq[String]): Unit =
+    if (meas.dcounts.nonEmpty)
+      require(!groupCols.contains(CntCol) && !groupCols.contains(DvCol),
+        s"group columns may not be named '$CntCol'/'$DvCol' when a COUNT " +
+          "DISTINCT measure is declared (auxiliary-table column clash)")
+
+  /** Read the view with DERIVED measure columns materialized: each AVG
+    * measure appears as `<m> = <m>_sum / <m>_cnt` in DOUBLE (NULL when
+    * the group holds no non-null values), internal state columns
+    * hidden; COUNT/SUM/MIN/MAX/COUNT-DISTINCT columns pass through. */
+  def readView(agg: GraftTable, meas: Measures): DataFrame = {
+    val base = agg.readUser()
+    val withAvg = meas.avgs.keys.toSeq.sorted.foldLeft(base)((d, m) =>
+      d.withColumn(m, when(col(s"${m}_cnt") > 0,
+        col(s"${m}_sum").cast("double") / col(s"${m}_cnt"))))
+    withAvg.drop(meas.avgs.keys.toSeq.flatMap(m =>
+      Seq(s"${m}_sum", s"${m}_cnt")): _*)
+  }
+
   private def requireKeyedByGroups(agg: GraftTable, groupCols: Seq[String]): Unit =
     require(agg.keyFields == groupCols,
       s"the aggregate table must be KEYED BY the group columns " +
@@ -128,6 +205,9 @@ object IncrementalAgg {
     specs.foldLeft(Measures()) { case (acc, (n, e)) =>
       if (e.startsWith("min:")) acc.copy(mins = acc.mins + (n -> expr(e.drop(4))))
       else if (e.startsWith("max:")) acc.copy(maxs = acc.maxs + (n -> expr(e.drop(4))))
+      else if (e.startsWith("avg:")) acc.copy(avgs = acc.avgs + (n -> expr(e.drop(4))))
+      else if (e.startsWith("dcount:"))
+        acc.copy(dcounts = acc.dcounts + (n -> expr(e.drop(7))))
       else acc.copy(sums = acc.sums + (n -> expr(e)))
     }
 
@@ -141,18 +221,35 @@ object IncrementalAgg {
     require(meas.names.intersect(groupCols).isEmpty,
       s"measure names collide with group columns: ${meas.names.intersect(groupCols).mkString(",")}")
     requireKeyedByGroups(agg, groupCols)
+    requireAuxColumnsFree(meas, groupCols)
     val snap0 = src.readAsOf(atSeq).drop(Meta.RecordKey, Meta.CommitSeq)
     val snap = where.fold(snap0)(w => snap0.filter(expr(w)))
-    val aggs = meas.names.map { m =>
-      meas.sums.get(m).map(e => sum(e).as(m))
-        .orElse(meas.mins.get(m).map(e => min(e).as(m)))
-        .getOrElse(max(meas.maxs(m)).as(m))
-    }
+    val sumsAll = effSums(meas)
+    val dNames = meas.dcounts.keys.toSeq.sorted
+    val aggs = sumsAll.keys.toSeq.sorted.map(m => sum(sumsAll(m)).as(m)) ++
+      meas.mins.keys.toSeq.sorted.map(m => min(meas.mins(m)).as(m)) ++
+      meas.maxs.keys.toSeq.sorted.map(m => max(meas.maxs(m)).as(m)) ++
+      dNames.map(m => countDistinct(meas.dcounts(m).cast("string")).as(m))
     val full = snap.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), aggs: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       requireNoNullGroups(full, groupCols, "the bootstrap snapshot")
+      // COUNT(DISTINCT) aux state first (one extra source pass per
+      // measure): per-(group, value) live counts. The view's watermark
+      // commit comes LAST, so a crash mid-bootstrap leaves a view that
+      // simply re-bootstraps (overwriting any partial aux state).
+      dNames.foreach { m =>
+        val aux = auxTable(full.sparkSession, agg, groupCols, m)
+        val e = meas.dcounts(m).cast("string")
+        val auxRows = snap.filter(e.isNotNull)
+          .groupBy((groupCols.map(col) :+ e.as(DvCol)): _*)
+          .agg(count(lit(1)).as(CntCol))
+        if (aux.history().isEmpty)
+          aux.bulkInsert(auxRows, extraMeta = Map(AppliedSeqKey -> atSeq.toString))
+        else aux.insertOverwriteTable(auxRows,
+          extraMeta = Map(AppliedSeqKey -> atSeq.toString))
+      }
       agg.bulkInsert(full,
         extraMeta = extraMeta + (AppliedSeqKey -> atSeq.toString))
     } finally { full.unpersist(blocking = false); () }
@@ -242,10 +339,13 @@ object IncrementalAgg {
     require(meas.names.intersect(groupCols).isEmpty,
       s"measure names collide with group columns: ${meas.names.intersect(groupCols).mkString(",")}")
     requireKeyedByGroups(agg, groupCols)
-    val sumNames = meas.sums.keys.toSeq.sorted
+    requireAuxColumnsFree(meas, groupCols)
+    val sumsAll = effSums(meas)
+    val sumNames = sumsAll.keys.toSeq.sorted
     val minNames = meas.mins.keys.toSeq.sorted
     val maxNames = meas.maxs.keys.toSeq.sorted
     val extNames = minNames ++ maxNames
+    val dNames = meas.dcounts.keys.toSeq.sorted
     def extExpr(m: String): Column = meas.mins.getOrElse(m, meas.maxs(m))
     val img = src.changesDiffImages(fromSeq, toSeq)
     val idCols = img.columns.filter(c =>
@@ -265,11 +365,16 @@ object IncrementalAgg {
     // retract (left it) — group migration and boundary migration compose
     val rows0 = side("_before", Seq("D", "U"), -1)
       .unionByName(side("_after", Seq("I", "U"), 1))
-    val rows = where.fold(rows0)(w => rows0.filter(expr(w)))
+    val rows1 = where.fold(rows0)(w => rows0.filter(expr(w)))
+    // COUNT(DISTINCT) maintenance re-reads the contribution rows once
+    // per measure (its per-(group, value) delta) — cache them so the
+    // change feed is scanned once, not once per consumer
+    val rows = if (dNames.isEmpty) rows1
+      else rows1.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val added = col("_sgn") > 0
     val delta0 = rows.groupBy(groupCols.map(col): _*)
       .agg(sum(col("_sgn")).as("n"),
-        sumNames.map(m => sum(meas.sums(m) * col("_sgn")).as(m)) ++
+        sumNames.map(m => sum(sumsAll(m) * col("_sgn")).as(m)) ++
           minNames.flatMap(m => Seq(
             min(when(added, extExpr(m))).as(s"_add_$m"),
             min(when(!added, extExpr(m))).as(s"_ret_$m"))) ++
@@ -284,11 +389,58 @@ object IncrementalAgg {
     // the merge
     val p0 = delta0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p0.count(): Unit
-    val release: () => Unit = () => { p0.unpersist(blocking = false); () }
+    val release: () => Unit = () => {
+      p0.unpersist(blocking = false)
+      if (dNames.nonEmpty) rows.unpersist(blocking = false)
+      ()
+    }
     try {
       requireNoNullGroups(p0, groupCols, s"the ($fromSeq, $toSeq] change feed")
+      // exact COUNT(DISTINCT): apply each measure's per-(group, value)
+      // signed delta to its auxiliary table (its OWN watermark commit —
+      // see auxTable's crash contract), then derive the ABSOLUTE
+      // distinct count of every touched group from the aux live rows
+      val dabs: Map[String, DataFrame] = dNames.map { m =>
+        val aux = auxTable(p0.sparkSession, agg, groupCols, m)
+        val auxApplied = appliedSeq(aux).getOrElse(
+          throw new IllegalStateException(
+            s"COUNT DISTINCT aux table for '$m' carries no watermark — " +
+              "bootstrap the view first"))
+        val e = meas.dcounts(m).cast("string")
+        if (auxApplied != toSeq) {
+          // (an aux already at toSeq is the crash-resume case: its merge
+          // landed, the view commit didn't — skip it, the absolute read
+          // below is idempotent. Any other mismatch refuses in preCommit
+          // under the aux table's lock.)
+          val vdelta = rows.filter(e.isNotNull)
+            .groupBy((groupCols.map(col) :+ e.as(DvCol)): _*)
+            .agg(sum(col("_sgn")).cast("long").as(CntCol))
+            .filter(col(CntCol) =!= 0)
+          aux.mergeInto(vdelta,
+            whenMatchedSet = Map(CntCol -> (col(CntCol) + col(s"src_$CntCol"))),
+            // a value whose live count reaches zero leaves the distinct set
+            whenMatchedDelete = Some(col(CntCol) + col(s"src_$CntCol") === 0),
+            insertWhenNotMatched = true,
+            // a pure retraction of an unknown value (inconsistent feed)
+            // must not insert a negative count
+            insertWhenNotMatchedCond = Some(col(s"src_$CntCol") > 0),
+            extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+            preCommit = Some(() => {
+              val cur = appliedSeq(aux)
+              if (cur != Some(fromSeq)) throw new IllegalStateException(
+                s"stale aux maintenance window ($fromSeq, $toSeq] for " +
+                  s"COUNT DISTINCT '$m': the aux watermark is " +
+                  s"${cur.getOrElse("absent")}")
+            }))
+          ()
+        }
+        m -> aux.readUser()
+          .join(p0.select(groupCols.map(col): _*), groupCols, "left_semi")
+          .groupBy(groupCols.map(col): _*)
+          .agg(count(lit(1)).as(s"_abs_$m"))
+      }.toMap
       val delta: DataFrame =
-        if (extNames.isEmpty)
+        if (extNames.isEmpty && dNames.isEmpty)
           // pure COUNT/SUM: no state read, no dirtiness — the original path
           p0.filter(sumsMoved)
         else {
@@ -309,47 +461,60 @@ object IncrementalAgg {
             agg.readKeys(keys).drop(Meta.RecordKey, Meta.CommitSeq)
           else agg.readUser()
         val state = stateBase.select(
-          groupCols.map(col) ++ extNames.map(m => col(m).as(s"_cur_$m")): _*)
-        val dirtyCond = (
-          minNames.map(m => col(s"_ret_$m") <= col(s"_cur_$m")) ++
-          maxNames.map(m => col(s"_ret_$m") >= col(s"_cur_$m")))
-          .map(c => coalesce(c, lit(false))).reduce(_ || _)
+          groupCols.map(col) ++ extNames.map(m => col(m).as(s"_cur_$m")) ++
+            dNames.map(m => col(m).as(s"_curd_$m")): _*)
         val d1 = p0.join(state, groupCols, "left")
-          .withColumn("_dirty", dirtyCond)
-        val dirtyGroups = d1.filter(col("_dirty")).select(groupCols.map(col): _*)
-        // the dirty-group recompute scans the source ONCE, restricted by
-        // the semi join — and is skipped outright when nothing retracted
-        // an extreme (the probe re-joins the cached delta with the small
-        // pruned state — no change-feed re-scan)
-        val anyDirty = dirtyGroups.limit(1).count() > 0
-        val d2 =
-          if (!anyDirty) extNames.foldLeft(d1)((d, m) =>
-            d.withColumn(s"_rec_$m", lit(null)))
+        val withFinal: DataFrame =
+          if (extNames.isEmpty) d1
           else {
-            val recAggs = minNames.map(m => min(extExpr(m)).as(s"_rec_$m")) ++
-              maxNames.map(m => max(extExpr(m)).as(s"_rec_$m"))
-            val recBase0 = src.readAsOf(toSeq)
-            val recBase = where.fold(recBase0)(w => recBase0.filter(expr(w)))
-            val rec = recBase
-              .join(dirtyGroups, groupCols, "left_semi")
-              .groupBy(groupCols.map(col): _*)
-              .agg(recAggs.head, recAggs.tail: _*)
-            d1.join(rec, groupCols, "left")
+            val dirtyCond = (
+              minNames.map(m => col(s"_ret_$m") <= col(s"_cur_$m")) ++
+              maxNames.map(m => col(s"_ret_$m") >= col(s"_cur_$m")))
+              .map(c => coalesce(c, lit(false))).reduce(_ || _)
+            val d1d = d1.withColumn("_dirty", dirtyCond)
+            val dirtyGroups = d1d.filter(col("_dirty"))
+              .select(groupCols.map(col): _*)
+            // the dirty-group recompute scans the source ONCE, restricted
+            // by the semi join — and is skipped outright when nothing
+            // retracted an extreme (the probe re-joins the cached delta
+            // with the small pruned state — no change-feed re-scan)
+            val anyDirty = dirtyGroups.limit(1).count() > 0
+            val d2 =
+              if (!anyDirty) extNames.foldLeft(d1d)((d, m) =>
+                d.withColumn(s"_rec_$m", lit(null)))
+              else {
+                val recAggs = minNames.map(m => min(extExpr(m)).as(s"_rec_$m")) ++
+                  maxNames.map(m => max(extExpr(m)).as(s"_rec_$m"))
+                val recBase0 = src.readAsOf(toSeq)
+                val recBase = where.fold(recBase0)(w => recBase0.filter(expr(w)))
+                val rec = recBase
+                  .join(dirtyGroups, groupCols, "left_semi")
+                  .groupBy(groupCols.map(col): _*)
+                  .agg(recAggs.head, recAggs.tail: _*)
+                d1d.join(rec, groupCols, "left")
+              }
+            // least/greatest skip NULLs: a new group takes the add
+            // candidate, a no-adds group keeps the stored value
+            (minNames.map(m =>
+              m -> when(col("_dirty"), col(s"_rec_$m"))
+                .otherwise(least(col(s"_cur_$m"), col(s"_add_$m")))) ++
+              maxNames.map(m =>
+                m -> when(col("_dirty"), col(s"_rec_$m"))
+                  .otherwise(greatest(col(s"_cur_$m"), col(s"_add_$m")))))
+              .foldLeft(d2) { case (d, (m, c)) => d.withColumn(m, c) }
           }
-        // least/greatest skip NULLs: a new group takes the add candidate,
-        // a no-adds group keeps the stored value
-        val withFinal = (minNames.map(m =>
-          m -> when(col("_dirty"), col(s"_rec_$m"))
-            .otherwise(least(col(s"_cur_$m"), col(s"_add_$m")))) ++
-          maxNames.map(m =>
-            m -> when(col("_dirty"), col(s"_rec_$m"))
-              .otherwise(greatest(col(s"_cur_$m"), col(s"_add_$m")))))
-          .foldLeft(d2) { case (d, (m, c)) => d.withColumn(m, c) }
+        // distinct counts land as ABSOLUTE values from the aux state; a
+        // touched group with no live aux rows counts 0 distinct values
+        val withD = dNames.foldLeft(withFinal)((d, m) =>
+          d.join(dabs(m), groupCols, "left")
+            .withColumn(m, coalesce(col(s"_abs_$m"), lit(0L))))
         val extMoved = extNames.map(m => !(col(m) <=> col(s"_cur_$m")))
-          .reduce(_ || _)
-        withFinal.filter(sumsMoved || extMoved)
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val dMoved = dNames.map(m => !(col(m) <=> col(s"_curd_$m")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        withD.filter(sumsMoved || extMoved || dMoved)
           .select((groupCols :+ "n").map(col) ++
-            sumNames.map(col) ++ extNames.map(col): _*)
+            sumNames.map(col) ++ extNames.map(col) ++ dNames.map(col): _*)
       }
       agg.mergeInto(delta,
       // an all-NULL sum contribution (e.g. one new row with a NULL
@@ -359,8 +524,9 @@ object IncrementalAgg {
       whenMatchedSet = (sumNames.map(m =>
         m -> when(col(s"src_$m").isNull, col(m))
           .otherwise(coalesce(col(m), lit(0)) + col(s"src_$m"))) ++
-        // extremes arrive as ABSOLUTE new values, not deltas
-        extNames.map(m => m -> col(s"src_$m")) :+
+        // extremes and distinct counts arrive as ABSOLUTE values
+        extNames.map(m => m -> col(s"src_$m")) ++
+        dNames.map(m => m -> col(s"src_$m")) :+
         ("n" -> (col("n") + col("src_n")))).toMap,
       whenMatchedDelete = Some(col("n") + col("src_n") === 0),
       insertWhenNotMatched = true,

@@ -948,6 +948,32 @@ object CdcScenario {
       agg
     })
 
+  /** AVG + exact COUNT(DISTINCT) measures (round-14): the status
+    * aggregate additionally maintains the distinct customer count (via
+    * the per-(group, value) auxiliary table — status-migrating updates
+    * retract values from one group's set and add them to another's, and
+    * the %97 deletes both extinguish single-order customers and thin
+    * multi-order ones) and the average price (derived from the stored
+    * sum/cnt state pair). Both must equal the recompute exactly. */
+  def incrAggDistinct(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incraggd:$dir", {
+      val src = main(s, dir)
+      val root = Files.createTempDirectory("graft-cdc-incraggd").toString
+      val agg = new GraftTable(s, root, Seq("o_orderstatus"),
+        targetFileBytes = 256 * 1024)
+      val groups = Seq("o_orderstatus")
+      val meas = incrAggDistinctMeasures
+      IncrementalAgg.bootstrap(src, agg, groups, meas, 0L)
+      IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L)
+      IncrementalAgg.maintain(src, agg, groups, meas, 1L, 2L)
+      agg
+    })
+
+  def incrAggDistinctMeasures: graft.operators.Measures =
+    graft.operators.Measures(
+      avgs = Map("avg_price" -> col("o_totalprice").cast("decimal(18,2)")),
+      dcounts = Map("custs" -> col("o_custkey")))
+
   /** Materialized aggregate view MANAGED FROM PURE SQL (round-13):
     * `CALL create_agg_view` bootstraps a self-describing view at the
     * full load, two CDC commits land on the source, and `CALL
@@ -1640,6 +1666,14 @@ object CdcQueries {
           col("total").cast("double").as("total"),
           col("lo").cast("double").as("lo"),
           col("hi").cast("double").as("hi"))),
+    // AVG + exact COUNT(DISTINCT) measures (round-14): distinct counts
+    // ride the auxiliary value table (extinguishing vs surviving values),
+    // averages derive from the stored sum/cnt pair — both recompute-exact
+    "cdc_incr_agg_distinct" -> ((s, dir) =>
+      graft.operators.IncrementalAgg.readView(
+          CdcScenario.incrAggDistinct(s, dir),
+          CdcScenario.incrAggDistinctMeasures)
+        .select(col("o_orderstatus"), col("n"), col("custs"), col("avg_price"))),
     // FILTERED view (round-14): the WHERE predicate is part of the view
     // spec and CDC batches move rows across the predicate boundary —
     // the maintained filtered aggregate must equal the filtered recompute
@@ -2413,6 +2447,16 @@ object CdcQueries {
            CAST(SUM(price) AS DOUBLE) AS total,
            CAST(MIN(price) AS DOUBLE) AS lo,
            CAST(MAX(price) AS DOUBLE) AS hi
+         FROM final GROUP BY o_orderstatus""",
+
+    // AVG derives as CAST(sum AS DOUBLE)/cnt on both engines (exact sums
+    // divided in IEEE double — bit-identical); distinct counts are the
+    // aux table's live-value census
+    "cdc_incr_agg_distinct" ->
+      s"""$finalState
+         SELECT o_orderstatus, COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS custs,
+           CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price
          FROM final GROUP BY o_orderstatus""",
 
     // filtered view: the maintained aggregate of WHERE price > 100000

@@ -278,6 +278,94 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got == Seq(("a", 1L, 12L)), s"got $got")
   }
 
+  test("AVG measures: stored sum/cnt state derives the exact average through nulls") {
+    val meas = graft.operators.Measures(avgs = Map("av" -> col("v")))
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", Some(10L)), (2L, "a", None: Option[Long]),
+      (3L, "b", Some(7L))).toDF("id", "grp", "v"), 1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, meas, 0L)
+    def derived() = IncrementalAgg.readView(agg, meas)
+      .select("grp", "n", "av")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    // readView hides the state pair and derives av = sum/cnt (nulls
+    // excluded from BOTH, per SQL AVG)
+    assert(!IncrementalAgg.readView(agg, meas).columns.contains("av_sum"))
+    assert(derived() == Seq(("a", 2L, Some(10.0)), ("b", 1L, Some(7.0))))
+    // null→value and value→null moves adjust sum AND cnt; a new null
+    // row moves neither
+    src.upsert(meta(Seq((2L, "a", Some(20L)), (3L, "b", None: Option[Long]),
+      (4L, "a", None: Option[Long])).toDF("id", "grp", "v"), 2, del = false))
+    IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L)
+    assert(derived() == Seq(("a", 3L, Some(15.0)), ("b", 1L, None)),
+      s"got ${derived()}")
+  }
+
+  test("COUNT DISTINCT: extinguishing vs non-extinguishing deletes; aux lifecycle") {
+    val meas = graft.operators.Measures(dcounts = Map("dv" -> col("c")))
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 6L),
+      (4L, "b", 9L)).toDF("id", "grp", "c"), 1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, meas, 0L)
+    def distincts() = agg.readUser().select("grp", "n", "dv")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    def auxState() = IncrementalAgg.auxTable(spark, agg, groups, "dv")
+      .readUser().select("grp", IncrementalAgg.DvCol, IncrementalAgg.CntCol)
+      .as[(String, String, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(distincts() == Seq(("a", 3L, 2L), ("b", 1L, 1L)))
+    assert(auxState() == Seq(("a", "5", 2L), ("a", "6", 1L), ("b", "9", 1L)))
+    // seq 1: delete ONE of the two value-5 rows — count drops, the
+    // value survives, distinct count must NOT move
+    src.upsert(meta(Seq((1L, "a", 5L)).toDF("id", "grp", "c"), 2, del = true))
+    IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L)
+    assert(distincts() == Seq(("a", 2L, 2L), ("b", 1L, 1L)),
+      "a non-extinguishing delete must keep the distinct count")
+    assert(auxState() == Seq(("a", "5", 1L), ("a", "6", 1L), ("b", "9", 1L)))
+    // seq 2: delete the LAST value-5 row (extinguishes 5) and move
+    // id3's value 6→7 (extinguishes 6, births 7): distinct stays via
+    // birth+death, the value SET rotates entirely
+    src.upsert(meta(Seq((3L, "a", 7L)).toDF("id", "grp", "c"), 3, del = false)
+      .unionByName(meta(Seq((2L, "a", 5L)).toDF("id", "grp", "c"), 3, del = true)))
+    IncrementalAgg.maintain(src, agg, groups, meas, 1L, 2L)
+    assert(distincts() == Seq(("a", 1L, 1L), ("b", 1L, 1L)))
+    assert(auxState() == Seq(("a", "7", 1L), ("b", "9", 1L)),
+      "extinguished values must be DELETED from the aux table")
+  }
+
+  test("COUNT DISTINCT crash between aux and view commit resumes idempotently") {
+    val meas = graft.operators.Measures(sums = Map("v" -> col("v")),
+      dcounts = Map("dv" -> col("c")))
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 10L, 5L), (2L, "a", 20L, 6L))
+      .toDF("id", "grp", "v", "c"), 1, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, meas, 0L)
+    src.upsert(meta(Seq((3L, "a", 30L, 6L), (1L, "a", 11L, 7L))
+      .toDF("id", "grp", "v", "c"), 2, del = false))
+    IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L)
+    val expected = agg.readUser().select("grp", "n", "v", "dv")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // final values {7, 6, 6} → 2 distinct (5 extinguished by the update)
+    assert(expected == Seq(("a", 3L, 61L, 2L)))
+    // simulate the crash: the VIEW's maintenance commit vanishes (the
+    // aux table keeps its toSeq watermark) — exactly the state a crash
+    // between the two commits leaves behind
+    val viewSeqs = agg.history().map(_.seq)
+    agg.rollback(viewSeqs.init.last)
+    assert(IncrementalAgg.appliedSeq(agg).contains(0L))
+    val aux = IncrementalAgg.auxTable(spark, agg, groups, "dv")
+    assert(IncrementalAgg.appliedSeq(aux).contains(1L),
+      "fixture: aux must be AHEAD of the rolled-back view")
+    // re-running the same window must skip the aux merge (already
+    // applied) and still converge the view — absolute distinct counts
+    // make the resume idempotent
+    IncrementalAgg.maintain(src, agg, groups, meas, 0L, 1L)
+    val got = agg.readUser().select("grp", "n", "v", "dv")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected, s"crash resume diverged: $got vs $expected")
+  }
+
   test("NULL group values are refused loudly in bootstrap and maintain") {
     // a NULL group cannot round-trip through the keyed state merge (the
     // equi-join is null-unsafe and a string group's record key is NULL),
