@@ -312,6 +312,32 @@ object IncrementalAgg {
     (from, to)
   }
 
+  /** Refresh a view AND its ancestry: when the view's recorded source
+    * is itself a created agg view, the parent refreshes FIRST
+    * (recursively, depth-bounded, cycle-refused), so one call on a
+    * rollup can never read a fresh child of a stale parent. Returns the
+    * applied (root, fromSeq, toSeq) per level, parents first — the
+    * `CALL refresh_agg_view` SQL surface rides this. */
+  def refreshCascade(spark: SparkSession, agg: GraftTable,
+      maxDepth: Int = 10): Seq[(String, Long, Long)] = {
+    def specOf(t: GraftTable): Option[Map[String, String]] =
+      t.historyNewestFirst().find(_.extra.contains(SrcRootKey)).map(_.extra)
+    def walk(t: GraftTable, seen: Set[String], depth: Int): Seq[(String, Long, Long)] = {
+      require(depth <= maxDepth,
+        s"agg-view chain deeper than $maxDepth levels at ${t.root} — cycle?")
+      require(!seen.contains(t.root), s"cyclic agg-view chain at ${t.root}")
+      val spec = specOf(t).getOrElse(throw new IllegalStateException(
+        s"no $SrcRootKey spec in ${t.root}'s timeline — not a created agg view"))
+      val src = GraftTable.open(spark, spec(SrcRootKey))
+      val parents =
+        if (specOf(src).isDefined) walk(src, seen + t.root, depth + 1)
+        else Seq.empty[(String, Long, Long)]
+      val (from, to) = refresh(spark, t)
+      parents :+ ((t.root, from, to))
+    }
+    walk(agg, Set.empty, 0)
+  }
+
   /** Catch the aggregate up to the source's current head from the
     * recorded watermark — IDEMPOTENT (a no-op returning the head when
     * already current) and crash-safe (the new watermark lands in the

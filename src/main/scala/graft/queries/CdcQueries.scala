@@ -996,6 +996,34 @@ object CdcScenario {
       src // the view itself reads back as graft.aggview_v
     })
 
+  /** CASCADING view-over-view rollup from PURE SQL (round-14): level 1
+    * aggregates (status, priority) sums over the source; level 2 rolls
+    * level 1 up to status (counting live subgroups and re-summing). Two
+    * CDC commits land on the SOURCE only, then ONE `CALL
+    * refresh_agg_view` on the ROLLUP must walk the chain — parent
+    * first — so the rollup never reads a fresh child of a stale parent. */
+  def sqlAggViewRollup(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"sqlaggr:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-sqlaggr")
+      val src = new GraftTable(s, s"$base/src", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      src.bulkInsert(fullLoad(s, dir))
+      graft.sql.GraftSql.register(s, "aggr_src", src)
+      s.sql("CALL create_agg_view('aggr_src', 'aggr_l1', " +
+        s"'$base/l1', 'o_orderstatus,o_orderpriority', " +
+        "'total=CAST(o_totalprice AS DECIMAL(18,2))')").collect()
+      s.sql("CALL create_agg_view('aggr_l1', 'aggr_l2', " +
+        s"'$base/l2', 'o_orderstatus', " +
+        "'total2=total;orders2=n')").collect()
+      src.upsert(batchA(s, dir))
+      src.upsert(batchB(s, dir))
+      val out = s.sql("CALL refresh_agg_view('aggr_l2')").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+      require(out("levels") == "2",
+        s"one CALL must cascade through 2 levels: $out")
+      src
+    })
+
   /** LIVE materialized view over the STREAMING ingest (round-13): the
     * same raw-zone batches drain through the Structured Streaming
     * foreachBatch loop, and after every drained epoch
@@ -1688,6 +1716,14 @@ object CdcQueries {
       CdcScenario.sqlAggView(s, dir)
       s.sql("""SELECT o_orderstatus, n, CAST(total AS DOUBLE) AS total
                FROM graft.aggview_v""")
+    }),
+    // CASCADING rollup (round-14): one CALL on the level-2 view walks
+    // the chain parent-first; the rollup must equal the recompute of
+    // the recompute
+    "sql_agg_view_rollup" -> ((s, dir) => {
+      CdcScenario.sqlAggViewRollup(s, dir)
+      s.sql("""SELECT o_orderstatus, n, CAST(total2 AS DOUBLE) AS total2,
+               orders2 FROM graft.aggr_l2""")
     }),
     // the same maintained view kept LIVE by the streaming ingest loop
     // (per-epoch watermarked catch-up); must end recompute-exact
@@ -2458,6 +2494,18 @@ object CdcQueries {
            COUNT(DISTINCT o_custkey) AS custs,
            CAST(SUM(price) AS DOUBLE) / COUNT(price) AS avg_price
          FROM final GROUP BY o_orderstatus""",
+
+    // the rollup equals regrouping the level-1 recompute: n counts live
+    // (status, priority) subgroups, orders2 re-sums their row counts
+    "sql_agg_view_rollup" ->
+      s"""$finalState,
+         l1 AS (SELECT o_orderstatus, o_orderpriority,
+                  COUNT(*) AS cnt, SUM(price) AS total
+                FROM final GROUP BY 1, 2)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(total) AS DOUBLE) AS total2,
+           CAST(SUM(cnt) AS BIGINT) AS orders2
+         FROM l1 GROUP BY o_orderstatus""",
 
     // filtered view: the maintained aggregate of WHERE price > 100000
     // must equal the filtered recompute of the final CDC state

@@ -289,12 +289,17 @@ object GraftSql {
             graft.operators.IncrementalAgg.appliedSeq(agg).get.toString)
       case "refresh_agg_view" =>
         // delta-proportional catch-up from the view's crash-safe
-        // watermark; a current view is an idempotent no-op
+        // watermark; a current view is an idempotent no-op. CASCADING:
+        // a view whose source is itself a created agg view refreshes
+        // its ancestry first (parents before children), so a rollup
+        // can never serve a fresh child of a stale parent
         arity(1)
-        val (from, to) =
-          graft.operators.IncrementalAgg.refresh(spark, lookup(args(0)))
+        val levels =
+          graft.operators.IncrementalAgg.refreshCascade(spark, lookup(args(0)))
+        val (_, from, to) = levels.last
         summary("view" -> args(0),
-          "from_seq" -> from.toString, "to_seq" -> to.toString)
+          "from_seq" -> from.toString, "to_seq" -> to.toString,
+          "levels" -> levels.size.toString)
       case other =>
         throw new IllegalArgumentException(
           s"unknown procedure $other; available: show_commits, " +

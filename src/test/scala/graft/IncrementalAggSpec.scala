@@ -189,6 +189,36 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(maintainedB() == Seq(("x", 1L, 10L), ("y", 2L, 12L), ("z", 1L, 16L)))
   }
 
+  test("refreshCascade refreshes a stale parent before the rollup in one call") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "x", "s1", 1L), (2L, "x", "s2", 2L),
+      (3L, "y", "s1", 4L)).toDF("id", "grp", "sub", "v"), 1, del = false))
+    val a = IncrementalAgg.create(spark, src, tmp() + "/a",
+      Seq("grp", "sub"), Seq("v" -> "v"))
+    val b = IncrementalAgg.create(spark, a, tmp() + "/b",
+      Seq("grp"), Seq("vv" -> "v", "subs" -> "n"))
+    // two source commits land; NEITHER view refreshed yet
+    src.upsert(meta(Seq((4L, "y", "s9", 8L), (1L, "x", "s1", 10L))
+      .toDF("id", "grp", "sub", "v"), 2, del = false))
+    src.upsert(meta(Seq((5L, "z", "s1", 16L)).toDF("id", "grp", "sub", "v"),
+      3, del = false)
+      .unionByName(meta(Seq((2L, "x", "s2", 2L)).toDF("id", "grp", "sub", "v"),
+        3, del = true)))
+    val levels = IncrementalAgg.refreshCascade(spark, b)
+    assert(levels.size == 2 && levels.head._1 == a.root && levels(1)._1 == b.root,
+      s"parents must refresh first: $levels")
+    val expectB = a.readUser().groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("vv"), sum("n").as("subs"))
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val gotB = b.readUser().select("grp", "n", "vv", "subs")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotB == expectB, s"rollup diverged: $gotB vs $expectB")
+    assert(gotB == Seq(("x", 1L, 10L, 1L), ("y", 2L, 12L, 2L), ("z", 1L, 16L, 1L)))
+    // a second cascade is an idempotent no-op on every level
+    val again = IncrementalAgg.refreshCascade(spark, b)
+    assert(again.forall { case (_, f, t) => f == t }, s"not a no-op: $again")
+  }
+
   test("re-applying an already-applied window refuses instead of double-counting") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
