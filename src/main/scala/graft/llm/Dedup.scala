@@ -893,6 +893,45 @@ object Dedup {
     star.unionByName(pairs)
   }
 
+  /** Components-oriented SimHash dedup — [[minhashComponents]]' sibling
+    * on the Hamming-distance generator, completing the crawl-scale
+    * clustering path for all three pair generators. Identical text ⇒
+    * identical signature ⇒ distance 0, so the SIGNATURE collapse's
+    * member→rep star edges (n−1 rows per n-member identical-signature
+    * group) glue every member to its rep, and rep-level Hamming-verified
+    * pairs connect distinct signatures; CC over (star ∪ rep pairs)
+    * equals CC over the full [[simhashPairs]] member-pair graph — the
+    * within-signature pair expansion and the member expansion of a rep
+    * pair both collapse back to exactly these edges — with edge count
+    * LINEAR in cluster size instead of quadratic. Returns (id, comp). */
+  def simhashComponents(docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxChunkFreq: Int = 1024): DataFrame =
+    connectedComponents(
+      simhashComponentEdges(docs, idCol, textCol, maxDist, maxChunkFreq),
+      "ia", "ib")
+
+  /** Edge list for [[simhashComponents]] — exposed so tests can pin its
+    * SIZE: member→sig-rep star edges ∪ Hamming-≤`maxDist` rep pairs. */
+  private[graft] def simhashComponentEdges(docs: DataFrame, idCol: String,
+      textCol: String, maxDist: Int, maxChunkFreq: Int): DataFrame = {
+    val member = simhash(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("simhash").as("sig"))
+    val (memberRid, reps, repPairs) = collapsedRepPairs(member,
+      rs => rs.select(col("rid"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*)))
+        .select(col("rid"), col("pos").as("bk1"), col("col").as("bk2")),
+      maxChunkFreq)
+    val scored = repPairs
+      .join(reps.select(col("rid").as("ra"), col("sig").as("ha")), Seq("ra"))
+      .join(reps.select(col("rid").as("rb"), col("sig").as("hb")), Seq("rb"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
+      .select(col("ra").as("ia"), col("rb").as("ib"))
+    val star = memberRid.filter(col("id") =!= col("rid"))
+      .select(col("rid").as("ia"), col("id").as("ib"))
+    star.unionByName(scored)
+  }
+
   /** DETERMINISTIC audit of the [[simhashPairs]] dense-bucket cap: one
     * row (capped_buckets, capped_sig_rows) counting the (chunk, value)
     * buckets holding more than `maxChunkFreq` DISTINCT signatures — the

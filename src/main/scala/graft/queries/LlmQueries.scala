@@ -61,6 +61,17 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",",
             transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))),
+    // SimHash flavor of the components API (round-14): identical
+    // signatures glue via star edges, distinct signatures via rep-level
+    // Hamming-verified pairs — same clusters as the pair graph, linear
+    // edges
+    "dedup_simhash_components" -> ((s, dir) =>
+      Dedup.simhashComponents(t(s, dir, "documents"), "doc_id", "text",
+          maxDist = 3)
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))),
     // duplicated-passage census: per-doc share of 3-gram shingles whose
     // corpus document frequency >= 2 (the boilerplate/copied-span signal)
     "dedup_spans" -> ((s, dir) =>
@@ -851,20 +862,24 @@ object LlmQueries {
     // (the oracle may brute-force pairs; the engine's chunk-bucketed
     // candidates are provably complete at d≤3, so the sets must be equal)
     "dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-         t2 AS (SELECT doc_id, substr(md5(w), 1, 16) AS m FROM tok WHERE length(w) > 0),
-         bits AS (SELECT doc_id, b,
-             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, b // 4 + 1, 1)) - 1)
-                            >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-           FROM t2 CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
-           GROUP BY doc_id, b),
-         sigs AS (SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY b) AS sig
-                  FROM bits GROUP BY doc_id),
-         pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
-             CAST(list_aggregate(list_transform(list_zip(a.sig, b.sig),
-               z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END), 'sum') AS INT) AS dist
-           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+      s"""WITH $simhashPairCtes
          SELECT ia, ib, dist FROM pairs WHERE dist <= 3""",
+
+    // components over the exact Hamming-<=3 pair graph (recursive-CTE
+    // reachability, min-id labels) — the oracle for the star-edge
+    // simhash components
+    "dedup_simhash_components" ->
+      s"""WITH RECURSIVE $simhashPairCtes,
+         jp AS (SELECT ia, ib FROM pairs WHERE dist <= 3),
+         e AS (SELECT ia AS u, ib AS v FROM jp UNION SELECT ib, ia FROM jp),
+         reach(id, r) AS (
+           SELECT u, u FROM e
+           UNION
+           SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+         comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT cluster_id, COUNT(*) AS n_docs,
+                string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         FROM comp GROUP BY cluster_id""",
 
     // same signature pipeline as dedup_simhash, then: chunk c of a sig =
     // its 16 bits 16c..16c+15 as an integer; bucket census over DISTINCT
@@ -2017,6 +2032,26 @@ object LlmQueries {
     * recursive CTE: enumerate every (vertex, reachable-vertex) pair, take
     * the min reachable id as the cluster label. Exponential in nothing on
     * the tiny planted clusters; the ENGINE side is the scalable path. */
+  /** Shared SimHash signature + brute-force pair CTEs (DuckDB): token
+    * md5-digit bits → per-bit ±1 sums → sign bits → all-pairs Hamming
+    * distance. The engine's chunk-bucketed candidates are provably
+    * complete at d≤3, so results over these exact pairs are the oracle
+    * for both the pair and the components surface. */
+  private def simhashPairCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         t2 AS (SELECT doc_id, substr(md5(w), 1, 16) AS m FROM tok WHERE length(w) > 0),
+         bits AS (SELECT doc_id, b,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(m, b // 4 + 1, 1)) - 1)
+                            >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM t2 CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+           GROUP BY doc_id, b),
+         sigs AS (SELECT doc_id, list(CASE WHEN s > 0 THEN 1 ELSE 0 END ORDER BY b) AS sig
+                  FROM bits GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(list_aggregate(list_transform(list_zip(a.sig, b.sig),
+               z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END), 'sum') AS INT) AS dist
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)"""
+
   private def clusterCtes(maxDocFreq: Option[Int] = Some(100)): String =
     s"""WITH RECURSIVE ${jaccardCtes(maxDocFreq)},
        jp AS (SELECT ia, ib FROM scored WHERE j >= 0.5),

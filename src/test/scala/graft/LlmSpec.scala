@@ -184,6 +184,37 @@ class LlmSpec extends AnyFunSuite {
     assert(mhStar == mhPairs)
   }
 
+  test("simhash components: linear star edges, clusters equal the pairs-CC") {
+    // a 5000-copy identical group must cost ~5000 star edges, never
+    // ~12.5M member pairs; near-sigs connect via rep-level pairs
+    val n = 5000
+    val cluster = (1L to n.toLong).map(i =>
+      (i, "the same boilerplate page body repeated verbatim across the crawl"))
+    val nearA = (20001L, "alpha beta gamma delta epsilon zeta eta theta kappa")
+    val nearB = (20002L, "alpha beta gamma delta epsilon zeta eta theta lambda")
+    val far = (30001L, "something else entirely about unrelated topics ten words long")
+    val docs = (cluster ++ Seq(nearA, nearB, far)).toDF("doc_id", "text")
+    val ec = Dedup.simhashComponentEdges(docs, "doc_id", "text",
+      maxDist = 3, maxChunkFreq = 1024).count()
+    assert(ec >= n - 1 && ec <= n + 20,
+      s"edge list must be linear in cluster size: got $ec for $n members")
+    val comp = Dedup.simhashComponents(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to n.toLong).forall(comp.get(_).contains(1L)),
+      "every identical member lands in the min-id component")
+    // equivalence on a mixed real corpus: components == CC over the
+    // full simhashPairs member-pair graph, bit for bit
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"comp").as[(Long, Long)].collect().toSet
+    val viaPairs = norm(Dedup.connectedComponents(
+      Dedup.simhashPairs(real, "doc_id", "text", maxDist = 3), "ia", "ib"))
+    val viaStar = norm(Dedup.simhashComponents(real, "doc_id", "text", maxDist = 3))
+    assert(viaStar == viaPairs,
+      s"star components must equal pairs components (${viaStar.size} vs ${viaPairs.size})")
+  }
+
   test("simhash chunk join survives an identical cluster; tight cap spares copies") {
     // same guards as minhash: copies collapse to one chunk-join row, so
     // even a cap of 1 keeps every identical-cluster pair at distance 0
