@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc soak of incremental view maintenance vs full recompute (not
+  * part of the graded surface — VERDICT r13 task #7). For each orders
+  * dataset given as an arg: build a keyed table, bootstrap a status
+  * aggregate, land one %13 update commit, then time (a) maintain of
+  * that single delta window and (b) a full recompute of the aggregate
+  * (fresh bootstrap at head) — the crossover claim under test is that
+  * maintenance is delta-proportional while recompute is O(table). */
+object IvmSoak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def timed(label: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"TIMED $label $s%.3f s")
+      s
+    }
+
+    // each arg is `path:replicas` — the dataset is `replicas` key-shifted
+    // copies of the parquet at `path` (shift 1e9·i clears the real key
+    // span at every tested scale), unioned in memory
+    args.foreach { spec =>
+      val Array(ordersPath, reps) = spec.split(":")
+      println(s"=== $spec ===")
+      val one = spark.read.parquet(ordersPath)
+      val orders = (0 until reps.toInt).map(i =>
+        one.withColumn("o_orderkey",
+          col("o_orderkey") + lit(1000000000L * i))).reduce(_ union _)
+      println(s"rows: ${orders.count()}")
+      def tmp(tag: String) =
+        java.nio.file.Files.createTempDirectory(s"ivm-soak-$tag").toString
+      val k = col("o_orderkey")
+      def stamp(df: org.apache.spark.sql.DataFrame, seq: Int) =
+        df.withColumn("trx_seq", lit(f"$seq%020d"))
+      val base = new graft.operators.GraftTable(spark, tmp("src") + "/t",
+        Seq("o_orderkey"), targetFileBytes = 1024 * 1024)
+      base.bulkInsert(stamp(orders, 1))
+      val groups = Seq("o_orderstatus")
+      val sums = graft.operators.Measures(
+        sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)")))
+      // FIXED-SIZE delta (~11.5k rows at every scale — keys < 150000
+      // exist in all replicated datasets): the crossover claim is
+      // "maintenance ∝ delta, recompute ∝ table", so the delta must not
+      // grow with the table
+      val delta = stamp(orders.filter(k % 13 === 0 && k < 150000)
+        .withColumn("o_orderstatus", lit("Z")), 2)
+      // three interleaved runs each; per-run setup (source clone + its
+      // delta commit + a fresh bootstrapped aggregate) is untimed —
+      // cloneTo snapshots at head and drops commit extras, so the
+      // aggregate bootstraps fresh per run (same shape as the standing
+      // w_incr_agg bench)
+      (1 to 3).foreach { i =>
+        val c = base.cloneTo(tmp(s"src-run$i") + "/t")
+        c.upsert(delta)
+        val a = new graft.operators.GraftTable(spark, tmp(s"agg-run$i") + "/t", groups)
+        graft.operators.IncrementalAgg.bootstrap(c, a, groups, sums, 0L)
+        timed(s"maintain run$i")(
+          graft.operators.IncrementalAgg.maintain(c, a, groups, sums, 0L, 1L))
+        val r = new graft.operators.GraftTable(spark, tmp(s"rec-run$i") + "/t", groups)
+        timed(s"recompute run$i")(
+          graft.operators.IncrementalAgg.bootstrap(c, r, groups, sums, 1L))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -270,6 +270,13 @@ object IncrementalAgg {
       require(n != "n", "measure name 'n' collides with the count column")
     }
     require(groupCols.nonEmpty, "at least one group column")
+    // the spec encodes groups as unescaped csv (GroupsKey) — hold the
+    // names to the same identifier grammar as measure names so the
+    // encoding is safe by construction (a backticked name containing
+    // ',' or ';' would mis-split on refresh)
+    groupCols.foreach(g => require(g.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bad group column name: $g — create_agg_view group columns must " +
+        "be plain identifiers; alias exotic names in a view first"))
     val agg = new GraftTable(spark, location, groupCols)
     require(agg.history().isEmpty,
       s"$location already holds a committed table — create_agg_view needs a fresh location")
@@ -350,6 +357,11 @@ object IncrementalAgg {
       s"aggregate table carries no $AppliedSeqKey watermark — bootstrap first"))
     val to = src.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
+    if (to < from) throw new IllegalStateException(
+      s"source head $to is BELOW the view's applied watermark $from — " +
+        "the source was rolled back or restored past the view's state; " +
+        "the maintained aggregate reflects commits that no longer exist " +
+        "and must be re-bootstrapped against the restored source")
     if (to > from) maintain(src, agg, groupCols, meas, from, to, extraMeta, where)
     to
   }

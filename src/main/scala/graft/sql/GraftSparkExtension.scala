@@ -47,7 +47,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case GraftSql.CallRe(proc, args) =>
-      GraftSql.call(session, proc.toLowerCase, GraftSql.parseArgs(args))
+      val p = proc.toLowerCase
+      GraftSql.call(session, p,
+        GraftSql.parseArgs(args, GraftSql.freeFormArg(p)))
         .queryExecution.logical
     case _ =>
       val plan = delegate.parsePlan(sqlText)

@@ -94,15 +94,30 @@ object GraftSql {
     * procedures dispatch to the table API, everything else — including
     * `graft.<name> VERSION AS OF` time travel — is plain Spark SQL. */
   def sql(spark: SparkSession, text: String): DataFrame = text match {
-    case CallRe(proc, args) => call(spark, proc.toLowerCase, parseArgs(args))
+    case CallRe(proc, args) =>
+      val p = proc.toLowerCase
+      call(spark, p, parseArgs(args, freeFormArg(p)))
     case _ => spark.sql(text)
+  }
+
+  /** The argument positions (0-based) of `proc` that carry the author's
+    * own FREE-FORM SQL — create_agg_view's group csv, measure spec and
+    * WHERE predicate — and therefore may skip the strict charset when
+    * quoted. Every other argument of every procedure (paths, table
+    * names, partition specs, seqs) stays inside the un-spoofable
+    * grammar whether quoted or not. */
+  private[sql] def freeFormArg(proc: String): Int => Boolean = proc match {
+    case "create_agg_view" => i => i >= 3
+    case _ => _ => false
   }
 
   /** Split a CALL argument list on top-level commas; 'single-quoted'
     * strings (with '' escapes) and bare integer literals only — the whole
     * procedure grammar needs nothing richer, and rejecting the rest keeps
-    * the entry un-spoofable. */
-  private[sql] def parseArgs(raw: String): Seq[String] = {
+    * the entry un-spoofable. `free(i)` marks the positions whose quoted
+    * value is intentionally free-form SQL (see [[freeFormArg]]). */
+  private[sql] def parseArgs(raw: String,
+      free: Int => Boolean = _ => false): Seq[String] = {
     if (raw.trim.isEmpty) return Seq.empty
     val out = Seq.newBuilder[(String, Boolean)]
     val cur = new StringBuilder
@@ -125,11 +140,12 @@ object GraftSql {
     }
     require(!inStr, s"unterminated string in CALL arguments: $raw")
     out += ((cur.toString.trim, sawQuote))
-    out.result().map { case (a, quoted) =>
-      // an explicitly QUOTED literal is the author's own string (e.g. a
-      // measure SQL expression) and passes as-is; the strict charset
-      // applies to BARE tokens, keeping the unquoted grammar un-spoofable
-      require(a.nonEmpty && (quoted || a.forall(_.isDigit) ||
+    out.result().zipWithIndex.map { case ((a, quoted), i) =>
+      // only a QUOTED literal in a declared free-form position (a
+      // measure SQL expression, a WHERE predicate) passes as-is; every
+      // other token — quoted or bare — keeps the strict charset, so the
+      // path/identifier grammar stays un-spoofable for every procedure
+      require(a.nonEmpty && ((quoted && free(i)) || a.forall(_.isDigit) ||
         !a.exists(_.isDigit) || a.matches("[A-Za-z0-9_=/.-]+")),
         s"unsupported CALL argument: $a")
       a

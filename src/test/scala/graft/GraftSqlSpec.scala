@@ -657,6 +657,13 @@ class GraftSqlSpec extends AnyFunSuite {
       GraftSql.sql(spark, "CALL show_commits('not_registered')"))
     intercept[IllegalArgumentException](
       GraftSql.sql(spark, "CALL run_clean('sqlspec_t5', 'unterminated)"))
+    // the quoted-literal relaxation is scoped to create_agg_view's
+    // free-form positions (measure spec / predicate) — a quoted token
+    // outside the strict charset must still be refused everywhere else
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL restore_savepoint('sqlspec_t5; x1()', 1)"))
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL create_agg_view('x1; ()', 'v', 'loc', 'g', 'm=v')"))
   }
 
   test("CREATE TABLE / INSERT / DROP TABLE: the managed SQL lifecycle") {

@@ -453,4 +453,30 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(got2 == Seq(("a", 4L, 15L)),
       s"null-only delta must keep the stored sum: $got2")
   }
+
+  test("a rolled-back source refuses maintenance instead of serving stale state") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val agg = new GraftTable(spark, tmp(), groups, targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), 1, del = false))
+    src.upsert(meta(Seq((2L, "a", 20L)).toDF("id", "grp", "v"), 2, del = false))
+    IncrementalAgg.bootstrap(src, agg, groups, sums, 1L)
+    // the source restores to BEFORE the view's watermark: the view now
+    // reflects commits that no longer exist — silent no-op would serve
+    // pre-rollback state forever, so maintainLatest must refuse loudly
+    src.rollback(0L)
+    val e = intercept[IllegalStateException](
+      IncrementalAgg.maintainLatest(src, agg, groups, sums))
+    assert(e.getMessage.contains("rolled back"), e.getMessage)
+  }
+
+  test("group column names outside the identifier grammar are refused at create") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((1L, "a", 10L)).toDF("id", "grp", "v"), 1, del = false))
+    // the spec's GroupsKey is unescaped csv — a name carrying ',' (or
+    // any non-identifier char) would mis-split on refresh, so create
+    // holds group names to the measure-name grammar up front
+    val e = intercept[IllegalArgumentException](IncrementalAgg.create(
+      spark, src, tmp(), Seq("grp,v"), Seq("total" -> "v")))
+    assert(e.getMessage.contains("bad group column name"), e.getMessage)
+  }
 }
