@@ -37,7 +37,7 @@ object Bench {
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
     "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket",
     "w_upsert_narrow_interval", "w_upsert_narrow_bucket", "w_incr_agg",
-    "w_sql_point", "w_sql_ddl", "w_stream_sink")
+    "w_incr_join", "w_sql_point", "w_sql_ddl", "w_stream_sink")
 
   /** Third reported section (round 13+): the heavy LLM-curation
     * operators. `dedup_suffix` is the engine's most expensive single
@@ -242,6 +242,37 @@ object Bench {
         graft.operators.IncrementalAgg.bootstrap(c, agg, groups, sums, 0L)
         () => {
           graft.operators.IncrementalAgg.maintain(c, agg, groups, sums, 0L, 1L)
+          ()
+        }
+      }),
+      // incremental JOIN-view maintenance (round-14): one window with
+      // churn on BOTH sides — a %13 fact update commit AND a dim commit
+      // (segment updates + deletes + late inserts) — applied to a
+      // prebuilt orders⋈customer enrichment view as ONE merge (setup
+      // per run: source clones with their delta commits + a fresh
+      // bootstrapped view, untimed)
+      "w_incr_join" -> (() => {
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"))
+        val ck = col("c_custkey")
+        val l = mergeBase.cloneTo(tmpRoot("ivmj-l") + "/t")
+        l.upsert(plannerBatch)
+        val r = new graft.operators.GraftTable(spark,
+          tmpRoot("ivmj-r") + "/t", Seq("c_custkey"))
+        r.bulkInsert(stamp(cust.filter(ck % 11 =!= 0), 1))
+        r.upsert(stamp(cust.filter(ck % 11 === 0)
+          .withColumn("c_mktsegment", lit("LATE")), 2)
+          .withColumn(graft.model.Meta.Deleted, lit(false))
+          .unionByName(stamp(cust.filter(ck % 13 === 0 && ck % 11 =!= 0), 2)
+            .withColumn(graft.model.Meta.Deleted, lit(true))))
+        val view = new graft.operators.GraftTable(spark,
+          tmpRoot("ivmj-v") + "/t", Seq("o_orderkey"))
+        val on = Seq("o_custkey" -> "c_custkey")
+        graft.operators.IncrementalJoin.bootstrap(l, r, view, on, 0L, 0L)
+        () => {
+          graft.operators.IncrementalJoin.maintain(
+            l, r, view, on, 0L, 1L, 0L, 1L)
           ()
         }
       }),

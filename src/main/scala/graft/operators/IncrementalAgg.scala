@@ -329,20 +329,35 @@ object IncrementalAgg {
       maxDepth: Int = 10): Seq[(String, Long, Long)] = {
     def specOf(t: GraftTable): Option[Map[String, String]] =
       t.historyNewestFirst().find(_.extra.contains(SrcRootKey)).map(_.extra)
-    def walk(t: GraftTable, seen: Set[String], depth: Int): Seq[(String, Long, Long)] = {
+    // a parent may be EITHER created-view kind: an aggregate over an
+    // enriched join view (the rollup-over-enrichment stack) cascades
+    // through the join level exactly like an agg-over-agg chain; a
+    // join level reports its LEFT source range (the fact side)
+    def walkAny(t: GraftTable, seen: Set[String], depth: Int): Seq[(String, Long, Long)] = {
       require(depth <= maxDepth,
-        s"agg-view chain deeper than $maxDepth levels at ${t.root} — cycle?")
-      require(!seen.contains(t.root), s"cyclic agg-view chain at ${t.root}")
-      val spec = specOf(t).getOrElse(throw new IllegalStateException(
-        s"no $SrcRootKey spec in ${t.root}'s timeline — not a created agg view"))
-      val src = GraftTable.open(spark, spec(SrcRootKey))
-      val parents =
-        if (specOf(src).isDefined) walk(src, seen + t.root, depth + 1)
-        else Seq.empty[(String, Long, Long)]
-      val (from, to) = refresh(spark, t)
-      parents :+ ((t.root, from, to))
+        s"view chain deeper than $maxDepth levels at ${t.root} — cycle?")
+      require(!seen.contains(t.root), s"cyclic view chain at ${t.root}")
+      def maybeWalk(src: GraftTable): Seq[(String, Long, Long)] =
+        if (specOf(src).isDefined || IncrementalJoin.specOf(src).isDefined)
+          walkAny(src, seen + t.root, depth + 1)
+        else Seq.empty
+      specOf(t) match {
+        case Some(spec) =>
+          val parents = maybeWalk(GraftTable.open(spark, spec(SrcRootKey)))
+          val (from, to) = refresh(spark, t)
+          parents :+ ((t.root, from, to))
+        case None =>
+          val jspec = IncrementalJoin.specOf(t).getOrElse(
+            throw new IllegalStateException(
+              s"no view spec in ${t.root}'s timeline — not a created view"))
+          val parents =
+            maybeWalk(GraftTable.open(spark, jspec(IncrementalJoin.LeftRootKey))) ++
+              maybeWalk(GraftTable.open(spark, jspec(IncrementalJoin.RightRootKey)))
+          val ((lf, lt), _) = IncrementalJoin.refresh(spark, t)
+          parents :+ ((t.root, lf, lt))
+      }
     }
-    walk(agg, Set.empty, 0)
+    walkAny(agg, Set.empty, 0)
   }
 
   /** Catch the aggregate up to the source's current head from the

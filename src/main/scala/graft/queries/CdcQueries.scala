@@ -1024,6 +1024,94 @@ object CdcScenario {
       src
     })
 
+  /** The customer DIMENSION table's own 3-commit CDC lifecycle (the
+    * right side of the incremental join view): the bootstrap load is
+    * missing every %11 customer (they arrive LATE in commit 1 tagged
+    * 'LATE'), commit 2 updates the %5 non-%13 customers (segment 'HOT',
+    * balance +100) and deletes every %13 customer. acctbal rides as
+    * DECIMAL(12,2) so incremental arithmetic is exact on both engine
+    * and oracle sides. */
+  def custDim(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"custdim:$dir", {
+      val root = Files.createTempDirectory("graft-cdc-custdim").toString
+      val dim = new GraftTable(s, root, Seq("c_custkey"),
+        targetFileBytes = 256 * 1024)
+      val base = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"))
+      val ck = col("c_custkey")
+      dim.bulkInsert(meta(base.filter(ck % 11 =!= 0), 1, deleted = false))
+      dim.upsert(meta(base.filter(ck % 11 === 0)
+        .withColumn("c_mktsegment", lit("LATE")), 2, deleted = false))
+      dim.upsert(meta(base.filter(ck % 5 === 0 && ck % 13 =!= 0)
+        .withColumn("c_mktsegment", lit("HOT"))
+        .withColumn("c_acctbal",
+          (col("c_acctbal") + lit(100).cast("decimal(12,2)"))
+            .cast("decimal(12,2)")), 3, deleted = false)
+        .unionByName(meta(base.filter(ck % 13 === 0), 3, deleted = true)))
+      dim
+    })
+
+  /** Incrementally-maintained JOIN view (round-14): orders enriched
+    * with the customer dimension, kept current from BOTH change feeds
+    * ([[graft.operators.IncrementalJoin]]). Window 1 re-enriches
+    * batchA's fact churn against the dim snapshot that just gained the
+    * LATE customers (fan-in of every waiting order, including batchA's
+    * own inserts — the branch-overlap case); window 2 applies batchB's
+    * churn while the dim updates fan OUT over enriched rows and the
+    * %13 dim deletes retract theirs. The graded read must equal the
+    * two-snapshot re-join oracle bit for bit. */
+  def incrJoin(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incrjoin:$dir", {
+      val left = main(s, dir)
+      val right = custDim(s, dir)
+      val root = Files.createTempDirectory("graft-cdc-incrjoin").toString
+      val view = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val on = Seq("o_custkey" -> "c_custkey")
+      graft.operators.IncrementalJoin.bootstrap(left, right, view, on, 0L, 0L)
+      graft.operators.IncrementalJoin.maintain(left, right, view, on, 0L, 1L, 0L, 1L)
+      graft.operators.IncrementalJoin.maintain(left, right, view, on, 1L, 2L, 1L, 2L)
+      view
+    })
+
+  /** Materialized join view MANAGED FROM PURE SQL (round-14): `CALL
+    * create_join_view` bootstraps a self-describing enrichment view at
+    * both heads, CDC commits land on BOTH sources, and `CALL
+    * refresh_join_view` catches the view up in one atomic merge from
+    * nothing but its own recorded spec + watermark pair. */
+  def sqlJoinView(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"sqljoinview:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-sqljoin")
+      val left = new GraftTable(s, s"$base/l", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      left.bulkInsert(fullLoad(s, dir))
+      val dimBase = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"))
+      val ck = col("c_custkey")
+      val right = new GraftTable(s, s"$base/r", Seq("c_custkey"),
+        targetFileBytes = 256 * 1024)
+      right.bulkInsert(meta(dimBase.filter(ck % 11 =!= 0), 1, deleted = false))
+      graft.sql.GraftSql.register(s, "joinview_l", left)
+      graft.sql.GraftSql.register(s, "joinview_r", right)
+      s.sql("CALL create_join_view('joinview_l', 'joinview_r', 'joinview_v', " +
+        s"'$base/v', 'o_custkey=c_custkey')").collect()
+      left.upsert(batchA(s, dir))
+      left.upsert(batchB(s, dir))
+      right.upsert(meta(dimBase.filter(ck % 11 === 0)
+        .withColumn("c_mktsegment", lit("LATE")), 2, deleted = false))
+      right.upsert(meta(dimBase.filter(ck % 5 === 0 && ck % 13 =!= 0)
+        .withColumn("c_mktsegment", lit("HOT"))
+        .withColumn("c_acctbal",
+          (col("c_acctbal") + lit(100).cast("decimal(12,2)"))
+            .cast("decimal(12,2)")), 3, deleted = false)
+        .unionByName(meta(dimBase.filter(ck % 13 === 0), 3, deleted = true)))
+      val out = s.sql("CALL refresh_join_view('joinview_v')").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+      require(out("left_seq") == "2" && out("right_seq") == "2",
+        s"refresh must land both heads: $out")
+      left
+    })
+
   /** LIVE materialized view over the STREAMING ingest (round-13): the
     * same raw-zone batches drain through the Structured Streaming
     * foreachBatch loop, and after every drained epoch
@@ -1725,6 +1813,24 @@ object CdcQueries {
       s.sql("""SELECT o_orderstatus, n, CAST(total2 AS DOUBLE) AS total2,
                orders2 FROM graft.aggr_l2""")
     }),
+    // incrementally-maintained JOIN view (round-14): orders enriched
+    // with the customer dimension from BOTH change feeds — late dims
+    // fan in, dim updates/deletes fan out, fact churn re-enriches —
+    // and the result must equal the two-snapshot re-join bit for bit
+    "cdc_incr_join" -> ((s, dir) =>
+      CdcScenario.incrJoin(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"))),
+    // the join view managed from PURE SQL (CALL create/refresh_join_view)
+    // and read through the DSv2 catalog as an enriched aggregate
+    "sql_join_view" -> ((s, dir) => {
+      CdcScenario.sqlJoinView(s, dir)
+      s.sql("""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+               FROM graft.joinview_v GROUP BY c_mktsegment""")
+    }),
     // the same maintained view kept LIVE by the streaming ingest loop
     // (per-epoch watermarked catch-up); must end recompute-exact
     "st_incr_agg" -> ((s, dir) =>
@@ -1885,6 +1991,23 @@ object CdcQueries {
          SELECT o_orderkey + 10000000, 'N', CAST(o_totalprice AS DECIMAL(18,2)),
            o_custkey, o_orderpriority
          FROM orders WHERE o_orderkey % 1000 = 1
+       )"""
+
+  /** The customer DIMENSION's final state (mirrors CdcScenario.custDim):
+    * %13 customers deleted; %5 survivors 'HOT' with balance +100 (the
+    * update overrides a %55 customer's LATE tag); the remaining %11
+    * customers carry the LATE tag from their catch-up insert. Appended
+    * to [[finalState]] as a second CTE by the join-view oracles. */
+  private val custFinal =
+    """cust AS (
+         SELECT c_custkey,
+           CASE WHEN c_custkey % 5 = 0 AND c_custkey % 13 <> 0 THEN 'HOT'
+                WHEN c_custkey % 11 = 0 THEN 'LATE'
+                ELSE c_mktsegment END AS c_mktsegment,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) +
+             CASE WHEN c_custkey % 5 = 0 AND c_custkey % 13 <> 0
+                  THEN 100.00 ELSE 0.00 END AS DECIMAL(12,2)) AS c_acctbal
+         FROM customer WHERE c_custkey % 13 <> 0
        )"""
 
   /** Shared with PipelineQueries: the pipeline-driven ingest must land on
@@ -2515,6 +2638,22 @@ object CdcQueries {
            CAST(SUM(price) AS DOUBLE) AS total,
            CAST(MIN(price) AS DOUBLE) AS lo
          FROM final WHERE price > 100000.00 GROUP BY o_orderpriority""",
+
+    // the maintained JOIN view must equal re-joining the two final CDC
+    // states (INNER: %13-deleted customers take their orders with them;
+    // LATE %11 customers' orders are present only via the fan-in path)
+    "cdc_incr_join" ->
+      s"""$finalState, $custFinal
+         SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.price AS DOUBLE) AS price, f.o_custkey,
+           c.c_mktsegment, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+         FROM final f JOIN cust c ON f.o_custkey = c.c_custkey""",
+    "sql_join_view" ->
+      s"""$finalState, $custFinal
+         SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(f.price) AS DOUBLE) AS total
+         FROM final f JOIN cust c ON f.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment""",
 
     // nested drift: %7 keys take the drifted payload whole (st 'N2',
     // ck past int range, tag 'drift'); carried rows read NULL tag and

@@ -108,6 +108,7 @@ object GraftSql {
     * grammar whether quoted or not. */
   private[sql] def freeFormArg(proc: String): Int => Boolean = proc match {
     case "create_agg_view" => i => i >= 3
+    case "create_join_view" => i => i == 4
     case _ => _ => false
   }
 
@@ -303,6 +304,34 @@ object GraftSql {
         summary("view" -> args(1), "location" -> args(2),
           "bootstrapped_at" ->
             graft.operators.IncrementalAgg.appliedSeq(agg).get.toString)
+      case "create_join_view" =>
+        // materialized fact⋈dim enrichment view over two keyed tables'
+        // change feeds (IncrementalJoin): bootstrapped at both heads,
+        // self-describing, refreshed by CALL refresh_join_view
+        arity(5)
+        val on = args(4).split(",").filter(_.trim.nonEmpty).toSeq.map { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"join pair must be left_col=right_col: $kv")
+          kv.substring(0, i).trim -> kv.substring(i + 1).trim
+        }
+        val view = graft.operators.IncrementalJoin.create(
+          spark, lookup(args(0)), lookup(args(1)), args(3), on)
+        register(spark, args(2), view)
+        val (l0, r0) = graft.operators.IncrementalJoin.appliedSeqs(view).get
+        summary("view" -> args(2), "location" -> args(3),
+          "bootstrapped_left" -> l0.toString,
+          "bootstrapped_right" -> r0.toString)
+      case "refresh_join_view" =>
+        // one atomic merge carries both sources' windows + watermarks;
+        // stale created-view PARENTS (either side) refresh first
+        arity(1)
+        val view = lookup(args(0))
+        require(graft.operators.IncrementalJoin.specOf(view).isDefined,
+          s"${args(0)} is not a created join view")
+        val levels = graft.operators.IncrementalAgg.refreshCascade(spark, view)
+        val (lt, rt) = graft.operators.IncrementalJoin.appliedSeqs(view).get
+        summary("view" -> args(0), "left_seq" -> lt.toString,
+          "right_seq" -> rt.toString, "levels" -> levels.size.toString)
       case "refresh_agg_view" =>
         // delta-proportional catch-up from the view's crash-safe
         // watermark; a current view is an idempotent no-op. CASCADING:
@@ -323,7 +352,8 @@ object GraftSql {
             "show_partitions, run_compaction, run_clustering, " +
             "run_clean, run_archive, run_fsck, create_savepoint, " +
             "restore_savepoint, rollback_to, delete_partition, " +
-            "build_record_index, create_agg_view, refresh_agg_view")
+            "build_record_index, create_agg_view, refresh_agg_view, " +
+            "create_join_view, refresh_join_view")
     }
   }
 }

@@ -514,7 +514,7 @@ class GraftSqlSpec extends AnyFunSuite {
     // a plain table is not a view: refusal names the missing spec
     val e = intercept[Exception](
       spark.sql("CALL refresh_agg_view('sqlspec_ivm_src')").collect())
-    assert(e.getMessage.contains("not a created agg view"), e.getMessage)
+    assert(e.getMessage.contains("not a created view"), e.getMessage)
   }
 
   test("UPDATE and DELETE statements run as pruned partial rewrites") {
