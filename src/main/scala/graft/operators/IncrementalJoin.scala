@@ -75,6 +75,17 @@ object IncrementalJoin {
   val LeftRootKey = "ivm_join_left_root"
   val RightRootKey = "ivm_join_right_root"
   val OnKey = "ivm_join_on"
+  val JoinTypeKey = "ivm_join_type"
+
+  /** INNER: an unmatched fact contributes no row; a dim delete takes
+    * its enriched rows with it; a late dim fans waiting facts IN. */
+  val Inner = "inner"
+  /** LEFT OUTER: every live fact row is in the view, dim columns NULL
+    * until (or after) their dim exists — and the dim side gets strictly
+    * CHEAPER: every dim op (insert included) is an in-place rewrite of
+    * the view rows carrying that key, so a dim-only window never reads
+    * the fact table at all. */
+  val LeftOuter = "left"
 
   private val DelCol = "_del"
 
@@ -111,27 +122,33 @@ object IncrementalJoin {
     * non-join columns (the right join-column values are redundant with
     * the left fk). */
   private def joined(l: DataFrame, r: DataFrame,
-      on: Seq[(String, String)]): DataFrame = {
+      on: Seq[(String, String)], joinType: String): DataFrame = {
     val cond = on.map { case (lc, rc) => l(lc) === r(rc) }.reduce(_ && _)
     val rKeep = r.columns.filterNot(on.map(_._2).contains).toSeq
     val clash = rKeep.toSet.intersect(l.columns.toSet)
     require(clash.isEmpty,
       s"left/right column names collide: ${clash.mkString(",")} — " +
         "alias one side before creating the join view")
-    l.join(r, cond, "inner")
+    l.join(r, cond, joinType)
       .select(l.columns.toSeq.map(l(_)) ++ rKeep.map(r(_)): _*)
   }
+
+  private def requireJoinType(joinType: String): Unit =
+    require(joinType == Inner || joinType == LeftOuter,
+      s"joinType must be '$Inner' or '$LeftOuter': $joinType")
 
   /** One-time full join of the two snapshots into the (empty) view,
     * recording both watermarks atomically with the data. */
   def bootstrap(left: GraftTable, right: GraftTable, view: GraftTable,
       on: Seq[(String, String)], atLeft: Long, atRight: Long,
+      joinType: String = Inner,
       extraMeta: Map[String, String] = Map.empty): Unit = {
     requireContract(left, right, view, on)
+    requireJoinType(joinType)
     val l = userOf(left, left.readAsOf(atLeft))
     require(!l.columns.contains(DelCol),
       s"left column '$DelCol' collides with the maintenance marker")
-    val full = joined(l, userOf(right, right.readAsOf(atRight)), on)
+    val full = joined(l, userOf(right, right.readAsOf(atRight)), on, joinType)
     view.bulkInsert(full, extraMeta = extraMeta +
       (LeftSeqKey -> atLeft.toString) + (RightSeqKey -> atRight.toString))
     ()
@@ -145,8 +162,10 @@ object IncrementalJoin {
   def maintain(left: GraftTable, right: GraftTable, view: GraftTable,
       on: Seq[(String, String)], leftFrom: Long, leftTo: Long,
       rightFrom: Long, rightTo: Long,
+      joinType: String = Inner,
       extraMeta: Map[String, String] = Map.empty): Unit = {
     requireContract(left, right, view, on)
+    requireJoinType(joinType)
     require(leftFrom <= leftTo && rightFrom <= rightTo,
       s"backwards maintenance window (left $leftFrom→$leftTo, right $rightFrom→$rightTo)")
     if (leftFrom == leftTo && rightFrom == rightTo) return
@@ -197,7 +216,8 @@ object IncrementalJoin {
         val cond = on.map { case (lc, rc) => post(lc) === rFlag(rc) }.reduce(_ && _)
         val postJ = post.join(rFlag, cond, "left")
           .select(lCols.map(post(_)) ++ rKeep.map(rFlag(_)) :+
-            rFlag("_rmatch").isNull.as(DelCol): _*)
+            (if (joinType == Inner) rFlag("_rmatch").isNull
+             else lit(false)).as(DelCol): _*)
         val dels = img.filter(col("op") === "D")
           .select(lCols.map(c => col("_before")(c).as(c)) ++
             rKeep.map(c => lit(null).as(c)) :+ lit(true).as(DelCol): _*)
@@ -222,6 +242,22 @@ object IncrementalJoin {
       require((rKeep ++ on.map(_._2)).forall(rCommon.contains),
         s"right change feed is missing view columns: " +
           (rKeep ++ on.map(_._2)).filterNot(rCommon.contains).mkString(","))
+      val branches: Option[DataFrame] = if (joinType == LeftOuter) {
+        // LEFT OUTER: every fact row is already IN the view (dim side
+        // possibly NULL), so EVERY dim op — insert, update, delete — is
+        // an in-place rewrite of the view rows carrying that key: new
+        // values from _after (NULL for a delete, exactly the LEFT
+        // semantics). A dim-only window never reads the fact table.
+        if (imgR.isEmpty) None else {
+          val fanR = imgR.select(on.map(_._2).map(imgField) ++
+            rKeep.map(c => col("_after")(c).as(c)): _*)
+          val v = view.readUser()
+          val fanCond = on.map { case (lc, rc) => v(lc) === fanR(rc) }.reduce(_ && _)
+          Some(v.join(fanR, fanCond, "inner")
+            .select(lCols.map(v(_)) ++ rKeep.map(fanR(_)) :+
+              lit(false).as(DelCol): _*))
+        }
+      } else {
       // updates rewrite the dim side of matching view rows in place;
       // deletes retract them — the fact table is never read
       val fanned = if (imgR.filter(col("op") =!= "I").isEmpty) None else {
@@ -239,11 +275,12 @@ object IncrementalJoin {
       val lateFacts = if (imgR.filter(col("op") === "I").isEmpty) None else {
         val insR = imgR.filter(col("op") === "I")
           .select(rCommon.map(c => col("_after")(c).as(c)): _*)
-        Some(joined(userOf(left, left.readAsOf(leftTo)), insR, on)
+        Some(joined(userOf(left, left.readAsOf(leftTo)), insR, on, Inner)
           .select(viewCols.map(col) :+ lit(false).as(DelCol): _*))
       }
       (fanned.toSeq ++ lateFacts.toSeq).reduceOption(_ unionByName _)
-        .map(antiTouched)
+      }
+      branches.map(antiTouched)
     } else None
 
     // an all-empty window (both feeds maintenance-only) still commits:
@@ -281,7 +318,7 @@ object IncrementalJoin {
     * atomic (one merge commit carries data + both watermarks). Refuses
     * loudly when either source was rolled back below its watermark. */
   def maintainLatest(left: GraftTable, right: GraftTable, view: GraftTable,
-      on: Seq[(String, String)],
+      on: Seq[(String, String)], joinType: String = Inner,
       extraMeta: Map[String, String] = Map.empty): (Long, Long) = {
     val (lf, rf) = appliedSeqs(view).getOrElse(throw new IllegalStateException(
       s"view carries no $LeftSeqKey/$RightSeqKey watermarks — bootstrap first"))
@@ -296,7 +333,7 @@ object IncrementalJoin {
     }
     val lt = head(left, "left", lf)
     val rt = head(right, "right", rf)
-    maintain(left, right, view, on, lf, lt, rf, rt, extraMeta)
+    maintain(left, right, view, on, lf, lt, rf, rt, joinType, extraMeta)
     (lt, rt)
   }
 
@@ -306,7 +343,9 @@ object IncrementalJoin {
     * bootstrap commit so [[refresh]] — and the `CALL refresh_join_view`
     * SQL surface — needs only the view itself. */
   def create(spark: SparkSession, left: GraftTable, right: GraftTable,
-      location: String, on: Seq[(String, String)]): GraftTable = {
+      location: String, on: Seq[(String, String)],
+      joinType: String = Inner): GraftTable = {
+    requireJoinType(joinType)
     on.foreach { case (lc, rc) =>
       Seq(lc, rc).foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"bad join column name: $c — join columns must be plain identifiers"))
@@ -318,14 +357,16 @@ object IncrementalJoin {
       throw new IllegalStateException("left table has no commits"))
     val atR = right.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("right table has no commits"))
-    bootstrap(left, right, view, on, atL, atR, extraMeta = specMeta(left, right, on))
+    bootstrap(left, right, view, on, atL, atR, joinType,
+      extraMeta = specMeta(left, right, on, joinType))
     view
   }
 
   private def specMeta(left: GraftTable, right: GraftTable,
-      on: Seq[(String, String)]): Map[String, String] =
+      on: Seq[(String, String)], joinType: String): Map[String, String] =
     Map(LeftRootKey -> left.root, RightRootKey -> right.root,
-      OnKey -> on.map { case (l, r) => s"$l=$r" }.mkString(","))
+      OnKey -> on.map { case (l, r) => s"$l=$r" }.mkString(","),
+      JoinTypeKey -> joinType)
 
   private[graft] def specOf(view: GraftTable): Option[Map[String, String]] =
     view.historyNewestFirst().find(_.extra.contains(LeftRootKey)).map(_.extra)
@@ -343,9 +384,11 @@ object IncrementalJoin {
       val i = kv.indexOf('=')
       kv.substring(0, i) -> kv.substring(i + 1)
     }
+    // pre-JoinTypeKey specs are inner views by construction
+    val joinType = spec.getOrElse(JoinTypeKey, Inner)
     val (lf, rf) = appliedSeqs(view).get
-    val (lt, rt) = maintainLatest(left, right, view, on,
-      extraMeta = specMeta(left, right, on))
+    val (lt, rt) = maintainLatest(left, right, view, on, joinType,
+      extraMeta = specMeta(left, right, on, joinType))
     ((lf, lt), (rf, rt))
   }
 }

@@ -1074,6 +1074,27 @@ object CdcScenario {
       view
     })
 
+  /** LEFT OUTER variant of [[incrJoin]]: every live order is in the
+    * view from bootstrap — the %11 customers' orders carry NULL dim
+    * columns until their dim arrives (window 1 fills them IN PLACE),
+    * and the %13 dim deletes NULL their orders' dim columns out
+    * instead of retracting the rows. A dim-only window never reads the
+    * fact table on this path. */
+  def incrJoinLeft(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incrjoinl:$dir", {
+      val left = main(s, dir)
+      val right = custDim(s, dir)
+      val root = Files.createTempDirectory("graft-cdc-incrjoinl").toString
+      val view = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val on = Seq("o_custkey" -> "c_custkey")
+      val jt = graft.operators.IncrementalJoin.LeftOuter
+      graft.operators.IncrementalJoin.bootstrap(left, right, view, on, 0L, 0L, jt)
+      graft.operators.IncrementalJoin.maintain(left, right, view, on, 0L, 1L, 0L, 1L, jt)
+      graft.operators.IncrementalJoin.maintain(left, right, view, on, 1L, 2L, 1L, 2L, jt)
+      view
+    })
+
   /** Materialized join view MANAGED FROM PURE SQL (round-14): `CALL
     * create_join_view` bootstraps a self-describing enrichment view at
     * both heads, CDC commits land on BOTH sources, and `CALL
@@ -1112,6 +1133,49 @@ object CdcScenario {
       left
     })
 
+  /** The full VIEW STACK from pure SQL (round-14): an aggregate view
+    * OVER a join view — `CALL create_join_view` (orders⋈customer), then
+    * `CALL create_agg_view` grouping the ENRICHMENT by the dim-side
+    * segment, CDC commits on BOTH base tables, and ONE `CALL
+    * refresh_agg_view` on the rollup that must cascade MIXED kinds:
+    * the join view first (both base feeds), then the aggregate over
+    * the join view's fresh maintenance commit. */
+  def sqlViewStack(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"sqlstack:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-sqlstack")
+      val left = new GraftTable(s, s"$base/l", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      left.bulkInsert(fullLoad(s, dir))
+      val dimBase = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"))
+      val ck = col("c_custkey")
+      val right = new GraftTable(s, s"$base/r", Seq("c_custkey"),
+        targetFileBytes = 256 * 1024)
+      right.bulkInsert(meta(dimBase.filter(ck % 11 =!= 0), 1, deleted = false))
+      graft.sql.GraftSql.register(s, "joinstack_l", left)
+      graft.sql.GraftSql.register(s, "joinstack_r", right)
+      s.sql("CALL create_join_view('joinstack_l', 'joinstack_r', " +
+        s"'joinstack_j', '$base/j', 'o_custkey=c_custkey')").collect()
+      s.sql("CALL create_agg_view('joinstack_j', 'joinstack_a', " +
+        s"'$base/a', 'c_mktsegment', " +
+        "'total=CAST(o_totalprice AS DECIMAL(18,2))')").collect()
+      left.upsert(batchA(s, dir))
+      left.upsert(batchB(s, dir))
+      right.upsert(meta(dimBase.filter(ck % 11 === 0)
+        .withColumn("c_mktsegment", lit("LATE")), 2, deleted = false))
+      right.upsert(meta(dimBase.filter(ck % 5 === 0 && ck % 13 =!= 0)
+        .withColumn("c_mktsegment", lit("HOT"))
+        .withColumn("c_acctbal",
+          (col("c_acctbal") + lit(100).cast("decimal(12,2)"))
+            .cast("decimal(12,2)")), 3, deleted = false)
+        .unionByName(meta(dimBase.filter(ck % 13 === 0), 3, deleted = true)))
+      val out = s.sql("CALL refresh_agg_view('joinstack_a')").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+      require(out("levels") == "2",
+        s"one CALL must cascade join view + aggregate: $out")
+      left
+    })
+
   /** LIVE materialized view over the STREAMING ingest (round-13): the
     * same raw-zone batches drain through the Structured Streaming
     * foreachBatch loop, and after every drained epoch
@@ -1139,6 +1203,42 @@ object CdcScenario {
           else IncrementalAgg.maintainLatest(tab, agg, groups, sums)
         }
       agg
+    })
+
+  /** LIVE materialized JOIN view over the STREAMING ingest (round-14):
+    * the fact side drains through the Structured Streaming loop while
+    * the customer dimension lands its own batch commits BETWEEN epochs
+    * (the usual asymmetry: facts stream, dims trickle). After every
+    * drained epoch [[graft.operators.IncrementalJoin.maintainLatest]]
+    * catches the enrichment up on BOTH feeds from its watermark pair —
+    * the view is never more than one epoch behind and ends
+    * re-join-exact. */
+  def streamIncrJoin(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"stincrjoin:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-stincrj")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val tab = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val dim = custDim(s, dir)
+      val view = new GraftTable(s, s"$base/view", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val on = Seq("o_custkey" -> "c_custkey")
+      // epoch i sees the dim AS OF commit i (the trickle): maintenance
+      // windows advance (fact epoch, dim commit) pairs in lockstep
+      Seq(fullLoad(s, dir), batchA(s, dir), batchB(s, dir)).zipWithIndex
+        .foreach { case (b, i) =>
+          b.coalesce(1).write.mode("append").parquet(raw)
+          graft.streaming.ContinuousIngest.drain(s, raw, tab, ck)
+          if (i == 0)
+            graft.operators.IncrementalJoin.bootstrap(tab, dim, view, on,
+              tab.history().last.seq, 0L)
+          else {
+            val (lf, rf) = graft.operators.IncrementalJoin.appliedSeqs(view).get
+            graft.operators.IncrementalJoin.maintain(tab, dim, view, on,
+              lf, tab.history().last.seq, rf, i.toLong)
+          }
+        }
+      view
     })
 
   /** NESTED schema evolution through the API upsert (round-13): the
@@ -1819,6 +1919,32 @@ object CdcQueries {
     // and the result must equal the two-snapshot re-join bit for bit
     "cdc_incr_join" -> ((s, dir) =>
       CdcScenario.incrJoin(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"))),
+    // the FULL view stack from SQL: agg OVER join, one cascading CALL —
+    // the maintained rollup of the maintained enrichment must equal
+    // grouping the two-final-states re-join
+    "sql_view_stack" -> ((s, dir) => {
+      CdcScenario.sqlViewStack(s, dir)
+      s.sql("""SELECT c_mktsegment, n, CAST(total AS DOUBLE) AS total
+               FROM graft.joinstack_a""")
+    }),
+    // the join view kept LIVE by the streaming ingest loop: facts
+    // stream, the dim trickles batch commits between epochs, ends
+    // re-join-exact
+    "st_incr_join" -> ((s, dir) =>
+      CdcScenario.streamIncrJoin(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"))),
+    // LEFT OUTER variant: every live order present, dim columns NULL
+    // where the customer is missing or deleted — must equal the LEFT
+    // re-join of the two final states
+    "cdc_incr_join_left" -> ((s, dir) =>
+      CdcScenario.incrJoinLeft(s, dir).readUser()
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col("o_custkey"), col("c_mktsegment"),
@@ -2648,6 +2774,30 @@ object CdcQueries {
            CAST(f.price AS DOUBLE) AS price, f.o_custkey,
            c.c_mktsegment, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
          FROM final f JOIN cust c ON f.o_custkey = c.c_custkey""",
+    "st_incr_join" ->
+      s"""$finalState, $custFinal
+         SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.price AS DOUBLE) AS price, f.o_custkey,
+           c.c_mktsegment, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+         FROM final f JOIN cust c ON f.o_custkey = c.c_custkey""",
+    "st_incr_join" ->
+      s"""$finalState, $custFinal
+         SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.price AS DOUBLE) AS price, f.o_custkey,
+           c.c_mktsegment, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+         FROM final f JOIN cust c ON f.o_custkey = c.c_custkey""",
+    "cdc_incr_join_left" ->
+      s"""$finalState, $custFinal
+         SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.price AS DOUBLE) AS price, f.o_custkey,
+           c.c_mktsegment, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+         FROM final f LEFT JOIN cust c ON f.o_custkey = c.c_custkey""",
+    "sql_view_stack" ->
+      s"""$finalState, $custFinal
+         SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(f.price) AS DOUBLE) AS total
+         FROM final f JOIN cust c ON f.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment""",
     "sql_join_view" ->
       s"""$finalState, $custFinal
          SELECT c.c_mktsegment, COUNT(*) AS n,

@@ -21,7 +21,8 @@ import graft.operators.GraftTable
   *  - **Management procedures**: `CALL <proc>(...)` statements dispatch
   *    to the table API (the Hudi `CALL run_compaction(...)` surface):
   *    show_commits, show_savepoints, show_changes, show_table_stats,
-  *    show_partitions, create_agg_view, refresh_agg_view,
+  *    show_partitions, show_view, create_agg_view, refresh_agg_view,
+  *    create_join_view, refresh_join_view,
   *    run_compaction, run_clustering, run_clean,
   *    run_archive, run_fsck, create_savepoint, restore_savepoint,
   *    rollback_to, delete_partition, build_record_index. Each returns a
@@ -304,18 +305,56 @@ object GraftSql {
         summary("view" -> args(1), "location" -> args(2),
           "bootstrapped_at" ->
             graft.operators.IncrementalAgg.appliedSeq(agg).get.toString)
+      case "show_view" =>
+        // ops observability for EITHER created-view kind: the spec and
+        // watermark(s) a refresh would act on, straight off the
+        // timeline — no data jobs
+        arity(1)
+        val v = lookup(args(0))
+        val aggSpec = v.historyNewestFirst()
+          .find(_.extra.contains(graft.operators.IncrementalAgg.SrcRootKey))
+          .map(_.extra)
+        aggSpec match {
+          case Some(spec) =>
+            summary(Seq(
+              "kind" -> "aggregate",
+              "source" -> spec(graft.operators.IncrementalAgg.SrcRootKey),
+              "group_cols" -> spec(graft.operators.IncrementalAgg.GroupsKey),
+              "measures" -> spec(graft.operators.IncrementalAgg.SumsKey),
+              "applied_seq" ->
+                graft.operators.IncrementalAgg.appliedSeq(v).get.toString) ++
+              spec.get(graft.operators.IncrementalAgg.WhereKey)
+                .map("where" -> _): _*)
+          case None =>
+            val spec = graft.operators.IncrementalJoin.specOf(v).getOrElse(
+              throw new IllegalArgumentException(
+                s"${args(0)} is not a created view (no spec in its timeline)"))
+            val (lSeq, rSeq) = graft.operators.IncrementalJoin.appliedSeqs(v).get
+            summary(
+              "kind" -> "join",
+              "left" -> spec(graft.operators.IncrementalJoin.LeftRootKey),
+              "right" -> spec(graft.operators.IncrementalJoin.RightRootKey),
+              "on" -> spec(graft.operators.IncrementalJoin.OnKey),
+              "join_type" -> spec.getOrElse(
+                graft.operators.IncrementalJoin.JoinTypeKey,
+                graft.operators.IncrementalJoin.Inner),
+              "left_seq" -> lSeq.toString, "right_seq" -> rSeq.toString)
+        }
       case "create_join_view" =>
         // materialized fact⋈dim enrichment view over two keyed tables'
         // change feeds (IncrementalJoin): bootstrapped at both heads,
         // self-describing, refreshed by CALL refresh_join_view
-        arity(5)
+        require(args.size == 5 || args.size == 6,
+          "create_join_view(left_table, right_table, view_name, location, " +
+            s"on_pairs[, inner|left]) — got ${args.size} args")
         val on = args(4).split(",").filter(_.trim.nonEmpty).toSeq.map { kv =>
           val i = kv.indexOf('=')
           require(i > 0, s"join pair must be left_col=right_col: $kv")
           kv.substring(0, i).trim -> kv.substring(i + 1).trim
         }
         val view = graft.operators.IncrementalJoin.create(
-          spark, lookup(args(0)), lookup(args(1)), args(3), on)
+          spark, lookup(args(0)), lookup(args(1)), args(3), on,
+          joinType = args.lift(5).getOrElse(graft.operators.IncrementalJoin.Inner))
         register(spark, args(2), view)
         val (l0, r0) = graft.operators.IncrementalJoin.appliedSeqs(view).get
         summary("view" -> args(2), "location" -> args(3),
@@ -353,7 +392,7 @@ object GraftSql {
             "run_clean, run_archive, run_fsck, create_savepoint, " +
             "restore_savepoint, rollback_to, delete_partition, " +
             "build_record_index, create_agg_view, refresh_agg_view, " +
-            "create_join_view, refresh_join_view")
+            "create_join_view, refresh_join_view, show_view")
     }
   }
 }

@@ -515,6 +515,50 @@ class GraftSqlSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("CALL refresh_agg_view('sqlspec_ivm_src')").collect())
     assert(e.getMessage.contains("not a created view"), e.getMessage)
+    // show_view reports the spec + watermark a refresh would act on
+    val sv = spark.sql("CALL show_view('sqlspec_ivm_v')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sv("kind") == "aggregate" && sv("group_cols") == "grp" &&
+      sv("applied_seq") == "1", sv)
+    intercept[Exception](
+      spark.sql("CALL show_view('sqlspec_ivm_src')").collect())
+  }
+
+  test("CALL create_join_view / refresh_join_view / show_view manage a join view") {
+    val l = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    l.bulkInsert(Seq((1L, 10L, "a", "001"), (2L, 77L, "b", "001"))
+      .toDF("id", "fk", "lv", "trx_seq"))
+    val r = new GraftTable(spark, tmp(), Seq("fk"), targetFileBytes = 16 * 1024)
+    r.bulkInsert(Seq((10L, "ten", "001")).toDF("fk", "dv", "trx_seq"))
+    GraftSql.register(spark, "sqlspec_jv_l", l)
+    GraftSql.register(spark, "sqlspec_jv_r", r)
+    val loc = tmp()
+    val created = spark.sql("CALL create_join_view('sqlspec_jv_l', " +
+      s"'sqlspec_jv_r', 'sqlspec_jv_v', '$loc', 'fk=fk', 'left')").collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(created("bootstrapped_left") == "0" &&
+      created("bootstrapped_right") == "0", created)
+    // LEFT OUTER: the dangling row is present with a NULL dim column
+    val boot = spark.sql(
+      "SELECT id, dv FROM graft.sqlspec_jv_v ORDER BY id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(boot == Seq((1L, Some("ten")), (2L, None)), s"got $boot")
+    r.upsert(Seq((77L, "late", "002")).toDF("fk", "dv", "trx_seq"))
+    val refreshed = spark.sql("CALL refresh_join_view('sqlspec_jv_v')")
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(refreshed("left_seq") == "0" && refreshed("right_seq") == "1",
+      refreshed)
+    val after = spark.sql(
+      "SELECT id, dv FROM graft.sqlspec_jv_v ORDER BY id")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(after == Seq((1L, Some("ten")), (2L, Some("late"))), s"got $after")
+    val sv = spark.sql("CALL show_view('sqlspec_jv_v')")
+      .collect().map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(sv("kind") == "join" && sv("join_type") == "left" &&
+      sv("on") == "fk=fk" && sv("left_seq") == "0" && sv("right_seq") == "1", sv)
+    // refresh_join_view refuses a non-join view
+    intercept[Exception](
+      spark.sql("CALL refresh_join_view('sqlspec_jv_l')").collect())
   }
 
   test("UPDATE and DELETE statements run as pruned partial rewrites") {

@@ -231,6 +231,72 @@ class IncrementalJoinSpec extends AnyFunSuite {
     assert(materialized(view) == recompute(left, right))
   }
 
+  private def recomputeLeft(l: GraftTable, r: GraftTable) = {
+    val lf = l.readUser(); val rf = r.readUser()
+    lf.join(rf, lf("fk") === rf("dk"), "left")
+      .select(lf("id"), lf("fk"), lf("lv"), rf("dv"))
+      .as[(Long, Option[Long], String, Option[String])].collect().sortBy(_._1).toSeq
+  }
+  private def materializedLeft(v: GraftTable) =
+    v.readUser().select("id", "fk", "lv", "dv")
+      .as[(Long, Option[Long], String, Option[String])].collect().sortBy(_._1).toSeq
+
+  test("LEFT OUTER view: facts survive missing dims; dim ops rewrite in place") {
+    val left = mkLeft(Seq((1L, Some(10L), "a"), (2L, Some(40L), "waiting"),
+      (3L, None, "nofk"), (4L, Some(20L), "d")), 1)
+    val right = mkRight(Seq((10L, "ten"), (20L, "twenty")), 1)
+    val view = mkView()
+    val L = IncrementalJoin.LeftOuter
+    IncrementalJoin.bootstrap(left, right, view, on, 0L, 0L, L)
+    // EVERY fact row is present; 2 and 3 carry NULL dim columns
+    assert(materializedLeft(view) == recomputeLeft(left, right))
+    assert(materializedLeft(view).map(_._1) == Seq(1L, 2L, 3L, 4L))
+
+    // dim-only window: 40 arrives (row 2 fills IN PLACE), 10 renames
+    // (row 1 rewrites), 20 dies (row 4 NULLs out instead of vanishing)
+    right.upsert(meta(Seq((40L, "forty"), (10L, "TEN")).toDF("dk", "dv"),
+      2, del = false)
+      .unionByName(meta(Seq((20L, "twenty")).toDF("dk", "dv"), 2, del = true)))
+    IncrementalJoin.maintain(left, right, view, on, 0L, 0L, 0L, 1L, L)
+    assert(materializedLeft(view) == recomputeLeft(left, right), "after dim window")
+    assert(materializedLeft(view) == Seq(
+      (1L, Some(10L), "a", Some("TEN")), (2L, Some(40L), "waiting", Some("forty")),
+      (3L, None, "nofk", None), (4L, Some(20L), "d", None)))
+
+    // both-sides window: row 3 gains a DANGLING fk (stays, dim NULL),
+    // row 1 deletes, row 5 inserts pointing at 40, dim 40 updates in
+    // the same window (branch overlap: both rows 2 and 5 must read the
+    // NEW value — 2 via fan-out, 5 via branch 1 against right@to)
+    left.upsert(meta(Seq((3L, Some(99L), "nofk"), (5L, Some(40L), "e"))
+      .toDF("id", "fk", "lv"), 3, del = false)
+      .unionByName(meta(Seq((1L, Some(10L), "a")).toDF("id", "fk", "lv"),
+        3, del = true)))
+    right.upsert(meta(Seq((40L, "FORTY")).toDF("dk", "dv"), 3, del = false))
+    IncrementalJoin.maintain(left, right, view, on, 0L, 1L, 1L, 2L, L)
+    assert(materializedLeft(view) == recomputeLeft(left, right), "after joint window")
+    assert(materializedLeft(view) == Seq(
+      (2L, Some(40L), "waiting", Some("FORTY")), (3L, Some(99L), "nofk", None),
+      (4L, Some(20L), "d", None), (5L, Some(40L), "e", Some("FORTY"))))
+  }
+
+  test("LEFT OUTER create/refresh round-trips the join type through the spec") {
+    val left = mkLeft(Seq((1L, Some(10L), "a"), (2L, Some(77L), "b")), 1)
+    val right = mkRight(Seq((10L, "t")), 1)
+    val view = IncrementalJoin.create(spark, left, right, tmp(), on,
+      IncrementalJoin.LeftOuter)
+    assert(materializedLeft(view) == recomputeLeft(left, right))
+    // the dangling row is IN the LEFT view from bootstrap
+    assert(materializedLeft(view).map(_._1) == Seq(1L, 2L))
+    left.upsert(meta(Seq((3L, Some(10L), "c")).toDF("id", "fk", "lv"),
+      2, del = false))
+    right.upsert(meta(Seq((77L, "late")).toDF("dk", "dv"), 2, del = false))
+    IncrementalJoin.refresh(spark, view)
+    assert(materializedLeft(view) == recomputeLeft(left, right))
+    assert(materializedLeft(view)(1) == ((2L, Some(77L), "b", Some("late"))))
+    assert(view.historyNewestFirst().next()
+      .extra(IncrementalJoin.JoinTypeKey) == IncrementalJoin.LeftOuter)
+  }
+
   test("an aggregate view OVER a join view cascades through both kinds") {
     import graft.operators.IncrementalAgg
     val left = mkLeft(Seq((1L, Some(10L), "a"), (2L, Some(10L), "b"),
