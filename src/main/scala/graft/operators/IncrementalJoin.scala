@@ -76,6 +76,11 @@ object IncrementalJoin {
   val RightRootKey = "ivm_join_right_root"
   val OnKey = "ivm_join_on"
   val JoinTypeKey = "ivm_join_type"
+  /** Optional fact-side WHERE predicate (left columns only): the view
+    * is `filtered facts ⋈ dim`; a fact row crossing the predicate
+    * boundary is a pure add/retract, exactly like the aggregate views'
+    * [[IncrementalAgg.WhereKey]] contract. */
+  val WhereKey = "ivm_join_where"
 
   /** INNER: an unmatched fact contributes no row; a dim delete takes
     * its enriched rows with it; a late dim fans waiting facts IN. */
@@ -142,13 +147,26 @@ object IncrementalJoin {
   def bootstrap(left: GraftTable, right: GraftTable, view: GraftTable,
       on: Seq[(String, String)], atLeft: Long, atRight: Long,
       joinType: String = Inner,
+      /** Dim columns to MATERIALIZE (beyond the join columns); empty =
+        * all. A 3-column enrichment from a wide dimension should not
+        * carry the other 197 — [[maintain]] derives the kept set from
+        * the view's own schema, so this is a bootstrap-time choice. */
+      rightCols: Seq[String] = Seq.empty,
+      /** Fact-side predicate (left columns only — loud analysis error
+        * otherwise): rows outside it contribute no view row, and an
+        * update crossing the boundary adds/retracts exactly. */
+      where: Option[String] = None,
       extraMeta: Map[String, String] = Map.empty): Unit = {
     requireContract(left, right, view, on)
     requireJoinType(joinType)
-    val l = userOf(left, left.readAsOf(atLeft))
+    val l0 = userOf(left, left.readAsOf(atLeft))
+    val l = where.fold(l0)(w => l0.filter(expr(w)))
     require(!l.columns.contains(DelCol),
       s"left column '$DelCol' collides with the maintenance marker")
-    val full = joined(l, userOf(right, right.readAsOf(atRight)), on, joinType)
+    val r0 = userOf(right, right.readAsOf(atRight))
+    val r = if (rightCols.isEmpty) r0
+      else r0.select((on.map(_._2) ++ rightCols).distinct.map(col): _*)
+    val full = joined(l, r, on, joinType)
     view.bulkInsert(full, extraMeta = extraMeta +
       (LeftSeqKey -> atLeft.toString) + (RightSeqKey -> atRight.toString))
     ()
@@ -163,6 +181,7 @@ object IncrementalJoin {
       on: Seq[(String, String)], leftFrom: Long, leftTo: Long,
       rightFrom: Long, rightTo: Long,
       joinType: String = Inner,
+      where: Option[String] = None,
       extraMeta: Map[String, String] = Map.empty): Unit = {
     requireContract(left, right, view, on)
     requireJoinType(joinType)
@@ -182,6 +201,10 @@ object IncrementalJoin {
     val rKeep = viewCols.filter(c =>
       rNew.columns.contains(c) && !on.exists(_._2 == c))
     val lCols = viewCols.filterNot(rKeep.contains)
+    require(!viewCols.contains(DelCol) && !lCols.contains("_wq") &&
+      !rNew.columns.contains("_rmatch"),
+      "source/view columns collide with the maintenance markers " +
+        s"($DelCol/_wq/_rmatch) — rename them before creating the view")
 
     def imgField(c: String) =
       coalesce(col("_after")(c), col("_before")(c)).as(c)
@@ -210,14 +233,21 @@ object IncrementalJoin {
       // a maintenance-only source window (cluster/compact commits) has
       // an EMPTY feed: skip the branch — the dim side must not be read
       if (img.isEmpty) (None, None) else {
-        val post = img.filter(col("op") =!= "D")
+        val post0 = img.filter(col("op") =!= "D")
           .select(lCols.map(c => col("_after")(c).as(c)): _*)
+        // the predicate sees ONLY fact columns (a dim reference fails
+        // loudly at analysis); a post-image OUTSIDE the set retracts —
+        // a boundary crossing is a pure add/retract, like the filtered
+        // aggregate views
+        val post = where.fold(post0.withColumn("_wq", lit(true)))(w =>
+          post0.withColumn("_wq", coalesce(expr(w), lit(false))))
         val rFlag = rNew.withColumn("_rmatch", lit(true))
         val cond = on.map { case (lc, rc) => post(lc) === rFlag(rc) }.reduce(_ && _)
         val postJ = post.join(rFlag, cond, "left")
           .select(lCols.map(post(_)) ++ rKeep.map(rFlag(_)) :+
-            (if (joinType == Inner) rFlag("_rmatch").isNull
-             else lit(false)).as(DelCol): _*)
+            (!post("_wq") ||
+              (if (joinType == Inner) rFlag("_rmatch").isNull
+               else lit(false))).as(DelCol): _*)
         val dels = img.filter(col("op") === "D")
           .select(lCols.map(c => col("_before")(c).as(c)) ++
             rKeep.map(c => lit(null).as(c)) :+ lit(true).as(DelCol): _*)
@@ -275,7 +305,9 @@ object IncrementalJoin {
       val lateFacts = if (imgR.filter(col("op") === "I").isEmpty) None else {
         val insR = imgR.filter(col("op") === "I")
           .select(rCommon.map(c => col("_after")(c).as(c)): _*)
-        Some(joined(userOf(left, left.readAsOf(leftTo)), insR, on, Inner)
+        val lNew0 = userOf(left, left.readAsOf(leftTo))
+        val lNew = where.fold(lNew0)(w => lNew0.filter(expr(w)))
+        Some(joined(lNew, insR, on, Inner)
           .select(viewCols.map(col) :+ lit(false).as(DelCol): _*))
       }
       (fanned.toSeq ++ lateFacts.toSeq).reduceOption(_ unionByName _)
@@ -319,6 +351,7 @@ object IncrementalJoin {
     * loudly when either source was rolled back below its watermark. */
   def maintainLatest(left: GraftTable, right: GraftTable, view: GraftTable,
       on: Seq[(String, String)], joinType: String = Inner,
+      where: Option[String] = None,
       extraMeta: Map[String, String] = Map.empty): (Long, Long) = {
     val (lf, rf) = appliedSeqs(view).getOrElse(throw new IllegalStateException(
       s"view carries no $LeftSeqKey/$RightSeqKey watermarks — bootstrap first"))
@@ -333,7 +366,7 @@ object IncrementalJoin {
     }
     val lt = head(left, "left", lf)
     val rt = head(right, "right", rf)
-    maintain(left, right, view, on, lf, lt, rf, rt, joinType, extraMeta)
+    maintain(left, right, view, on, lf, lt, rf, rt, joinType, where, extraMeta)
     (lt, rt)
   }
 
@@ -344,7 +377,8 @@ object IncrementalJoin {
     * SQL surface — needs only the view itself. */
   def create(spark: SparkSession, left: GraftTable, right: GraftTable,
       location: String, on: Seq[(String, String)],
-      joinType: String = Inner): GraftTable = {
+      joinType: String = Inner, rightCols: Seq[String] = Seq.empty,
+      where: Option[String] = None): GraftTable = {
     requireJoinType(joinType)
     on.foreach { case (lc, rc) =>
       Seq(lc, rc).foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -357,16 +391,18 @@ object IncrementalJoin {
       throw new IllegalStateException("left table has no commits"))
     val atR = right.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("right table has no commits"))
-    bootstrap(left, right, view, on, atL, atR, joinType,
-      extraMeta = specMeta(left, right, on, joinType))
+    val w = where.map(_.trim).filter(_.nonEmpty)
+    bootstrap(left, right, view, on, atL, atR, joinType, rightCols, w,
+      extraMeta = specMeta(left, right, on, joinType, w))
     view
   }
 
   private def specMeta(left: GraftTable, right: GraftTable,
-      on: Seq[(String, String)], joinType: String): Map[String, String] =
+      on: Seq[(String, String)], joinType: String,
+      where: Option[String]): Map[String, String] =
     Map(LeftRootKey -> left.root, RightRootKey -> right.root,
       OnKey -> on.map { case (l, r) => s"$l=$r" }.mkString(","),
-      JoinTypeKey -> joinType)
+      JoinTypeKey -> joinType) ++ where.map(WhereKey -> _)
 
   private[graft] def specOf(view: GraftTable): Option[Map[String, String]] =
     view.historyNewestFirst().find(_.extra.contains(LeftRootKey)).map(_.extra)
@@ -386,9 +422,10 @@ object IncrementalJoin {
     }
     // pre-JoinTypeKey specs are inner views by construction
     val joinType = spec.getOrElse(JoinTypeKey, Inner)
+    val where = spec.get(WhereKey)
     val (lf, rf) = appliedSeqs(view).get
-    val (lt, rt) = maintainLatest(left, right, view, on, joinType,
-      extraMeta = specMeta(left, right, on, joinType))
+    val (lt, rt) = maintainLatest(left, right, view, on, joinType, where,
+      extraMeta = specMeta(left, right, on, joinType, where))
     ((lf, lt), (rf, rt))
   }
 }

@@ -1095,6 +1095,32 @@ object CdcScenario {
       view
     })
 
+  /** FILTERED + PROJECTED join view: only orders above the price bar
+    * (a predicate the CDC batches move rows ACROSS, the
+    * `cdc_incr_agg_where` precedent), enriched with ONLY the customer
+    * segment (the wide-dim projection — acctbal never materializes).
+    * Every maintenance path must respect both: boundary crossings are
+    * pure adds/retracts, late dims fan in only in-set orders, and the
+    * fan-out rewrites only the projected column. */
+  def incrJoinWhere(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incrjoinw:$dir", {
+      val left = main(s, dir)
+      val right = custDim(s, dir)
+      val root = Files.createTempDirectory("graft-cdc-incrjoinw").toString
+      val view = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val on = Seq("o_custkey" -> "c_custkey")
+      val where = Some("CAST(o_totalprice AS DECIMAL(18,2)) > 100000.00")
+      val jt = graft.operators.IncrementalJoin.Inner
+      graft.operators.IncrementalJoin.bootstrap(left, right, view, on,
+        0L, 0L, jt, Seq("c_mktsegment"), where)
+      graft.operators.IncrementalJoin.maintain(left, right, view, on,
+        0L, 1L, 0L, 1L, jt, where)
+      graft.operators.IncrementalJoin.maintain(left, right, view, on,
+        1L, 2L, 1L, 2L, jt, where)
+      view
+    })
+
   /** Materialized join view MANAGED FROM PURE SQL (round-14): `CALL
     * create_join_view` bootstraps a self-describing enrichment view at
     * both heads, CDC commits land on BOTH sources, and `CALL
@@ -1923,6 +1949,13 @@ object CdcQueries {
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col("o_custkey"), col("c_mktsegment"),
           col("c_acctbal").cast("double").as("c_acctbal"))),
+    // FILTERED (price bar) + PROJECTED (segment only) join view: both
+    // spec options exercised at data scale
+    "cdc_incr_join_where" -> ((s, dir) =>
+      CdcScenario.incrJoinWhere(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"), col("c_mktsegment"))),
     // the FULL view stack from SQL: agg OVER join, one cascading CALL —
     // the maintained rollup of the maintained enrichment must equal
     // grouping the two-final-states re-join
@@ -2792,6 +2825,18 @@ object CdcQueries {
            CAST(f.price AS DOUBLE) AS price, f.o_custkey,
            c.c_mktsegment, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
          FROM final f LEFT JOIN cust c ON f.o_custkey = c.c_custkey""",
+    "cdc_incr_join_where" ->
+      s"""$finalState, $custFinal
+         SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.price AS DOUBLE) AS price, f.o_custkey, c.c_mktsegment
+         FROM final f JOIN cust c ON f.o_custkey = c.c_custkey
+         WHERE f.price > 100000.00""",
+    "cdc_incr_join_where" ->
+      s"""$finalState, $custFinal
+         SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.price AS DOUBLE) AS price, f.o_custkey, c.c_mktsegment
+         FROM final f JOIN cust c ON f.o_custkey = c.c_custkey
+         WHERE f.price > 100000.00""",
     "sql_view_stack" ->
       s"""$finalState, $custFinal
          SELECT c.c_mktsegment, COUNT(*) AS n,

@@ -109,7 +109,7 @@ object GraftSql {
     * grammar whether quoted or not. */
   private[sql] def freeFormArg(proc: String): Int => Boolean = proc match {
     case "create_agg_view" => i => i >= 3
-    case "create_join_view" => i => i == 4
+    case "create_join_view" => i => i == 4 || i == 6 || i == 7
     case _ => _ => false
   }
 
@@ -344,9 +344,10 @@ object GraftSql {
         // materialized fact⋈dim enrichment view over two keyed tables'
         // change feeds (IncrementalJoin): bootstrapped at both heads,
         // self-describing, refreshed by CALL refresh_join_view
-        require(args.size == 5 || args.size == 6,
+        require(args.size >= 5 && args.size <= 8,
           "create_join_view(left_table, right_table, view_name, location, " +
-            s"on_pairs[, inner|left]) — got ${args.size} args")
+            "on_pairs[, inner|left[, right_cols_csv[, where]]]) — got " +
+            s"${args.size} args")
         val on = args(4).split(",").filter(_.trim.nonEmpty).toSeq.map { kv =>
           val i = kv.indexOf('=')
           require(i > 0, s"join pair must be left_col=right_col: $kv")
@@ -354,7 +355,10 @@ object GraftSql {
         }
         val view = graft.operators.IncrementalJoin.create(
           spark, lookup(args(0)), lookup(args(1)), args(3), on,
-          joinType = args.lift(5).getOrElse(graft.operators.IncrementalJoin.Inner))
+          joinType = args.lift(5).getOrElse(graft.operators.IncrementalJoin.Inner),
+          rightCols = args.lift(6).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          where = args.lift(7))
         register(spark, args(2), view)
         val (l0, r0) = graft.operators.IncrementalJoin.appliedSeqs(view).get
         summary("view" -> args(2), "location" -> args(3),

@@ -297,6 +297,90 @@ class IncrementalJoinSpec extends AnyFunSuite {
       .extra(IncrementalJoin.JoinTypeKey) == IncrementalJoin.LeftOuter)
   }
 
+  test("filtered view: facts crossing the predicate boundary add/retract exactly") {
+    // the view is `facts WHERE lv <> 'x' ⋈ dim` — the predicate rides
+    // a column the updates move, so rows cross in both directions
+    val left = mkLeft(Seq((1L, Some(10L), "a"), (2L, Some(10L), "x"),
+      (3L, Some(20L), "c")), 1)
+    val right = mkRight(Seq((10L, "ten"), (20L, "twenty")), 1)
+    val view = mkView()
+    val where = Some("lv <> 'x'")
+    IncrementalJoin.bootstrap(left, right, view, on, 0L, 0L,
+      IncrementalJoin.Inner, where = where)
+    // row 2 is outside the set from bootstrap
+    assert(materialized(view).map(_._1) == Seq(1L, 3L))
+    // row 1 LEAVES the set (update to 'x'), row 2 ENTERS it, row 4
+    // inserts outside it, row 3 updates within it
+    left.upsert(meta(Seq((1L, Some(10L), "x"), (2L, Some(10L), "b"),
+      (3L, Some(20L), "c2"), (4L, Some(20L), "x")).toDF("id", "fk", "lv"),
+      2, del = false))
+    IncrementalJoin.maintain(left, right, view, on, 0L, 1L, 0L, 0L,
+      IncrementalJoin.Inner, where = where)
+    assert(materialized(view) == Seq((2L, 10L, "b", "ten"),
+      (3L, 20L, "c2", "twenty")), materialized(view).toString)
+    // a LATE dim must fan in only the facts INSIDE the predicate set
+    left.upsert(meta(Seq((5L, Some(40L), "e"), (6L, Some(40L), "x"))
+      .toDF("id", "fk", "lv"), 3, del = false))
+    right.upsert(meta(Seq((40L, "forty")).toDF("dk", "dv"), 2, del = false))
+    IncrementalJoin.maintain(left, right, view, on, 1L, 2L, 0L, 1L,
+      IncrementalJoin.Inner, where = where)
+    assert(materialized(view) == Seq((2L, 10L, "b", "ten"),
+      (3L, 20L, "c2", "twenty"), (5L, 40L, "e", "forty")),
+      materialized(view).toString)
+    // LEFT OUTER composes with the predicate: outside-the-set rows are
+    // absent entirely, inside-the-set rows survive a missing dim
+    val lview = mkView()
+    IncrementalJoin.bootstrap(left, right, lview, on, 2L, 1L,
+      IncrementalJoin.LeftOuter, where = where)
+    val lgot = materializedLeft(lview)
+    assert(lgot.map(_._1) == Seq(2L, 3L, 5L), lgot.toString)
+  }
+
+  test("projected dim columns: the view carries only the requested columns") {
+    val left = mkLeft(Seq((1L, Some(10L), "a"), (2L, Some(20L), "b")), 1)
+    // a WIDE dim: dv is wanted, junk is not
+    val right = new GraftTable(spark, tmp(), Seq("dk"), targetFileBytes = 16 * 1024)
+    right.bulkInsert(meta(Seq((10L, "ten", "J1"), (20L, "twenty", "J2"))
+      .toDF("dk", "dv", "junk"), 1, del = false))
+    val view = IncrementalJoin.create(spark, left, right, tmp(), on,
+      rightCols = Seq("dv"))
+    assert(!view.readUser().columns.contains("junk"),
+      "the view must not materialize unrequested dim columns")
+    assert(materialized(view) == Seq((1L, 10L, "a", "ten"),
+      (2L, 20L, "b", "twenty")))
+    // a dim update touching BOTH columns flows through only on dv —
+    // maintain derives the kept set from the view's own schema
+    right.upsert(meta(Seq((10L, "TEN", "J9")).toDF("dk", "dv", "junk"),
+      2, del = false))
+    IncrementalJoin.refresh(spark, view)
+    assert(materialized(view) == Seq((1L, 10L, "a", "TEN"),
+      (2L, 20L, "b", "twenty")))
+  }
+
+  test("maintains over MERGE_ON_READ sources with outstanding delta logs") {
+    val left = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024,
+      tableType = GraftTable.MergeOnRead)
+    left.bulkInsert(meta(Seq((1L, Some(10L), "a"), (2L, Some(20L), "b"))
+      .toDF("id", "fk", "lv"), 1, del = false))
+    val right = new GraftTable(spark, tmp(), Seq("dk"), targetFileBytes = 16 * 1024,
+      tableType = GraftTable.MergeOnRead)
+    right.bulkInsert(meta(Seq((10L, "ten"), (20L, "twenty")).toDF("dk", "dv"),
+      1, del = false))
+    val view = mkView()
+    IncrementalJoin.bootstrap(left, right, view, on, 0L, 0L)
+    // delta-log commits on BOTH sides (NOT compacted): the diffs and
+    // the snapshot reads must merge base ⋈ logs
+    left.upsert(meta(Seq((1L, Some(20L), "a2"), (3L, Some(10L), "c"))
+      .toDF("id", "fk", "lv"), 2, del = false))
+    right.upsert(meta(Seq((10L, "TEN")).toDF("dk", "dv"), 2, del = false))
+    assert(left.latestCommit().get.logFiles.nonEmpty &&
+      right.latestCommit().get.logFiles.nonEmpty,
+      "fixture must leave outstanding delta logs")
+    IncrementalJoin.maintain(left, right, view, on, 0L, 1L, 0L, 1L)
+    assert(materialized(view) == recompute(left, right),
+      s"MOR maintenance diverged: ${materialized(view)}")
+  }
+
   test("an aggregate view OVER a join view cascades through both kinds") {
     import graft.operators.IncrementalAgg
     val left = mkLeft(Seq((1L, Some(10L), "a"), (2L, Some(10L), "b"),
