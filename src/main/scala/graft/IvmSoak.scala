@@ -30,10 +30,15 @@ object IvmSoak {
       s
     }
 
-    // each arg is `path:replicas` — the dataset is `replicas` key-shifted
-    // copies of the parquet at `path` (shift 1e9·i clears the real key
-    // span at every tested scale), unioned in memory
-    args.foreach { spec =>
+    // first arg selects the subsystem under soak: "agg" (status
+    // aggregate) or "join" (orders⋈customer enrichment — the dim stays
+    // FIXED while facts scale, the realistic shape). Remaining args are
+    // `path:replicas` — the dataset is `replicas` key-shifted copies of
+    // the parquet at `path` (shift 1e9·i clears the real key span at
+    // every tested scale), unioned in memory
+    val mode = args.head
+    require(mode == "agg" || mode == "join", s"mode agg|join, got $mode")
+    args.drop(1).foreach { spec =>
       val Array(ordersPath, reps) = spec.split(":")
       println(s"=== $spec ===")
       val one = spark.read.parquet(ordersPath)
@@ -59,11 +64,11 @@ object IvmSoak {
       val delta = stamp(orders.filter(k % 13 === 0 && k < 150000)
         .withColumn("o_orderstatus", lit("Z")), 2)
       // three interleaved runs each; per-run setup (source clone + its
-      // delta commit + a fresh bootstrapped aggregate) is untimed —
-      // cloneTo snapshots at head and drops commit extras, so the
-      // aggregate bootstraps fresh per run (same shape as the standing
-      // w_incr_agg bench)
-      (1 to 3).foreach { i =>
+      // delta commit + a fresh bootstrapped view) is untimed — cloneTo
+      // snapshots at head and drops commit extras, so the view
+      // bootstraps fresh per run (same shape as the standing
+      // w_incr_agg / w_incr_join benches)
+      if (mode == "agg") (1 to 3).foreach { i =>
         val c = base.cloneTo(tmp(s"src-run$i") + "/t")
         c.upsert(delta)
         val a = new graft.operators.GraftTable(spark, tmp(s"agg-run$i") + "/t", groups)
@@ -73,6 +78,33 @@ object IvmSoak {
         val r = new graft.operators.GraftTable(spark, tmp(s"rec-run$i") + "/t", groups)
         timed(s"recompute run$i")(
           graft.operators.IncrementalAgg.bootstrap(c, r, groups, sums, 1L))
+      } else {
+        // FIXED dim: the real sf0.1 customers (15k) — facts scale, the
+        // dim doesn't. The timed window moves ONLY the fact side: a dim
+        // change inherently fans over O(matching facts) rows (uniform
+        // fk distribution makes ANY dim-key change table-proportional),
+        // so the delta-proportional claim is a FACT-delta claim; the
+        // dim-change cost is the bench's w_incr_join shape.
+        val custPath = ordersPath.replace("orders.parquet", "customer.parquet")
+        val cust = spark.read.parquet(custPath).select(col("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"))
+        val dim = new graft.operators.GraftTable(spark, tmp("dim") + "/t",
+          Seq("c_custkey"))
+        dim.bulkInsert(stamp(cust, 1))
+        val jOn = Seq("o_custkey" -> "c_custkey")
+        (1 to 3).foreach { i =>
+          val c = base.cloneTo(tmp(s"jsrc-run$i") + "/t")
+          c.upsert(delta)
+          val v = new graft.operators.GraftTable(spark,
+            tmp(s"jview-run$i") + "/t", Seq("o_orderkey"))
+          graft.operators.IncrementalJoin.bootstrap(c, dim, v, jOn, 0L, 0L)
+          timed(s"maintain run$i")(
+            graft.operators.IncrementalJoin.maintain(c, dim, v, jOn, 0L, 1L, 0L, 0L))
+          val r = new graft.operators.GraftTable(spark,
+            tmp(s"jre-run$i") + "/t", Seq("o_orderkey"))
+          timed(s"rejoin run$i")(
+            graft.operators.IncrementalJoin.bootstrap(c, dim, r, jOn, 1L, 0L))
+        }
       }
     }
     spark.stop()

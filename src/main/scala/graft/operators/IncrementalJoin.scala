@@ -166,10 +166,20 @@ object IncrementalJoin {
     val r0 = userOf(right, right.readAsOf(atRight))
     val r = if (rightCols.isEmpty) r0
       else r0.select((on.map(_._2) ++ rightCols).distinct.map(col): _*)
+    // materialize the join BEFORE the bulk insert: Catalyst's
+    // size-only join estimate is a near-product of the sides, which
+    // would balloon the write's partition plan to the 32768 cap (a
+    // 32k-task range sample + write for ANY view size); the cached
+    // relation carries its ACTUAL size, so the file plan is honest.
+    // One extra materialization on the one-time bootstrap path only.
     val full = joined(l, r, on, joinType)
-    view.bulkInsert(full, extraMeta = extraMeta +
-      (LeftSeqKey -> atLeft.toString) + (RightSeqKey -> atRight.toString))
-    ()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      full.count(): Unit
+      view.bulkInsert(full, extraMeta = extraMeta +
+        (LeftSeqKey -> atLeft.toString) + (RightSeqKey -> atRight.toString))
+      ()
+    } finally { full.unpersist(blocking = false); () }
   }
 
   /** Apply both sources' `(from, to]` change feeds to the view as ONE
