@@ -1121,6 +1121,50 @@ object CdcScenario {
       view
     })
 
+  /** STAR-SCHEMA chain: orders ⋈ customer ⋈ nation as TWO stacked join
+    * views (level 2's fk is a column level 1 CARRIED from its dim — the
+    * snowflake shape). Churn lands at every level after creation —
+    * order CDC batches, late/updated/deleted customers INCLUDING
+    * nation RE-POINTS (a %5 customer moves to the next nation, so
+    * level 2 must re-enrich rows whose level-1 fk column changed), and
+    * nation renames fanning across whole countries — then ONE
+    * refreshCascade on level 2 walks the chain parents-first. */
+  def incrJoinStar(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incrjoinstar:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-star")
+      val left = new GraftTable(s, s"$base/l", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      left.bulkInsert(fullLoad(s, dir))
+      val custBase = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"))
+      val ck = col("c_custkey")
+      val dimC = new GraftTable(s, s"$base/dc", Seq("c_custkey"),
+        targetFileBytes = 256 * 1024)
+      dimC.bulkInsert(meta(custBase.filter(ck % 11 =!= 0), 1, deleted = false))
+      val natBase = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val dimN = new GraftTable(s, s"$base/dn", Seq("n_nationkey"),
+        targetFileBytes = 256 * 1024)
+      dimN.bulkInsert(meta(natBase, 1, deleted = false))
+      val l1 = graft.operators.IncrementalJoin.create(s, left, dimC,
+        s"$base/l1", Seq("o_custkey" -> "c_custkey"))
+      val l2 = graft.operators.IncrementalJoin.create(s, l1, dimN,
+        s"$base/l2", Seq("c_nationkey" -> "n_nationkey"))
+      left.upsert(batchA(s, dir))
+      left.upsert(batchB(s, dir))
+      dimC.upsert(meta(custBase.filter(ck % 11 === 0)
+        .withColumn("c_mktsegment", lit("LATE")), 2, deleted = false))
+      dimC.upsert(meta(custBase.filter(ck % 5 === 0 && ck % 13 =!= 0)
+        .withColumn("c_mktsegment", lit("HOT"))
+        .withColumn("c_nationkey", (col("c_nationkey") + 1) % 25),
+        3, deleted = false)
+        .unionByName(meta(custBase.filter(ck % 13 === 0), 3, deleted = true)))
+      dimN.upsert(meta(natBase.filter(col("n_nationkey") % 5 === 0)
+        .withColumn("n_name", concat(col("n_name"), lit("_X"))),
+        2, deleted = false))
+      graft.operators.IncrementalAgg.refreshCascade(s, l2)
+      l2
+    })
+
   /** Materialized join view MANAGED FROM PURE SQL (round-14): `CALL
     * create_join_view` bootstraps a self-describing enrichment view at
     * both heads, CDC commits land on BOTH sources, and `CALL
@@ -1949,6 +1993,14 @@ object CdcQueries {
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
           col("o_custkey"), col("c_mktsegment"),
           col("c_acctbal").cast("double").as("c_acctbal"))),
+    // STAR chain: two stacked join views (orders x customer x nation),
+    // churn at every level, ONE cascading refresh — must equal the
+    // three-way re-join of the final states
+    "cdc_incr_join_star" -> ((s, dir) =>
+      CdcScenario.incrJoinStar(s, dir).readUser()
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+          col("o_custkey"), col("c_mktsegment"), col("n_name"))),
     // FILTERED (price bar) + PROJECTED (segment only) join view: both
     // spec options exercised at data scale
     "cdc_incr_join_where" -> ((s, dir) =>
@@ -2825,12 +2877,56 @@ object CdcQueries {
            CAST(f.price AS DOUBLE) AS price, f.o_custkey,
            c.c_mktsegment, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
          FROM final f LEFT JOIN cust c ON f.o_custkey = c.c_custkey""",
+    "cdc_incr_join_star" ->
+      s"""$finalState,
+         custf AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 AND c_custkey % 13 <> 0 THEN 'HOT'
+                  WHEN c_custkey % 11 = 0 THEN 'LATE'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 5 = 0 AND c_custkey % 13 <> 0
+                  THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey
+           FROM customer WHERE c_custkey % 13 <> 0),
+         natf AS (
+           SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+                  ELSE n_name END AS n_name
+           FROM nation)
+         SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.price AS DOUBLE) AS price, f.o_custkey,
+           c.c_mktsegment, n.n_name
+         FROM final f
+         JOIN custf c ON f.o_custkey = c.c_custkey
+         JOIN natf n ON c.c_nationkey = n.n_nationkey""",
     "cdc_incr_join_where" ->
       s"""$finalState, $custFinal
          SELECT f.o_orderkey, f.o_orderstatus,
            CAST(f.price AS DOUBLE) AS price, f.o_custkey, c.c_mktsegment
          FROM final f JOIN cust c ON f.o_custkey = c.c_custkey
          WHERE f.price > 100000.00""",
+    "cdc_incr_join_star" ->
+      s"""$finalState,
+         custf AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 AND c_custkey % 13 <> 0 THEN 'HOT'
+                  WHEN c_custkey % 11 = 0 THEN 'LATE'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 5 = 0 AND c_custkey % 13 <> 0
+                  THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey
+           FROM customer WHERE c_custkey % 13 <> 0),
+         natf AS (
+           SELECT n_nationkey,
+             CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+                  ELSE n_name END AS n_name
+           FROM nation)
+         SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.price AS DOUBLE) AS price, f.o_custkey,
+           c.c_mktsegment, n.n_name
+         FROM final f
+         JOIN custf c ON f.o_custkey = c.c_custkey
+         JOIN natf n ON c.c_nationkey = n.n_nationkey""",
     "cdc_incr_join_where" ->
       s"""$finalState, $custFinal
          SELECT f.o_orderkey, f.o_orderstatus,

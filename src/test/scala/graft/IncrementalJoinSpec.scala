@@ -381,6 +381,36 @@ class IncrementalJoinSpec extends AnyFunSuite {
       s"MOR maintenance diverged: ${materialized(view)}")
   }
 
+  test("STAR chain: a join view OVER a join view enriches with two dims in one cascade") {
+    // fact(id, fk, lv) ⋈ dim1(dk, dv, nk) → level 1; level1 ⋈ dim2(nk2, nv)
+    // on the FIRST dim's carried column — the snowflake shape. One
+    // refresh on level 2 must walk level 1 (both base feeds) first.
+    val fact = mkLeft(Seq((1L, Some(10L), "a"), (2L, Some(20L), "b")), 1)
+    val dim1 = new GraftTable(spark, tmp(), Seq("dk"), targetFileBytes = 16 * 1024)
+    dim1.bulkInsert(meta(Seq((10L, "ten", 100L), (20L, "twenty", 200L))
+      .toDF("dk", "dv", "nk"), 1, del = false))
+    val dim2 = new GraftTable(spark, tmp(), Seq("nk2"), targetFileBytes = 16 * 1024)
+    dim2.bulkInsert(meta(Seq((100L, "EU"), (200L, "US")).toDF("nk2", "nv"),
+      1, del = false))
+    val l1 = IncrementalJoin.create(spark, fact, dim1, tmp(), Seq("fk" -> "dk"))
+    val l2 = IncrementalJoin.create(spark, l1, dim2, tmp(), Seq("nk" -> "nk2"))
+    def snap() = l2.readUser().select("id", "lv", "dv", "nv")
+      .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(snap() == Seq((1L, "a", "ten", "EU"), (2L, "b", "twenty", "US")))
+    // churn at EVERY level: a fact insert, a dim1 re-point (20 moves to
+    // nation 100), a dim2 rename — ONE cascade on level 2 sees all
+    fact.upsert(meta(Seq((3L, Some(20L), "c")).toDF("id", "fk", "lv"),
+      2, del = false))
+    dim1.upsert(meta(Seq((20L, "TWENTY", 100L)).toDF("dk", "dv", "nk"),
+      2, del = false))
+    dim2.upsert(meta(Seq((100L, "EUROPE")).toDF("nk2", "nv"), 2, del = false))
+    val levels = graft.operators.IncrementalAgg.refreshCascade(spark, l2)
+    assert(levels.size == 2 && levels.head._1 == l1.root, levels.toString)
+    assert(snap() == Seq((1L, "a", "ten", "EUROPE"),
+      (2L, "b", "TWENTY", "EUROPE"), (3L, "c", "TWENTY", "EUROPE")),
+      snap().toString)
+  }
+
   test("an aggregate view OVER a join view cascades through both kinds") {
     import graft.operators.IncrementalAgg
     val left = mkLeft(Seq((1L, Some(10L), "a"), (2L, Some(10L), "b"),
