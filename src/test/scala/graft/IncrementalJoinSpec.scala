@@ -160,6 +160,36 @@ class IncrementalJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale join maintenance window"), e.getMessage)
   }
 
+  test("two racing maintainers: exactly one applies, the loser refuses under the lock") {
+    val left = mkLeft(Seq((1L, Some(10L), "a")), 1)
+    val right = mkRight(Seq((10L, "t")), 1)
+    val view = mkView()
+    IncrementalJoin.bootstrap(left, right, view, on, 0L, 0L)
+    left.upsert(meta(Seq((2L, Some(10L), "b")).toDF("id", "fk", "lv"),
+      2, del = false))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          start.await()
+          // the view's table lock serializes the merges; the loser's
+          // preCommit re-reads the watermark UNDER the lock and refuses
+          // instead of double-applying the same window
+          try IncrementalJoin.maintain(left, right, view, on, 0L, 1L, 0L, 0L)
+          catch { case _: IllegalStateException => refusals.incrementAndGet(); () }
+        }
+      })
+    }
+    start.countDown()
+    tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(refusals.get() == 1, s"exactly one refusal, got ${refusals.get()}")
+    assert(IncrementalJoin.appliedSeqs(view) == Some((1L, 0L)))
+    assert(materialized(view) == recompute(left, right))
+  }
+
   test("a rolled-back source (either side) refuses maintenance loudly") {
     val left = mkLeft(Seq((1L, Some(10L), "a")), 1)
     val right = mkRight(Seq((10L, "t")), 1)
