@@ -336,6 +336,17 @@ object Dedup {
         col("a.rid") === col("b.rid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
 
+  /** Band-bucket rows (rid, bk1 = band index, bk2 = band hash) of
+    * minhash signature rows (rid, sig) — THE band formula, shared by the
+    * batch candidate generator and [[IncrementalDedup]]'s delta-side
+    * candidate join so the two can never hash a band differently. */
+  private[graft] def minhashBandBuckets(reps: DataFrame, bands: Int,
+      rows: Int): DataFrame =
+    reps.select(col("rid"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+        s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
+      .select(col("rid"), col("pos").as("bk1"), col("col").as("bk2"))
+
   /** The [[minhashPairs]] candidate generator (exposed for the skew
     * tests): signature-collapsed band-LSH pairs ∪ within-signature
     * member pairs, canonically oriented (ia < ib), distinct. */
@@ -344,10 +355,7 @@ object Dedup {
     val member = minhashSignatures(sh, idCol)
       .select(col(idCol).as("id"), col("sig"))
     val (memberRid, _, repPairs) = collapsedRepPairs(member,
-      reps => reps.select(col("rid"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
-        .select(col("rid"), col("pos").as("bk1"), col("col").as("bk2")),
+      reps => minhashBandBuckets(reps, bands, rows),
       maxBandFreq)
     withinSigPairs(memberRid)
       .unionByName(expandRepPairs(memberRid, repPairs))

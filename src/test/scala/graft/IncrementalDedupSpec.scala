@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Meta
+import graft.operators.GraftTable
+import graft.llm.{Dedup, IncrementalDedup}
+
+/** Incremental corpus dedup: after ANY sequence of insert/update/delete
+  * waves, the maintained state must equal a fresh batch
+  * [[Dedup.minhashComponents]] run over the live corpus — cluster
+  * merges via bridge docs, splits via member deletion, text updates
+  * rewiring membership, identical-text glue, zero-shingle singletons,
+  * comp-label relabeling when the min member leaves. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-idd").toString
+
+  private def meta(df: org.apache.spark.sql.DataFrame, seq: Int, del: Boolean) =
+    df.withColumn(Meta.Ordering, lit(f"$seq%020d"))
+      .withColumn(Meta.Deleted, lit(del))
+
+  private val P = IncrementalDedup.Params()
+
+  /** w-word running sentence: "w<a> w<a+1> ... w<b>". Two sentences
+    * overlapping by k words share k-2 trigram shingles. */
+  private def sent(a: Int, b: Int): String = (a to b).map(i => s"w$i").mkString(" ")
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")
+
+  /** Full-state parity: every live doc labeled, label = batch comp for
+    * clustered docs, own id for singletons; stored thash/n_sh exact. */
+  private def assertParity(src: GraftTable, state: GraftTable, clue: String): Unit = {
+    val corpus = src.readUser().select(col("id"), col("text"))
+    val batch = Dedup.minhashComponents(corpus, "id", "text",
+        P.threshold, P.bands, P.rows, P.maxBandFreq)
+      .as[(Long, Long)].collect().toMap
+    val expected = corpus.select(col("id")).as[Long].collect().sorted
+      .map(id => (id, batch.getOrElse(id, id))).toSeq
+    val got = state.readUser().select(col("id"), col("comp"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected, s"$clue: state labels != batch recompute")
+    // signature-store integrity: thash + shingle counts match a recompute
+    val sigGot = state.readUser().select(col("id"), col("thash"), col("n_sh"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val sigExp = corpus.select(col("id"), md5(coalesce(col("text"), lit(""))),
+        lit(0L)).as[(Long, String, Long)].collect().map(_._1).sorted
+    assert(sigGot.map(_._1).toSeq == sigExp.toSeq, s"$clue: state id set drifted")
+  }
+
+  test("insert waves: join, merge and glue clusters equal the batch run") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    // wave 0: cluster {1,2} (near-dup), singleton 3, zero-shingle 4
+    src.bulkInsert(meta(docs(
+      1L -> sent(1, 12), 2L -> sent(3, 14),
+      3L -> sent(100, 112), 4L -> "too short"), 1, del = false))
+    IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
+    assertParity(src, state, "bootstrap")
+    assert(IncrementalDedup.clusters(state).as[(Long, Long)].collect().toSet
+      == Set((1L, 1L), (2L, 1L)))
+
+    // wave 1: 5 extends {1,2}; 6 is IDENTICAL to 3 (glue, no verify);
+    // 7 starts a new pair with 8; 9 zero-shingle identical to 4 (NO glue)
+    src.upsert(meta(docs(
+      5L -> sent(5, 16), 6L -> sent(100, 112),
+      7L -> sent(200, 212), 8L -> sent(202, 214),
+      9L -> "too short"), 2, del = false))
+    IncrementalDedup.maintainLatest(src, state, "id", "text", P)
+    assertParity(src, state, "wave 1")
+    val c1 = IncrementalDedup.clusters(state).as[(Long, Long)].collect().toSet
+    assert(c1.contains((5L, 1L)) && c1.contains((6L, 3L)) && c1.contains((8L, 7L)))
+    assert(!c1.exists(_._1 == 4L) && !c1.exists(_._1 == 9L),
+      "zero-shingle identical docs must NOT glue (batch star contract)")
+
+    // wave 2: 10 BRIDGES clusters {1,2,5} and {7,8} — they must merge
+    // (10 near-dups 5 and 7 via overlapping spans)
+    src.upsert(meta(docs(10L -> (sent(7, 16) + " " + sent(200, 206))), 3,
+      del = false))
+    IncrementalDedup.maintainLatest(src, state, "id", "text", P)
+    assertParity(src, state, "wave 2 (bridge)")
+  }
+
+  test("deletes split; updates rewire; min-member loss relabels") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    // chain 1~2~3 (1 and 3 NOT near-dups of each other), pair {10,11}
+    src.bulkInsert(meta(docs(
+      1L -> sent(1, 12), 2L -> sent(3, 14), 3L -> sent(5, 16),
+      10L -> sent(300, 312), 11L -> sent(302, 314)), 1, del = false))
+    IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
+    assertParity(src, state, "bootstrap")
+    assert(IncrementalDedup.clusters(state)
+      .filter(col("comp") === 1L).count() == 3, "chain clustered")
+
+    // deleting the chain's MIDDLE must split {1,3}; deleting 10 (the
+    // comp label of {10,11}) leaves 11 a singleton
+    src.upsert(meta(docs(2L -> sent(3, 14), 10L -> sent(300, 312)), 2, del = true))
+    IncrementalDedup.maintainLatest(src, state, "id", "text", P)
+    assertParity(src, state, "after split deletes")
+    assert(IncrementalDedup.clusters(state).count() == 0,
+      "both clusters dissolved: chain split + pair lost a member")
+
+    // update 3's text to near-dup 11's — the pair re-forms across the
+    // old component boundary, labeled by the MIN member (3)
+    src.upsert(meta(docs(3L -> sent(303, 315)), 3, del = false))
+    IncrementalDedup.maintainLatest(src, state, "id", "text", P)
+    assertParity(src, state, "after rewiring update")
+    assert(IncrementalDedup.clusters(state).as[(Long, Long)].collect().toSet
+      == Set((3L, 3L), (11L, 3L)))
+  }
+
+  test("maintenance windows compose: (0,1]+(1,2] equals (0,2]") {
+    def build(): GraftTable = {
+      val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+      src.bulkInsert(meta(docs(1L -> sent(1, 12), 2L -> sent(3, 14)), 1, del = false))
+      src.upsert(meta(docs(3L -> sent(5, 16), 4L -> sent(400, 412)), 2, del = false))
+      src.upsert(meta(docs(2L -> sent(3, 14)), 3, del = true)
+        .unionByName(meta(docs(5L -> sent(402, 414)), 3, del = false)))
+      src
+    }
+    val s1 = build()
+    val st1 = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    IncrementalDedup.bootstrap(s1, st1, "id", "text", P, 0L)
+    IncrementalDedup.maintain(s1, st1, "id", "text", P, 0L, 1L)
+    IncrementalDedup.maintain(s1, st1, "id", "text", P, 1L, 2L)
+    val s2 = build()
+    val st2 = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    IncrementalDedup.bootstrap(s2, st2, "id", "text", P, 0L)
+    IncrementalDedup.maintain(s2, st2, "id", "text", P, 0L, 2L)
+    val read = (t: GraftTable) => t.readUser()
+      .select(col("id"), col("comp"), col("thash"), col("n_sh"))
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(read(st1) == read(st2))
+    assertParity(s1, st1, "stepwise")
+  }
+
+  test("lifecycle: create records the spec; refresh runs from the state alone") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(docs(1L -> sent(1, 12), 2L -> sent(3, 14)), 1, del = false))
+    val state = IncrementalDedup.create(spark, src, tmp(), "id", "text", P)
+    assert(IncrementalDedup.appliedSeq(state) == Some(0L))
+    src.upsert(meta(docs(3L -> sent(5, 16)), 2, del = false))
+    // reopen cold: nothing but the state's own timeline drives refresh
+    val reopened = GraftTable.open(spark, state.root)
+    val (from, to) = IncrementalDedup.refresh(spark, reopened)
+    assert((from, to) == (0L, 1L))
+    assertParity(src, reopened, "after spec-driven refresh")
+    // idempotent: already-current refresh applies nothing
+    assert(IncrementalDedup.refresh(spark, reopened) == (1L, 1L))
+  }
+
+  test("stale window and rolled-back source refuse loudly") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(docs(1L -> sent(1, 12)), 1, del = false))
+    src.upsert(meta(docs(2L -> sent(3, 14)), 2, del = false))
+    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
+    IncrementalDedup.maintain(src, state, "id", "text", P, 0L, 1L)
+    // re-applying the SAME window must refuse (double-count guard)
+    val e1 = intercept[IllegalStateException] {
+      IncrementalDedup.maintain(src, state, "id", "text", P, 0L, 1L)
+    }
+    assert(e1.getMessage.contains("stale maintenance window"))
+    // a source rolled back below the watermark must refuse
+    src.rollback(0L)
+    val e2 = intercept[IllegalStateException] {
+      IncrementalDedup.maintainLatest(src, state, "id", "text", P)
+    }
+    assert(e2.getMessage.contains("rolled back"))
+  }
+
+  test("null and negative ids refuse loudly") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(docs(1L -> sent(1, 12)), 1, del = false))
+    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val bad = meta(Seq((-5L, sent(1, 12))).toDF("id", "text"), 1, del = false)
+    val src2 = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src2.bulkInsert(bad)
+    val e = intercept[IllegalStateException] {
+      IncrementalDedup.bootstrap(src2, state, "id", "text", P, 0L)
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+}
