@@ -190,6 +190,9 @@ object IncrementalDedup {
     bootstrap(src, state, idCol, textCol, p, at,
       extraMeta = Map(SrcRootKey -> src.root, IdColKey -> idCol,
         TextColKey -> textCol, ParamsKey -> p.encoded))
+    // table→view registration: a `viewMaintain` corpus table keeps the
+    // dedup state fresh hands-free after each of its commits
+    src.registerDependentView(state.root)
     state
   }
 
@@ -275,27 +278,42 @@ object IncrementalDedup {
       extraMeta: Map[String, String] = Map.empty): Unit = {
     require(state.keyFields == Seq("id"),
       s"the dedup state table must be keyed by 'id' (got ${state.keyFields.mkString(",")})")
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val img = src.changesDiffImages(fromSeq, toSeq)
-    val newSigs = signaturesOf(
+    // every reused frame is pinned with an EAGER localCheckpoint, not
+    // persist(): a persisted frame keeps its full logical subtree, and
+    // this wave's frames reference each other heavily (live → st ∪
+    // newSigs ∪ removed; allReps → live; sized → allReps ×4; verified →
+    // sized + fetched → sized → ...), so plan SIZE — not data — grows as
+    // the product of the fan-outs: the analyzed tree reached millions of
+    // nodes, minutes of driver-side planning and a multi-GB plan string
+    // per wave (the round-16 OOM). The checkpoint truncates each pinned
+    // frame to a leaf, making per-wave planning cost CONSTANT in
+    // pipeline depth; the materialization itself was already paid by the
+    // old count() pins. Blocks are released after the merge lands.
+    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      pinned += c
+      c
+    }
+    val release: () => Unit = () => pinned.foreach {
+      _.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
+    val img = pin(src.changesDiffImages(fromSeq, toSeq))
+    val newSigs = pin(signaturesOf(
       img.filter(col("op").isin("I", "U"))
         .select(col("_after")(idCol).as(idCol), col("_after")(textCol).as(textCol)),
-      idCol, textCol).persist(mem)
-    val removed = img.filter(col("op").isin("D", "U"))
-      .select(col("_before")(idCol).cast("long").as("id")).persist(mem)
-    newSigs.count(); removed.count(): Unit
-    val release: () => Unit = () => {
-      newSigs.unpersist(blocking = false); removed.unpersist(blocking = false)
-      ()
-    }
+      idCol, textCol))
+    val removed = pin(img.filter(col("op").isin("D", "U"))
+      .select(col("_before")(idCol).cast("long").as("id")))
     try {
       requireValidIds(newSigs, s"the ($fromSeq, $toSeq] change feed")
       val st = state.readUser().select(StateCols.map(col): _*)
       // live partners: current state minus retracted minus re-added (an
       // updated doc's OLD row must not glue/verify as a live partner)
-      val live = st.join(removed, Seq("id"), "left_anti")
-        .join(newSigs.select(col("id")), Seq("id"), "left_anti")
-        .persist(mem)
+      val live = pin(st.join(removed, Seq("id"), "left_anti")
+        .join(newSigs.select(col("id")), Seq("id"), "left_anti"))
       // ---- exact-text glue (jaccard 1, no verification)
       val hasSh = col("n_sh") >= 1
       val liveThash = live.filter(hasSh)
@@ -317,8 +335,8 @@ object IncrementalDedup {
       val liveReps = live.filter(hasSh)
         .groupBy(col("thash")).agg(min(col("id")).as("id"))
         .join(live.select(col("id"), col("sig"), col("n_sh")), Seq("id"))
-      val allReps = liveReps.select(col("id"), col("sig"), col("n_sh"))
-        .unionByName(pairReps).persist(mem)
+      val allReps = pin(liveReps.select(col("id"), col("sig"), col("n_sh"))
+        .unionByName(pairReps))
       // cap parity: bucket density is the DISTINCT-signature count over
       // the full rep store (the one corpus-proportional — but text-free —
       // pass; see the object doc)
@@ -346,20 +364,17 @@ object IncrementalDedup {
       // exact size-bound prefilter on STORED shingle counts — candidates
       // that can never verify are dropped before any text is fetched
       val cnt = allReps.select(col("id"), col("n_sh"))
-      val sized = candBand.unionByName(candSig).distinct()
+      val sized = pin(candBand.unionByName(candSig).distinct()
         .join(cnt.toDF("ia", "_na"), Seq("ia"))
         .join(cnt.toDF("ib", "_nb2"), Seq("ib"))
         .filter(least(col("_na"), col("_nb2")).cast("double") >=
-          lit(p.threshold) * greatest(col("_na"), col("_nb2")))
-        .persist(mem)
-      sized.count(): Unit
+          lit(p.threshold) * greatest(col("_na"), col("_nb2"))))
       // ---- split components: a retraction can only split its OWN
       // component — recompute survivor edges locally (star from stored
       // thash groups; only per-thash rep texts are fetched and re-paired)
       val splitComps = st.join(removed, Seq("id"), "left_semi")
         .select(col("comp")).distinct()
-      val survivors = live.join(splitComps, Seq("comp"), "left_semi")
-        .persist(mem)
+      val survivors = pin(live.join(splitComps, Seq("comp"), "left_semi"))
       val survThash = survivors.filter(hasSh)
         .groupBy(col("thash")).agg(min(col("id")).as("_srid"))
       val survStar = survivors.filter(hasSh).join(survThash, Seq("thash"))
@@ -371,10 +386,8 @@ object IncrementalDedup {
       val oldNeeded = sized
         .select(explode(array(col("ia"), col("ib"))).as("id")).distinct()
         .join(newIdSet, Seq("id"), "left_anti")
-      val fetched = fetchDocs(src, idCol, textCol, toSeq,
-          oldNeeded.unionByName(survRepIds).distinct())
-        .persist(mem)
-      fetched.count(): Unit
+      val fetched = pin(fetchDocs(src, idCol, textCol, toSeq,
+        oldNeeded.unionByName(survRepIds).distinct()))
       // ---- exact-Jaccard verification of the sized candidates
       val newDocsT = img.filter(col("op").isin("I", "U"))
         .select(col("_after")(idCol).cast("long").as("id"),
@@ -395,9 +408,8 @@ object IncrementalDedup {
         p.threshold, p.bands, p.rows, p.maxBandFreq)
         .select(col("ia"), col("ib"))
       // ---- components over the affected neighborhood only
-      val glue = glueOld.unionByName(glueNew).persist(mem)
-      val verifiedP = verified.persist(mem)
-      glue.count(); verifiedP.count(): Unit
+      val glue = pin(glueOld.unionByName(glueNew))
+      val verifiedP = pin(verified)
       val touchedOldIds = glue.select(col("ia").as("id"))
         .unionByName(verifiedP.select(explode(array(col("ia"), col("ib"))).as("id")))
         .distinct()
@@ -405,8 +417,7 @@ object IncrementalDedup {
       val addComps = live.join(touchedOldIds, Seq("id"), "left_semi")
         .select(col("comp")).distinct()
         .join(splitComps, Seq("comp"), "left_anti")
-      val addMembers = live.join(addComps, Seq("comp"), "left_semi")
-        .persist(mem)
+      val addMembers = pin(live.join(addComps, Seq("comp"), "left_semi"))
       val starOld = addMembers.filter(col("id") =!= col("comp"))
         .select(col("comp").as("ia"), col("id").as("ib"))
       val edges = glue.unionByName(verifiedP).unionByName(survStar)
@@ -445,10 +456,10 @@ object IncrementalDedup {
               s"applied watermark is ${cur.getOrElse("absent")} — " +
               "re-read the watermark (concurrent refresh?)")
         }))
-      Seq(live, allReps, sized, survivors, fetched, glue, verifiedP,
-        addMembers).foreach(_.unpersist(blocking = false))
-      // the CC labels are localCheckpoint-pinned; a long-lived maintainer
-      // calls maintain() per wave, so release them once applied
+      // the CC labels are localCheckpoint-pinned like every other frame;
+      // a long-lived maintainer calls maintain() per wave, so release
+      // everything once applied (the finally's release() covers the
+      // pinned frames; cc came from connectedComponents)
       cc.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }.foreach(_.unpersist(blocking = false))

@@ -76,7 +76,12 @@ case class TableConfig(
       * carried millisecond stamps; the counter simply continues above
       * them). Absent in old descriptors (json4s default 0 = always
       * overwritable). */
-    tunedAt: Long = 0L)
+    tunedAt: Long = 0L,
+    /** Hands-free materialized-view freshness (the `rliMaintain` pattern
+      * for views): after every locked commit, refresh the views
+      * registered against this table. Default keeps pre-option
+      * descriptors readable. */
+    viewMaintain: Boolean = false)
 
 class GraftTable(
     spark: SparkSession,
@@ -126,7 +131,20 @@ class GraftTable(
       * and compaction scopes file groups per bucket); requires a global
       * index and no user partition columns — the constraint set Hudi's
       * simple bucket engine shares. */
-    val bucketCount: Int = 0) {
+    val bucketCount: Int = 0,
+    /** Hands-free VIEW freshness (the reference's EventBridge freshness
+      * contract for materializations — templates/aws-dms-to-hudi.yaml:
+      * 914-927 re-launches the pipeline on a schedule so downstream
+      * state never goes stale; here freshness rides the commit itself):
+      * after every locked commit on THIS table, refresh the
+      * materialized views registered against it ([[registerDependentView]]
+      * — `create_agg_view` / `create_join_view` / `create_dedup_state`
+      * register automatically) and, transitively, THEIR registered
+      * views. Best-effort like [[rliMaintain]]: a refusing or failing
+      * view stays consistent-stale (its own watermark makes the next
+      * refresh catch up) and the ingest commit is never failed — the
+      * data is already durable when this runs. */
+    val viewMaintain: Boolean = false) {
 
   require(bucketCount == 0 || (partitionFields.isEmpty && globalIndex),
     "bucketCount requires a global index and no partition columns " +
@@ -483,22 +501,29 @@ class GraftTable(
   // ------------------------------------------------------------- operations
 
   /** M4 bulk insert: full-load files → new table, no merge, PARTITION_SORT
-    * layout (range-partition + sort by key). */
+    * layout (range-partition + sort by key). `layoutSort` overrides the
+    * key-sorted layout with a caller-chosen sort (the
+    * [[clusterZOrder]]-style trade: read-side stats narrow on the sort
+    * columns, record-key intervals widen — pair with [[keyBlooms]] to
+    * keep write pruning tight; [[IncrementalJoin.create]] uses it to
+    * lay a join view out by fk at bootstrap without a second rewrite). */
   def bulkInsert(df0: DataFrame, checkpoint: Option[String] = None,
       /** Caller metadata recorded in the commit's `extra` map — e.g. an
         * incremental consumer's applied watermark, atomic with the data. */
-      extraMeta: Map[String, String] = Map.empty): Commit =
-    withLock(doBulkInsert(df0, checkpoint, extraMeta))
+      extraMeta: Map[String, String] = Map.empty,
+      layoutSort: Seq[Column] = Seq.empty): Commit =
+    withLock(doBulkInsert(df0, checkpoint, extraMeta, layoutSort))
 
   private def doBulkInsert(df0: DataFrame, checkpoint: Option[String],
-      extraMeta: Map[String, String] = Map.empty): Commit = {
+      extraMeta: Map[String, String] = Map.empty,
+      layoutSort: Seq[Column] = Seq.empty): Commit = {
     val df = prepared(df0)
     val clean =
       if (df.columns.contains(Meta.Deleted)) df.filter(!coalesce(col(Meta.Deleted), lit(false)))
       else df
     val seq = timeline.latestSeq().map(_ + 1).getOrElse(0L)
     val stamped = clean.withColumn(Meta.CommitSeq, lit(seq))
-    val files = writeFiles(stamped, seq, planBytes(clean))
+    val files = writeFiles(stamped, seq, planBytes(clean), layoutSort)
     commitOrCleanStage(Commit(seq, "bulk_insert", files, schemaJson(stamped),
       checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(files) ++ extraMeta), files)
@@ -628,9 +653,21 @@ class GraftTable(
     // commit (upsert, merge, overwrite, compact, cluster, delete, rename)
     // flows through here, so `rliMaintain` cannot miss a mutation class
     maintainRliInline(committed)
+    maintainViewsInline()
     persistConfig()
     committed
   }
+
+  /** Best-effort inline VIEW maintenance (see `viewMaintain`), the
+    * second consumer of the [[commitOrCleanStage]] choke point: walks
+    * the registered dependent-view closure and refreshes each from its
+    * own crash-safe watermark. Runs while this table's lock is held —
+    * safe because a view refresh only READS this table (change feed +
+    * snapshots) and commits under the VIEW's own lock. Reentrancy
+    * (a view's refresh commit re-entering here) is suppressed by the
+    * walk's thread-local — the outer walk owns the whole closure. */
+  private def maintainViewsInline(): Unit =
+    if (viewMaintain) ViewMaintenance.refreshDependents(spark, this)
 
   /** Republish the self-describing `_graft/table.json` (best-effort:
     * the commit is already durable; a failed descriptor write only
@@ -666,7 +703,7 @@ class GraftTable(
           orderingField, tableType, globalIndex, statsColumns, keyBlooms,
           bloomColumns, partialUpdate, targetFileBytes, compactEvery,
           compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount,
-          tunedAt = stamp))
+          tunedAt = stamp, viewMaintain = viewMaintain))
         descriptorVersion = stamp
       }
     } catch { case scala.util.control.NonFatal(e) =>
@@ -757,6 +794,54 @@ class GraftTable(
         System.err.println(s"[graft] inline RLI maintenance failed at seq ${c.seq} " +
           s"(planner falls back to intervals until the next maintain): ${e.getMessage}")
       }
+
+  // -------------------------------------------- dependent-view registry
+
+  /** Directory of one tiny JSON file per MATERIALIZED VIEW registered
+    * against this table — the table→views direction the views' own
+    * self-describing specs can't provide (a spec names its sources; a
+    * source must FIND its views to keep them fresh hands-free). The
+    * filename is the view root's hash, so registration is idempotent,
+    * and the write is atomic tmp+move like every other metadata file. */
+  private def viewsDir = Paths.get(root, "_graft", "views")
+
+  private def viewRegFile(viewRoot: String): java.nio.file.Path =
+    viewsDir.resolve(
+      graft.functions.PortableHash.hex4Jvm(viewRoot).toHexString +
+        java.lang.Integer.toHexString(viewRoot.hashCode) + ".json")
+
+  /** Register a materialized view (by its table root) as dependent on
+    * this table — [[IncrementalAgg.create]], [[IncrementalJoin.create]]
+    * and [[graft.llm.IncrementalDedup.create]] call this so a
+    * `viewMaintain` table refreshes the view after every commit.
+    * Idempotent. */
+  def registerDependentView(viewRoot: String): Unit = {
+    Files.createDirectories(viewsDir)
+    val tmp = viewsDir.resolve(s".reg-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.writeString(tmp, viewRoot)
+    Files.move(tmp, viewRegFile(viewRoot),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** Remove a view's registration (the `CALL drop_view` half that stops
+    * hands-free refreshes). Idempotent — dropping an unregistered view
+    * is a no-op. */
+  def deregisterDependentView(viewRoot: String): Unit = {
+    Files.deleteIfExists(viewRegFile(viewRoot))
+    ()
+  }
+
+  /** The registered dependent views' roots (sorted for determinism). */
+  def dependentViews(): Seq[String] =
+    if (!Files.isDirectory(viewsDir)) Seq.empty
+    else Using.resource(Files.list(viewsDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .flatMap(p => scala.util.Try(Files.readString(p).trim).toOption)
+        .filter(_.nonEmpty).toSeq.sorted
+    }
 
   /** The write planner's affected-file selection (the 100 TB lever),
     * shared by upsert and MERGE INTO: the manifest's intervals are already
@@ -2963,7 +3048,8 @@ class GraftTable(
     * changed — the `ALTER TABLE ... SET/UNSET TBLPROPERTIES` surface
     * (Hudi lets a live table retune; creation-time-fixed knobs were the
     * round-11 gap). Retunable: `stats_columns`, `bloom_columns`,
-    * `key_blooms`, `rli_maintain`, `compact_every`, `compact_ratio`,
+    * `key_blooms`, `rli_maintain`, `view_maintain`, `compact_every`,
+    * `compact_ratio`,
     * `cluster_small_file_bytes`, `target_file_bytes`. Identity-defining
     * keys (`record_key`, `partition`, `ordering`, `type`,
     * `global_index`, `bucket_count`, `partial_update`, `location`) are
@@ -2983,7 +3069,7 @@ class GraftTable(
     * freshness guard in `persistConfig`). */
   def retuned(set: Map[String, String], unset: Set[String] = Set.empty): GraftTable = {
     val retunable = Set("stats_columns", "bloom_columns", "key_blooms",
-      "rli_maintain", "compact_every", "compact_ratio",
+      "rli_maintain", "view_maintain", "compact_every", "compact_ratio",
       "cluster_small_file_bytes", "target_file_bytes")
     val identity = Set("record_key", "partition", "ordering", "type",
       "global_index", "bucket_count", "partial_update", "location", "path")
@@ -3020,7 +3106,8 @@ class GraftTable(
       partialUpdate,
       pick("cluster_small_file_bytes", clusterSmallFileBytes, 0L, _.toLong),
       pick("rli_maintain", rliMaintain, false, bool),
-      bucketCount)
+      bucketCount,
+      pick("view_maintain", viewMaintain, false, bool))
     // tracked columns must exist once the schema is pinned
     latestCommit().foreach { c =>
       val fields = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
@@ -3404,7 +3491,8 @@ object GraftTable {
       cfg.tableType, cfg.compactEvery, cfg.compactLogBytesRatio,
       cfg.globalIndex, DistributedHarvestThreshold, cfg.statsColumns,
       cfg.keyBlooms, cfg.bloomColumns, cfg.partialUpdate,
-      cfg.clusterSmallFileBytes, cfg.rliMaintain, cfg.bucketCount)
+      cfg.clusterSmallFileBytes, cfg.rliMaintain, cfg.bucketCount,
+      cfg.viewMaintain)
   }
   /** Hive's null-partition directory name. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"

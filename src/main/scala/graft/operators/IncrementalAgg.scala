@@ -289,6 +289,9 @@ object IncrementalAgg {
         SumsKey -> sumSpecs.map { case (n, e) => s"$n=$e" }.mkString(";")) ++
         w.map(WhereKey -> _),
       where = w)
+    // table→view registration (the reverse of the spec): a `viewMaintain`
+    // source refreshes this view hands-free after each of its commits
+    src.registerDependentView(agg.root)
     agg
   }
 

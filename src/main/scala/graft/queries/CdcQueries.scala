@@ -1275,6 +1275,42 @@ object CdcScenario {
       agg
     })
 
+  /** HANDS-FREE live view (round-16, the `viewMaintain` table option):
+    * the source table's descriptor says views refresh INLINE after
+    * every locked commit — zero explicit refresh calls anywhere in the
+    * scenario. Also pins the crash-window contract: batchA drains
+    * through a maintenance-DISABLED handle (the simulated crash between
+    * ingest and refresh), leaving the view consistent-STALE at its old
+    * watermark; batchB's maintenance-enabled commit then catches the
+    * view up across BOTH windows from the view's own watermark. */
+  def viewLive(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"viewlive:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-viewlive")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val tabOn = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024, viewMaintain = true)
+      val tabOff = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      fullLoad(s, dir).coalesce(1).write.mode("append").parquet(raw)
+      graft.streaming.ContinuousIngest.drain(s, raw, tabOn, ck)
+      val view = IncrementalAgg.create(s, tabOn, s"$base/agg",
+        Seq("o_orderstatus"),
+        Seq("total" -> "CAST(o_totalprice AS DECIMAL(18,2))"))
+      val at0 = IncrementalAgg.appliedSeq(view).get
+      batchA(s, dir).coalesce(1).write.mode("append").parquet(raw)
+      graft.streaming.ContinuousIngest.drain(s, raw, tabOff, ck)
+      require(IncrementalAgg.appliedSeq(view) == Some(at0),
+        "the crash-window commit must leave the view consistent-stale")
+      batchB(s, dir).coalesce(1).write.mode("append").parquet(raw)
+      graft.streaming.ContinuousIngest.drain(s, raw, tabOn, ck)
+      val fresh = GraftTable.open(s, view.root)
+      val head = tabOn.latestCommit().get.seq
+      require(IncrementalAgg.appliedSeq(fresh) == Some(head),
+        s"hands-free refresh did not land (view at " +
+          s"${IncrementalAgg.appliedSeq(fresh)}, source head $head)")
+      fresh
+    })
+
   /** LIVE materialized JOIN view over the STREAMING ingest (round-14):
     * the fact side drains through the Structured Streaming loop while
     * the customer dimension lands its own batch commits BETWEEN epochs
@@ -2048,6 +2084,16 @@ object CdcQueries {
       CdcScenario.streamIncrAgg(s, dir).readUser()
         .select(col("o_orderstatus"), col("n"),
           col("total").cast("double").as("total"))),
+    // HANDS-FREE freshness (round-16): the `view_maintain` table option
+    // refreshes the created view inline after every locked ingest
+    // commit — the scenario issues ZERO refresh calls, pins the
+    // crash-window (one commit lands without maintenance; the view
+    // stays consistent-stale; the next commit catches up), and the
+    // final read must still equal the full recompute
+    "st_view_live" -> ((s, dir) =>
+      CdcScenario.viewLive(s, dir).readUser()
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))),
     // NESTED drift (round-13): struct payload gains a field + widens a
     // leaf past int range through an ordinary upsert; the aggregate
     // reads promoted + null-filled values out of the nested column
@@ -2810,6 +2856,9 @@ object CdcQueries {
     // final CDC state — same oracle as cdc_agg
     "cdc_incr_agg" -> statusAggSql,
     "st_incr_agg" -> statusAggSql,
+    // hands-free view_maintain: same recompute oracle — freshness is
+    // the engine's job, the final state is still the 3-batch merge
+    "st_view_live" -> statusAggSql,
     "sql_agg_view" -> statusAggSql,
     "cdc_incr_agg_minmax" ->
       s"""$finalState

@@ -1,7 +1,92 @@
 package graft.queries
 
+import java.nio.file.Files
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.llm.{Classifier, Dedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.llm.{Classifier, Dedup, IncrementalDedup, Multimodal, Sampling, Scrub, Similarity, TextAnalysis}
+import graft.model.Meta
+import graft.operators.GraftTable
+
+/** CDC-lifecycle fixtures for the INCREMENTAL llm operators: the
+  * documents corpus as a keyed table receiving insert / update / delete
+  * waves, with the maintained state graded against a DuckDB recompute
+  * of the FINAL corpus (the waves are SQL-reconstructible by design:
+  * bootstrap = docs with id % 7 != 0; wave 1 inserts the % 7 == 0 docs;
+  * wave 2 rewrites every % 13 == 0 doc's text to a unique single token
+  * — a zero-shingle singleton, exercising retract-split + rewire; wave
+  * 3 deletes every % 11 == 0 doc — splits and label moves). */
+object LlmScenario {
+  private val cache = TrieMap[String, GraftTable]()
+
+  private def meta(df: DataFrame, seq: Int, deleted: Boolean): DataFrame =
+    df.withColumn(Meta.Ordering, lit(f"$seq%020d"))
+      .withColumn(Meta.Deleted, lit(deleted))
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Q.t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("id"), col("text"))
+
+  private def waves(s: SparkSession, dir: String, src: GraftTable): Unit = {
+    val d = docs(s, dir)
+    val id = col("id")
+    src.upsert(meta(d.filter(id % 7 === 0), 2, deleted = false))
+    src.upsert(meta(d.filter(id % 13 === 0)
+      .withColumn("text", concat(lit("uniq"), id.cast("string"))), 3,
+      deleted = false))
+    src.upsert(meta(d.filter(id % 11 === 0), 4, deleted = true))
+  }
+
+  /** Incrementally-maintained MinHash cluster state through the 3-wave
+    * CDC lifecycle ([[graft.llm.IncrementalDedup]]): created at the
+    * bootstrap corpus, refreshed once per wave — each refresh is
+    * delta-proportional (only changed texts re-shingle; partners
+    * point-fetch). The graded clusters must equal the recursive-CTE
+    * components oracle over the FINAL live corpus. */
+  def incrDedup(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incrdedup:$dir", {
+      val base = Files.createTempDirectory("graft-llm-idd")
+      val src = new GraftTable(s, s"$base/src", Seq("id"),
+        targetFileBytes = 256 * 1024)
+      src.bulkInsert(meta(docs(s, dir).filter(col("id") % 7 =!= 0), 1,
+        deleted = false))
+      val state = IncrementalDedup.create(s, src, s"$base/state", "id", "text")
+      val d = docs(s, dir)
+      val id = col("id")
+      src.upsert(meta(d.filter(id % 7 === 0), 2, deleted = false))
+      IncrementalDedup.refresh(s, state)
+      src.upsert(meta(d.filter(id % 13 === 0)
+        .withColumn("text", concat(lit("uniq"), id.cast("string"))), 3,
+        deleted = false))
+      IncrementalDedup.refresh(s, state)
+      src.upsert(meta(d.filter(id % 11 === 0), 4, deleted = true))
+      IncrementalDedup.refresh(s, state)
+      state
+    })
+
+  /** The same lifecycle driven from PURE SQL: `CALL create_dedup_state`
+    * bootstraps the self-describing state, three CDC waves land on the
+    * source, and ONE `CALL refresh_dedup_state` catches it up across
+    * all three windows from nothing but its own recorded spec +
+    * watermark. The graded read is plain SQL over the state table. */
+  def sqlDedupState(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"sqldedup:$dir", {
+      val base = Files.createTempDirectory("graft-llm-sqldedup")
+      val src = new GraftTable(s, s"$base/src", Seq("id"),
+        targetFileBytes = 256 * 1024)
+      src.bulkInsert(meta(docs(s, dir).filter(col("id") % 7 =!= 0), 1,
+        deleted = false))
+      graft.sql.GraftSql.register(s, "dedup_src", src)
+      s.sql("CALL create_dedup_state('dedup_src', 'dedup_state_v', " +
+        s"'$base/state', 'id', 'text')").collect()
+      waves(s, dir, src)
+      val out = s.sql("CALL refresh_dedup_state('dedup_state_v')").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+      require(out("from_seq") == "0" && out("to_seq") == "3",
+        s"one CALL must catch up all three waves: $out")
+      src
+    })
+}
 
 /** Graded queries for the LLM-training-data operator families (dedup,
   * similarity search, text analysis, multimodal) over the provisioned
@@ -72,6 +157,29 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",",
             transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))),
+    // INCREMENTALLY-MAINTAINED near-dup clusters (round-16): the corpus
+    // as a keyed CDC table — bootstrap, insert / text-update / delete
+    // waves, one IncrementalDedup refresh per wave — and the maintained
+    // components must equal the recursive-CTE oracle over the FINAL
+    // live corpus (the same exact-Jaccard components contract as
+    // dedup_minhash_components, re-targeted at the post-wave snapshot)
+    "dedup_incremental" -> ((s, dir) =>
+      IncrementalDedup.clusters(LlmScenario.incrDedup(s, dir))
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",",
+            transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))),
+    // the dedup state managed from PURE SQL (CALL create_dedup_state /
+    // refresh_dedup_state) and read back as a plain SQL aggregate over
+    // the registered state table — same final-corpus oracle
+    "sql_dedup_state" -> ((s, dir) => {
+      LlmScenario.sqlDedupState(s, dir)
+      s.sql("""SELECT comp AS cluster_id, COUNT(*) AS n_docs,
+                      concat_ws(',', transform(array_sort(collect_list(id)),
+                        x -> CAST(x AS STRING))) AS members
+               FROM graft.dedup_state_v
+               GROUP BY comp HAVING COUNT(*) >= 2""")
+    }),
     // duplicated-passage census: per-doc share of 3-gram shingles whose
     // corpus document frequency >= 2 (the boilerplate/copied-span signal)
     "dedup_spans" -> ((s, dir) =>
@@ -910,6 +1018,15 @@ object LlmQueries {
     // the star-edge minhash components (LSH recall at 16×4 is complete
     // on this corpus, pinned by dedup_minhash)
     "dedup_minhash_components" -> clustersSql(None),
+
+    // the incremental state's clusters vs the SAME components oracle
+    // re-targeted at the final live corpus: waves only remove planted
+    // pairs or add original planted texts (the rewritten %13 docs are
+    // zero-shingle singletons), so LSH recall completeness carries over
+    "dedup_incremental" -> clustersSql(None, "corpus", incrCorpusCte),
+
+    // identical final-corpus oracle for the SQL-lifecycle variant
+    "sql_dedup_state" -> clustersSql(None, "corpus", incrCorpusCte),
 
     "dedup_keep" -> keepSql,
 
@@ -2052,8 +2169,9 @@ object LlmQueries {
                z -> CASE WHEN z[1] <> z[2] THEN 1 ELSE 0 END), 'sum') AS INT) AS dist
            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)"""
 
-  private def clusterCtes(maxDocFreq: Option[Int] = Some(100)): String =
-    s"""WITH RECURSIVE ${jaccardCtes(maxDocFreq)},
+  private def clusterCtes(maxDocFreq: Option[Int] = Some(100),
+      src: String = "documents", prelude: String = ""): String =
+    s"""WITH RECURSIVE $prelude${jaccardCtes(maxDocFreq, src)},
        jp AS (SELECT ia, ib FROM scored WHERE j >= 0.5),
        e AS (SELECT ia AS u, ib AS v FROM jp UNION SELECT ib, ia FROM jp),
        reach(id, r) AS (
@@ -2062,11 +2180,23 @@ object LlmQueries {
          SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
        comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
 
-  private def clustersSql(maxDocFreq: Option[Int] = Some(100)): String =
-    s"""${clusterCtes(maxDocFreq)}
+  private def clustersSql(maxDocFreq: Option[Int] = Some(100),
+      src: String = "documents", prelude: String = ""): String =
+    s"""${clusterCtes(maxDocFreq, src, prelude)}
        SELECT cluster_id, COUNT(*) AS n_docs,
               string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
        FROM comp GROUP BY cluster_id"""
+
+  /** The FINAL live corpus after [[LlmScenario]]'s three CDC waves,
+    * reconstructed in pure SQL (the waves are modular-arithmetic
+    * transforms by design): %13 texts rewritten to a unique single
+    * token, %11 docs deleted. */
+  private def incrCorpusCte: String =
+    """corpus AS (SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN 'uniq' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+       FROM documents WHERE doc_id % 11 <> 0),
+       """
 
   private def keepSql: String =
     s"""${clusterCtes()}

@@ -710,6 +710,85 @@ class GraftSqlSpec extends AnyFunSuite {
       GraftSql.sql(spark, "CALL create_agg_view('x1; ()', 'v', 'loc', 'g', 'm=v')"))
   }
 
+  test("CALL dedup-state lifecycle: create, refresh, show, drop from SQL") {
+    def sent(a: Int, b: Int): String = (a to b).map(i => s"w$i").mkString(" ")
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, sent(1, 12)), (3L, sent(100, 112))).toDF("id", "text"))
+    GraftSql.register(spark, "sqlspec_dd_src", t)
+    val loc = tmp() + "/state"
+    val created = GraftSql.sql(spark,
+      s"CALL create_dedup_state('sqlspec_dd_src', 'sqlspec_dd', '$loc', 'id', 'text')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(created("bootstrapped_at") == "0")
+    // wave: 2 near-dups 1 — one CALL catches the state up
+    t.upsert(Seq((2L, sent(3, 14))).toDF("id", "text"))
+    val out = GraftSql.sql(spark, "CALL refresh_dedup_state('sqlspec_dd')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("from_seq") == "0" && out("to_seq") == "1")
+    // the clusters read back as PLAIN SQL over the registered state
+    val cl = GraftSql.sql(spark,
+      """SELECT id, comp FROM graft.sqlspec_dd
+         WHERE comp IN (SELECT comp FROM graft.sqlspec_dd
+                        GROUP BY comp HAVING COUNT(*) >= 2)
+         ORDER BY id""").as[(Long, Long)].collect().toSeq
+    assert(cl == Seq((1L, 1L), (2L, 1L)))
+    // show_view reports the dedup kind, spec and watermark
+    val sv = GraftSql.sql(spark, "CALL show_view('sqlspec_dd')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sv("kind") == "dedup" && sv("applied_seq") == "1" &&
+      sv("id_col") == "id" && sv("text_col") == "text")
+    // show_views enumerates the materializations, never plain tables
+    val lst = GraftSql.sql(spark, "CALL show_views()").collect()
+      .map(r => r.getAs[String]("view") -> r.getAs[String]("kind")).toMap
+    assert(lst.get("sqlspec_dd").contains("dedup"))
+    assert(!lst.contains("sqlspec_dd_src"))
+    // refresh refuses a non-state; drop_view refuses a plain table
+    val e1 = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL refresh_dedup_state('sqlspec_dd_src')"))
+    assert(e1.getMessage.contains("not a created dedup state"))
+    val e2 = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL drop_view('sqlspec_dd_src')"))
+    assert(e2.getMessage.contains("not a created view"))
+    // drop_view retires the state: hands-free registration removed,
+    // name deregistered, external-location files kept (DROP TABLE rule)
+    assert(t.dependentViews().nonEmpty)
+    val dropped = GraftSql.sql(spark, "CALL drop_view('sqlspec_dd')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dropped("kind") == "dedup")
+    assert(t.dependentViews().isEmpty)
+    intercept[Exception](
+      GraftSql.sql(spark, "CALL show_view('sqlspec_dd')"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(loc, "_graft", "table.json")))
+  }
+
+  test("CALL drop_view retires agg and join views; show_views tracks the set") {
+    val left = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    left.bulkInsert(Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "g", "fk"))
+    val right = new GraftTable(spark, tmp(), Seq("fk"), targetFileBytes = 16 * 1024)
+    right.bulkInsert(Seq((10L, "d1"), (20L, "d2")).toDF("fk", "rv"))
+    GraftSql.register(spark, "sqlspec_dv_l", left)
+    GraftSql.register(spark, "sqlspec_dv_r", right)
+    val base = tmp()
+    GraftSql.sql(spark, "CALL create_agg_view('sqlspec_dv_l', 'sqlspec_dv_a', " +
+      s"'$base/a', 'g', 'total=fk')").collect()
+    GraftSql.sql(spark, "CALL create_join_view('sqlspec_dv_l', 'sqlspec_dv_r', " +
+      s"'sqlspec_dv_j', '$base/j', 'fk=fk')").collect()
+    val lst = GraftSql.sql(spark, "CALL show_views()").collect()
+      .map(r => r.getAs[String]("view") -> r.getAs[String]("kind")).toMap
+    assert(lst.get("sqlspec_dv_a").contains("aggregate") &&
+      lst.get("sqlspec_dv_j").contains("join"))
+    // join-view drop deregisters from BOTH sources' registries
+    assert(left.dependentViews().size == 2 && right.dependentViews().size == 1)
+    GraftSql.sql(spark, "CALL drop_view('sqlspec_dv_j')").collect()
+    assert(left.dependentViews().size == 1 && right.dependentViews().isEmpty)
+    GraftSql.sql(spark, "CALL drop_view('sqlspec_dv_a')").collect()
+    assert(left.dependentViews().isEmpty)
+    val after = GraftSql.sql(spark, "CALL show_views()").collect()
+      .map(_.getAs[String]("view")).toSet
+    assert(!after.contains("sqlspec_dv_a") && !after.contains("sqlspec_dv_j"))
+  }
+
   test("CREATE TABLE / INSERT / DROP TABLE: the managed SQL lifecycle") {
     val wh = tmp()
     GraftSql.install(spark)
