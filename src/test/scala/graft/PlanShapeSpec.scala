@@ -273,6 +273,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"))
   }
 
+  test("join-view dim churn prunes the view scan through fk stats (branch 2)") {
+    import graft.operators.{GraftTable, IncrementalJoin}
+    val sess = spark
+    import sess.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-psfk")
+    val left = new GraftTable(spark, s"$base/l", Seq("id"),
+      targetFileBytes = 8 * 1024)
+    left.bulkInsert((0L until 4000L).map(i => (i, i % 100, s"fact$i"))
+      .toDF("id", "fk", "lv"))
+    val right = new GraftTable(spark, s"$base/r", Seq("fk"),
+      targetFileBytes = 64 * 1024)
+    right.bulkInsert((0L until 100L).map(k => (k, s"dim$k")).toDF("fk", "rv"))
+    // create() lays the view out fk-sorted with fk column stats tracked
+    val view = IncrementalJoin.create(spark, left, right, s"$base/v",
+      Seq("fk" -> "fk"), targetFileBytes = 8 * 1024)
+    // one-dim-key churn window: branch 2 must scan < half the view files
+    right.upsert(Seq((50L, "dim50x")).toDF("fk", "rv"))
+    IncrementalJoin.maintain(left, right, view, Seq("fk" -> "fk"),
+      0L, 0L, 0L, 1L)
+    val (admitted, total) = IncrementalJoin.lastFanScan.getOrElse(
+      fail("branch 2 must run through the stats-pruned view read"))
+    assert(total >= 6, s"fixture must spread the view over many files (got $total)")
+    assert(admitted * 2 < total,
+      s"one-key dim churn must scan < half the view's files ($admitted/$total)")
+    // and the fan-out is still exact: every fk=50 row carries the update
+    import org.apache.spark.sql.functions.col
+    val vals = view.readUser().filter(col("fk") === 50L)
+      .select(col("rv")).distinct().as[String].collect().toSeq
+    assert(vals == Seq("dim50x"))
+  }
+
   test("LM scoring joins stay equi; the corpus is never nested-looped") {
     val p = plan("text_lm_score")
     // doc-bigrams x model joins must be EQUI joins (hash or sort-merge —
