@@ -37,7 +37,8 @@ object Bench {
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
     "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket",
     "w_upsert_narrow_interval", "w_upsert_narrow_bucket", "w_incr_agg",
-    "w_incr_join", "w_sql_point", "w_sql_ddl", "w_stream_sink")
+    "w_incr_join", "w_incr_dedup", "w_sql_point", "w_sql_ddl",
+    "w_stream_sink")
 
   /** Third reported section (round 13+): the heavy LLM-curation
     * operators. `dedup_suffix` is the engine's most expensive single
@@ -290,6 +291,30 @@ object Bench {
         () => {
           graft.operators.IncrementalJoin.maintain(
             l, r, view, on, 0L, 1L, 0L, 1L)
+          ()
+        }
+      }),
+      // incremental near-dup cluster maintenance (round-16): one CDC
+      // wave — every %13 document's text rewritten to a unique token
+      // (retract-split + singleton re-label, the heavy path) — applied
+      // to a bootstrapped MinHash cluster state (setup per run: fresh
+      // corpus table + IncrementalDedup bootstrap, untimed)
+      "w_incr_dedup" -> (() => {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val src = new graft.operators.GraftTable(spark,
+          tmpRoot("ivmd-src") + "/t", Seq("id"))
+        src.bulkInsert(d.withColumn("trx_seq", lit(f"${1}%020d")))
+        src.upsert(d.filter(col("id") % 13 === 0)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+          .withColumn("trx_seq", lit(f"${2}%020d")))
+        val state = new graft.operators.GraftTable(spark,
+          tmpRoot("ivmd-st") + "/t", Seq("id"))
+        graft.llm.IncrementalDedup.bootstrap(src, state, "id", "text",
+          graft.llm.IncrementalDedup.Params(), 0L)
+        () => {
+          graft.llm.IncrementalDedup.maintain(src, state, "id", "text",
+            graft.llm.IncrementalDedup.Params(), 0L, 1L)
           ()
         }
       }),

@@ -247,7 +247,7 @@ object IncrementalDedup {
     * `toSeq`: through [[GraftTable.readKeys]]' index-pruned path when
     * the head IS `toSeq` and the set is collectable, else a snapshot
     * semi join (correct for any historical window, no pruning). */
-  private def fetchDocs(src: GraftTable, idCol: String, textCol: String,
+  private[llm] def fetchDocs(src: GraftTable, idCol: String, textCol: String,
       toSeq: Long, ids: DataFrame): DataFrame = {
     val atHead = src.latestCommit().exists(_.seq == toSeq)
     val collected: Option[Seq[Long]] =

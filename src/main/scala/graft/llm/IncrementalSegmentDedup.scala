@@ -1,0 +1,364 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.GraftTable
+
+/** Incremental CCNet-style SEGMENT DEDUP — the per-document
+  * (n_segs, n_dup_segs, kept_md5) table of [[TextAnalysis.segmentDedup]]
+  * maintained from the corpus table's change feed instead of recomputed
+  * corpus-wide per crawl drop. The round-15 verdict's stretch item
+  * (PERF_NOTES design note), implemented.
+  *
+  * Reference frame: the same incremental-pull discipline as the
+  * reference pipeline (/root/reference/src/lambdas/launch_hudi/
+  * handler.py:99-116 — `hudi_delta` consumes only new files), applied
+  * to the OTHER corpus-quadratic curation step after near-dup
+  * clustering: segment document frequency is a corpus-wide aggregate,
+  * so a naive refresh re-segments the whole corpus.
+  *
+  * STATE — three keyed [[GraftTable]]s under one root:
+  *  - `df/`   (key `sh` = md5 of the segment): the segment
+  *    document-frequency table `(sh, df)` — the IncrementalAgg shape
+  *    (signed retract/add deltas, DELETE at zero).
+  *  - `post/` (key `(sh, id)`): the inverted POSTING `(sh, id, one)` —
+  *    which documents carry a segment. Needed because a segment
+  *    CROSSING the df=2 boundary retroactively changes OTHER documents'
+  *    output (doc A's segment becomes duplicated when doc B arrives);
+  *    the posting names exactly those documents, point-read by
+  *    composite-key range per crossing hash.
+  *  - `out/`  (key `id`): the user-facing result
+  *    `(id, n_segs, n_dup_segs, kept_md5)` — bit-identical to the batch
+  *    operator over the live corpus after every wave.
+  *
+  * PER-WAVE COST (the 100-TB contract): segmentation touches ONLY the
+  * wave's changed documents (before/after texts ride the change feed —
+  * no corpus read) plus the point-fetched texts of boundary-crossing
+  * partners (bounded by true crossing volume: each wave segment can
+  * cross at most once). State lookups point-read through the key
+  * index under [[FetchKeyCap]], falling back to one text-free state
+  * scan above it. Nothing re-reads the corpus.
+  *
+  * CRASH SAFETY: the three tables commit in the fixed order
+  * out → post → df, each carrying its own [[AppliedSeqKey]] watermark
+  * with a stale-window `preCommit` refusal. All wave frames derive
+  * LOGICALLY from the PRE-wave df state (which commits last), so a
+  * crash between commits replays deterministically: tables already at
+  * `toSeq` skip, the rest re-apply the identical frames.
+  */
+object IncrementalSegmentDedup {
+
+  val AppliedSeqKey = "isd_applied_seq"
+  val SrcRootKey = "isd_src_root"
+  val IdColKey = "isd_id_col"
+  val TextColKey = "isd_text_col"
+  val SegWordsKey = "isd_seg_words"
+
+  /** Same driver-collect bound as [[IncrementalDedup.FetchKeyCap]]. */
+  val FetchKeyCap = 10000
+
+  /** The three state tables of one dedup root. */
+  case class State(df: GraftTable, post: GraftTable, out: GraftTable)
+
+  def open(spark: SparkSession, location: String): State =
+    State(GraftTable.open(spark, s"$location/df"),
+      GraftTable.open(spark, s"$location/post"),
+      GraftTable.open(spark, s"$location/out"))
+
+  private def newState(spark: SparkSession, location: String): State =
+    State(
+      new GraftTable(spark, s"$location/df", Seq("sh")),
+      new GraftTable(spark, s"$location/post", Seq("sh", "id")),
+      new GraftTable(spark, s"$location/out", Seq("id")))
+
+  def appliedSeq(t: GraftTable): Option[Long] =
+    t.historyNewestFirst()
+      .flatMap(_.extra.get(AppliedSeqKey)).map(_.toLong).nextOption()
+
+  private[graft] def specOf(st: State): Option[Map[String, String]] =
+    st.out.historyNewestFirst().find(_.extra.contains(SrcRootKey)).map(_.extra)
+
+  /** The maintained per-document result — [[TextAnalysis.segmentDedup]]'s
+    * exact output contract over the live corpus. */
+  def output(st: State): DataFrame =
+    st.out.readUser().select(col("id"), col("n_segs"), col("n_dup_segs"),
+      col("kept_md5"))
+
+  private def requireValidIds(df: DataFrame, where: String): Unit =
+    if (df.filter(col("id").isNull || col("id") < 0).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"null or negative document id in $where: the segment-dedup state " +
+          "is keyed by a non-negative LONG id (the posting range encoding) " +
+          "— filter or remap ids first")
+
+  /** One-time full build at the source snapshot `atSeq`. df/post
+    * re-bootstrap over any partial prior attempt (overwrite); `out`
+    * commits LAST, so a crash mid-bootstrap leaves a root that simply
+    * re-bootstraps ([[graft.operators.IncrementalAgg.bootstrap]]'s aux
+    * discipline). */
+  def bootstrap(src: GraftTable, st: State, idCol: String, textCol: String,
+      segWords: Int, atSeq: Long,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
+    val snap = src.readAsOf(atSeq)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("_t"))
+      .localCheckpoint()
+    try {
+      requireValidIds(snap, "the bootstrap snapshot")
+      val segs = TextAnalysis.segments(snap, "id", "_t", segWords)
+      val posts = segs.select(md5(col("seg")).as("sh"), col("id")).distinct()
+        .withColumn("one", lit(1L))
+      val dfq = posts.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      val meta = Map(AppliedSeqKey -> atSeq.toString)
+      def land(t: GraftTable, rows: DataFrame): Unit = {
+        if (t.history().isEmpty) t.bulkInsert(rows, extraMeta = meta)
+        else t.insertOverwriteTable(rows, extraMeta = meta)
+        ()
+      }
+      land(st.df, dfq)
+      land(st.post, posts)
+      val out = TextAnalysis.segmentDedup(snap, "id", "_t", segWords)
+      st.out.bulkInsert(out, extraMeta = extraMeta ++ meta)
+      ()
+    } finally {
+      snap.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Create a SELF-DESCRIBING segment-dedup state under `location`
+    * (three fresh tables), bootstrapped at the source's head, spec in
+    * the out table's bootstrap commit — the [[IncrementalDedup.create]]
+    * lifecycle, including the source-side dependent-view registration
+    * for hands-free `viewMaintain` freshness. */
+  def create(spark: SparkSession, src: GraftTable, location: String,
+      idCol: String, textCol: String, segWords: Int = 8): State = {
+    require(idCol.matches("[A-Za-z_][A-Za-z0-9_]*") &&
+      textCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"id/text column names must be plain identifiers: $idCol, $textCol")
+    require(segWords >= 1, s"segWords must be >= 1: $segWords")
+    val st = newState(spark, location)
+    require(st.out.history().isEmpty,
+      s"$location/out already holds a committed table — create needs a fresh location")
+    val at = src.latestCommit().map(_.seq).getOrElse(
+      throw new IllegalStateException("source table has no commits"))
+    bootstrap(src, st, idCol, textCol, segWords, at,
+      extraMeta = Map(SrcRootKey -> src.root, IdColKey -> idCol,
+        TextColKey -> textCol, SegWordsKey -> segWords.toString))
+    src.registerDependentView(st.out.root)
+    st
+  }
+
+  /** Catch a [[create]]d state up to its source's head from nothing but
+    * the spec in the out table's timeline; re-stamps the spec. The
+    * `viewMaintain` walk reaches this through the out table's root
+    * ([[refreshAt]]). Returns (fromSeq, toSeq). */
+  def refresh(spark: SparkSession, st: State): (Long, Long) = {
+    val spec = specOf(st).getOrElse(throw new IllegalStateException(
+      s"no $SrcRootKey spec in the out table's timeline — not a created " +
+        "segment-dedup state"))
+    val src = GraftTable.open(spark, spec(SrcRootKey))
+    val from = appliedSeq(st.out).get
+    val to = src.latestCommit().map(_.seq).getOrElse(
+      throw new IllegalStateException("source table has no commits"))
+    if (to < from) throw new IllegalStateException(
+      s"source head $to is BELOW the state's applied watermark $from — " +
+        "the source was rolled back or restored past the state; " +
+        "re-bootstrap against the restored corpus")
+    if (to > from)
+      maintain(src, st, spec(IdColKey), spec(TextColKey),
+        spec(SegWordsKey).toInt, from, to,
+        extraMeta = spec.filter { case (k, _) =>
+          Seq(SrcRootKey, IdColKey, TextColKey, SegWordsKey).contains(k) })
+    (from, to)
+  }
+
+  /** [[refresh]] addressed by the OUT table's root — the registered
+    * dependent-view entry point ([[graft.operators.ViewMaintenance]]
+    * knows table roots, not [[State]]s; the sibling df/post roots
+    * derive from the layout). */
+  def refreshAt(spark: SparkSession, outRoot: String): (Long, Long) = {
+    require(outRoot.endsWith("/out"),
+      s"not a segment-dedup out table root: $outRoot")
+    refresh(spark, open(spark, outRoot.stripSuffix("/out")))
+  }
+
+  /** Collect a one-column frame of keys to the driver when it fits
+    * under the cap — the point-read path — else None (snapshot-join
+    * fallback). */
+  private def collectUnder(keys: DataFrame, col0: String): Option[Seq[Any]] = {
+    val c = keys.select(col(col0)).distinct().limit(FetchKeyCap + 1)
+      .collect().map(_.get(0)).toSeq
+    if (c.size <= FetchKeyCap) Some(c) else None
+  }
+
+  /** Stored df rows for the given segment hashes: key point reads under
+    * the cap, one text-free state scan above it. */
+  private def storedDf(st: State, hashes: DataFrame): DataFrame =
+    collectUnder(hashes, "sh") match {
+      case Some(ks) if ks.isEmpty =>
+        st.df.readUser().limit(0).select(col("sh"), col("df"))
+      case Some(ks) =>
+        st.df.readKeys(ks.map(_.toString)).select(col("sh"), col("df"))
+      case None =>
+        st.df.readUser().join(hashes.select(col("sh")).distinct(), Seq("sh"),
+          "left_semi").select(col("sh"), col("df"))
+    }
+
+  /** The posting rows of the given (crossing) hashes: per-hash
+    * composite-key RANGE reads under the cap (manifest-pruned to the
+    * hash's file neighborhood), one posting scan above it. */
+  private def postingsOf(st: State, hashes: DataFrame): DataFrame =
+    collectUnder(hashes, "sh") match {
+      case Some(ks) if ks.isEmpty =>
+        st.post.readUser().limit(0).select(col("sh"), col("id"))
+      case Some(ks) =>
+        ks.map { h =>
+          // composite KeyGen encoding: "sh:<md5hex>,id:<%019d>" — md5 hex
+          // never needs separator escaping, ids are non-negative digits
+          st.post.readKeyRange(s"sh:$h,id:0000000000000000000",
+            s"sh:$h,id:9999999999999999999")
+        }.reduce(_ unionByName _).select(col("sh"), col("id"))
+      case None =>
+        st.post.readUser().join(hashes.select(col("sh")).distinct(), Seq("sh"),
+          "left_semi").select(col("sh"), col("id"))
+    }
+
+  /** Apply the source's `(fromSeq, toSeq]` change feed — see the object
+    * doc for the algebra, cost and crash contract. */
+  def maintain(src: GraftTable, st: State, idCol: String, textCol: String,
+      segWords: Int, fromSeq: Long, toSeq: Long,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
+    // partial-replay admission: commits land out → post → df, so the
+    // only legal states are (f,f,f) (t,f,f) (t,t,f) (t,t,t)
+    val seqs = Seq(st.out, st.post, st.df).map(t =>
+      appliedSeq(t).getOrElse(throw new IllegalStateException(
+        s"state table ${t.root} carries no $AppliedSeqKey watermark — bootstrap first")))
+    seqs.foreach(s => if (s != fromSeq && s != toSeq)
+      throw new IllegalStateException(
+        s"state watermarks $seqs do not admit window ($fromSeq, $toSeq] — " +
+          "re-read the watermark (concurrent refresh?)"))
+    require(seqs.sliding(2).forall(p => p.head >= p.last),
+      s"torn state order (out, post, df) = $seqs: commits land out-first; " +
+        "this root was written by something else — re-bootstrap")
+    if (seqs.forall(_ == toSeq)) return
+    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(); pinned += c; c
+    }
+    try {
+      val img = pin(src.changesDiffImages(fromSeq, toSeq))
+      val before = img.filter(col("op").isin("D", "U"))
+        .select(col("_before")(idCol).cast("long").as("id"),
+          col("_before")(textCol).as("_t"))
+      val after = pin(img.filter(col("op").isin("I", "U"))
+        .select(col("_after")(idCol).cast("long").as("id"),
+          col("_after")(textCol).as("_t")))
+      requireValidIds(after, s"the ($fromSeq, $toSeq] change feed")
+      def postsOf(docs: DataFrame): DataFrame =
+        TextAnalysis.segments(docs, "id", "_t", segWords)
+          .select(md5(col("seg")).as("sh"), col("id")).distinct()
+      val distB = pin(postsOf(before))
+      val distA = pin(postsOf(after))
+      // signed df delta per segment hash (IncrementalAgg's contribution
+      // shape), joined with the PRE-wave stored df
+      val delta = pin(
+        distA.groupBy(col("sh")).agg(count(lit(1)).as("_add"))
+          .join(distB.groupBy(col("sh")).agg(count(lit(1)).as("_rem")),
+            Seq("sh"), "full_outer")
+          .select(col("sh"),
+            (coalesce(col("_add"), lit(0L)) - coalesce(col("_rem"), lit(0L)))
+              .as("_d")))
+      val moved = pin(delta
+        .join(storedDf(st, delta), Seq("sh"), "left")
+        .select(col("sh"), coalesce(col("df"), lit(0L)).as("_old"),
+          (coalesce(col("df"), lit(0L)) + col("_d")).as("_new")))
+      if (moved.filter(col("_new") < 0).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"negative segment df in window ($fromSeq, $toSeq] — the df state " +
+            "does not match this source history; re-bootstrap")
+      // boundary crossings: OTHER documents' dup/kept output changes
+      val crossing = pin(moved.filter(
+        (col("_old") >= 2) =!= (col("_new") >= 2)).select(col("sh")))
+      val changedIds = img.select(
+        coalesce(col("_after")(idCol), col("_before")(idCol))
+          .cast("long").as("id")).distinct()
+      val affectedOther = pin(postingsOf(st, crossing)
+        .select(col("id")).distinct()
+        .join(changedIds, Seq("id"), "left_anti"))
+      // texts to (re)compute: after-images ride the feed; unchanged
+      // boundary-crossing partners point-fetch through the corpus index
+      val texts = pin(after.unionByName(
+        IncrementalDedup.fetchDocs(src, idCol, textCol, toSeq, affectedOther)))
+      // post-wave df for every segment these docs carry: stored values
+      // overridden by the wave's moved rows (all derived from PRE-wave
+      // state — replay-deterministic)
+      val rSegs = pin(TextAnalysis.segments(texts, "id", "_t", segWords)
+        .select(col("id"), col("pos"), col("seg"), md5(col("seg")).as("sh")))
+      val rHashes = rSegs.select(col("sh")).distinct()
+      val lookup = storedDf(st, rHashes)
+        .join(moved, Seq("sh"), "full_outer")
+        .select(col("sh"), coalesce(col("_new"), col("df")).as("_df"))
+      val outRows = rSegs.join(lookup, Seq("sh"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_segs"),
+          count(when(col("_df") >= 2, 1)).as("n_dup_segs"),
+          md5(coalesce(array_join(
+            transform(sort_array(collect_list(when(col("_df") < 2,
+              struct(col("pos"), col("seg"))))), x => x("seg")), " "), lit("")))
+            .as("kept_md5"))
+      val delRows = img.filter(col("op") === "D")
+        .select(col("_before")(idCol).cast("long").as("id"),
+          lit(-1L).as("n_segs"), lit(-1L).as("n_dup_segs"),
+          lit(null).cast("string").as("kept_md5"))
+      val outDelta = outRows.unionByName(delRows)
+      // posting delta: pairs leaving / entering the corpus
+      val postDel = distB.join(distA, Seq("sh", "id"), "left_anti")
+        .withColumn("one", lit(0L))
+      val postAdd = distA.join(distB, Seq("sh", "id"), "left_anti")
+        .withColumn("one", lit(1L))
+      // df rows: new counts, DELETE at zero (unchanged _d = 0 rows are
+      // filtered — no point rewriting their files)
+      val dfDelta = moved.filter(col("_new") =!= col("_old"))
+        .select(col("sh"), col("_new").as("df"))
+
+      def guard(t: GraftTable): Option[() => Unit] = Some(() => {
+        val cur = appliedSeq(t)
+        if (cur != Some(fromSeq)) throw new IllegalStateException(
+          s"stale maintenance window ($fromSeq, $toSeq] at ${t.root}: " +
+            s"applied watermark is ${cur.getOrElse("absent")} — " +
+            "re-read the watermark (concurrent refresh?)")
+      })
+      val meta = extraMeta + (AppliedSeqKey -> toSeq.toString)
+      if (appliedSeq(st.out).contains(fromSeq))
+        st.out.mergeInto(outDelta,
+          whenMatchedSet = Seq("n_segs", "n_dup_segs", "kept_md5")
+            .map(c => c -> col(s"src_$c")).toMap,
+          whenMatchedDelete = Some(col("src_n_segs") === -1L),
+          insertWhenNotMatched = true,
+          insertWhenNotMatchedCond = Some(col("src_n_segs") >= 0L),
+          extraMeta = meta, preCommit = guard(st.out))
+      if (appliedSeq(st.post).contains(fromSeq))
+        st.post.mergeInto(postDel.unionByName(postAdd),
+          whenMatchedSet = Map("one" -> col("src_one")),
+          whenMatchedDelete = Some(col("src_one") === 0L),
+          insertWhenNotMatched = true,
+          insertWhenNotMatchedCond = Some(col("src_one") === 1L),
+          extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+          preCommit = guard(st.post))
+      if (appliedSeq(st.df).contains(fromSeq))
+        st.df.mergeInto(dfDelta,
+          whenMatchedSet = Map("df" -> col("src_df")),
+          whenMatchedDelete = Some(col("src_df") === 0L),
+          insertWhenNotMatched = true,
+          insertWhenNotMatchedCond = Some(col("src_df") > 0L),
+          extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+          preCommit = guard(st.df))
+      ()
+    } finally pinned.foreach {
+      _.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+    }
+  }
+}

@@ -304,13 +304,21 @@ object TextAnalysis {
     * repeats of a corpus-unique segment are kept (CCNet semantics:
     * the hash set is corpus-level, not doc-level).
     */
-  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
-      segWords: Int = 8): DataFrame = {
+  /** The (id, pos, seg) segment instances of each document — the ONE
+    * segmentation both the batch [[segmentDedup]] and the incremental
+    * [[IncrementalSegmentDedup]] consume, so their outputs can never
+    * drift on the chunking itself. */
+  private[graft] def segments(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
     val segsExpr = expr(
       s"""transform(sequence(0, CAST(ceil(size(split($textCol, ' ')) / ${segWords}D) AS INT) - 1),
             i -> array_join(slice(split($textCol, ' '), i * $segWords + 1, $segWords), ' '))""")
-    val segs = docs.select(col(idCol),
-        posexplode(segsExpr).as(Seq("pos", "seg")))
+    docs.select(col(idCol), posexplode(segsExpr).as(Seq("pos", "seg")))
+  }
+
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int = 8): DataFrame = {
+    val segs = segments(docs, idCol, textCol, segWords)
     val dfq = segs.select(col(idCol), col("seg")).distinct()
       .groupBy(col("seg")).agg(count(lit(1)).as("df"))
     segs.join(dfq, Seq("seg"))

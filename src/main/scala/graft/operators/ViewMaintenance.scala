@@ -74,8 +74,9 @@ private[graft] object ViewMaintenance {
   }
 
   /** Kind dispatch over the self-describing spec in the view's own
-    * timeline — the same three `create`d kinds the SQL lifecycle
-    * manages (agg view, join view, dedup state). */
+    * timeline — the four `create`d kinds (agg view, join view, near-dup
+    * dedup state, segment-dedup state — the last registered by its OUT
+    * table's root). */
   private def refreshOne(spark: SparkSession, v: GraftTable): Unit = {
     if (v.historyNewestFirst().exists(_.extra.contains(IncrementalAgg.SrcRootKey)))
       IncrementalAgg.refresh(spark, v)
@@ -83,6 +84,9 @@ private[graft] object ViewMaintenance {
       IncrementalJoin.refresh(spark, v)
     else if (graft.llm.IncrementalDedup.specOf(v).isDefined)
       graft.llm.IncrementalDedup.refresh(spark, v)
+    else if (v.historyNewestFirst().exists(
+        _.extra.contains(graft.llm.IncrementalSegmentDedup.SrcRootKey)))
+      graft.llm.IncrementalSegmentDedup.refreshAt(spark, v.root)
     else throw new IllegalStateException(
       s"registered dependent at ${v.root} carries no view spec in its timeline")
     ()

@@ -64,6 +64,36 @@ object LlmScenario {
       state
     })
 
+  /** Incrementally-maintained SEGMENT-DEDUP state through the same
+    * 3-wave CDC lifecycle ([[graft.llm.IncrementalSegmentDedup]]): the
+    * per-document (n_segs, n_dup_segs, kept_md5) table kept current
+    * from the change feed — df boundary crossings rewrite UNCHANGED
+    * partner documents through the posting point-reads. */
+  def incrSegments(s: SparkSession, dir: String): graft.llm.IncrementalSegmentDedup.State =
+    segCache.getOrElseUpdate(s"incrseg:$dir", {
+      val base = Files.createTempDirectory("graft-llm-isd")
+      val src = new GraftTable(s, s"$base/src", Seq("id"),
+        targetFileBytes = 256 * 1024)
+      src.bulkInsert(meta(docs(s, dir).filter(col("id") % 7 =!= 0), 1,
+        deleted = false))
+      val st = graft.llm.IncrementalSegmentDedup.create(
+        s, src, s"$base/state", "id", "text")
+      val d = docs(s, dir)
+      val id = col("id")
+      src.upsert(meta(d.filter(id % 7 === 0), 2, deleted = false))
+      graft.llm.IncrementalSegmentDedup.refresh(s, st)
+      src.upsert(meta(d.filter(id % 13 === 0)
+        .withColumn("text", concat(lit("uniq"), id.cast("string"))), 3,
+        deleted = false))
+      graft.llm.IncrementalSegmentDedup.refresh(s, st)
+      src.upsert(meta(d.filter(id % 11 === 0), 4, deleted = true))
+      graft.llm.IncrementalSegmentDedup.refresh(s, st)
+      st
+    })
+
+  private val segCache =
+    TrieMap[String, graft.llm.IncrementalSegmentDedup.State]()
+
   /** The same lifecycle driven from PURE SQL: `CALL create_dedup_state`
     * bootstraps the self-describing state, three CDC waves land on the
     * source, and ONE `CALL refresh_dedup_state` catches it up across
@@ -169,6 +199,14 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",",
             transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))),
+    // INCREMENTALLY-MAINTAINED segment dedup (round-16 stretch,
+    // implemented): the per-document segment census/kept-text table
+    // maintained from the change feed — df=2 boundary crossings rewrite
+    // UNCHANGED partner docs via the posting point-reads — graded
+    // against the batch segment-dedup oracle over the final corpus
+    "text_segment_dedup_incr" -> ((s, dir) =>
+      graft.llm.IncrementalSegmentDedup.output(
+        LlmScenario.incrSegments(s, dir))),
     // the dedup state managed from PURE SQL (CALL create_dedup_state /
     // refresh_dedup_state) and read back as a plain SQL aggregate over
     // the registered state table — same final-corpus oracle
@@ -1027,6 +1065,25 @@ object LlmQueries {
 
     // identical final-corpus oracle for the SQL-lifecycle variant
     "sql_dedup_state" -> clustersSql(None, "corpus", incrCorpusCte),
+
+    // the batch segment-dedup oracle re-targeted at the final corpus
+    // (same waves as dedup_incremental): the maintained per-doc table
+    // must equal the full recompute digit for digit, kept_md5 included
+    "text_segment_dedup_incr" ->
+      s"""WITH $incrCorpusCte
+         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         segs AS (SELECT doc_id, s['pos'] AS pos, s['seg'] AS seg FROM
+           (SELECT doc_id, unnest(list_transform(
+               range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+               i -> {'pos': i, 'seg': array_to_string(w[i * 8 + 1 : (i + 1) * 8], ' ')})) AS s
+            FROM w)),
+         dfq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+         SELECT doc_id AS id, COUNT(*) AS n_segs,
+           COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_segs,
+           md5(COALESCE(string_agg(seg, ' ' ORDER BY pos)
+             FILTER (WHERE df < 2), '')) AS kept_md5
+         FROM segs JOIN dfq USING (seg)
+         GROUP BY doc_id""",
 
     "dedup_keep" -> keepSql,
 

@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.Meta
+import graft.operators.GraftTable
+import graft.llm.{IncrementalSegmentDedup => ISD, TextAnalysis}
+
+/** Incremental segment dedup: after ANY sequence of insert/update/delete
+  * waves, the maintained (n_segs, n_dup_segs, kept_md5) table must equal
+  * the batch [[TextAnalysis.segmentDedup]] over the live corpus — and
+  * the df=2 BOUNDARY CROSSINGS must rewrite UNCHANGED partner documents
+  * (the retroactive half the df state alone can't serve; the posting
+  * table exists for it). */
+class IncrementalSegmentDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 3 // 3-word segments keep fixtures readable
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-isd").toString
+
+  private def meta(df: org.apache.spark.sql.DataFrame, seq: Int, del: Boolean) =
+    df.withColumn(Meta.Ordering, lit(f"$seq%020d"))
+      .withColumn(Meta.Deleted, lit(del))
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")
+
+  private def assertParity(src: GraftTable, st: ISD.State, clue: String): Unit = {
+    val got = ISD.output(st)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val exp = TextAnalysis.segmentDedup(
+        src.readUser().select(col("id"), col("text")), "id", "text", W)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == exp, s"$clue: maintained output != batch recompute")
+    // df-state integrity: stored counts equal a recompute
+    val dfGot = st.df.readUser().select(col("sh"), col("df"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val dfExp = TextAnalysis.segments(
+        src.readUser().select(col("id"), col("text")), "id", "text", W)
+      .select(md5(col("seg")).as("sh"), col("id")).distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(dfGot == dfExp, s"$clue: stored df state != recompute")
+  }
+
+  test("crossings rewrite UNCHANGED partners; updates and deletes compose") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    // d1/d2 share segment "a b c" (df 2); d1's "d e f" is unique
+    src.bulkInsert(meta(docs(
+      1L -> "a b c d e f", 2L -> "a b c x y z"), 1, del = false))
+    val st = ISD.create(spark, src, tmp(), "id", "text", W)
+    assertParity(src, st, "bootstrap")
+    assert(ISD.output(st).filter(col("id") === 1L)
+      .select(col("n_dup_segs")).as[Long].head() == 1L)
+
+    // wave 1: d3 shares "d e f" — df 1→2 crosses; UNCHANGED d1 must
+    // rewrite (its n_dup_segs goes 1 → 2 without d1 appearing in the feed)
+    src.upsert(meta(docs(3L -> "d e f q r s"), 2, del = false))
+    ISD.maintain(src, st, "id", "text", W, 0L, 1L)
+    assertParity(src, st, "insert crossing")
+    assert(ISD.output(st).filter(col("id") === 1L)
+      .select(col("n_dup_segs")).as[Long].head() == 2L,
+      "the unchanged partner doc must pick up the new duplicate")
+
+    // wave 2: delete d2 — "a b c" df 2→1 crosses back; survivor d1 rewrites
+    src.upsert(meta(docs(2L -> "a b c x y z"), 3, del = true))
+    ISD.maintain(src, st, "id", "text", W, 1L, 2L)
+    assertParity(src, st, "delete crossing")
+    assert(ISD.output(st).filter(col("id") === 1L)
+      .select(col("n_dup_segs")).as[Long].head() == 1L)
+
+    // wave 3: d3's text moves off "d e f" — retraction crossing 2→1
+    // (d1 rewrites again) plus fresh unique segments for d3
+    src.upsert(meta(docs(3L -> "q r s t u v"), 4, del = false))
+    ISD.maintain(src, st, "id", "text", W, 2L, 3L)
+    assertParity(src, st, "update retraction crossing")
+    assert(ISD.output(st).filter(col("id") === 1L)
+      .select(col("n_dup_segs")).as[Long].head() == 0L)
+  }
+
+  test("maintenance windows compose: (0,1]+(1,2] equals (0,2]") {
+    def build(): GraftTable = {
+      val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+      src.bulkInsert(meta(docs(1L -> "a b c d e f", 2L -> "a b c x y z"), 1,
+        del = false))
+      src.upsert(meta(docs(3L -> "d e f q r s"), 2, del = false))
+      src.upsert(meta(docs(2L -> "a b c x y z"), 3, del = true)
+        .unionByName(meta(docs(4L -> "d e f q r s"), 3, del = false)))
+      src
+    }
+    val read = (st: ISD.State) => ISD.output(st)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val s1 = build()
+    val t1 = {
+      val st = ISD.State(
+        new GraftTable(spark, tmp() + "/df", Seq("sh")),
+        new GraftTable(spark, tmp() + "/post", Seq("sh", "id")),
+        new GraftTable(spark, tmp() + "/out", Seq("id")))
+      ISD.bootstrap(s1, st, "id", "text", W, 0L)
+      ISD.maintain(s1, st, "id", "text", W, 0L, 1L)
+      ISD.maintain(s1, st, "id", "text", W, 1L, 2L)
+      st
+    }
+    val s2 = build()
+    val t2 = {
+      val st = ISD.State(
+        new GraftTable(spark, tmp() + "/df", Seq("sh")),
+        new GraftTable(spark, tmp() + "/post", Seq("sh", "id")),
+        new GraftTable(spark, tmp() + "/out", Seq("id")))
+      ISD.bootstrap(s2, st, "id", "text", W, 0L)
+      ISD.maintain(s2, st, "id", "text", W, 0L, 2L)
+      st
+    }
+    assert(read(t1) == read(t2))
+    assertParity(s1, t1, "stepwise")
+  }
+
+  test("lifecycle: spec-driven refresh, idempotence, stale and rollback refusals") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(docs(1L -> "a b c d e f"), 1, del = false))
+    val loc = tmp()
+    val st = ISD.create(spark, src, loc, "id", "text", W)
+    src.upsert(meta(docs(2L -> "a b c x y z"), 2, del = false))
+    // cold reopen: nothing but the layout + out-table spec drives refresh
+    val reopened = ISD.open(spark, loc)
+    assert(ISD.refresh(spark, reopened) == (0L, 1L))
+    assertParity(src, reopened, "spec-driven refresh")
+    assert(ISD.refresh(spark, reopened) == (1L, 1L), "idempotent when current")
+    // the registered-root entry point the viewMaintain walk uses
+    src.upsert(meta(docs(3L -> "d e f q r s"), 3, del = false))
+    assert(ISD.refreshAt(spark, s"$loc/out") == (1L, 2L))
+    assertParity(src, ISD.open(spark, loc), "refreshAt")
+    // re-applying a FULLY-applied window is an idempotent no-op (the
+    // crash-replay contract: tables already at toSeq skip)
+    ISD.maintain(src, reopened, "id", "text", W, 1L, 2L)
+    assertParity(src, ISD.open(spark, loc), "full-replay no-op")
+    // a genuinely stale window refuses
+    val e1 = intercept[IllegalStateException] {
+      ISD.maintain(src, reopened, "id", "text", W, 0L, 1L)
+    }
+    assert(e1.getMessage.contains("do not admit window"))
+    // rolled-back source refuses
+    src.rollback(0L)
+    val e2 = intercept[IllegalStateException] {
+      ISD.refresh(spark, reopened)
+    }
+    assert(e2.getMessage.contains("rolled back"))
+  }
+
+  test("viewMaintain keeps the segment state fresh hands-free") {
+    val src = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, viewMaintain = true)
+    src.bulkInsert(meta(docs(1L -> "a b c d e f"), 1, del = false))
+    val st = ISD.create(spark, src, tmp(), "id", "text", W)
+    // the ingest commit itself walks the dependent and refreshes it
+    src.upsert(meta(docs(2L -> "a b c x y z"), 2, del = false))
+    assert(ISD.appliedSeq(GraftTable.open(spark, st.out.root)) == Some(1L),
+      "the commit's walk must bring the segment state forward")
+    assertParity(src, st, "hands-free")
+  }
+
+  test("negative ids refuse loudly") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(Seq((-3L, "a b c d e f")).toDF("id", "text"), 1,
+      del = false))
+    val st = ISD.State(
+      new GraftTable(spark, tmp() + "/df", Seq("sh")),
+      new GraftTable(spark, tmp() + "/post", Seq("sh", "id")),
+      new GraftTable(spark, tmp() + "/out", Seq("id")))
+    val e = intercept[IllegalStateException] {
+      ISD.bootstrap(src, st, "id", "text", W, 0L)
+    }
+    assert(e.getMessage.contains("negative"))
+  }
+}
