@@ -94,6 +94,29 @@ object LlmScenario {
   private val segCache =
     TrieMap[String, graft.llm.IncrementalSegmentDedup.State]()
 
+  /** The segment-dedup lifecycle driven from PURE SQL: `CALL
+    * create_segment_state` bootstraps the three-table state, three CDC
+    * waves land on the source, and ONE `CALL refresh_segment_state`
+    * catches it up across all three windows. The graded read is plain
+    * SQL over the registered output table. */
+  def sqlSegmentState(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"sqlseg:$dir", {
+      val base = Files.createTempDirectory("graft-llm-sqlseg")
+      val src = new GraftTable(s, s"$base/src", Seq("id"),
+        targetFileBytes = 256 * 1024)
+      src.bulkInsert(meta(docs(s, dir).filter(col("id") % 7 =!= 0), 1,
+        deleted = false))
+      graft.sql.GraftSql.register(s, "seg_src", src)
+      s.sql("CALL create_segment_state('seg_src', 'seg_state_v', " +
+        s"'$base/state', 'id', 'text')").collect()
+      waves(s, dir, src)
+      val out = s.sql("CALL refresh_segment_state('seg_state_v')").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+      require(out("from_seq") == "0" && out("to_seq") == "3",
+        s"one CALL must catch up all three waves: $out")
+      src
+    })
+
   /** The same lifecycle driven from PURE SQL: `CALL create_dedup_state`
     * bootstraps the self-describing state, three CDC waves land on the
     * source, and ONE `CALL refresh_dedup_state` catches it up across
@@ -207,6 +230,14 @@ object LlmQueries {
     "text_segment_dedup_incr" -> ((s, dir) =>
       graft.llm.IncrementalSegmentDedup.output(
         LlmScenario.incrSegments(s, dir))),
+    // the SEGMENT state managed from PURE SQL (CALL create_segment_state /
+    // refresh_segment_state), read back as a plain SELECT over the
+    // registered output table — same final-corpus oracle
+    "sql_segment_state" -> ((s, dir) => {
+      LlmScenario.sqlSegmentState(s, dir)
+      s.sql("""SELECT id, n_segs, n_dup_segs, kept_md5
+               FROM graft.seg_state_v""")
+    }),
     // the dedup state managed from PURE SQL (CALL create_dedup_state /
     // refresh_dedup_state) and read back as a plain SQL aggregate over
     // the registered state table — same final-corpus oracle
@@ -1069,21 +1100,10 @@ object LlmQueries {
     // the batch segment-dedup oracle re-targeted at the final corpus
     // (same waves as dedup_incremental): the maintained per-doc table
     // must equal the full recompute digit for digit, kept_md5 included
-    "text_segment_dedup_incr" ->
-      s"""WITH $incrCorpusCte
-         w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-         segs AS (SELECT doc_id, s['pos'] AS pos, s['seg'] AS seg FROM
-           (SELECT doc_id, unnest(list_transform(
-               range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
-               i -> {'pos': i, 'seg': array_to_string(w[i * 8 + 1 : (i + 1) * 8], ' ')})) AS s
-            FROM w)),
-         dfq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
-         SELECT doc_id AS id, COUNT(*) AS n_segs,
-           COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_segs,
-           md5(COALESCE(string_agg(seg, ' ' ORDER BY pos)
-             FILTER (WHERE df < 2), '')) AS kept_md5
-         FROM segs JOIN dfq USING (seg)
-         GROUP BY doc_id""",
+    "text_segment_dedup_incr" -> incrSegmentsSql,
+
+    // identical final-corpus oracle for the SQL-lifecycle variant
+    "sql_segment_state" -> incrSegmentsSql,
 
     "dedup_keep" -> keepSql,
 
@@ -2243,6 +2263,24 @@ object LlmQueries {
        SELECT cluster_id, COUNT(*) AS n_docs,
               string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
        FROM comp GROUP BY cluster_id"""
+
+  /** The batch segment-dedup oracle over the post-wave corpus — shared
+    * by the API-driven and SQL-lifecycle graded variants. */
+  private def incrSegmentsSql: String =
+    s"""WITH $incrCorpusCte
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       segs AS (SELECT doc_id, s['pos'] AS pos, s['seg'] AS seg FROM
+         (SELECT doc_id, unnest(list_transform(
+             range(0, CAST(ceil(len(w) / 8.0) AS BIGINT)),
+             i -> {'pos': i, 'seg': array_to_string(w[i * 8 + 1 : (i + 1) * 8], ' ')})) AS s
+          FROM w)),
+       dfq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+       SELECT doc_id AS id, COUNT(*) AS n_segs,
+         COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup_segs,
+         md5(COALESCE(string_agg(seg, ' ' ORDER BY pos)
+           FILTER (WHERE df < 2), '')) AS kept_md5
+       FROM segs JOIN dfq USING (seg)
+       GROUP BY doc_id"""
 
   /** The FINAL live corpus after [[LlmScenario]]'s three CDC waves,
     * reconstructed in pure SQL (the waves are modular-arithmetic

@@ -25,6 +25,7 @@ import graft.operators.GraftTable
   *    create_agg_view, refresh_agg_view,
   *    create_join_view, refresh_join_view,
   *    create_dedup_state, refresh_dedup_state,
+  *    create_segment_state, refresh_segment_state,
   *    run_compaction, run_clustering, run_clean,
   *    run_archive, run_fsck, create_savepoint, restore_savepoint,
   *    rollback_to, delete_partition, build_record_index. Each returns a
@@ -166,6 +167,9 @@ object GraftSql {
       .map(c => ("aggregate", c.extra))
       .orElse(graft.operators.IncrementalJoin.specOf(v).map(("join", _)))
       .orElse(graft.llm.IncrementalDedup.specOf(v).map(("dedup", _)))
+      .orElse(v.historyNewestFirst()
+        .find(_.extra.contains(graft.llm.IncrementalSegmentDedup.SrcRootKey))
+        .map(c => ("segment", c.extra)))
 
   private[sql] def call(spark: SparkSession, proc: String,
       args: Seq[String]): DataFrame = {
@@ -355,6 +359,15 @@ object GraftSql {
               "params" -> spec(graft.llm.IncrementalDedup.ParamsKey),
               "applied_seq" ->
                 graft.llm.IncrementalDedup.appliedSeq(v).get.toString)
+          case Some(("segment", spec)) =>
+            summary(
+              "kind" -> "segment",
+              "source" -> spec(graft.llm.IncrementalSegmentDedup.SrcRootKey),
+              "id_col" -> spec(graft.llm.IncrementalSegmentDedup.IdColKey),
+              "text_col" -> spec(graft.llm.IncrementalSegmentDedup.TextColKey),
+              "seg_words" -> spec(graft.llm.IncrementalSegmentDedup.SegWordsKey),
+              "applied_seq" ->
+                graft.llm.IncrementalSegmentDedup.appliedSeq(v).get.toString)
           case _ =>
             throw new IllegalArgumentException(
               s"${args(0)} is not a created view (no spec in its timeline)")
@@ -375,6 +388,8 @@ object GraftSql {
                   s"left=$l,right=$r"
                 case "dedup" =>
                   s"seq=${graft.llm.IncrementalDedup.appliedSeq(v).get}"
+                case "segment" =>
+                  s"seq=${graft.llm.IncrementalSegmentDedup.appliedSeq(v).get}"
                 case _ =>
                   s"seq=${graft.operators.IncrementalAgg.appliedSeq(v).get}"
               }
@@ -398,6 +413,8 @@ object GraftSql {
               spec(graft.operators.IncrementalJoin.RightRootKey)))
           case Some(("dedup", spec)) => ("dedup",
             Seq(spec(graft.llm.IncrementalDedup.SrcRootKey)))
+          case Some(("segment", spec)) => ("segment",
+            Seq(spec(graft.llm.IncrementalSegmentDedup.SrcRootKey)))
           case _ => throw new IllegalArgumentException(
             s"${args(0)} is not a created view (no spec in its timeline) — " +
               s"drop_view refuses plain tables; use DROP TABLE graft.${args(0)}")
@@ -441,6 +458,31 @@ object GraftSql {
         require(graft.llm.IncrementalDedup.specOf(state).isDefined,
           s"${args(0)} is not a created dedup state")
         val (from, to) = graft.llm.IncrementalDedup.refresh(spark, state)
+        summary("view" -> args(0),
+          "from_seq" -> from.toString, "to_seq" -> to.toString)
+      case "create_segment_state" =>
+        // incrementally-maintained CCNet segment-dedup state over a keyed
+        // corpus table (graft.llm.IncrementalSegmentDedup): three state
+        // tables under `location`; the registered name reads the per-doc
+        // OUTPUT (id, n_segs, n_dup_segs, kept_md5) as a plain table
+        require(args.size == 5 || args.size == 6,
+          "create_segment_state(src_table, state_name, location, id_col, " +
+            s"text_col[, seg_words]) — got ${args.size} args")
+        val st = graft.llm.IncrementalSegmentDedup.create(
+          spark, lookup(args(0)), args(2), args(3), args(4),
+          args.lift(5).map(_.toInt).getOrElse(8))
+        register(spark, args(1), st.out)
+        summary("view" -> args(1), "location" -> args(2),
+          "bootstrapped_at" ->
+            graft.llm.IncrementalSegmentDedup.appliedSeq(st.out).get.toString)
+      case "refresh_segment_state" =>
+        arity(1)
+        val out = lookup(args(0))
+        require(out.historyNewestFirst().exists(
+            _.extra.contains(graft.llm.IncrementalSegmentDedup.SrcRootKey)),
+          s"${args(0)} is not a created segment-dedup state")
+        val (from, to) =
+          graft.llm.IncrementalSegmentDedup.refreshAt(spark, out.root)
         summary("view" -> args(0),
           "from_seq" -> from.toString, "to_seq" -> to.toString)
       case "create_join_view" =>
@@ -500,7 +542,8 @@ object GraftSql {
             "restore_savepoint, rollback_to, delete_partition, " +
             "build_record_index, create_agg_view, refresh_agg_view, " +
             "create_join_view, refresh_join_view, create_dedup_state, " +
-            "refresh_dedup_state, show_view, show_views, drop_view")
+            "refresh_dedup_state, create_segment_state, " +
+            "refresh_segment_state, show_view, show_views, drop_view")
     }
   }
 }

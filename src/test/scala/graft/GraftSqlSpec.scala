@@ -762,6 +762,40 @@ class GraftSqlSpec extends AnyFunSuite {
       java.nio.file.Paths.get(loc, "_graft", "table.json")))
   }
 
+  test("CALL segment-state lifecycle: create, refresh, show, drop from SQL") {
+    val t = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    t.bulkInsert(Seq((1L, "a b c d e f"), (2L, "a b c x y z")).toDF("id", "text"))
+    GraftSql.register(spark, "sqlspec_sg_src", t)
+    val loc = tmp() + "/state"
+    val created = GraftSql.sql(spark,
+      s"CALL create_segment_state('sqlspec_sg_src', 'sqlspec_sg', '$loc', " +
+        "'id', 'text', 3)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(created("bootstrapped_at") == "0")
+    // wave: d3 duplicates d1's "d e f" — the UNCHANGED partner row moves
+    t.upsert(Seq((3L, "d e f q r s")).toDF("id", "text"))
+    val out = GraftSql.sql(spark, "CALL refresh_segment_state('sqlspec_sg')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("from_seq") == "0" && out("to_seq") == "1")
+    val dups = GraftSql.sql(spark,
+      "SELECT id, n_dup_segs FROM graft.sqlspec_sg ORDER BY id")
+      .as[(Long, Long)].collect().toSeq
+    assert(dups == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+    val sv = GraftSql.sql(spark, "CALL show_view('sqlspec_sg')")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sv("kind") == "segment" && sv("applied_seq") == "1" &&
+      sv("seg_words") == "3")
+    val lst = GraftSql.sql(spark, "CALL show_views()").collect()
+      .map(r => r.getAs[String]("view") -> r.getAs[String]("kind")).toMap
+    assert(lst.get("sqlspec_sg").contains("segment"))
+    intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CALL refresh_segment_state('sqlspec_sg_src')"))
+    assert(t.dependentViews().nonEmpty)
+    GraftSql.sql(spark, "CALL drop_view('sqlspec_sg')").collect()
+    assert(t.dependentViews().isEmpty)
+    intercept[Exception](GraftSql.sql(spark, "CALL show_view('sqlspec_sg')"))
+  }
+
   test("CALL drop_view retires agg and join views; show_views tracks the set") {
     val left = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     left.bulkInsert(Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "g", "fk"))
