@@ -85,6 +85,22 @@ class ViewMaintainSpec extends AnyFunSuite {
     assert(jv.readUser().count() == 3)
   }
 
+  test("view_maintain retunes LIVE through ALTER TABLE SET TBLPROPERTIES") {
+    val src = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024) // maintenance OFF at creation
+    src.bulkInsert(Seq((1L, "x", 10L)).toDF("id", "g", "v"))
+    graft.sql.GraftSql.register(spark, "vm_sql_src", src)
+    val view = IncrementalAgg.create(spark, src, tmp(), Seq("g"),
+      Seq("total" -> "v"))
+    // flip the knob from SQL; the catalog re-registers the retuned handle
+    spark.sql(
+      "ALTER TABLE graft.vm_sql_src SET TBLPROPERTIES ('view_maintain'='true')")
+    spark.sql("INSERT INTO graft.vm_sql_src VALUES (2, 'x', 7)")
+    assert(IncrementalAgg.appliedSeq(GraftTable.open(spark, view.root)) == Some(1L),
+      "the SQL INSERT's commit must refresh the view through the retuned handle")
+    assert(view.readUser().select(col("total")).as[Long].head() == 17L)
+  }
+
   test("a broken view logs and stays stale — the ingest commit never fails") {
     val src = new GraftTable(spark, tmp(), Seq("id"),
       targetFileBytes = 16 * 1024, viewMaintain = true)
