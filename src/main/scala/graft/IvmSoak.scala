@@ -37,10 +37,51 @@ object IvmSoak {
     // the parquet at `path` (shift 1e9·i clears the real key span at
     // every tested scale), unioned in memory
     val mode = args.head
-    require(mode == "agg" || mode == "join", s"mode agg|join, got $mode")
+    require(mode == "agg" || mode == "join" || mode == "segdedup",
+      s"mode agg|join|segdedup, got $mode")
     args.drop(1).foreach { spec =>
       val Array(ordersPath, reps) = spec.split(":")
       println(s"=== $spec ===")
+      if (mode == "segdedup") {
+        // documents corpus scaled by replication (ids shifted clear of
+        // the real span; texts get a per-replica suffix so segment dfs
+        // stay realistic instead of multiplying uniformly). FIXED delta:
+        // replica 0's %13 docs rewritten to unique single tokens — the
+        // retract-heavy wave. Claim under test: maintain ∝ delta,
+        // recompute (fresh bootstrap at head) ∝ corpus.
+        val one0 = spark.read.parquet(ordersPath)
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val docsAll = (0 until reps.toInt).map(i =>
+          one0.select((col("id") + lit(1000000000L * i)).as("id"),
+            concat(col("text"), lit(s" rep$i")).as("text"))).reduce(_ union _)
+        println(s"rows: ${docsAll.count()}")
+        def tmpd(tag: String) =
+          java.nio.file.Files.createTempDirectory(s"ivm-soak-$tag").toString
+        val src0 = new graft.operators.GraftTable(spark, tmpd("sgsrc") + "/t",
+          Seq("id"), targetFileBytes = 1024 * 1024)
+        src0.bulkInsert(docsAll)
+        val sgDelta = docsAll.filter(col("id") % 13 === 0 && col("id") < 150000)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+        import graft.llm.{IncrementalSegmentDedup => ISD}
+        def freshState(tag: String): ISD.State = {
+          val b = tmpd(tag)
+          ISD.State(
+            new graft.operators.GraftTable(spark, s"$b/df", Seq("sh")),
+            new graft.operators.GraftTable(spark, s"$b/post", Seq("sh", "id")),
+            new graft.operators.GraftTable(spark, s"$b/out", Seq("id")))
+        }
+        (1 to 3).foreach { i =>
+          val c = src0.cloneTo(tmpd(s"sg-run$i") + "/t")
+          c.upsert(sgDelta)
+          val st = freshState(s"sgst-run$i")
+          ISD.bootstrap(c, st, "id", "text", 8, 0L)
+          timed(s"maintain run$i")(
+            ISD.maintain(c, st, "id", "text", 8, 0L, 1L))
+          val st2 = freshState(s"sgre-run$i")
+          timed(s"recompute run$i")(
+            ISD.bootstrap(c, st2, "id", "text", 8, 1L))
+        }
+      } else {
       val one = spark.read.parquet(ordersPath)
       val orders = (0 until reps.toInt).map(i =>
         one.withColumn("o_orderkey",
@@ -105,6 +146,7 @@ object IvmSoak {
           timed(s"rejoin run$i")(
             graft.operators.IncrementalJoin.bootstrap(c, dim, r, jOn, 1L, 0L))
         }
+      }
       }
     }
     spark.stop()
