@@ -178,6 +178,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rolled back"))
   }
 
+  test("two racing maintainers: exactly one applies, the loser refuses under the lock") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(docs(1L -> sent(1, 12)), 1, del = false))
+    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
+    src.upsert(meta(docs(2L -> sent(3, 14)), 2, del = false))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          start.await()
+          // the state's table lock serializes the merges; the loser's
+          // preCommit re-reads the watermark UNDER the lock and refuses
+          // instead of double-applying the same window
+          try IncrementalDedup.maintain(src, state, "id", "text", P, 0L, 1L)
+          catch { case _: IllegalStateException => refusals.incrementAndGet(); () }
+        }
+      })
+    }
+    start.countDown()
+    tasks.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(refusals.get() == 1, s"exactly one refusal, got ${refusals.get()}")
+    assert(IncrementalDedup.appliedSeq(state) == Some(1L))
+    assertParity(src, state, "after the race")
+  }
+
   test("parity assert catches a corrupted stored signature row") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     src.bulkInsert(meta(docs(1L -> sent(1, 12), 2L -> sent(3, 14)), 1, del = false))
