@@ -377,25 +377,40 @@ object GraftSql {
         // per-view show_view existed, but nothing LISTED them, so a
         // warehouse operator couldn't discover what to refresh/retire) —
         // registered tables carrying a view spec, with the freshness
-        // watermark(s) a refresh would act on. Manifest-only.
+        // watermark(s) a refresh would act on and a STALENESS verdict
+        // against the sources' current heads (null when a source is
+        // unreachable). Manifest-only — no data jobs.
         arity(0)
+        def headOf(root: String): Option[Long] =
+          scala.util.Try(graft.operators.GraftTable.open(spark, root)
+            .latestCommit().map(_.seq)).toOption.flatten
         registeredNames.flatMap { n =>
           lookupRegistered(n).flatMap(v => viewSpecOf(v).map {
-            case (kind, _) =>
-              val watermark = kind match {
+            case (kind, spec) =>
+              val (watermark, stale): (String, Option[Boolean]) = kind match {
                 case "join" =>
                   val (l, r) = graft.operators.IncrementalJoin.appliedSeqs(v).get
-                  s"left=$l,right=$r"
+                  val sl = headOf(spec(graft.operators.IncrementalJoin.LeftRootKey))
+                  val sr = headOf(spec(graft.operators.IncrementalJoin.RightRootKey))
+                  (s"left=$l,right=$r",
+                    for (a <- sl; b <- sr) yield a > l || b > r)
                 case "dedup" =>
-                  s"seq=${graft.llm.IncrementalDedup.appliedSeq(v).get}"
+                  val s0 = graft.llm.IncrementalDedup.appliedSeq(v).get
+                  (s"seq=$s0",
+                    headOf(spec(graft.llm.IncrementalDedup.SrcRootKey)).map(_ > s0))
                 case "segment" =>
-                  s"seq=${graft.llm.IncrementalSegmentDedup.appliedSeq(v).get}"
+                  val s0 = graft.llm.IncrementalSegmentDedup.appliedSeq(v).get
+                  (s"seq=$s0",
+                    headOf(spec(graft.llm.IncrementalSegmentDedup.SrcRootKey)).map(_ > s0))
                 case _ =>
-                  s"seq=${graft.operators.IncrementalAgg.appliedSeq(v).get}"
+                  val s0 = graft.operators.IncrementalAgg.appliedSeq(v).get
+                  (s"seq=$s0",
+                    headOf(spec(graft.operators.IncrementalAgg.SrcRootKey)).map(_ > s0))
               }
-              (n, kind, v.root, watermark)
+              (n, kind, v.root, watermark,
+                stale.map(java.lang.Boolean.valueOf).orNull)
           })
-        }.toDF("view", "kind", "location", "watermark")
+        }.toDF("view", "kind", "location", "watermark", "stale")
       case "drop_view" =>
         // retire a materialization from SQL: refuse loudly on anything
         // that is NOT a created view (a plain table must go through

@@ -720,11 +720,18 @@ class GraftSqlSpec extends AnyFunSuite {
       s"CALL create_dedup_state('sqlspec_dd_src', 'sqlspec_dd', '$loc', 'id', 'text')")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(created("bootstrapped_at") == "0")
-    // wave: 2 near-dups 1 — one CALL catches the state up
+    // wave: 2 near-dups 1 — show_views flags the state STALE until the
+    // one CALL catches it up
     t.upsert(Seq((2L, sent(3, 14))).toDF("id", "text"))
+    def staleOf(name: String): java.lang.Boolean =
+      GraftSql.sql(spark, "CALL show_views()").collect()
+        .map(r => r.getAs[String]("view") -> r.getAs[java.lang.Boolean]("stale"))
+        .toMap.apply(name)
+    assert(staleOf("sqlspec_dd") == java.lang.Boolean.TRUE)
     val out = GraftSql.sql(spark, "CALL refresh_dedup_state('sqlspec_dd')")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out("from_seq") == "0" && out("to_seq") == "1")
+    assert(staleOf("sqlspec_dd") == java.lang.Boolean.FALSE)
     // the clusters read back as PLAIN SQL over the registered state
     val cl = GraftSql.sql(spark,
       """SELECT id, comp FROM graft.sqlspec_dd
