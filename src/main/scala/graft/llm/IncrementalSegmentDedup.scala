@@ -311,7 +311,14 @@ object IncrementalSegmentDedup {
         .select(col("_before")(idCol).cast("long").as("id"),
           lit(-1L).as("n_segs"), lit(-1L).as("n_dup_segs"),
           lit(null).cast("string").as("kept_md5"))
-      val outDelta = outRows.unionByName(delRows)
+      // a doc UPDATED TO NULL TEXT produces no segments and therefore no
+      // recomputed output row — but its old row must still retract (the
+      // batch operator has no row for a null-text doc); without this a
+      // null-text update would serve a stale census forever
+      val nulledRows = after.filter(col("_t").isNull)
+        .select(col("id"), lit(-1L).as("n_segs"), lit(-1L).as("n_dup_segs"),
+          lit(null).cast("string").as("kept_md5"))
+      val outDelta = outRows.unionByName(delRows).unionByName(nulledRows)
       // posting delta: pairs leaving / entering the corpus
       val postDel = distB.join(distA, Seq("sh", "id"), "left_anti")
         .withColumn("one", lit(0L))

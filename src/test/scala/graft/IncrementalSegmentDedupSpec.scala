@@ -162,6 +162,24 @@ class IncrementalSegmentDedupSpec extends AnyFunSuite {
     assertParity(src, st, "hands-free")
   }
 
+  test("a doc updated to NULL text retracts its output row (batch parity)") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(docs(1L -> "a b c d e f", 2L -> "a b c x y z"), 1,
+      del = false))
+    val st = ISD.create(spark, src, tmp(), "id", "text", W)
+    // wave: doc 2's text goes NULL — its segments retract (doc 1's
+    // "a b c" loses its duplicate) and its output row must VANISH, not
+    // serve the stale census
+    src.upsert(meta(Seq((2L, null: String)).toDF("id", "text"), 2, del = false))
+    ISD.maintain(src, st, "id", "text", W, 0L, 1L)
+    assert(ISD.output(st).filter(col("id") === 2L).count() == 0,
+      "null-text docs have no batch output row")
+    assert(ISD.output(st).filter(col("id") === 1L)
+      .select(col("n_dup_segs")).as[Long].head() == 0L,
+      "the retraction must also cross doc 1's segment back to unique")
+    assertParity(src, st, "null-text update")
+  }
+
   test("negative ids refuse loudly") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     src.bulkInsert(meta(Seq((-3L, "a b c d e f")).toDF("id", "text"), 1,
