@@ -158,18 +158,30 @@ object IncrementalSegmentDedup {
       s"no $SrcRootKey spec in the out table's timeline — not a created " +
         "segment-dedup state"))
     val src = GraftTable.open(spark, spec(SrcRootKey))
-    val from = appliedSeq(st.out).get
+    def run(f: Long, t: Long): Unit =
+      maintain(src, st, spec(IdColKey), spec(TextColKey),
+        spec(SegWordsKey).toInt, f, t,
+        extraMeta = spec.filter { case (k, _) =>
+          Seq(SrcRootKey, IdColKey, TextColKey, SegWordsKey).contains(k) })
+    // HEAL a torn crash window first. Commits land out → post → df, so a
+    // crash between them leaves out AHEAD of df. The replay window must
+    // come from the LAST-committed table (df): deriving it from out alone
+    // would early-return on head == out (post/df stay stale forever) and
+    // then refuse every later window — the documented deterministic
+    // replay of (df, out] would be unreachable through refresh (round-16
+    // advice). maintain's admission check accepts exactly the torn
+    // shapes (t,f,f)/(t,t,f); tables already at the head skip their merge.
+    val outSeq = appliedSeq(st.out).get
+    val dfSeq = appliedSeq(st.df).get
+    if (dfSeq != outSeq) run(dfSeq, outSeq)
+    val from = outSeq
     val to = src.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
     if (to < from) throw new IllegalStateException(
       s"source head $to is BELOW the state's applied watermark $from — " +
         "the source was rolled back or restored past the state; " +
         "re-bootstrap against the restored corpus")
-    if (to > from)
-      maintain(src, st, spec(IdColKey), spec(TextColKey),
-        spec(SegWordsKey).toInt, from, to,
-        extraMeta = spec.filter { case (k, _) =>
-          Seq(SrcRootKey, IdColKey, TextColKey, SegWordsKey).contains(k) })
+    if (to > from) run(from, to)
     (from, to)
   }
 
@@ -205,21 +217,30 @@ object IncrementalSegmentDedup {
           "left_semi").select(col("sh"), col("df"))
     }
 
+  /** Per-hash range reads union into ONE plan — above this many crossing
+    * hashes the union's leg count itself becomes the cost (a ~10k-leg
+    * union is the linear cousin of the round-16 plan-size pathology:
+    * each leg is its own manifest-pruned scan, and the driver plans all
+    * of them before a task runs), so the lookup falls back to the single
+    * text-free posting scan, which is one job regardless of crossing
+    * volume. */
+  private[graft] val RangeReadCap = 256
+
   /** The posting rows of the given (crossing) hashes: per-hash
-    * composite-key RANGE reads under the cap (manifest-pruned to the
-    * hash's file neighborhood), one posting scan above it. */
+    * composite-key RANGE reads under [[RangeReadCap]] (manifest-pruned
+    * to the hash's file neighborhood), one posting scan above it. */
   private def postingsOf(st: State, hashes: DataFrame): DataFrame =
     collectUnder(hashes, "sh") match {
       case Some(ks) if ks.isEmpty =>
         st.post.readUser().limit(0).select(col("sh"), col("id"))
-      case Some(ks) =>
+      case Some(ks) if ks.size <= RangeReadCap =>
         ks.map { h =>
           // composite KeyGen encoding: "sh:<md5hex>,id:<%019d>" — md5 hex
           // never needs separator escaping, ids are non-negative digits
           st.post.readKeyRange(s"sh:$h,id:0000000000000000000",
             s"sh:$h,id:9999999999999999999")
         }.reduce(_ unionByName _).select(col("sh"), col("id"))
-      case None =>
+      case _ =>
         st.post.readUser().join(hashes.select(col("sh")).distinct(), Seq("sh"),
           "left_semi").select(col("sh"), col("id"))
     }

@@ -805,10 +805,14 @@ class GraftTable(
     * and the write is atomic tmp+move like every other metadata file. */
   private def viewsDir = Paths.get(root, "_graft", "views")
 
+  // full md5 hex of the root: the earlier two-unpadded-hex concatenation
+  // had an ambiguous split ("12"+"3abc" == "1"+"23abc"), so two distinct
+  // view roots could alias to one filename and silently overwrite each
+  // other's registration (round-16 advice)
   private def viewRegFile(viewRoot: String): java.nio.file.Path =
-    viewsDir.resolve(
-      graft.functions.PortableHash.hex4Jvm(viewRoot).toHexString +
-        java.lang.Integer.toHexString(viewRoot.hashCode) + ".json")
+    viewsDir.resolve(java.security.MessageDigest.getInstance("MD5")
+      .digest(viewRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString + ".json")
 
   /** Register a materialized view (by its table root) as dependent on
     * this table — [[IncrementalAgg.create]], [[IncrementalJoin.create]]
@@ -827,20 +831,29 @@ class GraftTable(
 
   /** Remove a view's registration (the `CALL drop_view` half that stops
     * hands-free refreshes). Idempotent — dropping an unregistered view
-    * is a no-op. */
+    * is a no-op. Also removes by CONTENT so registrations written under
+    * the pre-md5 filename scheme still deregister. */
   def deregisterDependentView(viewRoot: String): Unit = {
     Files.deleteIfExists(viewRegFile(viewRoot))
+    if (Files.isDirectory(viewsDir)) Using.resource(Files.list(viewsDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".json"))
+        .filter(p => scala.util.Try(Files.readString(p).trim).toOption
+          .contains(viewRoot))
+        .foreach(p => Files.deleteIfExists(p))
+    }
     ()
   }
 
-  /** The registered dependent views' roots (sorted for determinism). */
+  /** The registered dependent views' roots (sorted for determinism;
+    * distinct — a root may carry both a legacy- and an md5-named file). */
   def dependentViews(): Seq[String] =
     if (!Files.isDirectory(viewsDir)) Seq.empty
     else Using.resource(Files.list(viewsDir)) { s =>
       s.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".json"))
         .flatMap(p => scala.util.Try(Files.readString(p).trim).toOption)
-        .filter(_.nonEmpty).toSeq.sorted
+        .filter(_.nonEmpty).toSeq.distinct.sorted
     }
 
   /** The write planner's affected-file selection (the 100 TB lever),

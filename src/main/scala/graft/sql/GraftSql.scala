@@ -441,7 +441,31 @@ object GraftSql {
           catch { case scala.util.control.NonFatal(_) => () }
         }
         install(spark)
+        val outRoot = java.nio.file.Paths.get(v.root)
         spark.sql(s"DROP TABLE graft.${args(0)}").collect()
+        // a segment-dedup state is THREE tables under one root; only its
+        // OUT table is registered. When the drop removed the out table's
+        // files (managed location), the df/ and post/ siblings must go
+        // with it — otherwise they orphan on disk with live watermarks
+        // and the location can never be reused (round-16 advice). When
+        // the drop was external (files stay), the siblings stay too —
+        // symmetric either way.
+        if (kind == "segment" && !java.nio.file.Files.exists(outRoot)) {
+          val stateRoot = outRoot.getParent
+          Seq("df", "post").map(stateRoot.resolve).foreach { d =>
+            if (java.nio.file.Files.exists(d))
+              scala.util.Using.resource(java.nio.file.Files.walk(d)) { s =>
+                import scala.jdk.CollectionConverters._
+                s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+                  .iterator().asScala.foreach(java.nio.file.Files.delete)
+              }
+          }
+          // the (now-empty) state root itself
+          if (java.nio.file.Files.isDirectory(stateRoot) &&
+              scala.util.Using.resource(
+                java.nio.file.Files.list(stateRoot))(_.count()) == 0)
+            java.nio.file.Files.delete(stateRoot)
+        }
         summary("dropped" -> args(0), "kind" -> kind)
       case "create_dedup_state" =>
         // incrementally-maintained near-dup CLUSTER state over a keyed

