@@ -74,9 +74,9 @@ private[graft] object ViewMaintenance {
   }
 
   /** Kind dispatch over the self-describing spec in the view's own
-    * timeline — the four `create`d kinds (agg view, join view, near-dup
-    * dedup state, segment-dedup state — the last registered by its OUT
-    * table's root). */
+    * timeline — the five `create`d kinds (agg view, join view, near-dup
+    * dedup state, segment-dedup state, span-census state — the last two
+    * registered by their OUT table's root). */
   private def refreshOne(spark: SparkSession, v: GraftTable): Unit = {
     if (v.historyNewestFirst().exists(_.extra.contains(IncrementalAgg.SrcRootKey)))
       IncrementalAgg.refresh(spark, v)
@@ -87,6 +87,9 @@ private[graft] object ViewMaintenance {
     else if (v.historyNewestFirst().exists(
         _.extra.contains(graft.llm.IncrementalSegmentDedup.SrcRootKey)))
       graft.llm.IncrementalSegmentDedup.refreshAt(spark, v.root)
+    else if (v.historyNewestFirst().exists(
+        _.extra.contains(graft.llm.IncrementalSpanCensus.SrcRootKey)))
+      graft.llm.IncrementalSpanCensus.refreshAt(spark, v.root)
     else throw new IllegalStateException(
       s"registered dependent at ${v.root} carries no view spec in its timeline")
     ()

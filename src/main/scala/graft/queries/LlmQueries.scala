@@ -94,6 +94,58 @@ object LlmScenario {
   private val segCache =
     TrieMap[String, graft.llm.IncrementalSegmentDedup.State]()
 
+  /** Incrementally-maintained duplicated-SPAN census through the same
+    * 3-wave CDC lifecycle ([[graft.llm.IncrementalSpanCensus]]): the
+    * per-document (n_shingles, n_dup, dup_ratio) table kept current
+    * from the change feed — df boundary crossings move UNCHANGED
+    * partner documents by pure posting arithmetic (no text re-read). */
+  def incrSpans(s: SparkSession, dir: String): graft.llm.IncrementalSpanCensus.State =
+    spanCache.getOrElseUpdate(s"incrspan:$dir", {
+      val base = Files.createTempDirectory("graft-llm-ispan")
+      val src = new GraftTable(s, s"$base/src", Seq("id"),
+        targetFileBytes = 256 * 1024)
+      src.bulkInsert(meta(docs(s, dir).filter(col("id") % 7 =!= 0), 1,
+        deleted = false))
+      val st = graft.llm.IncrementalSpanCensus.create(
+        s, src, s"$base/state", "id", "text")
+      val d = docs(s, dir)
+      val id = col("id")
+      src.upsert(meta(d.filter(id % 7 === 0), 2, deleted = false))
+      graft.llm.IncrementalSpanCensus.refresh(s, st)
+      src.upsert(meta(d.filter(id % 13 === 0)
+        .withColumn("text", concat(lit("uniq"), id.cast("string"))), 3,
+        deleted = false))
+      graft.llm.IncrementalSpanCensus.refresh(s, st)
+      src.upsert(meta(d.filter(id % 11 === 0), 4, deleted = true))
+      graft.llm.IncrementalSpanCensus.refresh(s, st)
+      st
+    })
+
+  private val spanCache =
+    TrieMap[String, graft.llm.IncrementalSpanCensus.State]()
+
+  /** The span-census lifecycle driven from PURE SQL: `CALL
+    * create_span_state` bootstraps the three-table state, three CDC
+    * waves land on the source, and ONE `CALL refresh_span_state`
+    * catches it up across all three windows. */
+  def sqlSpanState(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"sqlspan:$dir", {
+      val base = Files.createTempDirectory("graft-llm-sqlspan")
+      val src = new GraftTable(s, s"$base/src", Seq("id"),
+        targetFileBytes = 256 * 1024)
+      src.bulkInsert(meta(docs(s, dir).filter(col("id") % 7 =!= 0), 1,
+        deleted = false))
+      graft.sql.GraftSql.register(s, "span_src", src)
+      s.sql("CALL create_span_state('span_src', 'span_state_v', " +
+        s"'$base/state', 'id', 'text')").collect()
+      waves(s, dir, src)
+      val out = s.sql("CALL refresh_span_state('span_state_v')").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+      require(out("from_seq") == "0" && out("to_seq") == "3",
+        s"one CALL must catch up all three waves: $out")
+      src
+    })
+
   /** The segment-dedup lifecycle driven from PURE SQL: `CALL
     * create_segment_state` bootstraps the three-table state, three CDC
     * waves land on the source, and ONE `CALL refresh_segment_state`
@@ -253,6 +305,21 @@ object LlmQueries {
     // corpus document frequency >= 2 (the boilerplate/copied-span signal)
     "dedup_spans" -> ((s, dir) =>
       Dedup.duplicatedSpanStats(t(s, dir, "documents"), "doc_id", "text", n = 3)),
+    // INCREMENTALLY-MAINTAINED span census (round-17): the same per-doc
+    // table kept current from the change feed — the last corpus-
+    // quadratic curation step to go incremental. Boundary crossings
+    // move UNCHANGED partners by posting arithmetic (no text re-read);
+    // graded against the batch census over the final corpus
+    "dedup_spans_incr" -> ((s, dir) =>
+      graft.llm.IncrementalSpanCensus.output(LlmScenario.incrSpans(s, dir))),
+    // the SPAN state managed from PURE SQL (CALL create_span_state /
+    // refresh_span_state), read back as a plain SELECT over the
+    // registered output table — same final-corpus oracle
+    "sql_span_state" -> ((s, dir) => {
+      LlmScenario.sqlSpanState(s, dir)
+      s.sql("""SELECT id, n_shingles, n_dup, dup_ratio
+               FROM graft.span_state_v""")
+    }),
     // CCNet-style segment dedup: remove 8-word segments that appear
     // verbatim in >= 2 docs; graded artifact includes the md5 of the
     // RECONSTRUCTED deduped text, proving the transformation itself
@@ -1104,6 +1171,15 @@ object LlmQueries {
 
     // identical final-corpus oracle for the SQL-lifecycle variant
     "sql_segment_state" -> incrSegmentsSql,
+
+    // the batch span-census oracle re-targeted at the final corpus: the
+    // maintained per-doc table must equal the full recompute digit for
+    // digit — the %13-rewritten docs (single token, no 3-gram) have no
+    // row, exercising the retraction path
+    "dedup_spans_incr" -> incrSpansSql,
+
+    // identical final-corpus oracle for the SQL-lifecycle variant
+    "sql_span_state" -> incrSpansSql,
 
     "dedup_keep" -> keepSql,
 
@@ -2280,6 +2356,23 @@ object LlmQueries {
          md5(COALESCE(string_agg(seg, ' ' ORDER BY pos)
            FILTER (WHERE df < 2), '')) AS kept_md5
        FROM segs JOIN dfq USING (seg)
+       GROUP BY doc_id"""
+
+  /** The batch duplicated-span census over the post-wave corpus —
+    * shared by the API-driven and SQL-lifecycle graded variants. */
+  private def incrSpansSql: String =
+    s"""WITH $incrCorpusCte
+       w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                  i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS s
+              FROM w),
+       sh0 AS (SELECT doc_id, s FROM sh WHERE s IS NOT NULL AND length(s) > 0),
+       dfq AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s)
+       SELECT doc_id AS id, COUNT(*) AS n_shingles,
+         COUNT(CASE WHEN df >= 2 THEN 1 END) AS n_dup,
+         round(CAST(COUNT(CASE WHEN df >= 2 THEN 1 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+       FROM sh0 JOIN dfq USING (s)
        GROUP BY doc_id"""
 
   /** The FINAL live corpus after [[LlmScenario]]'s three CDC waves,

@@ -26,6 +26,7 @@ import graft.operators.GraftTable
   *    create_join_view, refresh_join_view,
   *    create_dedup_state, refresh_dedup_state,
   *    create_segment_state, refresh_segment_state,
+  *    create_span_state, refresh_span_state,
   *    run_compaction, run_clustering, run_clean,
   *    run_archive, run_fsck, create_savepoint, restore_savepoint,
   *    rollback_to, delete_partition, build_record_index. Each returns a
@@ -170,6 +171,9 @@ object GraftSql {
       .orElse(v.historyNewestFirst()
         .find(_.extra.contains(graft.llm.IncrementalSegmentDedup.SrcRootKey))
         .map(c => ("segment", c.extra)))
+      .orElse(v.historyNewestFirst()
+        .find(_.extra.contains(graft.llm.IncrementalSpanCensus.SrcRootKey))
+        .map(c => ("span", c.extra)))
 
   private[sql] def call(spark: SparkSession, proc: String,
       args: Seq[String]): DataFrame = {
@@ -368,6 +372,15 @@ object GraftSql {
               "seg_words" -> spec(graft.llm.IncrementalSegmentDedup.SegWordsKey),
               "applied_seq" ->
                 graft.llm.IncrementalSegmentDedup.appliedSeq(v).get.toString)
+          case Some(("span", spec)) =>
+            summary(
+              "kind" -> "span",
+              "source" -> spec(graft.llm.IncrementalSpanCensus.SrcRootKey),
+              "id_col" -> spec(graft.llm.IncrementalSpanCensus.IdColKey),
+              "text_col" -> spec(graft.llm.IncrementalSpanCensus.TextColKey),
+              "ngram" -> spec(graft.llm.IncrementalSpanCensus.NgramKey),
+              "applied_seq" ->
+                graft.llm.IncrementalSpanCensus.appliedSeq(v).get.toString)
           case _ =>
             throw new IllegalArgumentException(
               s"${args(0)} is not a created view (no spec in its timeline)")
@@ -402,6 +415,10 @@ object GraftSql {
                   val s0 = graft.llm.IncrementalSegmentDedup.appliedSeq(v).get
                   (s"seq=$s0",
                     headOf(spec(graft.llm.IncrementalSegmentDedup.SrcRootKey)).map(_ > s0))
+                case "span" =>
+                  val s0 = graft.llm.IncrementalSpanCensus.appliedSeq(v).get
+                  (s"seq=$s0",
+                    headOf(spec(graft.llm.IncrementalSpanCensus.SrcRootKey)).map(_ > s0))
                 case _ =>
                   val s0 = graft.operators.IncrementalAgg.appliedSeq(v).get
                   (s"seq=$s0",
@@ -430,6 +447,8 @@ object GraftSql {
             Seq(spec(graft.llm.IncrementalDedup.SrcRootKey)))
           case Some(("segment", spec)) => ("segment",
             Seq(spec(graft.llm.IncrementalSegmentDedup.SrcRootKey)))
+          case Some(("span", spec)) => ("span",
+            Seq(spec(graft.llm.IncrementalSpanCensus.SrcRootKey)))
           case _ => throw new IllegalArgumentException(
             s"${args(0)} is not a created view (no spec in its timeline) — " +
               s"drop_view refuses plain tables; use DROP TABLE graft.${args(0)}")
@@ -443,14 +462,15 @@ object GraftSql {
         install(spark)
         val outRoot = java.nio.file.Paths.get(v.root)
         spark.sql(s"DROP TABLE graft.${args(0)}").collect()
-        // a segment-dedup state is THREE tables under one root; only its
-        // OUT table is registered. When the drop removed the out table's
-        // files (managed location), the df/ and post/ siblings must go
-        // with it — otherwise they orphan on disk with live watermarks
-        // and the location can never be reused (round-16 advice). When
-        // the drop was external (files stay), the siblings stay too —
-        // symmetric either way.
-        if (kind == "segment" && !java.nio.file.Files.exists(outRoot)) {
+        // a segment-dedup / span-census state is THREE tables under one
+        // root; only its OUT table is registered. When the drop removed
+        // the out table's files (managed location), the df/ and post/
+        // siblings must go with it — otherwise they orphan on disk with
+        // live watermarks and the location can never be reused (round-16
+        // advice). When the drop was external (files stay), the siblings
+        // stay too — symmetric either way.
+        if (Seq("segment", "span").contains(kind) &&
+            !java.nio.file.Files.exists(outRoot)) {
           val stateRoot = outRoot.getParent
           Seq("df", "post").map(stateRoot.resolve).foreach { d =>
             if (java.nio.file.Files.exists(d))
@@ -524,6 +544,31 @@ object GraftSql {
           graft.llm.IncrementalSegmentDedup.refreshAt(spark, out.root)
         summary("view" -> args(0),
           "from_seq" -> from.toString, "to_seq" -> to.toString)
+      case "create_span_state" =>
+        // incrementally-maintained duplicated-span census over a keyed
+        // corpus table (graft.llm.IncrementalSpanCensus): three state
+        // tables under `location`; the registered name reads the per-doc
+        // census (id, n_shingles, n_dup, dup_ratio) as a plain table
+        require(args.size == 5 || args.size == 6,
+          "create_span_state(src_table, state_name, location, id_col, " +
+            s"text_col[, ngram]) — got ${args.size} args")
+        val st = graft.llm.IncrementalSpanCensus.create(
+          spark, lookup(args(0)), args(2), args(3), args(4),
+          args.lift(5).map(_.toInt).getOrElse(3))
+        register(spark, args(1), st.out)
+        summary("view" -> args(1), "location" -> args(2),
+          "bootstrapped_at" ->
+            graft.llm.IncrementalSpanCensus.appliedSeq(st.out).get.toString)
+      case "refresh_span_state" =>
+        arity(1)
+        val out = lookup(args(0))
+        require(out.historyNewestFirst().exists(
+            _.extra.contains(graft.llm.IncrementalSpanCensus.SrcRootKey)),
+          s"${args(0)} is not a created span-census state")
+        val (from, to) =
+          graft.llm.IncrementalSpanCensus.refreshAt(spark, out.root)
+        summary("view" -> args(0),
+          "from_seq" -> from.toString, "to_seq" -> to.toString)
       case "create_join_view" =>
         // materialized fact⋈dim enrichment view over two keyed tables'
         // change feeds (IncrementalJoin): bootstrapped at both heads,
@@ -582,7 +627,8 @@ object GraftSql {
             "build_record_index, create_agg_view, refresh_agg_view, " +
             "create_join_view, refresh_join_view, create_dedup_state, " +
             "refresh_dedup_state, create_segment_state, " +
-            "refresh_segment_state, show_view, show_views, drop_view")
+            "refresh_segment_state, create_span_state, " +
+            "refresh_span_state, show_view, show_views, drop_view")
     }
   }
 }
