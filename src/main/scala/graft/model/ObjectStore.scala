@@ -1,0 +1,214 @@
+package graft.model
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** The minimal object-store primitive surface the commit protocol needs —
+  * the S3 API subset behind [[ObjectStoreCommitStore]]: whole-object
+  * atomic PUT, conditional PUT (`If-None-Match: *`), GET, prefix LIST,
+  * DELETE. The reference deployment is S3-native
+  * (/root/reference/templates/aws-dms-to-hudi.yaml:264-269 raw/curated
+  * buckets; handler.py:144 `--target-base-path s3://…`), so the engine's
+  * commit seam needs an implementation with these semantics — no hard
+  * links, no rename, no mtime contract.
+  *
+  * Consistency contract assumed of implementations (S3's documented
+  * model since 2020): strong read-after-write for GET and conditional
+  * PUT; LIST may lag a just-completed PUT (the one anomaly the protocol
+  * must tolerate — see the [[ObjectStoreCommitStore]] note).
+  */
+trait ObjectStore {
+  /** Atomic whole-object PUT (create or replace). */
+  def put(key: String, bytes: Array[Byte]): Unit
+
+  /** Conditional PUT (`If-None-Match: *`): atomically create iff the key
+    * does not exist. True = created; false = the key already existed
+    * (the CAS-loss signal; the existing object is untouched). */
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean
+
+  def get(key: String): Option[Array[Byte]]
+
+  /** Keys under `prefix` (lexicographic, like S3 ListObjectsV2). */
+  def list(prefix: String): Seq[String]
+
+  def delete(key: String): Unit
+}
+
+/** Directory-backed [[ObjectStore]] emulation with S3's semantics on a
+  * local filesystem: keys are relative paths under `root`, written
+  * through tmp + atomic move so a GET sees whole objects only, and the
+  * conditional PUT is a no-replace atomic move (EEXIST = condition
+  * failed). Writes land as REAL FILES at their key paths, so components
+  * that read the filesystem directly (the timeline's record reads and
+  * listings) observe exactly what the store published — the same
+  * directory serves both the store API and the path API, which is what
+  * lets the whole commit protocol run over this store unchanged. */
+class DirObjectStore(val root: Path) extends ObjectStore {
+  private def pathOf(key: String): Path = {
+    val p = root.resolve(key).normalize()
+    require(p.startsWith(root), s"key escapes the store root: $key")
+    p
+  }
+
+  private def writeTmp(target: Path, bytes: Array[Byte]): Path = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.${UUID.randomUUID()}.tmp")
+    Files.write(tmp, bytes)
+    tmp
+  }
+
+  def put(key: String, bytes: Array[Byte]): Unit = {
+    val target = pathOf(key)
+    Files.move(writeTmp(target, bytes), target,
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    val target = pathOf(key)
+    val tmp = writeTmp(target, bytes)
+    // the EMULATOR's internal atomic-create primitive is link(2) (EEXIST
+    // = condition failed) — Files.move without REPLACE stats the target
+    // first and two racers can both slip through the window (POSIX
+    // rename replaces silently). The API surface stays link-free; only
+    // the local stand-in for S3's server-side atomicity uses it, with a
+    // lock-guarded move fallback (single-process caveat) on filesystems
+    // without hard links.
+    try {
+      try { Files.createLink(target, tmp); Files.deleteIfExists(tmp); true }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException => throw e
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          DirObjectStore.moveLock.synchronized {
+            if (Files.exists(target))
+              throw new java.nio.file.FileAlreadyExistsException(target.toString)
+            Files.move(tmp, target)
+          }
+          true
+      }
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  def get(key: String): Option[Array[Byte]] = {
+    val p = pathOf(key)
+    if (Files.isRegularFile(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  def list(prefix: String): Seq[String] = {
+    // a prefix is not necessarily a directory boundary (S3 has no dirs);
+    // walk the deepest existing directory at or above the prefix
+    val asPath = pathOf(prefix)
+    val dir = if (Files.isDirectory(asPath)) asPath else asPath.getParent
+    if (dir == null || !Files.isDirectory(dir)) Seq.empty
+    else scala.util.Using.resource(Files.walk(dir)) { s =>
+      s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.endsWith(".tmp"))
+        .map(p => root.relativize(p).toString)
+        .filter(_.startsWith(prefix))
+        .toSeq.sorted
+    }
+  }
+
+  def delete(key: String): Unit = {
+    Files.deleteIfExists(pathOf(key))
+    ()
+  }
+}
+
+object DirObjectStore {
+  /** Fallback mutex for filesystems without hard links (vfat/SMB):
+    * serializes the check+move stand-in within this process. */
+  private val moveLock = new Object
+}
+
+/** Fault-injection wrapper for contract tests: the failure modes an
+  * object store exposes that a local filesystem never does.
+  *
+  *  - **Lost PUT acknowledgment** ([[loseNextPutAck]]): the write lands
+  *    durably but the response never reaches the caller (network drop
+  *    after commit on the server) — the caller sees an IOException and
+  *    must treat the outcome as UNKNOWN. The commit protocol's answer
+  *    is the idempotent retry: re-CAS, observe the existing record,
+  *    absorb if identical.
+  *  - **Duplicated PUT delivery** ([[duplicateNextPut]]): the store's
+  *    internal at-least-once retry applies the same conditional PUT
+  *    twice. The second application must observe the first (condition
+  *    fails) — never overwrite.
+  *  - **LIST-after-write lag** ([[lagListings]]): a LIST issued just
+  *    after a PUT omits the newest keys for a bounded number of calls;
+  *    GET still serves them (strong read-after-write). Consumers that
+  *    discover by listing see a slightly STALE — but consistent —
+  *    snapshot and catch up when the listing settles.
+  */
+class FaultInjectingObjectStore(inner: ObjectStore) extends ObjectStore {
+  @volatile private var loseAck = false
+  @volatile private var duplicate = false
+  @volatile private var lagCalls = 0
+  private val lagged = scala.collection.mutable.ListBuffer[String]()
+
+  def loseNextPutAck(): Unit = { loseAck = true }
+  def duplicateNextPut(): Unit = { duplicate = true }
+  def lagListings(calls: Int): Unit = synchronized { lagCalls = calls }
+
+  def put(key: String, bytes: Array[Byte]): Unit = {
+    inner.put(key, bytes)
+    if (loseAck) { loseAck = false; throw new java.io.IOException(
+      s"injected: PUT $key committed server-side but the ack was lost") }
+  }
+
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    val won = inner.putIfNoneMatch(key, bytes)
+    if (duplicate) { duplicate = false; inner.putIfNoneMatch(key, bytes); () }
+    synchronized { if (lagCalls > 0 && won) lagged += key }
+    if (loseAck) { loseAck = false; throw new java.io.IOException(
+      s"injected: conditional PUT $key committed server-side but the ack was lost") }
+    won
+  }
+
+  def get(key: String): Option[Array[Byte]] = inner.get(key)
+
+  def list(prefix: String): Seq[String] = synchronized {
+    if (lagCalls > 0) {
+      lagCalls -= 1
+      val hide = lagged.toSet
+      if (lagCalls == 0) lagged.clear()
+      inner.list(prefix).filterNot(hide)
+    } else inner.list(prefix)
+  }
+
+  def delete(key: String): Unit = inner.delete(key)
+}
+
+/** [[CommitStore]] over an [[ObjectStore]] — the conditional-put CAS
+  * mapping the [[LocalFsCommitStore]] scaladoc promised: `putIfAbsent`
+  * is one `If-None-Match: *` PUT, `put` is one plain PUT. NO hard
+  * links, no temp-sibling-in-place protocol, no rename semantics — the
+  * whole commit point is a single conditional object write, which is
+  * exactly what S3 provides natively.
+  *
+  * `base` anchors the Path→key translation (a [[graft.model.Timeline]]
+  * hands absolute paths; the store speaks keys). With a
+  * [[DirObjectStore]] rooted at the same base, published objects ARE
+  * the timeline's files, so reads and listings — which go through the
+  * filesystem path API — observe the store's writes directly. A LIST
+  * lag therefore only delays a by-listing reader's view of the NEWEST
+  * commit (it serves the previous consistent snapshot); the CAS itself
+  * is immune, because the commit point never lists — it conditionally
+  * writes a known key and reads back by key on loss.
+  */
+class ObjectStoreCommitStore(os: ObjectStore, base: Path) extends CommitStore {
+  private def keyOf(target: Path): String =
+    base.toAbsolutePath.normalize
+      .relativize(target.toAbsolutePath.normalize).toString
+
+  def putIfAbsent(target: Path, bytes: Array[Byte]): Boolean =
+    os.putIfNoneMatch(keyOf(target), bytes)
+
+  def put(target: Path, bytes: Array[Byte]): Unit =
+    os.put(keyOf(target), bytes)
+}

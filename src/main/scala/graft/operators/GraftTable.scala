@@ -144,13 +144,20 @@ class GraftTable(
       * view stays consistent-stale (its own watermark makes the next
       * refresh catch up) and the ingest commit is never failed — the
       * data is already durable when this runs. */
-    val viewMaintain: Boolean = false) {
+    val viewMaintain: Boolean = false,
+    /** Commit-publication primitive (ST4c seam): hard-link CAS on a
+      * local filesystem (default), [[graft.model.ObjectStoreCommitStore]]
+      * (conditional-put CAS, no link assumption) against an object
+      * store. An ENVIRONMENT property, not a table property — it does
+      * not persist in `table.json`; every handle opening the table
+      * supplies the store matching where the table lives. */
+    val commitStore: graft.model.CommitStore = graft.model.LocalFsCommitStore) {
 
   require(bucketCount == 0 || (partitionFields.isEmpty && globalIndex),
     "bucketCount requires a global index and no partition columns " +
       "(COW and MOR both supported; delta logs bucket like base files)")
 
-  private val timeline = new Timeline(root)
+  private val timeline = new Timeline(root, commitStore)
   // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
   // racing for the same seq must never share a stage dir — the loser's
   // overwrite would clobber the winner's committed data files

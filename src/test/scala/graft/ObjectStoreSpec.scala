@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+
+/** The object-store commit path (round-16 verdict #3: the reference runs
+  * entirely on S3, so the ST4c seam needs a conditional-put CAS store
+  * with NO hard-link assumption) — the [[DirObjectStore]] contract, the
+  * fault modes a real object store exposes (lost PUT ack, duplicated
+  * delivery, LIST-after-write lag), and the existing OCC / timeline
+  * protocol re-run over [[ObjectStoreCommitStore]]. */
+class ObjectStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def store(): (DirObjectStore, String) = {
+    val root = Files.createTempDirectory("graft-os")
+    (new DirObjectStore(root), root.toString)
+  }
+
+  private def df(p: String) = DataFile(p, Map.empty, "a", "z", 10, 100)
+
+  test("conditional PUT is atomic: of N racing writers exactly one creates the key") {
+    val (os, _) = store()
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val fs = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          os.putIfNoneMatch("commits/k.json", s"writer-$i".getBytes)
+        }
+      })
+    }
+    start.countDown()
+    val wins = fs.map(_.get(60, TimeUnit.SECONDS)).count(identity)
+    pool.shutdown()
+    assert(wins == 1, s"exactly one conditional PUT must win (got $wins)")
+    val content = new String(os.get("commits/k.json").get)
+    assert(content.startsWith("writer-"), "content must be one writer's, whole")
+    // the loser's payload never replaced the winner's
+    assert(os.putIfNoneMatch("commits/k.json", "late".getBytes) == false)
+    assert(new String(os.get("commits/k.json").get) == content)
+  }
+
+  test("store contract: put replaces, get strong-read-after-write, list sorted, delete") {
+    val (os, _) = store()
+    os.put("a/1", "x".getBytes)
+    os.put("a/2", "y".getBytes)
+    os.put("a/1", "x2".getBytes) // replace
+    assert(new String(os.get("a/1").get) == "x2")
+    assert(os.list("a/") == Seq("a/1", "a/2"))
+    os.delete("a/1")
+    assert(os.get("a/1").isEmpty && os.list("a/") == Seq("a/2"))
+    assertThrows[IllegalArgumentException](os.get("../escape"))
+  }
+
+  test("duplicated conditional-PUT delivery: the replay observes the original, never overwrites") {
+    val (os, _) = store()
+    val f = new FaultInjectingObjectStore(os)
+    f.duplicateNextPut()
+    assert(f.putIfNoneMatch("k", "first".getBytes),
+      "the first delivery creates the object")
+    assert(new String(f.get("k").get) == "first",
+      "the duplicate internal delivery must fail its condition")
+  }
+
+  test("LIST-after-write lag: GET serves what LIST omits; the listing settles") {
+    val (os, _) = store()
+    val f = new FaultInjectingObjectStore(os)
+    f.putIfNoneMatch("c/000.json", "old".getBytes)
+    f.lagListings(2)
+    f.putIfNoneMatch("c/001.json", "new".getBytes)
+    // a by-listing reader sees the PREVIOUS consistent snapshot...
+    assert(f.list("c/") == Seq("c/000.json"))
+    // ...while by-key reads are strongly consistent (the CAS protocol
+    // only ever reads back by key, so the commit point is lag-immune)
+    assert(new String(f.get("c/001.json").get) == "new")
+    assert(f.list("c/") == Seq("c/000.json"), "still lagged")
+    assert(f.list("c/") == Seq("c/000.json", "c/001.json"), "settled")
+  }
+
+  test("timeline protocol over the object store: commits, delta chains, archive, savepoint") {
+    val (os, root) = store()
+    val tl = new Timeline(root, new ObjectStoreCommitStore(os, Paths.get(root)))
+    (0L to 12L).foreach { s =>
+      tl.commit(Commit(s, "upsert", Seq(df(s"data/c$s/p.parquet")), "{}",
+        None, 1000 + s))
+    }
+    tl.savepoint(2L)
+    assert(tl.archive(keepLast = 5) == 8)
+    assert(tl.latest().get.seq == 12L)
+    assert(tl.read(12L).files.head.path == "data/c12/p.parquet")
+    assert(tl.readIncludingArchived(3L).files.head.path == "data/c3/p.parquet")
+    assert(tl.readSavepoint(2L).files.head.path == "data/c2/p.parquet")
+    // a typed conflict on a different file set; identical replay absorbed
+    assertThrows[ConcurrentCommitException](
+      tl.commit(Commit(12L, "upsert", Seq(df("data/other/p.parquet")), "{}", None, 99L)))
+    assert(tl.commit(Commit(12L, "upsert", Seq(df("data/c12/p.parquet")), "{}",
+      None, 99L)).commitTimeMs == 1012L)
+    // every commit record on disk was published by the store (no links)
+    assert(os.list("_graft/commits/").exists(_.endsWith(".commit.json")))
+  }
+
+  test("lost CAS ack: the unknown-outcome commit resolves by idempotent retry") {
+    val (os, root) = store()
+    val f = new FaultInjectingObjectStore(os)
+    val tl = new Timeline(root, new ObjectStoreCommitStore(f, Paths.get(root)))
+    tl.commit(Commit(0L, "bulk_insert", Seq(df("data/c0/p.parquet")), "{}", None, 1000L))
+    // the network drops the ack AFTER the record lands durably: the
+    // writer sees an IOException and its outcome is UNKNOWN
+    f.loseNextPutAck()
+    val c1 = Commit(1L, "upsert", Seq(df("data/c1/p.parquet")), "{}", None, 1001L)
+    assertThrows[java.io.IOException](tl.commit(c1))
+    // the protocol answer: retry the SAME commit — the CAS loses against
+    // the writer's own durable record, reads it back by key, absorbs it
+    assert(tl.commit(c1).commitTimeMs == 1001L)
+    assert(tl.latest().get.seq == 1L)
+    // and a DIFFERENT writer retrying into that seq still conflicts loudly
+    assertThrows[ConcurrentCommitException](
+      tl.commit(Commit(1L, "upsert", Seq(df("data/x/p.parquet")), "{}", None, 7L)))
+  }
+
+  test("OCC race over the object store: lock-free writers all land, latest-wins holds") {
+    val (os, root) = store()
+    val cs = new ObjectStoreCommitStore(os, Paths.get(root))
+    val t = new graft.operators.GraftTable(spark, root, Seq("id"),
+      targetFileBytes = 16 * 1024, commitStore = cs)
+    t.bulkInsert((0L until 200L).toDF("id")
+      .withColumn("v", org.apache.spark.sql.functions.lit("base"))
+      .withColumn("trx_seq", org.apache.spark.sql.functions.lit("00001")))
+    val a = (0L until 200L by 2).map(k => (k, "A", "00008")).toDF("id", "v", "trx_seq")
+    val b = (0L until 200L by 4).map(k => (k, "B", "00009")).toDF("id", "v", "trx_seq")
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val fs = Seq(a, b).map { batch =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { start.await(); t.upsertOptimistic(batch).seq }
+      })
+    }
+    start.countDown()
+    val seqs = fs.map(_.get(120, TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(seqs == Seq(1L, 2L), s"both OCC writers must commit (got $seqs)")
+    val snap = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
+    (0L until 200L).foreach { k =>
+      val want = if (k % 4 == 0) "B" else if (k % 2 == 0) "A" else "base"
+      assert(snap(k) == want, s"key $k: got ${snap(k)}, want $want")
+    }
+  }
+}
