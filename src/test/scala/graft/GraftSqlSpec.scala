@@ -830,6 +830,54 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(!after.contains("sqlspec_dv_a") && !after.contains("sqlspec_dv_j"))
   }
 
+  test("show_views discovers warehouse materializations with NO session registration") {
+    // a fresh session pointed at a warehouse must list existing
+    // materializations (round-16 verdict #4): an agg view living AT a
+    // warehouse path, and a span-census state living at an explicit
+    // location but named in its warehouse source's dependent registry —
+    // neither is registered in this session
+    val wh = tmp()
+    val src = new GraftTable(spark, s"$wh/whd_src", Seq("id"),
+      targetFileBytes = 16 * 1024)
+    src.bulkInsert(Seq((1L, "a b c d e f"), (2L, "a b c x y z"))
+      .toDF("id", "text"))
+    val agg = graft.operators.IncrementalAgg.create(spark, src,
+      s"$wh/whd_agg", Seq("text"), Seq("n_ids" -> "id"))
+    val spanLoc = tmp() + "/span_state"
+    graft.llm.IncrementalSpanCensus.create(spark, src, spanLoc, "id", "text")
+    // nothing registered under these names in the session registry (the
+    // creates above went through the API, which never registers)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      def rows() = GraftSql.sql(spark, "CALL show_views()").collect()
+        .map(r => r.getAs[String]("view") ->
+          ((r.getAs[String]("kind"), r.getAs[String]("watermark"),
+            r.getAs[java.lang.Boolean]("stale")))).toMap
+      val lst = rows()
+      assert(lst.get("whd_agg").exists { case (k, w, s) =>
+        k == "aggregate" && w == "seq=0" && s == java.lang.Boolean.FALSE },
+        s"warehouse-resident agg view must list: $lst")
+      assert(lst.get("span_state").exists { case (k, w, s) =>
+        k == "span" && w == "seq=0" && s == java.lang.Boolean.FALSE },
+        s"registry-discovered span state must list: $lst")
+      assert(!lst.contains("whd_src"), "plain tables never list")
+      // a source commit flips BOTH discovered views stale — freshness is
+      // judged against the source's current head, not the session
+      src.upsert(Seq((3L, "d e f q r s")).toDF("id", "text"))
+      val stale = rows()
+      assert(stale("whd_agg")._3 == java.lang.Boolean.TRUE &&
+        stale("span_state")._3 == java.lang.Boolean.TRUE)
+      // and a session registration of the same root does not duplicate
+      GraftSql.register(spark, "whd_agg_reg", agg)
+      try {
+        val dedup = GraftSql.sql(spark, "CALL show_views()").collect()
+          .map(_.getAs[String]("location"))
+          .count(_ == agg.root)
+        assert(dedup == 1, "one row per view root, registered or discovered")
+      } finally GraftSql.deregister(spark, "whd_agg_reg")
+    } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+  }
+
   test("CREATE TABLE / INSERT / DROP TABLE: the managed SQL lifecycle") {
     val wh = tmp()
     GraftSql.install(spark)
