@@ -49,6 +49,9 @@ object Bench {
 
   val Runs = 3
 
+  /** Last w_incr_dedup run's per-stage split (see the bench entry). */
+  @volatile private var dedupStages: Seq[(String, Double)] = Seq.empty
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.length / 2)
@@ -313,8 +316,15 @@ object Bench {
         graft.llm.IncrementalDedup.bootstrap(src, state, "id", "text",
           graft.llm.IncrementalDedup.Params(), 0L)
         () => {
+          // per-stage attribution (round-16 verdict #7): the 25-second
+          // aggregate localizes — feed_sigs / candidates / partner_fetch
+          // / verify_cc / merge land in the record as the LAST run's
+          // split (stage shares are stable across runs; the median total
+          // stays the graded number)
+          graft.util.StageTimer.enable()
           graft.llm.IncrementalDedup.maintain(src, state, "id", "text",
             graft.llm.IncrementalDedup.Params(), 0L, 1L)
+          Bench.dedupStages = graft.util.StageTimer.collect()
           ()
         }
       }),
@@ -438,7 +448,8 @@ object Bench {
       try java.nio.file.Files.getLastModifiedTime(
         java.nio.file.Paths.get(sfDir)).toMillis
       catch { case _: Exception => -1L }
-    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"queries":$qs,"write_family":$ws,"llm_family":$ls,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
+    val stages = jsonMap(dedupStages)
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"queries":$qs,"write_family":$ws,"llm_family":$ls,"w_incr_dedup_stages":$stages,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
     println(record)
     // durable copy: the round-9 driver log kept only a 2000-char tail and
     // truncated the record's head, losing the machine-readable timings —

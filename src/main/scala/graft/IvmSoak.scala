@@ -37,8 +37,72 @@ object IvmSoak {
     // the parquet at `path` (shift 1e9·i clears the real key span at
     // every tested scale), unioned in memory
     val mode = args.head
-    require(mode == "agg" || mode == "join" || mode == "segdedup",
-      s"mode agg|join|segdedup, got $mode")
+    require(mode == "agg" || mode == "join" || mode == "segdedup" ||
+      mode == "hygiene", s"mode agg|join|segdedup|hygiene, got $mode")
+
+    if (mode == "hygiene") {
+      // STATE-TABLE FILE HYGIENE (round-16 verdict #5): ~200 maintenance
+      // waves against a created agg view — with the create-path inline
+      // clustering (StateClusterSmallFileBytes) the view's file count
+      // must PLATEAU; the control view built with clustering OFF shows
+      // the unbounded growth being prevented. args: orders.parquet path
+      // [n_waves].
+      val ordersPath = args(1)
+      val nWaves = args.lift(2).map(_.toInt).getOrElse(200)
+      def tmph(tag: String) =
+        java.nio.file.Files.createTempDirectory(s"ivm-hyg-$tag").toString
+      val orders = spark.read.parquet(ordersPath)
+      val k = col("o_orderkey")
+      def stamp(df: org.apache.spark.sql.DataFrame, seq: Int) =
+        df.withColumn("trx_seq", lit(f"$seq%020d"))
+      val src = new graft.operators.GraftTable(spark, tmph("src") + "/t",
+        Seq("o_orderkey"), targetFileBytes = 1024 * 1024)
+      src.bulkInsert(stamp(orders, 1))
+      val groups = Seq("o_orderstatus")
+      val sums = graft.operators.Measures(
+        sums = Map("total" -> col("o_totalprice").cast("decimal(18,2)")))
+      // the CREATE path (hygiene defaults on) vs a control with inline
+      // clustering off — both maintained over the identical wave stream
+      val view = graft.operators.IncrementalAgg.create(spark, src,
+        tmph("view") + "/t", groups, Seq("total" -> "o_totalprice"))
+      val control = new graft.operators.GraftTable(spark,
+        tmph("ctl") + "/t", groups)
+      graft.operators.IncrementalAgg.bootstrap(src, control, groups, sums, 0L)
+      def fileCount(t: graft.operators.GraftTable): Int =
+        t.latestCommit().map(_.files.size).getOrElse(0)
+      val series = scala.collection.mutable.ListBuffer[(Int, Int, Int)]()
+      (1 to nWaves).foreach { w =>
+        // each wave INSERTS a fresh ~0.2% slice of new orders under a
+        // brand-new group sorting above every existing view key — the
+        // view-side insert lands OUTSIDE all file intervals, i.e. as a
+        // NEW file per wave: the append-growth shape a year of
+        // maintenance windows produces (retract-churn waves rewrite in
+        // place and cannot grow the count)
+        src.upsert(stamp(orders.filter(k % 499 === (w % 499))
+          .withColumn("o_orderkey", k + 100000000L * w)
+          .withColumn("o_orderstatus", lit(f"zW$w%04d")), w + 1))
+        graft.operators.IncrementalAgg.refresh(spark, view)
+        graft.operators.IncrementalAgg.maintain(src, control, groups, sums,
+          w - 1L, w.toLong)
+        if (w % 10 == 0 || w == nWaves) {
+          series += ((w, fileCount(view), fileCount(control)))
+          println(s"HYGIENE wave $w view_files=${fileCount(view)} " +
+            s"control_files=${fileCount(control)}")
+        }
+      }
+      val tail = series.filter(_._1 > nWaves / 2)
+      val maxTail = tail.map(_._2).max
+      val ctlFinal = series.last._3
+      println(s"HYGIENE verdict: maintained view file count plateaus at " +
+        s"<= $maxTail over the last ${tail.size} samples; control grew to " +
+        s"$ctlFinal files over $nWaves waves")
+      require(maxTail <= 4,
+        s"state-table file count did not plateau: $maxTail files in the tail")
+      require(ctlFinal > maxTail * 5,
+        s"control should demonstrate growth (got $ctlFinal vs $maxTail)")
+      spark.stop()
+      return
+    }
     args.drop(1).foreach { spec =>
       val Array(ordersPath, reps) = spec.split(":")
       println(s"=== $spec ===")

@@ -25,6 +25,38 @@ object ScratchDrive {
       r
     }
 
+    if (args.headOption.contains("postings-crossover")) {
+      // Measure BOTH crossing-partner lookup paths of the segment-dedup
+      // maintainer at the RangeReadCap boundary (round-16 advice): a wave
+      // with crossings just UNDER the cap runs the per-hash range-read
+      // union; just OVER runs the single posting scan. Each doc is one
+      // unique 3-word segment; the wave inserts an identical-text partner
+      // per doc, so every segment crosses df 1→2 at once.
+      import spark.implicits._
+      import graft.llm.{IncrementalSegmentDedup => ISD}
+      import graft.model.Meta
+      def drive(nCross: Int, label: String): Unit = (1 to 3).foreach { i =>
+        val base = java.nio.file.Files.createTempDirectory("graft-xover")
+        val src = new graft.operators.GraftTable(spark, s"$base/src",
+          Seq("id"), targetFileBytes = 256 * 1024)
+        val docs = (0 until nCross).map(j => (j.toLong, s"w$j x$j y$j"))
+        src.bulkInsert(docs.toDF("id", "text")
+          .withColumn(Meta.Ordering, lit(f"${1}%020d"))
+          .withColumn(Meta.Deleted, lit(false)))
+        val st = ISD.create(spark, src, s"$base/state", "id", "text", 3)
+        src.upsert(docs.map { case (j, t) => (j + 10000000L, t) }
+          .toDF("id", "text")
+          .withColumn(Meta.Ordering, lit(f"${2}%020d"))
+          .withColumn(Meta.Deleted, lit(false)))
+        timed(s"$label run$i (crossings=$nCross)")(
+          ISD.maintain(src, st, "id", "text", 3, 0L, 1L))
+      }
+      drive(graft.llm.IncrementalSegmentDedup.RangeReadCap - 6, "range-read path")
+      drive(graft.llm.IncrementalSegmentDedup.RangeReadCap + 6, "scan path")
+      spark.stop()
+      return
+    }
+
     (1 to 3).foreach { i =>
       println(s"--- run $i ---")
       val root = java.nio.file.Files.createTempDirectory("graft-prof").toString

@@ -182,7 +182,8 @@ object IncrementalDedup {
     require(idCol.matches("[A-Za-z_][A-Za-z0-9_]*") &&
       textCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"id/text column names must be plain identifiers: $idCol, $textCol")
-    val state = new GraftTable(spark, location, Seq("id"))
+    val state = new GraftTable(spark, location, Seq("id"),
+      clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes)
     require(state.history().isEmpty,
       s"$location already holds a committed table — create needs a fresh location")
     val at = src.latestCommit().map(_.seq).getOrElse(
@@ -278,28 +279,21 @@ object IncrementalDedup {
       extraMeta: Map[String, String] = Map.empty): Unit = {
     require(state.keyFields == Seq("id"),
       s"the dedup state table must be keyed by 'id' (got ${state.keyFields.mkString(",")})")
-    // every reused frame is pinned with an EAGER localCheckpoint, not
-    // persist(): a persisted frame keeps its full logical subtree, and
-    // this wave's frames reference each other heavily (live → st ∪
-    // newSigs ∪ removed; allReps → live; sized → allReps ×4; verified →
-    // sized + fetched → sized → ...), so plan SIZE — not data — grows as
-    // the product of the fan-outs: the analyzed tree reached millions of
+    // every reused frame is pinned EAGERLY (never persist()): a
+    // persisted frame keeps its full logical subtree, and this wave's
+    // frames reference each other heavily (live → st ∪ newSigs ∪
+    // removed; allReps → live; sized → allReps ×4; verified → sized +
+    // fetched → sized → ...), so plan SIZE — not data — grows as the
+    // product of the fan-outs: the analyzed tree reached millions of
     // nodes, minutes of driver-side planning and a multi-GB plan string
-    // per wave (the round-16 OOM). The checkpoint truncates each pinned
-    // frame to a leaf, making per-wave planning cost CONSTANT in
-    // pipeline depth; the materialization itself was already paid by the
-    // old count() pins. Blocks are released after the merge lands.
-    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
-    def pin(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint()
-      pinned += c
-      c
-    }
-    val release: () => Unit = () => pinned.foreach {
-      _.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
-    }
+    // per wave (the round-16 OOM). The pin truncates each frame to a
+    // leaf, making per-wave planning cost CONSTANT in pipeline depth.
+    // Pins go through the shared PinSet: localCheckpoint by default, or
+    // recoverable parquet stage pins under graft.ivm.reliablePins for
+    // cluster runs; released after the merge lands either way.
+    val pins = new graft.util.PinSet(s"${state.root}/_graft/stage-pins")
+    def pin(df: DataFrame): DataFrame = pins.pin(df)
+    val release: () => Unit = () => pins.release()
     val img = pin(src.changesDiffImages(fromSeq, toSeq))
     val newSigs = pin(signaturesOf(
       img.filter(col("op").isin("I", "U"))
@@ -307,6 +301,7 @@ object IncrementalDedup {
       idCol, textCol))
     val removed = pin(img.filter(col("op").isin("D", "U"))
       .select(col("_before")(idCol).cast("long").as("id")))
+    graft.util.StageTimer.mark("feed_sigs")
     try {
       requireValidIds(newSigs, s"the ($fromSeq, $toSeq] change feed")
       val st = state.readUser().select(StateCols.map(col): _*)
@@ -369,6 +364,7 @@ object IncrementalDedup {
         .join(cnt.toDF("ib", "_nb2"), Seq("ib"))
         .filter(least(col("_na"), col("_nb2")).cast("double") >=
           lit(p.threshold) * greatest(col("_na"), col("_nb2"))))
+      graft.util.StageTimer.mark("candidates")
       // ---- split components: a retraction can only split its OWN
       // component — recompute survivor edges locally (star from stored
       // thash groups; only per-thash rep texts are fetched and re-paired)
@@ -388,6 +384,7 @@ object IncrementalDedup {
         .join(newIdSet, Seq("id"), "left_anti")
       val fetched = pin(fetchDocs(src, idCol, textCol, toSeq,
         oldNeeded.unionByName(survRepIds).distinct()))
+      graft.util.StageTimer.mark("partner_fetch")
       // ---- exact-Jaccard verification of the sized candidates
       val newDocsT = img.filter(col("op").isin("I", "U"))
         .select(col("_after")(idCol).cast("long").as("id"),
@@ -424,6 +421,7 @@ object IncrementalDedup {
         .unionByName(survPairs).unionByName(starOld)
       val cc = Dedup.connectedComponents(edges, "ia", "ib")
         .withColumnRenamed("comp", "_c")
+      graft.util.StageTimer.mark("verify_cc")
       // ---- delta-proportional merge: new rows, moved labels, deletes
       val newRows = newSigs.join(cc, Seq("id"), "left")
         .select(col("id"), col("thash"), col("sig"), col("n_sh"),
@@ -456,6 +454,7 @@ object IncrementalDedup {
               s"applied watermark is ${cur.getOrElse("absent")} — " +
               "re-read the watermark (concurrent refresh?)")
         }))
+      graft.util.StageTimer.mark("merge")
       // the CC labels are localCheckpoint-pinned like every other frame;
       // a long-lived maintainer calls maintain() per wave, so release
       // everything once applied (the finally's release() covers the

@@ -67,9 +67,12 @@ object IncrementalSegmentDedup {
 
   private def newState(spark: SparkSession, location: String): State =
     State(
-      new GraftTable(spark, s"$location/df", Seq("sh")),
-      new GraftTable(spark, s"$location/post", Seq("sh", "id")),
-      new GraftTable(spark, s"$location/out", Seq("id")))
+      new GraftTable(spark, s"$location/df", Seq("sh"),
+        clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes),
+      new GraftTable(spark, s"$location/post", Seq("sh", "id"),
+        clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes),
+      new GraftTable(spark, s"$location/out", Seq("id"),
+        clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes))
 
   def appliedSeq(t: GraftTable): Option[Long] =
     t.historyNewestFirst()
@@ -99,9 +102,9 @@ object IncrementalSegmentDedup {
   def bootstrap(src: GraftTable, st: State, idCol: String, textCol: String,
       segWords: Int, atSeq: Long,
       extraMeta: Map[String, String] = Map.empty): Unit = {
-    val snap = src.readAsOf(atSeq)
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("_t"))
-      .localCheckpoint()
+    val pins = new graft.util.PinSet(s"${st.out.root}/_graft/stage-pins")
+    val snap = pins.pin(src.readAsOf(atSeq)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("_t")))
     try {
       requireValidIds(snap, "the bootstrap snapshot")
       val segs = TextAnalysis.segments(snap, "id", "_t", segWords)
@@ -119,11 +122,7 @@ object IncrementalSegmentDedup {
       val out = TextAnalysis.segmentDedup(snap, "id", "_t", segWords)
       st.out.bulkInsert(out, extraMeta = extraMeta ++ meta)
       ()
-    } finally {
-      snap.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
-    }
+    } finally pins.release()
   }
 
   /** Create a SELF-DESCRIBING segment-dedup state under `location`
@@ -263,10 +262,11 @@ object IncrementalSegmentDedup {
       s"torn state order (out, post, df) = $seqs: commits land out-first; " +
         "this root was written by something else — re-bootstrap")
     if (seqs.forall(_ == toSeq)) return
-    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
-    def pin(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(); pinned += c; c
-    }
+    // wave frames pin through the shared PinSet: eager localCheckpoint
+    // (plan-lineage rule), or recoverable parquet stage pins under
+    // graft.ivm.reliablePins for cluster runs
+    val pins = new graft.util.PinSet(s"${st.out.root}/_graft/stage-pins")
+    def pin(df: DataFrame): DataFrame = pins.pin(df)
     try {
       val img = pin(src.changesDiffImages(fromSeq, toSeq))
       val before = img.filter(col("op").isin("D", "U"))
@@ -383,10 +383,6 @@ object IncrementalSegmentDedup {
           extraMeta = Map(AppliedSeqKey -> toSeq.toString),
           preCommit = guard(st.df))
       ()
-    } finally pinned.foreach {
-      _.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
-    }
+    } finally pins.release()
   }
 }

@@ -74,9 +74,12 @@ object IncrementalSpanCensus {
 
   private def newState(spark: SparkSession, location: String): State =
     State(
-      new GraftTable(spark, s"$location/df", Seq("sh")),
-      new GraftTable(spark, s"$location/post", Seq("sh", "id")),
-      new GraftTable(spark, s"$location/out", Seq("id")))
+      new GraftTable(spark, s"$location/df", Seq("sh"),
+        clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes),
+      new GraftTable(spark, s"$location/post", Seq("sh", "id"),
+        clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes),
+      new GraftTable(spark, s"$location/out", Seq("id"),
+        clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes))
 
   def appliedSeq(t: GraftTable): Option[Long] =
     t.historyNewestFirst()

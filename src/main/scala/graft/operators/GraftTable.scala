@@ -81,7 +81,13 @@ case class TableConfig(
       * for views): after every locked commit, refresh the views
       * registered against this table. Default keeps pre-option
       * descriptors readable. */
-    viewMaintain: Boolean = false)
+    viewMaintain: Boolean = false,
+    /** Layout columns `cluster()` folds by (empty = the record key):
+      * tables laid out for a NON-KEY read pattern (fk-clustered join
+      * views) keep that layout through small-file folds instead of
+      * silently reverting to key order. Default keeps old descriptors
+      * readable. */
+    clusterSortColumns: Seq[String] = Seq.empty)
 
 class GraftTable(
     spark: SparkSession,
@@ -151,7 +157,14 @@ class GraftTable(
       * store. An ENVIRONMENT property, not a table property — it does
       * not persist in `table.json`; every handle opening the table
       * supplies the store matching where the table lives. */
-    val commitStore: graft.model.CommitStore = graft.model.LocalFsCommitStore) {
+    val commitStore: graft.model.CommitStore = graft.model.LocalFsCommitStore,
+    /** Layout columns `cluster()` (incl. the inline pass) folds by;
+      * empty = the record key. Set by [[IncrementalJoin.create]] so the
+      * fk-clustered view layout SURVIVES small-file folding — without
+      * it, the first inline cluster would quietly rewrite the folded
+      * files key-sorted and widen the fan-out read's fk stats boxes.
+      * Persisted in `table.json`. */
+    val clusterSortColumns: Seq[String] = Seq.empty) {
 
   require(bucketCount == 0 || (partitionFields.isEmpty && globalIndex),
     "bucketCount requires a global index and no partition columns " +
@@ -710,7 +723,8 @@ class GraftTable(
           orderingField, tableType, globalIndex, statsColumns, keyBlooms,
           bloomColumns, partialUpdate, targetFileBytes, compactEvery,
           compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount,
-          tunedAt = stamp, viewMaintain = viewMaintain))
+          tunedAt = stamp, viewMaintain = viewMaintain,
+          clusterSortColumns = clusterSortColumns))
         descriptorVersion = stamp
       }
     } catch { case scala.util.control.NonFatal(e) =>
@@ -780,7 +794,7 @@ class GraftTable(
       // inline clustering (lock already held): a no-op unless >= 2 small
       // files exist and no delta logs are outstanding
       if (clusterSmallFileBytes > 0 && c.logFiles.isEmpty)
-        retryOnConflict(doCluster(clusterSmallFileBytes))
+        retryOnConflict(doCluster(clusterSmallFileBytes, inline = true))
       else c
     }
 
@@ -1582,7 +1596,8 @@ class GraftTable(
         * the same change-feed window) abort here instead of committing
         * twice. Throw to refuse; OCC retries re-run the check against
         * the then-current state. */
-      preCommit: Option[() => Unit] = None): Commit = withLock(retryOnConflict {
+      preCommit: Option[() => Unit] = None): Commit = withLock {
+    val merged = retryOnConflict {
     preCommit.foreach(_.apply())
     // retryOnConflict is sound here: MERGE is defined against the CURRENT
     // snapshot, and each attempt re-reads latest() — a retry after an OCC
@@ -1719,7 +1734,15 @@ class GraftTable(
             ("files_carried" -> untouched.size.toString) ++ extraMeta), newFiles)
       } finally result.unpersist(blocking = false)
     } finally src.unpersist(blocking = false)
-  })
+    }
+    // inline clustering (lock already held) — the upsert hook's twin:
+    // IVM state tables commit exclusively through MERGE, so without this
+    // a year of 2-hour maintenance windows grows their file counts
+    // unboundedly (round-16 verdict #5)
+    if (clusterSmallFileBytes > 0 && merged.logFiles.isEmpty)
+      retryOnConflict(doCluster(clusterSmallFileBytes, inline = true))
+    else merged
+  }
 
   /** Merge-on-read view of a commit: base files unioned with delta logs,
     * latest-wins per key, tombstones dropped. One hash shuffle — the same
@@ -2843,22 +2866,30 @@ class GraftTable(
   /** Unlocked clustering body — shared by [[cluster]] and the inline
     * post-upsert trigger (the table lock is already held there; the
     * file lock is not reentrant). */
-  private def doCluster(smallFileBytes: Long): Commit = {
+  private def doCluster(smallFileBytes: Long,
+      inline: Boolean = false): Commit = {
       val prev = timeline.latest().getOrElse(
         throw new IllegalStateException(s"no commits at $root"))
       val seq = prev.seq + 1
       val (small, carried) =
         if (prev.logFiles.nonEmpty) (prev.files, Seq.empty[DataFile])
         else prev.files.partition(_.bytes < smallFileBytes)
-      // fewer than two small files: merging cannot reduce the file count —
-      // publishing a commit that re-writes one file is pure churn
-      if (carried.nonEmpty && small.size < 2) return prev
+      // fewer than two small files: merging cannot reduce the file count.
+      // The AUTOMATIC inline pass skips even a wholly-small single-file
+      // table (re-writing one file after every merge is pure churn); an
+      // EXPLICIT cluster() call still rewrites it — a forced physical
+      // rewrite is part of its contract (drop_column byte-shedding,
+      // maintenance-only commits)
+      if (prev.logFiles.isEmpty && carried.nonEmpty && small.size < 2)
+        return prev
+      if (inline && prev.logFiles.isEmpty && small.size < 2) return prev
       val schema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val input =
         if (prev.logFiles.nonEmpty) read() else scanFiles(small, schema)
       val files = writeFiles(input, seq,
-        (small ++ prev.logFiles).map(_.bytes).sum)
+        (small ++ prev.logFiles).map(_.bytes).sum,
+        layoutSort = clusterSortColumns.map(col))
       commitOrCleanStage(Commit(seq, "cluster", carried ++ files, prev.schemaJson,
         prev.checkpoint, System.currentTimeMillis(),
         extra = GraftTable.writeMetrics(files) +
@@ -3127,7 +3158,8 @@ class GraftTable(
       pick("cluster_small_file_bytes", clusterSmallFileBytes, 0L, _.toLong),
       pick("rli_maintain", rliMaintain, false, bool),
       bucketCount,
-      pick("view_maintain", viewMaintain, false, bool))
+      pick("view_maintain", viewMaintain, false, bool),
+      clusterSortColumns = clusterSortColumns)
     // tracked columns must exist once the schema is pinned
     latestCommit().foreach { c =>
       val fields = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
@@ -3188,7 +3220,7 @@ class GraftTable(
         orderingField, targetFileBytes, staleLockMs, tableType, compactEvery,
         compactLogBytesRatio, globalIndex, harvestThreshold, statsColumns,
         keyBlooms, bloomColumns, partialUpdate, clusterSmallFileBytes,
-        bucketCount = bucketCount)
+        bucketCount = bucketCount, clusterSortColumns = clusterSortColumns)
       cloned.persistConfig() // clones are self-describing from commit 0
       cloned
     }
@@ -3512,7 +3544,7 @@ object GraftTable {
       cfg.globalIndex, DistributedHarvestThreshold, cfg.statsColumns,
       cfg.keyBlooms, cfg.bloomColumns, cfg.partialUpdate,
       cfg.clusterSmallFileBytes, cfg.rliMaintain, cfg.bucketCount,
-      cfg.viewMaintain)
+      cfg.viewMaintain, clusterSortColumns = cfg.clusterSortColumns)
   }
   /** Hive's null-partition directory name. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"
@@ -3987,6 +4019,16 @@ object GraftTable {
 
   /** ~128 MB compressed per data file — the standard DFS sweet spot. */
   val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Inline-clustering threshold the IVM `create`s give their state
+    * tables (round-16 verdict #5): a maintenance MERGE adds files per
+    * wave, so without folding, a year of 2-hour windows (~4,400 waves)
+    * grows state-table file counts unboundedly. target/8 keeps the
+    * steady-state file count ≈ liveBytes/target + O(1) small files; the
+    * re-fold write amplification is bounded by the threshold (a byte is
+    * re-folded at most ~log₂(threshold/waveBytes) times before its file
+    * graduates) — the LSM-ish trade Hudi's inline clustering makes. */
+  val StateClusterSmallFileBytes: Long = DefaultTargetFileBytes / 8
   /** Driver-side footer-harvest fan-out (bounded: metadata I/O, not CPU). */
   val HarvestParallelism: Int = 24
   /** Above this many files per write, footer harvest runs as a Spark job

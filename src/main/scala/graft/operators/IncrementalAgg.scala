@@ -147,7 +147,8 @@ object IncrementalAgg {
   private[graft] def auxTable(spark: SparkSession, agg: GraftTable,
       groupCols: Seq[String], m: String): GraftTable =
     new GraftTable(spark, s"${agg.root}/_ivm_dv_$m", groupCols :+ DvCol,
-      targetFileBytes = agg.targetFileBytes)
+      targetFileBytes = agg.targetFileBytes,
+      clusterSmallFileBytes = agg.clusterSmallFileBytes)
 
   /** The physically-stored SUM columns: declared sums plus each AVG
     * measure's `<m>_sum` / `<m>_cnt` state pair (the non-null count is
@@ -277,7 +278,8 @@ object IncrementalAgg {
     groupCols.foreach(g => require(g.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"bad group column name: $g — create_agg_view group columns must " +
         "be plain identifiers; alias exotic names in a view first"))
-    val agg = new GraftTable(spark, location, groupCols)
+    val agg = new GraftTable(spark, location, groupCols,
+      clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes)
     require(agg.history().isEmpty,
       s"$location already holds a committed table — create_agg_view needs a fresh location")
     val at = src.latestCommit().map(_.seq).getOrElse(

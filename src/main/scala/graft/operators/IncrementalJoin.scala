@@ -448,7 +448,11 @@ object IncrementalJoin {
     // despite the non-key layout (the clusterZOrder trade, pre-paid)
     val view = new GraftTable(spark, location, left.keyFields,
       targetFileBytes = targetFileBytes,
-      statsColumns = on.map(_._1), keyBlooms = true)
+      statsColumns = on.map(_._1), keyBlooms = true,
+      clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes,
+      // small-file folds must PRESERVE the fk layout (key order would
+      // silently widen the fan-out read's fk stats boxes)
+      clusterSortColumns = on.map(_._1))
     require(view.history().isEmpty,
       s"$location already holds a committed table — create_join_view needs a fresh location")
     val atL = left.latestCommit().map(_.seq).getOrElse(

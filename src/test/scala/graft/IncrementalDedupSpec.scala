@@ -240,4 +240,33 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("negative"))
   }
+
+  test("reliable pins produce the identical cluster state (cluster-run pin mode)") {
+    def drive(reliable: Boolean): Seq[(Long, String, Seq[Long], Long, Long)] = {
+      if (reliable) spark.conf.set(graft.util.PinSet.ReliableKey, "true")
+      try {
+        val src = new GraftTable(spark, tmp(), Seq("id"),
+          targetFileBytes = 16 * 1024)
+        src.bulkInsert(meta(docs(
+          1L -> sent(1, 12), 2L -> sent(3, 14), 5L -> sent(100, 112)), 1,
+          del = false))
+        val state = IncrementalDedup.create(spark, src, tmp(), "id", "text", P)
+        // one retract-heavy wave: a near-dup joins, a member rewrites away
+        src.upsert(meta(docs(3L -> sent(2, 13)), 2, del = false))
+        src.upsert(meta(docs(2L -> "uniq2"), 3, del = false))
+        IncrementalDedup.refresh(spark, state)
+        val stage = java.nio.file.Paths.get(s"${state.root}/_graft/stage-pins")
+        if (java.nio.file.Files.isDirectory(stage))
+          assert(scala.util.Using.resource(
+            java.nio.file.Files.list(stage))(_.count()) == 0,
+            "reliable pins must clean their stage dirs after the wave")
+        state.readUser()
+          .select(col("id"), col("thash"), col("sig"), col("n_sh"), col("comp"))
+          .as[(Long, String, Seq[Long], Long, Long)].collect()
+          .sortBy(_._1).toSeq
+      } finally spark.conf.unset(graft.util.PinSet.ReliableKey)
+    }
+    assert(drive(reliable = true) == drive(reliable = false),
+      "pin mode must be invisible to the maintained state")
+  }
 }

@@ -261,6 +261,31 @@ class IncrementalSegmentDedupSpec extends AnyFunSuite {
       "every original doc and every partner must census as duplicated")
   }
 
+  test("reliable pins produce the identical segment state (cluster-run pin mode)") {
+    def drive(reliable: Boolean): Seq[(Long, Long, Long, String)] = {
+      if (reliable) spark.conf.set(graft.util.PinSet.ReliableKey, "true")
+      try {
+        val src = new GraftTable(spark, tmp(), Seq("id"),
+          targetFileBytes = 16 * 1024)
+        src.bulkInsert(meta(docs(1L -> "a b c d e f", 2L -> "a b c x y z"), 1,
+          del = false))
+        val st = ISD.create(spark, src, tmp(), "id", "text", W)
+        src.upsert(meta(docs(3L -> "d e f q r s"), 2, del = false))
+        src.upsert(meta(docs(2L -> "a b c x y z"), 3, del = true))
+        ISD.refresh(spark, st)
+        val stage = java.nio.file.Paths.get(s"${st.out.root}/_graft/stage-pins")
+        if (java.nio.file.Files.isDirectory(stage))
+          assert(scala.util.Using.resource(
+            java.nio.file.Files.list(stage))(_.count()) == 0,
+            "reliable pins must clean their stage dirs after the wave")
+        ISD.output(st).as[(Long, Long, Long, String)].collect()
+          .sortBy(_._1).toSeq
+      } finally spark.conf.unset(graft.util.PinSet.ReliableKey)
+    }
+    assert(drive(reliable = true) == drive(reliable = false),
+      "pin mode must be invisible to the maintained state")
+  }
+
   test("negative ids refuse loudly") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     src.bulkInsert(meta(Seq((-3L, "a b c d e f")).toDF("id", "text"), 1,
