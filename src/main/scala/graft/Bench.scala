@@ -37,7 +37,7 @@ object Bench {
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
     "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket",
     "w_upsert_narrow_interval", "w_upsert_narrow_bucket", "w_incr_agg",
-    "w_incr_join", "w_incr_dedup", "w_sql_point", "w_sql_ddl",
+    "w_incr_join", "w_incr_dedup", "w_incr_span", "w_sql_point", "w_sql_ddl",
     "w_stream_sink")
 
   /** Third reported section (round 13+): the heavy LLM-curation
@@ -325,6 +325,32 @@ object Bench {
           graft.llm.IncrementalDedup.maintain(src, state, "id", "text",
             graft.llm.IncrementalDedup.Params(), 0L, 1L)
           Bench.dedupStages = graft.util.StageTimer.collect()
+          ()
+        }
+      }),
+      // incremental span-census maintenance (round-17): one %13
+      // text-rewrite wave — every rewritten doc's shingles retract (df
+      // crossings move unchanged partners by posting arithmetic) —
+      // against a bootstrapped census state (setup per run: fresh corpus
+      // table + IncrementalSpanCensus bootstrap, untimed)
+      "w_incr_span" -> (() => {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val src = new graft.operators.GraftTable(spark,
+          tmpRoot("ivms-src") + "/t", Seq("id"))
+        src.bulkInsert(d.withColumn("trx_seq", lit(f"${1}%020d")))
+        src.upsert(d.filter(col("id") % 13 === 0)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+          .withColumn("trx_seq", lit(f"${2}%020d")))
+        val stRoot = tmpRoot("ivms-st")
+        val st = graft.llm.IncrementalSpanCensus.State(
+          new graft.operators.GraftTable(spark, s"$stRoot/df", Seq("sh")),
+          new graft.operators.GraftTable(spark, s"$stRoot/post", Seq("sh", "id")),
+          new graft.operators.GraftTable(spark, s"$stRoot/out", Seq("id")))
+        graft.llm.IncrementalSpanCensus.bootstrap(src, st, "id", "text", 3, 0L)
+        () => {
+          graft.llm.IncrementalSpanCensus.maintain(src, st, "id", "text", 3,
+            0L, 1L)
           ()
         }
       }),

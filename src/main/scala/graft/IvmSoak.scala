@@ -38,7 +38,8 @@ object IvmSoak {
     // every tested scale), unioned in memory
     val mode = args.head
     require(mode == "agg" || mode == "join" || mode == "segdedup" ||
-      mode == "hygiene", s"mode agg|join|segdedup|hygiene, got $mode")
+      mode == "span" || mode == "hygiene",
+      s"mode agg|join|segdedup|span|hygiene, got $mode")
 
     if (mode == "hygiene") {
       // STATE-TABLE FILE HYGIENE (round-16 verdict #5): ~200 maintenance
@@ -106,7 +107,43 @@ object IvmSoak {
     args.drop(1).foreach { spec =>
       val Array(ordersPath, reps) = spec.split(":")
       println(s"=== $spec ===")
-      if (mode == "segdedup") {
+      if (mode == "span") {
+        // same replication + fixed-delta shape as segdedup, against the
+        // span census: maintain ∝ delta (partner updates are posting
+        // ARITHMETIC — no text fetch), recompute ∝ corpus
+        val one0 = spark.read.parquet(ordersPath)
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val docsAll = (0 until reps.toInt).map(i =>
+          one0.select((col("id") + lit(1000000000L * i)).as("id"),
+            concat(col("text"), lit(s" rep$i")).as("text"))).reduce(_ union _)
+        println(s"rows: ${docsAll.count()}")
+        def tmpd(tag: String) =
+          java.nio.file.Files.createTempDirectory(s"ivm-soak-$tag").toString
+        val src0 = new graft.operators.GraftTable(spark, tmpd("spsrc") + "/t",
+          Seq("id"), targetFileBytes = 1024 * 1024)
+        src0.bulkInsert(docsAll)
+        val spDelta = docsAll.filter(col("id") % 13 === 0 && col("id") < 150000)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+        import graft.llm.{IncrementalSpanCensus => ISC}
+        def freshState(tag: String): ISC.State = {
+          val b = tmpd(tag)
+          ISC.State(
+            new graft.operators.GraftTable(spark, s"$b/df", Seq("sh")),
+            new graft.operators.GraftTable(spark, s"$b/post", Seq("sh", "id")),
+            new graft.operators.GraftTable(spark, s"$b/out", Seq("id")))
+        }
+        (1 to 3).foreach { i =>
+          val c = src0.cloneTo(tmpd(s"sp-run$i") + "/t")
+          c.upsert(spDelta)
+          val st = freshState(s"spst-run$i")
+          ISC.bootstrap(c, st, "id", "text", 3, 0L)
+          timed(s"maintain run$i")(
+            ISC.maintain(c, st, "id", "text", 3, 0L, 1L))
+          val st2 = freshState(s"spre-run$i")
+          timed(s"recompute run$i")(
+            ISC.bootstrap(c, st2, "id", "text", 3, 1L))
+        }
+      } else if (mode == "segdedup") {
         // documents corpus scaled by replication (ids shifted clear of
         // the real span; texts get a per-replica suffix so segment dfs
         // stay realistic instead of multiplying uniformly). FIXED delta:
