@@ -332,15 +332,27 @@ object IncrementalDedup {
         .join(live.select(col("id"), col("sig"), col("n_sh")), Seq("id"))
       val allReps = pin(liveReps.select(col("id"), col("sig"), col("n_sh"))
         .unionByName(pairReps))
-      // cap parity: bucket density is the DISTINCT-signature count over
-      // the full rep store (the one corpus-proportional — but text-free —
-      // pass; see the object doc)
+      // cap parity: bucket density is the DISTINCT-signature count —
+      // restricted to the buckets the WAVE'S new reps occupy, because
+      // candidate pairs (and therefore cap admission) are only ever
+      // consulted there. The store-wide banding scan remains (the one
+      // corpus-proportional — but text-free — pass; see the object doc),
+      // but its shuffle/join volume collapses from O(store × bands) to
+      // the touched neighborhoods — wave-proportional. Round-17: the
+      // bench stage split showed this census at ~half the wave
+      // (candidates 11.5 s of 23.4); untouched buckets were priced and
+      // joined for nothing.
+      val newBuckets = pin(Dedup.minhashBandBuckets(
+          pairReps.select(col("id").as("rid"), col("sig")), p.bands, p.rows)
+        .select(col("bk1"), col("bk2")).distinct())
       val bCnt = Dedup.minhashBandBuckets(
           allReps.groupBy(col("sig")).agg(min(col("id")).as("rid")),
           p.bands, p.rows)
+        .join(newBuckets, Seq("bk1", "bk2"), "left_semi")
         .groupBy(col("bk1"), col("bk2")).agg(count(lit(1)).as("_nb"))
       val admitted = Dedup.minhashBandBuckets(
           allReps.select(col("id").as("rid"), col("sig")), p.bands, p.rows)
+        .join(newBuckets, Seq("bk1", "bk2"), "left_semi")
         .join(bCnt.filter(col("_nb") <= p.maxBandFreq), Seq("bk1", "bk2"))
       val bandedNew = admitted
         .join(pairReps.select(col("id").as("rid")), Seq("rid"))
