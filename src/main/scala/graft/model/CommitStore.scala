@@ -21,6 +21,47 @@ trait CommitStore {
   /** Atomically replace (or create) `target` with `bytes` — readers see
     * either the old complete content or the new, never a torn write. */
   def put(target: Path, bytes: Array[Byte]): Unit
+
+  // ---- metadata READ side (round-17): the timeline's reads, listings
+  // and deletes route through the same seam as its writes, so the WHOLE
+  // commit protocol — not just the CAS — runs against whatever storage
+  // the store speaks. Local-filesystem defaults; an object-store
+  // implementation overrides with GET/LIST/DELETE.
+
+  /** The complete content of a published metadata object. Throws
+    * java.io.IOException (NoSuchFileException locally) when absent. */
+  def read(target: Path): Array[Byte] = Files.readAllBytes(target)
+
+  def exists(target: Path): Boolean = Files.exists(target)
+
+  /** The object NAMES directly under `dir` (no recursion, no dirs);
+    * empty when `dir` does not exist. */
+  def list(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(_.getFileName.toString).toSeq
+      }
+    }
+
+  /** Delete if present; false when it was already absent. */
+  def delete(target: Path): Boolean = Files.deleteIfExists(target)
+
+  /** Change-detection stamp for memoization — any pair that changes
+    * whenever the object's content may have (locally: mtime + size; an
+    * object store: version/etag + length). Throws java.io.IOException
+    * when the object is absent. */
+  def stamp(target: Path): (Long, Long) =
+    (Files.getLastModifiedTime(target).toMillis, Files.size(target))
+
+  /** Make `dir` writable as a publish location — a real directory on a
+    * filesystem, a NO-OP on an object store (keys have no directories). */
+  def prepare(dir: Path): Unit = {
+    Files.createDirectories(dir)
+    ()
+  }
 }
 
 /** Local-FS store: write a unique temp sibling, publish via hard link.

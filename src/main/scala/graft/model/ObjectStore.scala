@@ -33,6 +33,10 @@ trait ObjectStore {
   def list(prefix: String): Seq[String]
 
   def delete(key: String): Unit
+
+  /** Version stamp for change detection — (version-or-mtime, length),
+    * the etag analog. None when the key is absent. */
+  def stat(key: String): Option[(Long, Long)]
 }
 
 /** Directory-backed [[ObjectStore]] emulation with S3's semantics on a
@@ -118,12 +122,57 @@ class DirObjectStore(val root: Path) extends ObjectStore {
     Files.deleteIfExists(pathOf(key))
     ()
   }
+
+  def stat(key: String): Option[(Long, Long)] = {
+    val p = pathOf(key)
+    if (Files.isRegularFile(p))
+      Some((Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+    else None
+  }
 }
 
 object DirObjectStore {
   /** Fallback mutex for filesystems without hard links (vfat/SMB):
     * serializes the check+move stand-in within this process. */
   private val moveLock = new Object
+}
+
+/** Purely in-memory [[ObjectStore]] — no filesystem at all. Exists to
+  * PROVE the commit protocol's storage independence: a [[Timeline]]
+  * over `new ObjectStoreCommitStore(new InMemoryObjectStore, base)`
+  * runs its entire metadata lifecycle (commits, delta chains, sidecars,
+  * archive, savepoints, rollback) without creating a single file —
+  * every byte the protocol reads or writes provably crossed the seam.
+  * Strongly consistent (one lock), conditional PUT atomic by
+  * construction; version stamps are a monotonic per-store counter. */
+class InMemoryObjectStore extends ObjectStore {
+  private val objects =
+    scala.collection.mutable.Map.empty[String, (Array[Byte], Long)]
+  private var versions = 0L
+
+  def put(key: String, bytes: Array[Byte]): Unit = synchronized {
+    versions += 1
+    objects(key) = (bytes.clone(), versions)
+  }
+
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = synchronized {
+    if (objects.contains(key)) false
+    else { versions += 1; objects(key) = (bytes.clone(), versions); true }
+  }
+
+  def get(key: String): Option[Array[Byte]] =
+    synchronized(objects.get(key).map(_._1.clone()))
+
+  def list(prefix: String): Seq[String] =
+    synchronized(objects.keys.filter(_.startsWith(prefix)).toSeq.sorted)
+
+  def delete(key: String): Unit = synchronized {
+    objects.remove(key)
+    ()
+  }
+
+  def stat(key: String): Option[(Long, Long)] =
+    synchronized(objects.get(key).map { case (b, v) => (v, b.length.toLong) })
 }
 
 /** Fault-injection wrapper for contract tests: the failure modes an
@@ -182,6 +231,8 @@ class FaultInjectingObjectStore(inner: ObjectStore) extends ObjectStore {
   }
 
   def delete(key: String): Unit = inner.delete(key)
+
+  def stat(key: String): Option[(Long, Long)] = inner.stat(key)
 }
 
 /** [[CommitStore]] over an [[ObjectStore]] — the conditional-put CAS
@@ -211,4 +262,33 @@ class ObjectStoreCommitStore(os: ObjectStore, base: Path) extends CommitStore {
 
   def put(target: Path, bytes: Array[Byte]): Unit =
     os.put(keyOf(target), bytes)
+
+  // the read side routes through the SAME store (round-17): the whole
+  // timeline protocol — reads, listings, sidecars, deletes, cache
+  // stamps — speaks GET/LIST/DELETE/etag, zero filesystem assumptions
+  override def read(target: Path): Array[Byte] =
+    os.get(keyOf(target)).getOrElse(
+      throw new java.nio.file.NoSuchFileException(target.toString))
+
+  override def exists(target: Path): Boolean = os.stat(keyOf(target)).isDefined
+
+  override def list(dir: Path): Seq[String] = {
+    val prefix = keyOf(dir) + "/"
+    // names DIRECTLY under the prefix (the timeline lists one level)
+    os.list(prefix).map(_.stripPrefix(prefix)).filterNot(_.contains("/"))
+  }
+
+  override def delete(target: Path): Boolean = {
+    val k = keyOf(target)
+    val was = os.stat(k).isDefined
+    os.delete(k)
+    was
+  }
+
+  override def stamp(target: Path): (Long, Long) =
+    os.stat(keyOf(target)).getOrElse(
+      throw new java.nio.file.NoSuchFileException(target.toString))
+
+  /** Object stores have no directories — nothing to prepare. */
+  override def prepare(dir: Path): Unit = ()
 }

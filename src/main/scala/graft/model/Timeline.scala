@@ -126,7 +126,27 @@ object BinaryManifest {
   def write(path: Path, files: Seq[DataFile]): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(path), 1 << 20))
-    try {
+    try writeTo(out, files) finally out.close()
+  }
+
+  /** The sidecar bytes in memory — the object-store publish path (a
+    * manifest travels as ONE object put/get through the commit seam).
+    * Size-bounded by the same reality as [[read]]: the decoded
+    * Seq[DataFile] already lives in driver memory, and the encoding is
+    * smaller than the decoded form. */
+  def encode(files: Seq[DataFile]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1 << 20)
+    val out = new java.io.DataOutputStream(bos)
+    writeTo(out, files)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Seq[DataFile] =
+    readFrom(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)), "<bytes>")
+
+  private def writeTo(out: java.io.DataOutputStream, files: Seq[DataFile]): Unit = {
       out.writeInt(Magic); out.writeInt(Version); out.writeInt(files.size)
       files.foreach { f =>
         str(out, f.path)
@@ -142,16 +162,18 @@ object BinaryManifest {
         out.writeInt(f.colBlooms.size)
         f.colBlooms.foreach { case (c, e) => str(out, c); str(out, e) }
       }
-    } finally out.close()
   }
 
   def read(path: Path): Seq[DataFile] = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(path), 1 << 20))
-    try {
-      require(in.readInt() == Magic, s"not a graft binary manifest: $path")
+    try readFrom(in, path.toString) finally in.close()
+  }
+
+  private def readFrom(in: java.io.DataInputStream, where: String): Seq[DataFile] = {
+      require(in.readInt() == Magic, s"not a graft binary manifest: $where")
       val v = in.readInt()
-      require(v == Version, s"unsupported binary manifest version $v at $path")
+      require(v == Version, s"unsupported binary manifest version $v at $where")
       val n = in.readInt()
       val out = Vector.newBuilder[DataFile]
       out.sizeHint(n)
@@ -172,7 +194,6 @@ object BinaryManifest {
         i += 1
       }
       out.result()
-    } finally in.close()
   }
 
   private def str(out: java.io.DataOutputStream, s: String): Unit = {
@@ -231,25 +252,20 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     scala.collection.concurrent.TrieMap.empty[Long, (Long, Long, Commit)]
   private val CacheMax = 64
 
-  def init(): Unit = Files.createDirectories(commitsDir)
+  def init(): Unit = store.prepare(commitsDir)
 
   private def commitPath(seq: Long): Path =
     commitsDir.resolve(f"$seq%012d.commit.json")
 
   def listCommitSeqs(): Seq[Long] =
-    if (!Files.exists(commitsDir)) Seq.empty
-    else Using.resource(Files.list(commitsDir)) { s =>
-      s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.endsWith(".commit.json"))
-        .map(_.stripSuffix(".commit.json").toLong)
-        .toSeq
-    }.sorted
+    store.list(commitsDir)
+      .filter(_.endsWith(".commit.json"))
+      .map(_.stripSuffix(".commit.json").toLong)
+      .sorted
 
   def latestSeq(): Option[Long] = listCommitSeqs().lastOption
 
-  private def stamp(p: Path): (Long, Long) =
-    (Files.getLastModifiedTime(p).toMillis, Files.size(p))
+  private def stamp(p: Path): (Long, Long) = store.stamp(p)
 
   private def cachePut(seq: Long, st: (Long, Long), c: Commit): Unit = {
     commitCache.put(seq, (st._1, st._2, c))
@@ -266,8 +282,8 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     commitCache.get(seq) match {
       case Some((m, sz, c)) if m == st._1 && sz == st._2 => c
       case _ =>
-        val c = materialize(
-          JsonMethods.parse(Files.readString(p)).extract[CommitRecord])
+        val c = materialize(JsonMethods.parse(new String(store.read(p),
+          StandardCharsets.UTF_8)).extract[CommitRecord])
         cachePut(seq, st, c)
         c
     }
@@ -282,7 +298,8 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     case None =>
       def resolve(inline: Option[Seq[DataFile]], bin: Option[String]): Seq[DataFile] =
         inline.getOrElse(bin match {
-          case Some(name) => BinaryManifest.read(commitsDir.resolve(name))
+          case Some(name) =>
+            BinaryManifest.decode(store.read(commitsDir.resolve(name)))
           case None => Seq.empty
         })
       Commit(r.seq, r.action, resolve(r.files, r.filesBin), r.schemaJson,
@@ -339,35 +356,35 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
       CommitRecord(c.seq, c.action, c.schemaJson, c.checkpoint, c.commitTimeMs,
         c.extra, files = Some(c.files), logFiles = Some(c.logFiles))
     else {
-      Files.createDirectories(commitsDir)
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val fb = f"${c.seq}%012d-$tag.files.bin"
-      BinaryManifest.write(commitsDir.resolve(fb), c.files)
+      store.put(commitsDir.resolve(fb), BinaryManifest.encode(c.files))
       val lb =
         if (c.logFiles.isEmpty) None
         else {
           val n = f"${c.seq}%012d-$tag.logfiles.bin"
-          BinaryManifest.write(commitsDir.resolve(n), c.logFiles)
+          store.put(commitsDir.resolve(n), BinaryManifest.encode(c.logFiles))
           Some(n)
         }
       CommitRecord(c.seq, c.action, c.schemaJson, c.checkpoint, c.commitTimeMs,
         c.extra, filesBin = Some(fb), logFilesBin = lb)
     }
 
-  /** Sidecar file names referenced by the on-disk record of `seq`. */
+  /** Sidecar file names referenced by the published record of `seq`. */
   private def sidecarsOf(seq: Long): Seq[String] = {
     val p = commitPath(seq)
-    if (!Files.exists(p)) Seq.empty
-    else try {
-      val r = JsonMethods.parse(Files.readString(p)).extract[CommitRecord]
+    try {
+      val r = JsonMethods.parse(new String(store.read(p),
+        StandardCharsets.UTF_8)).extract[CommitRecord]
       r.filesBin.toSeq ++ r.logFilesBin.toSeq
     } catch { case _: Exception => Seq.empty }
   }
 
   private def deleteRecordAndSidecars(seq: Long): Unit = {
     val side = sidecarsOf(seq)
-    Files.delete(commitPath(seq))
-    side.foreach(n => Files.deleteIfExists(commitsDir.resolve(n)))
+    store.delete(commitPath(seq))
+    side.foreach(n => store.delete(commitsDir.resolve(n)))
+    ()
   }
 
   def latest(): Option[Commit] = latestSeq().map(read)
@@ -381,7 +398,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     commitCache.get(seq) match {
       case Some((_, _, c)) => c.commitTimeMs
       case None =>
-        val text = Files.readString(commitPath(seq))
+        val text = new String(store.read(commitPath(seq)), StandardCharsets.UTF_8)
         Timeline.CommitTimeRe.findFirstMatchIn(text) match {
           case Some(m) => m.group(1).toLong
           case None => read(seq).commitTimeMs // malformed? fall back to full parse
@@ -408,7 +425,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
       // CAS lost: this attempt's binary sidecars are referenced by no
       // record — remove them before resolving the collision
       (rec.filesBin.toSeq ++ rec.logFilesBin.toSeq)
-        .foreach(n => Files.deleteIfExists(commitsDir.resolve(n)))
+        .foreach(n => store.delete(commitsDir.resolve(n)))
       val existing = read(c.seq)
       val same = existing.action == c.action &&
         existing.files.map(_.path).toSet == c.files.map(_.path).toSet &&
@@ -435,7 +452,8 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     cachePut(seq, stamp(commitPath(seq)), c)
     // sidecars the rewritten record no longer references are dead
     val keep = (rec.filesBin.toSeq ++ rec.logFilesBin.toSeq).toSet
-    old.filterNot(keep).foreach(n => Files.deleteIfExists(commitsDir.resolve(n)))
+    old.filterNot(keep).foreach(n => store.delete(commitsDir.resolve(n)))
+    ()
   }
 
   /** T3 archiving (reference handler.py:74,92-93: keep 10-15 commits on the
@@ -448,7 +466,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     require(keepLast >= 1, s"archive must retain at least one commit (got $keepLast)")
     val seqs = listCommitSeqs()
     if (seqs.size <= keepLast) return 0
-    Files.createDirectories(archiveDir)
+    store.prepare(archiveDir)
     val toArchive = seqs.dropRight(keepLast)
     val merged = toArchive.map(s => fullJson(read(s))).mkString("[", ",", "]")
     val archiveFile = archiveDir.resolve(
@@ -479,17 +497,15 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
 
   /** Commits preserved in the archive (oldest first). */
   def readArchived(): Seq[Commit] =
-    if (!Files.exists(archiveDir)) Seq.empty
-    else Using.resource(Files.list(archiveDir)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".archive.json"))
-        .toSeq.sortBy(_.getFileName.toString)
-    }.flatMap { p =>
-      // archived records are always full; legacy archives (whole-Commit
-      // JSON) parse identically through the record shape
-      JsonMethods.parse(Files.readString(p)).extract[Seq[CommitRecord]]
-        .map(materialize)
-    }
+    store.list(archiveDir)
+      .filter(_.endsWith(".archive.json")).sorted
+      .flatMap { n =>
+        // archived records are always full; legacy archives (whole-Commit
+        // JSON) parse identically through the record shape
+        JsonMethods.parse(new String(store.read(archiveDir.resolve(n)),
+          StandardCharsets.UTF_8)).extract[Seq[CommitRecord]]
+          .map(materialize)
+      }
 
   /** Savepoint (Hudi's disaster-recovery pin): persist a SELF-CONTAINED
     * full copy of the commit under `_graft/savepoints/`, and from then on
@@ -498,7 +514,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     * complete file list, no base chain). */
   def savepoint(seq: Long): Unit = {
     val c = read(seq)
-    Files.createDirectories(savepointsDir)
+    store.prepare(savepointsDir)
     val target = savepointsDir.resolve(f"$seq%012d.savepoint.json")
     // losing the CAS is fine: a savepoint is immutable, the existing one
     // is byte-equivalent
@@ -508,13 +524,11 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
 
   /** Savepointed commits, oldest first (each record self-contained). */
   def listSavepoints(): Seq[Commit] =
-    if (!Files.exists(savepointsDir)) Seq.empty
-    else Using.resource(Files.list(savepointsDir)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".savepoint.json"))
-        .toSeq.sortBy(_.getFileName.toString)
-    }.map(p => materialize(
-      JsonMethods.parse(Files.readString(p)).extract[CommitRecord]))
+    store.list(savepointsDir)
+      .filter(_.endsWith(".savepoint.json")).sorted
+      .map(n => materialize(JsonMethods.parse(
+        new String(store.read(savepointsDir.resolve(n)),
+          StandardCharsets.UTF_8)).extract[CommitRecord]))
 
   /** Read a savepointed snapshot (works even after the commit left the
     * active timeline and the archive). */
@@ -523,7 +537,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
       throw new IllegalArgumentException(s"no savepoint at seq $seq"))
 
   def deleteSavepoint(seq: Long): Boolean =
-    Files.deleteIfExists(savepointsDir.resolve(f"$seq%012d.savepoint.json"))
+    store.delete(savepointsDir.resolve(f"$seq%012d.savepoint.json"))
 
   /** Rollback: discard every commit after `toSeq` and delete the data
     * files only those commits reference (restore-to-savepoint; the
@@ -539,10 +553,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
         .flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet
     val dead = doomed.map(read)
       .flatMap(c => (c.files ++ c.logFiles).map(_.path)).toSet -- keepPaths
-    dead.foreach { rel =>
-      val p = Paths.get(tableRoot, rel)
-      if (Files.exists(p)) Files.delete(p)
-    }
+    dead.foreach(rel => store.delete(Paths.get(tableRoot, rel)))
     doomed.foreach(deleteRecordAndSidecars)
     commitCache.clear()
     doomed.size
@@ -563,10 +574,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     val expired = seqs.filterNot(retained).map(read) ++
       readArchived().filterNot(c => retained(c.seq))
     val dead: Set[String] = expired.flatMap(allPaths).toSet -- live
-    dead.foreach { rel =>
-      val p = Paths.get(tableRoot, rel)
-      if (Files.exists(p)) Files.delete(p)
-    }
+    dead.foreach(rel => store.delete(Paths.get(tableRoot, rel)))
     dead.size
   }
 }

@@ -123,6 +123,57 @@ class ObjectStoreSpec extends AnyFunSuite {
       tl.commit(Commit(1L, "upsert", Seq(df("data/x/p.parquet")), "{}", None, 7L)))
   }
 
+  test("the WHOLE timeline protocol runs in memory — zero filesystem dependency") {
+    // round-17: the read side routes through the seam too, so a purely
+    // in-memory store carries the complete metadata lifecycle — commits,
+    // delta chains, BINARY SIDECARS, boundary checkpoints, archive,
+    // savepoints, rollback — without creating one file. This is the
+    // strongest statement of S3-readiness the protocol can make: every
+    // byte it reads or writes provably crossed the GET/PUT/LIST/DELETE
+    // surface.
+    val base = s"/graft-inmem-${java.util.UUID.randomUUID()}"
+    val os = new InMemoryObjectStore
+    val tl = new Timeline(base, new ObjectStoreCommitStore(os, Paths.get(base)),
+      binarySidecarThreshold = 5) // force the sidecar path
+    (0L to 12L).foreach { s =>
+      // > 5 files at each full checkpoint → binary sidecars in the store
+      tl.commit(Commit(s, "upsert",
+        (0 to 6).map(i => df(s"data/c$s/p$i.parquet")), "{}", None, 1000 + s))
+    }
+    assert(os.list("_graft/commits/").exists(_.endsWith(".files.bin")),
+      "full checkpoints must publish binary sidecars through the store")
+    tl.savepoint(4L)
+    assert(tl.archive(keepLast = 6) == 7)
+    assert(tl.latest().get.seq == 12L)
+    assert(tl.read(12L).files.size == 7)
+    assert(tl.readIncludingArchived(2L).files.head.path == "data/c2/p0.parquet")
+    assert(tl.readSavepoint(4L).files.size == 7)
+    assert(tl.commitTimeMs(9L) == 1009L)
+    assert(tl.rollback(toSeq = 10L) == 2)
+    assert(tl.latest().get.seq == 10L)
+    // identical-replay absorption and the typed conflict, in memory
+    assertThrows[ConcurrentCommitException](
+      tl.commit(Commit(10L, "upsert", Seq(df("data/x/p.parquet")), "{}", None, 9L)))
+    assert(!Files.exists(Paths.get(base)),
+      "the in-memory protocol must never touch the filesystem")
+  }
+
+  test("LIST lag at the timeline level: a by-listing reader serves the previous snapshot") {
+    val base = s"/graft-inmem-${java.util.UUID.randomUUID()}"
+    val f = new FaultInjectingObjectStore(new InMemoryObjectStore)
+    val tl = new Timeline(base, new ObjectStoreCommitStore(f, Paths.get(base)))
+    tl.commit(Commit(0L, "bulk_insert", Seq(df("data/c0/p.parquet")), "{}", None, 1000L))
+    f.lagListings(2)
+    tl.commit(Commit(1L, "upsert", Seq(df("data/c1/p.parquet")), "{}", None, 1001L))
+    // the lagged listing hides commit 1: the reader sees the PREVIOUS
+    // consistent snapshot (stale, never torn) — and BY-KEY reads still
+    // serve the new commit, so the writer itself is unaffected
+    assert(tl.latestSeq() == Some(0L))
+    assert(tl.read(1L).files.head.path == "data/c1/p.parquet")
+    assert(tl.latestSeq() == Some(0L), "still lagged")
+    assert(tl.latestSeq() == Some(1L), "listing settles")
+  }
+
   test("OCC race over the object store: lock-free writers all land, latest-wins holds") {
     val (os, root) = store()
     val cs = new ObjectStoreCommitStore(os, Paths.get(root))
