@@ -33,6 +33,7 @@ final class PinSet(stageRoot: => String) {
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption(PinSet.ReliableKey).contains("true")) {
+      if (stages.isEmpty) PinSet.sweepStale(stageRoot)
       val dir = java.nio.file.Paths.get(stageRoot,
         s"pin-${java.util.UUID.randomUUID().toString.take(12)}")
       df.write.parquet(dir.toString)
@@ -71,4 +72,30 @@ object PinSet {
   /** Session conf: `true` switches every [[PinSet]] pin from
     * localCheckpoint to a recoverable parquet stage round-trip. */
   val ReliableKey = "graft.ivm.reliablePins"
+
+  /** A hard-killed wave never reaches `release()`, so its stage dirs
+    * would accumulate forever; each new reliable wave first sweeps
+    * pin dirs older than this (a pin lives for ONE wave — hours-old
+    * means a dead owner). */
+  private val StaleMs = 6L * 3600 * 1000
+
+  private def sweepStale(stageRoot: String): Unit = {
+    val base = java.nio.file.Paths.get(stageRoot)
+    if (!java.nio.file.Files.isDirectory(base)) return
+    import scala.jdk.CollectionConverters._
+    val cutoff = System.currentTimeMillis() - StaleMs
+    scala.util.Using.resource(java.nio.file.Files.list(base)) { s =>
+      s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("pin-"))
+        .filter(d => scala.util.Try(java.nio.file.Files
+          .getLastModifiedTime(d).toMillis < cutoff).getOrElse(false))
+        .foreach { d =>
+          scala.util.Using.resource(java.nio.file.Files.walk(d)) { w =>
+            w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(p =>
+                scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
+          }
+        }
+    }
+  }
 }
