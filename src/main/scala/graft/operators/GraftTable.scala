@@ -2246,8 +2246,15 @@ class GraftTable(
   /** The shared tail of every point lookup: interval/bloom-prune commit
     * `c`'s files against the probed keys, scan the survivors, apply the
     * exact residual `IN`. */
+  /** (admitted, total) file counts of this table's most recent point
+    * read — plan-shape observability (the [[IncrementalJoin.lastFanScan]]
+    * pattern): lets a spec assert an IVM partner lookup actually pruned
+    * instead of scanning the state. Per-instance, test-facing. */
+  @volatile private[graft] var lastPointRead: Option[(Int, Int)] = None
+
   private def pointPrunedRead(c: Commit, keys: Seq[String]): DataFrame = {
     val keep = pointKeepSet(c, keys)
+    lastPointRead = Some((keep.size, c.files.size))
     prunedRead(c, f => keep(f.path))
       .filter(col(Meta.RecordKey).isin(keys: _*))
   }

@@ -304,6 +304,50 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(vals == Seq("dim50x"))
   }
 
+  test("span-census partner update point-reads the census, never scans it") {
+    // the 100-TB claim behind IncrementalSpanCensus's partner arithmetic:
+    // an UNCHANGED partner's stored census row comes through the key
+    // index (interval-pruned point read), so a one-crossing wave touches
+    // O(1) census files — not the state
+    import graft.operators.GraftTable
+    import graft.llm.{IncrementalSpanCensus => ISC}
+    import org.apache.spark.sql.functions.{col, lit}
+    val sess = spark
+    import sess.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-pspan")
+    val src = new GraftTable(spark, s"$base/src", Seq("id"),
+      targetFileBytes = 8 * 1024)
+    // 1200 docs, each one unique 3-gram; census spread over many tiny files
+    src.bulkInsert((0L until 1200L).map(i => (i, s"w$i x$i y$i"))
+      .toDF("id", "text")
+      .withColumn(graft.model.Meta.Ordering, lit(f"${1}%020d"))
+      .withColumn(graft.model.Meta.Deleted, lit(false)))
+    val st = ISC.State(
+      new GraftTable(spark, s"$base/state/df", Seq("sh"),
+        targetFileBytes = 4 * 1024),
+      new GraftTable(spark, s"$base/state/post", Seq("sh", "id"),
+        targetFileBytes = 4 * 1024),
+      new GraftTable(spark, s"$base/state/out", Seq("id"),
+        targetFileBytes = 4 * 1024))
+    ISC.bootstrap(src, st, "id", "text", 3, 0L)
+    val total0 = st.out.latestCommit().get.files.size
+    assert(total0 >= 6, s"fixture must spread the census over many files (got $total0)")
+    // ONE crossing: a new doc duplicates doc 7's shingle — the partner's
+    // stored row must point-read, admitting < half the census files
+    st.out.lastPointRead = None
+    src.upsert(Seq((9000L, "w7 x7 y7")).toDF("id", "text")
+      .withColumn(graft.model.Meta.Ordering, lit(f"${2}%020d"))
+      .withColumn(graft.model.Meta.Deleted, lit(false)))
+    ISC.maintain(src, st, "id", "text", 3, 0L, 1L)
+    val (admitted, total) = st.out.lastPointRead.getOrElse(
+      fail("the partner update must run through the point-read path"))
+    assert(admitted * 2 < total,
+      s"one-crossing wave must point-read the census ($admitted/$total files)")
+    // and the arithmetic is exact: the unchanged partner now censuses dup
+    assert(ISC.output(st).filter(col("id") === 7L)
+      .select(col("n_dup")).as[Long].head() == 1L)
+  }
+
   test("LM scoring joins stay equi; the corpus is never nested-looped") {
     val p = plan("text_lm_score")
     // doc-bigrams x model joins must be EQUI joins (hash or sort-merge —
