@@ -100,6 +100,39 @@ object IncrementalDedup {
     * set falls back to a snapshot semi join. */
   val FetchKeyCap = 10000
 
+  /** A wave's component graph at most this many edges runs a DRIVER
+    * union-find instead of the log-rounds distributed CC (≈20 iteration
+    * jobs to label a graph that fits in a few MB); above it, the
+    * distributed loop. Overridable per session via
+    * [[DriverCcEdgeCapKey]] (tests force the fallback with 0). */
+  val DriverCcEdgeCap = 200000
+  val DriverCcEdgeCapKey = "graft.ivm.driverCcEdgeCap"
+
+  /** Min-label connected components on the driver — the exact
+    * [[Dedup.connectedComponents]] contract (every vertex of `pairs`
+    * appears; label = the component's minimum member id; a vertex with
+    * only self-loops labels itself). */
+  private[graft] def driverComponents(pairs: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    // roots unioned toward the smaller id, so find() IS the min label
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
   private val StateCols = Seq("id", "thash", "sig", "n_sh", "comp")
 
   /** The batch signature contract: 64 permutations always (the stored
@@ -431,8 +464,30 @@ object IncrementalDedup {
         .select(col("comp").as("ia"), col("id").as("ib"))
       val edges = glue.unionByName(verifiedP).unionByName(survStar)
         .unionByName(survPairs).unionByName(starOld)
-      val cc = Dedup.connectedComponents(edges, "ia", "ib")
-        .withColumnRenamed("comp", "_c")
+      // components over the affected neighborhood — which is SMALL by
+      // design (the whole point of the delta algebra), so the log-rounds
+      // distributed CC pays ~20 iteration jobs to label a graph that
+      // fits on the driver. Same capped-collect discipline as the key
+      // fetches: under the cap, one collect + union-find (min-label,
+      // identical contract); above it, the distributed loop. The wave
+      // bench's verify_cc stage was ~6 s of pure iteration overhead.
+      val spark0 = edges.sparkSession
+      val ccCap = spark0.conf.getOption(DriverCcEdgeCapKey)
+        .map(_.toInt).getOrElse(DriverCcEdgeCap)
+      val collected = edges.limit(ccCap + 1).collect()
+      val cc =
+        if (collected.length <= ccCap) {
+          import scala.jdk.CollectionConverters._
+          spark0.createDataFrame(
+            driverComponents(collected.map(r => (r.getLong(0), r.getLong(1))))
+              .toSeq.map { case (id, c) => org.apache.spark.sql.Row(id, c) }.asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("id",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("_c",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+        } else Dedup.connectedComponents(edges, "ia", "ib")
+          .withColumnRenamed("comp", "_c")
       graft.util.StageTimer.mark("verify_cc")
       // ---- delta-proportional merge: new rows, moved labels, deletes
       val newRows = newSigs.join(cc, Seq("id"), "left")

@@ -241,6 +241,38 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative"))
   }
 
+  test("driver union-find and distributed CC label waves identically") {
+    // the capped driver CC (default) vs the distributed loop (forced by
+    // a zero cap) must produce byte-identical state over a wave that
+    // exercises merges, splits and rewires
+    def drive(forceDistributed: Boolean): Seq[(Long, Long)] = {
+      if (forceDistributed)
+        spark.conf.set(IncrementalDedup.DriverCcEdgeCapKey, "0")
+      try {
+        val src = new GraftTable(spark, tmp(), Seq("id"),
+          targetFileBytes = 16 * 1024)
+        src.bulkInsert(meta(docs(
+          1L -> sent(1, 12), 2L -> sent(3, 14), 5L -> sent(100, 112),
+          6L -> sent(102, 114)), 1, del = false))
+        val state = IncrementalDedup.create(spark, src, tmp(), "id", "text", P)
+        // wave: bridge 3 joins cluster {1,2}; member 5 rewrites away
+        // (split); 7 glues identically to 6
+        src.upsert(meta(docs(3L -> sent(2, 13), 7L -> sent(102, 114)), 2,
+          del = false))
+        src.upsert(meta(docs(5L -> "uniq5"), 3, del = false))
+        IncrementalDedup.refresh(spark, state)
+        state.readUser().select(col("id"), col("comp"))
+          .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      } finally spark.conf.unset(IncrementalDedup.DriverCcEdgeCapKey)
+    }
+    assert(drive(forceDistributed = false) == drive(forceDistributed = true),
+      "CC engine choice must be invisible to the maintained labels")
+    // the union-find itself: min labels, self-loop singletons, chains
+    val uf = IncrementalDedup.driverComponents(
+      Array((9L, 4L), (4L, 2L), (11L, 11L), (7L, 8L)))
+    assert(uf == Map(9L -> 2L, 4L -> 2L, 2L -> 2L, 11L -> 11L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("reliable pins produce the identical cluster state (cluster-run pin mode)") {
     def drive(reliable: Boolean): Seq[(Long, String, Seq[Long], Long, Long)] = {
       if (reliable) spark.conf.set(graft.util.PinSet.ReliableKey, "true")
