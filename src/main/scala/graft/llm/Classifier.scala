@@ -64,23 +64,9 @@ object Classifier {
   def perceptronScores(docs: DataFrame, idCol: String, textCol: String,
       posLabel: Column, dims: Int = 512, rounds: Int = 4,
       binary: Boolean = true): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val feats = hashedFeatures(docs, idCol, textCol, dims, binary)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = docs.select(col(idCol).as("doc_id"),
       when(posLabel, 1).otherwise(-1).as("y"))
-    val w = Array.fill(dims + 1)(0L)
-    def scored: DataFrame = scorePlan(feats, w.toSeq)
-    for (_ <- 1 to rounds) {
-      val mis = scored.join(labels, "doc_id")
-        .filter(when(col("score") > 0, 1).otherwise(-1) =!= col("y"))
-        .select("doc_id", "y")
-      feats.join(mis, "doc_id")
-        .groupBy("f").agg(sum(col("cnt") * col("y")).as("d"))
-        .collect()
-        .foreach(r => w(r.getInt(0)) += r.getLong(1))
-    }
+    val w = perceptronWeights(docs, idCol, textCol, posLabel, dims, rounds, binary)
     // The returned plan scores through a FRESH (uncached) feature
     // subtree, deliberately: the persisted table above exists to
     // amortize the 2·rounds scans of the training loop and is released
@@ -92,11 +78,38 @@ object Classifier {
     // blocks. Lazy + recompute keeps the result a plain Catalyst plan
     // (prunable, pushdown-friendly); callers that will act repeatedly
     // can cache it themselves.
-    feats.unpersist(blocking = false)
     scorePlan(hashedFeatures(docs, idCol, textCol, dims, binary), w.toSeq)
       .join(labels, "doc_id")
       .select(col("doc_id"), col("y"), col("score"),
         when(col("score") > 0, 1).otherwise(-1).as("pred"))
+  }
+
+  /** The training loop alone: `rounds` full-batch perceptron rounds,
+    * returning the dims+1 weight vector (bias last). Factored out so a
+    * TRAINED MODEL can outlive the call — [[IncrementalClassifier]]
+    * freezes these weights in its state's timeline and scores later
+    * document waves without retraining. Deterministic (integer sums). */
+  def perceptronWeights(docs: DataFrame, idCol: String, textCol: String,
+      posLabel: Column, dims: Int = 512, rounds: Int = 4,
+      binary: Boolean = true): Array[Long] = {
+    val feats = hashedFeatures(docs, idCol, textCol, dims, binary)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = docs.select(col(idCol).as("doc_id"),
+      when(posLabel, 1).otherwise(-1).as("y"))
+    val w = Array.fill(dims + 1)(0L)
+    for (_ <- 1 to rounds) {
+      val mis = scorePlan(feats, w.toSeq).join(labels, "doc_id")
+        .filter(when(col("score") > 0, 1).otherwise(-1) =!= col("y"))
+        .select("doc_id", "y")
+      feats.join(mis, "doc_id")
+        .groupBy("f").agg(sum(col("cnt") * col("y")).as("d"))
+        .collect()
+        .foreach(r => w(r.getInt(0)) += r.getLong(1))
+    }
+    // the cache amortized the 2·rounds training scans; release it — the
+    // caller's scoring pass re-derives features as a plain Catalyst plan
+    feats.unpersist(blocking = false)
+    w
   }
 
   /** The one scoring plan every perceptron pass runs — training rounds

@@ -371,24 +371,33 @@ object IncrementalDedup {
       // consulted there. The store-wide banding scan remains (the one
       // corpus-proportional — but text-free — pass; see the object doc),
       // but its shuffle/join volume collapses from O(store × bands) to
-      // the touched neighborhoods — wave-proportional. Round-17: the
-      // bench stage split showed this census at ~half the wave
-      // (candidates 11.5 s of 23.4); untouched buckets were priced and
-      // joined for nothing.
-      val newBuckets = pin(Dedup.minhashBandBuckets(
-          pairReps.select(col("id").as("rid"), col("sig")), p.bands, p.rows)
-        .select(col("bk1"), col("bk2")).distinct())
-      val bCnt = Dedup.minhashBandBuckets(
-          allReps.groupBy(col("sig")).agg(min(col("id")).as("rid")),
-          p.bands, p.rows)
+      // the touched neighborhoods — wave-proportional.
+      //
+      // ONE banding pass (round-18 verdict #3): banding is per-row, so
+      // the wave's three banded frames — new reps' buckets, distinct-
+      // signature densities, cap-admitted rows — are all RESTRICTIONS of
+      // allReps' banding. Band once into a single pinned leaf and derive
+      // the three by semi-join, instead of re-running the posexplode
+      // banding three times inside the sized pin's job (the round-17
+      // stage split priced that re-derivation at ~half the candidates
+      // stage). The lazy derivations fuse into sized's materialization
+      // off the pinned leaf — no extra jobs, constant plan depth.
+      val bandedAll = pin(Dedup.minhashBandBuckets(
+        allReps.select(col("id").as("rid"), col("sig")), p.bands, p.rows))
+      val pairRepIds = pairReps.select(col("id").as("rid"))
+      val newBuckets = bandedAll.join(pairRepIds, Seq("rid"), "left_semi")
+        .select(col("bk1"), col("bk2")).distinct()
+      // one rep row per DISTINCT signature — its banding is that row's
+      // slice of bandedAll (min-id rep is an allReps row by construction)
+      val sigReps = allReps.groupBy(col("sig")).agg(min(col("id")).as("rid"))
+        .select(col("rid"))
+      val bCnt = bandedAll.join(sigReps, Seq("rid"), "left_semi")
         .join(newBuckets, Seq("bk1", "bk2"), "left_semi")
         .groupBy(col("bk1"), col("bk2")).agg(count(lit(1)).as("_nb"))
-      val admitted = Dedup.minhashBandBuckets(
-          allReps.select(col("id").as("rid"), col("sig")), p.bands, p.rows)
+      val admitted = bandedAll
         .join(newBuckets, Seq("bk1", "bk2"), "left_semi")
         .join(bCnt.filter(col("_nb") <= p.maxBandFreq), Seq("bk1", "bk2"))
-      val bandedNew = admitted
-        .join(pairReps.select(col("id").as("rid")), Seq("rid"))
+      val bandedNew = admitted.join(pairRepIds, Seq("rid"))
       val candBand = bandedNew.as("x").join(admitted.as("y"),
           col("x.bk1") === col("y.bk1") && col("x.bk2") === col("y.bk2") &&
             col("x.rid") =!= col("y.rid"))
@@ -462,8 +471,13 @@ object IncrementalDedup {
       val addMembers = pin(live.join(addComps, Seq("comp"), "left_semi"))
       val starOld = addMembers.filter(col("id") =!= col("comp"))
         .select(col("comp").as("ia"), col("id").as("ib"))
-      val edges = glue.unionByName(verifiedP).unionByName(survStar)
-        .unionByName(survPairs).unionByName(starOld)
+      // pinned BEFORE the cap probe: limit(cap+1).collect() evaluates the
+      // whole edge plan, and an over-cap wave would otherwise recompute
+      // the edge-building joins (notably survPairs' minhash-LSH pass)
+      // inside the distributed fallback — exactly on the heavy waves the
+      // cap exists to protect
+      val edges = pin(glue.unionByName(verifiedP).unionByName(survStar)
+        .unionByName(survPairs).unionByName(starOld))
       // components over the affected neighborhood — which is SMALL by
       // design (the whole point of the delta algebra), so the log-rounds
       // distributed CC pays ~20 iteration jobs to label a graph that

@@ -37,6 +37,45 @@ trait ObjectStore {
   /** Version stamp for change detection — (version-or-mtime, length),
     * the etag analog. None when the key is absent. */
   def stat(key: String): Option[(Long, Long)]
+
+  /** Wall-clock write time of the object in epoch millis (S3
+    * `LastModified`) — the LIVENESS clock, distinct from [[stat]]'s
+    * change-detection stamp (which may be a version counter). Used by
+    * the engine's age-based reasoning: orphan-stage GC grace, abandoned
+    * streaming-spool cutoffs. None when the key is absent. */
+  def modifiedMillis(key: String): Option[Long] = stat(key).map(_._1)
+
+  /** Upload a LOCAL file as the object at `key` (S3 PutObject from
+    * file). Default reads the bytes through [[put]]; filesystem-backed
+    * stores override with zero-copy (hard link) when possible. */
+  def putFile(key: String, src: Path): Unit =
+    put(key, Files.readAllBytes(src))
+
+  /** Same-store object copy (S3 CopyObject — server-side, no byte
+    * round-trip on a real store). Filesystem-backed stores override
+    * with a hard link so immutable-data copies stay zero-byte. */
+  def copy(srcKey: String, dstKey: String): Unit =
+    put(dstKey, get(srcKey).getOrElse(
+      throw new java.nio.file.NoSuchFileException(srcKey)))
+
+  /** Delete every object under `prefix` (the recursive-delete idiom:
+    * LIST + per-key DELETE — exactly what it costs on S3). */
+  def deletePrefix(prefix: String): Unit =
+    list(prefix).foreach(delete)
+}
+
+object ObjectStore {
+  /** Cross-store object transfer: hard-link fast path when both sides
+    * are directory-backed on the same filesystem (the zero-copy clone
+    * contract), byte copy otherwise. */
+  def transfer(src: ObjectStore, srcKey: String,
+      dst: ObjectStore, dstKey: String): Unit = (src, dst) match {
+    case (s: DirObjectStore, d: DirObjectStore) =>
+      d.linkOrCopyFrom(s.root.resolve(srcKey), dstKey)
+    case _ =>
+      dst.put(dstKey, src.get(srcKey).getOrElse(
+        throw new java.nio.file.NoSuchFileException(srcKey)))
+  }
 }
 
 /** Directory-backed [[ObjectStore]] emulation with S3's semantics on a
@@ -129,6 +168,50 @@ class DirObjectStore(val root: Path) extends ObjectStore {
       Some((Files.getLastModifiedTime(p).toMillis, Files.size(p)))
     else None
   }
+
+  /** Zero-copy upload: hard-link the source file to the key path (the
+    * data is immutable by the engine's contract), byte-copy fallback on
+    * filesystems without links. Idempotent when the object exists. */
+  override def putFile(key: String, src: Path): Unit =
+    linkOrCopyFrom(src, key)
+
+  /** Also sweeps the directories the deleted keys emptied — a real
+    * object store has no directories, but the local emulation must not
+    * leave husks a directory-level consumer (or a human) would read as
+    * a still-present stage. */
+  override def deletePrefix(prefix: String): Unit = {
+    super.deletePrefix(prefix)
+    val dir = pathOf(prefix.stripSuffix("/"))
+    if (Files.isDirectory(dir))
+      scala.util.Using.resource(Files.walk(dir)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala
+          .foreach(p => scala.util.Try(Files.deleteIfExists(p)))
+      }
+  }
+
+  override def copy(srcKey: String, dstKey: String): Unit =
+    linkOrCopyFrom(pathOf(srcKey), dstKey)
+
+  private[model] def linkOrCopyFrom(src: Path, dstKey: String): Unit = {
+    val dst = pathOf(dstKey)
+    Files.createDirectories(dst.getParent)
+    try { Files.createLink(dst, src); () }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // absorb an identical prior publish (idempotent re-clone); a
+        // SIZE-mismatched survivor is a torn copy — replace atomically
+        if (Files.size(dst) != Files.size(src)) {
+          val tmp = dst.resolveSibling(s".${dst.getFileName}.${UUID.randomUUID()}.tmp")
+          Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+          Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+        }
+      case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+        val tmp = dst.resolveSibling(s".${dst.getFileName}.${UUID.randomUUID()}.tmp")
+        Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 }
 
 object DirObjectStore {
@@ -147,17 +230,21 @@ object DirObjectStore {
   * construction; version stamps are a monotonic per-store counter. */
 class InMemoryObjectStore extends ObjectStore {
   private val objects =
-    scala.collection.mutable.Map.empty[String, (Array[Byte], Long)]
+    scala.collection.mutable.Map.empty[String, (Array[Byte], Long, Long)]
   private var versions = 0L
 
   def put(key: String, bytes: Array[Byte]): Unit = synchronized {
     versions += 1
-    objects(key) = (bytes.clone(), versions)
+    objects(key) = (bytes.clone(), versions, System.currentTimeMillis())
   }
 
   def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = synchronized {
     if (objects.contains(key)) false
-    else { versions += 1; objects(key) = (bytes.clone(), versions); true }
+    else {
+      versions += 1
+      objects(key) = (bytes.clone(), versions, System.currentTimeMillis())
+      true
+    }
   }
 
   def get(key: String): Option[Array[Byte]] =
@@ -172,7 +259,86 @@ class InMemoryObjectStore extends ObjectStore {
   }
 
   def stat(key: String): Option[(Long, Long)] =
-    synchronized(objects.get(key).map { case (b, v) => (v, b.length.toLong) })
+    synchronized(objects.get(key).map { case (b, v, _) => (v, b.length.toLong) })
+
+  /** Liveness clock = the wall-clock write time, NOT the version counter
+    * [[stat]] serves for change detection. */
+  override def modifiedMillis(key: String): Option[Long] =
+    synchronized(objects.get(key).map(_._3))
+}
+
+/** Per-operation request-census wrapper (round-18 verdict #2): on a real
+  * object store the commit protocol's cost is REQUEST COUNT, not bytes —
+  * a request-amplification regression (an O(commits) LIST sneaking into a
+  * hot path) is invisible without counting. Wrap any store, run an engine
+  * operation, read the deltas. Thread-safe; [[reset]] zeroes between
+  * measured operations. */
+class CountingObjectStore(inner: ObjectStore) extends ObjectStore {
+  val puts = new java.util.concurrent.atomic.AtomicLong
+  val casPuts = new java.util.concurrent.atomic.AtomicLong
+  val gets = new java.util.concurrent.atomic.AtomicLong
+  val lists = new java.util.concurrent.atomic.AtomicLong
+  val deletes = new java.util.concurrent.atomic.AtomicLong
+  val heads = new java.util.concurrent.atomic.AtomicLong
+
+  def reset(): Unit =
+    Seq(puts, casPuts, gets, lists, deletes, heads).foreach(_.set(0L))
+
+  /** (PUT incl. CAS, GET, LIST, DELETE, HEAD) since the last reset. */
+  def census: Map[String, Long] = Map(
+    "put" -> (puts.get + casPuts.get), "get" -> gets.get,
+    "list" -> lists.get, "delete" -> deletes.get, "head" -> heads.get)
+
+  def total: Long = census.values.sum
+
+  def put(key: String, bytes: Array[Byte]): Unit = {
+    puts.incrementAndGet(); inner.put(key, bytes)
+  }
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    casPuts.incrementAndGet(); inner.putIfNoneMatch(key, bytes)
+  }
+  def get(key: String): Option[Array[Byte]] = {
+    gets.incrementAndGet(); inner.get(key)
+  }
+  def list(prefix: String): Seq[String] = {
+    lists.incrementAndGet(); inner.list(prefix)
+  }
+  def delete(key: String): Unit = {
+    deletes.incrementAndGet(); inner.delete(key)
+  }
+  def stat(key: String): Option[(Long, Long)] = {
+    heads.incrementAndGet(); inner.stat(key)
+  }
+  override def modifiedMillis(key: String): Option[Long] = {
+    heads.incrementAndGet(); inner.modifiedMillis(key)
+  }
+  override def putFile(key: String, src: Path): Unit = {
+    puts.incrementAndGet(); inner.putFile(key, src)
+  }
+  override def copy(srcKey: String, dstKey: String): Unit = {
+    puts.incrementAndGet(); inner.copy(srcKey, dstKey)
+  }
+}
+
+/** View of `inner` under a key prefix — how a TABLE's store (keys
+  * relative to the table root) is carved out of a SPACE's store (keys
+  * relative to the space root, the bucket analog). */
+class PrefixedObjectStore(inner: ObjectStore, prefix: String) extends ObjectStore {
+  private val pre = if (prefix.isEmpty || prefix.endsWith("/")) prefix else prefix + "/"
+  private def k(key: String): String = pre + key
+  def put(key: String, bytes: Array[Byte]): Unit = inner.put(k(key), bytes)
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean =
+    inner.putIfNoneMatch(k(key), bytes)
+  def get(key: String): Option[Array[Byte]] = inner.get(k(key))
+  def list(prefix: String): Seq[String] =
+    inner.list(k(prefix)).map(_.stripPrefix(pre))
+  def delete(key: String): Unit = inner.delete(k(key))
+  def stat(key: String): Option[(Long, Long)] = inner.stat(k(key))
+  override def modifiedMillis(key: String): Option[Long] =
+    inner.modifiedMillis(k(key))
+  override def putFile(key: String, src: Path): Unit = inner.putFile(k(key), src)
+  override def copy(srcKey: String, dstKey: String): Unit =
+    inner.copy(k(srcKey), k(dstKey))
 }
 
 /** Fault-injection wrapper for contract tests: the failure modes an

@@ -263,7 +263,51 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
       .map(_.stripSuffix(".commit.json").toLong)
       .sorted
 
-  def latestSeq(): Option[Long] = listCommitSeqs().lastOption
+  // ------------------------------------------------ head-pointer protocol
+  //
+  // On an object store the hot-path cost is REQUEST COUNT, and commit
+  // DISCOVERY is the hottest metadata read (latest() runs on every
+  // operation; every dependent view's watermark check runs it again).
+  // Listing the commits dir is O(active commits) response entries per
+  // call AND the one S3 operation allowed to lag a just-finished PUT —
+  // so the CAS winner maintains a tiny head-pointer object instead:
+  //
+  //  - commit(): after winning the record CAS, plain-PUT `_head` = seq.
+  //  - latestSeq(): GET `_head`, verify the record exists (one HEAD),
+  //    then probe FORWARD key-by-key — a winner that crashed between
+  //    CAS and head-PUT leaves the pointer lagging by the crash window,
+  //    and the probe heals it (O(1 + lag) requests, zero LISTs).
+  //  - rollback()/recovery: LIST remains the ground truth whenever the
+  //    pointer is missing or names a deleted record; the result is
+  //    written back so the next call is O(1) again.
+  //
+  // The pointer is a pure CACHE of list-derived truth — every reader
+  // verifies against by-key reads (strong on S3), so a stale, lagging,
+  // or lost pointer can cause extra requests, never a wrong answer.
+
+  private val headPath: Path = commitsDir.resolve("_head")
+
+  private def headSeq(): Option[Long] =
+    try Some(new String(store.read(headPath), StandardCharsets.UTF_8).trim.toLong)
+    catch { case _: Exception => None }
+
+  private def writeHead(seq: Long): Unit =
+    try store.put(headPath, seq.toString.getBytes(StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () } // cache, best-effort
+
+  def latestSeq(): Option[Long] = headSeq() match {
+    case Some(h) if store.exists(commitPath(h)) =>
+      var cur = h
+      while (store.exists(commitPath(cur + 1))) cur += 1
+      if (cur != h) writeHead(cur) // heal a lagging pointer
+      Some(cur)
+    case _ =>
+      // discovery/recovery path: pointer absent (pre-head timeline,
+      // fresh table) or stale-high (rollback) — LIST once, re-seed
+      val fromList = listCommitSeqs().lastOption
+      fromList.foreach(writeHead)
+      fromList
+  }
 
   private def stamp(p: Path): (Long, Long) = store.stamp(p)
 
@@ -420,7 +464,9 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     val rec = toRecord(c)
     val bytes = Serialization.write(rec).getBytes(StandardCharsets.UTF_8)
     if (store.putIfAbsent(target, bytes)) {
-      cachePut(c.seq, stamp(target), c); c
+      cachePut(c.seq, stamp(target), c)
+      writeHead(c.seq) // the CAS winner advances the head pointer
+      c
     } else {
       // CAS lost: this attempt's binary sidecars are referenced by no
       // record — remove them before resolving the collision
@@ -556,6 +602,7 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
     dead.foreach(rel => store.delete(Paths.get(tableRoot, rel)))
     doomed.foreach(deleteRecordAndSidecars)
     commitCache.clear()
+    writeHead(toSeq) // the pointer must regress with the timeline
     doomed.size
   }
 

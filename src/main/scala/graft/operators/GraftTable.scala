@@ -87,7 +87,12 @@ case class TableConfig(
       * views) keep that layout through small-file folds instead of
       * silently reverting to key order. Default keeps old descriptors
       * readable. */
-    clusterSortColumns: Seq[String] = Seq.empty)
+    clusterSortColumns: Seq[String] = Seq.empty,
+    /** With [[viewMaintain]]: `true` = the commit only MARKS pending
+      * view work durably and returns; a drainer refreshes (`CALL
+      * drain_views` / [[GraftTable.drainViews]]). Default (inline)
+      * keeps old descriptors readable. */
+    viewMaintainAsync: Boolean = false)
 
 class GraftTable(
     spark: SparkSession,
@@ -164,13 +169,42 @@ class GraftTable(
       * it, the first inline cluster would quietly rewrite the folded
       * files key-sorted and widen the fan-out read's fk stats boxes.
       * Persisted in `table.json`. */
-    val clusterSortColumns: Seq[String] = Seq.empty) {
+    val clusterSortColumns: Seq[String] = Seq.empty,
+    /** The table's OBJECT STORE (round-18, the completed ST4c seam):
+      * every non-Spark byte under the root — lock lease, descriptor,
+      * views registry, RLI sidecars, stage GC, fsck probes, commit
+      * records — speaks PUT/GET/LIST/DELETE/CAS against this store,
+      * keyed relative to the root. null (default) resolves by root
+      * through [[graft.model.GraftStores]]: a [[graft.model
+      * .DirObjectStore]] for plain local paths (byte-identical layout
+      * to previous rounds), the mounted space store for `graftmem:/`
+      * roots — the stand-in for the reference's S3 deployment
+      * (templates/aws-dms-to-hudi.yaml:264-269). An ENVIRONMENT
+      * property like [[commitStore]]; never persisted. */
+    val store: graft.model.ObjectStore = null,
+    /** ASYNC view maintenance (with [[viewMaintain]]): the ingest commit
+      * durably MARKS pending view work (one tiny PUT) and returns —
+      * ingest latency decouples from the dependent-view closure, the
+      * reference's own freshness posture (a 2-hour re-launch schedule,
+      * templates/aws-dms-to-hudi.yaml:914-927, not commit-coupled).
+      * A drainer ([[drainViews]] / `CALL drain_views`) catches the
+      * closure up; a crash between mark and drain leaves the durable
+      * mark, so the next drain heals. Default = inline (refresh rides
+      * the commit), the stronger freshness. */
+    val viewMaintainAsync: Boolean = false) {
 
   require(bucketCount == 0 || (partitionFields.isEmpty && globalIndex),
     "bucketCount requires a global index and no partition columns " +
       "(COW and MOR both supported; delta logs bucket like base files)")
 
-  private val timeline = new Timeline(root, commitStore)
+  /** Metadata I/O seam — see [[store]]. */
+  private[graft] val meta: graft.model.ObjectStore =
+    Option(store).getOrElse(graft.model.GraftStores.forRoot(root))
+
+  private val timeline = new Timeline(root,
+    if (store != null || graft.model.GraftStores.isMounted(root))
+      new graft.model.ObjectStoreCommitStore(meta, Paths.get(root))
+    else commitStore)
   // unique per WRITE ATTEMPT, not just per seq: two optimistic writers
   // racing for the same seq must never share a stage dir — the loser's
   // overwrite would clobber the winner's committed data files
@@ -315,7 +349,7 @@ class GraftTable(
     */
   private def writeFiles(df: DataFrame, seq: Long, estBytes: Long,
       layoutSort: Seq[Column] = Seq.empty): Seq[DataFile] = {
-    val stage = Paths.get(root, dataDir(seq)).toString
+    val stage = s"$root/${dataDir(seq)}"
     // BUCKET index layout: derive the bucket from the record key at write
     // time and emit it as a hive partition dir — partitionBy strips the
     // column from the data files, so it exists ONLY in paths + manifest
@@ -574,8 +608,9 @@ class GraftTable(
         s"bootstrap requires an empty table (commits exist at $root)")
       val src = Paths.get(sourceDir)
       require(Files.isDirectory(src), s"no such bootstrap source: $sourceDir")
-      val stage = Paths.get(root, "data",
-        s"c0-boot-${java.util.UUID.randomUUID().toString.take(8)}")
+      val stageRel =
+        s"data/c0-boot-${java.util.UUID.randomUUID().toString.take(8)}"
+      val stage = s"$root/$stageRel"
       val sources = Using.resource(Files.walk(src)) { s =>
         s.iterator().asScala.filter { p =>
           val n = p.getFileName.toString
@@ -585,26 +620,23 @@ class GraftTable(
       }
       require(sources.nonEmpty, s"no parquet files under $sourceDir")
       try {
+        // putFile is the store's zero-copy path (hard link) on a local
+        // directory store; an upload elsewhere — the onboarding contract
+        // (no data rewrite) holds wherever links exist
         sources.foreach { p =>
-          val dst = stage.resolve(src.relativize(p))
-          Files.createDirectories(dst.getParent)
-          try Files.createLink(dst, p)
-          catch {
-            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-              Files.copy(p, dst)
-          }
+          meta.putFile(s"$stageRel/${src.relativize(p)}", p)
         }
         // harvest the key field's stats alongside the configured columns so
         // the manifest's [minKey, maxKey] intervals exist from day zero
         val keyStatCols =
           if (keyFields.size == 1) keyFields.filterNot(statsColumns.contains)
           else Seq.empty
-        val files = harvestStats(stage.toString, statsColumns ++ keyStatCols)
+        val files = harvestStats(stage, statsColumns ++ keyStatCols)
           .map(deriveKeyInterval)
         // manifest schema = the files' own schema (incl. hive partition
         // columns) + the derived record key the scan injects
-        val dataSchema = spark.read.option("basePath", root.toString)
-          .parquet(stage.toString).schema
+        val dataSchema = spark.read.option("basePath", root)
+          .parquet(stage).schema
         val schema =
           if (dataSchema.fieldNames.contains(Meta.RecordKey)) dataSchema
           else dataSchema.add(Meta.RecordKey, org.apache.spark.sql.types.StringType,
@@ -622,7 +654,7 @@ class GraftTable(
         committed
       } catch {
         case e: Throwable =>
-          graft.util.Fs.deleteRecursively(stage)
+          meta.deletePrefix(stageRel + "/")
           throw e
       }
     }
@@ -656,9 +688,9 @@ class GraftTable(
   private def commitOrCleanStage(c: Commit, staged: Seq[DataFile]): Commit = {
     def dropStage(): Unit =
       staged.map(_.path.split("/").take(2).mkString("/")).distinct.foreach { d =>
-        graft.util.Fs.deleteRecursively(Paths.get(root, d))
+        meta.deletePrefix(d + "/")
       }
-    if (!staged.forall(f => Files.exists(Paths.get(root, f.path)))) {
+    if (!staged.forall(f => meta.stat(f.path).isDefined)) {
       dropStage()
       throw new graft.model.ConcurrentCommitException(
         s"staged files for seq ${c.seq} were garbage-collected mid-write " +
@@ -687,7 +719,41 @@ class GraftTable(
     * (a view's refresh commit re-entering here) is suppressed by the
     * walk's thread-local — the outer walk owns the whole closure. */
   private def maintainViewsInline(): Unit =
-    if (viewMaintain) ViewMaintenance.refreshDependents(spark, this)
+    if (viewMaintain) {
+      if (viewMaintainAsync) markViewsPending()
+      else ViewMaintenance.refreshDependents(spark, this)
+    }
+
+  /** Durable pending-views mark (async mode): one tiny PUT naming the
+    * head seq at mark time. The mark is a HINT — each view's own
+    * watermark is the correctness anchor — so losing a racing re-mark
+    * to [[drainViews]]'s clear only delays freshness to the next
+    * mark/drain, never loses data. */
+  private val viewsPendingKey = "_graft/views/_pending"
+
+  private def markViewsPending(): Unit =
+    try meta.put(viewsPendingKey, GraftTable.leasePayload())
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] pending-views mark failed at $root " +
+        s"(drain_views still catches up unconditionally): ${e.getMessage}")
+    }
+
+  /** Whether a durable pending-views mark is outstanding. */
+  def viewsPending(): Boolean = meta.stat(viewsPendingKey).isDefined
+
+  /** Drain async view maintenance: refresh the dependent-view closure
+    * (unconditionally — each view no-ops when already at its source's
+    * head) and clear the pending mark. Returns whether a mark was
+    * outstanding when the drain started. A commit marking mid-drain may
+    * see its mark cleared; its data is still caught up by the NEXT
+    * drain (the views' watermarks make every drain an exact catch-up,
+    * so the mark is freshness telemetry, not a correctness gate). */
+  def drainViews(): Boolean = {
+    val had = viewsPending()
+    ViewMaintenance.refreshDependents(spark, this)
+    meta.delete(viewsPendingKey)
+    had
+  }
 
   /** Republish the self-describing `_graft/table.json` (best-effort:
     * the commit is already durable; a failed descriptor write only
@@ -724,7 +790,8 @@ class GraftTable(
           bloomColumns, partialUpdate, targetFileBytes, compactEvery,
           compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount,
           tunedAt = stamp, viewMaintain = viewMaintain,
-          clusterSortColumns = clusterSortColumns))
+          clusterSortColumns = clusterSortColumns,
+          viewMaintainAsync = viewMaintainAsync))
         descriptorVersion = stamp
       }
     } catch { case scala.util.control.NonFatal(e) =>
@@ -824,58 +891,47 @@ class GraftTable(
     * source must FIND its views to keep them fresh hands-free). The
     * filename is the view root's hash, so registration is idempotent,
     * and the write is atomic tmp+move like every other metadata file. */
-  private def viewsDir = Paths.get(root, "_graft", "views")
+  private val viewsPrefix = "_graft/views/"
 
   // full md5 hex of the root: the earlier two-unpadded-hex concatenation
   // had an ambiguous split ("12"+"3abc" == "1"+"23abc"), so two distinct
   // view roots could alias to one filename and silently overwrite each
   // other's registration (round-16 advice)
-  private def viewRegFile(viewRoot: String): java.nio.file.Path =
-    viewsDir.resolve(java.security.MessageDigest.getInstance("MD5")
+  private def viewRegKey(viewRoot: String): String =
+    viewsPrefix + java.security.MessageDigest.getInstance("MD5")
       .digest(viewRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString + ".json")
+      .map("%02x".format(_)).mkString + ".json"
 
   /** Register a materialized view (by its table root) as dependent on
     * this table — [[IncrementalAgg.create]], [[IncrementalJoin.create]]
     * and [[graft.llm.IncrementalDedup.create]] call this so a
     * `viewMaintain` table refreshes the view after every commit.
-    * Idempotent. */
-  def registerDependentView(viewRoot: String): Unit = {
-    Files.createDirectories(viewsDir)
-    val tmp = viewsDir.resolve(s".reg-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.writeString(tmp, viewRoot)
-    Files.move(tmp, viewRegFile(viewRoot),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ()
-  }
+    * Idempotent (one PUT of a content-addressed key). */
+  def registerDependentView(viewRoot: String): Unit =
+    meta.put(viewRegKey(viewRoot),
+      viewRoot.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Remove a view's registration (the `CALL drop_view` half that stops
     * hands-free refreshes). Idempotent — dropping an unregistered view
     * is a no-op. Also removes by CONTENT so registrations written under
     * the pre-md5 filename scheme still deregister. */
   def deregisterDependentView(viewRoot: String): Unit = {
-    Files.deleteIfExists(viewRegFile(viewRoot))
-    if (Files.isDirectory(viewsDir)) Using.resource(Files.list(viewsDir)) { s =>
-      s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".json"))
-        .filter(p => scala.util.Try(Files.readString(p).trim).toOption
-          .contains(viewRoot))
-        .foreach(p => Files.deleteIfExists(p))
-    }
-    ()
+    meta.delete(viewRegKey(viewRoot))
+    meta.list(viewsPrefix)
+      .filter(_.endsWith(".json"))
+      .filter(k => meta.get(k).exists(b =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8).trim == viewRoot))
+      .foreach(meta.delete)
   }
 
   /** The registered dependent views' roots (sorted for determinism;
     * distinct — a root may carry both a legacy- and an md5-named file). */
   def dependentViews(): Seq[String] =
-    if (!Files.isDirectory(viewsDir)) Seq.empty
-    else Using.resource(Files.list(viewsDir)) { s =>
-      s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".json"))
-        .flatMap(p => scala.util.Try(Files.readString(p).trim).toOption)
-        .filter(_.nonEmpty).toSeq.distinct.sorted
-    }
+    meta.list(viewsPrefix)
+      .filter(_.endsWith(".json"))
+      .flatMap(k => meta.get(k).map(b =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8).trim))
+      .filter(_.nonEmpty).distinct.sorted
 
   /** The write planner's affected-file selection (the 100 TB lever),
     * shared by upsert and MERGE INTO: the manifest's intervals are already
@@ -1011,9 +1067,8 @@ class GraftTable(
   private def rliAffectedPaths(prev: Commit, batch: DataFrame): Option[Set[String]] = {
     if (!globalIndex && partitionFields.nonEmpty) return None
     if (prev.logFiles.nonEmpty) return None
-    val idxDir = Paths.get(root, "_graft", "rli", s"c${prev.seq}")
-    if (!Files.exists(idxDir)) return None
-    val boundaries = readRliMeta(idxDir)
+    val m = rliMetaOf(prev.seq).getOrElse(return None)
+    val boundaries = m.boundaries
     // codegen'd range-bucket probe (boundaries embed as literals — ≤
     // numBuckets short strings); a null record key surfaces loudly
     // instead of routing to a phantom bucket
@@ -1025,12 +1080,12 @@ class GraftTable(
           "batch contains a NULL record key — record keys must be non-null")
         r.getInt(0)
       }
-    // buckets empty at build time have no dir; keys bucketing there are
-    // pure inserts
-    val present = touched.filter(b => Files.exists(idxDir.resolve(s"bucket=$b")))
+    // buckets empty at build time have no shard; keys bucketing there
+    // are pure inserts
+    val present = touched.filter(m.dirs.contains)
     if (present.isEmpty) return Some(Set.empty)
-    val idx = spark.read.option("basePath", idxDir.toString)
-      .parquet(present.map(b => s"$idxDir/bucket=$b").toIndexedSeq: _*)
+    val idx = spark.read.parquet(
+      present.map(b => s"$root/${m.dirs(b)}/bucket=$b").toIndexedSeq: _*)
     Some(idx
       .join(batch.select(col(Meta.RecordKey)), Seq(Meta.RecordKey), "left_semi")
       .select(col("path")).distinct()
@@ -1738,10 +1793,15 @@ class GraftTable(
     // inline clustering (lock already held) — the upsert hook's twin:
     // IVM state tables commit exclusively through MERGE, so without this
     // a year of 2-hour maintenance windows grows their file counts
-    // unboundedly (round-16 verdict #5)
-    if (clusterSmallFileBytes > 0 && merged.logFiles.isEmpty)
+    // unboundedly (round-16 verdict #5). Side effect only: callers (and
+    // the SQL MERGE summary) are owed the MERGE commit — its seq/action/
+    // row metrics and the caller's extraMeta (applied-seq watermarks) —
+    // not the fold's.
+    if (clusterSmallFileBytes > 0 && merged.logFiles.isEmpty) {
       retryOnConflict(doCluster(clusterSmallFileBytes, inline = true))
-    else merged
+      ()
+    }
+    merged
   }
 
   /** Merge-on-read view of a commit: base files unioned with delta logs,
@@ -2279,7 +2339,7 @@ class GraftTable(
     val parts = seqs.flatMap { s =>
       val c = timeline.read(s)
       val keep = pointKeepSet(c, keys)
-      if (!keep.forall(p => Files.exists(Paths.get(root, p)))) None
+      if (!keep.forall(p => meta.stat(p).isDefined)) None
       else Some(pointPrunedRead(c, keys).withColumn("commit_seq", lit(s)))
     }
     require(parts.nonEmpty,
@@ -2313,20 +2373,19 @@ class GraftTable(
     require(c.logFiles.isEmpty,
       "buildRecordIndex requires a compacted table: delta logs hold key " +
         "versions the base-file map cannot name")
-    val idxDir = Paths.get(root, "_graft", "rli", s"c${c.seq}")
-    if (Files.exists(idxDir)) return c.seq // immutable once built for a seq
+    if (rliMetaOf(c.seq).isDefined) return c.seq // immutable once built for a seq
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val boundaries = GraftTable.rliBoundaries(c.files, numBuckets)
-    val tmp = Paths.get(root, "_graft", "rli",
-      s".c${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val dirRel = s"_graft/rli/b${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}"
     scanFiles(c.files, schema)
       .select(col(Meta.RecordKey),
         rliToRel(input_file_name()).as("path"),
         GraftTable.rliBucketColLoud(boundaries).as("bucket"))
       .repartition(math.min(boundaries.length + 1, 32), col("bucket"))
-      .write.partitionBy("bucket").parquet(tmp.toString)
-    publishRli(tmp, idxDir, boundaries)
+      .write.partitionBy("bucket").parquet(s"$root/$dirRel")
+    publishRli(c.seq, boundaries,
+      discoverRliBuckets(dirRel).map(b => b -> dirRel).toMap, Some(dirRel))
     c.seq
   }
 
@@ -2338,7 +2397,7 @@ class GraftTable(
     * path decoding does not), fall back to the undecoded path on a
     * malformed escape like the old try/catch did. */
   private def rliToRel: Column => Column = { uriCol =>
-    val rootAbs = Paths.get(root).toAbsolutePath.toString.stripSuffix("/")
+    val rootAbs = graft.model.GraftStores.schemelessPath(root).stripSuffix("/")
     val stripped = regexp_replace(uriCol, "^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?", "")
     val path = coalesce(
       try_url_decode(regexp_replace(stripped, "\\+", "%2B")), stripped)
@@ -2347,31 +2406,60 @@ class GraftTable(
       .otherwise(path.substr(at + lit(rootAbs.length + 1), length(path)))
   }
 
-  /** Stamp the bucket boundaries and atomically publish an index build
-    * dir. The meta file pins the range layout — probes and maintenance
-    * must bucket EXACTLY as the build did, and deriving anything from
-    * the `bucket=` dir listing would drift whenever a bucket happened to
-    * receive no keys. */
-  private def publishRli(tmp: java.nio.file.Path, idxDir: java.nio.file.Path,
-      boundaries: Array[String]): Unit = {
+  /** The record index for seq `s`, as PUBLISHED METADATA: the pinned
+    * range boundaries plus a bucket→shard-dir map. The map is the
+    * object-store publish point — no directory rename, no hard links:
+    * a build PUTs its shard dirs under a unique `_graft/rli/b<seq>-*`
+    * prefix and then CAS-publishes `_graft/rli/c<seq>.json` naming
+    * them; incremental maintenance re-points only the churned buckets
+    * at its new dir and CARRIES every other bucket's entry verbatim
+    * (zero bytes moved on any store — the indirection replaces the
+    * old hard-link carry). Buckets with no keys have no map entry. */
+  private case class RliMeta(boundaries: Array[String], dirs: Map[Int, String])
+
+  private def rliMetaKey(seq: Long): String = s"_graft/rli/c$seq.json"
+
+  private def rliMetaOf(seq: Long): Option[RliMeta] = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    Files.writeString(tmp.resolve("_rli.meta"),
-      org.json4s.jackson.Serialization.write(
-        Map("numBuckets" -> (boundaries.length + 1), "boundaries" -> boundaries.toSeq)))
-    try Files.move(tmp, idxDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.nio.file.FileSystemException =>
-        graft.util.Fs.deleteRecursively(tmp)
-        if (!Files.exists(idxDir)) throw e
+    meta.get(rliMetaKey(seq)).map { b =>
+      val j = org.json4s.jackson.JsonMethods.parse(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      RliMeta(
+        (j \ "boundaries").extract[Seq[String]].toArray,
+        (j \ "dirs").extract[Map[String, String]]
+          .map { case (k, v) => k.toInt -> v })
     }
   }
 
-  private def readRliMeta(idxDir: java.nio.file.Path): Array[String] = {
+  /** CAS-publish the index meta for `seq`. The condition pins the range
+    * layout — probes and maintenance must bucket EXACTLY as the winning
+    * build did; a losing concurrent builder absorbs the winner and
+    * retires its own unreferenced shards. */
+  private def publishRli(seq: Long, boundaries: Array[String],
+      dirs: Map[Int, String], freshDir: Option[String] = None): Unit = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    (org.json4s.jackson.JsonMethods.parse(
-      Files.readString(idxDir.resolve("_rli.meta"))) \ "boundaries")
-      .extract[Seq[String]].toArray
+    val payload = org.json4s.jackson.Serialization.write(Map(
+      "numBuckets" -> (boundaries.length + 1),
+      "boundaries" -> boundaries.toSeq,
+      "dirs" -> dirs.map { case (k, v) => k.toString -> v }))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (!meta.putIfNoneMatch(rliMetaKey(seq), payload)) {
+      // lost the publish race: sweep ONLY the shard dir THIS attempt
+      // freshly wrote (carried dirs belong to prior metas; the winner
+      // may reference anything — never touch what we didn't create)
+      val winner = rliMetaOf(seq).map(_.dirs.values.toSet).getOrElse(Set.empty)
+      freshDir.filterNot(winner)
+        .foreach(d => scala.util.Try(meta.deletePrefix(d + "/")))
+    }
   }
+
+  /** Which buckets a just-written shard dir actually holds (a bucket
+    * with no keys gets no `bucket=` dir). */
+  private def discoverRliBuckets(dirRel: String): Seq[Int] =
+    meta.list(dirRel + "/")
+      .flatMap(_.stripPrefix(dirRel + "/").split("/").headOption)
+      .filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt).distinct.sorted
 
   /** INCREMENTAL record-index maintenance (the Hudi metadata-table
     * update shape): bring the newest prior index forward to the latest
@@ -2380,8 +2468,9 @@ class GraftTable(
     * O(table). The affected-bucket set comes straight from the MANIFEST
     * set-difference (removed files are never read — their intervals
     * bound their keys); only ADDED files are scanned, for their key→file
-    * entries. Every other bucket HARD-LINKS from the prior index (zero
-    * bytes moved — DataSkippingSpec pins shared inodes). Boundaries are
+    * entries. Every other bucket CARRIES its prior shard-dir map entry
+    * verbatim in the published meta (zero bytes moved on ANY store —
+    * DataSkippingSpec pins the carried pointers). Boundaries are
     * inherited from the prior build, so buckets drift from equal-sized
     * under sustained churn; a periodic full [[buildRecordIndex]]
     * rebalances, exactly like compaction for MOR logs. Falls back to a
@@ -2391,24 +2480,20 @@ class GraftTable(
   def maintainRecordIndex(): Long = {
     val c = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
-    val rliRoot = Paths.get(root, "_graft", "rli")
-    val idxDir = rliRoot.resolve(s"c${c.seq}")
-    if (Files.exists(idxDir)) return c.seq
+    if (rliMetaOf(c.seq).isDefined) return c.seq
     require(c.logFiles.isEmpty,
       "maintainRecordIndex requires a compacted table (see buildRecordIndex)")
     val activeSeqs = timeline.listCommitSeqs().toSet
-    val prior: Option[Long] =
-      if (!Files.exists(rliRoot)) None
-      else Using.resource(Files.list(rliRoot)) { s =>
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("c\\d+")).map(_.drop(1).toLong)
-          .filter(p => p < c.seq && activeSeqs(p)).maxOption
-      }
+    val MetaName = "^c(\\d+)\\.json$".r
+    val prior: Option[Long] = meta.list("_graft/rli/")
+      .flatMap(_.stripPrefix("_graft/rli/") match {
+        case MetaName(n) => Some(n.toLong)
+        case _ => None
+      })
+      .filter(p => p < c.seq && activeSeqs(p)).maxOption
     val pSeq = prior.getOrElse(return buildRecordIndex())
-    val priorDir = rliRoot.resolve(s"c$pSeq")
-    if (!Files.exists(priorDir.resolve("_rli.meta"))) return buildRecordIndex()
-    val boundaries = readRliMeta(priorDir)
-    val numBuckets = boundaries.length + 1
+    val pm = rliMetaOf(pSeq).getOrElse(return buildRecordIndex())
+    val boundaries = pm.boundaries
     val pc = timeline.read(pSeq)
     val curPaths = c.files.map(_.path).toSet
     val prevPaths = pc.files.map(_.path).toSet
@@ -2422,51 +2507,40 @@ class GraftTable(
       GraftTable.rliRangeBucket(f.minKey, boundaries) to
         GraftTable.rliRangeBucket(f.maxKey, boundaries)
     }.toSet
+    if (affected.isEmpty) {
+      // pure carry: the new meta re-points every bucket at its existing
+      // shard dir — zero data I/O, one CAS PUT
+      publishRli(c.seq, boundaries, pm.dirs)
+      return c.seq
+    }
     val schema = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val tmp = rliRoot.resolve(
-      s".c${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}")
-    if (affected.isEmpty) Files.createDirectories(tmp)
-    else {
-      // rewrite ONLY the affected buckets: prior entries minus removed
-      // paths, plus the added files' entries (which land inside the
-      // affected range by key monotonicity)
-      val priorAffected = affected.toSeq.sorted
-        .map(b => priorDir.resolve(s"bucket=$b"))
-        .filter(Files.exists(_)).map(_.toString)
-      val fresh = scanFiles(added, schema)
-        .select(col(Meta.RecordKey), rliToRel(input_file_name()).as("path"),
-          GraftTable.rliBucketColLoud(boundaries).as("bucket"))
-      val priorPart =
-        if (priorAffected.isEmpty) None
-        else Some(spark.read.option("basePath", priorDir.toString)
-          .parquet(priorAffected: _*)
+    val dirRel = s"_graft/rli/b${c.seq}-${java.util.UUID.randomUUID().toString.take(8)}"
+    // rewrite ONLY the affected buckets: prior entries minus removed
+    // paths, plus the added files' entries (which land inside the
+    // affected range by key monotonicity). Prior shards group by their
+    // HOLDING DIR so partition inference recovers the bucket column per
+    // basePath even when carries have scattered buckets across builds.
+    val fresh = scanFiles(added, schema)
+      .select(col(Meta.RecordKey), rliToRel(input_file_name()).as("path"),
+        GraftTable.rliBucketColLoud(boundaries).as("bucket"))
+    val priorParts = affected.toSeq.sorted
+      .flatMap(b => pm.dirs.get(b).map(d => d -> b))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d, bs) =>
+        spark.read.option("basePath", s"$root/$d")
+          .parquet(bs.map { case (_, b) => s"$root/$d/bucket=$b" }: _*)
           .filter(!col("path").isin(removed.map(_.path): _*))
-          .select(col(Meta.RecordKey), col("path"), col("bucket")))
-      priorPart.map(_.unionByName(fresh)).getOrElse(fresh)
-        .repartition(math.min(affected.size, 32), col("bucket"))
-        .write.partitionBy("bucket").parquet(tmp.toString)
-    }
-    // unaffected buckets hard-link from the prior index — zero copy
-    (0 until numBuckets).filterNot(affected).foreach { b =>
-      val src = priorDir.resolve(s"bucket=$b")
-      if (Files.exists(src)) {
-        val dst = tmp.resolve(s"bucket=$b")
-        Files.createDirectories(dst)
-        Using.resource(Files.list(src)) { s =>
-          s.iterator().asScala.filter(p =>
-            p.getFileName.toString.endsWith(".parquet")).foreach { p =>
-            try Files.createLink(dst.resolve(p.getFileName), p)
-            catch {
-              case _: UnsupportedOperationException |
-                   _: java.nio.file.FileSystemException =>
-                Files.copy(p, dst.resolve(p.getFileName))
-            }
-          }
-        }
+          .select(col(Meta.RecordKey), col("path"), col("bucket"))
       }
-    }
-    publishRli(tmp, idxDir, boundaries)
+    (priorParts :+ fresh).reduce(_.unionByName(_))
+      .repartition(math.min(affected.size, 32), col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$root/$dirRel")
+    // unaffected buckets CARRY their map entries — zero copy on any store
+    val rewritten = discoverRliBuckets(dirRel)
+    publishRli(c.seq, boundaries,
+      (pm.dirs -- affected) ++ rewritten.map(b => b -> dirRel),
+      Some(dirRel))
     c.seq
   }
 
@@ -2483,20 +2557,19 @@ class GraftTable(
     require(keys.nonEmpty, "empty key set")
     val c = timeline.latest().getOrElse(
       throw new IllegalStateException(s"no commits at $root"))
-    val idxDir = Paths.get(root, "_graft", "rli", s"c${c.seq}")
-    require(Files.exists(idxDir),
+    val m = rliMetaOf(c.seq).getOrElse(throw new IllegalArgumentException(
       s"no record index for commit ${c.seq} at $root — buildRecordIndex() " +
-        "after the latest commit (a stale index would name retired files)")
+        "after the latest commit (a stale index would name retired files)"))
     require(c.logFiles.isEmpty,
       "readKeysIndexed requires a compacted table (see buildRecordIndex)")
-    val boundaries = readRliMeta(idxDir)
+    val boundaries = m.boundaries
     val allBuckets = keys.map(k => GraftTable.rliRangeBucket(k, boundaries)).distinct
-    // a bucket dir may be absent when no key fell into it at build time
-    val present = allBuckets.filter(b => Files.exists(idxDir.resolve(s"bucket=$b")))
+    // a bucket shard may be absent when no key fell into it at build time
+    val present = allBuckets.filter(m.dirs.contains)
     if (present.isEmpty)
       return prunedRead(c, _ => false).filter(col(Meta.RecordKey).isin(keys: _*))
-    val idx = spark.read.option("basePath", idxDir.toString)
-      .parquet(present.map(b => s"$idxDir/bucket=$b"): _*)
+    val idx = spark.read
+      .parquet(present.map(b => s"$root/${m.dirs(b)}/bucket=$b"): _*)
       .filter(col(Meta.RecordKey).isin(keys: _*))
     // driver-side by definition: a point lookup probes a small key set,
     // so the named-file list is bounded by it
@@ -3063,8 +3136,8 @@ class GraftTable(
     * `graceMs`. Referenced = any dir a live, archived or savepointed
     * manifest mentions. Returns deleted dir count. */
   private def cleanOrphanStages(graceMs: Long): Int = {
-    val dataRoot = Paths.get(root, "data")
-    if (!Files.exists(dataRoot)) return 0
+    val keys = meta.list("data/")
+    if (keys.isEmpty) return 0
     val referenced: Set[String] =
       (timeline.listCommitSeqs().map(timeline.read) ++ timeline.readArchived() ++
         timeline.listSavepoints())
@@ -3072,19 +3145,11 @@ class GraftTable(
           .map(_.path.split("/").take(2).mkString("/"))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var removed = 0
-    val dirs = Using.resource(Files.list(dataRoot)) { s =>
-      s.iterator().asScala.filter(Files.isDirectory(_)).toList
-    }
-    dirs.foreach { d =>
-      val rel = s"data/${d.getFileName}"
+    keys.groupBy(_.split("/").take(2).mkString("/")).foreach { case (rel, ks) =>
       if (!referenced(rel)) {
-        val newest = Using.resource(Files.walk(d)) { s =>
-          s.iterator().asScala
-            .map(p => Files.getLastModifiedTime(p).toMillis)
-            .foldLeft(0L)(math.max)
-        }
+        val newest = ks.flatMap(meta.modifiedMillis).foldLeft(0L)(math.max)
         if (newest < cutoff) {
-          graft.util.Fs.deleteRecursively(d)
+          meta.deletePrefix(rel + "/")
           removed += 1
         }
       }
@@ -3150,6 +3215,19 @@ class GraftTable(
       if (unset.exists(_.equalsIgnoreCase(key))) dflt
       else set.collectFirst { case (k, v) if k.equalsIgnoreCase(key) =>
         parse(v) }.getOrElse(cur)
+    // 'view_maintain' accepts true | false | async (round-18: async =
+    // commits mark durably, a drainer refreshes)
+    val (vmNew, vmAsyncNew) = {
+      val raw =
+        if (unset.exists(_.equalsIgnoreCase("view_maintain"))) Some("false")
+        else set.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("view_maintain") => v }
+      raw match {
+        case Some(s) if s.trim.equalsIgnoreCase("async") => (true, true)
+        case Some(s) => (bool(s), false)
+        case None => (viewMaintain, viewMaintainAsync)
+      }
+    }
     val nt = new GraftTable(spark, root, keyFields, partitionFields,
       orderingField,
       pick("target_file_bytes", targetFileBytes,
@@ -3165,8 +3243,9 @@ class GraftTable(
       pick("cluster_small_file_bytes", clusterSmallFileBytes, 0L, _.toLong),
       pick("rli_maintain", rliMaintain, false, bool),
       bucketCount,
-      pick("view_maintain", viewMaintain, false, bool),
-      clusterSortColumns = clusterSortColumns)
+      vmNew,
+      clusterSortColumns = clusterSortColumns,
+      store = store, viewMaintainAsync = vmAsyncNew)
     // tracked columns must exist once the schema is pinned
     latestCommit().foreach { c =>
       val fields = org.apache.spark.sql.types.DataType.fromJson(c.schemaJson)
@@ -3191,38 +3270,25 @@ class GraftTable(
     withInflightMarker {
       val c = atSeq.map(timeline.read).getOrElse(timeline.latest().getOrElse(
         throw new IllegalStateException(s"no commits at $root")))
+      val destStore = graft.model.GraftStores.forRoot(destRoot)
       try {
+        // transfer = hard link between directory stores (zero copy, the
+        // clone contract), byte copy across store kinds; both paths are
+        // atomic-or-absent per object and idempotent on re-clone
         (c.files ++ c.logFiles).foreach { f =>
-          val src = Paths.get(root, f.path)
-          val dst = Paths.get(destRoot, f.path)
-          Files.createDirectories(dst.getParent)
-          try Files.createLink(dst, src)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException => () // idempotent re-clone
-            case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-              // copy fallback must stay atomic-or-absent: a crashed copy
-              // leaves a truncated file a naive exists-check would absorb
-              // into the manifest — stage + atomic move instead, and only
-              // absorb an existing dst of the RIGHT size
-              if (!Files.exists(dst) || Files.size(dst) != Files.size(src)) {
-                val tmp = dst.resolveSibling(s".${dst.getFileName}.clone.tmp")
-                Files.copy(src, tmp,
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-                Files.move(tmp, dst,
-                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              }
-          }
+          graft.model.ObjectStore.transfer(meta, f.path, destStore, f.path)
         }
       } catch {
         case e: Throwable =>
           // no half-built clones: the seq-0 manifest was never written,
           // so the dest tree is garbage — remove it before rethrowing
-          graft.util.Fs.deleteRecursively(Paths.get(destRoot))
+          destStore.deletePrefix("")
           throw e
       }
-      new Timeline(destRoot).commit(Commit(0L, "clone", c.files, c.schemaJson,
-        c.checkpoint, System.currentTimeMillis(),
-        extra = Map("cloned_from" -> s"$root@${c.seq}"), logFiles = c.logFiles))
+      new Timeline(destRoot, GraftTable.commitStoreFor(destRoot))
+        .commit(Commit(0L, "clone", c.files, c.schemaJson,
+          c.checkpoint, System.currentTimeMillis(),
+          extra = Map("cloned_from" -> s"$root@${c.seq}"), logFiles = c.logFiles))
       val cloned = new GraftTable(spark, destRoot, keyFields, partitionFields,
         orderingField, targetFileBytes, staleLockMs, tableType, compactEvery,
         compactLogBytesRatio, globalIndex, harvestThreshold, statsColumns,
@@ -3266,46 +3332,28 @@ class GraftTable(
     var missing = 0L
     var sizeMismatch = 0L
     mustExist.values.foreach { f =>
-      val p = Paths.get(root, f.path)
       try {
-        if (!Files.exists(p)) missing += 1
-        else if (f.bytes > 0 && Files.size(p) != f.bytes) sizeMismatch += 1
+        meta.stat(f.path) match {
+          case None => missing += 1
+          case Some((_, len)) =>
+            if (f.bytes > 0 && len != f.bytes) sizeMismatch += 1
+        }
       } catch { case _: java.io.IOException => missing += 1 }
     }
-    val dataRoot = Paths.get(root, "data")
     val cutoff = System.currentTimeMillis() - staleLockMs
     var orphaned = 0L
-    if (Files.exists(dataRoot)) {
-      val onDisk = Using.resource(Files.walk(dataRoot)) { s =>
-        s.iterator().asScala
-          .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-          .map(p => Paths.get(root).relativize(p).toString)
-          .toList
-      }
-      onDisk.foreach { rel =>
-        try {
-          if (!referenced.contains(rel) &&
-              Files.getLastModifiedTime(Paths.get(root, rel)).toMillis < cutoff)
-            orphaned += 1
-        } catch { case _: java.io.IOException => () } // deleted mid-walk: not an orphan
-      }
+    meta.list("data/").filter(_.endsWith(".parquet")).foreach { rel =>
+      if (!referenced.contains(rel) &&
+          meta.modifiedMillis(rel).exists(_ < cutoff)) // deleted mid-walk: not an orphan
+        orphaned += 1
     }
     // abandoned streaming-write spools: a dead query's staged row files
     // under _graft/stream_stage are real bytes no probe will ever read
     // (a restarted query sweeps its own stage; one never restarted
     // leaves them). Past the liveness grace they are orphans — the same
     // cutoff that separates an in-flight writer's stage dir from trash.
-    val streamStage = Paths.get(root, "_graft", "stream_stage")
-    if (Files.exists(streamStage)) {
-      Using.resource(Files.walk(streamStage)) { s =>
-        s.iterator().asScala.foreach { p =>
-          try {
-            if (Files.isRegularFile(p) &&
-                Files.getLastModifiedTime(p).toMillis < cutoff)
-              orphaned += 1
-          } catch { case _: java.io.IOException => () }
-        }
-      }
+    meta.list("_graft/stream_stage/").foreach { k =>
+      if (meta.modifiedMillis(k).exists(_ < cutoff)) orphaned += 1
     }
     (missing, orphaned, sizeMismatch, missing == 0 && orphaned == 0 && sizeMismatch == 0)
   }
@@ -3330,52 +3378,49 @@ class GraftTable(
     * `staleLockMs` (crashed writer) is broken and re-acquired once.
     */
   def withLock[A](f: => A): A = {
-    Files.createDirectories(Paths.get(root, "_graft"))
-    val lock = Paths.get(root, "_graft", "writer.lock")
+    val key = GraftTable.LockKey
     // ownership token: a writer that was suspended past staleLockMs and
     // had its lock broken must NOT delete (or heartbeat) the new owner's
-    // lock on resume — every touch verifies the token first
+    // lock on resume — every touch verifies the token first. The lease
+    // is a CAS OBJECT (conditional PUT), not a file: liveness rides the
+    // heartbeat timestamp INSIDE the payload, because an object store
+    // has no mtime contract the old heartbeat could refresh.
     val token = java.util.UUID.randomUUID().toString
+    def payload: Array[Byte] = GraftTable.leasePayload(token)
     def owned: Boolean =
-      try Files.readString(lock).endsWith(token)
-      catch { case _: java.io.IOException => false }
+      meta.get(key).exists(b =>
+        new String(b, java.nio.charset.StandardCharsets.UTF_8)
+          .split("\\s+").lift(1).contains(token))
     def acquire(canBreakStale: Boolean): Unit =
-      try {
-        Files.write(lock,
-          s"${ProcessHandle.current().pid()} $token"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-        ()
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          val ageMs =
-            try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
-            catch { case _: java.io.IOException => 0L }
-          if (canBreakStale && ageMs > staleLockMs) {
-            Files.deleteIfExists(lock)
-            acquire(canBreakStale = false)
-          } else throw new IllegalStateException(s"another writer holds $lock", e)
+      if (!meta.putIfNoneMatch(key, payload)) {
+        val age = System.currentTimeMillis() -
+          GraftTable.leaseMillis(meta.get(key))
+        if (canBreakStale && age > staleLockMs) {
+          meta.delete(key)
+          acquire(canBreakStale = false)
+        } else throw new IllegalStateException(
+          s"another writer holds $root/$key")
       }
     acquire(canBreakStale = true)
-    val heartbeat = startHeartbeat(lock, s"graft-lock-heartbeat-$root", () => owned)
+    val heartbeat = startHeartbeat(key, s"graft-lock-heartbeat-$root",
+      () => owned, () => payload)
     try f finally {
       heartbeat.interrupt()
-      if (owned) Files.deleteIfExists(lock)
+      if (owned) meta.delete(key)
     }
   }
 
-  /** Daemon mtime-refresh loop: while the guard holds, `p` never looks
-    * older than staleLockMs/4 — shared by the writer lock, the maintenance
-    * fence and the in-flight markers. */
-  private def startHeartbeat(p: java.nio.file.Path, name: String,
-      guard: () => Boolean = () => true): Thread = {
+  /** Daemon lease-refresh loop: while the guard holds, the lease object
+    * at `key` never looks older than staleLockMs/4 — shared by the
+    * writer lock, the maintenance fence and the in-flight markers. */
+  private def startHeartbeat(key: String, name: String,
+      guard: () => Boolean, payload: () => Array[Byte]): Thread = {
     val t = new Thread(() => {
       try {
         while (!Thread.interrupted()) {
           Thread.sleep(math.max(250L, staleLockMs / 4))
-          try if (guard()) Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-          catch { case _: java.io.IOException => () }
+          try if (guard()) meta.put(key, payload())
+          catch { case scala.util.control.NonFatal(_) => () }
         }
       } catch { case _: InterruptedException => () }
     }, name)
@@ -3406,40 +3451,38 @@ class GraftTable(
   // staged-file existence re-check, which converts the loss into an OCC
   // retry instead of a manifest referencing deleted files.
 
-  private val inflightDir = Paths.get(root, "_graft", "inflight")
-  private val maintLock = Paths.get(root, "_graft", "maint.lock")
+  private val inflightPrefix = "_graft/inflight/"
+  private val maintKey = "_graft/maint.lock"
 
-  private def fresh(p: java.nio.file.Path): Boolean =
-    try System.currentTimeMillis() -
-      Files.getLastModifiedTime(p).toMillis <= staleLockMs
-    catch { case _: java.io.IOException => false } // vanished = not live
+  /** Liveness of a lease object: its payload's embedded heartbeat
+    * timestamp is younger than staleLockMs. Absent/garbage = not live. */
+  private def fresh(key: String): Boolean =
+    System.currentTimeMillis() -
+      GraftTable.leaseMillis(meta.get(key)) <= staleLockMs
 
-  private def maintenanceLive(): Boolean = Files.exists(maintLock) && fresh(maintLock)
+  private def maintenanceLive(): Boolean = fresh(maintKey)
 
   /** Run `f` (an optimistic write attempt chain) under a published
     * in-flight marker; blocks while a live maintenance fence is up. */
   private def withInflightMarker[A](f: => A): A = {
-    Files.createDirectories(inflightDir)
-    var marker: java.nio.file.Path = null
+    var marker: String = null
     while (marker == null) {
-      val m = inflightDir.resolve(
-        s"w-${java.util.UUID.randomUUID().toString.take(12)}")
-      Files.write(m,
-        ProcessHandle.current().pid().toString
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      val m = inflightPrefix +
+        s"w-${java.util.UUID.randomUUID().toString.take(12)}"
+      meta.putIfNoneMatch(m, GraftTable.leasePayload())
       // publish-then-look: if the fence went up first we see it here and
       // retract; if it goes up after this check, maintenance's drain loop
       // sees our marker and waits for us instead
       if (maintenanceLive()) {
-        Files.deleteIfExists(m)
+        meta.delete(m)
         Thread.sleep(50L + scala.util.Random.nextInt(100))
       } else marker = m
     }
-    val hb = startHeartbeat(marker, s"graft-inflight-heartbeat-$root")
+    val hb = startHeartbeat(marker, s"graft-inflight-heartbeat-$root",
+      () => true, () => GraftTable.leasePayload())
     try f finally {
       hb.interrupt()
-      Files.deleteIfExists(marker)
+      meta.delete(marker)
     }
   }
 
@@ -3448,31 +3491,26 @@ class GraftTable(
     * then act. Caller holds the writer lock, so at most one fence exists;
     * a leftover fence from a crashed maintainer is simply overwritten. */
   private def withMaintenanceFence[A](f: => A): A = {
-    Files.createDirectories(Paths.get(root, "_graft"))
-    Files.write(maintLock,
-      ProcessHandle.current().pid().toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hb = startHeartbeat(maintLock, s"graft-maint-heartbeat-$root")
+    meta.put(maintKey, GraftTable.leasePayload())
+    val hb = startHeartbeat(maintKey, s"graft-maint-heartbeat-$root",
+      () => true, () => GraftTable.leasePayload())
     try {
       val deadline = System.currentTimeMillis() + math.max(staleLockMs, 60000L)
-      def liveMarkers(): Seq[java.nio.file.Path] =
-        if (!Files.exists(inflightDir)) Seq.empty
-        else Using.resource(Files.list(inflightDir)) { s =>
-          s.iterator().asScala.filter(fresh).toList
-        }
+      def liveMarkers(): Seq[String] =
+        meta.list(inflightPrefix).filter(fresh)
       var pending = liveMarkers()
       while (pending.nonEmpty) {
         if (System.currentTimeMillis() > deadline)
           throw new IllegalStateException(
             s"maintenance fence timed out draining in-flight optimistic " +
-              s"writers: ${pending.map(_.getFileName).mkString(",")}")
+              s"writers: ${pending.map(_.stripPrefix(inflightPrefix)).mkString(",")}")
         Thread.sleep(100L)
         pending = liveMarkers()
       }
       f
     } finally {
       hb.interrupt()
-      Files.deleteIfExists(maintLock)
+      meta.delete(maintKey)
     }
   }
 }
@@ -3519,23 +3557,46 @@ object GraftTable {
 
   implicit private val cfgFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
+  /** The writer-lock lease object's key under the table root. */
+  private[operators] val LockKey = "_graft/writer.lock"
+
+  /** Commit-store for a root, resolved exactly like the constructor
+    * default: object-store CAS for mounted (space) roots, hard-link CAS
+    * on the local filesystem otherwise. */
+  private[graft] def commitStoreFor(root: String): graft.model.CommitStore =
+    if (graft.model.GraftStores.isMounted(root))
+      new graft.model.ObjectStoreCommitStore(
+        graft.model.GraftStores.forRoot(root), Paths.get(root))
+    else graft.model.LocalFsCommitStore
+
+  /** Lease-object payload: `<pid> <token> <heartbeatMillis>` — liveness
+    * is the embedded timestamp (refreshed by re-PUT), because an object
+    * store offers no mtime the old heartbeat could touch. */
+  private[operators] def leasePayload(token: String = "-"): Array[Byte] =
+    s"${ProcessHandle.current().pid()} $token ${System.currentTimeMillis()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The heartbeat timestamp inside a lease payload — the LAST
+    * whitespace field. Absent object or unparseable payload reads as 0
+    * (epoch), i.e. maximally stale: garbage never looks live. */
+  private[operators] def leaseMillis(payload: Option[Array[Byte]]): Long =
+    payload.flatMap(b =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split("\\s+").lastOption.flatMap(_.toLongOption))
+      .getOrElse(0L)
+
   /** Atomic publish of the self-describing table descriptor. */
-  private[operators] def writeConfig(root: String, cfg: TableConfig): Unit = {
-    val p = Paths.get(root, "_graft", "table.json")
-    Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(s".table.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.writeString(tmp, org.json4s.jackson.Serialization.writePretty(cfg))
-    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+  private[operators] def writeConfig(root: String, cfg: TableConfig): Unit =
+    graft.model.GraftStores.forRoot(root).put("_graft/table.json",
+      org.json4s.jackson.Serialization.writePretty(cfg)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** The persisted descriptor, if the table at `root` is self-described. */
-  def readConfig(root: String): Option[TableConfig] = {
-    val p = Paths.get(root, "_graft", "table.json")
-    if (!Files.exists(p)) None
-    else Some(org.json4s.jackson.JsonMethods.parse(Files.readString(p))
-      .extract[TableConfig])
-  }
+  def readConfig(root: String): Option[TableConfig] =
+    graft.model.GraftStores.forRoot(root).get("_graft/table.json")
+      .map(b => org.json4s.jackson.JsonMethods.parse(
+        new String(b, java.nio.charset.StandardCharsets.UTF_8))
+        .extract[TableConfig])
 
   /** Open an existing table BY PATH from its persisted descriptor — no
     * key/partition/index configuration needed (the `hoodie.properties`
@@ -3551,7 +3612,8 @@ object GraftTable {
       cfg.globalIndex, DistributedHarvestThreshold, cfg.statsColumns,
       cfg.keyBlooms, cfg.bloomColumns, cfg.partialUpdate,
       cfg.clusterSmallFileBytes, cfg.rliMaintain, cfg.bucketCount,
-      cfg.viewMaintain, clusterSortColumns = cfg.clusterSortColumns)
+      cfg.viewMaintain, clusterSortColumns = cfg.clusterSortColumns,
+      viewMaintainAsync = cfg.viewMaintainAsync)
   }
   /** Hive's null-partition directory name. */
   val NullPartition = "__HIVE_DEFAULT_PARTITION__"

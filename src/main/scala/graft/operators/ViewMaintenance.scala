@@ -74,9 +74,10 @@ private[graft] object ViewMaintenance {
   }
 
   /** Kind dispatch over the self-describing spec in the view's own
-    * timeline — the five `create`d kinds (agg view, join view, near-dup
-    * dedup state, segment-dedup state, span-census state — the last two
-    * registered by their OUT table's root). */
+    * timeline — the six `create`d kinds (agg view, join view, near-dup
+    * dedup state, classifier-score view, segment-dedup state,
+    * span-census state — the last two registered by their OUT table's
+    * root). */
   private def refreshOne(spark: SparkSession, v: GraftTable): Unit = {
     if (v.historyNewestFirst().exists(_.extra.contains(IncrementalAgg.SrcRootKey)))
       IncrementalAgg.refresh(spark, v)
@@ -84,6 +85,8 @@ private[graft] object ViewMaintenance {
       IncrementalJoin.refresh(spark, v)
     else if (graft.llm.IncrementalDedup.specOf(v).isDefined)
       graft.llm.IncrementalDedup.refresh(spark, v)
+    else if (graft.llm.IncrementalClassifier.specOf(v).isDefined)
+      graft.llm.IncrementalClassifier.refresh(spark, v)
     else if (v.historyNewestFirst().exists(
         _.extra.contains(graft.llm.IncrementalSegmentDedup.SrcRootKey)))
       graft.llm.IncrementalSegmentDedup.refreshAt(spark, v.root)

@@ -1311,6 +1311,51 @@ object CdcScenario {
       fresh
     })
 
+  /** ASYNC hands-free freshness (round-18, `view_maintain='async'`):
+    * ingest commits durably MARK pending view work and return without
+    * paying the dependent-view walk — the reference's own freshness
+    * posture (a scheduled re-launch, templates/aws-dms-to-hudi.yaml:
+    * 914-927, not commit-coupled). The scenario pins the whole async
+    * contract: each ingest leaves the view consistent-STALE with the
+    * durable mark outstanding (a crash here loses nothing — the mark
+    * survives), then ONE `CALL drain_views` catches the view up across
+    * every marked window, clears the mark, and the final read equals
+    * the full recompute. */
+  def viewDrain(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"viewdrain:$dir", {
+      val base = Files.createTempDirectory("graft-cdc-viewdrain")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val tab = new GraftTable(s, s"$base/table", Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024, viewMaintain = true,
+        viewMaintainAsync = true)
+      fullLoad(s, dir).coalesce(1).write.mode("append").parquet(raw)
+      graft.streaming.ContinuousIngest.drain(s, raw, tab, ck)
+      val view = IncrementalAgg.create(s, tab, s"$base/agg",
+        Seq("o_orderstatus"),
+        Seq("total" -> "CAST(o_totalprice AS DECIMAL(18,2))"))
+      val at0 = IncrementalAgg.appliedSeq(view).get
+      batchA(s, dir).coalesce(1).write.mode("append").parquet(raw)
+      graft.streaming.ContinuousIngest.drain(s, raw, tab, ck)
+      batchB(s, dir).coalesce(1).write.mode("append").parquet(raw)
+      graft.streaming.ContinuousIngest.drain(s, raw, tab, ck)
+      require(IncrementalAgg.appliedSeq(view) == Some(at0),
+        "async ingest must not walk the view closure")
+      require(tab.viewsPending(),
+        "the pending-views mark must be durable at commit time")
+      graft.sql.GraftSql.register(s, "viewdrain_t", tab)
+      val out = s.sql("CALL drain_views('viewdrain_t')").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      require(out.get("had_pending").contains("true"),
+        s"drain must observe the outstanding mark: $out")
+      val fresh = GraftTable.open(s, view.root)
+      val head = tab.latestCommit().get.seq
+      require(IncrementalAgg.appliedSeq(fresh) == Some(head),
+        s"drain did not catch the view up (view at " +
+          s"${IncrementalAgg.appliedSeq(fresh)}, source head $head)")
+      require(!tab.viewsPending(), "drain must clear the mark")
+      fresh
+    })
+
   /** LIVE materialized JOIN view over the STREAMING ingest (round-14):
     * the fact side drains through the Structured Streaming loop while
     * the customer dimension lands its own batch commits BETWEEN epochs
@@ -2094,6 +2139,13 @@ object CdcQueries {
       CdcScenario.viewLive(s, dir).readUser()
         .select(col("o_orderstatus"), col("n"),
           col("total").cast("double").as("total"))),
+    // ASYNC freshness (round-18, view_maintain='async'): commits mark
+    // durably and return; CALL drain_views catches the view up across
+    // every marked window — same recompute oracle as the inline mode
+    "st_view_drain" -> ((s, dir) =>
+      CdcScenario.viewDrain(s, dir).readUser()
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))),
     // NESTED drift (round-13): struct payload gains a field + widens a
     // leaf past int range through an ordinary upsert; the aggregate
     // reads promoted + null-filled values out of the nested column
@@ -2859,6 +2911,9 @@ object CdcQueries {
     // hands-free view_maintain: same recompute oracle — freshness is
     // the engine's job, the final state is still the 3-batch merge
     "st_view_live" -> statusAggSql,
+    // async view_maintain (mark + CALL drain_views): same oracle — the
+    // drained view must equal the recompute of the final merged state
+    "st_view_drain" -> statusAggSql,
     "sql_agg_view" -> statusAggSql,
     "cdc_incr_agg_minmax" ->
       s"""$finalState

@@ -64,6 +64,38 @@ object LlmScenario {
       state
     })
 
+  /** Incrementally-maintained CLASSIFIER-SCORE view (round-18): the
+    * model trains ONCE at bootstrap (frozen weights — retraining is
+    * not delta-decomposable, see [[graft.llm.IncrementalClassifier]]),
+    * then each wave scores only its changed documents through the
+    * stored weight vector and retracts deletions. Graded against
+    * DuckDB training the same perceptron on the ORIGINAL corpus and
+    * batch-scoring the SQL-reconstructed FINAL corpus with it. */
+  def incrClassifier(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"incrcls:$dir", {
+      val base = Files.createTempDirectory("graft-llm-icls")
+      val src = new GraftTable(s, s"$base/src", Seq("id"),
+        targetFileBytes = 256 * 1024)
+      val id = col("id")
+      val enriched = docs(s, dir).select(id,
+        concat(col("text"),
+          when(id % 4 === 0, lit(" reviewed cited edited"))
+            .when(id % 4 === 1, lit(" winner prize click"))
+            .otherwise(lit(""))).as("text"))
+      src.bulkInsert(meta(enriched, 1, deleted = false))
+      val state = graft.llm.IncrementalClassifier.create(
+        s, src, s"$base/state", "id", "text", "id % 4 = 0")
+      // wave 1: %13 docs rewritten — re-scored under the frozen model
+      src.upsert(meta(enriched.filter(id % 13 === 0)
+        .withColumn("text", concat(lit("upd "), col("text"))), 2,
+        deleted = false))
+      graft.llm.IncrementalClassifier.refresh(s, state)
+      // wave 2: %17 docs deleted — retracted from the score view
+      src.upsert(meta(enriched.filter(id % 17 === 0), 3, deleted = true))
+      graft.llm.IncrementalClassifier.refresh(s, state)
+      state
+    })
+
   /** Incrementally-maintained SEGMENT-DEDUP state through the same
     * 3-wave CDC lifecycle ([[graft.llm.IncrementalSegmentDedup]]): the
     * per-document (n_segs, n_dup_segs, kept_md5) table kept current
@@ -274,6 +306,14 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"),
           concat_ws(",",
             transform(sort_array(collect_list(col("id"))), _.cast("string"))).as("members"))),
+    // INCREMENTALLY-MAINTAINED classifier scores (round-18): the
+    // curation gate kept current from the change feed — waves score
+    // only changed docs through the bootstrap-frozen weights; the
+    // maintained view must equal DuckDB's batch score of the FINAL
+    // corpus under the same (original-corpus-trained) model
+    "text_classifier_incr" -> ((s, dir) =>
+      LlmScenario.incrClassifier(s, dir).readUser()
+        .select(col("id").as("doc_id"), col("y"), col("score"), col("pred"))),
     // INCREMENTALLY-MAINTAINED segment dedup (round-16 stretch,
     // implemented): the per-document segment census/kept-text table
     // maintained from the change feed — df=2 boundary crossings rewrite
@@ -1012,7 +1052,71 @@ object LlmQueries {
          JOIN lab l USING (doc_id)"""
   }
 
+  /** The incremental variant's oracle: train w{rounds} on the ORIGINAL
+    * enriched corpus (the frozen-at-bootstrap model), then batch-score
+    * the SQL-reconstructed FINAL corpus (%13 docs rewritten, %17 docs
+    * deleted) with those weights — exactly what the maintained view
+    * must equal, digit for digit. */
+  private def perceptronIncrOracle(dims: Int, rounds: Int): String = {
+    def nib(i: Int, mult: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(tk), $i, 1)) - 1) * $mult"
+    val hash =
+      s"((${nib(1, 4096)} + ${nib(2, 256)} + ${nib(3, 16)} + ${nib(4, 1)}) % $dims)"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (SELECT t.doc_id, CAST(SUM(t.cnt * w.w) AS BIGINT) AS score
+           FROM tok t JOIN w${r - 1} w USING (f) GROUP BY t.doc_id),
+         m$r AS (SELECT l.doc_id, l.y FROM lab l JOIN s$r s USING (doc_id)
+                 WHERE (CASE WHEN s.score > 0 THEN 1 ELSE -1 END) <> l.y),
+         u$r AS (SELECT t.f, CAST(SUM(t.cnt * m.y) AS BIGINT) AS d
+                 FROM tok t JOIN m$r m USING (doc_id) GROUP BY t.f),
+         w$r AS (SELECT w.f, w.w + COALESCE(u.d, 0) AS w
+                 FROM w${r - 1} w LEFT JOIN u$r u USING (f))"""
+    }.mkString(",\n         ")
+    s"""WITH enr AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 0 THEN ' reviewed cited edited'
+                  WHEN doc_id % 4 = 1 THEN ' winner prize click'
+                  ELSE '' END AS text
+           FROM documents),
+         tok0 AS (
+           SELECT doc_id, $hash AS f
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                 FROM enr)
+           WHERE tk <> ''),
+         tok AS (
+           SELECT DISTINCT doc_id, f, CAST(1 AS BIGINT) AS cnt FROM tok0
+           UNION ALL
+           SELECT doc_id, $dims AS f, CAST(1 AS BIGINT) FROM enr),
+         lab AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE -1 END AS y
+                 FROM enr),
+         w0 AS (SELECT CAST(gs AS INT) AS f, CAST(0 AS BIGINT) AS w
+                FROM (SELECT unnest(range(0, ${dims + 1})) AS gs)),
+         $roundCtes,
+         finaldocs AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN 'upd ' || text ELSE text END AS text
+           FROM enr WHERE doc_id % 17 <> 0),
+         ftok0 AS (
+           SELECT doc_id, $hash AS f
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                 FROM finaldocs)
+           WHERE tk <> ''),
+         ftok AS (
+           SELECT DISTINCT doc_id, f, CAST(1 AS BIGINT) AS cnt FROM ftok0
+           UNION ALL
+           SELECT doc_id, $dims AS f, CAST(1 AS BIGINT) FROM finaldocs),
+         flab AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 1 ELSE -1 END AS y
+                  FROM finaldocs)
+         SELECT l.doc_id, CAST(l.y AS INT) AS y,
+           CAST(s.score AS BIGINT) AS score,
+           CAST(CASE WHEN s.score > 0 THEN 1 ELSE -1 END AS INT) AS pred
+         FROM (SELECT t.doc_id, CAST(SUM(t.cnt * w.w) AS BIGINT) AS score
+               FROM ftok t JOIN w$rounds w USING (f) GROUP BY t.doc_id) s
+         JOIN flab l USING (doc_id)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_classifier_incr" -> perceptronIncrOracle(dims = 512, rounds = 4),
     // QOI channel stream = the doc's byte cycle (pixel j channels are
     // bytes 3j, 3j+1, 3j+2 mod L), so rgb_sum follows the same cycle
     // arithmetic as the GIF oracle with n -> 3wh

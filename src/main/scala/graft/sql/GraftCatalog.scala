@@ -237,7 +237,13 @@ class GraftCatalog extends TableCatalog {
       clusterSmallFileBytes = props.get("cluster_small_file_bytes").map(_.toLong)
         .getOrElse(0L),
       rliMaintain = flag("rli_maintain", d = false),
-      bucketCount = props.get("bucket_count").map(_.toInt).getOrElse(0))
+      bucketCount = props.get("bucket_count").map(_.toInt).getOrElse(0),
+      // 'view_maintain' = true | false | async (async: commits mark
+      // durably, CALL drain_views refreshes)
+      viewMaintain = props.get("view_maintain")
+        .exists(v => v.trim.equalsIgnoreCase("async") || v.trim.toBoolean),
+      viewMaintainAsync = props.get("view_maintain")
+        .exists(_.trim.equalsIgnoreCase("async")))
     t.bulkInsert(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema))
     GraftSql.register(spark, name, t)

@@ -268,6 +268,15 @@ object GraftSql {
               if (graft.operators.GraftTable.cmpKey(a, b) >= 0) a else b)
           },
           "commit_time_ms" -> c.commitTimeMs.toString)
+      case "drain_views" =>
+        // async view maintenance's drainer half (view_maintain='async'):
+        // refresh the table's dependent-view closure and clear the
+        // durable pending mark. Safe to call any time — each view's own
+        // watermark makes an already-fresh drain a no-op.
+        arity(1)
+        val t = lookup(args(0))
+        val hadPending = t.drainViews()
+        summary("drained" -> args(0), "had_pending" -> hadPending.toString)
       case "run_fsck" =>
         // table integrity check from SQL: missing/orphaned/size-mismatch
         // file counts + the overall verdict (the API fsck's exact tuple)
@@ -437,7 +446,7 @@ object GraftSql {
         (sessionViews ++ discovered).foreach { case (n, v) =>
           if (!byRoot.contains(v.root)) byRoot.put(v.root, (n, v))
         }
-        byRoot.values.toSeq.flatMap { case (n0, v) =>
+        val listed = byRoot.values.toSeq.flatMap { case (n0, v) =>
           viewSpecOf(v).map {
             case (kind, spec) =>
               val n = n0.getOrElse(v.root)
@@ -468,6 +477,16 @@ object GraftSql {
               (n, kind, v.root, watermark,
                 stale.map(java.lang.Boolean.valueOf).orNull)
           }
+        }
+        // a registry-discovered three-table state is named by its out
+        // root's PARENT directory — two states at `.../a/state/out` and
+        // `.../b/state/out` would both list as 'state'. Disambiguate
+        // colliding names (distinct locations) with the full root, which
+        // is always unique in the listing (byRoot keys on it).
+        val dupNames = listed.groupBy(_._1)
+          .collect { case (n, rs) if rs.size > 1 => n }.toSet
+        listed.map { case r @ (n, kind, root, wm, stale) =>
+          if (dupNames(n)) (root, kind, root, wm, stale) else r
         }.toDF("view", "kind", "location", "watermark", "stale")
       case "drop_view" =>
         // retire a materialization from SQL: refuse loudly on anything
@@ -513,19 +532,28 @@ object GraftSql {
         if (Seq("segment", "span").contains(kind) &&
             !java.nio.file.Files.exists(outRoot)) {
           val stateRoot = outRoot.getParent
-          Seq("df", "post").map(stateRoot.resolve).foreach { d =>
-            if (java.nio.file.Files.exists(d))
+          // guarded sweep: only siblings that self-describe as graft
+          // state tables (`_graft/table.json`) are swept, and every
+          // per-path delete is best-effort (Try) — a concurrent stage
+          // pin or stray entry must not abort the CALL after the out
+          // table is already dropped, half-retiring the state root
+          Seq("df", "post").map(stateRoot.resolve)
+            .filter(d => java.nio.file.Files.exists(
+              d.resolve("_graft").resolve("table.json")))
+            .foreach { d =>
               scala.util.Using.resource(java.nio.file.Files.walk(d)) { s =>
                 import scala.jdk.CollectionConverters._
                 s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                  .iterator().asScala.foreach(java.nio.file.Files.delete)
+                  .iterator().asScala.foreach(p =>
+                    scala.util.Try(java.nio.file.Files.delete(p)))
               }
-          }
-          // the (now-empty) state root itself
+            }
+          // the (now-empty) state root itself — best-effort too
           if (java.nio.file.Files.isDirectory(stateRoot) &&
               scala.util.Using.resource(
                 java.nio.file.Files.list(stateRoot))(_.count()) == 0)
-            java.nio.file.Files.delete(stateRoot)
+            scala.util.Try(java.nio.file.Files.delete(stateRoot))
+          ()
         }
         summary("dropped" -> args(0), "kind" -> kind)
       case "create_dedup_state" =>

@@ -256,11 +256,12 @@ class ConcurrencySpec extends AnyFunSuite {
       staleLockMs = 1500)
     t.bulkInsert(Seq((0L, "a", "001")).toDF("id", "v", "trx_seq"))
     t.upsert(Seq((0L, "b", "002")).toDF("id", "v", "trx_seq"))
-    // a crashed OCC writer's in-flight marker: exists, never heartbeats
+    // a crashed OCC writer's in-flight marker: exists with a just-now
+    // heartbeat stamp in its lease payload, then never heartbeats again
     val inflight = java.nio.file.Paths.get(root, "_graft", "inflight")
     Files.createDirectories(inflight)
     val dead = inflight.resolve("w-deadwriter")
-    Files.write(dead, "0".getBytes)
+    Files.write(dead, s"0 - ${System.currentTimeMillis()}".getBytes)
     val t0 = System.currentTimeMillis()
     val cleaned = t.clean(retainCommits = 1)
     val waited = System.currentTimeMillis() - t0

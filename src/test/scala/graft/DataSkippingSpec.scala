@@ -469,7 +469,7 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(patched == Set((5L, "patched"), (1999L, "v1999"), (3998L, "v3998")))
   }
 
-  test("record-index maintenance rewrites only changed buckets; the rest hard-link") {
+  test("record-index maintenance rewrites only changed buckets; the rest carry") {
     val root = tmp()
     val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 8 * 1024)
     t.bulkInsert((0L until 4000L).map(i => (i, s"v$i", "001"))
@@ -485,24 +485,22 @@ class DataSkippingSpec extends AnyFunSuite {
     val got = t.readKeysIndexed(probes).select("id", "v")
       .as[(Long, String)].collect().toSet
     assert(got == Set((7L, "u7"), (8L, "u8"), (1999L, "v1999"), (3998L, "v3998")))
-    // scale shape: most buckets were hard-linked from the prior index
-    // (shared inode), only the churn's buckets were rewritten
-    def inodes(seqN: Long): Map[String, Any] = {
-      val dir = java.nio.file.Paths.get(root, "_graft", "rli", s"c$seqN")
-      scala.util.Using.resource(java.nio.file.Files.walk(dir)) { s =>
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .map(p => dir.relativize(p).toString ->
-            java.nio.file.Files.getAttribute(p, "unix:ino"))
-          .toMap
-      }
+    // scale shape: most buckets CARRY their prior shard-dir pointer in
+    // the published meta (zero bytes moved on any store — the map
+    // indirection replaces the old hard-link carry), only the churn's
+    // buckets point at a freshly written dir
+    def dirsOf(seqN: Long): Map[String, String] = {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      import org.json4s.jackson.JsonMethods
+      (JsonMethods.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(root, "_graft", "rli", s"c$seqN.json")))
+        \ "dirs").extract[Map[String, String]]
     }
-    val prior = inodes(priorSeq)
-    val now = inodes(seq)
-    val shared = now.count { case (rel, ino) => prior.get(rel).contains(ino) }
-    assert(shared > 0, "unchanged buckets must hard-link, not copy")
-    assert(shared < now.size, "changed buckets must be rewritten")
+    val prior = dirsOf(priorSeq)
+    val now = dirsOf(seq)
+    val carried = now.count { case (b, d) => prior.get(b).contains(d) }
+    assert(carried > 0, "unchanged buckets must carry their prior shard dirs")
+    assert(carried < now.size, "changed buckets must be rewritten into a new dir")
     // full snapshot still exact through the maintained index path
     assert(t.readKeysIndexed(Seq(f"${0L}%019d")).select("v").as[String].head() == "v0")
   }

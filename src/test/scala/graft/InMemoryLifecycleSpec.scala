@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.model.{CountingObjectStore, GraftMem}
+import graft.operators.{GraftTable, IncrementalAgg}
+
+/** Round-18 proof that the object-store seam covers the WHOLE engine,
+  * not just the timeline (the round-17 scope): a full table lifecycle —
+  * create → CDC upserts under lock AND under OCC markers → hands-free
+  * RLI maintenance + indexed point reads → materialized-view create +
+  * hands-free refresh → clean / archive / fsck — runs over an
+  * [[graft.model.InMemoryObjectStore]] space with the table root NEVER
+  * existing on disk. Spark's data plane rides [[GraftMemFileSystem]]
+  * over the same store (the s3a stand-in); every metadata byte rides
+  * the [[graft.operators.GraftTable.meta]] seam. If any code path still
+  * reached for `java.nio` under the root, it would throw (no such local
+  * directory) or leave a local `graftmem:` artifact — both asserted
+  * against here.
+  */
+class InMemoryLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshSpace(): String = {
+    GraftMem.install(spark.sparkContext.hadoopConfiguration)
+    s"life-${java.util.UUID.randomUUID().toString.take(8)}"
+  }
+
+  test("full table lifecycle over an in-memory space — root never on disk") {
+    val space = freshSpace()
+    val root = GraftMem.root(space, "t1")
+    val t = new GraftTable(spark, root, Seq("id"),
+      targetFileBytes = 16 * 1024, staleLockMs = 60000, rliMaintain = true,
+      viewMaintain = true)
+
+    // create + first load (locked write path)
+    t.bulkInsert((0L until 2000L).map(i => (i, s"v$i", i % 7, "001"))
+      .toDF("id", "v", "grp", "trx_seq"))
+    assert(t.readUser().count() == 2000)
+
+    // materialized agg view in the same space, registered for
+    // hands-free refresh
+    val viewRoot = GraftMem.root(space, "t1_by_grp")
+    val view = IncrementalAgg.create(spark, t, viewRoot,
+      Seq("grp"), Seq("total" -> "id"))
+    assert(view.readUser().count() == 7)
+
+    // CDC upsert under the table lock — lease CAS + heartbeat through
+    // the store; viewMaintain refreshes the view inline; rliMaintain
+    // keeps the index current
+    t.upsert(Seq((5L, "u5", 5L, "002"), (2001L, "new", 1L, "002"))
+      .toDF("id", "v", "grp", "trx_seq"))
+    assert(t.readUser().count() == 2001)
+
+    // OCC upsert — in-flight marker objects + seq CAS, no lock
+    t.upsertOptimistic(Seq((6L, "u6", 6L, "003"))
+      .toDF("id", "v", "grp", "trx_seq"))
+    assert(t.readUser().filter(col("id") === 6L).select("v")
+      .as[String].head() == "u6")
+
+    // indexed point read through the maintained RLI
+    val seq = t.maintainRecordIndex()
+    assert(seq == t.latestCommit().get.seq)
+    assert(t.readKeysIndexed(Seq(f"${2001L}%019d")).select("v")
+      .as[String].head() == "new")
+
+    // view caught up hands-free (its watermark rides its own commits)
+    val total = view.readUser().agg(sum("n")).head().getLong(0)
+    assert(total == 2001, s"view rows=$total")
+
+    // time travel + savepoint + maintenance over the store
+    t.savepoint(t.latestCommit().get.seq)
+    assert(t.readAsOf(0).count() == 2000)
+    t.clean(retainCommits = 1)
+    t.archive(keepLast = 2)
+    val (missing, orphaned, mismatch, ok) = t.fsck()
+    assert(ok == true, s"fsck: missing=$missing orphaned=$orphaned mismatch=$mismatch")
+    assert(t.readUser().count() == 2001)
+
+    // the root never existed on disk: neither as a literal relative
+    // path (what a stray java.nio call would create) nor anywhere else
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("graftmem:")),
+      "a code path fell back to java.nio under the in-memory root")
+    GraftMem.dropSpace(space)
+  }
+
+  test("clone crosses spaces; store-call census is flat per commit") {
+    val space = freshSpace()
+    val root = GraftMem.root(space, "src")
+    val t = new GraftTable(spark, root, Seq("id"), staleLockMs = 60000)
+    t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001"))
+      .toDF("id", "v", "trx_seq"))
+
+    // zero-copy-contract clone into the same space (byte copy in
+    // memory), full isolation
+    val cloned = t.cloneTo(GraftMem.root(space, "dst"))
+    assert(cloned.readUser().count() == 2)
+    t.upsert(Seq((1L, "a2", "002")).toDF("id", "v", "trx_seq"))
+    assert(cloned.readUser().filter(col("id") === 1L).select("v")
+      .as[String].head() == "a")
+
+    // request-amplification guard: wrap the space in a counting store
+    // and assert the per-upsert request count does not grow with the
+    // number of prior commits (the O(commits)-LIST regression the
+    // head-pointer protocol exists to prevent)
+    val counter = new CountingObjectStore(GraftMem.rawSpace(space))
+    GraftMem.wrapSpace(space, counter)
+    try {
+      val t2 = new GraftTable(spark, root, Seq("id"), staleLockMs = 60000)
+      def costOfUpsert(seqTag: Int): Long = {
+        counter.reset()
+        t2.upsert(Seq((2L, s"u$seqTag", f"$seqTag%03d"))
+          .toDF("id", "v", "trx_seq"))
+        counter.total
+      }
+      val early = costOfUpsert(10)
+      (11 until 30).foreach(costOfUpsert)
+      val late = costOfUpsert(30)
+      assert(late <= early * 2,
+        s"store requests grew with commit count: early=$early late=$late")
+    } finally {
+      GraftMem.unwrapSpace(space)
+      GraftMem.dropSpace(space)
+    }
+  }
+}

@@ -158,20 +158,26 @@ class ObjectStoreSpec extends AnyFunSuite {
       "the in-memory protocol must never touch the filesystem")
   }
 
-  test("LIST lag at the timeline level: a by-listing reader serves the previous snapshot") {
+  test("LIST lag: head-pointer discovery is immune; by-listing recovery serves a stale-but-consistent snapshot and heals by key") {
     val base = s"/graft-inmem-${java.util.UUID.randomUUID()}"
     val f = new FaultInjectingObjectStore(new InMemoryObjectStore)
     val tl = new Timeline(base, new ObjectStoreCommitStore(f, Paths.get(base)))
     tl.commit(Commit(0L, "bulk_insert", Seq(df("data/c0/p.parquet")), "{}", None, 1000L))
-    f.lagListings(2)
+    f.lagListings(4)
     tl.commit(Commit(1L, "upsert", Seq(df("data/c1/p.parquet")), "{}", None, 1001L))
-    // the lagged listing hides commit 1: the reader sees the PREVIOUS
-    // consistent snapshot (stale, never torn) — and BY-KEY reads still
-    // serve the new commit, so the writer itself is unaffected
-    assert(tl.latestSeq() == Some(0L))
+    // the hot path never lists: the CAS winner's head pointer + by-key
+    // reads (strong on S3) see the new commit immediately, lag or not
+    assert(tl.latestSeq() == Some(1L), "head-pointer discovery must not LIST")
     assert(tl.read(1L).files.head.path == "data/c1/p.parquet")
-    assert(tl.latestSeq() == Some(0L), "still lagged")
-    assert(tl.latestSeq() == Some(1L), "listing settles")
+    // recovery path: with the pointer LOST (pre-head timeline / wiped
+    // cache), the first discovery falls back to the lagged LISTing and
+    // serves the PREVIOUS consistent snapshot (stale, never torn)...
+    f.delete("_graft/commits/_head")
+    assert(tl.latestSeq() == Some(0L), "by-listing recovery under lag")
+    // ...and the re-seeded pointer heals by FORWARD KEY PROBES on the
+    // very next call — by-key existence is strong, so the lag cannot
+    // hide the newer commit from the healed path
+    assert(tl.latestSeq() == Some(1L), "forward probe heals past the lag")
   }
 
   test("OCC race over the object store: lock-free writers all land, latest-wins holds") {

@@ -213,7 +213,9 @@ class TimelineSpec extends AnyFunSuite {
     tl.savepoint(2L)                       // +1 CAS
     val archived = tl.archive(keepLast = 5) // +1 CAS (archive file) +1 put (boundary checkpoint)
     assert(archived == 7)
-    assert(store.casCalls == 14 && store.putCalls == 1,
+    // plain puts = one head-pointer advance per committed seq (12) + the
+    // archive boundary's in-place checkpoint rewrite (1)
+    assert(store.casCalls == 14 && store.putCalls == 13,
       s"archive/savepoint bypassed the store (cas=${store.casCalls}, put=${store.putCalls})")
     // protocol behavior is unchanged through the seam
     assert(tl.latest().get.seq == 11L)

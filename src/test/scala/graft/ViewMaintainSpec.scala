@@ -114,6 +114,38 @@ class ViewMaintainSpec extends AnyFunSuite {
     assert(src.readUser().count() == 2)
   }
 
+  test("async mode: ingest marks durably and returns stale; drain catches up; a crashed drain heals") {
+    val src = new GraftTable(spark, tmp(), Seq("id"),
+      targetFileBytes = 16 * 1024, viewMaintain = true,
+      viewMaintainAsync = true)
+    src.bulkInsert(Seq((1L, "x", 10L)).toDF("id", "g", "v"))
+    val view = IncrementalAgg.create(spark, src, tmp(), Seq("g"),
+      Seq("total" -> "v"))
+    // the ingest commit returns WITHOUT walking the view closure — the
+    // view is consistent-stale and the pending mark is durable
+    src.upsert(Seq((2L, "x", 7L)).toDF("id", "g", "v"))
+    assert(IncrementalAgg.appliedSeq(GraftTable.open(spark, view.root)) == Some(0L),
+      "async ingest must not pay the view walk")
+    assert(src.viewsPending(), "the pending mark must be durable at commit time")
+    assert(view.readUser().select(col("total")).as[Long].head() == 10L)
+    // the drainer (CALL drain_views / the next maintainer) catches up
+    assert(src.drainViews(), "drain must observe the outstanding mark")
+    assert(IncrementalAgg.appliedSeq(GraftTable.open(spark, view.root)) == Some(1L))
+    assert(view.readUser().select(col("total")).as[Long].head() == 17L)
+    assert(!src.viewsPending(), "drain must clear the mark")
+    // crash between mark and drain: a SECOND process's handle (fresh
+    // open — the crashed drainer's in-memory state is gone) sees the
+    // durable mark and heals
+    src.upsert(Seq((3L, "x", 3L)).toDF("id", "g", "v"))
+    assert(src.viewsPending())
+    val reopened = GraftTable.open(spark, src.root)
+    assert(reopened.viewMaintainAsync, "async mode must persist in the descriptor")
+    assert(reopened.drainViews())
+    assert(view.readUser().select(col("total")).as[Long].head() == 20L)
+    // an idle drain is a cheap no-op (no mark, watermarks already at head)
+    assert(!src.drainViews())
+  }
+
   test("registration filenames cannot alias: distinct roots register distinctly") {
     // the pre-fix scheme concatenated two UNPADDED hex strings, so
     // distinct roots could map to one filename and silently overwrite
