@@ -57,6 +57,65 @@ object ScratchDrive {
       return
     }
 
+    if (args.headOption.contains("state-files")) {
+      // bootstrap file counts of every IVM state kind — the stats-balloon
+      // census (a state bootstrapped as one-file-per-row poisons every
+      // later wave with per-file open overhead)
+      import spark.implicits._
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val base = java.nio.file.Files.createTempDirectory("graft-sfiles")
+      val src = new graft.operators.GraftTable(spark, s"$base/src", Seq("id"))
+      src.bulkInsert(d.withColumn("trx_seq", lit(f"${1}%020d")))
+      def files(t: graft.operators.GraftTable): Int =
+        t.latestCommit().map(_.files.size).getOrElse(-1)
+      val dd = graft.llm.IncrementalDedup.create(spark, src, s"$base/dd", "id", "text")
+      println(s"FILES dedup_state=${files(dd)}")
+      val sc = graft.llm.IncrementalSpanCensus.create(spark, src, s"$base/span", "id", "text")
+      println(s"FILES span_df=${files(sc.df)} span_post=${files(sc.post)} span_out=${files(sc.out)}")
+      val sg = graft.llm.IncrementalSegmentDedup.create(spark, src, s"$base/seg", "id", "text")
+      println(s"FILES seg_df=${files(sg.df)} seg_post=${files(sg.post)} seg_out=${files(sg.out)}")
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val osrc = new graft.operators.GraftTable(spark, s"$base/osrc", Seq("o_orderkey"))
+      osrc.bulkInsert(orders.withColumn("trx_seq", lit(f"${1}%020d")))
+      val agg = graft.operators.IncrementalAgg.create(spark, osrc, s"$base/agg",
+        Seq("o_orderstatus"), Seq("total" -> "CAST(o_totalprice AS DECIMAL(18,2))"))
+      println(s"FILES agg_state=${files(agg)}")
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("incr-dedup")) {
+      // the Bench w_incr_dedup fixture in isolation, with stage splits —
+      // the candidates-stage A/B harness (round-18 verdict #3)
+      import spark.implicits._
+      (1 to 3).foreach { i =>
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val base = java.nio.file.Files.createTempDirectory("graft-ivmd")
+        val src = new graft.operators.GraftTable(spark, s"$base/src", Seq("id"))
+        src.bulkInsert(d.withColumn("trx_seq", lit(f"${1}%020d")))
+        src.upsert(d.filter(col("id") % 13 === 0)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+          .withColumn("trx_seq", lit(f"${2}%020d")))
+        val state = new graft.operators.GraftTable(spark, s"$base/state",
+          Seq("id"),
+          clusterSmallFileBytes = graft.operators.GraftTable.StateClusterSmallFileBytes)
+        graft.llm.IncrementalDedup.bootstrap(src, state, "id", "text",
+          graft.llm.IncrementalDedup.Params(), 0L)
+        graft.util.StageTimer.enable()
+        timed(s"w_incr_dedup run$i")(
+          graft.llm.IncrementalDedup.maintain(src, state, "id", "text",
+            graft.llm.IncrementalDedup.Params(), 0L, 1L))
+        println(s"STAGES run$i: " + graft.util.StageTimer.collect()
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+        println(s"STATE run$i: " + state.history().map(c =>
+          s"${c.seq}:${c.action}:${c.files.size}f").mkString(" "))
+      }
+      spark.stop()
+      return
+    }
+
     (1 to 3).foreach { i =>
       println(s"--- run $i ---")
       val root = java.nio.file.Files.createTempDirectory("graft-prof").toString

@@ -201,9 +201,21 @@ object IncrementalDedup {
       val out = sigs.join(comps, Seq("id"), "left")
         .select(col("id"), col("thash"), col("sig"), col("n_sh"),
           coalesce(col("_c"), col("id")).as("comp"))
-      state.bulkInsert(out,
-        extraMeta = extraMeta + (AppliedSeqKey -> atSeq.toString))
-      ()
+        // materialized BEFORE the bulk insert so the file plan sizes off
+        // the relation's ACTUAL bytes: Catalyst's size-only estimate for
+        // the components join is a near-product of the sides, and the
+        // ballooned estimate wrote ONE FILE PER ROW (a 5,000-doc state
+        // bootstrapped as 5,000 files — every later wave then paid
+        // 5,000 file opens per state scan and the inline fold rewrote
+        // them all). The IncrementalJoin.bootstrap stats-balloon fix,
+        // applied to the signature store.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        out.count()
+        state.bulkInsert(out,
+          extraMeta = extraMeta + (AppliedSeqKey -> atSeq.toString))
+        ()
+      } finally { out.unpersist(blocking = false); () }
     } finally { sigs.unpersist(blocking = false); () }
   }
 

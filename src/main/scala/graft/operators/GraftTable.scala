@@ -2962,7 +2962,16 @@ class GraftTable(
       // maintenance-only commits)
       if (prev.logFiles.isEmpty && carried.nonEmpty && small.size < 2)
         return prev
-      if (inline && prev.logFiles.isEmpty && small.size < 2) return prev
+      // the AUTOMATIC pass additionally waits for enough small-file DEBT
+      // to amortize the fold's fixed job cost (the Hudi
+      // inline.clustering.max.commits cadence, expressed in files): a
+      // maintenance MERGE adds ~1 small file per wave, so folding at
+      // every second file paid ~4 jobs per wave to merge two tiny files —
+      // measured at sf0.1 as the dominant share of w_incr_dedup's merge
+      // stage. Folding at 4 amortizes that overhead over ~3 waves while
+      // the file count still plateaus (IvmSoak asserts <= 4).
+      if (inline && prev.logFiles.isEmpty &&
+        small.size < GraftTable.InlineFoldMinFiles) return prev
       val schema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val input =
@@ -4098,6 +4107,10 @@ object GraftTable {
     * re-folded at most ~log₂(threshold/waveBytes) times before its file
     * graduates) — the LSM-ish trade Hudi's inline clustering makes. */
   val StateClusterSmallFileBytes: Long = DefaultTargetFileBytes / 8
+
+  /** Small-file count below which the INLINE clustering pass skips —
+    * the fold-cadence knob (see the guard in `doCluster`). */
+  val InlineFoldMinFiles: Int = 4
   /** Driver-side footer-harvest fan-out (bounded: metadata I/O, not CPU). */
   val HarvestParallelism: Int = 24
   /** Above this many files per write, footer harvest runs as a Spark job

@@ -241,4 +241,50 @@ class TimelineSpec extends AnyFunSuite {
     cold.commit(Commit(34, "upsert", live, "{}", Some("cp34b"), 1700000001000L))
     assert(new Timeline(root).read(34).files.map(_.path) == live.map(_.path))
   }
+
+  test("request census: hot-path commit discovery is LIST-free and flat in commit count") {
+    // On an object store the protocol's cost is REQUEST COUNT: this is
+    // the store-call budget (round-18) pinned at the timeline level.
+    val base = s"/graft-census-${java.util.UUID.randomUUID()}"
+    val counter = new graft.model.CountingObjectStore(
+      new graft.model.InMemoryObjectStore)
+    val tl = new Timeline(base,
+      new graft.model.ObjectStoreCommitStore(counter,
+        java.nio.file.Paths.get(base)))
+    def f(p: String) = DataFile(p, Map.empty, "a", "z", 10, 100)
+    (0L to 40L).foreach { s =>
+      tl.commit(Commit(s, "upsert", Seq(f(s"data/c$s/p.parquet")), "{}",
+        None, 1000 + s))
+    }
+    // commit = exactly one conditional PUT (the record CAS) + one plain
+    // PUT (the head-pointer advance) + bounded by-key reads — never a
+    // LIST
+    counter.reset()
+    tl.commit(Commit(41L, "upsert", Seq(f("data/c41/p.parquet")), "{}",
+      None, 1041L))
+    assert(counter.casPuts.get == 1 && counter.lists.get == 0,
+      s"commit census: ${counter.census}")
+    // discovery on a COLD timeline (no memoized state): GET head + HEAD
+    // the record + one miss probe — 0 LISTs, flat in the 42 commits
+    val cold = new Timeline(base,
+      new graft.model.ObjectStoreCommitStore(counter,
+        java.nio.file.Paths.get(base)))
+    counter.reset()
+    assert(cold.latestSeq() == Some(41L))
+    assert(counter.lists.get == 0, s"discovery must not LIST: ${counter.census}")
+    assert(counter.total <= 4, s"discovery census: ${counter.census}")
+    // repeated discovery stays O(1) regardless of timeline length
+    counter.reset()
+    (1 to 10).foreach(_ => assert(cold.latestSeq() == Some(41L)))
+    assert(counter.lists.get == 0 && counter.total <= 40,
+      s"hot discovery census: ${counter.census}")
+    // pointer LOSS: exactly one recovery LIST re-seeds, then O(1) again
+    counter.delete("_graft/commits/_head")
+    counter.reset()
+    assert(cold.latestSeq() == Some(41L))
+    assert(counter.lists.get == 1, s"recovery census: ${counter.census}")
+    counter.reset()
+    assert(cold.latestSeq() == Some(41L))
+    assert(counter.lists.get == 0, s"re-seeded census: ${counter.census}")
+  }
 }

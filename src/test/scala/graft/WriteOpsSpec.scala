@@ -245,17 +245,24 @@ class WriteOpsSpec extends AnyFunSuite {
       clusterSmallFileBytes = 4 * 1024)
     t.bulkInsert((0L until 4000L).map(i => (i, s"v$i" * 4, "001"))
       .toDF("id", "v", "trx_seq"))
-    // one tiny insert: a single small file — inline pass must NOT fire
+    // below the fold cadence (InlineFoldMinFiles = 4): accumulating
+    // small-file debt must NOT trigger — folding two tiny files per
+    // wave paid ~4 fixed jobs each maintenance MERGE for nothing
     val c1 = t.upsert(Seq((100000L, "a", "002")).toDF("id", "v", "trx_seq"))
     assert(c1.action == "upsert", s"single small file must not trigger (got ${c1.action})")
-    // second tiny insert: two small files — inline pass fires and returns
-    // the clustering commit (the same shape as MOR inline compaction)
     val c2 = t.upsert(Seq((200000L, "b", "003")).toDF("id", "v", "trx_seq"))
-    assert(c2.action == "cluster", s"expected inline cluster commit (got ${c2.action})")
-    assert(c2.extra("files_carried").toInt > 0)
-    assert(c2.extra("files_rewritten").toInt >= 2)
+    assert(c2.action == "upsert", s"2 small files are below the fold cadence (got ${c2.action})")
+    val c3 = t.upsert(Seq((300000L, "c", "004")).toDF("id", "v", "trx_seq"))
+    assert(c3.action == "upsert", s"3 small files are below the fold cadence (got ${c3.action})")
+    // fourth small file reaches the cadence — the inline pass fires and
+    // returns the clustering commit (the same shape as MOR inline
+    // compaction), folding the whole accumulated debt at once
+    val c4 = t.upsert(Seq((400000L, "d", "005")).toDF("id", "v", "trx_seq"))
+    assert(c4.action == "cluster", s"expected inline cluster commit (got ${c4.action})")
+    assert(c4.extra("files_carried").toInt > 0)
+    assert(c4.extra("files_rewritten").toInt >= 4)
     val got = t.readUser().select("id", "v").as[(Long, String)].collect().toMap
-    assert(got.size == 4002 && got(100000L) == "a" && got(200000L) == "b")
+    assert(got.size == 4004 && got(100000L) == "a" && got(400000L) == "d")
   }
 
   test("renameColumn rewrites once and preserves data under the new name") {
