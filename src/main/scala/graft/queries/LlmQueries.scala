@@ -183,6 +183,39 @@ object LlmScenario {
     * waves land on the source, and ONE `CALL refresh_segment_state`
     * catches it up across all three windows. The graded read is plain
     * SQL over the registered output table. */
+  /** The classifier-score lifecycle driven from PURE SQL: `CALL
+    * create_classifier_view` trains + bootstraps (weights frozen in the
+    * view's timeline), two CDC waves land, ONE `CALL
+    * refresh_classifier_view` catches up across both windows; the
+    * graded read is plain SQL over the registered view. */
+  def sqlClassifierState(s: SparkSession, dir: String): Unit = {
+    cache.getOrElseUpdate(s"sqlcls:$dir", {
+      val base = Files.createTempDirectory("graft-llm-sqlcls")
+      val src = new GraftTable(s, s"$base/src", Seq("id"),
+        targetFileBytes = 256 * 1024)
+      val id = col("id")
+      val enriched = docs(s, dir).select(id,
+        concat(col("text"),
+          when(id % 4 === 0, lit(" reviewed cited edited"))
+            .when(id % 4 === 1, lit(" winner prize click"))
+            .otherwise(lit(""))).as("text"))
+      src.bulkInsert(meta(enriched, 1, deleted = false))
+      graft.sql.GraftSql.register(s, "cls_src", src)
+      s.sql("CALL create_classifier_view('cls_src', 'cls_view_v', " +
+        s"'$base/view', 'id', 'text', 'id % 4 = 0')").collect()
+      src.upsert(meta(enriched.filter(id % 13 === 0)
+        .withColumn("text", concat(lit("upd "), col("text"))), 2,
+        deleted = false))
+      src.upsert(meta(enriched.filter(id % 17 === 0), 3, deleted = true))
+      val out = s.sql("CALL refresh_classifier_view('cls_view_v')").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+      require(out("from_seq") == "0" && out("to_seq") == "2",
+        s"one CALL must catch up both waves: $out")
+      src
+    })
+    ()
+  }
+
   def sqlSegmentState(s: SparkSession, dir: String): GraftTable =
     cache.getOrElseUpdate(s"sqlseg:$dir", {
       val base = Files.createTempDirectory("graft-llm-sqlseg")
@@ -314,6 +347,14 @@ object LlmQueries {
     "text_classifier_incr" -> ((s, dir) =>
       LlmScenario.incrClassifier(s, dir).readUser()
         .select(col("id").as("doc_id"), col("y"), col("score"), col("pred"))),
+    // the classifier view managed from PURE SQL (CALL
+    // create_classifier_view / refresh_classifier_view) — same
+    // frozen-model oracle, read back as a plain SELECT
+    "sql_classifier_state" -> ((s, dir) => {
+      LlmScenario.sqlClassifierState(s, dir)
+      s.sql("""SELECT id AS doc_id, y, score, pred
+               FROM graft.cls_view_v""")
+    }),
     // INCREMENTALLY-MAINTAINED segment dedup (round-16 stretch,
     // implemented): the per-document segment census/kept-text table
     // maintained from the change feed — df=2 boundary crossings rewrite
@@ -1117,6 +1158,7 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "text_classifier_incr" -> perceptronIncrOracle(dims = 512, rounds = 4),
+    "sql_classifier_state" -> perceptronIncrOracle(dims = 512, rounds = 4),
     // QOI channel stream = the doc's byte cycle (pixel j channels are
     // bytes 3j, 3j+1, 3j+2 mod L), so rgb_sum follows the same cycle
     // arithmetic as the GIF oracle with n -> 3wh

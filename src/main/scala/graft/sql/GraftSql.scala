@@ -25,8 +25,9 @@ import graft.operators.GraftTable
   *    create_agg_view, refresh_agg_view,
   *    create_join_view, refresh_join_view,
   *    create_dedup_state, refresh_dedup_state,
+  *    create_classifier_view, refresh_classifier_view, retrain_classifier,
   *    create_segment_state, refresh_segment_state,
-  *    create_span_state, refresh_span_state,
+  *    create_span_state, refresh_span_state, drain_views,
   *    run_compaction, run_clustering, run_clean,
   *    run_archive, run_fsck, create_savepoint, restore_savepoint,
   *    rollback_to, delete_partition, build_record_index. Each returns a
@@ -114,6 +115,8 @@ object GraftSql {
   private[sql] def freeFormArg(proc: String): Int => Boolean = proc match {
     case "create_agg_view" => i => i >= 3
     case "create_join_view" => i => i == 4 || i == 6 || i == 7
+    // the cheap-label construction is the author's own SQL boolean
+    case "create_classifier_view" => i => i == 5
     case _ => _ => false
   }
 
@@ -168,6 +171,7 @@ object GraftSql {
       .map(c => ("aggregate", c.extra))
       .orElse(graft.operators.IncrementalJoin.specOf(v).map(("join", _)))
       .orElse(graft.llm.IncrementalDedup.specOf(v).map(("dedup", _)))
+      .orElse(graft.llm.IncrementalClassifier.specOf(v).map(("classifier", _)))
       .orElse(v.historyNewestFirst()
         .find(_.extra.contains(graft.llm.IncrementalSegmentDedup.SrcRootKey))
         .map(c => ("segment", c.extra)))
@@ -372,6 +376,16 @@ object GraftSql {
               "params" -> spec(graft.llm.IncrementalDedup.ParamsKey),
               "applied_seq" ->
                 graft.llm.IncrementalDedup.appliedSeq(v).get.toString)
+          case Some(("classifier", spec)) =>
+            summary(
+              "kind" -> "classifier",
+              "source" -> spec(graft.llm.IncrementalClassifier.SrcRootKey),
+              "id_col" -> spec(graft.llm.IncrementalClassifier.IdColKey),
+              "text_col" -> spec(graft.llm.IncrementalClassifier.TextColKey),
+              "pos_label" -> spec(graft.llm.IncrementalClassifier.PosLabelKey),
+              "dims" -> spec(graft.llm.IncrementalClassifier.DimsKey),
+              "applied_seq" ->
+                graft.llm.IncrementalClassifier.appliedSeq(v).get.toString)
           case Some(("segment", spec)) =>
             summary(
               "kind" -> "segment",
@@ -469,6 +483,10 @@ object GraftSql {
                   val s0 = graft.llm.IncrementalSpanCensus.appliedSeq(v).get
                   (s"seq=$s0",
                     headOf(spec(graft.llm.IncrementalSpanCensus.SrcRootKey)).map(_ > s0))
+                case "classifier" =>
+                  val s0 = graft.llm.IncrementalClassifier.appliedSeq(v).get
+                  (s"seq=$s0",
+                    headOf(spec(graft.llm.IncrementalClassifier.SrcRootKey)).map(_ > s0))
                 case _ =>
                   val s0 = graft.operators.IncrementalAgg.appliedSeq(v).get
                   (s"seq=$s0",
@@ -509,6 +527,8 @@ object GraftSql {
             Seq(spec(graft.llm.IncrementalSegmentDedup.SrcRootKey)))
           case Some(("span", spec)) => ("span",
             Seq(spec(graft.llm.IncrementalSpanCensus.SrcRootKey)))
+          case Some(("classifier", spec)) => ("classifier",
+            Seq(spec(graft.llm.IncrementalClassifier.SrcRootKey)))
           case _ => throw new IllegalArgumentException(
             s"${args(0)} is not a created view (no spec in its timeline) — " +
               s"drop_view refuses plain tables; use DROP TABLE graft.${args(0)}")
@@ -588,6 +608,45 @@ object GraftSql {
         val (from, to) = graft.llm.IncrementalDedup.refresh(spark, state)
         summary("view" -> args(0),
           "from_seq" -> from.toString, "to_seq" -> to.toString)
+      case "create_classifier_view" =>
+        // incrementally-maintained classifier-score view over a keyed
+        // corpus table (graft.llm.IncrementalClassifier): trained ONCE
+        // at bootstrap (weights frozen in the view's own timeline),
+        // waves score only changed docs; CALL refresh_classifier_view
+        // catches up, CALL retrain_classifier re-trains + re-scores.
+        // Read back as a plain table (id, y, score, pred)
+        require(args.size >= 6 && args.size <= 8,
+          "create_classifier_view(src_table, view_name, location, id_col, " +
+            "text_col, pos_label_sql[, dims[, rounds]]) — got " +
+            s"${args.size} args")
+        val clsView = graft.llm.IncrementalClassifier.create(
+          spark, lookup(args(0)), args(2), args(3), args(4), args(5),
+          args.lift(6).map(_.toInt).getOrElse(512),
+          args.lift(7).map(_.toInt).getOrElse(4))
+        register(spark, args(1), clsView)
+        summary("view" -> args(1), "location" -> args(2),
+          "bootstrapped_at" ->
+            graft.llm.IncrementalClassifier.appliedSeq(clsView).get.toString)
+      case "refresh_classifier_view" =>
+        arity(1)
+        val clsView = lookup(args(0))
+        require(graft.llm.IncrementalClassifier.specOf(clsView).isDefined,
+          s"${args(0)} is not a created classifier view")
+        val (from, to) = graft.llm.IncrementalClassifier.refresh(spark, clsView)
+        summary("view" -> args(0),
+          "from_seq" -> from.toString, "to_seq" -> to.toString)
+      case "retrain_classifier" =>
+        // the explicit model-refresh operation: full retrain on the
+        // source's current snapshot, everything re-scored, new weights
+        // re-stamped — one overwrite commit
+        require(args.size == 1 || args.size == 2,
+          s"retrain_classifier(view[, rounds]) — got ${args.size} args")
+        val clsView = lookup(args(0))
+        require(graft.llm.IncrementalClassifier.specOf(clsView).isDefined,
+          s"${args(0)} is not a created classifier view")
+        val at = graft.llm.IncrementalClassifier.retrain(spark, clsView,
+          args.lift(1).map(_.toInt).getOrElse(4))
+        summary("view" -> args(0), "retrained_at" -> at.toString)
       case "create_segment_state" =>
         // incrementally-maintained CCNet segment-dedup state over a keyed
         // corpus table (graft.llm.IncrementalSegmentDedup): three state
@@ -695,9 +754,11 @@ object GraftSql {
             "restore_savepoint, rollback_to, delete_partition, " +
             "build_record_index, create_agg_view, refresh_agg_view, " +
             "create_join_view, refresh_join_view, create_dedup_state, " +
-            "refresh_dedup_state, create_segment_state, " +
-            "refresh_segment_state, create_span_state, " +
-            "refresh_span_state, show_view, show_views, drop_view")
+            "refresh_dedup_state, create_classifier_view, " +
+            "refresh_classifier_view, retrain_classifier, " +
+            "create_segment_state, refresh_segment_state, " +
+            "create_span_state, refresh_span_state, drain_views, " +
+            "show_view, show_views, drop_view")
     }
   }
 }
