@@ -85,6 +85,74 @@ object ScratchDrive {
       return
     }
 
+    if (args.headOption.contains("incr-span")) {
+      // interleaved fold-on/fold-off A/B with stage splits
+      import spark.implicits._
+      Seq(("fold", graft.operators.GraftTable.StateClusterSmallFileBytes),
+          ("nofold", 0L), ("fold", graft.operators.GraftTable.StateClusterSmallFileBytes),
+          ("nofold", 0L)).zipWithIndex.foreach { case ((tag, sc0), i) =>
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val base = java.nio.file.Files.createTempDirectory("graft-ivms")
+        val src = new graft.operators.GraftTable(spark, s"$base/src", Seq("id"))
+        src.bulkInsert(d.withColumn("trx_seq", lit(f"${1}%020d")))
+        src.upsert(d.filter(col("id") % 13 === 0)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+          .withColumn("trx_seq", lit(f"${2}%020d")))
+        val st = graft.llm.IncrementalSpanCensus.State(
+          new graft.operators.GraftTable(spark, s"$base/state/df", Seq("sh"),
+            clusterSmallFileBytes = sc0),
+          new graft.operators.GraftTable(spark, s"$base/state/post",
+            Seq("sh", "id"), clusterSmallFileBytes = sc0),
+          new graft.operators.GraftTable(spark, s"$base/state/out", Seq("id"),
+            clusterSmallFileBytes = sc0))
+        graft.llm.IncrementalSpanCensus.bootstrap(src, st, "id", "text", 3, 0L)
+        graft.util.StageTimer.enable()
+        timed(s"w_incr_span $tag run$i")(
+          graft.llm.IncrementalSpanCensus.maintain(src, st, "id", "text", 3,
+            0L, 1L))
+        println(s"SPAN-STAGES $tag run$i: " + graft.util.StageTimer.collect()
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+        println(s"SPAN-FILES $tag run$i: df=" +
+          st.df.latestCommit().map(_.files.size).getOrElse(-1) + " post=" +
+          st.post.latestCommit().map(_.files.size).getOrElse(-1) + " out=" +
+          st.out.latestCommit().map(_.files.size).getOrElse(-1) + " actions=" +
+          st.post.history().map(_.action).mkString(","))
+      }
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("incr-span-old")) {
+      // the Bench w_incr_span fixture in isolation (round-18: the 10 s
+      // bench reading vs the r17 6.2-6.5 s floor — load or regression?)
+      import spark.implicits._
+      (1 to 3).foreach { i =>
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val base = java.nio.file.Files.createTempDirectory("graft-ivms")
+        val src = new graft.operators.GraftTable(spark, s"$base/src", Seq("id"))
+        src.bulkInsert(d.withColumn("trx_seq", lit(f"${1}%020d")))
+        src.upsert(d.filter(col("id") % 13 === 0)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+          .withColumn("trx_seq", lit(f"${2}%020d")))
+        val sc = graft.operators.GraftTable.StateClusterSmallFileBytes
+        val st = graft.llm.IncrementalSpanCensus.State(
+          new graft.operators.GraftTable(spark, s"$base/state/df", Seq("sh"),
+            clusterSmallFileBytes = 0L),
+          new graft.operators.GraftTable(spark, s"$base/state/post",
+            Seq("sh", "id"), clusterSmallFileBytes = 0L),
+          new graft.operators.GraftTable(spark, s"$base/state/out", Seq("id"),
+            clusterSmallFileBytes = 0L))
+        graft.llm.IncrementalSpanCensus.bootstrap(src, st, "id", "text", 3, 0L)
+        timed(s"w_incr_span run$i")(
+          graft.llm.IncrementalSpanCensus.maintain(src, st, "id", "text", 3,
+            0L, 1L))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("incr-dedup")) {
       // the Bench w_incr_dedup fixture in isolation, with stage splits —
       // the candidates-stage A/B harness (round-18 verdict #3)

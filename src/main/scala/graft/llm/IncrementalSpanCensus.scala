@@ -284,6 +284,7 @@ object IncrementalSpanCensus {
       requireValidIds(after, s"the ($fromSeq, $toSeq] change feed")
       val distB = pins.pin(postsOf(before, n))
       val distA = pins.pin(postsOf(after, n))
+      graft.util.StageTimer.mark("feed_shingles")
       // signed df delta per shingle hash, joined with the PRE-wave df
       val delta = pins.pin(
         distA.groupBy(col("sh")).agg(count(lit(1)).as("_add"))
@@ -306,6 +307,7 @@ object IncrementalSpanCensus {
         .filter((col("_old") >= 2) =!= (col("_new") >= 2))
         .select(col("sh"),
           when(col("_new") >= 2, lit(1L)).otherwise(lit(-1L)).as("_dir")))
+      graft.util.StageTimer.mark("df_delta")
       val changedIds = img.select(
         coalesce(col("_after")(idCol), col("_before")(idCol))
           .cast("long").as("id")).distinct()
@@ -318,6 +320,7 @@ object IncrementalSpanCensus {
         .join(changedIds, Seq("id"), "left_anti")
         .groupBy(col("id")).agg(sum(col("_dir")).as("_shift"))
         .filter(col("_shift") =!= 0L))
+      graft.util.StageTimer.mark("partner_arith")
       val partnerRows = storedOut(st, partnerShift.select(col("id")))
         .join(partnerShift, Seq("id"))
         .select(col("id"), col("n_shingles"),
@@ -365,6 +368,7 @@ object IncrementalSpanCensus {
           insertWhenNotMatched = true,
           insertWhenNotMatchedCond = Some(col("src_n_shingles") >= 0L),
           extraMeta = meta, preCommit = guard(st.out))
+      graft.util.StageTimer.mark("merge_out")
       if (appliedSeq(st.post).contains(fromSeq))
         st.post.mergeInto(postDel.unionByName(postAdd),
           whenMatchedSet = Map("one" -> col("src_one")),
@@ -373,6 +377,7 @@ object IncrementalSpanCensus {
           insertWhenNotMatchedCond = Some(col("src_one") === 1L),
           extraMeta = Map(AppliedSeqKey -> toSeq.toString),
           preCommit = guard(st.post))
+      graft.util.StageTimer.mark("merge_post")
       if (appliedSeq(st.df).contains(fromSeq))
         st.df.mergeInto(dfDelta,
           whenMatchedSet = Map("df" -> col("src_df")),
@@ -381,6 +386,7 @@ object IncrementalSpanCensus {
           insertWhenNotMatchedCond = Some(col("src_df") > 0L),
           extraMeta = Map(AppliedSeqKey -> toSeq.toString),
           preCommit = guard(st.df))
+      graft.util.StageTimer.mark("merge_df")
       ()
     } finally pins.release()
   }
