@@ -143,18 +143,34 @@ class DirObjectStore(val root: Path) extends ObjectStore {
 
   def list(prefix: String): Seq[String] = {
     // a prefix is not necessarily a directory boundary (S3 has no dirs);
-    // walk the deepest existing directory at or above the prefix
+    // walk the deepest existing directory at or above the prefix. The
+    // walk must tolerate CONCURRENT MODIFICATION — a racing writer's
+    // `.tmp` staging sibling (or a just-released lease object) can
+    // vanish between directory enumeration and the per-entry stat, and
+    // `Files.walk` surfaces that as an UncheckedIOException mid-stream;
+    // a LIST on a real object store never fails that way (it serves a
+    // point-in-time-ish key page), so neither may the emulation.
     val asPath = pathOf(prefix)
     val dir = if (Files.isDirectory(asPath)) asPath else asPath.getParent
-    if (dir == null || !Files.isDirectory(dir)) Seq.empty
-    else scala.util.Using.resource(Files.walk(dir)) { s =>
-      s.iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .filterNot(_.getFileName.toString.endsWith(".tmp"))
-        .map(p => root.relativize(p).toString)
-        .filter(_.startsWith(prefix))
-        .toSeq.sorted
+    if (dir == null || !Files.isDirectory(dir)) return Seq.empty
+    val out = Seq.newBuilder[String]
+    def walk(d: Path): Unit = {
+      val entries =
+        try scala.util.Using.resource(Files.newDirectoryStream(d))(_.asScala.toList)
+        catch { case scala.util.control.NonFatal(_) => Nil } // dir vanished
+      entries.foreach { p =>
+        try {
+          if (Files.isDirectory(p)) walk(p)
+          else if (Files.isRegularFile(p) &&
+              !p.getFileName.toString.endsWith(".tmp")) {
+            val k = root.relativize(p).toString
+            if (k.startsWith(prefix)) out += k
+          }
+        } catch { case scala.util.control.NonFatal(_) => () } // entry vanished
+      }
     }
+    walk(dir)
+    out.result().sorted
   }
 
   def delete(key: String): Unit = {

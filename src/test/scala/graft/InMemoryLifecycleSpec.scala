@@ -85,6 +85,37 @@ class InMemoryLifecycleSpec extends AnyFunSuite {
     GraftMem.dropSpace(space)
   }
 
+  test("a three-table llm state (span census) lives entirely in the space") {
+    val space = freshSpace()
+    val src = new GraftTable(spark, GraftMem.root(space, "corpus"),
+      Seq("id"), staleLockMs = 60000)
+    def meta(df: org.apache.spark.sql.DataFrame, seq: Int, del: Boolean) =
+      df.withColumn(graft.model.Meta.Ordering, lit(f"$seq%020d"))
+        .withColumn(graft.model.Meta.Deleted, lit(del))
+    src.bulkInsert(meta(Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "p q r s t"))
+      .toDF("id", "text"), 1, del = false))
+    // create trains/bootstraps the df/post/out trio under the space root
+    val st = graft.llm.IncrementalSpanCensus.create(spark, src,
+      GraftMem.root(space, "spanstate"), "id", "text", 3)
+    // wave: doc 3 rewrites INTO the duplicated neighborhood (its new
+    // text shares 'a b c' with docs 1-2 — a df boundary crossing whose
+    // partner arithmetic point-reads the in-memory census)
+    src.upsert(meta(Seq((3L, "a b c d e")).toDF("id", "text"), 2,
+      del = false))
+    graft.llm.IncrementalSpanCensus.refresh(spark, st)
+    val got = graft.llm.IncrementalSpanCensus.output(st)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val exp = graft.llm.Dedup.duplicatedSpanStats(
+        src.readUser().select(col("id"), col("text")), "id", "text", n = 3)
+      .select(col("id"), col("n_shingles"), col("n_dup"), col("dup_ratio"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == exp, "in-memory maintained census != batch recompute")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("graftmem:")),
+      "a code path fell back to java.nio under the in-memory root")
+    GraftMem.dropSpace(space)
+  }
+
   test("clone crosses spaces; store-call census is flat per commit") {
     val space = freshSpace()
     val root = GraftMem.root(space, "src")
