@@ -51,6 +51,7 @@ object Bench {
 
   /** Last w_incr_dedup run's per-stage split (see the bench entry). */
   @volatile private var dedupStages: Seq[(String, Double)] = Seq.empty
+  @volatile private var spanStages: Seq[(String, Double)] = Seq.empty
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -359,8 +360,10 @@ object Bench {
             clusterSmallFileBytes = sc))
         graft.llm.IncrementalSpanCensus.bootstrap(src, st, "id", "text", 3, 0L)
         () => {
+          graft.util.StageTimer.enable()
           graft.llm.IncrementalSpanCensus.maintain(src, st, "id", "text", 3,
             0L, 1L)
+          Bench.spanStages = graft.util.StageTimer.collect()
           ()
         }
       }),
@@ -544,7 +547,8 @@ object Bench {
         java.nio.file.Paths.get(sfDir)).toMillis
       catch { case _: Exception => -1L }
     val stages = jsonMap(dedupStages)
-    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"readjudicated":$readjJson,"queries":$qs,"write_family":$ws,"llm_family":$ls,"w_incr_dedup_stages":$stages,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
+    val sstages = jsonMap(spanStages)
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"readjudicated":$readjJson,"queries":$qs,"write_family":$ws,"llm_family":$ls,"w_incr_dedup_stages":$stages,"w_incr_span_stages":$sstages,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
     println(record)
     // durable copy: the round-9 driver log kept only a 2000-char tail and
     // truncated the record's head, losing the machine-readable timings —
