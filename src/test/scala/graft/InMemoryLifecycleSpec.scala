@@ -85,6 +85,30 @@ class InMemoryLifecycleSpec extends AnyFunSuite {
     GraftMem.dropSpace(space)
   }
 
+  test("MERGE_ON_READ lifecycle in the space: delta logs, merged reads, compaction") {
+    val space = freshSpace()
+    val t = new GraftTable(spark, GraftMem.root(space, "mor"),
+      Seq("id"), staleLockMs = 60000, tableType = GraftTable.MergeOnRead)
+    t.bulkInsert((0L until 500L).map(i => (i, s"v$i", "001"))
+      .toDF("id", "v", "trx_seq"))
+    // delta commits log instead of rewriting base files
+    t.upsert(Seq((7L, "u7", "002")).toDF("id", "v", "trx_seq"))
+    t.upsert(Seq((500L, "new", "003")).toDF("id", "v", "trx_seq"))
+    assert(t.latestCommit().get.logFiles.nonEmpty, "MOR must log deltas")
+    assert(t.readUser().count() == 501)
+    assert(t.readUser().filter(col("id") === 7L).select("v")
+      .as[String].head() == "u7")
+    // per-file-group compaction folds the logs over the store
+    val c = t.compact()
+    assert(c.logFiles.isEmpty, "compaction must clear the delta logs")
+    assert(t.readUser().count() == 501)
+    assert(t.readUser().filter(col("id") === 7L).select("v")
+      .as[String].head() == "u7")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("graftmem:")),
+      "a code path fell back to java.nio under the in-memory root")
+    GraftMem.dropSpace(space)
+  }
+
   test("a three-table llm state (span census) lives entirely in the space") {
     val space = freshSpace()
     val src = new GraftTable(spark, GraftMem.root(space, "corpus"),
