@@ -37,8 +37,8 @@ object Bench {
     "w_merge_into", "w_compact_pruned", "w_cluster_planned", "w_changes_diff",
     "w_upsert_interval", "w_upsert_rli", "w_upsert_bucket",
     "w_upsert_narrow_interval", "w_upsert_narrow_bucket", "w_incr_agg",
-    "w_incr_join", "w_incr_dedup", "w_incr_span", "w_sql_point", "w_sql_ddl",
-    "w_stream_sink")
+    "w_incr_join", "w_incr_dedup", "w_incr_span", "w_incr_classifier",
+    "w_sql_point", "w_sql_ddl", "w_stream_sink")
 
   /** Third reported section (round 13+): the heavy LLM-curation
     * operators. `dedup_suffix` is the engine's most expensive single
@@ -370,6 +370,27 @@ object Bench {
       // catalog SQL point query with manifest triage (round-11): the scan
       // must schedule O(matching files), not the full manifest — the
       // round-10 "one scale-killer" measured, not asserted
+      // incremental classifier-score maintenance (round-18, the 6th view
+      // kind): one %13 text-rewrite wave scored through the
+      // bootstrap-frozen weights (setup per run: fresh corpus + trained
+      // view, untimed — training is the explicit retrain operation, not
+      // wave cost)
+      "w_incr_classifier" -> (() => {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val src = new graft.operators.GraftTable(spark,
+          tmpRoot("ivmc-src") + "/t", Seq("id"))
+        src.bulkInsert(d.withColumn("trx_seq", lit(f"${1}%020d")))
+        val view = graft.llm.IncrementalClassifier.create(spark, src,
+          tmpRoot("ivmc-view") + "/t", "id", "text", "id % 4 = 0")
+        src.upsert(d.filter(col("id") % 13 === 0)
+          .withColumn("text", concat(lit("upd "), col("text")))
+          .withColumn("trx_seq", lit(f"${2}%020d")))
+        () => {
+          graft.llm.IncrementalClassifier.refresh(spark, view)
+          ()
+        }
+      }),
       "w_sql_point" -> (() => {
         graft.sql.GraftSql.register(spark, "bench_point", mergeBase)
         () => {
@@ -483,9 +504,14 @@ object Bench {
           java.nio.file.Files.readString(java.nio.file.Paths.get(f)))
         Seq("queries", "write_family", "llm_family").flatMap(k =>
           (j \ k).extractOpt[Map[String, Double]].getOrElse(Map.empty))
-      }.groupBy(_._1).map { case (n, vs) =>
-        n -> median(vs.map(_._2).filter(_ > 0))
-      }.filter(_._2 > 0)
+      }.groupBy(_._1).flatMap { case (n, vs) =>
+        // a name that only ever failed (-1 in every trailing record)
+        // has no median — skip it rather than throw and collapse the
+        // WHOLE map to empty (one bad name must not disable the
+        // feature for every query)
+        val pos = vs.map(_._2).filter(_ > 0)
+        if (pos.nonEmpty) Some(n -> median(pos)) else None
+      }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
     val readjudicated = scala.collection.mutable.ListBuffer[String]()

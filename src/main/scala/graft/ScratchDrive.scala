@@ -136,7 +136,10 @@ object ScratchDrive {
         src.upsert(d.filter(col("id") % 13 === 0)
           .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
           .withColumn("trx_seq", lit(f"${2}%020d")))
-        val sc = graft.operators.GraftTable.StateClusterSmallFileBytes
+        // deliberately FOLD-OFF (clusterSmallFileBytes = 0): the r17
+        // fixture configuration, for like-for-like comparisons against
+        // pre-fold-config rounds; the interleaved A/B above carries the
+        // production config
         val st = graft.llm.IncrementalSpanCensus.State(
           new graft.operators.GraftTable(spark, s"$base/state/df", Seq("sh"),
             clusterSmallFileBytes = 0L),

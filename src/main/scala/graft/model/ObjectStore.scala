@@ -334,6 +334,13 @@ class CountingObjectStore(inner: ObjectStore) extends ObjectStore {
   override def copy(srcKey: String, dstKey: String): Unit = {
     puts.incrementAndGet(); inner.copy(srcKey, dstKey)
   }
+  override def deletePrefix(prefix: String): Unit = {
+    // delegate so a wrapped DirObjectStore keeps its husk sweep; the
+    // constituent requests are what it costs on a real store
+    lists.incrementAndGet()
+    deletes.addAndGet(inner.list(prefix).size.toLong)
+    inner.deletePrefix(prefix)
+  }
 }
 
 /** View of `inner` under a key prefix — how a TABLE's store (keys
@@ -355,6 +362,8 @@ class PrefixedObjectStore(inner: ObjectStore, prefix: String) extends ObjectStor
   override def putFile(key: String, src: Path): Unit = inner.putFile(k(key), src)
   override def copy(srcKey: String, dstKey: String): Unit =
     inner.copy(k(srcKey), k(dstKey))
+  override def deletePrefix(prefix: String): Unit =
+    inner.deletePrefix(k(prefix))
 }
 
 /** Fault-injection wrapper for contract tests: the failure modes an

@@ -766,7 +766,7 @@ class GraftTable(
     * handle-open in the same millisecond are still ordered by the bump,
     * and a clock-skewed writer cannot leapfrog a retune). */
   private[operators] var descriptorVersion: Long =
-    scala.util.Try(GraftTable.readConfig(root)).toOption.flatten
+    scala.util.Try(GraftTable.readConfigFrom(meta)).toOption.flatten
       .map(_.tunedAt).getOrElse(0L)
 
   private def persistConfig(force: Boolean = false): Unit =
@@ -780,12 +780,12 @@ class GraftTable(
       // republish. Commit-path calls run under the table lock, closing
       // the read-then-write race; the retune path forces its write (a
       // retune must land regardless of who stamped the descriptor last).
-      val onDisk = scala.util.Try(GraftTable.readConfig(root)).toOption.flatten
+      val onDisk = scala.util.Try(GraftTable.readConfigFrom(meta)).toOption.flatten
       val diskV = onDisk.map(_.tunedAt).getOrElse(0L)
       val stale = !force && diskV > descriptorVersion
       if (!stale) {
         val stamp = math.max(descriptorVersion, diskV) + 1
-        GraftTable.writeConfig(root, TableConfig(keyFields, partitionFields,
+        GraftTable.writeConfigTo(meta, TableConfig(keyFields, partitionFields,
           orderingField, tableType, globalIndex, statsColumns, keyBlooms,
           bloomColumns, partialUpdate, targetFileBytes, compactEvery,
           compactLogBytesRatio, clusterSmallFileBytes, rliMaintain, bucketCount,
@@ -3414,9 +3414,22 @@ class GraftTable(
     val heartbeat = startHeartbeat(key, s"graft-lock-heartbeat-$root",
       () => owned, () => payload)
     try f finally {
-      heartbeat.interrupt()
+      stopHeartbeat(heartbeat)
       if (owned) meta.delete(key)
     }
+  }
+
+  /** Interrupt AND JOIN the lease-refresh thread before the caller
+    * deletes the lease: a refresh PUT in flight when the interrupt
+    * lands would otherwise race the delete and RESURRECT the object
+    * with a fresh heartbeat — a phantom writer.lock/fence/marker no
+    * one will ever remove, blocking the next acquirer for a full
+    * staleLockMs. (The old mtime-touch heartbeat failed harmlessly on
+    * a deleted file; the re-PUT lease must be joined out.) */
+  private def stopHeartbeat(t: Thread): Unit = {
+    t.interrupt()
+    try t.join(math.max(2000L, staleLockMs / 2))
+    catch { case _: InterruptedException => Thread.currentThread().interrupt() }
   }
 
   /** Daemon lease-refresh loop: while the guard holds, the lease object
@@ -3490,7 +3503,7 @@ class GraftTable(
     val hb = startHeartbeat(marker, s"graft-inflight-heartbeat-$root",
       () => true, () => GraftTable.leasePayload())
     try f finally {
-      hb.interrupt()
+      stopHeartbeat(hb)
       meta.delete(marker)
     }
   }
@@ -3518,7 +3531,7 @@ class GraftTable(
       }
       f
     } finally {
-      hb.interrupt()
+      stopHeartbeat(hb)
       meta.delete(maintKey)
     }
   }
@@ -3594,18 +3607,30 @@ object GraftTable {
         .trim.split("\\s+").lastOption.flatMap(_.toLongOption))
       .getOrElse(0L)
 
-  /** Atomic publish of the self-describing table descriptor. */
-  private[operators] def writeConfig(root: String, cfg: TableConfig): Unit =
-    graft.model.GraftStores.forRoot(root).put("_graft/table.json",
+  /** Atomic publish of the self-describing table descriptor — through
+    * the given store, so a table with an EXPLICIT `store` keeps its
+    * descriptor on the same store as the rest of its metadata. */
+  private[operators] def writeConfigTo(store: graft.model.ObjectStore,
+      cfg: TableConfig): Unit =
+    store.put("_graft/table.json",
       org.json4s.jackson.Serialization.writePretty(cfg)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** The persisted descriptor, if the table at `root` is self-described. */
-  def readConfig(root: String): Option[TableConfig] =
-    graft.model.GraftStores.forRoot(root).get("_graft/table.json")
+  private[operators] def readConfigFrom(
+      store: graft.model.ObjectStore): Option[TableConfig] =
+    store.get("_graft/table.json")
       .map(b => org.json4s.jackson.JsonMethods.parse(
         new String(b, java.nio.charset.StandardCharsets.UTF_8))
         .extract[TableConfig])
+
+  /** Atomic publish of the self-describing table descriptor (store
+    * resolved by root). */
+  private[operators] def writeConfig(root: String, cfg: TableConfig): Unit =
+    writeConfigTo(graft.model.GraftStores.forRoot(root), cfg)
+
+  /** The persisted descriptor, if the table at `root` is self-described. */
+  def readConfig(root: String): Option[TableConfig] =
+    readConfigFrom(graft.model.GraftStores.forRoot(root))
 
   /** Open an existing table BY PATH from its persisted descriptor — no
     * key/partition/index configuration needed (the `hoodie.properties`
