@@ -38,8 +38,8 @@ object IvmSoak {
     // every tested scale), unioned in memory
     val mode = args.head
     require(mode == "agg" || mode == "join" || mode == "segdedup" ||
-      mode == "span" || mode == "hygiene",
-      s"mode agg|join|segdedup|span|hygiene, got $mode")
+      mode == "span" || mode == "dedup" || mode == "hygiene",
+      s"mode agg|join|segdedup|span|dedup|hygiene, got $mode")
 
     if (mode == "hygiene") {
       // STATE-TABLE FILE HYGIENE (round-16 verdict #5): ~200 maintenance
@@ -142,6 +142,39 @@ object IvmSoak {
           val st2 = freshState(s"spre-run$i")
           timed(s"recompute run$i")(
             ISC.bootstrap(c, st2, "id", "text", 3, 1L))
+        }
+      } else if (mode == "dedup") {
+        // IncrementalDedup wave cost vs corpus size (round-18, after
+        // the bootstrap stats-balloon fix): same replication + fixed
+        // %13-of-replica-0 rewrite delta as segdedup. Claim under test:
+        // maintain ∝ delta (flat across corpus replication), recompute
+        // (fresh bootstrap at head) ∝ corpus.
+        val one0 = spark.read.parquet(ordersPath)
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val docsAll = (0 until reps.toInt).map(i =>
+          one0.select((col("id") + lit(1000000000L * i)).as("id"),
+            concat(col("text"), lit(s" rep$i")).as("text"))).reduce(_ union _)
+        println(s"rows: ${docsAll.count()}")
+        def tmpd(tag: String) =
+          java.nio.file.Files.createTempDirectory(s"ivm-soak-$tag").toString
+        val src0 = new graft.operators.GraftTable(spark, tmpd("ddsrc") + "/t",
+          Seq("id"), targetFileBytes = 1024 * 1024)
+        src0.bulkInsert(docsAll)
+        val ddDelta = docsAll.filter(col("id") % 13 === 0 && col("id") < 150000)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+        import graft.llm.{IncrementalDedup => IDD}
+        (1 to 3).foreach { i =>
+          val c = src0.cloneTo(tmpd(s"dd-run$i") + "/t")
+          c.upsert(ddDelta)
+          val st = new graft.operators.GraftTable(spark,
+            tmpd(s"ddst-run$i") + "/t", Seq("id"))
+          IDD.bootstrap(c, st, "id", "text", IDD.Params(), 0L)
+          timed(s"maintain run$i")(
+            IDD.maintain(c, st, "id", "text", IDD.Params(), 0L, 1L))
+          val st2 = new graft.operators.GraftTable(spark,
+            tmpd(s"ddre-run$i") + "/t", Seq("id"))
+          timed(s"recompute run$i")(
+            IDD.bootstrap(c, st2, "id", "text", IDD.Params(), 1L))
         }
       } else if (mode == "segdedup") {
         // documents corpus scaled by replication (ids shifted clear of
