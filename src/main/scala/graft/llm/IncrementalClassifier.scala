@@ -60,6 +60,17 @@ object IncrementalClassifier {
       PosLabelKey -> posLabelSql, DimsKey -> dims.toString,
       BinaryKey -> binary.toString, WeightsKey -> w.mkString(","))
 
+  /** Same id contract as the sibling incremental views
+    * ([[IncrementalDedup]], [[IncrementalSpanCensus]],
+    * [[IncrementalSegmentDedup]]): the state is keyed by a LONG id, so
+    * a null (or negative) id after the cast would silently become a
+    * null record key at bootstrap and in every wave. Fail loudly. */
+  private def requireValidIds(ids: DataFrame, where: String): Unit =
+    if (ids.filter(col("id").isNull || col("id") < 0).limit(1).count() > 0)
+      throw new IllegalStateException(
+        s"null or negative document id in $where: the classifier state is " +
+          "keyed by a non-negative LONG id — filter or remap ids first")
+
   /** Scored rows of `docs` under frozen weights `w` — the one scoring
     * plan bootstrap, waves and retrain all share (broadcast O(dims)
     * weight join; the documents never nested-loop). */
@@ -95,6 +106,8 @@ object IncrementalClassifier {
     val at = src.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
     val docs = src.readAsOf(at)
+    requireValidIds(docs.select(col(idCol).cast("long").as("id")),
+      "the bootstrap snapshot")
     val w = Classifier.perceptronWeights(docs, idCol, textCol,
       expr(posLabelSql), dims, rounds, binary)
     state.bulkInsert(
@@ -133,6 +146,12 @@ object IncrementalClassifier {
     val img = src.changesDiffImages(fromSeq, toSeq)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // _after is null only for D rows, _before only for I rows — the
+      // coalesce covers every op with one id-column scan of the wave
+      requireValidIds(img.select(
+        coalesce(col("_after")(idCol), col("_before")(idCol))
+          .cast("long").as("id")),
+        s"the ($fromSeq, $toSeq] change feed")
       val upserts = img.filter(col("op").isin("I", "U"))
         .select(col("_after").as("_r")).select(col("_r.*"))
       val scored = scoreDocs(upserts, idCol, textCol, spec(PosLabelKey),
@@ -175,6 +194,8 @@ object IncrementalClassifier {
     val at = src.latestCommit().map(_.seq).getOrElse(
       throw new IllegalStateException("source table has no commits"))
     val docs = src.readAsOf(at)
+    requireValidIds(docs.select(col(idCol).cast("long").as("id")),
+      "the retrain snapshot")
     val w = Classifier.perceptronWeights(docs, idCol, textCol,
       expr(spec(PosLabelKey)), dims, rounds, binary)
     state.insertOverwriteTable(

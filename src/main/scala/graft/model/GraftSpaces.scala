@@ -170,8 +170,16 @@ class GraftMemFileSystem extends FileSystem {
     if (keys.isEmpty && markers.isEmpty && key.nonEmpty && !dirs(sp).contains(key))
       throw new java.io.FileNotFoundException(f.toString)
     val directFiles = keys.filter(k => !k.drop(prefix.length).contains("/"))
-    val subdirs = (keys ++ markers).map(_.drop(prefix.length))
-      .filter(_.contains("/")).map(_.takeWhile(_ != '/')).distinct
+    // a subdir is visible either through a deeper key/marker (relative
+    // name contains '/') or through a DIRECT-CHILD marker (an empty
+    // directory created via mkdirs: relative name with no '/') — the
+    // latter must list too, or getFileStatus says "directory exists"
+    // while the parent's listing omits it (Hadoop committers list
+    // parents and trip on that inconsistency)
+    val rel = (keys ++ markers).map(_.drop(prefix.length))
+    val subdirs = (rel.filter(_.contains("/")).map(_.takeWhile(_ != '/')) ++
+      markers.toSeq.map(_.drop(prefix.length)).filterNot(_.contains("/"))
+    ).distinct
     val base = makeQualified(f)
     (directFiles.map(k => getFileStatus(new HPath(base, k.drop(prefix.length)))) ++
       subdirs.map(d => status(new HPath(base, d), 0, isDir = true, 0L))).toArray

@@ -164,7 +164,13 @@ class DirObjectStore(val root: Path) extends ObjectStore {
           else if (Files.isRegularFile(p) &&
               !p.getFileName.toString.endsWith(".tmp")) {
             val k = root.relativize(p).toString
-            if (k.startsWith(prefix)) out += k
+            // the parent-walk fallback (prefix names a missing dir or a
+            // file-name prefix) can enumerate entries OUTSIDE the store
+            // root, which relativize as "../…" — and "../sibling" passes
+            // startsWith("") for the empty prefix. A store must never
+            // serve keys beyond its root (deletePrefix("") would
+            // otherwise take the root's siblings with it).
+            if (k.startsWith(prefix) && !k.startsWith("..")) out += k
           }
         } catch { case scala.util.control.NonFatal(_) => () } // entry vanished
       }

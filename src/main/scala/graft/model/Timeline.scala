@@ -284,6 +284,13 @@ class Timeline(tableRoot: String, store: CommitStore = LocalFsCommitStore,
   // The pointer is a pure CACHE of list-derived truth — every reader
   // verifies against by-key reads (strong on S3), so a stale, lagging,
   // or lost pointer can cause extra requests, never a wrong answer.
+  //
+  // INVARIANT the forward probe depends on: commit seqs are GAP-FREE.
+  // Every allocation in the engine is `latest.seq + 1` under the CAS
+  // (there is no other seq-allocation site), so `exists(cur+1)` failing
+  // proves `cur` is the head. If a future action ever skips a seq, the
+  // healed pointer would silently hide every commit past the gap —
+  // change the probe (or close the gap) before changing allocation.
 
   private val headPath: Path = commitsDir.resolve("_head")
 

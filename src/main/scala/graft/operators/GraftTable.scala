@@ -741,17 +741,21 @@ class GraftTable(
   /** Whether a durable pending-views mark is outstanding. */
   def viewsPending(): Boolean = meta.stat(viewsPendingKey).isDefined
 
-  /** Drain async view maintenance: refresh the dependent-view closure
-    * (unconditionally — each view no-ops when already at its source's
-    * head) and clear the pending mark. Returns whether a mark was
-    * outstanding when the drain started. A commit marking mid-drain may
-    * see its mark cleared; its data is still caught up by the NEXT
-    * drain (the views' watermarks make every drain an exact catch-up,
-    * so the mark is freshness telemetry, not a correctness gate). */
+  /** Drain async view maintenance: clear the pending mark, THEN refresh
+    * the dependent-view closure (unconditionally — each view no-ops when
+    * already at its source's head). Returns whether a mark was
+    * outstanding when the drain started. The mark is deleted BEFORE the
+    * refresh walk so a commit that marks mid-refresh keeps its mark for
+    * the next drain — the old order (refresh, then delete) cleared such
+    * a mark without draining its data, leaving a `viewsPending()`-gated
+    * drainer idle until some later commit re-marked. The flipped order's
+    * own race (mark lands between delete and refresh) is benign: the
+    * refresh that follows catches that commit up anyway, and the views'
+    * own watermarks make the resulting redundant drain a no-op. */
   def drainViews(): Boolean = {
     val had = viewsPending()
-    ViewMaintenance.refreshDependents(spark, this)
     meta.delete(viewsPendingKey)
+    ViewMaintenance.refreshDependents(spark, this)
     had
   }
 
@@ -3402,10 +3406,22 @@ class GraftTable(
           .split("\\s+").lift(1).contains(token))
     def acquire(canBreakStale: Boolean): Unit =
       if (!meta.putIfNoneMatch(key, payload)) {
+        val staleStat = meta.stat(key)
         val age = System.currentTimeMillis() -
           GraftTable.leaseMillis(meta.get(key))
         if (canBreakStale && age > staleLockMs) {
-          meta.delete(key)
+          // COMPARE-and-delete: two contenders can both observe the same
+          // stale lease; an unconditional delete here let the slower one
+          // remove the faster one's freshly CAS'd lease — two concurrent
+          // holders (downgraded to a spurious ConcurrentCommitException
+          // by the commit CAS, but avoidable). Only delete if the lease
+          // is still the exact object version we judged stale; a rival's
+          // new lease (different version stamp) survives and our own
+          // re-CAS below then loses cleanly. Residual window: a stat/
+          // delete interleave on a stamp-colliding store — mtime-
+          // resolution rare on DirObjectStore, impossible on the
+          // version-countered stores.
+          if (meta.stat(key) == staleStat) meta.delete(key)
           acquire(canBreakStale = false)
         } else throw new IllegalStateException(
           s"another writer holds $root/$key")

@@ -89,8 +89,9 @@ class GraftCatalog extends TableCatalog {
   private def warehouseRoot(name: String): Option[String] =
     warehouseDir.map(w => s"${w.stripSuffix("/")}/$name").filter(r =>
       name.matches("[A-Za-z_][A-Za-z0-9_.-]*") && // no path traversal
-        java.nio.file.Files.exists(
-          java.nio.file.Paths.get(r, "_graft", "table.json")))
+        // existence probes through the root's OBJECT STORE so a mounted
+        // (graftmem:/ / S3-shape) warehouse discovers tables by path too
+        graft.model.GraftStores.forRoot(r).stat("_graft/table.json").isDefined)
 
   private def resolve(ident: Identifier): GraftTable = {
     val name = fullName(ident)
@@ -102,15 +103,7 @@ class GraftCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     require(namespace.isEmpty, s"graft catalog has no namespaces: ${namespace.mkString(".")}")
-    val discovered = warehouseDir.toSeq.flatMap { w =>
-      val p = java.nio.file.Paths.get(w)
-      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
-      else scala.util.Using.resource(java.nio.file.Files.list(p)) { s =>
-        s.iterator().asScala
-          .filter(d => java.nio.file.Files.exists(d.resolve("_graft/table.json")))
-          .map(_.getFileName.toString).toList
-      }
-    }
+    val discovered = warehouseDir.toSeq.flatMap(GraftCatalog.discoverTables)
     (GraftSql.registeredNames ++ discovered).distinct.sorted
       .map(n => Identifier.of(Array.empty, n)).toArray
   }
@@ -332,14 +325,14 @@ class GraftCatalog extends TableCatalog {
       case None => wh
     }
     GraftSql.deregister(org.apache.spark.sql.SparkSession.active, name)
-    managedRoot.foreach { r =>
-      val p = java.nio.file.Paths.get(r)
-      if (java.nio.file.Files.exists(p))
-        scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
-          s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        }
-    }
+    // the delete rides the root's OBJECT STORE, not java.nio — a managed
+    // table on a mounted root (graftmem:/ space, future S3) must actually
+    // lose its files on DROP; the old direct-filesystem walk silently
+    // no-op'd there (always-false exists probe), leaving live tables
+    // behind a deregistered name. DirObjectStore.deletePrefix("") keeps
+    // the local behavior identical, including the empty-dir husk sweep.
+    managedRoot.foreach(r =>
+      graft.model.GraftStores.forRoot(r).deletePrefix(""))
     true
   }
 
@@ -370,7 +363,16 @@ class GraftCatalog extends TableCatalog {
       p.getParent == java.nio.file.Paths.get(w).toAbsolutePath.normalize &&
         p.getFileName.toString == oldName)
     val newRoot =
-      if (inWarehouse) {
+      if (inWarehouse && graft.model.GraftStores.isMounted(root)) {
+        // a mounted root has no directory rename: move each object key
+        // (server-side copy + delete — what the move costs on S3 too)
+        val whStore = graft.model.GraftStores.forRoot(warehouseDir.get)
+        whStore.list(oldName + "/").foreach { k =>
+          whStore.copy(k, newName + k.stripPrefix(oldName))
+          whStore.delete(k)
+        }
+        s"${root.stripSuffix("/").split('/').dropRight(1).mkString("/")}/$newName"
+      } else if (inWarehouse) {
         val dst = p.resolveSibling(newName)
         java.nio.file.Files.move(p, dst)
         dst.toString
@@ -592,6 +594,33 @@ private[sql] class GraftScanBuilder(tableName: String, mkDf: () => DataFrame,
           s"$tableName is a time-travel snapshot: no streaming read")
       }
   }
+}
+
+object GraftCatalog {
+  /** Names of graft tables directly under warehouse dir `w` — the
+    * path-discovery half of the catalog (the registry is the other).
+    * A LOCAL warehouse keeps the one-level directory listing (a store
+    * list("") would walk every data file of every table); a MOUNTED
+    * warehouse (graftmem:/ space, S3-shape) lists the store once and
+    * keeps only direct children with a `_graft/table.json` descriptor —
+    * exactly the keys a real object store's prefix list returns. */
+  private[sql] def discoverTables(w: String): Seq[String] =
+    if (graft.model.GraftStores.isMounted(w))
+      graft.model.GraftStores.forRoot(w).list("").flatMap { k =>
+        val parts = k.split('/')
+        if (parts.length == 3 && parts(1) == "_graft" &&
+            parts(2) == "table.json") Some(parts(0)) else None
+      }.distinct
+    else {
+      val p = java.nio.file.Paths.get(w)
+      if (!java.nio.file.Files.isDirectory(p)) Seq.empty
+      else scala.util.Using.resource(java.nio.file.Files.list(p)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(d => java.nio.file.Files.exists(d.resolve("_graft/table.json")))
+          .map(_.getFileName.toString).toList
+      }
+    }
 }
 
 /** Last manifest-triage outcome per catalog table (admitted vs total

@@ -154,8 +154,12 @@ object GraftSql {
       // measure SQL expression, a WHERE predicate) passes as-is; every
       // other token — quoted or bare — keeps the strict charset, so the
       // path/identifier grammar stays un-spoofable for every procedure
+      // ':' admits mounted-root locations (graftmem:/space/t, s3://…);
+      // it has no meaning to any downstream consumer of these tokens
+      // (paths and identifiers — identifier positions re-validate with
+      // their own stricter grammar), so the surface stays un-spoofable
       require(a.nonEmpty && ((quoted && free(i)) || a.forall(_.isDigit) ||
-        !a.exists(_.isDigit) || a.matches("[A-Za-z0-9_=/.-]+")),
+        !a.exists(_.isDigit) || a.matches("[A-Za-z0-9_=/.:-]+")),
         s"unsupported CALL argument: $a")
       a
     }
@@ -430,16 +434,12 @@ object GraftSql {
         val discovered: Seq[(Option[String], graft.operators.GraftTable)] =
           spark.conf.getOption("spark.sql.catalog.graft.warehouse").toSeq
             .flatMap { w =>
-              val p = java.nio.file.Paths.get(w)
-              val tables =
-                if (!java.nio.file.Files.isDirectory(p)) Seq.empty
-                else scala.util.Using.resource(java.nio.file.Files.list(p)) { s =>
-                  import scala.jdk.CollectionConverters._
-                  s.iterator().asScala.filter(d => java.nio.file.Files
-                    .exists(d.resolve("_graft/table.json"))).toList
-                }.flatMap(d => scala.util.Try(
-                  graft.operators.GraftTable.open(spark, d.toString)).toOption
-                  .map(t => (Some(d.getFileName.toString), t)))
+              // warehouse discovery rides the same store-aware listing
+              // the catalog uses, so a MOUNTED warehouse enumerates too
+              val tables = graft.sql.GraftCatalog.discoverTables(w)
+                .flatMap(n => scala.util.Try(graft.operators.GraftTable
+                  .open(spark, s"${w.stripSuffix("/")}/$n")).toOption
+                  .map(t => (Some(n), t)))
               // warehouse tables that ARE views, plus the views their
               // dependent registries point at (best-effort: a moved or
               // broken registration is skipped, not fatal)
@@ -447,11 +447,10 @@ object GraftSql {
                 .flatMap(r => scala.util.Try(
                   graft.operators.GraftTable.open(spark, r)).toOption
                   .map { t =>
-                    val base = java.nio.file.Paths.get(r)
-                    val nm = if (base.getFileName.toString == "out" &&
-                        base.getParent != null)
-                      base.getParent.getFileName.toString
-                    else base.getFileName.toString
+                    val segs = r.stripSuffix("/").split('/')
+                    val nm = if (segs.last == "out" && segs.length > 1)
+                      segs(segs.length - 2)
+                    else segs.last
                     (Some(nm), t)
                   })
             }
@@ -540,7 +539,6 @@ object GraftSql {
           catch { case scala.util.control.NonFatal(_) => () }
         }
         install(spark)
-        val outRoot = java.nio.file.Paths.get(v.root)
         spark.sql(s"DROP TABLE graft.${args(0)}").collect()
         // a segment-dedup / span-census state is THREE tables under one
         // root; only its OUT table is registered. When the drop removed
@@ -548,32 +546,31 @@ object GraftSql {
         // siblings must go with it — otherwise they orphan on disk with
         // live watermarks and the location can never be reused (round-16
         // advice). When the drop was external (files stay), the siblings
-        // stay too — symmetric either way.
-        if (Seq("segment", "span").contains(kind) &&
-            !java.nio.file.Files.exists(outRoot)) {
-          val stateRoot = outRoot.getParent
-          // guarded sweep: only siblings that self-describe as graft
-          // state tables (`_graft/table.json`) are swept, and every
-          // per-path delete is best-effort (Try) — a concurrent stage
-          // pin or stray entry must not abort the CALL after the out
-          // table is already dropped, half-retiring the state root
-          Seq("df", "post").map(stateRoot.resolve)
-            .filter(d => java.nio.file.Files.exists(
-              d.resolve("_graft").resolve("table.json")))
-            .foreach { d =>
-              scala.util.Using.resource(java.nio.file.Files.walk(d)) { s =>
-                import scala.jdk.CollectionConverters._
-                s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-                  .iterator().asScala.foreach(p =>
-                    scala.util.Try(java.nio.file.Files.delete(p)))
-              }
-            }
-          // the (now-empty) state root itself — best-effort too
-          if (java.nio.file.Files.isDirectory(stateRoot) &&
-              scala.util.Using.resource(
-                java.nio.file.Files.list(stateRoot))(_.count()) == 0)
-            scala.util.Try(java.nio.file.Files.delete(stateRoot))
-          ()
+        // stay too — symmetric either way. The sweep routes through the
+        // root's OBJECT STORE (round-18 verdict: the old direct-java.nio
+        // probes were always false on a graftmem:/ or future S3 root, so
+        // the orphan problem came back on exactly the deployment the
+        // seam exists for); DirObjectStore keeps the local behavior
+        // byte-identical, including the empty-directory husk sweep.
+        val outName = v.root.stripSuffix("/").split('/').last
+        val stateParent = v.root.stripSuffix("/").dropRight(outName.length + 1)
+        if (Seq("segment", "span").contains(kind) && stateParent.nonEmpty) {
+          val st = graft.model.GraftStores.forRoot(stateParent)
+          if (st.list(outName + "/").isEmpty) { // managed drop took the files
+            // guarded sweep: only siblings that self-describe as graft
+            // state tables (`_graft/table.json`) are swept, and every
+            // delete is best-effort (Try) — a concurrent stage pin or
+            // stray entry must not abort the CALL after the out table
+            // is already dropped, half-retiring the state root
+            Seq("df", "post")
+              .filter(d => st.stat(s"$d/_graft/table.json").isDefined)
+              .foreach(d => scala.util.Try(st.deletePrefix(d + "/")))
+            // the (now-object-free) state root itself — best-effort too
+            // (on a dir-backed store this removes the empty dir husks;
+            // on a real object store there is nothing left to remove)
+            if (st.list("").isEmpty) scala.util.Try(st.deletePrefix(""))
+            ()
+          }
         }
         summary("dropped" -> args(0), "kind" -> kind)
       case "create_dedup_state" =>

@@ -140,6 +140,66 @@ class InMemoryLifecycleSpec extends AnyFunSuite {
     GraftMem.dropSpace(space)
   }
 
+  test("drop_view sweeps a span state's df/post siblings on a mounted root") {
+    val space = freshSpace()
+    val wh = GraftMem.root(space, "wh")
+    graft.sql.GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      val src = new GraftTable(spark, GraftMem.root(space, "corpus2"),
+        Seq("id"), staleLockMs = 60000)
+      src.bulkInsert(Seq((1L, "a b c d e f"), (2L, "a b c x y z"))
+        .toDF("id", "text"))
+      graft.sql.GraftSql.register(spark, "sweep_src", src)
+      // the state lives AT the warehouse with its out table at wh/out —
+      // the managed shape, so DROP TABLE actually removes the out files
+      // and the sibling sweep must fire THROUGH THE STORE (round-18
+      // verdict #3: the old java.nio probes were always false here,
+      // resurrecting the orphaned-sibling problem on mounted roots)
+      graft.sql.GraftSql.sql(spark,
+        s"CALL create_span_state('sweep_src', 'out', '$wh', 'id', 'text', 3)")
+      val store = GraftMem.rawSpace(space)
+      assert(store.list("wh/df/").nonEmpty && store.list("wh/post/").nonEmpty &&
+        store.list("wh/out/").nonEmpty, "the trio must live in the space")
+      graft.sql.GraftSql.sql(spark, "CALL drop_view('out')").collect()
+      assert(src.dependentViews().isEmpty,
+        "drop_view must stop hands-free maintenance")
+      assert(store.list("wh/").isEmpty,
+        s"df/post siblings must be swept from the store: ${store.list("wh/")}")
+      assert(store.list("corpus2/").nonEmpty, "the source must survive the sweep")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+      GraftMem.dropSpace(space)
+    }
+  }
+
+  test("a mounted warehouse discovers tables by path; managed DROP deletes from the store") {
+    val space = freshSpace()
+    val wh = GraftMem.root(space, "wh2")
+    graft.sql.GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      // create a table AT the warehouse path without registering it —
+      // only store-aware path discovery can find it
+      val t = new GraftTable(spark, s"$wh/disc_t", Seq("id"), staleLockMs = 60000)
+      t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001"))
+        .toDF("id", "v", "trx_seq"))
+      val shown = spark.sql("SHOW TABLES IN graft").select("tableName")
+        .as[String].collect().toSet
+      assert(shown.contains("disc_t"), s"path discovery must see disc_t: $shown")
+      assert(spark.sql("SELECT count(*) FROM graft.disc_t").head().getLong(0) == 2)
+      spark.sql("DROP TABLE graft.disc_t")
+      assert(GraftMem.rawSpace(space).list("wh2/disc_t/").isEmpty,
+        "managed DROP on a mounted root must delete the table's objects")
+      val after = spark.sql("SHOW TABLES IN graft").select("tableName")
+        .as[String].collect().toSet
+      assert(!after.contains("disc_t"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+      GraftMem.dropSpace(space)
+    }
+  }
+
   test("clone crosses spaces; store-call census is flat per commit") {
     val space = freshSpace()
     val root = GraftMem.root(space, "src")
