@@ -24,9 +24,36 @@ object Main {
     if (reports.forall(_.ok)) 0 else 1
   }
 
+  /** `drain` verb: walk every enabled table of the pipeline and drain
+    * its async-pending dependent views — the standalone half of the
+    * freshness schedule (the ingest run already drains after its own
+    * step; this verb serves an independent drain cadence, e.g. a
+    * faster view-freshness timer than the ingest trigger). Exit 0 iff
+    * every table drained without error. */
+  def drain(spark: SparkSession, configPath: String, identifier: String,
+      pipelineType: String): Int = {
+    val q = graft.util.Json.quote _
+    val cfg = graft.config.ConfigLoader.load(configPath, identifier, pipelineType)
+    val results = cfg.enabledTables.map { tc =>
+      val r = scala.util.Try {
+        val t = graft.pipeline.IngestJob.openTable(spark, cfg, tc)
+        val hadMark = t.drainViews()
+        (tc.name, "ok", hadMark, None: Option[String])
+      }.recover { case e => (tc.name, "failed", false, Some(e.toString)) }.get
+      println(s"""{"table":${q(r._1)},"status":${q(r._2)},""" +
+        s""""had_pending_mark":${r._3}""" +
+        r._4.map(e => s""","error":${q(e.take(300))}""").getOrElse("") + "}")
+      r
+    }
+    if (results.forall(_._2 == "ok")) 0 else 1
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: graft.Main <configPath> <identifier> <pipelineType>")
-    val Array(configPath, identifier, pipelineType) = args.take(3)
+    val verb = if (args.headOption.contains("drain")) "drain" else "run"
+    val rest = if (verb == "drain") args.drop(1) else args
+    require(rest.length >= 3,
+      "usage: graft.Main [drain] <configPath> <identifier> <pipelineType>")
+    val Array(configPath, identifier, pipelineType) = rest.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
@@ -37,8 +64,10 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val code = try run(spark, configPath, identifier, pipelineType)
-               finally spark.stop()
+    val code = try {
+      if (verb == "drain") drain(spark, configPath, identifier, pipelineType)
+      else run(spark, configPath, identifier, pipelineType)
+    } finally spark.stop()
     if (code != 0) sys.exit(code)
   }
 }

@@ -28,7 +28,9 @@ case class TableConfig(
     partialUpdate: Boolean = false,         // partial-image CDC merge payload
     clusterSmallFileBytes: Long = 0L,       // inline clustering threshold (handler.py:73,81)
     rliMaintain: Boolean = false,           // keep the record-level index current per commit
-    bucketCount: Int = 0) {                 // BUCKET index (hoodie.index.type=BUCKET analog)
+    bucketCount: Int = 0,                   // BUCKET index (hoodie.index.type=BUCKET analog)
+    viewMaintain: Boolean = false,          // hands-free dependent-view refresh per commit
+    viewMaintainAsync: Boolean = false) {   // async: commits mark, the run drains after ingest
 
   /** Curated table name `{identifier}_{schema}_{table}` (handler.py:132). */
   def curatedName(identifier: String): String =
@@ -111,7 +113,15 @@ object ConfigLoader {
           clusterSmallFileBytes =
             (hudi \ "cluster_small_file_bytes").extractOpt[Long].getOrElse(0L),
           rliMaintain = (hudi \ "rli_maintain").extractOpt[Boolean].getOrElse(false),
-          bucketCount = (hudi \ "bucket_count").extractOpt[Int].getOrElse(0))
+          bucketCount = (hudi \ "bucket_count").extractOpt[Int].getOrElse(0),
+          // 'view_maintain' = true | false | "async" — same grammar as
+          // the DDL TBLPROPERTIES key (GraftCatalog.createTable)
+          viewMaintain = (hudi \ "view_maintain").extractOpt[String]
+            .map(v => v.trim.equalsIgnoreCase("async") || v.trim.toBoolean)
+            .orElse((hudi \ "view_maintain").extractOpt[Boolean])
+            .getOrElse(false),
+          viewMaintainAsync = (hudi \ "view_maintain").extractOpt[String]
+            .exists(_.trim.equalsIgnoreCase("async")))
       }
     }
 

@@ -73,7 +73,9 @@ object IngestJob {
       partialUpdate = tc.partialUpdate,
       clusterSmallFileBytes = tc.clusterSmallFileBytes,
       rliMaintain = tc.rliMaintain,
-      bucketCount = tc.bucketCount)
+      bucketCount = tc.bucketCount,
+      viewMaintain = tc.viewMaintain,
+      viewMaintainAsync = tc.viewMaintainAsync)
 
   def run(spark: SparkSession, pipe: PipelineConfig, tc: TableConfig): TableResult = {
     val t0 = System.currentTimeMillis()
@@ -108,7 +110,7 @@ object IngestJob {
         Some(commit.files.map(_.numRows).sum), 1, System.currentTimeMillis() - t0)
     }
 
-    pipe.pipelineType match {
+    val result = pipe.pipelineType match {
       case "bulk_insert" =>
         // ONE listing feeds both the load and the checkpoint: listing twice
         // would let a file arriving in between be covered by the watermark
@@ -151,6 +153,21 @@ object IngestJob {
       case other =>
         throw new IllegalArgumentException(s"pipeline type $other not supported by IngestJob")
     }
+    // async view freshness: the reference's contract is a SCHEDULE
+    // (aws-dms-to-hudi.yaml:914-927 — the same trigger that launches the
+    // ingest), so the run itself drains any pending-views mark after its
+    // step — 'view_maintain: async' decouples commit latency from the
+    // dependent-view walk without needing a second scheduler or explicit
+    // CALL drain_views. Best-effort: a broken view stays consistent-stale
+    // (its own watermark recovers at the next drain), never fails the run.
+    if (result.status == "ok" && table.viewsPending())
+      try { table.drainViews(); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] post-ingest view drain failed for " +
+          s"${tc.name} (views stay consistent-stale; the next run drains): " +
+          e.getMessage)
+      }
+    result
   }
 }
 

@@ -135,6 +135,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(report3.results.find(_.table == "public.orders").get.status == "no_new_data")
   }
 
+  test("view_maintain async: the pipeline run itself drains — zero explicit CALLs") {
+    val base = Files.createTempDirectory("graft-pipe-async").toString
+    val raw = s"$base/raw"; val curated = s"$base/curated"
+    seedRaw(raw)
+    val json =
+      s"""[
+         |{"config":"pipeline::bulk_insert","identifier":"va",
+         | "raw_root":"$raw","curated_root":"$curated","database":"graft"},
+         |{"config":"pipeline::delta","identifier":"va",
+         | "raw_root":"$raw","curated_root":"$curated","database":"graft"},
+         |{"config":"table::public.nation","identifier":"va","enabled":true,
+         | "hudi_config":{"record_key":"n_nationkey","source_ordering_field":"trx_seq",
+         |   "view_maintain":"async"}}
+         |]""".stripMargin
+    val cfgPath = Paths.get(base, "configs.json"); Files.writeString(cfgPath, json)
+    val cfg = ConfigLoader.load(cfgPath.toString, "va", "bulk_insert")
+    val tc = cfg.tables.head
+    assert(tc.viewMaintain && tc.viewMaintainAsync, "config must parse 'async'")
+    assert(Pipeline.run(spark, cfg).ok)
+    // register a dependent agg view AFTER the full load
+    val table = IngestJob.openTable(spark, cfg, tc)
+    val view = graft.operators.IncrementalAgg.create(spark, table,
+      s"$base/by_region", Seq("n_regionkey"), Seq("total" -> "n_nationkey"))
+    // a CDC wave through the DELTA pipeline: the ingest commit only
+    // MARKS (async) — then the run's own post-step drain refreshes the
+    // view, so it is fresh with no CALL drain_views anywhere
+    Thread.sleep(20)
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").limit(3)
+      .withColumn("n_name", lit("REDRAWN"))
+      .withColumn("trx_seq", lit("00000000000000000009"))
+      .withColumn(Meta.Deleted, lit(false))
+      .coalesce(1).write.mode("append").parquet(s"$raw/public/nation")
+    val dcfg = ConfigLoader.load(cfgPath.toString, "va", "delta")
+    val report = Pipeline.run(spark, dcfg)
+    assert(report.ok &&
+      report.results.find(_.table == "public.nation").get.status == "ok")
+    val head = table.latestCommit().get.seq
+    assert(graft.operators.IncrementalAgg.appliedSeq(
+      graft.operators.GraftTable.open(spark, view.root)).contains(head),
+      "async view must be fresh right after the pipeline run")
+    assert(!table.viewsPending(), "the run's drain must clear the pending mark")
+    // the standalone drain verb reports and exits 0 (nothing pending)
+    assert(graft.Main.drain(spark, cfgPath.toString, "va", "delta") == 0)
+  }
+
   test("failed table is retried then reported; healthy tables still commit") {
     val base = Files.createTempDirectory("graft-pipe-fail").toString
     val raw = s"$base/raw"; val curated = s"$base/curated"
