@@ -51,6 +51,14 @@ trait ObjectStore {
   def putFile(key: String, src: Path): Unit =
     put(key, Files.readAllBytes(src))
 
+  /** Byte stream over the object at `key` (S3 GetObject body). Default
+    * materializes [[get]]; filesystem-backed stores override with a real
+    * file stream so large objects never double-buffer. Throws
+    * NoSuchFileException when absent. */
+  def openStream(key: String): java.io.InputStream =
+    new java.io.ByteArrayInputStream(get(key).getOrElse(
+      throw new java.nio.file.NoSuchFileException(key)))
+
   /** Same-store object copy (S3 CopyObject — server-side, no byte
     * round-trip on a real store). Filesystem-backed stores override
     * with a hard link so immutable-data copies stay zero-byte. */
@@ -197,6 +205,13 @@ class DirObjectStore(val root: Path) extends ObjectStore {
   override def putFile(key: String, src: Path): Unit =
     linkOrCopyFrom(src, key)
 
+  override def openStream(key: String): java.io.InputStream = {
+    val p = pathOf(key)
+    if (!Files.isRegularFile(p))
+      throw new java.nio.file.NoSuchFileException(key)
+    new java.io.BufferedInputStream(Files.newInputStream(p))
+  }
+
   /** Also sweeps the directories the deleted keys emptied — a real
     * object store has no directories, but the local emulation must not
     * leave husks a directory-level consumer (or a human) would read as
@@ -337,6 +352,9 @@ class CountingObjectStore(inner: ObjectStore) extends ObjectStore {
   override def putFile(key: String, src: Path): Unit = {
     puts.incrementAndGet(); inner.putFile(key, src)
   }
+  override def openStream(key: String): java.io.InputStream = {
+    gets.incrementAndGet(); inner.openStream(key)
+  }
   override def copy(srcKey: String, dstKey: String): Unit = {
     puts.incrementAndGet(); inner.copy(srcKey, dstKey)
   }
@@ -366,6 +384,8 @@ class PrefixedObjectStore(inner: ObjectStore, prefix: String) extends ObjectStor
   override def modifiedMillis(key: String): Option[Long] =
     inner.modifiedMillis(k(key))
   override def putFile(key: String, src: Path): Unit = inner.putFile(k(key), src)
+  override def openStream(key: String): java.io.InputStream =
+    inner.openStream(k(key))
   override def copy(srcKey: String, dstKey: String): Unit =
     inner.copy(k(srcKey), k(dstKey))
   override def deletePrefix(prefix: String): Unit =

@@ -42,15 +42,27 @@ import graft.operators.GraftTable
   *     idempotent upsert — latest-wins absorbs it, exactly like the
   *     `foreachBatch` sink ([[ContinuousIngest.sink]]) this generalizes.
   *
-  * The staging directory lives under the table root deliberately: the
-  * engine's storage model is one shared filesystem for data, manifests
-  * and indexes alike, so the stage inherits the table's durability and
-  * visibility guarantees with no second storage system.
+  * The staging area lives under the table root deliberately: the
+  * engine's storage model is ONE store for data, manifests and indexes
+  * alike, so the stage inherits the table's durability and visibility
+  * guarantees with no second storage system. All spool I/O rides the
+  * root's [[graft.model.ObjectStore]] (resolved by root string on both
+  * driver and executors), so `writeStream.toTable` works on a mounted
+  * root (`graftmem:/` space, S3-shape) exactly like on a local
+  * directory — the reference deployment is S3-native
+  * (templates/aws-dms-to-hudi.yaml:264-269). On a dir-backed store the
+  * executor spools straight to the object's file path (zero extra
+  * copies, the old behavior); on a mounted store it spools to
+  * EXECUTOR-LOCAL scratch and uploads in one PUT at task commit — the
+  * s3a block-upload shape, so a multi-node cluster never needs shared
+  * POSIX storage for the stage.
   */
 private[graft] class GraftStreamingWrite(t: GraftTable, schema: StructType,
     queryId: String, overwrite: Boolean) extends StreamingWrite {
   RowCodec.validate(schema)
-  private val stageRoot = Paths.get(t.root, "_graft", "stream_stage", queryId)
+  private val tableRoot = t.root
+  private val stagePrefix = s"_graft/stream_stage/$queryId"
+  private def store = graft.model.GraftStores.forRoot(tableRoot)
   // fresh-start sweep: a crashed prior run of THIS query (same
   // checkpoint → same queryId, which Spark's checkpoint lock keeps
   // single-flight) may have left spooled epochs behind; uncommitted
@@ -59,22 +71,25 @@ private[graft] class GraftStreamingWrite(t: GraftTable, schema: StructType,
   // query's stage therefore dies on its next start; one never restarted
   // surfaces through fsck, which counts stage files older than the
   // liveness grace as orphans.
-  if (Files.exists(stageRoot)) deleteTree(stageRoot)
+  store.deletePrefix(stagePrefix + "/")
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStageWriterFactory(stageRoot.toString, schema)
-
-  private def epochDir(epochId: Long): Path = stageRoot.resolve(s"epoch=$epochId")
+    new GraftStageWriterFactory(tableRoot, stagePrefix, schema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect {
-      case StagedFileMessage(p) if p != null && p.nonEmpty => p }.toSeq
+    val keys = messages.collect {
+      case StagedFileMessage(k) if k != null && k.nonEmpty => k }.toSeq
     val spark = SparkSession.active
-    if (files.nonEmpty) {
+    if (keys.nonEmpty) {
       val sch = schema
-      val rows = spark.sparkContext.parallelize(files, files.size)
-        .flatMap(f => RowCodec.readAll(Paths.get(f), sch))
+      val root = tableRoot
+      // the staged objects re-enter as a distributed read — one
+      // partition per spool object, each executor resolving the store
+      // by root string (never a serialized handle)
+      val rows = spark.sparkContext.parallelize(keys, keys.size)
+        .flatMap(k => RowCodec.readAll(
+          graft.model.GraftStores.forRoot(root).openStream(k), sch))
       val df = spark.createDataFrame(rows, sch)
       if (overwrite) t.insertOverwriteTable(df)
       else t.upsert(df, Some(s"stream-epoch-$queryId-$epochId"))
@@ -92,61 +107,75 @@ private[graft] class GraftStreamingWrite(t: GraftTable, schema: StructType,
     deleteEpoch(epochId)
 
   private def deleteEpoch(epochId: Long): Unit = {
-    deleteTree(epochDir(epochId))
-    // drop the per-query dir once its last epoch is gone, so finished
-    // queries leave no empty directory chain under the table root
-    try Files.deleteIfExists(stageRoot)
-    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+    store.deletePrefix(s"$stagePrefix/epoch=$epochId/")
+    // drop the per-query prefix once its last epoch is gone, so finished
+    // queries leave no empty directory chain on dir-backed stores (a
+    // real object store has nothing left to remove)
+    if (store.list(stagePrefix + "/").isEmpty)
+      scala.util.Try(store.deletePrefix(stagePrefix + "/"))
     ()
   }
-
-  private def deleteTree(d: Path): Unit =
-    if (Files.exists(d))
-      Using.resource(Files.walk(d)) { s =>
-        s.sorted(java.util.Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
 }
 
-/** Executor-side factory: one spool file per (epoch, partition, task
+/** Executor-side factory: one spool object per (epoch, partition, task
   * attempt) — attempt-unique names make retries collision-free. */
-private[graft] class GraftStageWriterFactory(stageRoot: String,
-    schema: StructType) extends StreamingDataWriterFactory {
+private[graft] class GraftStageWriterFactory(tableRoot: String,
+    stagePrefix: String, schema: StructType) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftStageWriter(
-      Paths.get(stageRoot, s"epoch=$epochId", s"w-$partitionId-$taskId.bin"),
-      schema)
+    new GraftStageWriter(tableRoot,
+      s"$stagePrefix/epoch=$epochId/w-$partitionId-$taskId.bin", schema)
 }
 
+/** `path` is the spool object's KEY relative to the table root (null =
+  * this writer staged nothing). */
 private[graft] case class StagedFileMessage(path: String) extends WriterCommitMessage
 
-/** Spools rows to one framed-binary file; the file is only created on
-  * the first row, so empty partitions stage nothing. */
-private[graft] class GraftStageWriter(path: Path, schema: StructType)
-    extends DataWriter[InternalRow] {
+/** Spools rows to one framed-binary object; nothing is created for an
+  * empty partition. Dir-backed store: the spool streams straight to the
+  * object's file path (the file IS the object — zero extra copies).
+  * Mounted store: the spool streams to executor-local scratch and lands
+  * in the store as ONE PUT at task commit, so a zombie task that never
+  * commits leaves at most a local temp file, not a store object. */
+private[graft] class GraftStageWriter(tableRoot: String, stageKey: String,
+    schema: StructType) extends DataWriter[InternalRow] {
+  private lazy val dirStore: Option[graft.model.DirObjectStore] =
+    graft.model.GraftStores.forRoot(tableRoot) match {
+      case d: graft.model.DirObjectStore => Some(d)
+      case _ => None
+    }
+  private var spool: Path = _
   private var out: DataOutputStream = _
-  private var wrote = false
 
   override def write(row: InternalRow): Unit = {
     if (out == null) {
-      Files.createDirectories(path.getParent)
+      spool = dirStore match {
+        case Some(d) =>
+          val p = d.root.resolve(stageKey)
+          Files.createDirectories(p.getParent)
+          p
+        case None => Files.createTempFile("graft-stream-spool-", ".bin")
+      }
       out = new DataOutputStream(new BufferedOutputStream(
-        Files.newOutputStream(path)))
-      wrote = true
+        Files.newOutputStream(spool)))
     }
     RowCodec.write(out, row, schema)
   }
 
   override def commit(): WriterCommitMessage = {
     close()
-    StagedFileMessage(if (wrote) path.toString else null)
+    if (spool == null) StagedFileMessage(null)
+    else if (dirStore.isDefined) StagedFileMessage(stageKey) // already in place
+    else
+      try {
+        graft.model.GraftStores.forRoot(tableRoot).putFile(stageKey, spool)
+        StagedFileMessage(stageKey)
+      } finally { Files.deleteIfExists(spool); () }
   }
 
   override def abort(): Unit = {
     close()
-    Files.deleteIfExists(path)
-    ()
+    if (spool != null) { Files.deleteIfExists(spool); () }
   }
 
   override def close(): Unit = {
@@ -257,9 +286,13 @@ private[graft] object RowCodec extends Serializable {
   }
 
   /** Read every row of a staged file back as external Rows. */
-  def readAll(path: Path, schema: StructType): Iterator[Row] = {
-    val in = new DataInputStream(new BufferedInputStream(
-      Files.newInputStream(path)))
+  def readAll(path: Path, schema: StructType): Iterator[Row] =
+    readAll(Files.newInputStream(path), schema)
+
+  /** Stream variant — the spool may arrive from any [[graft.model
+    * .ObjectStore]] (`openStream`), not just a filesystem path. */
+  def readAll(raw: java.io.InputStream, schema: StructType): Iterator[Row] = {
+    val in = new DataInputStream(new BufferedInputStream(raw))
     // A consumer that stops early (downstream limit, task kill) never
     // drains to EOF, so EOF-triggered close alone leaks the handle;
     // tie the stream to the task lifetime when one exists.

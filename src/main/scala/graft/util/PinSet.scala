@@ -28,19 +28,22 @@ import org.apache.spark.sql.DataFrame
   */
 final class PinSet(stageRoot: => String) {
   private val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
-  private val stages = scala.collection.mutable.ListBuffer[java.nio.file.Path]()
+  private val stages = scala.collection.mutable.ListBuffer[String]() // pin-dir names
 
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption(PinSet.ReliableKey).contains("true")) {
       if (stages.isEmpty) PinSet.sweepStale(stageRoot)
-      val dir = java.nio.file.Paths.get(stageRoot,
-        s"pin-${java.util.UUID.randomUUID().toString.take(12)}")
-      df.write.parquet(dir.toString)
-      stages += dir
+      val name = s"pin-${java.util.UUID.randomUUID().toString.take(12)}"
+      val dir = s"${stageRoot.stripSuffix("/")}/$name"
+      // the parquet round-trip goes through Spark's own FS resolution,
+      // so a mounted stage root (graftmem:/, S3-shape) writes through
+      // its Hadoop connector exactly like a local path does
+      df.write.parquet(dir)
+      stages += name
       // explicit schema: a zero-row frame writes no data files, and the
       // original nullability must survive the round trip
-      spark.read.schema(df.schema).parquet(dir.toString)
+      spark.read.schema(df.schema).parquet(dir)
     } else {
       val c = df.localCheckpoint()
       pinned += c
@@ -55,14 +58,12 @@ final class PinSet(stageRoot: => String) {
       }.foreach(_.unpersist(blocking = false))
     }
     pinned.clear()
-    stages.foreach { d =>
-      import scala.jdk.CollectionConverters._
-      if (java.nio.file.Files.exists(d))
-        scala.util.Using.resource(java.nio.file.Files.walk(d)) { s =>
-          s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().asScala.foreach(p =>
-              scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
-        }
+    if (stages.nonEmpty) {
+      // deletes ride the stage root's OBJECT STORE, not java.nio —
+      // direct filesystem walks silently no-op on a mounted root and
+      // the stage dirs would accumulate forever (round-18 verdict #1)
+      val store = graft.model.GraftStores.forRoot(stageRoot)
+      stages.foreach(n => scala.util.Try(store.deletePrefix(n + "/")))
     }
     stages.clear()
   }
@@ -80,22 +81,19 @@ object PinSet {
   private val StaleMs = 6L * 3600 * 1000
 
   private def sweepStale(stageRoot: String): Unit = {
-    val base = java.nio.file.Paths.get(stageRoot)
-    if (!java.nio.file.Files.isDirectory(base)) return
-    import scala.jdk.CollectionConverters._
+    val store = graft.model.GraftStores.forRoot(stageRoot)
     val cutoff = System.currentTimeMillis() - StaleMs
-    scala.util.Using.resource(java.nio.file.Files.list(base)) { s =>
-      s.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("pin-"))
-        .filter(d => scala.util.Try(java.nio.file.Files
-          .getLastModifiedTime(d).toMillis < cutoff).getOrElse(false))
-        .foreach { d =>
-          scala.util.Using.resource(java.nio.file.Files.walk(d)) { w =>
-            w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .iterator().asScala.foreach(p =>
-                scala.util.Try(java.nio.file.Files.deleteIfExists(p)))
-          }
-        }
+    // one LIST keyed by first path segment: a pin dir is stale only if
+    // its NEWEST object is older than the grace (a mid-write pin keeps
+    // bumping its newest stamp, so an in-flight sibling wave survives)
+    store.list("").flatMap { k =>
+      val seg = k.takeWhile(_ != '/')
+      if (seg.startsWith("pin-") && k.length > seg.length) Some(seg -> k)
+      else None
+    }.groupBy(_._1).foreach { case (dir, keys) =>
+      val newest = keys.flatMap(kk => store.modifiedMillis(kk._2)).maxOption
+      if (newest.exists(_ < cutoff))
+        scala.util.Try(store.deletePrefix(dir + "/"))
     }
   }
 }
