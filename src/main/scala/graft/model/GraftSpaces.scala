@@ -202,7 +202,17 @@ class GraftMemFileSystem extends FileSystem {
     val out = new java.io.FilterOutputStream(buf) {
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
         buf.write(b, off, len)
-      override def close(): Unit = { super.close(); store.put(key, buf.toByteArray) }
+      // create(overwrite=false) is a CONDITIONAL PUT that resolves at
+      // close (S3A's conditional-create shape): the early stat above is
+      // a fast-fail courtesy, the putIfNoneMatch here is the atomic
+      // truth — two racers that both passed the stat check still
+      // serialize on the store's CAS, exactly one close succeeds
+      override def close(): Unit = {
+        super.close()
+        if (overwrite) store.put(key, buf.toByteArray)
+        else if (!store.putIfNoneMatch(key, buf.toByteArray))
+          throw new java.nio.file.FileAlreadyExistsException(key)
+      }
     }
     new FSDataOutputStream(out, statistics)
   }

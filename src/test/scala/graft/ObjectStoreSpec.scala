@@ -180,6 +180,119 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(tl.latestSeq() == Some(1L), "forward probe heals past the lag")
   }
 
+  // ------------------------------------------------- HadoopFsObjectStore
+  // The deployable adapter (round-18 verdict #2): same contract, carried
+  // to any filesystem Spark reaches (s3a/abfs/gs/hdfs), proven offline
+  // over the local connector and the in-memory graftmem connector.
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  test("HadoopFsObjectStore contract over the local connector: put/get/list/delete/CAS") {
+    val root = Files.createTempDirectory("graft-hfs")
+    val os = new HadoopFsObjectStore(
+      new org.apache.hadoop.fs.Path(root.toString), hconf)
+    os.put("a/1", "x".getBytes)
+    os.put("a/2", "y".getBytes)
+    os.put("a/1", "x2".getBytes) // replace
+    assert(new String(os.get("a/1").get) == "x2")
+    assert(os.list("a/") == Seq("a/1", "a/2"))
+    assert(os.list("") == Seq("a/1", "a/2"))
+    assert(os.stat("a/1").exists(_._2 == 2L) && os.stat("nope").isEmpty)
+    os.delete("a/1")
+    assert(os.get("a/1").isEmpty && os.list("a/") == Seq("a/2"))
+    // conditional PUT: create iff absent, loser never overwrites
+    assert(os.putIfNoneMatch("c/k", "first".getBytes))
+    assert(!os.putIfNoneMatch("c/k", "late".getBytes))
+    assert(new String(os.get("c/k").get) == "first")
+    // key escape refused; openStream streams and throws on absent
+    assertThrows[IllegalArgumentException](os.get("../escape"))
+    assert(new String(os.openStream("c/k").readAllBytes()) == "first")
+    assertThrows[java.nio.file.NoSuchFileException](os.openStream("c/none"))
+    // copy + putFile + deletePrefix (with husk sweep)
+    os.copy("c/k", "c/k2")
+    assert(new String(os.get("c/k2").get) == "first")
+    val tmp = Files.createTempFile("graft-hfs-up", ".bin")
+    Files.write(tmp, "upload".getBytes)
+    os.putFile("c/up", tmp)
+    assert(new String(os.get("c/up").get) == "upload")
+    os.deletePrefix("c/")
+    assert(os.list("c/").isEmpty)
+    assert(!Files.exists(root.resolve("c")), "emptied dir husk must be swept")
+  }
+
+  test("HadoopFsObjectStore CAS race over graftmem: exactly one conditional create wins") {
+    GraftMem.install(hconf)
+    val space = s"hfs-race-${java.util.UUID.randomUUID().toString.take(8)}"
+    val os = new HadoopFsObjectStore(
+      new org.apache.hadoop.fs.Path(GraftMem.root(space, "t")), hconf)
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val fs = (1 to 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = {
+          start.await()
+          os.putIfNoneMatch("commits/k.json", s"writer-$i".getBytes)
+        }
+      })
+    }
+    start.countDown()
+    val wins = fs.map(_.get(60, TimeUnit.SECONDS)).count(identity)
+    pool.shutdown()
+    assert(wins == 1, s"exactly one conditional create must win (got $wins)")
+    val content = new String(os.get("commits/k.json").get)
+    assert(content.startsWith("writer-"), "content must be one writer's, whole")
+    GraftMem.dropSpace(space)
+  }
+
+  test("fault modes compose over the adapter: duplicated delivery and LIST lag") {
+    GraftMem.install(hconf)
+    val space = s"hfs-fault-${java.util.UUID.randomUUID().toString.take(8)}"
+    val f = new FaultInjectingObjectStore(new HadoopFsObjectStore(
+      new org.apache.hadoop.fs.Path(GraftMem.root(space, "t")), hconf))
+    f.duplicateNextPut()
+    assert(f.putIfNoneMatch("k", "first".getBytes))
+    assert(new String(f.get("k").get) == "first",
+      "the duplicate internal delivery must fail its condition")
+    f.putIfNoneMatch("c/000.json", "old".getBytes)
+    f.lagListings(2)
+    f.putIfNoneMatch("c/001.json", "new".getBytes)
+    assert(f.list("c/") == Seq("c/000.json"))
+    assert(new String(f.get("c/001.json").get) == "new")
+    assert(f.list("c/") == Seq("c/000.json"), "still lagged")
+    assert(f.list("c/") == Seq("c/000.json", "c/001.json"), "settled")
+    GraftMem.dropSpace(space)
+  }
+
+  test("full table lifecycle through HadoopFsObjectStore over the in-memory connector") {
+    GraftMem.install(hconf)
+    val space = s"hfs-life-${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = GraftMem.root(space, "t")
+    val hfs = new HadoopFsObjectStore(new org.apache.hadoop.fs.Path(root), hconf)
+    // metadata plane EXPLICITLY through the adapter; data plane through
+    // the same connector — one mount, both planes, root never on disk
+    val t = new graft.operators.GraftTable(spark, root, Seq("id"),
+      staleLockMs = 60000, store = hfs)
+    t.bulkInsert((0L until 500L).map(i => (i, s"v$i", "001"))
+      .toDF("id", "v", "trx_seq"))
+    t.upsert(Seq((5L, "u5", "002"), (500L, "new", "002"))
+      .toDF("id", "v", "trx_seq"))
+    assert(t.readUser().count() == 501)
+    assert(t.readUser().filter($"id" === 5L).select("v")
+      .as[String].head() == "u5")
+    t.savepoint(t.latestCommit().get.seq)
+    assert(t.readAsOf(0L).count() == 500)
+    t.clean(retainCommits = 1)
+    t.archive(keepLast = 2)
+    val (_, _, _, ok) = t.fsck()
+    assert(ok, "fsck must pass through the adapter")
+    // every commit record provably crossed the adapter into the space
+    assert(GraftMem.rawSpace(space)
+      .list("t/_graft/commits/").exists(_.endsWith(".commit.json")))
+    assert(!Files.exists(Paths.get("graftmem:")),
+      "no code path may fall back to java.nio under the mounted root")
+    GraftMem.dropSpace(space)
+  }
+
   test("OCC race over the object store: lock-free writers all land, latest-wins holds") {
     val (os, root) = store()
     val cs = new ObjectStoreCommitStore(os, Paths.get(root))
