@@ -101,12 +101,18 @@ object Bench {
     // that mostly measures contention. The flag below only trips when
     // the wait times out, so `load_contaminated: true` now means "the
     // host never went quiet", not "the runner was unlucky".
+    // Round-18 judge finding: a loadavg-1.44 start — well under the 3.0
+    // flag threshold — still inflated EVERY query a uniform ~1.5×, which
+    // the per-query >2× re-measure cannot catch. So the WAIT now targets
+    // a genuinely quiet host (≤ 1.0); the 3.0 threshold remains only the
+    // hard contamination flag when the wait times out.
+    val QuietStartTarget = 1.0
     val quietWaitMaxMs =
       sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_MS", "600000").toLong
     var waitedMs = 0L
-    while (loadavg1 > LoadContaminationThreshold && waitedMs < quietWaitMaxMs) {
+    while (loadavg1 > QuietStartTarget && waitedMs < quietWaitMaxMs) {
       System.err.println(f"[bench] loadavg $loadavg1%.2f > " +
-        f"$LoadContaminationThreshold%.1f — waiting for a quiet host " +
+        f"$QuietStartTarget%.1f — waiting for a quiet host " +
         s"(${waitedMs / 1000}s of ${quietWaitMaxMs / 1000}s max)")
       Thread.sleep(30000)
       waitedMs += 30000
@@ -491,7 +497,8 @@ object Bench {
     // record takes the better reading — a load spike self-adjudicates
     // in the artifact instead of needing an external re-run. Genuine
     // regressions survive (they reproduce in the re-measure).
-    val trailingMedian: Map[String, Double] = try {
+    val (trailingMedian: Map[String, Double],
+         trailingTotalMedian: Option[Double]) = try {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       import scala.jdk.CollectionConverters._
       val recs = scala.util.Using.resource(
@@ -499,9 +506,9 @@ object Bench {
         s.iterator().asScala.map(_.getFileName.toString)
           .filter(_.matches("BENCH_r\\d+\\.json")).toSeq.sorted.takeRight(3)
       }
-      recs.flatMap { f =>
-        val j = org.json4s.jackson.JsonMethods.parse(
-          java.nio.file.Files.readString(java.nio.file.Paths.get(f)))
+      val parsed = recs.map(f => org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(f))))
+      val perQuery = parsed.flatMap { j =>
         Seq("queries", "write_family", "llm_family").flatMap(k =>
           (j \ k).extractOpt[Map[String, Double]].getOrElse(Map.empty))
       }.groupBy(_._1).flatMap { case (n, vs) =>
@@ -512,7 +519,12 @@ object Bench {
         val pos = vs.map(_._2).filter(_ > 0)
         if (pos.nonEmpty) Some(n -> median(pos)) else None
       }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      val totals = parsed.flatMap(j => (j \ "value").extractOpt[Double])
+        .filter(_ > 0)
+      (perQuery, if (totals.nonEmpty) Some(median(totals)) else None)
+    } catch { case scala.util.control.NonFatal(_) =>
+      (Map.empty[String, Double], None)
+    }
 
     val readjudicated = scala.collection.mutable.ListBuffer[String]()
     def adjudicate(rs: Seq[(String, Double)],
@@ -561,6 +573,18 @@ object Bench {
       if (resultsAdj.exists(_._2 < 0)) -1.0 else resultsAdj.map(_._2).sum
     val failedJson = failed.map(n => "\"" + n + "\"").mkString("[", ",", "]")
     val readjJson = readjudicated.map(n => "\"" + n + "\"").mkString("[", ",", "]")
+    // UNIFORM-inflation mark (round-18 verdict #6): a contaminated run
+    // that inflates every query ~1.5× passes the per-query >2× check;
+    // the TOTAL against its own trailing median catches it. The record
+    // self-marks rather than re-running (a whole re-run doubles the
+    // round's bench cost); a marked record means "compare per-query
+    // floors, not the total, or re-run quiet".
+    val totalInflated = trailingTotalMedian
+      .exists(m => total > 0 && total > 1.3 * m)
+    if (totalInflated)
+      System.err.println(f"[bench] total $total%.2fs > 1.3x trailing-total " +
+        f"median ${trailingTotalMedian.get}%.2fs — uniform inflation " +
+        "suspected, record marked total_inflated")
     // Host context in the record (round-10 judge ask): a load-skewed
     // outlier is adjudicable from the artifact alone — loadavg is read
     // at END of run so it reflects the load the timings ran under
@@ -574,7 +598,7 @@ object Bench {
       catch { case _: Exception => -1L }
     val stages = jsonMap(dedupStages)
     val sstages = jsonMap(spanStages)
-    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"readjudicated":$readjJson,"queries":$qs,"write_family":$ws,"llm_family":$ls,"w_incr_dedup_stages":$stages,"w_incr_span_stages":$sstages,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"readjudicated":$readjJson,"total_inflated":$totalInflated,"queries":$qs,"write_family":$ws,"llm_family":$ls,"w_incr_dedup_stages":$stages,"w_incr_span_stages":$sstages,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
     println(record)
     // durable copy: the round-9 driver log kept only a 2000-char tail and
     // truncated the record's head, losing the machine-readable timings —

@@ -169,8 +169,11 @@ object IvmSoak {
           val st = new graft.operators.GraftTable(spark,
             tmpd(s"ddst-run$i") + "/t", Seq("id"))
           IDD.bootstrap(c, st, "id", "text", IDD.Params(), 0L)
+          graft.util.StageTimer.enable()
           timed(s"maintain run$i")(
             IDD.maintain(c, st, "id", "text", IDD.Params(), 0L, 1L))
+          println(s"DD-STAGES run$i: " + graft.util.StageTimer.collect()
+            .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
           val st2 = new graft.operators.GraftTable(spark,
             tmpd(s"ddre-run$i") + "/t", Seq("id"))
           timed(s"recompute run$i")(

@@ -35,11 +35,13 @@ import graft.operators.GraftTable
   * verification — touches ONLY (a) the wave's changed documents and
   * (b) the point-fetched texts of candidate partners and
   * split-component survivor representatives (bounded by true match
-  * volume, read through the corpus table's key index). The one
-  * corpus-proportional pass is over the SIGNATURE STORE (the state
-  * table: ~hundreds of bytes per document, no text) to price band
-  * buckets for the density cap — the irreducible cost of cap parity
-  * with the batch run, at ~0.1% of the corpus bytes.
+  * volume, read through the corpus table's key index). The banding
+  * census — density-cap pricing and candidate-partner naming — rides a
+  * PERSISTED BAND STORE (`_graft/bands`, keyed `(bk, rid)`, one row per
+  * bucket × live-thash rep) whose key layout manifest-prunes each
+  * wave's read to the buckets the wave's own documents touch, so the
+  * round-18 store-wide re-banding pass is gone; the remaining
+  * state-table scans are narrow filters with no shuffle.
   *
   * EXACTNESS: after any sequence of insert/update/delete waves, the
   * maintained components equal `Dedup.minhashComponents(liveCorpus)` on
@@ -99,6 +101,11 @@ object IncrementalDedup {
     * the driver (→ [[GraftTable.readKeys]] pruned read); a wider fetch
     * set falls back to a snapshot semi join. */
   val FetchKeyCap = 10000
+
+  /** Per-bucket range-read fan-in bound for the BAND STORE (same rule as
+    * [[IncrementalSpanCensus.RangeReadCap]]): at most this many per-bk
+    * range-read legs; a wider wave falls back to one band-store scan. */
+  private[graft] val RangeReadCap = 256
 
   /** A wave's component graph at most this many edges runs a DRIVER
     * union-find instead of the log-rounds distributed CC (≈20 iteration
@@ -180,6 +187,125 @@ object IncrementalDedup {
           "by a non-negative LONG id (the point-fetch path's ordered key " +
           "encoding) — filter or remap ids first")
 
+  // ------------------------------------------------------- band store
+  //
+  // The one corpus-proportional wave term used to be the banding census:
+  // pricing the density cap (and naming candidate partners) re-banded
+  // the WHOLE rep signature store every wave (IvmSoak round 18: maintain
+  // grew 1.8× at 10× corpus from exactly this pass). The fix is the same
+  // move that made the span census's partners text-free: PERSIST the
+  // banding as its own keyed state table — one row per (band bucket,
+  // live-thash-group rep) keyed `(bk, rid)` — laid out in key order, so
+  // a wave's census manifest-prunes to the buckets its own documents
+  // touch (per-bk range reads, [[RangeReadCap]] fan-in bound, scan
+  // fallback). The store lives INSIDE the state root (`_graft/bands`):
+  // it dies with the table on DROP, is invisible to the main table's
+  // fsck/clean (they enumerate `data/` only), and is a pure DERIVED
+  // index — absent or stale (cloned state, pre-upgrade state, torn
+  // crash window) it is transparently REBUILT from the main store at
+  // the wave's start (one banding pass, the old per-wave cost, once).
+  //
+  // Commit order: bands FIRST, then the main state (both carry the
+  // AppliedSeqKey watermark). The census reads the POST-merge band rows
+  // minus the wave's own new ids, which makes a torn replay (bands at
+  // `to`, main at `from`) read the exact same frames. Rep-endpoint
+  // substitution inside an identical-text group (a stored rep handed
+  // off to a smaller new id this wave) is component-safe: both
+  // endpoints carry identical text, and the glue edge already joins
+  // them, so verification and the final labels are unchanged.
+
+  private[graft] def bandsRootOf(state: GraftTable): String =
+    s"${state.root}/_graft/bands"
+
+  /** How many band-store delta commits between compactions — the
+    * amortization knob for the store's one corpus-proportional write. */
+  private val BandsCompactEvery = 8
+
+  private def bandsTable(spark: SparkSession, state: GraftTable): GraftTable =
+    new GraftTable(spark, bandsRootOf(state), Seq("bk", "rid"),
+      targetFileBytes = state.targetFileBytes, // adopt the owner's sizing
+      // MERGE_ON_READ, deliberately: a wave's add/delete keys scatter
+      // uniformly over the bucket-hash key space, so a COW merge admits
+      // (and rewrites) nearly every base file — a corpus-proportional
+      // write per wave, the very term this store exists to kill
+      // (measured: the bands stage at 4–9 s/wave on the sf0.1 fixture).
+      // MOR appends one wave-sized delta log instead; reads merge the
+      // log per admitted file group, and every BandsCompactEvery'th
+      // commit folds the logs — corpus-proportional work paid 1/N'th
+      // per wave instead of 1× per wave.
+      tableType = GraftTable.MergeOnRead,
+      compactEvery = BandsCompactEvery,
+      clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes)
+
+  /** (sum of admitted files across the wave's per-bucket range-read
+    * legs, band-store file total) of the most recent [[bandsRead]] that
+    * took the pruned path — the plan-shape observability hook. */
+  @volatile private[graft] var lastBandsRead: Option[(Int, Int)] = None
+
+  /** Signature identity for density counting and same-sig candidates:
+    * md5 over the exact permutation values — collision-safe at any
+    * corpus scale (128-bit), unlike a 64-bit rehash. */
+  private def sidCol: org.apache.spark.sql.Column =
+    md5(expr("array_join(transform(sig, x -> cast(x as string)), ',')"))
+
+  /** Band rows of per-thash rep rows `(id, thash, sig, n_sh)` — one row
+    * per (bucket, rep): `(bk, rid, thash, sid, n_sh)`. `bk` is a
+    * fixed-width sortable string (band index + unsigned bucket hash) so
+    * the `(bk, rid)` record-key layout range-prunes by bucket. */
+  private def bandRowsOf(reps: DataFrame, p: Params): DataFrame =
+    Dedup.minhashBandBuckets(
+      reps.select(col("id").as("rid"), col("sig")), p.bands, p.rows)
+      .join(reps.select(col("id").as("rid"), col("thash"),
+        sidCol.as("sid"), col("n_sh")), Seq("rid"))
+      .select(format_string("%02d-%016x", col("bk1"), col("bk2")).as("bk"),
+        col("rid"), col("thash"), col("sid"), col("n_sh"))
+
+  /** Per-thash group reps (min id) of a signature frame. */
+  private def repsOf(sigs: DataFrame): DataFrame = {
+    val m = sigs.filter(col("n_sh") >= 1)
+      .groupBy(col("thash")).agg(min(col("id")).as("_rpid"))
+    sigs.join(m, Seq("thash")).filter(col("id") === col("_rpid"))
+      .select(col("id"), col("thash"), col("sig"), col("n_sh"))
+  }
+
+  /** Full rebuild of the band store from the main state at watermark
+    * `atSeq` — bootstrap, upgrade of a pre-band state, healed clone. */
+  private def rebuildBands(bands: GraftTable, state: GraftTable,
+      p: Params, atSeq: Long): Unit = {
+    val rows = bandRowsOf(repsOf(state.readUser()
+      .select(col("id"), col("thash"), col("sig"), col("n_sh"))), p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      rows.count() // size the file plan off real bytes (stats-balloon rule)
+      if (bands.history().isEmpty)
+        bands.bulkInsert(rows, extraMeta = Map(AppliedSeqKey -> atSeq.toString))
+      else bands.insertOverwriteTable(rows,
+        extraMeta = Map(AppliedSeqKey -> atSeq.toString))
+      ()
+    } finally { rows.unpersist(blocking = false); () }
+  }
+
+  /** The band-store rows of the given buckets: per-bk key-range reads
+    * under [[RangeReadCap]], one store scan above it. */
+  private def bandsRead(bands: GraftTable, buckets: DataFrame): DataFrame = {
+    val cols = Seq("bk", "rid", "thash", "sid", "n_sh").map(col)
+    val ks = buckets.select(col("bk")).distinct().limit(RangeReadCap + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (ks.isEmpty) bands.readUser().limit(0).select(cols: _*)
+    else if (ks.size <= RangeReadCap) {
+      val legs = ks.map { b =>
+        val f = bands.readKeyRange(s"bk:$b,rid:0000000000000000000",
+          s"bk:$b,rid:9999999999999999999")
+        (f, bands.lastRangeRead)
+      }
+      lastBandsRead = Some((legs.flatMap(_._2).map(_._1).sum,
+        legs.flatMap(_._2).map(_._2).headOption.getOrElse(0)))
+      legs.map(_._1).reduce(_ unionByName _).select(cols: _*)
+    } else bands.readUser()
+      .join(buckets.select(col("bk")).distinct(), Seq("bk"), "left_semi")
+      .select(cols: _*)
+  }
+
   /** One-time full clustering of the source snapshot at `atSeq` into the
     * (empty) state table — [[Dedup.minhashComponents]] for the labels,
     * one signature row per document (singletons label themselves). */
@@ -214,6 +340,9 @@ object IncrementalDedup {
         out.count()
         state.bulkInsert(out,
           extraMeta = extraMeta + (AppliedSeqKey -> atSeq.toString))
+        // band store: the derived (bk, rid) census index, built at
+        // bootstrap so the very first wave already range-prunes
+        rebuildBands(bandsTable(out.sparkSession, state), state, p, atSeq)
         ()
       } finally { out.unpersist(blocking = false); () }
     } finally { sigs.unpersist(blocking = false); () }
@@ -349,82 +478,166 @@ object IncrementalDedup {
     graft.util.StageTimer.mark("feed_sigs")
     try {
       requireValidIds(newSigs, s"the ($fromSeq, $toSeq] change feed")
+      val spark0 = newSigs.sparkSession
       val st = state.readUser().select(StateCols.map(col): _*)
+      val newIdSet = newSigs.select(col("id"))
       // live partners: current state minus retracted minus re-added (an
-      // updated doc's OLD row must not glue/verify as a live partner)
-      val live = pin(st.join(removed, Seq("id"), "left_anti")
-        .join(newSigs.select(col("id")), Seq("id"), "left_anti"))
-      // ---- exact-text glue (jaccard 1, no verification)
+      // updated doc's OLD row must not glue/verify as a live partner).
+      // LAZY like the other state restrictions: depth-2 over pinned
+      // leaves, so its consumers (survivors / addMembers — themselves
+      // pinned) re-scan the state columnar instead of paying a full
+      // corpus-sized localCheckpoint materialization per wave — the last
+      // corpus-proportional PIN of the wave after the band store killed
+      // the census scan.
+      val live = st.join(removed, Seq("id"), "left_anti")
+        .join(newIdSet, Seq("id"), "left_anti")
       val hasSh = col("n_sh") >= 1
-      val liveThash = live.filter(hasSh)
+      // ---- affected-thash frames: state scans restricted (broadcast
+      // semi join, no shuffle) to the wave's thash universe — glue
+      // lookups and band-store rep handoffs both come from here, so the
+      // old store-wide thash groupBy is gone. Deliberately LAZY, not
+      // pinned: both are depth-2 over pinned leaves (st is a table read,
+      // removed/newSigs are pins), so re-evaluation inside the merge
+      // action costs a cheap columnar re-scan while a pin would cost an
+      // extra eager full-computation job per wave.
+      val stRemoved = st.join(removed, Seq("id"), "left_semi")
+      val thashAff = newSigs.filter(hasSh).select(col("thash"))
+        .unionByName(stRemoved.filter(hasSh).select(col("thash"))).distinct()
+      val stAff = st.join(thashAff, Seq("thash"), "left_semi")
+      // live OLD members' min id per affected thash — the old algebra's
+      // liveThash, now wave-proportional
+      val liveMin = stAff.join(removed, Seq("id"), "left_anti")
+        .join(newIdSet, Seq("id"), "left_anti")
         .groupBy(col("thash")).agg(min(col("id")).as("_lid"))
-      val glueOld = newSigs.filter(hasSh).join(liveThash, Seq("thash"))
+      // ---- exact-text glue (jaccard 1, no verification)
+      val glueOld = newSigs.filter(hasSh).join(liveMin, Seq("thash"))
         .select(col("_lid").as("ia"), col("id").as("ib"))
       val newThash = newSigs.filter(hasSh)
         .groupBy(col("thash")).agg(min(col("id")).as("_nrid"))
       val glueNew = newSigs.filter(hasSh).join(newThash, Seq("thash"))
         .filter(col("id") =!= col("_nrid"))
         .select(col("_nrid").as("ia"), col("id").as("ib"))
+      // ---- band-store maintenance (commits FIRST — see the band-store
+      // note above; the census then reads post-wave rows)
+      val bands = bandsTable(spark0, state)
+      if (!appliedSeq(bands).exists(s => s == fromSeq || s == toSeq))
+        rebuildBands(bands, state, p, fromSeq) // absent / pre-band / cloned
+      // wave reps: one per NEW thash (glue groups and new-text groups)
+      val newRepsAll = pin(newSigs.filter(hasSh).join(newThash, Seq("thash"))
+        .filter(col("id") === col("_nrid"))
+        .select(col("id"), col("thash"), col("sig"), col("n_sh")))
+      if (appliedSeq(bands).contains(fromSeq)) {
+        // P(T) = pre-wave stored rep; R'(T) = post-wave rep = min(live
+        // old members, new members). Emit adds where the rep changed
+        // (or the group is new) and deletes for removed/superseded reps;
+        // untouched groups see zero band-store churn.
+        val preRep = stAff.filter(hasSh)
+          .groupBy(col("thash")).agg(min(col("id")).as("_pid"))
+        val pAlive = preRep.join(removed.select(col("id").as("_pid")),
+          Seq("_pid"), "left_anti")
+        val repNext = liveMin.select(col("thash"), col("_lid").as("_cand"))
+          .unionByName(newRepsAll.select(col("thash"), col("id").as("_cand")))
+          .groupBy(col("thash")).agg(min(col("_cand")).as("_rid"))
+        // (id, thash) → (sig, n_sh): wave rows first, state rows second;
+        // an unchanged-text update collides with identical values, so
+        // the key-dedupe is value-safe
+        val srcRows = newSigs.select(col("id"), col("thash"), col("sig"), col("n_sh"))
+          .unionByName(stAff.select(col("id"), col("thash"), col("sig"), col("n_sh")))
+          .dropDuplicates("id", "thash")
+        val addReps = repNext.join(pAlive, Seq("thash"), "left")
+          .filter(col("_pid").isNull || col("_pid") =!= col("_rid"))
+          .select(col("thash"), col("_rid").as("id"))
+          .join(srcRows, Seq("id", "thash"))
+        val handoff = repNext.join(pAlive, Seq("thash"))
+          .filter(col("_rid") =!= col("_pid"))
+          .select(col("thash"), col("_pid").as("id"))
+          .join(stAff.select(col("id"), col("thash"), col("sig"), col("n_sh")),
+            Seq("id", "thash"))
+        val addBand = bandRowsOf(addReps, p)
+          .withColumn(Meta.Deleted, lit(false))
+        val delBand = bandRowsOf(stRemoved.filter(hasSh), p)
+          .unionByName(bandRowsOf(handoff, p))
+          .select(col("bk"), col("rid")).distinct()
+          .join(addBand.select(col("bk"), col("rid")), Seq("bk", "rid"),
+            "left_anti")
+          .select(col("bk"), col("rid"), lit(null).cast("string").as("thash"),
+            lit(null).cast("string").as("sid"), lit(-1L).as("n_sh"))
+          .withColumn(Meta.Deleted, lit(true))
+        // tombstone UPSERT, not mergeInto: a merge resolves matched-vs-
+        // insert at WRITE time, which reads the admitted base groups —
+        // and a wave's keys scatter over the whole bucket space, so that
+        // read was corpus-proportional. The MOR upsert just appends the
+        // wave-sized delta log (deletes ride tombstones, latest-wins by
+        // the monotonic toSeq ordering resolves at read), and the every-
+        // BandsCompactEvery'th compaction folds the logs.
+        //
+        // Materialized BEFORE the write — the stats-balloon rule: the
+        // delta is a union of joins, and Catalyst's size-only estimate
+        // for it ballooned the log plan to thousands of files per wave
+        // (measured: bands stage 80→5 s after this persist+count)
+        val bandsDelta = addBand.unionByName(delBand)
+          .withColumn(Meta.Ordering, lit(f"$toSeq%020d"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          bandsDelta.count()
+          bands.upsert(bandsDelta,
+            extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+            preCommit = Some(() => {
+              val cur = appliedSeq(bands)
+              if (cur != Some(fromSeq)) throw new IllegalStateException(
+                s"stale band-store window ($fromSeq, $toSeq]: the band " +
+                  s"store's watermark is ${cur.getOrElse("absent")} — " +
+                  "re-read the watermark (concurrent refresh?)")
+            }))
+          ()
+        } finally { bandsDelta.unpersist(blocking = false); () }
+      } // else: torn replay — bands already at toSeq; the rows are identical
+      graft.util.StageTimer.mark("bands")
       // ---- candidate algebra for DISTINCT new texts (batch parity:
       // candidates are generated between text representatives; a new
       // text already live needs no candidates — its rep's edges exist)
-      val pairReps = newSigs.filter(hasSh)
-        .join(liveThash.select(col("thash")), Seq("thash"), "left_anti")
-        .join(newThash, Seq("thash")).filter(col("id") === col("_nrid"))
-        .select(col("id"), col("sig"), col("n_sh"))
-      val liveReps = live.filter(hasSh)
-        .groupBy(col("thash")).agg(min(col("id")).as("id"))
-        .join(live.select(col("id"), col("sig"), col("n_sh")), Seq("id"))
-      val allReps = pin(liveReps.select(col("id"), col("sig"), col("n_sh"))
-        .unionByName(pairReps))
-      // cap parity: bucket density is the DISTINCT-signature count —
-      // restricted to the buckets the WAVE'S new reps occupy, because
-      // candidate pairs (and therefore cap admission) are only ever
-      // consulted there. The store-wide banding scan remains (the one
-      // corpus-proportional — but text-free — pass; see the object doc),
-      // but its shuffle/join volume collapses from O(store × bands) to
-      // the touched neighborhoods — wave-proportional.
-      //
-      // ONE banding pass (round-18 verdict #3): banding is per-row, so
-      // the wave's three banded frames — new reps' buckets, distinct-
-      // signature densities, cap-admitted rows — are all RESTRICTIONS of
-      // allReps' banding. Band once into a single pinned leaf and derive
-      // the three by semi-join, instead of re-running the posexplode
-      // banding three times inside the sized pin's job (the round-17
-      // stage split priced that re-derivation at ~half the candidates
-      // stage). The lazy derivations fuse into sized's materialization
-      // off the pinned leaf — no extra jobs, constant plan depth.
-      val bandedAll = pin(Dedup.minhashBandBuckets(
-        allReps.select(col("id").as("rid"), col("sig")), p.bands, p.rows))
+      val pairReps = newRepsAll
+        .join(liveMin.select(col("thash")), Seq("thash"), "left_anti")
+        .select(col("id"), col("sig"), col("n_sh"), sidCol.as("sid"))
+      val bandedNewAll = pin(bandRowsOf(newRepsAll, p))
       val pairRepIds = pairReps.select(col("id").as("rid"))
-      val newBuckets = bandedAll.join(pairRepIds, Seq("rid"), "left_semi")
-        .select(col("bk1"), col("bk2")).distinct()
-      // one rep row per DISTINCT signature — its banding is that row's
-      // slice of bandedAll (min-id rep is an allReps row by construction)
-      val sigReps = allReps.groupBy(col("sig")).agg(min(col("id")).as("rid"))
-        .select(col("rid"))
-      val bCnt = bandedAll.join(sigReps, Seq("rid"), "left_semi")
-        .join(newBuckets, Seq("bk1", "bk2"), "left_semi")
-        .groupBy(col("bk1"), col("bk2")).agg(count(lit(1)).as("_nb"))
-      val admitted = bandedAll
-        .join(newBuckets, Seq("bk1", "bk2"), "left_semi")
-        .join(bCnt.filter(col("_nb") <= p.maxBandFreq), Seq("bk1", "bk2"))
-      val bandedNew = admitted.join(pairRepIds, Seq("rid"))
-      val candBand = bandedNew.as("x").join(admitted.as("y"),
-          col("x.bk1") === col("y.bk1") && col("x.bk2") === col("y.bk2") &&
-            col("x.rid") =!= col("y.rid"))
+      val newBuckets = bandedNewAll.join(pairRepIds, Seq("rid"), "left_semi")
+        .select(col("bk")).distinct()
+      // store partners in the wave's buckets: a PRUNED read of the band
+      // store (post-merge = post-wave reps) minus the wave's own docs.
+      // Rep-endpoint substitution inside an identical-text group is
+      // component-exact (glue already joins the endpoints); density is
+      // sid-based so substitution never changes a bucket's count.
+      val storeRows = bandsRead(bands, newBuckets)
+        .join(newIdSet.select(col("id").as("rid")), Seq("rid"), "left_anti")
+      val poolNB = pin(storeRows.unionByName(bandedNewAll)
+        .join(newBuckets, Seq("bk"), "left_semi"))
+      // cap parity: bucket density is the DISTINCT-signature count in
+      // the bucket (identical to the batch sigReps count), restricted to
+      // the buckets the wave's new reps occupy — the only place
+      // candidate pairs consult it
+      val bCnt = poolNB.groupBy(col("bk"))
+        .agg(countDistinct(col("sid")).as("_nb"))
+      val admitted = poolNB.join(bCnt.filter(col("_nb") <= p.maxBandFreq),
+        Seq("bk"))
+      val bandedNewB = admitted.join(pairRepIds, Seq("rid"), "left_semi")
+      val candBand = bandedNewB.as("x").join(admitted.as("y"),
+          col("x.bk") === col("y.bk") && col("x.rid") =!= col("y.rid"))
         .select(least(col("x.rid"), col("y.rid")).as("ia"),
           greatest(col("x.rid"), col("y.rid")).as("ib"))
       // same-signature candidates bypass the cap (batch within-signature
-      // contract: identical sigs are candidates regardless of density)
-      val candSig = pairReps.select(col("id").as("_na"), col("sig"))
-        .join(allReps.select(col("id").as("_ob"), col("sig")), Seq("sig"))
+      // contract). Identical signatures co-occupy EVERY bucket, so the
+      // pool restricted to the new reps' own buckets already holds every
+      // same-sig partner; sid is a 128-bit signature identity.
+      val candSig = pairReps.select(col("id").as("_na"), col("sid"))
+        .join(poolNB.select(col("rid").as("_ob"), col("sid")).distinct(),
+          Seq("sid"))
         .filter(col("_na") =!= col("_ob"))
         .select(least(col("_na"), col("_ob")).as("ia"),
           greatest(col("_na"), col("_ob")).as("ib"))
       // exact size-bound prefilter on STORED shingle counts — candidates
       // that can never verify are dropped before any text is fetched
-      val cnt = allReps.select(col("id"), col("n_sh"))
+      val cnt = poolNB.select(col("rid").as("id"), col("n_sh")).distinct()
       val sized = pin(candBand.unionByName(candSig).distinct()
         .join(cnt.toDF("ia", "_na"), Seq("ia"))
         .join(cnt.toDF("ib", "_nb2"), Seq("ib"))
@@ -444,7 +657,6 @@ object IncrementalDedup {
         .select(col("_srid").as("ia"), col("id").as("ib"))
       val survRepIds = survThash.select(col("_srid").as("id"))
       // ---- one point-fetch for all old texts this wave needs
-      val newIdSet = newSigs.select(col("id"))
       val oldNeeded = sized
         .select(explode(array(col("ia"), col("ib"))).as("id")).distinct()
         .join(newIdSet, Seq("id"), "left_anti")
@@ -497,7 +709,6 @@ object IncrementalDedup {
       // fetches: under the cap, one collect + union-find (min-label,
       // identical contract); above it, the distributed loop. The wave
       // bench's verify_cc stage was ~6 s of pure iteration overhead.
-      val spark0 = edges.sparkSession
       val ccCap = spark0.conf.getOption(DriverCcEdgeCapKey)
         .map(_.toInt).getOrElse(DriverCcEdgeCap)
       val collected = edges.limit(ccCap + 1).collect()

@@ -856,12 +856,19 @@ class GraftTable(
     * batch carrying a lower-seq version of that key re-inserts it (matches
     * Hudi once the tombstone is gone — SURVEY §7.4).
     */
-  def upsert(batch0: DataFrame, checkpoint: Option[String] = None): Commit =
+  def upsert(batch0: DataFrame, checkpoint: Option[String] = None,
+      /** Caller metadata on the commit record (applied-seq watermarks —
+        * same contract as [[mergeInto]]'s `extraMeta`). */
+      extraMeta: Map[String, String] = Map.empty,
+      /** Runs under the table lock before any work — the stale-window
+        * refusal hook (same contract as [[mergeInto]]'s `preCommit`). */
+      preCommit: Option[() => Unit] = None): Commit =
     withLock {
+      preCommit.foreach(_.apply())
       val c =
         if (tableType == GraftTable.MergeOnRead && timeline.latest().isDefined)
-          doDeltaCommit(batch0, checkpoint)
-        else doUpsert(batch0, checkpoint)
+          doDeltaCommit(batch0, checkpoint, extraMeta = extraMeta)
+        else doUpsert(batch0, checkpoint, extraMeta)
       // inline clustering (lock already held): a no-op unless >= 2 small
       // files exist and no delta logs are outstanding
       if (clusterSmallFileBytes > 0 && c.logFiles.isEmpty)
@@ -1096,17 +1103,20 @@ class GraftTable(
       .collect().map(_.getString(0)).toSet)
   }
 
-  private def doUpsert(batch0: DataFrame, checkpoint: Option[String]): Commit = {
+  private def doUpsert(batch0: DataFrame, checkpoint: Option[String],
+      extraMeta: Map[String, String] = Map.empty): Commit = {
     requireOrderingPresent(batch0)
     val prev = timeline.latest().getOrElse(
-      return doBulkInsert(batch0.transform(b => precombine(prepared(b))), checkpoint))
+      return doBulkInsert(batch0.transform(b => precombine(prepared(b))),
+        checkpoint, extraMeta))
     // close the routing TOCTOU: callers branch on latest().isDefined BEFORE
     // calling in, and a racer (an optimistic writer never holds the lock)
     // can land the first commit in between — a MOR table must still take
     // the delta-log path here, or its base files get a COW rewrite and the
     // change-exact incremental contract breaks
     if (tableType == GraftTable.MergeOnRead)
-      return doDeltaCommit(batch0, checkpoint, allowInlineCompact = false)
+      return doDeltaCommit(batch0, checkpoint, allowInlineCompact = false,
+        extraMeta = extraMeta)
     // persisted: the precombined batch feeds BOTH the pruning pass and the
     // merge — without caching, the precombine shuffle would run twice
     val batch = precombine(prepared(batch0))
@@ -1182,7 +1192,7 @@ class GraftTable(
       commitOrCleanStage(Commit(seq, "upsert", untouched ++ newFiles,
         GraftTable.widenSchemas(wide, live.schema).json,
         checkpoint, System.currentTimeMillis(),
-        extra = GraftTable.writeMetrics(newFiles) +
+        extra = GraftTable.writeMetrics(newFiles) ++ extraMeta +
           ("files_rewritten" -> affected.size.toString) +
           ("files_carried" -> untouched.size.toString)), newFiles)
     } finally {
@@ -1199,7 +1209,8 @@ class GraftTable(
     * delta commits.
     */
   private def doDeltaCommit(batch0: DataFrame, checkpoint: Option[String],
-      allowInlineCompact: Boolean = true): Commit = {
+      allowInlineCompact: Boolean = true,
+      extraMeta: Map[String, String] = Map.empty): Commit = {
     requireOrderingPresent(batch0)
     val prev = timeline.latest().get
     val seq = prev.seq + 1
@@ -1216,7 +1227,7 @@ class GraftTable(
     val logs = writeFiles(wideBatch, seq, planBytes(wideBatch))
     val c = commitOrCleanStage(Commit(seq, "delta_commit", prev.files, unionSchema.json,
       checkpoint, System.currentTimeMillis(),
-      extra = GraftTable.writeMetrics(logs) +
+      extra = GraftTable.writeMetrics(logs) ++ extraMeta +
         ("log_files_outstanding" -> (prev.logFiles.size + logs.size).toString),
       logFiles = prev.logFiles ++ logs), logs)
     val deltasSinceBase = history().reverse.takeWhile(_.action == "delta_commit").size
@@ -2205,11 +2216,16 @@ class GraftTable(
     def overlaps(f: DataFile): Boolean =
       !GraftTable.hasReliableStats(f) ||
         (GraftTable.cmpKey(f.minKey, hi) <= 0 && GraftTable.cmpKey(f.maxKey, lo) >= 0)
+    lastRangeRead = Some((c.files.count(overlaps), c.files.size))
     // Spark string comparison is UTF8String binary order — the same
     // collation as cmpKey and the parquet stats, so prune and filter agree
     prunedRead(c, overlaps)
       .filter(col(Meta.RecordKey) >= lit(lo) && col(Meta.RecordKey) <= lit(hi))
   }
+
+  /** (admitted, total) manifest files of the most recent [[readKeyRange]]
+    * — the range-read analog of [[lastPointRead]], for plan-shape pins. */
+  @volatile private[graft] var lastRangeRead: Option[(Int, Int)] = None
 
   /** Numeric-key convenience: [lo, hi] through the order-preserving
     * zero-padded key encoding. Non-negative only — `%019d` is NOT

@@ -143,6 +143,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assertParity(s1, st1, "stepwise")
   }
 
+  test("a long wave train crosses the band-store compaction boundary exactly") {
+    // the band store is MERGE_ON_READ with inline compaction every
+    // BandsCompactEvery (8) delta commits — 11 waves cross that boundary,
+    // so this pins (a) tombstone latest-wins correctness through the logs,
+    // (b) the compaction fold, and (c) reads on both sides of it
+    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    src.bulkInsert(meta(docs(1L -> sent(1, 12), 2L -> sent(3, 14)), 1, del = false))
+    val st = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+    IncrementalDedup.bootstrap(src, st, "id", "text", P, 0L)
+    (1 to 11).foreach { w =>
+      val base = 100L * w
+      // each wave: one new near-dup of doc 1's neighborhood, one unique
+      // doc, and from wave 3 on a deletion of an earlier wave's near-dup
+      val ins = meta(docs(base -> sent(1, 12), (base + 1) -> sent(base.toInt, base.toInt + 12)),
+        w + 1, del = false)
+      val wave =
+        if (w >= 3) ins.unionByName(meta(docs((100L * (w - 2)) -> sent(1, 12)),
+          w + 1, del = true))
+        else ins
+      src.upsert(wave)
+      IncrementalDedup.maintain(src, st, "id", "text", P, (w - 1).toLong, w.toLong)
+    }
+    assertParity(src, st, "11-wave train over the compaction boundary")
+    // the band store actually compacted: outstanding logs were folded
+    // at least once (history carries a compaction commit)
+    val bands = GraftTable.open(spark, IncrementalDedup.bandsRootOf(st))
+    assert(bands.history().exists(_.action == "compact"),
+      s"band store must compact inside the train: ${bands.history().map(_.action)}")
+  }
+
   test("lifecycle: create records the spec; refresh runs from the state alone") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     src.bulkInsert(meta(docs(1L -> sent(1, 12), 2L -> sent(3, 14)), 1, del = false))

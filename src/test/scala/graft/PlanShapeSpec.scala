@@ -348,6 +348,47 @@ class PlanShapeSpec extends AnyFunSuite {
       .select(col("n_dup")).as[Long].head() == 1L)
   }
 
+  test("dedup census range-prunes the band store to the wave's buckets") {
+    // the 100-TB claim behind IncrementalDedup's persisted band store
+    // (round-18 verdict #2): a one-doc wave's density/candidate census
+    // reads only the buckets that doc touches — per-bk range reads over
+    // the (bk, rid) key layout — never the whole signature store
+    import graft.operators.GraftTable
+    import graft.llm.{IncrementalDedup => IDD}
+    import org.apache.spark.sql.functions.{col, lit}
+    val sess = spark
+    import sess.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-pbands")
+    val src = new GraftTable(spark, s"$base/src", Seq("id"),
+      targetFileBytes = 8 * 1024)
+    src.bulkInsert((0L until 1200L).map(i => (i, s"a$i b$i c$i d$i e$i"))
+      .toDF("id", "text")
+      .withColumn(graft.model.Meta.Ordering, lit(f"${1}%020d"))
+      .withColumn(graft.model.Meta.Deleted, lit(false)))
+    val st = new GraftTable(spark, s"$base/state", Seq("id"),
+      targetFileBytes = 8 * 1024)
+    IDD.bootstrap(src, st, "id", "text", IDD.Params(), 0L)
+    val bandsT = GraftTable.open(spark, IDD.bandsRootOf(st))
+    val total0 = bandsT.latestCommit().get.files.size
+    assert(total0 >= 6,
+      s"fixture must spread the band store over many files (got $total0)")
+    // ONE near-dup doc (J=0.75 vs doc 7): its census must range-read
+    IDD.lastBandsRead = None
+    src.upsert(Seq((9000L, "a7 b7 c7 d7 e7 zz")).toDF("id", "text")
+      .withColumn(graft.model.Meta.Ordering, lit(f"${2}%020d"))
+      .withColumn(graft.model.Meta.Deleted, lit(false)))
+    IDD.maintain(src, st, "id", "text", IDD.Params(), 0L, 1L)
+    val (admitted, total) = IDD.lastBandsRead.getOrElse(
+      fail("the census must run through the band-store range-read path"))
+    assert(total >= 6, s"band store must stay multi-file (got $total)")
+    assert(admitted * 2 < total,
+      s"a one-doc wave must admit < half the band store ($admitted/$total files)")
+    // and the wave is exact: the new doc clusters with doc 7
+    val comps = st.readUser().filter(col("id").isin(7L, 9000L))
+      .select(col("comp")).distinct().as[Long].collect().toSeq
+    assert(comps == Seq(7L), s"near-dup must cluster with doc 7 (got $comps)")
+  }
+
   test("LM scoring joins stay equi; the corpus is never nested-looped") {
     val p = plan("text_lm_score")
     // doc-bigrams x model joins must be EQUI joins (hash or sort-merge —
