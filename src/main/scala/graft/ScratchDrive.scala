@@ -156,6 +156,28 @@ object ScratchDrive {
       return
     }
 
+    if (args.headOption.contains("sql-ddl")) {
+      // the Bench w_sql_ddl fixture, statement by statement — round-18
+      // verdict #7: the only bench line trending up (2.42 → 2.86/3.08)
+      graft.sql.GraftSql.install(spark)
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      orders.createOrReplaceTempView("bench_ddl_src")
+      (1 to 3).foreach { i =>
+        val loc = java.nio.file.Files
+          .createTempDirectory("graft-ddlprof").toString + "/t"
+        timed(s"ctas run$i")(spark.sql(
+          s"""CREATE TABLE graft.bench_ddlp LOCATION '$loc'
+              TBLPROPERTIES ('record_key'='o_orderkey')
+              AS SELECT * FROM bench_ddl_src"""))
+        timed(s"insert run$i")(spark.sql(
+          """INSERT INTO graft.bench_ddlp
+             SELECT * FROM bench_ddl_src WHERE o_orderkey % 13 = 0"""))
+        timed(s"drop run$i")(spark.sql("DROP TABLE graft.bench_ddlp"))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("incr-dedup")) {
       // the Bench w_incr_dedup fixture in isolation, with stage splits —
       // the candidates-stage A/B harness (round-18 verdict #3)

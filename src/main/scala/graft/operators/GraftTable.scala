@@ -568,9 +568,29 @@ class GraftTable(
       layoutSort: Seq[Column] = Seq.empty): Commit =
     withLock(doBulkInsert(df0, checkpoint, extraMeta, layoutSort))
 
+  /** Commit 0 as a PURE METADATA write: pin `userSchema` (plus the
+    * injected meta columns, exactly as an empty bulk insert would) with
+    * an empty manifest. The CREATE TABLE path — running the full
+    * bulk-insert machinery over a provably-empty frame paid several
+    * Spark jobs and a staged write for zero rows; this is one lock +
+    * one commit + the descriptor publish, no job at all. */
+  def createEmpty(userSchema: org.apache.spark.sql.types.StructType): Commit =
+    withLock {
+      require(timeline.latestSeq().isEmpty,
+        s"createEmpty requires an empty table (commits exist at $root)")
+      val df = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], userSchema)
+      // schema derivation only — prepared()/withColumn never run a job
+      val stamped = prepared(df).withColumn(Meta.CommitSeq, lit(0L))
+      commitOrCleanStage(Commit(0L, "bulk_insert", Seq.empty,
+        schemaJson(stamped), None, System.currentTimeMillis(),
+        extra = GraftTable.writeMetrics(Seq.empty)), Seq.empty)
+    }
+
   private def doBulkInsert(df0: DataFrame, checkpoint: Option[String],
       extraMeta: Map[String, String] = Map.empty,
-      layoutSort: Seq[Column] = Seq.empty): Commit = {
+      layoutSort: Seq[Column] = Seq.empty,
+      action: String = "bulk_insert"): Commit = {
     val df = prepared(df0)
     val clean =
       if (df.columns.contains(Meta.Deleted)) df.filter(!coalesce(col(Meta.Deleted), lit(false)))
@@ -578,7 +598,7 @@ class GraftTable(
     val seq = timeline.latestSeq().map(_ + 1).getOrElse(0L)
     val stamped = clean.withColumn(Meta.CommitSeq, lit(seq))
     val files = writeFiles(stamped, seq, planBytes(clean), layoutSort)
-    commitOrCleanStage(Commit(seq, "bulk_insert", files, schemaJson(stamped),
+    commitOrCleanStage(Commit(seq, action, files, schemaJson(stamped),
       checkpoint, System.currentTimeMillis(),
       extra = GraftTable.writeMetrics(files) ++ extraMeta), files)
   }
@@ -1117,6 +1137,30 @@ class GraftTable(
     if (tableType == GraftTable.MergeOnRead)
       return doDeltaCommit(batch0, checkpoint, allowInlineCompact = false,
         extraMeta = extraMeta)
+    // empty-table shortcut (the CTAS/first-INSERT shape after a
+    // metadata-only CREATE): merging against zero rows IS a precombined
+    // bulk insert — skip the prune/scan/merge machinery. Gated on exact
+    // schema compatibility (every declared user column present in the
+    // batch at the declared type), so a narrower or column-dropping
+    // batch still takes the widening merge path below. The batch is
+    // materialized before the write (stats-balloon rule: a stats-less
+    // frame — e.g. a streaming epoch's LogicalRDD — reads as
+    // defaultSizeInBytes and planned a 32768-partition range write).
+    if (prev.files.isEmpty && prev.logFiles.isEmpty) {
+      val prevS = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val batchTypes = batch0.schema.map(f => f.name -> f.dataType).toMap
+      val compatible = prevS.fields.forall(f =>
+        Meta.isMeta(f.name) || batchTypes.get(f.name).contains(f.dataType))
+      if (compatible) {
+        val pre = batch0.transform(b => precombine(prepared(b)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          pre.count()
+          return doBulkInsert(pre, checkpoint, extraMeta, action = "upsert")
+        } finally { pre.unpersist(blocking = false); () }
+      }
+    }
     // persisted: the precombined batch feeds BOTH the pruning pass and the
     // merge — without caching, the precombine shuffle would run twice
     val batch = precombine(prepared(batch0))
