@@ -196,10 +196,24 @@ object ScratchDrive {
           clusterSmallFileBytes = graft.operators.GraftTable.StateClusterSmallFileBytes)
         graft.llm.IncrementalDedup.bootstrap(src, state, "id", "text",
           graft.llm.IncrementalDedup.Params(), 0L)
+        // per-Spark-stage attribution inside the wave (temporary probe):
+        // stages >= 100 ms with task count and first-RDD name
+        val probe = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val info = sc.stageInfo
+            val ms = (for {s <- info.submissionTime; c <- info.completionTime}
+              yield c - s).getOrElse(-1L)
+            if (ms >= 100) println(f"SPARKSTAGE ${info.stageId}%4d ${ms}%6d ms " +
+              f"tasks=${info.numTasks}%3d ${info.name.take(120)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(probe)
         graft.util.StageTimer.enable()
         timed(s"w_incr_dedup run$i")(
           graft.llm.IncrementalDedup.maintain(src, state, "id", "text",
             graft.llm.IncrementalDedup.Params(), 0L, 1L))
+        spark.sparkContext.removeSparkListener(probe)
         println(s"STAGES run$i: " + graft.util.StageTimer.collect()
           .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
         println(s"STATE run$i: " + state.history().map(c =>

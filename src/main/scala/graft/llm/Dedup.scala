@@ -266,6 +266,43 @@ object Dedup {
       .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** [[minhashPairs]] with PRECOMPUTED signatures: `sigRows` = one row
+    * per doc `(id, sig, n_sh)` from a signature store whose sigs are
+    * bit-identical to [[minhashSignatures]]' output (the
+    * [[IncrementalDedup]] state contract); `docs` = the same documents'
+    * `(idCol, textCol)` rows, consulted ONLY for the exact-jaccard
+    * verification shingles. Same candidate algebra (signature collapse,
+    * banding, density cap, within-signature pairs) and the same output
+    * contract as [[minhashPairs]] — minus the signature aggregation, the
+    * expensive step, which a maintained state should never recompute. */
+  private[graft] def minhashPairsFromSigs(sigRows: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, threshold: Double, bands: Int,
+      rows: Int, maxBandFreq: Int): DataFrame = {
+    val member = sigRows.select(col("id"), col("sig"))
+    val (memberRid, _, repPairs) = collapsedRepPairs(member,
+      reps => minhashBandBuckets(reps, bands, rows), maxBandFreq)
+    val cand = withinSigPairs(memberRid)
+      .unionByName(expandRepPairs(memberRid, repPairs))
+      .distinct()
+    val cnt = sigRows.select(col("id"), col("n_sh"))
+    val sized = cand
+      .join(cnt.toDF("ia", "na"), Seq("ia"))
+      .join(cnt.toDF("ib", "nb"), Seq("ib"))
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+    val sh = shingles(docs, idCol, textCol)
+    val inter = sized
+      .join(sh.select(col(idCol).as("ia"), col("s")), Seq("ia"))
+      .join(sh.select(col(idCol).as("ib"), col("s").as("s2")), Seq("ib"))
+      .filter(col("s") === col("s2"))
+      .groupBy(col("ia"), col("ib"), col("na"), col("nb")).agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ia"), col("ib"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Crawl-scale candidate scaffolding SHARED by [[minhashPairs]] and
     * [[simhashPairs]] — the uniform five-step guard for signature-bucket
     * pair generators, kept in one place so the two cannot drift:
@@ -336,15 +373,20 @@ object Dedup {
         col("a.rid") === col("b.rid") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ia"), col("b.id").as("ib"))
 
-  /** Band-bucket rows (rid, bk1 = band index, bk2 = band hash) of
-    * minhash signature rows (rid, sig) — THE band formula, shared by the
-    * batch candidate generator and [[IncrementalDedup]]'s delta-side
-    * candidate join so the two can never hash a band differently. */
+  /** The per-band bucket hashes of a `sig` column as one array<bigint>
+    * (index = band) — THE band formula and the single source of truth
+    * for band-bucket identity, shared by [[minhashBandBuckets]] (the
+    * batch candidate generator) and [[IncrementalDedup]]'s join-free
+    * band-store row generator, so the two can never hash a band
+    * differently (a drift would silently diverge the store's pruned
+    * census from a rebuild). */
+  private[graft] def bandBucketArray(bands: Int, rows: Int): org.apache.spark.sql.Column =
+    expr(s"transform(sequence(0, ${bands - 1}), " +
+      s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")
+
   private[graft] def minhashBandBuckets(reps: DataFrame, bands: Int,
       rows: Int): DataFrame =
-    reps.select(col("rid"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-        s"b -> xxhash64(b, ${(0 until rows).map(r => s"element_at(sig, b * $rows + $r + 1)").mkString(", ")}))")))
+    reps.select(col("rid"), posexplode(bandBucketArray(bands, rows)))
       .select(col("rid"), col("pos").as("bk1"), col("col").as("bk2"))
 
   /** The [[minhashPairs]] candidate generator (exposed for the skew

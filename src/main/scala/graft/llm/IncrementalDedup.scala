@@ -115,6 +115,20 @@ object IncrementalDedup {
   val DriverCcEdgeCap = 200000
   val DriverCcEdgeCapKey = "graft.ivm.driverCcEdgeCap"
 
+  /** Wave frames at most this many rows take the DRIVER wave paths
+    * ([[driverComponents]]' cap discipline applied to the band store's
+    * per-wave delta and to the merge-delta assembly): the distributed
+    * plans are ~10 wave-sized shuffle stages each, whose AQE replan +
+    * scheduling fixed cost dominated the stage (band delta measured
+    * 2.4–3.1 s/wave at sf0.1 with < 30k delta rows); under the cap the
+    * same algebra runs over collected wave-proportional slices —
+    * isin-filtered state scans, per-thash mins in Scala, ONE narrow
+    * hashing job — so per-wave cost is collect-bound. Above the cap (or
+    * 0, which tests use to pin the fallback) the distributed plans run
+    * unchanged. */
+  val DriverWaveCap = 50000
+  val DriverWaveCapKey = "graft.ivm.driverWaveCap"
+
   /** Min-label connected components on the driver — the exact
     * [[Dedup.connectedComponents]] contract (every vertex of `pairs`
     * appears; label = the component's minimum member id; a vertex with
@@ -251,13 +265,16 @@ object IncrementalDedup {
   /** Band rows of per-thash rep rows `(id, thash, sig, n_sh)` — one row
     * per (bucket, rep): `(bk, rid, thash, sid, n_sh)`. `bk` is a
     * fixed-width sortable string (band index + unsigned bucket hash) so
-    * the `(bk, rid)` record-key layout range-prunes by bucket. */
+    * the `(bk, rid)` record-key layout range-prunes by bucket.
+    * JOIN-FREE: the bucket hashes ([[Dedup.bandBucketArray]] — the same
+    * expression [[Dedup.minhashBandBuckets]] explodes, so store rows and
+    * rebuild rows are bit-equal) and the carried rep columns come out of
+    * ONE generator projection; the old explode-then-join-back-on-rid
+    * shape cost a shuffle per call site, three times per wave. */
   private def bandRowsOf(reps: DataFrame, p: Params): DataFrame =
-    Dedup.minhashBandBuckets(
-      reps.select(col("id").as("rid"), col("sig")), p.bands, p.rows)
-      .join(reps.select(col("id").as("rid"), col("thash"),
-        sidCol.as("sid"), col("n_sh")), Seq("rid"))
-      .select(format_string("%02d-%016x", col("bk1"), col("bk2")).as("bk"),
+    reps.select(col("id").as("rid"), col("thash"), sidCol.as("sid"),
+        col("n_sh"), posexplode(Dedup.bandBucketArray(p.bands, p.rows)))
+      .select(format_string("%02d-%016x", col("pos"), col("col")).as("bk"),
         col("rid"), col("thash"), col("sid"), col("n_sh"))
 
   /** Per-thash group reps (min id) of a signature frame. */
@@ -304,6 +321,171 @@ object IncrementalDedup {
     } else bands.readUser()
       .join(buckets.select(col("bk")).distinct(), Seq("bk"), "left_semi")
       .select(cols: _*)
+  }
+
+  /** A wave's driver-collected slices (the [[DriverWaveCap]] gate):
+    * every row the per-wave GRAPH bookkeeping needs, wave-proportional
+    * by the delta algebra's own contract. The state reads are `isin`
+    * FILTERS on the columnar scan — no join, no exchange. Derived
+    * facts (per-thash mins, glue edges, wave reps) are lazy one-pass
+    * Scala, shared by the band delta, the glue edges and the wave-rep
+    * frame so none of them re-runs a shuffle stage. */
+  private[llm] final case class WaveSlices(
+      newAll: Array[WaveSlices.R], removedIds: Set[Long],
+      remSh: Array[WaveSlices.R], stAffSh: Array[WaveSlices.R]) {
+    lazy val newSh: Array[WaveSlices.R] = newAll.filter(_.nSh >= 1)
+    /** live OLD members' min id per affected thash (the liveMin frame) */
+    lazy val liveMinMap: Map[String, Long] =
+      stAffSh.iterator.filter(r => !r.rm && !r.re).toSeq
+        .groupBy(_.thash).map { case (t, rs) => t -> rs.map(_.id).min }
+    /** min new id per new thash (the newThash frame) */
+    lazy val newMinMap: Map[String, Long] =
+      newSh.toSeq.groupBy(_.thash).map { case (t, rs) => t -> rs.map(_.id).min }
+    /** one rep row per NEW thash (the newRepsAll frame) */
+    lazy val newReps: Array[WaveSlices.R] =
+      newSh.filter(n => newMinMap(n.thash) == n.id)
+    /** exact-text glue edges: old-rep→new (jaccard 1, no verification)
+      * plus new-rep→new-member stars (glueOld ∪ glueNew) */
+    lazy val glueEdges: Seq[(Long, Long)] =
+      newSh.iterator.flatMap(n =>
+        liveMinMap.get(n.thash).map(l => (l, n.id))).toSeq ++
+        newSh.iterator.filter(n => newMinMap(n.thash) != n.id)
+          .map(n => (newMinMap(n.thash), n.id)).toSeq
+  }
+  private[llm] object WaveSlices {
+    final case class R(id: Long, thash: String, sig: Seq[Long], nSh: Long,
+        isNew: Boolean, rm: Boolean, re: Boolean)
+  }
+
+  /** Collect the wave's slices under `cap` rows each; None (fall back to
+    * the distributed plans) when any slice exceeds it. */
+  private def collectWaveSlices(st: DataFrame, newSigs: DataFrame,
+      removed: DataFrame, cap: Int): Option[WaveSlices] = {
+    import org.apache.spark.sql.{Row => SRow}
+    def ofRow(r: SRow, isNew: Boolean, rm: Boolean, re: Boolean): WaveSlices.R =
+      WaveSlices.R(r.getLong(0), r.getString(1), r.getSeq[Long](2),
+        r.getLong(3), isNew, rm, re)
+    val stateCols = Seq(col("id"), col("thash"), col("sig"), col("n_sh"))
+    val newRows = newSigs.select(stateCols: _*).limit(cap + 1).collect()
+    if (newRows.length > cap) return None
+    val removedIds = removed.limit(cap + 1).collect().map(_.getLong(0)).toSet
+    if (removedIds.size > cap) return None
+    val newIds = newRows.iterator.map(_.getLong(0)).toSet
+    val newAll = newRows.map(ofRow(_, isNew = true, rm = false, re = true))
+    // retracted state rows: one isin-filtered columnar scan, no join
+    val remSh: Array[WaveSlices.R] =
+      if (removedIds.isEmpty) Array.empty
+      else st.filter(col("id").isin(removedIds.toSeq.map(Long.box): _*))
+        .filter(col("n_sh") >= 1).select(stateCols: _*).collect()
+        .map(r => ofRow(r, isNew = false, rm = true, re = newIds(r.getLong(0))))
+    val thashAff = (newAll.iterator.filter(_.nSh >= 1).map(_.thash) ++
+      remSh.iterator.map(_.thash)).toSet
+    if (thashAff.size > cap) return None
+    // the affected state slice: again a filter on the scan, no join
+    val stAffSh: Array[WaveSlices.R] =
+      if (thashAff.isEmpty) Array.empty
+      else {
+        val rows = st.filter(col("thash").isin(thashAff.toSeq: _*))
+          .filter(col("n_sh") >= 1).select(stateCols: _*)
+          .limit(cap + 1).collect()
+        if (rows.length > cap) return None
+        rows.map(r => ofRow(r, isNew = false,
+          rm = removedIds(r.getLong(0)), re = newIds(r.getLong(0))))
+      }
+    Some(WaveSlices(newAll, removedIds, remSh, stAffSh))
+  }
+
+  private val WaveRowSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("thash",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("sig",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType), nullable = true),
+    org.apache.spark.sql.types.StructField("n_sh",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** LocalRelation of wave rows in the (id, thash, sig, n_sh) contract. */
+  private def localRowsDf(spark0: SparkSession,
+      rows: Array[WaveSlices.R]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark0.createDataFrame(rows.map(x =>
+      org.apache.spark.sql.Row(x.id, x.thash, x.sig, x.nSh)).toSeq.asJava,
+      WaveRowSchema)
+  }
+
+  /** LocalRelation of (ia, ib) edge pairs. */
+  private def localPairsDf(spark0: SparkSession,
+      pairs: Seq[(Long, Long)]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark0.createDataFrame(pairs.map(e =>
+      org.apache.spark.sql.Row(e._1, e._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ia",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ib",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The wave's band-store delta computed DRIVER-SIDE from the collected
+    * [[WaveSlices]]: the same per-thash algebra as the distributed
+    * fallback — pre-wave stored rep P(T), post-wave rep R'(T) = min(live
+    * old members, new members), adds where the rep changed, deletes for
+    * removed/superseded reps, add-wins fold per (bk, rid) — with the
+    * grouping and mins in Scala, and the only cluster work ONE narrow
+    * [[bandRowsOf]] job over a LocalRelation so the xxhash64 / md5
+    * bucket identities stay bit-equal to the store's.
+    *
+    * Exactness note (same as the distributed plan): deletes for band
+    * rows that never existed (non-rep retracted members) are harmless
+    * tombstones for absent keys. */
+  private def driverBandDelta(spark0: SparkSession, w: WaveSlices,
+      p: Params): DataFrame = {
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val u = w.stAffSh ++ w.newSh
+    val adds = Array.newBuilder[WaveSlices.R]
+    val dels = Array.newBuilder[WaveSlices.R]
+    u.groupBy(_.thash).foreach { case (_, rows) =>
+      val pOpt = rows.filter(!_.isNew).minByOption(_.id)
+      val rOpt = rows.filter(r => r.isNew || (!r.rm && !r.re)).minByOption(_.id)
+      val pidAlive = pOpt.filter(!_.rm)
+      rOpt.foreach { rr =>
+        if (!pidAlive.exists(_.id == rr.id)) adds += rr
+        pidAlive.foreach(pp => if (pp.id != rr.id) dels += pp)
+      }
+    }
+    dels ++= w.remSh
+    // one narrow hashing job; same expressions as every other store row
+    val banded = bandRowsOf(localRowsDf(spark0, adds.result()), p)
+      .withColumn("_add", lit(true))
+      .unionByName(bandRowsOf(localRowsDf(spark0, dels.result()), p)
+        .withColumn("_add", lit(false)))
+      .collect()
+    // add-wins fold per (bk, rid)
+    val best = scala.collection.mutable.Map.empty[(String, Long), SRow]
+    banded.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      if (r.getBoolean(5) || !best.contains(k)) {
+        if (!best.get(k).exists(_.getBoolean(5))) best(k) = r
+      }
+    }
+    val outSchema = StructType(Seq(
+      StructField("bk", StringType, nullable = true),
+      StructField("rid", LongType, nullable = false),
+      StructField("thash", StringType, nullable = true),
+      StructField("sid", StringType, nullable = true),
+      StructField("n_sh", LongType, nullable = false),
+      StructField(Meta.Deleted, BooleanType, nullable = false)))
+    val out = best.valuesIterator.map { r =>
+      if (r.getBoolean(5))
+        SRow(r.getString(0), r.getLong(1), r.getString(2), r.getString(3),
+          r.getLong(4), false)
+      else SRow(r.getString(0), r.getLong(1), null, null, -1L, true)
+    }.toSeq
+    spark0.createDataFrame(out.asJava, outSchema)
   }
 
   /** One-time full clustering of the source snapshot at `atSeq` into the
@@ -479,7 +661,14 @@ object IncrementalDedup {
     try {
       requireValidIds(newSigs, s"the ($fromSeq, $toSeq] change feed")
       val spark0 = newSigs.sparkSession
+      val waveCap = spark0.conf.getOption(DriverWaveCapKey)
+        .map(_.toInt).getOrElse(DriverWaveCap)
       val st = state.readUser().select(StateCols.map(col): _*)
+      // ONE driver-side slice collection shared by the band delta, the
+      // glue edges and the wave-rep frame (None above the cap — every
+      // consumer below falls back to its distributed plan)
+      val slices: Option[WaveSlices] = if (waveCap > 0)
+        collectWaveSlices(st, newSigs, removed, waveCap) else None
       val newIdSet = newSigs.select(col("id"))
       // live partners: current state minus retracted minus re-added (an
       // updated doc's OLD row must not glue/verify as a live partner).
@@ -523,82 +712,123 @@ object IncrementalDedup {
       if (!appliedSeq(bands).exists(s => s == fromSeq || s == toSeq))
         rebuildBands(bands, state, p, fromSeq) // absent / pre-band / cloned
       // wave reps: one per NEW thash (glue groups and new-text groups)
-      val newRepsAll = pin(newSigs.filter(hasSh).join(newThash, Seq("thash"))
-        .filter(col("id") === col("_nrid"))
-        .select(col("id"), col("thash"), col("sig"), col("n_sh")))
+      val newRepsAll = slices match {
+        case Some(w) => localRowsDf(spark0, w.newReps)
+        case None => pin(newSigs.filter(hasSh).join(newThash, Seq("thash"))
+          .filter(col("id") === col("_nrid"))
+          .select(col("id"), col("thash"), col("sig"), col("n_sh")))
+      }
+      graft.util.StageTimer.mark("bands_prep")
+      // tombstone UPSERT, not mergeInto: a merge resolves matched-vs-
+      // insert at WRITE time, which reads the admitted base groups —
+      // and a wave's keys scatter over the whole bucket space, so that
+      // read was corpus-proportional. The MOR upsert just appends the
+      // wave-sized delta log (deletes ride tombstones, latest-wins by
+      // the monotonic toSeq ordering resolves at read), and the every-
+      // BandsCompactEvery'th compaction folds the logs.
+      def commitBands(delta: DataFrame): Unit = {
+        bands.upsert(delta.withColumn(Meta.Ordering, lit(f"$toSeq%020d")),
+          extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+          preCommit = Some(() => {
+            val cur = appliedSeq(bands)
+            if (cur != Some(fromSeq)) throw new IllegalStateException(
+              s"stale band-store window ($fromSeq, $toSeq]: the band " +
+                s"store's watermark is ${cur.getOrElse("absent")} — " +
+                "re-read the watermark (concurrent refresh?)")
+          }))
+        ()
+      }
       if (appliedSeq(bands).contains(fromSeq)) {
-        // P(T) = pre-wave stored rep; R'(T) = post-wave rep = min(live
-        // old members, new members). Emit adds where the rep changed
-        // (or the group is new) and deletes for removed/superseded reps;
-        // untouched groups see zero band-store churn.
-        val preRep = stAff.filter(hasSh)
-          .groupBy(col("thash")).agg(min(col("id")).as("_pid"))
-        val pAlive = preRep.join(removed.select(col("id").as("_pid")),
-          Seq("_pid"), "left_anti")
-        val repNext = liveMin.select(col("thash"), col("_lid").as("_cand"))
-          .unionByName(newRepsAll.select(col("thash"), col("id").as("_cand")))
-          .groupBy(col("thash")).agg(min(col("_cand")).as("_rid"))
-        // (id, thash) → (sig, n_sh): wave rows first, state rows second;
-        // an unchanged-text update collides with identical values, so
-        // the key-dedupe is value-safe
-        val srcRows = newSigs.select(col("id"), col("thash"), col("sig"), col("n_sh"))
-          .unionByName(stAff.select(col("id"), col("thash"), col("sig"), col("n_sh")))
-          .dropDuplicates("id", "thash")
-        val addReps = repNext.join(pAlive, Seq("thash"), "left")
-          .filter(col("_pid").isNull || col("_pid") =!= col("_rid"))
-          .select(col("thash"), col("_rid").as("id"))
-          .join(srcRows, Seq("id", "thash"))
-        val handoff = repNext.join(pAlive, Seq("thash"))
-          .filter(col("_rid") =!= col("_pid"))
-          .select(col("thash"), col("_pid").as("id"))
-          .join(stAff.select(col("id"), col("thash"), col("sig"), col("n_sh")),
-            Seq("id", "thash"))
+        val localDelta = slices.map(w => driverBandDelta(spark0, w, p))
+        localDelta match {
+          case Some(delta) =>
+            graft.util.StageTimer.mark("bands_delta")
+            // a LocalRelation carries exact stats — no balloon, no persist
+            commitBands(delta)
+          case None => distributedBandDelta()
+        }
+        ()
+      } // else: torn replay — bands already at toSeq; the rows are identical
+      // Over-cap fallback: the same algebra as [[driverBandDelta]],
+      // declared distributed. P(T) = pre-wave stored rep; R'(T) =
+      // post-wave rep = min(live old members, new members). Emit adds
+      // where the rep changed (or the group is new) and deletes for
+      // removed/superseded reps; untouched groups see zero band-store
+      // churn. ONE flagged per-thash aggregate computes both rep rows
+      // (conditional MINs over the same row universe: state slice ∪
+      // wave rows), one more folds add-wins per (bk, rid).
+      def distributedBandDelta(): Unit = {
+        val u = stAff.filter(hasSh)
+          .join(removed.select(col("id"), lit(true).as("_rm")).distinct(),
+            Seq("id"), "left")
+          .join(newIdSet.select(col("id"), lit(true).as("_re")).distinct(),
+            Seq("id"), "left")
+          .select(col("id"), col("thash"), col("sig"), col("n_sh"),
+            lit(false).as("_new"), coalesce(col("_rm"), lit(false)).as("_rm"),
+            coalesce(col("_re"), lit(false)).as("_re"))
+          .unionByName(newSigs.filter(hasSh).select(col("id"), col("thash"),
+            col("sig"), col("n_sh"), lit(true).as("_new"),
+            lit(false).as("_rm"), lit(true).as("_re")))
+        // struct MIN orders by the leading id field, so each agg is the
+        // argmin ROW — the rep's sig/n_sh ride along, no lookup join
+        val g = u.groupBy(col("thash")).agg(
+          min(when(!col("_new"),
+            struct(col("id"), col("_rm"), col("sig"), col("n_sh")))).as("_p"),
+          min(when(col("_new") || (!col("_rm") && !col("_re")),
+            struct(col("id"), col("sig"), col("n_sh")))).as("_r"))
+        val pidAlive = when(col("_p").isNotNull && !col("_p._rm"), col("_p.id"))
+        val addReps = g.filter(col("_r").isNotNull &&
+            (pidAlive.isNull || pidAlive =!= col("_r.id")))
+          .select(col("_r.id").as("id"), col("thash"),
+            col("_r.sig").as("sig"), col("_r.n_sh").as("n_sh"))
+        val handoff = g.filter(col("_r").isNotNull && pidAlive.isNotNull &&
+            col("_r.id") =!= pidAlive)
+          .select(col("_p.id").as("id"), col("thash"),
+            col("_p.sig").as("sig"), col("_p.n_sh").as("n_sh"))
         val addBand = bandRowsOf(addReps, p)
-          .withColumn(Meta.Deleted, lit(false))
-        val delBand = bandRowsOf(stRemoved.filter(hasSh), p)
+        val delCand = bandRowsOf(stRemoved.filter(hasSh), p)
           .unionByName(bandRowsOf(handoff, p))
-          .select(col("bk"), col("rid")).distinct()
-          .join(addBand.select(col("bk"), col("rid")), Seq("bk", "rid"),
-            "left_anti")
-          .select(col("bk"), col("rid"), lit(null).cast("string").as("thash"),
-            lit(null).cast("string").as("sid"), lit(-1L).as("n_sh"))
-          .withColumn(Meta.Deleted, lit(true))
-        // tombstone UPSERT, not mergeInto: a merge resolves matched-vs-
-        // insert at WRITE time, which reads the admitted base groups —
-        // and a wave's keys scatter over the whole bucket space, so that
-        // read was corpus-proportional. The MOR upsert just appends the
-        // wave-sized delta log (deletes ride tombstones, latest-wins by
-        // the monotonic toSeq ordering resolves at read), and the every-
-        // BandsCompactEvery'th compaction folds the logs.
-        //
+        // add-wins per (bk, rid) in one aggregate (was: distinct + anti
+        // join — two more shuffles); a delete that survives rides a
+        // tombstone with the -1 shingle sentinel
+        val folded = addBand.withColumn("_add", lit(true))
+          .unionByName(delCand.withColumn("_add", lit(false)))
+          .groupBy(col("bk"), col("rid"))
+          .agg(max(struct(col("_add"), col("thash"), col("sid"),
+            col("n_sh"))).as("_m"))
+          .select(col("bk"), col("rid"),
+            when(col("_m._add"), col("_m.thash")).as("thash"),
+            when(col("_m._add"), col("_m.sid")).as("sid"),
+            when(col("_m._add"), col("_m.n_sh")).otherwise(lit(-1L)).as("n_sh"),
+            (!col("_m._add")).as(Meta.Deleted))
         // Materialized BEFORE the write — the stats-balloon rule: the
         // delta is a union of joins, and Catalyst's size-only estimate
         // for it ballooned the log plan to thousands of files per wave
         // (measured: bands stage 80→5 s after this persist+count)
-        val bandsDelta = addBand.unionByName(delBand)
-          .withColumn(Meta.Ordering, lit(f"$toSeq%020d"))
+        val bandsDelta = folded
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           bandsDelta.count()
-          bands.upsert(bandsDelta,
-            extraMeta = Map(AppliedSeqKey -> toSeq.toString),
-            preCommit = Some(() => {
-              val cur = appliedSeq(bands)
-              if (cur != Some(fromSeq)) throw new IllegalStateException(
-                s"stale band-store window ($fromSeq, $toSeq]: the band " +
-                  s"store's watermark is ${cur.getOrElse("absent")} — " +
-                  "re-read the watermark (concurrent refresh?)")
-            }))
-          ()
+          graft.util.StageTimer.mark("bands_delta")
+          commitBands(bandsDelta)
         } finally { bandsDelta.unpersist(blocking = false); () }
-      } // else: torn replay — bands already at toSeq; the rows are identical
+      }
       graft.util.StageTimer.mark("bands")
       // ---- candidate algebra for DISTINCT new texts (batch parity:
       // candidates are generated between text representatives; a new
       // text already live needs no candidates — its rep's edges exist)
-      val pairReps = newRepsAll
-        .join(liveMin.select(col("thash")), Seq("thash"), "left_anti")
-        .select(col("id"), col("sig"), col("n_sh"), sidCol.as("sid"))
+      val pairReps = slices match {
+        case Some(w) =>
+          // candidates only for thashes with NO live old members — a
+          // local-set filter on the local rep frame, no anti join
+          val liveT = w.liveMinMap.keySet.toSeq
+          newRepsAll.filter(if (liveT.isEmpty) lit(true)
+            else !col("thash").isin(liveT: _*))
+            .select(col("id"), col("sig"), col("n_sh"), sidCol.as("sid"))
+        case None => newRepsAll
+          .join(liveMin.select(col("thash")), Seq("thash"), "left_anti")
+          .select(col("id"), col("sig"), col("n_sh"), sidCol.as("sid"))
+      }
       val bandedNewAll = pin(bandRowsOf(newRepsAll, p))
       val pairRepIds = pairReps.select(col("id").as("rid"))
       val newBuckets = bandedNewAll.join(pairRepIds, Seq("rid"), "left_semi")
@@ -677,14 +907,27 @@ object IncrementalDedup {
         .filter(col("_i").cast("double") /
           (col("_na") + col("_nb2") - col("_i")) >= p.threshold)
         .select(col("ia"), col("ib"))
-      // survivor rep-level re-pairing (the local batch rerun)
+      // survivor rep-level re-pairing (the local batch rerun) — banded
+      // from the STORED signatures (bit-identical to a recompute by the
+      // state contract); only the exact-jaccard verification shingles
+      // the fetched rep texts. The old full minhashPairs re-aggregated
+      // a 64-perm signature for every survivor rep — the single most
+      // expensive stage of a deletion wave (~1.8–2.4 s at sf0.1)
       val survRepDocs = fetched.join(survRepIds, Seq("id"), "left_semi")
-      val survPairs = Dedup.minhashPairs(survRepDocs, "id", "_t",
-        p.threshold, p.bands, p.rows, p.maxBandFreq)
+      val survSigRows = survivors.filter(hasSh)
+        .join(survRepIds, Seq("id"), "left_semi")
+        .select(col("id"), col("sig"), col("n_sh"))
+      val survPairs = Dedup.minhashPairsFromSigs(survSigRows, survRepDocs,
+        "id", "_t", p.threshold, p.bands, p.rows, p.maxBandFreq)
         .select(col("ia"), col("ib"))
       // ---- components over the affected neighborhood only
-      val glue = pin(glueOld.unionByName(glueNew))
+      val glue = slices match {
+        case Some(w) => localPairsDf(spark0, w.glueEdges)
+        case None => pin(glueOld.unionByName(glueNew))
+      }
+      graft.util.StageTimer.mark("cc_glue")
       val verifiedP = pin(verified)
+      graft.util.StageTimer.mark("cc_verified")
       val touchedOldIds = glue.select(col("ia").as("id"))
         .unionByName(verifiedP.select(explode(array(col("ia"), col("ib"))).as("id")))
         .distinct()
@@ -693,6 +936,7 @@ object IncrementalDedup {
         .select(col("comp")).distinct()
         .join(splitComps, Seq("comp"), "left_anti")
       val addMembers = pin(live.join(addComps, Seq("comp"), "left_semi"))
+      graft.util.StageTimer.mark("cc_members")
       val starOld = addMembers.filter(col("id") =!= col("comp"))
         .select(col("comp").as("ia"), col("id").as("ib"))
       // pinned BEFORE the cap probe: limit(cap+1).collect() evaluates the
@@ -702,6 +946,7 @@ object IncrementalDedup {
       // cap exists to protect
       val edges = pin(glue.unionByName(verifiedP).unionByName(survStar)
         .unionByName(survPairs).unionByName(starOld))
+      graft.util.StageTimer.mark("cc_edges")
       // components over the affected neighborhood — which is SMALL by
       // design (the whole point of the delta algebra), so the log-rounds
       // distributed CC pays ~20 iteration jobs to label a graph that
@@ -712,38 +957,99 @@ object IncrementalDedup {
       val ccCap = spark0.conf.getOption(DriverCcEdgeCapKey)
         .map(_.toInt).getOrElse(DriverCcEdgeCap)
       val collected = edges.limit(ccCap + 1).collect()
-      val cc =
-        if (collected.length <= ccCap) {
-          import scala.jdk.CollectionConverters._
-          spark0.createDataFrame(
-            driverComponents(collected.map(r => (r.getLong(0), r.getLong(1))))
-              .toSeq.map { case (id, c) => org.apache.spark.sql.Row(id, c) }.asJava,
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("id",
-                org.apache.spark.sql.types.LongType, nullable = false),
-              org.apache.spark.sql.types.StructField("_c",
-                org.apache.spark.sql.types.LongType, nullable = false))))
-        } else Dedup.connectedComponents(edges, "ia", "ib")
-          .withColumnRenamed("comp", "_c")
+      val labels: Option[Map[Long, Long]] =
+        if (collected.length <= ccCap)
+          Some(driverComponents(collected.map(r => (r.getLong(0), r.getLong(1)))))
+        else None
       graft.util.StageTimer.mark("verify_cc")
-      // ---- delta-proportional merge: new rows, moved labels, deletes
-      val newRows = newSigs.join(cc, Seq("id"), "left")
-        .select(col("id"), col("thash"), col("sig"), col("n_sh"),
-          coalesce(col("_c"), col("id")).as("comp"))
-      val movedRows = survivors.unionByName(addMembers)
-        .join(cc, Seq("id"), "left")
-        .withColumn("_c2", coalesce(col("_c"), col("id")))
-        .filter(col("_c2") =!= col("comp"))
-        .select(col("id"), col("thash"), col("sig"), col("n_sh"),
-          col("_c2").as("comp"))
-      // retract rows ride the same merge with the n_sh = -1 sentinel
-      // (never a real count), so application is one atomic commit
-      val delRows = removed
-        .join(newSigs.select(col("id")), Seq("id"), "left_anti")
-        .select(col("id"), lit(null).cast("string").as("thash"),
-          array().cast("array<bigint>").as("sig"), lit(-1L).as("n_sh"),
-          col("id").as("comp"))
-      val delta = newRows.unionByName(movedRows).unionByName(delRows)
+      // ---- delta-proportional merge: new rows, moved labels, deletes.
+      // When the driver union-find labeled the wave, the merge delta is
+      // ASSEMBLED driver-side too (same [[DriverWaveCap]] discipline):
+      // every input is wave-proportional and pinned — newSigs, survivors,
+      // addMembers, removed — so the assembly is a map lookup over
+      // collected rows instead of six shuffle stages, and mergeInto
+      // plans against a LocalRelation with exact stats.
+      val deltaLocal: Option[Seq[org.apache.spark.sql.Row]] =
+        if (waveCap <= 0) None
+        else labels.flatMap { lab =>
+          // explicit column order: the comp-keyed semi joins put the
+          // join column first, so positional reads need the re-select
+          val newA = newSigs.select(col("id"), col("thash"), col("sig"),
+            col("n_sh")).limit(waveCap + 1).collect()
+          val survA = survivors.select(StateCols.map(col): _*)
+            .limit(waveCap + 1).collect()
+          val membA = addMembers.select(StateCols.map(col): _*)
+            .limit(waveCap + 1).collect()
+          val remA = removed.limit(waveCap + 1).collect()
+          if (Seq(newA, survA, membA, remA).exists(_.length > waveCap)) None
+          else {
+            val newIds2 = newA.iterator.map(_.getLong(0)).toSet
+            def lbl(id: Long): Long = lab.getOrElse(id, id)
+            val newL = newA.iterator.map(r => org.apache.spark.sql.Row(
+              r.getLong(0), r.getString(1), r.getSeq[Long](2), r.getLong(3),
+              lbl(r.getLong(0))))
+            // survivors and addMembers are disjoint by construction
+            // (addComps anti-joins splitComps); rows whose label did not
+            // move are not rewritten — the delta-proportional contract
+            val movedL = (survA.iterator ++ membA.iterator).flatMap { r =>
+              val c2 = lbl(r.getLong(0))
+              if (c2 != r.getLong(4)) Some(org.apache.spark.sql.Row(
+                r.getLong(0), r.getString(1), r.getSeq[Long](2), r.getLong(3), c2))
+              else None
+            }
+            // retract rows ride the same merge with the n_sh = -1
+            // sentinel (never a real count) — one atomic commit
+            val delL = remA.iterator.map(_.getLong(0)).filterNot(newIds2)
+              .map(id => org.apache.spark.sql.Row(
+                id, null, Seq.empty[Long], -1L, id))
+            Some((newL ++ movedL ++ delL).toSeq)
+          }
+        }
+      var ccToRelease: Option[DataFrame] = None
+      val delta = deltaLocal match {
+        case Some(rows) =>
+          import scala.jdk.CollectionConverters._
+          import org.apache.spark.sql.types._
+          spark0.createDataFrame(rows.asJava, StructType(Seq(
+            StructField("id", LongType, nullable = false),
+            StructField("thash", StringType, nullable = true),
+            StructField("sig", ArrayType(LongType), nullable = true),
+            StructField("n_sh", LongType, nullable = false),
+            StructField("comp", LongType, nullable = false))))
+        case None =>
+          val cc = labels match {
+            case Some(lab) =>
+              import scala.jdk.CollectionConverters._
+              spark0.createDataFrame(
+                lab.toSeq.map { case (id, c) =>
+                  org.apache.spark.sql.Row(id, c) }.asJava,
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("id",
+                    org.apache.spark.sql.types.LongType, nullable = false),
+                  org.apache.spark.sql.types.StructField("_c",
+                    org.apache.spark.sql.types.LongType, nullable = false))))
+            case None =>
+              val d = Dedup.connectedComponents(edges, "ia", "ib")
+                .withColumnRenamed("comp", "_c")
+              ccToRelease = Some(d)
+              d
+          }
+          val newRows = newSigs.join(cc, Seq("id"), "left")
+            .select(col("id"), col("thash"), col("sig"), col("n_sh"),
+              coalesce(col("_c"), col("id")).as("comp"))
+          val movedRows = survivors.unionByName(addMembers)
+            .join(cc, Seq("id"), "left")
+            .withColumn("_c2", coalesce(col("_c"), col("id")))
+            .filter(col("_c2") =!= col("comp"))
+            .select(col("id"), col("thash"), col("sig"), col("n_sh"),
+              col("_c2").as("comp"))
+          val delRows = removed
+            .join(newSigs.select(col("id")), Seq("id"), "left_anti")
+            .select(col("id"), lit(null).cast("string").as("thash"),
+              array().cast("array<bigint>").as("sig"), lit(-1L).as("n_sh"),
+              col("id").as("comp"))
+          newRows.unionByName(movedRows).unionByName(delRows)
+      }
       state.mergeInto(delta,
         whenMatchedSet = StateCols.filter(_ != "id")
           .map(c => c -> col(s"src_$c")).toMap,
@@ -762,10 +1068,10 @@ object IncrementalDedup {
       // the CC labels are localCheckpoint-pinned like every other frame;
       // a long-lived maintainer calls maintain() per wave, so release
       // everything once applied (the finally's release() covers the
-      // pinned frames; cc came from connectedComponents)
-      cc.queryExecution.analyzed.collect {
+      // pinned frames; ccToRelease came from connectedComponents)
+      ccToRelease.foreach(_.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+      }.foreach(_.unpersist(blocking = false)))
       ()
     } finally release()
   }

@@ -173,6 +173,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"band store must compact inside the train: ${bands.history().map(_.action)}")
   }
 
+  test("driver and distributed band-delta paths write the identical band store") {
+    // one wave exercising every delta shape: a new unique group (add),
+    // a smaller id joining an existing group (rep handoff: add + del of
+    // the old rep's rows), an update rewiring a doc to a new group
+    // (retract + add), and a whole-group deletion (pure tombstones)
+    def run(forceDistributed: Boolean): (GraftTable, GraftTable) = {
+      if (forceDistributed)
+        spark.conf.set(IncrementalDedup.DriverWaveCapKey, "0")
+      try {
+        val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+        src.bulkInsert(meta(docs(10L -> sent(1, 12), 11L -> sent(1, 12),
+          20L -> sent(3, 14), 30L -> sent(5, 16)), 1, del = false))
+        src.upsert(meta(docs(6L -> sent(1, 12), 7L -> sent(100, 112),
+          30L -> sent(7, 18)), 2, del = false)
+          .unionByName(meta(docs(20L -> sent(3, 14)), 2, del = true)))
+        val st = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
+        IncrementalDedup.bootstrap(src, st, "id", "text", P, 0L)
+        IncrementalDedup.maintain(src, st, "id", "text", P, 0L, 1L)
+        (src, st)
+      } finally if (forceDistributed)
+        spark.conf.unset(IncrementalDedup.DriverWaveCapKey)
+    }
+    val (s1, st1) = run(forceDistributed = false)
+    val (s2, st2) = run(forceDistributed = true)
+    val readBands = (st: GraftTable) =>
+      GraftTable.open(spark, IncrementalDedup.bandsRootOf(st)).readUser()
+        .select(col("bk"), col("rid"), col("thash"), col("sid"), col("n_sh"))
+        .as[(String, Long, String, String, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val (b1, b2) = (readBands(st1), readBands(st2))
+    assert(b1.nonEmpty, "the wave must touch the band store")
+    assert(b1 == b2, "driver vs distributed band-store rows diverge")
+    assertParity(s1, st1, "driver band-delta path")
+    assertParity(s2, st2, "distributed band-delta path")
+  }
+
   test("lifecycle: create records the spec; refresh runs from the state alone") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
     src.bulkInsert(meta(docs(1L -> sent(1, 12), 2L -> sent(3, 14)), 1, del = false))
