@@ -43,6 +43,47 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
   private val fs: FileSystem = rootUri.getFileSystem(conf)
   private val root: HPath = fs.makeQualified(rootUri)
   private val rootKeyPath: String = root.toUri.getPath.stripSuffix("/")
+  private val scheme: String = Option(root.toUri.getScheme).getOrElse("file")
+
+  /** Whether this connector MATERIALIZES the object at create() time
+    * (HDFS, raw/local file systems) rather than buffering and PUTting
+    * whole at close (s3a/abfs/gs/graftmem). Drives the torn-partial
+    * cleanup in [[putIfNoneMatch]]: on a materializing connector a
+    * mid-write failure leaves OUR partial bytes occupying the key —
+    * which would make every later CAS lose and let readers see a torn
+    * record — so the adapter deletes it before surfacing the error; on
+    * a buffering connector an existing key is always a COMPLETE object
+    * (ours with a lost ack, or a racer's) and must never be deleted. */
+  private val materializesAtCreate: Boolean =
+    HadoopFsObjectStore.MaterializingSchemes(scheme)
+
+  /** Non-empty when the connector may NOT resolve create(overwrite =
+    * false) atomically at close (round-19 verdict: nothing verified the
+    * scaladoc's requirement at mount time). Probed at construction —
+    * scheme allowlist, the S3A conditional-create switch, then a
+    * `hasPathCapability` ask — and logged LOUDLY once per scheme; also
+    * exposed here so deployment checks can assert it. A non-atomic CAS
+    * narrows to check-then-write: the commit protocol's loser-reads-back
+    * absorption still bounds damage to a spurious conflict, but two
+    * cross-process racers can both believe they won. */
+  val casCapabilityWarning: Option[String] = {
+    val capable =
+      HadoopFsObjectStore.AtomicCasSchemes(scheme) ||
+        (scheme == "s3a" &&
+          conf.getBoolean("fs.s3a.create.conditional.enabled", false)) ||
+        (try fs.hasPathCapability(root, "fs.capability.create.conditional")
+        catch { case _: Exception => false })
+    if (capable) None
+    else Some(s"HadoopFsObjectStore over '$scheme://': the connector is not " +
+      "known to resolve create(overwrite=false) atomically at close, so the " +
+      "commit CAS may narrow to check-then-write under cross-process racing " +
+      "(S3A needs Hadoop 3.4.1+ with fs.s3a.create.conditional.enabled=true). " +
+      "Single-writer deployments are unaffected.")
+  }
+  casCapabilityWarning.foreach { msg =>
+    if (HadoopFsObjectStore.warnedSchemes.add(scheme))
+      System.err.println(s"WARN $msg")
+  }
 
   private def pathOf(key: String): HPath = {
     require(key.isEmpty || !key.split('/').contains(".."),
@@ -62,20 +103,39 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
     try out.write(bytes) finally out.close()
   }
 
-  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean =
+  def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+    val path = pathOf(key)
+    // the condition can fail at create (fast path) OR at close (the
+    // atomic conditional PUT) — both mean "the key already existed".
+    // Detection is TYPED (incl. the RemoteException class-name carry);
+    // an AMBIGUOUS IOException resolves by read-back on buffering
+    // connectors (an existing key there is always a complete object —
+    // CAS lost; absent — nothing durable, surface the error), and on
+    // materializing connectors by deleting our own torn partial first
+    // (create(false) succeeding proved the key was ours) so later CAS
+    // attempts and readers never meet it.
+    val out =
+      try fs.create(path, false)
+      catch {
+        case e if HadoopFsObjectStore.isAlreadyExists(e) => return false
+        case e: java.io.IOException =>
+          if (!materializesAtCreate && stat(key).isDefined) return false
+          throw e
+      }
     try {
-      val out = fs.create(pathOf(key), false)
       try out.write(bytes) finally out.close()
       true
     } catch {
-      // the condition can fail at create (fast path) OR at close (the
-      // atomic conditional PUT) — both mean "the key already existed"
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.nio.file.FileAlreadyExistsException => false
-      case e: java.io.IOException
-          if e.getMessage != null && e.getMessage.contains("already exists") =>
-        false
+      case e if HadoopFsObjectStore.isAlreadyExists(e) => false
+      case e: java.io.IOException =>
+        if (materializesAtCreate) {
+          try { fs.delete(path, false); () }
+          catch { case _: java.io.IOException => () }
+          throw e
+        } else if (stat(key).isDefined) false
+        else throw e
     }
+  }
 
   def get(key: String): Option[Array[Byte]] =
     try {
@@ -89,7 +149,11 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
       } finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
 
-  def list(prefix: String): Seq[String] = {
+  def list(prefix: String): Seq[String] = listStamped(prefix).map(_._1)
+
+  /** Stamps ride the SAME listFiles enumeration (a FileStatus carries
+    * the mtime) — no per-key HEAD round on top of the LIST. */
+  override def listStamped(prefix: String): Seq[(String, Long)] = {
     // a prefix is not necessarily a directory boundary: list the deepest
     // directory at or above it (one recursive listFiles = one prefix
     // LIST on an object-store connector) and filter by key
@@ -99,7 +163,7 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
       else if (try fs.getFileStatus(asPath).isDirectory
         catch { case _: java.io.FileNotFoundException => false }) asPath
       else Option(asPath.getParent).getOrElse(root)
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(String, Long)]
     try {
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
@@ -109,11 +173,26 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
           // never serve keys beyond the root (a dir probe that fell back
           // to the root's parent could otherwise leak siblings)
           if (k.startsWith(prefix) && !k.startsWith("..") && k.nonEmpty)
-            out += k
+            out += (k -> st.getModificationTime)
         }
       }
     } catch { case _: java.io.FileNotFoundException => () }
-    out.result().sorted
+    out.result().sortBy(_._1)
+  }
+
+  /** One NON-RECURSIVE `listStatus` when the prefix sits on a directory
+    * boundary — the ListObjectsV2 `delimiter=/` analog (S3A maps
+    * listStatus to exactly that); the recursive default otherwise. */
+  override def listPrefixes(prefix: String): Seq[String] = {
+    val p = if (prefix.isEmpty || prefix.endsWith("/")) prefix else prefix + "/"
+    val dir = pathOf(p.stripSuffix("/"))
+    val isDir =
+      try fs.getFileStatus(dir).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!isDir) super.listPrefixes(prefix)
+    else try fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(st => p + st.getPath.getName + "/").sorted
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
   def delete(key: String): Unit = {
@@ -165,5 +244,46 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
     if (dir != root && list(prefix).isEmpty)
       try { fs.delete(dir, true); () }
       catch { case _: java.io.IOException => () }
+  }
+}
+
+object HadoopFsObjectStore {
+  /** Connector schemes whose create(overwrite = false) resolves the
+    * no-overwrite condition ATOMICALLY at create/close: HDFS's namespace
+    * create, ABFS/GCS atomic creates, [[GraftMemFileSystem]]'s
+    * conditional close. `file` is deliberately absent — a raw local
+    * filesystem's create is check-then-write across processes (the
+    * documented [[DirObjectStore]]-is-the-local-store caveat); `s3a`
+    * qualifies only via its conditional-create switch (probed in the
+    * constructor). */
+  private[model] val AtomicCasSchemes =
+    Set("hdfs", "viewfs", "abfs", "abfss", "gs", "graftmem")
+
+  /** Schemes that materialize the object at create() time (torn partials
+    * possible at the key) rather than buffering until close. */
+  private[model] val MaterializingSchemes =
+    Set("file", "local", "hdfs", "viewfs")
+
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Typed already-exists detection: the Hadoop and NIO exception types,
+    * the RemoteException class-name carry (an RPC-transported HDFS
+    * condition arrives as RemoteException naming the original class),
+    * and — last, for connectors that wrap the condition in a plain
+    * IOException — the message heuristic. A heuristic misfire converges
+    * on CAS-loss semantics, which the protocol's loser-reads-back
+    * absorption handles; the read-back fallback in putIfNoneMatch covers
+    * the inverse (a 412 wrapped WITHOUT the phrase). */
+  private[model] def isAlreadyExists(e: Throwable): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case re: org.apache.hadoop.ipc.RemoteException =>
+      re.getClassName ==
+        classOf[org.apache.hadoop.fs.FileAlreadyExistsException].getName ||
+        re.getClassName == classOf[java.nio.file.FileAlreadyExistsException].getName
+    case e: java.io.IOException =>
+      e.getMessage != null && e.getMessage.contains("already exists")
+    case _ => false
   }
 }

@@ -83,15 +83,19 @@ object PinSet {
   private def sweepStale(stageRoot: String): Unit = {
     val store = graft.model.GraftStores.forRoot(stageRoot)
     val cutoff = System.currentTimeMillis() - StaleMs
-    // one LIST keyed by first path segment: a pin dir is stale only if
-    // its NEWEST object is older than the grace (a mid-write pin keeps
-    // bumping its newest stamp, so an in-flight sibling wave survives)
-    store.list("").flatMap { k =>
+    // one STAMPED LIST keyed by first path segment — the stamps ride the
+    // enumeration itself (listStamped), not one HEAD per object on top
+    // (round-19 verdict #4: this cold path was the request-amplification
+    // class the census wrapper exists to catch). A pin dir is stale only
+    // if its NEWEST object is older than the grace (a mid-write pin
+    // keeps bumping its newest stamp, so an in-flight sibling wave
+    // survives).
+    store.listStamped("").flatMap { case (k, ts) =>
       val seg = k.takeWhile(_ != '/')
-      if (seg.startsWith("pin-") && k.length > seg.length) Some(seg -> k)
+      if (seg.startsWith("pin-") && k.length > seg.length) Some(seg -> ts)
       else None
-    }.groupBy(_._1).foreach { case (dir, keys) =>
-      val newest = keys.flatMap(kk => store.modifiedMillis(kk._2)).maxOption
+    }.groupBy(_._1).foreach { case (dir, stamps) =>
+      val newest = stamps.map(_._2).maxOption
       if (newest.exists(_ < cutoff))
         scala.util.Try(store.deletePrefix(dir + "/"))
     }
