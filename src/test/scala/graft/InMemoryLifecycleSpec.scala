@@ -266,6 +266,145 @@ class InMemoryLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("mounted managed RENAME is fenced: lease, ordered copy, verify, metadata-first delete") {
+    val space = freshSpace()
+    val wh = GraftMem.root(space, "wh4")
+    graft.sql.GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      val t = new GraftTable(spark, s"$wh/ren_t", Seq("id"), staleLockMs = 60000)
+      t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001")).toDF("id", "v", "trx_seq"))
+      t.upsert(Seq((3L, "c", "002")).toDF("id", "v", "trx_seq"))
+      // record the move's store ops in order: the fence is an ORDERING
+      // contract (round-19 advice: a crash mid-move left both names
+      // unreadable because _graft/ moved before data/)
+      val raw = GraftMem.rawSpace(space)
+      val ops = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(String, String)]())
+      val rec = new graft.model.ObjectStore {
+        def put(key: String, bytes: Array[Byte]): Unit = raw.put(key, bytes)
+        def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
+          ops.add(("cas", key)); raw.putIfNoneMatch(key, bytes)
+        }
+        def get(key: String): Option[Array[Byte]] = raw.get(key)
+        def list(prefix: String): Seq[String] = raw.list(prefix)
+        def delete(key: String): Unit = { ops.add(("del", key)); raw.delete(key) }
+        def stat(key: String): Option[(Long, Long)] = raw.stat(key)
+        override def copy(s: String, d: String): Unit = {
+          ops.add(("cp", s)); raw.copy(s, d)
+        }
+      }
+      GraftMem.wrapSpace(space, rec)
+      try spark.sql("ALTER TABLE graft.ren_t RENAME TO ren_u")
+      finally GraftMem.unwrapSpace(space)
+      import scala.jdk.CollectionConverters._
+      val seq = ops.asScala.toList
+      val isLock = (k: String) => k.endsWith("/writer.lock")
+      val cps = seq.filter(_._1 == "cp").map(_._2)
+        .filter(_.startsWith("wh4/ren_t/"))
+      val dels = seq.filter(_._1 == "del").map(_._2)
+        .filter(k => k.startsWith("wh4/ren_t/") && !isLock(k))
+      assert(cps.nonEmpty && dels.nonEmpty)
+      assert(!cps.exists(isLock), "the writer lease must not be copied")
+      // the move runs under the table's writer lease: CAS before any copy
+      val casIdx = seq.indexWhere(o => o._1 == "cas" && isLock(o._2) &&
+        o._2.startsWith("wh4/ren_t/"))
+      val firstCp = seq.indexWhere(_._1 == "cp")
+      assert(casIdx >= 0 && casIdx < firstCp, "lease must precede the move")
+      // copy order: every data/ key before any _graft/ key; head last
+      val firstMetaCp = cps.indexWhere(_.contains("/_graft/"))
+      val lastDataCp = cps.lastIndexWhere(k => !k.contains("/_graft/"))
+      assert(lastDataCp < firstMetaCp, s"data must copy before metadata: $cps")
+      assert(cps.last.endsWith("/_graft/commits/_head"), "head copies last")
+      // no delete before the last copy; metadata-first deletes, head first
+      val firstDel = seq.indexWhere(o => o._1 == "del" &&
+        o._2.startsWith("wh4/ren_t/") && !isLock(o._2))
+      val lastCp = seq.lastIndexWhere(_._1 == "cp")
+      assert(firstDel > lastCp, "deletes must wait for the verified copy")
+      assert(dels.head.endsWith("/_graft/commits/_head"), "head deletes first")
+      val firstDataDel = dels.indexWhere(k => !k.contains("/_graft/"))
+      assert(dels.lastIndexWhere(_.contains("/_graft/")) < firstDataDel,
+        s"old metadata must delete before old data: $dels")
+      // the renamed table is whole
+      assert(spark.sql("SELECT count(*) FROM graft.ren_u").head().getLong(0) == 3)
+      assert(GraftMem.rawSpace(space).list("wh4/ren_t/").isEmpty,
+        "no old-name keys may survive the move")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+      GraftMem.dropSpace(space)
+    }
+  }
+
+  test("mounted RENAME waits out a live writer (rename-vs-writer mutual exclusion)") {
+    val space = freshSpace()
+    val wh = GraftMem.root(space, "wh5")
+    graft.sql.GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      val t = new GraftTable(spark, s"$wh/mx_t", Seq("id"), staleLockMs = 60000)
+      t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001")).toDF("id", "v", "trx_seq"))
+      // the move takes the table's writer lease, so under a LIVE writer
+      // it REFUSES loudly (the engine's single-writer guard semantics —
+      // never a torn move) and leaves the old name fully intact
+      t.withLock {
+        val e = intercept[Exception] {
+          spark.sql("ALTER TABLE graft.mx_t RENAME TO mx_u")
+        }
+        def msgs(x: Throwable): Seq[String] =
+          Option(x).toSeq.flatMap(t2 => Option(t2.getMessage).toSeq ++ msgs(t2.getCause))
+        assert(msgs(e).exists(_.contains("another writer holds")),
+          s"rename under a live lease must refuse on the lock: $e")
+      }
+      assert(spark.sql("SELECT count(*) FROM graft.mx_t").head().getLong(0) == 2,
+        "refused rename must leave the old name whole")
+      // lease released: the retry completes the move
+      spark.sql("ALTER TABLE graft.mx_t RENAME TO mx_u")
+      assert(spark.sql("SELECT count(*) FROM graft.mx_u").head().getLong(0) == 2)
+      assert(GraftMem.rawSpace(space).list("wh5/mx_t/").isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+      GraftMem.dropSpace(space)
+    }
+  }
+
+  test("mounted SHOW TABLES costs O(tables) store requests, not O(objects)") {
+    val space = freshSpace()
+    val wh = GraftMem.root(space, "wh3")
+    graft.sql.GraftSql.install(spark)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      // N tables, each with SEVERAL commits (= many data + manifest
+      // objects in the warehouse) — discovery must not enumerate them
+      val names = (1 to 3).map(i => s"cen_t$i")
+      names.foreach { n =>
+        val t = new GraftTable(spark, s"$wh/$n", Seq("id"), staleLockMs = 60000)
+        t.bulkInsert(Seq((1L, "a", "001"), (2L, "b", "001"))
+          .toDF("id", "v", "trx_seq"))
+        (2 to 4).foreach(s => t.upsert(Seq((s.toLong, s"u$s", f"$s%03d"))
+          .toDF("id", "v", "trx_seq")))
+      }
+      val objects = GraftMem.rawSpace(space).list("wh3/").size
+      val counter = new CountingObjectStore(GraftMem.rawSpace(space))
+      GraftMem.wrapSpace(space, counter)
+      try {
+        counter.reset()
+        val shown = spark.sql("SHOW TABLES IN graft").select("tableName")
+          .as[String].collect().toSet
+        assert(names.forall(shown.contains), s"discovery must see all: $shown")
+        // one delimiter LIST + one descriptor HEAD per child — a bound
+        // FAR below the warehouse's object count (the old recursive
+        // list("") cost >= `objects` keys per SHOW TABLES)
+        assert(counter.total <= 4L * names.size + 4,
+          s"SHOW TABLES cost ${counter.census} on a $objects-object warehouse")
+        assert(counter.total < objects,
+          s"discovery must stay below object count ($objects): ${counter.census}")
+      } finally GraftMem.unwrapSpace(space)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+      GraftMem.dropSpace(space)
+    }
+  }
+
   test("clone crosses spaces; store-call census is flat per commit") {
     val space = freshSpace()
     val root = GraftMem.root(space, "src")
