@@ -115,9 +115,18 @@ object ConfigLoader {
           rliMaintain = (hudi \ "rli_maintain").extractOpt[Boolean].getOrElse(false),
           bucketCount = (hudi \ "bucket_count").extractOpt[Int].getOrElse(0),
           // 'view_maintain' = true | false | "async" — same grammar as
-          // the DDL TBLPROPERTIES key (GraftCatalog.createTable)
+          // the DDL TBLPROPERTIES key (GraftCatalog.createTable); any
+          // other string refuses NAMING the key and value (a bare
+          // toBoolean threw "For input string: ..." from deep inside
+          // config loading — round-19 advice)
           viewMaintain = (hudi \ "view_maintain").extractOpt[String]
-            .map(v => v.trim.equalsIgnoreCase("async") || v.trim.toBoolean)
+            .map(_.trim.toLowerCase match {
+              case "async" | "true" => true
+              case "false" => false
+              case other => throw new IllegalArgumentException(
+                s"$cfg: view_maintain must be true, false or " +
+                  s"async (got '$other')")
+            })
             .orElse((hudi \ "view_maintain").extractOpt[Boolean])
             .getOrElse(false),
           viewMaintainAsync = (hudi \ "view_maintain").extractOpt[String]

@@ -775,7 +775,18 @@ class GraftTable(
   def drainViews(): Boolean = {
     val had = viewsPending()
     meta.delete(viewsPendingKey)
-    ViewMaintenance.refreshDependents(spark, this)
+    // a FAILED refresh must stay visible: re-put the mark before
+    // rethrowing, or a viewsPending()-gated drainer (Pipeline's
+    // post-ingest drain deliberately catches transient lock contention)
+    // would skip the failed drain and the views stay stale until some
+    // later commit happens to re-mark (round-19 advice)
+    try ViewMaintenance.refreshDependents(spark, this)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (had)
+          scala.util.Try(meta.put(viewsPendingKey, GraftTable.leasePayload()))
+        throw e
+    }
     had
   }
 
