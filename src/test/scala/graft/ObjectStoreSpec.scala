@@ -320,4 +320,75 @@ class ObjectStoreSpec extends AnyFunSuite {
       assert(snap(k) == want, s"key $k: got ${snap(k)}, want $want")
     }
   }
+
+  test("CAS capability probe: an unknown connector warns; graftmem is known-atomic") {
+    val root = Files.createTempDirectory("graft-stub")
+    hconf.set("fs.stubfs.impl", classOf[StubFs].getName)
+    val stub = new HadoopFsObjectStore(
+      new org.apache.hadoop.fs.Path(s"stubfs:$root"), hconf)
+    assert(stub.casCapabilityWarning.isDefined,
+      "a scheme outside the atomic-CAS allowlist must warn at mount")
+    GraftMem.install(hconf)
+    val space = s"cap-${java.util.UUID.randomUUID().toString.take(8)}"
+    val mem = new HadoopFsObjectStore(
+      new org.apache.hadoop.fs.Path(GraftMem.root(space, "t")), hconf)
+    assert(mem.casCapabilityWarning.isEmpty,
+      "graftmem resolves create(overwrite=false) atomically at close")
+    GraftMem.dropSpace(space)
+  }
+
+  test("ambiguous CAS IOException: read-back resolves loss iff the key exists, else UNKNOWN surfaces") {
+    val root = Files.createTempDirectory("graft-stub2")
+    hconf.set("fs.stubfs.impl", classOf[StubFs].getName)
+    val os = new HadoopFsObjectStore(
+      new org.apache.hadoop.fs.Path(s"stubfs:$root"), hconf)
+    // key EXISTS (a racer's complete object, or our own lost ack): an
+    // ambiguous failure resolves by read-back as CAS loss — and the
+    // loser NEVER overwrites the existing object
+    os.put("k1", "theirs".getBytes)
+    StubFs.failPlainCreate = true
+    try assert(!os.putIfNoneMatch("k1", "ours".getBytes),
+      "existing key + ambiguous IOException = CAS lost")
+    finally StubFs.failPlainCreate = false
+    assert(new String(os.get("k1").get) == "theirs")
+    // key ABSENT: nothing durable landed — the unknown outcome must
+    // surface loudly, never report a silent false/true
+    StubFs.failPlainCreate = true
+    try {
+      val e = intercept[java.io.IOException](os.putIfNoneMatch("k2", "x".getBytes))
+      assert(e.getMessage.contains("injected"))
+    } finally StubFs.failPlainCreate = false
+    assert(os.get("k2").isEmpty)
+  }
 }
+
+/** RawLocal under an UNKNOWN scheme with an injectable plain-IOException
+  * conditional-create failure — the ambiguous CAS outcome a connector
+  * can surface (a wrapped 412 without the phrase, a dropped response),
+  * and a scheme outside [[HadoopFsObjectStore]]'s atomic-CAS allowlist
+  * for the capability-probe warning. */
+class StubFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "stubfs"
+  override def getUri: java.net.URI = java.net.URI.create("stubfs:///")
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (StubFs.failPlainCreate && !overwrite)
+      throw new java.io.IOException("injected: create response lost")
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+  // RawLocalFileSystem implements this overload directly (it does not
+  // route through the permission variant) — intercept it too
+  override def create(f: org.apache.hadoop.fs.Path, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (StubFs.failPlainCreate && !overwrite)
+      throw new java.io.IOException("injected: create response lost")
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+  }
+}
+object StubFs { @volatile var failPlainCreate = false }
