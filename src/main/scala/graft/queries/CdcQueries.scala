@@ -823,6 +823,37 @@ object CdcScenario {
       t
     })
 
+  /** [[catalogSink]] with the TABLE on a MOUNTED in-memory root — the
+    * round-19 streaming-plane store seam (the epoch spool and reliable
+    * pins riding [[graft.model.ObjectStore]]) under the same DuckDB
+    * gate as the local path: `writeStream.toTable` drains three CDC
+    * batches into a `graftmem:/` space with the root never on disk,
+    * and the graded aggregate reads back through the catalog. */
+  def catalogSinkMounted(s: SparkSession, dir: String): GraftTable =
+    cache.getOrElseUpdate(s"catsinkm:$dir", {
+      graft.model.GraftMem.install(s.sparkContext.hadoopConfiguration)
+      val space = s"verify-catsinkm-${java.util.UUID.randomUUID().toString.take(8)}"
+      val root = graft.model.GraftMem.root(space, "table")
+      val base = Files.createTempDirectory("graft-cdc-catsinkm")
+      val raw = s"$base/raw"; val ck = s"$base/ck"
+      val t = new GraftTable(s, root, Seq("o_orderkey"),
+        targetFileBytes = 1024 * 1024)
+      val schema = fullLoad(s, dir).schema
+      t.bulkInsert(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      graft.sql.GraftSql.register(s, "catsinkm_scn", t)
+      Seq(fullLoad(s, dir), batchA(s, dir), batchB(s, dir)).foreach { b =>
+        b.coalesce(1).write.mode("append").parquet(raw)
+        val q = s.readStream.schema(schema).parquet(raw)
+          .writeStream.option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft.catsinkm_scn")
+        require(q.awaitTermination(180000),
+          "mounted catalog sink drain timed out")
+      }
+      t
+    })
+
   /** Nested-schema DSv2 sink (round-13): the stream carries a STRUCT
     * column plus a MAP end to end — `writeStream.toTable` stages the
     * nested rows through the recursive RowCodec and upserts them, no
@@ -1758,6 +1789,10 @@ object CdcQueries {
     // final state equals the batch CDC apply (same oracle as the
     // foreachBatch sink it generalizes)
     "st_catalog_sink" -> ((s, dir) => statusAgg(CdcScenario.catalogSink(s, dir))),
+    // the same DSv2 streaming sink with the table on a MOUNTED root —
+    // the streaming-plane object-store seam under the DuckDB gate
+    "st_catalog_sink_mounted" -> ((s, dir) =>
+      statusAgg(CdcScenario.catalogSinkMounted(s, dir))),
     // ST6b round-13: struct+map columns through the DSv2 streaming sink;
     // the graded aggregate reads the struct fields back out
     "st_catalog_sink_nested" -> ((s, dir) =>
@@ -2496,6 +2531,7 @@ object CdcQueries {
            (CAST(1 AS BIGINT), 'compact')) AS t(seq, action)""",
     "st_stream_ingest" -> statusAggSql,
     "st_catalog_sink" -> statusAggSql,
+    "st_catalog_sink_mounted" -> statusAggSql,
     // the zone is the raw full load carried inside a struct, so the
     // struct-field census equals the plain batch census
     "st_catalog_sink_nested" ->
