@@ -342,6 +342,38 @@ class GraftTable(
     math.max(1, math.min(32768, if (n.isFinite) n.toInt else 32768))
   }
 
+  /** The STATS-BALLOON guard at the write seam (three rounds, three
+    * instances of the same bug class — IVM bootstrap r18, streaming-
+    * epoch upsert r19, bands delta r19 — each fixed by a caller
+    * remembering persist+count after the fact): a join-shaped or
+    * stats-less plan whose size-only Catalyst estimate implies a WILD
+    * file count (the estimate for a join is a near-product of the
+    * sides, so the planner wrote one file per row) is materialized and
+    * recounted HERE, so every writer is covered by construction.
+    * Triggers only when the implied file count exceeds
+    * [[GraftTable.SaneEstimateFileCount]] AND the estimate is out of
+    * proportion to the plan's LEAF input bytes — a genuine TB-scale
+    * parquet-backed insert has accurate leaf stats (parquet scans
+    * report file bytes) and never pays the materialization. Returns
+    * the frame to write, the bytes to plan with, and a release hook. */
+  private def guardWritePlan(df: DataFrame,
+      estBytes: Long): (DataFrame, Long, () => Unit) = {
+    if (numPartitionsFor(estBytes) <= GraftTable.SaneEstimateFileCount)
+      return (df, estBytes, () => ())
+    val leafSum = df.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes)
+      .filter(s => s.isValidLong && s.toLong < (1L << 50))
+      .map(_.toLong).sum
+    if (estBytes <= 4L * math.max(leafSum, 1L)) return (df, estBytes, () => ())
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    // a FRESH Dataset over the same plan resolves through the cache
+    // (useCachedData), so its stats are the materialized actuals — the
+    // original df's QueryExecution is already fixed with the balloon
+    val fresh = cached.select(cached.columns.map(col): _*)
+    (fresh, planBytes(fresh), () => { cached.unpersist(blocking = false); () })
+  }
+
   /** Write `df` as range-partitioned, key-sorted parquet files under a new
     * commit's data dir and harvest per-file stats (key min/max, row count,
     * bytes) straight from the parquet footers — metadata-only, no second
@@ -350,27 +382,31 @@ class GraftTable(
   private def writeFiles(df: DataFrame, seq: Long, estBytes: Long,
       layoutSort: Seq[Column] = Seq.empty): Seq[DataFile] = {
     val stage = s"$root/${dataDir(seq)}"
-    // BUCKET index layout: derive the bucket from the record key at write
-    // time and emit it as a hive partition dir — partitionBy strips the
-    // column from the data files, so it exists ONLY in paths + manifest
-    val bucketed = bucketCount > 0
-    val src =
-      if (bucketed) df.withColumn(GraftTable.BucketCol,
-        GraftTable.bucketExprOf(col(Meta.RecordKey), bucketCount))
-      else df
-    val partCols =
-      if (bucketed) partitionFields :+ GraftTable.BucketCol else partitionFields
-    val sortCols =
-      if (layoutSort.nonEmpty) partCols.map(col) ++ layoutSort
-      else (partCols :+ Meta.RecordKey).map(col)
-    val writer0 = src
-      .repartitionByRange(numPartitionsFor(estBytes), sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .write.mode("overwrite")
-    val writer = if (partCols.nonEmpty) writer0.partitionBy(partCols: _*) else writer0
-    writer.parquet(stage)
-    val files = harvestStats(stage)
-    if (keyBlooms || bloomColumns.nonEmpty) attachBlooms(stage, files) else files
+    val (df1, bytes, release) = guardWritePlan(df, estBytes)
+    try {
+      // BUCKET index layout: derive the bucket from the record key at
+      // write time and emit it as a hive partition dir — partitionBy
+      // strips the column from the data files, so it exists ONLY in
+      // paths + manifest
+      val bucketed = bucketCount > 0
+      val src =
+        if (bucketed) df1.withColumn(GraftTable.BucketCol,
+          GraftTable.bucketExprOf(col(Meta.RecordKey), bucketCount))
+        else df1
+      val partCols =
+        if (bucketed) partitionFields :+ GraftTable.BucketCol else partitionFields
+      val sortCols =
+        if (layoutSort.nonEmpty) partCols.map(col) ++ layoutSort
+        else (partCols :+ Meta.RecordKey).map(col)
+      val writer0 = src
+        .repartitionByRange(numPartitionsFor(bytes), sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode("overwrite")
+      val writer = if (partCols.nonEmpty) writer0.partitionBy(partCols: _*) else writer0
+      writer.parquet(stage)
+      val files = harvestStats(stage)
+      if (keyBlooms || bloomColumns.nonEmpty) attachBlooms(stage, files) else files
+    } finally release()
   }
 
   /** Opt-in per-file blooms (record key and/or registered data columns):
@@ -3668,6 +3704,11 @@ object GraftTable {
 
   /** The writer-lock lease object's key under the table root. */
   private[operators] val LockKey = "_graft/writer.lock"
+
+  /** Above this implied file count, [[guardWritePlan]] cross-checks the
+    * size-only estimate against the plan's leaf input bytes before the
+    * write (the stats-balloon guard). */
+  private[operators] val SaneEstimateFileCount = 64
 
   /** Commit-store for a root, resolved exactly like the constructor
     * default: object-store CAS for mounted (space) roots, hard-link CAS

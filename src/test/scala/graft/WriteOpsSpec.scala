@@ -23,6 +23,25 @@ class WriteOpsSpec extends AnyFunSuite {
     (1 to n).map(i => (i.toLong, s"v$i", (if (i % 3 == 0) "p0" else "p1"), f"$i%06d"))
       .toDF("id", "v", "p", "trx_seq")
 
+  test("stats-balloon guard: a join-shaped stats-less bulk insert writes a sane file count") {
+    // localCheckpointed leaves carry no usable stats, so Catalyst's
+    // size-only estimate for the join balloons — three rounds of IVM
+    // operators hit this class (one file PER ROW) and each fixed it
+    // with a caller-side persist+count; the guard now lives at the
+    // write seam, so the PUBLIC API must be safe without the caller
+    // remembering anything
+    val a = rows(400).localCheckpoint()
+    val b = (1 to 400).map(i => (i.toLong, s"w$i")).toDF("id", "w")
+      .localCheckpoint()
+    val joined = a.join(b, Seq("id"))
+    val t = new GraftTable(spark, tmp(), Seq("id"))
+    t.bulkInsert(joined)
+    val files = t.latestCommit().get.files
+    assert(files.size <= 16,
+      s"ballooned file plan: ${files.size} files for 400 rows")
+    assert(t.readUser().count() == 400)
+  }
+
   test("deletePartition is metadata-only: kept files are the previous files") {
     val t = new GraftTable(spark, tmp(), Seq("id"), Seq("p"),
       targetFileBytes = 16 * 1024)
