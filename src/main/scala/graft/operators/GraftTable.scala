@@ -2232,6 +2232,30 @@ class GraftTable(
           statBound(v).foreach { case (k, s) => keeps += statKeep(a, k, None, Some(s)) }
         case sf.LessThanOrEqual(a, v) if tracked(a) =>
           statBound(v).foreach { case (k, s) => keeps += statKeep(a, k, None, Some(s)) }
+        case sf.In(a, vs) if tracked(a) && vs.nonEmpty =>
+          // a file survives iff ANY listed value can live in its
+          // [min, max] — the values sort once, each file pays one
+          // binary search (an IN list can be wave-sized)
+          val bs = vs.toSeq.flatMap(v => statBound(v))
+          if (bs.length == vs.length && bs.map(_._1).distinct.size == 1) {
+            val kind = bs.head._1
+            val arr = bs.map(_._2).sortWith(
+              (x, y) => GraftTable.cmpStat(kind, x, y) < 0).toArray
+            keeps += { f =>
+              f.colStats.get(a) match {
+                case Some(st) if st.kind == kind =>
+                  // first value >= min, then check it is <= max
+                  var lo = 0; var hi = arr.length
+                  while (lo < hi) {
+                    val mid = (lo + hi) >>> 1
+                    if (GraftTable.cmpStat(kind, arr(mid), st.min) < 0) lo = mid + 1
+                    else hi = mid
+                  }
+                  lo < arr.length && GraftTable.cmpStat(kind, arr(lo), st.max) <= 0
+                case _ => true
+              }
+            }
+          }
         case _ => ()
       }
       val bloomed = bloomColumns.toSet

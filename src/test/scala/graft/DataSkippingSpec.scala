@@ -45,6 +45,29 @@ class DataSkippingSpec extends AnyFunSuite {
     assert(vmin == 0L && vmax == 3L * 3999)
   }
 
+  test("pushed IN on a tracked column triages files by stats overlap") {
+    val t = corrTable()
+    val files = t.latestCommit().get.files
+    // values that all land in the low end of the correlated layout —
+    // the In triage must keep only files whose [min,max] holds any
+    val scan = t.readUserPruned(Seq(
+      org.apache.spark.sql.sources.In("v", Array[Any](3L, 9L, 27L))))
+    assert(scan.admittedFiles < scan.totalFiles,
+      s"IN must prune on a correlated column (${scan.admittedFiles}/${scan.totalFiles})")
+    val got = scan.df.filter(col("v").isin(3L, 9L, 27L))
+      .select("id", "v").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, 3L), (3L, 9L), (9L, 27L)))
+    // values outside every file's range admit nothing
+    val none = t.readUserPruned(Seq(
+      org.apache.spark.sql.sources.In("v", Array[Any](-5L, 3L * 4000 + 7))))
+    assert(none.admittedFiles == 0, s"got ${none.admittedFiles}")
+    // string kind: same triage over the s column
+    val s1 = t.readUserPruned(Seq(
+      org.apache.spark.sql.sources.In("s", Array[Any]("s000010", "s000020"))))
+    assert(s1.admittedFiles < s1.totalFiles)
+    assert(files.size > 1)
+  }
+
   test("readColumnRange equals filter-on-snapshot and actually prunes files") {
     val t = corrTable()
     val got = t.readColumnRange("v", 300L, 900L)
