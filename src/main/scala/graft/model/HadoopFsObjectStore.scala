@@ -19,6 +19,12 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   *  - `put` = `create(overwrite = true)` + write + close — one whole-
   *    object PUT on an object-store connector (visible only at close).
+  *    On a MATERIALIZING connector (HDFS, raw local) a crash mid-put
+  *    can leave a torn object at the key; the engine's plain-put keys
+  *    are all rewritten-every-commit metadata (head pointer,
+  *    descriptor), so the next commit heals them — local deployments
+  *    that need crash-atomic replace should mount [[DirObjectStore]]
+  *    (tmp + atomic move) instead of this adapter over `file://`.
   *  - `putIfNoneMatch` = `create(overwrite = false)` + write + close —
   *    the CAS. The adapter REQUIRES the connector to resolve the
   *    no-overwrite condition ATOMICALLY AT CLOSE (server-side
