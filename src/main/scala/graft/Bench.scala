@@ -52,6 +52,8 @@ object Bench {
   /** Last w_incr_dedup run's per-stage split (see the bench entry). */
   @volatile private var dedupStages: Seq[(String, Double)] = Seq.empty
   @volatile private var spanStages: Seq[(String, Double)] = Seq.empty
+  @volatile private var joinStages: Seq[(String, Double)] = Seq.empty
+  @volatile private var cdcStages: Seq[(String, Double)] = Seq.empty
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -65,9 +67,15 @@ object Bench {
     val root = java.nio.file.Files.createTempDirectory("graft-bench-cdc").toString
     val t = new graft.operators.GraftTable(s, root, Seq("o_orderkey"),
       targetFileBytes = 1024 * 1024)
+    // stage marks (round-20 verdict #6: the heaviest headline line's
+    // 3.9–5.7 s spread needed localizing) — free when the caller didn't
+    // enable the StageTimer
     t.bulkInsert(graft.queries.CdcScenario.fullLoad(s, dir))
+    graft.util.StageTimer.mark("full_load")
     t.upsert(graft.queries.CdcScenario.batchA(s, dir))
+    graft.util.StageTimer.mark("upsert_a")
     t.upsert(graft.queries.CdcScenario.batchB(s, dir))
+    graft.util.StageTimer.mark("upsert_b")
     t
   }
 
@@ -130,17 +138,31 @@ object Bench {
     // prebuilt (untimed) table backing the read-path benchmark
     val readTable = freshCdcTable(spark, sfDir)
     val local: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
-      "cdc_ingest" -> ((s, d) => freshCdcTable(s, d).readUser()
-        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))),
+      "cdc_ingest" -> ((s, d) => {
+        graft.util.StageTimer.enable()
+        val t = freshCdcTable(s, d)
+        Bench.cdcStages = graft.util.StageTimer.collect()
+        t.readUser().groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      }),
       "cdc_read" -> ((_, _) => readTable.readUser()
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))))
     val fns = SparkEntry.queries ++ local
 
+    // per-run ambient load, sampled at each run's start: the blind-band
+    // re-measure rule (round-20 verdict #4) keys on the QUIETEST context
+    // a line's three runs saw — if even that was loaded, a moderate
+    // outlier re-measures instead of shipping
+    val lineLoads = scala.collection.mutable.Map[String, Double]()
+    def noteLoad(name: String): Unit = {
+      val l = loadavg1
+      lineLoads(name) = math.min(lineLoads.getOrElse(name, Double.MaxValue), l)
+    }
     val results = Headline.map { name =>
       val fn = fns(name)
       val times = (1 to Runs).map { _ =>
+        noteLoad(name)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -299,8 +321,12 @@ object Bench {
         val on = Seq("o_custkey" -> "c_custkey")
         graft.operators.IncrementalJoin.bootstrap(l, r, view, on, 0L, 0L)
         () => {
+          // stage split (round-20 verdict #7: the widest relative spread
+          // after cdc_ingest needed localizing)
+          graft.util.StageTimer.enable()
           graft.operators.IncrementalJoin.maintain(
             l, r, view, on, 0L, 1L, 0L, 1L)
+          Bench.joinStages = graft.util.StageTimer.collect()
           ()
         }
       }),
@@ -354,16 +380,9 @@ object Bench {
           .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
           .withColumn("trx_seq", lit(f"${2}%020d")))
         val stRoot = tmpRoot("ivms-st")
-        // same production configuration as create_span_state: the wave
-        // pays the inline fold the shipped path pays
-        val sc = graft.operators.GraftTable.StateClusterSmallFileBytes
-        val st = graft.llm.IncrementalSpanCensus.State(
-          new graft.operators.GraftTable(spark, s"$stRoot/df", Seq("sh"),
-            clusterSmallFileBytes = sc),
-          new graft.operators.GraftTable(spark, s"$stRoot/post", Seq("sh", "id"),
-            clusterSmallFileBytes = sc),
-          new graft.operators.GraftTable(spark, s"$stRoot/out", Seq("id"),
-            clusterSmallFileBytes = sc))
+        // same production configuration as create_span_state (MOR aux
+        // tables, inline fold): the wave pays what the shipped path pays
+        val st = graft.llm.IncrementalSpanCensus.stateAt(spark, stRoot)
         graft.llm.IncrementalSpanCensus.bootstrap(src, st, "id", "text", 3, 0L)
         () => {
           graft.util.StageTimer.enable()
@@ -461,6 +480,7 @@ object Bench {
           }
         if (run == null) -1.0
         else {
+          noteLoad(name)
           val t0 = System.nanoTime()
           val ok =
             try { run(); true }
@@ -477,6 +497,7 @@ object Bench {
     val llmResults = LlmFamily.map { name =>
       val fn = fns(name)
       val times = (1 to Runs).map { _ =>
+        noteLoad(name)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -506,8 +527,24 @@ object Bench {
         s.iterator().asScala.map(_.getFileName.toString)
           .filter(_.matches("BENCH_r\\d+\\.json")).toSeq.sorted.takeRight(3)
       }
-      val parsed = recs.map(f => org.json4s.jackson.JsonMethods.parse(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(f))))
+      val parsed = recs.map { f =>
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+        val j = org.json4s.jackson.JsonMethods.parse(txt)
+        // the DRIVER's committed BENCH_rNN.json wraps the bench's record
+        // line inside a "tail" log-string field — the round-20 blind
+        // band's ROOT CAUSE: top-level extraction found no "queries"
+        // there, so the whole self-adjudication silently no-opped
+        // against committed records. Unwrap the embedded record.
+        if ((j \ "queries").toOption.isDefined) j
+        else (j \ "tail").extractOpt[String].flatMap { tail =>
+          val at = tail.lastIndexOf("{\"metric\":")
+          if (at < 0) None else {
+            val line = tail.substring(at).takeWhile(_ != '\n')
+            try Some(org.json4s.jackson.JsonMethods.parse(line))
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }.getOrElse(j)
+      }
       val perQuery = parsed.flatMap { j =>
         Seq("queries", "write_family", "llm_family").flatMap(k =>
           (j \ k).extractOpt[Map[String, Double]].getOrElse(Map.empty))
@@ -530,10 +567,16 @@ object Bench {
     def adjudicate(rs: Seq[(String, Double)],
         remeasure: String => Double): Seq[(String, Double)] =
       rs.map { case (name, v) =>
+        // two triggers (round-20 verdict #4 closed the blind band): the
+        // hard >2x rule, and the load-aware >1.4x rule — a late-run load
+        // wave that lifts several lines ~1.4x used to sail through
+        // because only >2x re-measured; now a moderate outlier whose
+        // QUIETEST run still started above loadavg 2 re-measures too
+        val load = lineLoads.getOrElse(name, 0.0)
         trailingMedian.get(name) match {
-          case Some(m) if v > 0 && v > 2 * m =>
-            System.err.println(f"[bench] $name $v%.2fs > 2x trailing median " +
-              f"$m%.2fs — re-measuring once")
+          case Some(m) if v > 0 && (v > 2 * m || (v > 1.4 * m && load > 2.0)) =>
+            System.err.println(f"[bench] $name $v%.2fs vs trailing median " +
+              f"$m%.2fs (min run-start loadavg $load%.2f) — re-measuring once")
             val r = remeasure(name)
             readjudicated += name
             name -> (if (r > 0) math.min(v, r) else v)
@@ -598,7 +641,12 @@ object Bench {
       catch { case _: Exception => -1L }
     val stages = jsonMap(dedupStages)
     val sstages = jsonMap(spanStages)
-    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"readjudicated":$readjJson,"total_inflated":$totalInflated,"queries":$qs,"write_family":$ws,"llm_family":$ls,"w_incr_dedup_stages":$stages,"w_incr_span_stages":$sstages,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
+    val jstages = jsonMap(joinStages)
+    val cstages = jsonMap(cdcStages)
+    // the per-line trailing-quiet medians ride IN the record so a judge
+    // can adjudicate a load-skewed line from the artifact alone
+    val tmeds = jsonMap(trailingMedian.toSeq.sortBy(_._1))
+    val record = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_runs":$Runs,"failed":$failedJson,"readjudicated":$readjJson,"total_inflated":$totalInflated,"queries":$qs,"write_family":$ws,"llm_family":$ls,"w_incr_dedup_stages":$stages,"w_incr_span_stages":$sstages,"w_incr_join_stages":$jstages,"cdc_ingest_stages":$cstages,"trailing_median":$tmeds,"sf":"$sfDir","loadavg":"$loadavg","loadavg_start":$startLoad%.2f,"load_contaminated":$loadContaminated,"cpus":"$cpus","sf_mtime_ms":$sfMtime}"""
     println(record)
     // durable copy: the round-9 driver log kept only a 2000-char tail and
     // truncated the record's head, losing the machine-readable timings —

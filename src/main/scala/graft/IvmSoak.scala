@@ -125,13 +125,10 @@ object IvmSoak {
         val spDelta = docsAll.filter(col("id") % 13 === 0 && col("id") < 150000)
           .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
         import graft.llm.{IncrementalSpanCensus => ISC}
-        def freshState(tag: String): ISC.State = {
-          val b = tmpd(tag)
-          ISC.State(
-            new graft.operators.GraftTable(spark, s"$b/df", Seq("sh")),
-            new graft.operators.GraftTable(spark, s"$b/post", Seq("sh", "id")),
-            new graft.operators.GraftTable(spark, s"$b/out", Seq("id")))
-        }
+        // the PRODUCTION state layout (MOR aux tables, round 21) — the
+        // soak must exercise what create() ships
+        def freshState(tag: String): ISC.State =
+          ISC.stateAt(spark, tmpd(tag))
         (1 to 3).foreach { i =>
           val c = src0.cloneTo(tmpd(s"sp-run$i") + "/t")
           c.upsert(spDelta)
@@ -200,13 +197,9 @@ object IvmSoak {
         val sgDelta = docsAll.filter(col("id") % 13 === 0 && col("id") < 150000)
           .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
         import graft.llm.{IncrementalSegmentDedup => ISD}
-        def freshState(tag: String): ISD.State = {
-          val b = tmpd(tag)
-          ISD.State(
-            new graft.operators.GraftTable(spark, s"$b/df", Seq("sh")),
-            new graft.operators.GraftTable(spark, s"$b/post", Seq("sh", "id")),
-            new graft.operators.GraftTable(spark, s"$b/out", Seq("id")))
-        }
+        // the PRODUCTION state layout (MOR aux tables, round 21)
+        def freshState(tag: String): ISD.State =
+          ISD.stateAt(spark, tmpd(tag))
         (1 to 3).foreach { i =>
           val c = src0.cloneTo(tmpd(s"sg-run$i") + "/t")
           c.upsert(sgDelta)

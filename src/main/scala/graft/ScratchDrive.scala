@@ -85,6 +85,62 @@ object ScratchDrive {
       return
     }
 
+    if (args.headOption.contains("incr-span-opt")) {
+      // round-21: the Bench w_incr_span fixture on the PRODUCTION state
+      // layout (MOR aux tables) with the driver wave path on/off —
+      // optional second arg "plans" dumps the merge-delta plans once
+      import spark.implicits._
+      val dumpPlans = args.lift(1).contains("plans")
+      Seq(("driver", graft.llm.IncrementalDedup.DriverWaveCap),
+          ("distributed", 0),
+          ("driver", graft.llm.IncrementalDedup.DriverWaveCap),
+          ("distributed", 0)).zipWithIndex.foreach { case ((tag, cap), i) =>
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val base = java.nio.file.Files.createTempDirectory("graft-ivms")
+        val src = new graft.operators.GraftTable(spark, s"$base/src", Seq("id"))
+        src.bulkInsert(d.withColumn("trx_seq", lit(f"${1}%020d")))
+        src.upsert(d.filter(col("id") % 13 === 0)
+          .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
+          .withColumn("trx_seq", lit(f"${2}%020d")))
+        val st = graft.llm.IncrementalSpanCensus.stateAt(spark, s"$base/state")
+        graft.llm.IncrementalSpanCensus.bootstrap(src, st, "id", "text", 3, 0L)
+        spark.conf.set(graft.llm.IncrementalDedup.DriverWaveCapKey, cap.toString)
+        if (dumpPlans && i < 2)
+          spark.conf.set(graft.llm.IvmAux.ExplainKey, "true")
+        // per-Spark-stage attribution: stages >= 100 ms with task count
+        val probe = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val info = sc.stageInfo
+            val ms = (for {s <- info.submissionTime; c <- info.completionTime}
+              yield c - s).getOrElse(-1L)
+            if (ms >= 100) println(f"SPARKSTAGE ${info.stageId}%4d ${ms}%6d ms " +
+              f"tasks=${info.numTasks}%3d ${info.name.take(120)}")
+          }
+        }
+        spark.sparkContext.addSparkListener(probe)
+        graft.util.StageTimer.enable()
+        try timed(s"w_incr_span $tag run$i")(
+          graft.llm.IncrementalSpanCensus.maintain(src, st, "id", "text", 3,
+            0L, 1L))
+        finally spark.sparkContext.removeSparkListener(probe)
+        spark.conf.unset(graft.llm.IvmAux.ExplainKey)
+        spark.conf.unset(graft.llm.IncrementalDedup.DriverWaveCapKey)
+        println(s"SPAN-STAGES $tag run$i: " + graft.util.StageTimer.collect()
+          .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
+        println(s"SPAN-FILES $tag run$i: df=" +
+          st.df.latestCommit().map(c => s"${c.files.size}+${c.logFiles.size}log")
+            .getOrElse("-") + " post=" +
+          st.post.latestCommit().map(c => s"${c.files.size}+${c.logFiles.size}log")
+            .getOrElse("-") + " out=" +
+          st.out.latestCommit().map(_.files.size).getOrElse(-1) + " actions=" +
+          st.post.history().map(_.action).mkString(","))
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("incr-span")) {
       // interleaved fold-on/fold-off A/B with stage splits
       import spark.implicits._
@@ -210,10 +266,12 @@ object ScratchDrive {
         }
         spark.sparkContext.addSparkListener(probe)
         graft.util.StageTimer.enable()
-        timed(s"w_incr_dedup run$i")(
+        // removal in finally: a thrown wave must not leave the probe
+        // registered (duplicate SPARKSTAGE lines on later iterations)
+        try timed(s"w_incr_dedup run$i")(
           graft.llm.IncrementalDedup.maintain(src, state, "id", "text",
             graft.llm.IncrementalDedup.Params(), 0L, 1L))
-        spark.sparkContext.removeSparkListener(probe)
+        finally spark.sparkContext.removeSparkListener(probe)
         println(s"STAGES run$i: " + graft.util.StageTimer.collect()
           .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
         println(s"STATE run$i: " + state.history().map(c =>

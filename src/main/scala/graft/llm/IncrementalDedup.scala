@@ -801,17 +801,15 @@ object IncrementalDedup {
             when(col("_m._add"), col("_m.sid")).as("sid"),
             when(col("_m._add"), col("_m.n_sh")).otherwise(lit(-1L)).as("n_sh"),
             (!col("_m._add")).as(Meta.Deleted))
-        // Materialized BEFORE the write — the stats-balloon rule: the
-        // delta is a union of joins, and Catalyst's size-only estimate
-        // for it ballooned the log plan to thousands of files per wave
-        // (measured: bands stage 80→5 s after this persist+count)
-        val bandsDelta = folded
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          bandsDelta.count()
-          graft.util.StageTimer.mark("bands_delta")
-          commitBands(bandsDelta)
-        } finally { bandsDelta.unpersist(blocking = false); () }
+        // No caller-side persist+count: the stats balloon (the delta is
+        // a union of joins whose size-only estimate once planned
+        // thousands of log files) is caught at the write seam —
+        // guardWritePlan materializes exactly when the estimate is both
+        // file-count-insane and out of proportion to the MEASURED leaves
+        // (pinned LogicalRDD leaves no longer vouch). An over-cap wave
+        // thus pays one materialization, not two (round-20 advice).
+        graft.util.StageTimer.mark("bands_delta")
+        commitBands(folded)
       }
       graft.util.StageTimer.mark("bands")
       // ---- candidate algebra for DISTINCT new texts (batch parity:

@@ -65,14 +65,26 @@ object IncrementalSegmentDedup {
       GraftTable.open(spark, s"$location/post"),
       GraftTable.open(spark, s"$location/out"))
 
+  // df/post are MERGE_ON_READ (the [[IvmAux]] rationale: md5-scattered
+  // keys make a COW merge rewrite the whole table per KB-scale wave);
+  // out stays COW — it is the user-facing point-read table
   private def newState(spark: SparkSession, location: String): State =
     State(
       new GraftTable(spark, s"$location/df", Seq("sh"),
+        tableType = GraftTable.MergeOnRead,
+        compactEvery = IvmAux.AuxCompactEvery,
         clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes),
       new GraftTable(spark, s"$location/post", Seq("sh", "id"),
+        tableType = GraftTable.MergeOnRead,
+        compactEvery = IvmAux.AuxCompactEvery,
         clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes),
       new GraftTable(spark, s"$location/out", Seq("id"),
         clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes))
+
+  /** The production state layout of [[create]] without the bootstrap —
+    * for harnesses (IvmSoak) that bootstrap at an explicit seq. */
+  private[graft] def stateAt(spark: SparkSession, location: String): State =
+    newState(spark, location)
 
   def appliedSeq(t: GraftTable): Option[Long] =
     t.historyNewestFirst()
@@ -114,7 +126,12 @@ object IncrementalSegmentDedup {
       val meta = Map(AppliedSeqKey -> atSeq.toString)
       def land(t: GraftTable, rows: DataFrame): Unit = {
         if (t.history().isEmpty) t.bulkInsert(rows, extraMeta = meta)
-        else t.insertOverwriteTable(rows, extraMeta = meta)
+        else {
+          // a MOR aux table re-bootstrapping over applied waves may hold
+          // delta logs; the overwrite requires a compacted snapshot
+          if (t.latestCommit().exists(_.logFiles.nonEmpty)) t.compact()
+          t.insertOverwriteTable(rows, extraMeta = meta)
+        }
         ()
       }
       land(st.df, dfq)
@@ -281,32 +298,73 @@ object IncrementalSegmentDedup {
           .select(md5(col("seg")).as("sh"), col("id")).distinct()
       val distB = pin(postsOf(before))
       val distA = pin(postsOf(after))
-      // signed df delta per segment hash (IncrementalAgg's contribution
-      // shape), joined with the PRE-wave stored df
-      val delta = pin(
-        distA.groupBy(col("sh")).agg(count(lit(1)).as("_add"))
-          .join(distB.groupBy(col("sh")).agg(count(lit(1)).as("_rem")),
-            Seq("sh"), "full_outer")
-          .select(col("sh"),
-            (coalesce(col("_add"), lit(0L)) - coalesce(col("_rem"), lit(0L)))
-              .as("_d")))
-      val moved = pin(delta
-        .join(storedDf(st, delta), Seq("sh"), "left")
-        .select(col("sh"), coalesce(col("df"), lit(0L)).as("_old"),
-          (coalesce(col("df"), lit(0L)) + col("_d")).as("_new")))
-      if (moved.filter(col("_new") < 0).limit(1).count() > 0)
-        throw new IllegalStateException(
-          s"negative segment df in window ($fromSeq, $toSeq] — the df state " +
-            "does not match this source history; re-bootstrap")
-      // boundary crossings: OTHER documents' dup/kept output changes
-      val crossing = pin(moved.filter(
-        (col("_old") >= 2) =!= (col("_new") >= 2)).select(col("sh")))
-      val changedIds = img.select(
-        coalesce(col("_after")(idCol), col("_before")(idCol))
-          .cast("long").as("id")).distinct()
-      val affectedOther = pin(postingsOf(st, crossing)
-        .select(col("id")).distinct()
-        .join(changedIds, Seq("id"), "left_anti"))
+      val spark0 = img.sparkSession
+      val waveCap = spark0.conf.getOption(IncrementalDedup.DriverWaveCapKey)
+        .map(_.toInt).getOrElse(IncrementalDedup.DriverWaveCap)
+      // DRIVER wave path (the [[IncrementalSpanCensus]] treatment): the
+      // df/crossing/partner/posting bookkeeping is arithmetic over
+      // wave-proportional (sh, id) postings — collected under the cap it
+      // runs in Scala with the same pruned state reads, and the post/df
+      // deltas land as LocalRelations. Text work (segmentation, the
+      // kept_md5 aggregate) STAYS distributed either way. None — over
+      // the cap or cap 0 — runs the distributed plans unchanged.
+      val wave: Option[IvmAux.Wave] = if (waveCap > 0)
+        IvmAux.collectWave(img, after, distB, distA, idCol, waveCap) else None
+      val local: Option[(DataFrame, DataFrame, DataFrame, DataFrame)] =
+        wave.flatMap { w =>
+          val movedM = IvmAux.movedLocal(st.df, w, FetchKeyCap,
+            s"negative segment df in window ($fromSeq, $toSeq] — the df " +
+              "state does not match this source history; re-bootstrap")
+          val crossing = movedM.collect {
+            case (sh, (o, nw)) if (o >= 2) != (nw >= 2) => sh
+          }.toSeq.sorted
+          IvmAux.postingsLocal(st.post, crossing, RangeReadCap, waveCap)
+            .map { posts =>
+              val affIds = posts.iterator.map(_._2)
+                .filterNot(w.changed).toSeq.distinct.sorted
+              (IvmAux.movedFrameLocal(spark0, movedM),
+                IvmAux.idsFrameLocal(spark0, affIds),
+                IvmAux.postDeltaLocal(spark0, w),
+                IvmAux.dfDeltaLocal(spark0, movedM))
+            }
+        }
+      val (moved, affectedOther, postDelta, dfDelta) = local.getOrElse {
+        // ---------------- distributed fallback (the pre-cap plans) ----
+        // signed df delta per segment hash (IncrementalAgg's contribution
+        // shape), joined with the PRE-wave stored df
+        val delta = pin(
+          distA.groupBy(col("sh")).agg(count(lit(1)).as("_add"))
+            .join(distB.groupBy(col("sh")).agg(count(lit(1)).as("_rem")),
+              Seq("sh"), "full_outer")
+            .select(col("sh"),
+              (coalesce(col("_add"), lit(0L)) - coalesce(col("_rem"), lit(0L)))
+                .as("_d")))
+        val movedD = pin(delta
+          .join(storedDf(st, delta), Seq("sh"), "left")
+          .select(col("sh"), coalesce(col("df"), lit(0L)).as("_old"),
+            (coalesce(col("df"), lit(0L)) + col("_d")).as("_new")))
+        if (movedD.filter(col("_new") < 0).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"negative segment df in window ($fromSeq, $toSeq] — the df state " +
+              "does not match this source history; re-bootstrap")
+        // boundary crossings: OTHER documents' dup/kept output changes
+        val crossing = pin(movedD.filter(
+          (col("_old") >= 2) =!= (col("_new") >= 2)).select(col("sh")))
+        val changedIds = img.select(
+          coalesce(col("_after")(idCol), col("_before")(idCol))
+            .cast("long").as("id")).distinct()
+        val affectedOtherD = pin(postingsOf(st, crossing)
+          .select(col("id")).distinct()
+          .join(changedIds, Seq("id"), "left_anti"))
+        // posting delta: pairs leaving / entering the corpus
+        val postDel = distB.join(distA, Seq("sh", "id"), "left_anti")
+          .withColumn("one", lit(0L))
+        val postAdd = distA.join(distB, Seq("sh", "id"), "left_anti")
+          .withColumn("one", lit(1L))
+        (movedD, affectedOtherD, postDel.unionByName(postAdd),
+          movedD.filter(col("_new") =!= col("_old"))
+            .select(col("sh"), col("_new").as("df")))
+      }
       // texts to (re)compute: after-images ride the feed; unchanged
       // boundary-crossing partners point-fetch through the corpus index
       val texts = pin(after.unionByName(
@@ -340,15 +398,6 @@ object IncrementalSegmentDedup {
         .select(col("id"), lit(-1L).as("n_segs"), lit(-1L).as("n_dup_segs"),
           lit(null).cast("string").as("kept_md5"))
       val outDelta = outRows.unionByName(delRows).unionByName(nulledRows)
-      // posting delta: pairs leaving / entering the corpus
-      val postDel = distB.join(distA, Seq("sh", "id"), "left_anti")
-        .withColumn("one", lit(0L))
-      val postAdd = distA.join(distB, Seq("sh", "id"), "left_anti")
-        .withColumn("one", lit(1L))
-      // df rows: new counts, DELETE at zero (unchanged _d = 0 rows are
-      // filtered — no point rewriting their files)
-      val dfDelta = moved.filter(col("_new") =!= col("_old"))
-        .select(col("sh"), col("_new").as("df"))
 
       def guard(t: GraftTable): Option[() => Unit] = Some(() => {
         val cur = appliedSeq(t)
@@ -358,6 +407,9 @@ object IncrementalSegmentDedup {
             "re-read the watermark (concurrent refresh?)")
       })
       val meta = extraMeta + (AppliedSeqKey -> toSeq.toString)
+      IvmAux.dumpPlan("segment out delta", outDelta)
+      IvmAux.dumpPlan("segment post delta", postDelta)
+      IvmAux.dumpPlan("segment df delta", dfDelta)
       if (appliedSeq(st.out).contains(fromSeq))
         st.out.mergeInto(outDelta,
           whenMatchedSet = Seq("n_segs", "n_dup_segs", "kept_md5")
@@ -367,21 +419,17 @@ object IncrementalSegmentDedup {
           insertWhenNotMatchedCond = Some(col("src_n_segs") >= 0L),
           extraMeta = meta, preCommit = guard(st.out))
       if (appliedSeq(st.post).contains(fromSeq))
-        st.post.mergeInto(postDel.unionByName(postAdd),
+        IvmAux.commitAux(st.post, postDelta, col("one") === 0L,
           whenMatchedSet = Map("one" -> col("src_one")),
-          whenMatchedDelete = Some(col("src_one") === 0L),
-          insertWhenNotMatched = true,
-          insertWhenNotMatchedCond = Some(col("src_one") === 1L),
-          extraMeta = Map(AppliedSeqKey -> toSeq.toString),
-          preCommit = guard(st.post))
+          delSrc = col("src_one") === 0L, insSrc = col("src_one") === 1L,
+          toSeq = toSeq, extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+          guard = guard(st.post))
       if (appliedSeq(st.df).contains(fromSeq))
-        st.df.mergeInto(dfDelta,
+        IvmAux.commitAux(st.df, dfDelta, col("df") === 0L,
           whenMatchedSet = Map("df" -> col("src_df")),
-          whenMatchedDelete = Some(col("src_df") === 0L),
-          insertWhenNotMatched = true,
-          insertWhenNotMatchedCond = Some(col("src_df") > 0L),
-          extraMeta = Map(AppliedSeqKey -> toSeq.toString),
-          preCommit = guard(st.df))
+          delSrc = col("src_df") === 0L, insSrc = col("src_df") > 0L,
+          toSeq = toSeq, extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+          guard = guard(st.df))
       ()
     } finally pins.release()
   }

@@ -72,14 +72,26 @@ object IncrementalSpanCensus {
       GraftTable.open(spark, s"$location/post"),
       GraftTable.open(spark, s"$location/out"))
 
+  // df/post are MERGE_ON_READ (the [[IvmAux]] rationale: md5-scattered
+  // keys make a COW merge rewrite the whole table per KB-scale wave);
+  // out stays COW — it is the user-facing point-read table
   private def newState(spark: SparkSession, location: String): State =
     State(
       new GraftTable(spark, s"$location/df", Seq("sh"),
+        tableType = GraftTable.MergeOnRead,
+        compactEvery = IvmAux.AuxCompactEvery,
         clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes),
       new GraftTable(spark, s"$location/post", Seq("sh", "id"),
+        tableType = GraftTable.MergeOnRead,
+        compactEvery = IvmAux.AuxCompactEvery,
         clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes),
       new GraftTable(spark, s"$location/out", Seq("id"),
         clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes))
+
+  /** The production state layout of [[create]] without the bootstrap —
+    * for harnesses (Bench, IvmSoak) that bootstrap at an explicit seq. */
+  private[graft] def stateAt(spark: SparkSession, location: String): State =
+    newState(spark, location)
 
   def appliedSeq(t: GraftTable): Option[Long] =
     t.historyNewestFirst()
@@ -132,7 +144,12 @@ object IncrementalSpanCensus {
       val meta = Map(AppliedSeqKey -> atSeq.toString)
       def land(t: GraftTable, rows: DataFrame): Unit = {
         if (t.history().isEmpty) t.bulkInsert(rows, extraMeta = meta)
-        else t.insertOverwriteTable(rows, extraMeta = meta)
+        else {
+          // a MOR aux table re-bootstrapping over applied waves may hold
+          // delta logs; the overwrite requires a compacted snapshot
+          if (t.latestCommit().exists(_.logFiles.nonEmpty)) t.compact()
+          t.insertOverwriteTable(rows, extraMeta = meta)
+        }
         ()
       }
       land(st.df, dfq)
@@ -254,6 +271,90 @@ object IncrementalSpanCensus {
           "left_semi").select(col("id"), col("n_shingles"), col("n_dup"))
     }
 
+  // ------------------------------------------------- driver wave path
+  //
+  // The wave's graph bookkeeping — df delta, boundary crossings, partner
+  // arithmetic, posting delta, census of the changed docs — is pure
+  // arithmetic over wave-proportional (sh, id) postings, yet the
+  // distributed plans paid ~10 wave-sized AQE exchanges per wave plus
+  // three locked merges whose SOURCE plans were unions of joins: the same
+  // fixed replan/scheduling cost class [[IncrementalDedup.WaveSlices]]
+  // removed from the dedup wave. Under [[IncrementalDedup.DriverWaveCap]]
+  // the postings collect (narrow rows — one md5 + one long), the algebra
+  // runs in Scala, the state lookups stay the SAME pruned reads
+  // (readKeys point reads / per-hash ranges, scan fallback), and the
+  // three merge deltas land as LocalRelations with exact stats so each
+  // commit's write job is trivial. Over the cap (or at cap 0, the test
+  // pin) the distributed plans run unchanged.
+
+  /** Driver-side stored-out lookup (partner census rows): point reads
+    * under the cap — the same key-index path the plan-shape spec pins —
+    * isin-filtered scan above it. */
+  private def storedOutLocal(st: State,
+      ids: Seq[Long]): Map[Long, (Long, Long)] = {
+    if (ids.isEmpty) return Map.empty
+    val rows =
+      if (ids.size <= FetchKeyCap) st.out.readKeys(ids)
+      else st.out.readUser().filter(col("id").isin(ids.map(Long.box): _*))
+    rows.select(col("id"), col("n_shingles"), col("n_dup")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  /** The three merge deltas assembled driver-side from a collected wave
+    * — the same algebra as the distributed frames, value-identical by
+    * construction (the ratio rounding stays a Spark expression over the
+    * LocalRelation so it is bit-equal to the distributed plan). None
+    * when the crossing-posting collect overruns the cap. */
+  private def localDeltas(spark0: SparkSession, st: State, w: IvmAux.Wave,
+      fromSeq: Long, toSeq: Long,
+      cap: Int): Option[(DataFrame, DataFrame, DataFrame)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val moved = IvmAux.movedLocal(st.df, w, FetchKeyCap,
+      s"negative shingle df in window ($fromSeq, $toSeq] — the df state " +
+        "does not match this source history; re-bootstrap")
+    graft.util.StageTimer.mark("df_delta")
+    val crossing: Map[String, Long] = moved.collect {
+      case (sh, (o, nw)) if (o >= 2) != (nw >= 2) =>
+        sh -> (if (nw >= 2) 1L else -1L)
+    }
+    val posts = IvmAux.postingsLocal(st.post, crossing.keys.toSeq.sorted,
+      RangeReadCap, cap).getOrElse(return None)
+    val partnerShift: Map[Long, Long] = posts.iterator
+      .filter { case (_, id) => !w.changed(id) }
+      .foldLeft(Map.empty[Long, Long]) { case (m, (sh, id)) =>
+        m.updated(id, m.getOrElse(id, 0L) + crossing(sh))
+      }.filter(_._2 != 0L)
+    val partnerStored = storedOutLocal(st, partnerShift.keys.toSeq.sorted)
+    graft.util.StageTimer.mark("partner_arith")
+    // census of the changed docs against the POST-wave df: every hash a
+    // changed doc carries is in the wave's delta, so moved covers it
+    val outChanged = w.a.groupBy(_._2).iterator.map { case (id, rows) =>
+      Row(id, rows.length.toLong,
+        rows.count { case (sh, _) => moved(sh)._2 >= 2 }.toLong)
+    }
+    // partnerStored misses an id only on a torn replay (out already at
+    // toSeq — its merge is skipped below), so dropping it is safe
+    val partnerRows = partnerShift.iterator.flatMap { case (id, s) =>
+      partnerStored.get(id).map { case (n, nd) => Row(id, n, nd + s) }
+    }
+    val aIds = w.a.iterator.map(_._2).toSet
+    val delRows = (w.delIds ++ w.afterIds.filterNot(aIds)).iterator
+      .map(id => Row(id, -1L, -1L))
+    val outDelta = spark0.createDataFrame(
+      (outChanged ++ partnerRows ++ delRows).toSeq.asJava,
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("n_shingles", LongType, nullable = false),
+        StructField("n_dup", LongType, nullable = false))))
+      .withColumn("dup_ratio",
+        when(col("n_shingles") >= 0L,
+          round(col("n_dup").cast("double") / col("n_shingles"), 4))
+          .otherwise(lit(null).cast("double")))
+    Some((outDelta, IvmAux.postDeltaLocal(spark0, w),
+      IvmAux.dfDeltaLocal(spark0, moved)))
+  }
+
   /** Apply the source's `(fromSeq, toSeq]` change feed — see the object
     * doc for the algebra, cost and crash contract. */
   def maintain(src: GraftTable, st: State, idCol: String, textCol: String,
@@ -284,73 +385,87 @@ object IncrementalSpanCensus {
       requireValidIds(after, s"the ($fromSeq, $toSeq] change feed")
       val distB = pins.pin(postsOf(before, n))
       val distA = pins.pin(postsOf(after, n))
+      val spark0 = img.sparkSession
+      val waveCap = spark0.conf.getOption(IncrementalDedup.DriverWaveCapKey)
+        .map(_.toInt).getOrElse(IncrementalDedup.DriverWaveCap)
+      // ONE capped collection of the wave's postings feeds the whole
+      // driver path (see the driver-wave-path note above); None — over
+      // the cap, or cap 0 — runs the distributed plans below unchanged
+      val wave: Option[IvmAux.Wave] = if (waveCap > 0)
+        IvmAux.collectWave(img, after, distB, distA, idCol, waveCap) else None
       graft.util.StageTimer.mark("feed_shingles")
-      // signed df delta per shingle hash, joined with the PRE-wave df
-      val delta = pins.pin(
-        distA.groupBy(col("sh")).agg(count(lit(1)).as("_add"))
-          .join(distB.groupBy(col("sh")).agg(count(lit(1)).as("_rem")),
-            Seq("sh"), "full_outer")
+      val (outDelta, postDelta, dfDelta) = wave
+        .flatMap(w => localDeltas(spark0, st, w, fromSeq, toSeq, waveCap))
+        .getOrElse {
+        // ---------------- distributed fallback (the pre-cap plans) ----
+        // signed df delta per shingle hash, joined with the PRE-wave df
+        val delta = pins.pin(
+          distA.groupBy(col("sh")).agg(count(lit(1)).as("_add"))
+            .join(distB.groupBy(col("sh")).agg(count(lit(1)).as("_rem")),
+              Seq("sh"), "full_outer")
+            .select(col("sh"),
+              (coalesce(col("_add"), lit(0L)) - coalesce(col("_rem"), lit(0L)))
+                .as("_d")))
+        val moved = pins.pin(delta
+          .join(storedDf(st, delta), Seq("sh"), "left")
+          .select(col("sh"), coalesce(col("df"), lit(0L)).as("_old"),
+            (coalesce(col("df"), lit(0L)) + col("_d")).as("_new")))
+        if (moved.filter(col("_new") < 0).limit(1).count() > 0)
+          throw new IllegalStateException(
+            s"negative shingle df in window ($fromSeq, $toSeq] — the df state " +
+              "does not match this source history; re-bootstrap")
+        // boundary crossings, with DIRECTION: +1 when the hash becomes
+        // duplicated, −1 when it stops being duplicated
+        val crossing = pins.pin(moved
+          .filter((col("_old") >= 2) =!= (col("_new") >= 2))
           .select(col("sh"),
-            (coalesce(col("_add"), lit(0L)) - coalesce(col("_rem"), lit(0L)))
-              .as("_d")))
-      val moved = pins.pin(delta
-        .join(storedDf(st, delta), Seq("sh"), "left")
-        .select(col("sh"), coalesce(col("df"), lit(0L)).as("_old"),
-          (coalesce(col("df"), lit(0L)) + col("_d")).as("_new")))
-      if (moved.filter(col("_new") < 0).limit(1).count() > 0)
-        throw new IllegalStateException(
-          s"negative shingle df in window ($fromSeq, $toSeq] — the df state " +
-            "does not match this source history; re-bootstrap")
-      // boundary crossings, with DIRECTION: +1 when the hash becomes
-      // duplicated, −1 when it stops being duplicated
-      val crossing = pins.pin(moved
-        .filter((col("_old") >= 2) =!= (col("_new") >= 2))
-        .select(col("sh"),
-          when(col("_new") >= 2, lit(1L)).otherwise(lit(-1L)).as("_dir")))
-      graft.util.StageTimer.mark("df_delta")
-      val changedIds = img.select(
-        coalesce(col("_after")(idCol), col("_before")(idCol))
-          .cast("long").as("id")).distinct()
-      // UNCHANGED partner docs move by PURE ARITHMETIC: their shingle
-      // sets didn't change, so n_shingles holds and n_dup shifts by the
-      // signed crossing count over their postings — no text, no
-      // re-shingling, one point-read of their stored census rows
-      val partnerShift = pins.pin(postingsOf(st, crossing.select(col("sh")))
-        .join(crossing, Seq("sh"))
-        .join(changedIds, Seq("id"), "left_anti")
-        .groupBy(col("id")).agg(sum(col("_dir")).as("_shift"))
-        .filter(col("_shift") =!= 0L))
-      graft.util.StageTimer.mark("partner_arith")
-      val partnerRows = storedOut(st, partnerShift.select(col("id")))
-        .join(partnerShift, Seq("id"))
-        .select(col("id"), col("n_shingles"),
-          (col("n_dup") + col("_shift")).as("n_dup"))
-        .withColumn("dup_ratio",
-          round(col("n_dup").cast("double") / col("n_shingles"), 4))
-      // changed docs recompute from their after-image shingles against
-      // the POST-wave df (stored values overridden by the wave's moves)
-      val rHashes = distA.select(col("sh")).distinct()
-      val lookup = storedDf(st, rHashes)
-        .join(moved, Seq("sh"), "full_outer")
-        .select(col("sh"), coalesce(col("_new"), col("df")).as("_df"))
-      val outRows = censusOf(distA, lookup)
-      // retract: deleted docs, and changed docs whose new text yields no
-      // shingles (null / shorter than n words) — the batch census has no
-      // row for a shingle-less doc
-      val delRows = img.filter(col("op") === "D")
-        .select(col("_before")(idCol).cast("long").as("id"))
-        .unionByName(after.select(col("id"))
-          .join(distA.select(col("id")).distinct(), Seq("id"), "left_anti"))
-        .select(col("id"), lit(-1L).as("n_shingles"), lit(-1L).as("n_dup"),
-          lit(null).cast("double").as("dup_ratio"))
-      val outDelta = outRows.unionByName(partnerRows).unionByName(delRows)
-      // posting delta: pairs leaving / entering the corpus
-      val postDel = distB.join(distA, Seq("sh", "id"), "left_anti")
-        .withColumn("one", lit(0L))
-      val postAdd = distA.join(distB, Seq("sh", "id"), "left_anti")
-        .withColumn("one", lit(1L))
-      val dfDelta = moved.filter(col("_new") =!= col("_old"))
-        .select(col("sh"), col("_new").as("df"))
+            when(col("_new") >= 2, lit(1L)).otherwise(lit(-1L)).as("_dir")))
+        graft.util.StageTimer.mark("df_delta")
+        val changedIds = img.select(
+          coalesce(col("_after")(idCol), col("_before")(idCol))
+            .cast("long").as("id")).distinct()
+        // UNCHANGED partner docs move by PURE ARITHMETIC: their shingle
+        // sets didn't change, so n_shingles holds and n_dup shifts by the
+        // signed crossing count over their postings — no text, no
+        // re-shingling, one point-read of their stored census rows
+        val partnerShift = pins.pin(postingsOf(st, crossing.select(col("sh")))
+          .join(crossing, Seq("sh"))
+          .join(changedIds, Seq("id"), "left_anti")
+          .groupBy(col("id")).agg(sum(col("_dir")).as("_shift"))
+          .filter(col("_shift") =!= 0L))
+        graft.util.StageTimer.mark("partner_arith")
+        val partnerRows = storedOut(st, partnerShift.select(col("id")))
+          .join(partnerShift, Seq("id"))
+          .select(col("id"), col("n_shingles"),
+            (col("n_dup") + col("_shift")).as("n_dup"))
+          .withColumn("dup_ratio",
+            round(col("n_dup").cast("double") / col("n_shingles"), 4))
+        // changed docs recompute from their after-image shingles against
+        // the POST-wave df (stored values overridden by the wave's moves)
+        val rHashes = distA.select(col("sh")).distinct()
+        val lookup = storedDf(st, rHashes)
+          .join(moved, Seq("sh"), "full_outer")
+          .select(col("sh"), coalesce(col("_new"), col("df")).as("_df"))
+        val outRows = censusOf(distA, lookup)
+        // retract: deleted docs, and changed docs whose new text yields no
+        // shingles (null / shorter than n words) — the batch census has no
+        // row for a shingle-less doc
+        val delRows = img.filter(col("op") === "D")
+          .select(col("_before")(idCol).cast("long").as("id"))
+          .unionByName(after.select(col("id"))
+            .join(distA.select(col("id")).distinct(), Seq("id"), "left_anti"))
+          .select(col("id"), lit(-1L).as("n_shingles"), lit(-1L).as("n_dup"),
+            lit(null).cast("double").as("dup_ratio"))
+        // posting delta: pairs leaving / entering the corpus
+        val postDel = distB.join(distA, Seq("sh", "id"), "left_anti")
+          .withColumn("one", lit(0L))
+        val postAdd = distA.join(distB, Seq("sh", "id"), "left_anti")
+          .withColumn("one", lit(1L))
+        (outRows.unionByName(partnerRows).unionByName(delRows),
+          postDel.unionByName(postAdd),
+          moved.filter(col("_new") =!= col("_old"))
+            .select(col("sh"), col("_new").as("df")))
+      }
 
       def guard(t: GraftTable): Option[() => Unit] = Some(() => {
         val cur = appliedSeq(t)
@@ -360,6 +475,9 @@ object IncrementalSpanCensus {
             "re-read the watermark (concurrent refresh?)")
       })
       val meta = extraMeta + (AppliedSeqKey -> toSeq.toString)
+      IvmAux.dumpPlan("span out delta", outDelta)
+      IvmAux.dumpPlan("span post delta", postDelta)
+      IvmAux.dumpPlan("span df delta", dfDelta)
       if (appliedSeq(st.out).contains(fromSeq))
         st.out.mergeInto(outDelta,
           whenMatchedSet = Seq("n_shingles", "n_dup", "dup_ratio")
@@ -370,22 +488,18 @@ object IncrementalSpanCensus {
           extraMeta = meta, preCommit = guard(st.out))
       graft.util.StageTimer.mark("merge_out")
       if (appliedSeq(st.post).contains(fromSeq))
-        st.post.mergeInto(postDel.unionByName(postAdd),
+        IvmAux.commitAux(st.post, postDelta, col("one") === 0L,
           whenMatchedSet = Map("one" -> col("src_one")),
-          whenMatchedDelete = Some(col("src_one") === 0L),
-          insertWhenNotMatched = true,
-          insertWhenNotMatchedCond = Some(col("src_one") === 1L),
-          extraMeta = Map(AppliedSeqKey -> toSeq.toString),
-          preCommit = guard(st.post))
+          delSrc = col("src_one") === 0L, insSrc = col("src_one") === 1L,
+          toSeq = toSeq, extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+          guard = guard(st.post))
       graft.util.StageTimer.mark("merge_post")
       if (appliedSeq(st.df).contains(fromSeq))
-        st.df.mergeInto(dfDelta,
+        IvmAux.commitAux(st.df, dfDelta, col("df") === 0L,
           whenMatchedSet = Map("df" -> col("src_df")),
-          whenMatchedDelete = Some(col("src_df") === 0L),
-          insertWhenNotMatched = true,
-          insertWhenNotMatchedCond = Some(col("src_df") > 0L),
-          extraMeta = Map(AppliedSeqKey -> toSeq.toString),
-          preCommit = guard(st.df))
+          delSrc = col("src_df") === 0L, insSrc = col("src_df") > 0L,
+          toSeq = toSeq, extraMeta = Map(AppliedSeqKey -> toSeq.toString),
+          guard = guard(st.df))
       graft.util.StageTimer.mark("merge_df")
       ()
     } finally pins.release()

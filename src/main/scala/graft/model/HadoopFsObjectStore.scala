@@ -19,12 +19,11 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   *
   *  - `put` = `create(overwrite = true)` + write + close — one whole-
   *    object PUT on an object-store connector (visible only at close).
-  *    On a MATERIALIZING connector (HDFS, raw local) a crash mid-put
-  *    can leave a torn object at the key; the engine's plain-put keys
-  *    are all rewritten-every-commit metadata (head pointer,
-  *    descriptor), so the next commit heals them — local deployments
-  *    that need crash-atomic replace should mount [[DirObjectStore]]
-  *    (tmp + atomic move) instead of this adapter over `file://`.
+  *    On a MATERIALIZING connector (HDFS, raw local) the put stages to
+  *    a `.tmp` sibling and renames with OVERWRITE (atomic on HDFS and
+  *    POSIX), so a crash mid-put leaves only a list-filtered staging
+  *    orphan — never a torn `table.json`, `_head` or registry object
+  *    under the final key.
   *  - `putIfNoneMatch` = `create(overwrite = false)` + write + close —
   *    the CAS. The adapter REQUIRES the connector to resolve the
   *    no-overwrite condition ATOMICALLY AT CLOSE (server-side
@@ -104,10 +103,40 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
     else full.stripPrefix(rootKeyPath + "/")
   }
 
-  def put(key: String, bytes: Array[Byte]): Unit = {
-    val out = fs.create(pathOf(key), true)
-    try out.write(bytes) finally out.close()
-  }
+  /** Atomic-replace plain put on materializing connectors: stage to a
+    * `.{name}.{uuid}.tmp` sibling (the [[DirObjectStore]] convention —
+    * lists filter the suffix) and rename with OVERWRITE, which HDFS and
+    * POSIX rename resolve atomically — a crash mid-put leaves only a
+    * filtered staging orphan, never a torn object under the final key
+    * (closes the round-20 documented caveat). Buffering connectors
+    * (s3a/abfs/gs/graftmem) keep the single whole-object PUT — visible
+    * only at close, and a staged copy would just double the request
+    * count for no atomicity gain. */
+  def put(key: String, bytes: Array[Byte]): Unit =
+    if (!materializesAtCreate) {
+      val out = fs.create(pathOf(key), true)
+      try out.write(bytes) finally out.close()
+    } else {
+      val target = pathOf(key)
+      val tmp = stagingSibling(target)
+      val out = fs.create(tmp, true)
+      try {
+        try out.write(bytes) finally out.close()
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case e: Throwable =>
+          try { fs.delete(tmp, false); () }
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
+    }
+
+  private lazy val fc: org.apache.hadoop.fs.FileContext =
+    org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, conf)
+
+  private def stagingSibling(target: HPath): HPath =
+    new HPath(Option(target.getParent).getOrElse(root),
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
 
   def putIfNoneMatch(key: String, bytes: Array[Byte]): Boolean = {
     val path = pathOf(key)
@@ -134,11 +163,18 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
     } catch {
       case e if HadoopFsObjectStore.isAlreadyExists(e) => false
       case e: java.io.IOException =>
-        if (materializesAtCreate) {
+        // torn-partial cleanup ONLY where create(false) succeeding
+        // PROVED the key was ours — i.e. schemes whose create is
+        // namespace-atomic (hdfs/viewfs). On file:// create is
+        // check-then-write cross-process, so two racers can both pass
+        // create(false) and the delete could remove the OTHER process's
+        // completed object — rethrow instead and lean on the
+        // next-commit-heals property (round-20 advice).
+        if (materializesAtCreate && HadoopFsObjectStore.AtomicCasSchemes(scheme)) {
           try { fs.delete(path, false); () }
           catch { case _: java.io.IOException => () }
           throw e
-        } else if (stat(key).isDefined) false
+        } else if (!materializesAtCreate && stat(key).isDefined) false
         else throw e
     }
   }
@@ -174,7 +210,9 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile) {
+        // staging siblings (`.{name}.{uuid}.tmp`, the atomic-put path)
+        // are never keys — same filter as [[DirObjectStore]]'s walk
+        if (st.isFile && !st.getPath.getName.endsWith(".tmp")) {
           val k = keyOf(st.getPath)
           // never serve keys beyond the root (a dir probe that fell back
           // to the root's parent could otherwise leak siblings)
@@ -213,11 +251,26 @@ class HadoopFsObjectStore(rootUri: HPath, conf: Configuration) extends ObjectSto
       if (st.isFile) Some((st.getModificationTime, st.getLen)) else None
     } catch { case _: java.io.FileNotFoundException => None }
 
-  override def putFile(key: String, src: Path): Unit = {
-    val out = fs.create(pathOf(key), true)
-    try Files.copy(src, out) finally out.close()
-    ()
-  }
+  override def putFile(key: String, src: Path): Unit =
+    if (!materializesAtCreate) {
+      val out = fs.create(pathOf(key), true)
+      try Files.copy(src, out) finally out.close()
+      ()
+    } else {
+      // same staged atomic replace as [[put]]
+      val target = pathOf(key)
+      val tmp = stagingSibling(target)
+      val out = fs.create(tmp, true)
+      try {
+        try { Files.copy(src, out); () } finally out.close()
+        fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      } catch {
+        case e: Throwable =>
+          try { fs.delete(tmp, false); () }
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
+    }
 
   override def openStream(key: String): java.io.InputStream =
     try fs.open(pathOf(key))

@@ -360,7 +360,15 @@ class GraftTable(
       estBytes: Long): (DataFrame, Long, () => Unit) = {
     if (numPartitionsFor(estBytes) <= GraftTable.SaneEstimateFileCount)
       return (df, estBytes, () => ())
+    // LEAF trust: parquet scans report measured file bytes and local
+    // relations are exact, but a LogicalRDD leaf (a localCheckpoint pin)
+    // SNAPSHOTS the estimate of the plan it truncated — a pinned join is
+    // still a ballooned join, so counting it here let a pinned-leaf
+    // delta write one log file per estimated partition (measured: 1939
+    // log files for a 40k-row wave delta). Only measured leaves vouch
+    // for an estimate.
     val leafSum = df.queryExecution.optimizedPlan.collectLeaves()
+      .filterNot(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
       .map(_.stats.sizeInBytes)
       .filter(s => s.isValidLong && s.toLong < (1L << 50))
       .map(_.toLong).sum
@@ -369,8 +377,10 @@ class GraftTable(
     cached.count()
     // a FRESH Dataset over the same plan resolves through the cache
     // (useCachedData), so its stats are the materialized actuals — the
-    // original df's QueryExecution is already fixed with the balloon
-    val fresh = cached.select(cached.columns.map(col): _*)
+    // original df's QueryExecution is already fixed with the balloon.
+    // Backquoted: a user column containing a dot would otherwise resolve
+    // as a nested-field reference and throw (round-20 advice)
+    val fresh = cached.select(cached.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
     (fresh, planBytes(fresh), () => { cached.unpersist(blocking = false); () })
   }
 
@@ -1795,19 +1805,42 @@ class GraftTable(
     // every downstream branch, including SQL-bridge CASE chains mixing
     // src_ and target columns, is type-aligned by construction
     val activeTypeOf = activeSchema.fields.map(f => f.name -> f.dataType).toMap
-    val src = src0.select(src0.schema.fields.map { f =>
+    val srcUnpinned = src0.select(src0.schema.fields.map { f =>
       activeTypeOf.get(f.name) match {
         case Some(t) if t != f.dataType =>
           GraftTable.conformOrCast(col(f.name), f.dataType, t).as(f.name)
         case _ => col(f.name)
       }
     }.toIndexedSeq: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LOCAL fast path: a driver-assembled (IVM wave) source optimizes to
+    // a LocalRelation — re-evaluation is free, so the persist buys
+    // nothing, and the key-uniqueness check reads the relation's rows on
+    // the driver instead of scheduling a groupBy job. A KB-scale merge
+    // thus skips two fixed-cost cluster rounds (measured ~0.3–0.6 s of
+    // every IVM wave commit at sf0.1).
+    val srcLocalRel = srcUnpinned.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => Some(lr)
+      case _ => None
+    }
+    val src =
+      if (srcLocalRel.isDefined) srcUnpinned
+      else srcUnpinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dup = src.groupBy(col(Meta.RecordKey)).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).limit(1).collect()
-      require(dup.isEmpty, "mergeInto source has multiple rows for key " +
-        dup.headOption.map(_.getString(0)).getOrElse(""))
+      srcLocalRel match {
+        case Some(lr) =>
+          val ki = lr.output.indexWhere(_.name == Meta.RecordKey)
+          val seen = new java.util.HashSet[Option[String]]()
+          lr.data.foreach { r =>
+            val k = Option(r.getUTF8String(ki)).map(_.toString)
+            require(seen.add(k),
+              "mergeInto source has multiple rows for key " + k.getOrElse(""))
+          }
+        case None =>
+          val dup = src.groupBy(col(Meta.RecordKey)).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1).limit(1).collect()
+          require(dup.isEmpty, "mergeInto source has multiple rows for key " +
+            dup.headOption.map(_.getString(0)).getOrElse(""))
+      }
       // BY SOURCE clauses quantify over every target row, so pruning
       // would silently skip the files their keys never touch
       val (affected, untouched) =

@@ -311,6 +311,7 @@ object IncrementalJoin {
         (Some(postJ.unionByName(dels)), Some(touched))
       }
     } else (None, None)
+    graft.util.StageTimer.mark("branch_left")
 
     def antiTouched(df: DataFrame): DataFrame =
       touchedL.fold(df)(t => df.join(t, lKeys, "left_anti"))
@@ -370,6 +371,7 @@ object IncrementalJoin {
       }
       branches.map(antiTouched)
     } else None
+    graft.util.StageTimer.mark("branch_right")
 
     // an all-empty window (both feeds maintenance-only) still commits:
     // the watermarks must advance so ranges compose — limit(0) is
@@ -397,6 +399,7 @@ object IncrementalJoin {
             s"${cur.getOrElse("absent")} — bootstrap first / re-read the " +
             "watermark (concurrent refresh?)")
       }))
+    graft.util.StageTimer.mark("merge")
     ()
     } finally pinned.foreach(_.unpersist(blocking = false))
   }

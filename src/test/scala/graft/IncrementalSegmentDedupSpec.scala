@@ -261,6 +261,40 @@ class IncrementalSegmentDedupSpec extends AnyFunSuite {
       "every original doc and every partner must census as duplicated")
   }
 
+  test("driver wave path and distributed fallback write identical state rows") {
+    // one mixed wave — insert crossing a segment df UP, delete crossing
+    // one DOWN, update to null-segment text — through the driver path
+    // (default cap) and the distributed plans (cap 0): all three state
+    // tables must be row-identical
+    def drive(cap: String): (Seq[(Long, Long, Long, String)],
+        Seq[(String, Long)], Seq[(String, Long)]) = {
+      spark.conf.set(graft.llm.IncrementalDedup.DriverWaveCapKey, cap)
+      try {
+        val src = new GraftTable(spark, tmp(), Seq("id"),
+          targetFileBytes = 16 * 1024)
+        src.bulkInsert(meta(docs(
+          1L -> "a b c d e f", 2L -> "a b c x y z", 3L -> "p q r s t u"), 1,
+          del = false))
+        val st = ISD.create(spark, src, tmp(), "id", "text", W)
+        src.upsert(meta(docs(4L -> "p q r j k l"), 2, del = false)
+          .unionByName(meta(docs(2L -> "a b c x y z"), 2, del = true))
+          .unionByName(meta(docs(1L -> "zz"), 2, del = false)))
+        ISD.maintain(src, st, "id", "text", W, 0L, 1L)
+        assertParity(src, st, s"cap=$cap")
+        (ISD.output(st).as[(Long, Long, Long, String)].collect()
+          .sortBy(_._1).toSeq,
+          st.post.readUser().select(col("sh"), col("id"))
+            .as[(String, Long)].collect().sorted.toSeq,
+          st.df.readUser().select(col("sh"), col("df"))
+            .as[(String, Long)].collect().sorted.toSeq)
+      } finally spark.conf.unset(graft.llm.IncrementalDedup.DriverWaveCapKey)
+    }
+    val viaDriver = drive(graft.llm.IncrementalDedup.DriverWaveCap.toString)
+    val viaDistributed = drive("0")
+    assert(viaDriver == viaDistributed,
+      "driver and distributed wave paths must write identical state rows")
+  }
+
   test("reliable pins produce the identical segment state (cluster-run pin mode)") {
     def drive(reliable: Boolean): Seq[(Long, Long, Long, String)] = {
       if (reliable) spark.conf.set(graft.util.PinSet.ReliableKey, "true")

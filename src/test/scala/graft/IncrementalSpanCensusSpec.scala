@@ -205,6 +205,41 @@ class IncrementalSpanCensusSpec extends AnyFunSuite {
     assertParity(src, st, "short-text update")
   }
 
+  test("driver wave path and distributed fallback write identical state rows") {
+    // one mixed wave — insert that crosses a shingle df UP, delete that
+    // crosses one DOWN, update to a shingle-less text (retract) — through
+    // the driver path (default cap) and the distributed plans (cap 0):
+    // all three state tables must be row-identical (the IncrementalDedup
+    // driver≡distributed parity contract, applied to the span census)
+    def drive(cap: String): (Seq[(Long, Long, Long, Double)],
+        Seq[(String, Long)], Seq[(String, Long)]) = {
+      spark.conf.set(graft.llm.IncrementalDedup.DriverWaveCapKey, cap)
+      try {
+        val src = new GraftTable(spark, tmp(), Seq("id"),
+          targetFileBytes = 16 * 1024)
+        src.bulkInsert(meta(docs(
+          1L -> "a b c d e f", 2L -> "a b c x y z", 3L -> "p q r s t u"), 1,
+          del = false))
+        val st = ISC.create(spark, src, tmp(), "id", "text")
+        src.upsert(meta(docs(4L -> "w w p q r s t u"), 2, del = false)
+          .unionByName(meta(docs(2L -> "a b c x y z"), 2, del = true))
+          .unionByName(meta(docs(1L -> "uniq1"), 2, del = false)))
+        ISC.maintain(src, st, "id", "text", 3, 0L, 1L)
+        assertParity(src, st, s"cap=$cap")
+        (ISC.output(st).as[(Long, Long, Long, Double)].collect()
+          .sortBy(_._1).toSeq,
+          st.post.readUser().select(col("sh"), col("id"))
+            .as[(String, Long)].collect().sorted.toSeq,
+          st.df.readUser().select(col("sh"), col("df"))
+            .as[(String, Long)].collect().sorted.toSeq)
+      } finally spark.conf.unset(graft.llm.IncrementalDedup.DriverWaveCapKey)
+    }
+    val viaDriver = drive(graft.llm.IncrementalDedup.DriverWaveCap.toString)
+    val viaDistributed = drive("0")
+    assert(viaDriver == viaDistributed,
+      "driver and distributed wave paths must write identical state rows")
+  }
+
   test("reliable pins produce the identical census (cluster-run pin mode)") {
     def drive(reliable: Boolean): Seq[(Long, Long, Long, Double)] = {
       if (reliable) spark.conf.set(graft.util.PinSet.ReliableKey, "true")
