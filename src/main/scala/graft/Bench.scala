@@ -345,11 +345,10 @@ object Bench {
           .withColumn("text", concat(lit("uniq"), col("id").cast("string")))
           .withColumn("trx_seq", lit(f"${2}%020d")))
         // state table configured exactly like the production create()
-        // path (inline small-file fold after every maintenance MERGE) —
-        // the graded number must include the steady-state fold cost
-        val state = new graft.operators.GraftTable(spark,
-          tmpRoot("ivmd-st") + "/t", Seq("id"),
-          clusterSmallFileBytes = graft.operators.GraftTable.StateClusterSmallFileBytes)
+        // path (MOR main state + inline fold, round 21) — the graded
+        // number must include the steady-state fold/compaction cost
+        val state = graft.llm.IncrementalDedup.stateAt(spark,
+          tmpRoot("ivmd-st") + "/t")
         graft.llm.IncrementalDedup.bootstrap(src, state, "id", "text",
           graft.llm.IncrementalDedup.Params(), 0L)
         () => {

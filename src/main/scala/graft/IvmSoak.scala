@@ -163,8 +163,8 @@ object IvmSoak {
         (1 to 3).foreach { i =>
           val c = src0.cloneTo(tmpd(s"dd-run$i") + "/t")
           c.upsert(ddDelta)
-          val st = new graft.operators.GraftTable(spark,
-            tmpd(s"ddst-run$i") + "/t", Seq("id"))
+          // the PRODUCTION state layout (MOR main state, round 21)
+          val st = IDD.stateAt(spark, tmpd(s"ddst-run$i") + "/t")
           IDD.bootstrap(c, st, "id", "text", IDD.Params(), 0L)
           graft.util.StageTimer.enable()
           timed(s"maintain run$i")(
@@ -205,8 +205,11 @@ object IvmSoak {
           c.upsert(sgDelta)
           val st = freshState(s"sgst-run$i")
           ISD.bootstrap(c, st, "id", "text", 8, 0L)
+          graft.util.StageTimer.enable()
           timed(s"maintain run$i")(
             ISD.maintain(c, st, "id", "text", 8, 0L, 1L))
+          println(s"SG-STAGES run$i: " + graft.util.StageTimer.collect()
+            .map { case (k, v) => f"$k=$v%.2f" }.mkString(" "))
           val st2 = freshState(s"sgre-run$i")
           timed(s"recompute run$i")(
             ISD.bootstrap(c, st2, "id", "text", 8, 1L))

@@ -310,14 +310,13 @@ object IncrementalDedup {
       .collect().map(_.getString(0)).toSeq
     if (ks.isEmpty) bands.readUser().limit(0).select(cols: _*)
     else if (ks.size <= RangeReadCap) {
-      val legs = ks.map { b =>
-        val f = bands.readKeyRange(s"bk:$b,rid:0000000000000000000",
-          s"bk:$b,rid:9999999999999999999")
-        (f, bands.lastRangeRead)
-      }
-      lastBandsRead = Some((legs.flatMap(_._2).map(_._1).sum,
-        legs.flatMap(_._2).map(_._2).headOption.getOrElse(0)))
-      legs.map(_._1).reduce(_ unionByName _).select(cols: _*)
+      // grouped multi-range read: the per-bucket legs paid one scan plan
+      // + one job each (≤256/wave); the union-of-ranges admission is
+      // identical and the isin residual keeps the census exact
+      val f = bands.readKeyRanges(ks.map(b =>
+        (s"bk:$b,rid:0000000000000000000", s"bk:$b,rid:9999999999999999999")))
+      lastBandsRead = bands.lastRangeRead
+      f.filter(col("bk").isin(ks: _*)).select(cols: _*)
     } else bands.readUser()
       .join(buckets.select(col("bk")).distinct(), Seq("bk"), "left_semi")
       .select(cols: _*)
@@ -533,13 +532,26 @@ object IncrementalDedup {
   /** Create a SELF-DESCRIBING dedup state at `location`, bootstrapped at
     * the source's head, spec recorded in the bootstrap commit — the
     * [[graft.operators.IncrementalAgg.create]] lifecycle. */
+  /** The production state layout of [[create]] without the bootstrap —
+    * for harnesses (Bench, IvmSoak) that bootstrap at an explicit seq.
+    * MERGE_ON_READ (round 21): a wave's %-scattered ids admit nearly
+    * every base file, so the locked COW merge paid a corpus-proportional
+    * rewrite per wave (the 1.3–2.5 s/wave floor of three rounds of
+    * PERF_NOTES); MOR appends the wave-sized delta as ONE tombstone log
+    * and the every-8th inline compaction folds it — the band store's own
+    * commit shape, applied to the main state. */
+  private[graft] def stateAt(spark: SparkSession, location: String): GraftTable =
+    new GraftTable(spark, location, Seq("id"),
+      tableType = GraftTable.MergeOnRead,
+      compactEvery = IvmAux.AuxCompactEvery,
+      clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes)
+
   def create(spark: SparkSession, src: GraftTable, location: String,
       idCol: String, textCol: String, p: Params = Params()): GraftTable = {
     require(idCol.matches("[A-Za-z_][A-Za-z0-9_]*") &&
       textCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"id/text column names must be plain identifiers: $idCol, $textCol")
-    val state = new GraftTable(spark, location, Seq("id"),
-      clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes)
+    val state = stateAt(spark, location)
     require(state.history().isEmpty,
       s"$location already holds a committed table — create needs a fresh location")
     val at = src.latestCommit().map(_.seq).getOrElse(
@@ -1048,14 +1060,20 @@ object IncrementalDedup {
               col("id").as("comp"))
           newRows.unionByName(movedRows).unionByName(delRows)
       }
-      state.mergeInto(delta,
+      // delta rows are FULL state rows (newL/movedL carry every column,
+      // delRows ride the n_sh = -1 sentinel), so the MOR tombstone
+      // upsert is row-equivalent to the merge clauses — commitAux
+      // dispatches on the state's table type (MOR for created states,
+      // the locked COW merge for pre-upgrade roots and spec fixtures)
+      IvmAux.dumpPlan("dedup state delta", delta)
+      IvmAux.commitAux(state, delta, col("n_sh") === -1L,
         whenMatchedSet = StateCols.filter(_ != "id")
           .map(c => c -> col(s"src_$c")).toMap,
-        whenMatchedDelete = Some(col("src_n_sh") === -1L),
-        insertWhenNotMatched = true,
-        insertWhenNotMatchedCond = Some(col("src_n_sh") >= 0L),
+        delSrc = col("src_n_sh") === -1L,
+        insSrc = col("src_n_sh") >= 0L,
+        toSeq = toSeq,
         extraMeta = extraMeta + (AppliedSeqKey -> toSeq.toString),
-        preCommit = Some(() => {
+        guard = Some(() => {
           val cur = appliedSeq(state)
           if (cur != Some(fromSeq)) throw new IllegalStateException(
             s"stale maintenance window ($fromSeq, $toSeq]: the state's " +

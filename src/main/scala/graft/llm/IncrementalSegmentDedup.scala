@@ -250,12 +250,14 @@ object IncrementalSegmentDedup {
       case Some(ks) if ks.isEmpty =>
         st.post.readUser().limit(0).select(col("sh"), col("id"))
       case Some(ks) if ks.size <= RangeReadCap =>
-        ks.map { h =>
-          // composite KeyGen encoding: "sh:<md5hex>,id:<%019d>" — md5 hex
-          // never needs separator escaping, ids are non-negative digits
-          st.post.readKeyRange(s"sh:$h,id:0000000000000000000",
-            s"sh:$h,id:9999999999999999999")
-        }.reduce(_ unionByName _).select(col("sh"), col("id"))
+        // composite KeyGen encoding: "sh:<md5hex>,id:<%019d>" — md5 hex
+        // never needs separator escaping, ids are non-negative digits.
+        // Grouped multi-range read (one scan, not one leg per hash);
+        // the isin residual keeps the result exact
+        st.post.readKeyRanges(ks.map(h =>
+            (s"sh:$h,id:0000000000000000000", s"sh:$h,id:9999999999999999999")))
+          .filter(col("sh").isin(ks.map(_.toString): _*))
+          .select(col("sh"), col("id"))
       case _ =>
         st.post.readUser().join(hashes.select(col("sh")).distinct(), Seq("sh"),
           "left_semi").select(col("sh"), col("id"))
@@ -298,6 +300,7 @@ object IncrementalSegmentDedup {
           .select(md5(col("seg")).as("sh"), col("id")).distinct()
       val distB = pin(postsOf(before))
       val distA = pin(postsOf(after))
+      graft.util.StageTimer.mark("feed_segments")
       val spark0 = img.sparkSession
       val waveCap = spark0.conf.getOption(IncrementalDedup.DriverWaveCapKey)
         .map(_.toInt).getOrElse(IncrementalDedup.DriverWaveCap)
@@ -365,10 +368,12 @@ object IncrementalSegmentDedup {
           movedD.filter(col("_new") =!= col("_old"))
             .select(col("sh"), col("_new").as("df")))
       }
+      graft.util.StageTimer.mark("df_delta")
       // texts to (re)compute: after-images ride the feed; unchanged
       // boundary-crossing partners point-fetch through the corpus index
       val texts = pin(after.unionByName(
         IncrementalDedup.fetchDocs(src, idCol, textCol, toSeq, affectedOther)))
+      graft.util.StageTimer.mark("partner_fetch")
       // post-wave df for every segment these docs carry: stored values
       // overridden by the wave's moved rows (all derived from PRE-wave
       // state — replay-deterministic)
@@ -418,18 +423,21 @@ object IncrementalSegmentDedup {
           insertWhenNotMatched = true,
           insertWhenNotMatchedCond = Some(col("src_n_segs") >= 0L),
           extraMeta = meta, preCommit = guard(st.out))
+      graft.util.StageTimer.mark("merge_out")
       if (appliedSeq(st.post).contains(fromSeq))
         IvmAux.commitAux(st.post, postDelta, col("one") === 0L,
           whenMatchedSet = Map("one" -> col("src_one")),
           delSrc = col("src_one") === 0L, insSrc = col("src_one") === 1L,
           toSeq = toSeq, extraMeta = Map(AppliedSeqKey -> toSeq.toString),
           guard = guard(st.post))
+      graft.util.StageTimer.mark("merge_post")
       if (appliedSeq(st.df).contains(fromSeq))
         IvmAux.commitAux(st.df, dfDelta, col("df") === 0L,
           whenMatchedSet = Map("df" -> col("src_df")),
           delSrc = col("src_df") === 0L, insSrc = col("src_df") > 0L,
           toSeq = toSeq, extraMeta = Map(AppliedSeqKey -> toSeq.toString),
           guard = guard(st.df))
+      graft.util.StageTimer.mark("merge_df")
       ()
     } finally pins.release()
   }

@@ -247,10 +247,12 @@ object IncrementalSpanCensus {
       case Some(ks) if ks.isEmpty =>
         st.post.readUser().limit(0).select(col("sh"), col("id"))
       case Some(ks) if ks.size <= RangeReadCap =>
-        ks.map { h =>
-          st.post.readKeyRange(s"sh:$h,id:0000000000000000000",
-            s"sh:$h,id:9999999999999999999")
-        }.reduce(_ unionByName _).select(col("sh"), col("id"))
+        // grouped multi-range read (one scan, not one leg per hash);
+        // the isin residual keeps the result exact
+        st.post.readKeyRanges(ks.map(h =>
+            (s"sh:$h,id:0000000000000000000", s"sh:$h,id:9999999999999999999")))
+          .filter(col("sh").isin(ks.map(_.toString): _*))
+          .select(col("sh"), col("id"))
       case _ =>
         st.post.readUser().join(hashes.select(col("sh")).distinct(), Seq("sh"),
           "left_semi").select(col("sh"), col("id"))

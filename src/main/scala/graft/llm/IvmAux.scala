@@ -109,12 +109,15 @@ private[graft] object IvmAux {
   def postingsLocal(post: GraftTable, hashes: Seq[String], rangeCap: Int,
       cap: Int): Option[Array[(String, Long)]] = {
     if (hashes.isEmpty) return Some(Array.empty)
+    // grouped multi-range read: ONE scan over the union of the per-hash
+    // admitted files (the per-leg union paid a plan + a job per hash —
+    // ~10 s of fixed overhead at the 256-leg cap); the isin residual
+    // keeps the result exact
     val frame =
       if (hashes.size <= rangeCap)
-        hashes.map { h =>
-          post.readKeyRange(s"sh:$h,id:0000000000000000000",
-            s"sh:$h,id:9999999999999999999")
-        }.reduce(_ unionByName _)
+        post.readKeyRanges(hashes.map(h =>
+            (s"sh:$h,id:0000000000000000000", s"sh:$h,id:9999999999999999999")))
+          .filter(col("sh").isin(hashes: _*))
       else post.readUser().filter(col("sh").isin(hashes: _*))
     collectCapped(frame.select(col("sh"), col("id")), cap)
       .map(_.map(r => (r.getString(0), r.getLong(1))))

@@ -173,6 +173,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
       s"band store must compact inside the train: ${bands.history().map(_.action)}")
   }
 
+  test("MOR main state (the production layout) equals the COW fixture state row for row") {
+    // round 21: create() ships a MERGE_ON_READ main state (tombstone
+    // upsert per wave, every-8th compaction); a COW state keeps the
+    // locked merge. Same waves through both layouts must leave
+    // identical live rows — and both must match the batch recompute.
+    def drive(mor: Boolean): Seq[(Long, String, Long, Long)] = {
+      val src = new GraftTable(spark, tmp(), Seq("id"))
+      src.bulkInsert(meta(docs(
+        1L -> sent(1, 12), 2L -> sent(3, 14), 3L -> sent(50, 60)), 1,
+        del = false))
+      val state =
+        if (mor) IncrementalDedup.stateAt(spark, tmp())
+        else new GraftTable(spark, tmp(), Seq("id"),
+          clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes)
+      IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
+      // wave: one near-dup insert (merge), one delete (split), one
+      // rewrite to fresh text (rewire)
+      src.upsert(meta(docs(4L -> sent(2, 13)), 2, del = false)
+        .unionByName(meta(docs(3L -> sent(50, 60)), 2, del = true))
+        .unionByName(meta(docs(2L -> sent(100, 111)), 2, del = false)))
+      IncrementalDedup.maintain(src, state, "id", "text", P, 0L, 1L)
+      assertParity(src, state, s"mor=$mor")
+      state.readUser().select(col("id"), col("thash"), col("n_sh"), col("comp"))
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    }
+    assert(drive(mor = true) == drive(mor = false),
+      "MOR and COW state layouts must hold identical live rows")
+  }
+
   test("driver and distributed band-delta paths write the identical band store") {
     // one wave exercising every delta shape: a new unique group (add),
     // a smaller id joining an existing group (rep handoff: add + del of
