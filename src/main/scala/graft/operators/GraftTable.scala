@@ -1817,14 +1817,31 @@ class GraftTable(
     // nothing, and the key-uniqueness check reads the relation's rows on
     // the driver instead of scheduling a groupBy job. A KB-scale merge
     // thus skips two fixed-cost cluster rounds (measured ~0.3–0.6 s of
-    // every IVM wave commit at sf0.1).
-    val srcLocalRel = srcUnpinned.queryExecution.optimizedPlan match {
+    // every IVM wave commit at sf0.1). A DISTRIBUTED source that turns
+    // out small (≤ SmallMergeSourceRows once materialized — IVM deltas,
+    // SQL MERGE batches) is CONVERTED to a LocalRelation: the one
+    // collect buys exact stats for the write plan, a broadcast-sized
+    // join side, and the same driver-side dup check; big sources skip
+    // the conversion and keep the persisted distributed plan.
+    def localRelOf(df: DataFrame) = df.queryExecution.optimizedPlan match {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => Some(lr)
       case _ => None
     }
+    var srcLocalRel = localRelOf(srcUnpinned)
+    var persisted: Option[DataFrame] = None
     val src =
       if (srcLocalRel.isDefined) srcUnpinned
-      else srcUnpinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else {
+        val p = srcUnpinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (p.count() <= GraftTable.SmallMergeSourceRows) {
+          import scala.jdk.CollectionConverters._
+          val rows = p.collect()
+          p.unpersist(blocking = false)
+          val local = spark.createDataFrame(rows.toSeq.asJava, srcUnpinned.schema)
+          srcLocalRel = localRelOf(local)
+          local
+        } else { persisted = Some(p); p }
+      }
     try {
       srcLocalRel match {
         case Some(lr) =>
@@ -3805,6 +3822,12 @@ object GraftTable {
     * size-only estimate against the plan's leaf input bytes before the
     * write (the stats-balloon guard). */
   private[operators] val SaneEstimateFileCount = 64
+
+  /** A merge source at most this many materialized rows converts to a
+    * LocalRelation (exact stats, broadcast join side, driver-side dup
+    * check) — IVM deltas and SQL MERGE batches are KB-scale; bulk
+    * upserts exceed it and keep the distributed plan. */
+  private[operators] val SmallMergeSourceRows = 20000L
 
   /** Commit-store for a root, resolved exactly like the constructor
     * default: object-store CAS for mounted (space) roots, hard-link CAS
