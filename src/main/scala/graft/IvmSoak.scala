@@ -38,8 +38,73 @@ object IvmSoak {
     // every tested scale), unioned in memory
     val mode = args.head
     require(mode == "agg" || mode == "join" || mode == "segdedup" ||
-      mode == "span" || mode == "dedup" || mode == "hygiene",
-      s"mode agg|join|segdedup|span|dedup|hygiene, got $mode")
+      mode == "span" || mode == "dedup" || mode == "hygiene" ||
+      mode == "mordepth",
+      s"mode agg|join|segdedup|span|dedup|hygiene|mordepth, got $mode")
+
+    if (mode == "mordepth") {
+      // MOR READ AMPLIFICATION AT DEPTH (round-21 verdict next #7): the
+      // MOR state tables compact every 8th delta commit, so between
+      // folds a reader pays up to 7 delta logs per table. Seven
+      // consecutive waves (each a distinct %13 rewrite — constant delta
+      // size) measure maintain cost as the log stack deepens: the pin is
+      // wave-7 ≤ ~1.5× wave-1 (else compactEvery needs tuning). args:
+      // documents.parquet[:reps] ...
+      args.drop(1).foreach { spec =>
+        val parts = spec.split(":")
+        val (docsPath, reps) = (parts(0), parts.lift(1).map(_.toInt).getOrElse(1))
+        println(s"=== mordepth $spec ===")
+        val one0 = spark.read.parquet(docsPath)
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val docsAll = (0 until reps).map(i =>
+          one0.select((col("id") + lit(1000000000L * i)).as("id"),
+            concat(col("text"), lit(s" rep$i")).as("text"))).reduce(_ union _)
+        def tmpd(tag: String) =
+          java.nio.file.Files.createTempDirectory(s"ivm-depth-$tag").toString
+        def waveOf(w: Int) = docsAll
+          .filter(col("id") % 13 === 0 && col("id") < 150000)
+          .withColumn("text",
+            concat(lit(s"uniqw$w" + "x"), col("id").cast("string")))
+          .withColumn("trx_seq", lit(f"${w + 1}%020d"))
+
+        // dedup: MOR main state + MOR band store
+        val dsrc = new graft.operators.GraftTable(spark, tmpd("ddsrc") + "/t",
+          Seq("id"), targetFileBytes = 1024 * 1024)
+        dsrc.bulkInsert(docsAll.withColumn("trx_seq", lit(f"${1}%020d")))
+        import graft.llm.{IncrementalDedup => IDD, IncrementalSpanCensus => ISC}
+        val dst = IDD.stateAt(spark, tmpd("ddst") + "/t")
+        IDD.bootstrap(dsrc, dst, "id", "text", IDD.Params(), 0L)
+        (1 to 7).foreach { w =>
+          dsrc.upsert(waveOf(w))
+          val logs = dst.latestCommit().map(_.logFiles.size).getOrElse(-1)
+          timed(s"dedup wave$w (pre-logs=$logs)")(
+            IDD.maintain(dsrc, dst, "id", "text", IDD.Params(), (w - 1).toLong,
+              w.toLong))
+        }
+        println("dedup final logs=" +
+          dst.latestCommit().map(_.logFiles.size).getOrElse(-1) +
+          " actions=" + dst.history().map(_.action).mkString(","))
+
+        // span census: MOR post/df aux tables
+        val ssrc = new graft.operators.GraftTable(spark, tmpd("spsrc") + "/t",
+          Seq("id"), targetFileBytes = 1024 * 1024)
+        ssrc.bulkInsert(docsAll.withColumn("trx_seq", lit(f"${1}%020d")))
+        val sst = ISC.stateAt(spark, tmpd("spst"))
+        ISC.bootstrap(ssrc, sst, "id", "text", 3, 0L)
+        (1 to 7).foreach { w =>
+          ssrc.upsert(waveOf(w))
+          val logs = sst.post.latestCommit().map(_.logFiles.size).getOrElse(-1)
+          timed(s"span wave$w (pre-post-logs=$logs)")(
+            ISC.maintain(ssrc, sst, "id", "text", 3, (w - 1).toLong, w.toLong))
+        }
+        println("span final post-logs=" +
+          sst.post.latestCommit().map(_.logFiles.size).getOrElse(-1) +
+          " df-logs=" + sst.df.latestCommit().map(_.logFiles.size).getOrElse(-1) +
+          " actions=" + sst.post.history().map(_.action).mkString(","))
+      }
+      spark.stop()
+      return
+    }
 
     if (mode == "hygiene") {
       // STATE-TABLE FILE HYGIENE (round-16 verdict #5): ~200 maintenance

@@ -212,6 +212,88 @@ object ScratchDrive {
       return
     }
 
+    if (args.headOption.contains("suffix")) {
+      // round-22: dedup_suffix attribution — the most expensive untouched
+      // line (9.0–9.8 s in both r21 runs) on a 1.5M-char corpus that
+      // should take a fraction of that. Per-Spark-stage split + plan.
+      val probe = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val ms = (for {s <- info.submissionTime; c <- info.completionTime}
+            yield c - s).getOrElse(-1L)
+          if (ms >= 50) println(f"SPARKSTAGE ${info.stageId}%4d ${ms}%6d ms " +
+            f"tasks=${info.numTasks}%3d ${info.name.take(120)}")
+        }
+      }
+      spark.sparkContext.addSparkListener(probe)
+      try (1 to 3).foreach { i =>
+        val df = SparkEntry.queries("dedup_suffix")(spark, sfDir)
+        timed(s"dedup_suffix run$i")(
+          df.write.format("noop").mode("overwrite").save())
+        if (i == 1) println(df.queryExecution.executedPlan.toString.take(8000))
+      } finally spark.sparkContext.removeSparkListener(probe)
+      spark.stop()
+      return
+    }
+
+    if (args.headOption.contains("incr-join")) {
+      // round-22: the Bench w_incr_join fixture in isolation — regressed
+      // in BOTH r21 runs (7.03 @8c / 9.66 @32c vs r20's 5.40) with the
+      // merge stage blamed (3.7–6.8 s). Stage split + SPARKSTAGE probe.
+      val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      val k = col("o_orderkey")
+      def tmp(tag: String): String =
+        java.nio.file.Files.createTempDirectory(s"graft-ivmj-$tag").toString
+      def stamp(df: org.apache.spark.sql.DataFrame, seq: Int) =
+        df.withColumn("trx_seq", lit(f"$seq%020d"))
+      val probe = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val ms = (for {s <- info.submissionTime; c <- info.completionTime}
+            yield c - s).getOrElse(-1L)
+          if (ms >= 50) println(f"SPARKSTAGE ${info.stageId}%4d ${ms}%6d ms " +
+            f"tasks=${info.numTasks}%3d ${info.name.take(120)}")
+        }
+      }
+      (1 to 3).foreach { i =>
+        val mergeBase = new graft.operators.GraftTable(spark, tmp("base") + "/t",
+          Seq("o_orderkey"), targetFileBytes = 1024 * 1024)
+        mergeBase.bulkInsert(stamp(orders, 1))
+        val plannerBatch = stamp(orders.filter(k % 13 === 0)
+          .withColumn("o_orderstatus", lit("Z")), 2)
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal").cast("decimal(12,2)").as("c_acctbal"))
+        val ck = col("c_custkey")
+        val l = mergeBase.cloneTo(tmp("l") + "/t")
+        l.upsert(plannerBatch)
+        val r = new graft.operators.GraftTable(spark, tmp("r") + "/t",
+          Seq("c_custkey"))
+        r.bulkInsert(stamp(cust.filter(ck % 11 =!= 0), 1))
+        r.upsert(stamp(cust.filter(ck % 11 === 0)
+          .withColumn("c_mktsegment", lit("LATE")), 2)
+          .withColumn(graft.model.Meta.Deleted, lit(false))
+          .unionByName(stamp(cust.filter(ck % 13 === 0 && ck % 11 =!= 0), 2)
+            .withColumn(graft.model.Meta.Deleted, lit(true))))
+        val view = new graft.operators.GraftTable(spark, tmp("v") + "/t",
+          Seq("o_orderkey"))
+        val on = Seq("o_custkey" -> "c_custkey")
+        graft.operators.IncrementalJoin.bootstrap(l, r, view, on, 0L, 0L)
+        spark.sparkContext.addSparkListener(probe)
+        graft.util.StageTimer.enable()
+        try timed(s"w_incr_join run$i")(
+          graft.operators.IncrementalJoin.maintain(l, r, view, on, 0L, 1L, 0L, 1L))
+        finally spark.sparkContext.removeSparkListener(probe)
+        println(s"JOIN-STAGES run$i: " + graft.util.StageTimer.collect()
+          .map { case (kk, v) => f"$kk=$v%.2f" }.mkString(" ") +
+          s" converted=${graft.operators.GraftTable.lastMergeSourceConverted}")
+      }
+      spark.stop()
+      return
+    }
+
     if (args.headOption.contains("sql-ddl")) {
       // the Bench w_sql_ddl fixture, statement by statement — round-18
       // verdict #7: the only bench line trending up (2.42 → 2.86/3.08)

@@ -1833,7 +1833,19 @@ class GraftTable(
       if (srcLocalRel.isDefined) srcUnpinned
       else {
         val p = srcUnpinned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (p.count() <= GraftTable.SmallMergeSourceRows) {
+        val nRows = p.count()
+        // byte-gated (round-21 verdict #3): cached actuals, read through a
+        // FRESH Dataset so the plan resolves through the cache (the
+        // original QueryExecution is fixed pre-persist)
+        val nBytes = {
+          val fresh = p.select(p.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+          val s = fresh.queryExecution.optimizedPlan.stats.sizeInBytes
+          if (s.isValidLong) s.toLong else Long.MaxValue
+        }
+        GraftTable.lastMergeSourceConverted =
+          nRows <= GraftTable.SmallMergeSourceRows &&
+            nBytes <= GraftTable.SmallMergeSourceBytes
+        if (GraftTable.lastMergeSourceConverted) {
           import scala.jdk.CollectionConverters._
           val rows = p.collect()
           p.unpersist(blocking = false)
@@ -3823,11 +3835,25 @@ object GraftTable {
     * write (the stats-balloon guard). */
   private[operators] val SaneEstimateFileCount = 64
 
-  /** A merge source at most this many materialized rows converts to a
-    * LocalRelation (exact stats, broadcast join side, driver-side dup
-    * check) — IVM deltas and SQL MERGE batches are KB-scale; bulk
-    * upserts exceed it and keep the distributed plan. */
-  private[operators] val SmallMergeSourceRows = 20000L
+  /** A merge source converts to a LocalRelation (exact stats, broadcast
+    * join side, driver-side dup check) only when BOTH hold once
+    * materialized: at most this many rows AND at most
+    * [[SmallMergeSourceBytes]] cached bytes. The round-21 gate was
+    * row-count-only at 20k, which (a) let a wide-row source (MB-scale
+    * document text) collect multi-GB to the driver and (b) kept the
+    * ~35k-row narrow w_incr_join delta on the slow distributed path; the
+    * byte gate fixes both (round-21 verdict #3 + next #4/#8). */
+  private[operators] val SmallMergeSourceRows = 500000L
+
+  /** Byte half of the conversion gate: the source's materialized cache
+    * size must fit comfortably in the driver (the collect produces
+    * external rows, a few × this). */
+  private[operators] val SmallMergeSourceBytes = 64L * 1024 * 1024
+
+  /** Test observability: whether the LAST distributed merge source passed
+    * the conversion gate (rows AND bytes) — LocalRelation sources never
+    * set it. Driver-side under the table lock; volatile is enough. */
+  @volatile private[graft] var lastMergeSourceConverted = false
 
   /** Commit-store for a root, resolved exactly like the constructor
     * default: object-store CAS for mounted (space) roots, hard-link CAS

@@ -1,60 +1,18 @@
 package graft
 
-import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 import graft.model.Meta
 import graft.operators.GraftTable
 import graft.llm.{Dedup, IncrementalDedup}
 
-/** Incremental corpus dedup: after ANY sequence of insert/update/delete
-  * waves, the maintained state must equal a fresh batch
-  * [[Dedup.minhashComponents]] run over the live corpus — cluster
+/** Incremental corpus dedup, wave parity: after ANY sequence of
+  * insert/update/delete waves, the maintained state must equal a fresh
+  * batch [[Dedup.minhashComponents]] run over the live corpus — cluster
   * merges via bridge docs, splits via member deletion, text updates
   * rewiring membership, identical-text glue, zero-shingle singletons,
   * comp-label relabeling when the min member leaves. */
-class IncrementalDedupSpec extends AnyFunSuite {
-  lazy val spark = TestSpark.spark
+class IncrementalDedupSpec extends IncrementalDedupSpecBase {
   import spark.implicits._
-
-  private def tmp(): String =
-    Files.createTempDirectory("graft-idd").toString
-
-  private def meta(df: org.apache.spark.sql.DataFrame, seq: Int, del: Boolean) =
-    df.withColumn(Meta.Ordering, lit(f"$seq%020d"))
-      .withColumn(Meta.Deleted, lit(del))
-
-  private val P = IncrementalDedup.Params()
-
-  /** w-word running sentence: "w<a> w<a+1> ... w<b>". Two sentences
-    * overlapping by k words share k-2 trigram shingles. */
-  private def sent(a: Int, b: Int): String = (a to b).map(i => s"w$i").mkString(" ")
-
-  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")
-
-  /** Full-state parity: every live doc labeled, label = batch comp for
-    * clustered docs, own id for singletons; stored thash/n_sh exact. */
-  private def assertParity(src: GraftTable, state: GraftTable, clue: String): Unit = {
-    val corpus = src.readUser().select(col("id"), col("text"))
-    val batch = Dedup.minhashComponents(corpus, "id", "text",
-        P.threshold, P.bands, P.rows, P.maxBandFreq)
-      .as[(Long, Long)].collect().toMap
-    val expected = corpus.select(col("id")).as[Long].collect().sorted
-      .map(id => (id, batch.getOrElse(id, id))).toSeq
-    val got = state.readUser().select(col("id"), col("comp"))
-      .as[(Long, Long)].collect().sortBy(_._1).toSeq
-    assert(got == expected, s"$clue: state labels != batch recompute")
-    // signature-store integrity: the FULL stored (thash, n_sh) tuples
-    // must match a recompute — a corrupted thash or shingle count would
-    // silently break future waves' glue and size-bound pruning (the
-    // round-15 verdict found the previous id-only compare was a no-op)
-    val sigGot = state.readUser().select(col("id"), col("thash"), col("n_sh"))
-      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
-    val sigExp = IncrementalDedup.signaturesOf(corpus, "id", "text")
-      .select(col("id"), col("thash"), col("n_sh"))
-      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
-    assert(sigGot == sigExp, s"$clue: stored (thash, n_sh) != recompute")
-  }
 
   test("insert waves: join, merge and glue clusters equal the batch run") {
     val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
@@ -171,229 +129,5 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val bands = GraftTable.open(spark, IncrementalDedup.bandsRootOf(st))
     assert(bands.history().exists(_.action == "compact"),
       s"band store must compact inside the train: ${bands.history().map(_.action)}")
-  }
-
-  test("MOR main state (the production layout) equals the COW fixture state row for row") {
-    // round 21: create() ships a MERGE_ON_READ main state (tombstone
-    // upsert per wave, every-8th compaction); a COW state keeps the
-    // locked merge. Same waves through both layouts must leave
-    // identical live rows — and both must match the batch recompute.
-    def drive(mor: Boolean): Seq[(Long, String, Long, Long)] = {
-      val src = new GraftTable(spark, tmp(), Seq("id"))
-      src.bulkInsert(meta(docs(
-        1L -> sent(1, 12), 2L -> sent(3, 14), 3L -> sent(50, 60)), 1,
-        del = false))
-      val state =
-        if (mor) IncrementalDedup.stateAt(spark, tmp())
-        else new GraftTable(spark, tmp(), Seq("id"),
-          clusterSmallFileBytes = GraftTable.StateClusterSmallFileBytes)
-      IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
-      // wave: one near-dup insert (merge), one delete (split), one
-      // rewrite to fresh text (rewire)
-      src.upsert(meta(docs(4L -> sent(2, 13)), 2, del = false)
-        .unionByName(meta(docs(3L -> sent(50, 60)), 2, del = true))
-        .unionByName(meta(docs(2L -> sent(100, 111)), 2, del = false)))
-      IncrementalDedup.maintain(src, state, "id", "text", P, 0L, 1L)
-      assertParity(src, state, s"mor=$mor")
-      state.readUser().select(col("id"), col("thash"), col("n_sh"), col("comp"))
-        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
-    }
-    assert(drive(mor = true) == drive(mor = false),
-      "MOR and COW state layouts must hold identical live rows")
-  }
-
-  test("driver and distributed band-delta paths write the identical band store") {
-    // one wave exercising every delta shape: a new unique group (add),
-    // a smaller id joining an existing group (rep handoff: add + del of
-    // the old rep's rows), an update rewiring a doc to a new group
-    // (retract + add), and a whole-group deletion (pure tombstones)
-    def run(forceDistributed: Boolean): (GraftTable, GraftTable) = {
-      if (forceDistributed)
-        spark.conf.set(IncrementalDedup.DriverWaveCapKey, "0")
-      try {
-        val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-        src.bulkInsert(meta(docs(10L -> sent(1, 12), 11L -> sent(1, 12),
-          20L -> sent(3, 14), 30L -> sent(5, 16)), 1, del = false))
-        src.upsert(meta(docs(6L -> sent(1, 12), 7L -> sent(100, 112),
-          30L -> sent(7, 18)), 2, del = false)
-          .unionByName(meta(docs(20L -> sent(3, 14)), 2, del = true)))
-        val st = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-        IncrementalDedup.bootstrap(src, st, "id", "text", P, 0L)
-        IncrementalDedup.maintain(src, st, "id", "text", P, 0L, 1L)
-        (src, st)
-      } finally if (forceDistributed)
-        spark.conf.unset(IncrementalDedup.DriverWaveCapKey)
-    }
-    val (s1, st1) = run(forceDistributed = false)
-    val (s2, st2) = run(forceDistributed = true)
-    val readBands = (st: GraftTable) =>
-      GraftTable.open(spark, IncrementalDedup.bandsRootOf(st)).readUser()
-        .select(col("bk"), col("rid"), col("thash"), col("sid"), col("n_sh"))
-        .as[(String, Long, String, String, Long)].collect()
-        .sortBy(r => (r._1, r._2)).toSeq
-    val (b1, b2) = (readBands(st1), readBands(st2))
-    assert(b1.nonEmpty, "the wave must touch the band store")
-    assert(b1 == b2, "driver vs distributed band-store rows diverge")
-    assertParity(s1, st1, "driver band-delta path")
-    assertParity(s2, st2, "distributed band-delta path")
-  }
-
-  test("lifecycle: create records the spec; refresh runs from the state alone") {
-    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    src.bulkInsert(meta(docs(1L -> sent(1, 12), 2L -> sent(3, 14)), 1, del = false))
-    val state = IncrementalDedup.create(spark, src, tmp(), "id", "text", P)
-    assert(IncrementalDedup.appliedSeq(state) == Some(0L))
-    src.upsert(meta(docs(3L -> sent(5, 16)), 2, del = false))
-    // reopen cold: nothing but the state's own timeline drives refresh
-    val reopened = GraftTable.open(spark, state.root)
-    val (from, to) = IncrementalDedup.refresh(spark, reopened)
-    assert((from, to) == (0L, 1L))
-    assertParity(src, reopened, "after spec-driven refresh")
-    // idempotent: already-current refresh applies nothing
-    assert(IncrementalDedup.refresh(spark, reopened) == (1L, 1L))
-  }
-
-  test("stale window and rolled-back source refuse loudly") {
-    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    src.bulkInsert(meta(docs(1L -> sent(1, 12)), 1, del = false))
-    src.upsert(meta(docs(2L -> sent(3, 14)), 2, del = false))
-    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
-    IncrementalDedup.maintain(src, state, "id", "text", P, 0L, 1L)
-    // re-applying the SAME window must refuse (double-count guard)
-    val e1 = intercept[IllegalStateException] {
-      IncrementalDedup.maintain(src, state, "id", "text", P, 0L, 1L)
-    }
-    assert(e1.getMessage.contains("stale maintenance window"))
-    // a source rolled back below the watermark must refuse
-    src.rollback(0L)
-    val e2 = intercept[IllegalStateException] {
-      IncrementalDedup.maintainLatest(src, state, "id", "text", P)
-    }
-    assert(e2.getMessage.contains("rolled back"))
-  }
-
-  test("two racing maintainers: exactly one applies, the loser refuses under the lock") {
-    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    src.bulkInsert(meta(docs(1L -> sent(1, 12)), 1, del = false))
-    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
-    src.upsert(meta(docs(2L -> sent(3, 14)), 2, del = false))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    val start = new java.util.concurrent.CountDownLatch(1)
-    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
-    val tasks = (1 to 2).map { _ =>
-      pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = {
-          start.await()
-          // the state's table lock serializes the merges; the loser's
-          // preCommit re-reads the watermark UNDER the lock and refuses
-          // instead of double-applying the same window
-          try IncrementalDedup.maintain(src, state, "id", "text", P, 0L, 1L)
-          catch { case _: IllegalStateException => refusals.incrementAndGet(); () }
-        }
-      })
-    }
-    start.countDown()
-    tasks.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
-    pool.shutdown()
-    assert(refusals.get() == 1, s"exactly one refusal, got ${refusals.get()}")
-    assert(IncrementalDedup.appliedSeq(state) == Some(1L))
-    assertParity(src, state, "after the race")
-  }
-
-  test("parity assert catches a corrupted stored signature row") {
-    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    src.bulkInsert(meta(docs(1L -> sent(1, 12), 2L -> sent(3, 14)), 1, del = false))
-    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    IncrementalDedup.bootstrap(src, state, "id", "text", P, 0L)
-    assertParity(src, state, "pre-corruption")
-    // corrupt doc 1's stored shingle count THROUGH the table API (the
-    // state is a keyed table; an upsert is a legitimate write path a
-    // buggy maintainer could take) — the strengthened parity compare
-    // must now fail where the old id-only compare stayed green
-    // the state table is ordering-free (bootstrap writes no CDC ordering
-    // column), so a later upsert statement wins outright
-    val row = state.readUser().filter(col("id") === 1L)
-      .withColumn("n_sh", col("n_sh") + 7L)
-    state.upsert(row)
-    val e = intercept[org.scalatest.exceptions.TestFailedException] {
-      assertParity(src, state, "post-corruption")
-    }
-    assert(e.getMessage.contains("thash, n_sh"))
-  }
-
-  test("null and negative ids refuse loudly") {
-    val src = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    src.bulkInsert(meta(docs(1L -> sent(1, 12)), 1, del = false))
-    val state = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    val bad = meta(Seq((-5L, sent(1, 12))).toDF("id", "text"), 1, del = false)
-    val src2 = new GraftTable(spark, tmp(), Seq("id"), targetFileBytes = 16 * 1024)
-    src2.bulkInsert(bad)
-    val e = intercept[IllegalStateException] {
-      IncrementalDedup.bootstrap(src2, state, "id", "text", P, 0L)
-    }
-    assert(e.getMessage.contains("negative"))
-  }
-
-  test("driver union-find and distributed CC label waves identically") {
-    // the capped driver CC (default) vs the distributed loop (forced by
-    // a zero cap) must produce byte-identical state over a wave that
-    // exercises merges, splits and rewires
-    def drive(forceDistributed: Boolean): Seq[(Long, Long)] = {
-      if (forceDistributed)
-        spark.conf.set(IncrementalDedup.DriverCcEdgeCapKey, "0")
-      try {
-        val src = new GraftTable(spark, tmp(), Seq("id"),
-          targetFileBytes = 16 * 1024)
-        src.bulkInsert(meta(docs(
-          1L -> sent(1, 12), 2L -> sent(3, 14), 5L -> sent(100, 112),
-          6L -> sent(102, 114)), 1, del = false))
-        val state = IncrementalDedup.create(spark, src, tmp(), "id", "text", P)
-        // wave: bridge 3 joins cluster {1,2}; member 5 rewrites away
-        // (split); 7 glues identically to 6
-        src.upsert(meta(docs(3L -> sent(2, 13), 7L -> sent(102, 114)), 2,
-          del = false))
-        src.upsert(meta(docs(5L -> "uniq5"), 3, del = false))
-        IncrementalDedup.refresh(spark, state)
-        state.readUser().select(col("id"), col("comp"))
-          .as[(Long, Long)].collect().sortBy(_._1).toSeq
-      } finally spark.conf.unset(IncrementalDedup.DriverCcEdgeCapKey)
-    }
-    assert(drive(forceDistributed = false) == drive(forceDistributed = true),
-      "CC engine choice must be invisible to the maintained labels")
-    // the union-find itself: min labels, self-loop singletons, chains
-    val uf = IncrementalDedup.driverComponents(
-      Array((9L, 4L), (4L, 2L), (11L, 11L), (7L, 8L)))
-    assert(uf == Map(9L -> 2L, 4L -> 2L, 2L -> 2L, 11L -> 11L, 7L -> 7L, 8L -> 7L))
-  }
-
-  test("reliable pins produce the identical cluster state (cluster-run pin mode)") {
-    def drive(reliable: Boolean): Seq[(Long, String, Seq[Long], Long, Long)] = {
-      if (reliable) spark.conf.set(graft.util.PinSet.ReliableKey, "true")
-      try {
-        val src = new GraftTable(spark, tmp(), Seq("id"),
-          targetFileBytes = 16 * 1024)
-        src.bulkInsert(meta(docs(
-          1L -> sent(1, 12), 2L -> sent(3, 14), 5L -> sent(100, 112)), 1,
-          del = false))
-        val state = IncrementalDedup.create(spark, src, tmp(), "id", "text", P)
-        // one retract-heavy wave: a near-dup joins, a member rewrites away
-        src.upsert(meta(docs(3L -> sent(2, 13)), 2, del = false))
-        src.upsert(meta(docs(2L -> "uniq2"), 3, del = false))
-        IncrementalDedup.refresh(spark, state)
-        val stage = java.nio.file.Paths.get(s"${state.root}/_graft/stage-pins")
-        if (java.nio.file.Files.isDirectory(stage))
-          assert(scala.util.Using.resource(
-            java.nio.file.Files.list(stage))(_.count()) == 0,
-            "reliable pins must clean their stage dirs after the wave")
-        state.readUser()
-          .select(col("id"), col("thash"), col("sig"), col("n_sh"), col("comp"))
-          .as[(Long, String, Seq[Long], Long, Long)].collect()
-          .sortBy(_._1).toSeq
-      } finally spark.conf.unset(graft.util.PinSet.ReliableKey)
-    }
-    assert(drive(reliable = true) == drive(reliable = false),
-      "pin mode must be invisible to the maintained state")
   }
 }

@@ -631,4 +631,34 @@ class MergeSpec extends AnyFunSuite {
     assert(c3.extra("files_rewritten").toInt == 1)
     assert(t.readUser().filter($"id" === 6L).select("v").as[String].head() == "m6")
   }
+
+  test("merge source conversion is byte-gated: wide rows stay distributed, narrow ones convert") {
+    // round-22 (verdict #3/#8): the LocalRelation conversion collects the
+    // source to the driver — a row-count-only gate let a ≤20k-row source
+    // with MB-scale text collect multi-GB. The gate is now rows AND
+    // cached bytes; and the row cap is high enough that the ~35k-row
+    // narrow IVM join delta (the w_incr_join fix, verdict #4) converts.
+    val t = mkTable(tmp())
+    t.bulkInsert(Seq((1L, "a", "001", false), (2L, "b", "001", false))
+      .toDF("id", "v", "trx_seq", Meta.Deleted))
+    // WIDE: 15k rows x ~6.4 KB of HIGH-ENTROPY text (md5 chain — the
+    // columnar cache cannot dictionary/RLE it away) ≈ 96 MB cached
+    // > SmallMergeSourceBytes → must keep the distributed plan
+    val chain = concat_ws("", (0 until 200).map(i =>
+      md5(concat(col("id").cast("string"), lit(s"_$i")))): _*)
+    val wide = spark.range(10L, 15010L).select(col("id"), chain.as("v"))
+    t.mergeInto(wide, insertWhenNotMatched = true)
+    assert(!GraftTable.lastMergeSourceConverted,
+      "a 15k-row wide (≈96 MB) source must NOT collect to the driver")
+    // NARROW: 35k rows x a few bytes — over the OLD 20k row cap, far
+    // under the byte cap → converts (exact stats, driver dup check)
+    val narrow = spark.range(20000L, 55000L).select(col("id"),
+      concat(lit("n"), col("id").cast("string")).as("v"))
+    t.mergeInto(narrow, insertWhenNotMatched = true)
+    assert(GraftTable.lastMergeSourceConverted,
+      "a 35k-row narrow source must take the LocalRelation fast path")
+    // and the merge semantics are unchanged either way
+    assert(t.readUser().count() == 2 + 15000 + 35000)
+    assert(t.readUser().filter($"id" === 1L).select("v").as[String].head() == "a")
+  }
 }
