@@ -228,6 +228,30 @@ object ScratchDrive {
       }
       spark.sparkContext.addSparkListener(probe)
       try (1 to 3).foreach { i =>
+        // part timings: the explode/aggregate passes vs the boundary
+        // sample vs the assembled census
+        val docs = graft.queries.Q.t(spark, sfDir, "documents")
+        timed(s"parts.multiset run$i")(
+          graft.llm.Dedup.suffixMultiset(docs, "doc_id", "text", 20, 60)
+            .write.format("noop").mode("overwrite").save())
+        timed(s"parts.byval run$i")(
+          graft.llm.Dedup.suffixMultiset(docs, "doc_id", "text", 20, 60)
+            .groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+            .write.format("noop").mode("overwrite").save())
+        timed(s"parts.cand run$i") {
+          val nStarts = length(col("_t")) - lit(19)
+          val n = docs.filter(length(col("text")) >= 20)
+            .select(col("text").as("_t"))
+            .orderBy(md5(col("_t")), col("_t")).limit(2048)
+            .dropDuplicates("_t")
+            .orderBy(md5(col("_t")), col("_t")).limit(512)
+            .select(explode(sequence(lit(1), nStarts,
+              greatest(lit(1), (nStarts / 64).cast("int")))).as("p"), col("_t"))
+            .select(col("_t").substr(col("p"), lit(60)).as("s"))
+            .distinct()
+            .collect().length
+          println(s"cand n=$n")
+        }
         val df = SparkEntry.queries("dedup_suffix")(spark, sfDir)
         timed(s"dedup_suffix run$i")(
           df.write.format("noop").mode("overwrite").save())

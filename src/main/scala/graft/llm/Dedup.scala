@@ -31,7 +31,10 @@ object Dedup {
       .otherwise(expr(
         s"transform(sequence(1, size(_w) - ${n - 1}), " +
           s"i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(_w, i + $j)").mkString(", ")}))"))
-    docs.select(col(idCol), split(col(textCol), " ").as("_w"))
+    // Fan.widen: a one-split corpus scan would run the explode on 1-2
+    // tasks (guide §2.5); pinned/local wave frames pass through untouched
+    graft.util.Fan.widen(docs)
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
       .select(col(idCol), explode(sh).as("s"))
       .filter(col("s").isNotNull && length(col("s")) > 0)
       .distinct()
@@ -551,7 +554,8 @@ object Dedup {
     * generation (a pair within distance d<4 shares ≥1 of 4 chunks).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    val tok = graft.util.Fan.widen(docs)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("m", substring(md5(col("w")), 1, 16))
     val bitCols = (0 until 64).map { b =>
@@ -642,7 +646,7 @@ object Dedup {
   private[graft] def suffixMultiset(docs: DataFrame, idCol: String,
       textCol: String, minMatch: Int, maxSuffix: Int,
       stride: Int = 1): DataFrame =
-    docs
+    graft.util.Fan.widen(docs)
       .filter(length(col(textCol)) >= minMatch)
       .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
         explode(sequence(lit(1), length(col(textCol)) - lit(minMatch - 1),
@@ -726,7 +730,27 @@ object Dedup {
         when(col("cnt") >= 2, length(col("s"))).otherwise(greatest(
           lcp(col("s"), coalesce(lead(col("s"), 1).over(w), col("next_mn"))),
           lcp(col("s"), coalesce(lag(col("s"), 1).over(w), col("prev_mx"))))).as("lcp"))
-    sfx.join(valLcp, Seq("s")).select(col("doc_id"), col("pos"), col("lcp"))
+    // Instance join on the VALUE DIGEST, as a shuffled-hash join
+    // (round-22; guide §3.1 + §2.3). Two problems with the plain
+    // `sfx.join(valLcp, "s")`:
+    //  1. Catalyst's size estimate after a Generate (explode) stays at
+    //     input-file scale, so the 1.5M-row instance side read as "small"
+    //     and was BROADCAST — a single-threaded ~100 MB HashedRelation
+    //     build (~3 s per run, the biggest stage of the census) that
+    //     would be a driver OOM at corpus scale. The SHUFFLE_HASH hint
+    //     outranks size-estimated broadcasts in join selection, pinning
+    //     a shuffled-hash join with the distinct-value side as build.
+    //  2. The join key was the ≤60-char suffix itself; both sides now
+    //     exchange a fixed 16-byte md5 digest instead (the engine's
+    //     documented hash-equality convention) — ~4× fewer key bytes
+    //     shuffled on the instance side and constant-width comparisons.
+    // The value side stays distinct-by-s, so digest equality changes the
+    // join pairs only on an md5 collision.
+    val sfxH = sfx.select(col("doc_id"), col("pos"),
+      unhex(md5(col("s"))).as("_h"))
+    val valH = valLcp.select(unhex(md5(col("s"))).as("_h"), col("lcp"))
+    sfxH.join(valH.hint("shuffle_hash"), Seq("_h"))
+      .select(col("doc_id"), col("pos"), col("lcp"))
   }
 
   /** EXACT duplicated-substring REMOVAL — the output the Lee et al.

@@ -1040,6 +1040,99 @@ class GraftTable(
     * lives in IntervalIndex, shared with the point-lookup read so the
     * sites cannot drift). Returns (affected, untouched).
     */
+  /** The upsert's small-batch gate: the precombined batch collected as
+    * wide-conformed driver rows when it is driver-sized (the mergeInto
+    * conversion's rows∧bytes gate) and carries no commit stamp — so the
+    * broadcast tie-break is provably strict (its commit-seq limb is this
+    * commit's seq, above every stored stamp). None keeps the distributed
+    * union+groupBy. Row cap conf-overridable (0 forces distributed — the
+    * law specs pin broadcast ≡ groupBy snapshots with it). */
+  private def smallUpsertBatch(batch: DataFrame,
+      wide: org.apache.spark.sql.types.StructType):
+      Option[(Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)] = {
+    if (batch.columns.contains(Meta.CommitSeq)) return None
+    val cap = spark.conf.getOption(GraftTable.UpsertBroadcastCapKey)
+      .map(_.toLong).getOrElse(GraftTable.SmallMergeSourceRows)
+    if (cap <= 0) return None
+    if (batch.count() > cap) return None
+    val bytes = {
+      val fresh = batch.select(batch.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
+      val s = fresh.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (s.isValidLong) s.toLong else Long.MaxValue
+    }
+    if (bytes > GraftTable.SmallMergeSourceBytes) None
+    else {
+      val conformed = GraftTable.castTo(batch, wide)
+      Some((conformed.collect(), conformed.schema))
+    }
+  }
+
+  /** Latest-wins merge of a driver-collected batch into the affected
+    * snapshot WITHOUT exchanging the base: one broadcast LEFT join
+    * resolves matched keys by the union-world tie struct, and the
+    * not-matched batch rows are split off on the driver (matched keys
+    * from a key-column-pruned broadcast semi join). Output columns and
+    * values are exactly the union+groupBy(max_by) path's. */
+  private def broadcastUpsertMerge(ex: DataFrame,
+      bRows: Array[org.apache.spark.sql.Row],
+      bSchema: org.apache.spark.sql.types.StructType,
+      wide: org.apache.spark.sql.types.StructType, seq: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val bDf = spark.createDataFrame(bRows.toSeq.asJava, bSchema)
+    val exCols = ex.columns.toSeq
+    val bCols = bSchema.fieldNames.toSeq
+    val outCols = exCols ++ bCols.filterNot(exCols.contains)
+    def dtOf(c: String) = wide(c).dataType
+    val bPref = bDf.select(bCols.map(c =>
+      if (c == Meta.RecordKey) col(c) else col(c).as(s"_b_$c")).toIndexedSeq: _*)
+      .withColumn("_bm", lit(true))
+    def bCol(c: String): Column =
+      if (c == Meta.RecordKey) col(c) else col(s"_b_$c")
+    // per-side tie structs: the union-world tieExpr evaluated against
+    // each side's own columns — a side missing a column contributes the
+    // same NULL/default the union's null-fill produced, so struct
+    // comparison (nulls-first field ordering, the max_by ordering)
+    // picks the identical winner
+    val eTie = struct(
+      if (exCols.contains(orderingField)) col(orderingField)
+      else lit(null).cast("string"),
+      if (exCols.contains(Meta.Deleted)) col(Meta.Deleted).cast("int") else lit(0),
+      if (exCols.contains(Meta.CommitSeq)) coalesce(col(Meta.CommitSeq), lit(seq))
+      else lit(seq))
+    val bTie = struct(
+      if (bCols.contains(orderingField)) bCol(orderingField)
+      else lit(null).cast("string"),
+      if (bCols.contains(Meta.Deleted)) bCol(Meta.Deleted).cast("int") else lit(0),
+      lit(seq)) // the gate excludes stamped batches
+    val bWins = col("_bm").isNotNull && (bTie > eTie)
+    val mergedEx = ex.join(broadcast(bPref), Seq(Meta.RecordKey), "left")
+      .select(outCols.map { c =>
+        if (c == Meta.RecordKey) col(c)
+        else {
+          val eV = if (exCols.contains(c)) col(c) else lit(null).cast(dtOf(c))
+          val bV = if (bCols.contains(c)) bCol(c) else lit(null).cast(dtOf(c))
+          when(bWins, bV).otherwise(eV).as(c)
+        }
+      }.toIndexedSeq: _*)
+    val matched = new java.util.HashSet[String]()
+    if (bRows.nonEmpty)
+      ex.join(broadcast(bDf.select(col(Meta.RecordKey))),
+          Seq(Meta.RecordKey), "left_semi")
+        .select(col(Meta.RecordKey)).collect()
+        .foreach(r => { matched.add(r.getString(0)); () })
+    val ki = bSchema.fieldIndex(Meta.RecordKey)
+    val ins = bRows.filter(r => r.isNullAt(ki) || !matched.contains(r.getString(ki)))
+    val insDf = spark.createDataFrame(ins.toSeq.asJava, bSchema)
+      .select(outCols.map { c =>
+        if (bCols.contains(c)) col(c) else lit(null).cast(dtOf(c)).as(c)
+      }.toIndexedSeq: _*)
+    mergedEx.unionByName(insDf)
+  }
+
+  /** Which merge shape the last [[upsert]] used — "broadcast" or
+    * "groupby" (spec observability only). */
+  @volatile private[graft] var lastUpsertMerge: String = ""
+
   private def pruneAffected(prev: Commit,
       batch: DataFrame): (Seq[DataFile], Seq[DataFile]) = {
     // record-level-index fast path: when a CURRENT index exists, it names
@@ -1252,20 +1345,44 @@ class GraftTable(
       case None => GraftTable.castTo(batch, wide)
       case Some(ex0) =>
         val ex = GraftTable.castTo(ex0, wide)
-        val unioned = ex.unionByName(GraftTable.castTo(batch, wide),
-          allowMissingColumns = true)
-        val cols = unioned.columns
-        // non-global index: (partition, key) is the row identity — same-
-        // keyed rows in different partitions are distinct and must never
-        // collapse, even when pruning pulled both into the affected read
-        val identity: Seq[String] =
-          if (!globalIndex && partitionFields.nonEmpty) partitionFields :+ Meta.RecordKey
-          else Seq(Meta.RecordKey)
-        if (partialUpdate)
-          mergePartial(unioned, identity, tieExpr(unioned))
-        else unioned.groupBy(identity.map(col): _*)
-          .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieExpr(unioned)).as("_r"))
-          .select(cols.map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
+        // SMALL-BATCH BROADCAST MERGE (round-22, guide §2.4/§3.1): the
+        // union+groupBy below EXCHANGES every affected base row (plus a
+        // wide max_by(struct) aggregate) to resolve latest-wins against
+        // a batch that is usually KB-scale. When the precombined batch
+        // collects small (same rows∧bytes gate as the mergeInto
+        // conversion), resolve per-key winners with a broadcast LEFT
+        // join instead — the base is scanned, never exchanged — and add
+        // the not-matched batch rows driver-side (matched keys from one
+        // key-column-pruned semi-join pass). Winner per matched key is
+        // the SAME lexicographic tie struct the max_by used; a full tie
+        // is impossible here because the batch side is gated to carry
+        // no commit stamp (its third limb is this commit's seq, strictly
+        // above every stored stamp). Gated to the plain global-index
+        // path: partial-update and (partition,key)-identity tables keep
+        // the union+groupBy.
+        val bcEligible = !partialUpdate && (globalIndex || partitionFields.isEmpty)
+        (if (bcEligible) smallUpsertBatch(batch, wide) else None) match {
+          case Some((bRows, bSchema)) =>
+            lastUpsertMerge = "broadcast"
+            broadcastUpsertMerge(ex, bRows, bSchema, wide, seq)
+          case _ =>
+            lastUpsertMerge = "groupby"
+            val unioned = ex.unionByName(GraftTable.castTo(batch, wide),
+              allowMissingColumns = true)
+            val cols = unioned.columns
+            // non-global index: (partition, key) is the row identity —
+            // same-keyed rows in different partitions are distinct and
+            // must never collapse, even when pruning pulled both into
+            // the affected read
+            val identity: Seq[String] =
+              if (!globalIndex && partitionFields.nonEmpty) partitionFields :+ Meta.RecordKey
+              else Seq(Meta.RecordKey)
+            if (partialUpdate)
+              mergePartial(unioned, identity, tieExpr(unioned))
+            else unioned.groupBy(identity.map(col): _*)
+              .agg(max_by(struct(cols.map(col).toIndexedSeq: _*), tieExpr(unioned)).as("_r"))
+              .select(cols.map(c => col("_r." + c).as(c)).toIndexedSeq: _*)
+        }
     }
     val live0 =
       if (merged.columns.contains(Meta.Deleted))
@@ -1884,7 +2001,54 @@ class GraftTable(
       val srcPrefixed = src.columns.foldLeft(src.toDF())((d, c) =>
         if (c == Meta.RecordKey) d else d.withColumnRenamed(c, s"src_$c"))
         .withColumn("_s", lit(true))
-      val j = ex.join(srcPrefixed, Seq(Meta.RecordKey), "full_outer")
+      // BROADCAST MERGE for local sources (round-22, guide §3.1): a FULL
+      // OUTER join cannot broadcast, so every KB-scale IVM/merge commit
+      // shuffled AND sorted the whole affected target side. With a
+      // LocalRelation source the three row classes split exactly:
+      //  - target rows (matched or carried) come from ONE broadcast LEFT
+      //    join — the target is scanned, never exchanged;
+      //  - source-only INSERT rows are computed on the driver from the
+      //    already-local source rows minus the matched keys (one
+      //    key-column-pruned broadcast semi-join job over the affected
+      //    files — parquet reads just the key column).
+      // BY SOURCE clauses quantify over every target row and keep the
+      // full-outer plan, as do distributed (non-converted) sources.
+      val j = srcLocalRel match {
+        case Some(_) if !hasBySource =>
+          val exJ = ex.join(broadcast(srcPrefixed), Seq(Meta.RecordKey), "left")
+          if (!insertWhenNotMatched) exJ
+          else {
+            val matchedKeys: java.util.HashSet[String] = {
+              val s = new java.util.HashSet[String]()
+              if (affected.nonEmpty)
+                ex.join(broadcast(src.select(col(Meta.RecordKey))),
+                    Seq(Meta.RecordKey), "left_semi")
+                  .select(col(Meta.RecordKey)).collect()
+                  .foreach(r => { s.add(r.getString(0)); () })
+              s
+            }
+            // collect() on a LocalRelation plan executes driver-side
+            val insertRows = src.collect().filter { r =>
+              val k = r.getAs[String](Meta.RecordKey)
+              k == null || !matchedKeys.contains(k)
+            }
+            val insertDf = {
+              import scala.jdk.CollectionConverters._
+              spark.createDataFrame(insertRows.toSeq.asJava, src.schema)
+            }
+            val pref = insertDf.columns.foldLeft(insertDf)((d, c) =>
+              if (c == Meta.RecordKey) d else d.withColumnRenamed(c, s"src_$c"))
+            val insertSide = pref.select(
+              Seq(col(Meta.RecordKey)) ++
+                tableCols.filterNot(_ == Meta.RecordKey).map(c =>
+                  lit(null).cast(activeSchema(c).dataType).as(c)) ++
+                Seq(lit(null).cast("boolean").as("_t")) ++
+                pref.columns.filterNot(_ == Meta.RecordKey).map(col) ++
+                Seq(lit(true).as("_s")): _*)
+            exJ.unionByName(insertSide)
+          }
+        case _ => ex.join(srcPrefixed, Seq(Meta.RecordKey), "full_outer")
+      }
       val matched = col("_t").isNotNull && col("_s").isNotNull
       val bySource = col("_t").isNotNull && col("_s").isNull
       // a NULL delete/insert condition keeps/skips the row (SQL
@@ -3854,6 +4018,11 @@ object GraftTable {
     * the conversion gate (rows AND bytes) — LocalRelation sources never
     * set it. Driver-side under the table lock; volatile is enough. */
   @volatile private[graft] var lastMergeSourceConverted = false
+
+  /** Row cap for the upsert small-batch broadcast merge (session conf;
+    * default [[SmallMergeSourceRows]], 0 disables — the law specs force
+    * the distributed path with it). */
+  val UpsertBroadcastCapKey = "graft.upsert.broadcastCap"
 
   /** Commit-store for a root, resolved exactly like the constructor
     * default: object-store CAS for mounted (space) roots, hard-link CAS

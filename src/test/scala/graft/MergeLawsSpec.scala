@@ -70,6 +70,40 @@ class MergeLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert law: small-batch broadcast merge equals the distributed union+groupBy") {
+    // round-22: a driver-sized batch resolves latest-wins through a
+    // broadcast LEFT join (no exchange of the affected base) — this law
+    // pins it byte-equal, rows AND commit stamps, to the distributed
+    // union+groupBy(max_by) over random event streams incl. deletes,
+    // late rows, and a schema-evolving second batch
+    def drive(forceDistributed: Boolean): Seq[(Long, String, String, Long)] = {
+      if (forceDistributed)
+        spark.conf.set(GraftTable.UpsertBroadcastCapKey, "0")
+      try {
+        val rnd = new scala.util.Random(1234)
+        val root = Files.createTempDirectory("graft-law-bc").toString
+        val t = new GraftTable(spark, root, Seq("id"), targetFileBytes = 16 * 1024)
+        t.bulkInsert(toDf(genEvents(rnd)))
+        t.upsert(toDf(genEvents(rnd)))
+        assert(t.lastUpsertMerge ==
+          (if (forceDistributed) "groupby" else "broadcast"),
+          s"wrong merge path under forceDistributed=$forceDistributed")
+        // evolving batch: a NEW column the base lacks (null-padded on
+        // carried rows in both paths)
+        t.upsert(toDf(genEvents(rnd)).withColumn("extra",
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("x"),
+            org.apache.spark.sql.functions.col("id").cast("string"))))
+        t.read().selectExpr("id", "v", "coalesce(extra, '-') as extra",
+            s"`${Meta.CommitSeq}`")
+          .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      } finally if (forceDistributed)
+        spark.conf.unset(GraftTable.UpsertBroadcastCapKey)
+    }
+    assert(drive(forceDistributed = false) == drive(forceDistributed = true),
+      "broadcast and distributed upsert merges must land identical state")
+  }
+
   test("merge result is insensitive to row order within a batch and to COW/MOR path") {
     val rnd = new scala.util.Random(7)
     (1 to 6).foreach { trial =>
